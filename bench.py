@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Bench harness: run the headline workload queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed twice: a warm-up pass is NOT used (cold numbers are
+what a fresh job sees); timing wraps the full action (plan + execute +
+collect-to-count). A tiny result fetch (count / small collect) keeps driver
+transfer out of the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    get_spark,
+    workload,
+)
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "scan_full_table",
+    "filter_compare",
+    "agg_global",
+    "agg_group_having",
+    "distinct_values",
+    "order_limit_offset",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="sparkdb-bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in workload.QUERIES:
+            continue
+        fn = workload.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Catalog: a JSON table registry mirroring the reference's ``schema.json``.
+
+Reference parity: the Go engine persists a ``map[tableName]Table`` of
+``(name, type)`` column lists as ``schema.json`` (reference
+``pkg/schema/types.go:21-77``) with five declared types
+(``pkg/schema/types.go:13-19``). Here the registry maps each table to a
+Parquet directory and a typed Spark ``StructType``; the Spark session catalog
+gets a temp view per table so both the DataFrame and SQL surfaces see them.
+
+Type mapping (SURVEY.md §1.3):
+  INT → LongType, TEXT → StringType, DECIMAL → DoubleType (the reference's
+  DECIMAL is a float64, not fixed-point), BOOL → BooleanType,
+  IMAGE → StringType (resolved filesystem path; bytes loadable on demand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import types as T
+
+
+class RefType(str, Enum):
+    INT = "INT"
+    TEXT = "TEXT"
+    DECIMAL = "DECIMAL"
+    BOOL = "BOOL"
+    IMAGE = "IMAGE"
+
+
+_SPARK_TYPE: dict[RefType, T.DataType] = {
+    RefType.INT: T.LongType(),
+    RefType.TEXT: T.StringType(),
+    RefType.DECIMAL: T.DoubleType(),
+    RefType.BOOL: T.BooleanType(),
+    RefType.IMAGE: T.StringType(),
+}
+
+_SPARK_TYPE_BY_NAME = {rt.value: t for rt, t in _SPARK_TYPE.items()}
+
+# Reverse mapping for tables ingested from Parquet/CSV with native Spark types:
+# anything not in the 5-type system is recorded with its Spark DDL string so we
+# round-trip faithfully (a strict superset of the reference, which forces TEXT
+# on all imports — reference pkg/importer/importer.go:37-52).
+def spark_type_for(decl: str) -> T.DataType:
+    # Exact (uppercase) match = reference type; otherwise native Spark DDL.
+    # The distinction matters because Spark's own "int" (32-bit) must not
+    # collide with the reference's INT (64-bit, Go int).
+    if decl in _SPARK_TYPE_BY_NAME:
+        return _SPARK_TYPE_BY_NAME[decl]
+    try:
+        return T._parse_datatype_string(decl)
+    except Exception:
+        return _SPARK_TYPE[RefType(decl.upper())]  # e.g. lowercase "text"
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    decl: str  # RefType value or Spark DDL string
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return spark_type_for(self.decl)
+
+
+@dataclass
+class TableMeta:
+    name: str
+    columns: list[ColumnDef]
+    path: str
+    partition_by: list[str] = field(default_factory=list)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, True) for c in self.columns]
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "columns": [[c.name, c.decl] for c in self.columns],
+            "path": self.path,
+            "partition_by": self.partition_by,
+        }
+
+    @staticmethod
+    def from_json(name: str, d: dict) -> "TableMeta":
+        return TableMeta(
+            name=name,
+            columns=[ColumnDef(n, t) for n, t in d["columns"]],
+            path=d["path"],
+            partition_by=d.get("partition_by", []),
+        )
+
+
+class Catalog:
+    """Persistent table registry: one JSON file per engine root.
+
+    Writes are atomic (temp file + ``os.replace``), mirroring the reference's
+    temp-file + rename durability pattern (``pkg/storage/storage.go:290-306``)
+    without its process-wide mutex — Spark jobs are the unit of isolation.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.path = os.path.join(root, "catalog.json")
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, TableMeta] = {}
+        self._load()
+
+    def _load(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                raw = json.load(f)
+            self._tables = {
+                name: TableMeta.from_json(name, d)
+                for name, d in raw.get("tables", {}).items()
+            }
+
+    def _save(self) -> None:
+        payload = {"tables": {n: m.to_json() for n, m in self._tables.items()}}
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".catalog-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f, indent=2, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- reference DDL surface (SURVEY.md §2.2: D1-D3) --------------------
+
+    def add_table(self, meta: TableMeta) -> None:
+        if meta.name in self._tables:
+            raise ValueError(f"table '{meta.name}' already exists")
+        self._tables[meta.name] = meta
+        self._save()
+
+    def drop_table(self, name: str) -> TableMeta:
+        if name not in self._tables:
+            raise KeyError(f"table '{name}' does not exist")
+        meta = self._tables.pop(name)
+        self._save()
+        return meta
+
+    def get(self, name: str) -> TableMeta:
+        if name not in self._tables:
+            raise KeyError(f"table '{name}' does not exist")
+        return self._tables[name]
+
+    def show_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables

@@ -1,0 +1,135 @@
+"""Fluent SELECT pipeline with the reference's clause semantics.
+
+The reference hand-rolls filter → group/agg → having → order → limit/offset →
+distinct as sequential in-memory passes over ``[]Row``
+(pkg/handlers/select.go:216-597). Here the same clause surface is assembled
+into ONE lazy DataFrame plan and Catalyst chooses the physical strategy:
+filters and projections push down into the Parquet scan, aggregation runs as
+partial (map-side) + final hash aggregate, ORDER BY + LIMIT plans as
+TakeOrderedAndProject — the distributed versions of everything the reference
+does single-threaded.
+
+Reference output-naming conventions are preserved (select.go:103-121):
+``COUNT(*)`` → ``count``, ``COUNT(c)`` → ``count_c``, ``SUM(c)`` → ``sum_c``,
+``AVG(c)`` → ``avg_c``, ``MIN(c)``/``MAX(c)`` → ``min_c``/``max_c``,
+overridable with an alias. An agg-free GROUP BY auto-appends ``COUNT(*)``
+("lenient" mode, select.go:187-192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_AGG_FUNCS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
+    """One aggregate with the reference's default output name."""
+    func = func.lower()
+    if func not in _AGG_FUNCS:
+        raise ValueError(
+            f"unsupported aggregate {func!r} (reference supports COUNT/SUM/AVG/MIN/MAX, "
+            "select.go:103-121; use raw DataFrame .agg for beyond-reference functions)"
+        )
+    if func == "count" and column == "*":
+        expr, default = F.count(F.lit(1)), "count"
+    else:
+        expr, default = _AGG_FUNCS[func](column), f"{func}_{column}"
+    return expr.alias(alias or default)
+
+
+class Query:
+    """Builder mirroring the reference's SELECT clause set over a DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._where: Column | str | None = None
+        self._group: list[str] = []
+        self._aggs: list[Column] = []
+        self._having: Column | str | None = None
+        self._order: list[Column] = []
+        self._limit: int | None = None
+        self._offset: int | None = None
+        self._distinct = False
+        self._projection: list[Column | str] | None = None
+
+    # -- clause setters (each returns self for chaining) -------------------
+
+    def select(self, *cols: Column | str) -> "Query":
+        if cols and not (len(cols) == 1 and cols[0] == "*"):
+            self._projection = list(cols)
+        return self
+
+    def where(self, cond: Column | str) -> "Query":
+        self._where = cond
+        return self
+
+    def group_by(self, *cols: str) -> "Query":
+        # Reference limitation NOT copied: it supports exactly one grouping
+        # column (select.go:165-173); this accepts any number.
+        self._group = list(cols)
+        return self
+
+    def agg(self, *specs: Column) -> "Query":
+        self._aggs = list(specs)
+        return self
+
+    def having(self, cond: Column | str) -> "Query":
+        self._having = cond
+        return self
+
+    def order_by(self, col: Column | str, desc: bool = False) -> "Query":
+        c = F.col(col) if isinstance(col, str) else col
+        self._order.append(c.desc() if desc else c.asc())
+        return self
+
+    def limit(self, n: int) -> "Query":
+        # Applied on EVERY path — the reference parses LIMIT but silently
+        # drops it for non-grouped SELECTs (select.go:41-42 vs 516-597);
+        # documented fix, SURVEY.md §7.4.
+        self._limit = n
+        return self
+
+    def offset(self, n: int) -> "Query":
+        self._offset = n
+        return self
+
+    def distinct(self) -> "Query":
+        self._distinct = True
+        return self
+
+    # -- plan assembly -----------------------------------------------------
+
+    @staticmethod
+    def _cond(c: Column | str) -> Column:
+        return F.expr(c) if isinstance(c, str) else c
+
+    def df(self) -> DataFrame:
+        df = self._df
+        if self._where is not None:
+            df = df.filter(self._cond(self._where))
+        if self._group or self._aggs:
+            aggs = list(self._aggs)
+            if self._group and not aggs:
+                # Lenient GROUP BY: auto-append COUNT(*) (select.go:187-192).
+                aggs = [agg_spec("count")]
+            df = df.groupBy(*self._group).agg(*aggs) if self._group else df.agg(*aggs)
+            if self._having is not None:
+                df = df.filter(self._cond(self._having))
+        if self._projection is not None:
+            df = df.select(*self._projection)
+        if self._distinct:
+            df = df.dropDuplicates()
+        if self._order:
+            df = df.orderBy(*self._order)
+        if self._offset is not None:
+            df = df.offset(self._offset)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df

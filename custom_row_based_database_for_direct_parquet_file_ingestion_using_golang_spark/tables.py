@@ -1,0 +1,89 @@
+"""Parquet-backed table store with append and copy-on-write rewrite.
+
+Reference parity: the Go engine appends JSON rows to ``<table>.dat``
+(``pkg/storage/storage.go:48-85``) and implements UPDATE/DELETE as
+read-all → transform → temp-file → fsync → atomic rename
+(``pkg/storage/storage.go:251-316``). The Spark-native equivalent keeps the
+same two primitives but columnar and distributed:
+
+  * append  = ``df.write.mode("append").parquet(dir)`` — each executor writes
+    its own part files; no global lock, no row-at-a-time IO.
+  * rewrite = write the transformed snapshot to a staging dir, then atomically
+    swap directories. Readers of the old snapshot are unaffected (Parquet
+    files are immutable); a crash mid-swap leaves either old or new, never a
+    torn table.
+
+At cluster scale the swap would be a metastore pointer flip (or a Delta/
+Iceberg commit); on a filesystem, ``os.replace``-style renames give the same
+single-writer guarantee the reference has.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTableStore:
+    """Directory-per-table Parquet storage under an engine root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.tables_dir = os.path.join(root, "tables")
+        self.staging_dir = os.path.join(root, ".staging")
+        self.trash_dir = os.path.join(root, ".trash")
+        for d in (self.tables_dir, self.staging_dir, self.trash_dir):
+            os.makedirs(d, exist_ok=True)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.tables_dir, name)
+
+    def init_empty(self, name: str, schema) -> str:
+        """Materialize an empty table dir so scans of a fresh table work."""
+        path = self.table_path(name)
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, name: str, schema=None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self.table_path(name))
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(name))
+
+    def overwrite(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Copy-on-write rewrite with atomic swap (see module docstring)."""
+        token = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.staging_dir, f"{name}-{token}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+
+        current = self.table_path(name)
+        trash = os.path.join(self.trash_dir, f"{name}-{token}")
+        if os.path.exists(current):
+            os.rename(current, trash)
+        try:
+            os.rename(staging, current)
+        except OSError:
+            # Roll back: restore the old snapshot.
+            if os.path.exists(trash) and not os.path.exists(current):
+                os.rename(trash, current)
+            raise
+        shutil.rmtree(trash, ignore_errors=True)
+
+    def drop(self, name: str) -> None:
+        path = self.table_path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)

@@ -1,0 +1,308 @@
+"""Driver-facing workload: the query inventory for correctness + bench.
+
+Each entry pairs a Spark DataFrame query (callable ``(spark, sf_dir) ->
+DataFrame``) with an equivalent ANSI-SQL oracle string run by DuckDB on the
+same Parquet files. Column names are aliased identically on both sides (the
+driver's comparator sorts columns by name before value-hashing). Floating
+aggregates are rounded to 2 decimals on both sides so sum-order
+nondeterminism cannot flip the hash.
+
+The inventory tracks SURVEY.md §2 line-by-line: every reference operator
+(scan, projection/alias, WHERE expression forms E1-E9, aggregates A1-A11,
+HAVING, ORDER/LIMIT/OFFSET, DISTINCT) plus the beyond-reference tier (joins,
+windows, set ops, dedup, similarity, text analysis) as it lands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a workload entry (decorator)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def r2(c, alias: str):
+    """round(x, 2) with an alias — applied identically in the oracle SQL."""
+    return F.round(c, 2).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 shape — exactly the reference's operator set in one
+# query: WHERE comparison + single-pass aggregation + GROUP BY + ORDER BY
+# (SURVEY.md §7.1). Reference pipeline: select.go:216-597.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                       AS avg_qty,
+           round(avg(l_extendedprice), 2)                                  AS avg_price,
+           round(avg(l_discount), 2)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity"), "sum_qty"),
+            r2(F.sum("l_extendedprice"), "sum_base_price"),
+            r2(F.sum(disc_price), "sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax"))), "sum_charge"),
+            r2(F.avg("l_quantity"), "avg_qty"),
+            r2(F.avg("l_extendedprice"), "avg_price"),
+            r2(F.avg("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1: full table scan (reference ReadAllRows, storage.go:87-117).
+# ---------------------------------------------------------------------------
+
+
+@query("scan_full_table", "SELECT r_regionkey, r_name FROM region")
+def scan_full_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# P1/P2: projection + alias (select.go:74-135).
+@query(
+    "projection_alias",
+    """
+    SELECT c_custkey AS id, c_name AS customer, round(c_acctbal, 2) AS balance
+    FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("customer"),
+            r2(F.col("c_acctbal"), "balance"),
+        )
+    )
+
+
+# E1: comparison operators (expr.go:90-156).
+@query(
+    "filter_compare",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_orderstatus != 'F'
+    """,
+)
+def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") >= 100000) & (F.col("o_orderstatus") != "F"))
+        .select("o_orderkey", "o_orderstatus", r2(F.col("o_totalprice"), "total"))
+    )
+
+
+# E4: IN membership (expr.go:159-193).
+@query(
+    "filter_in",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'EGYPT')
+    """,
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("FRANCE", "GERMANY", "EGYPT"))
+        .select("n_nationkey", "n_name")
+    )
+
+
+# E5: BETWEEN inclusive (expr.go:196-247).
+@query(
+    "filter_between",
+    """
+    SELECT p_partkey, p_name, p_size FROM part
+    WHERE p_size BETWEEN 10 AND 20
+    """,
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+# E6: LIKE — reference supports only %x%, %x, x% shapes (expr.go:250-277);
+# the contains form shown here; standard LIKE is a documented superset.
+@query(
+    "filter_like",
+    """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE '%green%' AND p_brand LIKE 'Brand#1%'
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("green") & F.col("p_brand").startswith("Brand#1"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+# E2/E3/E7: NOT / AND / OR / parenthesized nesting (expr.go:51-87,520-537).
+@query(
+    "filter_not_and_or",
+    """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal FROM supplier
+    WHERE NOT (s_acctbal < 0 OR s_nationkey = 3) AND s_acctbal <= 9000
+    """,
+)
+def filter_not_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "supplier")
+        .filter(
+            ~((F.col("s_acctbal") < 0) | (F.col("s_nationkey") == 3))
+            & (F.col("s_acctbal") <= 9000)
+        )
+        .select("s_suppkey", "s_name", r2(F.col("s_acctbal"), "acctbal"))
+    )
+
+
+# A1-A5/A7: global aggregation, one synthetic group (select.go:174-185).
+@query(
+    "agg_global",
+    """
+    SELECT count(*) AS count,
+           count(l_quantity)            AS count_l_quantity,
+           round(sum(l_quantity), 2)    AS sum_l_quantity,
+           round(avg(l_quantity), 2)    AS avg_l_quantity,
+           round(min(l_quantity), 2)    AS min_l_quantity,
+           round(max(l_quantity), 2)    AS max_l_quantity
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference default output names: count, count_<col>, sum_<col>, ...
+    # (select.go:103-121).
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count("l_quantity").alias("count_l_quantity"),
+        r2(F.sum("l_quantity"), "sum_l_quantity"),
+        r2(F.avg("l_quantity"), "avg_l_quantity"),
+        r2(F.min("l_quantity"), "min_l_quantity"),
+        r2(F.max("l_quantity"), "max_l_quantity"),
+    )
+
+
+# A6/A9: GROUP BY + HAVING (textual-rewrite HAVING in the reference,
+# select.go:370-430 — Catalyst resolves it natively here).
+@query(
+    "agg_group_having",
+    """
+    SELECT o_orderpriority, count(*) AS count, round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            r2(F.sum("o_totalprice"), "sum_total"),
+        )
+        .filter(F.col("count") > 10)
+        .orderBy("o_orderpriority")
+    )
+
+
+# A8: lenient GROUP BY — no aggregate in projection ⇒ implicit COUNT(*)
+# (select.go:187-192).
+@query(
+    "agg_group_implicit_count",
+    """
+    SELECT c_mktsegment, count(*) AS count FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_group_implicit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.query import Query
+
+    return (
+        Query(load(spark, sf_dir, "customer"))
+        .group_by("c_mktsegment")
+        .order_by("c_mktsegment")
+        .df()
+    )
+
+
+# A11: DISTINCT (select.go:536-565).
+@query(
+    "distinct_values",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# O1-O3: ORDER BY DESC + LIMIT + OFFSET, deterministic via unique tie-break
+# (reference: single-column ORDER BY select.go:194-204; LIMIT/OFFSET
+# select.go:452-474).
+@query(
+    "order_limit_offset",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(50)
+        .select("o_orderkey", r2(F.col("o_totalprice"), "total"))
+    )

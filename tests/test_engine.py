@@ -1,0 +1,167 @@
+"""Engine core tests: DDL, DML (insert/update/delete), ingestion — the
+reference's CRUD surface (SURVEY.md §2.1-2.3) on Parquet copy-on-write."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    Engine,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "db"))
+
+
+STUDENTS = [
+    {"id": 1, "name": "Noel", "course": "Mech"},
+    {"id": 2, "name": "Abel", "course": "AI/ML"},
+    {"id": 3, "name": "Benedict", "course": "Data Science"},
+    {"id": 4, "name": "Eve", "course": "CS"},
+    {"id": 5, "name": "Dan", "course": "EE"},
+    {"id": 6, "name": "Frank", "course": "Mech"},
+]
+
+
+def _students(engine):
+    engine.create_table("students", [("id", "INT"), ("name", "TEXT"), ("course", "TEXT")])
+    engine.insert_rows("students", STUDENTS)
+
+
+def test_create_show_drop(engine):
+    engine.create_table("t1", [("a", "INT"), ("b", "TEXT")])
+    engine.create_table("t2", [("x", "DECIMAL"), ("y", "BOOL")])
+    assert engine.show_tables() == ["t1", "t2"]
+    with pytest.raises(ValueError):
+        engine.create_table("t1", [("a", "INT")])
+    engine.drop_table("t1")
+    assert engine.show_tables() == ["t2"]
+    with pytest.raises(KeyError):
+        engine.table("t1")
+
+
+def test_empty_table_scan(engine):
+    engine.create_table("empty", [("a", "INT")])
+    assert engine.table("empty").count() == 0
+
+
+def test_insert_and_scan(engine):
+    _students(engine)
+    df = engine.table("students")
+    assert df.count() == 6
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "course": "string"}
+
+
+def test_insert_partial_columns_null_fill(engine):
+    # Reference: a row may lack declared columns; projection emits NULL
+    # (select.go:588-592).
+    _students(engine)
+    engine.insert_rows("students", [{"name": "sam", "course": "data science"}])
+    row = engine.table("students").filter("name = 'sam'").first()
+    assert row.id is None
+
+
+def test_insert_type_coercion(engine):
+    engine.create_table("m", [("i", "INT"), ("d", "DECIMAL"), ("b", "BOOL")])
+    engine.insert_rows("m", [{"i": "42", "d": "3.5", "b": "true"}])
+    row = engine.table("m").first()
+    assert (row.i, row.d, row.b) == (42, 3.5, True)
+
+
+def test_insert_unknown_column_rejected(engine):
+    _students(engine)
+    with pytest.raises(ValueError):
+        engine.insert_rows("students", [{"nope": 1}])
+
+
+def test_update_with_where(engine):
+    _students(engine)
+    n = engine.update("students", {"course": "Mechanical"}, "course = 'Mech'")
+    assert n == 2
+    df = engine.table("students")
+    assert df.filter("course = 'Mechanical'").count() == 2
+    assert df.filter("course = 'Mech'").count() == 0
+    assert df.count() == 6
+
+
+def test_update_all_rows_no_where(engine):
+    _students(engine)
+    n = engine.update("students", {"course": "X"})
+    assert n == 6
+    assert engine.table("students").filter("course = 'X'").count() == 6
+
+
+def test_update_casts_to_declared_type(engine):
+    # Documented fix over the reference, which stores SET values as raw
+    # strings with no coercion (update.go:57-58).
+    _students(engine)
+    engine.update("students", {"id": "99"}, "name = 'Noel'")
+    row = engine.table("students").filter("name = 'Noel'").first()
+    assert row.id == 99
+
+
+def test_delete_requires_where(engine):
+    _students(engine)
+    with pytest.raises(ValueError):
+        engine.delete("students", None)
+
+
+def test_delete_with_where(engine):
+    _students(engine)
+    n = engine.delete("students", "course = 'Mech'")
+    assert n == 2
+    assert engine.table("students").count() == 4
+
+
+def test_ingest_parquet_native_types(engine, sf_dir):
+    n = engine.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    assert n == 25
+    dtypes = dict(engine.table("nation").dtypes)
+    assert dtypes["n_nationkey"] == "int"  # typed, not TEXT — unlike the reference
+    assert dtypes["n_name"] == "string"
+
+
+def test_ingest_csv_infer_and_all_text(engine, spark, tmp_path):
+    csv = tmp_path / "people.csv"
+    csv.write_text("id,name,score\n1,ann,9.5\n2,bob,7.25\n")
+    engine.ingest_csv(str(csv), "people")
+    assert dict(engine.table("people").dtypes)["id"] == "int"
+    engine.ingest_csv(str(csv), "people_text", all_text=True)
+    # all_text reproduces the reference's every-import-is-TEXT behavior
+    # (importer.go:37-52).
+    assert set(dict(engine.table("people_text").dtypes).values()) == {"string"}
+
+
+def test_sql_surface(engine):
+    _students(engine)
+    out = engine.sql(
+        "SELECT course, count(*) AS count FROM students GROUP BY course ORDER BY course"
+    ).collect()
+    assert [r.course for r in out] == ["AI/ML", "CS", "Data Science", "EE", "Mech"]
+    assert out[-1]["count"] == 2
+
+
+def test_catalog_persistence(spark, tmp_path):
+    root = str(tmp_path / "db")
+    e1 = Engine(spark, root)
+    e1.create_table("t", [("a", "INT")])
+    e1.insert_rows("t", [{"a": 1}, {"a": 2}])
+    e2 = Engine(spark, root)  # fresh instance, same root
+    assert e2.show_tables() == ["t"]
+    assert e2.table("t").count() == 2
+
+
+def test_image_resolution(engine, tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    (img_dir / "cat_photo.png").write_bytes(b"\x89PNG fake")
+    engine.image_dir = str(img_dir)
+    engine.create_table("photos", [("id", "INT"), ("img", "IMAGE")])
+    engine.insert_rows("photos", [{"id": 1, "img": "cat_photo"}, {"id": 2, "img": "cat"}])
+    rows = {r.id: r.img for r in engine.table("photos").collect()}
+    assert rows[1] == str(img_dir / "cat_photo.png")  # exact stem + ext probe
+    assert rows[2] == str(img_dir / "cat_photo.png")  # substring match
