@@ -6,7 +6,7 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The actual inventory lives in
-``custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workload``
+``custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads``
 (one registered pair per operator in SURVEY.md §2); this module is the thin
 driver-facing adapter.
 """
@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (  # noqa: E402
-    workload,
+    workloads as workload,
 )
 
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
     get_spark,
-    workload,
+    workloads as workload,
 )
 
 BENCH_QUERIES = [

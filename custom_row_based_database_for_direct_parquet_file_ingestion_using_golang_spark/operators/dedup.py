@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, from exact to fuzzy, all expressed as DataFrame plans that
+shuffle on content-derived keys (never collect to the driver):
+
+  exact_dedup          hash-groupBy on content key; keep min-id row
+  jaccard_pairs        exact n-gram-shingle Jaccard via shingle-inverted-
+                       index self-join (the quadratic term only hits docs
+                       sharing a shingle; optional document-frequency cap
+                       drops stop-shingles that would create hot keys)
+  minhash_lsh_pairs    MinHash signatures + banded LSH bucketing → candidate
+                       pairs → exact-Jaccard verification (the 100 TB path:
+                       cost is O(docs × num_perm) + bucket-local joins)
+  simhash_pairs        64-bit SimHash + pigeonhole chunk blocking →
+                       Hamming-distance filter via xor/bit_count
+
+MinHash/SimHash internals use Spark's xxhash64 — engine-specific hashes, so
+those two register rows-only correctness checks; the exact tiers have full
+SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import normalize_text, shingles, tokenize
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key group: the one with the smallest id.
+    One shuffle on the content key; map-side partial aggregation applies."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Per duplicate group: keeper id, copy count (groups of 1 excluded)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("copies"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, shingle) inverted index + per-doc shingle counts."""
+    docs = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    sizes = docs.select("doc", F.size("sh").alias("sz"))
+    index = docs.select("doc", F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        # Drop stop-shingles: a shingle appearing in k docs contributes k²
+        # candidate pairs — the classic skew bomb at corpus scale.
+        rare = (
+            index.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        index = index.join(rare, "s", "left_semi")
+    return index, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard for every pair sharing ≥1 shingle.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The self-join runs on
+    the shingle inverted index, so disjoint documents never meet.
+    """
+    index, sizes = _shingle_index(df, id_col, text_col, n, max_doc_freq)
+    a = index.select(F.col("doc").alias("id_a"), "s")
+    b = index.select(F.col("doc").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of ``num_perm`` hash families,
+    the min xxhash64(perm_index, shingle) over the doc's shingle set.
+    Computed with one explode + one groupBy — no per-row Python."""
+    docs = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    exploded = docs.select("doc", F.explode("sh").alias("s"))
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    hashed = exploded.select("doc", perms, "s").select(
+        "doc", "perm", F.xxhash64("perm", "s").alias("h")
+    )
+    return (
+        hashed.groupBy("doc", "perm")
+        .agg(F.min("h").alias("minh"))
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "minh"))).alias("sig_kv"))
+        .select("doc", F.col("sig_kv.minh").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified.
+
+    Banding: ``bands`` bands of ``num_perm/bands`` rows; docs colliding in
+    any band become candidates (collision prob ≈ 1-(1-j^r)^b). Candidates
+    are then verified with exact shingle Jaccard, so precision is exact and
+    only recall depends on the signature — the standard corpus-scale design.
+    Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n=n)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of token-hash
+    bits (+1/-1). Expressed as explode(token)×explode(bit) + groupBy —
+    shuffles once on (doc, bit), once on doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(normalize_text(text_col))).alias("t")
+    )
+    hashed = toks.select("doc", F.xxhash64("t").alias("h"))
+    bits = hashed.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+        ).alias("bit", "sign"),
+    )
+    return (
+        bits.groupBy("doc", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking by pigeonhole: split the 64-bit hash into ``max_hamming + 1``
+    chunks — any pair within the Hamming budget must agree exactly on at
+    least one chunk, so an equi-join per chunk finds all candidates without
+    a cross product. Exact xor/bit_count filter applies after.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash(df, id_col, text_col)
+    blocked = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.key")
+    return (
+        blocked.alias("x")
+        .join(blocked.alias("y"), ["chunk", "key"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` Column algebra —
+JVM-side, whole-stage-codegen'd, no Python UDFs — so a 100 TB documents
+table processes at scan speed. Each operator has an exact ANSI-SQL mirror
+(used by the DuckDB oracle in the workload) because the semantics are
+defined as deterministic expressions, not library calls.
+
+Operators:
+  tokenize / token_count    whitespace tokens (empty text → 0)
+  word_token_count          BPE-ish regex tokens (\\w+ | single non-space punct)
+  quality_score             length, punctuation ratio, stopword ratio, etc.
+  lang_guess                tiny stopword-marker language heuristic
+  fingerprint               md5 over whitespace/case-normalized text
+  shingles                  word n-gram shingle set (dedup building block)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS = r"\s+"
+WORDISH = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+# Tiny per-language marker lexicons for the heuristic language-ID. Rule-based
+# and deterministic on purpose: the same CASE/score chain is expressible in
+# the SQL oracle, and at scale it runs inside codegen. (A real pipeline would
+# swap in fastText/CLD3 behind the same column contract.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with", "is"],
+    "es": ["el", "la", "los", "que", "con"],
+    "fr": ["le", "les", "des", "est", "avec"],
+    "de": ["der", "die", "und", "ist", "mit"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "on"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens; empty/blank text → empty array."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, WS)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def word_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: word runs + individual punctuation marks —
+    the standard cheap proxy for LLM token counts."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(WORDISH), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    nonspace = F.regexp_replace(t, WS, "")
+    punct = F.regexp_replace(nonspace, r"[a-zA-Z0-9_]", "")
+    return F.when(F.length(nonspace) == 0, F.lit(0.0)).otherwise(
+        F.length(punct) / F.length(nonspace)
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokenize(F.lower(_c(text)))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_stop / F.size(toks))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    toks = tokenize(_c(text))
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length documents with
+    low punctuation density, a natural stopword rate, and word lengths in
+    the human range. Deliberately simple (length/punct/stopword features à
+    la Gopher/C4 quality rules) and fully SQL-mirrorable."""
+    t = _c(text)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4)
+    stop = stopword_ratio(t)
+    stop_score = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    mwl = mean_word_len(t)
+    word_score = F.when(mwl.between(2.0, 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        len_score * 0.4 + punct_score * 0.2 + stop_score * 0.2 + word_score * 0.2, 4
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Argmax of per-language marker-token hit counts; 'und' when all zero.
+    Ties break by language code order (deterministic)."""
+    toks = tokenize(F.lower(_c(text)))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+        scores.append((lang, score))
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # Build reversed so earlier languages win ties via later WHEN precedence.
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase, strip non-word/non-space chars, collapse whitespace —
+    the canonical form used for fingerprints and exact dedup."""
+    t = F.lower(_c(text))
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.trim(F.regexp_replace(t, WS, " "))
+    return t
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 rather than xxhash so the DuckDB oracle computes the identical
+    value; swap for xxhash64 where cross-engine parity isn't needed.)"""
+    return F.md5(F.encode(normalize_text(text), "UTF-8"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text. Documents with
+    fewer than n words get their whole text as the single shingle."""
+    toks = F.split(normalize_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )

@@ -1,50 +1,15 @@
-"""Driver-facing workload: the query inventory for correctness + bench.
+"""Core workload: the reference's own operator surface (SURVEY.md §2.1-2.6).
 
-Each entry pairs a Spark DataFrame query (callable ``(spark, sf_dir) ->
-DataFrame``) with an equivalent ANSI-SQL oracle string run by DuckDB on the
-same Parquet files. Column names are aliased identically on both sides (the
-driver's comparator sorts columns by name before value-hashing). Floating
-aggregates are rounded to 2 decimals on both sides so sum-order
-nondeterminism cannot flip the hash.
-
-The inventory tracks SURVEY.md §2 line-by-line: every reference operator
-(scan, projection/alias, WHERE expression forms E1-E9, aggregates A1-A11,
-HAVING, ORDER/LIMIT/OFFSET, DISTINCT) plus the beyond-reference tier (joins,
-windows, set ops, dedup, similarity, text analysis) as it lands.
+Each entry pairs a Spark DataFrame query with a DuckDB oracle; see
+``registry.py`` for the pairing conventions (identical aliases, 2-decimal
+rounding of float aggregates).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a workload entry (decorator)."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def r2(c, alias: str):
-    """round(x, 2) with an alias — applied identically in the oracle SQL."""
-    return F.round(c, 2).alias(alias)
-
+from .registry import load, query, r2
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1 shape — exactly the reference's operator set in one
@@ -267,7 +232,7 @@ def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_group_implicit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.query import Query
+    from ..operators.query import Query
 
     return (
         Query(load(spark, sf_dir, "customer"))

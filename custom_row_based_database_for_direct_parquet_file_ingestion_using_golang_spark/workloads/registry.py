@@ -1,0 +1,53 @@
+"""Shared registry for the driver-facing workload.
+
+Each entry pairs a Spark DataFrame query (``(spark, sf_dir) -> DataFrame``)
+with an equivalent DuckDB-runnable ANSI-SQL oracle. Column names are aliased
+identically on both sides (the driver's comparator sorts columns by name
+before value-hashing); float aggregates are rounded to 2 decimals on both
+sides so sum-order nondeterminism cannot flip the hash. Queries without an
+SQL-expressible oracle register with ``oracle=None`` → the driver records a
+weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros —
+        # exactly what DuckDB does implicitly, so oracle semantics align.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # Integer division — float division of ns-epoch values exceeds
+        # double precision (≈256 ns gaps at 2024 epochs).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a workload entry (decorator)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate workload query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def r2(c, alias: str):
+    """round(x, 2) with an alias — applied identically in the oracle SQL."""
+    return F.round(c, 2).alias(alias)

@@ -1,0 +1,458 @@
+"""Relational beyond-reference tier: joins, windows, set ops, subqueries.
+
+The reference has none of these (SURVEY.md §2.8 — single-table FROM only,
+pkg/handlers/select.go:49-54); they're table stakes for an analytics engine,
+expressed as plain Catalyst plans. Scale notes inline per query: small
+dimensions are broadcast explicitly, window tie-breaks are unique so results
+are deterministic under any partitioning, and the custom as-of/range joins
+shuffle exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.joins import asof_join, range_join
+from .registry import load, query, r2
+
+
+# --- equi joins ------------------------------------------------------------
+
+
+@query(
+    "join_revenue_per_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dim tables broadcast: nation is tiny (25 rows) and customer is the
+    # smaller fact side — at 100 TB orders the broadcast of nation is free
+    # and customer⋈orders shuffles on the join key once.
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("orders"), r2(F.sum("o_totalprice"), "revenue"))
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate"))
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .select("orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    # region⋈nation⋈supplier is a tiny dim chain — broadcast it into the
+    # lineitem scan; the only big shuffle is lineitem⋈orders⋈customer.
+    dim = (
+        F.broadcast(region)
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(supplier, supplier.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        lineitem.join(F.broadcast(dim), lineitem.l_suppkey == dim.s_suppkey)
+        .join(orders, orders.o_orderkey == lineitem.l_orderkey)
+        .join(
+            customer,
+            (customer.c_custkey == orders.o_custkey)
+            & (customer.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@query(
+    "join_semi_exists",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "join_anti_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_suppliers_per_nation",
+    """
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers
+    FROM nation n
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000
+    GROUP BY n.n_name ORDER BY nation
+    """,
+)
+def join_outer_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("suppliers"))
+        .orderBy("nation")
+    )
+
+
+# --- window functions ------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS total, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY priority, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-K per group: the canonical scalable pattern — one shuffle on the
+    # partition key, per-partition sort, early row_number cutoff
+    # (Catalyst plans a WindowGroupLimit before the full sort at K<<n).
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            r2(F.col("o_totalprice"), "total"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("priority", "rn")
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        r2(F.sum("o_totalprice").over(w), "running_total"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_vs_prev
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        r2(F.col("o_totalprice") - F.lag("o_totalprice").over(w), "delta_vs_prev"),
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@query(
+    "setop_union_intersect_except",
+    """
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
+         big  AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                  WHERE o_totalprice > 450000)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM rich UNION SELECT * FROM big)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT * FROM rich INTERSECT SELECT * FROM big)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM big)
+    ORDER BY op
+    """,
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    big = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", rich.union(big).distinct())
+        .unionByName(one("intersect", rich.intersect(big)))
+        .unionByName(one("except", rich.distinct().subtract(big)))
+        .orderBy("op")
+    )
+
+
+# --- subqueries ------------------------------------------------------------
+
+
+@query(
+    "subquery_above_avg",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_sq")
+    # Scalar subquery through the SQL surface — Catalyst plans the inner
+    # aggregate once and broadcasts the scalar.
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM __orders_sq
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM __orders_sq)
+        """
+    )
+
+
+# --- grouping sets ---------------------------------------------------------
+
+
+@query(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice"), "total"))
+        .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("priority")
+    )
+
+
+# --- as-of / range joins (custom operators, operators/joins.py) ------------
+
+
+@query(
+    "asof_click_to_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id,
+             round(max_by(value, event_id), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            r2(F.max_by("value", "event_id"), "purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "purchase_value"],
+    ).select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
+@query(
+    "range_join_follow_events",
+    """
+    SELECT a.event_type AS first_type, b.event_type AS next_type, count(*) AS pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '300 seconds'
+    WHERE a.event_type = 'view'
+    GROUP BY a.event_type, b.event_type
+    ORDER BY next_type
+    """,
+)
+def range_join_follow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_type"
+    )
+    all_ev = events.select("user_id", "ts", "event_type")
+    joined = range_join(
+        views, all_ev, on="user_id", left_ts="ts", right_ts="ts", window_seconds=300
+    )
+    return (
+        joined.groupBy(
+            F.col("event_type").alias("first_type"),
+            F.col("r_event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("next_type")
+    )

@@ -1,0 +1,321 @@
+"""LLM-data-pipeline tier: text analysis, dedup, similarity, multimodal.
+
+These are the operators a 100 TB training-data pipeline needs (build
+contract "beyond the reference" tier). SQL oracles are generated from the
+SAME constants as the Spark operators (stopword lists, marker lexicons,
+score weights) so the two sides cannot drift. MinHash/SimHash/LSH entries
+use engine-specific hash functions and register rows-only (no oracle) —
+their exactness is covered by pytest against brute-force equivalents
+instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, multimodal, similarity
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    WORDISH,
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    token_count,
+    word_token_count,
+)
+from .registry import load, query, r2
+
+# Shared SQL fragments, kept in lockstep with operators/text.py.
+_SQL_TOKS = r"""CASE WHEN length(trim({t})) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim({t}), '\s+') END"""
+_SQL_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+_SQL_NONSPACE = r"regexp_replace({t}, '\s+', '', 'g')"
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS.format(t='text')}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{WORDISH}')) AS INT) AS n_word_tokens,
+           round(CASE WHEN length({_SQL_NONSPACE.format(t='text')}) = 0 THEN 0.0
+                 ELSE length(regexp_replace({_SQL_NONSPACE.format(t='text')},
+                                            '[a-zA-Z0-9_]', '', 'g'))
+                      / length({_SQL_NONSPACE.format(t='text')}) END, 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        word_token_count("text").cast("int").alias("n_word_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+def _sql_quality(t: str) -> str:
+    toks = _SQL_TOKS.format(t=t)
+    low_toks = _SQL_TOKS.format(t=f"lower({t})")
+    nonspace = _SQL_NONSPACE.format(t=t)
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({toks}) AS DOUBLE) AS n_tok,
+             CASE WHEN length({nonspace}) = 0 THEN 0.0
+                  ELSE length(regexp_replace({nonspace}, '[a-zA-Z0-9_]', '', 'g'))
+                       / length({nonspace}) END AS pr,
+             CASE WHEN len({low_toks}) = 0 THEN 0.0
+                  ELSE len(list_filter({low_toks},
+                           t -> list_contains({_sql_list(STOPWORDS)}, t)))
+                       / len({low_toks}) END AS sr,
+             CASE WHEN len({toks}) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+                       / len({toks}) END AS mwl
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_tok / 20.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - pr * 4) * 0.2
+                 + (CASE WHEN sr BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+                 4) AS quality
+    FROM q
+    """
+
+
+@query("text_quality_scores", _sql_quality("text"))
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _sql_lang() -> str:
+    langs = sorted(LANG_MARKERS)
+    toks = _SQL_TOKS.format(t="lower(text)")
+    scores = ",\n             ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(LANG_MARKERS[l])}, t))) AS s_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = "\n               ".join(
+        f"WHEN s_{l} = {best} AND s_{l} > 0 THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id,
+             {scores}
+          FROM t)
+    SELECT guess, count(*) AS n FROM (
+      SELECT CASE {whens}
+             ELSE 'und' END AS guess
+      FROM s
+    ) GROUP BY guess ORDER BY guess
+    """
+
+
+@query("text_lang_breakdown", _sql_lang())
+def text_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_guess("text").alias("guess"))
+        .groupBy("guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("guess")
+    )
+
+
+@query(
+    "text_fingerprints",
+    f"SELECT doc_id, md5({_SQL_NORM.format(t='text')}) AS fp FROM documents WHERE doc_id < 50",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --- deduplication ---------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT l_partkey, l_suppkey, min(l_orderkey) AS keeper_id, count(*) AS copies
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return dedup.duplicate_groups(li, ["l_partkey", "l_suppkey"], "l_orderkey").select(
+        "l_partkey", "l_suppkey", "keeper_id", "copies"
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    f"""
+    SELECT count(*) AS survivors FROM (
+      SELECT min(doc_id) FROM (
+        SELECT doc_id, {_SQL_NORM.format(t='text')} AS norm FROM documents
+      ) GROUP BY norm
+    )
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.text import normalize_text
+
+    normed = docs.select("doc_id", normalize_text("text").alias("norm"))
+    survivors = dedup.exact_dedup(normed, ["norm"], "doc_id")
+    return survivors.agg(F.count(F.lit(1)).alias("survivors"))
+
+
+@query(
+    "dedup_word_jaccard_top20",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct(string_split({_SQL_NORM.format(t='text')}, ' ')) AS ws
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(ws) AS sz FROM d)
+    SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dedup_word_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n=1 shingles ≡ word-set Jaccard: the SQL-mirrorable tier of n-gram
+    # dedup (3-gram shingle + MinHash variants are pytest-verified instead).
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=1)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def _planted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mutated copies (one appended token, ids offset by 10⁶) —
+    gives the hash-based detectors a known near-dup population to find."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" planted near duplicate tail")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_neardups(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _planted_neardups(spark, sf_dir)
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cast float32 → float64 once so cosine accumulates in double on both
+    # engines (DuckDB oracle casts to DOUBLE[] identically).
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+@query(
+    "ann_brute_force_top10",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_brute_force_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10)
+
+
+@query(
+    "similar_pairs_top15",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY score DESC, id_a, id_b LIMIT 15
+    """,
+)
+def similar_pairs_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.all_pairs_topk(emb, "vec_id", "embedding", k=15)
+
+
+@query("ann_lsh_top10")  # rows-only: LSH bucketing is approximate by design
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.lsh_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) // 7) % 480 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 3 AS INT) AS channels,
+           CAST(octet_length(encode(text)) * 2654435761 % 4294967296 AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary plumbing end-to-end: lift text bytes into the canonical media
+    # schema, then Arrow-batched mapInPandas feature extraction (fake
+    # decode — deterministic stand-in; see operators/multimodal.py).
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = multimodal.wrap_binary(docs, "doc_id", "payload", "image")
+    return multimodal.extract_image_features(media, fake=True)

@@ -11,7 +11,7 @@ import duckdb
 import pytest
 
 from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
-    workload,
+    workloads as workload,
 )
 
 TABLES = [
