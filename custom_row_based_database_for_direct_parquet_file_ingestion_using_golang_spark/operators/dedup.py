@@ -182,24 +182,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"), F.explode(tokenize(normalize_text(text_col))).alias("t")
     )
     hashed = toks.select("doc", F.xxhash64("t").alias("h"))
+    # Shift amounts must be Python ints for shiftright/shiftleft, so the
+    # 64-bit loop unrolls at plan-build time — 64 literal expressions, all
+    # inside one codegen stage; the per-(doc,bit) partial sums combine
+    # map-side before the single shuffle on doc.
     bits = hashed.select(
         "doc",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1),
+            F.array(
+                *[
+                    (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(64)
+                ]
             )
         ).alias("bit", "sign"),
     )
+    per_bit = bits.groupBy("doc", "bit").agg(F.sum("sign").alias("s"))
+    # Bit 63's weight is the sign bit: -(2^63) in two's complement, so the
+    # packed value is an ordinary signed long (1 << 63 would overflow).
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
     return (
-        bits.groupBy("doc", "bit")
-        .agg(F.sum("sign").alias("s"))
-        .groupBy("doc")
+        per_bit.groupBy("doc")
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
-                    F.lit(0).cast("long")
-                )
+                F.when(
+                    F.col("s") > 0, F.element_at(weights, F.col("bit").cast("int") + 1)
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
     )
@@ -222,14 +233,16 @@ def simhash_pairs(
         "doc",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
             )
         ).alias("ck"),
     ).select("doc", "simhash", "ck.chunk", "ck.key")

@@ -1,0 +1,124 @@
+"""Structured Streaming tier over the ``events`` table.
+
+The reference has no streaming of any kind (SURVEY.md §2.8); this tier is
+the beyond-reference design: event-time processing with watermarks, window
+aggregations (tumbling / sliding / session), and stateful dedup — the
+standard Spark patterns that run identically against Kafka/file streams on a
+cluster.
+
+For tests and the driver's bounded-input checks, a parquet file drives the
+stream: ``read_events_stream`` + ``run_to_memory`` (memory sink +
+``processAllAvailable``) executes the streaming query to completion
+synchronously and returns the materialized result — the documented local
+pattern for exercising streaming semantics on bounded data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the parquet
+# reader only accepts as long (see workloads/registry.load); the stream
+# declares it long and converts to micros immediately.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory; point it at the sf dir
+    # with a glob filter selecting just the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type, watermarked 10 minutes —
+    late rows beyond the watermark would be dropped on a live stream."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("ws"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_value_sum(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("window.start").alias("ws"), "n", "total")
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+        .select(F.col("window.start").alias("ws"), "n", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user sessionization: a session extends while consecutive events
+    arrive within ``gap``. State is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming dedup: first occurrence per key wins; state for a key is
+    dropped once the watermark passes it (bounded memory on infinite
+    streams) — dropDuplicatesWithinWatermark."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    sdf: DataFrame, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a (bounded) streaming DataFrame to completion via a memory
+    sink; returns the materialized batch DataFrame."""
+    name = name or f"stream_{uuid.uuid4().hex[:10]}"
+    q = sdf.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = sdf.sparkSession
+    return spark.table(name)

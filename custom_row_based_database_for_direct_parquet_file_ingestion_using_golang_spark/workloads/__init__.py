@@ -11,3 +11,4 @@ from .registry import QUERIES, ORACLES, load, query, r2  # noqa: F401
 from . import core  # noqa: F401, E402
 from . import relational  # noqa: F401, E402
 from . import scale  # noqa: F401, E402
+from . import streaming  # noqa: F401, E402

@@ -1,0 +1,106 @@
+"""Streaming workload entries: bounded event streams run to completion.
+
+Each entry drives a real Structured Streaming query (watermark + windowed /
+stateful op) over the events table via a memory sink, then returns the
+materialized result — so the driver's batch comparator can still check it.
+Oracles mirror the *event-time semantics* in plain SQL (time_bucket for
+tumbling/sliding alignment, lag-gap cumsum for sessionization), which is
+exactly what the streaming engine must converge to on bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.ops import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_value_sum,
+    tumbling_counts,
+)
+from .registry import query
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY ws, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(tumbling_counts(events, "1 hour"), mode="complete")
+
+
+@query(
+    "stream_sliding_window",
+    """
+    SELECT ws, count(*) AS n, round(sum(value), 2) AS total
+    FROM (
+      SELECT ts, value,
+             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' * k AS ws
+      FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1h windows sliding every 30min: every event lands in exactly 2 windows
+    # — the UNNEST([0,1]) in the oracle enumerates the same membership.
+    # Compared metric is SUM (exact at 2 decimals for 2-decimal inputs);
+    # AVG of small windows sits on half-cent rounding knife-edges where
+    # Spark's BigDecimal HALF_UP and DuckDB's scaled rounding legitimately
+    # differ — see sliding_value_avg for the avg variant (pytest-covered).
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(sliding_value_sum(events, "1 hour", "30 minutes"), mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS total
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark session windows are [start, last_event + gap); an event exactly
+    # at the previous event's ts+gap starts a NEW session — hence `>=` in
+    # the oracle's gap test.
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(session_windows(events, "5 minutes"), mode="complete")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    "SELECT count(*) AS unique_keys FROM (SELECT DISTINCT user_id, event_type FROM events)",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming dedup emits one (arbitrary) row per key, so the
+    # deterministic check is the surviving key count (batch agg on top of
+    # the streaming result).
+    events = read_events_stream(spark, sf_dir)
+    survivors = run_to_memory(
+        dedup_within_watermark(events, ["user_id", "event_type"]), mode="append"
+    )
+    return survivors.agg(F.count(F.lit(1)).alias("unique_keys"))

@@ -1,0 +1,228 @@
+"""Operator-level tests: dedup (exact + fuzzy vs brute force), similarity,
+text analysis, multimodal plumbing, as-of/range joins on hand-built frames."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "spark engines process completely different content"),  # shares words w/ 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _brute_jaccard(a: str, b: str, n: int) -> float:
+    def sh(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_keeps_min_id(docs_df):
+    out = dedup.exact_dedup(docs_df, ["text"], "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 2, 3, 5]  # doc 4 (dup of 1) dropped, keeper is min id
+
+
+def test_duplicate_groups(docs_df):
+    groups = dedup.duplicate_groups(docs_df, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].keeper_id == 1 and groups[0].copies == 2
+
+
+def test_jaccard_pairs_match_brute_force(docs_df):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs_df, "doc_id", "text", n=3).collect()
+    }
+    texts = dict(DOCS)
+    for (ia, ib), j in got.items():
+        assert j == pytest.approx(_brute_jaccard(texts[ia], texts[ib], 3)), (ia, ib)
+    # every overlapping pair is present
+    for ia, ib in itertools.combinations(texts, 2):
+        if _brute_jaccard(texts[ia], texts[ib], 3) > 0:
+            assert (min(ia, ib), max(ia, ib)) in got
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = dedup.minhash_lsh_pairs(
+        docs_df, "doc_id", "text", n=3, num_perm=64, bands=32, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found  # exact dup: jaccard 1.0, must collide
+    assert (1, 2) in found or (2, 4) in found  # near-dup pair
+    texts = dict(DOCS)
+    for r in pairs:  # verification step guarantees exactness of reported j
+        assert r.jaccard == pytest.approx(
+            _brute_jaccard(texts[r.id_a], texts[r.id_b], 3)
+        )
+
+
+def test_simhash_pairs_exact_dup_zero_hamming(docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs_df, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical text → identical simhash
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0, 1.0], b=[1.0, 0.0, 1.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])]
+    )
+    vals = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert vals[0].c == pytest.approx(1.0)
+    assert vals[1].c == pytest.approx(0.0)
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    top = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=5).collect()
+    assert top[0].vec_id == 7 and top[0].score == pytest.approx(1.0)
+    assert len(top) == 5
+    assert all(top[i].score >= top[i + 1].score for i in range(4))
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = similarity.lsh_topk(df, "vec_id", "embedding", q, dim=16, k=3).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 0  # the query itself (same bucket, score 1)
+    assert 1 in ids  # the planted neighbor survives bucketing
+
+
+def test_token_counts_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "a, b; c!")], ["id", "t"]
+    )
+    out = {
+        r.id: (r.n, r.w)
+        for r in df.select(
+            "id",
+            text.token_count("t").alias("n"),
+            text.word_token_count("t").alias("w"),
+        ).collect()
+    }
+    assert out[1] == (2, 2)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (3, 6)  # 'a' ',' 'b' ';' 'c' '!'
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and keeps on running fast " * 3
+    bad = "!!! ??? ... ###"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "t"])
+    out = {r.id: r.q for r in df.select("id", text.quality_score("t").alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "el gato con la casa que"),
+            (3, "der hund ist mit der katze und"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r.g for r in df.select("id", text.lang_guess("t").alias("g")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "und"
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["id", "t"])
+    out = {r.id: sorted(r.s) for r in df.select("id", text.shingles("t", 3).alias("s")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["a b"]  # shorter than n → whole text
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")], ["id", "t"]
+    )
+    out = {r.id: r.fp for r in df.select("id", text.fingerprint("t").alias("fp")).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_features_and_stub(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b"x" * 100)], ["id", "payload"])
+    media = multimodal.wrap_binary(df, "id", "payload", "image")
+    row = media.filter(F.col("media_id") == 2).first()
+    assert row.meta.n_bytes == 100 and row.kind == "image"
+    feats = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    ref = multimodal.decode_image(b"x" * 100, fake=True)
+    assert feats[2].width == ref["width"] and feats[2].height == ref["height"]
+    assert feats[1].n_bytes == 3
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc", fake=False)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "l1"), (1, 25.0, "l2"), (2, 5.0, "l3")], ["k", "ts", "lv"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(1, 9.0, "r1"), (1, 20.0, "r2"), (2, 6.0, "r3")], ["k", "ts", "rv"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "rv")
+    out = {
+        r.lv: r.rv
+        for r in joins.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["rv"]
+        ).collect()
+    }
+    assert out == {"l1": "r1", "l2": "r2", "l3": None}  # l3: no right row ≤ 5.0
+
+
+def test_range_join_window(spark):
+    left = spark.createDataFrame([(1, 100.0, "a")], ["k", "ts", "lv"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "lv"
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, "same"), (1, 150.0, "in"), (1, 400.0, "in2"), (1, 401.0, "out"), (2, 150.0, "wrongkey")],
+        ["k", "ts", "rv"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "rv")
+    out = sorted(
+        r.r_rv
+        for r in joins.range_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", window_seconds=300
+        ).collect()
+    )
+    assert out == ["in", "in2"]  # strict lower bound excludes ts==100, upper 400 in, 401 out
