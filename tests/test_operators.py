@@ -226,3 +226,14 @@ def test_range_join_window(spark):
         ).collect()
     )
     assert out == ["in", "in2"]  # strict lower bound excludes ts==100, upper 400 in, 401 out
+
+
+def test_blocked_all_pairs_matches_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    brute = similarity.all_pairs_topk(emb, "vec_id", "embedding", k=10).collect()
+    blocked = similarity.blocked_all_pairs_topk(emb, "vec_id", "embedding", k=10).collect()
+    assert [(r.id_a, r.id_b) for r in brute] == [(r.id_a, r.id_b) for r in blocked]
+    for rb, rk in zip(brute, blocked):
+        assert rb.score == pytest.approx(rk.score, abs=1e-5)
