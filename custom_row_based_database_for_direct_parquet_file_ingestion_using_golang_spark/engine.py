@@ -138,6 +138,15 @@ class Engine:
         self.register_views()
         return self.spark.sql(text)
 
+    def ref_sql(self, text: str, weak_typing: bool = False):
+        """Execute one statement in the reference's exact SQL dialect
+        (plans/refsql.py): drop-in for every query the reference accepts.
+        ``weak_typing=True`` enables the reference's dynamic numeric/string
+        comparison semantics for all-TEXT imported tables."""
+        from .plans.refsql import RefSQL
+
+        return RefSQL(self, weak_typing=weak_typing).execute(text)
+
     # ---- DML (M1-M3) ----------------------------------------------------
 
     def insert_rows(self, name: str, rows: Iterable[dict[str, Any]]) -> int:

@@ -62,7 +62,8 @@ class Query:
     # -- clause setters (each returns self for chaining) -------------------
 
     def select(self, *cols: Column | str) -> "Query":
-        if cols and not (len(cols) == 1 and cols[0] == "*"):
+        star = len(cols) == 1 and isinstance(cols[0], str) and cols[0] == "*"
+        if cols and not star:
             self._projection = list(cols)
         return self
 

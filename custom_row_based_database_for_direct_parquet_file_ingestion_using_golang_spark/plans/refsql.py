@@ -1,0 +1,486 @@
+"""Reference SQL dialect: parser + executor.
+
+A user of the reference drives it with a small SQL subset (reference
+``pkg/parser/parser.go`` tokenizer + clause indexing in
+``pkg/handlers/select.go:24-135`` and the WHERE expression language of
+``pkg/expr/expr.go``). This module accepts that exact dialect — so every
+query runnable against the reference runs here unchanged — and compiles it
+to DataFrame plans (Catalyst executes; nothing is interpreted row-by-row).
+
+Written from scratch: a tokenizer, a recursive-descent predicate parser with
+the reference's precedence (OR < AND < NOT < comparison,
+``expr.go:411-518``), and clause assembly onto the Query builder.
+
+Reference semantics preserved:
+  * restricted LIKE shapes (%x%, %x, x% — no '_', no interior %)
+  * IN / BETWEEN (inclusive) / NOT / parenthesized sub-expressions
+  * bare-operand truthiness (``WHERE active`` ⇒ active = true)
+  * default aggregate output names: count, count_c, sum_c, avg_c, min_c,
+    max_c (``select.go:103-121``), overridable with AS
+  * implicit COUNT(*) for agg-free GROUP BY ("lenient", select.go:187-192)
+  * case-insensitive keywords, backtick/quote-stripped identifiers
+  * optional weak typing (``weak_typing=True``): dual numeric/string
+    comparison for all-TEXT imported tables (``expr.go:90-156``)
+
+Documented upgrades (SURVEY.md §7.4): LIMIT/OFFSET apply on every path,
+UPDATE/DELETE accept the full predicate language, multi-column GROUP BY,
+multi-assignment SET.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.compat import dual_compare, ref_like, truthy
+from ..operators.query import Query, agg_spec
+
+_TOKEN_RE = re.compile(
+    r"""
+    '(?:[^'\\]|\\.)*'      # single-quoted string
+  | "(?:[^"\\]|\\.)*"      # double-quoted string
+  | `[^`]*`                # backtick identifier
+  | <> | != | <= | >=      # two-char operators
+  | [(),=<>*;]             # single-char punctuation
+  | [^\s(),=<>;]+          # bare word (identifier, number, keyword)
+    """,
+    re.VERBOSE,
+)
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max"}
+KEYWORDS_STOP = {
+    "from", "where", "group", "having", "order", "limit", "offset", "by",
+    "and", "or", "not", "in", "between", "like", "as", "desc", "asc",
+}
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
+
+
+def _is_string_lit(tok: str) -> bool:
+    return len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]
+
+
+def _unquote(tok: str) -> str:
+    if _is_string_lit(tok):
+        return tok[1:-1]
+    return tok.strip("`")
+
+
+def _literal_value(tok: str) -> Any:
+    """Reference literal typing (expr.go:538-549): quoted → string,
+    numeric-parsable → number, else it's a column reference (None here)."""
+    if _is_string_lit(tok):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+class ParseError(ValueError):
+    pass
+
+
+@dataclass
+class _Cursor:
+    toks: list[str]
+    i: int = 0
+
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def peek_kw(self, ahead: int = 0) -> str | None:
+        t = self.peek(ahead)
+        return t.lower() if t is not None else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ParseError("unexpected end of input")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str) -> None:
+        t = self.next()
+        if t.lower() != kw:
+            raise ParseError(f"expected {kw.upper()}, got {t!r}")
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+class ExprParser:
+    """WHERE/HAVING predicate → Spark Column (precedence per expr.go)."""
+
+    COMPARATORS = ("=", "!=", "<>", "<=", ">=", "<", ">")
+
+    def __init__(self, cur: _Cursor, weak_typing: bool = False):
+        self.cur = cur
+        self.weak = weak_typing
+
+    def parse(self) -> Column:
+        return self._or()
+
+    def _or(self) -> Column:
+        left = self._and()
+        while self.cur.peek_kw() == "or":
+            self.cur.next()
+            left = left | self._and()
+        return left
+
+    def _and(self) -> Column:
+        left = self._not()
+        while self.cur.peek_kw() == "and":
+            self.cur.next()
+            left = left & self._not()
+        return left
+
+    def _not(self) -> Column:
+        if self.cur.peek_kw() == "not":
+            self.cur.next()
+            return ~self._not()
+        return self._predicate()
+
+    def _operand(self) -> tuple[Column | None, Any, str | None]:
+        """Returns (column_expr, literal_value, column_name). Exactly one of
+        column_expr / literal_value is meaningful; parenthesized
+        sub-expressions return a boolean column_expr."""
+        t = self.cur.peek()
+        if t == "(":
+            self.cur.next()
+            inner = self._or()
+            if self.cur.next() != ")":
+                raise ParseError("expected ')'")
+            return inner, None, None
+        tok = self.cur.next()
+        lit = _literal_value(tok)
+        if lit is not None:
+            return None, lit, None
+        name = _unquote(tok)
+        return F.col(name), None, name
+
+    def _compare(self, left: Column | None, lname: str | None, op: str) -> Column:
+        rexpr, rlit, _ = self._operand()
+        op = "!=" if op == "<>" else op
+        if self.weak and lname is not None and rexpr is None:
+            return dual_compare(left, op, rlit)
+        right = rexpr if rexpr is not None else F.lit(rlit)
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        return ops[op](left if left is not None else F.lit(None), right)
+
+    def _predicate(self) -> Column:
+        expr, lit, name = self._operand()
+        left = expr if expr is not None else F.lit(lit)
+
+        nxt = self.cur.peek_kw()
+        negate = False
+        if nxt == "not" and self.cur.peek_kw(1) in ("in", "between", "like"):
+            self.cur.next()
+            negate = True
+            nxt = self.cur.peek_kw()
+
+        if nxt in (t.lower() for t in self.COMPARATORS):
+            op = self.cur.next()
+            out = self._compare(left, name, op)
+        elif nxt == "in":
+            self.cur.next()
+            if self.cur.next() != "(":
+                raise ParseError("expected '(' after IN")
+            vals: list[Any] = []
+            while True:
+                tok = self.cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                lit_v = _literal_value(tok)
+                vals.append(lit_v if lit_v is not None else _unquote(tok))
+            out = left.isin(vals)
+        elif nxt == "between":
+            self.cur.next()
+            _, lo, _ = self._operand()
+            self.cur.expect_kw("and")
+            _, hi, _ = self._operand()
+            out = left.between(F.lit(lo), F.lit(hi))
+        elif nxt == "like":
+            self.cur.next()
+            pat = self.cur.next()
+            if not _is_string_lit(pat):
+                raise ParseError("LIKE pattern must be a quoted string")
+            out = ref_like(left, pat[1:-1])
+        else:
+            # Bare operand ⇒ truthiness (expr.go:515-517); parenthesized
+            # boolean sub-expressions pass through unchanged.
+            out = left if expr is not None and name is None else truthy(left)
+        return ~out if negate else out
+
+
+@dataclass
+class SelectSpec:
+    table: str
+    distinct: bool = False
+    projections: list[tuple[str, str | None]] = field(default_factory=list)  # (item, alias)
+    aggregates: list[tuple[str, str, str | None]] = field(default_factory=list)  # (fn, col, alias)
+    star: bool = False
+
+
+def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Query | None, dict]:
+    """Parse SELECT ... and return (spec, clauses) — assembly happens in
+    execute_select where the DataFrame is available."""
+    cur.expect_kw("select")
+    spec = SelectSpec(table="")
+    if cur.peek_kw() == "distinct":
+        cur.next()
+        spec.distinct = True
+
+    # projection list until FROM
+    while cur.peek_kw() != "from":
+        tok = cur.next()
+        if tok == ",":
+            continue
+        low = tok.lower()
+        if tok == "*":
+            spec.star = True
+        elif low in AGG_FUNCS and cur.peek() == "(":
+            cur.next()  # (
+            arg = cur.next()
+            col = "*" if arg == "*" else _unquote(arg)
+            if cur.next() != ")":
+                raise ParseError(f"expected ')' after {low}(")
+            alias = None
+            if cur.peek_kw() == "as":
+                cur.next()
+                alias = _unquote(cur.next())
+            spec.aggregates.append((low, col, alias))
+        else:
+            name = _unquote(tok)
+            alias = None
+            if cur.peek_kw() == "as":
+                cur.next()
+                alias = _unquote(cur.next())
+            spec.projections.append((name, alias))
+    cur.expect_kw("from")
+    spec.table = _unquote(cur.next())
+
+    clauses: dict[str, Any] = {}
+    while not cur.done():
+        kw = cur.peek_kw()
+        if kw == "where":
+            cur.next()
+            clauses["where"] = ExprParser(cur, weak_typing).parse()
+        elif kw == "group":
+            cur.next()
+            cur.expect_kw("by")
+            cols = [_unquote(cur.next())]
+            while cur.peek() == ",":
+                cur.next()
+                cols.append(_unquote(cur.next()))
+            clauses["group_by"] = cols
+        elif kw == "having":
+            cur.next()
+            clauses["having"] = ExprParser(cur, weak_typing).parse()
+        elif kw == "order":
+            cur.next()
+            cur.expect_kw("by")
+            col = _unquote(cur.next())
+            desc = False
+            if cur.peek_kw() in ("asc", "desc"):
+                desc = cur.next().lower() == "desc"
+            clauses["order_by"] = (col, desc)
+        elif kw == "limit":
+            cur.next()
+            clauses["limit"] = int(cur.next())
+        elif kw == "offset":
+            cur.next()
+            clauses["offset"] = int(cur.next())
+        else:
+            raise ParseError(f"unexpected token {cur.peek()!r}")
+    return spec, None, clauses
+
+
+def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
+    q = Query(df)
+    if "where" in clauses:
+        q.where(clauses["where"])
+    group = clauses.get("group_by", [])
+    if group:
+        q.group_by(*group)
+    if spec.aggregates:
+        q.agg(*[agg_spec(fn, col, alias) for fn, col, alias in spec.aggregates])
+    if "having" in clauses:
+        q.having(clauses["having"])
+    if "order_by" in clauses:
+        col, desc = clauses["order_by"]
+        q.order_by(col, desc=desc)
+    if "offset" in clauses:
+        q.offset(clauses["offset"])
+    if "limit" in clauses:
+        q.limit(clauses["limit"])
+    if spec.distinct:
+        q.distinct()
+    if not spec.star and (spec.projections or spec.aggregates):
+        cols: list[Column | str] = []
+        for name, alias in spec.projections:
+            # Missing-column-tolerant projection (P3, select.go:588-592):
+            # unknown columns project as NULL instead of erroring.
+            base = (
+                F.col(name)
+                if name in df.columns or (group and name in group)
+                else F.lit(None).alias(name)
+            )
+            cols.append(base.alias(alias) if alias else base)
+        for fn, col, alias in spec.aggregates:
+            cols.append(F.col(alias or (f"{fn}_{col}" if col != "*" else "count")))
+        if group and not spec.aggregates:
+            # Lenient GROUP BY: surface the implicit COUNT(*) column
+            # (select_negative_test.go:34-68 asserts it appears).
+            cols.append(F.col("count"))
+        q.select(*cols)
+    return q.df()
+
+
+class RefSQL:
+    """Executor binding the dialect to an Engine (DDL/DML) or any table
+    resolver (SELECT)."""
+
+    def __init__(self, engine, weak_typing: bool = False):
+        self.engine = engine
+        self.weak = weak_typing
+
+    def execute(self, sql: str):
+        """Run one statement. SELECT returns a DataFrame; DML returns an
+        affected-row count; DDL returns None (SHOW TABLES returns a list)."""
+        toks = tokenize(sql)
+        if not toks:
+            raise ParseError("empty statement")
+        verb = toks[0].lower()
+        cur = _Cursor(toks)
+        if verb == "select":
+            spec, _, clauses = parse_select(cur, self.weak)
+            return build_select(self.engine.table(spec.table), spec, clauses)
+        if verb == "insert":
+            return self._insert(cur)
+        if verb == "update":
+            return self._update(cur)
+        if verb == "delete":
+            return self._delete(cur)
+        if verb == "create":
+            return self._create(cur)
+        if verb == "drop":
+            cur.expect_kw("drop")
+            cur.expect_kw("table")
+            self.engine.drop_table(_unquote(cur.next()))
+            return None
+        if verb == "show":
+            return self.engine.show_tables()
+        raise ParseError(f"unsupported statement verb {verb!r}")
+
+    def _insert(self, cur: _Cursor) -> int:
+        cur.expect_kw("insert")
+        cur.expect_kw("into")
+        table = _unquote(cur.next())
+        cols: list[str] | None = None
+        if cur.peek() == "(":
+            cur.next()
+            cols = []
+            while True:
+                tok = cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                cols.append(_unquote(tok))
+        cur.expect_kw("values")
+        rows: list[dict] = []
+        declared = [c.name for c in self.engine.catalog.get(table).columns]
+        while not cur.done():
+            if cur.peek() == ",":
+                cur.next()
+                continue
+            if cur.next() != "(":
+                raise ParseError("expected '(' in VALUES")
+            vals: list[Any] = []
+            while True:
+                tok = cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                lit = _literal_value(tok)
+                vals.append(lit if lit is not None else _unquote(tok))
+            names = cols if cols is not None else declared
+            if len(vals) != len(names):
+                raise ParseError(
+                    f"{len(names)} columns but {len(vals)} values"
+                )
+            rows.append(dict(zip(names, vals)))
+        return self.engine.insert_rows(table, rows)
+
+    def _update(self, cur: _Cursor) -> int:
+        cur.expect_kw("update")
+        table = _unquote(cur.next())
+        cur.expect_kw("set")
+        sets: dict[str, Any] = {}
+        while True:
+            col = _unquote(cur.next())
+            if cur.next() != "=":
+                raise ParseError("expected '=' in SET")
+            tok = cur.next()
+            lit = _literal_value(tok)
+            sets[col] = lit if lit is not None else _unquote(tok)
+            if cur.peek() == ",":
+                cur.next()
+                continue
+            break
+        where = None
+        if cur.peek_kw() == "where":
+            cur.next()
+            where = ExprParser(cur, self.weak).parse()
+        return self.engine.update(table, sets, where)
+
+    def _delete(self, cur: _Cursor) -> int:
+        cur.expect_kw("delete")
+        cur.expect_kw("from")
+        table = _unquote(cur.next())
+        if cur.peek_kw() != "where":
+            # Mandatory WHERE — reference safety guard (delete.go:33).
+            raise ParseError("DELETE without WHERE is not allowed for safety")
+        cur.next()
+        where = ExprParser(cur, self.weak).parse()
+        return self.engine.delete(table, where)
+
+    def _create(self, cur: _Cursor) -> None:
+        cur.expect_kw("create")
+        cur.expect_kw("table")
+        table = _unquote(cur.next())
+        if cur.next() != "(":
+            raise ParseError("expected '(' after table name")
+        cols: list[tuple[str, str]] = []
+        while True:
+            tok = cur.next()
+            if tok == ")":
+                break
+            if tok == ",":
+                continue
+            name = _unquote(tok)
+            decl = cur.next().upper()
+            cols.append((name, decl))
+        self.engine.create_table(table, cols)
+        return None

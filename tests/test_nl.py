@@ -1,0 +1,92 @@
+"""NL→SQL heuristic tests (reference X2/X3 rule set, no LLM required)."""
+
+from __future__ import annotations
+
+import pytest
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    Engine,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans import (
+    nl,
+)
+
+TABLES = {
+    "students": ["id", "name", "course"],
+    "orders": ["order_id", "amount", "status"],
+}
+
+
+def test_is_natural_language():
+    assert not nl.is_natural_language("SELECT * FROM students")
+    assert not nl.is_natural_language("  update t set a = 1")
+    assert nl.is_natural_language("how many students are there?")
+    assert nl.is_natural_language("show me everything")
+
+
+def test_match_table_by_name_and_columns():
+    assert nl.match_table("how many students?", TABLES) == "students"
+    assert nl.match_table("show every order", TABLES) == "orders"
+    # column-keyword scoring when no table name is mentioned
+    assert nl.match_table("which course has the best amount?", TABLES) in TABLES
+
+
+def test_count_template():
+    assert nl.nl_to_sql("how many students are there?", TABLES) == "SELECT COUNT(*) FROM students"
+
+
+def test_show_all_template():
+    assert nl.nl_to_sql("show all orders", TABLES) == "SELECT * FROM orders"
+
+
+def test_numeric_where_extraction():
+    sql = nl.nl_to_sql("show orders with amount more than 500", TABLES)
+    assert sql == "SELECT * FROM orders WHERE amount > 500"
+    sql = nl.nl_to_sql("how many orders have amount at least 100?", TABLES)
+    assert sql == "SELECT COUNT(*) FROM orders WHERE amount >= 100"
+    sql = nl.nl_to_sql("orders with amount under 50", TABLES)
+    assert sql == "SELECT * FROM orders WHERE amount < 50"
+
+
+def test_value_sampling_where():
+    samples = {"status": ["OPEN", "CLOSED"], "course": []}
+    sql = nl.nl_to_sql(
+        "show closed orders", TABLES, samples_fn=lambda t: samples
+    )
+    assert sql == "SELECT * FROM orders WHERE status = 'CLOSED'"
+
+
+def test_delete_requires_condition():
+    with pytest.raises(ValueError):
+        nl.nl_to_sql("delete all orders", TABLES)
+    sql = nl.nl_to_sql("delete orders with amount more than 900", TABLES)
+    assert sql == "DELETE FROM orders WHERE amount > 900"
+
+
+def test_no_matching_table():
+    with pytest.raises(ValueError):
+        nl.nl_to_sql("what is the weather like?", TABLES)
+
+
+def test_end_to_end_ask(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.create_table("students", [("id", "INT"), ("name", "TEXT"), ("course", "TEXT")])
+    e.insert_rows(
+        "students",
+        [
+            {"id": 1, "name": "Noel", "course": "Mech"},
+            {"id": 2, "name": "Abel", "course": "AI/ML"},
+            {"id": 6, "name": "Frank", "course": "Mech"},
+        ],
+    )
+    sql, df = nl.ask(e, "how many students are there?")
+    assert sql == "SELECT COUNT(*) FROM students"
+    assert df.first()["count"] == 3
+
+    sql, df = nl.ask(e, "show students with id more than 1")
+    assert df.count() == 2
+
+    # enum-value sampling: 'mech' maps onto course='Mech'
+    sql, df = nl.ask(e, "how many students take Mech?")
+    assert sql == "SELECT COUNT(*) FROM students WHERE course = 'Mech'"
+    assert df.first()["count"] == 2

@@ -1,0 +1,199 @@
+"""Reference-dialect SQL tests, mirroring the reference's own test suite
+(SURVEY.md §5): parser goldens, expression eval, SELECT edge cases, negative
+cases, and the integration scenarios on the students fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    Engine,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+    ParseError,
+    tokenize,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.create_table("students", [("id", "INT"), ("name", "TEXT"), ("course", "TEXT")])
+    e.insert_rows(
+        "students",
+        [
+            {"id": 1, "name": "Noel", "course": "Mech"},
+            {"id": 2, "name": "Abel", "course": "AI/ML"},
+            {"id": 3, "name": "Benedict", "course": "Data Science"},
+            {"id": 4, "name": "Eve", "course": "CS"},
+            {"id": 5, "name": "Dan", "course": "EE"},
+            {"id": 6, "name": "Frank", "course": "Mech"},
+        ],
+    )
+    return e
+
+
+# -- tokenizer (parser_test.go:8-25 analogue) -------------------------------
+
+
+def test_tokenize_golden():
+    toks = tokenize("SELECT name FROM users WHERE name LIKE 'A%';")
+    assert toks == ["SELECT", "name", "FROM", "users", "WHERE", "name", "LIKE", "'A%'"]
+
+
+def test_tokenize_empty_and_punctuation():
+    assert tokenize("   ") == []
+    assert tokenize("(a, b)") == ["(", "a", ",", "b", ")"]
+
+
+# -- SELECT pipeline --------------------------------------------------------
+
+
+def test_select_star(engine):
+    df = engine.ref_sql("SELECT * FROM students")
+    assert df.count() == 6 and df.columns == ["id", "name", "course"]
+
+
+def test_select_projection_alias(engine):
+    df = engine.ref_sql("SELECT name AS student, course FROM students WHERE id <= 2")
+    assert df.columns == ["student", "course"]
+    assert {r.student for r in df.collect()} == {"Noel", "Abel"}
+
+
+def test_where_expression_forms(engine):
+    cases = {
+        "SELECT name FROM students WHERE id > 4": {"Dan", "Frank"},
+        "SELECT name FROM students WHERE course = 'Mech' AND id != 1": {"Frank"},
+        "SELECT name FROM students WHERE id IN (1, 3, 5)": {"Noel", "Benedict", "Dan"},
+        "SELECT name FROM students WHERE id BETWEEN 2 AND 4": {"Abel", "Benedict", "Eve"},
+        "SELECT name FROM students WHERE name LIKE 'A%'": {"Abel"},
+        "SELECT name FROM students WHERE name LIKE '%e%'": {"Noel", "Abel", "Benedict", "Eve"},
+        "SELECT name FROM students WHERE NOT (course = 'Mech' OR course = 'CS')": {
+            "Abel", "Benedict", "Dan",
+        },
+        "SELECT name FROM students WHERE id NOT IN (1, 2, 3, 4, 5)": {"Frank"},
+    }
+    for sql, expected in cases.items():
+        got = {r.name for r in engine.ref_sql(sql).collect()}
+        assert got == expected, sql
+
+
+def test_group_by_count_alias(engine):
+    # select_integration_test.go:18 analogue
+    rows = engine.ref_sql(
+        "SELECT course, COUNT(*) AS cnt FROM students GROUP BY course ORDER BY course"
+    ).collect()
+    assert [(r.course, r.cnt) for r in rows][:2] == [("AI/ML", 1), ("CS", 1)]
+    assert dict((r.course, r.cnt) for r in rows)["Mech"] == 2
+
+
+def test_lenient_group_by_implicit_count(engine):
+    # select_negative_test.go:34-68: agg-free GROUP BY auto-appends count
+    df = engine.ref_sql("SELECT course FROM students GROUP BY course")
+    assert df.columns == ["course", "count"]
+    assert dict((r.course, r["count"]) for r in df.collect())["Mech"] == 2
+
+
+def test_aggregate_default_names(engine):
+    df = engine.ref_sql("SELECT COUNT(*), SUM(id), AVG(id), MIN(id), MAX(id) FROM students")
+    assert df.columns == ["count", "sum_id", "avg_id", "min_id", "max_id"]
+    row = df.first()
+    assert (row["count"], row.sum_id, row.min_id, row.max_id) == (6, 21, 1, 6)
+
+
+def test_having(engine):
+    rows = engine.ref_sql(
+        "SELECT course, COUNT(*) AS c FROM students GROUP BY course HAVING c > 1"
+    ).collect()
+    assert [(r.course, r.c) for r in rows] == [("Mech", 2)]
+
+
+def test_distinct(engine):
+    df = engine.ref_sql("SELECT DISTINCT course FROM students")
+    assert df.count() == 5
+
+
+def test_order_limit_offset(engine):
+    rows = engine.ref_sql(
+        "SELECT name FROM students ORDER BY id DESC LIMIT 2 OFFSET 1"
+    ).collect()
+    # LIMIT applies on the non-grouped path too (reference bug fixed,
+    # SURVEY.md §7.4 / select.go:41-42)
+    assert [r.name for r in rows] == ["Dan", "Eve"]
+
+
+def test_missing_projection_column_is_null(engine):
+    # select_edgecases_test.go:89-119: unknown projected column → NULL
+    rows = engine.ref_sql("SELECT name, nickname FROM students WHERE id = 1").collect()
+    assert rows[0].name == "Noel" and rows[0].nickname is None
+
+
+def test_where_unknown_column_errors(engine):
+    # select_edgecases_test.go: WHERE on unknown column must error
+    with pytest.raises(Exception):
+        engine.ref_sql("SELECT name FROM students WHERE nope = 1").collect()
+
+
+def test_bare_operand_truthiness(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db2"))
+    e.create_table("flags", [("id", "INT"), ("active", "BOOL")])
+    e.insert_rows("flags", [{"id": 1, "active": True}, {"id": 2, "active": False}])
+    rows = e.ref_sql("SELECT id FROM flags WHERE active").collect()
+    assert [r.id for r in rows] == [1]
+
+
+def test_select_without_from_errors(engine):
+    # select_negative_test.go:12-33 analogue
+    with pytest.raises(ParseError):
+        engine.ref_sql("SELECT name students")
+
+
+# -- DML / DDL through the dialect ------------------------------------------
+
+
+def test_insert_update_delete_roundtrip(engine):
+    assert engine.ref_sql("INSERT INTO students (id, name, course) VALUES (7, 'Gia', 'CS')") == 1
+    assert engine.ref_sql("UPDATE students SET course = 'CompSci' WHERE course = 'CS'") == 2
+    assert engine.ref_sql("DELETE FROM students WHERE name = 'Gia'") == 1
+    assert engine.table("students").filter("course = 'CompSci'").count() == 1
+
+
+def test_insert_without_column_list(engine):
+    assert engine.ref_sql("INSERT INTO students VALUES (8, 'Hal', 'EE')") == 1
+    assert engine.table("students").filter("id = 8").count() == 1
+
+
+def test_delete_requires_where(engine):
+    with pytest.raises(ParseError):
+        engine.ref_sql("DELETE FROM students")
+
+
+def test_create_show_drop_via_dialect(engine):
+    engine.ref_sql("CREATE TABLE t2 (a INT, b DECIMAL, c BOOL)")
+    assert "t2" in engine.ref_sql("SHOW TABLES")
+    engine.ref_sql("DROP TABLE t2")
+    assert "t2" not in engine.ref_sql("SHOW TABLES")
+
+
+# -- weak typing (all-TEXT import semantics, expr.go:90-156) ----------------
+
+
+def test_weak_typing_numeric_compare_on_text(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db3"))
+    e.create_table("imported", [("id", "TEXT"), ("amount", "TEXT")])
+    e.insert_rows(
+        "imported",
+        [{"id": "1", "amount": "100"}, {"id": "2", "amount": "9"}, {"id": "3", "amount": "x"}],
+    )
+    # Plain string comparison: '9' > '100' and 'x' > '100' lexicographically
+    strong = {r.id for r in e.ref_sql("SELECT id FROM imported WHERE amount > '100'").collect()}
+    assert strong == {"2", "3"}
+    # Weak typing (reference dual-mode): numeric where both sides parse
+    # (100 > 100 false, 9 > 100 false), string fallback for 'x' (true)
+    weak = {
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM imported WHERE amount > 100", weak_typing=True
+        ).collect()
+    }
+    assert weak == {"3"}
