@@ -1,0 +1,72 @@
+"""Skew mitigation: salted aggregation and salted broadcast-free joins.
+
+AQE's skew-join handling (enabled in session.py) covers sort-merge joins;
+these operators cover the two shapes AQE doesn't: a groupBy whose hot key
+overwhelms one reducer, and an equi-join against a table whose key histogram
+has a hot head. Both are pure DataFrame compositions.
+
+  salted_aggregate   two-phase agg: partial agg on (keys, salt) spreads the
+                     hot key over ``salt_n`` reducers, final agg merges.
+                     Works for any algebraic aggregate (sum/count/min/max
+                     merge with themselves or sum).
+  salted_join        left rows get a random salt in [0, salt_n); right rows
+                     are replicated once per salt value; the join key
+                     becomes (key, salt) so a hot key's rows land on salt_n
+                     reducers instead of one. Right-side inflation is the
+                     price — use for dim-sized or filtered right sides that
+                     are still too big (or too skewed) to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],  # (fn, col, out_name)
+    salt_n: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(...) with an intermediate salt stage. ``avg`` is
+    expressible as sum+count merged at the end; pass those explicitly."""
+    for fn, _, _ in aggs:
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(salt_n)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[_PARTIAL[fn](col).alias(out) for fn, col, out in aggs]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_MERGE[fn](out).alias(out) for fn, _, out in aggs]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``on`` with the hot-key spread over salt_n partitions.
+    Left/right column sets must be disjoint apart from the key."""
+    l = left.withColumn("__salt", F.floor(F.rand(seed=42) * salt_n).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

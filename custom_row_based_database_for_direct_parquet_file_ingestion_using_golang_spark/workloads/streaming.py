@@ -104,3 +104,24 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         dedup_within_watermark(events, ["user_id", "event_type"]), mode="append"
     )
     return survivors.agg(F.count(F.lit(1)).alias("unique_keys"))
+
+
+@query(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom stateful operator (applyInPandasWithState): on bounded input the
+    # per-user running totals converge to the plain batch aggregate, which is
+    # exactly what the oracle checks.
+    from ..streaming.ops import stateful_user_totals
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_to_memory(stateful_user_totals(events), mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )

@@ -165,3 +165,26 @@ def test_image_resolution(engine, tmp_path):
     rows = {r.id: r.img for r in engine.table("photos").collect()}
     assert rows[1] == str(img_dir / "cat_photo.png")  # exact stem + ext probe
     assert rows[2] == str(img_dir / "cat_photo.png")  # substring match
+
+
+def test_partitioned_ingest_prunes_partitions(engine, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    events = load(engine.spark, sf_dir, "events")
+    engine.catalog._tables.pop("events_part", None)
+    engine._register_ingested("events_part", events, ["event_type"])
+    df = engine.table("events_part").filter("event_type = 'click'")
+    txt = plan_text(df)
+    # the partition filter must hit PartitionFilters, not a post-scan Filter
+    assert "PartitionFilters" in txt
+    assert any(
+        "event_type" in line and "click" in line
+        for line in txt.splitlines()
+        if "PartitionFilters" in line
+    ), txt
+    assert df.count() > 0

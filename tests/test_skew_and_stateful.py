@@ -1,0 +1,96 @@
+"""Skew-salting operators (results must equal unsalted plans) and the
+custom stateful streaming operator (must converge to the batch aggregate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+    read_events_stream,
+    run_to_memory,
+    stateful_user_totals,
+)
+
+
+def _skewed_df(spark):
+    # 90% of rows share one hot key — the histogram AQE's skew-agg can't fix
+    hot = spark.range(9000).select(
+        F.lit("HOT").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("cold-"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        (r.k): (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s, r.mn, r.mx)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [("count", "*", "n"), ("sum", "v", "s"), ("min", "v", "mn"), ("max", "v", "mx")],
+            salt_n=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    left = _skewed_df(spark).withColumnRenamed("v", "lv")
+    right = spark.createDataFrame(
+        [("HOT", 1.5), ("cold-1", 2.0), ("cold-7", 3.0)], ["k", "weight"]
+    )
+    plain = left.join(right, "k").agg(F.round(F.sum(F.col("lv") * F.col("weight")), 4)).first()[0]
+    salted = (
+        salted_join(left, right, "k", salt_n=4)
+        .agg(F.round(F.sum(F.col("lv") * F.col("weight")), 4))
+        .first()[0]
+    )
+    assert plain == salted
+    # row counts preserved too (no dup/loss from the replication)
+    assert left.join(right, "k").count() == salted_join(left, right, "k", salt_n=4).count()
+
+
+def test_stateful_user_totals_converges_to_batch(spark, sf_dir):
+    stream_out = run_to_memory(
+        stateful_user_totals(read_events_stream(spark, sf_dir)), mode="update"
+    )
+    # update-mode memory sink may hold one row per user per batch: take the
+    # last (= cumulative) row per user
+    final = (
+        stream_out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("t"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, round(r.t, 4)) for r in final}
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.t, 4)) for r in batch}
+    assert got == want
