@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "join_revenue_per_nation",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "agg_count_distinct",
     "window_topk_per_group",
     "setop_union_intersect_except",
     "asof_click_to_purchase",

@@ -187,6 +187,8 @@ class Engine:
         """UPDATE via copy-on-write: read snapshot → conditional withColumn →
         staged overwrite + atomic swap. No WHERE ⇒ all rows (reference
         update.go:87-98). Returns the matched-row count."""
+        from pyspark.sql import Observation
+
         meta = self.catalog.get(name)
         declared = {c.name: c for c in meta.columns}
         for cname in set_values:
@@ -194,26 +196,40 @@ class Engine:
                 raise ValueError(f"unknown SET column '{cname}'")
         df = self.table(name)
         cond = self._where_col(where)
-        matched = df.filter(cond).count() if cond is not None else df.count()
+        # Matched-row count via the Observation API: piggybacks on the
+        # copy-on-write pass, so the table is scanned ONCE (the reference
+        # reads everything into memory and counts while rewriting,
+        # update.go:87-106 — this is the distributed single-pass analogue).
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(
+                F.when(cond if cond is not None else F.lit(True), 1).otherwise(0)
+            ).alias("matched"),
+        )
         for cname, val in set_values.items():
             target = F.lit(val).cast(declared[cname].spark_type)
             df = df.withColumn(
                 cname, F.when(cond, target).otherwise(F.col(cname)) if cond is not None else target
             )
         self.store.overwrite(name, df, meta.partition_by)
-        return matched
+        return obs.get["matched"] or 0
 
     def delete(self, name: str, where: Column | str) -> int:
         """DELETE requires a predicate — parity with the reference's safety
         guard ('DELETE without WHERE is not allowed', delete.go:33)."""
+        from pyspark.sql import Observation
+
         if where is None:
             raise ValueError("DELETE without WHERE is not allowed for safety")
         meta = self.catalog.get(name)
         df = self.table(name)
         cond = self._where_col(where)
-        doomed = df.filter(cond).count()
+        # Single pass: count the doomed rows while writing the survivors.
+        obs = Observation()
+        df = df.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("doomed"))
         self.store.overwrite(name, df.filter(~cond), meta.partition_by)
-        return doomed
+        return obs.get["doomed"] or 0
 
     # ---- ingestion (S7-S8) ----------------------------------------------
 

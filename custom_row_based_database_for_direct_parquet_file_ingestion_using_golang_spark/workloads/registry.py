@@ -22,6 +22,10 @@ ORACLES: dict[str, str] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Oracle parity requires UTC session semantics regardless of how the
+    # caller built the SparkSession (fixture timestamps are naive; DuckDB
+    # reads them tz-less). Cheap to set per-load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and truncate to micros —
