@@ -331,3 +331,128 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = multimodal.wrap_binary(docs, "doc_id", "payload", "image")
     return multimodal.extract_image_features(media, fake=True)
+
+
+# --- composite: end-to-end training-data curation pipeline ------------------
+
+
+def _sql_curation() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_sql_lang_guess_expr()} AS guess,
+             ({_sql_quality_expr()}) AS quality,
+             CAST(len({toks}) AS INT) AS n_tokens,
+             {_SQL_NORM.format(t='text')} AS norm
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality >= 0.6 AND guess != 'und' AND n_tokens BETWEEN 5 AND 1000
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(guess) AS guess,
+             any_value(n_tokens) AS n_tokens
+      FROM kept GROUP BY norm
+    )
+    SELECT guess, count(*) AS docs, sum(n_tokens) AS total_tokens
+    FROM deduped GROUP BY guess ORDER BY guess
+    """
+
+
+def _sql_lang_guess_expr() -> str:
+    langs = sorted(LANG_MARKERS)
+    toks = _SQL_TOKS.format(t="lower(text)")
+    scores = {
+        l: f"len(list_filter({toks}, t -> list_contains({_sql_list(LANG_MARKERS[l])}, t)))"
+        for l in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[l]} = {best} AND {scores[l]} > 0 THEN '{l}'" for l in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def _sql_quality_expr() -> str:
+    toks = _SQL_TOKS.format(t="text")
+    low_toks = _SQL_TOKS.format(t="lower(text)")
+    nonspace = _SQL_NONSPACE.format(t="text")
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    pr = (
+        f"CASE WHEN length({nonspace}) = 0 THEN 0.0 "
+        f"ELSE length(regexp_replace({nonspace}, '[a-zA-Z0-9_]', '', 'g')) "
+        f"/ length({nonspace}) END"
+    )
+    sr = (
+        f"CASE WHEN len({low_toks}) = 0 THEN 0.0 "
+        f"ELSE len(list_filter({low_toks}, t -> list_contains({_sql_list(STOPWORDS)}, t))) "
+        f"/ len({low_toks}) END"
+    )
+    mwl = (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 "
+        f"ELSE CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE) / len({toks}) END"
+    )
+    return (
+        f"round(least({n_tok} / 20.0, 1.0) * 0.4 "
+        f"+ greatest(0.0, 1.0 - ({pr}) * 4) * 0.2 "
+        f"+ (CASE WHEN ({sr}) BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2 "
+        f"+ (CASE WHEN ({mwl}) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4)"
+    )
+
+
+@query("pipeline_curate_corpus", _sql_curation())
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale tier end-to-end: score (lang + quality + token count) →
+    filter → exact-dedup on normalized text → per-language corpus stats.
+    One scan, one dedup shuffle, one agg shuffle — the whole curation
+    pipeline as a single Catalyst plan."""
+    from ..operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        lang_guess("text").alias("guess"),
+        quality_score("text").alias("quality"),
+        token_count("text").cast("int").alias("n_tokens"),
+        normalize_text("text").alias("norm"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.6)
+        & (F.col("guess") != "und")
+        & F.col("n_tokens").between(5, 1000)
+    )
+    deduped = kept.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value("guess").alias("guess"),
+        F.any_value("n_tokens").alias("n_tokens"),
+    )
+    return (
+        deduped.groupBy("guess")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("guess")
+    )
+
+
+@query(
+    "weak_typing_filter",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, CAST(n_chars AS VARCHAR) AS s FROM documents
+    )
+    WHERE CASE WHEN try_cast(s AS DOUBLE) IS NOT NULL
+               THEN try_cast(s AS DOUBLE) > 300.0
+               ELSE s > '300' END
+    """,
+)
+def weak_typing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E1 dual-mode comparison (expr.go:90-156) as an oracle-checked entry:
+    # an all-TEXT column compared against a numeric literal goes numeric
+    # when both sides parse, else lexicographic.
+    from ..functions.compat import dual_compare
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("string").alias("s")
+    )
+    return docs.filter(dual_compare("s", ">", 300.0)).select("doc_id", "lang")

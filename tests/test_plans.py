@@ -3,6 +3,8 @@ broadcast, bounded shuffles) must hold, not just the row values."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
     workloads as w,
 )
@@ -77,3 +79,28 @@ def test_scan_reads_only_projected_columns(spark, sf_dir):
     df = w.QUERIES["scan_full_table"](spark, sf_dir)
     (cols,) = read_columns(df)
     assert cols == {"r_regionkey", "r_name"}
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("bdb")))
+    eng.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_b")
+    eng.ingest_parquet(f"{sf_dir}/customer.parquet", "customer_b")
+    eng.bucketize("orders_b", 8, ["o_custkey"], sort_cols=["o_custkey"])
+    eng.bucketize("customer_b", 8, ["c_custkey"], sort_cols=["c_custkey"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = eng.bucketed_table("orders_b").join(
+            eng.bucketed_table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
