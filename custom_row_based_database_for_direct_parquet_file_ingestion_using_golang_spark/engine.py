@@ -231,6 +231,36 @@ class Engine:
         self.store.overwrite(name, df.filter(~cond), meta.partition_by)
         return obs.get["doomed"] or 0
 
+    # ---- maintenance ------------------------------------------------------
+
+    def compact(self, name: str, target_files: int | None = None) -> int:
+        """Rewrite a table into ``target_files`` parquet files (default:
+        one per shuffle partition). Append-heavy tables accumulate small
+        files — the classic small-files problem that murders scan
+        parallelism efficiency at scale; compaction is the standard
+        maintenance pass. Returns the file count after compaction."""
+        meta = self.catalog.get(name)
+        df = self.table(name)
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        self.store.overwrite(name, df, meta.partition_by)
+        path = self.store.table_path(name)
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def upsert(self, name: str, updates: DataFrame, keys: list[str]) -> None:
+        """MERGE-style upsert: rows in ``updates`` replace rows with the
+        same key; new keys are appended (emulated MERGE INTO: anti-join +
+        union, then copy-on-write — the no-Delta pattern)."""
+        current = self.table(name)
+        survivors = current.join(updates.select(*keys), on=keys, how="left_anti")
+        merged = survivors.unionByName(updates.select(*current.columns))
+        self.store.overwrite(name, merged, self.catalog.get(name).partition_by)
+
     # ---- bucketing (scale: co-located, shuffle-free joins) ---------------
 
     def bucketize(

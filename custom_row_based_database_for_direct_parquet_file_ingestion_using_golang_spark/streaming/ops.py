@@ -157,6 +157,21 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_into(engine, table: str, stream: DataFrame, keys: list[str]):
+    """Exactly-once-style streaming sink: each micro-batch MERGEs into an
+    engine table via foreachBatch (anti-join + union + atomic swap). The
+    foreachBatch pattern is the standard CDC/SCD sink when no Delta/Iceberg
+    commit protocol is on the classpath. Returns the StreamingQuery."""
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup = batch_df.dropDuplicates(keys)
+        engine.upsert(table, dedup, keys)
+
+    return stream.writeStream.outputMode("update").foreachBatch(merge_batch).start()
+
+
 def run_to_memory(
     sdf: DataFrame, mode: str = "complete", name: str | None = None
 ) -> DataFrame:

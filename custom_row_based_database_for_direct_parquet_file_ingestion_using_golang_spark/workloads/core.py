@@ -271,3 +271,48 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("o_orderkey", r2(F.col("o_totalprice"), "total"))
     )
+
+
+# Semi-structured column: events.props holds JSON strings — parse JVM-side
+# (get_json_object) rather than in Python; DuckDB mirrors with json_extract.
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# A2: COUNT(col) counts non-NULL only — exercised with a genuinely NULL
+# column (the reference counts key-presence instead; documented delta,
+# SURVEY.md §7.4 / select.go:106-112).
+@query(
+    "agg_count_null_semantics",
+    """
+    SELECT count(*) AS count,
+           count(nullif(o_orderstatus, 'O')) AS count_nonopen,
+           count(DISTINCT nullif(o_orderstatus, 'O')) AS distinct_nonopen
+    FROM orders
+    """,
+)
+def agg_count_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    nonopen = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count(nonopen).alias("count_nonopen"),
+        F.count_distinct(nonopen).alias("distinct_nonopen"),
+    )

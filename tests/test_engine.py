@@ -188,3 +188,44 @@ def test_partitioned_ingest_prunes_partitions(engine, sf_dir):
         if "PartitionFilters" in line
     ), txt
     assert df.count() > 0
+
+
+def test_compact_reduces_files(engine):
+    engine.create_table("t", [("a", "INT")])
+    for i in range(5):  # 5 separate appends → many small files
+        engine.insert_rows("t", [{"a": i}])
+    n_files = engine.compact("t", target_files=1)
+    assert n_files == 1
+    assert engine.table("t").count() == 5
+
+
+def test_upsert_merge_semantics(engine, spark):
+    engine.create_table("kv", [("k", "INT"), ("v", "TEXT")])
+    engine.insert_rows("kv", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    engine.upsert("kv", updates, ["k"])
+    got = {r.k: r.v for r in engine.table("kv").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_stream_upsert_into(engine, spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        stream_upsert_into,
+    )
+
+    engine.create_table(
+        "latest_events",
+        [("user_id", "INT"), ("event_id", "INT"), ("value", "DECIMAL")],
+    )
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, sf_dir).groupBy("user_id").agg(
+        F.max("event_id").alias("event_id"),
+        F.sum("value").alias("value"),
+    )
+    q = stream_upsert_into(engine, "latest_events", stream, ["user_id"])
+    q.processAllAvailable()
+    q.stop()
+    out = engine.table("latest_events")
+    assert out.count() == out.select("user_id").distinct().count() > 0
