@@ -574,3 +574,28 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority AS priority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (F.percentile ≡ SQL quantile_cont
+    # definition: both interpolate at (n-1)*p over the sorted values, so the
+    # doubles match bit-for-bit). percentile_approx is the 100 TB variant —
+    # not oracle-comparable across engines, so the exact form is checked.
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        )
+        .orderBy("priority")
+    )
