@@ -456,3 +456,43 @@ def weak_typing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("n_chars").cast("string").alias("s")
     )
     return docs.filter(dual_compare("s", ">", 300.0)).select("doc_id", "lang")
+
+
+@query(
+    "dedup_embedding_neardup",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mutated AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mutated)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup detection: every 10th vector gets a planted
+    # scaled+shifted twin; pairs with cosine ≥ 0.999 are duplicates. Brute
+    # force here (oracle-exact); the corpus-scale path buckets with RP-LSH
+    # first (similarity.lsh_topk) and verifies candidates the same way.
+    base = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    mutated = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001 + 0.0005).alias("v"),
+    )
+    corpus = base.unionByName(mutated)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.999)
+        .select("id_a", "id_b", F.round(cos, 6).alias("score"))
+        .orderBy("id_a", "id_b")
+    )
