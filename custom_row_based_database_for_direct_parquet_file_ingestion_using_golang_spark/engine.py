@@ -200,19 +200,23 @@ class Engine:
         # copy-on-write pass, so the table is scanned ONCE (the reference
         # reads everything into memory and counts while rewriting,
         # update.go:87-106 — this is the distributed single-pass analogue).
+        # Materialize the predicate ONCE against pre-update values: a SET
+        # column referenced by the WHERE must not change which rows later
+        # SET columns apply to (SQL semantics). NULL predicate ⇒ no match.
+        match = (
+            F.coalesce(cond, F.lit(False)) if cond is not None else F.lit(True)
+        )
+        df = df.withColumn("__match", match)
         obs = Observation()
         df = df.observe(
-            obs,
-            F.sum(
-                F.when(cond if cond is not None else F.lit(True), 1).otherwise(0)
-            ).alias("matched"),
+            obs, F.sum(F.when(F.col("__match"), 1).otherwise(0)).alias("matched")
         )
         for cname, val in set_values.items():
             target = F.lit(val).cast(declared[cname].spark_type)
             df = df.withColumn(
-                cname, F.when(cond, target).otherwise(F.col(cname)) if cond is not None else target
+                cname, F.when(F.col("__match"), target).otherwise(F.col(cname))
             )
-        self.store.overwrite(name, df, meta.partition_by)
+        self.store.overwrite(name, df.drop("__match"), meta.partition_by)
         return obs.get["matched"] or 0
 
     def delete(self, name: str, where: Column | str) -> int:
@@ -224,7 +228,9 @@ class Engine:
             raise ValueError("DELETE without WHERE is not allowed for safety")
         meta = self.catalog.get(name)
         df = self.table(name)
-        cond = self._where_col(where)
+        # NULL predicate ⇒ row is NOT deleted (SQL: DELETE only where the
+        # predicate is TRUE, not NULL) — coalesce makes ~cond keep it.
+        cond = F.coalesce(self._where_col(where), F.lit(False))
         # Single pass: count the doomed rows while writing the survivors.
         obs = Observation()
         df = df.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("doomed"))
@@ -306,7 +312,11 @@ class Engine:
 
     # ---- ingestion (S7-S8) ----------------------------------------------
 
-    def _register_ingested(self, name: str, df: DataFrame, partition_by: list[str] | None) -> None:
+    def _register_ingested(
+        self, name: str, df: DataFrame, partition_by: list[str] | None
+    ) -> int:
+        from pyspark.sql import Observation
+
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(f.name, f.dataType.simpleString()) for f in df.schema.fields],
@@ -314,7 +324,12 @@ class Engine:
             partition_by=partition_by or [],
         )
         self.catalog.add_table(meta)
+        # Row count rides the ingest write via Observation — no second scan
+        # of what was just written.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         self.store.overwrite(name, df, meta.partition_by)
+        return int(obs.get["rows"] or 0)
 
     def ingest_parquet(
         self, path: str, name: str, partition_by: list[str] | None = None
@@ -325,8 +340,7 @@ class Engine:
         (pkg/importer/importer.go:89-205). One Spark read, zero conversions,
         full schema fidelity, distributed."""
         df = self.spark.read.parquet(path)
-        self._register_ingested(name, df, partition_by)
-        return self.table(name).count()
+        return self._register_ingested(name, df, partition_by)
 
     def ingest_csv(
         self,
@@ -342,5 +356,4 @@ class Engine:
         df = self.spark.read.csv(path, header=True, inferSchema=infer_schema and not all_text)
         if all_text:
             df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
-        self._register_ingested(name, df, partition_by)
-        return self.table(name).count()
+        return self._register_ingested(name, df, partition_by)

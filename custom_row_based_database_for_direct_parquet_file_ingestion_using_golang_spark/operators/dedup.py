@@ -28,9 +28,17 @@ from .text import normalize_text, shingle_multiset, shingles, tokenize
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per key group: the one with the smallest id.
-    One shuffle on the content key; map-side partial aggregation applies."""
-    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+    Window row_number rather than groupBy+semi-join: one shuffle, and NULL
+    keys form their own group (a semi-join on the key would null-unsafely
+    drop every NULL-keyed row instead of keeping one)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -53,7 +61,6 @@ def _shingle_index(
     index = df.select(
         F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
     ).distinct()
-    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
         # Drop stop-shingles: a shingle appearing in k docs contributes k²
         # candidate pairs — the classic skew bomb at corpus scale.
@@ -64,6 +71,10 @@ def _shingle_index(
             .select("s")
         )
         index = index.join(rare, "s", "left_semi")
+    # Sizes AFTER the frequency cap: jaccard is then consistent over the
+    # capped shingle universe (sizes from the uncapped index would bias
+    # every capped jaccard toward zero and drop genuine near-dups).
+    sizes = index.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     return index, sizes
 
 

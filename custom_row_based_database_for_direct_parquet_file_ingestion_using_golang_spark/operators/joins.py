@@ -45,56 +45,67 @@ def asof_join(
     ``tolerance`` (an INTERVAL string like '3 days') bounds the lookback:
     matches older than ``left_ts - tolerance`` become NULL.
     Right rows must be unique per (on, right_ts); pre-aggregate if not.
+    Payload columns must not collide with left column names.
+
+    The matched right row travels as ONE struct through the window, so its
+    payload values stay atomic — per-column carry would stitch values from
+    DIFFERENT right rows whenever a payload value is legitimately NULL.
     """
+    from pyspark.sql import types as T
+
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(f"payload columns collide with left columns: {sorted(collisions)}")
 
     lcols = left.columns
     payload = list(right_payload)
-    matched_ts = f"__asof_ts"
+    other_lcols = [c for c in lcols if c not in (on, left_ts)]
+
+    match_type = T.StructType(
+        [T.StructField("matched_ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload]
+    )
 
     r = right.select(
-        F.col(on).alias(on),
+        F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.col(right_ts).alias(matched_ts),
-        *[F.col(c) for c in payload],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
-    ).select(on, "__ts", "__tag", matched_ts, *payload, *[c for c in lcols if c != on])
-
+        F.struct(
+            F.col(right_ts).alias("matched_ts"), *[F.col(c) for c in payload]
+        ).alias("__match"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in other_lcols],
+    )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
-        *[F.col(c) for c in lcols if c != on],
-    ).select(on, "__ts", "__tag", matched_ts, *payload, *[c for c in lcols if c != on])
+        F.lit(None).cast(match_type).alias("__match"),
+        *[F.col(c) for c in other_lcols],
+    )
 
     unioned = r.unionByName(l)
-    if direction == "backward":
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-    else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col("__ts").desc(), F.col("__tag").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    order = (
+        [F.col("__ts").asc(), F.col("__tag").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__tag").asc()]
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
 
     carried = unioned.select(
         on,
         "__ts",
         "__tag",
-        F.last(matched_ts, ignorenulls=True).over(w).alias(matched_ts),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        *[F.col(c) for c in lcols if c != on],
-    )
+        F.last("__match", ignorenulls=True).over(w).alias("__match"),
+        *[F.col(c) for c in other_lcols],
+    ).filter(F.col("__tag") == 1)
 
-    out = carried.filter(F.col("__tag") == 1)
+    match = F.col("__match")
     if tolerance is not None:
         bound = (
             F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
@@ -102,20 +113,19 @@ def asof_join(
             else F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
         )
         in_range = (
-            (F.col(matched_ts) >= bound)
+            (match["matched_ts"] >= bound)
             if direction == "backward"
-            else (F.col(matched_ts) <= bound)
+            else (match["matched_ts"] <= bound)
         )
-        out = out.select(
-            on,
-            "__ts",
-            *[F.when(in_range, F.col(c)).otherwise(F.lit(None)).alias(c) for c in [matched_ts, *payload]],
-            *[F.col(c) for c in lcols if c != on],
-        )
-    return out.select(
-        *[F.col(c) if c != left_ts else F.col("__ts").alias(left_ts) for c in lcols],
-        F.col(matched_ts).alias(f"asof_{right_ts}"),
-        *payload,
+        match = F.when(in_range, match).otherwise(F.lit(None).cast(match_type))
+
+    return carried.select(
+        *[
+            F.col("__ts").alias(left_ts) if c == left_ts else F.col(c)
+            for c in lcols
+        ],
+        match["matched_ts"].alias(f"asof_{right_ts}"),
+        *[match[c].alias(c) for c in payload],
     )
 
 

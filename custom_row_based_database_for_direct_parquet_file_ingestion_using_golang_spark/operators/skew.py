@@ -63,7 +63,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on ``on`` with the hot-key spread over salt_n partitions.
-    Left/right column sets must be disjoint apart from the key."""
+    Left/right column sets must be disjoint apart from the key.
+
+    Only left-preserving join types are salt-safe: a right/full outer join
+    would emit each unmatched right row once per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving join types only, not {how!r} "
+            "(unmatched right rows would duplicate salt_n times)"
+        )
     l = left.withColumn("__salt", F.floor(F.rand(seed=42) * salt_n).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))

@@ -154,7 +154,7 @@ def engine_samples(engine, table: str) -> dict[str, list[str]]:
     """First-N-rows value samples for string columns of an engine table."""
     meta = engine.catalog.get(table)
     str_cols = [
-        c.name for c in meta.columns if c.decl.upper() in ("TEXT", "IMAGE", "string")
+        c.name for c in meta.columns if c.decl.upper() in ("TEXT", "IMAGE", "STRING")
     ]
     if not str_cols:
         return {}

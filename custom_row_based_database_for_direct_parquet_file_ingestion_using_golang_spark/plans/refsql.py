@@ -44,8 +44,8 @@ _TOKEN_RE = re.compile(
   | "(?:[^"\\]|\\.)*"      # double-quoted string
   | `[^`]*`                # backtick identifier
   | <> | != | <= | >=      # two-char operators
-  | [(),=<>*;]             # single-char punctuation
-  | [^\s(),=<>;]+          # bare word (identifier, number, keyword)
+  | [(),=<>*;!]            # single-char punctuation
+  | [^\s(),=<>;!]+         # bare word (identifier, number, keyword)
     """,
     re.VERBOSE,
 )
@@ -423,6 +423,9 @@ class RefSQL:
                     break
                 if tok == ",":
                     continue
+                if tok.upper() == "NULL":
+                    vals.append(None)
+                    continue
                 lit = _literal_value(tok)
                 vals.append(lit if lit is not None else _unquote(tok))
             names = cols if cols is not None else declared
@@ -443,8 +446,11 @@ class RefSQL:
             if cur.next() != "=":
                 raise ParseError("expected '=' in SET")
             tok = cur.next()
-            lit = _literal_value(tok)
-            sets[col] = lit if lit is not None else _unquote(tok)
+            if tok.upper() == "NULL":
+                sets[col] = None
+            else:
+                lit = _literal_value(tok)
+                sets[col] = lit if lit is not None else _unquote(tok)
             if cur.peek() == ",":
                 cur.next()
                 continue

@@ -1,0 +1,134 @@
+"""Regression tests for the round-1 code-review findings — each test pins
+the fixed behavior with the exact failure scenario from the review."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    Engine,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    dedup,
+    joins,
+    skew,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans import nl
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+    tokenize,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "db"))
+
+
+def test_update_where_references_set_column(engine):
+    # WHERE must evaluate against PRE-update values for every SET column.
+    engine.create_table("t", [("x", "INT"), ("y", "INT")])
+    engine.insert_rows("t", [{"x": 10, "y": 5}, {"x": 1, "y": 5}])
+    n = engine.update("t", {"x": 0, "y": 1}, "x > 5")
+    assert n == 1
+    rows = {(r.x, r.y) for r in engine.table("t").collect()}
+    assert rows == {(0, 1), (1, 5)}  # matched row got BOTH updates
+
+
+def test_delete_null_predicate_keeps_row(engine):
+    engine.create_table("t", [("a", "INT")])
+    engine.insert_rows("t", [{"a": 10}, {"a": None}, {"a": 1}])
+    n = engine.delete("t", "a > 5")
+    assert n == 1  # only a=10; the NULL row is NOT deleted
+    remaining = {r.a for r in engine.table("t").collect()}
+    assert remaining == {None, 1}
+
+
+def test_update_null_predicate_not_matched(engine):
+    engine.create_table("t", [("a", "INT"), ("b", "TEXT")])
+    engine.insert_rows("t", [{"a": None, "b": "keep"}, {"a": 9, "b": "hit"}])
+    n = engine.update("t", {"b": "updated"}, "a > 5")
+    assert n == 1
+    got = {r.a: r.b for r in engine.table("t").collect()}
+    assert got == {None: "keep", 9: "updated"}
+
+
+def test_exact_dedup_keeps_one_null_key_row(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x")], ["id", "k"]
+    )
+    out = dedup.exact_dedup(df, ["k"], "id")
+    kept = sorted(r.id for r in out.collect())
+    assert kept == [1, 3]  # one survivor per group, NULL group included
+
+
+def test_jaccard_doc_freq_cap_consistent_sizes(spark):
+    # With a df cap, jaccard must be computed over the CAPPED universe:
+    # docs identical except for stop-shingles should still score 1.0 on
+    # their surviving rare shingles.
+    rows = [
+        (1, "common common common rare alpha beta"),
+        (2, "common common common rare alpha beta"),
+        (3, "common common common something else entirely"),
+        (4, "common common common other words here"),
+        (5, "common common common more filler text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(
+            df, "doc_id", "text", n=3, max_doc_freq=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    left = spark.createDataFrame([(1, 30.0, "l")], ["k", "ts", "lv"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "lv"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 1, 2), (1, 20.0, 5, None)], ["k", "ts", "a", "b"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "a", "b")
+    out = joins.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["a", "b"]
+    ).first()
+    # must match the t=20 row atomically: (a=5, b=NULL), never (a=5, b=2)
+    assert out.a == 5 and out.b is None
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df.withColumnRenamed("v", "w"), "k", how="full")
+
+
+def test_tokenizer_handles_no_space_neq():
+    assert tokenize("SELECT * FROM t WHERE a!=5") == [
+        "SELECT", "*", "FROM", "t", "WHERE", "a", "!=", "5",
+    ]
+
+
+def test_refsql_no_space_neq_executes(engine):
+    engine.create_table("t", [("a", "INT")])
+    engine.insert_rows("t", [{"a": 5}, {"a": 6}])
+    rows = engine.ref_sql("SELECT a FROM t WHERE a!=5").collect()
+    assert [r.a for r in rows] == [6]
+
+
+def test_refsql_null_literal(engine):
+    engine.create_table("t", [("id", "INT"), ("name", "TEXT")])
+    engine.ref_sql("INSERT INTO t (id, name) VALUES (1, NULL)")
+    row = engine.table("t").first()
+    assert row.name is None  # NULL, not the string 'NULL'
+    engine.ref_sql("UPDATE t SET name = 'x' WHERE id = 1")
+    engine.ref_sql("UPDATE t SET name = NULL WHERE id = 1")
+    assert engine.table("t").first().name is None
+
+
+def test_engine_samples_covers_ingested_string_columns(spark, tmp_path, sf_dir):
+    e = Engine(spark, str(tmp_path / "db2"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    samples = nl.engine_samples(e, "nation")
+    assert "n_name" in samples and len(samples["n_name"]) > 0
