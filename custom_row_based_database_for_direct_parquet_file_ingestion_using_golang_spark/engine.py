@@ -89,11 +89,23 @@ class Engine:
     pkg/storage/storage.go:23-46).
     """
 
-    def __init__(self, spark: SparkSession, root: str, image_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        image_dir: str | None = None,
+        keep_snapshots: int = 0,
+    ):
         self.spark = spark
         self.catalog = Catalog(root)
-        self.store = ParquetTableStore(spark, root)
+        self.store = ParquetTableStore(spark, root, keep_snapshots=keep_snapshots)
         self.image_dir = image_dir or ""
+
+    def table_at(self, name: str, version: int) -> DataFrame:
+        """Time travel: the table as of a retired snapshot (requires the
+        engine to have been created with ``keep_snapshots > 0``)."""
+        meta = self.catalog.get(name)
+        return self.store.read_version(name, version, meta.schema)
 
     # ---- DDL (D1-D3) ----------------------------------------------------
 

@@ -28,15 +28,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ParquetTableStore:
-    """Directory-per-table Parquet storage under an engine root."""
+    """Directory-per-table Parquet storage under an engine root.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``keep_snapshots > 0`` turns every copy-on-write rewrite into a
+    versioned commit: the replaced snapshot moves to
+    ``.snapshots/<table>/v<k>`` instead of being deleted, giving Delta-style
+    time travel (``read_version``) with bounded retention. Snapshots are
+    immutable Parquet directories, so historical reads are zero-copy.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, keep_snapshots: int = 0):
         self.spark = spark
         self.root = root
+        self.keep_snapshots = keep_snapshots
         self.tables_dir = os.path.join(root, "tables")
         self.staging_dir = os.path.join(root, ".staging")
         self.trash_dir = os.path.join(root, ".trash")
-        for d in (self.tables_dir, self.staging_dir, self.trash_dir):
+        self.snapshots_dir = os.path.join(root, ".snapshots")
+        for d in (self.tables_dir, self.staging_dir, self.trash_dir, self.snapshots_dir):
             os.makedirs(d, exist_ok=True)
 
     def table_path(self, name: str) -> str:
@@ -81,7 +90,47 @@ class ParquetTableStore:
             if os.path.exists(trash) and not os.path.exists(current):
                 os.rename(trash, current)
             raise
-        shutil.rmtree(trash, ignore_errors=True)
+        if self.keep_snapshots > 0 and os.path.exists(trash):
+            self._retire_to_snapshot(name, trash)
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+
+    # -- snapshot retention / time travel ---------------------------------
+
+    def _table_snap_dir(self, name: str) -> str:
+        d = os.path.join(self.snapshots_dir, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def versions(self, name: str) -> list[int]:
+        d = self._table_snap_dir(name)
+        return sorted(
+            int(v[1:]) for v in os.listdir(d) if v.startswith("v") and v[1:].isdigit()
+        )
+
+    def _retire_to_snapshot(self, name: str, old_dir: str) -> None:
+        vs = self.versions(name)
+        nxt = (vs[-1] + 1) if vs else 0
+        os.rename(old_dir, os.path.join(self._table_snap_dir(name), f"v{nxt}"))
+        for stale in self.versions(name)[: -self.keep_snapshots or None]:
+            if len(self.versions(name)) <= self.keep_snapshots:
+                break
+            shutil.rmtree(
+                os.path.join(self._table_snap_dir(name), f"v{stale}"),
+                ignore_errors=True,
+            )
+
+    def read_version(self, name: str, version: int, schema=None) -> DataFrame:
+        """Time travel: read a retired snapshot by version number."""
+        path = os.path.join(self._table_snap_dir(name), f"v{version}")
+        if not os.path.exists(path):
+            raise KeyError(
+                f"table '{name}' has no snapshot v{version}; available: {self.versions(name)}"
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
 
     def drop(self, name: str) -> None:
         path = self.table_path(name)

@@ -496,3 +496,34 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 6).alias("score"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "embedding_norms_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM (
+      SELECT label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    ) GROUP BY label ORDER BY label
+    """,
+)
+def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-column arithmetic stays JVM-side: aggregate over the vector per
+    # row (no explode, no UDF), then an ordinary grouped min/max.
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", similarity.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

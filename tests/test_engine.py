@@ -229,3 +229,23 @@ def test_stream_upsert_into(engine, spark, sf_dir):
     q.stop()
     out = engine.table("latest_events")
     assert out.count() == out.select("user_id").distinct().count() > 0
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path / "tt"), keep_snapshots=2)
+    e.create_table("t", [("a", "INT"), ("b", "TEXT")])
+    e.insert_rows("t", [{"a": 1, "b": "one"}, {"a": 2, "b": "two"}])
+    e.update("t", {"b": "ONE"}, "a = 1")      # v0 = pre-update snapshot
+    e.delete("t", "a = 2")                     # v1 = pre-delete snapshot
+    assert e.store.versions("t") == [0, 1]
+    assert {r.b for r in e.table_at("t", 0).collect()} == {"one", "two"}
+    assert {r.b for r in e.table_at("t", 1).collect()} == {"ONE", "two"}
+    assert {r.b for r in e.table("t").collect()} == {"ONE"}
+    e.update("t", {"b": "x"})                  # v2; retention drops v0
+    assert e.store.versions("t") == [1, 2]
+    with pytest.raises(KeyError):
+        e.table_at("t", 0)
