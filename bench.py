@@ -72,9 +72,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    missing = [n for n in BENCH_QUERIES if n not in workload.QUERIES]
+    if missing:
+        raise SystemExit(f"bench queries not in workload registry: {missing}")
     for name in BENCH_QUERIES:
-        if name not in workload.QUERIES:
-            continue
         fn = workload.QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -185,3 +185,41 @@ def run_to_memory(
         q.stop()
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, window_seconds: int = 600
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    each click joins purchases by the same user within the following
+    ``window_seconds``. Both sides are watermarked so the join state is
+    bounded — Spark drops buffered rows once the watermark passes the
+    interval bound (the canonical stream-stream join pattern).
+    """
+    c = (
+        clicks.withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_seconds} seconds")
+        ),
+        "inner",
+    )

@@ -125,3 +125,38 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, count(*) AS pairs, round(sum(p.value), 2) AS total_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '600 seconds'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-stream interval join on bounded input processed as one batch:
+    # every qualifying pair is emitted, so the batch interval-join oracle is
+    # exact. The streaming semantics (watermarked state eviction) are what
+    # a live run exercises; correctness converges to this.
+    from ..streaming.ops import stream_stream_interval_join
+
+    events = read_events_stream(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    joined = run_to_memory(
+        stream_stream_interval_join(clicks, purchases, 600), mode="append"
+    )
+    return (
+        joined.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.round(F.sum("purchase_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
