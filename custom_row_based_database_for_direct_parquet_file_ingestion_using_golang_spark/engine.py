@@ -119,14 +119,17 @@ class Engine:
             # Validate: one of the 5 reference types or a parseable Spark DDL
             # type (validation parity: pkg/schema/types.go:124-131).
             ColumnDef(_, decl).spark_type
+        if name in self.catalog:
+            raise ValueError(f"table '{name}' already exists")
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(n, t) for n, t in columns],
             path=self.store.table_path(name),
             partition_by=partition_by or [],
         )
-        self.catalog.add_table(meta)
+        # Storage first, catalog second (no phantom entries on failure).
         self.store.init_empty(name, meta.schema)
+        self.catalog.add_table(meta)
 
     def drop_table(self, name: str) -> None:
         self.catalog.drop_table(name)
@@ -218,17 +221,22 @@ class Engine:
         match = (
             F.coalesce(cond, F.lit(False)) if cond is not None else F.lit(True)
         )
-        df = df.withColumn("__match", match)
+        # Collision-proof helper column name (a user column literally named
+        # __match must survive the rewrite untouched).
+        mcol = "__match"
+        while mcol in df.columns:
+            mcol += "_"
+        df = df.withColumn(mcol, match)
         obs = Observation()
         df = df.observe(
-            obs, F.sum(F.when(F.col("__match"), 1).otherwise(0)).alias("matched")
+            obs, F.sum(F.when(F.col(mcol), 1).otherwise(0)).alias("matched")
         )
         for cname, val in set_values.items():
             target = F.lit(val).cast(declared[cname].spark_type)
             df = df.withColumn(
-                cname, F.when(F.col("__match"), target).otherwise(F.col(cname))
+                cname, F.when(F.col(mcol), target).otherwise(F.col(cname))
             )
-        self.store.overwrite(name, df.drop("__match"), meta.partition_by)
+        self.store.overwrite(name, df.drop(mcol), meta.partition_by)
         return obs.get["matched"] or 0
 
     def delete(self, name: str, where: Column | str) -> int:
@@ -329,18 +337,21 @@ class Engine:
     ) -> int:
         from pyspark.sql import Observation
 
+        if name in self.catalog:
+            raise ValueError(f"table '{name}' already exists")
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(f.name, f.dataType.simpleString()) for f in df.schema.fields],
             path=self.store.table_path(name),
             partition_by=partition_by or [],
         )
-        self.catalog.add_table(meta)
-        # Row count rides the ingest write via Observation — no second scan
-        # of what was just written.
+        # Write FIRST, register after: a failed ingest must not leave a
+        # phantom catalog entry whose reads break every register_views().
+        # Row count rides the ingest write via Observation — no second scan.
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         self.store.overwrite(name, df, meta.partition_by)
+        self.catalog.add_table(meta)
         return int(obs.get["rows"] or 0)
 
     def ingest_parquet(

@@ -28,17 +28,21 @@ from .text import normalize_text, shingle_multiset, shingles, tokenize
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per key group: the one with the smallest id.
-    Window row_number rather than groupBy+semi-join: one shuffle, and NULL
-    keys form their own group (a semi-join on the key would null-unsafely
-    drop every NULL-keyed row instead of keeping one)."""
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    groupBy + NULL-SAFE semi-join: the groupBy combines map-side (partial
+    min), and AQE's skew-join can split a hot duplicate key's probe
+    partition — a window row_number would funnel every copy of a hot key
+    into one sort task, and a null-unsafe semi-join would drop NULL-keyed
+    rows instead of keeping one.
+    """
+    import functools
+    import operator
+
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias("__keep_id"))
+    cond = functools.reduce(
+        operator.and_, [df[k].eqNullSafe(keep[k]) for k in key_cols]
+    ) & (df[id_col] == keep["__keep_id"])
+    return df.join(keep, cond, "left_semi")
 
 
 def duplicate_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

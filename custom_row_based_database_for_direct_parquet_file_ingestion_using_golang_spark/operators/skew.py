@@ -68,7 +68,13 @@ def salted_join(
     Only left-preserving join types are salt-safe: a right/full outer join
     would emit each unmatched right row once per salt replica.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+    left_preserving = {
+        "inner", "cross",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how not in left_preserving:
         raise ValueError(
             f"salted_join supports left-preserving join types only, not {how!r} "
             "(unmatched right rows would duplicate salt_n times)"

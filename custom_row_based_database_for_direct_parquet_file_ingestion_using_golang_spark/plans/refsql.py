@@ -44,8 +44,8 @@ _TOKEN_RE = re.compile(
   | "(?:[^"\\]|\\.)*"      # double-quoted string
   | `[^`]*`                # backtick identifier
   | <> | != | <= | >=      # two-char operators
-  | [(),=<>*;!]            # single-char punctuation
-  | [^\s(),=<>;!]+         # bare word (identifier, number, keyword)
+  | [(),=<>*;]             # single-char punctuation
+  | (?:[^\s(),=<>;!]|!(?!=))+   # bare word; '!' allowed unless it starts '!='
     """,
     re.VERBOSE,
 )

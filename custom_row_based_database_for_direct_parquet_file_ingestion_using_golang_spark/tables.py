@@ -91,7 +91,12 @@ class ParquetTableStore:
                 os.rename(trash, current)
             raise
         if self.keep_snapshots > 0 and os.path.exists(trash):
-            self._retire_to_snapshot(name, trash)
+            # Best-effort: the write is already durable at this point, so a
+            # retention failure must not surface as a failed UPDATE/DELETE.
+            try:
+                self._retire_to_snapshot(name, trash)
+            except OSError:
+                shutil.rmtree(trash, ignore_errors=True)
         else:
             shutil.rmtree(trash, ignore_errors=True)
 
@@ -112,9 +117,7 @@ class ParquetTableStore:
         vs = self.versions(name)
         nxt = (vs[-1] + 1) if vs else 0
         os.rename(old_dir, os.path.join(self._table_snap_dir(name), f"v{nxt}"))
-        for stale in self.versions(name)[: -self.keep_snapshots or None]:
-            if len(self.versions(name)) <= self.keep_snapshots:
-                break
+        for stale in [*vs, nxt][: -self.keep_snapshots]:
             shutil.rmtree(
                 os.path.join(self._table_snap_dir(name), f"v{stale}"),
                 ignore_errors=True,
@@ -136,3 +139,8 @@ class ParquetTableStore:
         path = self.table_path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
+        # Snapshots die with the table: a recreated table must not time-
+        # travel into a dead table's data (schema may differ).
+        snaps = os.path.join(self.snapshots_dir, name)
+        if os.path.exists(snaps):
+            shutil.rmtree(snaps, ignore_errors=True)

@@ -132,3 +132,47 @@ def test_engine_samples_covers_ingested_string_columns(spark, tmp_path, sf_dir):
     e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
     samples = nl.engine_samples(e, "nation")
     assert "n_name" in samples and len(samples["n_name"]) > 0
+
+
+# --- second review pass fixes ---
+
+
+def test_drop_removes_snapshots(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "tt2"), keep_snapshots=2)
+    e.create_table("t", [("a", "INT")])
+    e.insert_rows("t", [{"a": 1}])
+    e.update("t", {"a": 2})
+    assert e.store.versions("t") == [0]
+    e.drop_table("t")
+    e.create_table("t", [("b", "TEXT")])  # different schema, same name
+    assert e.store.versions("t") == []  # no time travel into the dead table
+    with pytest.raises(KeyError):
+        e.table_at("t", 0)
+
+
+def test_tokenizer_bang_inside_bareword():
+    assert tokenize("INSERT INTO t (name) VALUES (wow!)") == [
+        "INSERT", "INTO", "t", "(", "name", ")", "VALUES", "(", "wow!", ")",
+    ]
+    assert tokenize("a!=5") == ["a", "!=", "5"]
+
+
+def test_salted_join_accepts_spark_spellings(spark):
+    l = spark.createDataFrame([(1, "x")], ["k", "v"])
+    r = spark.createDataFrame([(1, "y")], ["k", "w"])
+    assert skew.salted_join(l, r, "k", how="leftouter").count() == 1
+
+
+def test_update_preserves_user_column_named_match(engine):
+    engine.create_table("t", [("__match", "TEXT"), ("x", "INT")])
+    engine.insert_rows("t", [{"__match": "keepme", "x": 1}])
+    engine.update("t", {"x": 2})
+    row = engine.table("t").first()
+    assert row["__match"] == "keepme" and row.x == 2
+
+
+def test_failed_ingest_leaves_no_phantom_table(engine):
+    with pytest.raises(Exception):
+        engine.ingest_parquet("/nonexistent/path.parquet", "ghost")
+    assert "ghost" not in engine.show_tables()
+    engine.sql("SELECT 1")  # register_views must not choke
