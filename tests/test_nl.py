@@ -90,3 +90,20 @@ def test_end_to_end_ask(spark, tmp_path):
     sql, df = nl.ask(e, "how many students take Mech?")
     assert sql == "SELECT COUNT(*) FROM students WHERE course = 'Mech'"
     assert df.first()["count"] == 2
+
+
+def test_repl_run_statement(spark, tmp_path):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.__main__ import (
+        run_statement,
+    )
+
+    e = Engine(spark, str(tmp_path / "repl"))
+    assert run_statement(e, "CREATE TABLE t (a INT, b TEXT)") == "OK"
+    assert "2 row(s)" in run_statement(e, "INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    out = run_statement(e, "SELECT * FROM t ORDER BY a")
+    assert out.splitlines()[0].startswith("a") and "x" in out
+    assert run_statement(e, "show tables") == "t"
+    assert "image dir set" in run_statement(e, "SET IMAGE DIR /tmp/imgs")
+    assert run_statement(e, "SHOW IMAGE DIR") == "/tmp/imgs"
+    nl_out = run_statement(e, "how many t are there?")
+    assert nl_out.startswith("-- SELECT COUNT(*)")

@@ -237,3 +237,40 @@ def test_blocked_all_pairs_matches_brute_force(spark, sf_dir):
     assert [(r.id_a, r.id_b) for r in brute] == [(r.id_a, r.id_b) for r in blocked]
     for rb, rk in zip(brute, blocked):
         assert rb.score == pytest.approx(rk.score, abs=1e-5)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"v" * 4096), (2, b"a" * 10)], ["id", "payload"])
+    media = multimodal.wrap_binary(df, "id", "payload", "video")
+    frames = multimodal.frame_sample_plan(media, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_no)
+    assert by_id[1] == [0, 2]  # 4 pseudo-frames sampled every 2
+    assert by_id[2] == [0]    # tiny payload → 1 frame
+    # offsets derive from metadata, not decode
+    offs = {(r.media_id, r.frame_no): r.byte_offset for r in frames}
+    assert offs[(1, 2)] == 4096 * 2
+
+
+def test_sliding_window_sum_and_avg(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        sliding_value_avg,
+        sliding_value_sum,
+    )
+
+    s = run_to_memory(
+        sliding_value_sum(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    a = run_to_memory(
+        sliding_value_avg(read_events_stream(spark, sf_dir)), mode="complete"
+    )
+    sums = {r.ws: (r.n, r.total) for r in s.collect()}
+    avgs = {r.ws: (r.n, r.avg_value) for r in a.collect()}
+    assert sums.keys() == avgs.keys() and len(sums) > 0
+    for ws, (n, total) in sums.items():
+        an, avg = avgs[ws]
+        assert an == n
+        assert avg == pytest.approx(total / n, abs=0.01)
