@@ -774,3 +774,137 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM (
+      SELECT p.p_partkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE p.p_size = 15
+    ) WHERE rn = 1
+    ORDER BY p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2's correlated "supplier with best metric per part" expressed as a
+    # window top-1 instead of a correlated subquery — one shuffle on
+    # partkey, no re-scan (the classic decorrelation rewrite).
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        F.broadcast(part)
+        .join(li, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "s_suppkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "s_name", r2(F.col("s_acctbal"), "acctbal"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q15_top_suppliers",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "total_revenue")
+    )
+    # max-revenue scalar via a window over an empty partition spec is a
+    # single-reducer bottleneck; a broadcast scalar join keeps it parallel.
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+        .join(supplier, supplier.s_suppkey == revenue.l_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, 0.8 * avg(l_quantity) AS qty_bar
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_bar
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bars = li.groupBy(F.col("l_partkey").alias("bk")).agg(
+        (F.avg("l_quantity") * 0.8).alias("qty_bar")
+    )
+    return (
+        li.join(bars, li.l_partkey == bars.bk)
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(r2(F.sum("l_extendedprice") / 7.0, "avg_yearly"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            r2(F.sum("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("segment")
+    )
