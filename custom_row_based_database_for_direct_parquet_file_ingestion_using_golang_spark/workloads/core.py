@@ -316,3 +316,77 @@ def agg_count_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(nonopen).alias("count_nonopen"),
         F.count_distinct(nonopen).alias("distinct_nonopen"),
     )
+
+
+# --- reference-dialect-driven entries --------------------------------------
+# These execute through plans/refsql.py (tokenizer → recursive-descent →
+# Query builder), so the driver's oracle gate exercises the reference SQL
+# dialect end-to-end, not just the DataFrame surface.
+
+
+class _SfTables:
+    """Minimal table resolver so RefSQL can run SELECTs over the sf dir."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        return load(self.spark, self.sf_dir, name)
+
+
+def _ref_select(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from ..plans.refsql import RefSQL
+
+    return RefSQL(_SfTables(spark, sf_dir)).execute(sql)
+
+
+@query(
+    "refsql_group_having_order",
+    """
+    SELECT o_orderpriority, count(*) AS count FROM orders
+    GROUP BY o_orderpriority HAVING count(*) > 2500
+    ORDER BY o_orderpriority
+    """,
+)
+def refsql_group_having_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, COUNT(*) FROM orders "
+        "GROUP BY o_orderpriority HAVING count > 2500 ORDER BY o_orderpriority",
+    )
+
+
+@query(
+    "refsql_where_like_between",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_name LIKE '%gre%' AND p_size BETWEEN 5 AND 10
+      AND NOT p_brand = 'Brand#3'
+    """,
+)
+def refsql_where_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE p_name LIKE '%gre%' AND p_size BETWEEN 5 AND 10 "
+        "AND NOT p_brand = 'Brand#3'",
+    )
+
+
+@query(
+    "refsql_distinct_order_limit",
+    """
+    SELECT DISTINCT c_mktsegment FROM customer
+    ORDER BY c_mktsegment LIMIT 3 OFFSET 1
+    """,
+)
+def refsql_distinct_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT DISTINCT c_mktsegment FROM customer "
+        "ORDER BY c_mktsegment LIMIT 3 OFFSET 1",
+    )
