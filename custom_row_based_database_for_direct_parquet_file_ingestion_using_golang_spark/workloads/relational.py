@@ -639,8 +639,8 @@ def q4_priority_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-        OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -657,9 +657,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY") | (
-        F.col("supp_nation") == "GERMANY"
-    ) & (F.col("cust_nation") == "FRANCE")
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
     return (
         li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
@@ -818,16 +818,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_suppliers",
     """
     WITH revenue AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, round(r.rev, 2) AS total_revenue
     FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
-    ORDER BY s.s_suppkey
+    ORDER BY r.rev DESC, s.s_suppkey LIMIT 1
     """,
 )
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,16 +836,18 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "total_revenue")
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     )
-    # max-revenue scalar via a window over an empty partition spec is a
-    # single-reducer bottleneck; a broadcast scalar join keeps it parallel.
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    # Top-1 by the UNROUNDED value with a unique tie-break: equality against
+    # a rounded max would turn a half-cent cross-engine rounding divergence
+    # into a row-membership mismatch. TakeOrderedAndProject keeps this a
+    # single-pass top-k, no extra shuffle.
     return (
-        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
-        .join(supplier, supplier.s_suppkey == revenue.l_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
+        revenue.join(supplier, supplier.s_suppkey == revenue.l_suppkey)
+        .select("s_suppkey", "s_name", r2(F.col("rev"), "total_revenue"), F.col("rev"))
+        .orderBy(F.col("rev").desc(), F.col("s_suppkey"))
+        .limit(1)
+        .drop("rev")
     )
 
 
@@ -880,7 +881,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment AS segment, count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -894,8 +895,10 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
+    # Threshold rounded to 2dp on both sides: an unrounded cross-engine avg
+    # can differ by ULPs and flip membership for a boundary customer.
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         customer.join(F.broadcast(avg_bal))

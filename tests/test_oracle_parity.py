@@ -78,3 +78,14 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 
 def test_every_oracle_has_query():
     assert set(workload.ORACLES) <= set(workload.QUERIES)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_query_not_vacuous(name, spark, sf_dir, duck):
+    """An oracle entry that returns zero rows on the fixtures verifies
+    nothing (empty == empty passes for ANY bug that yields empty). Every
+    entry must produce rows at the test scale."""
+    n = duck.execute(
+        f"SELECT count(*) FROM ({workload.ORACLES[name]})"
+    ).fetchone()[0]
+    assert n > 0, f"{name}: oracle returns 0 rows at this scale — vacuous check"
