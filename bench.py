@@ -55,9 +55,11 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similar_pairs_top15",
     "multimodal_image_features",
+    "pipeline_curate_corpus",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
+    "stream_stream_join",
 ]
 
 
