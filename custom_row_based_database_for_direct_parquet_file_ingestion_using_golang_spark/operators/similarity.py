@@ -146,6 +146,107 @@ def blocked_all_pairs_topk(
     )
 
 
+def _kmeans_centroids(
+    sample: "list[list[float]]", n_centroids: int, n_iter: int, seed: int
+) -> "list[list[float]]":
+    """Plain Lloyd iterations over a small training sample, numpy-only.
+    Centroids are L2-normalized (spherical k-means) so IVF assignment by
+    max dot product agrees with cosine similarity."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent.tolist()
+
+
+def _centroid_dots(vec: Column, centroids: "list[list[float]]") -> Column:
+    """array<double> of dot(vec, centroid_i) — centroid weights ship as plan
+    literals, so the whole assignment is JVM-side column algebra."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(w) for w in c])) for c in centroids]
+    )
+
+
+def _argmax_1based(arr: Column) -> Column:
+    return F.array_position(arr, F.array_max(arr))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_limit: int = 512,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse spherical-k-means
+    quantizer partitions the corpus into ``n_centroids`` lists; a query
+    scans only its ``n_probe`` nearest lists with exact cosine.
+
+    Training runs driver-side on a small deterministic sample (ordered
+    prefix) — the standard offline coarse-quantizer step; at 100 TB you
+    train once on a sample (or with distributed kmeans||), persist the
+    centroids, and write the corpus partitioned by list id so a probe
+    becomes a partition-pruned scan instead of a full pass. Assignment and
+    probing here are pure Column algebra over broadcast literals — no UDFs,
+    one narrow map over the corpus, then a broadcast join against the
+    probed list ids.
+    """
+    sample_rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(train_limit)
+        .collect()
+    )
+    centroids = _kmeans_centroids(
+        [r.v for r in sample_rows], n_centroids, n_iter, seed
+    )
+
+    listed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias("list_id"),
+    )
+    # Query's n_probe nearest lists, in-plan: rank centroid dots via a
+    # sorted array of (-dot, idx) structs, slice the prefix, explode.
+    qd = _centroid_dots(F.col("q"), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            qd,
+            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
+        )
+    )
+    probes = query.select(
+        "q",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
+        ).alias("list_id"),
+    )
+    cand = listed.join(F.broadcast(probes), "list_id")
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -307,6 +307,17 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
 
 
+@query("ann_ivf_top10")  # rows-only: IVF probing is approximate by design
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Coarse-quantizer scale path: spherical k-means lists + n_probe exact
+    # rescoring (operators/similarity.ivf_topk). Recall vs brute force is
+    # pinned by pytest (test_operators.py) rather than a SQL oracle — the
+    # probed candidate set is a property of the trained centroids.
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10)
+
+
 # --- multimodal ------------------------------------------------------------
 
 

@@ -127,6 +127,38 @@ def test_lsh_topk_finds_planted_neighbor(spark):
     assert 1 in ids  # the planted neighbor survives bucketing
 
 
+def test_ivf_topk_self_first_and_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", q, k=10, n_centroids=8, n_probe=4
+    ).collect()
+    # the query's own list is always probed → the query itself is rank 1
+    assert ivf[0].vec_id == 0 and ivf[0].score == pytest.approx(1.0)
+    assert all(ivf[i].score >= ivf[i + 1].score for i in range(len(ivf) - 1))
+    # probing half the lists must recover most of the exact top-10
+    recall = len({r.vec_id for r in ivf} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
+    # probing every list degenerates to brute force — results must match
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=8).collect()
+    ivf = similarity.ivf_topk(
+        emb, "vec_id", "embedding", q, k=8, n_centroids=4, n_probe=4
+    ).collect()
+    assert [r.vec_id for r in ivf] == [r.vec_id for r in brute]
+    for a, b in zip(ivf, brute):
+        assert a.score == pytest.approx(b.score)
+
+
 def test_token_counts_edge_cases(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, ""), (3, "   "), (4, "a, b; c!")], ["id", "t"]
