@@ -123,23 +123,46 @@ def jaccard_pairs(
     return out
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multiply-add constants for the universal hash
+    family h_i(x) = (a_i·x + b_i) mod (2³¹−1), a_i ≠ 0."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each of ``num_perm`` hash families,
-    the min xxhash64(perm_index, shingle) over the doc's shingle set.
-    Computed with one explode + one groupBy — no per-row Python."""
+    """Per-doc MinHash signature: each shingle is string-hashed ONCE
+    (xxhash64 → mod 2³¹−1), then the ``num_perm`` permutations are derived
+    with a multiply-add universal hash family — integer ops, not repeated
+    string hashing (~10× cheaper signatures; a_i·x + b_i stays < 2⁶² so the
+    arithmetic is exact even under ANSI overflow checking). One explode +
+    one groupBy — no per-row Python."""
     # Multiset shingles suffice: min(hash) over a multiset equals min over
     # the set, so the array_distinct cost is skipped entirely.
     exploded = df.select(
         F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
     )
+    base = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_31))
     # num_perm hash families as COLUMNS, not exploded rows: the groupBy
     # computes num_perm partial mins map-side, so the only shuffle carries
     # one row per doc (num_perm longs) instead of docs × shingles × perms
     # rows. ~60× less shuffle volume at num_perm=64.
     hashed = exploded.select(
-        "doc", *[F.xxhash64(F.lit(i), "s").alias(f"h{i}") for i in range(num_perm)]
+        "doc",
+        *[
+            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(_perm_params(num_perm))
+        ],
     )
     return hashed.groupBy("doc").agg(
         F.array(*[F.min(f"h{i}") for i in range(num_perm)]).alias("sig")

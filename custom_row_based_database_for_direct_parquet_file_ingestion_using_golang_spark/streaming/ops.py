@@ -173,17 +173,36 @@ def stream_upsert_into(engine, table: str, stream: DataFrame, keys: list[str]):
 
 
 def run_to_memory(
-    sdf: DataFrame, mode: str = "complete", name: str | None = None
+    sdf: DataFrame,
+    mode: str = "complete",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a (bounded) streaming DataFrame to completion via a memory
-    sink; returns the materialized batch DataFrame."""
-    name = name or f"stream_{uuid.uuid4().hex[:10]}"
-    q = sdf.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sink; returns the materialized batch DataFrame.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for this
+    query's lifetime. A streaming query's state-store partition count is
+    fixed at first start from that conf, and every micro-batch pays a
+    per-partition state commit — so it must be sized to stream volume, not
+    inherited from the batch shuffle default (32 partitions of mostly-empty
+    state cost ~5x the runtime of 8 on these bounded streams; on a live
+    cluster you size it to peak keys/throughput once, at first deploy).
+    """
     spark = sdf.sparkSession
+    name = name or f"stream_{uuid.uuid4().hex[:10]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = sdf.writeStream.outputMode(mode).format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
