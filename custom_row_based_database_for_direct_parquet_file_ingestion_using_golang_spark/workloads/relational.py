@@ -639,8 +639,8 @@ def q4_priority_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
-        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+        OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -657,8 +657,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
-        F.col("supp_nation") == "NATION_7"
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8") | (
+        F.col("supp_nation") == "NATION_8"
     ) & (F.col("cust_nation") == "NATION_3")
     return (
         li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
@@ -910,6 +910,376 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("c_acctbal"), "totacctbal"),
         )
         .orderBy("segment")
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT yr, round(100.0 * sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 2) AS mkt_share_pct
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY yr ORDER BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape (national market share): one fact-fact shuffle
+    # (lineitem⋈orders), everything else broadcast. part/supplier/nation/
+    # region prune lineitem rows *before* the big join; customer⋈orders
+    # rides the same orderkey/custkey shuffles Catalyst plans. Conditional
+    # share = sum(CASE)/sum — a single aggregate pass, no self-join.
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supplier = load(spark, sf_dir, "supplier")
+    cust_dim = (
+        customer.join(F.broadcast(n1), customer.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_dim = supplier.join(
+        F.broadcast(n2), supplier.s_nationkey == F.col("n2.n_nationkey")
+    ).select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust_dim), F.col("c_custkey") == orders.o_custkey)
+        .join(F.broadcast(supp_dim), F.col("s_suppkey") == li.l_suppkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            r2(
+                100.0
+                * F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                "mkt_share_pct",
+            )
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "q9_nation_profit",
+    """
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS yr,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, yr
+    ORDER BY nation, yr DESC
+    """,
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 shape (product-type profit). No partsupp table in the
+    # fixture, so supply cost is proxied as 0.6·p_retailprice — same join
+    # graph and measure structure. part filter broadcast into the lineitem
+    # scan kills ~5/6 of rows before the one orders shuffle.
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("s_suppkey") == li.l_suppkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(r2(F.sum(profit), "profit"))
+        .orderBy(F.col("nation"), F.col("yr").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH supplied AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_12'
+    )
+    SELECT l_partkey AS partkey, round(sum(l_extendedprice), 2) AS value
+    FROM supplied
+    GROUP BY l_partkey
+    HAVING round(sum(l_extendedprice), 2) > round(
+      (SELECT sum(l_extendedprice) FROM supplied) * 0.001, 2)
+    ORDER BY sum(l_extendedprice) DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (important stock): per-key aggregate filtered by a
+    # scalar-subquery fraction of the global total. The global sum is
+    # re-aggregated from the (tiny, one-row-per-partkey) per-part result —
+    # which is cached so lineitem is scanned ONCE, not once per branch —
+    # then broadcast into the HAVING. Threshold comparison is on
+    # 2dp-rounded values on both sides (q22 precedent: ULP-level
+    # cross-engine sum divergence must not flip membership).
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
+    supplied = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = supplied.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    per_part = per_part.cache()
+    total = per_part.agg(F.round(F.sum("raw_value") * 0.001, 2).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.round(F.col("raw_value"), 2) > F.col("threshold"))
+        .orderBy(F.col("raw_value").desc(), F.col("l_partkey"))
+        .select(F.col("l_partkey").alias("partkey"), r2(F.col("raw_value"), "value"))
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_returnflag AS flag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY flag ORDER BY flag
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (shipping modes / late lines). The fixture has no
+    # l_shipmode or commit/receipt dates, so "mode" = l_returnflag and
+    # "late" = shipped >60 days after order date — same join + dual
+    # conditional-count structure. The non-equi lateness predicate is a
+    # post-join filter on the single orderkey shuffle; the shipdate range
+    # is pushed to the parquet scan.
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY brand, type, size
+    ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (supplier relationships per part attribute): the
+    # lineitem fact stands in for partsupp; "complaint" suppliers =
+    # negative account balance, excluded with a broadcast anti-join (the
+    # NOT IN is safe to rewrite: s_suppkey is non-null). count(DISTINCT)
+    # shuffles once on the grouping key; part filter broadcast-prunes first.
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    bad_suppliers = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_suppliers), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape (three OR'd brand/size/quantity branches; container
+    # predicates become p_size ranges — no p_container in the fixture).
+    # Catalyst extracts the common l_quantity<=30-ish bounds it can and
+    # pushes the per-side conjuncts below the join (part side: brand/size;
+    # lineitem side: quantity envelope), so the broadcast join sees
+    # pre-filtered inputs despite the disjunction.
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    branch = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return joined.filter(
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    ).agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"))
+
+
+@query(
+    "q20_excess_volume_suppliers",
+    """
+    SELECT s.s_name AS name, round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_8'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'SMALL'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 100
+      )
+    ORDER BY name
+    """,
+)
+def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 shape (nested IN over an aggregated subquery): suppliers in
+    # one nation who shipped >100 units of SMALL parts in 1997 (availqty
+    # threshold adapted — no partsupp). The inner aggregate reduces
+    # lineitem to one row per supplier BEFORE the semi-join, so the join
+    # probe side is tiny; part + date filters prune the scan first.
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(heavy), supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_name").alias("name"), r2(F.col("s_acctbal"), "acctbal"))
+        .orderBy("name")
+    )
+
+
+@query(
+    "q21_sole_late_suppliers",
+    """
+    SELECT s.s_name AS name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY name ORDER BY numwait DESC, name LIMIT 20
+    """,
+)
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (suppliers who alone kept F-status orders waiting;
+    # "late" = shipped >90 days after order date — no receipt/commit dates
+    # in the fixture). The double correlated EXISTS/NOT EXISTS is
+    # decorrelated into ONE window pass over the orderkey partition:
+    # distinct-supplier and distinct-late-supplier sets per order replace
+    # two re-scans of lineitem — one shuffle total vs three in the naive
+    # plan, the decisive rewrite at 100 TB.
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "name")
+        .limit(20)
     )
 
 
