@@ -104,3 +104,39 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_new_tpch_shapes_broadcast_dimensions(spark, sf_dir):
+    for name in [
+        "q8_market_share",
+        "q9_nation_profit",
+        "q16_supplier_part_counts",
+        "q19_disjunctive_revenue",
+        "q20_excess_volume_suppliers",
+    ]:
+        df = w.QUERIES[name](spark, sf_dir)
+        assert has_broadcast_join(df), f"{name} lost its broadcast join"
+
+
+def test_q21_window_reuses_join_partitioning(spark, sf_dir):
+    # The decorrelated double-EXISTS: lineitem⋈orders shuffles each side on
+    # orderkey (2 exchanges) and the collect_set windows reuse that exact
+    # partitioning — a regression to 3+ means the window re-shuffled.
+    df = w.QUERIES["q21_sole_late_suppliers"](spark, sf_dir)
+    assert shuffle_count(df) == 2
+
+
+def test_q12_pushes_shipdate_range_to_scan(spark, sf_dir):
+    pf = pushed_filters(w.QUERIES["q12_priority_shipping"](spark, sf_dir))
+    assert any("GreaterThanOrEqual(l_shipdate" in f for f in pf), pf
+    assert any("LessThan(l_shipdate" in f for f in pf), pf
+
+
+def test_q19_disjunction_keeps_part_filter_above_scan_but_joins_broadcast(
+    spark, sf_dir
+):
+    # The three OR'd branches cannot push a single conjunct per side beyond
+    # the brand/size/quantity envelopes, but the join must stay broadcast
+    # and shuffle-free up to the global aggregate.
+    df = w.QUERIES["q19_disjunctive_revenue"](spark, sf_dir)
+    assert shuffle_count(df) == 0
