@@ -538,3 +538,72 @@ def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- deterministic sampling / dataset splits -------------------------------
+#
+# Training pipelines need REPRODUCIBLE sampling: rand()-based sampling gives
+# a different corpus every run (and every retry of a failed task re-rolls
+# its partition). Hashing a stable key instead makes the sample a pure
+# function of the data — identical across runs, engines, partitionings, and
+# cluster sizes, and cheap (one md5 per row, inside codegen, no shuffle).
+# md5 rather than xxhash64 so the DuckDB oracle computes the identical
+# bucket for every row.
+
+
+def _md5_bucket(key) -> F.Column:
+    """First md5 byte of the stringified key as a hex pair — a uniform
+    deterministic bucket in ['00', 'ff']."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+@query(
+    "sample_hash_deterministic",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ~5% sample ('0d'/'100' = 13/256): a narrow filter evaluated in the
+    # scan stage — at 100 TB this samples without a shuffle and without
+    # materializing the population, and re-running yields byte-identical
+    # output (unlike TABLESAMPLE / df.sample, which re-roll per run and
+    # per task retry).
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(_md5_bucket(F.col("doc_id")) < "0d")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_train_eval_stratified",
+    """
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'eval' END AS split,
+           count(*) AS n,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def split_train_eval_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic ~90/10 train/eval split ('e6' = 230/256), reported per
+    # source stratum. The split column is a pure row-local expression, so
+    # assignment never moves data — the only shuffle is the reporting
+    # groupBy. A doc's split membership is stable under appends: adding new
+    # rows never flips existing assignments (hash, not ntile/row_number).
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(_md5_bucket(F.col("doc_id")) < "e6", "train").otherwise("eval")
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.avg("n_chars"), "avg_chars"))
+        .orderBy("source", "split")
+    )
