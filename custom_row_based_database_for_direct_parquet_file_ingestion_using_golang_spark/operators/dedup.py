@@ -21,9 +21,17 @@ SQL oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import normalize_text, shingle_multiset, shingles, tokenize
+from .text import (
+    norm_tokens,
+    normalize_text,
+    shingle_multiset,
+    shingles,
+    shingles_from_tokens,
+    tokenize,
+)
+from .util import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -62,8 +70,11 @@ def _shingle_index(
     Dedup happens at row level (.distinct() after explode) rather than via
     array_distinct inside the expression — distributed, and ~4× cheaper on
     wide documents."""
-    index = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
+    toked = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), norm_tokens(text_col).alias("toks")
+    )
+    index = toked.select(
+        "doc", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("s")
     ).distinct()
     if max_doc_freq is not None:
         # Drop stop-shingles: a shingle appearing in k docs contributes k²
@@ -141,32 +152,44 @@ def _perm_params(num_perm: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: each shingle is string-hashed ONCE
-    (xxhash64 → mod 2³¹−1), then the ``num_perm`` permutations are derived
-    with a multiply-add universal hash family — integer ops, not repeated
-    string hashing (~10× cheaper signatures; a_i·x + b_i stays < 2⁶² so the
-    arithmetic is exact even under ANSI overflow checking). One explode +
-    one groupBy — no per-row Python."""
+    """Per-doc MinHash signature, computed ROW-LOCALLY: each shingle is
+    string-hashed once (xxhash64 → mod 2³¹−1) into a per-row array, then
+    each of the ``num_perm`` permutations is an ``array_min`` over a
+    multiply-add universal hash of that array (a_i·x + b_i stays < 2⁶² so
+    the arithmetic is exact even under ANSI overflow checking).
+
+    min-over-shingles needs no aggregation across rows, so this is a pure
+    projection: zero shuffle, zero explode — at 100 TB the signature stage
+    runs at scan speed inside one codegen stage. (The earlier
+    explode + groupBy formulation shuffled one row per doc and hash-merged
+    docs × shingles map-side; this does the same arithmetic with no
+    exchange at all.)"""
     # Multiset shingles suffice: min(hash) over a multiset equals min over
-    # the set, so the array_distinct cost is skipped entirely.
-    exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingle_multiset(text_col, n)).alias("s")
+    # the set, so the array_distinct cost is skipped entirely. Tokens and
+    # the hashed-shingle array are staged as their own selects: each is
+    # multi-referenced downstream, and a column reference is an attribute
+    # read while an inlined expression would recompute regex/hash passes
+    # per reference (no CSE in interpreted higher-order functions).
+    toked = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), norm_tokens(text_col).alias("toks")
     )
-    base = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_31))
-    # num_perm hash families as COLUMNS, not exploded rows: the groupBy
-    # computes num_perm partial mins map-side, so the only shuffle carries
-    # one row per doc (num_perm longs) instead of docs × shingles × perms
-    # rows. ~60× less shuffle volume at num_perm=64.
-    hashed = exploded.select(
-        "doc",
+    base = F.transform(
+        shingles_from_tokens(F.col("toks"), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+    )
+    hashed = toked.select("doc", base.alias("bh"))
+    sig = F.array(
         *[
-            F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_31)).alias(f"h{i}")
-            for i, (a, b) in enumerate(_perm_params(num_perm))
-        ],
+            F.array_min(
+                F.transform(
+                    F.col("bh"),
+                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31)),
+                )
+            )
+            for a, b in _perm_params(num_perm)
+        ]
     )
-    return hashed.groupBy("doc").agg(
-        F.array(*[F.min(f"h{i}") for i in range(num_perm)]).alias("sig")
-    )
+    return hashed.select("doc", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -189,21 +212,61 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
-    banded = sigs.select(
+    # Band buckets computed directly from the per-permutation mins, all in
+    # ONE projection over the per-row shingle-hash array. Deliberately NOT
+    # minhash_signatures(...) + slice: a downstream expression that
+    # references the signature column once (e.g. inside a transform lambda)
+    # gets the whole 64-min expression inlined by CollapseProject and
+    # recomputed per band — measured 4× slower. Here every min feeds exactly
+    # one band's xxhash64, and the shared ``bh`` array sits behind its own
+    # select (multi-referenced → Catalyst keeps it materialized per row).
+    params = _perm_params(num_perm)
+    # Tokens staged once and shared by the signature AND verification
+    # branches (attribute reads, not recomputed regex passes — see
+    # minhash_signatures for why staging matters).
+    toked = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), norm_tokens(text_col).alias("toks")
+    )
+    base = F.transform(
+        shingles_from_tokens(F.col("toks"), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+    )
+    hashed = toked.select("doc", base.alias("bh"))
+
+    def perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("bh"),
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31)),
+            )
+        )
+
+    banded = hashed.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r))).alias(
-                        "bucket"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.xxhash64(
+                            *[perm_min(*params[bnd * r + j]) for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    # Materialize band/bucket rows ONCE before the self-join: a broadcast
+    # (or even shuffle) self-join plans two independent copies of the whole
+    # signature pipeline — measured ~2× the stage cost. localCheckpoint
+    # stores one compact row per (doc, band) — 16 rows of three longs per
+    # doc, disk-spillable, auto-cleaned when the RDD is GC'd — comparable
+    # to the shuffle the join writes anyway. (Trade-off vs persist():
+    # lineage is truncated, so a lost executor means recomputing the
+    # operator rather than one partition — acceptable for a bounded
+    # intermediate; persist() would leak a CacheManager entry instead.)
+    banded = banded.localCheckpoint()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -213,7 +276,9 @@ def minhash_lsh_pairs(
     )
     # Exact-verify ONLY the candidates: join their shingle sets and compute
     # |A∩B| / |A∪B| per pair — O(candidates), not O(all overlapping pairs).
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    sh = toked.select(
+        "doc", F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sh")
+    )
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -235,44 +300,37 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token-hash
-    bits (+1/-1). Expressed as explode(token)×explode(bit) + groupBy —
-    shuffles once on (doc, bit), once on doc."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokenize(normalize_text(text_col))).alias("t")
+    bits (+1/-1), computed ROW-LOCALLY.
+
+    Per bit i the signed sum is 2·ones_i − n_tokens (ones_i = tokens whose
+    hash has bit i set), so the whole hash is a projection over the per-row
+    token-hash array: zero shuffle, zero explode, one codegen stage — the
+    earlier explode-to-(doc,bit) formulation shuffled twice for the same
+    arithmetic. Docs with no tokens hash to 0 (all per-bit sums empty)."""
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
+        ).alias("hs"),
     )
-    hashed = toks.select("doc", F.xxhash64("t").alias("h"))
-    # Shift amounts must be Python ints for shiftright/shiftleft, so the
-    # 64-bit loop unrolls at plan-build time — 64 literal expressions, all
-    # inside one codegen stage; the per-(doc,bit) partial sums combine
-    # map-side before the single shuffle on doc.
-    bits = hashed.select(
-        "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                    for i in range(64)
-                ]
+
+    def bit_set(i: int) -> Column:
+        # 2·ones_i > n_tokens  ⇔  per-bit signed sum > 0
+        ones = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
             )
-        ).alias("bit", "sign"),
-    )
-    per_bit = bits.groupBy("doc", "bit").agg(F.sum("sign").alias("s"))
+        )
+        return ones * 2 > F.size(F.col("hs"))
+
     # Bit 63's weight is the sign bit: -(2^63) in two's complement, so the
     # packed value is an ordinary signed long (1 << 63 would overflow).
-    weights = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(63)],
-        F.lit(-(1 << 63)).cast("long"),
-    )
-    return (
-        per_bit.groupBy("doc")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.element_at(weights, F.col("bit").cast("int") + 1)
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        w = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        packed = packed + F.when(bit_set(i), w).otherwise(F.lit(0).cast("long"))
+    return hashed.select("doc", packed.alias("simhash"))
 
 
 def simhash_pairs(
@@ -305,6 +363,10 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc", "simhash", "ck.chunk", "ck.key")
+    # Materialize once before the self-join — same rationale as
+    # minhash_lsh_pairs: either join strategy would otherwise compute the
+    # SimHash pipeline once per side.
+    blocked = blocked.localCheckpoint()
     return (
         blocked.alias("x")
         .join(blocked.alias("y"), ["chunk", "key"])

@@ -134,12 +134,22 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
-def shingle_multiset(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text, WITH duplicates (cheap:
+def norm_tokens(text: Column | str) -> Column:
+    """Normalized word tokens — the staging column for shingling. Callers
+    doing heavy shingle work should materialize THIS as its own select
+    (``df.select(..., norm_tokens("text").alias("toks"))``) and build
+    shingles from the column: the shingle expression references its token
+    array ~n+2 times, and if that reference is the raw split+normalize
+    expression instead of a column, interpreted evaluation recomputes the
+    two regex passes per reference (measured 4.4s → 1.9s per 10k docs)."""
+    return F.split(normalize_text(text), " ")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle multiset from a token-array column (cheap:
     n fixed-offset slices zipped together — the per-index slice/transform
     formulation is ~4× slower per doc). Documents with fewer than n words
     get their whole text as the single shingle."""
-    toks = F.split(normalize_text(text), " ")
     k = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, k)
     for i in range(1, n):
@@ -147,6 +157,13 @@ def shingle_multiset(text: Column | str, n: int = 3) -> Column:
             grams, F.slice(toks, i + 1, k), lambda a, b: F.concat_ws(" ", a, b)
         )
     return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+
+
+def shingle_multiset(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text, WITH duplicates.
+    Convenience form over a raw text column; hot paths should stage
+    ``norm_tokens`` as a column first (see its docstring)."""
+    return shingles_from_tokens(norm_tokens(text), n)
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

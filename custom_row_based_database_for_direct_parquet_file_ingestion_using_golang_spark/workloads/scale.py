@@ -420,8 +420,11 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one dedup shuffle, one agg shuffle — the whole curation
     pipeline as a single Catalyst plan."""
     from ..operators.text import normalize_text
+    from ..operators.util import ensure_parallelism
 
-    docs = load(spark, sf_dir, "documents")
+    # Lang-ID + quality + normalization are hundreds of ops/row; a
+    # single-row-group input file would serialize them onto one core.
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
         lang_guess("text").alias("guess"),
