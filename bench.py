@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     # LLM-data-pipeline tier
     "text_token_stats",
     "text_quality_scores",
+    "text_repetition_ratio",
+    "contamination_eval_train_overlap",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_top20",
     "dedup_minhash_lsh",

@@ -68,18 +68,48 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
-def stopword_ratio(text: Column | str) -> Column:
-    toks = tokenize(F.lower(_c(text)))
+def stopword_ratio_from_tokens(toks_lower: Column) -> Column:
+    """Stopword fraction from a LOWERCASED token-array column."""
     stops = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(n_stop / F.size(toks))
+    n_stop = F.size(F.filter(toks_lower, lambda x: F.array_contains(stops, x)))
+    return F.when(F.size(toks_lower) == 0, F.lit(0.0)).otherwise(
+        n_stop / F.size(toks_lower)
+    )
 
 
-def mean_word_len(text: Column | str) -> Column:
-    toks = tokenize(_c(text))
+def stopword_ratio(text: Column | str) -> Column:
+    return stopword_ratio_from_tokens(tokenize(F.lower(_c(text))))
+
+
+def mean_word_len_from_tokens(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
+    )
+
+
+def mean_word_len(text: Column | str) -> Column:
+    return mean_word_len_from_tokens(tokenize(_c(text)))
+
+
+def quality_score_from_tokens(
+    text: Column | str, toks: Column, toks_lower: Column
+) -> Column:
+    """quality_score over PRE-STAGED token columns (``tokenize(text)`` and
+    ``tokenize(lower(text))`` materialized as their own select). Hot paths
+    should use this: the composite score references its token arrays three
+    times, and interpreted higher-order functions re-evaluate an inlined
+    tokenize expression per reference (see norm_tokens)."""
+    t = _c(text)
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4)
+    stop = stopword_ratio_from_tokens(toks_lower)
+    stop_score = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    mwl = mean_word_len_from_tokens(toks)
+    word_score = F.when(mwl.between(2.0, 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        len_score * 0.4 + punct_score * 0.2 + stop_score * 0.2 + word_score * 0.2, 4
     )
 
 
@@ -89,26 +119,16 @@ def quality_score(text: Column | str) -> Column:
     the human range. Deliberately simple (length/punct/stopword features à
     la Gopher/C4 quality rules) and fully SQL-mirrorable."""
     t = _c(text)
-    n_tok = token_count(t).cast("double")
-    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
-    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 4)
-    stop = stopword_ratio(t)
-    stop_score = F.when(stop.between(0.01, 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    mwl = mean_word_len(t)
-    word_score = F.when(mwl.between(2.0, 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round(
-        len_score * 0.4 + punct_score * 0.2 + stop_score * 0.2 + word_score * 0.2, 4
-    )
+    return quality_score_from_tokens(t, tokenize(t), tokenize(F.lower(t)))
 
 
-def lang_guess(text: Column | str) -> Column:
+def lang_guess_from_tokens(toks_lower: Column) -> Column:
     """Argmax of per-language marker-token hit counts; 'und' when all zero.
     Ties break by language code order (deterministic)."""
-    toks = tokenize(F.lower(_c(text)))
     scores = []
     for lang in sorted(LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda x: F.array_contains(markers, x)))
+        score = F.size(F.filter(toks_lower, lambda x: F.array_contains(markers, x)))
         scores.append((lang, score))
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
@@ -116,6 +136,10 @@ def lang_guess(text: Column | str) -> Column:
     for lang, score in reversed(scores):
         expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_guess(text: Column | str) -> Column:
+    return lang_guess_from_tokens(tokenize(F.lower(_c(text))))
 
 
 def normalize_text(text: Column | str) -> Column:

@@ -99,8 +99,21 @@ def _sql_quality(t: str) -> str:
 
 @query("text_quality_scores", _sql_quality("text"))
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score_from_tokens, tokenize
+
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality"))
+    toked = docs.select(
+        "doc_id",
+        "text",
+        tokenize("text").alias("toks"),
+        tokenize(F.lower("text")).alias("toks_lower"),
+    )
+    return toked.select(
+        "doc_id",
+        quality_score_from_tokens("text", F.col("toks"), F.col("toks_lower")).alias(
+            "quality"
+        ),
+    )
 
 
 def _sql_lang() -> str:
@@ -145,6 +158,154 @@ def text_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# 2-gram construction shared by repetition/top-bigram oracles (mirror of
+# shingles_from_tokens(toks, 2): docs under 2 tokens collapse to one
+# whole-text shingle).
+_SQL_BIGRAMS = """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  END"""
+_SQL_5GRAMS = """CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+4], ' ')))
+                 END"""
+_SQL_TOKS_NORM = f"string_split({_SQL_NORM.format(t='text')}, ' ')"
+
+
+@query(
+    "text_repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    g AS (SELECT doc_id, {_SQL_BIGRAMS} AS g FROM t)
+    SELECT doc_id,
+           CAST(len(g) AS INT) AS n_bigrams,
+           round(1 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 4) AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: fraction of duplicate word
+    bigrams. High values flag boilerplate/spam for corpus filtering. Pure
+    projection (token + bigram arrays staged as columns) — scan speed at
+    100 TB, no shuffle."""
+    from ..operators.text import norm_tokens, shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
+    gramed = toked.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), 2).alias("g")
+    )
+    return gramed.select(
+        "doc_id",
+        F.size("g").cast("int").alias("n_bigrams"),
+        F.round(
+            1 - F.size(F.array_distinct("g")) / F.size("g").cast("double"), 4
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "text_type_token_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr
+    FROM t
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (type-token ratio) per document — the standard
+    cheap vocabulary-richness quality signal."""
+    from ..operators.text import norm_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.size("toks").cast("double"), 4
+        ).alias("ttr"),
+    )
+
+
+@query(
+    "corpus_top_bigrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS gram FROM t)
+    SELECT gram, count(*) AS n
+    FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent bigrams (boilerplate detector). One
+    explode + one partial-aggregated groupBy; the final top-k is a
+    TakeOrderedAndProject, so only 20 rows reach the driver."""
+    from ..operators.text import norm_tokens, shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
+    return (
+        toked.select(F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(20)
+    )
+
+
+@query(
+    "contamination_eval_train_overlap",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_NORM} AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, is_eval, {_SQL_5GRAMS} AS grams FROM d),
+    e AS (SELECT doc_id, is_eval, unnest(grams) AS g FROM sh)
+    SELECT a.doc_id AS eval_doc_id,
+           count(DISTINCT b.doc_id) AS n_train_docs
+    FROM e a JOIN e b ON a.g = b.g AND b.is_eval = FALSE
+    WHERE a.is_eval = TRUE
+    GROUP BY eval_doc_id ORDER BY eval_doc_id
+    """,
+)
+def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: for each eval-split document (same
+    deterministic md5 split as split_train_eval_stratified), count train
+    documents sharing at least one 5-gram. The shingle equi-join only meets
+    docs sharing an actual phrase; at corpus scale you'd add a
+    document-frequency cap on grams (as in jaccard_pairs) to kill
+    stop-phrase hot keys."""
+    from ..operators.text import norm_tokens, shingles_from_tokens
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        norm_tokens("text").alias("toks"),
+        (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
+    )
+    grams = toked.select(
+        "doc_id",
+        "is_eval",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 5))).alias("g"),
+    )
+    ev = grams.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = grams.filter(~F.col("is_eval")).select(F.col("doc_id").alias("train_id"), "g")
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_doc_id")
+        .agg(F.count_distinct("train_id").alias("n_train_docs"))
+        .orderBy("eval_doc_id")
+    )
 
 
 # --- deduplication ---------------------------------------------------------
@@ -419,17 +580,33 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → exact-dedup on normalized text → per-language corpus stats.
     One scan, one dedup shuffle, one agg shuffle — the whole curation
     pipeline as a single Catalyst plan."""
-    from ..operators.text import normalize_text
+    from ..operators.text import (
+        lang_guess_from_tokens,
+        normalize_text,
+        quality_score_from_tokens,
+        tokenize,
+    )
     from ..operators.util import ensure_parallelism
 
     # Lang-ID + quality + normalization are hundreds of ops/row; a
     # single-row-group input file would serialize them onto one core.
+    # Token arrays are staged as their own select so the three features
+    # share one tokenize pass instead of re-evaluating it per reference
+    # (interpreted higher-order functions do no CSE).
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-    scored = docs.select(
+    toked = docs.select(
         "doc_id",
-        lang_guess("text").alias("guess"),
-        quality_score("text").alias("quality"),
-        token_count("text").cast("int").alias("n_tokens"),
+        "text",
+        tokenize("text").alias("toks"),
+        tokenize(F.lower("text")).alias("toks_lower"),
+    )
+    scored = toked.select(
+        "doc_id",
+        lang_guess_from_tokens(F.col("toks_lower")).alias("guess"),
+        quality_score_from_tokens("text", F.col("toks"), F.col("toks_lower")).alias(
+            "quality"
+        ),
+        F.size("toks").cast("int").alias("n_tokens"),
         normalize_text("text").alias("norm"),
     )
     kept = scored.filter(
