@@ -111,6 +111,59 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_DDL = (
+    "media_id long, n_bytes long, sample_rate int, n_channels int, duration_ms long"
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> dict:
+    """Decode one audio payload → {sample_rate, n_channels, duration_ms}.
+
+    Same contract as decode_image: real decode needs soundfile/ffmpeg (not
+    in this container); ``fake=True`` derives deterministic pseudo-params
+    from the byte length so the pipeline stays SQL-oracle-expressible.
+    Duration is integer milliseconds: integer math is bit-identical across
+    engines, where a float round would diverge (Python rounds half-to-even,
+    DuckDB half-away-from-zero)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg (not in this environment); "
+            "pass fake=True for the deterministic stand-in"
+        )
+    n = len(payload)
+    sample_rate = 8000 * (1 + n % 3)  # 8k / 16k / 24k
+    n_channels = 1 + n % 2
+    # 16-bit PCM assumption for the stand-in duration
+    duration_ms = (n * 1000) // (sample_rate * 2 * n_channels)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "duration_ms": duration_ms,
+    }
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-clip audio features via Arrow-batched mapInPandas — identical
+    batch shape and scaling posture as extract_image_features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_audio(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_DDL
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plumbing*: expands each video row into frame
     descriptors (frame_no, byte_offset) without decoding — the shuffle/

@@ -505,6 +505,64 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_image_features(media, fake=True)
 
 
+@query(
+    "multimodal_audio_features",
+    """
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             8000 * (1 + octet_length(encode(text)) % 3) AS sr,
+             1 + octet_length(encode(text)) % 2 AS ch
+      FROM documents
+    )
+    SELECT media_id, n_bytes,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(ch AS INT) AS n_channels,
+           CAST(n_bytes * 1000 // (sr * 2 * ch) AS BIGINT) AS duration_ms
+    FROM a
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio pipeline plumbing end-to-end, same shape as the image entry:
+    # binary payload → canonical media schema → Arrow-batched mapInPandas
+    # (deterministic fake decode; see operators/multimodal.decode_audio).
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = multimodal.wrap_binary(docs, "doc_id", "payload", "audio")
+    return multimodal.extract_audio_features(media, fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             greatest(CAST(octet_length(encode(text)) // 1024 AS INT), 1) AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, n_bytes,
+             CAST(unnest(range(0, n_frames, 30)) AS INT) AS frame_no
+      FROM v
+    )
+    SELECT media_id, frame_no, n_bytes * frame_no AS byte_offset FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Video frame-sampling plumbing: each payload expands to sampled frame
+    # descriptors (explode over a sequence — the row-multiplying shape a
+    # real ffmpeg demuxer feeds). Offsets are synthetic pending a codec.
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = multimodal.wrap_binary(docs, "doc_id", "payload", "video")
+    return multimodal.frame_sample_plan(media, every_n=30).select(
+        "media_id", "frame_no", "byte_offset"
+    )
+
+
 # --- composite: end-to-end training-data curation pipeline ------------------
 
 
