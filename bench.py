@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_scores",
     "text_repetition_ratio",
+    "text_pii_redact",
+    "corpus_line_dedup",
     "contamination_eval_train_overlap",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_top20",

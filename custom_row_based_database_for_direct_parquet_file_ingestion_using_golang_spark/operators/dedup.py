@@ -134,6 +134,75 @@ def jaccard_pairs(
     return out
 
 
+def chunk_tokens_to_lines(
+    df: DataFrame, id_col: str, tokens_col: str, tokens_per_line: int = 8
+) -> DataFrame:
+    """(doc, pos, line) rows: fixed-width token chunks as pseudo-lines.
+
+    Shape matters: posexplode the CHUNK INDEX first, then slice each chunk
+    in an ordinary projection. ``slice`` inside a ``transform`` lambda runs
+    on the interpreted higher-order-function path (measured ~10× slower
+    per doc); outside it, the same slice+concat_ws compiles into the
+    codegen stage and the chunking runs at scan speed.
+    """
+    w = tokens_per_line
+    toks = F.col(tokens_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos", "i"),
+        toks.alias("__t"),
+    ).select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", F.slice(F.col("__t"), F.col("i") * w + 1, F.lit(w))).alias(
+            "line"
+        ),
+    )
+
+
+def line_dedup_stats(lines: DataFrame, max_doc_freq: int = 2) -> DataFrame:
+    """C4-style line-level corpus dedup: drop every line that appears in
+    more than ``max_doc_freq`` distinct documents (boilerplate — nav bars,
+    cookie banners, signatures), keep the rest in order.
+
+    Input: one row per line, columns ``(doc, pos, line)`` (e.g. from
+    chunk_tokens_to_lines, or split('\\n') + posexplode for real lines).
+    Output per document: ``doc``, ``n_lines``, ``n_kept``, and ``kept_fp``
+    (md5 of the kept lines re-joined in position order — the fingerprint of
+    the cleaned document).
+
+    Scale shape: one aggregation on line for the document frequencies →
+    the kept-filter joins against ONLY the dropped-line set (heavy
+    hitters, tiny relative to the corpus — AQE broadcasts it), never
+    against the full per-line frequency table → one groupBy back to docs.
+    Two shuffles total on a 100 TB corpus; the reconstruction sort is
+    row-local (array_sort over each doc's collected lines, not a global
+    orderBy).
+    """
+    dropped = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("line", F.lit(True).alias("__drop"))
+    )
+    flagged = lines.join(dropped, "line", "left").withColumn(
+        "kept", F.col("__drop").isNull()
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "line"))
+    reconstructed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).cast("int").alias("n_kept"),
+        F.md5(F.encode(reconstructed, "UTF-8")).alias("kept_fp"),
+    )
+
+
 _MERSENNE_31 = (1 << 31) - 1
 
 

@@ -158,6 +158,36 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
+# PII patterns, shared verbatim with the SQL oracle. Kept to syntax valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, and \b word boundaries only — no lookarounds or backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+# Redaction order matters where patterns could nest (an email's host part
+# contains dots+digits an IPv4 scan might bite into) — emails first.
+_PII_ORDER = ["email", "phone", "ipv4"]
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII kind ('email' | 'phone' | 'ipv4')."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(_c(text), F.lit(pattern), 0))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII occurrence with its typed placeholder. Pure
+    chained regexp_replace — JVM-side, codegen'd, scan-speed at 100 TB."""
+    out = _c(text)
+    for kind in _PII_ORDER:
+        pattern, placeholder = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
 def norm_tokens(text: Column | str) -> Column:
     """Normalized word tokens — the staging column for shingling. Callers
     doing heavy shingle work should materialize THIS as its own select

@@ -308,6 +308,77 @@ def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _sql_pii() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    em, em_r = PII_PATTERNS["email"]
+    ph, ph_r = PII_PATTERNS["phone"]
+    ip, ip_r = PII_PATTERNS["ipv4"]
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+                    || CAST(doc_id % 254 + 1 AS VARCHAR)
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{em}', '{em_r}', 'g'), '{ph}', '{ph_r}', 'g'),
+               '{ip}', '{ip_r}', 'g')) AS redacted_fp
+    FROM p
+    """
+
+
+@query("text_pii_redact", _sql_pii())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / phone numbers / IPv4) — the
+    standard scrubbing pass before training-data release. Counts and the
+    redacted-text fingerprint per document; pure chained regexp projection,
+    scan speed at 100 TB. Fixture text has no organic PII, so deterministic
+    doc_id-derived PII is planted into every 5th document (same planting
+    in the oracle) — the counts then verify detection, not just absence."""
+    from ..operators.text import pii_count, redact_pii
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        (F.floor(d / 7) % 256).cast("string"),
+        F.lit("."),
+        (d % 254 + 1).cast("string"),
+    )
+    staged = docs.select(
+        "doc_id", F.when(d % 5 == 0, planted).otherwise(F.col("text")).alias("text")
+    )
+    return staged.select(
+        "doc_id",
+        pii_count("text", "email").cast("int").alias("n_emails"),
+        pii_count("text", "phone").cast("int").alias("n_phones"),
+        pii_count("text", "ipv4").cast("int").alias("n_ipv4"),
+        F.md5(F.encode(redact_pii("text"), "UTF-8")).alias("redacted_fp"),
+    )
+
+
 # --- deduplication ---------------------------------------------------------
 
 
@@ -383,6 +454,69 @@ def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
+    )
+
+
+_BOILERPLATE_LINE = "subscribe to our newsletter for daily updates"
+
+
+@query(
+    "corpus_line_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                            i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS lines0
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN list_append(lines0, '{_BOILERPLATE_LINE}')
+                  ELSE lines0 END AS lines
+      FROM c
+    ),
+    l AS (
+      SELECT doc_id, unnest(lines) AS line, unnest(range(0, len(lines))) AS pos
+      FROM w
+    ),
+    f AS (SELECT line, count(DISTINCT doc_id) AS doc_freq FROM l GROUP BY line),
+    k AS (SELECT l.doc_id, l.pos, l.line, f.doc_freq <= 2 AS kept
+          FROM l JOIN f USING (line))
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           md5(coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE kept), ''))
+             AS kept_fp
+    FROM k GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (operators/dedup.line_dedup_stats):
+    lines occurring in > 2 distinct documents are boilerplate and get
+    dropped; each doc reports total/kept line counts plus the fingerprint
+    of its cleaned reconstruction. Fixture docs are single-line, so
+    'lines' are 8-token chunks of the normalized text, and a known
+    boilerplate line is planted into every 3rd document (mirrored in the
+    oracle) — the op must remove exactly those plus any organically
+    repeated chunks."""
+    from ..operators.text import norm_tokens
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
+    chunked = dedup.chunk_tokens_to_lines(toked, "doc_id", "toks", tokens_per_line=8)
+    # Planted boilerplate rides along as extra line rows at the tail
+    # position (pos = n_chunks), mirroring the oracle's list_append.
+    bp = toked.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("doc"),
+        F.ceil(F.size("toks") / F.lit(8.0)).cast("int").alias("pos"),
+        F.lit(_BOILERPLATE_LINE).alias("line"),
+    )
+    out = dedup.line_dedup_stats(chunked.unionByName(bp), max_doc_freq=2)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_lines", "n_kept", "kept_fp"
     )
 
 

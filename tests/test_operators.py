@@ -214,6 +214,73 @@ def test_fingerprint_normalization(spark):
     assert out[1] == out[2] != out[3]
 
 
+def test_pii_count_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org or b@x.io, call 555-123-4567"),
+            (2, "server at 192.168.1.20 and 10.0.0.1; phone 555-000-1111"),
+            (3, "no pii here at all"),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            text.pii_count("t", "email").alias("e"),
+            text.pii_count("t", "phone").alias("p"),
+            text.pii_count("t", "ipv4").alias("i"),
+            text.redact_pii("t").alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (2, 1, 0)
+    assert (out[2].e, out[2].p, out[2].i) == (0, 1, 2)
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 0)
+    assert out[1].red == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert out[2].red == "server at <IP> and <IP>; phone <PHONE>"
+    assert out[3].red == "no pii here at all"
+
+
+def test_chunk_tokens_to_lines(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"]), (2, ["x"])], ["doc_id", "toks"]
+    )
+    out = {
+        (r.doc, r.pos): r.line
+        for r in dedup.chunk_tokens_to_lines(
+            df, "doc_id", "toks", tokens_per_line=2
+        ).collect()
+    }
+    assert out == {(1, 0): "a b", (1, 1): "c d", (1, 2): "e", (2, 0): "x"}
+
+
+def test_line_dedup_stats(spark):
+    boiler = "subscribe now"
+    docs = [
+        (1, ["alpha one", boiler, "alpha two"]),
+        (2, ["beta one", boiler]),
+        (3, [boiler, "gamma one"]),
+        (4, ["shared tail", "delta one"]),
+        (5, ["shared tail", "epsilon one"]),
+    ]
+    df = spark.createDataFrame(
+        [(d, p, ln) for d, lines in docs for p, ln in enumerate(lines)],
+        ["doc", "pos", "line"],
+    )
+    out = {r.doc: r for r in dedup.line_dedup_stats(df, max_doc_freq=2).collect()}
+    # boiler appears in 3 docs (> 2) → dropped; 'shared tail' in 2 → kept.
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert (out[3].n_lines, out[3].n_kept) == (2, 1)
+    assert (out[4].n_lines, out[4].n_kept) == (2, 2)
+    import hashlib
+
+    # reconstruction preserves original line order of the kept lines
+    assert out[1].kept_fp == hashlib.md5(b"alpha one alpha two").hexdigest()
+    assert out[3].kept_fp == hashlib.md5(b"gamma one").hexdigest()
+    assert out[4].kept_fp == hashlib.md5(b"shared tail delta one").hexdigest()
+
+
 def test_multimodal_features_and_stub(spark):
     df = spark.createDataFrame([(1, b"abc"), (2, b"x" * 100)], ["id", "payload"])
     media = multimodal.wrap_binary(df, "id", "payload", "image")
