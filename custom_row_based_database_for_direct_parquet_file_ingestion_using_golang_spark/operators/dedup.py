@@ -21,6 +21,8 @@ SQL oracles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import (
@@ -218,21 +220,66 @@ def _perm_params(num_perm: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
     ]
 
 
+def _perm_mins_udf(params: list[tuple[int, int]]):
+    """Arrow-vectorized pandas UDF: shingle-hash array → array of per-
+    permutation minima, min_i((a_i·x + b_i) mod (2³¹−1)).
+
+    Why a UDF here when the rest of the engine is Column algebra: Spark
+    evaluates higher-order functions (transform/array_min lambdas) on the
+    INTERPRETED expression path — num_perm=64 lambdas over a ~300-element
+    array per doc measured seconds per 10k docs with multi-second JIT
+    variance. numpy does the same exact int64 arithmetic (a·x+b < 2⁶², no
+    overflow) in two vectorized passes per permutation over the flattened
+    batch. Arrow batching keeps transfer columnar; the surrounding
+    xxhash64 shingle hashing and band hashing stay JVM-side, so signatures
+    are bit-identical to the Column-algebra formulation.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def perm_mins(bh: pd.Series) -> pd.Series:
+        lengths = np.fromiter((len(v) for v in bh), dtype=np.int64, count=len(bh))
+        if len(lengths) == 0 or lengths.min() == 0:
+            # Shouldn't happen (every doc has ≥1 shingle) — mirror
+            # array_min-of-empty → null semantics rather than crash.
+            return pd.Series(
+                [
+                    [
+                        int(min((a * x + b) % _MERSENNE_31 for x in v))
+                        if len(v)
+                        else None
+                        for a, b in params
+                    ]
+                    if v is not None
+                    else None
+                    for v in bh
+                ]
+            )
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in bh])
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        mins = np.empty((len(lengths), len(params)), dtype=np.int64)
+        for i, (a, b) in enumerate(params):
+            mins[:, i] = np.minimum.reduceat((a * flat + b) % _MERSENNE_31, starts)
+        return pd.Series(list(mins))
+
+    return perm_mins
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
     """Per-doc MinHash signature, computed ROW-LOCALLY: each shingle is
-    string-hashed once (xxhash64 → mod 2³¹−1) into a per-row array, then
-    each of the ``num_perm`` permutations is an ``array_min`` over a
-    multiply-add universal hash of that array (a_i·x + b_i stays < 2⁶² so
-    the arithmetic is exact even under ANSI overflow checking).
+    string-hashed once (xxhash64 → mod 2³¹−1, JVM-side) into a per-row
+    array, then the ``num_perm`` universal-hash minima come from one
+    Arrow-vectorized batch pass (see _perm_mins_udf).
 
     min-over-shingles needs no aggregation across rows, so this is a pure
     projection: zero shuffle, zero explode — at 100 TB the signature stage
-    runs at scan speed inside one codegen stage. (The earlier
-    explode + groupBy formulation shuffled one row per doc and hash-merged
-    docs × shingles map-side; this does the same arithmetic with no
-    exchange at all.)"""
+    runs at scan speed. (The earlier explode + groupBy formulation
+    shuffled one row per doc; the pure-Column-algebra formulation was
+    exchange-free but paid interpreted higher-order-function evaluation
+    per permutation.)"""
     # Multiset shingles suffice: min(hash) over a multiset equals min over
     # the set, so the array_distinct cost is skipped entirely. Tokens and
     # the hashed-shingle array are staged as their own selects: each is
@@ -247,17 +294,7 @@ def minhash_signatures(
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
     )
     hashed = toked.select("doc", base.alias("bh"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("bh"),
-                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31)),
-                )
-            )
-            for a, b in _perm_params(num_perm)
-        ]
-    )
+    sig = _perm_mins_udf(_perm_params(num_perm))(F.col("bh"))
     return hashed.select("doc", sig.alias("sig"))
 
 
@@ -281,14 +318,6 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    # Band buckets computed directly from the per-permutation mins, all in
-    # ONE projection over the per-row shingle-hash array. Deliberately NOT
-    # minhash_signatures(...) + slice: a downstream expression that
-    # references the signature column once (e.g. inside a transform lambda)
-    # gets the whole 64-min expression inlined by CollapseProject and
-    # recomputed per band — measured 4× slower. Here every min feeds exactly
-    # one band's xxhash64, and the shared ``bh`` array sits behind its own
-    # select (multi-referenced → Catalyst keeps it materialized per row).
     params = _perm_params(num_perm)
     # Tokens staged once and shared by the signature AND verification
     # branches (attribute reads, not recomputed regex passes — see
@@ -301,16 +330,13 @@ def minhash_lsh_pairs(
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
     )
     hashed = toked.select("doc", base.alias("bh"))
-
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(
-                F.col("bh"),
-                lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31)),
-            )
-        )
-
-    banded = hashed.select(
+    # Per-permutation minima in one Arrow-vectorized pass (_perm_mins_udf);
+    # band buckets are then plain JVM element_at + xxhash64 over the
+    # materialized signature array — each min feeds exactly one band.
+    sigged = hashed.select(
+        "doc", _perm_mins_udf(params)(F.col("bh")).alias("sig")
+    )
+    banded = sigged.select(
         "doc",
         F.explode(
             F.array(
@@ -318,7 +344,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bnd).alias("band"),
                         F.xxhash64(
-                            *[perm_min(*params[bnd * r + j]) for j in range(r)]
+                            *[
+                                F.element_at(F.col("sig"), bnd * r + j + 1)
+                                for j in range(r)
+                            ]
                         ).alias("bucket"),
                     )
                     for bnd in range(bands)
