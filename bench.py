@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
@@ -87,6 +89,34 @@ def main() -> None:
         .count()
         .collect()
     )
+    # Warm the remaining engine code paths on SYNTHETIC data (no fact
+    # tables): regex+tokenize+higher-order functions (interpreted eval
+    # loop), the Arrow/pandas-udf worker pool, and a shuffle join. These
+    # JIT/startup costs otherwise land on whichever timed query hits the
+    # path first and swing its first pass by seconds.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    synth = spark.range(20_000).select(
+        "id",
+        F.concat(F.lit("warm up text the and of with "), F.col("id").cast("string")).alias("t"),
+    )
+    toks = F.split(F.regexp_replace(F.lower("t"), r"[^a-z0-9\s]", " "), r"\s+")
+    synth.select(
+        F.md5(F.encode("t", "UTF-8")).alias("fp"),
+        F.size(F.filter(toks, lambda x: x == F.lit("the"))).alias("hof"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).alias("agg"),
+    ).agg(F.count(F.lit(1))).collect()
+
+    @pandas_udf("long")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    spark.range(10_000).select(_warm_udf("id").alias("x")).agg(
+        F.sum("x")
+    ).collect()
+    a = spark.range(50_000).select("id", (F.col("id") % 97).alias("k"))
+    a.join(a.groupBy("k").count(), "k").agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
