@@ -88,6 +88,12 @@ def _shingle_index(
             .select("s")
         )
         index = index.join(rare, "s", "left_semi")
+    # Materialize the index ONCE before fan-out: three downstream branches
+    # (both self-join sides + the size aggregate) otherwise each re-run the
+    # regex-tokenize → shingle → explode → distinct pipeline — measured 3×
+    # the scan cost on a near-dup-heavy corpus. One compact (doc, shingle)
+    # row per entry, disk-spillable, same trade-off as minhash_lsh_pairs.
+    index = index.localCheckpoint()
     # Sizes AFTER the frequency cap: jaccard is then consistent over the
     # capped shingle universe (sizes from the uncapped index would bias
     # every capped jaccard toward zero and drop genuine near-dups).
@@ -394,6 +400,60 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-dup PAIRS into actionable duplicate CLUSTERS (keep one doc
+    per component, drop the rest). Returns (node, comp) for every node with
+    at least one edge; comp = the smallest node id in the component, i.e.
+    the canonical survivor under keep-min-id policy.
+
+    Algorithm: hash-min label propagation. Every node starts labeled with
+    itself; each round every node takes the min of its own label and its
+    neighbors' labels. Pure DataFrame ops — one equi-join + one groupBy per
+    round, both shuffling on node id — so AQE handles skewed hub nodes and
+    nothing ever collects to the driver.
+
+    Scale shape: rounds = O(component diameter). Duplicate clusters are
+    near-cliques (diameter ≤ ~3), so this converges in 3-4 rounds at any
+    corpus size; the doubling variants (large-star/small-star) only pay off
+    on adversarially long path graphs, which dedup graphs are not.
+    localCheckpoint after each round truncates the otherwise exponentially
+    growing plan; convergence is detected with a one-row aggregate — the
+    label sum is monotone non-increasing and stationary exactly at the
+    fixed point, so no changed-row join is needed.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("comp"))
+        .localCheckpoint()
+    )
+    cur = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["b"] == labels["node"]).select(
+            sym["a"].alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        nxt = labels.agg(F.sum("comp")).first()[0]
+        if nxt == cur:
+            break
+        cur = nxt
+    return labels
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -542,6 +542,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' planted near duplicate tail'
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM (SELECT doc_id,
+                   string_split({_SQL_NORM.format(t='text')}, ' ') AS toks
+            FROM corpus)
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM d),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE c / (sa.sz + sb.sz - c) >= 0.6
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node)
+    SELECT c.doc_id, c.component, CAST(s.cnt AS INT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT component, count(*) AS cnt FROM comp GROUP BY component) s
+      USING (component)
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: exact-Jaccard near-dup pairs over the planted
+    corpus, hash-min connected components (operators/dedup
+    .connected_components), then per-doc component id + cluster size.
+    The component id IS the keep-min-id survivor, so this output is
+    directly actionable: drop every row where doc_id != component.
+    Oracle: the same edge set fed to a recursive-CTE reachability min-label
+    in DuckDB — an independent CC formulation, so the iterative propagation
+    is checked end-to-end (the sf0.01 graph has 4- and 6-member multi-hop
+    chains, not just orig↔mutant 2-cliques)."""
+    corpus = _planted_neardups(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )
+
+
 @query("dedup_simhash")  # rows-only: xxhash64-based
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_neardups(spark, sf_dir)

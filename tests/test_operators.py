@@ -82,6 +82,32 @@ def test_minhash_lsh_finds_near_dups(docs_df):
         )
 
 
+def test_connected_components_multi_hop(spark):
+    # Two components: a 4-node path 1-2-3-4 (forces 3 propagation rounds —
+    # labels must travel the full diameter, not just one hop) and a 2-clique
+    # {10, 11}. Node 99 has no edges and must be absent from the output.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {
+        r.node: r.comp
+        for r in dedup.connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    # A cycle plus a chord — min label must win regardless of edge direction.
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5), (7, 8)], ["id_a", "id_b"]
+    )
+    comp = {
+        r.node: r.comp
+        for r in dedup.connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert comp == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
 def test_simhash_pairs_exact_dup_zero_hamming(docs_df):
     pairs = {
         (r.id_a, r.id_b): r.hamming
