@@ -33,11 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(workload.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Curated order (workloads.PRIORITY): the correctness gate samples a prefix
+    of this dict, so operators that lack a prior driver-verified row come
+    first — see workloads/__init__.py for the rationale.
+    """
+    return workload.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted only for
     non-SQL-expressible operators — driver falls back to rows-only check)."""
-    return dict(workload.ORACLES)
+    return workload.ordered_oracles()

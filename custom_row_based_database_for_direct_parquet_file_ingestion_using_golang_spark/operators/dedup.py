@@ -156,9 +156,15 @@ def chunk_tokens_to_lines(
     w = tokens_per_line
     toks = F.col(tokens_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    # Empty token array → n_chunks=0 → sequence(0, -1) would default to
+    # step -1 and yield [0, -1] (two phantom empty lines); emit no rows
+    # instead, matching SQL range(0, 0) = [] semantics.
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("pos", "i"),
+        F.posexplode(idx).alias("pos", "i"),
         toks.alias("__t"),
     ).select(
         "doc",
@@ -244,8 +250,12 @@ def _perm_mins_udf(params: list[tuple[int, int]]):
 
     @pandas_udf("array<long>")
     def perm_mins(bh: pd.Series) -> pd.Series:
-        lengths = np.fromiter((len(v) for v in bh), dtype=np.int64, count=len(bh))
-        if len(lengths) == 0 or lengths.min() == 0:
+        # None check BEFORE len(): a null shingle array must fall through to
+        # the Python path (which maps it to null), not raise len(None).
+        lengths = np.fromiter(
+            (-1 if v is None else len(v) for v in bh), dtype=np.int64, count=len(bh)
+        )
+        if len(lengths) == 0 or lengths.min() <= 0:
             # Shouldn't happen (every doc has ≥1 shingle) — mirror
             # array_min-of-empty → null semantics rather than crash.
             return pd.Series(
@@ -456,21 +466,57 @@ def connected_components(
     return labels
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign of the per-bit sum of token-hash
-    bits (+1/-1), computed ROW-LOCALLY.
+def _simhash_pack_udf():
+    """Arrow-vectorized pandas UDF: token-hash array → packed 64-bit SimHash.
 
-    Per bit i the signed sum is 2·ones_i − n_tokens (ones_i = tokens whose
-    hash has bit i set), so the whole hash is a projection over the per-row
-    token-hash array: zero shuffle, zero explode, one codegen stage — the
-    earlier explode-to-(doc,bit) formulation shuffled twice for the same
-    arithmetic. Docs with no tokens hash to 0 (all per-bit sums empty)."""
-    hashed = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
-        ).alias("hs"),
-    )
+    Why a UDF (same rationale as _perm_mins_udf): the Column formulation
+    needs one interpreted higher-order F.filter pass PER BIT — 64 lambda
+    evaluations over the token-hash array per row, the exact pattern already
+    measured and replaced for MinHash. numpy does it in one shot per batch:
+    view the flattened int64 hashes as bytes, np.unpackbits(bitorder=
+    'little') → an (n_hashes, 64) bit matrix, np.add.reduceat over row
+    segments → per-doc per-bit popcounts, then pack sign bits as uint64 and
+    reinterpret as int64 (bit 63's two's-complement weight for free).
+    Bit-identical to the Column formulation (pinned by
+    tests/test_dedup.py::test_simhash_udf_matches_column_reference)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def pack(hs: pd.Series) -> pd.Series:
+        lengths = np.fromiter(
+            (0 if v is None else len(v) for v in hs), dtype=np.int64, count=len(hs)
+        )
+        out = np.zeros(len(hs), dtype=np.int64)
+        nz = lengths > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
+            )
+            # (n_hashes, 64) bit matrix, bit i of hash h at column i.
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            nzl = lengths[nz]
+            starts = np.zeros(len(nzl), dtype=np.int64)
+            np.cumsum(nzl[:-1], out=starts[1:])
+            # dtype=int64: accumulating in the uint8 input dtype would wrap
+            # at 256 set bits (docs can have thousands of tokens).
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+            # sign of per-bit signed sum: 2·ones_i > n_tokens
+            sign = (2 * ones) > nzl[:, None]
+            packed = (
+                sign.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            out[nz] = packed.view(np.int64)
+        return pd.Series(out)
+
+    return pack
+
+
+def _simhash_packed_column_reference() -> Column:
+    """The pure-Column SimHash packing over an ``hs`` token-hash array —
+    64 interpreted higher-order passes, kept ONLY as the independent
+    reference the UDF parity test checks against (not on any hot path)."""
 
     def bit_set(i: int) -> Column:
         # 2·ones_i > n_tokens  ⇔  per-bit signed sum > 0
@@ -488,7 +534,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for i in range(64):
         w = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
         packed = packed + F.when(bit_set(i), w).otherwise(F.lit(0).cast("long"))
-    return hashed.select("doc", packed.alias("simhash"))
+    return packed
+
+
+def _simhash_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            tokenize(normalize_text(text_col)), lambda t: F.xxhash64(t)
+        ).alias("hs"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of token-hash
+    bits (+1/-1), computed ROW-LOCALLY.
+
+    Token hashing (xxhash64) stays JVM-side; the 64-bit packing is one
+    Arrow-batched numpy pass (_simhash_pack_udf). Zero shuffle, zero
+    explode — the whole hash is a projection, so at 100 TB the stage runs
+    at scan speed. Docs with no tokens (or null text) hash to 0."""
+    hashed = _simhash_tokens(df, id_col, text_col)
+    return hashed.select("doc", _simhash_pack_udf()(F.col("hs")).alias("simhash"))
 
 
 def simhash_pairs(

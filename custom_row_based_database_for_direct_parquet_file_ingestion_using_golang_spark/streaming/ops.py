@@ -19,32 +19,48 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS), which the parquet
-# reader only accepts as long (see workloads/registry.load); the stream
-# declares it long and converts to micros immediately.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet has shipped with two ts encodings across fixture
+# generations: TIMESTAMP(NANOS), which the parquet reader only accepts as
+# long (nanosAsLong → declare long, convert to micros), and plain
+# TIMESTAMP(MICROS) (declare timestamp_ntz, cast — value-preserving under
+# the UTC session tz). The stream source needs the schema declared up front,
+# so sniff the footer driver-side (one pyarrow metadata read, no data scan).
+
+
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(declared schema, ts_is_nanos_long) for ``{sf_dir}/events.parquet``."""
+    import pyarrow.parquet as pq
+
+    ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    nanos = str(ts_arrow).startswith("timestamp[ns")
+    ts_field = T.LongType() if nanos else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nanos
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, nanos = _events_raw_schema(sf_dir)
     # The file stream source requires a directory; point it at the sf dir
     # with a glob filter selecting just the events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -278,7 +278,8 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     """
-    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,

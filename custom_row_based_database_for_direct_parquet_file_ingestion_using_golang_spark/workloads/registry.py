@@ -27,14 +27,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reads them tz-less). Cheap to set per-load.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros —
-        # exactly what DuckDB does implicitly, so oracle semantics align.
+        # events.parquet has shipped with two ts encodings across fixture
+        # generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+        # rejects → read nanos as long, truncate to micros — exactly what
+        # DuckDB does implicitly) and plain TIMESTAMP(MICROS) (reads as
+        # timestamp_ntz). Branch on the observed dtype so both parse to the
+        # same session-UTC timestamp the oracle sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # Integer division — float division of ns-epoch values exceeds
-        # double precision (≈256 ns gaps at 2024 epochs).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer division — float division of ns-epoch values exceeds
+            # double precision (≈256 ns gaps at 2024 epochs).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive micros; session tz is UTC so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
