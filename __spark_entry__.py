@@ -43,6 +43,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted only for
-    non-SQL-expressible operators — driver falls back to rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query.
+
+    Omitted only for the 4 non-SQL-expressible operators (engine-specific
+    xxhash64-based signatures / approximate ANN): for those the driver
+    records row counts with ``rows_match: null`` (no oracle comparison);
+    their verification lives in the pytest parity/recall pins
+    (tests/test_operators.py, tests/test_dedup.py).
+    """
     return workload.ordered_oracles()

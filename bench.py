@@ -4,14 +4,19 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is timed over TWO passes and the MINIMUM is recorded: the first
-pass pays one-time per-query costs that are pure single-JVM-session noise
-(Catalyst codegen class compilation, C2 JIT of that generated code) and
-measured swings of 3-10× run-to-run; the min is the reproducible statistic
-and the one that scales — on a real cluster those per-query costs amortize
-over minutes-long queries, not sub-second ones. Timing wraps the full
-action (plan + execute + count); a count keeps driver transfer out of the
-measurement.
+Protocol (stated in BASELINE.md): each query is timed over ≥2 passes —
+3 for the shuffle/streaming-heavy shapes that showed 2-4× shared-VM swings
+in past rounds — and the MINIMUM is recorded as the headline number. The
+first (cold) pass pays one-time per-query costs that are pure
+single-JVM-session noise (Catalyst codegen class compilation, C2 JIT of
+that generated code) with measured swings of 3-10× run-to-run; the min is
+the reproducible statistic and the one that scales — on a real cluster
+those per-query costs amortize over minutes-long queries, not sub-second
+ones. ALL per-pass times ship in the JSON under "passes" (pass 0 = cold),
+so a regression in the min can be distinguished from shared-VM noise
+(noise shows as warm-pass variance; a plan change shifts every pass).
+Timing wraps the full action (plan + execute + count); a count keeps
+driver transfer out of the measurement.
 """
 
 from __future__ import annotations
@@ -72,6 +77,17 @@ BENCH_QUERIES = [
     "stream_stream_join",
 ]
 
+# Queries that showed 2-4× run-to-run swings on the shared VM in past
+# rounds (shuffle/streaming-heavy shapes) get a third pass so noise and
+# regression are distinguishable in the per-pass record.
+EXTRA_PASS_QUERIES = {
+    "join_revenue_per_nation",
+    "order_limit_offset",
+    "dedup_ngram_jaccard_top20",
+    "stream_tumbling_counts",
+    "stream_stream_join",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,6 +135,7 @@ def main() -> None:
     a.join(a.groupBy("k").count(), "k").agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     total = 0.0
     missing = [n for n in BENCH_QUERIES if n not in workload.QUERIES]
     if missing:
@@ -127,22 +144,28 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn = workload.QUERIES[name]
-        best, n = None, 0
-        for _ in range(2):
+        n_passes = 3 if name in EXTRA_PASS_QUERIES else 2
+        times, n = [], 0
+        for _ in range(n_passes):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.perf_counter() - t0)
             # Release py4j-held plan/broadcast/checkpoint references so the
             # JVM ContextCleaner can drop their blocks — over a 33-query
             # session the accumulated garbage otherwise competes with the
             # running query for heap (measured as progressive slowdown).
             del df
             gc.collect()
+        best = min(times)
         timings[name] = round(best, 4)
+        passes[name] = [round(t, 4) for t in times]
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s ({n} rows; passes "
+            f"{'/'.join(f'{t:.3f}' for t in times)})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -151,6 +174,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

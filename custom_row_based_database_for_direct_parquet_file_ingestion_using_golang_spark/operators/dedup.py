@@ -107,12 +107,21 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact shingle-Jaccard for every pair sharing ≥1 shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. The self-join runs on
     the shingle inverted index, so disjoint documents never meet.
+
+    ``max_doc_freq`` drops stop-shingles (appearing in more than that many
+    docs) before the self-join — a shingle in k docs contributes k²
+    candidate pairs, so an uncapped run is quadratic in the hottest
+    shingle's frequency. Capped ON by default (256: far above any genuine
+    near-dup overlap, low enough to defuse boilerplate phrases); pass
+    ``None`` only when the corpus is known skew-free. Jaccard is computed
+    over the capped shingle universe (sizes recomputed after the cap) —
+    callers' oracles must mirror the same cap.
     """
     index, sizes = _shingle_index(df, id_col, text_col, n, max_doc_freq)
     a = index.select(F.col("doc").alias("id_a"), "s")
@@ -251,33 +260,37 @@ def _perm_mins_udf(params: list[tuple[int, int]]):
     @pandas_udf("array<long>")
     def perm_mins(bh: pd.Series) -> pd.Series:
         # None check BEFORE len(): a null shingle array must fall through to
-        # the Python path (which maps it to null), not raise len(None).
+        # the null branch (→ null signature), not raise len(None).
         lengths = np.fromiter(
             (-1 if v is None else len(v) for v in bh), dtype=np.int64, count=len(bh)
         )
-        if len(lengths) == 0 or lengths.min() <= 0:
-            # Shouldn't happen (every doc has ≥1 shingle) — mirror
-            # array_min-of-empty → null semantics rather than crash.
-            return pd.Series(
-                [
-                    [
-                        int(min((a * x + b) % _MERSENNE_31 for x in v))
-                        if len(v)
-                        else None
-                        for a, b in params
-                    ]
-                    if v is not None
-                    else None
-                    for v in bh
-                ]
+        if len(lengths) == 0:
+            return pd.Series([], dtype=object)
+        # Null/empty rows are masked out and filled with their sentinel
+        # results; the vectorized reduceat path runs on the rest. (Routing
+        # the WHOLE batch through a per-row fallback when one short doc
+        # appears would be a batch-wide perf cliff on real corpora.)
+        good = lengths > 0
+        out = np.empty(len(lengths), dtype=object)
+        for i in np.nonzero(~good)[0]:
+            # null array → null signature; empty array → per-permutation
+            # nulls, mirroring array_min-of-empty semantics.
+            out[i] = None if lengths[i] < 0 else [None] * len(params)
+        if good.any():
+            gl = lengths[good]
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v, g in zip(bh, good) if g]
             )
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in bh])
-        starts = np.zeros(len(lengths), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=starts[1:])
-        mins = np.empty((len(lengths), len(params)), dtype=np.int64)
-        for i, (a, b) in enumerate(params):
-            mins[:, i] = np.minimum.reduceat((a * flat + b) % _MERSENNE_31, starts)
-        return pd.Series(list(mins))
+            starts = np.zeros(len(gl), dtype=np.int64)
+            np.cumsum(gl[:-1], out=starts[1:])
+            mins = np.empty((len(gl), len(params)), dtype=np.int64)
+            for i, (a, b) in enumerate(params):
+                mins[:, i] = np.minimum.reduceat(
+                    (a * flat + b) % _MERSENNE_31, starts
+                )
+            for idx, row in zip(np.nonzero(good)[0], mins):
+                out[idx] = row
+        return pd.Series(list(out))
 
     return perm_mins
 
@@ -477,8 +490,9 @@ def _simhash_pack_udf():
     'little') → an (n_hashes, 64) bit matrix, np.add.reduceat over row
     segments → per-doc per-bit popcounts, then pack sign bits as uint64 and
     reinterpret as int64 (bit 63's two's-complement weight for free).
-    Bit-identical to the Column formulation (pinned by
-    tests/test_dedup.py::test_simhash_udf_matches_column_reference)."""
+    Bit-identical to the Column formulation
+    (_simhash_packed_column_reference), pinned by
+    tests/test_dedup.py::test_simhash_udf_matches_column_reference."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -493,8 +507,13 @@ def _simhash_pack_udf():
                 [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
             )
             # (n_hashes, 64) bit matrix, bit i of hash h at column i.
+            # astype('<i8') forces little-endian byte order so the uint8
+            # view lines up with bitorder='little' on any host (a no-copy
+            # no-op on little-endian machines).
             bits = np.unpackbits(
-                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                flat.astype("<i8", copy=False).view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
             )
             nzl = lengths[nz]
             starts = np.zeros(len(nzl), dtype=np.int64)

@@ -197,23 +197,35 @@ def ivf_topk(
     quantizer partitions the corpus into ``n_centroids`` lists; a query
     scans only its ``n_probe`` nearest lists with exact cosine.
 
-    Training runs driver-side on a small deterministic sample (ordered
-    prefix) — the standard offline coarse-quantizer step; at 100 TB you
-    train once on a sample (or with distributed kmeans||), persist the
-    centroids, and write the corpus partitioned by list id so a probe
-    becomes a partition-pruned scan instead of a full pass. Assignment and
-    probing here are pure Column algebra over broadcast literals — no UDFs,
-    one narrow map over the corpus, then a broadcast join against the
-    probed list ids.
+    Training runs driver-side on a small deterministic hash sample:
+    ``pmod(xxhash64(id), K) == 0`` with K sized from a corpus count, so the
+    sample is a shuffle-free filtered scan — never a global sort/TakeOrdered
+    over the corpus (which at 100 TB would read and rank every vector).
+    This is the standard offline coarse-quantizer step; at real scale you
+    train once (or with distributed kmeans||), persist the centroids, and
+    write the corpus partitioned by list id so a probe becomes a
+    partition-pruned scan instead of a full pass. Assignment and probing
+    here are pure Column algebra over broadcast literals — no UDFs, one
+    narrow map over the corpus, then a broadcast join against the probed
+    list ids.
     """
+    # count(*) is a column-less scan + partial agg (no shuffle of data rows);
+    # it sizes the hash modulus so the filtered sample lands near train_limit.
+    n = df.count()
+    mod = max(1, n // train_limit)
     sample_rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.col(id_col))
-        .limit(train_limit)
+        df.select(
+            F.xxhash64(F.col(id_col)).alias("h"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
         .collect()
     )
+    # Deterministic cap: order by hash (stable across partitioning/runs),
+    # keep exactly train_limit vectors.
+    sample_rows.sort(key=lambda r: r.h)
     centroids = _kmeans_centroids(
-        [r.v for r in sample_rows], n_centroids, n_iter, seed
+        [r.v for r in sample_rows[:train_limit]], n_centroids, n_iter, seed
     )
 
     listed = df.select(

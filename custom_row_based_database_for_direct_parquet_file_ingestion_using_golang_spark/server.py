@@ -1,0 +1,438 @@
+"""Web REST API — the reference's primary user entry point, Spark-backed.
+
+Mirrors ``cmd/server/main.go:168-391`` (SURVEY.md §2 S9/X4/X5) over the
+existing :class:`Engine` / RefSQL / NL stack, stdlib-only (``http.server`` —
+no Flask in the sandbox):
+
+=======================================  =====================================
+Reference (cmd/server/main.go)           Here
+=======================================  =====================================
+``POST /api/query`` (:393-468)           RefSQL or NL→SQL via ``plans.nl``,
+                                         fixed-width ``Result`` string +
+                                         ``generatedSQL`` for NL mode
+``GET /api/tables`` (:185-192)           catalog schema dump, same JSON shape
+                                         (``{name, columns: [{name, type}]}``)
+``POST /api/upload`` (:330-391)          multipart ``table_name`` + ``file``
+                                         (.csv → all-TEXT import parity,
+                                         .parquet → native typed ingest)
+``/api/conversations[/{id}[/message]]``  JSON files under
+(:194-328)                               ``<db_root>/conversations`` — same
+                                         CRUD verbs, same message-pair append
+=======================================  =====================================
+
+Responses use the reference's envelope: ``{"success": bool, ...}`` with
+``error`` on failure — its web client (web/static/js/app.js) keys off
+exactly these fields.
+
+Concurrency: one lock around engine mutations (upload/DML), mirroring the
+reference's per-database RWMutex (pkg/schema, storage.go); reads (query/
+tables/conversations) run unlocked — SparkSession is thread-safe for
+concurrent query execution.
+
+Usage::
+
+    python -m custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server [db_root] [port]
+"""
+
+from __future__ import annotations
+
+import email.parser
+import email.policy
+import json
+import os
+import re
+import tempfile
+import threading
+import time
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .engine import Engine
+from .functions.format import format_result
+from .plans import nl
+
+_MAX_UPLOAD = 64 << 20  # reference: r.ParseMultipartForm(64 << 20)
+
+
+# -- conversation persistence (main.go:72-159) --------------------------------
+
+
+class ConversationStore:
+    """JSON-file-per-conversation store under ``<root>/conversations``,
+    the reference's ``data/conversations`` layout (main.go:74,104-117)."""
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "conversations")
+
+    def _path(self, conv_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", conv_id):
+            raise ValueError("bad conversation id")
+        return os.path.join(self.dir, f"{conv_id}.json")
+
+    def load(self, conv_id: str) -> dict:
+        with open(self._path(conv_id), encoding="utf-8") as f:
+            return json.load(f)
+
+    def save(self, conv: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        with open(self._path(conv["id"]), "w", encoding="utf-8") as f:
+            json.dump(conv, f, indent=2)
+
+    def delete(self, conv_id: str) -> None:
+        try:
+            os.remove(self._path(conv_id))
+        except FileNotFoundError:
+            pass  # reference ignores IsNotExist (main.go:320)
+
+    def list_summaries(self) -> list[dict]:
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for fn in os.listdir(self.dir):
+            if not fn.endswith(".json"):
+                continue
+            try:
+                c = self.load(fn[: -len(".json")])
+            except (OSError, ValueError):
+                continue
+            out.append(
+                {k: c.get(k) for k in ("id", "title", "createdAt", "updatedAt")}
+            )
+        # newest first, as the reference sorts (main.go:141-143)
+        return sorted(out, key=lambda c: c["updatedAt"] or "", reverse=True)
+
+    def new(self) -> dict:
+        now = _now_iso()
+        conv = {
+            "id": str(int(time.time() * 1000)),
+            "title": "New Chat",
+            "createdAt": now,
+            "updatedAt": now,
+            "messages": [],
+        }
+        self.save(conv)
+        return conv
+
+
+def _now_iso() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def derive_title(msg: str, max_words: int = 8, max_len: int = 60) -> str:
+    """Short title from the first user message (main.go:152-159)."""
+    title = " ".join(msg.split()[:max_words])
+    return title[: max_len - 3] + "…" if len(title) > max_len else title
+
+
+# -- request handling ---------------------------------------------------------
+
+
+def _run_ref_statement(engine: Engine, query: str) -> str:
+    """Execute one RefSQL statement, render the reference-style Result
+    string (same dispatch as the CLI REPL, __main__.run_statement)."""
+    result = engine.ref_sql(query)
+    if result is None:
+        return "OK"
+    if isinstance(result, int):
+        return f"{result} row(s) affected"
+    if isinstance(result, list):
+        return "\n".join(result)
+    return format_result(result)
+
+
+class ApiHandler(BaseHTTPRequestHandler):
+    # Bound by make_server():
+    engine: Engine
+    convs: ConversationStore
+    write_lock: threading.Lock
+
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing --
+
+    def log_message(self, fmt, *args):  # quiet by default; tests capture codes
+        pass
+
+    def _json(self, payload: dict, status: int = 200) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, msg: str, status: int = 200) -> None:
+        # Reference convention: handler-level failures are success:false
+        # JSON with HTTP 200; only method/route misuse gets an HTTP error.
+        self._json({"success": False, "error": msg}, status)
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > _MAX_UPLOAD:
+            raise ValueError("request body too large")
+        return self.rfile.read(length)
+
+    def _body_json(self) -> dict:
+        body = self._read_body()
+        return json.loads(body) if body else {}
+
+    # -- routing --
+
+    def do_GET(self):
+        if self.path == "/api/tables":
+            return self.handle_tables()
+        if self.path == "/api/conversations":
+            return self._json(
+                {"success": True, "conversations": self.convs.list_summaries()}
+            )
+        m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)", self.path)
+        if m:
+            try:
+                conv = self.convs.load(m.group(1))
+            except (OSError, ValueError):
+                return self._error("conversation not found")
+            return self._json({"success": True, "conversation": conv})
+        self.send_error(404)
+
+    def do_POST(self):
+        if self.path == "/api/query":
+            return self.handle_query()
+        if self.path == "/api/upload":
+            return self.handle_upload()
+        if self.path == "/api/conversations":
+            return self._json({"success": True, "conversation": self.convs.new()})
+        m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)/message", self.path)
+        if m:
+            return self.handle_append_message(m.group(1))
+        self.send_error(404)
+
+    def do_PATCH(self):
+        m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)", self.path)
+        if not m:
+            return self.send_error(404)
+        try:
+            body = self._body_json()
+        except (ValueError, json.JSONDecodeError):
+            return self._error("bad request")
+        title = (body.get("title") or "").strip()
+        if not title:
+            return self._error("bad request")
+        try:
+            conv = self.convs.load(m.group(1))
+        except (OSError, ValueError):
+            return self._error("conversation not found")
+        conv["title"] = title
+        conv["updatedAt"] = _now_iso()
+        self.convs.save(conv)
+        self._json({"success": True})
+
+    def do_DELETE(self):
+        m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)", self.path)
+        if not m:
+            return self.send_error(404)
+        self.convs.delete(m.group(1))
+        self._json({"success": True})
+
+    # -- handlers --
+
+    def handle_tables(self):
+        tables = [
+            {
+                "name": t,
+                "columns": [
+                    {"name": c.name, "type": _ref_type(c.decl)}
+                    for c in self.engine.catalog.get(t).columns
+                ],
+            }
+            for t in self.engine.show_tables()
+        ]
+        self._json({"success": True, "tables": tables})
+
+    def handle_query(self):
+        try:
+            req = self._body_json()
+        except (ValueError, json.JSONDecodeError):
+            return self._error("invalid request")
+        query = (req.get("query") or "").strip().rstrip(";").strip()
+        if not query:
+            return self._error("empty query")
+        if req.get("isNatural") or nl.is_natural_language(query):
+            try:
+                sql, result = nl.ask(self.engine, query)
+            except Exception as ex:
+                return self._error(str(ex))
+            try:
+                rendered = format_result(result) if result is not None else "OK"
+            except Exception as ex:
+                return self._json(
+                    {"success": False, "error": str(ex), "generatedSQL": sql}
+                )
+            return self._json(
+                {"success": True, "result": rendered, "generatedSQL": sql}
+            )
+        try:
+            with self.write_lock:
+                rendered = _run_ref_statement(self.engine, query)
+        except Exception as ex:
+            return self._error(str(ex))
+        self._json({"success": True, "result": rendered})
+
+    def handle_upload(self):
+        ctype = self.headers.get("Content-Type") or ""
+        if not ctype.startswith("multipart/form-data"):
+            return self._error("failed to parse upload: expected multipart form")
+        try:
+            body = self._read_body()
+        except ValueError as ex:
+            return self._error(str(ex))
+        fields = _parse_multipart(ctype, body)
+        table = (fields.get("table_name") or (b"", ""))[1]
+        if isinstance(table, bytes):
+            table = table.decode()
+        table = table.strip()
+        if not table:
+            return self._error("table_name is required")
+        if "file" not in fields:
+            return self._error("no file received")
+        filename, content = fields["file"]
+        ext = os.path.splitext(filename or "")[1].lower()
+        if ext not in (".csv", ".parquet"):
+            return self._error(
+                f"unsupported file type '{ext}' — only .csv and .parquet are supported"
+            )
+        if isinstance(content, str):
+            content = content.encode()
+        tmp = tempfile.NamedTemporaryFile(suffix=ext, delete=False)
+        try:
+            tmp.write(content)
+            tmp.close()
+            with self.write_lock:
+                if ext == ".csv":
+                    # Reference CSV import types every column TEXT
+                    # (importer.go:37-52); keep that parity on this surface.
+                    self.engine.ingest_csv(tmp.name, table, all_text=True)
+                else:
+                    self.engine.ingest_parquet(tmp.name, table)
+        except Exception as ex:
+            return self._error(str(ex))
+        finally:
+            os.unlink(tmp.name)
+        self._json(
+            {
+                "success": True,
+                "result": f"Imported '{filename}' into table '{table}' successfully.",
+            }
+        )
+
+    def handle_append_message(self, conv_id: str):
+        # Body: { userText, botData: {success, result, error, generatedSQL} }
+        try:
+            body = self._body_json()
+        except (ValueError, json.JSONDecodeError):
+            return self._error("bad request")
+        try:
+            conv = self.convs.load(conv_id)
+        except (OSError, ValueError):
+            return self._error("conversation not found")
+        now = _now_iso()
+        user_text = body.get("userText") or ""
+        bot = body.get("botData") or {}
+        conv["messages"].append({"role": "user", "text": user_text, "timestamp": now})
+        conv["messages"].append(
+            {
+                "role": "bot",
+                "sql": bot.get("generatedSQL") or "",
+                "result": bot.get("result") or "",
+                "error": bot.get("error") or "",
+                "timestamp": now,
+            }
+        )
+        if conv["title"] == "New Chat" and user_text:
+            conv["title"] = derive_title(user_text)
+        conv["updatedAt"] = now
+        self.convs.save(conv)
+        self._json({"success": True})
+
+
+# Display mapping: ingested tables carry Spark type names in the catalog;
+# the reference UI shows its own decl vocabulary (schema.DataType: TEXT/INT/
+# FLOAT/BOOL). Engine-created tables already store reference decls.
+_REF_TYPES = {
+    "string": "TEXT",
+    "varchar": "TEXT",
+    "bigint": "INT",
+    "int": "INT",
+    "smallint": "INT",
+    "tinyint": "INT",
+    "double": "FLOAT",
+    "float": "FLOAT",
+    "decimal": "FLOAT",
+    "boolean": "BOOL",
+}
+
+
+def _ref_type(decl: str) -> str:
+    return _REF_TYPES.get(decl.lower(), decl.upper())
+
+
+def _parse_multipart(content_type: str, body: bytes) -> dict[str, tuple[str, bytes | str]]:
+    """Parse a multipart/form-data body → {field: (filename, content)}.
+
+    stdlib ``email`` MIME parser (the documented replacement for the removed
+    ``cgi.FieldStorage``); handles binary parts (parquet) untouched.
+    """
+    msg = email.parser.BytesParser(policy=email.policy.HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body
+    )
+    fields: dict[str, tuple[str, bytes | str]] = {}
+    if not msg.is_multipart():
+        return fields
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        fields[name] = (
+            part.get_filename() or "",
+            part.get_payload(decode=True) or b"",
+        )
+    return fields
+
+
+def make_server(
+    engine: Engine, port: int = 0, host: str = "127.0.0.1"
+) -> ThreadingHTTPServer:
+    """Build (without starting) the API server bound to ``engine``. Port 0
+    picks a free port — ``server.server_address[1]`` has the real one."""
+    handler = type(
+        "BoundApiHandler",
+        (ApiHandler,),
+        {
+            "engine": engine,
+            "convs": ConversationStore(engine.catalog.root),
+            "write_lock": threading.Lock(),
+        },
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main() -> None:
+    import sys
+
+    from . import get_spark
+
+    root = sys.argv[1] if len(sys.argv) > 1 else "./sparkdb_data"
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8082
+    spark = get_spark(app_name="sparkdb-server")
+    server = make_server(Engine(spark, root), port=port)
+    print(f"sparkdb API at http://{server.server_address[0]}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

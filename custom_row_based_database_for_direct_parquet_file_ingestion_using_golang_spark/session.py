@@ -15,6 +15,13 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(cpus: str) -> int:
+    """Shuffle-partition count for a ``local[cpus]`` master: the core count
+    clamped to [8, 64]. ``cpus`` is the SPARK_GRAFT_CPUS value ("*" = all)."""
+    ncores = (os.cpu_count() or 8) if cpus == "*" else int(cpus)
+    return max(8, min(64, int(ncores)))
+
+
 def get_spark(
     app_name: str = "sparkdb",
     master: str | None = None,
@@ -29,8 +36,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        ncores = os.cpu_count() or 8 if cpus == "*" else int(cpus)
-        shuffle_partitions = max(8, min(64, int(ncores)))
+        shuffle_partitions = _default_shuffle_partitions(cpus)
 
     builder = (
         SparkSession.builder.master(master)

@@ -32,7 +32,18 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     import pyarrow.parquet as pq
 
     ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    nanos = str(ts_arrow).startswith("timestamp[ns")
+    ts_str = str(ts_arrow)
+    nanos = ts_str.startswith("timestamp[ns")
+    if not nanos and ts_str not in ("timestamp[us]", "timestamp[ms]", "timestamp[s]"):
+        # Fail loudly on an encoding we haven't verified (e.g. int64
+        # physical, or a tz-adjusted timestamp[us, tz=...]): silently
+        # declaring TimestampNTZType would misread values or fail at stream
+        # start with a confusing source-side error.
+        raise ValueError(
+            f"events.parquet ts column has unsupported type {ts_str!r}; "
+            "expected timestamp[ns*] (read as nanos-long) or a naive "
+            "timestamp[s|ms|us]"
+        )
     ts_field = T.LongType() if nanos else T.TimestampNTZType()
     schema = T.StructType(
         [

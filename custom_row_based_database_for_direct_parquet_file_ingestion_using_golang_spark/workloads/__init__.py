@@ -14,81 +14,80 @@ from . import scale  # noqa: F401, E402
 from . import streaming  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a prefix of the
-# registered inventory (round 1 checked exactly the first 50 entries in
-# registration order), so the order below is curated: operators whose only
-# verification so far is the in-repo pytest oracle-parity harness come FIRST
-# (the whole dedup / text / similarity / multimodal / streaming tier, the
-# weak-typing comparator, and the re-oracled json_extract_props), followed by
-# a representative core slice, then the TPC-H tier that already has green
-# driver rows from round 1. Every name must exist in QUERIES; ordered_queries()
-# asserts that so a rename can't silently drop an entry from the gate window.
+# registered inventory (~50 entries per round), so the order below rotates
+# each round to keep every row's evidence at most one round stale. Round-3
+# curation: (1) the two entries whose round-2 rows were red from oracle
+# typing (both oracles fixed this round), (2) every entry whose code path
+# changed this round (jaccard doc-freq cap, minhash/simhash UDF rework, IVF
+# hash-sample training), (3) the 41 relational/TPC-H entries whose only
+# green driver row is from round 1 (round 2's window re-verified the
+# dedup/text/ANN/multimodal/streaming tier, so that tier now rotates out).
+# Every name must exist in QUERIES; ordered_queries() raises otherwise so a
+# rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
-    # Re-verify first: fixed oracle + the reference's dual-mode comparator.
-    "json_extract_props",
-    "weak_typing_filter",
-    # LLM-pipeline tier: dedup.
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "dedup_ngram_jaccard_top20",
-    "corpus_line_dedup",
-    "dedup_minhash_lsh",
-    "dedup_duplicate_clusters",
-    "dedup_simhash",
-    "dedup_embedding_neardup",
-    # Text analysis.
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_breakdown",
-    "text_fingerprints",
-    "text_repetition_ratio",
-    "text_type_token_ratio",
-    "text_pii_redact",
-    "corpus_top_bigrams",
-    "contamination_eval_train_overlap",
-    # Similarity / ANN.
-    "ann_brute_force_top10",
-    "similar_pairs_top15",
-    "ann_lsh_top10",
-    "ann_ivf_top10",
-    "embedding_norms_stats",
-    # Multimodal plumbing.
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    # Pipeline composition + deterministic sampling/splits.
-    "pipeline_curate_corpus",
-    "sample_hash_deterministic",
-    "split_train_eval_stratified",
-    # Structured Streaming tier.
-    "stream_tumbling_counts",
-    "stream_sliding_window",
-    "stream_session_windows",
-    "stream_dedup_within_watermark",
-    "stream_stateful_user_totals",
-    "stream_stream_join",
-    # TPC-H entries with no round-1 driver row.
+    # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_sole_late_suppliers",
-    "cube_status_priority",
-    # Core representatives (round-1 green; keep a slice inside the window).
-    "q01_pricing_summary",
-    "scan_full_table",
-    "filter_compare",
-    "agg_group_having",
-    "refsql_group_having_order",
-    "join_revenue_per_nation",
-    "window_topk_per_group",
-    "asof_click_to_purchase",
+    "pipeline_curate_corpus",
+    # (2) code paths touched this round.
+    "dedup_ngram_jaccard_top20",
+    "dedup_duplicate_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_top10",
+    # (3) round-1-only evidence: reference core surface.
+    "projection_alias",
+    "filter_in",
+    "filter_between",
+    "filter_like",
+    "filter_not_and_or",
+    "agg_global",
+    "agg_group_implicit_count",
+    "distinct_values",
+    "order_limit_offset",
+    "agg_count_null_semantics",
+    "refsql_where_like_between",
+    "refsql_distinct_order_limit",
+    # (3) round-1-only evidence: relational/TPC-H tier.
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_revenue_top20",
+    "q11_important_parts",
+    "q13_orders_per_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "window_running_revenue",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "setop_union_intersect_except",
+    "subquery_above_avg",
+    "rollup_status_priority",
+    "pivot_status_by_priority",
+    "range_join_follow_events",
+    "agg_count_distinct",
+    "agg_percentiles",
 ]
 
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
     """Full inventory, priority entries first, the rest in registration order."""
     missing = [n for n in PRIORITY if n not in QUERIES]
-    assert not missing, f"PRIORITY names not registered: {missing}"
+    if missing:
+        # A real raise, not assert: under `python -O` an assert is stripped
+        # and a rename would silently drop the entry from the gate window —
+        # the exact failure this check exists to prevent.
+        raise ValueError(f"PRIORITY names not registered: {missing}")
     out = {n: QUERIES[n] for n in PRIORITY}
     out.update((n, fn) for n, fn in QUERIES.items() if n not in out)
     return out

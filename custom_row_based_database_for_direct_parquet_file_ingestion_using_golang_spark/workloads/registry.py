@@ -43,6 +43,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # Naive micros; session tz is UTC so the cast is value-preserving.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # Fail loudly on an encoding we haven't verified rather than
+            # passing it through unconverted (oracle parity would silently
+            # diverge from DuckDB's reading of the same file).
+            raise ValueError(
+                f"events.parquet ts column read as unsupported Spark type "
+                f"{ts_type!r}; expected bigint (nanos), timestamp_ntz, or "
+                "timestamp"
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -430,13 +430,17 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split({_SQL_NORM.format(t='text')}, ' ') AS toks
             FROM documents)
     ),
-    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    -- mirror the engine's max_doc_freq=256 stop-shingle cap (and recompute
+    -- sizes over the capped universe) so jaccard matches at any sf
+    rare AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN rare USING (s)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(sh) AS sz FROM d)
+    sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id)
     SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
     ORDER BY jaccard DESC, id_a, id_b LIMIT 20
@@ -444,12 +448,14 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram shingles: selective enough that the inverted-index self-join
-    # only meets documents sharing an actual phrase. (Word-level n=1 on this
-    # corpus's ~30-word vocabulary makes EVERY word a hot shingle and the
-    # join quadratic — the classic stop-shingle pathology; use
-    # max_doc_freq capping if n=1 semantics are required at scale.)
+    # only meets documents sharing an actual phrase. max_doc_freq=256 drops
+    # stop-shingles BEFORE the self-join — a shingle in k docs yields k²
+    # candidate pairs, the one quadratic blowup in this plan at corpus
+    # scale. (Fixture max 3-shingle doc-freq is 25 at sf0.1, so the cap is
+    # semantics-preserving here; the oracle mirrors it for exactness at any
+    # sf.)
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, max_doc_freq=256)
     return (
         pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
@@ -561,13 +567,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    string_split({_SQL_NORM.format(t='text')}, ' ') AS toks
             FROM corpus)
     ),
-    e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    -- mirror the engine's max_doc_freq=256 stop-shingle cap (and recompute
+    -- sizes over the capped universe) so jaccard matches at any sf
+    rare AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 256),
+    e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN rare USING (s)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sz AS (SELECT doc_id, len(sh) AS sz FROM d),
+    sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
     pairs AS (
       SELECT id_a, id_b
       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -598,7 +608,9 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is checked end-to-end (the sf0.01 graph has 4- and 6-member multi-hop
     chains, not just orig↔mutant 2-cliques)."""
     corpus = _planted_neardups(spark, sf_dir)
-    pairs = dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.6)
+    pairs = dedup.jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.6, max_doc_freq=256
+    )
     comp = dedup.connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("comp").agg(
         F.count(F.lit(1)).cast("int").alias("cluster_size")
@@ -784,11 +796,16 @@ def _sql_curation() -> str:
       WHERE quality >= 0.6 AND guess != 'und' AND n_tokens BETWEEN 5 AND 1000
     ),
     deduped AS (
-      SELECT min(doc_id) AS doc_id, any_value(guess) AS guess,
-             any_value(n_tokens) AS n_tokens
+      -- arg-min semantics: the group representative is the min-doc_id row,
+      -- so the two engines can never legitimately pick different values
+      -- when duplicate docs differ in raw n_tokens/guess.
+      SELECT min(doc_id) AS doc_id, min_by(guess, doc_id) AS guess,
+             min_by(n_tokens, doc_id) AS n_tokens
       FROM kept GROUP BY norm
     )
-    SELECT guess, count(*) AS docs, sum(n_tokens) AS total_tokens
+    -- CAST: DuckDB sum(INT) widens to HUGEINT, whose driver hash differs
+    -- from Spark's BIGINT even when values are identical.
+    SELECT guess, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY guess ORDER BY guess
     """
 
@@ -874,10 +891,13 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("guess") != "und")
         & F.col("n_tokens").between(5, 1000)
     )
+    # min_by mirrors the oracle's arg-min: representative values come from
+    # the min-doc_id row of each normalized-text group (any_value could
+    # diverge between engines when dup docs differ in raw token counts).
     deduped = kept.groupBy("norm").agg(
         F.min("doc_id").alias("doc_id"),
-        F.any_value("guess").alias("guess"),
-        F.any_value("n_tokens").alias("n_tokens"),
+        F.min_by("guess", "doc_id").alias("guess"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
     )
     return (
         deduped.groupBy("guess")

@@ -68,6 +68,42 @@ def test_jaccard_pairs_match_brute_force(docs_df):
             assert (min(ia, ib), max(ia, ib)) in got
 
 
+def test_jaccard_max_doc_freq_drops_stop_shingles(spark):
+    # 6 docs all sharing one boilerplate phrase (the stop-shingle), two of
+    # which are also genuine near-dups. Uncapped, the hot shingle alone
+    # joins every doc to every other (k² pairs); capped at 2, only the
+    # genuine near-dup pair survives and its jaccard is computed over the
+    # capped shingle universe.
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}"),
+        (2, f"alpha beta gamma epsilon {boiler}"),  # near-dup of 1
+        (3, f"one two three four {boiler}"),
+        (4, f"five six seven eight {boiler}"),
+        (5, f"nine ten eleven twelve {boiler}"),
+        (6, f"red green blue yellow {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.jaccard_pairs(df, "doc_id", "text", n=3, max_doc_freq=None)
+    capped = dedup.jaccard_pairs(df, "doc_id", "text", n=3, max_doc_freq=2)
+    n_uncapped = uncapped.count()
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert n_uncapped == 15  # hot shingle meets every pair: C(6,2)
+    assert set(got) == {(1, 2)}  # cap kills the k² fan-out, keeps the near-dup
+    # docs 1/2: capped universes are the 4 shingles not touching the hot
+    # boilerplate trigram chain... compute expected directly:
+    # shingles of "alpha beta gamma delta subscribe to our newsletter" (n=3)
+    # minus any shingle present in >2 docs; intersection/union of the rest.
+    def caps(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    all_sh = [caps(t) for _, t in rows]
+    hot = {s for s in set().union(*all_sh) if sum(s in d for d in all_sh) > 2}
+    sa, sb = all_sh[0] - hot, all_sh[1] - hot
+    assert got[(1, 2)] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
 def test_minhash_lsh_finds_near_dups(docs_df):
     pairs = dedup.minhash_lsh_pairs(
         docs_df, "doc_id", "text", n=3, num_perm=64, bands=32, threshold=0.5

@@ -176,3 +176,33 @@ def test_failed_ingest_leaves_no_phantom_table(engine):
         engine.ingest_parquet("/nonexistent/path.parquet", "ghost")
     assert "ghost" not in engine.show_tables()
     engine.sql("SELECT 1")  # register_views must not choke
+
+
+def test_default_shuffle_partitions_honors_cpus(monkeypatch):
+    # Round-2 review: `os.cpu_count() or 8 if cpus == "*" else int(cpus)`
+    # parsed as `os.cpu_count() or (...)`, so SPARK_GRAFT_CPUS never drove
+    # shuffle-partition sizing. Pin the fixed precedence.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        session,
+    )
+
+    assert session._default_shuffle_partitions("16") == 16
+    assert session._default_shuffle_partitions("4") == 8    # clamped up
+    assert session._default_shuffle_partitions("999") == 64  # clamped down
+    monkeypatch.setattr(session.os, "cpu_count", lambda: 12)
+    assert session._default_shuffle_partitions("*") == 12
+    monkeypatch.setattr(session.os, "cpu_count", lambda: None)
+    assert session._default_shuffle_partitions("*") == 8
+
+
+def test_ordered_queries_raises_on_unknown_priority(monkeypatch):
+    # assert → ValueError so `python -O` can't strip the gate-window check.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        workloads,
+    )
+
+    monkeypatch.setattr(
+        workloads, "PRIORITY", workloads.PRIORITY + ["no_such_query"]
+    )
+    with pytest.raises(ValueError, match="no_such_query"):
+        workloads.ordered_queries()

@@ -1,0 +1,163 @@
+"""REST façade tests: the reference's web surface (cmd/server/main.go:168-391)
+exercised end-to-end over a live ThreadingHTTPServer — upload → ingest →
+query round-trip, tables listing, NL mode, and conversation CRUD."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+    Engine,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
+    make_server,
+)
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    engine = Engine(spark, str(tmp_path_factory.mktemp("srv") / "db"))
+    server = make_server(engine, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def _call(base, path, data=None, method=None, headers=None):
+    req = urllib.request.Request(
+        base + path,
+        data=data,
+        method=method or ("POST" if data is not None else "GET"),
+        headers=headers or {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def _query(base, sql, **extra):
+    return _call(base, "/api/query", json.dumps({"query": sql, **extra}).encode())
+
+
+def _multipart(fields: dict[str, tuple[str | None, bytes]]) -> tuple[bytes, str]:
+    boundary = "testboundary42"
+    out = []
+    for name, (filename, content) in fields.items():
+        disp = f'form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        out += [
+            f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n".encode(),
+            content,
+            b"\r\n",
+        ]
+    out.append(f"--{boundary}--\r\n".encode())
+    return b"".join(out), f"multipart/form-data; boundary={boundary}"
+
+
+def test_query_ddl_dml_select_roundtrip(api):
+    assert _query(api, "CREATE TABLE people (name TEXT, age INT)")["success"]
+    ins = _query(api, "INSERT INTO people VALUES ('ada', 36)")
+    assert ins["success"] and "1 row(s) affected" in ins["result"]
+    _query(api, "INSERT INTO people VALUES ('bob', 17)")
+    sel = _query(api, "SELECT name FROM people WHERE age > 18")
+    assert sel["success"]
+    assert "ada" in sel["result"] and "bob" not in sel["result"]
+
+
+def test_query_error_is_success_false(api):
+    resp = _query(api, "SELECT * FROM no_such_table")
+    assert resp["success"] is False and resp["error"]
+
+
+def test_empty_query_rejected(api):
+    assert _query(api, "  ;")["success"] is False
+
+
+def test_tables_lists_schema(api):
+    _query(api, "CREATE TABLE sched (item TEXT, qty INT)")
+    resp = _call(api, "/api/tables")
+    assert resp["success"]
+    by_name = {t["name"]: t for t in resp["tables"]}
+    assert {"name": "item", "type": "TEXT"} in by_name["sched"]["columns"]
+
+
+def test_upload_csv_all_text_then_query(api):
+    body, ctype = _multipart(
+        {
+            "table_name": (None, b"grades"),
+            "file": ("grades.csv", b"student,score\nada,91\nbob,55\n"),
+        }
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    # CSV import types every column TEXT (reference importer.go:37-52):
+    # dual-mode weak typing still compares '91' numerically.
+    cols = {
+        c["name"]: c["type"]
+        for t in _call(api, "/api/tables")["tables"]
+        if t["name"] == "grades"
+        for c in t["columns"]
+    }
+    assert cols == {"student": "TEXT", "score": "TEXT"}
+    sel = _query(api, "SELECT student FROM grades WHERE score > 80")
+    assert sel["success"] and "ada" in sel["result"] and "bob" not in sel["result"]
+
+
+def test_upload_parquet_native_types(api, sf_dir):
+    with open(f"{sf_dir}/nation.parquet", "rb") as f:
+        content = f.read()
+    body, ctype = _multipart(
+        {"table_name": (None, b"nation_up"), "file": ("nation.parquet", content)}
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    sel = _query(api, "SELECT COUNT(*) FROM nation_up")
+    assert sel["success"] and "25" in sel["result"]
+
+
+def test_upload_rejects_other_extensions(api):
+    body, ctype = _multipart(
+        {"table_name": (None, b"x"), "file": ("evil.jsonl", b"{}")}
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"] is False and "unsupported file type" in resp["error"]
+
+
+def test_natural_language_query_reports_generated_sql(api):
+    _query(api, "CREATE TABLE students (name TEXT, grade INT)")
+    _query(api, "INSERT INTO students VALUES ('eve', 95)")
+    resp = _query(api, "show me all students", isNatural=True)
+    assert resp["success"], resp
+    assert resp["generatedSQL"].upper().startswith("SELECT")
+    assert "eve" in resp["result"]
+
+
+def test_conversation_crud_and_message_append(api):
+    conv = _call(api, "/api/conversations", b"{}")["conversation"]
+    cid = conv["id"]
+    assert conv["title"] == "New Chat"
+    msg = {
+        "userText": "how many students are there in total right now",
+        "botData": {"success": True, "result": "3", "generatedSQL": "SELECT COUNT(*) FROM students"},
+    }
+    assert _call(api, f"/api/conversations/{cid}/message", json.dumps(msg).encode())[
+        "success"
+    ]
+    loaded = _call(api, f"/api/conversations/{cid}")["conversation"]
+    assert [m["role"] for m in loaded["messages"]] == ["user", "bot"]
+    assert loaded["messages"][1]["sql"] == "SELECT COUNT(*) FROM students"
+    assert loaded["title"] == "how many students are there in total right"[:60]
+    listed = _call(api, "/api/conversations")["conversations"]
+    assert any(c["id"] == cid for c in listed)
+    assert _call(api, f"/api/conversations/{cid}", method="PATCH",
+                 data=json.dumps({"title": "renamed"}).encode())["success"]
+    assert _call(api, f"/api/conversations/{cid}")["conversation"]["title"] == "renamed"
+    assert _call(api, f"/api/conversations/{cid}", method="DELETE")["success"]
+    assert _call(api, f"/api/conversations/{cid}")["success"] is False
