@@ -181,6 +181,23 @@ def _argmax_1based(arr: Column) -> Column:
     return F.array_position(arr, F.array_max(arr))
 
 
+def _ivf_training_sample(
+    df: DataFrame, id_col: str, vec_col: str, train_limit: int
+) -> DataFrame:
+    """(h, v) training sample: ``pmod(xxhash64(id), K) == 0`` with K sized
+    from a corpus count. Both jobs are shuffle-free full-scan shapes — a
+    column-less count and a filtered projection; there is deliberately NO
+    global sort / TakeOrdered anywhere in this plan (the previous
+    ``orderBy(id).limit(n)`` formulation ranked every corpus row — a
+    scale-killer at 100 TB)."""
+    n = df.count()
+    mod = max(1, n // train_limit)
+    return df.select(
+        F.xxhash64(F.col(id_col)).alias("h"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -197,11 +214,10 @@ def ivf_topk(
     quantizer partitions the corpus into ``n_centroids`` lists; a query
     scans only its ``n_probe`` nearest lists with exact cosine.
 
-    Training runs driver-side on a small deterministic hash sample:
-    ``pmod(xxhash64(id), K) == 0`` with K sized from a corpus count, so the
-    sample is a shuffle-free filtered scan — never a global sort/TakeOrdered
-    over the corpus (which at 100 TB would read and rank every vector).
-    This is the standard offline coarse-quantizer step; at real scale you
+    Training runs driver-side on a small deterministic hash sample
+    (_ivf_training_sample — shuffle-free, sort-free, plan-asserted in
+    tests/test_plans.py). This is the standard offline coarse-quantizer
+    step; at real scale you
     train once (or with distributed kmeans||), persist the centroids, and
     write the corpus partitioned by list id so a probe becomes a
     partition-pruned scan instead of a full pass. Assignment and probing
@@ -209,18 +225,7 @@ def ivf_topk(
     narrow map over the corpus, then a broadcast join against the probed
     list ids.
     """
-    # count(*) is a column-less scan + partial agg (no shuffle of data rows);
-    # it sizes the hash modulus so the filtered sample lands near train_limit.
-    n = df.count()
-    mod = max(1, n // train_limit)
-    sample_rows = (
-        df.select(
-            F.xxhash64(F.col(id_col)).alias("h"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
-        .collect()
-    )
+    sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
     # Deterministic cap: order by hash (stable across partitioning/runs),
     # keep exactly train_limit vectors.
     sample_rows.sort(key=lambda r: r.h)

@@ -109,10 +109,22 @@ def extract_value_where(
     return None
 
 
-def nl_to_sql(nl: str, catalog_tables: dict[str, list[str]], samples_fn=None) -> str:
+def nl_to_sql(
+    nl: str,
+    catalog_tables: dict[str, list[str]],
+    samples_fn=None,
+    prev_table: str | None = None,
+) -> str:
     """Heuristic NL → reference-dialect SQL. Raises ValueError when no rule
-    matches (the reference falls through to its LLM in that case)."""
+    matches (the reference falls through to its LLM in that case).
+
+    ``prev_table`` is conversation context: when the question names no table
+    ("among these, how many are active?"), fall back to the table of the
+    previous answer — the reference's prevTable mechanism
+    (cmd/server/main.go:413-433,610-621)."""
     table = match_table(nl, catalog_tables)
+    if table is None and prev_table in catalog_tables:
+        table = prev_table
     if table is None:
         raise ValueError(f"no table matches question: {nl!r}")
     columns = catalog_tables[table]
@@ -164,10 +176,20 @@ def engine_samples(engine, table: str) -> dict[str, list[str]]:
     }
 
 
-def ask(engine, question: str, weak_typing: bool = False):
+def ask(
+    engine,
+    question: str,
+    weak_typing: bool = False,
+    prev_table: str | None = None,
+):
     """End-to-end: NL question → SQL → execution on the engine."""
     tables = {t: [c.name for c in engine.catalog.get(t).columns] for t in engine.show_tables()}
-    sql = nl_to_sql(question, tables, samples_fn=lambda t: engine_samples(engine, t))
+    sql = nl_to_sql(
+        question,
+        tables,
+        samples_fn=lambda t: engine_samples(engine, t),
+        prev_table=prev_table,
+    )
     return sql, engine.ref_sql(sql, weak_typing=weak_typing)
 
 

@@ -258,7 +258,11 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error("empty query")
         if req.get("isNatural") or nl.is_natural_language(query):
             try:
-                sql, result = nl.ask(self.engine, query)
+                sql, result = nl.ask(
+                    self.engine,
+                    query,
+                    prev_table=self._prev_table(req.get("conversationId")),
+                )
             except Exception as ex:
                 return self._error(str(ex))
             try:
@@ -276,6 +280,26 @@ class ApiHandler(BaseHTTPRequestHandler):
         except Exception as ex:
             return self._error(str(ex))
         self._json({"success": True, "result": rendered})
+
+    def _prev_table(self, conv_id: str | None) -> str | None:
+        """Table named in the conversation's most recent bot SQL — the
+        reference's prevTable follow-up context (main.go:413-433): lets
+        "among these, how many …" NL questions reuse the last table."""
+        if not conv_id:
+            return None
+        try:
+            conv = self.convs.load(conv_id)
+        except (OSError, ValueError):
+            return None
+        tables = self.engine.show_tables()
+        for msg in reversed(conv.get("messages", [])):
+            sql = msg.get("sql") or ""
+            if msg.get("role") == "bot" and sql:
+                upper = sql.upper()
+                for t in tables:
+                    if t.upper() in upper:
+                        return t
+        return None
 
     def handle_upload(self):
         ctype = self.headers.get("Content-Type") or ""

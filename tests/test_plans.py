@@ -140,3 +140,26 @@ def test_q19_disjunction_keeps_part_filter_above_scan_but_joins_broadcast(
     # and shuffle-free up to the global aggregate.
     df = w.QUERIES["q19_disjunctive_revenue"](spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_ivf_training_sample_has_no_sort_or_shuffle(spark, sf_dir):
+    # Round-2 review: IVF's training sample was orderBy(id).limit(n) — a
+    # global TakeOrdered over the whole corpus. The hash-sample replacement
+    # must stay a filtered projection: no Sort/TakeOrdered, no exchange.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    sample = similarity._ivf_training_sample(emb, "vec_id", "embedding", 64)
+    text = plan_text(sample)
+    assert "Sort" not in text and "TakeOrdered" not in text, text
+    assert shuffle_count(sample) == 0
+    # Deterministic: same rows on repeated evaluation.
+    a = sorted(r.h for r in sample.collect())
+    b = sorted(r.h for r in sample.collect())
+    assert a == b and len(a) > 0

@@ -139,6 +139,35 @@ def test_natural_language_query_reports_generated_sql(api):
     assert "eve" in resp["result"]
 
 
+def test_nl_prev_table_context_from_conversation(api):
+    # "among these, how many..." names no table; the reference resolves it
+    # from the last bot SQL in the conversation (main.go:413-433).
+    _query(api, "CREATE TABLE inventory (sku TEXT, stock INT)")
+    _query(api, "INSERT INTO inventory VALUES ('a1', 5)")
+    _query(api, "INSERT INTO inventory VALUES ('b2', 0)")
+    conv = _call(api, "/api/conversations", b"{}")["conversation"]
+    msg = {
+        "userText": "show inventory",
+        "botData": {"success": True, "result": "...", "generatedSQL": "SELECT * FROM inventory"},
+    }
+    _call(api, f"/api/conversations/{conv['id']}/message", json.dumps(msg).encode())
+    resp = _query(
+        api,
+        "among these how many have stock more than 1",
+        isNatural=True,
+        conversationId=conv["id"],
+    )
+    assert resp["success"], resp
+    assert "inventory" in resp["generatedSQL"]
+    assert "1" in resp["result"]
+    # Without the conversation, the same question has no matching table.
+    bare = _query(api, "among these how many have stock more than 1", isNatural=True)
+    assert bare["success"], bare  # 'stock' column keyword still matches...
+    # ...so use a question with no table/column words at all:
+    none = _query(api, "among these how many are left", isNatural=True)
+    assert none["success"] is False
+
+
 def test_conversation_crud_and_message_append(api):
     conv = _call(api, "/api/conversations", b"{}")["conversation"]
     cid = conv["id"]
