@@ -78,22 +78,25 @@ def _shingle_index(
     index = toked.select(
         "doc", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("s")
     ).distinct()
+    # Materialize the index ONCE before any fan-out: the doc-freq-cap branch
+    # plus three downstream branches (both self-join sides + the size
+    # aggregate) otherwise each re-run the regex-tokenize → shingle →
+    # explode → distinct pipeline — plan-audited at 4 parquet scans with
+    # zero exchange reuse before this checkpoint. One compact (doc, shingle)
+    # row per entry, disk-spillable, same trade-off as minhash_lsh_pairs.
+    index = index.localCheckpoint()
     if max_doc_freq is not None:
         # Drop stop-shingles: a shingle appearing in k docs contributes k²
-        # candidate pairs — the classic skew bomb at corpus scale.
+        # candidate pairs — the classic skew bomb at corpus scale. Both the
+        # frequency agg and the semi-join probe read the checkpointed rows,
+        # not the tokenize pipeline.
         rare = (
             index.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_doc_freq)
             .select("s")
         )
-        index = index.join(rare, "s", "left_semi")
-    # Materialize the index ONCE before fan-out: three downstream branches
-    # (both self-join sides + the size aggregate) otherwise each re-run the
-    # regex-tokenize → shingle → explode → distinct pipeline — measured 3×
-    # the scan cost on a near-dup-heavy corpus. One compact (doc, shingle)
-    # row per entry, disk-spillable, same trade-off as minhash_lsh_pairs.
-    index = index.localCheckpoint()
+        index = index.join(rare, "s", "left_semi").localCheckpoint()
     # Sizes AFTER the frequency cap: jaccard is then consistent over the
     # capped shingle universe (sizes from the uncapped index would bias
     # every capped jaccard toward zero and drop genuine near-dups).

@@ -107,3 +107,51 @@ def test_repl_run_statement(spark, tmp_path):
     assert run_statement(e, "SHOW IMAGE DIR") == "/tmp/imgs"
     nl_out = run_statement(e, "how many t are there?")
     assert nl_out.startswith("-- SELECT COUNT(*)")
+
+
+def test_llm_to_sql_against_stub_endpoint():
+    # X2 is endpoint-gated (no Ollama in CI); a stub HTTP server exercises
+    # the full request/response path: schema-context prompt assembly, JSON
+    # envelope, markdown fence stripping, first-statement truncation
+    # (reference main.go:219-266,688-752).
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.nl import (
+        llm_to_sql,
+    )
+
+    seen = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen.update(body)
+            resp = json.dumps(
+                {"response": "```sql\nSELECT name FROM students WHERE grade > 90;\nSELECT 2;\n```"}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sql = llm_to_sql(
+            "top students?",
+            "students(name TEXT, grade INT)",
+            endpoint=f"http://127.0.0.1:{srv.server_address[1]}/api/generate",
+        )
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+    assert sql == "SELECT name FROM students WHERE grade > 90"
+    assert seen["stream"] is False and seen["options"]["temperature"] == 0.1
+    assert "students(name TEXT, grade INT)" in seen["prompt"]
+    assert "top students?" in seen["prompt"]
