@@ -282,9 +282,10 @@ class Engine:
         """MERGE-style upsert: rows in ``updates`` replace rows with the
         same key; new keys are appended (emulated MERGE INTO: anti-join +
         union, then copy-on-write — the no-Delta pattern)."""
+        from .operators.maintenance import merge_upsert
+
         current = self.table(name)
-        survivors = current.join(updates.select(*keys), on=keys, how="left_anti")
-        merged = survivors.unionByName(updates.select(*current.columns))
+        merged = merge_upsert(current, updates.select(*current.columns), keys)
         self.store.overwrite(name, merged, self.catalog.get(name).partition_by)
 
     # ---- bucketing (scale: co-located, shuffle-free joins) ---------------

@@ -12,6 +12,7 @@ from . import core  # noqa: F401, E402
 from . import relational  # noqa: F401, E402
 from . import scale  # noqa: F401, E402
 from . import streaming  # noqa: F401, E402
+from . import ranking  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
@@ -25,6 +26,12 @@ from . import streaming  # noqa: F401, E402
 # Every name must exist in QUERIES; ordered_queries() raises otherwise so a
 # rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
+    # (0) entries new this round — no driver row exists yet.
+    "tfidf_top3_terms",
+    "bm25_top10",
+    "events_sessionize",
+    "events_value_percentiles",
+    "merge_upsert_orders",
     # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
     "pipeline_curate_corpus",

@@ -1,0 +1,270 @@
+"""Driver workloads: corpus ranking, batch sessionization, percentile
+profiles, and CDC merge — oracle-checked against DuckDB.
+
+Float-parity rules (same as the rest of the suite): every computed double
+is rounded before ranking/output on BOTH sides; multi-term float sums are
+fixed-order column additions, never shuffle-order aggregates; averages of
+integers are written as exact-integer-sum ÷ count (DuckDB's ``avg`` may
+accumulate in shuffle order, Spark's ``sum(long)`` is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import maintenance, ranking, sessions
+from .registry import load, query
+from .scale import _SQL_NORM
+
+_SQL_TOKS_NE = (
+    "list_filter(string_split(" + _SQL_NORM.format(t="text") + ", ' '), x -> x <> '')"
+)
+
+
+# --- TF-IDF ----------------------------------------------------------------
+
+
+@query(
+    "tfidf_top3_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest({_SQL_TOKS_NE}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(c * ln((n_docs + 1.0) / (df_t + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, term, tfidf FROM ranked
+    WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top3_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IDF statistics come from the FULL corpus; only the output is
+    # restricted to doc_id < 30. Ranking happens on the ROUNDED score with
+    # a term tiebreak, so a 1-ulp ln() divergence between engines cannot
+    # reorder rows.
+    docs = load(spark, sf_dir, "documents")
+    scored = ranking.tfidf(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "term",
+        F.round("tfidf", 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 30))
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# --- BM25 ------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "hash"]
+
+
+@query(
+    "bm25_top10",
+    f"""
+    WITH dl AS (SELECT doc_id, len({_SQL_TOKS_NE}) AS dl, {_SQL_TOKS_NE} AS t
+                FROM documents),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS c
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+      WHERE term IN ('spark', 'join', 'hash')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    -- operand order mirrors operators/ranking.py:bm25 exactly: same IEEE
+    -- ops in the same order; (1.2 + 1.0) not 2.2 so the literal is the
+    -- identical double Python's k1 + 1.0 bakes in.
+    w AS (
+      SELECT doc_id, term,
+             ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * c * (1.2 + 1.0)
+               / (c + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    piv AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0) AS w1,
+             coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0) AS w2,
+             coalesce(max(CASE WHEN term = 'hash' THEN w END), 0.0) AS w3
+      FROM w GROUP BY 1
+    )
+    SELECT doc_id, round(0.0 + w1 + w2 + w3, 4) AS score
+    FROM piv ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = ranking.bm25(docs, "doc_id", "text", _BM25_TERMS)
+    return (
+        scored.select(
+            F.col("id").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# --- batch sessionization --------------------------------------------------
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    b AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM b
+    ),
+    per AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS longest,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM per GROUP BY 1 ORDER BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 30-minute gap sessions; event_id breaks timestamp ties so the
+    # per-user ordering is total. session_id is a 1-based running counter,
+    # so max(session_id) IS the session count — no count(distinct).
+    ev = load(spark, sf_dir, "events")
+    sess = sessions.sessionize(ev, "user_id", "ts", 1800, ["event_id"])
+    per = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.max("n").alias("longest"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- percentile profile ----------------------------------------------------
+
+
+@query(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`, both type-7). At 100 TB swap for approx_percentile
+    # with a stated error bound — kept exact here because the oracle gate
+    # hashes values.
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- CDC merge -------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    -- additive price changes, not multiplicative: x * 1.1 lands on .xx5
+    -- half-cent boundaries where Spark's decimal-string HALF_UP round and
+    -- DuckDB's float round disagree; adding a 2-decimal constant keeps the
+    -- value 2-decimal with no rounding step at all.
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM base WHERE o_orderkey % 7 = 0),
+    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice + 0.25 AS o_totalprice
+            FROM base WHERE o_orderkey % 13 = 0),
+    del AS (SELECT o_orderkey FROM base
+            WHERE o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0),
+    srckeys AS (SELECT o_orderkey FROM upd
+                UNION ALL SELECT o_orderkey FROM ins
+                UNION ALL SELECT o_orderkey FROM del),
+    kept AS (SELECT * FROM base
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srckeys)),
+    merged AS (SELECT * FROM kept
+               UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One CDC batch against orders: updates (keys %7), inserts (new keys),
+    # deletes (keys %31 that aren't also updated — the changeset is unique
+    # per key, the CDC contract merge_upsert documents). The summary
+    # aggregate covers every merged row, so a wrong anti-join or dropped
+    # delete flips the hash.
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter(k % 7 == 0).select(
+        k.alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit(False).alias("_deleted"),
+    )
+    ins = base.filter(k % 13 == 0).select(
+        (k + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(0.25)).alias("o_totalprice"),
+        F.lit(False).alias("_deleted"),
+    )
+    dels = base.filter((k % 31 == 0) & (k % 7 != 0)).select(
+        k.alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("_deleted"),
+    )
+    src = upd.unionByName(ins).unionByName(dels)
+    merged = maintenance.merge_upsert(base, src, ["o_orderkey"], "_deleted")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

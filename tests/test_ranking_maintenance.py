@@ -1,0 +1,160 @@
+"""Unit pins for operators/ranking.py, sessions.py, maintenance.py —
+hand-computable fixtures, formula cross-checks against pure-Python math."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row, functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    maintenance,
+    ranking,
+    sessions,
+)
+
+DOCS = [
+    (0, "apple banana apple"),
+    (1, "banana cherry"),
+    (2, "apple"),
+    (3, ""),  # empty: contributes to N, produces no terms
+]
+
+
+def test_tfidf_matches_formula(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r["id"], r["term"]): r["tfidf"]
+        for r in ranking.tfidf(docs, "doc_id", "text").collect()
+    }
+    # N=4; df: apple 2, banana 2, cherry 1
+    assert got[(0, "apple")] == pytest.approx(2 * math.log(5.0 / 3.0))
+    assert got[(1, "cherry")] == pytest.approx(math.log(5.0 / 2.0))
+    assert (3, "") not in got and len(got) == 5
+
+
+def test_bm25_matches_formula(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["id"]: r["score"]
+        for r in ranking.bm25(docs, "doc_id", "text", ["apple", "cherry"]).collect()
+    }
+    n, avgdl, k1, b = 4, (3 + 2 + 1 + 0) / 4.0, 1.2, 0.75
+
+    def w(c, df_t, dl):
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * c * (k1 + 1.0) / (c + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[0] == pytest.approx(w(2, 2, 3))  # apple only
+    assert got[1] == pytest.approx(w(1, 1, 2))  # cherry only
+    assert got[2] == pytest.approx(w(1, 2, 1))
+    assert 3 not in got  # all-miss docs absent (score would be 0)
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [(1, i, t) for i, t in enumerate([0, 10, 2000, 2010, 6000])]
+    rows += [(2, 90, 0), (2, 91, 1800)]  # gap == 1800s: NOT a break (strict >)
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "secs"]).select(
+        "user_id", "event_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    out = sessions.sessionize(ev, "user_id", "ts", 1800, ["event_id"])
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"] for r in out.collect()
+    }
+    assert [got[(1, i)] for i in range(5)] == [1, 1, 2, 2, 3]
+    assert got[(2, 90)] == got[(2, 91)] == 1
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 6)], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [
+            Row(k=2, v="v2-new", _deleted=False),
+            Row(k=10, v="v10", _deleted=False),
+            Row(k=4, v=None, _deleted=True),
+        ]
+    )
+    out = maintenance.merge_upsert(target, source, ["k"], "_deleted")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "v1", 2: "v2-new", 3: "v3", 5: "v5", 10: "v10"}
+    assert "_deleted" not in out.columns
+
+
+def test_merge_upsert_without_delete_col(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    got = {
+        r["k"]: r["v"]
+        for r in maintenance.merge_upsert(target, source, ["k"]).collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_zorder_key_morton_interleave(spark):
+    # bits=2, both cols spanning 0..3 → scaled == raw; MSB-first interleave
+    # in declared column order: key bits are a1 b1 a0 b0.
+    df = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4)], ["a", "b"]
+    )
+    got = {
+        (r["a"], r["b"]): r["_zkey"]
+        for r in maintenance.zorder_key(df, ["a", "b"], bits=2).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(3, 0)] == 0b1010
+    assert got[(1, 1)] == 0b0011
+    assert got[(2, 3)] == 0b1101
+    assert got[(3, 3)] == 0b1111
+    # locality: key range of the low quadrant is disjoint from the high one
+    assert max(got[(a, b)] for a in (0, 1) for b in (0, 1)) < min(
+        got[(a, b)] for a in (2, 3) for b in (2, 3)
+    )
+
+
+def test_zorder_key_guards(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError):
+        maintenance.zorder_key(df, [])
+    with pytest.raises(ValueError):
+        maintenance.zorder_key(df, ["a", "b"], bits=32)
+
+
+def test_compact_clusters_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "opt")
+    # 8 fragments, each containing the FULL value range (worst layout:
+    # every file overlaps every filter).
+    df = spark.range(8_000).select(
+        (F.col("id") % 1000).alias("x"), F.col("id").alias("payload")
+    )
+    df.repartition(8).write.parquet(src)
+    bytes_in = sum(
+        os.stat(f).st_size for f in glob.glob(src + "/*.parquet")
+    )
+    stats = maintenance.compact(
+        spark, src, out, zorder_cols=["x"], target_file_bytes=bytes_in // 2 + 1
+    )
+    assert stats["files_in"] == 8 and stats["files_out"] == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 8_000
+    assert back.columns == ["x", "payload"]  # _zkey dropped
+    # clustering: each output file's x-span must be far narrower than the
+    # global span (range-partitioned on the z-key of a single column = a
+    # range partition on x itself).
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append(max(maxs) - min(mins))
+    assert len(spans) == 2
+    assert all(s <= 600 for s in spans), spans
