@@ -83,6 +83,7 @@ def bm25(
     terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """BM25 score of every document against a fixed bag of query ``terms``.
 
@@ -102,6 +103,16 @@ def bm25(
     if not terms:
         raise ValueError("bm25 needs at least one query term")
     tf = doc_terms(docs, id_col, text_col).filter(F.col("term").isin(terms))
+    if materialize_tf:
+        # tf feeds both dfreq and the score join; Spark replans shared
+        # subtrees, so without this the corpus gets tokenized + scanned
+        # once per consumer (3 full scans total). Post-filter tf is tiny
+        # (≤ |terms| rows per matching doc), so materializing it costs one
+        # small local write and drops the query to 2 corpus scans (tf +
+        # avgdl stats). tfidf() deliberately does NOT do this: its tf is
+        # full-vocabulary (corpus-sized), where a materialization write
+        # costs more than the rescan it saves.
+        tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     stats = (
         docs.select(norm_tokens(text_col).alias("toks"))

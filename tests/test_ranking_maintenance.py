@@ -158,3 +158,56 @@ def test_compact_clusters_and_preserves_rows(spark, tmp_path):
         spans.append(max(maxs) - min(mins))
     assert len(spans) == 2
     assert all(s <= 600 for s in spans), spans
+
+
+# --- plan hygiene (scale posture) ------------------------------------------
+
+
+def test_bm25_workload_two_scans_and_broadcasts(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans import (
+        inspect,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    df = QUERIES["bm25_top10"](spark, sf_dir)
+    txt = inspect.plan_text(df)
+    # materialized tf: the corpus is scanned for tf and for avgdl stats,
+    # never a third time for dfreq.
+    assert txt.count("Scan parquet") <= 2, txt
+    assert inspect.has_broadcast_join(df)
+
+
+def test_sessionize_workload_single_data_shuffle(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans import (
+        inspect,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    df = QUERIES["events_sessionize"](spark, sf_dir)
+    # one hash exchange partitions by user; both window passes and both
+    # aggregations reuse it (the final orderBy adds a range exchange).
+    assert inspect.shuffle_count(df) <= 2, inspect.plan_text(df, "simple")
+
+
+def test_merge_workload_broadcast_anti_join(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans import (
+        inspect,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    df = QUERIES["merge_upsert_orders"](spark, sf_dir)
+    # the static estimate keeps a sort-merge anti-join; AQE's runtime stats
+    # see the small changeset and demote it to a broadcast — assert on the
+    # FINAL adaptive plan, post-execution.
+    df.collect()
+    txt = inspect.plan_text(df, "simple")
+    assert "isFinalPlan=true" in txt, txt
+    assert any(
+        "BroadcastHashJoin" in ln and "LeftAnti" in ln for ln in txt.splitlines()
+    ), txt
