@@ -129,6 +129,19 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def static_enrich(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (bounded, batch) dimension table. No watermark and no join state — the
+    static side is re-resolvable per batch, so this is the cheapest join in
+    Structured Streaming. The dim is broadcast: the stream side keeps its
+    partitioning, so enrichment adds zero shuffles to the micro-batch
+    (broadcast per batch; for a big-dim stream join, pre-bucket both sides
+    instead)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str]) -> DataFrame:
     """Streaming dedup: first occurrence per key wins; state for a key is
     dropped once the watermark passes it (bounded memory on infinite

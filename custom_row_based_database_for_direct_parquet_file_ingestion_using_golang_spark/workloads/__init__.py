@@ -32,6 +32,7 @@ PRIORITY: list[str] = [
     "events_sessionize",
     "events_value_percentiles",
     "merge_upsert_orders",
+    "stream_static_enrich",
     # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
     "pipeline_curate_corpus",

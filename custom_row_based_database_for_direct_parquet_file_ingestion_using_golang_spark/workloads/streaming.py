@@ -160,3 +160,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS ws, n.n_name AS nation,
+           count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ws, nation
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static join: the event stream is enriched per micro-batch with
+    # a broadcast customer→nation dimension (no join state, no watermark on
+    # the static side), then windowed per nation. The static-static
+    # customer⋈nation join resolves once at plan time.
+    from ..streaming.ops import static_enrich
+    from .registry import load
+
+    events = read_events_stream(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey"), F.col("n_name").alias("nation"))
+    )
+    enriched = static_enrich(
+        events, dim, events["user_id"] == dim["c_custkey"]
+    )
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(F.col("window.start").alias("ws"), "nation", "n", "total")
+    )
+    return run_to_memory(agg, mode="complete")
