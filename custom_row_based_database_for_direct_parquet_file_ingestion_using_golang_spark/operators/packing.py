@@ -1,0 +1,45 @@
+"""Sequence packing: assign documents to fixed-context training sequences.
+
+The GPT-style pretraining layout concatenates a shard's documents in a
+deterministic order and slices the token stream into ``ctx_len`` windows; a
+document "belongs" to the sequence containing its first token. That
+assignment is a per-shard cumulative token sum — pure window algebra, no
+Python, and exactly mirrorable in SQL for the oracle gate.
+
+Scale design: the window partitions by the shard column (``source`` here —
+in production the pre-assigned output shard), so each partition's running
+sum is independent: ONE shuffle, no global ordering, no single-partition
+window. Packing is deterministic given (shard, order) — re-runs and
+engines agree byte-for-byte, which is what makes training-data builds
+reproducible and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    shard_col: str,
+    ctx_len: int,
+) -> DataFrame:
+    """Append ``seq_id``: 0-based index of the ctx_len-token sequence that
+    this document's first token lands in, packing per ``shard_col`` in
+    ``order_col`` order (which must be unique per shard).
+
+    A document longer than ``ctx_len`` simply spans several sequences and
+    is assigned to the first — downstream slicing handles the split; the
+    assignment stays a pure integer function of the cumulative sum.
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return docs.withColumn("seq_id", F.floor(start / F.lit(ctx_len)))

@@ -33,6 +33,7 @@ PRIORITY: list[str] = [
     "events_value_percentiles",
     "merge_upsert_orders",
     "stream_static_enrich",
+    "corpus_pack_sequences",
     # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
     "pipeline_curate_corpus",

@@ -211,3 +211,47 @@ def test_merge_workload_broadcast_anti_join(spark, sf_dir):
     assert any(
         "BroadcastHashJoin" in ln and "LeftAnti" in ln for ln in txt.splitlines()
     ), txt
+
+
+def test_pack_sequences_boundaries(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        # shard A: 300 + 300 tokens → doc 1 starts at 0 (seq 0), doc 2 at
+        # 300 (seq 0), doc 3 at 600 (seq 1); doc 4 (oversized, 1300) starts
+        # at 900 (seq 1) and SPANS seq 2-4 but is assigned to 1.
+        ("a", 1, 300),
+        ("a", 2, 300),
+        ("a", 3, 300),
+        ("a", 4, 1300),
+        ("a", 5, 10),  # starts at 2200 → seq 4
+        # shard B packs independently from 0.
+        ("b", 1, 512),
+        ("b", 2, 1),  # starts exactly at 512 → seq 1
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+    got = {
+        (r["source"], r["doc_id"]): r["seq_id"]
+        for r in pack_sequences(df, "doc_id", "n_tok", "source", 512).collect()
+    }
+    assert got == {
+        ("a", 1): 0,
+        ("a", 2): 0,
+        ("a", 3): 1,
+        ("a", 4): 1,
+        ("a", 5): 4,
+        ("b", 1): 0,
+        ("b", 2): 1,
+    }
+
+
+def test_pack_sequences_rejects_bad_ctx(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1)], ["source", "doc_id", "n_tok"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", "source", 0)
