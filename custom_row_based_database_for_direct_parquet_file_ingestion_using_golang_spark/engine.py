@@ -278,6 +278,39 @@ class Engine:
             if f.endswith(".parquet")
         )
 
+    def optimize(
+        self,
+        name: str,
+        zorder_cols: list[str],
+        target_files: int | None = None,
+    ) -> int:
+        """Compaction + z-order clustering: rewrite a table range-
+        partitioned and sorted on the Morton key of ``zorder_cols``, so
+        file- and row-group-level min/max statistics prune filters on any
+        clustered column (the Delta/Iceberg OPTIMIZE ZORDER maintenance
+        pass, via plain writers). Returns the post-rewrite file count."""
+        from .operators.maintenance import zorder_key
+
+        meta = self.catalog.get(name)
+        df = self.table(name)
+        keyed = zorder_key(df, zorder_cols)
+        n = target_files or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        out = (
+            keyed.repartitionByRange(n, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        self.store.overwrite(name, out, meta.partition_by)
+        path = self.store.table_path(name)
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
     def upsert(self, name: str, updates: DataFrame, keys: list[str]) -> None:
         """MERGE-style upsert: rows in ``updates`` replace rows with the
         same key; new keys are appended (emulated MERGE INTO: anti-join +

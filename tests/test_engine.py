@@ -199,6 +199,33 @@ def test_compact_reduces_files(engine):
     assert engine.table("t").count() == 5
 
 
+def test_optimize_zorder_clusters_table(engine):
+    engine.create_table("z", [("a", "INT"), ("b", "INT")])
+    # two appends with interleaved ranges: worst layout for pruning.
+    engine.insert_rows("z", [{"a": i % 100, "b": i // 100} for i in range(0, 1000, 2)])
+    engine.insert_rows("z", [{"a": i % 100, "b": i // 100} for i in range(1, 1000, 2)])
+    n_files = engine.optimize("z", ["a", "b"], target_files=4)
+    assert n_files == 4
+    df = engine.table("z")
+    assert df.count() == 1000
+    assert df.columns == ["a", "b"]  # _zkey dropped
+    # clustered: each file's a-range must be a narrow slice of 0..99.
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    path = engine.store.table_path("z")
+    spans = []
+    for f in _glob.glob(path + "/**/*.parquet", recursive=True):
+        md = _pq.read_metadata(f)
+        st = md.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(0).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        spans.append(hi - lo)
+    assert len(spans) == 4
+    assert sum(spans) / len(spans) < 75, spans
+
+
 def test_upsert_merge_semantics(engine, spark):
     engine.create_table("kv", [("k", "INT"), ("v", "TEXT")])
     engine.insert_rows("kv", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
