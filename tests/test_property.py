@@ -1,0 +1,168 @@
+"""Property-based pins (hypothesis) for determinism-critical operators:
+each compares the distributed implementation against a pure-Python
+reference on randomized inputs. Few examples per test — every example is a
+Spark job — but randomized structure (ties, empties, skew) reaches corners
+hand-written fixtures miss."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    maintenance,
+    sessions,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+    pack_sequences,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user_id — few users → long per-user chains
+            st.integers(0, 10_000),  # seconds — duplicates likely
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    gap=st.integers(1, 3_000),
+)
+def test_sessionize_matches_python_reference(spark, events, gap):
+    rows = [(u, i, s) for i, (u, s) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "secs"]).select(
+        "user_id", "event_id", F.timestamp_seconds("secs").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessions.sessionize(df, "user_id", "ts", gap, ["event_id"]).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, eid, s in rows:
+        by_user.setdefault(u, []).append((s, eid))
+    for u, evs in by_user.items():
+        sid, prev = 0, None
+        for s, eid in sorted(evs):  # (secs, event_id) — the same total order
+            if prev is None or s - prev > gap:
+                sid += 1
+            expect[(u, eid)] = sid
+            prev = s
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.integers(0, 700), min_size=1, max_size=50),
+    ctx=st.integers(1, 1024),
+)
+def test_pack_sequences_matches_python_reference(spark, toks, ctx):
+    rows = [("s", i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "doc_id", "n_tok", "source", ctx).collect()
+    }
+    cum, expect = 0, {}
+    for i, t in enumerate(toks):
+        expect[i] = cum // ctx
+        cum += t
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    target=st.dictionaries(st.integers(0, 30), st.integers(), max_size=20),
+    updates=st.dictionaries(st.integers(0, 30), st.integers(), max_size=10),
+    deletes=st.sets(st.integers(0, 30), max_size=10),
+)
+def test_merge_upsert_matches_dict_semantics(spark, target, updates, deletes):
+    deletes -= set(updates)  # CDC contract: one net change per key
+    if not target or (not updates and not deletes):
+        return
+    tdf = spark.createDataFrame(list(target.items()), ["k", "v"])
+    src = [(k, v, False) for k, v in updates.items()]
+    src += [(k, 0, True) for k in deletes]
+    sdf = spark.createDataFrame(src, ["k", "v", "_deleted"])
+    got = {
+        r["k"]: r["v"]
+        for r in maintenance.merge_upsert(tdf, sdf, ["k"], "_deleted").collect()
+    }
+    expect = dict(target)
+    expect.update(updates)
+    for k in deletes:
+        expect.pop(k, None)
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    points=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_zorder_key_per_axis_monotone(spark, points):
+    df = spark.createDataFrame(points, ["a", "b"]).distinct()
+    rows = maintenance.zorder_key(df, ["a", "b"], bits=8).collect()
+    got = {(r["a"], r["b"]): r["_zkey"] for r in rows}
+    for k in got.values():
+        assert 0 <= k < (1 << 16)
+    # Morton keys are monotone along each axis when the SCALED coordinate
+    # strictly increases (distinct raw values can collapse into one bucket
+    # after min/max scaling — equality is legitimate then).
+    by_b: dict[int, list[tuple[int, int]]] = {}
+    by_a: dict[int, list[tuple[int, int]]] = {}
+    for (a, b), k in got.items():
+        by_b.setdefault(b, []).append((a, k))
+        by_a.setdefault(a, []).append((b, k))
+    for groups in (by_b, by_a):
+        for pairs in groups.values():
+            pairs.sort()
+            for (c1, k1), (c2, k2) in zip(pairs, pairs[1:]):
+                assert k1 <= k2, (pairs,)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # tiny vocab → heavy collisions
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_tfidf_df_counts_match_python(spark, docs):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        ranking,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r["id"], r["term"]): r["c"]
+        for r in ranking.doc_terms(df, "doc_id", "text").collect()
+    }
+    expect: dict[tuple[int, str], int] = {}
+    for i, text in enumerate(docs):
+        for tok in text.split():
+            # mirror normalize_text: lowercase + collapse — the alphabet is
+            # already lowercase/space-only, so whitespace split suffices.
+            expect[(i, tok)] = expect.get((i, tok), 0) + 1
+    assert got == expect
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
