@@ -43,3 +43,36 @@ def pack_sequences(
     )
     start = F.sum(tokens_col).over(w) - F.col(tokens_col)
     return docs.withColumn("seq_id", F.floor(start / F.lit(ctx_len)))
+
+
+def token_budget_filter(
+    docs: DataFrame,
+    tokens_col: str,
+    shard_col: str,
+    budget: int,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Greedy per-shard selection under a token budget: walk the shard in
+    ``order_cols`` order (default: longest-first, then the first column of
+    the frame as tiebreak) and keep every document whose token stream
+    STARTS inside the budget — the standard "best docs until we have N
+    tokens" curation step. The last kept document may overrun the budget;
+    packing/truncation downstream handles that, and the selection stays a
+    pure prefix — deterministic, resumable, engine-independent.
+
+    Same scale shape as :func:`pack_sequences`: one shuffle on the shard
+    key, a running sum, a row-local filter. The ordering must be total
+    (include a unique tiebreak) or the prefix is nondeterministic.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_cols or [F.col(tokens_col).desc(), F.col(docs.columns[0])]
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return docs.withColumn("_start", start).filter(
+        F.col("_start") < F.lit(budget)
+    ).drop("_start")

@@ -34,6 +34,8 @@ PRIORITY: list[str] = [
     "merge_upsert_orders",
     "stream_static_enrich",
     "corpus_pack_sequences",
+    "corpus_domain_mix",
+    "corpus_token_budget_select",
     # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
     "pipeline_curate_corpus",

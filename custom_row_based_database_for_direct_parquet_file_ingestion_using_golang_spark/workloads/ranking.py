@@ -315,3 +315,93 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- domain mixing ---------------------------------------------------------
+
+_MIX_HIGH = ("src0", "src1", "src2")  # keep 75%
+_MIX_MID = ("src3", "src4", "src5", "src6", "src7")  # keep 50%
+# everything else: keep 25%
+
+
+@query(
+    "corpus_domain_mix",
+    """
+    SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                              CASE WHEN source IN ('src0', 'src1', 'src2')
+                                     THEN 'c0'
+                                   WHEN source IN ('src3', 'src4', 'src5',
+                                                   'src6', 'src7')
+                                     THEN '80'
+                                   ELSE '40' END
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Target-mixture downsampling: per-source keep rates (75/50/25% via md5
+    # bucket thresholds c0/80/40) applied as a row-local expression — the
+    # mixture is reweighted in the scan stage with zero data movement, and
+    # re-runs (or another engine) keep byte-identical document sets. The
+    # per-source kept/total counts pin every row's assignment.
+    from .scale import _md5_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    thr = (
+        F.when(F.col("source").isin(*_MIX_HIGH), F.lit("c0"))
+        .when(F.col("source").isin(*_MIX_MID), F.lit("80"))
+        .otherwise(F.lit("40"))
+    )
+    kept = (_md5_bucket(F.col("doc_id")) < thr).cast("long")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum(kept).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# --- token-budget selection ------------------------------------------------
+
+
+@query(
+    "corpus_token_budget_select",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(regexp_extract_all(text, '{WORDISH}')) AS n_tok
+               FROM documents),
+    r AS (
+      SELECT source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_tok DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS start
+      FROM t
+    )
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+    FROM r WHERE start < 2000 GROUP BY source ORDER BY source
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy longest-first selection until each source holds ~2000 tokens:
+    # integer sort keys (token count desc, doc_id tiebreak) so the prefix
+    # is identical across engines — no float ranking involved.
+    from ..operators.packing import token_budget_filter
+    from ..operators.text import word_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", word_token_count("text").alias("n_tok")
+    )
+    kept = token_budget_filter(
+        toks,
+        "n_tok",
+        "source",
+        2000,
+        order_cols=[F.col("n_tok").desc(), F.col("doc_id")],
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("kept_tokens"))
+        .orderBy("source")
+    )

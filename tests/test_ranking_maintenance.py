@@ -255,3 +255,32 @@ def test_pack_sequences_rejects_bad_ctx(spark):
     df = spark.createDataFrame([("a", 1, 1)], ["source", "doc_id", "n_tok"])
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", "source", 0)
+
+
+def test_token_budget_filter_prefix_semantics(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        token_budget_filter,
+    )
+
+    rows = [
+        # shard a, longest-first order: d3(500) d1(400) d2(300) d4(100)
+        # starts: 0, 500, 900, 1200 → budget 1000 keeps d3, d1, d2 (starts
+        # 0/500/900 < 1000; d2 overruns to 1200 — allowed), drops d4.
+        ("a", 1, 400),
+        ("a", 2, 300),
+        ("a", 3, 500),
+        ("a", 4, 100),
+        # shard b: single doc bigger than the budget still kept (start 0).
+        ("b", 9, 5000),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tok"])
+    kept = token_budget_filter(
+        df, "n_tok", "source", 1000,
+        order_cols=[F.col("n_tok").desc(), F.col("doc_id")],
+    )
+    got = sorted((r["source"], r["doc_id"]) for r in kept.collect())
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 9)]
+    assert kept.columns == ["source", "doc_id", "n_tok"]  # _start dropped
+
+    with pytest.raises(ValueError):
+        token_budget_filter(df, "n_tok", "source", 0)
