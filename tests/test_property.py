@@ -82,8 +82,15 @@ def test_pack_sequences_matches_python_reference(spark, toks, ctx):
 
 @SETTINGS
 @given(
-    target=st.dictionaries(st.integers(0, 30), st.integers(), max_size=20),
-    updates=st.dictionaries(st.integers(0, 30), st.integers(), max_size=10),
+    # values bounded to int64: Spark's createDataFrame silently nulls
+    # Python ints that overflow LongType, which is a fixture artifact, not
+    # merge semantics.
+    target=st.dictionaries(
+        st.integers(0, 30), st.integers(-(2**63), 2**63 - 1), max_size=20
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 30), st.integers(-(2**63), 2**63 - 1), max_size=10
+    ),
     deletes=st.sets(st.integers(0, 30), max_size=10),
 )
 def test_merge_upsert_matches_dict_semantics(spark, target, updates, deletes):
