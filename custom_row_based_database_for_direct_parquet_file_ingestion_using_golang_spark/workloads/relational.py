@@ -1030,22 +1030,27 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_12'
     )
-    SELECT l_partkey AS partkey, round(sum(l_extendedprice), 2) AS value
-    FROM supplied
-    GROUP BY l_partkey
-    HAVING round(sum(l_extendedprice), 2) > round(
-      (SELECT sum(l_extendedprice) FROM supplied) * 0.001, 2)
-    ORDER BY sum(l_extendedprice) DESC, partkey
+    , pp AS (SELECT l_partkey, sum(l_extendedprice) AS v
+             FROM supplied GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(v, 2) AS value
+    FROM pp
+    WHERE round(v, 2) > round(
+      (SELECT sum(v) FROM pp) / (SELECT count(*) FROM pp) * 2.0, 2)
+    ORDER BY v DESC, partkey
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q11 shape (important stock): per-key aggregate filtered by a
-    # scalar-subquery fraction of the global total. The global sum is
-    # re-aggregated from the (tiny, one-row-per-partkey) per-part result —
-    # which is cached so lineitem is scanned ONCE, not once per branch —
-    # then broadcast into the HAVING. Threshold comparison is on
-    # 2dp-rounded values on both sides (q22 precedent: ULP-level
-    # cross-engine sum divergence must not flip membership).
+    # scalar-subquery threshold over the global distribution. Real Q11
+    # uses total * FRACTION with FRACTION scaled by 1/SF; a fixed fraction
+    # goes vacuous as part count grows (0 rows at sf0.1), so the threshold
+    # here is the scale-free 2.0x the MEAN per-part value (12/32/1227 rows
+    # at sf0.001/0.01/0.1). The global stats are re-aggregated from the
+    # (tiny, one-row-per-partkey) per-part result — which is cached so
+    # lineitem is scanned ONCE, not once per branch — then broadcast into
+    # the filter. Threshold comparison is on 2dp-rounded values on both
+    # sides (q22 precedent: ULP-level cross-engine sum divergence must not
+    # flip membership).
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
@@ -1058,7 +1063,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_extendedprice").alias("raw_value")
     )
     per_part = per_part.cache()
-    total = per_part.agg(F.round(F.sum("raw_value") * 0.001, 2).alias("threshold"))
+    # operand order mirrors the oracle: sum / count * 2.0, then round.
+    total = per_part.agg(
+        F.round(
+            F.sum("raw_value") / F.count(F.lit(1)) * F.lit(2.0), 2
+        ).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.round(F.col("raw_value"), 2) > F.col("threshold"))
