@@ -270,46 +270,46 @@ class Engine:
         if target_files is not None:
             df = df.coalesce(target_files)
         self.store.overwrite(name, df, meta.partition_by)
+        return self._parquet_file_stats(name)[0]
+
+    def _parquet_file_stats(self, name: str) -> tuple[int, int]:
+        """(file count, total bytes) of a table's parquet files."""
         path = self.store.table_path(name)
-        return sum(
-            1
-            for root, _, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        n = total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return n, total
 
     def optimize(
         self,
         name: str,
         zorder_cols: list[str],
         target_files: int | None = None,
+        target_file_bytes: int = 128 << 20,
     ) -> int:
         """Compaction + z-order clustering: rewrite a table range-
         partitioned and sorted on the Morton key of ``zorder_cols``, so
         file- and row-group-level min/max statistics prune filters on any
         clustered column (the Delta/Iceberg OPTIMIZE ZORDER maintenance
-        pass, via plain writers). Returns the post-rewrite file count."""
-        from .operators.maintenance import zorder_key
+        pass, via plain writers). Output file count is sized from the
+        table's current bytes (``target_file_bytes`` per file) unless
+        ``target_files`` pins it — a maintenance pass must never turn a
+        small table into many tiny files. Returns the post-rewrite count."""
+        import math
+
+        from .operators.maintenance import cluster_by_zorder
 
         meta = self.catalog.get(name)
         df = self.table(name)
-        keyed = zorder_key(df, zorder_cols)
-        n = target_files or int(
-            self.spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        out = (
-            keyed.repartitionByRange(n, "_zkey")
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
-        )
+        if target_files is None:
+            _, bytes_in = self._parquet_file_stats(name)
+            target_files = max(1, math.ceil(bytes_in / target_file_bytes))
+        out = cluster_by_zorder(df, zorder_cols, target_files)
         self.store.overwrite(name, out, meta.partition_by)
-        path = self.store.table_path(name)
-        return sum(
-            1
-            for root, _, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        return self._parquet_file_stats(name)[0]
 
     def upsert(self, name: str, updates: DataFrame, keys: list[str]) -> None:
         """MERGE-style upsert: rows in ``updates`` replace rows with the

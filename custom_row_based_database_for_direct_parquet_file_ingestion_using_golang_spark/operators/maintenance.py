@@ -64,6 +64,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 62:
         raise ValueError("len(cols) * bits must be <= 62 to fit a long key")
+    # Non-numeric columns cast('double') to null, which would silently
+    # collapse that dimension to bucket 0 — clustering becomes a no-op
+    # with no signal. Fail loudly instead.
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "boolean")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt is None:
+            raise ValueError(f"zorder_key: no such column {c!r}")
+        if not (dt in numeric or dt.startswith("decimal")):
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-numeric type {dt} — cast "
+                "it to a numeric (e.g. unix_micros for timestamps, a "
+                "dictionary code for strings) before clustering"
+            )
     aggs = []
     for c in cols:
         aggs += [
@@ -118,16 +133,20 @@ def compact(
             pass
     n_out = max(1, math.ceil(bytes_in / target_file_bytes))
     if zorder_cols:
-        keyed = zorder_key(df, zorder_cols)
-        # Range-partition so each output file owns a contiguous z-range
-        # (global clustering), then sort inside so row groups within a
-        # file are clustered too — both levels feed min/max pruning.
-        out = (
-            keyed.repartitionByRange(n_out, "_zkey")
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
-        )
+        out = cluster_by_zorder(df, zorder_cols, n_out)
     else:
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(out_path)
     return {"files_in": len(files), "files_out": n_out, "bytes_in": bytes_in}
+
+
+def cluster_by_zorder(df: DataFrame, cols: list[str], n_out: int) -> DataFrame:
+    """Range-partition on the Morton key so each output file owns a
+    contiguous z-range (global clustering), then sort inside so row groups
+    within a file are clustered too — both levels feed min/max pruning."""
+    return (
+        zorder_key(df, cols)
+        .repartitionByRange(n_out, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )

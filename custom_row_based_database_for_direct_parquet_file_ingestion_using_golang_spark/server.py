@@ -59,10 +59,17 @@ _MAX_UPLOAD = 64 << 20  # reference: r.ParseMultipartForm(64 << 20)
 
 class ConversationStore:
     """JSON-file-per-conversation store under ``<root>/conversations``,
-    the reference's ``data/conversations`` layout (main.go:74,104-117)."""
+    the reference's ``data/conversations`` layout (main.go:74,104-117).
+
+    Thread-safety: ``ThreadingHTTPServer`` serves each request on its own
+    thread, so every load-modify-save cycle must hold ``self.lock`` (an
+    RLock — handlers wrap the cycle, store methods re-enter). Saves go
+    through tmp+rename so a reader or a crash never sees a half-written
+    file."""
 
     def __init__(self, root: str):
         self.dir = os.path.join(root, "conversations")
+        self.lock = threading.RLock()
 
     def _path(self, conv_id: str) -> str:
         if not re.fullmatch(r"[A-Za-z0-9_-]+", conv_id):
@@ -70,13 +77,21 @@ class ConversationStore:
         return os.path.join(self.dir, f"{conv_id}.json")
 
     def load(self, conv_id: str) -> dict:
-        with open(self._path(conv_id), encoding="utf-8") as f:
-            return json.load(f)
+        with self.lock:
+            with open(self._path(conv_id), encoding="utf-8") as f:
+                conv = json.load(f)
+        if not isinstance(conv, dict):
+            raise ValueError("corrupt conversation file")
+        return conv
 
     def save(self, conv: dict) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        with open(self._path(conv["id"]), "w", encoding="utf-8") as f:
-            json.dump(conv, f, indent=2)
+        with self.lock:
+            os.makedirs(self.dir, exist_ok=True)
+            path = self._path(conv["id"])
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(conv, f, indent=2)
+            os.replace(tmp, path)  # atomic: readers see old or new, never torn
 
     def delete(self, conv_id: str) -> None:
         try:
@@ -94,6 +109,8 @@ class ConversationStore:
             try:
                 c = self.load(fn[: -len(".json")])
             except (OSError, ValueError):
+                # one unreadable/corrupt file must not 500 the whole
+                # listing (load raises ValueError on non-dict JSON too)
                 continue
             out.append(
                 {k: c.get(k) for k in ("id", "title", "createdAt", "updatedAt")}
@@ -103,14 +120,18 @@ class ConversationStore:
 
     def new(self) -> dict:
         now = _now_iso()
-        conv = {
-            "id": str(int(time.time() * 1000)),
-            "title": "New Chat",
-            "createdAt": now,
-            "updatedAt": now,
-            "messages": [],
-        }
-        self.save(conv)
+        with self.lock:
+            # ms timestamp (reference id shape, main.go:97) + a random
+            # suffix: two same-millisecond creates must not share an id.
+            conv_id = f"{int(time.time() * 1000)}-{os.urandom(3).hex()}"
+            conv = {
+                "id": conv_id,
+                "title": "New Chat",
+                "createdAt": now,
+                "updatedAt": now,
+                "messages": [],
+            }
+            self.save(conv)
         return conv
 
 
@@ -127,10 +148,10 @@ def derive_title(msg: str, max_words: int = 8, max_len: int = 60) -> str:
 # -- request handling ---------------------------------------------------------
 
 
-def _run_ref_statement(engine: Engine, query: str) -> str:
-    """Execute one RefSQL statement, render the reference-style Result
-    string (same dispatch as the CLI REPL, __main__.run_statement)."""
-    result = engine.ref_sql(query)
+def _render_ref_result(result) -> str:
+    """Reference-style Result rendering for any statement outcome (same
+    dispatch as the CLI REPL, __main__.run_statement): DataFrame → fixed-
+    width table, int → DML rowcount, list → SHOW TABLES, None → OK."""
     if result is None:
         return "OK"
     if isinstance(result, int):
@@ -138,6 +159,26 @@ def _run_ref_statement(engine: Engine, query: str) -> str:
     if isinstance(result, list):
         return "\n".join(result)
     return format_result(result)
+
+
+def _run_ref_statement(engine: Engine, query: str) -> str:
+    """Execute one RefSQL statement and render its result."""
+    return _render_ref_result(engine.ref_sql(query))
+
+
+def _table_from_sql(sql: str, tables: list[str]) -> str | None:
+    """Catalog table a SQL statement targets. Prefers the FROM-clause
+    name; falls back to a word-boundary scan. A bare substring test would
+    let table 'order' shadow 'orders' in "... FROM orders"."""
+    m = re.search(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)", sql, re.I)
+    if m:
+        for t in tables:
+            if t.upper() == m.group(1).upper():
+                return t
+    for t in tables:
+        if re.search(rf"\b{re.escape(t)}\b", sql, re.I):
+            return t
+    return None
 
 
 class ApiHandler(BaseHTTPRequestHandler):
@@ -166,11 +207,32 @@ class ApiHandler(BaseHTTPRequestHandler):
         # JSON with HTTP 200; only method/route misuse gets an HTTP error.
         self._json({"success": False, "error": msg}, status)
 
-    def _read_body(self) -> bytes:
+    def _consume_body(self) -> None:
+        """Read (or drain) the request body exactly once, up front.
+
+        HTTP/1.1 keep-alive reuses the connection: if a handler responds
+        without reading the body, the unread bytes are parsed as the next
+        request line and every subsequent request on the socket fails.
+        Oversize bodies are drained in chunks (never buffered) and flagged
+        so handlers error out after the connection is back in sync."""
         length = int(self.headers.get("Content-Length") or 0)
         if length > _MAX_UPLOAD:
+            left = length
+            while left > 0:
+                chunk = self.rfile.read(min(left, 1 << 20))
+                if not chunk:
+                    break
+                left -= len(chunk)
+            self._raw_body: bytes | None = None  # too-large sentinel
+        else:
+            self._raw_body = self.rfile.read(length)
+
+    def _read_body(self) -> bytes:
+        if not hasattr(self, "_raw_body"):
+            self._consume_body()
+        if self._raw_body is None:
             raise ValueError("request body too large")
-        return self.rfile.read(length)
+        return self._raw_body
 
     def _body_json(self) -> dict:
         body = self._read_body()
@@ -195,6 +257,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.send_error(404)
 
     def do_POST(self):
+        self._consume_body()
         if self.path == "/api/query":
             return self.handle_query()
         if self.path == "/api/upload":
@@ -207,6 +270,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.send_error(404)
 
     def do_PATCH(self):
+        self._consume_body()
         m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)", self.path)
         if not m:
             return self.send_error(404)
@@ -217,16 +281,18 @@ class ApiHandler(BaseHTTPRequestHandler):
         title = (body.get("title") or "").strip()
         if not title:
             return self._error("bad request")
-        try:
-            conv = self.convs.load(m.group(1))
-        except (OSError, ValueError):
-            return self._error("conversation not found")
-        conv["title"] = title
-        conv["updatedAt"] = _now_iso()
-        self.convs.save(conv)
+        with self.convs.lock:  # load-modify-save must be one atom
+            try:
+                conv = self.convs.load(m.group(1))
+            except (OSError, ValueError):
+                return self._error("conversation not found")
+            conv["title"] = title
+            conv["updatedAt"] = _now_iso()
+            self.convs.save(conv)
         self._json({"success": True})
 
     def do_DELETE(self):
+        self._consume_body()
         m = re.fullmatch(r"/api/conversations/([A-Za-z0-9_-]+)", self.path)
         if not m:
             return self.send_error(404)
@@ -257,16 +323,24 @@ class ApiHandler(BaseHTTPRequestHandler):
         if not query:
             return self._error("empty query")
         if req.get("isNatural") or nl.is_natural_language(query):
+            # nl.ask both generates AND executes the SQL, which may be DML
+            # (e.g. "remove students with grade > 90" → DELETE), so it must
+            # hold the write lock — the generated verb isn't known until
+            # after execution. The render step dispatches on result type
+            # exactly like the CLI REPL: DataFrame → table, int → rowcount,
+            # None → OK (an int result crashing format_result would report
+            # failure AFTER the mutation committed).
             try:
-                sql, result = nl.ask(
-                    self.engine,
-                    query,
-                    prev_table=self._prev_table(req.get("conversationId")),
-                )
+                with self.write_lock:
+                    sql, result = nl.ask(
+                        self.engine,
+                        query,
+                        prev_table=self._prev_table(req.get("conversationId")),
+                    )
             except Exception as ex:
                 return self._error(str(ex))
             try:
-                rendered = format_result(result) if result is not None else "OK"
+                rendered = _render_ref_result(result)
             except Exception as ex:
                 return self._json(
                     {"success": False, "error": str(ex), "generatedSQL": sql}
@@ -275,8 +349,14 @@ class ApiHandler(BaseHTTPRequestHandler):
                 {"success": True, "result": rendered, "generatedSQL": sql}
             )
         try:
-            with self.write_lock:
+            # Only mutating statements serialize; SELECTs run concurrently
+            # (SparkSession is thread-safe for reads — module docstring).
+            verb = query.split(None, 1)[0].upper() if query else ""
+            if verb == "SELECT":
                 rendered = _run_ref_statement(self.engine, query)
+            else:
+                with self.write_lock:
+                    rendered = _run_ref_statement(self.engine, query)
         except Exception as ex:
             return self._error(str(ex))
         self._json({"success": True, "result": rendered})
@@ -295,10 +375,9 @@ class ApiHandler(BaseHTTPRequestHandler):
         for msg in reversed(conv.get("messages", [])):
             sql = msg.get("sql") or ""
             if msg.get("role") == "bot" and sql:
-                upper = sql.upper()
-                for t in tables:
-                    if t.upper() in upper:
-                        return t
+                t = _table_from_sql(sql, tables)
+                if t:
+                    return t
         return None
 
     def handle_upload(self):
@@ -354,27 +433,31 @@ class ApiHandler(BaseHTTPRequestHandler):
             body = self._body_json()
         except (ValueError, json.JSONDecodeError):
             return self._error("bad request")
-        try:
-            conv = self.convs.load(conv_id)
-        except (OSError, ValueError):
-            return self._error("conversation not found")
-        now = _now_iso()
-        user_text = body.get("userText") or ""
-        bot = body.get("botData") or {}
-        conv["messages"].append({"role": "user", "text": user_text, "timestamp": now})
-        conv["messages"].append(
-            {
-                "role": "bot",
-                "sql": bot.get("generatedSQL") or "",
-                "result": bot.get("result") or "",
-                "error": bot.get("error") or "",
-                "timestamp": now,
-            }
-        )
-        if conv["title"] == "New Chat" and user_text:
-            conv["title"] = derive_title(user_text)
-        conv["updatedAt"] = now
-        self.convs.save(conv)
+        with self.convs.lock:  # load-modify-save must be one atom: two
+            # concurrent appends would otherwise drop one message pair
+            try:
+                conv = self.convs.load(conv_id)
+            except (OSError, ValueError):
+                return self._error("conversation not found")
+            now = _now_iso()
+            user_text = body.get("userText") or ""
+            bot = body.get("botData") or {}
+            conv["messages"].append(
+                {"role": "user", "text": user_text, "timestamp": now}
+            )
+            conv["messages"].append(
+                {
+                    "role": "bot",
+                    "sql": bot.get("generatedSQL") or "",
+                    "result": bot.get("result") or "",
+                    "error": bot.get("error") or "",
+                    "timestamp": now,
+                }
+            )
+            if conv["title"] == "New Chat" and user_text:
+                conv["title"] = derive_title(user_text)
+            conv["updatedAt"] = now
+            self.convs.save(conv)
         self._json({"success": True})
 
 

@@ -33,15 +33,18 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
     ts_arrow = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     ts_str = str(ts_arrow)
-    nanos = ts_str.startswith("timestamp[ns")
+    # Exact match, not a prefix: 'timestamp[ns, tz=...]' carries UTC
+    # instants whose nanos must NOT be read as naive wall-clock values —
+    # a prefix check would shift every window by the zone offset silently.
+    nanos = ts_str == "timestamp[ns]"
     if not nanos and ts_str not in ("timestamp[us]", "timestamp[ms]", "timestamp[s]"):
-        # Fail loudly on an encoding we haven't verified (e.g. int64
-        # physical, or a tz-adjusted timestamp[us, tz=...]): silently
-        # declaring TimestampNTZType would misread values or fail at stream
-        # start with a confusing source-side error.
+        # Fail loudly on an encoding we haven't verified (int64 physical,
+        # or ANY tz-adjusted timestamp[*, tz=...]): silently declaring
+        # TimestampNTZType would misread values or fail at stream start
+        # with a confusing source-side error.
         raise ValueError(
             f"events.parquet ts column has unsupported type {ts_str!r}; "
-            "expected timestamp[ns*] (read as nanos-long) or a naive "
+            "expected naive timestamp[ns] (read as nanos-long) or naive "
             "timestamp[s|ms|us]"
         )
     ts_field = T.LongType() if nanos else T.TimestampNTZType()

@@ -206,3 +206,65 @@ def test_ordered_queries_raises_on_unknown_priority(monkeypatch):
     )
     with pytest.raises(ValueError, match="no_such_query"):
         workloads.ordered_queries()
+
+
+# --- round-3 code-review fixes ---------------------------------------------
+
+
+def test_render_ref_result_handles_all_statement_outcomes():
+    # NL can generate DML: ref_sql then returns an int, which used to
+    # crash format_result AFTER the mutation committed.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
+        _render_ref_result,
+    )
+
+    assert _render_ref_result(None) == "OK"
+    assert _render_ref_result(3) == "3 row(s) affected"
+    assert _render_ref_result(["a", "b"]) == "a\nb"
+
+
+def test_table_from_sql_word_boundaries():
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
+        _table_from_sql,
+    )
+
+    # 'order' is a substring of 'orders' — FROM-clause match must win.
+    assert _table_from_sql("SELECT * FROM orders", ["order", "orders"]) == "orders"
+    assert _table_from_sql("SELECT * FROM orders", ["orders", "order"]) == "orders"
+    assert _table_from_sql("DELETE FROM t2 WHERE x=1", ["t", "t2"]) == "t2"
+    assert _table_from_sql("no tables here", ["t"]) is None
+
+
+def test_conversation_store_unique_ids_and_atomic_save(tmp_path):
+    import json as _json
+    import os as _os
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
+        ConversationStore,
+    )
+
+    store = ConversationStore(str(tmp_path))
+    ids = {store.new()["id"] for _ in range(20)}
+    assert len(ids) == 20  # same-millisecond creates must not collide
+    # atomic save: no .tmp residue, file parses
+    assert not [f for f in _os.listdir(store.dir) if f.endswith(".tmp")]
+    # non-dict JSON: load raises ValueError, listing skips it
+    bad = _os.path.join(store.dir, "badfile.json")
+    with open(bad, "w") as f:
+        _json.dump([], f)
+    with pytest.raises(ValueError):
+        store.load("badfile")
+    summaries = store.list_summaries()
+    assert len(summaries) == 20  # corrupt file skipped, not a crash
+
+
+def test_zorder_key_rejects_non_numeric(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        maintenance,
+    )
+
+    df = spark.createDataFrame([("us", 1)], ["region", "x"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        maintenance.zorder_key(df, ["region", "x"])
+    with pytest.raises(ValueError, match="no such column"):
+        maintenance.zorder_key(df, ["nope"])

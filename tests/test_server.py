@@ -190,3 +190,28 @@ def test_conversation_crud_and_message_append(api):
     assert _call(api, f"/api/conversations/{cid}")["conversation"]["title"] == "renamed"
     assert _call(api, f"/api/conversations/{cid}", method="DELETE")["success"]
     assert _call(api, f"/api/conversations/{cid}")["success"] is False
+
+
+def test_keep_alive_connection_survives_unread_bodies(api):
+    # POST /api/conversations with a body the handler doesn't need: on a
+    # keep-alive connection the unread bytes used to desync the next
+    # request on the same socket.
+    import http.client
+
+    host = api.removeprefix("http://")
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.request(
+            "POST", "/api/conversations", body="{}",
+            headers={"Content-Type": "application/json"},
+        )
+        r1 = conn.getresponse()
+        d1 = json.loads(r1.read())
+        assert d1["success"] is True
+        # same socket — must parse cleanly as a fresh request
+        conn.request("GET", "/api/tables")
+        r2 = conn.getresponse()
+        d2 = json.loads(r2.read())
+        assert r2.status == 200 and d2["success"] is True
+    finally:
+        conn.close()
