@@ -280,7 +280,10 @@ class Engine:
             for f in files:
                 if f.endswith(".parquet"):
                     n += 1
-                    total += os.path.getsize(os.path.join(root, f))
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass  # file swapped out mid-walk — skip, don't abort
         return n, total
 
     def optimize(

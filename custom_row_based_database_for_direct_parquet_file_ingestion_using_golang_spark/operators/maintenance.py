@@ -64,26 +64,36 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 62:
         raise ValueError("len(cols) * bits must be <= 62 to fit a long key")
-    # Non-numeric columns cast('double') to null, which would silently
-    # collapse that dimension to bucket 0 — clustering becomes a no-op
-    # with no signal. Fail loudly instead.
+    # Each cluster column needs an order-preserving numeric form.
+    # Numerics/booleans cast directly; timestamps → epoch micros; dates →
+    # days since epoch. Strings (and other types) cast('double') to null,
+    # which would silently collapse the dimension to bucket 0 — clustering
+    # becomes a no-op with no signal — so they fail loudly instead
+    # (dictionary-encode strings to a code column first).
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double", "boolean")
     dtypes = dict(df.dtypes)
+    as_num: dict[str, Column] = {}
     for c in cols:
         dt = dtypes.get(c)
         if dt is None:
             raise ValueError(f"zorder_key: no such column {c!r}")
-        if not (dt in numeric or dt.startswith("decimal")):
+        if dt in numeric or dt.startswith("decimal"):
+            as_num[c] = F.col(c).cast("double")
+        elif dt in ("timestamp", "timestamp_ntz"):
+            as_num[c] = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        elif dt == "date":
+            as_num[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        else:
             raise ValueError(
-                f"zorder_key: column {c!r} has non-numeric type {dt} — cast "
-                "it to a numeric (e.g. unix_micros for timestamps, a "
-                "dictionary code for strings) before clustering"
+                f"zorder_key: column {c!r} has non-orderable-numeric type "
+                f"{dt} — dictionary-encode it to a numeric code column "
+                "before clustering"
             )
     aggs = []
     for c in cols:
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            F.min(as_num[c]).alias(f"_min_{c}"),
+            F.max(as_num[c]).alias(f"_max_{c}"),
         ]
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
@@ -92,7 +102,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     for c in cols:
         lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
         span = hi - lo
-        frac = F.when(span > 0, (F.col(c).cast("double") - lo) / span).otherwise(
+        frac = F.when(span > 0, (as_num[c] - lo) / span).otherwise(
             F.lit(0.0)
         )
         scaled.append(

@@ -44,6 +44,7 @@ import re
 import tempfile
 import threading
 import time
+from contextlib import contextmanager
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -94,10 +95,12 @@ class ConversationStore:
             os.replace(tmp, path)  # atomic: readers see old or new, never torn
 
     def delete(self, conv_id: str) -> None:
-        try:
-            os.remove(self._path(conv_id))
-        except FileNotFoundError:
-            pass  # reference ignores IsNotExist (main.go:320)
+        with self.lock:  # a concurrent load-modify-save must not
+            # interleave and resurrect the file after this remove
+            try:
+                os.remove(self._path(conv_id))
+            except FileNotFoundError:
+                pass  # reference ignores IsNotExist (main.go:320)
 
     def list_summaries(self) -> list[dict]:
         if not os.path.isdir(self.dir):
@@ -166,6 +169,50 @@ def _run_ref_statement(engine: Engine, query: str) -> str:
     return _render_ref_result(engine.ref_sql(query))
 
 
+class _RWLock:
+    """Readers-writer lock with writer preference — the server-side
+    equivalent of the reference's per-database ``sync.RWMutex``
+    (pkg/schema). Reads (SELECT render, NL generation) share; mutations
+    are exclusive. Exclusion matters for reads too: the copy-on-write
+    ``store.overwrite`` swaps the live table directory (rename + rmtree,
+    tables.py), so an unlocked concurrent scan can hit a missing path."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextmanager
+    def read_locked(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextmanager
+    def write_locked(self):
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
+
+
 def _table_from_sql(sql: str, tables: list[str]) -> str | None:
     """Catalog table a SQL statement targets. Prefers the FROM-clause
     name; falls back to a word-boundary scan. A bare substring test would
@@ -185,7 +232,7 @@ class ApiHandler(BaseHTTPRequestHandler):
     # Bound by make_server():
     engine: Engine
     convs: ConversationStore
-    write_lock: threading.Lock
+    rwlock: _RWLock
 
     protocol_version = "HTTP/1.1"
 
@@ -213,16 +260,13 @@ class ApiHandler(BaseHTTPRequestHandler):
         HTTP/1.1 keep-alive reuses the connection: if a handler responds
         without reading the body, the unread bytes are parsed as the next
         request line and every subsequent request on the socket fails.
-        Oversize bodies are drained in chunks (never buffered) and flagged
-        so handlers error out after the connection is back in sync."""
+        Oversize bodies are NOT drained — reading an attacker-declared
+        Content-Length would pin a thread for arbitrarily long. The
+        connection is marked close instead: keep-alive isn't worth
+        preserving on an abusive request."""
         length = int(self.headers.get("Content-Length") or 0)
         if length > _MAX_UPLOAD:
-            left = length
-            while left > 0:
-                chunk = self.rfile.read(min(left, 1 << 20))
-                if not chunk:
-                    break
-                left -= len(chunk)
+            self.close_connection = True
             self._raw_body: bytes | None = None  # too-large sentinel
         else:
             self._raw_body = self.rfile.read(length)
@@ -241,6 +285,8 @@ class ApiHandler(BaseHTTPRequestHandler):
     # -- routing --
 
     def do_GET(self):
+        self._consume_body()  # a GET with a body is legal HTTP; unread
+        # bytes would desync the keep-alive socket just like POST
         if self.path == "/api/tables":
             return self.handle_tables()
         if self.path == "/api/conversations":
@@ -323,24 +369,29 @@ class ApiHandler(BaseHTTPRequestHandler):
         if not query:
             return self._error("empty query")
         if req.get("isNatural") or nl.is_natural_language(query):
-            # nl.ask both generates AND executes the SQL, which may be DML
-            # (e.g. "remove students with grade > 90" → DELETE), so it must
-            # hold the write lock — the generated verb isn't known until
-            # after execution. The render step dispatches on result type
-            # exactly like the CLI REPL: DataFrame → table, int → rowcount,
-            # None → OK (an int result crashing format_result would report
-            # failure AFTER the mutation committed).
+            # Generation first (catalog + 40-row value sampling — reads,
+            # shared lock), THEN execute under the lock the generated verb
+            # requires: NL can produce DML ("remove students with grade >
+            # 90" → DELETE), which must be exclusive. Execution AND
+            # rendering share one lock scope — ref_sql returns SELECT
+            # DataFrames lazily, so the collect inside format_result is
+            # part of the read.
             try:
-                with self.write_lock:
-                    sql, result = nl.ask(
-                        self.engine,
+                with self.rwlock.read_locked():
+                    tables = {
+                        t: [c.name for c in self.engine.catalog.get(t).columns]
+                        for t in self.engine.show_tables()
+                    }
+                    sql = nl.nl_to_sql(
                         query,
+                        tables,
+                        samples_fn=lambda t: nl.engine_samples(self.engine, t),
                         prev_table=self._prev_table(req.get("conversationId")),
                     )
             except Exception as ex:
                 return self._error(str(ex))
             try:
-                rendered = _render_ref_result(result)
+                rendered = self._execute_rendered(sql)
             except Exception as ex:
                 return self._json(
                     {"success": False, "error": str(ex), "generatedSQL": sql}
@@ -349,17 +400,24 @@ class ApiHandler(BaseHTTPRequestHandler):
                 {"success": True, "result": rendered, "generatedSQL": sql}
             )
         try:
-            # Only mutating statements serialize; SELECTs run concurrently
-            # (SparkSession is thread-safe for reads — module docstring).
-            verb = query.split(None, 1)[0].upper() if query else ""
-            if verb == "SELECT":
-                rendered = _run_ref_statement(self.engine, query)
-            else:
-                with self.write_lock:
-                    rendered = _run_ref_statement(self.engine, query)
+            rendered = self._execute_rendered(query)
         except Exception as ex:
             return self._error(str(ex))
         self._json({"success": True, "result": rendered})
+
+    def _execute_rendered(self, sql: str) -> str:
+        """Run one RefSQL statement under the lock its verb requires:
+        SELECTs share (concurrent reads), everything else is exclusive.
+        Rendering stays inside the scope — the copy-on-write table swap
+        must never run mid-collect."""
+        verb = sql.split(None, 1)[0].upper() if sql else ""
+        scope = (
+            self.rwlock.read_locked()
+            if verb == "SELECT"
+            else self.rwlock.write_locked()
+        )
+        with scope:
+            return _run_ref_statement(self.engine, sql)
 
     def _prev_table(self, conv_id: str | None) -> str | None:
         """Table named in the conversation's most recent bot SQL — the
@@ -409,7 +467,7 @@ class ApiHandler(BaseHTTPRequestHandler):
         try:
             tmp.write(content)
             tmp.close()
-            with self.write_lock:
+            with self.rwlock.write_locked():
                 if ext == ".csv":
                     # Reference CSV import types every column TEXT
                     # (importer.go:37-52); keep that parity on this surface.
@@ -516,7 +574,7 @@ def make_server(
         {
             "engine": engine,
             "convs": ConversationStore(engine.catalog.root),
-            "write_lock": threading.Lock(),
+            "rwlock": _RWLock(),
         },
     )
     return ThreadingHTTPServer((host, port), handler)

@@ -258,13 +258,27 @@ def test_conversation_store_unique_ids_and_atomic_save(tmp_path):
     assert len(summaries) == 20  # corrupt file skipped, not a crash
 
 
-def test_zorder_key_rejects_non_numeric(spark):
+def test_zorder_key_rejects_strings_accepts_timestamps(spark):
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
         maintenance,
     )
 
     df = spark.createDataFrame([("us", 1)], ["region", "x"])
-    with pytest.raises(ValueError, match="non-numeric"):
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
         maintenance.zorder_key(df, ["region", "x"])
     with pytest.raises(ValueError, match="no such column"):
         maintenance.zorder_key(df, ["nope"])
+    # timestamps and dates convert (epoch micros / days), order-preserving
+    # — the README-documented optimize call z-orders on l_shipdate.
+    ts = spark.createDataFrame(
+        [(i, i) for i in range(4)], ["secs", "x"]
+    ).select(
+        F.timestamp_seconds("secs").alias("ts"),
+        F.to_date(F.timestamp_seconds(F.col("secs") * 86400)).alias("d"),
+        "x",
+    )
+    rows = {
+        (r["x"]): r["_zkey"]
+        for r in maintenance.zorder_key(ts, ["ts", "d"], bits=2).collect()
+    }
+    assert rows[0] < rows[1] < rows[2] < rows[3]  # monotone along the diagonal

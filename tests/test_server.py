@@ -215,3 +215,68 @@ def test_keep_alive_connection_survives_unread_bodies(api):
         assert r2.status == 200 and d2["success"] is True
     finally:
         conn.close()
+
+
+def test_rwlock_readers_share_writer_excludes():
+    import threading as _t
+    import time as _time
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
+        _RWLock,
+    )
+
+    lock = _RWLock()
+    state = {"concurrent_readers": 0, "max_readers": 0, "writer_saw_readers": None}
+    gate = _t.Barrier(2, timeout=5)
+
+    def reader():
+        with lock.read_locked():
+            state["concurrent_readers"] += 1
+            state["max_readers"] = max(state["max_readers"], state["concurrent_readers"])
+            gate.wait()  # both readers inside simultaneously → they share
+            _time.sleep(0.05)
+            state["concurrent_readers"] -= 1
+
+    readers = [_t.Thread(target=reader) for _ in range(2)]
+    for t in readers:
+        t.start()
+
+    def writer():
+        with lock.write_locked():
+            state["writer_saw_readers"] = state["concurrent_readers"]
+
+    w = _t.Thread(target=writer)
+    w.start()
+    for t in readers:
+        t.join(timeout=5)
+    w.join(timeout=5)
+    assert state["max_readers"] == 2  # readers shared
+    assert state["writer_saw_readers"] == 0  # writer was exclusive
+
+
+def test_oversize_body_rejected_without_draining(api):
+    # Content-Length beyond the 64 MB cap: the server must respond with an
+    # error and close the connection WITHOUT reading the declared body
+    # (draining an attacker-declared length would pin the thread).
+    import socket
+
+    host, port = api.removeprefix("http://").split(":")
+    s = socket.create_connection((host, int(port)), timeout=10)
+    try:
+        s.sendall(
+            b"POST /api/query HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            b"Content-Length: 999999999999\r\n\r\n"
+        )  # no body bytes follow — server must not block waiting for them
+        s.settimeout(10)
+        # read to EOF: proves the server responded AND closed the
+        # connection instead of blocking on the declared 1 TB body
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        assert b'"success": false' in data, data
+    finally:
+        s.close()
