@@ -279,11 +279,12 @@ class Engine:
         for root, _, files in os.walk(path):
             for f in files:
                 if f.endswith(".parquet"):
-                    n += 1
                     try:
                         total += os.path.getsize(os.path.join(root, f))
                     except OSError:
-                        pass  # file swapped out mid-walk — skip, don't abort
+                        continue  # swapped out mid-walk — keep count and
+                        # bytes consistent by skipping both
+                    n += 1
         return n, total
 
     def optimize(

@@ -176,6 +176,19 @@ def engine_samples(engine, table: str) -> dict[str, list[str]]:
     }
 
 
+def generate_sql(engine, question: str, prev_table: str | None = None) -> str:
+    """Generation half of :func:`ask`: NL question → SQL against the
+    engine's catalog (reads only — callers needing lock discipline can
+    hold a shared lock here and pick the execution lock from the verb)."""
+    tables = {t: [c.name for c in engine.catalog.get(t).columns] for t in engine.show_tables()}
+    return nl_to_sql(
+        question,
+        tables,
+        samples_fn=lambda t: engine_samples(engine, t),
+        prev_table=prev_table,
+    )
+
+
 def ask(
     engine,
     question: str,
@@ -183,13 +196,7 @@ def ask(
     prev_table: str | None = None,
 ):
     """End-to-end: NL question → SQL → execution on the engine."""
-    tables = {t: [c.name for c in engine.catalog.get(t).columns] for t in engine.show_tables()}
-    sql = nl_to_sql(
-        question,
-        tables,
-        samples_fn=lambda t: engine_samples(engine, t),
-        prev_table=prev_table,
-    )
+    sql = generate_sql(engine, question, prev_table=prev_table)
     return sql, engine.ref_sql(sql, weak_typing=weak_typing)
 
 

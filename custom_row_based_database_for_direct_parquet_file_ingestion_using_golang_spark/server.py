@@ -201,8 +201,16 @@ class _RWLock:
     def write_locked(self):
         with self._cond:
             self._writers_waiting += 1
-            while self._writer or self._readers:
-                self._cond.wait()
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            except BaseException:
+                # an exception mid-wait (thread interrupt, interpreter
+                # shutdown) must not leak the waiting count — readers
+                # would block on it forever
+                self._writers_waiting -= 1
+                self._cond.notify_all()
+                raise
             self._writers_waiting -= 1
             self._writer = True
         try:
@@ -235,6 +243,10 @@ class ApiHandler(BaseHTTPRequestHandler):
     rwlock: _RWLock
 
     protocol_version = "HTTP/1.1"
+    # Per-connection socket timeout: an unsent request body (any declared
+    # Content-Length with no bytes) must time out, not pin the thread
+    # forever. socketserver applies this to the connection socket.
+    timeout = 60
 
     # -- plumbing --
 
@@ -246,6 +258,11 @@ class ApiHandler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # tell the client up front (BaseHTTPRequestHandler never
+            # auto-emits a Connection header) so it doesn't reuse a
+            # socket the server is about to close
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -260,13 +277,30 @@ class ApiHandler(BaseHTTPRequestHandler):
         HTTP/1.1 keep-alive reuses the connection: if a handler responds
         without reading the body, the unread bytes are parsed as the next
         request line and every subsequent request on the socket fails.
-        Oversize bodies are NOT drained — reading an attacker-declared
-        Content-Length would pin a thread for arbitrarily long. The
-        connection is marked close instead: keep-alive isn't worth
-        preserving on an abusive request."""
-        length = int(self.headers.get("Content-Length") or 0)
+        Oversize bodies get a BOUNDED drain (up to 4x the cap, under the
+        socket timeout) so a legitimately-too-big upload still receives
+        its error response cleanly — closing with unread data in the
+        kernel buffer RSTs the in-flight response. Beyond the drain bound
+        the connection closes instead: an attacker-declared terabyte must
+        not pin the thread."""
+        length = max(0, int(self.headers.get("Content-Length") or 0))
         if length > _MAX_UPLOAD:
             self.close_connection = True
+            # short per-recv timeout for the drain only: a live uploader
+            # keeps each 1 MB read fast; a dead sender bails in ~2s
+            prev_timeout = self.connection.gettimeout()
+            self.connection.settimeout(2.0)
+            left = min(length, 4 * _MAX_UPLOAD)
+            try:
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
+            except OSError:
+                pass  # timed out / reset mid-drain — close path anyway
+            finally:
+                self.connection.settimeout(prev_timeout)
             self._raw_body: bytes | None = None  # too-large sentinel
         else:
             self._raw_body = self.rfile.read(length)
@@ -348,16 +382,20 @@ class ApiHandler(BaseHTTPRequestHandler):
     # -- handlers --
 
     def handle_tables(self):
-        tables = [
-            {
-                "name": t,
-                "columns": [
-                    {"name": c.name, "type": _ref_type(c.decl)}
-                    for c in self.engine.catalog.get(t).columns
-                ],
-            }
-            for t in self.engine.show_tables()
-        ]
+        # shared lock: show_tables + per-table catalog.get must see one
+        # consistent catalog snapshot (a concurrent DROP between the two
+        # would KeyError with no response)
+        with self.rwlock.read_locked():
+            tables = [
+                {
+                    "name": t,
+                    "columns": [
+                        {"name": c.name, "type": _ref_type(c.decl)}
+                        for c in self.engine.catalog.get(t).columns
+                    ],
+                }
+                for t in self.engine.show_tables()
+            ]
         self._json({"success": True, "tables": tables})
 
     def handle_query(self):
@@ -378,14 +416,9 @@ class ApiHandler(BaseHTTPRequestHandler):
             # part of the read.
             try:
                 with self.rwlock.read_locked():
-                    tables = {
-                        t: [c.name for c in self.engine.catalog.get(t).columns]
-                        for t in self.engine.show_tables()
-                    }
-                    sql = nl.nl_to_sql(
+                    sql = nl.generate_sql(
+                        self.engine,
                         query,
-                        tables,
-                        samples_fn=lambda t: nl.engine_samples(self.engine, t),
                         prev_table=self._prev_table(req.get("conversationId")),
                     )
             except Exception as ex:

@@ -228,12 +228,14 @@ def test_rwlock_readers_share_writer_excludes():
     lock = _RWLock()
     state = {"concurrent_readers": 0, "max_readers": 0, "writer_saw_readers": None}
     gate = _t.Barrier(2, timeout=5)
+    both_inside = _t.Event()
 
     def reader():
         with lock.read_locked():
             state["concurrent_readers"] += 1
             state["max_readers"] = max(state["max_readers"], state["concurrent_readers"])
             gate.wait()  # both readers inside simultaneously → they share
+            both_inside.set()
             _time.sleep(0.05)
             state["concurrent_readers"] -= 1
 
@@ -245,6 +247,10 @@ def test_rwlock_readers_share_writer_excludes():
         with lock.write_locked():
             state["writer_saw_readers"] = state["concurrent_readers"]
 
+    # start the writer only once both readers hold the lock — writer
+    # preference would otherwise let it queue first and block reader 2,
+    # deadlocking the barrier (flaky scheduling-dependent failure)
+    assert both_inside.wait(timeout=5)
     w = _t.Thread(target=writer)
     w.start()
     for t in readers:
