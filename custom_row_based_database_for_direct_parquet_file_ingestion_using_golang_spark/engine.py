@@ -311,7 +311,13 @@ class Engine:
         if target_files is None:
             _, bytes_in = self._parquet_file_stats(name)
             target_files = max(1, math.ceil(bytes_in / target_file_bytes))
-        out = cluster_by_zorder(df, zorder_cols, target_files)
+        # For a hive-partitioned table the range partitioning must lead with
+        # the partition columns, or each of the target_files tasks re-splits
+        # across every disk partition (file count ~ tasks x partitions and
+        # per-file z-clustering destroyed).
+        out = cluster_by_zorder(
+            df, zorder_cols, target_files, partition_cols=meta.partition_by
+        )
         self.store.overwrite(name, out, meta.partition_by)
         return self._parquet_file_stats(name)[0]
 

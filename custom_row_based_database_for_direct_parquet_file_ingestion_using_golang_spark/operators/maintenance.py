@@ -150,13 +150,28 @@ def compact(
     return {"files_in": len(files), "files_out": n_out, "bytes_in": bytes_in}
 
 
-def cluster_by_zorder(df: DataFrame, cols: list[str], n_out: int) -> DataFrame:
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_out: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
     """Range-partition on the Morton key so each output file owns a
     contiguous z-range (global clustering), then sort inside so row groups
-    within a file are clustered too — both levels feed min/max pruning."""
+    within a file are clustered too — both levels feed min/max pruning.
+
+    For a hive-partitioned table pass ``partition_cols``: the range
+    partitioning then leads with them so each task owns a contiguous slice
+    of ONE (mostly) disk partition. Without this, every task would span all
+    disk partitions and a partitionBy writer would fan each task out into
+    every directory — file count ~ tasks x partitions and per-file
+    z-clustering destroyed.
+    """
+    pcols = list(partition_cols or [])
+    # a column both partitioned and z-ordered leads as a partition column
     return (
         zorder_key(df, cols)
-        .repartitionByRange(n_out, "_zkey")
-        .sortWithinPartitions("_zkey")
+        .repartitionByRange(n_out, *pcols, "_zkey")
+        .sortWithinPartitions(*pcols, "_zkey")
         .drop("_zkey")
     )

@@ -42,7 +42,14 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(tokens_col).over(w) - F.col(tokens_col)
-    return docs.withColumn("seq_id", F.floor(start / F.lit(ctx_len)))
+    # Integer DIV, not floor(float /): float64 loses exactness once a
+    # shard's cumulative token count passes 2^53, silently corrupting the
+    # assignment at extreme shard sizes. DIV stays exact for any long.
+    return (
+        docs.withColumn("_pack_start", start.cast("long"))
+        .withColumn("seq_id", F.expr(f"_pack_start DIV {int(ctx_len)}"))
+        .drop("_pack_start")
+    )
 
 
 def token_budget_filter(

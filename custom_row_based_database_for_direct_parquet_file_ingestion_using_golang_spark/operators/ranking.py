@@ -102,6 +102,8 @@ def bm25(
     """
     if not terms:
         raise ValueError("bm25 needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25 query terms must be distinct")
     tf = doc_terms(docs, id_col, text_col).filter(F.col("term").isin(terms))
     if materialize_tf:
         # tf feeds both dfreq and the score join; Spark replans shared
@@ -135,15 +137,25 @@ def bm25(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
+    # Pivot on a synthetic per-term INDEX, not the raw term string: a term
+    # literally named "id" would collide with the group key, and a term
+    # containing a backtick would break the quoted column reference. The
+    # index also pins summation order to declared term order by construction.
+    ti: Column = F.lit(None).cast("int")
+    for i in reversed(range(len(terms))):
+        ti = F.when(F.col("term") == F.lit(terms[i]), F.lit(i)).otherwise(ti)
     per_term = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
-        .select("id", "term", w.alias("w"))
+        .select("id", ti.alias("_ti"), w.alias("w"))
     )
     piv = (
-        per_term.groupBy("id").pivot("term", terms).agg(F.first("w")).na.fill(0.0)
+        per_term.groupBy("id")
+        .pivot("_ti", list(range(len(terms))))
+        .agg(F.first("w"))
+        .na.fill(0.0)
     )
     score: Column = F.lit(0.0)
-    for t in terms:
-        score = score + F.col(f"`{t}`")
+    for i in range(len(terms)):
+        score = score + F.col(f"`{i}`")
     return piv.select("id", score.alias("score"))

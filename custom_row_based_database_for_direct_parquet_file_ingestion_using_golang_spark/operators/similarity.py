@@ -181,16 +181,42 @@ def _argmax_1based(arr: Column) -> Column:
     return F.array_position(arr, F.array_max(arr))
 
 
+def _approx_row_count(df: DataFrame) -> int:
+    """Corpus size for modulus sizing, WITHOUT a data scan where possible:
+    when the frame is a plain parquet file scan, sum the parquet footers'
+    row counts (metadata-only — zero row groups read); otherwise fall back
+    to one count-star job. The modulus only needs the right order of
+    magnitude, so a footer count taken before any pushed filter is fine —
+    an overestimate just shrinks the sample, which the driver-side
+    ``train_limit`` cap already tolerates."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plan (e.g. in-memory test frame)
+        files = []
+    local = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if files and len(local) == len(files) and all(
+        f.endswith(".parquet") for f in local
+    ):
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in local)
+        except Exception:
+            pass  # unreadable footer — pay the count job instead
+    return df.count()
+
+
 def _ivf_training_sample(
     df: DataFrame, id_col: str, vec_col: str, train_limit: int
 ) -> DataFrame:
     """(h, v) training sample: ``pmod(xxhash64(id), K) == 0`` with K sized
-    from a corpus count. Both jobs are shuffle-free full-scan shapes — a
-    column-less count and a filtered projection; there is deliberately NO
-    global sort / TakeOrdered anywhere in this plan (the previous
-    ``orderBy(id).limit(n)`` formulation ranked every corpus row — a
-    scale-killer at 100 TB)."""
-    n = df.count()
+    from the corpus row count — taken from parquet footers when the frame
+    is a file scan (metadata-only, no second corpus pass), else one
+    column-less count job. The sample itself is a shuffle-free filtered
+    projection; there is deliberately NO global sort / TakeOrdered anywhere
+    in this plan (the previous ``orderBy(id).limit(n)`` formulation ranked
+    every corpus row — a scale-killer at 100 TB)."""
+    n = _approx_row_count(df)
     mod = max(1, n // train_limit)
     return df.select(
         F.xxhash64(F.col(id_col)).alias("h"),

@@ -281,18 +281,29 @@ class ApiHandler(BaseHTTPRequestHandler):
         socket timeout) so a legitimately-too-big upload still receives
         its error response cleanly — closing with unread data in the
         kernel buffer RSTs the in-flight response. Beyond the drain bound
-        the connection closes instead: an attacker-declared terabyte must
-        not pin the thread."""
-        length = max(0, int(self.headers.get("Content-Length") or 0))
+        (or a wall-clock deadline — a trickling sender must not pin the
+        thread either) the connection closes instead."""
+        try:
+            length = max(0, int(self.headers.get("Content-Length") or 0))
+        except ValueError:
+            # Unparsable Content-Length: we can't know where this request's
+            # body ends, so the socket can't be reused — read nothing and
+            # force close; the handler still gets a clean empty body.
+            self.close_connection = True
+            self._raw_body: bytes | None = b""
+            return
         if length > _MAX_UPLOAD:
             self.close_connection = True
-            # short per-recv timeout for the drain only: a live uploader
-            # keeps each 1 MB read fast; a dead sender bails in ~2s
+            # short per-recv timeout for the drain only, PLUS a wall-clock
+            # deadline: per-recv timeouts reset on every chunk, so a
+            # slow-loris sender trickling 1 byte/s could otherwise hold the
+            # thread for the whole bounded drain
             prev_timeout = self.connection.gettimeout()
             self.connection.settimeout(2.0)
             left = min(length, 4 * _MAX_UPLOAD)
+            deadline = time.monotonic() + 10.0
             try:
-                while left > 0:
+                while left > 0 and time.monotonic() < deadline:
                     chunk = self.rfile.read(min(left, 1 << 20))
                     if not chunk:
                         break
@@ -301,7 +312,7 @@ class ApiHandler(BaseHTTPRequestHandler):
                 pass  # timed out / reset mid-drain — close path anyway
             finally:
                 self.connection.settimeout(prev_timeout)
-            self._raw_body: bytes | None = None  # too-large sentinel
+            self._raw_body = None  # too-large sentinel
         else:
             self._raw_body = self.rfile.read(length)
 

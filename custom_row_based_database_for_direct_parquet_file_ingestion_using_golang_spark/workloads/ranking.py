@@ -282,9 +282,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     p AS (
       SELECT source, n_tok,
-             floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW) - n_tok) / 512)
+             ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok) // 512)
                AS seq_id
       FROM t
     )

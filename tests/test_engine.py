@@ -276,3 +276,40 @@ def test_time_travel_snapshots(spark, tmp_path):
     assert e.store.versions("t") == [1, 2]
     with pytest.raises(KeyError):
         e.table_at("t", 0)
+
+
+def test_optimize_zorder_partitioned_table(engine, spark):
+    # On a hive-partitioned table, optimize must range-partition leading
+    # with the partition column: otherwise each of the target_files tasks
+    # spans every disk partition and the partitionBy writer fans out into
+    # tasks x partitions files with the z-clustering destroyed.
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2 == 0).cast("int").cast("string").alias("p"),
+        (F.col("id") % 100).cast("int").alias("a"),
+        (F.col("id") / 100).cast("int").alias("b"),
+    )
+    engine._register_ingested("zp", df, ["p"])
+    n_files = engine.optimize("zp", ["a", "b"], target_files=4)
+    # 4 range tasks over (p, _zkey): each task lands in ~one partition dir;
+    # at worst one boundary task straddles both → 5 files, never 8.
+    assert n_files <= 5, n_files
+    out = engine.table("zp")
+    assert out.count() == 1000
+    assert sorted(out.columns) == ["a", "b", "p"]  # _zkey dropped
+    # per-file clustering on 'a' must survive within each partition
+    import glob as _glob
+    import pyarrow.parquet as _pq
+
+    path = engine.store.table_path("zp")
+    for f in _glob.glob(path + "/**/*.parquet", recursive=True):
+        md = _pq.read_metadata(f)
+        names = md.schema.names
+        ai = names.index("a")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ai).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        assert max(maxs) - min(mins) < 75, (f, min(mins), max(maxs))

@@ -284,3 +284,45 @@ def test_token_budget_filter_prefix_semantics(spark):
 
     with pytest.raises(ValueError):
         token_budget_filter(df, "n_tok", "source", 0)
+
+
+def test_pack_sequences_exact_beyond_float53(spark):
+    # seq_id must be exact integer arithmetic: with a cumulative token count
+    # of 2^53 + 1, float64 division would round the start down to 2^53 and
+    # mis-assign the document. ctx_len=1 makes seq_id == start directly.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [("a", 1, big), ("a", 2, 5)], ["source", "doc_id", "n_tok"]
+    )
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "doc_id", "n_tok", "source", 1).collect()
+    }
+    assert got == {1: 0, 2: big}
+
+
+def test_bm25_hostile_terms(spark):
+    # A query term literally named "id" must not collide with the group key,
+    # and a term containing a backtick must not break column quoting — the
+    # pivot uses synthetic per-term indices, never the raw term string.
+    docs = spark.createDataFrame(
+        [(0, "id apple id"), (1, "apple"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r["score"]
+        for r in ranking.bm25(docs, "doc_id", "text", ["id", "apple"]).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] > got[1] > 0  # doc 0 matches both terms
+
+    # backtick term: tokenizer strips it from docs so it matches nothing,
+    # but the plan must still build and run
+    assert ranking.bm25(docs, "doc_id", "text", ["a`b", "apple"]).count() == 2
+
+    with pytest.raises(ValueError):
+        ranking.bm25(docs, "doc_id", "text", ["apple", "apple"])

@@ -262,8 +262,11 @@ def test_rwlock_readers_share_writer_excludes():
 
 def test_oversize_body_rejected_without_draining(api):
     # Content-Length beyond the 64 MB cap: the server must respond with an
-    # error and close the connection WITHOUT reading the declared body
-    # (draining an attacker-declared length would pin the thread).
+    # error and close the connection. The drain is BOUNDED (≤4× cap, 2s
+    # per-recv timeout, 10s wall-clock deadline) — here no body bytes ever
+    # arrive, so the drain hits its first recv timeout and the response
+    # must still come back promptly instead of blocking on the declared
+    # 1 TB body.
     import socket
 
     host, port = api.removeprefix("http://").split(":")
@@ -286,3 +289,34 @@ def test_oversize_body_rejected_without_draining(api):
         assert b'"success": false' in data, data
     finally:
         s.close()
+
+
+def test_malformed_content_length_handled(api):
+    # An unparsable Content-Length must not escape the handler as an
+    # uncaught ValueError (dropped connection): the server reads no body,
+    # responds, and closes the socket cleanly; a fresh connection works.
+    import socket
+    import urllib.request
+
+    host, port = api.removeprefix("http://").split(":")
+    s = socket.create_connection((host, int(port)), timeout=10)
+    try:
+        s.sendall(
+            b"POST /api/query HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            b"Content-Length: abc\r\n\r\n"
+        )
+        s.settimeout(10)
+        data = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        assert data.startswith(b"HTTP/1."), data  # a real response came back
+        assert b'"success": false' in data, data
+    finally:
+        s.close()
+    # server still healthy afterwards
+    with urllib.request.urlopen(api + "/api/tables", timeout=10) as r:
+        assert json.loads(r.read())["success"] is True
