@@ -7,17 +7,23 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` — the executor-side
 pattern that scales to 100 TB because bytes never leave the JVM→Arrow→pandas
 batch path and partitions stay independent.
 
-The actual codec calls (PIL/ffmpeg/soundfile) are NOT in this container, so
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, which
-substitutes a deterministic stand-in (features derived from the bytes
-themselves). The Spark-side plumbing — schema, batch iteration, partitioning
-— is real and tested; swapping in a real codec changes one function body.
+Codec-free formats decode FOR REAL, pure numpy/stdlib: uncompressed 24-bit
+BMP (``decode_bmp`` — header parse, bottom-up rows, per-row padding) and
+PCM WAV (``decode_wav`` — RIFF chunk walk, int16 sample statistics). The
+compressed formats (jpeg/webp/mp3/...) need codec libraries NOT in this
+container, so for those ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic stand-in derived from the byte length. The Spark-side
+plumbing — schema, batch iteration, partitioning — is identical on every
+path; swapping a real jpeg codec in changes one function body.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -46,18 +52,137 @@ IMAGE_FEATURES_DDL = (
 )
 
 
+# --- real codec-free decoders (pure numpy/stdlib) ---------------------------
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Write an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding) from an (H, W, 3) uint8 RGB array. Used by fixture
+    generation and the media-encode stage of the workload pipelines — a
+    real, spec-conformant file any image viewer opens."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8")
+    row_size = (w * 3 + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + img_size, 0, 0, 54,           # file header
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,  # BITMAPINFOHEADER
+    )
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL decode of an uncompressed 24-bit BMP: header parse, bottom-up
+    row order, per-row 4-byte padding strip, BGR→RGB. Returns dimensions
+    plus pixel statistics computed from the decoded array (integer
+    ``pixel_sum`` keeps downstream oracles float-free)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    offset, header_size = struct.unpack_from("<I", payload, 10)[0], struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<H", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24bpp BMP (got bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, ::-1]
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixel_sum": int(rgb.sum(dtype=np.int64)),
+        "mean_pixel": float(rgb.mean()),
+        "pixels": rgb,
+    }
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int, n_channels: int = 1) -> bytes:
+    """Write a PCM16 RIFF/WAVE file from an int16 sample array (interleaved
+    if multi-channel). Spec-conformant: plays in any audio tool."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    data = samples.tobytes()
+    block_align = 2 * n_channels
+    byte_rate = sample_rate * block_align
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+            byte_rate, block_align, 16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decode of a PCM16 RIFF/WAVE payload: chunk walk (any chunk
+    order, unknown chunks skipped), fmt validation, int16 sample decode.
+    ``abs_sum`` (integer sum of |sample|) is the oracle-friendly energy
+    statistic — float RMS would diverge across engines."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only PCM16 WAV (got format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    n_frames = len(samples) // n_channels
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "abs_sum": int(np.abs(samples.astype(np.int64)).sum()),
+        "samples": samples,
+    }
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Decode one image payload → {width, height, channels}.
 
-    Real decode needs an image library not present in this container; the
-    ``fake=True`` path derives deterministic pseudo-dimensions from the
-    bytes so the full pipeline (schema, batching, downstream aggregation)
-    is exercisable end-to-end.
+    Uncompressed 24-bit BMP decodes FOR REAL (pure numpy — no codec
+    library needed). Compressed formats need PIL/opencv, absent in this
+    container: the ``fake=True`` path derives deterministic
+    pseudo-dimensions from the byte length so the full pipeline (schema,
+    batching, downstream aggregation) is exercisable end-to-end.
     """
+    # BMP sniff only on the real path: fake=True callers feed arbitrary
+    # binary (e.g. text bytes) that may coincidentally start with "BM" and
+    # must keep the deterministic stand-in contract.
     if not fake:
+        if payload[:2] == b"BM":
+            d = decode_bmp(payload)
+            return {
+                "width": d["width"],
+                "height": d["height"],
+                "channels": d["channels"],
+            }
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this environment); "
-            "pass fake=True for the deterministic stand-in"
+            "non-BMP image decode requires PIL/opencv (not in this "
+            "environment); pass fake=True for the deterministic stand-in"
         )
     # Deterministic function of payload LENGTH only, so the whole pipeline
     # (including this stand-in) stays expressible as a SQL oracle.
@@ -119,16 +244,24 @@ AUDIO_FEATURES_DDL = (
 def decode_audio(payload: bytes, fake: bool = False) -> dict:
     """Decode one audio payload → {sample_rate, n_channels, duration_ms}.
 
-    Same contract as decode_image: real decode needs soundfile/ffmpeg (not
-    in this container); ``fake=True`` derives deterministic pseudo-params
+    Same contract as decode_image: PCM16 WAV decodes FOR REAL (pure
+    numpy); compressed audio needs soundfile/ffmpeg, absent in this
+    container, so ``fake=True`` derives deterministic pseudo-params
     from the byte length so the pipeline stays SQL-oracle-expressible.
     Duration is integer milliseconds: integer math is bit-identical across
     engines, where a float round would diverge (Python rounds half-to-even,
     DuckDB half-away-from-zero)."""
     if not fake:
+        if payload[:4] == b"RIFF":
+            d = decode_wav(payload)
+            return {
+                "sample_rate": d["sample_rate"],
+                "n_channels": d["n_channels"],
+                "duration_ms": d["duration_ms"],
+            }
         raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg (not in this environment); "
-            "pass fake=True for the deterministic stand-in"
+            "non-WAV audio decode requires soundfile/ffmpeg (not in this "
+            "environment); pass fake=True for the deterministic stand-in"
         )
     n = len(payload)
     sample_rate = 8000 * (1 + n % 3)  # 8k / 16k / 24k
@@ -161,6 +294,69 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_FEATURES_DDL
+    )
+
+
+BMP_FEATURES_DDL = (
+    "media_id long, n_bytes long, width int, height int, channels int, "
+    "pixel_sum long, mean_pixel double"
+)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction: Arrow-batched mapInPandas over
+    :func:`decode_bmp`. Every output value derives from genuinely decoded
+    pixel bytes (dimensions from the header, pixel_sum/mean from the
+    row-unpadded RGB array) — no stand-ins on this path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_bmp(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                    "mean_pixel": [f["mean_pixel"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=BMP_FEATURES_DDL
+    )
+
+
+WAV_FEATURES_DDL = (
+    "media_id long, n_bytes long, sample_rate int, n_channels int, "
+    "n_samples long, duration_ms long, abs_sum long"
+)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: Arrow-batched mapInPandas over
+    :func:`decode_wav` — sample statistics (abs_sum) come from the decoded
+    int16 stream, duration from frame count / sample rate."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "abs_sum": [f["abs_sum"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURES_DDL
     )
 
 

@@ -777,6 +777,100 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_bmp_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 16 AS INT) AS width,
+             CAST(3 + doc_id % 9 AS INT) AS height,
+             doc_id % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(54 + ((width * 3 + 3) // 4 * 4) * height AS BIGINT) AS n_bytes,
+           width, height, CAST(3 AS INT) AS channels,
+           CAST(3 * v * width * height AS BIGINT) AS pixel_sum,
+           CAST(v AS DOUBLE) AS mean_pixel
+    FROM p
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image decode end-to-end: synthesize a spec-conformant
+    # uncompressed 24-bit BMP per document (dimensions and fill value are
+    # pure functions of doc_id, so the oracle can predict them), then
+    # extract features by actually parsing the header and pixel array
+    # (bottom-up rows, per-row padding) — every output value derives from
+    # decoded bytes, and the oracle recomputes them analytically.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h, v = 4 + did % 16, 3 + did % 9, did % 256
+                payloads.append(
+                    multimodal.encode_bmp(np.full((h, w, 3), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    return multimodal.extract_bmp_features(media)
+
+
+@query(
+    "multimodal_wav_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+             doc_id % 1000 AS amp,
+             40 + doc_id % 50 AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(amp * n AS BIGINT) AS abs_sum
+    FROM p
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio decode end-to-end: synthesize a PCM16 RIFF/WAVE clip per
+    # document (rate/amplitude/length are functions of doc_id; samples
+    # alternate +amp/-amp so the integer |sample| sum is amp * n), then
+    # extract features by actually walking the RIFF chunks and decoding
+    # the int16 stream. abs_sum comes from the decoded samples.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                sr = 8000 * (1 + did % 3)
+                amp, n = did % 1000, 40 + did % 50
+                samples = np.full(int(n), amp, dtype=np.int16)
+                samples[1::2] *= -1
+                payloads.append(multimodal.encode_wav(samples, int(sr), 1))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
+    return multimodal.extract_wav_features(media)
+
+
 # --- composite: end-to-end training-data curation pipeline ------------------
 
 

@@ -435,3 +435,106 @@ def test_sliding_window_sum_and_avg(spark, sf_dir):
         an, avg = avgs[ws]
         assert an == n
         assert avg == pytest.approx(total / n, abs=0.01)
+
+
+def test_bmp_codec_round_trip():
+    # Real encode→decode round trip, gradient pixels, width NOT a multiple
+    # of 4 so the per-row padding path is exercised; any padding/row-order/
+    # channel-order mistake corrupts the recovered array.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    payload = multimodal.encode_bmp(px)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + ((7 * 3 + 3) // 4 * 4) * 5
+    d = multimodal.decode_bmp(payload)
+    assert (d["width"], d["height"], d["channels"]) == (7, 5, 3)
+    assert np.array_equal(d["pixels"], px)
+    assert d["pixel_sum"] == int(px.sum())
+    assert d["mean_pixel"] == pytest.approx(px.mean())
+    # dispatch: decode_image takes the real path for BMP payloads
+    assert multimodal.decode_image(payload) == {
+        "width": 7, "height": 5, "channels": 3,
+    }
+    # top-down BMP (negative height) decodes to the same array
+    import struct as _struct
+
+    neg = bytearray(payload)
+    neg[22:26] = _struct.pack("<i", -5)
+    flipped = multimodal.decode_bmp(bytes(neg))
+    assert np.array_equal(flipped["pixels"], px[::-1])
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"not a bitmap")
+    with pytest.raises(NotImplementedError):
+        # 8bpp header is a real BMP we can't decode without a palette path
+        bad = bytearray(payload)
+        bad[28:30] = _struct.pack("<H", 8)
+        multimodal.decode_bmp(bytes(bad))
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=301).astype(np.int16)
+    payload = multimodal.encode_wav(samples, 16000, 1)
+    assert len(payload) == 44 + 2 * 301
+    d = multimodal.decode_wav(payload)
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (16000, 1, 301)
+    assert d["duration_ms"] == 301 * 1000 // 16000
+    assert np.array_equal(d["samples"], samples)
+    assert d["abs_sum"] == int(np.abs(samples.astype(np.int64)).sum())
+    # stereo: n_samples counts frames, not interleaved values
+    stereo = multimodal.decode_wav(
+        multimodal.encode_wav(samples[:300], 8000, 2)
+    )
+    assert stereo["n_channels"] == 2 and stereo["n_samples"] == 150
+    # chunk walk: an unknown chunk BEFORE fmt/data must be skipped
+    import struct as _struct
+
+    extra = (
+        payload[:12]
+        + _struct.pack("<4sI", b"LIST", 6) + b"junk12"
+        + payload[12:]
+    )
+    assert multimodal.decode_wav(extra)["abs_sum"] == d["abs_sum"]
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxJUNK")
+    assert multimodal.decode_audio(payload) == {
+        "sample_rate": 16000, "n_channels": 1, "duration_ms": 18,
+    }
+
+
+def test_real_media_files_through_binary_source(spark, tmp_path):
+    # The reference ships real image files on disk (Custom_DB/data/.../Image);
+    # prove the equivalent path here: write spec-conformant BMP/WAV FILES,
+    # ingest via Spark's binaryFile source, and extract features from the
+    # genuinely decoded bytes distributed-side.
+    import numpy as np
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    rng = np.random.default_rng(3)
+    pixel_sums = {}
+    for i in range(4):
+        px = rng.integers(0, 256, size=(6 + i, 9 + i, 3), dtype=np.uint8)
+        (media_dir / f"img_{i}.bmp").write_bytes(multimodal.encode_bmp(px))
+        pixel_sums[i] = int(px.sum())
+    files = spark.read.format("binaryFile").load(str(media_dir) + "/*.bmp")
+    media = multimodal.wrap_binary(
+        files.select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp", 1)
+            .cast("long")
+            .alias("fid"),
+            F.col("content"),
+        ),
+        "fid",
+        "content",
+        "image",
+    )
+    feats = {r.media_id: r for r in multimodal.extract_bmp_features(media).collect()}
+    assert len(feats) == 4
+    for i in range(4):
+        assert feats[i].width == 9 + i and feats[i].height == 6 + i
+        assert feats[i].pixel_sum == pixel_sums[i]
