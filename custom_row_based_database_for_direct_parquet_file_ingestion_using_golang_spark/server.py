@@ -18,6 +18,9 @@ Reference (cmd/server/main.go)           Here
 ``/api/conversations[/{id}[/message]]``  JSON files under
 (:194-328)                               ``<db_root>/conversations`` — same
                                          CRUD verbs, same message-pair append
+``GET /`` + ``/static/*`` (:168-169)     chat frontend from the packaged
+                                         ``web/`` dir (own implementation of
+                                         the reference client, same API)
 =======================================  =====================================
 
 Responses use the reference's envelope: ``{"success": bool, ...}`` with
@@ -329,9 +332,49 @@ class ApiHandler(BaseHTTPRequestHandler):
 
     # -- routing --
 
+    # -- static frontend (reference: cmd/server/main.go:168-169 — a chat UI
+    # served from web/, consuming the same /api endpoints) --
+
+    _WEB_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "web")
+    _CONTENT_TYPES = {
+        ".html": "text/html; charset=utf-8",
+        ".js": "text/javascript; charset=utf-8",
+        ".css": "text/css; charset=utf-8",
+        ".svg": "image/svg+xml",
+        ".png": "image/png",
+        ".ico": "image/x-icon",
+    }
+
+    def _serve_file(self, rel: str) -> None:
+        """Serve one file from the packaged web/ directory. The realpath
+        containment check rejects .. traversal and symlink escapes."""
+        full = os.path.realpath(os.path.join(self._WEB_ROOT, rel))
+        root = os.path.realpath(self._WEB_ROOT)
+        if not full.startswith(root + os.sep) or not os.path.isfile(full):
+            return self.send_error(404)
+        with open(full, "rb") as f:
+            body = f.read()
+        ext = os.path.splitext(full)[1].lower()
+        self.send_response(200)
+        self.send_header(
+            "Content-Type",
+            self._CONTENT_TYPES.get(ext, "application/octet-stream"),
+        )
+        self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         self._consume_body()  # a GET with a body is legal HTTP; unread
         # bytes would desync the keep-alive socket just like POST
+        if self.path in ("/", "/index.html"):
+            return self._serve_file("index.html")
+        if self.path.startswith("/static/"):
+            return self._serve_file(
+                os.path.join("static", self.path.removeprefix("/static/"))
+            )
         if self.path == "/api/tables":
             return self.handle_tables()
         if self.path == "/api/conversations":

@@ -320,3 +320,49 @@ def test_malformed_content_length_handled(api):
     # server still healthy afterwards
     with urllib.request.urlopen(api + "/api/tables", timeout=10) as r:
         assert json.loads(r.read())["success"] is True
+
+
+def test_static_frontend_served(api):
+    # The reference's front door: GET / returns the chat page, whose static
+    # assets load and whose script drives /api/query — a browser pointed at
+    # the server gets a working UI, not 404s.
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/", timeout=10) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        page = r.read().decode()
+    assert "/static/js/app.js" in page and "/static/css/style.css" in page
+    with urllib.request.urlopen(api + "/static/js/app.js", timeout=10) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/javascript")
+        js = r.read().decode()
+    # the client must speak the reference envelope against the live API
+    assert "/api/query" in js and "generatedSQL" in js
+    with urllib.request.urlopen(api + "/static/css/style.css", timeout=10) as r:
+        assert r.status == 200 and r.headers["Content-Type"].startswith("text/css")
+
+
+def test_static_traversal_rejected(api):
+    # ../ and absolute-path tricks must not escape the web root. Raw socket:
+    # urllib would normalize the path before it ever reaches the server.
+    import socket
+
+    host, port = api.removeprefix("http://").split(":")
+    for path in ("/static/../server.py", "/static/..%2f..%2fserver.py",
+                 "/static//etc/passwd"):
+        s = socket.create_connection((host, int(port)), timeout=10)
+        try:
+            s.sendall(
+                f"GET {path} HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n".encode()
+            )
+            s.settimeout(10)
+            data = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+            assert b"404" in data.split(b"\r\n", 1)[0], (path, data[:200])
+        finally:
+            s.close()
