@@ -33,6 +33,8 @@ def run_statement(engine: Engine, line: str) -> str:
     result = engine.ref_sql(line)
     if result is None:
         return "OK"
+    if isinstance(result, str):
+        return result  # maintenance statements return a status line
     if isinstance(result, int):
         return f"{result} row(s) affected"
     if isinstance(result, list):

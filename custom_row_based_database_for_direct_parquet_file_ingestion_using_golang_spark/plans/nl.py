@@ -159,7 +159,9 @@ def is_natural_language(text: str) -> bool:
     if first == "show":
         # 'SHOW TABLES' is SQL; 'show me all students' is NL.
         return not (len(words) > 1 and words[1] == "tables")
-    return first not in ("select", "insert", "update", "delete", "create", "drop")
+    return first not in (
+        "select", "insert", "update", "delete", "create", "drop", "optimize",
+    )
 
 
 def engine_samples(engine, table: str) -> dict[str, list[str]]:

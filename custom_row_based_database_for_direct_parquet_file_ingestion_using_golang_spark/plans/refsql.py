@@ -239,6 +239,7 @@ class SelectSpec:
     projections: list[tuple[str, str | None]] = field(default_factory=list)  # (item, alias)
     aggregates: list[tuple[str, str, str | None]] = field(default_factory=list)  # (fn, col, alias)
     star: bool = False
+    version: int | None = None  # FROM t VERSION AS OF n (time travel)
 
 
 def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Query | None, dict]:
@@ -278,6 +279,18 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             spec.projections.append((name, alias))
     cur.expect_kw("from")
     spec.table = _unquote(cur.next())
+    if cur.peek_kw() == "version":
+        # Dialect extension (SURVEY.md §7.4): `FROM t VERSION AS OF n`
+        # reads a retired copy-on-write snapshot (Engine.table_at) — the
+        # Delta/Iceberg time-travel surface over plain parquet snapshots.
+        cur.next()
+        cur.expect_kw("as")
+        cur.expect_kw("of")
+        vtok = cur.next()
+        try:
+            spec.version = int(vtok)
+        except ValueError:
+            raise ParseError(f"VERSION AS OF needs an integer, got {vtok!r}")
 
     clauses: dict[str, Any] = {}
     while not cur.done():
@@ -374,7 +387,12 @@ class RefSQL:
         cur = _Cursor(toks)
         if verb == "select":
             spec, _, clauses = parse_select(cur, self.weak)
-            return build_select(self.engine.table(spec.table), spec, clauses)
+            df = (
+                self.engine.table_at(spec.table, spec.version)
+                if spec.version is not None
+                else self.engine.table(spec.table)
+            )
+            return build_select(df, spec, clauses)
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
@@ -390,7 +408,39 @@ class RefSQL:
             return None
         if verb == "show":
             return self.engine.show_tables()
+        if verb == "optimize":
+            return self._optimize(cur)
         raise ParseError(f"unsupported statement verb {verb!r}")
+
+    def _optimize(self, cur: _Cursor) -> str:
+        """Dialect extension (SURVEY.md §7.4): ``OPTIMIZE t`` compacts small
+        files; ``OPTIMIZE t ZORDER BY (a, b)`` additionally clusters on the
+        Morton key (Engine.optimize) — the Delta-style maintenance surface
+        reachable from the reference's own SQL entry point."""
+        cur.expect_kw("optimize")
+        table = _unquote(cur.next())
+        zcols: list[str] = []
+        if cur.peek_kw() == "zorder":
+            cur.next()
+            cur.expect_kw("by")
+            if cur.next() != "(":
+                raise ParseError("expected '(' after ZORDER BY")
+            while True:
+                tok = cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                zcols.append(_unquote(tok))
+            if not zcols:
+                raise ParseError("ZORDER BY needs at least one column")
+        if not cur.done():
+            raise ParseError(f"unexpected token {cur.peek()!r} after OPTIMIZE")
+        if zcols:
+            n = self.engine.optimize(table, zcols)
+            return f"optimized '{table}': z-ordered by ({', '.join(zcols)}), {n} file(s)"
+        n = self.engine.compact(table, target_files=1)
+        return f"optimized '{table}': compacted to {n} file(s)"
 
     def _insert(self, cur: _Cursor) -> int:
         cur.expect_kw("insert")

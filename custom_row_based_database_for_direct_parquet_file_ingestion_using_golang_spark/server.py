@@ -160,6 +160,8 @@ def _render_ref_result(result) -> str:
     width table, int → DML rowcount, list → SHOW TABLES, None → OK."""
     if result is None:
         return "OK"
+    if isinstance(result, str):
+        return result  # maintenance statements return a status line
     if isinstance(result, int):
         return f"{result} row(s) affected"
     if isinstance(result, list):

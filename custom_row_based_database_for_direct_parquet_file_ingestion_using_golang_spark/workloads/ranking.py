@@ -271,6 +271,36 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "zorder_optimized_scan",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE user_id BETWEEN 10 AND 20
+    ORDER BY event_id
+    """,
+)
+def zorder_optimized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maintenance round-trip through the SQL dialect: ingest events into a
+    # throwaway engine db, run `OPTIMIZE ... ZORDER BY (user_id, event_id)`
+    # (refsql → Engine.optimize → Morton-key range rewrite), then answer a
+    # range filter THROUGH THE DIALECT over the rewritten files. Z-order is
+    # layout-only, so the oracle is the same query over the raw table — any
+    # row lost/duplicated/corrupted by the rewrite flips the hash.
+    import tempfile
+
+    from .. import Engine
+
+    root = tempfile.mkdtemp(prefix="sparkdb_zorder_")
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/events.parquet", "events_z")
+    msg = e.ref_sql("OPTIMIZE events_z ZORDER BY (user_id, event_id)")
+    assert msg.startswith("optimized 'events_z'"), msg
+    return e.ref_sql(
+        "SELECT event_id, user_id, event_type FROM events_z "
+        "WHERE user_id BETWEEN 10 AND 20 ORDER BY event_id"
+    )
+
+
 # --- sequence packing ------------------------------------------------------
 
 

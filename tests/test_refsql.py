@@ -197,3 +197,56 @@ def test_weak_typing_numeric_compare_on_text(spark, tmp_path):
         ).collect()
     }
     assert weak == {"3"}
+
+
+# -- maintenance dialect extensions (§7.4): OPTIMIZE / VERSION AS OF --------
+
+
+def test_optimize_statement_compacts_and_zorders(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "opt"))
+    e.create_table("m", [("a", "INT"), ("b", "INT")])
+    for i in range(3):  # 3 appends → several small files
+        e.insert_rows("m", [{"a": j % 10, "b": j // 10} for j in range(i, 100, 3)])
+    msg = e.ref_sql("OPTIMIZE m")
+    assert msg == "optimized 'm': compacted to 1 file(s)"
+    assert e.table("m").count() == 100
+    msg = e.ref_sql("OPTIMIZE m ZORDER BY (a, b)")
+    assert msg.startswith("optimized 'm': z-ordered by (a, b)")
+    assert e.table("m").count() == 100
+    # renders as a status line through the REPL path
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.__main__ import (
+        run_statement,
+    )
+
+    assert run_statement(e, "OPTIMIZE m") == "optimized 'm': compacted to 1 file(s)"
+
+    with pytest.raises(ParseError):
+        e.ref_sql("OPTIMIZE m ZORDER BY ()")
+    with pytest.raises(ParseError):
+        e.ref_sql("OPTIMIZE m JUNK")
+
+
+def test_select_version_as_of_time_travel(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "tt2"), keep_snapshots=3)
+    e.create_table("v", [("k", "INT"), ("val", "TEXT")])
+    e.insert_rows("v", [{"k": 1, "val": "one"}])   # appends don't snapshot
+    e.insert_rows("v", [{"k": 2, "val": "two"}])
+    e.ref_sql("UPDATE v SET val = 'TWO' WHERE k = 2")  # retires v0 (pre-update)
+    e.ref_sql("DELETE FROM v WHERE k = 1")             # retires v1 (pre-delete)
+    assert e.store.versions("v") == [0, 1]
+    # current state
+    cur = {r.k: r.val for r in e.ref_sql("SELECT k, val FROM v").collect()}
+    assert cur == {2: "TWO"}
+    # v0 = the table just before the UPDATE rewrite
+    old = {
+        r.k: r.val
+        for r in e.ref_sql("SELECT k, val FROM v VERSION AS OF 0").collect()
+    }
+    assert old == {1: "one", 2: "two"}
+    # v1 = just before the DELETE; clauses still compose after the version
+    one = e.ref_sql(
+        "SELECT val FROM v VERSION AS OF 1 WHERE k = 1 ORDER BY val"
+    ).collect()
+    assert [r.val for r in one] == ["one"]
+    with pytest.raises(ParseError):
+        e.ref_sql("SELECT * FROM v VERSION AS OF x")
