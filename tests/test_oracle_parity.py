@@ -89,3 +89,41 @@ def test_oracle_query_not_vacuous(name, spark, sf_dir, duck):
         f"SELECT count(*) FROM ({workload.ORACLES[name]})"
     ).fetchone()[0]
     assert n > 0, f"{name}: oracle returns 0 rows at this scale — vacuous check"
+
+
+def test_registry_matches_survey_totals():
+    """SURVEY.md §8's totals drifted from the registry twice; pin them.
+    Parses the 'Totals: N workload queries (M DuckDB-oracle-checked' line
+    so adding a workload without updating the doc (or vice versa) fails."""
+    import re
+    from pathlib import Path
+
+    survey = Path(__file__).resolve().parent.parent / "SURVEY.md"
+    m = re.search(
+        r"Totals: (\d+) workload queries \((\d+) DuckDB-oracle-checked",
+        survey.read_text(),
+    )
+    assert m, "SURVEY.md totals line not found / format changed"
+    documented_q, documented_o = int(m.group(1)), int(m.group(2))
+    assert len(workload.QUERIES) == documented_q, (
+        f"registry has {len(workload.QUERIES)} queries, SURVEY.md documents "
+        f"{documented_q} — update SURVEY.md §8"
+    )
+    assert len(workload.ORACLES) == documented_o, (
+        f"registry has {len(workload.ORACLES)} oracles, SURVEY.md documents "
+        f"{documented_o} — update SURVEY.md §8"
+    )
+
+
+def test_priority_window_names_registered():
+    """Every PRIORITY rotation name must exist in the registry — a rename
+    must not silently drop an entry from the driver's gate window."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        PRIORITY,
+        ordered_queries,
+    )
+
+    assert set(PRIORITY) <= set(workload.QUERIES)
+    ordered = ordered_queries()
+    assert list(ordered)[: len(PRIORITY)] == PRIORITY
+    assert set(ordered) == set(workload.QUERIES)

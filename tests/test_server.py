@@ -366,3 +366,64 @@ def test_static_traversal_rejected(api):
             assert b"404" in data.split(b"\r\n", 1)[0], (path, data[:200])
         finally:
             s.close()
+
+
+def test_concurrent_queries_during_dml_and_upload(api):
+    # Live-threaded stress over the RW lock: readers hammer SELECT COUNT(*)
+    # while one writer inserts rows and another uploads CSVs into fresh
+    # tables. Invariants: every response is clean JSON success; each
+    # reader's observed count is monotone non-decreasing (appends only add
+    # files — a torn/partial read would show a dip or a parse error); the
+    # final count equals the rows written.
+    import concurrent.futures
+    import json as _json
+    import urllib.request
+
+    assert _query(api, "CREATE TABLE stress (tid INT, seq INT)")["success"]
+    N_WRITES, N_READERS, N_READS = 10, 3, 8
+    errors: list[str] = []
+
+    def writer():
+        for i in range(N_WRITES):
+            r = _query(api, f"INSERT INTO stress VALUES (0, {i})")
+            if not r.get("success"):
+                errors.append(f"insert {i}: {r}")
+
+    def uploader():
+        for i in range(3):
+            body, ctype = _multipart(
+                {
+                    "table_name": (None, f"up_stress_{i}".encode()),
+                    "file": (f"s{i}.csv", b"a,b\n1,2\n3,4\n"),
+                }
+            )
+            r = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+            if not r.get("success"):
+                errors.append(f"upload {i}: {r}")
+
+    def reader(tid):
+        last = -1
+        for _ in range(N_READS):
+            r = _query(api, "SELECT COUNT(*) FROM stress")
+            if not r.get("success"):
+                errors.append(f"reader {tid}: {r}")
+                return
+            n = int(r["result"].splitlines()[-1].strip())
+            if n < last:
+                errors.append(f"reader {tid}: count went backwards {last}->{n}")
+            if not 0 <= n <= N_WRITES:
+                errors.append(f"reader {tid}: impossible count {n}")
+            last = n
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=N_READERS + 2) as ex:
+        futs = [ex.submit(writer), ex.submit(uploader)]
+        futs += [ex.submit(reader, t) for t in range(N_READERS)]
+        for f in futs:
+            f.result(timeout=180)
+    assert errors == [], errors
+    final = _query(api, "SELECT COUNT(*) FROM stress")
+    assert int(final["result"].splitlines()[-1].strip()) == N_WRITES
+    # uploaded tables all landed and are queryable
+    with urllib.request.urlopen(api + "/api/tables", timeout=10) as r:
+        names = {t["name"] for t in _json.loads(r.read())["tables"]}
+    assert {f"up_stress_{i}" for i in range(3)} <= names
