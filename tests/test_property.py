@@ -173,3 +173,54 @@ def test_tfidf_df_counts_match_python(spark, docs):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# --- media codecs: pure-python, no Spark job per example — more examples ---
+
+_CODEC_SETTINGS = settings(max_examples=60, deadline=None)
+
+
+@_CODEC_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_round_trip_property(w, h, seed):
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = multimodal.decode_bmp(multimodal.encode_bmp(px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["pixels"], px)
+    assert d["pixel_sum"] == int(px.sum())
+
+
+@_CODEC_SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    channels=st.integers(min_value=1, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_round_trip_property(n, rate, channels, seed):
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+
+    samples = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=n * channels)
+        .astype(np.int16)
+    )
+    d = multimodal.decode_wav(multimodal.encode_wav(samples, rate, channels))
+    assert d["sample_rate"] == rate and d["n_channels"] == channels
+    assert d["n_samples"] == n
+    assert d["duration_ms"] == n * 1000 // rate
+    assert np.array_equal(d["samples"], samples)
