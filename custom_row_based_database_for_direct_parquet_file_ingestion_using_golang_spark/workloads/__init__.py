@@ -44,6 +44,7 @@ PRIORITY: list[str] = [
     # (2) new or code-touched in round 4.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
+    "multimodal_avi_frame_sample",
     "zorder_optimized_scan",
     "bm25_top10",
     "corpus_pack_sequences",
@@ -68,7 +69,6 @@ PRIORITY: list[str] = [
     "text_token_stats",
     "text_quality_scores",
     "text_lang_breakdown",
-    "text_fingerprints",
     "text_repetition_ratio",
     "text_type_token_ratio",
     "corpus_top_bigrams",
@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "embedding_norms_stats",
     "json_extract_props",
     "cube_status_priority",
+    "text_fingerprints",
 ]
 
 

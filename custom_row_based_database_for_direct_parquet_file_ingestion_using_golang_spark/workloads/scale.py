@@ -871,6 +871,61 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_wav_features(media)
 
 
+@query(
+    "multimodal_avi_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS nf,
+             CAST(8 + doc_id % 8 AS INT) AS w,
+             CAST(6 + doc_id % 5 AS INT) AS h
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h,
+             CAST(unnest(range(0, nf, 2)) AS INT) AS frame_no
+      FROM p
+    )
+    SELECT doc_id AS media_id, frame_no,
+           CAST(8 + frame_no * (8 + ((w * 3 + 3) // 4 * 4) * h) AS BIGINT)
+             AS byte_offset,
+           CAST(((w * 3 + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+           CAST(3 * ((doc_id + 7 * frame_no) % 256) * w * h AS BIGINT)
+             AS pixel_sum
+    FROM f
+    """,
+)
+def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL video demux end-to-end: synthesize an uncompressed AVI per
+    # document (frame count/dims/fill values are functions of doc_id), then
+    # sample every 2nd frame by actually walking the RIFF structure and
+    # decoding the sampled frames' pixel arrays. byte_offset is the frame's
+    # position inside the movi payload (8 + i*(8+frame_size) — header
+    # arithmetic the oracle reproduces), pixel_sum comes from decoded
+    # pixels. Any chunk-walk, padding, or row-order mistake flips the hash.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                nf, w, h = 2 + did % 5, 8 + did % 8, 6 + did % 5
+                frames = [
+                    np.full((int(h), int(w), 3), (did + 7 * i) % 256, dtype=np.uint8)
+                    for i in range(int(nf))
+                ]
+                payloads.append(multimodal.encode_avi(frames, fps=30))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
+    return multimodal.sample_avi_frames(media, every_n=2)
+
+
 # --- composite: end-to-end training-data curation pipeline ------------------
 
 

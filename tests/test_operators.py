@@ -538,3 +538,41 @@ def test_real_media_files_through_binary_source(spark, tmp_path):
     for i in range(4):
         assert feats[i].width == 9 + i and feats[i].height == 6 + i
         assert feats[i].pixel_sum == pixel_sums[i]
+
+
+def test_avi_codec_round_trip(spark):
+    # Real encode→demux round trip for the uncompressed-AVI container:
+    # per-frame offsets, sizes, and pixel sums must come from genuinely
+    # walked chunks and decoded pixel arrays.
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    avi = multimodal.encode_avi(frames, fps=24)
+    d = multimodal.demux_avi(avi)
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (9, 6, 24, 5)
+    fsz = ((9 * 3 + 3) // 4 * 4) * 6
+    for i, fr in enumerate(d["frames"]):
+        assert fr["frame_no"] == i
+        assert fr["offset"] == 8 + i * (8 + fsz)
+        assert fr["n_bytes"] == fsz
+        assert fr["pixel_sum"] == int(frames[i].sum())
+    with pytest.raises(ValueError):
+        multimodal.demux_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        multimodal.encode_avi([])
+
+    # distributed sampling: every_n=2 keeps frames 0, 2, 4 with real stats
+    df = spark.createDataFrame([(7, bytearray(avi))], ["id", "payload"])
+    media = multimodal.wrap_binary(df, "id", "payload", "video")
+    got = {
+        r.frame_no: r
+        for r in multimodal.sample_avi_frames(media, every_n=2).collect()
+    }
+    assert sorted(got) == [0, 2, 4]
+    assert got[2].pixel_sum == int(frames[2].sum())
+    assert got[4].byte_offset == 8 + 4 * (8 + fsz)
+    with pytest.raises(ValueError):
+        multimodal.sample_avi_frames(media, every_n=0)

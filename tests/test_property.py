@@ -224,3 +224,26 @@ def test_wav_round_trip_property(n, rate, channels, seed):
     assert d["n_samples"] == n
     assert d["duration_ms"] == n * 1000 // rate
     assert np.array_equal(d["samples"], samples)
+
+
+@_CODEC_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    n=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_avi_round_trip_property(w, h, n, seed):
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)
+    ]
+    d = multimodal.demux_avi(multimodal.encode_avi(frames))
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
+    assert [f["pixel_sum"] for f in d["frames"]] == [int(f.sum()) for f in frames]
