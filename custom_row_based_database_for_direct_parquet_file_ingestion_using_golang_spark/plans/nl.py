@@ -157,8 +157,9 @@ def is_natural_language(text: str) -> bool:
     words = [w.lower() for w in text.strip().split()] or [""]
     first = words[0]
     if first == "show":
-        # 'SHOW TABLES' is SQL; 'show me all students' is NL.
-        return not (len(words) > 1 and words[1] == "tables")
+        # 'SHOW TABLES' / 'SHOW VERSIONS FOR t' are SQL; 'show me all
+        # students' is NL.
+        return not (len(words) > 1 and words[1] in ("tables", "versions"))
     return first not in (
         "select", "insert", "update", "delete", "create", "drop", "optimize",
     )

@@ -407,6 +407,16 @@ class RefSQL:
             self.engine.drop_table(_unquote(cur.next()))
             return None
         if verb == "show":
+            if len(toks) >= 2 and toks[1].lower() == "versions":
+                # SHOW VERSIONS FOR t: list the retired snapshot numbers a
+                # VERSION AS OF query can read (companion to time travel).
+                cur.next()
+                cur.next()
+                cur.expect_kw("for")
+                table = _unquote(cur.next())
+                self.engine.catalog.get(table)  # raises on unknown table
+                vs = self.engine.store.versions(table)
+                return [f"v{v}" for v in vs] or ["(no snapshots)"]
             return self.engine.show_tables()
         if verb == "optimize":
             return self._optimize(cur)

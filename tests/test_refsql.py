@@ -250,3 +250,11 @@ def test_select_version_as_of_time_travel(spark, tmp_path):
     assert [r.val for r in one] == ["one"]
     with pytest.raises(ParseError):
         e.ref_sql("SELECT * FROM v VERSION AS OF x")
+    # companion statement: discover which snapshots exist
+    assert e.ref_sql("SHOW VERSIONS FOR v") == ["v0", "v1"]
+    e.create_table("fresh", [("x", "INT")])
+    assert e.ref_sql("SHOW VERSIONS FOR fresh") == ["(no snapshots)"]
+    with pytest.raises(KeyError):
+        e.ref_sql("SHOW VERSIONS FOR nope")
+    # plain SHOW TABLES still routes to the table list
+    assert "v" in e.ref_sql("SHOW TABLES")
