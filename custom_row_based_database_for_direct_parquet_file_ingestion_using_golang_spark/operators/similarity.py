@@ -224,6 +224,25 @@ def _ivf_training_sample(
     ).filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
 
 
+def _train_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_limit: int,
+    n_centroids: int,
+    n_iter: int,
+    seed: int,
+) -> "list[list[float]]":
+    """Deterministic coarse-quantizer training: hash-filtered sample
+    (one corpus pass), driver-side cap ordered by hash (stable across
+    partitioning/runs), spherical k-means."""
+    sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
+    sample_rows.sort(key=lambda r: r.h)
+    return _kmeans_centroids(
+        [r.v for r in sample_rows[:train_limit]], n_centroids, n_iter, seed
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -251,12 +270,8 @@ def ivf_topk(
     narrow map over the corpus, then a broadcast join against the probed
     list ids.
     """
-    sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
-    # Deterministic cap: order by hash (stable across partitioning/runs),
-    # keep exactly train_limit vectors.
-    sample_rows.sort(key=lambda r: r.h)
-    centroids = _kmeans_centroids(
-        [r.v for r in sample_rows[:train_limit]], n_centroids, n_iter, seed
+    centroids = _train_centroids(
+        df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
     )
 
     listed = df.select(
@@ -284,6 +299,74 @@ def ivf_topk(
         cand.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_centroids: int = 16,
+    train_limit: int = 512,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> "list[list[float]]":
+    """Materialize an IVF index: train the coarse quantizer, assign every
+    vector its inverted-list id (pure Column algebra over centroid
+    literals), and write the corpus parquet PARTITIONED BY ``list_id``.
+    Returns the centroids — persist them next to the index; they ARE the
+    index metadata.
+
+    This is the 100 TB serving shape `docs/SCALING.md` describes: build
+    once (one training pass + one assignment/write pass), then every probe
+    is a partition-pruned scan of ``n_probe`` directories instead of a
+    full-corpus pass with in-plan assignment (which :func:`ivf_topk`, the
+    index-free variant, pays per query)."""
+    centroids = _train_centroids(
+        df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
+    )
+    listed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias("list_id"),
+    )
+    listed.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+    return centroids
+
+
+def ivf_probe_indexed(
+    spark,
+    index_path: str,
+    centroids: "list[list[float]]",
+    id_col: str,
+    vec_col: str,
+    query_vec: "list[float]",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index: rank centroids driver-side (a tiny
+    numpy dot over the persisted quantizer — no corpus access), then read
+    ONLY the ``n_probe`` nearest list partitions. The ``isin`` literal
+    reaches the scan as a PartitionFilter (plan-asserted in
+    tests/test_plans.py), so probe I/O is proportional to the probed
+    lists, not the corpus. Exact cosine rescoring on the candidates."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    probes = [int(i) + 1 for i in np.argsort(-(c @ q))[:n_probe]]
+    cand = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), qcol), 6
+            ).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)

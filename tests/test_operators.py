@@ -576,3 +576,37 @@ def test_avi_codec_round_trip(spark):
     assert got[4].byte_offset == 8 + 4 * (8 + fsz)
     with pytest.raises(ValueError):
         multimodal.sample_avi_frames(media, every_n=0)
+
+
+def test_ivf_indexed_probe_matches_in_plan_ivf(spark, sf_dir, tmp_path):
+    # The materialized index (build once, probe via partition-pruned scan)
+    # must agree with the index-free in-plan variant given the same
+    # deterministic quantizer: same lists probed, same candidates, same
+    # top-k.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.ivf_build(
+        emb, "vec_id", "embedding", path, n_centroids=8
+    )
+    assert len(cents) == 8
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    probe = similarity.ivf_probe_indexed(
+        spark, path, cents, "vec_id", "embedding", qvec, k=10, n_probe=4
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    inplan = similarity.ivf_topk(
+        emb, "vec_id", "embedding", q, k=10, n_centroids=8, n_probe=4
+    ).collect()
+    got = probe.collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in inplan
+    ]
+    assert got[0].vec_id == 0 and got[0].score == pytest.approx(1.0)
+    # the probe must be a partition-pruned scan, not a full pass + filter
+    txt = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt
+    assert any(
+        "list_id" in line for line in txt.splitlines() if "PartitionFilters" in line
+    ), txt
