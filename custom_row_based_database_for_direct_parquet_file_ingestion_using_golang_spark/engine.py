@@ -259,16 +259,27 @@ class Engine:
 
     # ---- maintenance ------------------------------------------------------
 
-    def compact(self, name: str, target_files: int | None = None) -> int:
+    def compact(
+        self,
+        name: str,
+        target_files: int | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
         """Rewrite a table into ``target_files`` parquet files (default:
-        one per shuffle partition). Append-heavy tables accumulate small
+        sized from the table's current bytes at ``target_file_bytes`` per
+        file — a 100 GB table compacts to ~800 files, a 1 KB table to 1,
+        never to a hard-coded count). Append-heavy tables accumulate small
         files — the classic small-files problem that murders scan
         parallelism efficiency at scale; compaction is the standard
         maintenance pass. Returns the file count after compaction."""
+        import math
+
         meta = self.catalog.get(name)
         df = self.table(name)
-        if target_files is not None:
-            df = df.coalesce(target_files)
+        if target_files is None:
+            _, bytes_in = self._parquet_file_stats(name)
+            target_files = max(1, math.ceil(bytes_in / target_file_bytes))
+        df = df.coalesce(target_files)
         self.store.overwrite(name, df, meta.partition_by)
         return self._parquet_file_stats(name)[0]
 

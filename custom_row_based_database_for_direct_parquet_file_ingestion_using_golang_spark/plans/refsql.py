@@ -449,7 +449,9 @@ class RefSQL:
         if zcols:
             n = self.engine.optimize(table, zcols)
             return f"optimized '{table}': z-ordered by ({', '.join(zcols)}), {n} file(s)"
-        n = self.engine.compact(table, target_files=1)
+        # file count sized from table bytes (Engine.compact default) — a
+        # hard-coded count would be wrong at either end of the size scale
+        n = self.engine.compact(table)
         return f"optimized '{table}': compacted to {n} file(s)"
 
     def _insert(self, cur: _Cursor) -> int:
