@@ -279,7 +279,14 @@ class Engine:
         if target_files is None:
             _, bytes_in = self._parquet_file_stats(name)
             target_files = max(1, math.ceil(bytes_in / target_file_bytes))
-        df = df.coalesce(target_files)
+        if meta.partition_by:
+            # Hash on the partition columns so each task holds whole disk
+            # partitions: a plain coalesce leaves every task spanning many
+            # partition values and the partitionBy writer fans out into
+            # tasks x partitions files — the opposite of compaction.
+            df = df.repartition(target_files, *meta.partition_by)
+        else:
+            df = df.coalesce(target_files)
         self.store.overwrite(name, df, meta.partition_by)
         return self._parquet_file_stats(name)[0]
 

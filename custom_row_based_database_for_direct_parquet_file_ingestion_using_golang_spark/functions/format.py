@@ -30,3 +30,22 @@ def format_result(df: DataFrame, limit: int = 1000) -> str:
     """Materialize up to ``limit`` rows and render them reference-style."""
     rows = [tuple(r) for r in df.limit(limit).collect()]
     return format_rows(df.columns, rows)
+
+
+def render_statement_result(result) -> str:
+    """Reference-style rendering for any RefSQL statement outcome — the ONE
+    dispatch shared by the CLI REPL and the web API (a second copy would
+    drift the two surfaces): DataFrame → fixed-width table, int → DML
+    rowcount, str → maintenance status line, list → SHOW output, None →
+    OK."""
+    if result is None:
+        return "OK"
+    if isinstance(result, str):
+        return result
+    if isinstance(result, bool):  # guard: bool is an int subclass
+        return str(result)
+    if isinstance(result, int):
+        return f"{result} row(s) affected"
+    if isinstance(result, list):
+        return "\n".join(result)
+    return format_result(result)

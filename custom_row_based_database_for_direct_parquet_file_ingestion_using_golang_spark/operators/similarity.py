@@ -235,8 +235,27 @@ def _train_centroids(
 ) -> "list[list[float]]":
     """Deterministic coarse-quantizer training: hash-filtered sample
     (one corpus pass), driver-side cap ordered by hash (stable across
-    partitioning/runs), spherical k-means."""
+    partitioning/runs), spherical k-means.
+
+    The footer-based modulus sizing can overshoot when the frame carries a
+    selective filter (footers count pre-filter rows), starving the sample;
+    if that happens, re-sample with a modulus from the frame's TRUE count —
+    the extra count job only runs in the already-filtered (small-scan)
+    case, so the unfiltered fast path stays one-pass."""
     sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
+    if len(sample_rows) < min(train_limit, n_centroids):
+        n = df.count()
+        mod = max(1, n // train_limit)
+        sample_rows = (
+            df.select(
+                F.xxhash64(F.col(id_col)).alias("h"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+            .collect()
+        )
+    if not sample_rows:
+        raise ValueError("IVF training: corpus is empty")
     sample_rows.sort(key=lambda r: r.h)
     return _kmeans_centroids(
         [r.v for r in sample_rows[:train_limit]], n_centroids, n_iter, seed
@@ -358,7 +377,14 @@ def ivf_probe_indexed(
 
     c = np.asarray(centroids, dtype="float64")
     q = np.asarray(query_vec, dtype="float64")
-    probes = [int(i) + 1 for i in np.argsort(-(c @ q))[:n_probe]]
+    # Mirror ivf_topk's in-plan ranking exactly: sort by (-dot, idx) with a
+    # STABLE sort and an index tie-break — a bare argsort (non-stable) could
+    # probe different lists than the in-plan variant on tied/near-tied
+    # centroids, making the two variants disagree.
+    dots = c @ q
+    probes = [
+        i + 1 for i in sorted(range(len(c)), key=lambda i: (-dots[i], i))[:n_probe]
+    ]
     cand = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

@@ -52,7 +52,7 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .engine import Engine
-from .functions.format import format_result
+from .functions.format import render_statement_result
 from .plans import nl
 
 _MAX_UPLOAD = 64 << 20  # reference: r.ParseMultipartForm(64 << 20)
@@ -154,24 +154,10 @@ def derive_title(msg: str, max_words: int = 8, max_len: int = 60) -> str:
 # -- request handling ---------------------------------------------------------
 
 
-def _render_ref_result(result) -> str:
-    """Reference-style Result rendering for any statement outcome (same
-    dispatch as the CLI REPL, __main__.run_statement): DataFrame → fixed-
-    width table, int → DML rowcount, list → SHOW TABLES, None → OK."""
-    if result is None:
-        return "OK"
-    if isinstance(result, str):
-        return result  # maintenance statements return a status line
-    if isinstance(result, int):
-        return f"{result} row(s) affected"
-    if isinstance(result, list):
-        return "\n".join(result)
-    return format_result(result)
-
-
 def _run_ref_statement(engine: Engine, query: str) -> str:
-    """Execute one RefSQL statement and render its result."""
-    return _render_ref_result(engine.ref_sql(query))
+    """Execute one RefSQL statement and render it (shared dispatch with the
+    CLI REPL — functions.format.render_statement_result)."""
+    return render_statement_result(engine.ref_sql(query))
 
 
 class _RWLock:
@@ -371,11 +357,14 @@ class ApiHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         self._consume_body()  # a GET with a body is legal HTTP; unread
         # bytes would desync the keep-alive socket just like POST
-        if self.path in ("/", "/index.html"):
+        # Route on the path component only: cache-busting/query params
+        # (e.g. /static/js/app.js?v=2) must not 404 the static routes.
+        path = self.path.split("?", 1)[0]
+        if path in ("/", "/index.html"):
             return self._serve_file("index.html")
-        if self.path.startswith("/static/"):
+        if path.startswith("/static/"):
             return self._serve_file(
-                os.path.join("static", self.path.removeprefix("/static/"))
+                os.path.join("static", path.removeprefix("/static/"))
             )
         if self.path == "/api/tables":
             return self.handle_tables()

@@ -62,7 +62,10 @@ async function openConversation(id) {
   const box = $("messages");
   box.innerHTML = "";
   for (const m of activeConv.messages || []) {
-    addMsg(m.role === "user" ? "user" : "bot", m.content, m.sql);
+    // stored schema: user rows carry "text", bot rows "result"/"error"+"sql"
+    const body =
+      m.role === "user" ? m.text : m.error ? `error: ${m.error}` : m.result;
+    addMsg(m.role === "user" ? "user" : "bot", body || "", m.sql);
   }
   refreshConvList();
 }
@@ -89,8 +92,10 @@ async function send() {
   const q = $("prompt").value.trim();
   if (!q) return;
   $("prompt").value = "";
-  addMsg("user", q);
+  // create the conversation BEFORE rendering the bubble — newConversation
+  // clears #messages and would wipe the just-typed first message
   if (!activeConv) await newConversation();
+  addMsg("user", q);
   const isNatural = $("nl-mode").checked;
   const data = await api("/api/query", {
     method: "POST",

@@ -286,11 +286,18 @@ def zorder_optimized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range filter THROUGH THE DIALECT over the rewritten files. Z-order is
     # layout-only, so the oracle is the same query over the raw table — any
     # row lost/duplicated/corrupted by the rewrite flips the hash.
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from .. import Engine
 
-    root = tempfile.mkdtemp(prefix="sparkdb_zorder_")
+    # Deterministic scratch root per sf_dir, replaced (not accumulated) on
+    # every run — repeated gate rounds must not leak a table copy each.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_zorder_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     e = Engine(spark, root)
     e.ingest_parquet(f"{sf_dir}/events.parquet", "events_z")
     msg = e.ref_sql("OPTIMIZE events_z ZORDER BY (user_id, event_id)")

@@ -427,3 +427,13 @@ def test_concurrent_queries_during_dml_and_upload(api):
     with urllib.request.urlopen(api + "/api/tables", timeout=10) as r:
         names = {t["name"] for t in _json.loads(r.read())["tables"]}
     assert {f"up_stress_{i}" for i in range(3)} <= names
+
+
+def test_static_serves_with_query_string(api):
+    # cache-busting params (GET /static/js/app.js?v=2) must not 404
+    import urllib.request
+
+    with urllib.request.urlopen(api + "/static/js/app.js?v=2", timeout=10) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(api + "/?utm=x", timeout=10) as r:
+        assert r.status == 200 and r.headers["Content-Type"].startswith("text/html")
