@@ -161,7 +161,8 @@ def is_natural_language(text: str) -> bool:
         # students' is NL.
         return not (len(words) > 1 and words[1] in ("tables", "versions"))
     return first not in (
-        "select", "insert", "update", "delete", "create", "drop", "optimize",
+        "select", "insert", "update", "delete", "create", "drop",
+        "optimize", "vacuum",
     )
 
 

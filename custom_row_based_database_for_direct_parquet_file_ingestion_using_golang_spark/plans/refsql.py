@@ -420,6 +420,28 @@ class RefSQL:
             return self.engine.show_tables()
         if verb == "optimize":
             return self._optimize(cur)
+        if verb == "vacuum":
+            # Dialect extension: ``VACUUM t [KEEP n]`` drops retired
+            # snapshots beyond the n newest (default 0 = all) — the
+            # storage-reclaim companion to VERSION AS OF / SHOW VERSIONS.
+            cur.expect_kw("vacuum")
+            table = _unquote(cur.next())
+            self.engine.catalog.get(table)  # raises on unknown table
+            keep = 0
+            if cur.peek_kw() == "keep":
+                cur.next()
+                ktok = cur.next()
+                try:
+                    keep = int(ktok)
+                except ValueError:
+                    raise ParseError(f"KEEP needs an integer, got {ktok!r}")
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after VACUUM")
+            dropped = self.engine.store.vacuum(table, keep=keep)
+            return (
+                f"vacuumed '{table}': removed "
+                f"{', '.join(f'v{v}' for v in dropped) if dropped else 'nothing'}"
+            )
         raise ParseError(f"unsupported statement verb {verb!r}")
 
     def _optimize(self, cur: _Cursor) -> str:

@@ -123,6 +123,24 @@ class ParquetTableStore:
                 ignore_errors=True,
             )
 
+    def vacuum(self, name: str, keep: int = 0) -> list[int]:
+        """Drop retired snapshots beyond the ``keep`` newest (the
+        Delta-style VACUUM: reclaim history storage, keep recent time
+        travel). Returns the removed version numbers. Snapshot dirs are
+        immutable, so removal is safe for any reader that already planned
+        against a dropped version only until its scan starts — same
+        contract as Delta's retention window."""
+        if keep < 0:
+            raise ValueError("keep must be >= 0")
+        vs = self.versions(name)
+        doomed = vs[: len(vs) - keep] if keep else vs
+        for v in doomed:
+            shutil.rmtree(
+                os.path.join(self._table_snap_dir(name), f"v{v}"),
+                ignore_errors=True,
+            )
+        return doomed
+
     def read_version(self, name: str, version: int, schema=None) -> DataFrame:
         """Time travel: read a retired snapshot by version number."""
         path = os.path.join(self._table_snap_dir(name), f"v{version}")

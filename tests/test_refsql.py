@@ -258,3 +258,16 @@ def test_select_version_as_of_time_travel(spark, tmp_path):
         e.ref_sql("SHOW VERSIONS FOR nope")
     # plain SHOW TABLES still routes to the table list
     assert "v" in e.ref_sql("SHOW TABLES")
+    # VACUUM KEEP 1 reclaims all but the newest snapshot...
+    assert e.ref_sql("VACUUM v KEEP 1") == "vacuumed 'v': removed v0"
+    assert e.ref_sql("SHOW VERSIONS FOR v") == ["v1"]
+    with pytest.raises(KeyError):
+        e.ref_sql("SELECT * FROM v VERSION AS OF 0").collect()
+    # ...and VACUUM with no KEEP drops the rest
+    assert e.ref_sql("VACUUM v") == "vacuumed 'v': removed v1"
+    assert e.ref_sql("VACUUM v") == "vacuumed 'v': removed nothing"
+    assert e.ref_sql("SHOW VERSIONS FOR v") == ["(no snapshots)"]
+    with pytest.raises(ParseError):
+        e.ref_sql("VACUUM v KEEP x")
+    with pytest.raises(KeyError):
+        e.ref_sql("VACUUM nope")
