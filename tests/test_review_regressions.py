@@ -213,14 +213,19 @@ def test_ordered_queries_raises_on_unknown_priority(monkeypatch):
 
 def test_render_ref_result_handles_all_statement_outcomes():
     # NL can generate DML: ref_sql then returns an int, which used to
-    # crash format_result AFTER the mutation committed.
-    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.server import (
-        _render_ref_result,
+    # crash format_result AFTER the mutation committed. (Round 4 moved the
+    # dispatch to the shared functions.format.render_statement_result used
+    # by both the web API and the REPL.)
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.functions.format import (
+        render_statement_result,
     )
 
-    assert _render_ref_result(None) == "OK"
-    assert _render_ref_result(3) == "3 row(s) affected"
-    assert _render_ref_result(["a", "b"]) == "a\nb"
+    assert render_statement_result(None) == "OK"
+    assert render_statement_result(3) == "3 row(s) affected"
+    assert render_statement_result(["a", "b"]) == "a\nb"
+    assert render_statement_result("optimized 't': compacted to 2 file(s)") == (
+        "optimized 't': compacted to 2 file(s)"
+    )
 
 
 def test_table_from_sql_word_boundaries():
