@@ -280,11 +280,24 @@ class Engine:
             _, bytes_in = self._parquet_file_stats(name)
             target_files = max(1, math.ceil(bytes_in / target_file_bytes))
         if meta.partition_by:
-            # Hash on the partition columns so each task holds whole disk
-            # partitions: a plain coalesce leaves every task spanning many
-            # partition values and the partitionBy writer fans out into
-            # tasks x partitions files — the opposite of compaction.
-            df = df.repartition(target_files, *meta.partition_by)
+            # Range-partition leading with the partition columns (so each
+            # task holds a contiguous slice of mostly one disk partition and
+            # the partitionBy writer doesn't fan out tasks x partitions),
+            # salted with a deterministic row hash so one oversized
+            # partition value can still split across several tasks — a
+            # hash-on-pcols-only repartition caps parallelism at the
+            # distinct-partition count and can never split a hot partition.
+            data_cols = [c for c in df.columns if c not in meta.partition_by]
+            salt = (
+                F.xxhash64(*[F.col(c) for c in data_cols])
+                if data_cols
+                else F.lit(0)
+            )
+            df = (
+                df.withColumn("_csalt", salt)
+                .repartitionByRange(target_files, *meta.partition_by, "_csalt")
+                .drop("_csalt")
+            )
         else:
             df = df.coalesce(target_files)
         self.store.overwrite(name, df, meta.partition_by)

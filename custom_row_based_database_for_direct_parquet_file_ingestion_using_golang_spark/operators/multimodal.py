@@ -499,8 +499,12 @@ def sample_avi_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plumbing*: expands each video row into frame
     descriptors (frame_no, byte_offset) without decoding — the shuffle/
-    explode shape a real ffmpeg-backed sampler would use. Offsets are
-    synthetic (payload length / every_n) pending a real demuxer."""
+    explode shape a real ffmpeg-backed sampler would use, exercised by the
+    ``multimodal_frame_sample`` workload as the plumbing-shape entry.
+    Offsets here are synthetic (payload length / every_n); the REAL
+    container walk lives in ``demux_avi``/``sample_avi_frames`` (the
+    ``multimodal_avi_frame_sample`` workload), which parses the RIFF 'movi'
+    chunk list and decodes actual frame pixels."""
     n_frames = F.greatest(
         (F.length("payload") / F.lit(1024)).cast("int"), F.lit(1)
     )

@@ -243,7 +243,11 @@ def _train_centroids(
     the extra count job only runs in the already-filtered (small-scan)
     case, so the unfiltered fast path stays one-pass."""
     sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
-    if len(sample_rows) < min(train_limit, n_centroids):
+    # Starvation check: re-sample whenever the footer-sized sample is well
+    # below the requested training size (not merely below n_centroids — a
+    # selectively filtered frame would otherwise silently train k-means on
+    # ~n_centroids vectors instead of ~train_limit, degrading the quantizer).
+    if len(sample_rows) < max(n_centroids, train_limit // 4):
         n = df.count()
         mod = max(1, n // train_limit)
         sample_rows = (
@@ -423,11 +427,22 @@ def lsh_topk(
     query: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 10,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: exact cosine over candidates sharing the query's
-    LSH bucket or any 1-bit-flip neighbor bucket (multi-probe for recall)."""
+    LSH bucket or any 1-bit-flip neighbor bucket (multi-probe for recall).
+
+    ``n_planes=None`` auto-sizes from the corpus row count (parquet footer
+    metadata — no extra scan) targeting ~64 rows per bucket, so a small
+    corpus gets few planes / big buckets (full recall at test scale) while
+    a 10^9-row corpus gets ~24 planes and a candidate set in the low
+    thousands — expected candidates n·(p+1)/2^p grows only log-wise."""
+    if n_planes is None:
+        import math
+
+        n = _approx_row_count(df)
+        n_planes = max(2, min(24, int(math.log2(max(2.0, n / 64)))))
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),

@@ -414,6 +414,10 @@ class RefSQL:
                 cur.next()
                 cur.expect_kw("for")
                 table = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after SHOW VERSIONS"
+                    )
                 self.engine.catalog.get(table)  # raises on unknown table
                 vs = self.engine.store.versions(table)
                 return [f"v{v}" for v in vs] or ["(no snapshots)"]

@@ -133,7 +133,7 @@ class ParquetTableStore:
         if keep < 0:
             raise ValueError("keep must be >= 0")
         vs = self.versions(name)
-        doomed = vs[: len(vs) - keep] if keep else vs
+        doomed = vs[: max(0, len(vs) - keep)] if keep else vs
         for v in doomed:
             shutil.rmtree(
                 os.path.join(self._table_snap_dir(name), f"v{v}"),

@@ -271,3 +271,25 @@ def test_select_version_as_of_time_travel(spark, tmp_path):
         e.ref_sql("VACUUM v KEEP x")
     with pytest.raises(KeyError):
         e.ref_sql("VACUUM nope")
+    with pytest.raises(ParseError):
+        e.ref_sql("SHOW VERSIONS FOR fresh garbage")
+
+
+def test_vacuum_keep_exceeding_snapshot_count_removes_nothing(spark, tmp_path):
+    """KEEP n with n >= snapshot count must be a no-op, not a negative slice
+    that deletes the oldest snapshots the caller asked to retain."""
+    e = Engine(spark, str(tmp_path / "tt3"), keep_snapshots=5)
+    e.create_table("v", [("k", "INT"), ("val", "TEXT")])
+    e.insert_rows("v", [{"k": 1, "val": "one"}, {"k": 2, "val": "two"}])
+    e.ref_sql("UPDATE v SET val = 'ONE' WHERE k = 1")  # retires v0
+    e.ref_sql("UPDATE v SET val = 'TWO' WHERE k = 2")  # retires v1
+    assert e.store.versions("v") == [0, 1]
+    # keep > count: nothing may be removed
+    assert e.ref_sql("VACUUM v KEEP 3") == "vacuumed 'v': removed nothing"
+    assert e.store.versions("v") == [0, 1]
+    # keep == count: still nothing
+    assert e.store.vacuum("v", keep=2) == []
+    assert e.store.versions("v") == [0, 1]
+    # keep == count-1 removes exactly the oldest
+    assert e.store.vacuum("v", keep=1) == [0]
+    assert e.store.versions("v") == [1]
