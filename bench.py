@@ -17,6 +17,19 @@ so a regression in the min can be distinguished from shared-VM noise
 (noise shows as warm-pass variance; a plan change shifts every pass).
 Timing wraps the full action (plan + execute + count); a count keeps
 driver transfer out of the measurement.
+
+Load sentinel (round 5): the shared VM can be contended by OTHER tenants
+while bench runs — round 4's recorded total was 1.66× polluted by exactly
+that, and the artifact had no way to say so. Each query's pass loop is now
+preceded by a timed fixed-work probe (sum over spark.range(4M), calibrated
+to a floor at startup); the JSON records the contention ratio per query
+(when > 1.2) plus os.getloadavg() snapshots. When a query's floor comes
+out > 1.5× its known warm floor AND the sentinel shows contention, the
+query is automatically re-run (up to 2 extra passes) so transient load
+can't pollute the recorded minimum. Key order in the JSON puts "queries",
+"reruns", "sentinel", "value" LAST because the driver archives only the
+final 2000 chars of stdout — the headline numbers and the
+noise-or-regression verdict must live in that window.
 """
 
 from __future__ import annotations
@@ -94,6 +107,39 @@ EXTRA_PASS_QUERIES = {
     "q5_local_supplier_volume",
 }
 
+# Known warm floors at sf0.1 (sec): BASELINE.md's floor table plus the
+# round-4 verdict's isolated re-measures. Used ONLY to decide when a
+# measured floor is suspicious enough to warrant an automatic re-run under
+# a contended sentinel — never to clamp or replace a measurement. Missing
+# entries fall back to the warm-pass-spread heuristic.
+KNOWN_FLOORS_SF01 = {
+    "q01_pricing_summary": 0.52,
+    "scan_full_table": 0.23,
+    "filter_compare": 0.26,
+    "agg_global": 0.22,
+    "join_revenue_per_nation": 0.65,
+    "q3_shipping_priority": 1.0,
+    "q5_local_supplier_volume": 1.2,
+    "q14_promo_revenue_share": 0.34,
+    "agg_count_distinct": 0.22,
+    "asof_click_to_purchase": 0.33,
+    "text_token_stats": 0.20,
+    "text_quality_scores": 0.27,
+    "text_repetition_ratio": 0.19,
+    "text_pii_redact": 0.32,
+    "corpus_line_dedup": 0.90,
+    "contamination_eval_train_overlap": 0.98,
+    "dedup_exact_groups": 0.74,
+    "dedup_ngram_jaccard_top20": 2.3,
+    "dedup_minhash_lsh": 2.2,
+    "similar_pairs_top15": 0.86,
+    "multimodal_image_features": 0.39,
+    "pipeline_curate_corpus": 2.5,
+    "stream_tumbling_counts": 0.99,
+    "stream_session_windows": 1.2,
+    "stream_stream_join": 2.75,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,47 +186,105 @@ def main() -> None:
     a = spark.range(50_000).select("id", (F.col("id") % 97).alias("k"))
     a.join(a.groupBy("k").count(), "k").agg(F.count(F.lit(1))).collect()
 
+    def sentinel_sec() -> float:
+        t0 = time.perf_counter()
+        spark.range(4_000_000).selectExpr("sum(id)").collect()
+        return time.perf_counter() - t0
+
+    # Calibrate the sentinel floor: fixed JVM-side work whose runtime moves
+    # only with machine contention (CPU steal, GC pressure from co-tenants).
+    sent_floor = min(sentinel_sec() for _ in range(5))
+    load_start = os.getloadavg()
+
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {}
+    sent_ratios: dict[str, float] = {}
+    reruns: dict[str, int] = {}
     total = 0.0
     missing = [n for n in BENCH_QUERIES if n not in workload.QUERIES]
     if missing:
         raise SystemExit(f"bench queries not in workload registry: {missing}")
     import gc
 
+    floors = KNOWN_FLOORS_SF01 if sf == "0.1" else {}
+
+    def run_pass(fn) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        # Release py4j-held plan/broadcast/checkpoint references so the
+        # JVM ContextCleaner can drop their blocks — over a 33-query
+        # session the accumulated garbage otherwise competes with the
+        # running query for heap (measured as progressive slowdown).
+        gc.collect()
+        return dt, n
+
     for name in BENCH_QUERIES:
         fn = workload.QUERIES[name]
         n_passes = 3 if name in EXTRA_PASS_QUERIES else 2
+        ratio = sentinel_sec() / sent_floor
         times, n = [], 0
         for _ in range(n_passes):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            times.append(time.perf_counter() - t0)
-            # Release py4j-held plan/broadcast/checkpoint references so the
-            # JVM ContextCleaner can drop their blocks — over a 33-query
-            # session the accumulated garbage otherwise competes with the
-            # running query for heap (measured as progressive slowdown).
-            del df
-            gc.collect()
+            dt, n = run_pass(fn)
+            times.append(dt)
         best = min(times)
+        # Auto-rerun: a suspicious floor (vs the known warm floor, or a
+        # >2.5× warm-pass spread on an unknown one) under a contended
+        # sentinel is re-measured up to twice — transient co-tenant load
+        # must not become the recorded minimum.
+        floor = floors.get(name)
+        extra = 0
+        while extra < 2:
+            suspicious = (
+                best > 1.5 * floor
+                if floor is not None
+                else (
+                    len(times) > 1
+                    and best > 0.5
+                    and max(times[1:]) > 2.5 * min(times)
+                )
+            )
+            post_ratio = sentinel_sec() / sent_floor if suspicious else 1.0
+            ratio = max(ratio, post_ratio)
+            if not (suspicious and post_ratio > 1.2):
+                break
+            dt, n = run_pass(fn)
+            times.append(dt)
+            best = min(times)
+            extra += 1
+        if extra:
+            reruns[name] = extra
+        if ratio > 1.2:
+            sent_ratios[name] = round(ratio, 2)
         timings[name] = round(best, 4)
         passes[name] = [round(t, 4) for t in times]
         total += best
         print(
             f"# {name}: {best:.3f}s ({n} rows; passes "
-            f"{'/'.join(f'{t:.3f}' for t in times)})",
+            f"{'/'.join(f'{t:.3f}' for t in times)}; sentinel x{ratio:.2f}"
+            f"{f'; reran {extra}' if extra else ''})",
             file=sys.stderr,
         )
 
+    # Key order matters: the driver archives only the final 2000 chars of
+    # stdout, so the headline minima, rerun record, sentinel verdict, and
+    # total must come last (the big per-pass dict may truncate).
     print(
         json.dumps(
             {
                 "metric": "workload_total_runtime",
-                "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
                 "passes": passes,
+                "queries": timings,
+                "reruns": reruns,
+                "sentinel": {
+                    "floor_sec": round(sent_floor, 4),
+                    "contended": sent_ratios,
+                    "load_start": [round(x, 2) for x in load_start],
+                    "load_end": [round(x, 2) for x in os.getloadavg()],
+                },
+                "value": round(total, 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
