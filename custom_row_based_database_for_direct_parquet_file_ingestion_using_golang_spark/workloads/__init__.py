@@ -16,87 +16,88 @@ from . import ranking  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
-# each round to keep every row's evidence at most one round stale. Round-4
-# curation: (0) the two entries whose newest green row is ROUND 1 — the
-# stalest evidence in the registry; (1) the five dedup/ANN entries whose
-# code materially changed in r3 (shingle-index checkpoint, minhash/simhash
-# UDF rewrites, IVF hash sampling) but were cut from r3's 50-slot window —
-# their only r3-era verification is local pytest; (2) entries NEW or
-# code-touched in round 4 (real BMP/WAV decode, z-order dialect round-trip,
-# bm25 synthetic-index pivot, pack_sequences integer DIV, decode_image/
-# decode_audio dispatch restructure behind the three old multimodal rows);
-# (3) the round-2-green block, most-central surface first. The ~5 entries
-# past the 50-slot window (hash-deterministic sampling/split, embedding
-# norms, JSON extraction) have unchanged code, r2 green rows, and full
-# pytest parity coverage — the least-risky evidence to let age one round.
-# Every name must exist in QUERIES; ordered_queries() raises otherwise so a
-# rename can't silently drop an entry from the gate window.
+# each round to keep every row's evidence at most two rounds stale (the best
+# achievable at 106 entries / 50 slots). Round-5 curation: (0) the six
+# entries whose newest green row is ROUND 2 — the stalest evidence in the
+# registry; (1) entries NEW in round 5 (real PNG decode, time-travel dialect
+# round-trip) or whose code changed in round 5 (lsh_topk n_planes
+# auto-sizing changes ann_lsh_top10's result; the IVF training starvation
+# threshold can change ann_ivf_top10's); (2) the round-3-green block — 40 of
+# its 48 entries; the 8 deferred past the boundary are thin parser/filter
+# shapes (projection/alias, refsql clause combos, IN/BETWEEN/LIKE filters,
+# count-null semantics) whose code is unchanged since r2 AND whose oracles
+# run in every local pytest sweep (test_oracle_parity covers the full
+# registry) — the least-risky evidence to let age to r6, where they rotate
+# to the front along with the r4-green block. Every name must exist in
+# QUERIES; ordered_queries() raises otherwise so a rename can't silently
+# drop an entry from the gate window.
 PRIORITY: list[str] = [
-    # (0) round-1-only evidence — stalest rows in the registry.
-    "agg_count_distinct",
-    "agg_percentiles",
-    # (1) code changed in r3, cut from r3's window — re-verify first.
-    "dedup_ngram_jaccard_top20",
-    "dedup_duplicate_clusters",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_top10",
-    # (2) new or code-touched in round 4.
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "multimodal_avi_frame_sample",
-    "zorder_optimized_scan",
-    "bm25_top10",
-    "corpus_pack_sequences",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    # (3) round-2-green block: reference core + relational shapes.
-    "q01_pricing_summary",
-    "scan_full_table",
-    "filter_compare",
-    "weak_typing_filter",
-    "agg_group_having",
-    "refsql_group_having_order",
-    "join_revenue_per_nation",
-    "window_topk_per_group",
-    "asof_click_to_purchase",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_sole_late_suppliers",
-    # (3) round-2-green block: text-analysis tier.
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_breakdown",
-    "text_repetition_ratio",
-    "text_type_token_ratio",
-    "corpus_top_bigrams",
-    "contamination_eval_train_overlap",
-    "text_pii_redact",
-    # (3) round-2-green block: dedup / similarity tier.
-    "dedup_exact_groups",
-    "dedup_exact_survivors",
-    "corpus_line_dedup",
-    "dedup_embedding_neardup",
-    "ann_brute_force_top10",
-    "similar_pairs_top15",
-    "ann_lsh_top10",
-    # (3) round-2-green block: streaming tier.
-    "stream_tumbling_counts",
-    "stream_sliding_window",
-    "stream_session_windows",
-    "stream_dedup_within_watermark",
-    "stream_stateful_user_totals",
-    "stream_stream_join",
-    # -- ~50-slot window boundary: the entries below have unchanged code,
-    # r2 green rows, and pytest parity pins — safe to age one round.
+    # (0) round-2 evidence — stalest rows in the registry.
     "sample_hash_deterministic",
     "split_train_eval_stratified",
     "embedding_norms_stats",
     "json_extract_props",
     "cube_status_priority",
     "text_fingerprints",
+    # (1) new or code-touched in round 5.
+    "multimodal_png_decode",
+    "timetravel_version_as_of",
+    "ann_lsh_top10",
+    "ann_ivf_top10",
+    # (2) round-3-green block: reference core surface.
+    "agg_global",
+    "distinct_values",
+    "order_limit_offset",
+    "filter_not_and_or",
+    # (2) round-3-green block: TPC-H relational shapes.
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_revenue_top20",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_orders_per_customer_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    # (2) round-3-green block: joins / windows / set ops / subqueries.
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "join_semi_exists",
+    "setop_union_intersect_except",
+    "subquery_above_avg",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_running_revenue",
+    "rollup_status_priority",
+    "pivot_status_by_priority",
+    "range_join_follow_events",
+    "merge_upsert_orders",
+    # (2) round-3-green block: events / corpus / ranking / streaming.
+    "events_sessionize",
+    "events_value_percentiles",
+    "corpus_domain_mix",
+    "corpus_token_budget_select",
+    "pipeline_curate_corpus",
+    "tfidf_top3_terms",
+    "stream_static_enrich",
+    # -- ~50-slot window boundary: the 8 deferred r3 entries (thin parser/
+    # filter shapes, unchanged code, full pytest-oracle coverage) age to r6.
+    "agg_count_null_semantics",
+    "agg_group_implicit_count",
+    "filter_between",
+    "filter_in",
+    "filter_like",
+    "projection_alias",
+    "refsql_distinct_order_limit",
+    "refsql_where_like_between",
 ]
 
 

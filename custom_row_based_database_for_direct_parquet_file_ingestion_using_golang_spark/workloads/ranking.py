@@ -308,6 +308,49 @@ def zorder_optimized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timetravel_version_as_of",
+    """
+    SELECT o_orderstatus,
+           count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def timetravel_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-travel round-trip through the SQL dialect: ingest orders into a
+    # throwaway engine db with snapshot retention, mutate it (UPDATE retires
+    # v0, DELETE retires v1), VACUUM with KEEP >= snapshot count (must be a
+    # no-op — the negative-slice regression guard through the dialect), then
+    # aggregate THROUGH `VERSION AS OF 0`. v0 is the pre-mutation table, so
+    # the oracle is the same aggregate over the raw orders parquet — any
+    # snapshot lost, vacuumed wrongly, or rewritten corruptly flips the
+    # hash. min/max pin the price column exactly (order-independent, no
+    # float-sum nondeterminism through the dialect's bare aggregates).
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_timetravel_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root, keep_snapshots=4)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_tt")
+    e.ref_sql("UPDATE orders_tt SET o_orderstatus = 'X' WHERE o_orderstatus = 'O'")
+    e.ref_sql("DELETE FROM orders_tt WHERE o_orderstatus = 'F'")
+    msg = e.ref_sql("VACUUM orders_tt KEEP 4")
+    assert msg == "vacuumed 'orders_tt': removed nothing", msg
+    return e.ref_sql(
+        "SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), MAX(o_totalprice) "
+        "FROM orders_tt VERSION AS OF 0 "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
 # --- sequence packing ------------------------------------------------------
 
 

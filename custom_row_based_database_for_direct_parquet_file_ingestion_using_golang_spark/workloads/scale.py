@@ -824,6 +824,53 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 14 AS INT) AS width,
+             CAST(4 + doc_id % 7 AS INT) AS height,
+             doc_id % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           width, height, CAST(3 AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(3 * v * width * height AS BIGINT) AS pixel_sum,
+           CAST(v AS DOUBLE) AS mean_pixel
+    FROM p
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL PNG decode end-to-end: synthesize a spec-conformant 8-bit RGB
+    # PNG per document (pure-stdlib DEFLATE; scanline filters cycle through
+    # all five types), then extract features by actually CRC-checking the
+    # chunks, inflating IDAT, and inverting each row's filter. Dimensions
+    # and fill value are pure functions of doc_id so the oracle recomputes
+    # pixel_sum/mean analytically — any unfiltering mistake flips the hash.
+    # Reference anchor: IMAGE extensions include .png (insert.go:191).
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h, v = 5 + did % 14, 4 + did % 7, did % 256
+                payloads.append(
+                    multimodal.encode_png(np.full((h, w, 3), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    return multimodal.extract_png_features(media)
+
+
+@query(
     "multimodal_wav_decode",
     """
     WITH p AS (

@@ -473,6 +473,48 @@ def test_bmp_codec_round_trip():
         multimodal.decode_bmp(bytes(bad))
 
 
+def test_png_codec_round_trip():
+    # Real encode→decode round trip, random pixels over enough rows that
+    # every scanline filter type (None/Sub/Up/Average/Paeth — encoder
+    # cycles y % 5) is exercised; skipping any filter inverse corrupts the
+    # recovered array.
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(px)
+    assert payload[:8] == multimodal.PNG_SIG
+    d = multimodal.decode_png(payload)
+    assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (7, 11, 3, 8)
+    assert np.array_equal(d["pixels"], px)
+    assert d["pixel_sum"] == int(px.sum())
+    assert d["mean_pixel"] == pytest.approx(px.mean())
+    # dispatch: decode_image takes the real path for PNG payloads
+    assert multimodal.decode_image(payload) == {
+        "width": 7, "height": 11, "channels": 3,
+    }
+    # chunk CRC corruption must be detected, not silently decoded
+    bad = bytearray(payload)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png at all")
+    # 16-bit depth is a real PNG we deliberately don't decode
+    ihdr = _struct.pack(">IIBBBBB", 7, 11, 16, 2, 0, 0, 0)
+    deep = (
+        multimodal.PNG_SIG
+        + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + _struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + payload[8 + 12 + 13:]
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(deep)
+
+
 def test_wav_codec_round_trip():
     import numpy as np
 

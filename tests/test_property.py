@@ -202,6 +202,26 @@ def test_bmp_round_trip_property(w, h, seed):
 
 @_CODEC_SETTINGS
 @given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_round_trip_property(w, h, seed):
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = multimodal.decode_png(multimodal.encode_png(px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["pixels"], px)
+    assert d["pixel_sum"] == int(px.sum())
+
+
+@_CODEC_SETTINGS
+@given(
     n=st.integers(min_value=1, max_value=2000),
     rate=st.sampled_from([8000, 16000, 22050, 44100]),
     channels=st.integers(min_value=1, max_value=2),
