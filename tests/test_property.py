@@ -222,6 +222,32 @@ def test_png_round_trip_property(w, h, seed):
 
 @_CODEC_SETTINGS
 @given(
+    w=st.integers(min_value=1, max_value=60),
+    h=st.integers(min_value=1, max_value=40),
+    n_values=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_round_trip_property(w, h, n_values, seed):
+    # n_values=1 degenerates to constant fill (KwKwK-heavy); small values
+    # produce long runs; 256 is full-entropy — together they sweep the LZW
+    # dictionary behaviors (growth, width bumps, resets).
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+
+    idx = np.random.default_rng(seed).integers(
+        0, n_values, size=(h, w), dtype=np.uint8
+    )
+    d = multimodal.decode_gif(multimodal.encode_gif(idx))
+    assert (d["width"], d["height"]) == (w, h)
+    assert np.array_equal(d["indices"], idx)
+    assert d["pixel_sum"] == int(idx.astype(np.int64).sum()) * 3
+
+
+@_CODEC_SETTINGS
+@given(
     n=st.integers(min_value=1, max_value=2000),
     rate=st.sampled_from([8000, 16000, 22050, 44100]),
     channels=st.integers(min_value=1, max_value=2),
