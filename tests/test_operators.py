@@ -558,6 +558,40 @@ def test_gif_codec_round_trip():
         multimodal.decode_gif(bytes(bad))
 
 
+def test_animated_gif_demux_and_frame_sampling(spark):
+    # Multi-frame GIF89a: NETSCAPE loop + per-frame graphic-control
+    # extensions; demux must recover every frame's pixels, delay, and
+    # offset, and the mapInPandas sampler must run the same walk
+    # distributed-side.
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    all_frames = {}
+    rows = []
+    for mid in range(3):
+        frames = [
+            rng.integers(0, 256, size=(8, 11), dtype=np.uint8)
+            for _ in range(4 + mid)
+        ]
+        all_frames[mid] = frames
+        rows.append((mid, bytearray(multimodal.encode_gif_animated(frames, delay_cs=5))))
+    d = multimodal.demux_gif(bytes(rows[0][1]))
+    assert d["n_frames"] == 4
+    for i, fr in enumerate(d["frames"]):
+        assert np.array_equal(fr["indices"], all_frames[0][i])
+        assert fr["delay_cs"] == 5
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = multimodal.wrap_binary(df, "media_id", "payload", "video")
+    got = multimodal.sample_gif_frames(media, every_n=2).collect()
+    # 4/5/6 frames per media sampled every 2nd: 2 + 3 + 3 descriptors
+    assert len(got) == 2 + 3 + 3
+    for r in got:
+        expect = int(all_frames[r.media_id][r.frame_no].astype(np.int64).sum()) * 3
+        assert r.pixel_sum == expect
+    with pytest.raises(ValueError):
+        multimodal.sample_gif_frames(media, every_n=0)
+
+
 def test_wav_codec_round_trip():
     import numpy as np
 
