@@ -225,3 +225,51 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     prefer shingle_multiset + a row-level .distinct() — array_distinct is
     the most expensive part of this expression."""
     return F.array_distinct(shingle_multiset(text, n))
+
+
+def char_bigrams(text: Column | str) -> Column:
+    """Character-bigram array of the [a-z ]-normalized text, in position
+    order (deterministic). Docs normalizing to < 2 chars get an empty
+    array."""
+    t = F.regexp_replace(F.lower(_c(text)), r"[^a-z ]", "")
+    return F.when(F.length(t) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1), lambda i: F.substr(t, i, F.lit(2))
+        )
+    )
+
+
+def char_lm_cross_entropy(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """CCNet-style quality signal: per-document cross-entropy (bits per
+    character bigram) under a character-bigram language model ESTIMATED
+    FROM THE CORPUS ITSELF, all in one Spark plan — no external model.
+
+    Shape: explode bigrams → count them (one partial-agg shuffle) → the
+    model is at most ~27² rows, broadcast back onto the exploded bigrams →
+    per-doc aggregate (second shuffle). At 100 TB both shuffles carry
+    (bigram, count) / (doc_id, partial-avg) records, never text; the model
+    join is a broadcast hash join of a sub-kilobyte table. Repetitive or
+    out-of-distribution documents score LOW-entropy / HIGH-entropy
+    respectively — the standard perplexity-filter signal (a production
+    pipeline swaps in a pretrained KenLM behind the same column contract).
+
+    Returns (doc_id, n_bigrams, ce_bits): ce rounded to 2dp — the oracle
+    parity convention for float aggregates."""
+    g = docs.select(
+        F.col(id_col), F.explode(char_bigrams(text_col)).alias("bg")
+    )
+    cnt = g.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    model = cnt.crossJoin(F.broadcast(total)).select(
+        "bg", (F.col("c") / F.col("n")).alias("pr")
+    )
+    return (
+        g.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2("pr")), 2).alias("ce_bits"),
+        )
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, similarity, text as text_ops
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -1242,6 +1242,96 @@ def embedding_norms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE list_sum(list_transform(v,
+                       x -> CAST(round(x / scale) AS BIGINT))) END AS code_sum,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_max(list_transform(v,
+                       x -> abs(x - round(x / scale) * scale))) END AS err
+      FROM q
+    )
+    SELECT label, count(*) AS n,
+           CAST(sum(code_sum) AS BIGINT) AS total_code_sum,
+           round(max(err), 6) AS max_abs_err
+    FROM c GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Storage-side compression audit: symmetric int8 quantization
+    # (operators/similarity.quantize_int8 — zero-shuffle Column algebra),
+    # then per-label pins: the INTEGER sum of all codes (exact — any
+    # rounding/scale mistake in any vector flips it) and the max
+    # reconstruction error (bounded by scale/2 per component).
+    emb = _emb(spark, sf_dir)
+    q = similarity.quantize_int8(emb, "embedding")
+    per = q.select(
+        "label",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("codes"),
+                    lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+                )
+            )
+        )
+        .alias("err"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("code_sum").alias("total_code_sum"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "text_char_lm_quality",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      FROM norm, unnest(range(1, length(t))) AS u(i)
+      WHERE length(t) >= 2
+    ),
+    cnt AS (SELECT bg, count(*) AS c FROM g GROUP BY bg),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    p AS (SELECT bg, c * 1.0 / n AS pr FROM cnt, tot)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-log2(pr)), 2) AS ce_bits
+    FROM g JOIN p USING (bg) GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity filter signal: per-doc cross-entropy under a
+    # char-bigram LM estimated from the corpus itself, one Spark plan —
+    # explode → count (partial-agg shuffle) → sub-KB model broadcast back →
+    # per-doc aggregate (operators/text.char_lm_cross_entropy).
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.char_lm_cross_entropy(docs).orderBy("doc_id")
 
 
 # --- deterministic sampling / dataset splits -------------------------------

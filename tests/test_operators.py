@@ -222,6 +222,61 @@ def test_ivf_topk_full_probe_is_exact(spark, sf_dir):
         assert a.score == pytest.approx(b.score)
 
 
+def test_quantize_int8_round_trip_and_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, zero codes
+            (2, [-2.0, 2.0, 1.0, -1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = similarity.quantize_int8(df, "embedding")
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[0].codes == [127, -64, 32, 0]  # round(0.25/ (1/127)) = 31.75→32
+    assert rows[0].scale == pytest.approx(1.0 / 127)
+    assert rows[1].codes == [0, 0, 0, 0] and rows[1].scale == 0.0
+    assert rows[2].codes == [-127, 127, 64, -64]
+    # codes always fit int8 and reconstruction error is bounded by scale/2
+    # (plus float32 input noise) on real data
+    emb = spark.createDataFrame(
+        [(i, [((i * 37 + j * 11) % 100 - 50) / 7.0 for j in range(16)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    qq = similarity.dequantize_int8(similarity.quantize_int8(emb, "embedding"))
+    bad = qq.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("approx"),
+                lambda x, a: F.abs(x - a),
+            )
+        ).alias("err"),
+        (F.col("scale") / 2 + F.lit(1e-9)).alias("bound"),
+        F.array_max(F.transform("codes", lambda c: F.abs(c))).alias("cmax"),
+    ).filter((F.col("err") > F.col("bound")) | (F.col("cmax") > 127))
+    assert bad.count() == 0
+
+
+def test_char_lm_cross_entropy_model_semantics(spark):
+    # Hand-checkable corpus: doc1 "aaa" → bigrams [aa, aa]; doc2 "ab" →
+    # [ab]. Corpus model: P(aa)=2/3, P(ab)=1/3.
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "ab")], ["doc_id", "text"]
+    )
+    import math
+
+    out = {r.doc_id: r for r in text.char_lm_cross_entropy(df).collect()}
+    assert out[1].n_bigrams == 2
+    assert out[1].ce_bits == pytest.approx(round(-math.log2(2 / 3), 2))
+    assert out[2].n_bigrams == 1
+    assert out[2].ce_bits == pytest.approx(round(-math.log2(1 / 3), 2))
+    # normalization: case folds, non-[a-z ] strips, short docs drop out
+    df2 = spark.createDataFrame([(1, "AB?!"), (2, "x")], ["doc_id", "text"])
+    out2 = {r.doc_id: r for r in text.char_lm_cross_entropy(df2).collect()}
+    assert 2 not in out2 and out2[1].n_bigrams == 1
+
+
 def test_token_counts_edge_cases(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, ""), (3, "   "), (4, "a, b; c!")], ["id", "t"]
