@@ -43,6 +43,8 @@ PRIORITY: list[str] = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "timetravel_version_as_of",
+    "embedding_quantize_int8",
+    "text_char_lm_quality",
     "ann_lsh_top10",
     "ann_ivf_top10",
     # (2) round-3-green block: reference core surface.
@@ -84,14 +86,14 @@ PRIORITY: list[str] = [
     # (2) round-3-green block: events / corpus / ranking / streaming.
     "events_sessionize",
     "events_value_percentiles",
-    "corpus_domain_mix",
-    "corpus_token_budget_select",
     "pipeline_curate_corpus",
     "tfidf_top3_terms",
-    # -- ~50-slot window boundary: stream_static_enrich (r3-green,
-    # unchanged code, streaming pytest coverage) plus the 8 deferred r3
-    # entries (thin parser/filter shapes, unchanged code, full
-    # pytest-oracle coverage) age to r6.
+    # -- ~50-slot window boundary: the deferred r3-green entries below
+    # (md5-bucket mixing/budget selection, broadcast static enrich, and
+    # thin parser/filter shapes — all unchanged code with full
+    # pytest-oracle coverage) age to r6, where they lead the window.
+    "corpus_domain_mix",
+    "corpus_token_budget_select",
     "stream_static_enrich",
     "agg_count_null_semantics",
     "agg_group_implicit_count",
