@@ -163,3 +163,29 @@ def test_ivf_training_sample_has_no_sort_or_shuffle(spark, sf_dir):
     a = sorted(r.h for r in sample.collect())
     b = sorted(r.h for r in sample.collect())
     assert a == b and len(a) > 0
+
+
+def test_quantize_int8_is_shuffle_free_and_jvm_side(spark, sf_dir):
+    # Quantization must stay a narrow map over the scan: no exchange, no
+    # Python worker (BatchEvalPython/ArrowEvalPython) — at 100 TB it runs
+    # at scan speed or it doesn't run.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = similarity.quantize_int8(emb, "embedding")
+    assert shuffle_count(q) == 0
+    txt = plan_text(q)
+    assert "EvalPython" not in txt, txt
+
+
+def test_char_lm_model_join_is_broadcast(spark, sf_dir):
+    # The corpus-estimated bigram model is sub-KB; joining it back onto the
+    # exploded bigrams must be a broadcast hash join, never a shuffle of
+    # the bigram stream against the model.
+    df = w.QUERIES["text_char_lm_quality"](spark, sf_dir)
+    assert has_broadcast_join(df), "char-LM model join lost its broadcast"
