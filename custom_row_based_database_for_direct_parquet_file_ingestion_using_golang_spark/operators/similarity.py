@@ -57,6 +57,55 @@ def brute_force_topk(
     )
 
 
+def quantized_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    k: int = 10,
+    rescore: int = 4,
+) -> DataFrame:
+    """Top-k by cosine with an int8-quantized FIRST PASS: the corpus scan
+    ranks candidates on the quantized dot product
+    ``dot(codes, q_codes) * scale * q_scale`` (integer multiply-adds over
+    int8 codes — the memory-bandwidth-bound serving shape; at 100 TB the
+    scan moves 4× fewer bytes than float32), keeps ``rescore * k``
+    candidates via TakeOrderedAndProject, and rescoring re-ranks only
+    those in exact float cosine. Same plan topology as
+    :func:`brute_force_topk` — broadcast query, one corpus pass, k rows
+    out — with the heavy pass on codes instead of floats."""
+    qq = quantize_int8(query, "q", out_codes="q_codes", out_scale="q_scale")
+    cand = quantize_int8(df, vec_col).crossJoin(F.broadcast(qq))
+    approx = (
+        cand.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("q"),
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "codes", "q_codes", lambda a, b: (a * b).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                * F.col("scale")
+                * F.col("q_scale")
+            ).alias("approx_dot"),
+        )
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col))
+        .limit(rescore * k)
+    )
+    return (
+        approx.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def all_pairs_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 20) -> DataFrame:
     """Top-k most similar pairs, brute force (exact). Quadratic — the
     reference baseline; use blocked_all_pairs_topk for the vectorized

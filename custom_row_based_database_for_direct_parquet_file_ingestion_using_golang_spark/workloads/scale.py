@@ -682,6 +682,18 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
 
 
+@query("ann_quantized_top10")  # rows-only: int8 first pass is approximate
+def ann_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serving-shape ANN: int8-quantized dot-product first pass (4x less
+    # scan bandwidth), exact float rescore of the 4k-candidate set.
+    # Usually identical to brute-force top-10 (pytest pins recall >= 0.9 +
+    # exact rescored scores), but the first pass is lossy by construction,
+    # so the driver records rows-only rather than a value hash.
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.quantized_topk(emb, "vec_id", "embedding", q, k=10)
+
+
 @query("ann_ivf_top10")  # rows-only: IVF probing is approximate by design
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse-quantizer scale path: spherical k-means lists + n_probe exact

@@ -190,6 +190,31 @@ def test_lsh_topk_finds_planted_neighbor(spark):
     assert 1 in ids  # the planted neighbor survives bucketing
 
 
+def test_quantized_topk_matches_brute_force(spark, sf_dir):
+    # int8 first pass + float rescore: self-similarity must rank first,
+    # and recall@10 vs exact brute force must be near-total — int8 keeps
+    # ~2 decimal digits of the dot product, enough that the rescore-4x
+    # candidate set almost always contains the true top-10.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    quant = similarity.quantized_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    assert quant[0].vec_id == 7 and quant[0].score == pytest.approx(1.0)
+    assert all(
+        quant[i].score >= quant[i + 1].score for i in range(len(quant) - 1)
+    )
+    recall = len({r.vec_id for r in quant} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.9, f"quantized recall@10 too low: {recall}"
+    # rescored scores are EXACT float cosine, identical to brute force for
+    # every overlapping id
+    bscore = {r.vec_id: r.score for r in brute}
+    for r in quant:
+        if r.vec_id in bscore:
+            assert r.score == pytest.approx(bscore[r.vec_id])
+
+
 def test_ivf_topk_self_first_and_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
