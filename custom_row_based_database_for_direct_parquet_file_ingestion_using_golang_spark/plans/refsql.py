@@ -72,10 +72,17 @@ def _unquote(tok: str) -> str:
 
 
 def _literal_value(tok: str) -> Any:
-    """Reference literal typing (expr.go:538-549): quoted → string,
-    numeric-parsable → number, else it's a column reference (None here)."""
+    """Reference literal typing (expr.go:538-549, plus the BOOL type's
+    ParseBool coercion, insert.go:164-165): quoted → string, numeric-
+    parsable → number, TRUE/FALSE → boolean, else it's a column reference
+    (None here)."""
     if _is_string_lit(tok):
         return tok[1:-1]
+    low = tok.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
     try:
         return int(tok)
     except ValueError:

@@ -293,3 +293,100 @@ def test_avi_round_trip_property(w, h, n, seed):
     d = multimodal.demux_avi(multimodal.encode_avi(frames))
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, n)
     assert [f["pixel_sum"] for f in d["frames"]] == [int(f.sum()) for f in frames]
+
+
+# --- refsql dialect differential fuzz --------------------------------------
+#
+# The dialect builds DataFrame plans, so for the typed-table subset it must
+# agree with Spark SQL exactly. Generate WHERE expression trees over the
+# reference grammar (comparators, AND/OR/NOT, IN, BETWEEN, parens) and
+# compare row sets against spark.sql on the same data.
+
+_FUZZ_ROWS = [
+    (1, "apple", 10.5, True),
+    (2, "banana", 3.25, False),
+    (3, "cherry", 10.5, True),
+    (4, "date", 0.0, False),
+    (5, "elderberry", 99.9, True),
+    (6, "fig", -4.5, False),
+    (7, "grape", 3.25, True),
+]
+
+_INT_LITS = [0, 1, 3, 5, 8]
+_FLT_LITS = [0.0, 3.25, 10.5, 50.0]
+_TXT_LITS = ["apple", "date", "zzz"]
+
+
+def _where_exprs():
+    ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    atom = st.one_of(
+        st.tuples(st.just("id"), ops, st.sampled_from(_INT_LITS)).map(
+            lambda t: f"id {t[1]} {t[2]}"
+        ),
+        st.tuples(st.just("price"), ops, st.sampled_from(_FLT_LITS)).map(
+            lambda t: f"price {t[1]} {t[2]}"
+        ),
+        st.tuples(ops, st.sampled_from(_TXT_LITS)).map(
+            lambda t: f"name {t[0]} '{t[1]}'"
+        ),
+        st.sampled_from(["flag = TRUE", "flag = FALSE"]),
+        st.lists(st.sampled_from(_INT_LITS), min_size=1, max_size=3).map(
+            lambda v: f"id IN ({', '.join(map(str, v))})"
+        ),
+        st.tuples(st.sampled_from(_INT_LITS), st.sampled_from(_INT_LITS)).map(
+            lambda t: f"id BETWEEN {min(t)} AND {max(t)}"
+        ),
+    )
+    expr = st.recursive(
+        atom,
+        lambda inner: st.one_of(
+            st.tuples(inner, st.sampled_from(["AND", "OR"]), inner).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            inner.map(lambda e: f"NOT ({e})"),
+        ),
+        max_leaves=4,
+    )
+    return expr
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(where=_where_exprs())
+def test_refsql_where_matches_spark_sql(spark, tmp_path_factory, where):
+    import shutil
+    import tempfile
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    # one engine per process, cached on the module (hypothesis re-enters the
+    # function per example; rebuilding the table each time would dominate)
+    global _FUZZ_ENGINE
+    try:
+        eng = _FUZZ_ENGINE
+    except NameError:
+        root = tempfile.mkdtemp(prefix="sparkdb_fuzz_")
+        eng = Engine(spark, root)
+        eng.create_table(
+            "t", [("id", "INT"), ("name", "TEXT"), ("price", "DECIMAL"), ("flag", "BOOL")]
+        )
+        eng.insert_rows(
+            "t",
+            [
+                {"id": i, "name": n, "price": p, "flag": f}
+                for i, n, p, f in _FUZZ_ROWS
+            ],
+        )
+        eng.table("t").createOrReplaceTempView("fuzz_t")
+        _FUZZ_ENGINE = eng
+
+    got = sorted(
+        r.id for r in eng.ref_sql(f"SELECT id FROM t WHERE {where}").collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.sql(f"SELECT id FROM fuzz_t WHERE {where}").collect()
+    )
+    assert got == want, f"WHERE {where}: refsql {got} != spark {want}"
