@@ -173,6 +173,21 @@ class ExprParser:
         lit = _literal_value(tok)
         if lit is not None:
             return None, lit, None
+        # Aggregate-call syntax in HAVING (standard-SQL convenience over
+        # the reference's output-name style): COUNT(*) / SUM(x) / ... maps
+        # to the aggregated column's reference default name ("count" /
+        # "sum_x"), so `HAVING COUNT(*) > 3` and `HAVING count > 3` are
+        # the same predicate. The named column must exist post-aggregation
+        # (i.e. the aggregate appears in the SELECT list or is the lenient
+        # implicit COUNT(*)), same contract as the name form.
+        if tok.lower() in ("count", "sum", "avg", "min", "max") and self.cur.peek() == "(":
+            fn = tok.lower()
+            self.cur.next()
+            arg = self.cur.next()
+            if self.cur.next() != ")":
+                raise ParseError(f"expected ')' after {fn}(")
+            name = "count" if (fn == "count" and arg == "*") else f"{fn}_{_unquote(arg)}"
+            return F.col(name), None, name
         name = _unquote(tok)
         return F.col(name), None, name
 
@@ -317,13 +332,22 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             cur.next()
             clauses["having"] = ExprParser(cur, weak_typing).parse()
         elif kw == "order":
+            # Multi-column ORDER BY, each key with its own ASC/DESC — the
+            # reference parses a single sort key (select.go); multi-key is
+            # the same documented-upgrade shape as multi-column GROUP BY.
             cur.next()
             cur.expect_kw("by")
-            col = _unquote(cur.next())
-            desc = False
-            if cur.peek_kw() in ("asc", "desc"):
-                desc = cur.next().lower() == "desc"
-            clauses["order_by"] = (col, desc)
+            keys: list[tuple[str, bool]] = []
+            while True:
+                col = _unquote(cur.next())
+                desc = False
+                if cur.peek_kw() in ("asc", "desc"):
+                    desc = cur.next().lower() == "desc"
+                keys.append((col, desc))
+                if cur.peek() != ",":
+                    break
+                cur.next()
+            clauses["order_by"] = keys
         elif kw == "limit":
             cur.next()
             clauses["limit"] = int(cur.next())
@@ -347,8 +371,8 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     if "having" in clauses:
         q.having(clauses["having"])
     if "order_by" in clauses:
-        col, desc = clauses["order_by"]
-        q.order_by(col, desc=desc)
+        for col, desc in clauses["order_by"]:
+            q.order_by(col, desc=desc)
     if "offset" in clauses:
         q.offset(clauses["offset"])
     if "limit" in clauses:

@@ -350,23 +350,20 @@ def _where_exprs():
     return expr
 
 
-@settings(max_examples=40, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(where=_where_exprs())
-def test_refsql_where_matches_spark_sql(spark, tmp_path_factory, where):
-    import shutil
-    import tempfile
+_FUZZ_ENGINE = None
 
-    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
-        Engine,
-    )
 
-    # one engine per process, cached on the module (hypothesis re-enters the
-    # function per example; rebuilding the table each time would dominate)
+def _fuzz_engine(spark):
+    """One engine per process (hypothesis re-enters the test function per
+    example; rebuilding the table each time would dominate runtime)."""
     global _FUZZ_ENGINE
-    try:
-        eng = _FUZZ_ENGINE
-    except NameError:
+    if _FUZZ_ENGINE is None:
+        import tempfile
+
+        from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+            Engine,
+        )
+
         root = tempfile.mkdtemp(prefix="sparkdb_fuzz_")
         eng = Engine(spark, root)
         eng.create_table(
@@ -381,7 +378,14 @@ def test_refsql_where_matches_spark_sql(spark, tmp_path_factory, where):
         )
         eng.table("t").createOrReplaceTempView("fuzz_t")
         _FUZZ_ENGINE = eng
+    return _FUZZ_ENGINE
 
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(where=_where_exprs())
+def test_refsql_where_matches_spark_sql(spark, where):
+    eng = _fuzz_engine(spark)
     got = sorted(
         r.id for r in eng.ref_sql(f"SELECT id FROM t WHERE {where}").collect()
     )
@@ -390,3 +394,61 @@ def test_refsql_where_matches_spark_sql(spark, tmp_path_factory, where):
         for r in spark.sql(f"SELECT id FROM fuzz_t WHERE {where}").collect()
     )
     assert got == want, f"WHERE {where}: refsql {got} != spark {want}"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    where=_where_exprs(),
+    order_col=st.sampled_from(["id", "price", "name"]),
+    desc=st.booleans(),
+    limit=st.integers(1, 8),
+    offset=st.integers(0, 3),
+)
+def test_refsql_order_limit_offset_matches_spark_sql(
+    spark, where, order_col, desc, limit, offset
+):
+    # Full SELECT shape: WHERE + ORDER BY + LIMIT/OFFSET must return the
+    # same rows in the same order as Spark SQL. Tie-break on id so the
+    # ordering is total on both engines.
+    eng = _fuzz_engine(spark)
+    sql = (
+        f"SELECT id FROM {{t}} WHERE {where} "
+        f"ORDER BY {order_col} {'DESC' if desc else 'ASC'}, id "
+        f"LIMIT {limit} OFFSET {offset}"
+    )
+    got = [r.id for r in eng.ref_sql(sql.format(t="t")).collect()]
+    want = [r.id for r in spark.sql(sql.format(t="fuzz_t")).collect()]
+    assert got == want, f"{sql}: refsql {got} != spark {want}"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    where=_where_exprs(),
+    agg=st.sampled_from(
+        ["MIN(price)", "MAX(price)", "SUM(id)", "AVG(id)"]
+    ),
+    having=st.integers(0, 3),
+)
+def test_refsql_group_agg_matches_spark_sql(spark, where, agg, having):
+    # GROUP BY + aggregates + HAVING (both the standard COUNT(*) call
+    # syntax and, implicitly, the aggregate output columns): compare value
+    # tuples positionally — the dialect's reference output naming differs
+    # from Spark SQL's.
+    eng = _fuzz_engine(spark)
+    got = sorted(
+        tuple(r)
+        for r in eng.ref_sql(
+            f"SELECT flag, COUNT(*), {agg} FROM t WHERE {where} "
+            f"GROUP BY flag HAVING COUNT(*) > {having} ORDER BY flag"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT flag, COUNT(*), {agg} FROM fuzz_t WHERE {where} "
+            f"GROUP BY flag HAVING COUNT(*) > {having} ORDER BY flag"
+        ).collect()
+    )
+    assert got == want, f"agg={agg} where={where}: {got} != {want}"

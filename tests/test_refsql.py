@@ -293,3 +293,36 @@ def test_vacuum_keep_exceeding_snapshot_count_removes_nothing(spark, tmp_path):
     # keep == count-1 removes exactly the oldest
     assert e.store.vacuum("v", keep=1) == [0]
     assert e.store.versions("v") == [1]
+
+
+def test_order_by_multiple_keys_and_having_call_syntax(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "multi"))
+    e.create_table("m", [("grp", "TEXT"), ("a", "INT"), ("b", "INT")])
+    e.insert_rows(
+        "m",
+        [
+            {"grp": "x", "a": 1, "b": 3},
+            {"grp": "x", "a": 1, "b": 1},
+            {"grp": "x", "a": 2, "b": 2},
+            {"grp": "y", "a": 1, "b": 9},
+        ],
+    )
+    # multi-key ORDER BY with per-key direction (documented upgrade over
+    # the reference's single sort key)
+    rows = e.ref_sql("SELECT a, b FROM m ORDER BY a ASC, b DESC").collect()
+    assert [(r.a, r.b) for r in rows] == [(1, 9), (1, 3), (1, 1), (2, 2)]
+    # HAVING accepts both the reference output-name form and the standard
+    # aggregate-call form, as the same predicate
+    by_name = e.ref_sql(
+        "SELECT grp, COUNT(*) FROM m GROUP BY grp HAVING count > 1 ORDER BY grp"
+    ).collect()
+    by_call = e.ref_sql(
+        "SELECT grp, COUNT(*) FROM m GROUP BY grp HAVING COUNT(*) > 1 ORDER BY grp"
+    ).collect()
+    assert [(r.grp, r["count"]) for r in by_name] == [("x", 3)]
+    assert by_name == by_call
+    # ...including non-count aggregates: SUM(b) maps to sum_b
+    s = e.ref_sql(
+        "SELECT grp, SUM(b) FROM m GROUP BY grp HAVING SUM(b) >= 9 ORDER BY grp"
+    ).collect()
+    assert [(r.grp, r.sum_b) for r in s] == [("y", 9)]
