@@ -143,6 +143,13 @@ class Catalog:
         self._tables[meta.name] = meta
         self._save()
 
+    def update_table(self, meta: TableMeta) -> None:
+        """Replace an existing table's metadata (schema evolution)."""
+        if meta.name not in self._tables:
+            raise KeyError(f"table '{meta.name}' does not exist")
+        self._tables[meta.name] = meta
+        self._save()
+
     def drop_table(self, name: str) -> TableMeta:
         if name not in self._tables:
             raise KeyError(f"table '{name}' does not exist")

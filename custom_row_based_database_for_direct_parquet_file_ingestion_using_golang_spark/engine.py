@@ -135,6 +135,49 @@ class Engine:
         self.catalog.drop_table(name)
         self.store.drop(name)
 
+    def add_column(self, name: str, column: str, decl: str) -> None:
+        """ALTER TABLE ADD COLUMN: catalog-only schema evolution. The store
+        reads with the declared schema, so rows written before the ALTER
+        surface the new column as NULL — the same missing-column tolerance
+        the reference's projection has (P3, select.go:588-592), generalized
+        into Delta-style additive evolution with ZERO file rewrites (the
+        only sane shape at 100 TB: an ADD COLUMN that rewrote the table
+        would be a full-corpus job)."""
+        meta = self.catalog.get(name)
+        if any(c.name == column for c in meta.columns):
+            raise ValueError(f"column '{column}' already exists on '{name}'")
+        ColumnDef(column, decl).spark_type  # validate the declared type
+        self.catalog.update_table(
+            TableMeta(
+                name=meta.name,
+                columns=[*meta.columns, ColumnDef(column, decl)],
+                path=meta.path,
+                partition_by=meta.partition_by,
+            )
+        )
+
+    def drop_column(self, name: str, column: str) -> None:
+        """ALTER TABLE DROP COLUMN: catalog-only — the read schema simply
+        stops declaring the column (parquet readers ignore undeclared
+        columns), so the bytes stay until the next copy-on-write rewrite
+        compacts them away. Partition columns cannot be dropped."""
+        meta = self.catalog.get(name)
+        if column in meta.partition_by:
+            raise ValueError(f"cannot drop partition column '{column}'")
+        if not any(c.name == column for c in meta.columns):
+            raise KeyError(f"column '{column}' does not exist on '{name}'")
+        remaining = [c for c in meta.columns if c.name != column]
+        if not remaining:
+            raise ValueError("cannot drop the last column")
+        self.catalog.update_table(
+            TableMeta(
+                name=meta.name,
+                columns=remaining,
+                path=meta.path,
+                partition_by=meta.partition_by,
+            )
+        )
+
     def show_tables(self) -> list[str]:
         return self.catalog.show_tables()
 

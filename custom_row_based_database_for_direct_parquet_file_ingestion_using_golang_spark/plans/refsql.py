@@ -453,6 +453,51 @@ class RefSQL:
                 vs = self.engine.store.versions(table)
                 return [f"v{v}" for v in vs] or ["(no snapshots)"]
             return self.engine.show_tables()
+        if verb == "alter":
+            # Dialect extension: ``ALTER TABLE t ADD/DROP COLUMN c [TYPE]``
+            # — catalog-only schema evolution (Engine.add_column/
+            # drop_column), zero file rewrites.
+            cur.expect_kw("alter")
+            cur.expect_kw("table")
+            table = _unquote(cur.next())
+            action = cur.next().lower()
+            cur.expect_kw("column")
+            colname = _unquote(cur.next())
+            if action == "add":
+                decl = cur.next()
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after ADD COLUMN"
+                    )
+                self.engine.add_column(table, colname, decl)
+                return f"altered '{table}': added {colname} {decl.upper()}"
+            if action == "drop":
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after DROP COLUMN"
+                    )
+                self.engine.drop_column(table, colname)
+                return f"altered '{table}': dropped {colname}"
+            raise ParseError(f"ALTER TABLE supports ADD/DROP COLUMN, got {action!r}")
+        if verb == "explain":
+            # Dialect extension: ``EXPLAIN SELECT ...`` returns the Catalyst
+            # physical plan — the honest answer to "what will this query
+            # do" on an engine whose execution IS the plan.
+            cur.expect_kw("explain")
+            if cur.peek_kw() != "select":
+                raise ParseError("EXPLAIN supports SELECT statements")
+            spec, _, clauses = parse_select(cur, self.weak)
+            df = (
+                self.engine.table_at(spec.table, spec.version)
+                if spec.version is not None
+                else self.engine.table(spec.table)
+            )
+            plan_df = build_select(df, spec, clauses)
+            return plan_df._jdf.queryExecution().explainString(
+                self.engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
         if verb == "optimize":
             return self._optimize(cur)
         if verb == "vacuum":

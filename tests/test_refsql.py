@@ -326,3 +326,50 @@ def test_order_by_multiple_keys_and_having_call_syntax(spark, tmp_path):
         "SELECT grp, SUM(b) FROM m GROUP BY grp HAVING SUM(b) >= 9 ORDER BY grp"
     ).collect()
     assert [(r.grp, r.sum_b) for r in s] == [("y", 9)]
+
+
+def test_alter_table_add_drop_column_schema_evolution(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "alter"))
+    e.create_table("s", [("id", "INT"), ("name", "TEXT")])
+    e.insert_rows("s", [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}])
+    # ADD COLUMN is catalog-only: pre-ALTER rows surface the column as NULL
+    msg = e.ref_sql("ALTER TABLE s ADD COLUMN score DECIMAL")
+    assert msg == "altered 's': added score DECIMAL"
+    rows = {r.id: r.score for r in e.ref_sql("SELECT id, score FROM s").collect()}
+    assert rows == {1: None, 2: None}
+    # post-ALTER inserts carry the new column; mixed files coexist
+    e.ref_sql("INSERT INTO s VALUES (3, 'c', 9.5)")
+    got = {r.id: r.score for r in e.table("s").collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    # aggregates and WHERE see the evolved schema
+    assert e.ref_sql("SELECT COUNT(*) FROM s WHERE score > 5").first()["count"] == 1
+    # DROP COLUMN hides the column without touching files
+    assert e.ref_sql("ALTER TABLE s DROP COLUMN name") == "altered 's': dropped name"
+    assert e.table("s").columns == ["id", "score"]
+    with pytest.raises(Exception):
+        e.ref_sql("SELECT name FROM s WHERE name = 'a'").collect()
+    # error paths
+    with pytest.raises(ValueError):
+        e.add_column("s", "score", "DECIMAL")  # duplicate
+    with pytest.raises(KeyError):
+        e.drop_column("s", "nope")
+    with pytest.raises(ParseError):
+        e.ref_sql("ALTER TABLE s RENAME COLUMN id")
+    with pytest.raises(ParseError):
+        e.ref_sql("ALTER TABLE s ADD COLUMN x INT garbage")
+    # partition columns are undropable
+    e.create_table("p", [("k", "INT"), ("v", "TEXT")], partition_by=["k"])
+    with pytest.raises(ValueError):
+        e.drop_column("p", "k")
+
+
+def test_explain_select_returns_physical_plan(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "explain"))
+    e.create_table("t", [("id", "INT"), ("v", "DECIMAL")])
+    e.insert_rows("t", [{"id": 1, "v": 2.0}])
+    out = e.ref_sql("EXPLAIN SELECT id FROM t WHERE v > 1 ORDER BY id LIMIT 5")
+    assert isinstance(out, str) and "Physical Plan" in out
+    # the WHERE reaches the scan as a pushed filter in the explained plan
+    assert "PushedFilters" in out and "v" in out
+    with pytest.raises(ParseError):
+        e.ref_sql("EXPLAIN DROP TABLE t")
