@@ -273,3 +273,24 @@ def char_lm_cross_entropy(
             F.round(F.avg(-F.log2("pr")), 2).alias("ce_bits"),
         )
     )
+
+
+def strip_html(text: Column | str) -> Column:
+    """Boilerplate removal for web-crawl corpora (trafilatura-lite): drop
+    <script>/<style> elements WITH their contents, strip all remaining
+    tags, decode the common entities, squeeze whitespace. Pure chained
+    ``regexp_replace`` — JVM-side, codegen'd, and every pattern is RE2-
+    compatible so the DuckDB oracle runs the identical expressions. (A
+    production pipeline swaps in a DOM-aware extractor behind the same
+    column contract; the regex tier is the standard cheap first pass.)"""
+    t = _c(text)
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

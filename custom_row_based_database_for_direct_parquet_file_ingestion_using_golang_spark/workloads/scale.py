@@ -1318,6 +1318,83 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_html_strip",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><style>body {font: 12px}</style>'
+             || '<script type="x">var n = 1; if (n < 2) { n = 3; }</script>'
+             || '</head><body><nav>Home | About | &nbsp;Contact</nav>'
+             || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+             || text
+             || '</p><!-- tracking pixel --><footer>footer &amp; legal</footer>'
+             || '</body></html>' AS html,
+             length(text) AS n_text
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, n_text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(clean) AS BIGINT) AS n_clean,
+           round(CAST(length(clean) AS DOUBLE) / n_text, 4) AS clean_ratio
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Web-crawl boilerplate removal: wrap each document in deterministic
+    # HTML chrome (style/script/nav/comment/footer), then strip it with
+    # operators/text.strip_html — chained JVM-side regexes the oracle runs
+    # identically (RE2-compatible patterns, explicit 'g' on the DuckDB
+    # side). n_clean pins the exact extracted text; any regex-dialect
+    # drift or missed boilerplate element flips the hash.
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>body {font: 12px}</style>'
+            '<script type="x">var n = 1; if (n < 2) { n = 3; }</script>'
+            "</head><body><nav>Home | About | &nbsp;Contact</nav><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><!-- tracking pixel --><footer>footer &amp; legal</footer>"
+            "</body></html>"
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            text_ops.strip_html(html).alias("clean"),
+            F.length("text").alias("n_text"),
+        )
+        .select(
+            "doc_id",
+            F.length("clean").cast("long").alias("n_clean"),
+            F.round(F.length("clean").cast("double") / F.col("n_text"), 4).alias(
+                "clean_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "text_char_lm_quality",
     """
     WITH norm AS (

@@ -107,6 +107,11 @@ def test_repl_run_statement(spark, tmp_path):
     assert run_statement(e, "SHOW IMAGE DIR") == "/tmp/imgs"
     nl_out = run_statement(e, "how many t are there?")
     assert nl_out.startswith("-- SELECT COUNT(*)")
+    # the r5 dialect verbs route as SQL through the sniffer, not as NL
+    assert run_statement(e, "ALTER TABLE t ADD COLUMN c DECIMAL") == (
+        "altered 't': added c DECIMAL"
+    )
+    assert "Physical Plan" in run_statement(e, "EXPLAIN SELECT a FROM t WHERE a > 1")
 
 
 def test_llm_to_sql_against_stub_endpoint():

@@ -853,3 +853,19 @@ def test_ivf_indexed_recall_floor_vs_brute_force(spark, tmp_path):
     # drift alarm, not the aspiration. Real embedding corpora cluster and
     # probe far fewer lists for the same recall.
     assert mean_recall >= 0.6, f"IVF index recall@10 degraded: {recalls}"
+
+
+def test_strip_html_removes_boilerplate_keeps_content(spark):
+    html = (
+        '<html><head><title>T</title><style>p {x:1}</style>'
+        '<script>if (1 < 2) { alert("hi <b>bold</b>"); }</script></head>'
+        "<body><nav>menu</nav><p>Real&nbsp;content &amp; more</p>"
+        "<!-- hidden --><div>tail</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup"), (3, "")], ["id", "t"])
+    out = {r.id: r.clean for r in df.select("id", text.strip_html("t").alias("clean")).collect()}
+    # script/style contents gone (including the tricky '<' inside script),
+    # tags gone, entities decoded, whitespace squeezed
+    assert out[1] == "T menu Real content & more tail"
+    assert out[2] == "no markup"
+    assert out[3] == ""
