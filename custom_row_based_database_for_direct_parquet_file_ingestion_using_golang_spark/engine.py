@@ -483,6 +483,37 @@ class Engine:
         df = self.spark.read.parquet(path)
         return self._register_ingested(name, df, partition_by)
 
+    def export_table(self, name: str, path: str, fmt: str = "parquet") -> int:
+        """COPY t TO 'path': write a table out as parquet or CSV — the
+        export complement of the reference's import-only surface. Returns
+        the row count written. Distributed write (one file per partition);
+        callers wanting a single CSV file can coalesce afterwards — a
+        forced coalesce(1) here would serialize a 100 TB export through
+        one task."""
+        fmt = fmt.lower()
+        df = self.table(name)
+        n = df.count()
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(path)
+        elif fmt == "csv":
+            df.write.mode("overwrite").option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r} (parquet|csv)")
+        return n
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        """DESCRIBE t: (column, declared type) pairs plus partition info —
+        read straight from the catalog, no data access."""
+        meta = self.catalog.get(name)
+        return [
+            (
+                c.name,
+                c.decl.upper()
+                + (" (partitioned)" if c.name in meta.partition_by else ""),
+            )
+            for c in meta.columns
+        ]
+
     def ingest_csv(
         self,
         path: str,

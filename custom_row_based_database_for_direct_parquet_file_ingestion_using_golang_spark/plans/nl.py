@@ -162,7 +162,7 @@ def is_natural_language(text: str) -> bool:
         return not (len(words) > 1 and words[1] in ("tables", "versions"))
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
-        "optimize", "vacuum", "alter", "explain",
+        "optimize", "vacuum", "alter", "explain", "describe", "copy",
     )
 
 

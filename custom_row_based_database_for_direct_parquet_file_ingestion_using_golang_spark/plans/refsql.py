@@ -453,6 +453,29 @@ class RefSQL:
                 vs = self.engine.store.versions(table)
                 return [f"v{v}" for v in vs] or ["(no snapshots)"]
             return self.engine.show_tables()
+        if verb == "describe":
+            # Dialect extension: ``DESCRIBE t`` — catalog-only schema
+            # listing, "column TYPE" per line.
+            cur.expect_kw("describe")
+            table = _unquote(cur.next())
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after DESCRIBE")
+            return [f"{n} {t}" for n, t in self.engine.describe(table)]
+        if verb == "copy":
+            # Dialect extension: ``COPY t TO 'path' [FORMAT parquet|csv]``
+            # — the export complement of the reference's import surface.
+            cur.expect_kw("copy")
+            table = _unquote(cur.next())
+            cur.expect_kw("to")
+            path = _unquote(cur.next())
+            fmt = "parquet"
+            if cur.peek_kw() == "format":
+                cur.next()
+                fmt = cur.next().lower()
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after COPY")
+            n = self.engine.export_table(table, path, fmt)
+            return f"copied '{table}' to {path} ({n} row(s), {fmt})"
         if verb == "alter":
             # Dialect extension: ``ALTER TABLE t ADD/DROP COLUMN c [TYPE]``
             # — catalog-only schema evolution (Engine.add_column/

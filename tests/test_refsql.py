@@ -373,3 +373,27 @@ def test_explain_select_returns_physical_plan(spark, tmp_path):
     assert "PushedFilters" in out and "v" in out
     with pytest.raises(ParseError):
         e.ref_sql("EXPLAIN DROP TABLE t")
+
+
+def test_describe_and_copy_export(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "exp"))
+    e.create_table("d", [("id", "INT"), ("name", "TEXT")], partition_by=["id"])
+    e.insert_rows("d", [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}])
+    assert e.ref_sql("DESCRIBE d") == ["id INT (partitioned)", "name TEXT"]
+    with pytest.raises(KeyError):
+        e.ref_sql("DESCRIBE nope")
+    # parquet export round-trips with full fidelity
+    out = str(tmp_path / "out_parquet")
+    msg = e.ref_sql(f"COPY d TO '{out}'")
+    assert msg == f"copied 'd' to {out} (2 row(s), parquet)"
+    back = spark.read.parquet(out)
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "a"), (2, "b")}
+    # csv export honors FORMAT
+    out2 = str(tmp_path / "out_csv")
+    assert "csv" in e.ref_sql(f"COPY d TO '{out2}' FORMAT csv")
+    back2 = spark.read.csv(out2, header=True)
+    assert {(r.id, r.name) for r in back2.collect()} == {("1", "a"), ("2", "b")}
+    with pytest.raises(ValueError):
+        e.export_table("d", str(tmp_path / "x"), fmt="xml")
+    with pytest.raises(ParseError):
+        e.ref_sql(f"COPY d TO '{out}' FORMAT csv junk")
