@@ -452,3 +452,81 @@ def test_refsql_group_agg_matches_spark_sql(spark, where, agg, having):
         ).collect()
     )
     assert got == want, f"agg={agg} where={where}: {got} != {want}"
+
+
+# --- stateful DML + snapshot-history differential ---------------------------
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("insert"), st.integers(1, 3)),
+            st.tuples(st.just("update"), st.integers(0, 100)),
+            st.tuples(st.just("delete"), st.integers(0, 100)),
+        ),
+        min_size=2,
+        max_size=7,
+    ),
+)
+def test_dml_sequence_matches_model_and_snapshots(spark, tmp_path_factory, ops):
+    """Differential state machine: apply a random INSERT/UPDATE/DELETE
+    sequence through the dialect AND to a pure-Python model; after every
+    op the table contents, the reported affected-row counts, and the
+    retained snapshot history (keep_snapshots=3, copy-on-write retirement
+    on UPDATE/DELETE only) must all match the model."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path_factory.mktemp("dmlfuzz")), keep_snapshots=3)
+    e.create_table("t", [("id", "INT"), ("val", "INT"), ("tag", "TEXT")])
+    model: list[dict] = []
+    history: list[list[dict]] = []  # model state retired at each version
+    next_id = 0
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "insert":
+            rows = [
+                {"id": next_id + j, "val": (next_id + j) * 37 % 100, "tag": "new"}
+                for j in range(arg)
+            ]
+            next_id += arg
+            vals = ", ".join(f"({r['id']}, {r['val']}, 'new')" for r in rows)
+            assert e.ref_sql(f"INSERT INTO t VALUES {vals}") == arg
+            model.extend(rows)
+        elif kind == "update":
+            expect = sum(1 for r in model if r["val"] < arg)
+            got = e.ref_sql(f"UPDATE t SET tag = 'u{i}' WHERE val < {arg}")
+            assert got == expect, (kind, arg, got, expect)
+            # copy-on-write: every UPDATE retires the pre-state (even when
+            # it matched nothing — the rewrite IS the count pass)
+            history.append([dict(r) for r in model])
+            for r in model:
+                if r["val"] < arg:
+                    r["tag"] = f"u{i}"
+        else:  # delete rows with even val below the threshold
+            expect = sum(1 for r in model if r["val"] % 2 == 0 and r["val"] < arg)
+            got = e.ref_sql(
+                f"DELETE FROM t WHERE val < {arg} AND val IN "
+                f"({', '.join(str(v) for v in range(0, 100, 2))})"
+            )
+            assert got == expect, (kind, arg, got, expect)
+            history.append([dict(r) for r in model])
+            model = [
+                r for r in model if not (r["val"] % 2 == 0 and r["val"] < arg)
+            ]
+        # current contents match the model after every op
+        live = {
+            (r.id, r.val, r.tag) for r in e.ref_sql("SELECT * FROM t").collect()
+        }
+        assert live == {(r["id"], r["val"], r["tag"]) for r in model}
+    # retained snapshots (last 3 retirements) replay the model's history
+    vs = e.store.versions("t")
+    assert len(vs) == min(3, len(history))
+    for v, past in zip(vs, history[-len(vs):] if vs else []):
+        snap = {
+            (r.id, r.val, r.tag)
+            for r in e.ref_sql(f"SELECT * FROM t VERSION AS OF {v}").collect()
+        }
+        assert snap == {(r["id"], r["val"], r["tag"]) for r in past}, v
