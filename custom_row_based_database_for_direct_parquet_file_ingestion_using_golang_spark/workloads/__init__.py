@@ -13,6 +13,7 @@ from . import relational  # noqa: F401, E402
 from . import scale  # noqa: F401, E402
 from . import streaming  # noqa: F401, E402
 from . import ranking  # noqa: F401, E402
+from . import timeseries  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
@@ -40,6 +41,9 @@ PRIORITY: list[str] = [
     "cube_status_priority",
     "text_fingerprints",
     # (1) new or code-touched in round 5.
+    "ts_gapfill_locf",
+    "ts_linear_interpolate",
+    "ts_ohlc_daily",
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "timetravel_version_as_of",

@@ -1,0 +1,179 @@
+"""Hypertable-tier workloads: time_bucket rollup, gapfill (LOCF / linear
+interpolation), and OHLC candles over the events table.
+
+Oracles mirror the exact arithmetic in DuckDB: ``time_bucket`` floors to
+the epoch the same way as the integer-microsecond Spark column, LOCF is
+``last_value(x IGNORE NULLS)`` over the same grid, the linear interpolation
+formula is written with the identical operation order on both sides
+(`pv + (nv - pv) * ((t - pt) / (nt - pt))` on epoch-microsecond doubles),
+averages are summed in DECIMAL (order-free), and the final round-to-2 goes
+through a DECIMAL(20,9) snap (see ``_r2d``) so engine rounding-mode
+differences on .xx5 ties cannot flip a cent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import timeseries as ts
+from .registry import load, query
+
+# Exact order-insensitive bucket average: double sums are order-dependent in
+# the low bits, and a LOCF'd / interpolated value sitting on a .xx5 rounding
+# boundary then flips between engines. Summing in DECIMAL is exact (and
+# therefore order-free); the single cast back to DOUBLE and the divide are
+# deterministic, so both engines feed identical doubles into round(2).
+def _avg_v():
+    # Built lazily — Column construction needs an active SparkContext.
+    return (
+        F.sum(F.col("value").cast("decimal(20,9)")).cast("double")
+        / F.count(F.lit(1))
+    ).alias("v")
+
+
+def _r2d(col, alias: str):
+    # round-to-2 that agrees across engines ON TIES: fixture values carry 2
+    # decimals, so bucket averages land exactly on .xx5, where Spark
+    # (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    # (round(x*100)/100 on the binary double, which sits a hair BELOW .xx5)
+    # round to different cents. Going through DECIMAL(20,9) first snaps the
+    # double to its shortest decimal form identically in both engines
+    # (value error ~1e-14 « the 5e-10 snap radius), making the final
+    # half-away-from-zero round deterministic. The SQL twin is
+    # ``CAST(round(CAST(x AS DECIMAL(20,9)), 2) AS DOUBLE)``.
+    return F.round(F.col(col).cast("decimal(20,9)"), 2).cast("double").alias(alias)
+
+
+@query(
+    "ts_gapfill_locf",
+    """
+    WITH b AS (SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS slot,
+                      CAST(sum(CAST(value AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+                        AS v
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(slot) AS s0, max(slot) AS s1 FROM b),
+    grid AS (SELECT g.slot AS slot, t.event_type AS event_type
+             FROM (SELECT unnest(generate_series(s0, s1, INTERVAL '5 minutes'))
+                     AS slot FROM bounds) g
+             CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    f AS (SELECT grid.event_type, grid.slot, (b.v IS NOT NULL) AS observed,
+                 last_value(b.v IGNORE NULLS) OVER (
+                     PARTITION BY grid.event_type ORDER BY grid.slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+          FROM grid LEFT JOIN b
+            ON b.event_type = grid.event_type AND b.slot = grid.slot)
+    SELECT event_type, slot, observed,
+           CAST(round(CAST(fv AS DECIMAL(20,9)), 2) AS DOUBLE) AS avg_value_locf
+    FROM f
+    WHERE slot >= TIMESTAMP '2024-01-05' AND slot < TIMESTAMP '2024-01-06'
+    ORDER BY event_type, slot
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB-style `time_bucket_gapfill + locf()`: 5-minute avg(value)
+    # per event_type, dense grid over the global span, last observation
+    # carried forward. LOCF runs over the FULL month (a carried value can
+    # originate days earlier), then one day is sliced for the gate — so a
+    # wrong grid bound, join key, or window frame anywhere in the month
+    # shifts the carried values inside the slice and flips the hash.
+    events = load(spark, sf_dir, "events")
+    rolled = ts.rollup(events, "ts", 300, ["event_type"], [_avg_v()])
+    filled = ts.gapfill(rolled, "slot", ["event_type"], ["v"], 300, method="locf")
+    return (
+        filled.filter(
+            (F.col("slot") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("slot") < F.lit("2024-01-06").cast("timestamp"))
+        )
+        .select(
+            "event_type",
+            "slot",
+            "observed",
+            _r2d("v", "avg_value_locf"),
+        )
+        .orderBy("event_type", "slot")
+    )
+
+
+@query(
+    "ts_linear_interpolate",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS slot,
+                      CAST(sum(CAST(value AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+                        AS v
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT min(slot) AS s0, max(slot) AS s1 FROM b),
+    grid AS (SELECT unnest(generate_series(s0, s1, INTERVAL '1 hour')) AS slot
+             FROM bounds),
+    f AS (SELECT grid.slot, b.v, (b.v IS NOT NULL) AS observed,
+                 CAST(epoch_us(grid.slot) AS DOUBLE) AS t,
+                 last_value(b.v IGNORE NULLS) OVER w0 AS pv,
+                 first_value(b.v IGNORE NULLS) OVER w1 AS nv,
+                 last_value(CASE WHEN b.v IS NOT NULL
+                            THEN CAST(epoch_us(grid.slot) AS DOUBLE) END
+                            IGNORE NULLS) OVER w0 AS pt,
+                 first_value(CASE WHEN b.v IS NOT NULL
+                             THEN CAST(epoch_us(grid.slot) AS DOUBLE) END
+                             IGNORE NULLS) OVER w1 AS nt
+          FROM grid LEFT JOIN b USING (slot)
+          WINDOW w0 AS (ORDER BY grid.slot
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w1 AS (ORDER BY grid.slot
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT slot, observed,
+           CAST(round(CAST(CASE WHEN observed THEN v
+                                ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END
+                           AS DECIMAL(20,9)), 2) AS DOUBLE) AS avg_value_interp
+    FROM f ORDER BY slot
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `interpolate()`-style gapfill: hourly avg(value) for one event type,
+    # gaps filled by linear interpolation between the bracketing
+    # observations on the microsecond time axis. No extrapolation: slots
+    # outside [first, last] observation stay NULL (none exist here — the
+    # grid bounds ARE observation buckets). The full 720-slot series is the
+    # gate output; the Spark expression and the oracle SQL share one
+    # operation order so the doubles agree exactly before round(2).
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rolled = ts.rollup(events, "ts", 3600, [], [_avg_v()])
+    filled = ts.gapfill(rolled, "slot", [], ["v"], 3600, method="linear")
+    return filled.select(
+        "slot", "observed", _r2d("v", "avg_value_interp")
+    ).orderBy("slot")
+
+
+@query(
+    "ts_ohlc_daily",
+    """
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+           round(arg_min(value, ts), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, ts), 2) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candlestick rollup (the other canonical hypertable aggregate): daily
+    # open/high/low/close per event_type. open/close are min_by/max_by on
+    # the event timestamp — fixture timestamps are unique per type-day at
+    # microsecond grain (10k events / 150 cells), so the argmin is
+    # deterministic; DuckDB's arg_min/arg_max mirror it. One shuffle,
+    # map-side partial agg for all five measures.
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type", ts.time_bucket("ts", 86400).alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
