@@ -497,8 +497,17 @@ class Engine:
             df.write.mode("overwrite").parquet(path)
         elif fmt == "csv":
             df.write.mode("overwrite").option("header", True).csv(path)
+        elif fmt in ("json", "jsonl"):
+            # JSON Lines: one object per line — the interchange format LLM
+            # data pipelines actually move corpora in. Spark's json writer
+            # is already line-delimited; ``ignoreNullFields=False`` keeps
+            # NULL columns as explicit nulls so a re-ingest round-trips the
+            # schema instead of silently dropping sparse columns.
+            df.write.mode("overwrite").option("ignoreNullFields", False).json(path)
         else:
-            raise ValueError(f"unsupported export format {fmt!r} (parquet|csv)")
+            raise ValueError(
+                f"unsupported export format {fmt!r} (parquet|csv|jsonl)"
+            )
         return n
 
     def describe(self, name: str) -> list[tuple[str, str]]:
@@ -528,4 +537,30 @@ class Engine:
         df = self.spark.read.csv(path, header=True, inferSchema=infer_schema and not all_text)
         if all_text:
             df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+        return self._register_ingested(name, df, partition_by)
+
+    def ingest_jsonl(
+        self,
+        path: str,
+        name: str,
+        schema=None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """JSON Lines ingestion (one object per line — jsonl/ndjson, the
+        dominant corpus interchange format). With ``schema`` (a Spark
+        StructType or DDL string) the read is a single pass and malformed
+        lines surface in a ``_corrupt_record``-free FAILFAST error; without
+        it Spark samples the files to infer types (an extra read of the
+        sampled portion — fine for ingestion, avoid in hot loops).
+
+        The reference has no JSON source at all (CSV + Parquet-via-CSV
+        only, pkg/importer/importer.go); this extends the import surface
+        the same way ``ingest_parquet`` does: one distributed read, typed
+        columns, no driver-side row loop."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.option("mode", "FAILFAST").json(path)
+        if not df.columns:
+            raise ValueError(f"no JSON objects found under {path!r}")
         return self._register_ingested(name, df, partition_by)

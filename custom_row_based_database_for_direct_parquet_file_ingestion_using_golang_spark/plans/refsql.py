@@ -462,8 +462,9 @@ class RefSQL:
                 raise ParseError(f"unexpected token {cur.peek()!r} after DESCRIBE")
             return [f"{n} {t}" for n, t in self.engine.describe(table)]
         if verb == "copy":
-            # Dialect extension: ``COPY t TO 'path' [FORMAT parquet|csv]``
-            # — the export complement of the reference's import surface.
+            # Dialect extension: ``COPY t TO 'path' [FORMAT
+            # parquet|csv|jsonl]`` — the export complement of the
+            # reference's import surface.
             cur.expect_kw("copy")
             table = _unquote(cur.next())
             cur.expect_kw("to")

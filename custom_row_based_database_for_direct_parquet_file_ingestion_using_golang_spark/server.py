@@ -535,9 +535,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error("no file received")
         filename, content = fields["file"]
         ext = os.path.splitext(filename or "")[1].lower()
-        if ext not in (".csv", ".parquet"):
+        if ext not in (".csv", ".parquet", ".jsonl", ".ndjson", ".json"):
             return self._error(
-                f"unsupported file type '{ext}' — only .csv and .parquet are supported"
+                f"unsupported file type '{ext}' — only .csv, .parquet and "
+                ".jsonl/.ndjson are supported"
             )
         if isinstance(content, str):
             content = content.encode()
@@ -550,6 +551,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                     # Reference CSV import types every column TEXT
                     # (importer.go:37-52); keep that parity on this surface.
                     self.engine.ingest_csv(tmp.name, table, all_text=True)
+                elif ext in (".jsonl", ".ndjson", ".json"):
+                    self.engine.ingest_jsonl(tmp.name, table)
                 else:
                     self.engine.ingest_parquet(tmp.name, table)
         except Exception as ex:

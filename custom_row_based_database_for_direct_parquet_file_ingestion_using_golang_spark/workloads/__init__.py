@@ -47,6 +47,7 @@ PRIORITY: list[str] = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "timetravel_version_as_of",
+    "jsonl_roundtrip_ingest",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",

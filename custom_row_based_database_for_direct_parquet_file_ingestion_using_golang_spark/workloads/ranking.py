@@ -351,6 +351,53 @@ def timetravel_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonl_roundtrip_ingest",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON Lines source/sink round-trip: ingest documents.parquet into a
+    # scratch engine, export it through the dialect (`COPY ... FORMAT
+    # jsonl`), re-ingest the JSONL with schema inference, and aggregate the
+    # RE-INGESTED table. The oracle aggregates the raw parquet — so any
+    # mangling in the JSON escape/unescape of text (quotes, newlines,
+    # unicode), a dropped null field, or a mis-inferred numeric type
+    # changes sum(length(text))/total_chars and flips the hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_jsonl_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/documents.parquet", "docs_src")
+    out = os.path.join(root, "export_jsonl")
+    e.ref_sql(f"COPY docs_src TO '{out}' FORMAT jsonl")
+    e.ingest_jsonl(out, "docs_rt")
+    return (
+        e.table("docs_rt")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- sequence packing ------------------------------------------------------
 
 

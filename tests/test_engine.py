@@ -136,6 +136,49 @@ def test_ingest_csv_infer_and_all_text(engine, spark, tmp_path):
     assert set(dict(engine.table("people_text").dtypes).values()) == {"string"}
 
 
+def test_ingest_jsonl_roundtrip_and_schema(engine, tmp_path):
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"id": 1, "text": "he said \\"hi\\"\\nline2", "score": 1.5}\n'
+        '{"id": 2, "text": "plain", "score": null}\n'
+    )
+    n = engine.ingest_jsonl(str(jl), "jdocs")
+    assert n == 2
+    dtypes = dict(engine.table("jdocs").dtypes)
+    assert dtypes["id"] == "bigint" and dtypes["score"] == "double"
+    rows = {r.id: r for r in engine.table("jdocs").collect()}
+    # escape fidelity: embedded quote + newline survive the round-trip
+    assert rows[1].text == 'he said "hi"\nline2'
+    assert rows[2].score is None
+    # explicit schema: single-pass read, declared types win
+    engine.ingest_jsonl(str(jl), "jdocs_typed", schema="id INT, text STRING, score DOUBLE")
+    assert dict(engine.table("jdocs_typed").dtypes)["id"] == "int"
+
+
+def test_ingest_jsonl_rejects_empty_and_malformed(engine, tmp_path):
+    import pytest
+
+    empty = tmp_path / "empty.jsonl"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="no JSON objects"):
+        engine.ingest_jsonl(str(empty), "nothing")
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"id": 1}\n{not json at all\n')
+    with pytest.raises(Exception):  # FAILFAST surfaces the malformed line
+        engine.ingest_jsonl(str(bad), "bad")
+
+
+def test_export_jsonl_roundtrips_via_copy(engine, sf_dir, tmp_path):
+    engine.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    out = tmp_path / "nation_jsonl"
+    msg = engine.ref_sql(f"COPY nation TO '{out}' FORMAT jsonl")
+    assert "25 row(s)" in msg and "jsonl" in msg
+    engine.ingest_jsonl(str(out), "nation_rt")
+    a = sorted(tuple(r) for r in engine.table("nation").select("n_nationkey", "n_name").collect())
+    b = sorted(tuple(r) for r in engine.table("nation_rt").select("n_nationkey", "n_name").collect())
+    assert a == b
+
+
 def test_sql_surface(engine):
     _students(engine)
     out = engine.sql(

@@ -124,10 +124,23 @@ def test_upload_parquet_native_types(api, sf_dir):
 
 def test_upload_rejects_other_extensions(api):
     body, ctype = _multipart(
-        {"table_name": (None, b"x"), "file": ("evil.jsonl", b"{}")}
+        {"table_name": (None, b"x"), "file": ("evil.exe", b"MZ\x90")}
     )
     resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
     assert resp["success"] is False and "unsupported file type" in resp["error"]
+
+
+def test_upload_jsonl_ingests_and_queries(api):
+    body, ctype = _multipart(
+        {
+            "table_name": (None, b"jl"),
+            "file": ("rows.jsonl", b'{"id": 1, "name": "ann"}\n{"id": 2, "name": "bob"}\n'),
+        }
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    out = _query(api, "SELECT name FROM jl ORDER BY id")
+    assert out["success"] and "ann" in out["result"] and "bob" in out["result"]
 
 
 def test_natural_language_query_reports_generated_sql(api):
