@@ -628,3 +628,119 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- winnowing fingerprints (substring-level dedup) -------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+    — the MOSS algorithm): from every window of ``w`` consecutive character
+    ``k``-grams, select the minimal one. Guarantees: any shared substring
+    of length >= w + k - 1 contributes at least one IDENTICAL selected
+    fingerprint to both documents, regardless of alignment — the
+    phase-independence that fixed-stride shingle sampling lacks.
+
+    Selection key is the k-gram CONTENT concatenated with the zero-padded
+    position (grams are fixed-length, so concat order == (gram, pos)
+    lexicographic order, no separator needed). Using string order instead
+    of a hash keeps the selection exactly reproducible in the SQL oracle;
+    the known bias (lexicographically small grams like ' a' win more
+    windows) is harmless for dedup — both copies of a duplicated span
+    still select the same grams.
+
+    Plan shape: per-row gram array (transform over sequence — row-local,
+    codegen) → posexplode → ONE shuffle on the doc id → a single window
+    pass (min over [current, w-1 following]) → distinct. No Python in the
+    row path. Trailing windows shorter than ``w`` still select (consistent
+    variant, mirrored in the oracle). At 100 TB: cost is O(total chars)
+    rows through one shuffle; multi-MB documents should be pre-chunked
+    (``chunk_tokens_to_lines``-style) so no single row explodes into
+    millions of array entries at once.
+
+    Returns (id_col, gram, pos) — the selected fingerprints, distinct.
+    """
+    from pyspark.sql import Window
+
+    n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
+    grams = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    positions = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                grams,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.concat(
+                        F.substr(F.col(text_col), i, F.lit(k)),
+                        F.lpad(i.cast("string"), 9, "0"),
+                    ).alias("kk"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc", F.col("g.p").alias("p"), F.col("g.kk").alias("kk"))
+    win = Window.partitionBy("doc").orderBy("p").rowsBetween(0, w - 1)
+    selected = positions.select(
+        "doc", F.min("kk").over(win).alias("kk")
+    ).distinct()
+    return selected.select(
+        F.col("doc").alias(id_col),
+        F.substring("kk", 1, k).alias("gram"),
+        F.substring("kk", k + 1, 9).cast("int").alias("pos"),
+    )
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 16,
+    max_doc_freq: int | None = 64,
+) -> DataFrame:
+    """Document pairs ranked by the number of shared winnowed fingerprints
+    (gram content, position-independent) — substring-level plagiarism /
+    near-dup detection.
+
+    ``max_doc_freq`` drops grams selected in more than that many documents
+    before the self-join — the same stop-shingle insurance as
+    ``jaccard_pairs``: a boilerplate gram appearing in f docs would
+    contribute f² candidate pairs (the hot-key bomb at corpus scale); a
+    gram that common identifies nothing anyway.
+
+    Returns (id_a, id_b, shared), one row per pair that shares >= 1
+    surviving gram. Cost: fingerprinting + one gram-keyed self-join whose
+    quadratic term is capped at max_doc_freq² per gram.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("doc"), "gram"
+    ).distinct()
+    if max_doc_freq is not None:
+        keep = (
+            fp.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("gram")
+        )
+        fp = fp.join(keep, "gram")
+    # Materialize once: both sides of the self-join would otherwise
+    # recompute the full fingerprint pipeline.
+    fp = fp.localCheckpoint()
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), "gram")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )

@@ -48,6 +48,7 @@ PRIORITY: list[str] = [
     "multimodal_gif_decode",
     "timetravel_version_as_of",
     "jsonl_roundtrip_ingest",
+    "dedup_winnow_top15",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",

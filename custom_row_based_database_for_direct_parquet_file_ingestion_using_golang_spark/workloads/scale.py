@@ -418,6 +418,55 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnow_top15",
+    """
+    WITH pos AS (
+      SELECT doc_id, CAST(t.i AS INT) AS p, substr(text, CAST(t.i AS INT), 8) AS gram
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 7, 0))) AS t(i)
+    ),
+    keyed AS (SELECT doc_id, p,
+                     gram || lpad(CAST(p AS VARCHAR), 9, '0') AS kk
+              FROM pos),
+    sel AS (SELECT DISTINCT doc_id,
+                   min(kk) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS kk
+            FROM keyed),
+    fp AS (SELECT DISTINCT doc_id, substr(kk, 1, 8) AS gram FROM sel),
+    fpc AS (SELECT * FROM fp WHERE gram IN (
+              SELECT gram FROM fp GROUP BY gram HAVING count(*) <= 64)),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+              FROM fpc a JOIN fpc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared FROM pairs
+    ORDER BY shared DESC, doc_a, doc_b LIMIT 15
+    """,
+)
+def dedup_winnow_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing (MOSS, SIGMOD 2003) substring-level near-dup: top-15 doc
+    # pairs by shared selected-fingerprint count. Selection is min-of-window
+    # over (gram || zero-padded pos) string keys — exactly reproducible in
+    # SQL, unlike hash-based winnowing. The oracle re-runs the WHOLE
+    # algorithm (gram explosion, window minima, doc-freq cap, pair join) in
+    # DuckDB, so any off-by-one in window framing, padding width, or the
+    # k/w parameters flips the hash. max_doc_freq=64 mirrors the
+    # stop-gram insurance on both sides.
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.winnow_similar_pairs(
+        docs, "doc_id", "text", k=8, w=16, max_doc_freq=64
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "shared",
+        )
+        .orderBy(F.col("shared").desc(), "doc_a", "doc_b")
+        .limit(15)
+    )
+
+
+@query(
     "dedup_ngram_jaccard_top20",
     f"""
     WITH d AS (

@@ -77,3 +77,83 @@ def test_perm_mins_udf_vectorized_path_handles_mixed_batches(spark):
     for doc, bh in rows[2:]:
         expect = [min((a * x + b) % dedup._MERSENNE_31 for x in bh) for a, b in params]
         assert got[doc] == expect, doc
+
+
+# --- winnowing --------------------------------------------------------------
+
+
+def _winnow_model(text: str, k: int, w: int) -> set[tuple[str, int]]:
+    """Independent Python reference: min-of-every-window over
+    (gram, 1-based pos) keys, trailing short windows included."""
+    n = len(text) - k + 1
+    keys = [(text[i : i + k], i + 1) for i in range(max(n, 0))]
+    out = set()
+    for s in range(len(keys)):
+        out.add(min(keys[s : s + w]))
+    return out
+
+
+def test_winnow_fingerprints_match_python_model(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "aaaaaaaaaaaa"),          # degenerate: all grams identical
+        (4, "short"),                 # shorter than k -> no fingerprints
+        (5, ""),                      # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.gram, r.pos)
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=8, w=4).collect()
+    }
+    want = set()
+    for d, t in rows:
+        for g, p in _winnow_model(t, 8, 4):
+            want.add((d, g, p))
+    assert got == want
+    assert not any(r[0] in (4, 5) for r in got)  # sub-k docs yield nothing
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Any shared substring of length >= w + k - 1 must contribute at least
+    # one identical selected gram to both docs, at ANY alignment offset.
+    k, w = 8, 4
+    shared = "zqxjkwvb unusual payload segment"  # len 32 >= w + k - 1 = 11
+    rows = [
+        (1, "prefix one " + shared + " tail a"),
+        (2, "a very different and much longer prefix " + shared),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+    grams = {
+        doc: {r.gram for r in rows_}
+        for doc, rows_ in (
+            (d, [r for r in fp.collect() if r.doc_id == d]) for d in (1, 2)
+        )
+    }
+    shared_grams = grams[1] & grams[2]
+    assert shared_grams, "winnowing guarantee violated: no shared fingerprint"
+    # and the shared gram really comes from the planted payload
+    assert any(g in shared for g in shared_grams)
+
+
+def test_winnow_similar_pairs_counts_and_cap(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "totally unrelated content here xyz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.shared
+        for r in dedup.winnow_similar_pairs(
+            df, "doc_id", "text", k=8, w=4, max_doc_freq=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # doc-freq cap 1 drops every gram shared by the dup pair -> no pairs
+    capped = dedup.winnow_similar_pairs(
+        df, "doc_id", "text", k=8, w=4, max_doc_freq=1
+    ).count()
+    assert capped == 0
