@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "setop_union_intersect_except",
     "asof_click_to_purchase",
     "range_join_follow_events",
+    "ts_gapfill_locf",
     # LLM-data-pipeline tier
     "text_token_stats",
     "text_quality_scores",
@@ -80,6 +81,7 @@ BENCH_QUERIES = [
     "contamination_eval_train_overlap",
     "dedup_exact_groups",
     "dedup_ngram_jaccard_top20",
+    "dedup_winnow_top15",
     "dedup_minhash_lsh",
     "similar_pairs_top15",
     "multimodal_image_features",

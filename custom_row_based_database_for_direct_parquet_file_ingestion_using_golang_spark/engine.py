@@ -510,6 +510,18 @@ class Engine:
             )
         return n
 
+    def summarize(
+        self, name: str, columns: list[str] | None = None, exact: bool = True
+    ) -> DataFrame:
+        """SUMMARIZE t: per-column profile (counts, nulls, distinct,
+        min/max, mean) — the DuckDB-SUMMARIZE companion to DESCRIBE's
+        catalog-only listing. One aggregate job over the table;
+        ``exact=False`` switches distinct counts to HLL++ for a single
+        non-expanded pass (the 100 TB default)."""
+        from .operators.profile import profile
+
+        return profile(self.table(name), columns, exact_distinct=exact)
+
     def describe(self, name: str) -> list[tuple[str, str]]:
         """DESCRIBE t: (column, declared type) pairs plus partition info —
         read straight from the catalog, no data access."""

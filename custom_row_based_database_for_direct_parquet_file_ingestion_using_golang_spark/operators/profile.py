@@ -1,0 +1,111 @@
+"""Column profiling: the DuckDB-``SUMMARIZE`` / Spark-`df.summary()` class
+of operator, built for oracle-checkable exactness.
+
+One long-format row per profiled column: row count, null count, distinct
+count, numeric min/max/mean, and string/temporal min/max. Everything is a
+single global aggregate — no per-column jobs, no driver loops; Spark plans
+the multi-distinct aggregate as one Expand + partial-agg pass (data is
+replicated once per distinct column — the standard cost; pass
+``exact_distinct=False`` to profile with HLL++ ``approx_count_distinct``
+in a single non-expanded pass, the right default at 100 TB).
+
+The reference has no profiling surface (DESCRIBE lists declared types
+only); this extends the maintenance/inspection tier the same way DESCRIBE
+and EXPLAIN did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+_STRINGY = (StringType, DateType, TimestampType, TimestampNTZType)
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (column, n_rows, n_nulls, n_distinct, min_num, max_num, mean,
+    min_str, max_str).
+
+    Numeric columns fill the ``*_num``/``mean`` fields (mean summed in
+    DECIMAL so it is shuffle-order-free — reproducible across engines and
+    re-runs); string/date/timestamp columns fill ``min_str``/``max_str``
+    (temporal values cast to their canonical string form). Other types
+    (arrays, structs, binary) profile counts only.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = columns if columns is not None else list(fields)
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"profile: no such column(s) {unknown}")
+
+    aggs: list = [F.count(F.lit(1)).alias("_nrows")]
+    for c in cols:
+        t = fields[c]
+        aggs.append(F.count(F.col(c)).alias(f"_cnt_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if isinstance(t, _NUMERIC):
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"_max_{c}"),
+                F.sum(F.col(c).cast("decimal(38,9)")).cast("double").alias(
+                    f"_sum_{c}"
+                ),
+            ]
+        elif isinstance(t, _STRINGY):
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"_smin_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_smax_{c}"),
+            ]
+    one = df.agg(*aggs)
+
+    def _row(c: str):
+        t = fields[c]
+        num = isinstance(t, _NUMERIC)
+        stringy = isinstance(t, _STRINGY)
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col("_nrows").alias("n_rows"),
+            (F.col("_nrows") - F.col(f"_cnt_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.col(f"_max_{c}") if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (
+                F.col(f"_sum_{c}") / F.col(f"_cnt_{c}")
+                if num
+                else F.lit(None).cast("double")
+            ).alias("mean"),
+            (F.col(f"_smin_{c}") if stringy else F.lit(None).cast("string")).alias(
+                "min_str"
+            ),
+            (F.col(f"_smax_{c}") if stringy else F.lit(None).cast("string")).alias(
+                "max_str"
+            ),
+        )
+
+    return one.select(
+        F.explode(F.array(*[_row(c) for c in cols])).alias("p")
+    ).select("p.*")

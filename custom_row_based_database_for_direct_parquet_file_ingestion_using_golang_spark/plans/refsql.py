@@ -461,6 +461,15 @@ class RefSQL:
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after DESCRIBE")
             return [f"{n} {t}" for n, t in self.engine.describe(table)]
+        if verb == "summarize":
+            # Dialect extension: ``SUMMARIZE t`` — per-column data profile
+            # (counts, nulls, distinct, min/max, mean) as a result set,
+            # the DuckDB-SUMMARIZE companion to DESCRIBE.
+            cur.expect_kw("summarize")
+            table = _unquote(cur.next())
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after SUMMARIZE")
+            return self.engine.summarize(table)
         if verb == "copy":
             # Dialect extension: ``COPY t TO 'path' [FORMAT
             # parquet|csv|jsonl]`` — the export complement of the

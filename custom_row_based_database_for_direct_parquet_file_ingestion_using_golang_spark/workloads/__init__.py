@@ -49,6 +49,7 @@ PRIORITY: list[str] = [
     "timetravel_version_as_of",
     "jsonl_roundtrip_ingest",
     "dedup_winnow_top15",
+    "profile_orders",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",

@@ -1294,6 +1294,87 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_orders",
+    """WITH p AS (
+  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls, count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+         CAST(sum(CAST(o_orderkey AS DECIMAL(38,9))) AS DOUBLE) / count(o_orderkey) AS mean,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_custkey) AS n_nulls, count(DISTINCT o_custkey) AS n_distinct,
+         CAST(min(o_custkey) AS DOUBLE) AS min_num, CAST(max(o_custkey) AS DOUBLE) AS max_num,
+         CAST(sum(CAST(o_custkey AS DECIMAL(38,9))) AS DOUBLE) / count(o_custkey) AS mean,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_orderstatus) AS n_nulls, count(DISTINCT o_orderstatus) AS n_distinct,
+         CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         CAST(NULL AS DOUBLE) AS mean,
+         CAST(min(o_orderstatus) AS VARCHAR) AS min_str, CAST(max(o_orderstatus) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_totalprice) AS n_nulls, count(DISTINCT o_totalprice) AS n_distinct,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_num, CAST(max(o_totalprice) AS DOUBLE) AS max_num,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) / count(o_totalprice) AS mean,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_orderdate) AS n_nulls, count(DISTINCT o_orderdate) AS n_distinct,
+         CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         CAST(NULL AS DOUBLE) AS mean,
+         CAST(min(o_orderdate) AS VARCHAR) AS min_str, CAST(max(o_orderdate) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority' AS column_name, count(*) AS n_rows,
+         count(*) - count(o_orderpriority) AS n_nulls, count(DISTINCT o_orderpriority) AS n_distinct,
+         CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         CAST(NULL AS DOUBLE) AS mean,
+         CAST(min(o_orderpriority) AS VARCHAR) AS min_str, CAST(max(o_orderpriority) AS VARCHAR) AS max_str
+  FROM orders
+)
+SELECT column_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+       CAST(round(CAST(mean AS DECIMAL(20,9)), 4) AS DOUBLE) AS mean,
+       min_str, max_str
+FROM p ORDER BY column_name
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SUMMARIZE-class column profile of the orders table: one long-format
+    # row per column (counts, nulls, exact distinct, numeric min/max/mean,
+    # temporal/string min/max). The oracle re-derives every field with
+    # per-column UNION ALL aggregates; the mean is decimal-summed on both
+    # sides (order-free) and rounded through the DECIMAL(20,9) snap so
+    # engine tie-rounding cannot flip it. One Spark aggregate job — the
+    # multi-distinct plan is a single Expand pass, not one job per column.
+    from ..operators.profile import profile
+
+    orders = load(spark, sf_dir, "orders")
+    prof = profile(orders)
+    return (
+        prof.select(
+            F.col("column").alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            F.round(F.col("mean").cast("decimal(20,9)"), 4)
+            .cast("double")
+            .alias("mean"),
+            "min_str",
+            "max_str",
+        )
+        .orderBy("column_name")
+    )
+
+
+@query(
     "cube_status_priority",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,

@@ -869,3 +869,66 @@ def test_strip_html_removes_boilerplate_keeps_content(spark):
     assert out[1] == "T menu Real content & more tail"
     assert out[2] == "no markup"
     assert out[3] == ""
+
+
+# --- column profiling -------------------------------------------------------
+
+
+def test_profile_counts_nulls_distinct_and_mean(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        profile,
+    )
+
+    rows = [
+        (1, 10.0, "a"),
+        (2, None, "b"),
+        (3, 30.0, None),
+        (4, 10.0, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "s"])
+    p = {r.column: r for r in profile(df).collect()}
+    assert set(p) == {"id", "x", "s"}
+    assert p["id"].n_rows == 4 and p["id"].n_nulls == 0 and p["id"].n_distinct == 4
+    assert p["x"].n_nulls == 1 and p["x"].n_distinct == 2
+    assert (p["x"].min_num, p["x"].max_num) == (10.0, 30.0)
+    assert abs(p["x"].mean - (50.0 / 3)) < 1e-9  # mean over NON-null only
+    assert p["s"].min_str == "a" and p["s"].max_str == "b"
+    assert p["s"].min_num is None and p["s"].mean is None
+
+
+def test_profile_all_null_column_and_subset(spark):
+    from pyspark.sql import functions as F
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        profile,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], ["id"]).withColumn(
+        "z", F.lit(None).cast("double")
+    )
+    p = {r.column: r for r in profile(df, columns=["z"]).collect()}
+    assert list(p) == ["z"]
+    assert p["z"].n_nulls == 2 and p["z"].n_distinct == 0
+    assert p["z"].mean is None  # 0/0 must be NULL, not NaN
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no such column"):
+        profile(df, columns=["nope"])
+
+
+def test_profile_approx_mode_single_pass_no_expand(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        profile,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS g", "CAST(id AS DOUBLE) AS v")
+    exact_plan = (
+        profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx = profile(df, exact_distinct=False)
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    # exact multi-distinct needs Expand; the HLL path must not
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    p = {r.column: r for r in approx.collect()}
+    assert p["g"].n_distinct == 7  # HLL exact at tiny cardinality

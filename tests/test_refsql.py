@@ -397,3 +397,15 @@ def test_describe_and_copy_export(spark, tmp_path):
         e.export_table("d", str(tmp_path / "x"), fmt="xml")
     with pytest.raises(ParseError):
         e.ref_sql(f"COPY d TO '{out}' FORMAT csv junk")
+
+
+def test_summarize_through_dialect(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "summ"))
+    e.ref_sql("CREATE TABLE m (name TEXT, score INT)")
+    e.ref_sql("INSERT INTO m VALUES ('ann', 10)")
+    e.ref_sql("INSERT INTO m VALUES ('bob', 30)")
+    out = {r.column: r for r in e.ref_sql("SUMMARIZE m").collect()}
+    assert out["score"].n_rows == 2 and out["score"].mean == 20.0
+    assert out["name"].min_str == "ann" and out["name"].max_str == "bob"
+    with pytest.raises(ParseError, match="after SUMMARIZE"):
+        e.ref_sql("SUMMARIZE m garbage")
