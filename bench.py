@@ -140,6 +140,10 @@ KNOWN_FLOORS_SF01 = {
     "stream_tumbling_counts": 0.99,
     "stream_session_windows": 1.2,
     "stream_stream_join": 2.75,
+    # round-5 additions (floors measured this round under a ~1.2-contended
+    # sentinel, so these are conservative):
+    "ts_gapfill_locf": 0.37,
+    "dedup_winnow_top15": 4.4,
 }
 
 

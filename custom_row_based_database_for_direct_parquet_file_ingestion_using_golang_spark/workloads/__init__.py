@@ -50,6 +50,7 @@ PRIORITY: list[str] = [
     "jsonl_roundtrip_ingest",
     "dedup_winnow_top15",
     "profile_orders",
+    "events_activity_islands",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",

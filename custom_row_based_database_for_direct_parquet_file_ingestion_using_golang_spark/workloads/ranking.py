@@ -352,6 +352,49 @@ def timetravel_version_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_activity_islands",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 900000000 AS e FROM events),
+    m AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+          FROM iv),
+    isl AS (SELECT user_id, s, e,
+                   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+            FROM m),
+    g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+          FROM isl GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_islands,
+           CAST(sum(i_e - i_s) // 1000000 AS BIGINT) AS coverage_sec,
+           CAST(max(i_e - i_s) // 1000000 AS BIGINT) AS max_island_sec
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gaps-and-islands coverage: each event opens a 15-minute activity
+    # interval; overlapping/touching intervals merge per user
+    # (operators.intervals), and the per-user summary (island count, total
+    # covered seconds with overlaps counted once, longest island) is the
+    # gate output. All math on microsecond integers with integer DIV — no
+    # floats anywhere, so the oracle (same two-window formulation in
+    # DuckDB) is exact.
+    from ..operators.intervals import coverage_stats
+
+    events = load(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("ivs"),
+        (F.col("ts") + F.expr("INTERVAL 900 SECONDS")).alias("ive"),
+    )
+    return coverage_stats(iv, ["user_id"], "ivs", "ive").orderBy("user_id")
+
+
+@query(
     "jsonl_roundtrip_ingest",
     """
     SELECT source,

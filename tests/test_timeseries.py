@@ -165,3 +165,77 @@ def test_gapfill_plan_stays_jvm_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+# --- interval merge (gaps-and-islands) --------------------------------------
+
+
+def _iv_rows(spark, rows):
+    return spark.createDataFrame(
+        [(k, _t(*a), _t(*b)) for k, a, b in rows], ["k", "s", "e"]
+    )
+
+
+def test_merge_intervals_overlap_touch_and_gap(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    df = _iv_rows(
+        spark,
+        [
+            ("a", (10, 0), (11, 0)),
+            ("a", (10, 30), (11, 30)),  # overlaps -> same island
+            ("a", (11, 30), (12, 0)),   # touches -> same island
+            ("a", (13, 0), (14, 0)),    # gap -> new island
+            ("b", (10, 0), (10, 30)),   # other key never merges with a
+        ],
+    )
+    out = {
+        (r.k, r.island_start, r.island_end): r.n_intervals
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert out == {
+        ("a", _t(10, 0), _t(12, 0)): 3,
+        ("a", _t(13, 0), _t(14, 0)): 1,
+        ("b", _t(10, 0), _t(10, 30)): 1,
+    }
+
+
+def test_merge_intervals_contained_interval(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    # [10,14) contains [11,12): running-max (not lag) must keep the island
+    # open past the short interval's end
+    df = _iv_rows(
+        spark,
+        [
+            ("a", (10, 0), (14, 0)),
+            ("a", (11, 0), (12, 0)),
+            ("a", (13, 0), (15, 0)),  # overlaps the LONG one, not the short
+        ],
+    )
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    assert out[0].island_start == _t(10, 0) and out[0].island_end == _t(15, 0)
+
+
+def test_coverage_stats_counts_overlap_once(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.intervals import (
+        coverage_stats,
+    )
+
+    df = _iv_rows(
+        spark,
+        [
+            ("a", (10, 0), (11, 0)),
+            ("a", (10, 30), (11, 30)),  # island 1: 90 min total
+            ("a", (20, 0), (20, 30)),   # island 2: 30 min
+        ],
+    )
+    r = coverage_stats(df, ["k"], "s", "e").collect()[0]
+    assert r.n_islands == 2
+    assert r.coverage_sec == 90 * 60 + 30 * 60  # overlap counted once
+    assert r.max_island_sec == 90 * 60
