@@ -51,6 +51,7 @@ PRIORITY: list[str] = [
     "dedup_winnow_top15",
     "profile_orders",
     "events_activity_islands",
+    "graph_pagerank_knn",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",

@@ -724,6 +724,141 @@ def similar_pairs_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_ORACLE = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      round(list_cosine_similarity(a.v, b.v), 6) AS score
+               FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+    knn AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY score DESC, dst) AS rk
+              FROM scored) WHERE rk <= 3),
+    edges AS (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM knn
+                UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    r1 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r2 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r3 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r2 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r4 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r3 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r5 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r4 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r6 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r5 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r7 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r6 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r8 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r7 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r9 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r8 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node),
+    r10 AS (SELECT nodes.node,
+                  (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.s, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                         AS DOUBLE) AS s
+             FROM edges e JOIN deg d ON d.src = e.src
+             JOIN r9 r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nodes.node)
+    SELECT node, round(rank, 6) AS rank FROM r10
+    ORDER BY rank DESC, node LIMIT 20
+    """
+
+
+@query("graph_pagerank_knn", _PAGERANK_ORACLE)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative graph algorithm, oracle-checked END-TO-END: build the exact
+    # 3-NN cosine graph over the embeddings (edge cut ranked on the 6-dp
+    # rounded score + id tiebreak, so the edge set is engine-identical),
+    # symmetrize it (guarantees outdeg >= 1 -> no dangling mass), run 10
+    # PageRank power iterations with DECIMAL(38,18) contribution sums
+    # (order-free), and return the top-20 nodes. The oracle unrolls all 10
+    # iterations as chained CTEs with the identical IEEE operation
+    # sequence — any drift in the graph, the damping arithmetic, or the
+    # iteration count flips the hash.
+    from ..operators import graph
+
+    emb = _emb(spark, sf_dir)
+    edges = graph.undirect(graph.knn_edges(emb, "vec_id", "embedding", k=3))
+    ranks = graph.pagerank(edges, n_iter=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
 @query("ann_lsh_top10")  # rows-only: LSH bucketing is approximate by design
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

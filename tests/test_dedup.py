@@ -157,3 +157,66 @@ def test_winnow_similar_pairs_counts_and_cap(spark):
         df, "doc_id", "text", k=8, w=4, max_doc_freq=1
     ).count()
     assert capped == 0
+
+
+# --- graph: kNN edges + PageRank --------------------------------------------
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        graph,
+    )
+
+    # undirected star: center 0 <-> leaves 1..4
+    directed = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["src", "dst"]
+    )
+    edges = graph.undirect(directed)
+    ranks = {r.node: r.rank for r in graph.pagerank(edges, n_iter=20).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    # leaves are symmetric -> identical ranks
+    assert len({round(ranks[i], 12) for i in range(1, 5)}) == 1
+    # no dangling nodes -> rank mass conserved
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_rejects_dangling_and_empty(spark):
+    import pytest
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        graph,
+    )
+
+    dangling = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 has no out
+    with pytest.raises(ValueError, match="dangling"):
+        graph.pagerank(dangling)
+
+
+def test_undirect_deduplicates_mutual_edges(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        graph,
+    )
+
+    directed = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], ["src", "dst"])
+    out = {(r.src, r.dst) for r in graph.undirect(directed).collect()}
+    assert out == {(1, 2), (2, 1), (1, 3), (3, 1)}
+
+
+def test_knn_edges_rounded_rank_and_degree(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        graph,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(vecs, ["id", "v"]).select(
+        "id", F.col("v").cast("array<double>").alias("v")
+    )
+    edges = graph.knn_edges(df, "id", "v", k=1)
+    nearest = {r.src: r.dst for r in edges.collect()}
+    assert nearest == {0: 1, 1: 0, 2: 3, 3: 2}
+    assert edges.count() == 4  # exactly k per node
