@@ -17,21 +17,23 @@ from . import timeseries  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
-# each round to keep every row's evidence at most two rounds stale (the best
-# achievable at 106 entries / 50 slots). Round-5 curation: (0) the six
+# each round to keep every row's evidence at most ~two rounds stale (the
+# best achievable at 119 entries / 50 slots). Round-5 curation: (0) the six
 # entries whose newest green row is ROUND 2 — the stalest evidence in the
-# registry; (1) entries NEW in round 5 (real PNG decode, time-travel dialect
-# round-trip) or whose code changed in round 5 (lsh_topk n_planes
-# auto-sizing changes ann_lsh_top10's result; the IVF training starvation
-# threshold can change ann_ivf_top10's); (2) the round-3-green block — 40 of
-# its 48 entries; the 8 deferred past the boundary are thin parser/filter
-# shapes (projection/alias, refsql clause combos, IN/BETWEEN/LIKE filters,
-# count-null semantics) whose code is unchanged since r2 AND whose oracles
-# run in every local pytest sweep (test_oracle_parity covers the full
-# registry) — the least-risky evidence to let age to r6, where they rotate
-# to the front along with the r4-green block. Every name must exist in
-# QUERIES; ordered_queries() raises otherwise so a rename can't silently
-# drop an entry from the gate window.
+# registry; (1) entries NEW in round 5 (time-series gapfill/interp/OHLC,
+# JSONL round-trip, winnowing, column profile, activity islands, PageRank,
+# real PNG/GIF decode, time-travel round-trip, int8 quantization, char-LM
+# quality) or whose code changed in round 5 (lsh_topk n_planes auto-sizing
+# changes ann_lsh_top10's result; the IVF training starvation threshold can
+# change ann_ivf_top10's); (2) the round-3-green block — 29 of its 48
+# entries; the 19 deferred past the boundary are eight TPC-H shapes whose
+# join/agg machinery is identically exercised by the eight kept in-window,
+# plus thin parser/filter shapes — all unchanged code whose oracles run in
+# every local pytest sweep (test_oracle_parity covers the full registry) —
+# the least-risky evidence to let age to r6, where they rotate to the front
+# along with the r4-green block. Every name must exist in QUERIES;
+# ordered_queries() raises otherwise so a rename can't silently drop an
+# entry from the gate window.
 PRIORITY: list[str] = [
     # (0) round-2 evidence — stalest rows in the registry.
     "sample_hash_deterministic",
@@ -67,16 +69,8 @@ PRIORITY: list[str] = [
     "q4_priority_with_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_nation_profit",
     "q10_returned_revenue_top20",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_orders_per_customer_distribution",
     "q14_promo_revenue_share",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q22_idle_rich_customers",
     # (2) round-3-green block: joins / windows / set ops / subqueries.
@@ -98,9 +92,18 @@ PRIORITY: list[str] = [
     "pipeline_curate_corpus",
     "tfidf_top3_terms",
     # -- ~50-slot window boundary: the deferred r3-green entries below
-    # (md5-bucket mixing/budget selection, broadcast static enrich, and
-    # thin parser/filter shapes — all unchanged code with full
+    # (eight TPC-H shapes sharing machinery with the eight kept above the
+    # line, md5-bucket mixing/budget selection, broadcast static enrich,
+    # and thin parser/filter shapes — all unchanged code with full
     # pytest-oracle coverage) age to r6, where they lead the window.
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_orders_per_customer_distribution",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
     "corpus_domain_mix",
     "corpus_token_budget_select",
     "stream_static_enrich",
