@@ -40,7 +40,13 @@ def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
     if func == "count" and column == "*":
         expr, default = F.count(F.lit(1)), "count"
     else:
-        expr, default = _AGG_FUNCS[func](column), f"{func}_{column}"
+        # Default output name uses the UNQUALIFIED column (sum_o_totalprice,
+        # not "sum_orders.o_totalprice") so a qualified reference in a
+        # joined query yields a plain referencable name.
+        expr, default = (
+            _AGG_FUNCS[func](column),
+            f"{func}_{column.rsplit('.', 1)[-1]}",
+        )
     return expr.alias(alias or default)
 
 

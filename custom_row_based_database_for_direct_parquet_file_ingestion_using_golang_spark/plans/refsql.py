@@ -24,7 +24,10 @@ Reference semantics preserved:
 
 Documented upgrades (SURVEY.md §7.4): LIMIT/OFFSET apply on every path,
 UPDATE/DELETE accept the full predicate language, multi-column GROUP BY,
-multi-assignment SET.
+multi-assignment SET, and (round 5) standard JOINs in the FROM clause —
+``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON <predicate>`` with
+qualified ``x.col`` references — the reference itself has no joins at all
+(select.go:49-54).
 """
 
 from __future__ import annotations
@@ -186,7 +189,11 @@ class ExprParser:
             arg = self.cur.next()
             if self.cur.next() != ")":
                 raise ParseError(f"expected ')' after {fn}(")
-            name = "count" if (fn == "count" and arg == "*") else f"{fn}_{_unquote(arg)}"
+            name = (
+                "count"
+                if (fn == "count" and arg == "*")
+                else f"{fn}_{_unquote(arg).rsplit('.', 1)[-1]}"
+            )
             return F.col(name), None, name
         name = _unquote(tok)
         return F.col(name), None, name
@@ -262,6 +269,11 @@ class SelectSpec:
     aggregates: list[tuple[str, str, str | None]] = field(default_factory=list)  # (fn, col, alias)
     star: bool = False
     version: int | None = None  # FROM t VERSION AS OF n (time travel)
+    alias: str | None = None  # FROM t AS x (needed to qualify join columns)
+    # Dialect extension: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON cond
+    joins: list[tuple[str, str, "str | None", Column]] = field(
+        default_factory=list
+    )  # (how, table, alias, on-condition)
 
 
 def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Query | None, dict]:
@@ -301,6 +313,9 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             spec.projections.append((name, alias))
     cur.expect_kw("from")
     spec.table = _unquote(cur.next())
+    if cur.peek_kw() == "as":
+        cur.next()
+        spec.alias = _unquote(cur.next())
     if cur.peek_kw() == "version":
         # Dialect extension (SURVEY.md §7.4): `FROM t VERSION AS OF n`
         # reads a retired copy-on-write snapshot (Engine.table_at) — the
@@ -313,6 +328,29 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             spec.version = int(vtok)
         except ValueError:
             raise ParseError(f"VERSION AS OF needs an integer, got {vtok!r}")
+
+    # Dialect extension (beyond the reference, which has no joins at all —
+    # select.go:49-54 takes a single table): standard equi/theta joins.
+    # ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON <predicate>`` —
+    # the ON predicate reuses the full WHERE expression language, with
+    # qualified ``table.column`` (or ``alias.column``) references resolving
+    # against the DataFrame aliases the executor assigns.
+    _JOIN_KWS = ("join", "inner", "left", "right", "full")
+    while cur.peek_kw() in _JOIN_KWS:
+        how = "inner"
+        if cur.peek_kw() != "join":
+            how = cur.next().lower()
+            if cur.peek_kw() == "outer":
+                cur.next()
+        cur.expect_kw("join")
+        jtable = _unquote(cur.next())
+        jalias = None
+        if cur.peek_kw() == "as":
+            cur.next()
+            jalias = _unquote(cur.next())
+        cur.expect_kw("on")
+        cond = ExprParser(cur, weak_typing).parse()
+        spec.joins.append((how, jtable, jalias, cond))
 
     clauses: dict[str, Any] = {}
     while not cur.done():
@@ -381,17 +419,32 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         q.distinct()
     if not spec.star and (spec.projections or spec.aggregates):
         cols: list[Column | str] = []
+        grouped = bool(group) or bool(spec.aggregates)
         for name, alias in spec.projections:
             # Missing-column-tolerant projection (P3, select.go:588-592):
-            # unknown columns project as NULL instead of erroring.
-            base = (
-                F.col(name)
-                if name in df.columns or (group and name in group)
-                else F.lit(None).alias(name)
-            )
+            # unknown columns project as NULL instead of erroring. Qualified
+            # x.col references (join extension) bypass the tolerance — but
+            # post-aggregation the frame carries UNQUALIFIED output names,
+            # so grouped queries reference the simple name.
+            if "." in name:
+                ref = name.rsplit(".", 1)[-1] if grouped else name
+                base = F.col(ref)
+            elif name in df.columns or (group and name in group):
+                base = F.col(name)
+            else:
+                base = F.lit(None).alias(name)
             cols.append(base.alias(alias) if alias else base)
         for fn, col, alias in spec.aggregates:
-            cols.append(F.col(alias or (f"{fn}_{col}" if col != "*" else "count")))
+            cols.append(
+                F.col(
+                    alias
+                    or (
+                        f"{fn}_{col.rsplit('.', 1)[-1]}"
+                        if col != "*"
+                        else "count"
+                    )
+                )
+            )
         if group and not spec.aggregates:
             # Lenient GROUP BY: surface the implicit COUNT(*) column
             # (select_negative_test.go:34-68 asserts it appears).
@@ -408,6 +461,26 @@ class RefSQL:
         self.engine = engine
         self.weak = weak_typing
 
+    def _from_df(self, spec: "SelectSpec") -> DataFrame:
+        """Resolve the FROM clause: base table (optionally time-travelled),
+        then any JOINs. With joins present, every table gets a DataFrame
+        alias (its AS name or its table name) so qualified ``x.col``
+        references in ON/WHERE/projections resolve; Catalyst picks
+        broadcast vs shuffle join per side as usual."""
+        df = (
+            self.engine.table_at(spec.table, spec.version)
+            if spec.version is not None
+            else self.engine.table(spec.table)
+        )
+        if spec.joins:
+            df = df.alias(spec.alias or spec.table)
+            for how, jtable, jalias, cond in spec.joins:
+                jdf = self.engine.table(jtable).alias(jalias or jtable)
+                df = df.join(jdf, cond, how)
+        elif spec.alias:
+            df = df.alias(spec.alias)
+        return df
+
     def execute(self, sql: str):
         """Run one statement. SELECT returns a DataFrame; DML returns an
         affected-row count; DDL returns None (SHOW TABLES returns a list)."""
@@ -418,12 +491,7 @@ class RefSQL:
         cur = _Cursor(toks)
         if verb == "select":
             spec, _, clauses = parse_select(cur, self.weak)
-            df = (
-                self.engine.table_at(spec.table, spec.version)
-                if spec.version is not None
-                else self.engine.table(spec.table)
-            )
-            return build_select(df, spec, clauses)
+            return build_select(self._from_df(spec), spec, clauses)
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
@@ -520,11 +588,7 @@ class RefSQL:
             if cur.peek_kw() != "select":
                 raise ParseError("EXPLAIN supports SELECT statements")
             spec, _, clauses = parse_select(cur, self.weak)
-            df = (
-                self.engine.table_at(spec.table, spec.version)
-                if spec.version is not None
-                else self.engine.table(spec.table)
-            )
+            df = self._from_df(spec)
             plan_df = build_select(df, spec, clauses)
             return plan_df._jdf.queryExecution().explainString(
                 self.engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

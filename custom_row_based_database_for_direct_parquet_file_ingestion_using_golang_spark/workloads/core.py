@@ -382,6 +382,54 @@ def refsql_where_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_join_customer_nation",
+    """
+    SELECT n_name, count(*) AS count,
+           min(c_acctbal) AS min_c_acctbal, max(c_acctbal) AS max_c_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def refsql_join_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-5 dialect extension driven END-TO-END through the gate: an
+    # inner join with a qualified ON predicate, grouped aggregates over the
+    # joined frame (min/max are order-insensitive — no float-sum hash
+    # risk), reference default output names. A parser regression in the
+    # JOIN clause, the alias plumbing, or the qualified-column resolution
+    # fails this row, not just a pytest.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT n_name, COUNT(*), MIN(customer.c_acctbal), "
+        "MAX(customer.c_acctbal) FROM customer "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "GROUP BY n_name ORDER BY n_name",
+    )
+
+
+@query(
+    "refsql_left_join_counts",
+    """
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def refsql_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LEFT JOIN through the dialect with table aliases: nations with zero
+    # customers must surface with count 0 (COUNT(col) over the null-padded
+    # side), pinning the outer-join semantics and the AS-alias resolution.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers "
+        "FROM nation AS n LEFT JOIN customer AS c "
+        "ON n.n_nationkey = c.c_nationkey "
+        "GROUP BY n.n_name ORDER BY n_name",
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

@@ -409,3 +409,62 @@ def test_summarize_through_dialect(spark, tmp_path):
     assert out["name"].min_str == "ann" and out["name"].max_str == "bob"
     with pytest.raises(ParseError, match="after SUMMARIZE"):
         e.ref_sql("SUMMARIZE m garbage")
+
+
+def test_join_through_dialect(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "jn"))
+    e.ref_sql("CREATE TABLE dept (dept_id INT, dname TEXT)")
+    e.ref_sql("INSERT INTO dept VALUES (1, 'eng')")
+    e.ref_sql("INSERT INTO dept VALUES (2, 'ops')")
+    e.ref_sql("CREATE TABLE emp (emp_id INT, ename TEXT, dept_id INT)")
+    e.ref_sql("INSERT INTO emp VALUES (10, 'ann', 1)")
+    e.ref_sql("INSERT INTO emp VALUES (11, 'bob', 1)")
+    e.ref_sql("INSERT INTO emp VALUES (12, 'cid', 3)")  # no matching dept
+    # inner join, qualified ON + projection
+    out = e.ref_sql(
+        "SELECT emp.ename, dept.dname FROM emp "
+        "JOIN dept ON emp.dept_id = dept.dept_id ORDER BY ename"
+    ).collect()
+    assert [(r.ename, r.dname) for r in out] == [("ann", "eng"), ("bob", "eng")]
+    # left join keeps the unmatched row with NULL padding
+    lj = e.ref_sql(
+        "SELECT e.ename, d.dname FROM emp AS e "
+        "LEFT JOIN dept AS d ON e.dept_id = d.dept_id ORDER BY ename"
+    ).collect()
+    assert [(r.ename, r.dname) for r in lj] == [
+        ("ann", "eng"), ("bob", "eng"), ("cid", None)
+    ]
+    # grouped aggregates over the join: default names stay unqualified
+    g = e.ref_sql(
+        "SELECT dname, COUNT(*), MIN(emp.emp_id) FROM emp "
+        "JOIN dept ON emp.dept_id = dept.dept_id GROUP BY dname ORDER BY dname"
+    )
+    assert g.columns == ["dname", "count", "min_emp_id"]
+    assert [tuple(r) for r in g.collect()] == [("eng", 2, 10)]
+    # ON supports the full predicate language (AND of comparisons)
+    theta = e.ref_sql(
+        "SELECT emp.ename FROM emp JOIN dept "
+        "ON emp.dept_id = dept.dept_id AND dept.dname = 'eng' "
+        "WHERE emp.emp_id > 10"
+    ).collect()
+    assert [r.ename for r in theta] == ["bob"]
+
+
+def test_join_through_dialect_parse_errors(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "jnerr"))
+    e.ref_sql("CREATE TABLE a (x INT)")
+    e.ref_sql("CREATE TABLE b (y INT)")
+    with pytest.raises(ParseError, match="expected ON"):
+        e.ref_sql("SELECT * FROM a JOIN b WHERE x = 1")
+    with pytest.raises(ParseError, match="expected JOIN"):
+        e.ref_sql("SELECT * FROM a LEFT b ON x = y")
+
+
+def test_join_explain_through_dialect(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "jnex"))
+    e.ref_sql("CREATE TABLE t1 (k INT)")
+    e.ref_sql("CREATE TABLE t2 (k INT)")
+    e.ref_sql("INSERT INTO t1 VALUES (1)")
+    e.ref_sql("INSERT INTO t2 VALUES (1)")
+    plan = e.ref_sql("EXPLAIN SELECT * FROM t1 JOIN t2 ON t1.k = t2.k")
+    assert "Join" in plan
