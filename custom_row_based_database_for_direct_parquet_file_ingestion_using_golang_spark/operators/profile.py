@@ -109,3 +109,56 @@ def profile(
     return one.select(
         F.explode(F.array(*[_row(c) for c in cols])).alias("p")
     ).select("p.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per bucket —
+    (bucket, lo, hi, n) — INCLUDING empty buckets (generated grid, so the
+    output shape is fixed by ``bins``, not by the data).
+
+    With explicit ``lo``/``hi`` the bucketing expression is pure row-local
+    arithmetic on literals (codegen, one aggregate pass, exactly
+    reproducible in a SQL oracle). When either bound is omitted it comes
+    from a min/max aggregate first (an extra tiny job whose 1-row result is
+    cross-joined in — still no driver collect in the data path... except
+    the two bounds themselves, which are scalars by definition). Values at
+    exactly ``hi`` fold into the last bucket (closed upper edge, the
+    standard convention); values outside [lo, hi] are dropped.
+    """
+    if bins < 1:
+        raise ValueError("histogram: bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"histogram: need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    bucket = F.least(
+        F.lit(bins - 1), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    counts = (
+        df.filter((v >= lo) & (v <= hi))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket")
+    )

@@ -1375,6 +1375,40 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_totalprice",
+    """
+    WITH params AS (SELECT 0.0 AS lo, 500000.0 AS hi, 20 AS bins,
+                           (500000.0 - 0.0) / 20 AS width),
+    counts AS (
+      SELECT least(bins - 1,
+                   CAST(floor((CAST(o_totalprice AS DOUBLE) - lo) / width)
+                        AS INT)) AS bucket,
+             count(*) AS n
+      FROM orders CROSS JOIN params
+      WHERE CAST(o_totalprice AS DOUBLE) >= lo
+        AND CAST(o_totalprice AS DOUBLE) <= hi
+      GROUP BY 1),
+    grid AS (SELECT CAST(unnest(generate_series(0, bins - 1)) AS INT) AS bucket
+             FROM params)
+    SELECT g.bucket, lo + g.bucket * width AS lo,
+           lo + (g.bucket + 1) * width AS hi, coalesce(c.n, 0) AS n
+    FROM grid g CROSS JOIN params LEFT JOIN counts c ON c.bucket = g.bucket
+    ORDER BY g.bucket
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-width 20-bucket histogram of order totals over an EXPLICIT
+    # [0, 500000] range: the bucketing expression is row-local double
+    # arithmetic on literals (identical IEEE ops in the oracle), empty
+    # buckets surface via the generated grid, and the closed upper edge
+    # folds hi into the last bucket on both sides.
+    from ..operators.profile import histogram
+
+    orders = load(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=20, lo=0.0, hi=500000.0)
+
+
+@query(
     "cube_status_priority",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,

@@ -932,3 +932,37 @@ def test_profile_approx_mode_single_pass_no_expand(spark):
     assert "Expand" not in approx_plan
     p = {r.column: r for r in approx.collect()}
     assert p["g"].n_distinct == 7  # HLL exact at tiny cardinality
+
+
+def test_histogram_explicit_bounds_and_empty_buckets(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.5,), (9.99,), (10.0,), (4.2,), (-5.0,), (99.0,)], ["v"]
+    )
+    out = {r.bucket: (r.lo, r.hi, r.n) for r in histogram(df, "v", 5, 0.0, 10.0).collect()}
+    assert len(out) == 5  # fixed shape, empty buckets included
+    assert out[0] == (0.0, 2.0, 2)   # 0.0, 1.5
+    assert out[1] == (2.0, 4.0, 0)   # empty
+    assert out[2] == (4.0, 6.0, 1)   # 4.2
+    assert out[4] == (8.0, 10.0, 2)  # 9.99 plus hi=10.0 folded in
+    # -5.0 and 99.0 dropped (outside range)
+    assert sum(n for _, _, n in out.values()) == 5
+
+
+def test_histogram_data_derived_bounds_and_errors(spark):
+    import pytest
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        histogram,
+    )
+
+    df = spark.createDataFrame([(10.0,), (20.0,), (30.0,)], ["v"])
+    out = histogram(df, "v", 2).collect()
+    assert out[0].lo == 10.0 and out[-1].hi == 30.0
+    assert sum(r.n for r in out) == 3
+    with pytest.raises(ValueError, match="bins"):
+        histogram(df, "v", 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "v", 4, lo=5.0, hi=5.0)
