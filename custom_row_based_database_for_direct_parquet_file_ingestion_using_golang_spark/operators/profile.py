@@ -111,6 +111,62 @@ def profile(
     ).select("p.*")
 
 
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns: one row per
+    unordered pair (col_x, col_y, n, corr), computed in ONE aggregate job.
+
+    Determinism: the five sufficient statistics per pair (Σx, Σy, Σx²,
+    Σy², Σxy over the pairwise-complete rows) are summed in
+    DECIMAL(38,12) — order-free, so the result is identical across
+    partitionings and engines; the closed-form
+    ``(n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²̂) · √(n·Σy² − Σy²̂))`` then runs in
+    doubles with a fixed operation order a SQL oracle can mirror exactly.
+    Zero-variance pairs yield NULL (never ±inf). ``F.corr`` would be one
+    reduce too — but its float accumulation order is partition-dependent,
+    which is exactly what the decimal path removes."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    dec = "decimal(38,12)"
+    aggs = []
+    for k, (x, y) in enumerate(pairs):
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        vx = F.when(both, F.col(x).cast("double"))
+        vy = F.when(both, F.col(y).cast("double"))
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"_n{k}"),
+            F.sum(vx.cast(dec)).cast("double").alias(f"_sx{k}"),
+            F.sum(vy.cast(dec)).cast("double").alias(f"_sy{k}"),
+            F.sum((vx * vx).cast(dec)).cast("double").alias(f"_sxx{k}"),
+            F.sum((vy * vy).cast(dec)).cast("double").alias(f"_syy{k}"),
+            F.sum((vx * vy).cast(dec)).cast("double").alias(f"_sxy{k}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _row(k: int, x: str, y: str):
+        n = F.col(f"_n{k}").cast("double")
+        sx, sy = F.col(f"_sx{k}"), F.col(f"_sy{k}")
+        sxx, syy, sxy = F.col(f"_sxx{k}"), F.col(f"_syy{k}"), F.col(f"_sxy{k}")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        return F.struct(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            F.col(f"_n{k}").alias("n"),
+            F.when(den != 0, num / den).alias("corr"),
+        )
+
+    return one.select(
+        F.explode(
+            F.array(*[_row(k, x, y) for k, (x, y) in enumerate(pairs)])
+        ).alias("p")
+    ).select("p.*")
+
+
 def histogram(
     df: DataFrame,
     col: str,

@@ -1409,6 +1409,136 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corr_lineitem",
+    """
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+  UNION ALL
+  SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
+  UNION ALL
+  SELECT 'l_quantity' AS col_x, 'l_tax' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL)
+  UNION ALL
+  SELECT 'l_extendedprice' AS col_x, 'l_discount' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+  UNION ALL
+  SELECT 'l_extendedprice' AS col_x, 'l_tax' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL)
+  UNION ALL
+  SELECT 'l_discount' AS col_x, 'l_tax' AS col_y, cnt AS n,
+         CASE WHEN sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy) <> 0
+              THEN round((nd * sxy - sx * sy)
+                         / (sqrt(nd * sxx - sx * sx)
+                            * sqrt(nd * syy - sy * sy)), 6)
+         END AS corr
+  FROM (
+    SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS nd,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM lineitem WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL)
+  ORDER BY col_x, col_y
+    """,
+)
+def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson correlations over the lineitem measures in one
+    # aggregate job. The sufficient statistics are DECIMAL(38,12) sums
+    # (order-free — `F.corr` would accumulate floats in partition order),
+    # and the closed form runs the identical IEEE operation sequence as
+    # the oracle before round(6).
+    from ..operators.profile import corr_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    cm = corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    return cm.select(
+        "col_x", "col_y", "n", F.round("corr", 6).alias("corr")
+    ).orderBy("col_x", "col_y")
+
+
+@query(
     "cube_status_priority",
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,

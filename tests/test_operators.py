@@ -966,3 +966,30 @@ def test_histogram_data_derived_bounds_and_errors(spark):
         histogram(df, "v", 0)
     with pytest.raises(ValueError, match="hi > lo"):
         histogram(df, "v", 4, lo=5.0, hi=5.0)
+
+
+def test_corr_matrix_known_values_and_nulls(spark):
+    import math
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.profile import (
+        corr_matrix,
+    )
+
+    rows = [
+        (1.0, 2.0, 5.0),
+        (2.0, 4.0, 4.0),
+        (3.0, 6.0, 3.0),
+        (4.0, 8.0, None),  # pairwise-complete: (a,c) drops this row
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = {(r.col_x, r.col_y): r for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")].n == 4 and abs(out[("a", "b")].corr - 1.0) < 1e-12
+    assert out[("a", "c")].n == 3 and abs(out[("a", "c")].corr - (-1.0)) < 1e-12
+    # zero variance -> NULL, not inf/NaN
+    dfz = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], ["x", "y"])
+    z = corr_matrix(dfz, ["x", "y"]).collect()[0]
+    assert z.corr is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least two"):
+        corr_matrix(df, ["a"])
