@@ -100,6 +100,9 @@ class Engine:
         self.catalog = Catalog(root)
         self.store = ParquetTableStore(spark, root, keep_snapshots=keep_snapshots)
         self.image_dir = image_dir or ""
+        from .matview import MaterializedViews
+
+        self.mviews = MaterializedViews(self)
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the table as of a retired snapshot (requires the
@@ -184,13 +187,33 @@ class Engine:
     # ---- scans ----------------------------------------------------------
 
     def table(self, name: str) -> DataFrame:
+        if name not in self.catalog and name in self.mviews:
+            # Materialized views read like tables: finalized from the
+            # stored partial-aggregate state, no base-table access.
+            return self.mviews.read(name)
         meta = self.catalog.get(name)
         return self.store.read(name, meta.schema)
 
+    def append_df(self, name: str, df: DataFrame) -> int:
+        """Append a DataFrame to an existing table (columns are aligned to
+        the declared schema by name). The append-only fast path — no
+        copy-on-write rewrite, and materialized views over the table can
+        refresh incrementally from just the new files."""
+        meta = self.catalog.get(name)
+        aligned = df.select(
+            *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
+        )
+        n = aligned.count()
+        self.store.append(name, aligned, meta.partition_by)
+        return n
+
     def register_views(self) -> None:
-        """Expose every catalog table as a temp view for the SQL surface."""
+        """Expose every catalog table (and materialized view) as a temp
+        view for the SQL surface."""
         for name in self.catalog.show_tables():
             self.table(name).createOrReplaceTempView(name)
+        for name in self.mviews.names():
+            self.mviews.read(name).createOrReplaceTempView(name)
 
     def sql(self, text: str) -> DataFrame:
         self.register_views()

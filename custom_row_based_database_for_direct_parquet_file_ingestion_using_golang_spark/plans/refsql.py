@@ -502,10 +502,44 @@ class RefSQL:
             return self._create(cur)
         if verb == "drop":
             cur.expect_kw("drop")
+            if cur.peek_kw() == "materialized":
+                cur.next()
+                cur.expect_kw("view")
+                name = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after DROP "
+                        "MATERIALIZED VIEW"
+                    )
+                self.engine.mviews.drop(name)
+                return None
             cur.expect_kw("table")
             self.engine.drop_table(_unquote(cur.next()))
             return None
+        if verb == "refresh":
+            # Dialect extension: ``REFRESH MATERIALIZED VIEW mv`` —
+            # incremental maintenance from the base table's new parquet
+            # files (full recompute iff the base was rewritten).
+            cur.expect_kw("refresh")
+            cur.expect_kw("materialized")
+            cur.expect_kw("view")
+            name = _unquote(cur.next())
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after REFRESH"
+                )
+            return self.engine.mviews.refresh(name)
         if verb == "show":
+            if len(toks) >= 2 and toks[1].lower() == "materialized":
+                cur.next()
+                cur.next()
+                cur.expect_kw("views")
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after SHOW "
+                        "MATERIALIZED VIEWS"
+                    )
+                return self.engine.mviews.names() or ["(no materialized views)"]
             if len(toks) >= 2 and toks[1].lower() == "versions":
                 # SHOW VERSIONS FOR t: list the retired snapshot numbers a
                 # VERSION AS OF query can read (companion to time travel).
@@ -733,8 +767,22 @@ class RefSQL:
         where = ExprParser(cur, self.weak).parse()
         return self.engine.delete(table, where)
 
-    def _create(self, cur: _Cursor) -> None:
+    def _create(self, cur: _Cursor):
         cur.expect_kw("create")
+        if cur.peek_kw() == "materialized":
+            # Dialect extension: ``CREATE MATERIALIZED VIEW mv AS SELECT
+            # <aggs> FROM t [WHERE ...] [GROUP BY ...]`` — incrementally
+            # maintained summary (matview.py).
+            cur.next()
+            cur.expect_kw("view")
+            name = _unquote(cur.next())
+            cur.expect_kw("as")
+            rest = cur.toks[cur.i :]
+            if not rest or rest[0].lower() != "select":
+                raise ParseError("CREATE MATERIALIZED VIEW needs AS SELECT ...")
+            cur.i = len(cur.toks)
+            self.engine.mviews.create(name, " ".join(rest))
+            return None
         cur.expect_kw("table")
         table = _unquote(cur.next())
         if cur.next() != "(":

@@ -18,17 +18,17 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 123 entries / 50 slots). Round-5 curation: (0) the six
+# best achievable at 124 entries / 50 slots). Round-5 curation: (0) the six
 # entries whose newest green row is ROUND 2 — the stalest evidence in the
 # registry; (1) entries NEW in round 5 (time-series gapfill/interp/OHLC,
 # JSONL round-trip, winnowing, column profile, activity islands, PageRank,
 # real PNG/GIF decode, time-travel round-trip, int8 quantization, char-LM
 # quality) or whose code changed in round 5 (lsh_topk n_planes auto-sizing
 # changes ann_lsh_top10's result; the IVF training starvation threshold can
-# change ann_ivf_top10's); (2) the round-3-green block — 25 of its 48
-# entries; the 23 deferred past the boundary are eight TPC-H shapes whose
+# change ann_ivf_top10's); (2) the round-3-green block — 24 of its 48
+# entries; the 24 deferred past the boundary are eight TPC-H shapes whose
 # join/agg machinery is identically exercised by the eight kept in-window,
-# a window/rollup/pivot quartet covered by the kept lag/cube entries,
+# a window/rollup/pivot block covered by the kept cube/running entries,
 # plus thin parser/filter shapes — all unchanged code whose oracles run in
 # every local pytest sweep (test_oracle_parity covers the full registry) —
 # the least-risky evidence to let age to r6, where they rotate to the front
@@ -50,6 +50,7 @@ PRIORITY: list[str] = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "timetravel_version_as_of",
+    "mv_incremental_refresh",
     "jsonl_roundtrip_ingest",
     "dedup_winnow_top15",
     "profile_orders",
@@ -84,7 +85,6 @@ PRIORITY: list[str] = [
     "join_semi_exists",
     "setop_union_intersect_except",
     "subquery_above_avg",
-    "window_lag_delta",
     "range_join_follow_events",
     "merge_upsert_orders",
     # (2) round-3-green block: events / corpus / ranking / streaming.
@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     # line, md5-bucket mixing/budget selection, broadcast static enrich,
     # and thin parser/filter shapes — all unchanged code with full
     # pytest-oracle coverage) age to r6, where they lead the window.
+    "window_lag_delta",
     "pivot_status_by_priority",
     "window_ntile_quartiles",
     "window_running_revenue",

@@ -441,6 +441,75 @@ def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mv_incremental_refresh",
+    """
+    WITH base AS (SELECT * FROM orders
+                  UNION ALL SELECT * FROM orders WHERE o_orderkey < 1000)
+    SELECT o_orderstatus, count(*) AS count,
+           CAST(round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                                AS DOUBLE) AS DECIMAL(20,9)), 2) AS DOUBLE)
+             AS total,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice,
+           CAST(round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                                AS DOUBLE) / count(o_totalprice)
+                           AS DECIMAL(20,9)), 4) AS DOUBLE) AS avg_p
+    FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental materialized-view maintenance END-TO-END through the
+    # dialect: ingest orders, CREATE MATERIALIZED VIEW grouped by status,
+    # append a deterministic slice of the base (new parquet files only),
+    # REFRESH — which must take the INCREMENTAL path (asserted) and merge
+    # the delta's partial aggregates into the stored state — then read the
+    # finalized view. The oracle aggregates base ∪ slice directly with the
+    # same DECIMAL(38,6) sums the state carries, so a wrong merge, a
+    # double-counted file, or a missed group flips the hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_mv_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_mvb")
+    e.ref_sql(
+        "CREATE MATERIALIZED VIEW orders_mv AS "
+        "SELECT o_orderstatus, COUNT(*), SUM(o_totalprice) AS total, "
+        "MIN(o_totalprice), MAX(o_totalprice), AVG(o_totalprice) AS avg_p "
+        "FROM orders_mvb GROUP BY o_orderstatus"
+    )
+    extra = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 1000
+    )
+    e.append_df("orders_mvb", extra)
+    msg = e.ref_sql("REFRESH MATERIALIZED VIEW orders_mv")
+    assert "incremental" in msg, msg
+    snap2 = lambda c, a: (  # noqa: E731 — decimal-snap round, oracle-mirrored
+        F.round(F.col(c).cast("decimal(20,9)"), 2).cast("double").alias(a)
+    )
+    return (
+        e.table("orders_mv")
+        .select(
+            "o_orderstatus",
+            "count",
+            snap2("total", "total"),
+            F.col("min_o_totalprice"),
+            F.col("max_o_totalprice"),
+            F.round(F.col("avg_p").cast("decimal(20,9)"), 4)
+            .cast("double")
+            .alias("avg_p"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --- sequence packing ------------------------------------------------------
 
 
