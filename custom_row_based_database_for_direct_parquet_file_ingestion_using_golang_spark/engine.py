@@ -495,6 +495,13 @@ class Engine:
         self.catalog.add_table(meta)
         return int(obs.get["rows"] or 0)
 
+    def create_table_from(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """CTAS: materialize a DataFrame as a new engine table (declared
+        schema from the frame; one distributed write)."""
+        return self._register_ingested(name, df, partition_by)
+
     def ingest_parquet(
         self, path: str, name: str, partition_by: list[str] | None = None
     ) -> int:

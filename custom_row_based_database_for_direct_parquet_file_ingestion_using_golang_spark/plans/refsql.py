@@ -702,6 +702,29 @@ class RefSQL:
                 if tok == ",":
                     continue
                 cols.append(_unquote(tok))
+        if cur.peek_kw() == "select":
+            # Dialect extension: ``INSERT INTO t [(cols)] SELECT ...`` —
+            # set-based append (the reference inserts one VALUES row at a
+            # time). The SELECT result is aligned/cast to the target's
+            # declared schema; with an explicit column list, unnamed
+            # columns fill with NULL.
+            spec, _, clauses = parse_select(cur, self.weak)
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after INSERT ... SELECT"
+                )
+            src = build_select(self._from_df(spec), spec, clauses)
+            declared = self.engine.catalog.get(table).columns
+            targets = cols if cols is not None else [c.name for c in declared]
+            if len(targets) != len(src.columns):
+                raise ParseError(
+                    f"INSERT targets {len(targets)} column(s), SELECT "
+                    f"produces {len(src.columns)}"
+                )
+            src = src.toDF(*targets)  # positional binding, standard SQL
+            for m in [c.name for c in declared if c.name not in targets]:
+                src = src.withColumn(m, F.lit(None))
+            return self.engine.append_df(table, src)
         cur.expect_kw("values")
         rows: list[dict] = []
         declared = [c.name for c in self.engine.catalog.get(table).columns]
@@ -784,6 +807,20 @@ class RefSQL:
             self.engine.mviews.create(name, " ".join(rest))
             return None
         cur.expect_kw("table")
+        if cur.peek_kw(1) == "as" and cur.peek_kw(2) == "select":
+            # Dialect extension: ``CREATE TABLE t AS SELECT ...`` — CTAS.
+            # One distributed write; the new table's declared schema comes
+            # from the SELECT result (same registration path as ingest).
+            name = _unquote(cur.next())
+            cur.next()  # AS
+            spec, _, clauses = parse_select(cur, self.weak)
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
+                )
+            df = build_select(self._from_df(spec), spec, clauses)
+            self.engine.create_table_from(name, df)
+            return None
         table = _unquote(cur.next())
         if cur.next() != "(":
             raise ParseError("expected '(' after table name")

@@ -430,6 +430,55 @@ def refsql_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_ctas_insert_select",
+    """
+    WITH hot AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_totalprice < 2000
+    )
+    SELECT o_orderstatus, count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM hot GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_ctas_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CTAS + set-based INSERT ... SELECT through the dialect: materialize
+    # the high-value slice as a new table, append the low-value slice with
+    # INSERT..SELECT, aggregate the result. Order-insensitive aggregates
+    # (count/min/max) keep the hash float-safe; the oracle unions the two
+    # slices directly.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_ctas_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_ct")
+    e.ref_sql(
+        "CREATE TABLE hot_ct AS SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice FROM orders_ct WHERE o_totalprice > 400000"
+    )
+    e.ref_sql(
+        "INSERT INTO hot_ct SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders_ct WHERE o_totalprice < 2000"
+    )
+    return e.ref_sql(
+        "SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), "
+        "MAX(o_totalprice) FROM hot_ct "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

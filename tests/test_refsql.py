@@ -468,3 +468,30 @@ def test_join_explain_through_dialect(spark, tmp_path):
     e.ref_sql("INSERT INTO t2 VALUES (1)")
     plan = e.ref_sql("EXPLAIN SELECT * FROM t1 JOIN t2 ON t1.k = t2.k")
     assert "Join" in plan
+
+
+def test_ctas_and_insert_select(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "ctas"))
+    e.ref_sql("CREATE TABLE src (k INT, v TEXT, amt DECIMAL)")
+    for vals in ["(1, 'a', 10.0)", "(2, 'b', 20.0)", "(3, 'a', 30.0)"]:
+        e.ref_sql(f"INSERT INTO src VALUES {vals}")
+    # CTAS materializes a filtered projection with the SELECT's schema
+    e.ref_sql("CREATE TABLE hot AS SELECT k, amt FROM src WHERE amt > 15")
+    assert sorted(tuple(r) for r in e.table("hot").collect()) == [
+        (2, 20.0), (3, 30.0)
+    ]
+    # set-based append, positional binding
+    n = e.ref_sql("INSERT INTO hot SELECT k, amt FROM src WHERE k = 1")
+    assert n == 1 and e.table("hot").count() == 3
+    # explicit column list: unnamed declared columns fill with NULL
+    e.ref_sql("CREATE TABLE wide (k INT, v TEXT, amt DECIMAL)")
+    e.ref_sql("INSERT INTO wide (k, amt) SELECT k, amt FROM src WHERE k = 2")
+    r = e.table("wide").collect()[0]
+    assert (r.k, r.v, r.amt) == (2, None, 20.0)
+    # arity mismatch is a parse-time error
+    with pytest.raises(ParseError, match="targets 2"):
+        e.ref_sql("INSERT INTO wide (k, amt) SELECT k FROM src")
+    # CTAS over a join
+    e.ref_sql("CREATE TABLE joined AS SELECT a.k, b.v FROM src AS a "
+              "JOIN src AS b ON a.k = b.k WHERE a.amt > 25")
+    assert [tuple(r) for r in e.table("joined").collect()] == [(3, "a")]
