@@ -54,6 +54,7 @@ _TOKEN_RE = re.compile(
 )
 
 AGG_FUNCS = {"count", "sum", "avg", "min", "max"}
+WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
 KEYWORDS_STOP = {
     "from", "where", "group", "having", "order", "limit", "offset", "by",
     "and", "or", "not", "in", "between", "like", "as", "desc", "asc",
@@ -270,6 +271,10 @@ class SelectSpec:
     star: bool = False
     version: int | None = None  # FROM t VERSION AS OF n (time travel)
     alias: str | None = None  # FROM t AS x (needed to qualify join columns)
+    # Dialect extension: fn(args) OVER ([PARTITION BY ...] [ORDER BY ...])
+    windows: list[tuple[str, list, str, list, list]] = field(
+        default_factory=list
+    )  # (fn, args, alias, partition_cols, [(order_col, desc)])
     # Dialect extension: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON cond
     joins: list[tuple[str, str, "str | None", Column]] = field(
         default_factory=list
@@ -293,17 +298,62 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         low = tok.lower()
         if tok == "*":
             spec.star = True
-        elif low in AGG_FUNCS and cur.peek() == "(":
+        elif (low in AGG_FUNCS or low in WINDOW_FUNCS) and cur.peek() == "(":
             cur.next()  # (
-            arg = cur.next()
-            col = "*" if arg == "*" else _unquote(arg)
-            if cur.next() != ")":
-                raise ParseError(f"expected ')' after {low}(")
-            alias = None
-            if cur.peek_kw() == "as":
+            args: list[str] = []
+            while True:
+                t = cur.next()
+                if t == ")":
+                    break
+                if t == ",":
+                    continue
+                args.append("*" if t == "*" else _unquote(t))
+            if cur.peek_kw() == "over":
+                # Dialect extension: window functions — ``fn(args) OVER
+                # ([PARTITION BY c, ...] [ORDER BY c [DESC], ...]) AS x``.
+                cur.next()
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after OVER")
+                part: list[str] = []
+                order: list[tuple[str, bool]] = []
+                if cur.peek_kw() == "partition":
+                    cur.next()
+                    cur.expect_kw("by")
+                    part.append(_unquote(cur.next()))
+                    while cur.peek() == ",":
+                        cur.next()
+                        part.append(_unquote(cur.next()))
+                if cur.peek_kw() == "order":
+                    cur.next()
+                    cur.expect_kw("by")
+                    while True:
+                        c = _unquote(cur.next())
+                        desc = False
+                        if cur.peek_kw() in ("asc", "desc"):
+                            desc = cur.next().lower() == "desc"
+                        order.append((c, desc))
+                        if cur.peek() != ",":
+                            break
+                        cur.next()
+                if cur.next() != ")":
+                    raise ParseError("expected ')' to close OVER")
+                if cur.peek_kw() != "as":
+                    raise ParseError(
+                        f"window function {low}(...) OVER needs AS <alias>"
+                    )
                 cur.next()
                 alias = _unquote(cur.next())
-            spec.aggregates.append((low, col, alias))
+                spec.windows.append((low, args, alias, part, order))
+            else:
+                if low not in AGG_FUNCS:
+                    raise ParseError(f"{low}(...) requires an OVER clause")
+                if len(args) != 1:
+                    raise ParseError(f"{low}() takes exactly one argument")
+                alias = None
+                if cur.peek_kw() == "as":
+                    cur.next()
+                    alias = _unquote(cur.next())
+                spec.aggregates.append((low, args[0], alias))
         else:
             name = _unquote(tok)
             alias = None
@@ -397,7 +447,54 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
     return spec, None, clauses
 
 
+def _window_column(fn: str, args: list, part: list, order: list) -> Column:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*[F.col(c) for c in part])
+    if order:
+        w = w.orderBy(
+            *[(F.col(c).desc() if d else F.col(c).asc()) for c, d in order]
+        )
+    if fn in ("row_number", "rank", "dense_rank"):
+        if args:
+            raise ParseError(f"{fn}() takes no arguments")
+        return getattr(F, fn)().over(w)
+    if fn in ("lag", "lead"):
+        if not 1 <= len(args) <= 2:
+            raise ParseError(f"{fn}(col [, offset]) takes 1-2 arguments")
+        off = int(args[1]) if len(args) == 2 else 1
+        return getattr(F, fn)(F.col(args[0]), off).over(w)
+    if fn == "ntile":
+        if len(args) != 1:
+            raise ParseError("ntile(n) takes exactly one argument")
+        return F.ntile(int(args[0])).over(w)
+    # aggregate-over-window: count/sum/avg/min/max
+    if len(args) != 1:
+        raise ParseError(f"{fn}() takes exactly one argument")
+    src = F.lit(1) if (fn == "count" and args[0] == "*") else F.col(args[0])
+    return getattr(F, fn)(src).over(w)
+
+
 def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
+    if spec.windows:
+        # Standard SQL evaluation order: windows compute AFTER the WHERE
+        # filter, at SELECT stage. Mixing window functions with GROUP BY
+        # aggregates is out of the v1 surface (use a CTE-free two-step or
+        # Engine.sql).
+        if spec.aggregates or clauses.get("group_by"):
+            raise ParseError(
+                "window functions cannot be combined with GROUP BY "
+                "aggregates in one SELECT"
+            )
+        if "where" in clauses:
+            df = df.filter(clauses["where"])
+            clauses = {k: v for k, v in clauses.items() if k != "where"}
+        for fn, args, alias, part, order in spec.windows:
+            df = df.withColumn(alias, _window_column(fn, args, part, order))
+        # Window aliases become plain projectable columns downstream.
+        spec.projections = spec.projections + [
+            (alias, None) for _, _, alias, _, _ in spec.windows
+        ]
     q = Query(df)
     if "where" in clauses:
         q.where(clauses["where"])

@@ -479,6 +479,35 @@ def refsql_ctas_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_window_topk",
+    """
+    WITH r AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS INT) AS rn
+      FROM orders)
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rn
+    FROM r ORDER BY rn, o_orderstatus LIMIT 9
+    """,
+)
+def refsql_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window functions through the dialect: per-status price ranking with a
+    # deterministic (price DESC, key) order, top-3 ranks across the three
+    # statuses. The oracle computes the identical window in ANSI SQL — a
+    # partition/order/frame bug in the OVER plumbing reorders rows and
+    # flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders ORDER BY rn, o_orderstatus LIMIT 9",
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

@@ -495,3 +495,52 @@ def test_ctas_and_insert_select(spark, tmp_path):
     e.ref_sql("CREATE TABLE joined AS SELECT a.k, b.v FROM src AS a "
               "JOIN src AS b ON a.k = b.k WHERE a.amt > 25")
     assert [tuple(r) for r in e.table("joined").collect()] == [(3, "a")]
+
+
+def test_window_functions_through_dialect(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "win"))
+    e.ref_sql("CREATE TABLE scores (team TEXT, player TEXT, pts INT)")
+    for vals in [
+        "('a', 'p1', 30)", "('a', 'p2', 20)", "('a', 'p3', 10)",
+        "('b', 'p4', 5)", "('b', 'p5', 15)",
+    ]:
+        e.ref_sql(f"INSERT INTO scores VALUES {vals}")
+    out = e.ref_sql(
+        "SELECT team, player, pts, "
+        "ROW_NUMBER() OVER (PARTITION BY team ORDER BY pts DESC) AS rn, "
+        "LAG(pts) OVER (PARTITION BY team ORDER BY pts DESC) AS prev, "
+        "SUM(pts) OVER (PARTITION BY team ORDER BY pts DESC) AS run "
+        "FROM scores ORDER BY team, rn"
+    ).collect()
+    got = [(r.team, r.player, r.rn, r.prev, r.run) for r in out]
+    assert got == [
+        ("a", "p1", 1, None, 30), ("a", "p2", 2, 30, 50),
+        ("a", "p3", 3, 20, 60), ("b", "p5", 1, None, 15),
+        ("b", "p4", 2, 15, 20),
+    ]
+    # global window (no PARTITION BY) + ntile
+    q = e.ref_sql(
+        "SELECT player, NTILE(2) OVER (ORDER BY pts DESC) AS half "
+        "FROM scores ORDER BY pts DESC"
+    ).collect()
+    assert [r.half for r in q] == [1, 1, 1, 2, 2]
+    # WHERE applies BEFORE the window (standard SQL)
+    f = e.ref_sql(
+        "SELECT player, RANK() OVER (ORDER BY pts DESC) AS rk "
+        "FROM scores WHERE team = 'a' ORDER BY rk"
+    ).collect()
+    assert [(r.player, r.rk) for r in f] == [("p1", 1), ("p2", 2), ("p3", 3)]
+
+
+def test_window_function_dialect_errors(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "winerr"))
+    e.ref_sql("CREATE TABLE t (g TEXT, v INT)")
+    with pytest.raises(ParseError, match="needs AS"):
+        e.ref_sql("SELECT ROW_NUMBER() OVER (ORDER BY v) FROM t")
+    with pytest.raises(ParseError, match="requires an OVER"):
+        e.ref_sql("SELECT ROW_NUMBER() FROM t")
+    with pytest.raises(ParseError, match="cannot be combined"):
+        e.ref_sql(
+            "SELECT g, COUNT(*), ROW_NUMBER() OVER (ORDER BY g) AS rn "
+            "FROM t GROUP BY g"
+        )
