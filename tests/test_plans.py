@@ -189,3 +189,55 @@ def test_char_lm_model_join_is_broadcast(spark, sf_dir):
     # the bigram stream against the model.
     df = w.QUERIES["text_char_lm_quality"](spark, sf_dir)
     assert has_broadcast_join(df), "char-LM model join lost its broadcast"
+
+
+def test_dialect_join_broadcasts_dimension(spark, tmp_path):
+    # A dialect JOIN against a dimension-sized table must plan as a
+    # broadcast hash join — the FROM-clause extension goes through the
+    # same Catalyst path as the DataFrame API, so AQE/broadcast thresholds
+    # apply unchanged.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path / "pjoin"))
+    e.ingest_parquet("/root/testdata/sf0.001/customer.parquet", "customer")
+    e.ingest_parquet("/root/testdata/sf0.001/nation.parquet", "nation")
+    df = e.ref_sql(
+        "SELECT n_name, COUNT(*) FROM customer "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "GROUP BY n_name"
+    )
+    assert has_broadcast_join(df), "dialect join lost the dimension broadcast"
+
+
+def test_winnow_pipeline_stays_jvm_side(spark, sf_dir):
+    # Winnowing is Column algebra end-to-end: gram generation (transform/
+    # explode), window minima, and the pair join must never drop into a
+    # Python worker.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        dedup,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = dedup.winnow_fingerprints(docs, "doc_id", "text", 8, 16)
+    txt = plan_text(fp)
+    assert "EvalPython" not in txt, txt
+    assert "Window" in txt and "Generate" in txt
+
+
+def test_gapfill_grid_join_and_single_window_sort(spark, sf_dir):
+    # The gapfill plan must contain the generated grid (Generate/explode)
+    # and keep LOCF inside JVM window operators; the rollup is the only
+    # aggregate exchange over fact data.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    df = w.QUERIES["ts_gapfill_locf"](spark, sf_dir)
+    txt = plan_text(df)
+    assert "EvalPython" not in txt, txt
+    assert "Generate" in txt and "Window" in txt
