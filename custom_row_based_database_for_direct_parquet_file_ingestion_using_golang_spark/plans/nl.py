@@ -157,12 +157,18 @@ def is_natural_language(text: str) -> bool:
     words = [w.lower() for w in text.strip().split()] or [""]
     first = words[0]
     if first == "show":
-        # 'SHOW TABLES' / 'SHOW VERSIONS FOR t' are SQL; 'show me all
-        # students' is NL.
-        return not (len(words) > 1 and words[1] in ("tables", "versions"))
+        # 'SHOW TABLES' / 'SHOW VERSIONS FOR t' / 'SHOW MATERIALIZED VIEWS'
+        # are SQL; 'show me all students' is NL.
+        return not (
+            len(words) > 1 and words[1] in ("tables", "versions", "materialized")
+        )
+    if first == "summarize":
+        # 'SUMMARIZE t' is SQL; 'summarize the sales for me' is NL.
+        return len(words) != 2
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
         "optimize", "vacuum", "alter", "explain", "describe", "copy",
+        "refresh",
     )
 
 

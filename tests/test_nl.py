@@ -160,3 +160,16 @@ def test_llm_to_sql_against_stub_endpoint():
     assert seen["stream"] is False and seen["options"]["temperature"] == 0.1
     assert "students(name TEXT, grade INT)" in seen["prompt"]
     assert "top students?" in seen["prompt"]
+
+
+def test_is_natural_language_knows_round5_verbs():
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.nl import (
+        is_natural_language,
+    )
+
+    assert not is_natural_language("SUMMARIZE orders")
+    assert not is_natural_language("REFRESH MATERIALIZED VIEW mv")
+    assert not is_natural_language("SHOW MATERIALIZED VIEWS")
+    # NL phrasings stay NL
+    assert is_natural_language("summarize the sales by region please")
+    assert is_natural_language("show me all students")
