@@ -716,11 +716,22 @@ class RefSQL:
             # physical plan — the honest answer to "what will this query
             # do" on an engine whose execution IS the plan.
             cur.expect_kw("explain")
+            analyze = False
+            if cur.peek_kw() == "analyze":
+                # ``EXPLAIN ANALYZE SELECT ...`` — EXECUTE the query, then
+                # return the final (AQE-resolved) plan with runtime
+                # metrics: actual row counts per operator, not estimates.
+                cur.next()
+                analyze = True
             if cur.peek_kw() != "select":
                 raise ParseError("EXPLAIN supports SELECT statements")
             spec, _, clauses = parse_select(cur, self.weak)
             df = self._from_df(spec)
             plan_df = build_select(df, spec, clauses)
+            if analyze:
+                n = plan_df.count()  # run it; metrics land on the plan
+                plan = plan_df._jdf.queryExecution().executedPlan().toString()
+                return f"== Analyzed: {n} row(s) ==\n{plan}"
             return plan_df._jdf.queryExecution().explainString(
                 self.engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"

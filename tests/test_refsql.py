@@ -544,3 +544,13 @@ def test_window_function_dialect_errors(spark, tmp_path):
             "SELECT g, COUNT(*), ROW_NUMBER() OVER (ORDER BY g) AS rn "
             "FROM t GROUP BY g"
         )
+
+
+def test_explain_analyze_runs_and_reports(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "expan"))
+    e.ref_sql("CREATE TABLE t (x INT)")
+    e.ref_sql("INSERT INTO t VALUES (1)")
+    e.ref_sql("INSERT INTO t VALUES (2)")
+    out = e.ref_sql("EXPLAIN ANALYZE SELECT x FROM t WHERE x > 1")
+    assert out.startswith("== Analyzed: 1 row(s) ==")
+    assert "Scan" in out or "FileScan" in out
