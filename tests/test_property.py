@@ -377,6 +377,18 @@ def _fuzz_engine(spark):
             ],
         )
         eng.table("t").createOrReplaceTempView("fuzz_t")
+        eng.create_table("u", [("key", "INT"), ("tag", "TEXT")])
+        eng.insert_rows(
+            "u",
+            [
+                {"key": 1, "tag": "x"},
+                {"key": 2, "tag": "y"},
+                {"key": 2, "tag": "z"},  # duplicate join key: fan-out
+                {"key": 5, "tag": "x"},
+                {"key": 9, "tag": "w"},  # matches nothing
+            ],
+        )
+        eng.table("u").createOrReplaceTempView("fuzz_u")
         _FUZZ_ENGINE = eng
     return _FUZZ_ENGINE
 
@@ -530,3 +542,60 @@ def test_dml_sequence_matches_model_and_snapshots(spark, tmp_path_factory, ops):
             for r in e.ref_sql(f"SELECT * FROM t VERSION AS OF {v}").collect()
         }
         assert snap == {(r["id"], r["val"], r["tag"]) for r in past}, v
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    how=st.sampled_from(["JOIN", "INNER JOIN", "LEFT JOIN", "RIGHT JOIN",
+                         "FULL JOIN"]),
+    where=_where_exprs(),
+)
+def test_refsql_join_matches_spark_sql(spark, how, where):
+    # Differential: the dialect's FROM-clause JOIN against Spark SQL on
+    # the same data — join type, qualified ON, fan-out duplicate keys,
+    # null-padded outer rows, and a fuzzed WHERE on the left side.
+    eng = _fuzz_engine(spark)
+    ref = eng.ref_sql(
+        f"SELECT t.id, u.tag FROM t {how} u ON t.id = u.key WHERE {where}"
+    ).collect()
+    spk = spark.sql(
+        f"SELECT fuzz_t.id, fuzz_u.tag FROM fuzz_t {how} fuzz_u "
+        f"ON fuzz_t.id = fuzz_u.key WHERE {where}"
+    ).collect()
+    got = sorted((r.id, r.tag) for r in ref)
+    want = sorted((r.id, r.tag) for r in spk)
+    assert got == want, f"{how} WHERE {where}: {got} != {want}"
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    fn=st.sampled_from([
+        ("ROW_NUMBER()", "row_number()"),
+        ("RANK()", "rank()"),
+        ("DENSE_RANK()", "dense_rank()"),
+        ("SUM(price)", "sum(price)"),
+        ("COUNT(*)", "count(*)"),
+    ]),
+    part=st.sampled_from(["", "PARTITION BY flag"]),
+    order_col=st.sampled_from(["id", "price"]),
+    desc=st.booleans(),
+)
+def test_refsql_window_matches_spark_sql(spark, fn, part, order_col, desc):
+    # Differential: the dialect's OVER clause against Spark SQL — same
+    # partitioning, ordering (with ties on price), and frame defaults.
+    # Ties make rank()/sum() frame semantics observable; id tiebreak makes
+    # row_number() deterministic.
+    eng = _fuzz_engine(spark)
+    d = "DESC" if desc else "ASC"
+    over = f"({part} ORDER BY {order_col} {d}, id)"
+    ref = eng.ref_sql(
+        f"SELECT id, {fn[0]} OVER {over} AS w FROM t ORDER BY id"
+    ).collect()
+    spk = spark.sql(
+        f"SELECT id, {fn[1]} OVER {over} AS w FROM fuzz_t ORDER BY id"
+    ).collect()
+    got = [(r.id, r.w) for r in ref]
+    want = [(r.id, r.w) for r in spk]
+    assert got == want, f"{fn[0]} OVER {over}: {got} != {want}"
