@@ -73,10 +73,10 @@ class MaterializedViews:
         spec, _, clauses = parse_select(cur)
         if not cur.done():
             raise ParseError(f"unexpected token {cur.peek()!r} in view query")
-        if spec.joins or spec.version is not None:
+        if spec.joins or spec.version is not None or spec.in_subqueries:
             raise ParseError(
                 "materialized views support a single base table (no JOIN / "
-                "VERSION AS OF)"
+                "VERSION AS OF / IN-subqueries)"
             )
         if not spec.aggregates:
             raise ParseError(

@@ -138,15 +138,34 @@ class ExprParser:
     def __init__(self, cur: _Cursor, weak_typing: bool = False):
         self.cur = cur
         self.weak = weak_typing
+        # IN (SELECT ...) markers collected during the parse — the caller
+        # rewrites them as semi/anti joins. Only valid as top-level AND
+        # conjuncts of a WHERE (the standard first-class restriction: a
+        # subquery under OR/NOT/parens has no join rewrite), enforced via
+        # ``_sub_ok`` plus growth checks at the OR level.
+        self.subqueries: list[tuple[str, Any, dict, bool]] = []
+        self._sub_ok = True
 
     def parse(self) -> Column:
         return self._or()
 
+    def _no_sub(self):
+        prev, self._sub_ok = self._sub_ok, False
+        return prev
+
     def _or(self) -> Column:
+        n0 = len(self.subqueries)
         left = self._and()
         while self.cur.peek_kw() == "or":
+            if len(self.subqueries) > n0:
+                raise ParseError(
+                    "IN (SELECT ...) is only supported as a top-level AND "
+                    "condition of WHERE, not under OR"
+                )
             self.cur.next()
+            prev = self._no_sub()
             left = left | self._and()
+            self._sub_ok = prev
         return left
 
     def _and(self) -> Column:
@@ -159,7 +178,10 @@ class ExprParser:
     def _not(self) -> Column:
         if self.cur.peek_kw() == "not":
             self.cur.next()
-            return ~self._not()
+            prev = self._no_sub()  # NOT (x IN (SELECT ...)) has no rewrite
+            out = ~self._not()
+            self._sub_ok = prev
+            return out
         return self._predicate()
 
     def _operand(self) -> tuple[Column | None, Any, str | None]:
@@ -169,7 +191,9 @@ class ExprParser:
         t = self.cur.peek()
         if t == "(":
             self.cur.next()
+            prev = self._no_sub()  # parenthesized conjuncts have no rewrite
             inner = self._or()
+            self._sub_ok = prev
             if self.cur.next() != ")":
                 raise ParseError("expected ')'")
             return inner, None, None
@@ -233,6 +257,27 @@ class ExprParser:
             self.cur.next()
             if self.cur.next() != "(":
                 raise ParseError("expected '(' after IN")
+            if self.cur.peek_kw() == "select":
+                # Dialect extension: ``x [NOT] IN (SELECT single_col ...)``
+                # — recorded as a marker; the executor rewrites it as a
+                # left-semi join (IN) or a null-aware left-anti join
+                # (NOT IN, exact ANSI three-valued semantics). Nested
+                # subqueries compose (the rewrite recurses).
+                if not self._sub_ok:
+                    raise ParseError(
+                        "IN (SELECT ...) is only supported as a top-level "
+                        "AND condition of WHERE"
+                    )
+                if name is None:
+                    raise ParseError(
+                        "IN (SELECT ...) needs a column on the left side"
+                    )
+                spec2, _, clauses2 = parse_select(self.cur, self.weak)
+                if self.cur.next() != ")":
+                    raise ParseError("expected ')' after subquery")
+                self.subqueries.append((name, spec2, clauses2, negate))
+                # The join IS the predicate; the conjunct slot stays TRUE.
+                return F.lit(True)
             vals: list[Any] = []
             while True:
                 tok = self.cur.next()
@@ -275,6 +320,11 @@ class SelectSpec:
     windows: list[tuple[str, list, str, list, list]] = field(
         default_factory=list
     )  # (fn, args, alias, partition_cols, [(order_col, desc)])
+    # Dialect extension: x [NOT] IN (SELECT col ...) markers from WHERE —
+    # rewritten by the executor as semi/anti joins.
+    in_subqueries: list[tuple[str, "SelectSpec", dict, bool]] = field(
+        default_factory=list
+    )
     # Dialect extension: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON cond
     joins: list[tuple[str, str, "str | None", Column]] = field(
         default_factory=list
@@ -399,7 +449,10 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             cur.next()
             jalias = _unquote(cur.next())
         cur.expect_kw("on")
-        cond = ExprParser(cur, weak_typing).parse()
+        onp = ExprParser(cur, weak_typing)
+        cond = onp.parse()
+        if onp.subqueries:
+            raise ParseError("subqueries are not supported in JOIN ... ON")
         spec.joins.append((how, jtable, jalias, cond))
 
     clauses: dict[str, Any] = {}
@@ -407,7 +460,9 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         kw = cur.peek_kw()
         if kw == "where":
             cur.next()
-            clauses["where"] = ExprParser(cur, weak_typing).parse()
+            wp = ExprParser(cur, weak_typing)
+            clauses["where"] = wp.parse()
+            spec.in_subqueries.extend(wp.subqueries)
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
@@ -418,7 +473,10 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             clauses["group_by"] = cols
         elif kw == "having":
             cur.next()
-            clauses["having"] = ExprParser(cur, weak_typing).parse()
+            hp = ExprParser(cur, weak_typing)
+            clauses["having"] = hp.parse()
+            if hp.subqueries:
+                raise ParseError("subqueries are not supported in HAVING")
         elif kw == "order":
             # Multi-column ORDER BY, each key with its own ASC/DESC — the
             # reference parses a single sort key (select.go); multi-key is
@@ -442,6 +500,9 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         elif kw == "offset":
             cur.next()
             clauses["offset"] = int(cur.next())
+        elif cur.peek() == ")":
+            # End of a parenthesized subquery — the caller consumes the ')'.
+            break
         else:
             raise ParseError(f"unexpected token {cur.peek()!r}")
     return spec, None, clauses
@@ -578,6 +639,34 @@ class RefSQL:
             df = df.alias(spec.alias)
         return df
 
+    def _resolved_from(self, spec: "SelectSpec") -> DataFrame:
+        """FROM resolution plus the IN-subquery join rewrites: each
+        ``x IN (SELECT c FROM ...)`` marker becomes a left-semi join
+        against the (recursively resolved) subquery result; ``NOT IN``
+        becomes the null-aware left-anti join that reproduces ANSI
+        three-valued semantics exactly — a NULL on either side makes the
+        membership test unknown, which filters the row. The subquery side
+        is deduplicated before the join (semi/anti cardinality is per left
+        row anyway; distinct keeps the build side minimal)."""
+        df = self._from_df(spec)
+        for lname, spec2, clauses2, anti in spec.in_subqueries:
+            sub = build_select(self._resolved_from(spec2), spec2, clauses2)
+            if len(sub.columns) != 1:
+                raise ParseError(
+                    "IN (SELECT ...) subquery must select exactly one column"
+                )
+            sub = sub.toDF("__subq_v").distinct()
+            if anti:
+                cond = (
+                    (F.col(lname) == F.col("__subq_v"))
+                    | F.col(lname).isNull()
+                    | F.col("__subq_v").isNull()
+                )
+                df = df.join(sub, cond, "left_anti")
+            else:
+                df = df.join(sub, F.col(lname) == F.col("__subq_v"), "left_semi")
+        return df
+
     def execute(self, sql: str):
         """Run one statement. SELECT returns a DataFrame; DML returns an
         affected-row count; DDL returns None (SHOW TABLES returns a list)."""
@@ -588,7 +677,9 @@ class RefSQL:
         cur = _Cursor(toks)
         if verb == "select":
             spec, _, clauses = parse_select(cur, self.weak)
-            return build_select(self._from_df(spec), spec, clauses)
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
+            return build_select(self._resolved_from(spec), spec, clauses)
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
@@ -726,7 +817,9 @@ class RefSQL:
             if cur.peek_kw() != "select":
                 raise ParseError("EXPLAIN supports SELECT statements")
             spec, _, clauses = parse_select(cur, self.weak)
-            df = self._from_df(spec)
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
+            df = self._resolved_from(spec)
             plan_df = build_select(df, spec, clauses)
             if analyze:
                 n = plan_df.count()  # run it; metrics land on the plan
@@ -884,7 +977,10 @@ class RefSQL:
         where = None
         if cur.peek_kw() == "where":
             cur.next()
-            where = ExprParser(cur, self.weak).parse()
+            up = ExprParser(cur, self.weak)
+            where = up.parse()
+            if up.subqueries:
+                raise ParseError("IN (SELECT ...) is not supported in UPDATE")
         return self.engine.update(table, sets, where)
 
     def _delete(self, cur: _Cursor) -> int:
@@ -895,7 +991,10 @@ class RefSQL:
             # Mandatory WHERE — reference safety guard (delete.go:33).
             raise ParseError("DELETE without WHERE is not allowed for safety")
         cur.next()
-        where = ExprParser(cur, self.weak).parse()
+        dp = ExprParser(cur, self.weak)
+        where = dp.parse()
+        if dp.subqueries:
+            raise ParseError("IN (SELECT ...) is not supported in DELETE")
         return self.engine.delete(table, where)
 
     def _create(self, cur: _Cursor):

@@ -508,6 +508,39 @@ def refsql_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_in_subquery",
+    """
+    SELECT o_orderstatus, count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+      AND o_custkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN / NOT IN subqueries through the dialect: semi join against the
+    # rich-customer set, null-aware anti join against the negative-balance
+    # suppliers, combined as conjuncts with grouped order-insensitive
+    # aggregates. The oracle runs the identical ANSI subqueries — wrong
+    # semi/anti semantics, a dropped conjunct, or broken three-valued
+    # NOT IN flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), "
+        "MAX(o_totalprice) FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 7500) "
+        "AND o_custkey NOT IN (SELECT s_suppkey FROM supplier "
+        "WHERE s_acctbal < 0) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

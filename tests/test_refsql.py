@@ -554,3 +554,60 @@ def test_explain_analyze_runs_and_reports(spark, tmp_path):
     out = e.ref_sql("EXPLAIN ANALYZE SELECT x FROM t WHERE x > 1")
     assert out.startswith("== Analyzed: 1 row(s) ==")
     assert "Scan" in out or "FileScan" in out
+
+
+def test_in_subquery_semi_anti_and_nulls(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "subq"))
+    e.ref_sql("CREATE TABLE l (x INT)")
+    for v in (1, 2, 3, 4):
+        e.ref_sql(f"INSERT INTO l VALUES ({v})")
+    e.ref_sql("INSERT INTO l VALUES (NULL)")
+    e.ref_sql("CREATE TABLE r (y INT)")
+    e.ref_sql("INSERT INTO r VALUES (2)")
+    e.ref_sql("INSERT INTO r VALUES (3)")
+    # IN: matches only; NULL left never matches
+    got = sorted(r.x for r in e.ref_sql(
+        "SELECT x FROM l WHERE x IN (SELECT y FROM r)").collect())
+    assert got == [2, 3]
+    # NOT IN without NULLs in the subquery: plain anti
+    got = sorted(r.x for r in e.ref_sql(
+        "SELECT x FROM l WHERE x NOT IN (SELECT y FROM r)").collect())
+    assert got == [1, 4]  # NULL x filtered (three-valued)
+    # ANSI trap: a NULL in the subquery makes NOT IN return ZERO rows
+    e.ref_sql("INSERT INTO r VALUES (NULL)")
+    assert e.ref_sql(
+        "SELECT x FROM l WHERE x NOT IN (SELECT y FROM r)").count() == 0
+    # ...while IN is unaffected
+    assert e.ref_sql(
+        "SELECT x FROM l WHERE x IN (SELECT y FROM r)").count() == 2
+
+
+def test_in_subquery_conjuncts_nesting_and_errors(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "subq2"))
+    e.ref_sql("CREATE TABLE t (k INT, grp TEXT)")
+    for k, g in [(1, "a"), (2, "a"), (3, "b"), (4, "b")]:
+        e.ref_sql(f"INSERT INTO t VALUES ({k}, '{g}')")
+    e.ref_sql("CREATE TABLE s (k INT)")
+    for k in (2, 3):
+        e.ref_sql(f"INSERT INTO s VALUES ({k})")
+    # combines with ordinary conjuncts and GROUP BY
+    out = e.ref_sql(
+        "SELECT grp, COUNT(*) FROM t "
+        "WHERE k IN (SELECT k FROM s) AND k > 2 GROUP BY grp ORDER BY grp"
+    ).collect()
+    assert [(r.grp, r["count"]) for r in out] == [("b", 1)]
+    # nested subqueries recurse
+    n = e.ref_sql(
+        "SELECT COUNT(*) FROM t WHERE k IN "
+        "(SELECT k FROM s WHERE k IN (SELECT k FROM s WHERE k = 3))"
+    ).collect()[0]["count"]
+    assert n == 1
+    # structural restrictions
+    with pytest.raises(ParseError, match="top-level AND"):
+        e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k FROM s) OR k = 1")
+    with pytest.raises(ParseError, match="top-level AND"):
+        e.ref_sql("SELECT * FROM t WHERE NOT (k IN (SELECT k FROM s))")
+    with pytest.raises(ParseError, match="exactly one column"):
+        e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k, grp FROM s)")
+    with pytest.raises(ParseError, match="not supported in UPDATE"):
+        e.ref_sql("UPDATE t SET grp = 'x' WHERE k IN (SELECT k FROM s)")
