@@ -599,3 +599,36 @@ def test_refsql_window_matches_spark_sql(spark, fn, part, order_col, desc):
     got = [(r.id, r.w) for r in ref]
     want = [(r.id, r.w) for r in spk]
     assert got == want, f"{fn[0]} OVER {over}: {got} != {want}"
+
+
+_SUB_WHERES = [
+    "key > 1", "key < 3", "key = 2", "key != 2", "tag = 'x'",
+    "tag != 'w'", "key BETWEEN 2 AND 5", "key IN (1, 2, 9)",
+    "key > 100",  # empty subquery result
+]
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    neg=st.booleans(),
+    sub_where=st.sampled_from(_SUB_WHERES),
+    outer=_where_exprs(),
+)
+def test_refsql_in_subquery_matches_spark_sql(spark, neg, sub_where, outer):
+    # Differential: [NOT] IN (SELECT ...) against Spark SQL's native
+    # subquery planning — semi/anti rewrites, duplicate subquery values,
+    # the empty-subquery corner, combined with a fuzzed outer conjunct.
+    eng = _fuzz_engine(spark)
+    op = "NOT IN" if neg else "IN"
+    q = (
+        f"SELECT id FROM {{t}} WHERE id {op} "
+        f"(SELECT key FROM {{u}} WHERE {sub_where}) AND ({outer})"
+    )
+    got = sorted(
+        r.id for r in eng.ref_sql(q.format(t="t", u="u")).collect()
+    )
+    want = sorted(
+        r.id for r in spark.sql(q.format(t="fuzz_t", u="fuzz_u")).collect()
+    )
+    assert got == want, f"{q}: {got} != {want}"
