@@ -100,22 +100,24 @@ class MaterializedViews:
 
     @staticmethod
     def _state_aggs(spec) -> list:
+        from .operators.query import arg_col
+
         out = []
         for k, (fn, col, _alias) in enumerate(spec.aggregates):
             if fn == "count":
-                src = F.lit(1) if col == "*" else F.col(col)
+                src = F.lit(1) if col == "*" else arg_col(col)
                 out.append(F.count(src).alias(f"s{k}_cnt"))
             elif fn == "sum":
-                out.append(F.sum(F.col(col).cast(_DEC)).alias(f"s{k}_sum"))
+                out.append(F.sum(arg_col(col).cast(_DEC)).alias(f"s{k}_sum"))
             elif fn == "avg":
                 out += [
-                    F.sum(F.col(col).cast(_DEC)).alias(f"s{k}_sum"),
-                    F.count(F.col(col)).alias(f"s{k}_cnt"),
+                    F.sum(arg_col(col).cast(_DEC)).alias(f"s{k}_sum"),
+                    F.count(arg_col(col)).alias(f"s{k}_cnt"),
                 ]
             elif fn == "min":
-                out.append(F.min(col).alias(f"s{k}_min"))
+                out.append(F.min(arg_col(col)).alias(f"s{k}_min"))
             elif fn == "max":
-                out.append(F.max(col).alias(f"s{k}_max"))
+                out.append(F.max(arg_col(col)).alias(f"s{k}_max"))
         return out
 
     @staticmethod

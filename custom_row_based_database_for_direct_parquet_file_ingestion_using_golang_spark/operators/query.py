@@ -29,6 +29,29 @@ _AGG_FUNCS = {
 }
 
 
+def is_value_expr(text: str) -> bool:
+    """True when an argument/projection item is a computed EXPRESSION
+    rather than a bare column reference — operators, spaces, parens, or
+    literal syntax mean Catalyst's own parser (``F.expr``) should handle
+    it. A plain (possibly dot-qualified) identifier is a column."""
+    if any(ch in text for ch in "+-*/% ()'\""):
+        return True
+    # bare numeric literal (e.g. SELECT 42 AS x)
+    try:
+        float(text)
+        return True
+    except ValueError:
+        return False
+
+
+def arg_col(text: str) -> Column:
+    """Column for an aggregate/window/projection argument: bare column
+    names resolve by reference, anything else goes through Spark's SQL
+    expression parser (the dialect's value-expression surface IS Spark
+    SQL's — hand-rolling arithmetic precedence would only add bugs)."""
+    return F.expr(text) if is_value_expr(text) else F.col(text)
+
+
 def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
     """One aggregate with the reference's default output name."""
     func = func.lower()
@@ -42,9 +65,11 @@ def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
     else:
         # Default output name uses the UNQUALIFIED column (sum_o_totalprice,
         # not "sum_orders.o_totalprice") so a qualified reference in a
-        # joined query yields a plain referencable name.
+        # joined query yields a plain referencable name. Expression
+        # arguments have no natural default — parse_select enforces an
+        # explicit AS alias before they reach here.
         expr, default = (
-            _AGG_FUNCS[func](column),
+            _AGG_FUNCS[func](arg_col(column)),
             f"{func}_{column.rsplit('.', 1)[-1]}",
         )
     return expr.alias(alias or default)

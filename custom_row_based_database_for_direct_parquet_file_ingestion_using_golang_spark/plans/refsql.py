@@ -39,7 +39,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.compat import dual_compare, ref_like, truthy
-from ..operators.query import Query, agg_spec
+from ..operators.query import Query, agg_spec, arg_col
 
 _TOKEN_RE = re.compile(
     r"""
@@ -67,6 +67,12 @@ def tokenize(text: str) -> list[str]:
 
 def _is_string_lit(tok: str) -> bool:
     return len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]
+
+
+def _unquote_bare(tok: str) -> str:
+    """Strip backticks from identifiers but leave string-literal quotes
+    intact (expression text is re-parsed by Catalyst, which needs them)."""
+    return tok.strip("`")
 
 
 def _unquote(tok: str) -> str:
@@ -350,14 +356,31 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             spec.star = True
         elif (low in AGG_FUNCS or low in WINDOW_FUNCS) and cur.peek() == "(":
             cur.next()  # (
-            args: list[str] = []
+            # Depth-tracked argument capture: top-level commas split the
+            # argument list; everything else is kept verbatim so computed
+            # arguments (``SUM(price * (1 - disc))``) reach Catalyst's
+            # expression parser intact (operators/query.arg_col).
+            args = []
+            buf: list[str] = []
+            depth = 0
             while True:
                 t = cur.next()
-                if t == ")":
-                    break
-                if t == ",":
-                    continue
-                args.append("*" if t == "*" else _unquote(t))
+                if t == "(":
+                    depth += 1
+                    buf.append(t)
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                    buf.append(t)
+                elif t == "," and depth == 0:
+                    args.append(" ".join(buf))
+                    buf = []
+                else:
+                    buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+            if buf:
+                args.append(" ".join(buf))
+            args = [a for a in args if a]
             if cur.peek_kw() == "over":
                 # Dialect extension: window functions — ``fn(args) OVER
                 # ([PARTITION BY c, ...] [ORDER BY c [DESC], ...]) AS x``.
@@ -403,13 +426,46 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                 if cur.peek_kw() == "as":
                     cur.next()
                     alias = _unquote(cur.next())
+                from ..operators.query import is_value_expr
+
+                if alias is None and args[0] != "*" and is_value_expr(args[0]):
+                    raise ParseError(
+                        f"{low}({args[0]}) aggregates an expression — "
+                        "name it with AS <alias>"
+                    )
                 spec.aggregates.append((low, args[0], alias))
         else:
-            name = _unquote(tok)
+            # Value-expression projections (dialect extension): capture
+            # tokens to the next top-level comma / AS / FROM; a multi-token
+            # or operator-bearing item compiles via Catalyst's expression
+            # parser in build_select. Single plain identifiers keep the
+            # reference's missing-column-tolerant path.
+            buf = [tok if _is_string_lit(tok) else _unquote_bare(tok)]
+            depth = 1 if tok == "(" else 0
+            while True:
+                nxt = cur.peek()
+                if nxt is None:
+                    break
+                nk = cur.peek_kw()
+                if depth == 0 and (nxt == "," or nk in ("from", "as")):
+                    break
+                t = cur.next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+            name = " ".join(buf) if len(buf) > 1 else buf[0]
             alias = None
             if cur.peek_kw() == "as":
                 cur.next()
                 alias = _unquote(cur.next())
+            from ..operators.query import is_value_expr
+
+            if (len(buf) > 1 or is_value_expr(name)) and alias is None:
+                raise ParseError(
+                    f"expression projection '{name}' needs AS <alias>"
+                )
             spec.projections.append((name, alias))
     cur.expect_kw("from")
     spec.table = _unquote(cur.next())
@@ -524,7 +580,7 @@ def _window_column(fn: str, args: list, part: list, order: list) -> Column:
         if not 1 <= len(args) <= 2:
             raise ParseError(f"{fn}(col [, offset]) takes 1-2 arguments")
         off = int(args[1]) if len(args) == 2 else 1
-        return getattr(F, fn)(F.col(args[0]), off).over(w)
+        return getattr(F, fn)(arg_col(args[0]), off).over(w)
     if fn == "ntile":
         if len(args) != 1:
             raise ParseError("ntile(n) takes exactly one argument")
@@ -532,7 +588,7 @@ def _window_column(fn: str, args: list, part: list, order: list) -> Column:
     # aggregate-over-window: count/sum/avg/min/max
     if len(args) != 1:
         raise ParseError(f"{fn}() takes exactly one argument")
-    src = F.lit(1) if (fn == "count" and args[0] == "*") else F.col(args[0])
+    src = F.lit(1) if (fn == "count" and args[0] == "*") else arg_col(args[0])
     return getattr(F, fn)(src).over(w)
 
 
@@ -577,14 +633,20 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         q.distinct()
     if not spec.star and (spec.projections or spec.aggregates):
         cols: list[Column | str] = []
+        from ..operators.query import is_value_expr
+
         grouped = bool(group) or bool(spec.aggregates)
         for name, alias in spec.projections:
             # Missing-column-tolerant projection (P3, select.go:588-592):
-            # unknown columns project as NULL instead of erroring. Qualified
-            # x.col references (join extension) bypass the tolerance — but
-            # post-aggregation the frame carries UNQUALIFIED output names,
-            # so grouped queries reference the simple name.
-            if "." in name:
+            # unknown columns project as NULL instead of erroring. Value
+            # expressions (dialect extension) compile via Catalyst's
+            # parser. Qualified x.col references (join extension) bypass
+            # the tolerance — but post-aggregation the frame carries
+            # UNQUALIFIED output names, so grouped queries reference the
+            # simple name.
+            if is_value_expr(name):
+                base = F.expr(name)
+            elif "." in name:
                 ref = name.rsplit(".", 1)[-1] if grouped else name
                 base = F.col(ref)
             elif name in df.columns or (group and name in group):

@@ -18,15 +18,15 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 127 entries / 50 slots). Round-5 curation: (0) the six
+# best achievable at 128 entries / 50 slots). Round-5 curation: (0) the six
 # entries whose newest green row is ROUND 2 — the stalest evidence in the
 # registry; (1) entries NEW in round 5 (time-series gapfill/interp/OHLC,
 # JSONL round-trip, winnowing, column profile, activity islands, PageRank,
 # real PNG/GIF decode, time-travel round-trip, int8 quantization, char-LM
 # quality) or whose code changed in round 5 (lsh_topk n_planes auto-sizing
 # changes ann_lsh_top10's result; the IVF training starvation threshold can
-# change ann_ivf_top10's); (2) the round-3-green block — 21 of its 48
-# entries; the 27 deferred past the boundary are eight TPC-H shapes whose
+# change ann_ivf_top10's); (2) the round-3-green block — 20 of its 48
+# entries; the 28 deferred past the boundary are eight TPC-H shapes whose
 # join/agg machinery is identically exercised by the eight kept in-window,
 # a window/rollup/pivot block covered by the kept cube/running entries,
 # plus thin parser/filter shapes — all unchanged code whose oracles run in
@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     "refsql_ctas_insert_select",
     "refsql_window_topk",
     "refsql_in_subquery",
+    "refsql_q1_expression_aggregates",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",
@@ -89,7 +90,6 @@ PRIORITY: list[str] = [
     "setop_union_intersect_except",
     "subquery_above_avg",
     "range_join_follow_events",
-    "merge_upsert_orders",
     # (2) round-3-green block: events / corpus / ranking / streaming.
     "pipeline_curate_corpus",
     # -- ~50-slot window boundary: the deferred r3-green entries below
@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     # line, md5-bucket mixing/budget selection, broadcast static enrich,
     # and thin parser/filter shapes — all unchanged code with full
     # pytest-oracle coverage) age to r6, where they lead the window.
+    "merge_upsert_orders",
     "tfidf_top3_terms",
     "events_sessionize",
     "events_value_percentiles",

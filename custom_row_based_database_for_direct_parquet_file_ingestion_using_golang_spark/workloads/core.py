@@ -541,6 +541,46 @@ def refsql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_q1_expression_aggregates",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+             AS sum_disc,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(24,8))) AS sum_charge,
+           count(*) AS count
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship TPC-H Q1 shape run ENTIRELY through the dialect — the
+    # round-5 value-expression surface aggregates computed expressions
+    # (revenue, charge) via Catalyst's own parser. Sums run in DECIMAL, so
+    # the results are bit-exact against the oracle with NO rounding: any
+    # drift in expression parsing, cast semantics, or aggregation flips
+    # the hash at the 8th decimal.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, l_linestatus, "
+        "SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty, "
+        "SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) "
+        "AS sum_disc, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+        "AS DECIMAL(24,8))) AS sum_charge, "
+        "COUNT(*) "
+        "FROM lineitem WHERE l_shipdate <= '1998-09-01' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

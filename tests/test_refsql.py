@@ -611,3 +611,35 @@ def test_in_subquery_conjuncts_nesting_and_errors(spark, tmp_path):
         e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k, grp FROM s)")
     with pytest.raises(ParseError, match="not supported in UPDATE"):
         e.ref_sql("UPDATE t SET grp = 'x' WHERE k IN (SELECT k FROM s)")
+
+
+def test_value_expressions_in_projections_and_aggregates(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "vexpr"))
+    e.ref_sql("CREATE TABLE sales2 (qty INT, price DECIMAL, disc DECIMAL)")
+    e.ref_sql("INSERT INTO sales2 VALUES (2, 10.0, 0.1)")
+    e.ref_sql("INSERT INTO sales2 VALUES (3, 20.0, 0.0)")
+    # expression projection with literals and parens
+    out = e.ref_sql(
+        "SELECT qty, price * (1 - disc) AS net, qty + 1 AS q1 "
+        "FROM sales2 ORDER BY qty"
+    ).collect()
+    assert [(r.qty, r.net, r.q1) for r in out] == [(2, 9.0, 3), (3, 20.0, 4)]
+    # expression aggregates
+    agg = e.ref_sql(
+        "SELECT SUM(qty * price) AS gross, MIN(price - disc) AS m, COUNT(*) "
+        "FROM sales2"
+    ).collect()[0]
+    assert (agg.gross, agg.m, agg["count"]) == (80.0, 9.9, 2)
+    # windows over expressions
+    w = e.ref_sql(
+        "SELECT qty, SUM(qty * price) OVER (ORDER BY qty) AS run "
+        "FROM sales2 ORDER BY qty"
+    ).collect()
+    assert [r.run for r in w] == [20.0, 80.0]
+    # expression items demand aliases
+    with pytest.raises(ParseError, match="needs AS"):
+        e.ref_sql("SELECT price * 2 FROM sales2")
+    with pytest.raises(ParseError, match="name it with AS"):
+        e.ref_sql("SELECT SUM(qty * price) FROM sales2")
+    # plain single-column and missing-column-tolerant paths unchanged
+    assert e.ref_sql("SELECT nosuch FROM sales2").collect()[0].nosuch is None
