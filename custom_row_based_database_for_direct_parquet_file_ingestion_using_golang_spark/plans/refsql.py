@@ -190,6 +190,49 @@ class ExprParser:
             return out
         return self._predicate()
 
+    _ARITH_OPS = ("+", "-", "*", "/", "%")
+
+    def _collect_arith_tokens(self) -> list[str]:
+        """Lex one arithmetic run: operand (token or balanced paren group)
+        followed by (op operand)*. Tokens are returned RAW so Catalyst's
+        expression parser compiles them (string literals keep quotes,
+        backticks stripped from bare identifiers)."""
+
+        def one_operand(out: list[str]) -> None:
+            t = self.cur.next()
+            if t == "(":
+                out.append(t)
+                depth = 1
+                while depth:
+                    t2 = self.cur.next()
+                    if t2 == "(":
+                        depth += 1
+                    elif t2 == ")":
+                        depth -= 1
+                    out.append(t2 if _is_string_lit(t2) else _unquote_bare(t2))
+            else:
+                out.append(t if _is_string_lit(t) else _unquote_bare(t))
+
+        toks: list[str] = []
+        one_operand(toks)
+        while self.cur.peek() in self._ARITH_OPS:
+            toks.append(self.cur.next())
+            one_operand(toks)
+        return toks
+
+    def _value_operand(self) -> tuple[Column | None, Any, str | None]:
+        """Comparison-side operand with arithmetic support: if the operand
+        is followed by +,-,*,/,% the whole run is re-lexed raw and handed
+        to Catalyst (``WHERE price * (1 - disc) > 100``). Plain operands
+        keep the reference path (literal typing, weak-mode dual compare,
+        HAVING aggregate-call names)."""
+        start = self.cur.i
+        expr, lit, name = self._operand()
+        if self.cur.peek() not in self._ARITH_OPS:
+            return expr, lit, name
+        self.cur.i = start  # rewind; rebuild the whole run as raw text
+        return F.expr(" ".join(self._collect_arith_tokens())), None, None
+
     def _operand(self) -> tuple[Column | None, Any, str | None]:
         """Returns (column_expr, literal_value, column_name). Exactly one of
         column_expr / literal_value is meaningful; parenthesized
@@ -230,7 +273,7 @@ class ExprParser:
         return F.col(name), None, name
 
     def _compare(self, left: Column | None, lname: str | None, op: str) -> Column:
-        rexpr, rlit, _ = self._operand()
+        rexpr, rlit, _ = self._value_operand()
         op = "!=" if op == "<>" else op
         if self.weak and lname is not None and rexpr is None:
             return dual_compare(left, op, rlit)
@@ -246,7 +289,7 @@ class ExprParser:
         return ops[op](left if left is not None else F.lit(None), right)
 
     def _predicate(self) -> Column:
-        expr, lit, name = self._operand()
+        expr, lit, name = self._value_operand()
         left = expr if expr is not None else F.lit(lit)
 
         nxt = self.cur.peek_kw()

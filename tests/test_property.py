@@ -336,6 +336,13 @@ def _where_exprs():
         st.tuples(st.sampled_from(_INT_LITS), st.sampled_from(_INT_LITS)).map(
             lambda t: f"id BETWEEN {min(t)} AND {max(t)}"
         ),
+        # arithmetic comparison sides (round-5 value-expression surface)
+        st.tuples(st.sampled_from(_INT_LITS), st.sampled_from(_FLT_LITS)).map(
+            lambda t: f"id * 2 + {t[0]} > price - {t[1]}"
+        ),
+        st.sampled_from(_FLT_LITS).map(
+            lambda v: f"price * ( 1 - 0.5 ) >= {v}"
+        ),
     )
     expr = st.recursive(
         atom,

@@ -643,3 +643,34 @@ def test_value_expressions_in_projections_and_aggregates(spark, tmp_path):
         e.ref_sql("SELECT SUM(qty * price) FROM sales2")
     # plain single-column and missing-column-tolerant paths unchanged
     assert e.ref_sql("SELECT nosuch FROM sales2").collect()[0].nosuch is None
+
+
+def test_where_having_arithmetic(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "arith"))
+    e.ref_sql("CREATE TABLE inv (sku TEXT, qty INT, price DECIMAL, disc DECIMAL)")
+    e.ref_sql("INSERT INTO inv VALUES ('a', 10, 5.0, 0.5)")
+    e.ref_sql("INSERT INTO inv VALUES ('b', 2, 50.0, 0.0)")
+    e.ref_sql("INSERT INTO inv VALUES ('c', 1, 10.0, 0.1)")
+    # left arithmetic
+    got = sorted(r.sku for r in e.ref_sql(
+        "SELECT sku FROM inv WHERE qty * price > 40").collect())
+    assert got == ["a", "b"]
+    # parens + both sides arithmetic
+    got = sorted(r.sku for r in e.ref_sql(
+        "SELECT sku FROM inv WHERE price * (1 - disc) >= qty + 0.5").collect())
+    assert got == ["b", "c"]
+    # leading-paren arithmetic
+    got = sorted(r.sku for r in e.ref_sql(
+        "SELECT sku FROM inv WHERE (1 - disc) * price > 9").collect())
+    assert got == ["b"]
+    # combined with the reference predicate forms
+    got = sorted(r.sku for r in e.ref_sql(
+        "SELECT sku FROM inv WHERE qty * price > 5 AND sku IN ('a', 'c')"
+    ).collect())
+    assert got == ["a", "c"]
+    # HAVING over arithmetic on the aggregate output
+    out = e.ref_sql(
+        "SELECT sku, SUM(qty * price) AS rev FROM inv GROUP BY sku "
+        "HAVING rev / 2 > 20 ORDER BY sku"
+    ).collect()
+    assert [r.sku for r in out] == ["a", "b"]  # 50/2=25, 100/2=50 pass; 10/2=5 fails
