@@ -117,7 +117,7 @@ class Query:
         return self
 
     def order_by(self, col: Column | str, desc: bool = False) -> "Query":
-        c = F.col(col) if isinstance(col, str) else col
+        c = arg_col(col) if isinstance(col, str) else col
         self._order.append(c.desc() if desc else c.asc())
         return self
 

@@ -584,7 +584,28 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             cur.expect_kw("by")
             keys: list[tuple[str, bool]] = []
             while True:
-                col = _unquote(cur.next())
+                # Order keys accept value expressions too (round-5): grab
+                # the token run to the next ASC/DESC/comma/end.
+                buf = []
+                depth = 0
+                while True:
+                    t = cur.peek()
+                    if t is None:
+                        break
+                    tk = cur.peek_kw()
+                    if depth == 0 and (
+                        t == "," or tk in ("asc", "desc", "limit", "offset")
+                    ):
+                        break
+                    t = cur.next()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+                if not buf:
+                    raise ParseError("ORDER BY needs a column or expression")
+                col = " ".join(buf) if len(buf) > 1 else buf[0]
                 desc = False
                 if cur.peek_kw() in ("asc", "desc"):
                     desc = cur.next().lower() == "desc"

@@ -674,3 +674,18 @@ def test_where_having_arithmetic(spark, tmp_path):
         "HAVING rev / 2 > 20 ORDER BY sku"
     ).collect()
     assert [r.sku for r in out] == ["a", "b"]  # 50/2=25, 100/2=50 pass; 10/2=5 fails
+
+
+def test_order_by_expression(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "ordex"))
+    e.ref_sql("CREATE TABLE ox (k INT, a DECIMAL, b DECIMAL)")
+    e.ref_sql("INSERT INTO ox VALUES (1, 10.0, 0.5)")  # a*(1-b) = 5
+    e.ref_sql("INSERT INTO ox VALUES (2, 4.0, 0.0)")   # 4
+    e.ref_sql("INSERT INTO ox VALUES (3, 9.0, 0.5)")   # 4.5
+    out = e.ref_sql(
+        "SELECT k FROM ox ORDER BY a * (1 - b) DESC, k LIMIT 2"
+    ).collect()
+    assert [r.k for r in out] == [1, 3]
+    # mixed expression + plain keys, asc/desc still parse
+    out2 = e.ref_sql("SELECT k FROM ox ORDER BY b DESC, a + 1 ASC").collect()
+    assert [r.k for r in out2] == [3, 1, 2]
