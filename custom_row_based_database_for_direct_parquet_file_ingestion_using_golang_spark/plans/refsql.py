@@ -24,10 +24,19 @@ Reference semantics preserved:
 
 Documented upgrades (SURVEY.md §7.4): LIMIT/OFFSET apply on every path,
 UPDATE/DELETE accept the full predicate language, multi-column GROUP BY,
-multi-assignment SET, and (round 5) standard JOINs in the FROM clause —
-``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON <predicate>`` with
-qualified ``x.col`` references — the reference itself has no joins at all
-(select.go:49-54).
+multi-assignment SET. Round-5 extensions (the reference has none of these —
+select.go:49-54 is single-table, bare-column only):
+  * JOINs: ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON <predicate>``
+    with qualified ``x.col`` references.
+  * Window functions: ``fn(args) OVER ([PARTITION BY ...] [ORDER BY ...])``.
+  * IN/NOT IN subqueries as top-level WHERE conjuncts → semi / null-aware
+    anti joins (exact ANSI three-valued NOT IN); nesting recurses.
+  * Value expressions in projections, aggregate/window arguments, WHERE/
+    HAVING comparison sides, and ORDER BY keys — captured as raw token
+    runs and compiled by Catalyst's own expression parser.
+  * CTAS, set-based ``INSERT INTO t [(cols)] SELECT``, ``SUMMARIZE t``,
+    ``EXPLAIN [ANALYZE]``, and CREATE/REFRESH/DROP MATERIALIZED VIEW
+    (matview.py).
 """
 
 from __future__ import annotations
