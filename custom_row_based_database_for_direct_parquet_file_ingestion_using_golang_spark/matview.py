@@ -82,6 +82,15 @@ class MaterializedViews:
             raise ParseError(
                 "materialized views require aggregates (COUNT/SUM/AVG/MIN/MAX)"
             )
+        from .operators.query import is_value_expr
+
+        bad_group = [g for g in clauses.get("group_by", []) if is_value_expr(g)]
+        if bad_group:
+            raise ParseError(
+                f"materialized views group by plain columns only (got "
+                f"{bad_group[0]!r}); materialize the expression as a CTAS "
+                "column first"
+            )
         banned = [
             k for k in ("having", "order_by", "limit", "offset") if k in clauses
         ]

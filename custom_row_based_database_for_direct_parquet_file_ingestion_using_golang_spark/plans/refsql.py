@@ -574,10 +574,35 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
-            cols = [_unquote(cur.next())]
-            while cur.peek() == ",":
+            # Group keys accept value expressions (round-5): token run to
+            # the next top-level comma / clause keyword / subquery ')'.
+            cols = []
+            while True:
+                buf = []
+                depth = 0
+                while True:
+                    t = cur.peek()
+                    if t is None:
+                        break
+                    tk = cur.peek_kw()
+                    if depth == 0 and (
+                        t == ","
+                        or t == ")"
+                        or tk in ("having", "order", "limit", "offset")
+                    ):
+                        break
+                    t = cur.next()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+                if not buf:
+                    raise ParseError("GROUP BY needs a column or expression")
+                cols.append(" ".join(buf) if len(buf) > 1 else buf[0])
+                if cur.peek() != ",":
+                    break
                 cur.next()
-                cols.append(_unquote(cur.next()))
             clauses["group_by"] = cols
         elif kw == "having":
             cur.next()
@@ -690,7 +715,15 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         q.where(clauses["where"])
     group = clauses.get("group_by", [])
     if group:
-        q.group_by(*group)
+        from ..operators.query import arg_col as _ac
+        from ..operators.query import is_value_expr as _ive
+
+        q.group_by(
+            *[
+                _ac(g).alias(f"_g{i}") if _ive(g) else g
+                for i, g in enumerate(group)
+            ]
+        )
     if spec.aggregates:
         q.agg(*[agg_spec(fn, col, alias) for fn, col, alias in spec.aggregates])
     if "having" in clauses:
@@ -708,6 +741,13 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         cols: list[Column | str] = []
         from ..operators.query import is_value_expr
 
+        # Expression group keys were aliased _g<i> in the aggregation (see
+        # below); projections repeating the same text map to that column.
+        gmap = {
+            g: f"_g{i}"
+            for i, g in enumerate(group)
+            if is_value_expr(g)
+        }
         grouped = bool(group) or bool(spec.aggregates)
         for name, alias in spec.projections:
             # Missing-column-tolerant projection (P3, select.go:588-592):
@@ -717,6 +757,10 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             # the tolerance — but post-aggregation the frame carries
             # UNQUALIFIED output names, so grouped queries reference the
             # simple name.
+            if grouped and name in gmap:
+                base = F.col(gmap[name]).alias(name if alias is None else alias)
+                cols.append(base)
+                continue
             if is_value_expr(name):
                 base = F.expr(name)
             elif "." in name:

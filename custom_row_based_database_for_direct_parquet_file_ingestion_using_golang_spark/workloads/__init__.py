@@ -18,7 +18,7 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 128 entries / 50 slots). Round-5 curation: (0) the six
+# best achievable at 129 entries / 50 slots). Round-5 curation: (0) the six
 # entries whose newest green row is ROUND 2 — the stalest evidence in the
 # registry; (1) entries NEW in round 5 (time-series gapfill/interp/OHLC,
 # JSONL round-trip, winnowing, column profile, activity islands, PageRank,
@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "refsql_window_topk",
     "refsql_in_subquery",
     "refsql_q1_expression_aggregates",
+    "refsql_group_by_expression",
     "embedding_quantize_int8",
     "text_char_lm_quality",
     "ann_lsh_top10",
@@ -89,7 +90,6 @@ PRIORITY: list[str] = [
     "join_semi_exists",
     "setop_union_intersect_except",
     "subquery_above_avg",
-    "range_join_follow_events",
     # (2) round-3-green block: events / corpus / ranking / streaming.
     "pipeline_curate_corpus",
     # -- ~50-slot window boundary: the deferred r3-green entries below
@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     # line, md5-bucket mixing/budget selection, broadcast static enrich,
     # and thin parser/filter shapes — all unchanged code with full
     # pytest-oracle coverage) age to r6, where they lead the window.
+    "range_join_follow_events",
     "merge_upsert_orders",
     "tfidf_top3_terms",
     "events_sessionize",

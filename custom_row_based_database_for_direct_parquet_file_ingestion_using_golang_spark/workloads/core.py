@@ -581,6 +581,34 @@ def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "refsql_group_by_expression",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+           count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders
+    GROUP BY CAST(floor(o_totalprice / 50000) AS INT)
+    ORDER BY bucket
+    """,
+)
+def refsql_group_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expression GROUP BY keys through the dialect: price-bucket histogram
+    # grouped on a computed CAST, with the same expression repeated in the
+    # projection (resolved to the grouped column, not recomputed post-agg).
+    # Bucket boundaries land on exact doubles (k * 50000 vs 2-dp data), so
+    # the integer division is engine-exact; min/max/count are
+    # order-insensitive.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket, COUNT(*), "
+        "MIN(o_totalprice), MAX(o_totalprice) FROM orders "
+        "GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INT) ORDER BY bucket",
+    )
+
+
+@query(
     "refsql_distinct_order_limit",
     """
     SELECT DISTINCT c_mktsegment FROM customer

@@ -689,3 +689,29 @@ def test_order_by_expression(spark, tmp_path):
     # mixed expression + plain keys, asc/desc still parse
     out2 = e.ref_sql("SELECT k FROM ox ORDER BY b DESC, a + 1 ASC").collect()
     assert [r.k for r in out2] == [3, 1, 2]
+
+
+def test_group_by_expression(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "gexpr"))
+    e.ref_sql("CREATE TABLE gx (name TEXT, v INT)")
+    for n, v in [("apple", 1), ("avocado", 2), ("banana", 3), ("blueberry", 4)]:
+        e.ref_sql(f"INSERT INTO gx VALUES ('{n}', {v})")
+    # expression key repeated in the projection maps to the grouped column
+    out = e.ref_sql(
+        "SELECT SUBSTRING(name, 1, 1) AS initial, COUNT(*), SUM(v) AS total "
+        "FROM gx GROUP BY SUBSTRING(name, 1, 1) ORDER BY initial"
+    ).collect()
+    assert [(r.initial, r["count"], r.total) for r in out] == [
+        ("a", 2, 3), ("b", 2, 7)
+    ]
+    # mixed plain + expression keys
+    out2 = e.ref_sql(
+        "SELECT name, v % 2 AS parity, COUNT(*) FROM gx "
+        "GROUP BY name, v % 2 ORDER BY name"
+    ).collect()
+    assert len(out2) == 4 and out2[0].parity in (0, 1)
+    # materialized views reject expression group keys with a clear error
+    with pytest.raises(ParseError, match="plain columns only"):
+        e.mviews.create(
+            "bad", "SELECT COUNT(*) FROM gx GROUP BY SUBSTRING(name, 1, 1)"
+        )
