@@ -82,6 +82,7 @@ class Query:
         self._df = df
         self._where: Column | str | None = None
         self._group: list[str] = []
+        self._group_mode: str = "groupby"
         self._aggs: list[Column] = []
         self._having: Column | str | None = None
         self._order: list[Column] = []
@@ -102,10 +103,15 @@ class Query:
         self._where = cond
         return self
 
-    def group_by(self, *cols: str) -> "Query":
+    def group_by(self, *cols: str, mode: str = "groupby") -> "Query":
         # Reference limitation NOT copied: it supports exactly one grouping
-        # column (select.go:165-173); this accepts any number.
+        # column (select.go:165-173); this accepts any number. ``mode``
+        # selects plain grouping vs the grouping-set variants — rollup and
+        # cube plan as ONE Expand + aggregate pass (no per-level re-scans).
+        if mode not in ("groupby", "rollup", "cube"):
+            raise ValueError(f"unsupported grouping mode {mode!r}")
         self._group = list(cols)
+        self._group_mode = mode
         return self
 
     def agg(self, *specs: Column) -> "Query":
@@ -151,7 +157,15 @@ class Query:
             if self._group and not aggs:
                 # Lenient GROUP BY: auto-append COUNT(*) (select.go:187-192).
                 aggs = [agg_spec("count")]
-            df = df.groupBy(*self._group).agg(*aggs) if self._group else df.agg(*aggs)
+            if self._group:
+                grouper = {
+                    "groupby": df.groupBy,
+                    "rollup": df.rollup,
+                    "cube": df.cube,
+                }[self._group_mode]
+                df = grouper(*self._group).agg(*aggs)
+            else:
+                df = df.agg(*aggs)
             if self._having is not None:
                 df = df.filter(self._cond(self._having))
         if self._projection is not None:

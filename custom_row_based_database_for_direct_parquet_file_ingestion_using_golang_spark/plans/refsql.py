@@ -150,7 +150,7 @@ class ExprParser:
 
     COMPARATORS = ("=", "!=", "<>", "<=", ">=", "<", ">")
 
-    def __init__(self, cur: _Cursor, weak_typing: bool = False):
+    def __init__(self, cur: _Cursor, weak_typing: bool = False, resolver=None):
         self.cur = cur
         self.weak = weak_typing
         # IN (SELECT ...) markers collected during the parse — the caller
@@ -160,6 +160,13 @@ class ExprParser:
         # ``_sub_ok`` plus growth checks at the OR level.
         self.subqueries: list[tuple[str, Any, dict, bool]] = []
         self._sub_ok = True
+        # Scalar-subquery resolver (round-6 extension): a callable
+        # ``(spec, clauses) -> python value`` the executor supplies.
+        # ``(SELECT agg ...)`` in a comparison position executes the
+        # subquery to a single value at parse time — the same physical
+        # strategy Spark itself uses for uncorrelated scalar subqueries
+        # (execute the subplan, inline the literal into the outer plan).
+        self.resolver = resolver
 
     def parse(self) -> Column:
         return self._or()
@@ -235,6 +242,10 @@ class ExprParser:
         to Catalyst (``WHERE price * (1 - disc) > 100``). Plain operands
         keep the reference path (literal typing, weak-mode dual compare,
         HAVING aggregate-call names)."""
+        if self.cur.peek() == "(" and self.cur.peek_kw(1) == "select":
+            # Scalar subquery: no arithmetic tail (the resolved literal
+            # can't round-trip through the raw-token re-lex below).
+            return self._operand()
         start = self.cur.i
         expr, lit, name = self._operand()
         if self.cur.peek() not in self._ARITH_OPS:
@@ -247,6 +258,21 @@ class ExprParser:
         column_expr / literal_value is meaningful; parenthesized
         sub-expressions return a boolean column_expr."""
         t = self.cur.peek()
+        if t == "(" and self.cur.peek_kw(1) == "select":
+            # Round-6 extension: uncorrelated scalar subquery in operand
+            # position — ``WHERE x > (SELECT AVG(y) FROM t)``. Executed
+            # eagerly by the resolver; 0 rows ⇒ NULL (ANSI), >1 row errors.
+            if self.resolver is None:
+                raise ParseError(
+                    "scalar subqueries are not supported in this context"
+                )
+            self.cur.next()
+            spec2, _, clauses2 = parse_select(
+                self.cur, self.weak, resolver=self.resolver
+            )
+            if self.cur.next() != ")":
+                raise ParseError("expected ')' after scalar subquery")
+            return None, self.resolver(spec2, clauses2), None
         if t == "(":
             self.cur.next()
             prev = self._no_sub()  # parenthesized conjuncts have no rewrite
@@ -330,7 +356,9 @@ class ExprParser:
                     raise ParseError(
                         "IN (SELECT ...) needs a column on the left side"
                     )
-                spec2, _, clauses2 = parse_select(self.cur, self.weak)
+                spec2, _, clauses2 = parse_select(
+                    self.cur, self.weak, resolver=self.resolver
+                )
                 if self.cur.next() != ")":
                     raise ParseError("expected ')' after subquery")
                 self.subqueries.append((name, spec2, clauses2, negate))
@@ -389,9 +417,13 @@ class SelectSpec:
     )  # (how, table, alias, on-condition)
 
 
-def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Query | None, dict]:
+def parse_select(
+    cur: _Cursor, weak_typing: bool = False, resolver=None
+) -> tuple[SelectSpec, Query | None, dict]:
     """Parse SELECT ... and return (spec, clauses) — assembly happens in
-    execute_select where the DataFrame is available."""
+    execute_select where the DataFrame is available. ``resolver`` (optional)
+    executes uncorrelated scalar subqueries to literals (RefSQL supplies
+    it; contexts without an engine parse without scalar-subquery support)."""
     cur.expect_kw("select")
     spec = SelectSpec(table="")
     if cur.peek_kw() == "distinct":
@@ -460,6 +492,19 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                         if cur.peek() != ",":
                             break
                         cur.next()
+                # Round-6 extension: explicit frame — ``ROWS BETWEEN
+                # <bound> AND <bound>`` (bounds: UNBOUNDED PRECEDING /
+                # n PRECEDING / CURRENT ROW / n FOLLOWING / UNBOUNDED
+                # FOLLOWING). Only ROWS (physical offsets); RANGE keeps
+                # Spark's default frame semantics.
+                frame = None
+                if cur.peek_kw() == "rows":
+                    cur.next()
+                    cur.expect_kw("between")
+                    lo = _frame_bound(cur)
+                    cur.expect_kw("and")
+                    hi = _frame_bound(cur)
+                    frame = (lo, hi)
                 if cur.next() != ")":
                     raise ParseError("expected ')' to close OVER")
                 if cur.peek_kw() != "as":
@@ -468,7 +513,7 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                     )
                 cur.next()
                 alias = _unquote(cur.next())
-                spec.windows.append((low, args, alias, part, order))
+                spec.windows.append((low, args, alias, part, order, frame))
             else:
                 if low not in AGG_FUNCS:
                     raise ParseError(f"{low}(...) requires an OVER clause")
@@ -557,7 +602,7 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
             cur.next()
             jalias = _unquote(cur.next())
         cur.expect_kw("on")
-        onp = ExprParser(cur, weak_typing)
+        onp = ExprParser(cur, weak_typing, resolver)
         cond = onp.parse()
         if onp.subqueries:
             raise ParseError("subqueries are not supported in JOIN ... ON")
@@ -568,12 +613,17 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         kw = cur.peek_kw()
         if kw == "where":
             cur.next()
-            wp = ExprParser(cur, weak_typing)
+            wp = ExprParser(cur, weak_typing, resolver)
             clauses["where"] = wp.parse()
             spec.in_subqueries.extend(wp.subqueries)
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
+            # Round-6 extension: GROUP BY ROLLUP(a, b) / CUBE(a, b) —
+            # grouping-set aggregation in one Expand pass (Query mode).
+            if cur.peek_kw() in ("rollup", "cube") and cur.peek(1) == "(":
+                clauses["group_mode"] = cur.next().lower()
+                cur.next()  # (
             # Group keys accept value expressions (round-5): token run to
             # the next top-level comma / clause keyword / subquery ')'.
             cols = []
@@ -588,7 +638,11 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                     if depth == 0 and (
                         t == ","
                         or t == ")"
-                        or tk in ("having", "order", "limit", "offset")
+                        or tk
+                        in (
+                            "having", "order", "limit", "offset",
+                            "union", "intersect", "except",
+                        )
                     ):
                         break
                     t = cur.next()
@@ -603,10 +657,14 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                 if cur.peek() != ",":
                     break
                 cur.next()
+            if "group_mode" in clauses and cur.next() != ")":
+                raise ParseError(
+                    f"expected ')' to close {clauses['group_mode'].upper()}"
+                )
             clauses["group_by"] = cols
         elif kw == "having":
             cur.next()
-            hp = ExprParser(cur, weak_typing)
+            hp = ExprParser(cur, weak_typing, resolver)
             clauses["having"] = hp.parse()
             if hp.subqueries:
                 raise ParseError("subqueries are not supported in HAVING")
@@ -628,7 +686,13 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
                         break
                     tk = cur.peek_kw()
                     if depth == 0 and (
-                        t == "," or tk in ("asc", "desc", "limit", "offset")
+                        t == ","
+                        or t == ")"
+                        or tk
+                        in (
+                            "asc", "desc", "limit", "offset",
+                            "union", "intersect", "except",
+                        )
                     ):
                         break
                     t = cur.next()
@@ -654,6 +718,10 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
         elif kw == "offset":
             cur.next()
             clauses["offset"] = int(cur.next())
+        elif kw in ("union", "intersect", "except"):
+            # Set operation (round-6 extension) — the executor combines
+            # this arm with the next SELECT; stop clause parsing here.
+            break
         elif cur.peek() == ")":
             # End of a parenthesized subquery — the caller consumes the ')'.
             break
@@ -662,7 +730,37 @@ def parse_select(cur: _Cursor, weak_typing: bool = False) -> tuple[SelectSpec, Q
     return spec, None, clauses
 
 
-def _window_column(fn: str, args: list, part: list, order: list) -> Column:
+def _frame_bound(cur: _Cursor) -> int:
+    """One ROWS-frame bound → Spark rowsBetween offset."""
+    from pyspark.sql import Window as W
+
+    t = cur.next().lower()
+    if t == "unbounded":
+        d = cur.next().lower()
+        if d == "preceding":
+            return W.unboundedPreceding
+        if d == "following":
+            return W.unboundedFollowing
+        raise ParseError(f"expected PRECEDING/FOLLOWING after UNBOUNDED, got {d!r}")
+    if t == "current":
+        if cur.next().lower() != "row":
+            raise ParseError("expected ROW after CURRENT")
+        return W.currentRow
+    try:
+        n = int(t)
+    except ValueError:
+        raise ParseError(f"expected a frame bound, got {t!r}")
+    d = cur.next().lower()
+    if d == "preceding":
+        return -n
+    if d == "following":
+        return n
+    raise ParseError(f"expected PRECEDING/FOLLOWING after {t}, got {d!r}")
+
+
+def _window_column(
+    fn: str, args: list, part: list, order: list, frame=None
+) -> Column:
     from pyspark.sql import Window as W
 
     w = W.partitionBy(*[F.col(c) for c in part])
@@ -670,6 +768,15 @@ def _window_column(fn: str, args: list, part: list, order: list) -> Column:
         w = w.orderBy(
             *[(F.col(c).desc() if d else F.col(c).asc()) for c, d in order]
         )
+    if frame is not None:
+        if fn not in AGG_FUNCS:
+            raise ParseError(
+                f"ROWS BETWEEN frames apply to aggregate window functions, "
+                f"not {fn}()"
+            )
+        if not order:
+            raise ParseError("a ROWS frame requires ORDER BY in the OVER clause")
+        w = w.rowsBetween(*frame)
     if fn in ("row_number", "rank", "dense_rank"):
         if args:
             raise ParseError(f"{fn}() takes no arguments")
@@ -704,11 +811,13 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         if "where" in clauses:
             df = df.filter(clauses["where"])
             clauses = {k: v for k, v in clauses.items() if k != "where"}
-        for fn, args, alias, part, order in spec.windows:
-            df = df.withColumn(alias, _window_column(fn, args, part, order))
+        for fn, args, alias, part, order, frame in spec.windows:
+            df = df.withColumn(
+                alias, _window_column(fn, args, part, order, frame)
+            )
         # Window aliases become plain projectable columns downstream.
         spec.projections = spec.projections + [
-            (alias, None) for _, _, alias, _, _ in spec.windows
+            (alias, None) for _, _, alias, _, _, _ in spec.windows
         ]
     q = Query(df)
     if "where" in clauses:
@@ -722,7 +831,8 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             *[
                 _ac(g).alias(f"_g{i}") if _ive(g) else g
                 for i, g in enumerate(group)
-            ]
+            ],
+            mode=clauses.get("group_mode", "groupby"),
         )
     if spec.aggregates:
         q.agg(*[agg_spec(fn, col, alias) for fn, col, alias in spec.aggregates])
@@ -846,6 +956,90 @@ class RefSQL:
                 df = df.join(sub, F.col(lname) == F.col("__subq_v"), "left_semi")
         return df
 
+    def _scalar(self, spec: "SelectSpec", clauses: dict):
+        """Execute an uncorrelated scalar subquery to one python value —
+        the literal is inlined into the outer plan (Spark's own physical
+        strategy for uncorrelated scalar subqueries: run the subplan,
+        broadcast the scalar). 0 rows ⇒ NULL (ANSI); >1 row is an error."""
+        sub = build_select(self._resolved_from(spec), spec, clauses)
+        if len(sub.columns) != 1:
+            raise ParseError(
+                "scalar subquery must select exactly one column"
+            )
+        rows = sub.limit(2).collect()
+        if len(rows) > 1:
+            raise ParseError("scalar subquery returned more than one row")
+        return rows[0][0] if rows else None
+
+    _SETOP_KWS = ("union", "intersect", "except")
+
+    def _select_df(self, cur: _Cursor) -> DataFrame:
+        """Parse + build one full SELECT, including set-operation chains
+        (round-6 extension): ``SELECT ... UNION [ALL] SELECT ... [ORDER BY
+        ... LIMIT n]``. Standard semantics: arms combine positionally
+        left-to-right (result columns named by the first arm), UNION/
+        INTERSECT/EXCEPT deduplicate unless ALL, and a trailing ORDER BY/
+        LIMIT/OFFSET (written after the final arm) sorts/limits the
+        COMBINED result. Non-final arms cannot carry ORDER BY/LIMIT."""
+        spec, _, clauses = parse_select(cur, self.weak, resolver=self._scalar)
+        arms: list[tuple[SelectSpec, dict]] = [(spec, clauses)]
+        ops: list[tuple[str, bool]] = []
+        while cur.peek_kw() in self._SETOP_KWS:
+            op = cur.next().lower()
+            keep_dups = False
+            if cur.peek_kw() == "all":
+                cur.next()
+                keep_dups = True
+                if op == "intersect":
+                    raise ParseError("INTERSECT ALL is not supported")
+            spec2, _, clauses2 = parse_select(
+                cur, self.weak, resolver=self._scalar
+            )
+            arms.append((spec2, clauses2))
+            ops.append((op, keep_dups))
+        if not ops:
+            return build_select(self._resolved_from(spec), spec, clauses)
+        # Compound: the trailing sort/limit clauses belong to the whole
+        # result — they were parsed into the final arm; lift them out.
+        trailing = {
+            k: arms[-1][1].pop(k)
+            for k in ("order_by", "limit", "offset")
+            if k in arms[-1][1]
+        }
+        for s, c in arms[:-1]:
+            bad = [k for k in ("order_by", "limit", "offset") if k in c]
+            if bad:
+                raise ParseError(
+                    f"{'/'.join(bad).upper()} on a non-final set-operation "
+                    "arm is not supported (write it after the last SELECT "
+                    "to order/limit the combined result)"
+                )
+        frames = [build_select(self._resolved_from(s), s, c) for s, c in arms]
+        acc = frames[0]
+        for (op, keep_dups), nxt in zip(ops, frames[1:]):
+            if len(nxt.columns) != len(acc.columns):
+                raise ParseError(
+                    f"set operation arms select {len(acc.columns)} vs "
+                    f"{len(nxt.columns)} columns — counts must match"
+                )
+            nxt = nxt.toDF(*acc.columns)  # positional, first arm names
+            if op == "union":
+                acc = acc.union(nxt)
+                if not keep_dups:
+                    acc = acc.dropDuplicates()
+            elif op == "intersect":
+                acc = acc.intersect(nxt)
+            else:  # except
+                acc = acc.exceptAll(nxt) if keep_dups else acc.subtract(nxt)
+        q = Query(acc)
+        for col, desc in trailing.get("order_by", []):
+            q.order_by(col, desc=desc)
+        if "offset" in trailing:
+            q.offset(trailing["offset"])
+        if "limit" in trailing:
+            q.limit(trailing["limit"])
+        return q.df()
+
     def execute(self, sql: str):
         """Run one statement. SELECT returns a DataFrame; DML returns an
         affected-row count; DDL returns None (SHOW TABLES returns a list)."""
@@ -855,10 +1049,10 @@ class RefSQL:
         verb = toks[0].lower()
         cur = _Cursor(toks)
         if verb == "select":
-            spec, _, clauses = parse_select(cur, self.weak)
+            out = self._select_df(cur)
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
-            return build_select(self._resolved_from(spec), spec, clauses)
+            return out
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
@@ -995,11 +1189,9 @@ class RefSQL:
                 analyze = True
             if cur.peek_kw() != "select":
                 raise ParseError("EXPLAIN supports SELECT statements")
-            spec, _, clauses = parse_select(cur, self.weak)
+            plan_df = self._select_df(cur)
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
-            df = self._resolved_from(spec)
-            plan_df = build_select(df, spec, clauses)
             if analyze:
                 n = plan_df.count()  # run it; metrics land on the plan
                 plan = plan_df._jdf.queryExecution().executedPlan().toString()
@@ -1088,12 +1280,11 @@ class RefSQL:
             # time). The SELECT result is aligned/cast to the target's
             # declared schema; with an explicit column list, unnamed
             # columns fill with NULL.
-            spec, _, clauses = parse_select(cur, self.weak)
+            src = self._select_df(cur)
             if not cur.done():
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after INSERT ... SELECT"
                 )
-            src = build_select(self._from_df(spec), spec, clauses)
             declared = self.engine.catalog.get(table).columns
             targets = cols if cols is not None else [c.name for c in declared]
             if len(targets) != len(src.columns):
@@ -1156,7 +1347,7 @@ class RefSQL:
         where = None
         if cur.peek_kw() == "where":
             cur.next()
-            up = ExprParser(cur, self.weak)
+            up = ExprParser(cur, self.weak, self._scalar)
             where = up.parse()
             if up.subqueries:
                 raise ParseError("IN (SELECT ...) is not supported in UPDATE")
@@ -1170,7 +1361,7 @@ class RefSQL:
             # Mandatory WHERE — reference safety guard (delete.go:33).
             raise ParseError("DELETE without WHERE is not allowed for safety")
         cur.next()
-        dp = ExprParser(cur, self.weak)
+        dp = ExprParser(cur, self.weak, self._scalar)
         where = dp.parse()
         if dp.subqueries:
             raise ParseError("IN (SELECT ...) is not supported in DELETE")
@@ -1199,12 +1390,11 @@ class RefSQL:
             # from the SELECT result (same registration path as ingest).
             name = _unquote(cur.next())
             cur.next()  # AS
-            spec, _, clauses = parse_select(cur, self.weak)
+            df = self._select_df(cur)
             if not cur.done():
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
                 )
-            df = build_select(self._from_df(spec), spec, clauses)
             self.engine.create_table_from(name, df)
             return None
         table = _unquote(cur.next())

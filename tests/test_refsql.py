@@ -715,3 +715,169 @@ def test_group_by_expression(spark, tmp_path):
         e.mviews.create(
             "bad", "SELECT COUNT(*) FROM gx GROUP BY SUBSTRING(name, 1, 1)"
         )
+
+
+# -- round-6 extensions: set ops, scalar subqueries, ROLLUP/CUBE, frames ----
+
+
+def test_set_operations_union_intersect_except(engine):
+    # UNION deduplicates; result columns take the first arm's names.
+    out = engine.ref_sql(
+        "SELECT course FROM students WHERE id <= 2 "
+        "UNION SELECT course FROM students WHERE id >= 2 ORDER BY course"
+    ).collect()
+    assert [r.course for r in out] == sorted({"Mech", "AI/ML", "Data Science", "CS", "EE"})
+    # UNION ALL keeps duplicates.
+    assert (
+        engine.ref_sql(
+            "SELECT id FROM students UNION ALL SELECT id FROM students"
+        ).count()
+        == 12
+    )
+    # EXCEPT is distinct-based; EXCEPT ALL keeps multiplicity.
+    out = engine.ref_sql(
+        "SELECT course FROM students EXCEPT "
+        "SELECT course FROM students WHERE course = 'Mech'"
+    ).collect()
+    assert "Mech" not in {r.course for r in out} and len(out) == 4
+    # INTERSECT; trailing LIMIT applies to the combined result.
+    out = engine.ref_sql(
+        "SELECT course FROM students INTERSECT "
+        "SELECT course FROM students WHERE id < 3 ORDER BY course LIMIT 1"
+    ).collect()
+    assert [r.course for r in out] == ["AI/ML"]
+
+
+def test_set_operation_arm_restrictions(engine):
+    # ORDER BY on a non-final arm is rejected (standard SQL shape).
+    with pytest.raises(ParseError, match="non-final"):
+        engine.ref_sql(
+            "SELECT course FROM students ORDER BY course "
+            "UNION SELECT course FROM students"
+        )
+    # Column-count mismatch across arms is rejected.
+    with pytest.raises(ParseError, match="counts must match"):
+        engine.ref_sql(
+            "SELECT id, course FROM students UNION SELECT id FROM students"
+        )
+
+
+def test_scalar_subquery_in_where_and_having(engine):
+    # Uncorrelated scalar subquery compares against the inlined value.
+    out = engine.ref_sql(
+        "SELECT name FROM students "
+        "WHERE id > (SELECT AVG(id) FROM students) ORDER BY name"
+    ).collect()
+    assert [r.name for r in out] == ["Dan", "Eve", "Frank"]
+    # In HAVING.
+    out = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students GROUP BY course "
+        "HAVING n > (SELECT MIN(id) FROM students)"
+    ).collect()
+    assert [(r.course, r.n) for r in out] == [("Mech", 2)]
+    # Empty scalar subquery ⇒ NULL ⇒ comparison filters everything (ANSI).
+    assert (
+        engine.ref_sql(
+            "SELECT name FROM students "
+            "WHERE id > (SELECT MAX(id) FROM students WHERE id > 100)"
+        ).count()
+        == 0
+    )
+    # Multi-row scalar subquery errors.
+    with pytest.raises(ParseError, match="more than one row"):
+        engine.ref_sql(
+            "SELECT name FROM students WHERE id > (SELECT id FROM students)"
+        )
+    # Multi-column scalar subquery errors.
+    with pytest.raises(ParseError, match="exactly one column"):
+        engine.ref_sql(
+            "SELECT name FROM students "
+            "WHERE id > (SELECT id, name FROM students)"
+        )
+
+
+def test_scalar_subquery_in_update_delete(engine):
+    n = engine.ref_sql(
+        "UPDATE students SET course = 'Senior' "
+        "WHERE id > (SELECT AVG(id) FROM students)"
+    )
+    assert n == 3
+    n = engine.ref_sql(
+        "DELETE FROM students WHERE id = (SELECT MAX(id) FROM students)"
+    )
+    assert n == 1
+    assert engine.table("students").count() == 5
+
+
+def test_group_by_rollup_and_cube(engine):
+    out = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students "
+        "GROUP BY ROLLUP(course) ORDER BY n DESC, course"
+    ).collect()
+    # Grand-total row (course NULL) counts all 6; Mech has 2.
+    assert (out[0].course, out[0].n) == (None, 6)
+    assert ("Mech", 2) in {(r.course, r.n) for r in out[1:]}
+    cube = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students GROUP BY CUBE(course)"
+    ).collect()
+    assert len(cube) == len(out)  # single grouping col: cube ≡ rollup
+    with pytest.raises(ParseError, match="close ROLLUP|end of input"):
+        engine.ref_sql(
+            "SELECT course, COUNT(*) FROM students GROUP BY ROLLUP(course"
+        )
+    with pytest.raises(ParseError, match="close ROLLUP"):
+        engine.ref_sql(
+            "SELECT course, COUNT(*) FROM students GROUP BY ROLLUP(course LIMIT 1"
+        )
+
+
+def test_window_rows_frame(engine):
+    out = engine.ref_sql(
+        "SELECT id, SUM(id) OVER (ORDER BY id "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS run "
+        "FROM students ORDER BY id"
+    ).collect()
+    assert [(r.id, r.run) for r in out] == [
+        (1, 1), (2, 3), (3, 5), (4, 7), (5, 9), (6, 11)
+    ]
+    out = engine.ref_sql(
+        "SELECT id, SUM(id) OVER (ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run "
+        "FROM students ORDER BY id LIMIT 2"
+    ).collect()
+    assert [(r.id, r.run) for r in out] == [(1, 1), (2, 3)]
+    # Frames require ORDER BY and an aggregate function.
+    with pytest.raises(ParseError, match="requires ORDER BY"):
+        engine.ref_sql(
+            "SELECT id, SUM(id) OVER (PARTITION BY course "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM students"
+        )
+    with pytest.raises(ParseError, match="aggregate window functions"):
+        engine.ref_sql(
+            "SELECT id, ROW_NUMBER() OVER (ORDER BY id "
+            "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM students"
+        )
+
+
+def test_case_when_projection(engine):
+    out = engine.ref_sql(
+        "SELECT name, CASE WHEN id >= 4 THEN 'late' ELSE 'early' END AS band "
+        "FROM students ORDER BY id"
+    ).collect()
+    assert [r.band for r in out] == ["early"] * 3 + ["late"] * 3
+
+
+def test_insert_select_and_ctas_accept_compounds(engine):
+    engine.ref_sql(
+        "CREATE TABLE picks AS SELECT course FROM students WHERE id = 1 "
+        "UNION SELECT course FROM students WHERE id = 4"
+    )
+    assert sorted(r.course for r in engine.table("picks").collect()) == [
+        "CS", "Mech",
+    ]
+    engine.ref_sql("CREATE TABLE sink (course TEXT)")
+    n = engine.ref_sql(
+        "INSERT INTO sink SELECT course FROM picks "
+        "UNION ALL SELECT course FROM picks"
+    )
+    assert n == 4
