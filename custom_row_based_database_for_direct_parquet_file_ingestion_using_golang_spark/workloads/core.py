@@ -622,3 +622,111 @@ def refsql_distinct_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT DISTINCT c_mktsegment FROM customer "
         "ORDER BY c_mktsegment LIMIT 3 OFFSET 1",
     )
+
+
+@query(
+    "refsql_setops_orders",
+    """
+    ((SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+      UNION
+      SELECT o_orderkey FROM orders WHERE o_totalprice < 2000)
+     EXCEPT
+     SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_custkey > 100
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def refsql_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-6 dialect extension through the gate: a UNION / EXCEPT /
+    # INTERSECT chain (left-associative, like the executor folds it — the
+    # oracle parenthesizes explicitly because DuckDB binds INTERSECT
+    # tighter), with the trailing ORDER BY + LIMIT applied to the COMBINED
+    # result. Integer keys keep the hash exact; the LIMIT forces the
+    # compound-level sort to be real (an arm-level sort would pick
+    # different survivors).
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 400000 "
+        "UNION SELECT o_orderkey FROM orders WHERE o_totalprice < 2000 "
+        "EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_orderkey FROM orders WHERE o_custkey > 100 "
+        "ORDER BY o_orderkey LIMIT 50",
+    )
+
+
+@query(
+    "refsql_scalar_subquery",
+    """
+    SELECT o_orderstatus, count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Uncorrelated scalar subquery through the dialect: the AVG executes
+    # once and inlines as a literal threshold (the same physical strategy
+    # Spark uses for scalar subqueries). Grouped count/min/max stay
+    # order-insensitive; min/max return stored values (no arithmetic), so
+    # the hash is exact as long as both engines agree on the threshold
+    # comparison.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), "
+        "MAX(o_totalprice) FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )
+
+
+@query(
+    "refsql_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def refsql_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP BY ROLLUP through the dialect: per-(status, priority) groups,
+    # per-status subtotals, and the grand total in ONE Expand pass. No
+    # ORDER BY — Spark and DuckDB disagree on NULL sort position, and the
+    # driver's hash is order-insensitive anyway.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*), MIN(o_totalprice) "
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+    )
+
+
+@query(
+    "refsql_window_frame",
+    """
+    SELECT o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+    FROM orders WHERE o_custkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def refsql_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit ROWS frame through the dialect: a 3-row moving sum per
+    # customer ordered by the unique order key (deterministic frame
+    # contents), DECIMAL-cast so the windowed sum is bit-exact on both
+    # engines.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum "
+        "FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey",
+    )
