@@ -513,6 +513,17 @@ class Engine:
         df = self.spark.read.parquet(path)
         return self._register_ingested(name, df, partition_by)
 
+    def ingest_orc(
+        self, path: str, name: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Native ORC ingestion — the other columnar interchange format
+        Spark reads built-in (vectorized reader, predicate pushdown, column
+        pruning — the same scan-side optimizations as the parquet path).
+        Same contract as ``ingest_parquet``: one distributed read, typed
+        columns, no conversions."""
+        df = self.spark.read.orc(path)
+        return self._register_ingested(name, df, partition_by)
+
     def export_table(self, name: str, path: str, fmt: str = "parquet") -> int:
         """COPY t TO 'path': write a table out as parquet or CSV — the
         export complement of the reference's import-only surface. Returns
@@ -534,9 +545,11 @@ class Engine:
             # NULL columns as explicit nulls so a re-ingest round-trips the
             # schema instead of silently dropping sparse columns.
             df.write.mode("overwrite").option("ignoreNullFields", False).json(path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(path)
         else:
             raise ValueError(
-                f"unsupported export format {fmt!r} (parquet|csv|jsonl)"
+                f"unsupported export format {fmt!r} (parquet|csv|jsonl|orc)"
             )
         return n
 

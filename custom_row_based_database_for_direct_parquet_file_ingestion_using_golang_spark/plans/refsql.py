@@ -1135,7 +1135,7 @@ class RefSQL:
             return self.engine.summarize(table)
         if verb == "copy":
             # Dialect extension: ``COPY t TO 'path' [FORMAT
-            # parquet|csv|jsonl]`` — the export complement of the
+            # parquet|csv|jsonl|orc]`` — the export complement of the
             # reference's import surface.
             cur.expect_kw("copy")
             table = _unquote(cur.next())

@@ -535,10 +535,10 @@ class ApiHandler(BaseHTTPRequestHandler):
             return self._error("no file received")
         filename, content = fields["file"]
         ext = os.path.splitext(filename or "")[1].lower()
-        if ext not in (".csv", ".parquet", ".jsonl", ".ndjson", ".json"):
+        if ext not in (".csv", ".parquet", ".orc", ".jsonl", ".ndjson", ".json"):
             return self._error(
-                f"unsupported file type '{ext}' — only .csv, .parquet and "
-                ".jsonl/.ndjson are supported"
+                f"unsupported file type '{ext}' — only .csv, .parquet, .orc "
+                "and .jsonl/.ndjson are supported"
             )
         if isinstance(content, str):
             content = content.encode()
@@ -553,6 +553,8 @@ class ApiHandler(BaseHTTPRequestHandler):
                     self.engine.ingest_csv(tmp.name, table, all_text=True)
                 elif ext in (".jsonl", ".ndjson", ".json"):
                     self.engine.ingest_jsonl(tmp.name, table)
+                elif ext == ".orc":
+                    self.engine.ingest_orc(tmp.name, table)
                 else:
                     self.engine.ingest_parquet(tmp.name, table)
         except Exception as ex:

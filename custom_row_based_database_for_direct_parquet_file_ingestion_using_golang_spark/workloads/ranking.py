@@ -644,3 +644,55 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("kept_tokens"))
         .orderBy("source")
     )
+
+
+@query(
+    "orc_roundtrip_ingest",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS count,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))
+             AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC source/sink round-trip (round 6): ingest lineitem.parquet,
+    # export it through the dialect (`COPY ... FORMAT orc` — Spark's
+    # native vectorized ORC writer), re-ingest the ORC natively, and
+    # aggregate the RE-INGESTED table. The oracle aggregates the raw
+    # parquet — a type mangled by the ORC round-trip (decimal scale,
+    # timestamp zone, nullability) shifts the DECIMAL sums or counts and
+    # flips the hash. DuckDB cannot read ORC, so the round-trip-vs-source
+    # comparison IS the oracle strategy (same pattern as
+    # jsonl_roundtrip_ingest).
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_orc_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/lineitem.parquet", "li_src")
+    out = os.path.join(root, "export_orc")
+    e.ref_sql(f"COPY li_src TO '{out}' FORMAT orc")
+    e.ingest_orc(out, "li_rt")
+    return (
+        e.table("li_rt")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

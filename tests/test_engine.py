@@ -356,3 +356,25 @@ def test_optimize_zorder_partitioned_table(engine, spark):
             mins.append(st.min)
             maxs.append(st.max)
         assert max(maxs) - min(mins) < 75, (f, min(mins), max(maxs))
+
+
+def test_orc_export_ingest_roundtrip(spark, tmp_path):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path / "orcdb"))
+    e.ingest_parquet("/root/testdata/sf0.001/nation.parquet", "nation")
+    out = str(tmp_path / "nation_orc")
+    n = e.export_table("nation", out, "orc")
+    assert n == e.table("nation").count()
+    e.ingest_orc(out, "nation_rt")
+    # Typed round-trip: schema and content both survive.
+    src = e.table("nation")
+    rt = e.table("nation_rt")
+    assert rt.schema == src.schema
+    assert sorted(map(tuple, rt.collect())) == sorted(map(tuple, src.collect()))
+    # Dialect surface: COPY ... FORMAT orc.
+    out2 = str(tmp_path / "nation_orc2")
+    msg = e.ref_sql(f"COPY nation TO '{out2}' FORMAT orc")
+    assert "orc" in msg and e.spark.read.orc(out2).count() == n

@@ -450,3 +450,22 @@ def test_static_serves_with_query_string(api):
         assert r.status == 200
     with urllib.request.urlopen(api + "/?utm=x", timeout=10) as r:
         assert r.status == 200 and r.headers["Content-Type"].startswith("text/html")
+
+
+def test_upload_orc_ingests_and_queries(api, sf_dir, spark, tmp_path):
+    # Build a single-file ORC payload from the nation fixture, upload it,
+    # and query the ingested table through the API.
+    import glob
+
+    orc_dir = str(tmp_path / "nation_orc_up")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").coalesce(1).write.orc(orc_dir)
+    orc_file = glob.glob(f"{orc_dir}/part-*.orc")[0]
+    with open(orc_file, "rb") as f:
+        content = f.read()
+    body, ctype = _multipart(
+        {"table_name": (None, b"nation_orc"), "file": ("nation.orc", content)}
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    sel = _query(api, "SELECT COUNT(*) FROM nation_orc")
+    assert sel["success"] and "25" in sel["result"]
