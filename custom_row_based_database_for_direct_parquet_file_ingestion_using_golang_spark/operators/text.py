@@ -294,3 +294,53 @@ def strip_html(text: Column | str) -> Column:
     ):
         t = F.regexp_replace(t, ent, rep)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def vocab_topk(df: "DataFrame", text_col: str, v: int = 1000) -> "DataFrame":
+    """Top-``v`` token vocabulary by corpus frequency — ``(token, n,
+    rank)``, rank dense in (count DESC, token ASC) order so the cut at the
+    ``v`` boundary is deterministic and engine-independent.
+
+    The frequency count partial-aggregates map-side (one shuffle on
+    token); the top-v cut is a TakeOrderedAndProject (only ``v`` rows
+    cross the final stage), and the rank window runs over those ``v`` rows
+    alone — the single-partition window never sees the corpus. At 100 TB
+    the only full-width stage is the token count, which is exactly a
+    word-count."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(norm_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(v)
+    w = W.orderBy(F.col("n").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def oov_stats(
+    df: "DataFrame", group_col: str, text_col: str, vocab: "DataFrame"
+) -> "DataFrame":
+    """Out-of-vocabulary rate per group: ``(group, n_tokens, n_oov,
+    oov_rate)`` against a ``vocab`` frame bearing a ``token`` column (build
+    one with ``vocab_topk``). The tokenizer-coverage health check a
+    training pipeline runs after building or importing a vocabulary.
+
+    The vocab side broadcasts (a vocabulary is small by construction); the
+    group aggregate partial-aggregates map-side — one shuffle total."""
+    toks = df.select(F.col(group_col), F.explode(norm_tokens(text_col)).alias("token"))
+    marked = toks.join(
+        F.broadcast(vocab.select("token").withColumn("_in", F.lit(True))),
+        "token",
+        "left",
+    )
+    return marked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("_in").isNull(), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("_in").isNull(), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("oov_rate"),
+    )

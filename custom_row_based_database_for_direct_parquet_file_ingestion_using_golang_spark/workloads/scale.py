@@ -1742,3 +1742,31 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "corpus_vocab_oov",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_SQL_TOKS_NORM} AS toks FROM documents),
+    tok AS (SELECT source, unnest(toks) AS token FROM t),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 200),
+    j AS (SELECT tok.source, v.token AS vt
+          FROM tok LEFT JOIN vocab v ON tok.token = v.token)
+    SELECT source, count(*) AS n_tokens,
+           count(CASE WHEN vt IS NULL THEN 1 END) AS n_oov,
+           round(count(CASE WHEN vt IS NULL THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def corpus_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary building + OOV-rate audit (round 6): top-200 token vocab
+    # by corpus frequency (deterministic (count DESC, token ASC) cut), then
+    # per-source out-of-vocabulary rates — the tokenizer-coverage health
+    # check run after building or importing a vocabulary. The oracle
+    # replays both stages; a boundary-tie drift in the vocab cut or a
+    # broadcast-join miss shifts the OOV counts and flips the hash.
+    docs = load(spark, sf_dir, "documents")
+    vocab = text_ops.vocab_topk(docs, "text", v=200)
+    return text_ops.oov_stats(docs, "source", "text", vocab).orderBy("source")
