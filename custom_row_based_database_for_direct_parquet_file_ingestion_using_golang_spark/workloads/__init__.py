@@ -18,85 +18,19 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 129 entries / 50 slots). Round-5 curation: (0) the six
-# entries whose newest green row is ROUND 2 — the stalest evidence in the
-# registry; (1) entries NEW in round 5 (time-series gapfill/interp/OHLC,
-# JSONL round-trip, winnowing, column profile, activity islands, PageRank,
-# real PNG/GIF decode, time-travel round-trip, int8 quantization, char-LM
-# quality) or whose code changed in round 5 (lsh_topk n_planes auto-sizing
-# changes ann_lsh_top10's result; the IVF training starvation threshold can
-# change ann_ivf_top10's); (2) the round-3-green block — 20 of its 48
-# entries; the 28 deferred past the boundary are eight TPC-H shapes whose
-# join/agg machinery is identically exercised by the eight kept in-window,
-# a window/rollup/pivot block covered by the kept cube/running entries,
-# plus thin parser/filter shapes — all unchanged code whose oracles run in
-# every local pytest sweep (test_oracle_parity covers the full registry) —
-# the least-risky evidence to let age to r6, where they rotate to the front
-# along with the r4-green block. Every name must exist in QUERIES;
-# ordered_queries() raises otherwise so a rename can't silently drop an
-# entry from the gate window.
+# best achievable at 136 entries / 50 slots). Round-6 curation: (0) the
+# round-3-green block deferred past the round-5 boundary — three rounds
+# stale now, the oldest evidence in the registry, so it leads; (1) entries
+# NEW in round 6 (set-op/scalar-subquery/ROLLUP/window-frame dialect
+# drives, SemDeDup, ORC round-trip, vocabulary/OOV); (2) a 14-entry slice
+# of the round-4-green block, weighted toward the heavy multi-stage
+# operators (media decode, dedup tiers, packing, BM25, streaming) whose
+# plans have the most moving parts — the rest of the r4 block plus the
+# whole r5-green block age to ≤2 rounds and rotate forward in r7. Every
+# name must exist in QUERIES; ordered_queries() raises otherwise so a
+# rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
-    # (0) round-2 evidence — stalest rows in the registry.
-    "sample_hash_deterministic",
-    "split_train_eval_stratified",
-    "embedding_norms_stats",
-    "json_extract_props",
-    "cube_status_priority",
-    "text_fingerprints",
-    # (1) new or code-touched in round 5.
-    "ts_gapfill_locf",
-    "ts_linear_interpolate",
-    "ts_ohlc_daily",
-    "multimodal_png_decode",
-    "multimodal_gif_decode",
-    "timetravel_version_as_of",
-    "mv_incremental_refresh",
-    "jsonl_roundtrip_ingest",
-    "dedup_winnow_top15",
-    "profile_orders",
-    "histogram_totalprice",
-    "corr_lineitem",
-    "events_activity_islands",
-    "graph_pagerank_knn",
-    "refsql_join_customer_nation",
-    "refsql_left_join_counts",
-    "refsql_ctas_insert_select",
-    "refsql_window_topk",
-    "refsql_in_subquery",
-    "refsql_q1_expression_aggregates",
-    "refsql_group_by_expression",
-    "embedding_quantize_int8",
-    "text_char_lm_quality",
-    "ann_lsh_top10",
-    "ann_ivf_top10",
-    # (2) round-3-green block: reference core surface.
-    "agg_global",
-    "distinct_values",
-    "order_limit_offset",
-    "filter_not_and_or",
-    # (2) round-3-green block: TPC-H relational shapes.
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_revenue_top20",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    # (2) round-3-green block: joins / windows / set ops / subqueries.
-    "join_anti_not_exists",
-    "join_outer_suppliers_per_nation",
-    "join_semi_exists",
-    "setop_union_intersect_except",
-    "subquery_above_avg",
-    # (2) round-3-green block: events / corpus / ranking / streaming.
-    "pipeline_curate_corpus",
-    # -- ~50-slot window boundary: the deferred r3-green entries below
-    # (eight TPC-H shapes sharing machinery with the eight kept above the
-    # line, md5-bucket mixing/budget selection, broadcast static enrich,
-    # and thin parser/filter shapes — all unchanged code with full
-    # pytest-oracle coverage) age to r6, where they lead the window.
+    # (0) round-3 evidence deferred at r5 — stalest rows in the registry.
     "range_join_follow_events",
     "merge_upsert_orders",
     "tfidf_top3_terms",
@@ -126,8 +60,61 @@ PRIORITY: list[str] = [
     "projection_alias",
     "refsql_distinct_order_limit",
     "refsql_where_like_between",
+    # (1) new in round 6.
+    "refsql_setops_orders",
+    "refsql_scalar_subquery",
+    "refsql_rollup_orders",
+    "refsql_window_frame",
+    "dedup_semantic_clusters",
+    "orc_roundtrip_ingest",
+    "corpus_vocab_oov",
+    # (2) round-4-green heavy multi-stage plans (two rounds stale).
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
+    "multimodal_avi_frame_sample",
+    "dedup_ngram_jaccard_top20",
+    "dedup_duplicate_clusters",
+    "corpus_line_dedup",
+    "dedup_exact_groups",
+    "dedup_exact_survivors",
+    "dedup_embedding_neardup",
+    "similar_pairs_top15",
+    "bm25_top10",
+    "corpus_pack_sequences",
+    "window_topk_per_group",
+    "q01_pricing_summary",
+    # -- ~50-slot window boundary: everything below was green in r4 or r5
+    # (≤2 rounds stale at r6) and rotates forward in r7.
+    "scan_full_table",
+    "filter_compare",
+    "weak_typing_filter",
+    "agg_group_having",
+    "agg_global",
+    "distinct_values",
+    "order_limit_offset",
+    "filter_not_and_or",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_revenue_top20",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "join_semi_exists",
+    "setop_union_intersect_except",
+    "subquery_above_avg",
+    "pipeline_curate_corpus",
+    "contamination_eval_train_overlap",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_breakdown",
+    "text_pii_redact",
+    "corpus_top_bigrams",
 ]
-
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
     """Full inventory, priority entries first, the rest in registration order."""
