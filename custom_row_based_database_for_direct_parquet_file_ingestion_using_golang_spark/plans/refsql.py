@@ -159,6 +159,9 @@ class ExprParser:
         # subquery under OR/NOT/parens has no join rewrite), enforced via
         # ``_sub_ok`` plus growth checks at the OR level.
         self.subqueries: list[tuple[str, Any, dict, bool]] = []
+        # [NOT] EXISTS (SELECT ...) markers — (spec, clauses, negated).
+        # Same first-class restriction as IN subqueries.
+        self.exists_subqueries: list[tuple[Any, dict, bool]] = []
         self._sub_ok = True
         # Scalar-subquery resolver (round-6 extension): a callable
         # ``(spec, clauses) -> python value`` the executor supplies.
@@ -176,13 +179,13 @@ class ExprParser:
         return prev
 
     def _or(self) -> Column:
-        n0 = len(self.subqueries)
+        n0 = len(self.subqueries) + len(self.exists_subqueries)
         left = self._and()
         while self.cur.peek_kw() == "or":
-            if len(self.subqueries) > n0:
+            if len(self.subqueries) + len(self.exists_subqueries) > n0:
                 raise ParseError(
-                    "IN (SELECT ...) is only supported as a top-level AND "
-                    "condition of WHERE, not under OR"
+                    "IN/EXISTS (SELECT ...) is only supported as a top-level "
+                    "AND condition of WHERE, not under OR"
                 )
             self.cur.next()
             prev = self._no_sub()
@@ -198,6 +201,10 @@ class ExprParser:
         return left
 
     def _not(self) -> Column:
+        if self.cur.peek_kw() == "not" and self.cur.peek_kw(1) == "exists":
+            # NOT EXISTS is a single predicate form (anti-join marker),
+            # not a generic negation — let _predicate consume the pair.
+            return self._predicate()
         if self.cur.peek_kw() == "not":
             self.cur.next()
             prev = self._no_sub()  # NOT (x IN (SELECT ...)) has no rewrite
@@ -324,6 +331,41 @@ class ExprParser:
         return ops[op](left if left is not None else F.lit(None), right)
 
     def _predicate(self) -> Column:
+        # Round-6 extension: [NOT] EXISTS (SELECT ... [WHERE <pred>]) —
+        # the <pred> may reference alias-qualified OUTER columns
+        # (correlation); the executor joins it as left-semi / left-anti
+        # with <pred> as the join condition. NOT EXISTS needs no
+        # null-aware handling (unlike NOT IN): anti join IS its ANSI
+        # semantics.
+        k0 = self.cur.peek_kw()
+        neg_exists = False
+        if k0 == "not" and self.cur.peek_kw(1) == "exists":
+            self.cur.next()
+            neg_exists = True
+            k0 = "exists"
+        if k0 == "exists":
+            if not self._sub_ok:
+                raise ParseError(
+                    "EXISTS (SELECT ...) is only supported as a top-level "
+                    "AND condition of WHERE"
+                )
+            self.cur.next()
+            if self.cur.next() != "(":
+                raise ParseError("expected '(' after EXISTS")
+            spec2, _, clauses2 = parse_select(
+                self.cur, self.weak, resolver=self.resolver
+            )
+            if self.cur.next() != ")":
+                raise ParseError("expected ')' after EXISTS subquery")
+            for bad in ("group_by", "having", "order_by", "limit", "offset"):
+                if bad in clauses2:
+                    raise ParseError(
+                        f"EXISTS subqueries do not support {bad.upper()} "
+                        "(the projection/grouping is irrelevant to EXISTS)"
+                    )
+            self.exists_subqueries.append((spec2, clauses2, neg_exists))
+            # The join IS the predicate; the conjunct slot stays TRUE.
+            return F.lit(True)
         expr, lit, name = self._value_operand()
         left = expr if expr is not None else F.lit(lit)
 
@@ -409,6 +451,13 @@ class SelectSpec:
     # Dialect extension: x [NOT] IN (SELECT col ...) markers from WHERE —
     # rewritten by the executor as semi/anti joins.
     in_subqueries: list[tuple[str, "SelectSpec", dict, bool]] = field(
+        default_factory=list
+    )
+    # Dialect extension (round-6): [NOT] EXISTS (SELECT ... WHERE <pred>)
+    # markers — the subquery's WHERE (which may reference alias-qualified
+    # OUTER columns: correlation) becomes the join condition of a
+    # left-semi (EXISTS) / left-anti (NOT EXISTS) join.
+    exists_subqueries: list[tuple["SelectSpec", dict, bool]] = field(
         default_factory=list
     )
     # Dialect extension: [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON cond
@@ -560,9 +609,15 @@ def parse_select(
             from ..operators.query import is_value_expr
 
             if (len(buf) > 1 or is_value_expr(name)) and alias is None:
-                raise ParseError(
-                    f"expression projection '{name}' needs AS <alias>"
-                )
+                try:
+                    # Bare numeric literal (``SELECT 1`` — the idiomatic
+                    # EXISTS projection): allowed unaliased; Spark names
+                    # the column by its text, same as DuckDB.
+                    float(name)
+                except ValueError:
+                    raise ParseError(
+                        f"expression projection '{name}' needs AS <alias>"
+                    )
             spec.projections.append((name, alias))
     cur.expect_kw("from")
     spec.table = _unquote(cur.next())
@@ -604,7 +659,7 @@ def parse_select(
         cur.expect_kw("on")
         onp = ExprParser(cur, weak_typing, resolver)
         cond = onp.parse()
-        if onp.subqueries:
+        if onp.subqueries or onp.exists_subqueries:
             raise ParseError("subqueries are not supported in JOIN ... ON")
         spec.joins.append((how, jtable, jalias, cond))
 
@@ -616,6 +671,7 @@ def parse_select(
             wp = ExprParser(cur, weak_typing, resolver)
             clauses["where"] = wp.parse()
             spec.in_subqueries.extend(wp.subqueries)
+            spec.exists_subqueries.extend(wp.exists_subqueries)
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
@@ -666,8 +722,10 @@ def parse_select(
             cur.next()
             hp = ExprParser(cur, weak_typing, resolver)
             clauses["having"] = hp.parse()
-            if hp.subqueries:
-                raise ParseError("subqueries are not supported in HAVING")
+            if hp.subqueries or hp.exists_subqueries:
+                raise ParseError(
+                    "IN/EXISTS subqueries are not supported in HAVING"
+                )
         elif kw == "order":
             # Multi-column ORDER BY, each key with its own ASC/DESC — the
             # reference parses a single sort key (select.go); multi-key is
@@ -938,6 +996,24 @@ class RefSQL:
         is deduplicated before the join (semi/anti cardinality is per left
         row anyway; distinct keeps the build side minimal)."""
         df = self._from_df(spec)
+        if spec.exists_subqueries and not (spec.joins or spec.alias):
+            # Correlated predicates reference the outer table by (alias-)
+            # qualified name; make sure the outer frame carries one.
+            df = df.alias(spec.table)
+        for spec2, clauses2, anti in spec.exists_subqueries:
+            # [NOT] EXISTS rewrite (round-6): the subquery's WHERE — which
+            # may reference alias-qualified OUTER columns — becomes the
+            # join condition of a left-semi / left-anti join. The inner
+            # projection is irrelevant to EXISTS; the inner frame joins
+            # whole (Catalyst prunes the unused columns). Anti join IS
+            # ANSI NOT EXISTS — no null-aware wrapping needed (unlike
+            # NOT IN). Uncorrelated EXISTS degenerates to a constant-true
+            # join condition, which Catalyst folds.
+            inner = self._resolved_from(spec2)
+            if not (spec2.joins or spec2.alias):
+                inner = inner.alias(spec2.table)
+            cond = clauses2.get("where", F.lit(True))
+            df = df.join(inner, cond, "left_anti" if anti else "left_semi")
         for lname, spec2, clauses2, anti in spec.in_subqueries:
             sub = build_select(self._resolved_from(spec2), spec2, clauses2)
             if len(sub.columns) != 1:

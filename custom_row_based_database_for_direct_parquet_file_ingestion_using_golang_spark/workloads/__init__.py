@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "refsql_where_like_between",
     # (1) new in round 6.
     "refsql_setops_orders",
+    "refsql_exists_subquery",
     "refsql_scalar_subquery",
     "refsql_rollup_orders",
     "refsql_window_frame",

@@ -730,3 +730,39 @@ def refsql_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum "
         "FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey",
     )
+
+
+@query(
+    "refsql_exists_subquery",
+    """
+    SELECT c_mktsegment, count(*) AS count
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE orders.o_custkey = customer.c_custkey
+                    AND orders.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE orders.o_custkey = customer.c_custkey
+                        AND orders.o_orderstatus = 'F'
+                        AND orders.o_totalprice < 50000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def refsql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated [NOT] EXISTS through the dialect (round-6): customers with
+    # a big order (left-semi on the correlation predicate) but no cheap
+    # failed order (left-anti), grouped per segment. The oracle runs the
+    # identical ANSI EXISTS pair — a broken correlation rewrite, a
+    # semi/anti mixup, or a dropped conjunct flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT c_mktsegment, COUNT(*) FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders "
+        "WHERE orders.o_custkey = customer.c_custkey "
+        "AND orders.o_totalprice > 300000) "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE orders.o_custkey = customer.c_custkey "
+        "AND orders.o_orderstatus = 'F' "
+        "AND orders.o_totalprice < 50000) "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    )

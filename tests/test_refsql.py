@@ -881,3 +881,59 @@ def test_insert_select_and_ctas_accept_compounds(engine):
         "UNION ALL SELECT course FROM picks"
     )
     assert n == 4
+
+
+def test_exists_subqueries(engine, spark):
+    engine.create_table("enroll", [("sid", "INT"), ("grade", "INT")])
+    engine.insert_rows(
+        "enroll",
+        [
+            {"sid": 1, "grade": 5},
+            {"sid": 1, "grade": 2},
+            {"sid": 3, "grade": 1},
+        ],
+    )
+    # Correlated EXISTS → left-semi join on the correlation predicate.
+    out = engine.ref_sql(
+        "SELECT name FROM students WHERE EXISTS "
+        "(SELECT 1 FROM enroll WHERE enroll.sid = students.id "
+        "AND enroll.grade > 3) ORDER BY name"
+    ).collect()
+    assert [r.name for r in out] == ["Noel"]
+    # NOT EXISTS → left-anti join (ANSI semantics, no null-aware wrap).
+    out = engine.ref_sql(
+        "SELECT id FROM students WHERE NOT EXISTS "
+        "(SELECT 1 FROM enroll WHERE enroll.sid = students.id) ORDER BY id"
+    ).collect()
+    assert [r.id for r in out] == [2, 4, 5, 6]
+    # AS-aliased outer and inner tables.
+    out = engine.ref_sql(
+        "SELECT name FROM students AS st WHERE EXISTS "
+        "(SELECT 1 FROM enroll AS e WHERE e.sid = st.id) ORDER BY name"
+    ).collect()
+    assert [r.name for r in out] == ["Benedict", "Noel"]
+    # Composes with ordinary conjuncts.
+    out = engine.ref_sql(
+        "SELECT name FROM students WHERE id > 1 AND EXISTS "
+        "(SELECT 1 FROM enroll WHERE enroll.sid = students.id)"
+    ).collect()
+    assert [r.name for r in out] == ["Benedict"]
+    # Uncorrelated EXISTS degenerates to all-or-nothing.
+    assert (
+        engine.ref_sql(
+            "SELECT id FROM students WHERE EXISTS "
+            "(SELECT 1 FROM enroll WHERE grade > 100)"
+        ).count()
+        == 0
+    )
+    # Restrictions: not under OR; no GROUP BY/LIMIT inside.
+    with pytest.raises(ParseError, match="top-level AND"):
+        engine.ref_sql(
+            "SELECT id FROM students WHERE id = 1 OR EXISTS "
+            "(SELECT 1 FROM enroll WHERE enroll.sid = students.id)"
+        )
+    with pytest.raises(ParseError, match="do not support"):
+        engine.ref_sql(
+            "SELECT id FROM students WHERE EXISTS "
+            "(SELECT 1 FROM enroll WHERE enroll.sid = students.id LIMIT 1)"
+        )
