@@ -37,6 +37,22 @@ select.go:49-54 is single-table, bare-column only):
   * CTAS, set-based ``INSERT INTO t [(cols)] SELECT``, ``SUMMARIZE t``,
     ``EXPLAIN [ANALYZE]``, and CREATE/REFRESH/DROP MATERIALIZED VIEW
     (matview.py).
+
+Round-6 extensions:
+  * Set operations: ``UNION [ALL]`` / ``INTERSECT`` / ``EXCEPT [ALL]``
+    chains — positional arms named by the first arm, left-associative
+    fold, trailing ORDER BY/LIMIT/OFFSET on the combined result; accepted
+    wherever a SELECT is (CTAS, INSERT...SELECT, EXPLAIN).
+  * Uncorrelated scalar subqueries ``(SELECT agg ...)`` in any comparison
+    position (WHERE/HAVING sides, BETWEEN bounds, UPDATE/DELETE
+    predicates): executed once, inlined as a literal; ANSI empty→NULL.
+  * Correlated ``[NOT] EXISTS (SELECT ... WHERE <pred>)`` as top-level
+    WHERE conjuncts → left-semi / left-anti joins with <pred> (which may
+    reference alias-qualified outer columns) as the join condition.
+  * ``GROUP BY ROLLUP(a, b)`` / ``CUBE(a, b)`` — one Expand pass.
+  * ``ROWS BETWEEN <bound> AND <bound>`` frames in OVER clauses for
+    aggregate window functions.
+  * Bare numeric literal projections (``SELECT 1``), named by their text.
 """
 
 from __future__ import annotations

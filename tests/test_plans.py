@@ -241,3 +241,74 @@ def test_gapfill_grid_join_and_single_window_sort(spark, sf_dir):
     txt = plan_text(df)
     assert "EvalPython" not in txt, txt
     assert "Generate" in txt and "Window" in txt
+
+
+def test_vocab_topk_plans_take_ordered_and_broadcast_oov(spark, sf_dir):
+    # vocab_topk's top-v cut must plan TakeOrderedAndProject (only v rows
+    # cross the final stage), and oov_stats must broadcast the vocab side
+    # of its membership join — the 100 TB posture both docstrings claim.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        has_broadcast_join,
+        plan_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = text_ops.vocab_topk(docs, "text", v=50)
+    assert "TakeOrderedAndProject" in plan_text(vocab, "simple")
+    oov = text_ops.oov_stats(docs, "source", "text", vocab)
+    txt = plan_text(oov)
+    assert has_broadcast_join(oov), txt
+    assert "EvalPython" not in txt, txt
+
+
+def test_semantic_dedup_assignment_is_literal_map_and_pair_join_on_cluster(
+    spark, sf_dir
+):
+    # The centroid assignment must stay JVM-side column algebra (no Python
+    # workers anywhere), and the only wide stages are the pair join keyed
+    # on cluster_id plus the final flag join — no all-pairs cross product.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        dedup,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = dedup.semantic_dedup(emb, "vec_id", "v", n_clusters=4)
+    txt = plan_text(out)
+    assert "EvalPython" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    assert "cluster_id" in txt
+
+
+def test_refsql_exists_plans_semi_and_anti_joins(spark, tmp_path):
+    # The EXISTS rewrite must surface as LeftSemi / LeftAnti joins in the
+    # physical plan — proof the predicate compiled to a join, not a
+    # per-row subquery execution.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    e = Engine(spark, str(tmp_path / "exdb"))
+    e.ingest_parquet("/root/testdata/sf0.001/customer.parquet", "customer")
+    e.ingest_parquet("/root/testdata/sf0.001/orders.parquet", "orders")
+    df = e.ref_sql(
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE orders.o_custkey = customer.c_custkey) "
+        "AND NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE orders.o_custkey = customer.c_custkey "
+        "AND orders.o_totalprice < 1000)"
+    )
+    txt = plan_text(df, "simple")
+    assert "LeftSemi" in txt, txt
+    assert "LeftAnti" in txt, txt
