@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "dedup_semantic_clusters",
     "orc_roundtrip_ingest",
     "corpus_vocab_oov",
+    "multimodal_jpeg_decode",
     # (2) round-4-green heavy multi-stage plans (two rounds stale).
     "multimodal_bmp_decode",
     "multimodal_wav_decode",

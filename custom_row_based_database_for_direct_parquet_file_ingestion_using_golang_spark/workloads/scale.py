@@ -1770,3 +1770,65 @@ def corpus_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = text_ops.vocab_topk(docs, "text", v=200)
     return text_ops.oov_stats(docs, "source", "text", vocab).orderBy("source")
+
+
+@query(
+    "multimodal_jpeg_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, width, height,
+             unnest(range(0, (width // 8) * (height // 8))) AS blk
+      FROM p
+    ),
+    b AS (
+      SELECT doc_id, width, height,
+             (doc_id + 16 * (blk // (width // 8))
+                     + 8 * (blk % (width // 8))) % 256 AS v
+      FROM k
+    )
+    SELECT doc_id AS media_id, width, height, CAST(1 AS INT) AS channels,
+           CAST(sum(64 * v) AS BIGINT) AS pixel_sum,
+           round(sum(64 * v) / CAST(width * height AS DOUBLE), 4) AS mean_pixel
+    FROM b GROUP BY doc_id, width, height
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL baseline-JPEG decode end-to-end (round 6): synthesize a
+    # spec-conformant grayscale JPEG per document — dimensions and each
+    # 8x8 block's constant value are pure functions of doc_id, and with
+    # flat quantization a block-constant image round-trips EXACTLY through
+    # the DCT (DC-only spectra survive integer rounding). Extraction
+    # huffman-decodes the entropy stream, undoes DC prediction and the
+    # zigzag, dequantizes, and runs the real 2-D IDCT; the oracle
+    # recomputes the decoded statistics analytically from the block-value
+    # formula — any shortcut in the codec path (wrong zigzag, bad DC
+    # predictor, skipped byte unstuffing, broken IDCT) shifts pixel_sum.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                blocks = np.empty((h // 8, w // 8), dtype=np.uint8)
+                for bi in range(h // 8):
+                    for bj in range(w // 8):
+                        blocks[bi, bj] = (did + 16 * bi + 8 * bj) % 256
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(multimodal.encode_jpeg(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    feats = multimodal.extract_jpeg_features(media)
+    return feats.withColumn("mean_pixel", F.round("mean_pixel", 4))

@@ -993,3 +993,73 @@ def test_corr_matrix_known_values_and_nulls(spark):
 
     with pytest.raises(ValueError, match="at least two"):
         corr_matrix(df, ["a"])
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        blocks = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        d = decode_jpeg(encode_jpeg(img))
+        # Flat quantization + constant blocks: DC-only spectra survive
+        # integer rounding, so the round trip is bit-exact.
+        assert d["channels"] == 1
+        assert (d["height"], d["width"]) == img.shape
+        assert np.array_equal(d["pixels"], img)
+        assert d["pixel_sum"] == int(img.sum(dtype=np.int64))
+
+
+def test_jpeg_roundtrip_lossy_bounds_and_odd_dims():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    # Arbitrary content: REAL lossy DCT behavior, error bounded by the
+    # flat quant=1 rounding (a fake decoder would be either exact or way
+    # off). Odd dimensions exercise edge padding + crop.
+    img = rng.integers(0, 256, (13, 21)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert (d["height"], d["width"]) == (13, 21)
+    assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= 3
+    # 3-component color: YCbCr round trip within quantization+rounding.
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(rgb))
+    assert d["channels"] == 3
+    assert np.abs(d["pixels"].astype(int) - rgb.astype(int)).max() <= 6
+    # Gray-valued RGB has constant chroma 128: color path is exact on
+    # block-constant content.
+    v = np.kron(rng.integers(0, 256, (2, 2)), np.ones((8, 8))).astype(np.uint8)
+    rgb = np.stack([v, v, v], axis=-1)
+    d = decode_jpeg(encode_jpeg(rgb))
+    assert np.array_equal(d["pixels"], rgb)
+
+
+def test_jpeg_decoder_rejects_unsupported_profiles():
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # Progressive SOF2 is honestly refused, not mis-decoded.
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(payload))
