@@ -83,10 +83,10 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",
-    "window_topk_per_group",
-    "q01_pricing_summary",
     # -- ~50-slot window boundary: everything below was green in r4 or r5
     # (≤2 rounds stale at r6) and rotates forward in r7.
+    "window_topk_per_group",
+    "q01_pricing_summary",
     "scan_full_table",
     "filter_compare",
     "weak_typing_filter",
