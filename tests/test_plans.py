@@ -267,9 +267,10 @@ def test_vocab_topk_plans_take_ordered_and_broadcast_oov(spark, sf_dir):
 def test_semantic_dedup_assignment_is_literal_map_and_pair_join_on_cluster(
     spark, sf_dir
 ):
-    # The centroid assignment must stay JVM-side column algebra (no Python
-    # workers anywhere), and the only wide stages are the pair join keyed
-    # on cluster_id plus the final flag join — no all-pairs cross product.
+    # The centroid assignment must stay JVM-side column algebra; the only
+    # Python stage is the Arrow-batched per-cluster BLAS tile
+    # (FlatMapGroupsInPandas — grouped Arrow batches, never row-at-a-time
+    # BatchEvalPython), keyed on cluster_id — no all-pairs cross product.
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
         dedup,
     )
@@ -283,7 +284,8 @@ def test_semantic_dedup_assignment_is_literal_map_and_pair_join_on_cluster(
     )
     out = dedup.semantic_dedup(emb, "vec_id", "v", n_clusters=4)
     txt = plan_text(out)
-    assert "EvalPython" not in txt, txt
+    assert "BatchEvalPython" not in txt, txt
+    assert "FlatMapGroupsInPandas" in txt, txt
     assert "CartesianProduct" not in txt, txt
     assert "cluster_id" in txt
 
