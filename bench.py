@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "similar_pairs_top15",
     "multimodal_image_features",
     "pipeline_curate_corpus",
+    # round-6 additions
+    "dedup_semantic_clusters",
+    "corpus_vocab_oov",
+    "multimodal_jpeg_decode",
+    "refsql_setops_orders",
+    "refsql_exists_subquery",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -144,6 +150,13 @@ KNOWN_FLOORS_SF01 = {
     # sentinel, so these are conservative):
     "ts_gapfill_locf": 0.37,
     "dedup_winnow_top15": 4.4,
+    # round-6 additions (floors measured in-round under ambient ~1.3-2.4
+    # loadavg from other tenants, so conservative):
+    "dedup_semantic_clusters": 2.1,
+    "corpus_vocab_oov": 1.1,
+    "multimodal_jpeg_decode": 1.9,
+    "refsql_setops_orders": 0.76,
+    "refsql_exists_subquery": 0.50,
 }
 
 
