@@ -639,3 +639,152 @@ def test_refsql_in_subquery_matches_spark_sql(spark, neg, sub_where, outer):
         r.id for r in spark.sql(q.format(t="fuzz_t", u="fuzz_u")).collect()
     )
     assert got == want, f"{q}: {got} != {want}"
+
+
+# --- round-6 dialect surface: differential fuzz vs Spark SQL ---------------
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w1=_where_exprs(),
+    w2=_where_exprs(),
+    w3=_where_exprs(),
+    ops=st.lists(
+        st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+        min_size=1,
+        max_size=2,
+    ),
+    limit=st.integers(1, 8),
+)
+def test_refsql_setops_match_spark_sql(spark, w1, w2, w3, ops, limit):
+    # The dialect folds set operations LEFT-ASSOCIATIVELY; Spark SQL gives
+    # INTERSECT higher precedence, so the Spark side parenthesizes each
+    # fold step explicitly to compare identical semantics.
+    eng = _fuzz_engine(spark)
+    wheres = [w1, w2, w3][: len(ops) + 1]
+    ref = f"SELECT id FROM t WHERE {wheres[0]}"
+    spk = f"SELECT id FROM fuzz_t WHERE {wheres[0]}"
+    for op, w in zip(ops, wheres[1:]):
+        ref += f" {op} SELECT id FROM t WHERE {w}"
+        spk = f"({spk} {op} SELECT id FROM fuzz_t WHERE {w})"
+    ref += f" ORDER BY id LIMIT {limit}"
+    spk = f"SELECT * FROM ({spk}) ORDER BY id LIMIT {limit}"
+    got = [r.id for r in eng.ref_sql(ref).collect()]
+    want = [r.id for r in spark.sql(spk).collect()]
+    assert got == want, f"{ref}: refsql {got} != spark {want}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    agg=st.sampled_from(["MIN(key)", "MAX(key)", "AVG(key)", "COUNT(*)"]),
+    tag=st.sampled_from(["x", "y", "w", "nope"]),
+    op=st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+)
+def test_refsql_scalar_subquery_matches_spark_sql(spark, agg, tag, op):
+    # Uncorrelated scalar subquery in a WHERE comparison: the dialect
+    # inlines the executed value; Spark plans a native scalar subquery —
+    # both must select the same rows (including the empty-subquery → NULL
+    # → everything-filtered case for tag='nope').
+    eng = _fuzz_engine(spark)
+    sub = f"(SELECT {agg} FROM {{u}} WHERE tag = '{tag}')"
+    got = sorted(
+        r.id
+        for r in eng.ref_sql(
+            f"SELECT id FROM t WHERE id {op} {sub.format(u='u')}"
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.sql(
+            f"SELECT id FROM fuzz_t WHERE id {op} {sub.format(u='fuzz_u')}"
+        ).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    mode=st.sampled_from(["ROLLUP", "CUBE"]),
+    where=_where_exprs(),
+    agg=st.sampled_from(["SUM(id)", "MIN(price)", "COUNT(*)"]),
+)
+def test_refsql_rollup_cube_match_spark_sql(spark, mode, where, agg):
+    eng = _fuzz_engine(spark)
+
+    def canon(rows):
+        # Super-aggregate rows carry NULL keys; sort None-safely.
+        return sorted(
+            (tuple(r) for r in rows),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    got = canon(
+        eng.ref_sql(
+            f"SELECT flag, name, {agg} AS a FROM t WHERE {where} "
+            f"GROUP BY {mode}(flag, name)"
+        ).collect()
+    )
+    want = canon(
+        spark.sql(
+            f"SELECT flag, name, {agg} AS a FROM fuzz_t WHERE {where} "
+            f"GROUP BY {mode}(flag, name)"
+        ).collect()
+    )
+    assert got == want, f"{mode} {where}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lo=st.integers(0, 3),
+    hi=st.sampled_from(["CURRENT ROW", "1 FOLLOWING", "UNBOUNDED FOLLOWING"]),
+    fn=st.sampled_from(["SUM(price)", "MIN(id)", "COUNT(*)"]),
+)
+def test_refsql_window_frames_match_spark_sql(spark, lo, hi, fn):
+    eng = _fuzz_engine(spark)
+    lo_s = "UNBOUNDED PRECEDING" if lo == 3 else f"{lo} PRECEDING"
+    over = (
+        f"OVER (PARTITION BY flag ORDER BY id "
+        f"ROWS BETWEEN {lo_s} AND {hi}) AS wv"
+    )
+    got = sorted(
+        tuple(r)
+        for r in eng.ref_sql(f"SELECT id, {fn} {over} FROM t").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(f"SELECT id, {fn} {over} FROM fuzz_t").collect()
+    )
+    assert got == want, f"{fn} {over}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    neg=st.booleans(),
+    tag=st.sampled_from(["x", "y", "w", "nope"]),
+    extra=st.sampled_from(["", " AND i.key > 1", " AND i.key < 9"]),
+)
+def test_refsql_exists_matches_spark_sql(spark, neg, tag, extra):
+    # Correlated [NOT] EXISTS: identical alias-qualified text runs on both
+    # engines (the dialect rewrites to semi/anti joins; Spark decorrelates
+    # natively) — row sets must agree, including the empty-inner case.
+    eng = _fuzz_engine(spark)
+    kw = "NOT EXISTS" if neg else "EXISTS"
+    body = f"(SELECT 1 FROM {{u}} AS i WHERE i.key = o.id AND i.tag = '{tag}'{extra})"
+    got = sorted(
+        r.id
+        for r in eng.ref_sql(
+            f"SELECT id FROM t AS o WHERE {kw} {body.format(u='u')}"
+        ).collect()
+    )
+    want = sorted(
+        r.id
+        for r in spark.sql(
+            f"SELECT id FROM fuzz_t AS o WHERE {kw} {body.format(u='fuzz_u')}"
+        ).collect()
+    )
+    assert got == want, f"{kw} {body}"
