@@ -648,15 +648,64 @@ def encode_avi(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
+    """Write a Motion-JPEG AVI: same RIFF/hdrl/movi/idx1 structure as
+    :func:`encode_avi` but fccHandler 'MJPG' and one '00dc' chunk per
+    frame containing a complete baseline JPEG (:func:`encode_jpeg`) — the
+    classic intra-only compressed video container. Frames are (H, W)
+    grayscale or (H, W, 3) RGB uint8."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) or f.dtype != np.uint8 for f in frames):
+        raise ValueError("encode_avi_mjpeg expects uniform uint8 frames")
+    jpegs = [encode_jpeg(f) for f in frames]
+    n = len(frames)
+    max_sz = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<4sI" + "IIIIIIIIIIIIII",
+        b"avih", 56,
+        1_000_000 // fps, max_sz * fps, 0, 0x10, n, 0, 1, max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIIIhhhh",
+        b"strh", 56, b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_sz, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<4sIIiiHH4sIiiII",
+        b"strf", 40, 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = bytearray()
+    offsets = []
+    for j in jpegs:
+        offsets.append(4 + len(movi_body))
+        movi_body += struct.pack("<4sI", b"00dc", len(j)) + j
+        if len(j) & 1:
+            movi_body += b"\x00"  # RIFF chunks are word-aligned
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + bytes(movi_body)
+    idx = b"idx1" + struct.pack("<I", 16 * n) + b"".join(
+        struct.pack("<4sIII", b"00dc", 0x10, off, len(j))
+        for off, j in zip(offsets, jpegs)
+    )
+    body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def demux_avi(payload: bytes) -> dict:
-    """REAL demux of an uncompressed AVI: RIFF walk to the hdrl (width/
-    height/frame count/rate) and the movi list, yielding one descriptor per
-    '00db' frame with its offset RELATIVE TO THE MOVI PAYLOAD (stable under
-    header-size changes) and the decoded frame's integer pixel sum — frame
-    pixels decode with the same bottom-up/padding/BGR handling as BMP."""
+    """REAL demux of an AVI: RIFF walk to the hdrl (width/height/frame
+    count/rate + the stream's fccHandler) and the movi list, yielding one
+    descriptor per frame with its offset RELATIVE TO THE MOVI PAYLOAD
+    (stable under header-size changes) and the decoded frame's integer
+    pixel sum. Uncompressed 'DIB ' streams ('00db' chunks) decode with the
+    same bottom-up/padding/BGR handling as BMP; 'MJPG' streams ('00dc'
+    chunks) run each frame through the real baseline-JPEG decoder
+    (:func:`decode_jpeg`)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    pos, dims, rate, movi = 12, None, None, None
+    pos, dims, rate, movi, handler = 12, None, None, None, b"DIB "
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -673,6 +722,15 @@ def demux_avi(payload: bytes) -> dict:
                 fields = struct.unpack_from("<14I", body, 12)
                 rate = 1_000_000 // fields[0] if fields[0] else 0
                 dims = (fields[8], fields[9])
+                # fccHandler from the nested strl→strh ('DIB '/'MJPG').
+                hpos = 4
+                while hpos + 8 <= len(body):
+                    hcid, hsize = struct.unpack_from("<4sI", body, hpos)
+                    if hcid == b"LIST" and body[hpos + 8 : hpos + 12] == b"strl":
+                        sub = body[hpos + 12 : hpos + 8 + hsize]
+                        if sub[:4] == b"strh" and sub[8:12] == b"vids":
+                            handler = sub[12:16]
+                    hpos += 8 + hsize + (hsize & 1)
         pos += 8 + size + (size & 1)
     if dims is None or movi is None:
         raise ValueError("AVI missing hdrl/movi list")
@@ -690,6 +748,20 @@ def demux_avi(payload: bytes) -> dict:
                     "offset": fpos + 8,
                     "n_bytes": size,
                     "pixel_sum": int(rgb.sum(dtype=np.int64)),
+                }
+            )
+        elif cid == b"00dc":
+            if handler != b"MJPG":
+                raise NotImplementedError(
+                    f"compressed AVI stream {handler!r} not supported (MJPG only)"
+                )
+            d = decode_jpeg(bytes(movi[fpos + 8 : fpos + 8 + size]))
+            frames.append(
+                {
+                    "frame_no": len(frames),
+                    "offset": fpos + 8,
+                    "n_bytes": size,
+                    "pixel_sum": d["pixel_sum"],
                 }
             )
         fpos += 8 + size + (size & 1)

@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "orc_roundtrip_ingest",
     "corpus_vocab_oov",
     "multimodal_jpeg_decode",
+    "multimodal_mjpeg_frame_sample",
     # (2) round-4-green heavy multi-stage plans (two rounds stale).
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -78,12 +79,13 @@ PRIORITY: list[str] = [
     "dedup_duplicate_clusters",
     "corpus_line_dedup",
     "dedup_exact_groups",
-    "dedup_exact_survivors",
     "dedup_embedding_neardup",
     "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",
-    # -- ~50-slot window boundary: everything below was green in r4 or r5
+    # -- ~50-slot window boundary
+    # (dedup_exact_survivors shares dedup_exact_groups' machinery)
+    "dedup_exact_survivors",: everything below was green in r4 or r5
     # (≤2 rounds stale at r6) and rotates forward in r7.
     "window_topk_per_group",
     "q01_pricing_summary",

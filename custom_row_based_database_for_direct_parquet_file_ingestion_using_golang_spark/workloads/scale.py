@@ -1832,3 +1832,49 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     feats = multimodal.extract_jpeg_features(media)
     return feats.withColumn("mean_pixel", F.round("mean_pixel", 4))
+
+
+@query(
+    "multimodal_mjpeg_frame_sample",
+    """
+    WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS frame_no FROM p)
+    SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+           CAST(64 * (((doc_id * 7 + frame_no * 31) % 256)
+                    + ((doc_id * 7 + frame_no * 31 + 13) % 256)) AS BIGINT)
+             AS pixel_sum
+    FROM f
+    """,
+)
+def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL compressed-video path (round 6): each document synthesizes a
+    # Motion-JPEG AVI (2-4 frames, 16x8 grayscale, per-frame 8x8 block
+    # values a pure function of (doc_id, frame_no)); sampling demuxes the
+    # RIFF movi list AND huffman/IDCT-decodes each sampled '00dc' JPEG
+    # frame — pixel_sum only exists if the full JPEG codec ran per frame.
+    # The oracle recomputes the sampled frames' sums analytically.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                frames = []
+                for fn in range(2 + did % 3):
+                    blocks = np.array(
+                        [[(did * 7 + fn * 31 + j * 13) % 256 for j in range(2)]],
+                        dtype=np.uint8,
+                    )
+                    frames.append(np.kron(blocks, np.ones((8, 8), dtype=np.uint8)))
+                payloads.append(multimodal.encode_avi_mjpeg(frames, fps=10))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
+    return multimodal.sample_avi_frames(media, every_n=2).select(
+        "media_id", "frame_no", "pixel_sum"
+    )

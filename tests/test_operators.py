@@ -1063,3 +1063,29 @@ def test_jpeg_decoder_rejects_unsupported_profiles():
     payload[idx + 1] = 0xC2
     with _pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(payload))
+
+
+def test_mjpeg_avi_roundtrip_and_handler_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        demux_avi,
+        encode_avi_mjpeg,
+    )
+
+    frames, expect = [], []
+    for fn in range(3):
+        blocks = np.array([[(11 * fn + 13 * j) % 256 for j in range(2)]], dtype=np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        frames.append(img)
+        expect.append(int(img.sum()))
+    d = demux_avi(encode_avi_mjpeg(frames, fps=12))
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (16, 8, 12, 3)
+    assert [f["pixel_sum"] for f in d["frames"]] == expect
+    # An unknown compressed handler is refused, not silently mis-decoded.
+    payload = bytearray(encode_avi_mjpeg(frames))
+    idx = payload.find(b"MJPG")  # strh fccHandler (first occurrence)
+    payload[idx : idx + 4] = b"H264"
+    with _pytest.raises(NotImplementedError, match="MJPG only"):
+        demux_avi(bytes(payload))
