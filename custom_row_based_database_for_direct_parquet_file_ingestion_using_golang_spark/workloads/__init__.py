@@ -83,10 +83,10 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",
-    # -- ~50-slot window boundary
-    # (dedup_exact_survivors shares dedup_exact_groups' machinery)
-    "dedup_exact_survivors",: everything below was green in r4 or r5
-    # (≤2 rounds stale at r6) and rotates forward in r7.
+    # -- ~50-slot window boundary: everything below was green in r4 or r5
+    # (≤2 rounds stale at r6) and rotates forward in r7;
+    # dedup_exact_survivors shares dedup_exact_groups' machinery.
+    "dedup_exact_survivors",
     "window_topk_per_group",
     "q01_pricing_summary",
     "scan_full_table",
