@@ -52,14 +52,32 @@ def arg_col(text: str) -> Column:
     return F.expr(text) if is_value_expr(text) else F.col(text)
 
 
+def agg_default_name(func: str, column: str) -> str:
+    """The dialect's default output name for an aggregate call."""
+    func = func.lower()
+    if func == "count" and column == "*":
+        return "count"
+    if column.lower().startswith("distinct "):
+        return f"{func}_distinct_{column[9:].strip().rsplit('.', 1)[-1]}"
+    return f"{func}_{column.rsplit('.', 1)[-1]}"
+
+
 def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
-    """One aggregate with the reference's default output name."""
+    """One aggregate with the reference's default output name. A column
+    argument prefixed ``DISTINCT `` (round-6 dialect extension) aggregates
+    distinct values — compiled through Spark SQL's own DISTINCT-aggregate
+    planning (Expand + two-phase agg), default name ``{fn}_distinct_{col}``."""
     func = func.lower()
     if func not in _AGG_FUNCS:
         raise ValueError(
             f"unsupported aggregate {func!r} (reference supports COUNT/SUM/AVG/MIN/MAX, "
             "select.go:103-121; use raw DataFrame .agg for beyond-reference functions)"
         )
+    if column.lower().startswith("distinct "):
+        inner = column[9:].strip()
+        expr = F.expr(f"{func}(DISTINCT {inner})")
+        default = f"{func}_distinct_{inner.rsplit('.', 1)[-1]}"
+        return expr.alias(alias or default)
     if func == "count" and column == "*":
         expr, default = F.count(F.lit(1)), "count"
     else:

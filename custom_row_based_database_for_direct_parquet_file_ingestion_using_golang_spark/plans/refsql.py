@@ -432,6 +432,18 @@ class ExprParser:
                 lit_v = _literal_value(tok)
                 vals.append(lit_v if lit_v is not None else _unquote(tok))
             out = left.isin(vals)
+        elif nxt == "is":
+            # Round-6 extension: ``x IS [NOT] NULL`` — the standard null
+            # test (the reference can't express it: its storage rewrites
+            # nil to the string "NULL", storage.go:57-61; our engine keeps
+            # real SQL NULLs, so the predicate is meaningful).
+            self.cur.next()
+            not_null = False
+            if self.cur.peek_kw() == "not":
+                self.cur.next()
+                not_null = True
+            self.cur.expect_kw("null")
+            out = left.isNotNull() if not_null else left.isNull()
         elif nxt == "between":
             self.cur.next()
             _, lo, _ = self._operand()
@@ -590,7 +602,15 @@ def parse_select(
                     alias = _unquote(cur.next())
                 from ..operators.query import is_value_expr
 
-                if alias is None and args[0] != "*" and is_value_expr(args[0]):
+                # DISTINCT aggregates (round-6): the arg keeps its
+                # "DISTINCT <col>" text; agg_spec compiles it via Spark
+                # SQL's own DISTINCT-aggregate planning.
+                check = (
+                    args[0][9:].strip()
+                    if args[0].lower().startswith("distinct ")
+                    else args[0]
+                )
+                if alias is None and check != "*" and is_value_expr(check):
                     raise ParseError(
                         f"{low}({args[0]}) aggregates an expression — "
                         "name it with AS <alias>"
@@ -955,17 +975,10 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             else:
                 base = F.lit(None).alias(name)
             cols.append(base.alias(alias) if alias else base)
+        from ..operators.query import agg_default_name
+
         for fn, col, alias in spec.aggregates:
-            cols.append(
-                F.col(
-                    alias
-                    or (
-                        f"{fn}_{col.rsplit('.', 1)[-1]}"
-                        if col != "*"
-                        else "count"
-                    )
-                )
-            )
+            cols.append(F.col(alias or agg_default_name(fn, col)))
         if group and not spec.aggregates:
             # Lenient GROUP BY: surface the implicit COUNT(*) column
             # (select_negative_test.go:34-68 asserts it appears).

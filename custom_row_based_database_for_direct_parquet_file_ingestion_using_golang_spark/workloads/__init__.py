@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     # (1) new in round 6.
     "refsql_setops_orders",
     "refsql_exists_subquery",
+    "refsql_isnull_distinct_agg",
     "refsql_scalar_subquery",
     "refsql_rollup_orders",
     "refsql_window_frame",

@@ -766,3 +766,32 @@ def refsql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND orders.o_totalprice < 50000) "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment",
     )
+
+
+@query(
+    "refsql_isnull_distinct_agg",
+    """
+    SELECT o_orderstatus, count(*) AS count,
+           count(DISTINCT o_custkey) AS u_custs
+    FROM orders o LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+    WHERE c.c_custkey IS NULL
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_isnull_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IS NULL + DISTINCT aggregates through the dialect (round-6): orders
+    # whose customer is NOT in the rich tier surface as null-padded rows
+    # of the LEFT JOIN (the classic anti-join-via-outer-join shape), then
+    # per-status counts + distinct-customer counts. The oracle runs the
+    # identical ANSI text — a broken null test or a DISTINCT planned as a
+    # plain aggregate shifts u_custs and flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*), COUNT(DISTINCT o.o_custkey) AS u_custs "
+        "FROM orders AS o LEFT JOIN customer AS c "
+        "ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000 "
+        "WHERE c.c_custkey IS NULL "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

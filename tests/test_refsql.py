@@ -937,3 +937,33 @@ def test_exists_subqueries(engine, spark):
             "SELECT id FROM students WHERE EXISTS "
             "(SELECT 1 FROM enroll WHERE enroll.sid = students.id LIMIT 1)"
         )
+
+
+def test_is_null_and_distinct_aggregates(engine):
+    engine.ref_sql("INSERT INTO students (id, name) VALUES (9, 'Zed')")  # course NULL
+    out = engine.ref_sql("SELECT id FROM students WHERE course IS NULL").collect()
+    assert [r.id for r in out] == [9]
+    out = engine.ref_sql(
+        "SELECT COUNT(*) AS n FROM students WHERE course IS NOT NULL"
+    ).collect()
+    assert out[0].n == 6
+    # NOT (course IS NULL) composes through the generic NOT.
+    assert (
+        engine.ref_sql(
+            "SELECT COUNT(*) AS n FROM students WHERE NOT course IS NULL"
+        ).collect()[0].n
+        == 6
+    )
+    # DISTINCT aggregates: default names and values; NULLs ignored per SQL.
+    df = engine.ref_sql(
+        "SELECT COUNT(DISTINCT course), SUM(DISTINCT id) FROM students"
+    )
+    assert df.columns == ["count_distinct_course", "sum_distinct_id"]
+    row = df.first()
+    assert row.count_distinct_course == 5 and row.sum_distinct_id == 30
+    # Grouped + aliased.
+    out = engine.ref_sql(
+        "SELECT course, COUNT(DISTINCT name) AS u FROM students "
+        "WHERE course IS NOT NULL GROUP BY course HAVING u > 1"
+    ).collect()
+    assert [(r.course, r.u) for r in out] == [("Mech", 2)]
