@@ -567,11 +567,31 @@ def encode_wav(samples: "np.ndarray", sample_rate: int, n_channels: int = 1) -> 
     )
 
 
+def encode_wav_mulaw(codes: "np.ndarray", sample_rate: int) -> bytes:
+    """Write a G.711 μ-law RIFF/WAVE file (format 7, 8-bit) from raw μ-law
+    code bytes — the telephony container shape; :func:`decode_wav` expands
+    the codes per the ITU-T formula."""
+    if codes.dtype != np.uint8:
+        raise ValueError("encode_wav_mulaw expects uint8 mu-law codes")
+    data = codes.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate,
+            sample_rate, 1, 8,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
-    """REAL decode of a PCM16 RIFF/WAVE payload: chunk walk (any chunk
-    order, unknown chunks skipped), fmt validation, int16 sample decode.
-    ``abs_sum`` (integer sum of |sample|) is the oracle-friendly energy
-    statistic — float RMS would diverge across engines."""
+    """REAL decode of a RIFF/WAVE payload: chunk walk (any chunk order,
+    unknown chunks skipped), fmt validation, sample decode for PCM16,
+    PCM8 (unsigned, 128-bias) and G.711 μ-law (format 7, expanded per the
+    ITU-T sign/exponent/mantissa formula). ``abs_sum`` (integer sum of
+    |sample|) is the oracle-friendly energy statistic — float RMS would
+    diverge across engines."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -586,9 +606,26 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"only PCM16 WAV (got format={audio_format}, bits={bits})")
-    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    elif audio_format == 1 and bits == 8:
+        # PCM8 is unsigned with a 128 bias (the WAV spec's one asymmetry).
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    elif audio_format == 7 and bits == 8:
+        # G.711 μ-law (ITU-T): complement, then sign/exponent/mantissa →
+        # 14-bit magnitude with the 0x84 bias — the real telephony codec,
+        # decoded per spec (no lookup-table shortcut).
+        u = (~np.frombuffer(data, dtype=np.uint8)) & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = (
+            ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+        ) - 0x84
+        samples = np.where(u & 0x80, -magnitude, magnitude).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"only PCM16/PCM8/mu-law WAV (got format={audio_format}, bits={bits})"
+        )
     n_frames = len(samples) // n_channels
     return {
         "sample_rate": sample_rate,
@@ -1536,4 +1573,38 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=JPEG_FEATURES_DDL
+    )
+
+
+AUDIO_SPECTRUM_DDL = (
+    "media_id long, sample_rate int, n_samples long, dom_freq_hz long"
+)
+
+
+def extract_audio_spectrum(media: DataFrame) -> DataFrame:
+    """REAL spectral analysis: Arrow-batched mapInPandas — decode the WAV
+    (:func:`decode_wav`), run a real FFT (``numpy.fft.rfft``) over the
+    mono sample stream, and report the dominant non-DC frequency bin as
+    Hz (``bin * sample_rate // n_samples`` — exact when the signal sits
+    on a bin). A decoder or FFT shortcut (wrong sample expansion, off-by-
+    one bin, dropped Nyquist half) moves the argmax and fails the
+    analytic oracle on planted-sine fixtures."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "dom_freq_hz")}
+        for pdf in it:
+            for mid, payload in zip(pdf["media_id"].astype("int64"), pdf["payload"]):
+                d = decode_wav(payload)
+                mono = d["samples"][:: d["n_channels"]].astype(np.float64)
+                spec = np.abs(np.fft.rfft(mono))
+                dom = int(np.argmax(spec[1:])) + 1  # exclude DC
+                out["media_id"].append(mid)
+                out["sample_rate"].append(d["sample_rate"])
+                out["n_samples"].append(d["n_samples"])
+                out["dom_freq_hz"].append(dom * d["sample_rate"] // d["n_samples"])
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_SPECTRUM_DDL
     )

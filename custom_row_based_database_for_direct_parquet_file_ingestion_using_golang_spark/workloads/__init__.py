@@ -72,6 +72,8 @@ PRIORITY: list[str] = [
     "corpus_vocab_oov",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frame_sample",
+    "multimodal_mulaw_decode",
+    "multimodal_audio_spectrum",
     # (2) round-4-green heavy multi-stage plans (two rounds stale).
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -82,11 +84,13 @@ PRIORITY: list[str] = [
     "dedup_exact_groups",
     "dedup_embedding_neardup",
     "similar_pairs_top15",
+    # -- ~50-slot window boundary: everything below was green in r4 or r5
+    # (≤2 rounds stale at r6) and rotates forward in r7; bm25_top10,
+    # corpus_pack_sequences and dedup_exact_survivors are unchanged
+    # r4-green code aged one extra round to make room for the round-6
+    # audio entries.
     "bm25_top10",
     "corpus_pack_sequences",
-    # -- ~50-slot window boundary: everything below was green in r4 or r5
-    # (≤2 rounds stale at r6) and rotates forward in r7;
-    # dedup_exact_survivors shares dedup_exact_groups' machinery.
     "dedup_exact_survivors",
     "window_topk_per_group",
     "q01_pricing_summary",

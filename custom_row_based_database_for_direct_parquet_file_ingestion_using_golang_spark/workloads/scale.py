@@ -1878,3 +1878,111 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.sample_avi_frames(media, every_n=2).select(
         "media_id", "frame_no", "pixel_sum"
     )
+
+
+@query(
+    "multimodal_mulaw_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 256 AS b,
+             50 + doc_id % 40 AS n
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n,
+             255 - b AS u
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * ((((u % 16) * 8 + 132) * CAST(pow(2, (u // 16) % 8) AS BIGINT)) - 132)
+                AS BIGINT) AS abs_sum
+    FROM d
+    """,
+)
+def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL G.711 μ-law decode (round 6): each document becomes a format-7
+    # RIFF/WAVE clip of n identical μ-law codes (code and length are pure
+    # functions of doc_id); extraction walks the chunks and expands each
+    # code per the ITU-T sign/exponent/mantissa formula. The oracle
+    # computes the identical formula in integer SQL (complement → 255-b,
+    # mantissa*8+132 biased, shifted by the exponent, bias removed) — a
+    # lookup-table typo or a sign/bias slip shifts abs_sum and flips the
+    # hash.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 50 + did % 40
+                codes = np.full(int(n), did % 256, dtype=np.uint8)
+                payloads.append(multimodal.encode_wav_mulaw(codes, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
+
+    def extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            feats = [multimodal.decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "abs_sum": [f["abs_sum"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema="media_id long, sample_rate int, n_samples long, abs_sum long",
+    )
+
+
+@query(
+    "multimodal_audio_spectrum",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(2000 AS BIGINT) AS n_samples,
+           CAST(400 + 4 * (doc_id % 200) AS BIGINT) AS dom_freq_hz
+    FROM documents
+    """,
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL spectral feature extraction (round 6): each document becomes a
+    # 0.25 s PCM16 sine at a planted frequency that sits EXACTLY on an FFT
+    # bin (sr=8000, n=2000 → 4 Hz bins; f = 400 + 4·(doc_id % 200)).
+    # Extraction decodes the WAV and recovers the dominant frequency from
+    # a real numpy FFT — the oracle simply states the planted frequency,
+    # so any decode or spectral-argmax defect flips the hash.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        sr, n = 8000, 2000
+        t = np.arange(n)
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                f = 400 + 4 * (did % 200)
+                s = np.round(9000 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+                payloads.append(multimodal.encode_wav(s, sr, 1))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
+    return multimodal.extract_audio_spectrum(media)

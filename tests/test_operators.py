@@ -1089,3 +1089,41 @@ def test_mjpeg_avi_roundtrip_and_handler_guard():
     payload[idx : idx + 4] = b"H264"
     with _pytest.raises(NotImplementedError, match="MJPG only"):
         demux_avi(bytes(payload))
+
+
+def test_wav_mulaw_and_pcm8_decode():
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_mulaw,
+    )
+    import struct
+
+    # μ-law: constant codes decode per the ITU-T formula.
+    for b in (0, 1, 127, 128, 200, 255):
+        d = decode_wav(encode_wav_mulaw(np.full(10, b, dtype=np.uint8), 8000))
+        u = (~np.uint8(b)) & 0xFF
+        mag = (((int(u & 0x0F) << 3) + 0x84) << int((u >> 4) & 7)) - 0x84
+        assert d["abs_sum"] == 10 * mag
+        # Sign bit: u & 0x80 set → non-positive samples (zero magnitude
+        # codes decode to 0 on either sign).
+        assert (d["samples"] <= 0).all() if (u & 0x80) else (d["samples"] >= 0).all()
+    # PCM8: unsigned with 128 bias.
+    data = bytes([0, 128, 255])
+    pcm8 = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 3, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+        + struct.pack("<4sI", b"data", 3)
+        + data
+    )
+    d = decode_wav(pcm8)
+    assert list(d["samples"]) == [-128, 0, 127]
+    # Unsupported formats refused.
+    alaw = pcm8.replace(
+        struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8),
+        struct.pack("<4sIHHIIHH", b"fmt ", 16, 6, 1, 8000, 8000, 1, 8),
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_wav(alaw)
