@@ -140,9 +140,25 @@ class Query:
         self._having = cond
         return self
 
-    def order_by(self, col: Column | str, desc: bool = False) -> "Query":
+    def order_by(
+        self,
+        col: Column | str,
+        desc: bool = False,
+        nulls: str | None = None,
+    ) -> "Query":
+        """One sort key. ``nulls`` = 'first' | 'last' | None (engine
+        default: Spark puts NULLs first ascending, last descending —
+        explicit placement is the portable form, round-6 dialect
+        extension)."""
         c = arg_col(col) if isinstance(col, str) else col
-        self._order.append(c.desc() if desc else c.asc())
+        if nulls is None:
+            self._order.append(c.desc() if desc else c.asc())
+        elif nulls == "first":
+            self._order.append(c.desc_nulls_first() if desc else c.asc_nulls_first())
+        elif nulls == "last":
+            self._order.append(c.desc_nulls_last() if desc else c.asc_nulls_last())
+        else:
+            raise ValueError(f"nulls must be 'first'/'last'/None, got {nulls!r}")
         return self
 
     def limit(self, n: int) -> "Query":

@@ -471,6 +471,10 @@ class SelectSpec:
     aggregates: list[tuple[str, str, str | None]] = field(default_factory=list)  # (fn, col, alias)
     star: bool = False
     version: int | None = None  # FROM t VERSION AS OF n (time travel)
+    # Dialect extension (round-6): FROM t SAMPLE n PERCENT BY col —
+    # deterministic md5-bucket sampling (byte-identical across runs,
+    # engines and task retries, unlike TABLESAMPLE's per-task re-roll).
+    sample: "tuple[int, str] | None" = None
     alias: str | None = None  # FROM t AS x (needed to qualify join columns)
     # Dialect extension: fn(args) OVER ([PARTITION BY ...] [ORDER BY ...])
     windows: list[tuple[str, list, str, list, list]] = field(
@@ -672,6 +676,22 @@ def parse_select(
             spec.version = int(vtok)
         except ValueError:
             raise ParseError(f"VERSION AS OF needs an integer, got {vtok!r}")
+    if cur.peek_kw() == "sample":
+        # Round-6: ``SAMPLE n PERCENT BY col`` — a narrow md5-bucket
+        # filter evaluated in the scan stage (keep = floor(256·n/100)
+        # of the 256 first-byte buckets), the deterministic alternative
+        # to TABLESAMPLE a reproducible pipeline needs.
+        cur.next()
+        ptok = cur.next()
+        try:
+            pct = int(ptok)
+        except ValueError:
+            raise ParseError(f"SAMPLE needs an integer percent, got {ptok!r}")
+        if not 0 <= pct <= 100:
+            raise ParseError("SAMPLE percent must be 0-100")
+        cur.expect_kw("percent")
+        cur.expect_kw("by")
+        spec.sample = (pct, _unquote(cur.next()))
 
     # Dialect extension (beyond the reference, which has no joins at all —
     # select.go:49-54 takes a single table): standard equi/theta joins.
@@ -784,7 +804,7 @@ def parse_select(
                         or t == ")"
                         or tk
                         in (
-                            "asc", "desc", "limit", "offset",
+                            "asc", "desc", "nulls", "limit", "offset",
                             "union", "intersect", "except",
                         )
                     ):
@@ -801,7 +821,17 @@ def parse_select(
                 desc = False
                 if cur.peek_kw() in ("asc", "desc"):
                     desc = cur.next().lower() == "desc"
-                keys.append((col, desc))
+                nulls = None
+                if cur.peek_kw() == "nulls":
+                    # Round-6: explicit NULLS FIRST/LAST — the portable
+                    # form (Spark defaults NULLs first ASC; DuckDB last).
+                    cur.next()
+                    nulls = cur.next().lower()
+                    if nulls not in ("first", "last"):
+                        raise ParseError(
+                            f"expected FIRST/LAST after NULLS, got {nulls!r}"
+                        )
+                keys.append((col, desc, nulls))
                 if cur.peek() != ",":
                     break
                 cur.next()
@@ -933,8 +963,8 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     if "having" in clauses:
         q.having(clauses["having"])
     if "order_by" in clauses:
-        for col, desc in clauses["order_by"]:
-            q.order_by(col, desc=desc)
+        for col, desc, nulls in clauses["order_by"]:
+            q.order_by(col, desc=desc, nulls=nulls)
     if "offset" in clauses:
         q.offset(clauses["offset"])
     if "limit" in clauses:
@@ -1006,6 +1036,16 @@ class RefSQL:
             if spec.version is not None
             else self.engine.table(spec.table)
         )
+        if spec.sample is not None:
+            pct, scol = spec.sample
+            keep = (256 * pct) // 100
+            if keep <= 0:
+                df = df.filter(F.lit(False))
+            elif keep < 256:
+                df = df.filter(
+                    F.substring(F.md5(F.col(scol).cast("string")), 1, 2)
+                    < format(keep, "02x")
+                )
         if spec.joins:
             df = df.alias(spec.alias or spec.table)
             for how, jtable, jalias, cond in spec.joins:
@@ -1137,8 +1177,8 @@ class RefSQL:
             else:  # except
                 acc = acc.exceptAll(nxt) if keep_dups else acc.subtract(nxt)
         q = Query(acc)
-        for col, desc in trailing.get("order_by", []):
-            q.order_by(col, desc=desc)
+        for col, desc, nulls in trailing.get("order_by", []):
+            q.order_by(col, desc=desc, nulls=nulls)
         if "offset" in trailing:
             q.offset(trailing["offset"])
         if "limit" in trailing:

@@ -18,15 +18,15 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 136 entries / 50 slots). Round-6 curation: (0) the
+# best achievable at 143 entries / 50 slots). Round-6 curation: (0) the
 # round-3-green block deferred past the round-5 boundary — three rounds
-# stale now, the oldest evidence in the registry, so it leads; (1) entries
-# NEW in round 6 (set-op/scalar-subquery/ROLLUP/window-frame dialect
-# drives, SemDeDup, ORC round-trip, vocabulary/OOV); (2) a 14-entry slice
-# of the round-4-green block, weighted toward the heavy multi-stage
-# operators (media decode, dedup tiers, packing, BM25, streaming) whose
-# plans have the most moving parts — the rest of the r4 block plus the
-# whole r5-green block age to ≤2 rounds and rotate forward in r7. Every
+# stale now, the oldest evidence in the registry, so it leads; (1) the 14
+# entries NEW in round 6 (set-op/EXISTS/IS NULL/SAMPLE/scalar-subquery/
+# ROLLUP/window-frame dialect drives, SemDeDup, ORC round-trip,
+# vocabulary/OOV, JPEG/MJPEG/μ-law/FFT media); (2) an 8-entry slice of
+# the round-4-green block, weighted toward the heavy multi-stage media/
+# dedup plans with the most moving parts — the rest of the r4 block plus
+# the whole r5-green block age to ≤2 rounds and rotate forward in r7. Every
 # name must exist in QUERIES; ordered_queries() raises otherwise so a
 # rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "refsql_setops_orders",
     "refsql_exists_subquery",
     "refsql_isnull_distinct_agg",
+    "refsql_sample_nulls_order",
     "refsql_scalar_subquery",
     "refsql_rollup_orders",
     "refsql_window_frame",
@@ -83,12 +84,12 @@ PRIORITY: list[str] = [
     "corpus_line_dedup",
     "dedup_exact_groups",
     "dedup_embedding_neardup",
-    "similar_pairs_top15",
     # -- ~50-slot window boundary: everything below was green in r4 or r5
     # (≤2 rounds stale at r6) and rotates forward in r7; bm25_top10,
-    # corpus_pack_sequences and dedup_exact_survivors are unchanged
-    # r4-green code aged one extra round to make room for the round-6
-    # audio entries.
+    # corpus_pack_sequences, dedup_exact_survivors and similar_pairs_top15
+    # are unchanged r4-green code aged one extra round to make room for
+    # the round-6 entries.
+    "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",
     "dedup_exact_survivors",

@@ -795,3 +795,31 @@ def refsql_isnull_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c.c_custkey IS NULL "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@query(
+    "refsql_sample_nulls_order",
+    """
+    WITH s AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '33'
+    )
+    SELECT o_orderstatus, count(*) AS count,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice
+    FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST
+    """,
+)
+def refsql_sample_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic SAMPLE + NULLS placement through the dialect
+    # (round-6): a 20% md5-bucket sample (keep = 256·20//100 = 0x33
+    # buckets) evaluated in the scan stage — byte-identical across runs
+    # and engines, which is exactly why the oracle can replay it as a
+    # WHERE — aggregated per status with an explicit NULLS LAST sort.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*), MIN(o_totalprice), "
+        "MAX(o_totalprice) FROM orders SAMPLE 20 PERCENT BY o_orderkey "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST",
+    )

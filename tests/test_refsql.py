@@ -967,3 +967,60 @@ def test_is_null_and_distinct_aggregates(engine):
         "WHERE course IS NOT NULL GROUP BY course HAVING u > 1"
     ).collect()
     assert [(r.course, r.u) for r in out] == [("Mech", 2)]
+
+
+def test_order_by_nulls_placement(engine):
+    engine.ref_sql("INSERT INTO students (id, name) VALUES (10, 'Y')")  # course NULL
+    first = [
+        r.id
+        for r in engine.ref_sql(
+            "SELECT id FROM students ORDER BY course ASC NULLS FIRST, id LIMIT 2"
+        ).collect()
+    ]
+    assert first[0] == 10
+    last = [
+        r.id
+        for r in engine.ref_sql(
+            "SELECT id FROM students ORDER BY course NULLS LAST, id"
+        ).collect()
+    ]
+    assert last[-1] == 10
+    with pytest.raises(ParseError, match="FIRST/LAST"):
+        engine.ref_sql("SELECT id FROM students ORDER BY course NULLS sideways")
+
+
+def test_sample_percent_by(engine):
+    total = engine.table("students").count()
+    all_rows = engine.ref_sql(
+        "SELECT id FROM students SAMPLE 100 PERCENT BY id"
+    ).count()
+    assert all_rows == total
+    none_rows = engine.ref_sql(
+        "SELECT id FROM students SAMPLE 0 PERCENT BY id"
+    ).count()
+    assert none_rows == 0
+    # Deterministic: repeated runs give identical row sets, equal to the
+    # explicit md5-bucket filter.
+    a = sorted(
+        r.id
+        for r in engine.ref_sql(
+            "SELECT id FROM students SAMPLE 50 PERCENT BY id"
+        ).collect()
+    )
+    b = sorted(
+        r.id
+        for r in engine.ref_sql(
+            "SELECT id FROM students SAMPLE 50 PERCENT BY id"
+        ).collect()
+    )
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        r.id
+        for r in engine.table("students")
+        .filter(F.substring(F.md5(F.col("id").cast("string")), 1, 2) < "80")
+        .collect()
+    )
+    assert a == b == want
+    with pytest.raises(ParseError, match="percent must be"):
+        engine.ref_sql("SELECT id FROM students SAMPLE 150 PERCENT BY id")
