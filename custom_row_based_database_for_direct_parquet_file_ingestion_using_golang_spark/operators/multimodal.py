@@ -1377,7 +1377,17 @@ def decode_jpeg(payload: bytes) -> dict:
     2-D IDCT, level shift, and YCbCr→RGB for 3-component scans. Supports
     the baseline sequential non-subsampled profile (8-bit, 1 or 3
     components, 1x1 sampling, no restart markers); anything else raises
-    ``NotImplementedError`` honestly rather than guessing."""
+    ``NotImplementedError`` honestly rather than guessing. Malformed
+    payloads raise ``ValueError`` (never index/struct errors — fuzz-pinned
+    in tests so a corrupt corpus row can't crash an executor batch with an
+    unexpected exception type)."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, struct.error) as ex:
+        raise ValueError(f"malformed JPEG payload: {ex!r}") from ex
+
+
+def _decode_jpeg(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

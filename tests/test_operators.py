@@ -1127,3 +1127,36 @@ def test_wav_mulaw_and_pcm8_decode():
     )
     with _pytest.raises(NotImplementedError):
         decode_wav(alaw)
+
+
+def test_jpeg_decoder_malformed_payloads_raise_value_error():
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(5)
+    img = np.kron(np.array([[7, 200]], dtype=np.uint8), np.ones((8, 8), dtype=np.uint8))
+    good = encode_jpeg(img)
+    for _ in range(120):
+        b = bytearray(good)
+        k = rng.randrange(3)
+        if k == 0:
+            b = b[: rng.randrange(2, len(b))]
+        elif k == 1:
+            b[rng.randrange(2, len(b))] = rng.randrange(256)
+        else:
+            i = rng.randrange(2, len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(len(b) - i))
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass  # the only acceptable failure modes
+        # Decoding "successfully" with wrong pixels is fine (entropy-bit
+        # flips do that in every real decoder); crashing with an index/
+        # struct error is not.
