@@ -585,13 +585,31 @@ def encode_wav_mulaw(codes: "np.ndarray", sample_rate: int) -> bytes:
     )
 
 
+def encode_wav_alaw(codes: "np.ndarray", sample_rate: int) -> bytes:
+    """Write a G.711 A-law RIFF/WAVE file (format 6, 8-bit) from raw
+    A-law code bytes."""
+    if codes.dtype != np.uint8:
+        raise ValueError("encode_wav_alaw expects uint8 A-law codes")
+    data = codes.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 6, 1, sample_rate,
+            sample_rate, 1, 8,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """REAL decode of a RIFF/WAVE payload: chunk walk (any chunk order,
     unknown chunks skipped), fmt validation, sample decode for PCM16,
-    PCM8 (unsigned, 128-bias) and G.711 μ-law (format 7, expanded per the
-    ITU-T sign/exponent/mantissa formula). ``abs_sum`` (integer sum of
-    |sample|) is the oracle-friendly energy statistic — float RMS would
-    diverge across engines."""
+    PCM8 (unsigned, 128-bias) and both G.711 companded codecs — μ-law
+    (format 7) and A-law (format 6), each expanded per the ITU-T
+    sign/segment/mantissa formulas. ``abs_sum`` (integer sum of |sample|)
+    is the oracle-friendly energy statistic — float RMS would diverge
+    across engines."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -622,9 +640,21 @@ def decode_wav(payload: bytes) -> dict:
             ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
         ) - 0x84
         samples = np.where(u & 0x80, -magnitude, magnitude).astype(np.int16)
+    elif audio_format == 6 and bits == 8:
+        # G.711 A-law: XOR 0x55 toggle, then segment/mantissa → 13-bit
+        # magnitude (seg 0 is linear: 16·m+8; higher segments shift the
+        # 0x108-biased mantissa) — per spec, like the μ-law branch.
+        a = np.frombuffer(data, dtype=np.uint8) ^ 0x55
+        seg = (a >> 4) & 0x07
+        mantissa = (a & 0x0F).astype(np.int32)
+        base = (mantissa << 4) + 8
+        magnitude = np.where(seg > 0, (base + 0x100) << np.maximum(seg - 1, 0), base)
+        # A-law sign is inverted vs μ-law: bit 7 SET (after the 0x55
+        # toggle) means positive (CCITT alaw2linear reference).
+        samples = np.where(a & 0x80, magnitude, -magnitude).astype(np.int16)
     else:
         raise NotImplementedError(
-            f"only PCM16/PCM8/mu-law WAV (got format={audio_format}, bits={bits})"
+            f"only PCM16/PCM8/mu-law/A-law WAV (got format={audio_format}, bits={bits})"
         )
     n_frames = len(samples) // n_channels
     return {

@@ -1120,13 +1120,33 @@ def test_wav_mulaw_and_pcm8_decode():
     )
     d = decode_wav(pcm8)
     assert list(d["samples"]) == [-128, 0, 127]
-    # Unsupported formats refused.
-    alaw = pcm8.replace(
+    # A-law (format 6): CCITT alaw2linear reference values.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        encode_wav_alaw,
+    )
+
+    def alaw_ref(code):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    for b in (0, 0x55, 0x2A, 0xD5, 0xFF, 0x80, 0x13):
+        d = decode_wav(encode_wav_alaw(np.full(5, b, dtype=np.uint8), 8000))
+        assert list(d["samples"]) == [alaw_ref(b)] * 5, hex(b)
+    # Truly unsupported formats still refused (IEEE float = format 3).
+    f32 = pcm8.replace(
         struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8),
-        struct.pack("<4sIHHIIHH", b"fmt ", 16, 6, 1, 8000, 8000, 1, 8),
+        struct.pack("<4sIHHIIHH", b"fmt ", 16, 3, 1, 8000, 8000, 1, 8),
     )
     with _pytest.raises(NotImplementedError):
-        decode_wav(alaw)
+        decode_wav(f32)
 
 
 def test_jpeg_decoder_malformed_payloads_raise_value_error():
