@@ -469,3 +469,28 @@ def test_upload_orc_ingests_and_queries(api, sf_dir, spark, tmp_path):
     assert resp["success"], resp
     sel = _query(api, "SELECT COUNT(*) FROM nation_orc")
     assert sel["success"] and "25" in sel["result"]
+
+
+def test_query_api_round6_dialect_surface(api):
+    # The REST surface executes the same dialect: set ops, EXISTS, IS
+    # NULL, DISTINCT aggregates and SAMPLE all work through /api/query.
+    r = _query(api, "CREATE TABLE r6 (id INT, grp TEXT)")
+    assert r["success"], r
+    for i, g in [(1, "a"), (2, "a"), (3, "b"), (4, None)]:
+        gtxt = "NULL" if g is None else f"'{g}'"
+        assert _query(api, f"INSERT INTO r6 (id, grp) VALUES ({i}, {gtxt})")["success"]
+    out = _query(
+        api,
+        "SELECT id FROM r6 WHERE id <= 2 UNION SELECT id FROM r6 "
+        "WHERE id >= 3 ORDER BY id LIMIT 10",
+    )
+    assert out["success"] and all(str(i) in out["result"] for i in (1, 2, 3, 4))
+    out = _query(api, "SELECT COUNT(*) AS n FROM r6 WHERE grp IS NULL")
+    assert out["success"] and "1" in out["result"]
+    out = _query(api, "SELECT COUNT(DISTINCT grp) FROM r6")
+    assert out["success"] and "count_distinct_grp" in out["result"]
+    out = _query(
+        api,
+        "SELECT id FROM r6 WHERE id > (SELECT MIN(id) FROM r6) ORDER BY id",
+    )
+    assert out["success"] and "2" in out["result"]
