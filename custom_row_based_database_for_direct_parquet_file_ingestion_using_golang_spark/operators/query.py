@@ -57,6 +57,8 @@ def agg_default_name(func: str, column: str) -> str:
     func = func.lower()
     if func == "count" and column == "*":
         return "count"
+    if func == "grouping":
+        return f"grouping_{column.rsplit('.', 1)[-1]}"
     if column.lower().startswith("distinct "):
         return f"{func}_distinct_{column[9:].strip().rsplit('.', 1)[-1]}"
     return f"{func}_{column.rsplit('.', 1)[-1]}"
@@ -68,6 +70,16 @@ def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
     distinct values — compiled through Spark SQL's own DISTINCT-aggregate
     planning (Expand + two-phase agg), default name ``{fn}_distinct_{col}``."""
     func = func.lower()
+    if func == "grouping":
+        # GROUPING(col): 1 on a ROLLUP/CUBE super-aggregate row where col
+        # is rolled up, 0 on a data row — the standard way to tell a
+        # super-aggregate NULL key from a data NULL (round-6; only valid
+        # under a grouping-set aggregation, enforced by Spark's analyzer).
+        return (
+            F.grouping(arg_col(column))
+            .cast("int")
+            .alias(alias or f"grouping_{column.rsplit('.', 1)[-1]}")
+        )
     if func not in _AGG_FUNCS:
         raise ValueError(
             f"unsupported aggregate {func!r} (reference supports COUNT/SUM/AVG/MIN/MAX, "

@@ -78,7 +78,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-AGG_FUNCS = {"count", "sum", "avg", "min", "max"}
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "grouping"}
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
 KEYWORDS_STOP = {
     "from", "where", "group", "having", "order", "limit", "offset", "by",
@@ -588,6 +588,8 @@ def parse_select(
                     frame = (lo, hi)
                 if cur.next() != ")":
                     raise ParseError("expected ')' to close OVER")
+                if low == "grouping":
+                    raise ParseError("grouping() cannot take an OVER clause")
                 if cur.peek_kw() != "as":
                     raise ParseError(
                         f"window function {low}(...) OVER needs AS <alias>"

@@ -687,7 +687,9 @@ def refsql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "refsql_rollup_orders",
     """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS count,
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderpriority) AS INT) AS grouping_o_orderpriority,
+           count(*) AS count,
            min(o_totalprice) AS min_o_totalprice
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -695,13 +697,15 @@ def refsql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def refsql_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GROUP BY ROLLUP through the dialect: per-(status, priority) groups,
-    # per-status subtotals, and the grand total in ONE Expand pass. No
-    # ORDER BY — Spark and DuckDB disagree on NULL sort position, and the
-    # driver's hash is order-insensitive anyway.
+    # per-status subtotals, and the grand total in ONE Expand pass, with
+    # GROUPING() distinguishing super-aggregate NULL keys from data NULLs.
+    # No ORDER BY — Spark and DuckDB disagree on NULL sort position, and
+    # the driver's hash is order-insensitive anyway.
     return _ref_select(
         spark,
         sf_dir,
-        "SELECT o_orderstatus, o_orderpriority, COUNT(*), MIN(o_totalprice) "
+        "SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderpriority), "
+        "COUNT(*), MIN(o_totalprice) "
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
     )
 

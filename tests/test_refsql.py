@@ -1024,3 +1024,26 @@ def test_sample_percent_by(engine):
     assert a == b == want
     with pytest.raises(ParseError, match="percent must be"):
         engine.ref_sql("SELECT id FROM students SAMPLE 150 PERCENT BY id")
+
+
+def test_grouping_function_in_rollup(engine):
+    out = engine.ref_sql(
+        "SELECT course, GROUPING(course) AS g, COUNT(*) AS n "
+        "FROM students GROUP BY ROLLUP(course)"
+    ).collect()
+    rows = {(r.course, r.g): r.n for r in out}
+    assert rows[(None, 1)] == 6  # grand total, flagged super-aggregate
+    assert rows[("Mech", 0)] == 2
+    # Default name without alias.
+    df = engine.ref_sql(
+        "SELECT course, GROUPING(course), COUNT(*) FROM students "
+        "GROUP BY CUBE(course)"
+    )
+    assert "grouping_course" in df.columns
+    # grouping() outside a grouping-set aggregation is an analyzer error.
+    with pytest.raises(Exception):
+        engine.ref_sql("SELECT GROUPING(course) FROM students").collect()
+    with pytest.raises(ParseError, match="OVER"):
+        engine.ref_sql(
+            "SELECT GROUPING(course) OVER (ORDER BY id) AS x FROM students"
+        )
