@@ -60,6 +60,27 @@ IMAGE_FEATURES_DDL = (
 # --- real codec-free decoders (pure numpy/stdlib) ---------------------------
 
 
+def _malformed_guard(fn):
+    """Decode wrappers: a corrupt payload must raise ``ValueError`` (or an
+    honest ``NotImplementedError``), never an index/struct/zlib error from
+    deep inside the walk — a corrupt corpus row would otherwise crash an
+    executor batch with an unexpected exception type (fuzz-pinned)."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (IndexError, KeyError, struct.error, zlib.error) as ex:
+            raise ValueError(
+                f"malformed {fn.__name__.replace('decode_', '').replace('demux_', '')} "
+                f"payload: {ex!r}"
+            ) from ex
+
+    return wrapped
+
+
 def encode_bmp(pixels: "np.ndarray") -> bytes:
     """Write an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows,
     4-byte row padding) from an (H, W, 3) uint8 RGB array. Used by fixture
@@ -81,6 +102,7 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + rows.tobytes()
 
 
+@_malformed_guard
 def decode_bmp(payload: bytes) -> dict:
     """REAL decode of an uncompressed 24-bit BMP: header parse, bottom-up
     row order, per-row 4-byte padding strip, BGR→RGB. Returns dimensions
@@ -97,6 +119,8 @@ def decode_bmp(payload: bytes) -> dict:
         raise NotImplementedError(f"only uncompressed 24bpp BMP (got bpp={bpp}, compression={compression})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP with degenerate dimensions {w}x{h}")
     row_size = (w * 3 + 3) // 4 * 4
     raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
     rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
@@ -187,6 +211,7 @@ def encode_png(pixels: "np.ndarray") -> bytes:
     )
 
 
+@_malformed_guard
 def decode_png(payload: bytes) -> dict:
     """REAL decode of an 8-bit grayscale/RGB PNG, pure stdlib: chunk walk
     with CRC32 verification, ``zlib.decompress`` of the concatenated IDAT
@@ -423,6 +448,7 @@ def encode_gif_animated(
     return bytes(out)
 
 
+@_malformed_guard
 def demux_gif(payload: bytes) -> dict:
     """REAL demux of a GIF87a/89a, all frames: logical-screen + color-table
     parse, graphic-control-extension delays, other extensions skipped,
@@ -501,6 +527,7 @@ def demux_gif(payload: bytes) -> dict:
     return {"width": int(w), "height": int(h), "n_frames": len(frames), "frames": frames}
 
 
+@_malformed_guard
 def decode_gif(payload: bytes) -> dict:
     """REAL decode of a GIF87a/89a's FIRST frame (see :func:`demux_gif`
     for the all-frames walk): dimensions plus pixel statistics computed
@@ -602,6 +629,7 @@ def encode_wav_alaw(codes: "np.ndarray", sample_rate: int) -> bytes:
     )
 
 
+@_malformed_guard
 def decode_wav(payload: bytes) -> dict:
     """REAL decode of a RIFF/WAVE payload: chunk walk (any chunk order,
     unknown chunks skipped), fmt validation, sample decode for PCM16,
@@ -761,6 +789,7 @@ def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_malformed_guard
 def demux_avi(payload: bytes) -> dict:
     """REAL demux of an AVI: RIFF walk to the hdrl (width/height/frame
     count/rate + the stream's fccHandler) and the movi list, yielding one

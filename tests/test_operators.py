@@ -1180,3 +1180,37 @@ def test_jpeg_decoder_malformed_payloads_raise_value_error():
         # Decoding "successfully" with wrong pixels is fine (entropy-bit
         # flips do that in every real decoder); crashing with an index/
         # struct error is not.
+
+
+def test_all_decoders_malformed_payloads_raise_value_error():
+    import random
+
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = random.Random(11)
+    cases = {
+        "bmp": (M.encode_bmp(np.full((5, 7, 3), 9, dtype=np.uint8)), M.decode_bmp),
+        "png": (M.encode_png(np.full((5, 7, 3), 9, dtype=np.uint8)), M.decode_png),
+        "gif": (M.encode_gif(np.zeros((5, 7), dtype=np.uint8)), M.decode_gif),
+        "wav": (M.encode_wav(np.array([1, -2, 3], dtype=np.int16), 8000), M.decode_wav),
+        "avi": (M.encode_avi([np.full((8, 8, 3), 5, dtype=np.uint8)]), M.demux_avi),
+    }
+    for name, (good, dec) in cases.items():
+        for _ in range(150):
+            b = bytearray(good)
+            k = rng.randrange(3)
+            if k == 0:
+                b = b[: rng.randrange(2, len(b))]
+            elif k == 1:
+                b[rng.randrange(2, len(b))] = rng.randrange(256)
+            else:
+                i = rng.randrange(2, len(b))
+                b = b[:i] + bytes(rng.randrange(256) for _ in range(len(b) - i))
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # the only acceptable failure modes
