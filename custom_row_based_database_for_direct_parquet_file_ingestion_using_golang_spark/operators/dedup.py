@@ -858,3 +858,64 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cluster_id").applyInPandas(flag, out_schema)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_dist: int = 2,
+    block_prefix: int = 4,
+) -> DataFrame:
+    """Exact edit-distance (Levenshtein) near-dup pairs over a short key
+    column — the character-level fuzzy tier the token-level
+    shingle/MinHash family can't see (typo-distance duplicates).
+
+    Blocking: candidates must share the first ``block_prefix`` characters
+    AND have key lengths within ``max_dist`` (a correct necessity filter —
+    edit distance ≥ length difference). The prefix block is the standard
+    recall tradeoff (pairs whose edits fall inside the first
+    ``block_prefix`` chars are missed — callers can union a second pass
+    on reversed keys for suffix blocking); the length filter costs nothing
+    (same equi-join) and prunes within the block.
+
+    Plan: one equi-join on (prefix, a length-bucket expansion of ±0..max
+    — each left row explodes into the 2·max_dist+1 length buckets it can
+    pair with, so the join stays a hash equi-join, no range condition on
+    the build side), then JVM-side ``levenshtein`` on the candidates.
+    Quadratic only within a (prefix, length) block; at 100 TB the
+    ``block_prefix`` knob bounds block width the way n_clusters bounds
+    SemDeDup's — both are the paper-standard blocking tradeoffs, and both
+    replay exactly in the SQL oracle."""
+    if max_dist < 0 or block_prefix < 1:
+        raise ValueError("max_dist must be >= 0 and block_prefix >= 1")
+    keys = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        F.substring(F.col(key_col), 1, block_prefix).alias("_p"),
+        F.length(key_col).alias("_len"),
+    )
+    a = keys.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("k_a"),
+        F.col("_p").alias("_p"),
+        F.explode(
+            F.sequence(F.col("_len") - max_dist, F.col("_len") + max_dist)
+        ).alias("_blk"),
+    )
+    b = keys.select(
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("k_b"),
+        F.col("_p").alias("_p"),
+        F.col("_len").alias("_blk"),
+    )
+    return (
+        a.join(b, ["_p", "_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("k_a", "k_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -18,12 +18,12 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 143 entries / 50 slots). Round-6 curation: (0) the
+# best achievable at 144 entries / 50 slots). Round-6 curation: (0) the
 # round-3-green block deferred past the round-5 boundary — three rounds
-# stale now, the oldest evidence in the registry, so it leads; (1) the 14
+# stale now, the oldest evidence in the registry, so it leads; (1) the 15
 # entries NEW in round 6 (set-op/EXISTS/IS NULL/SAMPLE/scalar-subquery/
-# ROLLUP/window-frame dialect drives, SemDeDup, ORC round-trip,
-# vocabulary/OOV, JPEG/MJPEG/μ-law/FFT media); (2) an 8-entry slice of
+# ROLLUP/window-frame dialect drives, SemDeDup, edit-distance dedup, ORC
+# round-trip, vocabulary/OOV, JPEG/MJPEG/μ-law/FFT media); (2) a 7-entry slice of
 # the round-4-green block, weighted toward the heavy multi-stage media/
 # dedup plans with the most moving parts — the rest of the r4 block plus
 # the whole r5-green block age to ≤2 rounds and rotate forward in r7. Every
@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "refsql_rollup_orders",
     "refsql_window_frame",
     "dedup_semantic_clusters",
+    "dedup_edit_distance",
     "orc_roundtrip_ingest",
     "corpus_vocab_oov",
     "multimodal_jpeg_decode",
@@ -83,12 +84,12 @@ PRIORITY: list[str] = [
     "dedup_duplicate_clusters",
     "corpus_line_dedup",
     "dedup_exact_groups",
-    "dedup_embedding_neardup",
     # -- ~50-slot window boundary: everything below was green in r4 or r5
     # (≤2 rounds stale at r6) and rotates forward in r7; bm25_top10,
     # corpus_pack_sequences, dedup_exact_survivors and similar_pairs_top15
     # are unchanged r4-green code aged one extra round to make room for
-    # the round-6 entries.
+    # the round-6 entries (dedup_embedding_neardup likewise).
+    "dedup_embedding_neardup",
     "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",

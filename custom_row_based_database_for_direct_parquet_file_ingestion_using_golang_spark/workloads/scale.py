@@ -20,6 +20,7 @@ from ..operators.text import (
     WORDISH,
     fingerprint,
     lang_guess,
+    normalize_text,
     punct_ratio,
     quality_score,
     token_count,
@@ -1986,3 +1987,60 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
     return multimodal.extract_audio_spectrum(media)
+
+
+@query(
+    "dedup_edit_distance",
+    f"""
+    WITH base AS (
+      SELECT doc_id, substr({_SQL_NORM.format(t='text')}, 1, 24) AS k
+      FROM documents
+    ),
+    mutated AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(k, 1, 9) || 'q' || substr(k, 11) AS k
+      FROM base WHERE doc_id % 10 = 0 AND length(k) >= 10
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mutated),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.k, b.k) AS dist
+      FROM corpus a JOIN corpus b
+        ON substr(a.k, 1, 4) = substr(b.k, 1, 4)
+       AND abs(length(a.k) - length(b.k)) <= 2
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(dist AS INT) AS dist
+    FROM cand WHERE dist <= 2
+    ORDER BY id_a, id_b LIMIT 100
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-level fuzzy dedup (round 6): every 10th document gets a
+    # single-substitution twin of its normalized 24-char prefix key
+    # (mutation at position 10, inside the block-surviving region);
+    # prefix+length-blocked exact Levenshtein flags pairs at distance ≤ 2.
+    # The oracle replays the identical blocking and DuckDB's levenshtein —
+    # Spark's and DuckDB's implementations must agree edit-for-edit.
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, 24).alias("k"),
+    )
+    mutated = base.filter(
+        (F.col("doc_id") % 10 == 0) & (F.length("k") >= 10)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("k", 1, 9), F.lit("q"), F.expr("substring(k, 11)")
+        ).alias("k"),
+    )
+    corpus = base.unionByName(mutated)
+    pairs = dedup.edit_distance_pairs(
+        corpus, "doc_id", "k", max_dist=2, block_prefix=4
+    )
+    return (
+        pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+        .limit(100)
+    )

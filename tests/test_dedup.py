@@ -256,3 +256,32 @@ def test_semantic_dedup_drops_planted_twins(spark):
     # Deduplicated corpus = the non-dup rows.
     kept = sorted(r.id for r in out.filter(~out.is_dup).collect())
     assert kept == [0, 20, 30]
+
+
+def test_edit_distance_pairs_blocking_and_exactness(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rows = [
+        (1, "alpha centauri"),
+        (2, "alpha centauri"),    # dist 0 to 1
+        (3, "alpha centaurx"),    # dist 1 to 1/2
+        (4, "alpha cent"),        # dist 4 to 1 — beyond max_dist
+        (5, "beta centauri"),     # different block prefix
+        (6, "alphx centauri"),    # dist 1 but mutation in.. pos 5 (in-block)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "id", "k", max_dist=2, block_prefix=4).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 6)] == 1  # mutation after the block prefix is caught
+    assert (1, 4) not in got  # distance beyond the cutoff
+    assert all(5 not in pair for pair in got)  # other block never compared
+    # Length filter: keys differing by > max_dist chars never even join.
+    long = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaabbbbbb")], ["id", "k"]
+    )
+    assert edit_distance_pairs(long, "id", "k", max_dist=2).count() == 0
