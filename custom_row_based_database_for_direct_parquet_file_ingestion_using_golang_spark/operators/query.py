@@ -55,6 +55,8 @@ def arg_col(text: str) -> Column:
 def agg_default_name(func: str, column: str) -> str:
     """The dialect's default output name for an aggregate call."""
     func = func.lower()
+    if func == "_expr":
+        raise ValueError("expression aggregates have no default name")
     if func == "count" and column == "*":
         return "count"
     if func == "grouping":
@@ -70,6 +72,12 @@ def agg_spec(func: str, column: str = "*", alias: str | None = None) -> Column:
     distinct values — compiled through Spark SQL's own DISTINCT-aggregate
     planning (Expand + two-phase agg), default name ``{fn}_distinct_{col}``."""
     func = func.lower()
+    if func == "_expr":
+        # Verbatim statistical aggregate (dialect round-6): Catalyst
+        # compiles the call text; the parser guarantees an alias.
+        if alias is None:
+            raise ValueError("expression aggregates need an alias")
+        return F.expr(column).alias(alias)
     if func == "grouping":
         # GROUPING(col): 1 on a ROLLUP/CUBE super-aggregate row where col
         # is rolled up, 0 on a data row — the standard way to tell a

@@ -79,6 +79,15 @@ _TOKEN_RE = re.compile(
 )
 
 AGG_FUNCS = {"count", "sum", "avg", "min", "max", "grouping"}
+# Round-6: statistical aggregates compiled verbatim by Catalyst's own
+# expression parser (multi-argument; AS alias mandatory). percentile/
+# median are EXACT interpolated (≡ DuckDB quantile_cont), stddev/variance
+# are the sample forms — both engines agree definitionally.
+EXPR_AGG_FUNCS = {
+    "percentile", "median", "stddev", "stddev_samp", "stddev_pop",
+    "variance", "var_samp", "var_pop", "corr", "covar_samp", "covar_pop",
+    "approx_count_distinct",
+}
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
 KEYWORDS_STOP = {
     "from", "where", "group", "having", "order", "limit", "offset", "by",
@@ -519,6 +528,32 @@ def parse_select(
         low = tok.lower()
         if tok == "*":
             spec.star = True
+        elif low in EXPR_AGG_FUNCS and cur.peek() == "(":
+            # Statistical aggregate: capture the whole call verbatim
+            # (balanced parens, commas kept) and hand it to Catalyst.
+            cur.next()  # (
+            buf = [low, "("]
+            depth = 1
+            while depth:
+                t = cur.next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+            text = " ".join(buf)
+            if cur.peek_kw() == "over":
+                raise ParseError(
+                    f"{low}(...) OVER is not supported (window frames take "
+                    "COUNT/SUM/AVG/MIN/MAX)"
+                )
+            if cur.peek_kw() != "as":
+                raise ParseError(
+                    f"statistical aggregate {low}(...) needs AS <alias>"
+                )
+            cur.next()
+            alias = _unquote(cur.next())
+            spec.aggregates.append(("_expr", text, alias))
         elif (low in AGG_FUNCS or low in WINDOW_FUNCS) and cur.peek() == "(":
             cur.next()  # (
             # Depth-tracked argument capture: top-level commas split the

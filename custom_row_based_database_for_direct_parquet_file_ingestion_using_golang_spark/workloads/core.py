@@ -827,3 +827,31 @@ def refsql_sample_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MAX(o_totalprice) FROM orders SAMPLE 20 PERCENT BY o_orderkey "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS LAST",
     )
+
+
+@query(
+    "refsql_stats_aggregates",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+           round(stddev_samp(o_totalprice), 2) AS sd
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def refsql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical aggregates through the dialect (round-6): exact
+    # interpolated PERCENTILE (≡ DuckDB quantile_cont) and sample STDDEV
+    # per priority, compiled verbatim by Catalyst inside the grouped
+    # aggregation. Rounded to 2 dp post-query on both sides (the float
+    # convention every stats workload uses).
+    df = _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "PERCENTILE(o_totalprice, 0.5) AS med, "
+        "STDDEV(o_totalprice) AS sd "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+    return df.withColumn("med", F.round("med", 2)).withColumn(
+        "sd", F.round("sd", 2)
+    )

@@ -1047,3 +1047,28 @@ def test_grouping_function_in_rollup(engine):
         engine.ref_sql(
             "SELECT GROUPING(course) OVER (ORDER BY id) AS x FROM students"
         )
+
+
+def test_statistical_aggregates(engine):
+    df = engine.ref_sql(
+        "SELECT course, PERCENTILE(id, 0.5) AS med, STDDEV(id) AS sd, "
+        "COUNT(*) AS n FROM students GROUP BY course HAVING n > 1"
+    )
+    row = df.first()
+    assert df.columns == ["course", "med", "sd", "n"]
+    # Mech has ids {1, 6}: exact interpolated median 3.5, sample stddev.
+    assert row.course == "Mech" and row.med == 3.5
+    assert row.sd == pytest.approx(3.5355339, rel=1e-6)
+    # Global forms work as plain aggregates too.
+    g = engine.ref_sql(
+        "SELECT MEDIAN(id) AS m, VARIANCE(id) AS v, CORR(id, id) AS c "
+        "FROM students"
+    ).first()
+    assert g.m == 3.5 and g.v == pytest.approx(3.5) and g.c == pytest.approx(1.0)
+    # Alias mandatory; OVER refused.
+    with pytest.raises(ParseError, match="AS <alias>"):
+        engine.ref_sql("SELECT STDDEV(id) FROM students")
+    with pytest.raises(ParseError, match="OVER"):
+        engine.ref_sql(
+            "SELECT STDDEV(id) OVER (ORDER BY id) AS x FROM students"
+        )
