@@ -855,3 +855,42 @@ def refsql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("med", F.round("med", 2)).withColumn(
         "sd", F.round("sd", 2)
     )
+
+
+@query(
+    "refsql_q3_shipping",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+                AS DECIMAL(38,8)) AS revenue,
+           min(o_orderdate) AS o_orderdate, min(o_orderpriority) AS priority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def refsql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 run ENTIRELY through the dialect (round-6): a three-table
+    # join chain, expression aggregate with DECIMAL-exact revenue, date
+    # filters on both fact sides, and a top-10 by computed revenue. The
+    # DataFrame-native q3_shipping_priority pins the same semantics; this
+    # entry pins the PARSER's end-to-end path — join assembly, qualified
+    # columns, expression aggregates, multi-key ORDER BY with LIMIT.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT l_orderkey, "
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) "
+        "AS revenue, "
+        "MIN(o_orderdate) AS o_orderdate, MIN(o_orderpriority) AS priority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < '1995-03-15' "
+        "AND l_shipdate > '1995-03-15' "
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    )
