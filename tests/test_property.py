@@ -788,3 +788,36 @@ def test_refsql_exists_matches_spark_sql(spark, neg, tag, extra):
         ).collect()
     )
     assert got == want, f"{kw} {body}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    where=_where_exprs(),
+    agg=st.sampled_from(
+        [
+            "PERCENTILE(price, 0.5)",
+            "MEDIAN(price)",
+            "STDDEV(price)",
+            "VARIANCE(id)",
+            "CORR(id, price)",
+        ]
+    ),
+)
+def test_refsql_stat_aggs_match_spark_sql(spark, where, agg):
+    # Statistical aggregates compile to the very same Catalyst functions
+    # Spark SQL plans, so results must be bit-identical (no rounding).
+    eng = _fuzz_engine(spark)
+    got = sorted(
+        (r.flag, r.a)
+        for r in eng.ref_sql(
+            f"SELECT flag, {agg} AS a FROM t WHERE {where} GROUP BY flag"
+        ).collect()
+    )
+    want = sorted(
+        (r.flag, r.a)
+        for r in spark.sql(
+            f"SELECT flag, {agg} AS a FROM fuzz_t WHERE {where} GROUP BY flag"
+        ).collect()
+    )
+    assert got == want, f"{agg} WHERE {where}"
