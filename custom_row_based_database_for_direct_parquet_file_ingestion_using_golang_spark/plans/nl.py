@@ -165,6 +165,10 @@ def is_natural_language(text: str) -> bool:
     if first == "summarize":
         # 'SUMMARIZE t' is SQL; 'summarize the sales for me' is NL.
         return len(words) != 2
+    if first == "with":
+        # 'WITH x AS (SELECT ...' is SQL; 'with all due respect, show me
+        # the students' is NL — the CTE shape has AS as the third word.
+        return not (len(words) > 3 and words[2] == "as")
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
         "optimize", "vacuum", "alter", "explain", "describe", "copy",

@@ -732,16 +732,23 @@ def parse_select(
 
     # Dialect extension (beyond the reference, which has no joins at all —
     # select.go:49-54 takes a single table): standard equi/theta joins.
-    # ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN t [AS x] ON <predicate>`` —
-    # the ON predicate reuses the full WHERE expression language, with
-    # qualified ``table.column`` (or ``alias.column``) references resolving
-    # against the DataFrame aliases the executor assigns.
-    _JOIN_KWS = ("join", "inner", "left", "right", "full")
+    # ``[INNER|LEFT|RIGHT|FULL [OUTER]|LEFT SEMI|LEFT ANTI|CROSS] JOIN t
+    # [AS x] [ON <predicate> | USING (col, ...)]`` — the ON predicate
+    # reuses the full WHERE expression language, with qualified
+    # ``table.column`` (or ``alias.column``) references resolving against
+    # the DataFrame aliases the executor assigns; USING (round-6) is
+    # equi-join sugar resolved by the executor (one output column per
+    # USING name, standard semantics); CROSS JOIN takes no condition.
+    _JOIN_KWS = ("join", "inner", "left", "right", "full", "cross")
     while cur.peek_kw() in _JOIN_KWS:
         how = "inner"
         if cur.peek_kw() != "join":
             how = cur.next().lower()
-            if cur.peek_kw() == "outer":
+            if how == "left" and cur.peek_kw() in ("semi", "anti"):
+                # Round-6: LEFT SEMI / LEFT ANTI JOIN — the explicit forms
+                # of the EXISTS / NOT EXISTS rewrites.
+                how = f"left_{cur.next().lower()}"
+            elif cur.peek_kw() == "outer":
                 cur.next()
         cur.expect_kw("join")
         jtable = _unquote(cur.next())
@@ -749,6 +756,27 @@ def parse_select(
         if cur.peek_kw() == "as":
             cur.next()
             jalias = _unquote(cur.next())
+        if how == "cross":
+            if cur.peek_kw() in ("on", "using"):
+                raise ParseError("CROSS JOIN takes no ON/USING condition")
+            spec.joins.append(("cross", jtable, jalias, None))
+            continue
+        if cur.peek_kw() == "using":
+            cur.next()
+            if cur.next() != "(":
+                raise ParseError("expected '(' after USING")
+            ucols = []
+            while True:
+                t = cur.next()
+                if t == ")":
+                    break
+                if t == ",":
+                    continue
+                ucols.append(_unquote(t))
+            if not ucols:
+                raise ParseError("USING needs at least one column")
+            spec.joins.append((how, jtable, jalias, tuple(ucols)))
+            continue
         cur.expect_kw("on")
         onp = ExprParser(cur, weak_typing, resolver)
         cond = onp.parse()
@@ -1061,6 +1089,15 @@ class RefSQL:
     def __init__(self, engine, weak_typing: bool = False):
         self.engine = engine
         self.weak = weak_typing
+        # WITH-clause bindings for the current statement (round-6): CTE
+        # name → DataFrame, consulted before the engine catalog. Reset per
+        # execute().
+        self._ctes: dict[str, DataFrame] = {}
+
+    def _table_df(self, name: str) -> DataFrame:
+        if name in self._ctes:
+            return self._ctes[name]
+        return self.engine.table(name)
 
     def _from_df(self, spec: "SelectSpec") -> DataFrame:
         """Resolve the FROM clause: base table (optionally time-travelled),
@@ -1068,10 +1105,12 @@ class RefSQL:
         alias (its AS name or its table name) so qualified ``x.col``
         references in ON/WHERE/projections resolve; Catalyst picks
         broadcast vs shuffle join per side as usual."""
+        if spec.version is not None and spec.table in self._ctes:
+            raise ParseError("VERSION AS OF applies to tables, not CTEs")
         df = (
             self.engine.table_at(spec.table, spec.version)
             if spec.version is not None
-            else self.engine.table(spec.table)
+            else self._table_df(spec.table)
         )
         if spec.sample is not None:
             pct, scol = spec.sample
@@ -1086,8 +1125,15 @@ class RefSQL:
         if spec.joins:
             df = df.alias(spec.alias or spec.table)
             for how, jtable, jalias, cond in spec.joins:
-                jdf = self.engine.table(jtable).alias(jalias or jtable)
-                df = df.join(jdf, cond, how)
+                jdf = self._table_df(jtable).alias(jalias or jtable)
+                if how == "cross":
+                    df = df.crossJoin(jdf)
+                elif isinstance(cond, tuple):
+                    # USING (cols): Spark's join-on-names — one output
+                    # column per USING name, standard semantics.
+                    df = df.join(jdf, list(cond), how)
+                else:
+                    df = df.join(jdf, cond, how)
         elif spec.alias:
             df = df.alias(spec.alias)
         return df
@@ -1230,6 +1276,35 @@ class RefSQL:
             raise ParseError("empty statement")
         verb = toks[0].lower()
         cur = _Cursor(toks)
+        self._ctes = {}
+        if verb == "with":
+            # Round-6: common table expressions — ``WITH name AS (SELECT
+            # ...) [, name2 AS (...)] SELECT ...``. Each CTE binds its
+            # (lazy) DataFrame; later CTEs and the main SELECT resolve it
+            # before the catalog. Set-op chains and every SELECT feature
+            # work inside a CTE body; re-references recompute (standard
+            # lazy-plan semantics — Catalyst reuses exchanges where it
+            # can).
+            cur.expect_kw("with")
+            while True:
+                name = _unquote(cur.next())
+                cur.expect_kw("as")
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after WITH name AS")
+                body = self._select_df(cur)
+                if cur.next() != ")":
+                    raise ParseError("expected ')' to close the CTE body")
+                self._ctes[name] = body
+                if cur.peek() == ",":
+                    cur.next()
+                    continue
+                break
+            if cur.peek_kw() != "select":
+                raise ParseError("WITH must be followed by SELECT")
+            out = self._select_df(cur)
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
+            return out
         if verb == "select":
             out = self._select_df(cur)
             if not cur.done():

@@ -894,3 +894,45 @@ def refsql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND l_shipdate > '1995-03-15' "
         "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
     )
+
+
+@query(
+    "refsql_cte_semi_join",
+    """
+    WITH rich AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 7500
+    ),
+    seg AS (
+      SELECT c_mktsegment, count(*) AS n_rich FROM rich GROUP BY c_mktsegment
+    )
+    SELECT o.o_orderstatus, s.n_rich, count(*) AS count
+    FROM orders o
+    SEMI JOIN rich r ON o.o_custkey = r.c_custkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+    GROUP BY o.o_orderstatus, s.n_rich
+    ORDER BY o_orderstatus, n_rich
+    """,
+)
+def refsql_cte_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CTEs + LEFT SEMI JOIN + a CTE-to-CTE chain through the dialect
+    # (round-6): orders of rich customers (semi join against the first
+    # CTE), enriched with the per-segment rich-customer counts aggregated
+    # in the second CTE (which reads the first). The oracle runs the ANSI
+    # equivalent — DuckDB's SEMI JOIN — so a CTE resolution bug, a broken
+    # semi rewrite, or a stale CTE binding flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH rich AS (SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_acctbal > 7500), "
+        "seg AS (SELECT c_mktsegment, COUNT(*) AS n_rich FROM rich "
+        "GROUP BY c_mktsegment) "
+        "SELECT o.o_orderstatus, s.n_rich, COUNT(*) "
+        "FROM orders AS o "
+        "LEFT SEMI JOIN rich AS r ON o.o_custkey = r.c_custkey "
+        "JOIN customer AS c ON o.o_custkey = c.c_custkey "
+        "JOIN seg AS s ON c.c_mktsegment = s.c_mktsegment "
+        "GROUP BY o.o_orderstatus, s.n_rich "
+        "ORDER BY o_orderstatus, n_rich",
+    )

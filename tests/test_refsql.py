@@ -1072,3 +1072,69 @@ def test_statistical_aggregates(engine):
         engine.ref_sql(
             "SELECT STDDEV(id) OVER (ORDER BY id) AS x FROM students"
         )
+
+
+def test_cte_with_clause(engine):
+    # Basic CTE, chained CTEs (later sees earlier), and a CTE joined to a
+    # base table.
+    out = engine.ref_sql(
+        "WITH mech AS (SELECT id, name FROM students WHERE course = 'Mech'), "
+        "top AS (SELECT id FROM mech WHERE id > 1) "
+        "SELECT id FROM top ORDER BY id"
+    ).collect()
+    assert [r.id for r in out] == [6]
+    out = engine.ref_sql(
+        "WITH pc AS (SELECT course, COUNT(*) AS n FROM students GROUP BY course) "
+        "SELECT s.name, pc.n FROM students AS s JOIN pc ON s.course = pc.course "
+        "WHERE pc.n > 1 ORDER BY s.name"
+    ).collect()
+    assert [(r.name, r.n) for r in out] == [("Frank", 2), ("Noel", 2)]
+    # Set ops inside a CTE body; trailing sort applies to the outer SELECT.
+    out = engine.ref_sql(
+        "WITH u AS (SELECT id FROM students WHERE id = 1 "
+        "UNION SELECT id FROM students WHERE id = 4) "
+        "SELECT id FROM u ORDER BY id DESC"
+    ).collect()
+    assert [r.id for r in out] == [4, 1]
+    # CTEs shadow nothing permanent: the name is statement-local.
+    with pytest.raises(Exception):
+        engine.ref_sql("SELECT * FROM mech").collect()
+    with pytest.raises(ParseError, match="tables, not CTEs"):
+        engine.ref_sql(
+            "WITH c AS (SELECT id FROM students) "
+            "SELECT id FROM c VERSION AS OF 0"
+        )
+
+
+def test_join_using_cross_semi_anti(engine, spark):
+    engine.create_table("badges", [("id", "INT"), ("badge", "TEXT")])
+    engine.insert_rows(
+        "badges", [{"id": 1, "badge": "gold"}, {"id": 3, "badge": "silver"}]
+    )
+    # USING: one output column per key, standard semantics.
+    df = engine.ref_sql(
+        "SELECT id, name, badge FROM students JOIN badges USING (id) ORDER BY id"
+    )
+    assert df.columns == ["id", "name", "badge"]
+    assert [(r.id, r.badge) for r in df.collect()] == [(1, "gold"), (3, "silver")]
+    # CROSS JOIN: cartesian count, no condition allowed.
+    assert (
+        engine.ref_sql("SELECT COUNT(*) AS n FROM students CROSS JOIN badges")
+        .first().n
+        == 12
+    )
+    with pytest.raises(ParseError, match="no ON/USING"):
+        engine.ref_sql(
+            "SELECT id FROM students CROSS JOIN badges ON students.id = badges.id"
+        )
+    # LEFT SEMI / LEFT ANTI: the explicit EXISTS / NOT EXISTS forms.
+    semi = engine.ref_sql(
+        "SELECT id FROM students LEFT SEMI JOIN badges "
+        "ON students.id = badges.id ORDER BY id"
+    ).collect()
+    assert [r.id for r in semi] == [1, 3]
+    anti = engine.ref_sql(
+        "SELECT id FROM students LEFT ANTI JOIN badges "
+        "ON students.id = badges.id ORDER BY id"
+    ).collect()
+    assert [r.id for r in anti] == [2, 4, 5, 6]
