@@ -39,17 +39,28 @@ select.go:49-54 is single-table, bare-column only):
     (matview.py).
 
 Round-6 extensions:
+  * CTEs: ``WITH name AS (SELECT ...) [, ...] SELECT ...`` — statement-
+    local DataFrame bindings resolved before the catalog; later CTEs see
+    earlier ones.
   * Set operations: ``UNION [ALL]`` / ``INTERSECT`` / ``EXCEPT [ALL]``
     chains — positional arms named by the first arm, left-associative
     fold, trailing ORDER BY/LIMIT/OFFSET on the combined result; accepted
-    wherever a SELECT is (CTAS, INSERT...SELECT, EXPLAIN).
+    wherever a SELECT is (CTAS, INSERT...SELECT, EXPLAIN, CTE bodies).
   * Uncorrelated scalar subqueries ``(SELECT agg ...)`` in any comparison
     position (WHERE/HAVING sides, BETWEEN bounds, UPDATE/DELETE
     predicates): executed once, inlined as a literal; ANSI empty→NULL.
   * Correlated ``[NOT] EXISTS (SELECT ... WHERE <pred>)`` as top-level
     WHERE conjuncts → left-semi / left-anti joins with <pred> (which may
-    reference alias-qualified outer columns) as the join condition.
-  * ``GROUP BY ROLLUP(a, b)`` / ``CUBE(a, b)`` — one Expand pass.
+    reference alias-qualified outer columns) as the join condition; plus
+    the explicit ``LEFT SEMI / LEFT ANTI / CROSS JOIN`` and
+    ``USING (cols)`` forms.
+  * ``GROUP BY ROLLUP(a, b)`` / ``CUBE(a, b)`` — one Expand pass — with
+    ``GROUPING(col)`` to flag super-aggregate rows.
+  * DISTINCT aggregates (``COUNT/SUM/AVG(DISTINCT col)``) and the
+    statistical aggregates (``PERCENTILE/MEDIAN/STDDEV/VARIANCE/CORR/
+    COVAR/APPROX_COUNT_DISTINCT`` — verbatim-captured, AS required).
+  * ``x IS [NOT] NULL``; ``ORDER BY ... NULLS FIRST/LAST``;
+    ``FROM t SAMPLE n PERCENT BY col`` (deterministic md5-bucket sample).
   * ``ROWS BETWEEN <bound> AND <bound>`` frames in OVER clauses for
     aggregate window functions.
   * Bare numeric literal projections (``SELECT 1``), named by their text.
