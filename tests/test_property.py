@@ -821,3 +821,27 @@ def test_refsql_stat_aggs_match_spark_sql(spark, where, agg):
         ).collect()
     )
     assert got == want, f"{agg} WHERE {where}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w1=_where_exprs(), w2=_where_exprs(), limit=st.integers(1, 8))
+def test_refsql_cte_matches_spark_sql(spark, w1, w2, limit):
+    # WITH bodies and the outer SELECT must compose exactly like Spark
+    # SQL's native CTE planning (same text modulo the view name).
+    eng = _fuzz_engine(spark)
+    tpl = (
+        "WITH c AS (SELECT id, price, flag FROM {t} WHERE {w1}) "
+        "SELECT id FROM c WHERE {w2} ORDER BY id LIMIT {n}"
+    )
+    got = [
+        r.id
+        for r in eng.ref_sql(tpl.format(t="t", w1=w1, w2=w2, n=limit)).collect()
+    ]
+    want = [
+        r.id
+        for r in spark.sql(
+            tpl.format(t="fuzz_t", w1=w1, w2=w2, n=limit)
+        ).collect()
+    ]
+    assert got == want, f"{w1} / {w2}"
