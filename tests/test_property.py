@@ -831,7 +831,7 @@ def test_refsql_cte_matches_spark_sql(spark, w1, w2, limit):
     # SQL's native CTE planning (same text modulo the view name).
     eng = _fuzz_engine(spark)
     tpl = (
-        "WITH c AS (SELECT id, price, flag FROM {t} WHERE {w1}) "
+        "WITH c AS (SELECT id, name, price, flag FROM {t} WHERE {w1}) "
         "SELECT id FROM c WHERE {w2} ORDER BY id LIMIT {n}"
     )
     got = [
