@@ -62,7 +62,9 @@ Round-6 extensions:
   * ``x IS [NOT] NULL``; ``ORDER BY ... NULLS FIRST/LAST``;
     ``FROM t SAMPLE n PERCENT BY col`` (deterministic md5-bucket sample).
   * ``ROWS BETWEEN <bound> AND <bound>`` frames in OVER clauses for
-    aggregate window functions.
+    aggregate window functions; windows compose with GROUP BY (standard
+    evaluation order — the window runs OVER the aggregated frame, so
+    ``RANK() OVER (ORDER BY sum_v DESC)`` ranks groups by their totals).
   * Bare numeric literal projections (``SELECT 1``), named by their text.
 """
 
@@ -998,16 +1000,12 @@ def _window_column(
 
 
 def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
-    if spec.windows:
+    grouped_windows = bool(spec.windows) and bool(
+        spec.aggregates or clauses.get("group_by")
+    )
+    if spec.windows and not grouped_windows:
         # Standard SQL evaluation order: windows compute AFTER the WHERE
-        # filter, at SELECT stage. Mixing window functions with GROUP BY
-        # aggregates is out of the v1 surface (use a CTE-free two-step or
-        # Engine.sql).
-        if spec.aggregates or clauses.get("group_by"):
-            raise ParseError(
-                "window functions cannot be combined with GROUP BY "
-                "aggregates in one SELECT"
-            )
+        # filter, at SELECT stage.
         if "where" in clauses:
             df = df.filter(clauses["where"])
             clauses = {k: v for k, v in clauses.items() if k != "where"}
@@ -1038,6 +1036,23 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         q.agg(*[agg_spec(fn, col, alias) for fn, col, alias in spec.aggregates])
     if "having" in clauses:
         q.having(clauses["having"])
+    if grouped_windows:
+        # Round-6: windows OVER the aggregated frame — standard SQL
+        # evaluation (GROUP BY → HAVING → window functions), so ``RANK()
+        # OVER (ORDER BY sum_v DESC)`` ranks the groups by their
+        # aggregates. Window partition/order/args reference GROUP keys or
+        # aggregate OUTPUT names (the reference defaults or AS aliases).
+        # Materialize the grouped pipeline built so far, then continue
+        # (order/limit/projection) on the windowed frame.
+        df = q.df()
+        for fn, args, alias, part, order, frame in spec.windows:
+            df = df.withColumn(
+                alias, _window_column(fn, args, part, order, frame)
+            )
+        spec.projections = spec.projections + [
+            (alias, None) for _, _, alias, _, _, _ in spec.windows
+        ]
+        q = Query(df)
     if "order_by" in clauses:
         for col, desc, nulls in clauses["order_by"]:
             q.order_by(col, desc=desc, nulls=nulls)

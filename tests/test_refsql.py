@@ -539,11 +539,23 @@ def test_window_function_dialect_errors(spark, tmp_path):
         e.ref_sql("SELECT ROW_NUMBER() OVER (ORDER BY v) FROM t")
     with pytest.raises(ParseError, match="requires an OVER"):
         e.ref_sql("SELECT ROW_NUMBER() FROM t")
-    with pytest.raises(ParseError, match="cannot be combined"):
-        e.ref_sql(
-            "SELECT g, COUNT(*), ROW_NUMBER() OVER (ORDER BY g) AS rn "
-            "FROM t GROUP BY g"
-        )
+    # Round-6: windows + GROUP BY now compose (standard evaluation order:
+    # the window runs OVER the aggregated frame).
+    e.ref_sql("INSERT INTO t VALUES ('a', 1)")
+    e.ref_sql("INSERT INTO t VALUES ('a', 2)")
+    e.ref_sql("INSERT INTO t VALUES ('b', 9)")
+    out = e.ref_sql(
+        "SELECT g, SUM(v) AS total, RANK() OVER (ORDER BY total DESC) AS rk "
+        "FROM t GROUP BY g ORDER BY rk"
+    ).collect()
+    assert [(r.g, r.total, r.rk) for r in out] == [("b", 9, 1), ("a", 3, 2)]
+    # Default aggregate names are referencable in the window too; HAVING
+    # applies before the window.
+    out = e.ref_sql(
+        "SELECT g, COUNT(*), ROW_NUMBER() OVER (ORDER BY count DESC, g) AS rn "
+        "FROM t GROUP BY g HAVING count > 1"
+    ).collect()
+    assert [(r.g, r.rn) for r in out] == [("a", 1)]
 
 
 def test_explain_analyze_runs_and_reports(spark, tmp_path):
