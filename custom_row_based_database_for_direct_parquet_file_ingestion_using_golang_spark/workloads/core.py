@@ -936,3 +936,32 @@ def refsql_cte_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o.o_orderstatus, s.n_rich "
         "ORDER BY o_orderstatus, n_rich",
     )
+
+
+@query(
+    "refsql_grouped_window_rank",
+    """
+    WITH a AS (
+      SELECT o_orderpriority, count(*) AS count,
+             max(o_totalprice) AS max_o_totalprice
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, count, max_o_totalprice,
+           CAST(RANK() OVER (ORDER BY count DESC, o_orderpriority) AS INT)
+             AS rk
+    FROM a ORDER BY rk
+    """,
+)
+def refsql_grouped_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windows over the aggregated frame through the dialect (round-6):
+    # rank order priorities by their order counts in ONE statement —
+    # GROUP BY evaluates first, the RANK runs over the per-priority rows
+    # (deterministic tie-break on the group key). The oracle states the
+    # same thing as an explicit CTE + window.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, COUNT(*), MAX(o_totalprice), "
+        "RANK() OVER (ORDER BY count DESC, o_orderpriority) AS rk "
+        "FROM orders GROUP BY o_orderpriority ORDER BY rk",
+    )
