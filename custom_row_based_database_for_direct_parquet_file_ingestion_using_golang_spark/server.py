@@ -534,11 +534,22 @@ class ApiHandler(BaseHTTPRequestHandler):
         if "file" not in fields:
             return self._error("no file received")
         filename, content = fields["file"]
-        ext = os.path.splitext(filename or "")[1].lower()
-        if ext not in (".csv", ".parquet", ".orc", ".jsonl", ".ndjson", ".json"):
+        low = (filename or "").lower()
+        ext = os.path.splitext(low)[1]
+        if ext == ".gz":
+            # Corpora ship gzipped (.jsonl.gz / .csv.gz); Spark
+            # decompresses by extension, so keep the compound suffix and
+            # route on the inner extension.
+            inner = os.path.splitext(low[:-3])[1]
+            if inner in (".csv", ".jsonl", ".ndjson", ".json"):
+                ext = inner + ".gz"
+        if ext not in (
+            ".csv", ".parquet", ".orc", ".jsonl", ".ndjson", ".json",
+            ".csv.gz", ".jsonl.gz", ".ndjson.gz", ".json.gz",
+        ):
             return self._error(
-                f"unsupported file type '{ext}' — only .csv, .parquet, .orc "
-                "and .jsonl/.ndjson are supported"
+                f"unsupported file type '{ext}' — only .csv[.gz], .parquet, "
+                ".orc and .jsonl/.ndjson[.gz] are supported"
             )
         if isinstance(content, str):
             content = content.encode()
@@ -547,11 +558,14 @@ class ApiHandler(BaseHTTPRequestHandler):
             tmp.write(content)
             tmp.close()
             with self.rwlock.write_locked():
-                if ext == ".csv":
+                if ext in (".csv", ".csv.gz"):
                     # Reference CSV import types every column TEXT
                     # (importer.go:37-52); keep that parity on this surface.
                     self.engine.ingest_csv(tmp.name, table, all_text=True)
-                elif ext in (".jsonl", ".ndjson", ".json"):
+                elif ext in (
+                    ".jsonl", ".ndjson", ".json",
+                    ".jsonl.gz", ".ndjson.gz", ".json.gz",
+                ):
                     self.engine.ingest_jsonl(tmp.name, table)
                 elif ext == ".orc":
                     self.engine.ingest_orc(tmp.name, table)

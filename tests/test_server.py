@@ -494,3 +494,36 @@ def test_query_api_round6_dialect_surface(api):
         "SELECT id FROM r6 WHERE id > (SELECT MIN(id) FROM r6) ORDER BY id",
     )
     assert out["success"] and "2" in out["result"]
+
+
+def test_upload_gzipped_jsonl_and_csv(api):
+    import gzip
+
+    body, ctype = _multipart(
+        {
+            "table_name": (None, b"gzj"),
+            "file": (
+                "rows.jsonl.gz",
+                gzip.compress(b'{"id": 1, "name": "ann"}\n{"id": 2, "name": "bob"}\n'),
+            ),
+        }
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    out = _query(api, "SELECT name FROM gzj ORDER BY id")
+    assert out["success"] and "ann" in out["result"] and "bob" in out["result"]
+    body, ctype = _multipart(
+        {
+            "table_name": (None, b"gzc"),
+            "file": ("rows.csv.gz", gzip.compress(b"id,name\n1,ann\n2,bob\n")),
+        }
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"], resp
+    assert _query(api, "SELECT COUNT(*) FROM gzc")["success"]
+    # A bare .gz without a recognized inner extension is refused.
+    body, ctype = _multipart(
+        {"table_name": (None, b"x"), "file": ("blob.bin.gz", b"\x1f\x8b")}
+    )
+    resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
+    assert resp["success"] is False and "unsupported file type" in resp["error"]
