@@ -1677,3 +1677,119 @@ def extract_audio_spectrum(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_SPECTRUM_DDL
     )
+
+
+# --- real baseline TIFF (uncompressed) encode/decode ------------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def encode_tiff(pixels: "np.ndarray") -> bytes:
+    """Write a baseline uncompressed TIFF (little-endian 'II', one strip)
+    from an (H, W, 3) uint8 RGB or (H, W) grayscale array — the last
+    format on the reference's IMAGE extension list (.tiff,
+    pkg/handlers/insert.go:191) that decodes honestly without a codec
+    library."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_tiff expects uint8")
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    spp = 1 if gray else 3
+    data = pixels.tobytes()
+    # Layout: header(8) + pixel data + [bits array if RGB] + IFD.
+    data_off = 8
+    bits_off = data_off + len(data)
+    ifd_off = bits_off + (6 if not gray else 0)
+    entries = []
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHI4s", tag, typ, count, value))
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    entry(256, 4, 1, long_val(w))             # ImageWidth
+    entry(257, 4, 1, long_val(h))             # ImageLength
+    if gray:
+        entry(258, 3, 1, short_val(8))        # BitsPerSample
+    else:
+        entry(258, 3, 3, long_val(bits_off))  # offset to [8, 8, 8]
+    entry(259, 3, 1, short_val(1))            # Compression: none
+    entry(262, 3, 1, short_val(1 if gray else 2))  # Photometric: gray/RGB
+    entry(273, 4, 1, long_val(data_off))      # StripOffsets
+    entry(277, 3, 1, short_val(spp))          # SamplesPerPixel
+    entry(278, 4, 1, long_val(h))             # RowsPerStrip
+    entry(279, 4, 1, long_val(len(data)))     # StripByteCounts
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    out = struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += data
+    if not gray:
+        out += struct.pack("<HHH", 8, 8, 8)
+    out += ifd
+    return out
+
+
+@_malformed_guard
+def decode_tiff(payload: bytes) -> dict:
+    """REAL decode of a baseline uncompressed TIFF: byte-order detection
+    (II/MM), IFD tag walk (inline vs offset values per type size), strip
+    assembly via StripOffsets/StripByteCounts, 8-bit grayscale or RGB.
+    Compressed TIFFs (LZW/deflate/JPEG-in-TIFF) are refused honestly."""
+    if payload[:2] not in (b"II", b"MM") or len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    n = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _TIFF_TYPE_SIZES:
+            continue  # unknown value type: skip the tag (per spec)
+        size = _TIFF_TYPE_SIZES[typ] * count
+        voff = off + 8 if size <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue  # ASCII/RATIONAL tags are irrelevant here
+        tags[tag] = list(struct.unpack_from(bo + fmt * count, payload, voff))
+    try:
+        w, h = tags[256][0], tags[257][0]
+    except KeyError:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"compressed TIFF (compression={compression}) not supported"
+        )
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"{bits}-bit TIFF not supported (8-bit only)")
+    spp = tags.get(277, [len(bits)])[0]
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp}-sample TIFF not supported")
+    offsets = tags.get(273, [])
+    counts = tags.get(279, [])
+    if not offsets or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    raw = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts)
+    )
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError(f"TIFF strips hold {len(raw)} bytes, need {need}")
+    img = np.frombuffer(raw, np.uint8, need).reshape(
+        (h, w) if spp == 1 else (h, w, 3)
+    )
+    return {
+        "width": w,
+        "height": h,
+        "channels": spp,
+        "pixel_sum": int(img.sum(dtype=np.int64)),
+        "mean_pixel": float(img.mean()),
+        "pixels": img,
+    }

@@ -2044,3 +2044,73 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
         .limit(100)
     )
+
+
+@query(
+    "multimodal_tiff_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(3 + doc_id % 13 AS INT) AS width,
+             CAST(2 + doc_id % 8 AS INT) AS height,
+             doc_id % 256 AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           width, height, CAST(channels AS INT) AS channels,
+           CAST(channels * v * width * height AS BIGINT) AS pixel_sum,
+           CAST(v AS DOUBLE) AS mean_pixel
+    FROM p
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL TIFF decode end-to-end (round 6): alternate RGB and grayscale
+    # baseline TIFFs per document (dimensions/fill/channels are pure
+    # functions of doc_id), decoded by actually walking the IFD tag
+    # directory and assembling strips. Closes the last extension on the
+    # reference's IMAGE list (insert.go:191) that decodes honestly
+    # codec-free; the oracle recomputes decoded statistics analytically.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h, v = 3 + did % 13, 2 + did % 8, did % 256
+                shape = (int(h), int(w), 3) if did % 2 == 0 else (int(h), int(w))
+                payloads.append(
+                    multimodal.encode_tiff(np.full(shape, v, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+
+    def extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            feats = [multimodal.decode_tiff(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                    "mean_pixel": [float(f["mean_pixel"]) for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "pixel_sum long, mean_pixel double"
+        ),
+    )

@@ -1214,3 +1214,44 @@ def test_all_decoders_malformed_payloads_raise_value_error():
                 dec(bytes(b))
             except (ValueError, NotImplementedError):
                 pass  # the only acceptable failure modes
+
+
+def test_tiff_roundtrip_and_guards():
+    import random
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7, 3), (4, 9), (1, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = decode_tiff(encode_tiff(img))
+        assert np.array_equal(d["pixels"], img)
+        assert d["channels"] == (1 if len(shape) == 2 else 3)
+        assert d["pixel_sum"] == int(img.sum(dtype=np.int64))
+    # Compressed TIFFs refused honestly.
+    payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    i = payload.find(struct.pack("<HH", 259, 3))
+    payload[i + 8] = 5  # LZW
+    with _pytest.raises(NotImplementedError, match="compressed TIFF"):
+        decode_tiff(bytes(payload))
+    # Malformed payloads raise clean ValueErrors (guard applies).
+    pyrng = random.Random(9)
+    good = encode_tiff(rng.integers(0, 256, (6, 6, 3)).astype(np.uint8))
+    for _ in range(100):
+        b = bytearray(good)
+        k = pyrng.randrange(2)
+        if k == 0:
+            b = b[: pyrng.randrange(2, len(b))]
+        else:
+            b[pyrng.randrange(2, len(b))] = pyrng.randrange(256)
+        try:
+            decode_tiff(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
