@@ -1752,6 +1752,13 @@ def decode_tiff(payload: bytes) -> dict:
         if typ not in _TIFF_TYPE_SIZES:
             continue  # unknown value type: skip the tag (per spec)
         size = _TIFF_TYPE_SIZES[typ] * count
+        if size > len(payload):
+            # A corrupt count can claim gigabytes; values can never exceed
+            # the file itself.
+            raise ValueError(
+                f"TIFF tag {tag} claims {size} value bytes in a "
+                f"{len(payload)}-byte file"
+            )
         voff = off + 8 if size <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
         fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
         if fmt is None:
