@@ -252,7 +252,13 @@ def decode_png(payload: bytes) -> dict:
         raise NotImplementedError("deflate/filter0/non-interlaced PNG only")
     channels = 3 if color_type == 2 else 1
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))  # Adler-32 verified here
+    # Bound the inflate to the expected scanline volume + 1 (a crafted
+    # stream could otherwise expand to gigabytes from a few bytes); the
+    # +1 lets genuine trailing garbage surface as the explicit length
+    # check below instead of silent truncation. Adler-32 verified here.
+    expected = h * (w * 3 + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT size does not match dimensions")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -1553,6 +1559,15 @@ def _decode_jpeg(payload: bytes) -> dict:
         by_id[sc["id"]]["ac_t"] = sc["ac"]
     C = _jpeg_dct_basis()
     bw, bh = (w + 7) // 8, (h + 7) // 8
+    # Sanity bound (corrupt-SOF guard): every block consumes at least one
+    # bit of entropy data, so more blocks than bits is impossible — a
+    # flipped dimension byte would otherwise send the decode loop through
+    # tens of millions of phantom blocks.
+    if bw * bh * len(comps) > max(len(scan_bytes), 1) * 8:
+        raise ValueError(
+            f"JPEG claims {bw * bh} blocks but carries only "
+            f"{len(scan_bytes)} entropy bytes"
+        )
     planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
     preds = [0] * len(comps)
     rd = _JpegBitReader(bytes(scan_bytes))
