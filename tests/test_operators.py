@@ -1255,3 +1255,54 @@ def test_tiff_roundtrip_and_guards():
             decode_tiff(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_webp_lossless_roundtrip_and_guards():
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.multimodal import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        h, w = int(rng.integers(1, 10)), int(rng.integers(1, 12))
+        vals = rng.integers(0, 256, (3, 2)).astype(np.uint8)
+        img = np.stack(
+            [vals[c][rng.integers(0, 2, (h, w))] for c in range(3)], axis=-1
+        )
+        d = decode_webp_lossless(encode_webp_lossless(img))
+        assert (d["height"], d["width"]) == (h, w)
+        assert np.array_equal(d["pixels"], img)
+    # Constant image: one-symbol codes, zero bits per pixel.
+    img = np.full((6, 8, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_webp_lossless(encode_webp_lossless(img))["pixels"], img
+    )
+    # Outside-profile features refuse honestly.
+    with _pytest.raises(ValueError, match="at most 2 values"):
+        encode_webp_lossless(np.arange(27, dtype=np.uint8).reshape(3, 3, 3))
+    with _pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp_lossless(b"not a webp")
+    # Lossy VP8 chunks are refused, not mis-decoded.
+    lossy = bytearray(encode_webp_lossless(img))
+    lossy[12:16] = b"VP8 "
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        decode_webp_lossless(bytes(lossy))
+    # Malformed payloads raise clean errors (guard + truncation).
+    pyrng = random.Random(4)
+    good = encode_webp_lossless(img)
+    for _ in range(100):
+        b = bytearray(good)
+        if pyrng.randrange(2):
+            b = b[: pyrng.randrange(2, len(b))]
+        else:
+            b[pyrng.randrange(2, len(b))] = pyrng.randrange(256)
+        try:
+            decode_webp_lossless(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
