@@ -14,11 +14,13 @@ five scanline filter inverses), baseline JPEG (``decode_jpeg`` — marker
 walk, huffman entropy decode with byte unstuffing, DC prediction,
 dequantize, inverse zigzag, real 2-D IDCT, YCbCr→RGB; encoder included
 for fixtures) and PCM WAV (``decode_wav`` — RIFF chunk walk, int16
-sample statistics). The remaining compressed formats (webp/mp3/...) need
-codec libraries NOT in this container, so for those
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic stand-in derived from
-the byte length. The Spark-side
+sample statistics), plus baseline uncompressed TIFF (``decode_tiff`` —
+IFD tag walk, strip assembly) and the WebP-lossless simple-prefix-code
+profile (``decode_webp_lossless`` — bit-level VP8L subset). The remaining
+compressed formats (mp3/h264/lossy-VP8/...) need codec libraries NOT in
+this container, so for those ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic stand-in derived from the byte length. The Spark-side
 plumbing — schema, batch iteration, partitioning — is identical on every
 path; swapping a real jpeg codec in changes one function body.
 """
