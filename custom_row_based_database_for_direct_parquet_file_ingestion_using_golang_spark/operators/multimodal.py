@@ -897,11 +897,17 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             d = decode_png(payload)
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             d = decode_gif(payload)
+        elif payload[:2] == b"\xff\xd8":
+            d = decode_jpeg(payload)
+        elif payload[:2] in (b"II", b"MM") and len(payload) >= 4 and payload[2:4] in (b"*\x00", b"\x00*"):
+            d = decode_tiff(payload)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            d = decode_webp_lossless(payload)
         else:
             raise NotImplementedError(
-                "non-BMP/PNG/GIF image decode requires PIL/opencv (not in "
-                "this environment); pass fake=True for the deterministic "
-                "stand-in"
+                "unrecognized image format (BMP/PNG/GIF/JPEG/TIFF/WebP-"
+                "lossless decode for real here; other formats need "
+                "PIL/opencv); pass fake=True for the deterministic stand-in"
             )
         return {
             "width": d["width"],

@@ -1306,3 +1306,27 @@ def test_webp_lossless_roundtrip_and_guards():
             decode_webp_lossless(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_decode_image_routes_all_real_formats():
+    import numpy as np
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    img3 = np.full((4, 6, 3), 9, dtype=np.uint8)
+    for enc in (
+        M.encode_bmp,
+        M.encode_png,
+        M.encode_tiff,
+        M.encode_jpeg,
+        M.encode_webp_lossless,
+    ):
+        d = M.decode_image(enc(img3))
+        assert (d["width"], d["height"]) == (6, 4), enc.__name__
+    d = M.decode_image(M.encode_gif(np.zeros((4, 6), dtype=np.uint8)))
+    assert (d["width"], d["height"]) == (6, 4)
+    with _pytest.raises(NotImplementedError, match="unrecognized"):
+        M.decode_image(b"\x00\x01unknown")
