@@ -23,10 +23,10 @@ from . import timeseries  # noqa: F401, E402
 # stale now, the oldest evidence in the registry, so it leads; (1) the 21
 # entries NEW in round 6 (set-op/EXISTS/IS NULL/SAMPLE/scalar-subquery/
 # ROLLUP/window-frame dialect drives, SemDeDup, edit-distance dedup, ORC
-# round-trip, vocabulary/OOV, JPEG/MJPEG/μ-law/FFT media); (2) a 7-entry slice of
-# the round-4-green block, weighted toward the heavy multi-stage media/
-# dedup plans with the most moving parts — the rest of the r4 block plus
-# the whole r5-green block age to ≤2 rounds and rotate forward in r7. Every
+# round-trip, vocabulary/OOV, JPEG/MJPEG/TIFF/WebP/μ-law/FFT media);
+# (2) the r4-green BMP-decode flagship fills the last slot — the rest of
+# the r4 block plus the whole r5-green block age to ≤2 rounds and rotate
+# forward in r7. Every
 # name must exist in QUERIES; ordered_queries() raises otherwise so a
 # rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
