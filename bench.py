@@ -150,13 +150,13 @@ KNOWN_FLOORS_SF01 = {
     # sentinel, so these are conservative):
     "ts_gapfill_locf": 0.37,
     "dedup_winnow_top15": 4.4,
-    # round-6 additions (floors measured in-round under ambient ~1.3-2.4
-    # loadavg from other tenants, so conservative):
-    "dedup_semantic_clusters": 2.1,
-    "corpus_vocab_oov": 1.1,
-    "multimodal_jpeg_decode": 1.9,
-    "refsql_setops_orders": 0.76,
-    "refsql_exists_subquery": 0.50,
+    # round-6 additions (floors re-measured end-of-round on an idle
+    # machine, loadavg 0.2):
+    "dedup_semantic_clusters": 1.7,
+    "corpus_vocab_oov": 0.85,
+    "multimodal_jpeg_decode": 1.98,
+    "refsql_setops_orders": 0.73,
+    "refsql_exists_subquery": 0.49,
 }
 
 
