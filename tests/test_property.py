@@ -806,19 +806,26 @@ def test_refsql_exists_matches_spark_sql(spark, neg, tag, extra):
 )
 def test_refsql_stat_aggs_match_spark_sql(spark, where, agg):
     # Statistical aggregates compile to the very same Catalyst functions
-    # Spark SQL plans, so results must be bit-identical (no rounding).
+    # Spark SQL plans, so results must be bit-identical (no rounding) —
+    # including runtime errors: under ANSI mode CORR over a single-row
+    # group raises divide-by-zero on BOTH engines, which must agree too.
     eng = _fuzz_engine(spark)
-    got = sorted(
-        (r.flag, r.a)
-        for r in eng.ref_sql(
+
+    def run(df_fn):
+        try:
+            return sorted((r.flag, r.a) for r in df_fn().collect())
+        except Exception:
+            return "runtime-error"
+
+    got = run(
+        lambda: eng.ref_sql(
             f"SELECT flag, {agg} AS a FROM t WHERE {where} GROUP BY flag"
-        ).collect()
+        )
     )
-    want = sorted(
-        (r.flag, r.a)
-        for r in spark.sql(
+    want = run(
+        lambda: spark.sql(
             f"SELECT flag, {agg} AS a FROM fuzz_t WHERE {where} GROUP BY flag"
-        ).collect()
+        )
     )
     assert got == want, f"{agg} WHERE {where}"
 
