@@ -344,3 +344,28 @@ def oov_stats(
             4,
         ).alias("oov_rate"),
     )
+
+
+def sample_per_group(
+    df: "DataFrame", group_col: str, id_col: str, n: int
+) -> "DataFrame":
+    """Deterministic per-group sample: the ``n`` rows of each group with
+    the smallest ``md5(id)`` — balanced-subset construction (equal-sized
+    per-source/per-language slices for eval sets or mixing experiments),
+    reproducible across runs, engines, partitionings and task retries
+    (same md5-order contract as the corpus-level hash sample).
+
+    One shuffle on the group key; the rank is a window over each group
+    (WindowGroupLimit pushes the top-n cut into the sort at plan level,
+    so only ~n rows per group survive the window stage)."""
+    from pyspark.sql import Window as W
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -18,9 +18,9 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 150 entries / 50 slots). Round-6 curation: (0) the
+# best achievable at 151 entries / 50 slots). Round-6 curation: (0) the
 # round-3-green block deferred past the round-5 boundary — three rounds
-# stale now, the oldest evidence in the registry, so it leads; (1) the 21
+# stale now, the oldest evidence in the registry, so it leads; (1) the 22
 # entries NEW in round 6 (set-op/EXISTS/IS NULL/SAMPLE/scalar-subquery/
 # ROLLUP/window-frame dialect drives, SemDeDup, edit-distance dedup, ORC
 # round-trip, vocabulary/OOV, JPEG/MJPEG/TIFF/WebP/μ-law/FFT media);
@@ -76,23 +76,21 @@ PRIORITY: list[str] = [
     "dedup_edit_distance",
     "orc_roundtrip_ingest",
     "corpus_vocab_oov",
+    "corpus_sample_per_group",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_frame_sample",
     "multimodal_mulaw_decode",
     "multimodal_audio_spectrum",
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
-    # (2) round-4-green heavy multi-stage plans (two rounds stale).
-    "multimodal_bmp_decode",
     # -- ~50-slot window boundary: everything below was green in r4 or r5
-    # (≤2 rounds stale at r6) and rotates forward in r7; bm25_top10,
-    # corpus_pack_sequences, dedup_exact_survivors and similar_pairs_top15
-    # are unchanged r4-green code aged one extra round to make room for
-    # the round-6 entries (dedup_embedding_neardup, dedup_exact_groups
-    # likewise, corpus_line_dedup, dedup_duplicate_clusters and
-    # dedup_ngram_jaccard_top20, multimodal_avi_frame_sample and
-    # multimodal_wav_decode — the latter's decode paths are freshly
-    # re-greened via the round-6 mulaw/spectrum entries anyway).
+    # (≤2 rounds stale at r6) and rotates forward in r7. The r4-green
+    # entries just below the line (bmp/wav/avi decode, the exact/fuzzy
+    # dedup block, bm25, packing, similar-pairs) are unchanged code aged
+    # one extra round to make room for the 22 new round-6 entries — and
+    # their code paths are freshly exercised by the round-6 media/dedup
+    # entries anyway.
+    "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_avi_frame_sample",
     "dedup_ngram_jaccard_top20",

@@ -2190,3 +2190,38 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema="media_id long, width int, height int, channels int, pixel_sum long",
     )
+
+
+@query(
+    "corpus_sample_per_group",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, count(*) AS n, min(doc_id) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rk <= 25 GROUP BY source ORDER BY source
+    """,
+)
+def corpus_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-group sampling (round 6): 25 docs per source by
+    # md5 order — the balanced-subset construction an eval-set builder
+    # needs, byte-identical across runs/engines/retries. Aggregating the
+    # sampled ids (count/min/sum) makes any rank or hash-order drift flip
+    # the hash. plan: one shuffle; WindowGroupLimit cuts to ~n rows per
+    # group inside the sort.
+    docs = load(spark, sf_dir, "documents")
+    sampled = text_ops.sample_per_group(docs, "source", "doc_id", 25)
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
