@@ -57,9 +57,11 @@ PRIORITY: list[str] = [
     "filter_between",
     "filter_in",
     "filter_like",
-    "projection_alias",
     "refsql_distinct_order_limit",
     "refsql_where_like_between",
+    # (projection_alias — the thinnest r3 parser shape, pytest-pinned on
+    # every sweep — ages one more round so all 22 new entries fit the
+    # 50-slot window.)
     # (1) new in round 6.
     "refsql_setops_orders",
     "refsql_exists_subquery",
@@ -90,6 +92,7 @@ PRIORITY: list[str] = [
     # one extra round to make room for the 22 new round-6 entries — and
     # their code paths are freshly exercised by the round-6 media/dedup
     # entries anyway.
+    "projection_alias",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_avi_frame_sample",
