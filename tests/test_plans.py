@@ -314,3 +314,31 @@ def test_refsql_exists_plans_semi_and_anti_joins(spark, tmp_path):
     txt = plan_text(df, "simple")
     assert "LeftSemi" in txt, txt
     assert "LeftAnti" in txt, txt
+
+
+def test_refsql_union_all_is_shuffle_free_and_sample_prunes_columns(
+    spark, tmp_path
+):
+    # UNION ALL of two projected scans is a narrow plan — zero shuffles;
+    # and a SAMPLE ... BY scan still prunes to the referenced columns
+    # (the md5-bucket filter must not widen the read schema).
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        read_columns,
+        shuffle_count,
+    )
+
+    e = Engine(spark, str(tmp_path / "plandb"))
+    e.ingest_parquet("/root/testdata/sf0.001/orders.parquet", "orders")
+    u = e.ref_sql(
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100 "
+        "UNION ALL SELECT o_orderkey FROM orders WHERE o_totalprice < 50"
+    )
+    assert shuffle_count(u) == 0
+    s = e.ref_sql(
+        "SELECT o_orderkey FROM orders SAMPLE 20 PERCENT BY o_orderkey"
+    )
+    cols = read_columns(s)
+    assert cols and all(c <= {"o_orderkey"} for c in cols), cols
