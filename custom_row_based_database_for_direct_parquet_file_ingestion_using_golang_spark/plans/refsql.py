@@ -831,7 +831,7 @@ def parse_select(
                         or tk
                         in (
                             "having", "order", "limit", "offset",
-                            "union", "intersect", "except",
+                            "qualify", "union", "intersect", "except",
                         )
                     ):
                         break
@@ -914,6 +914,16 @@ def parse_select(
                     break
                 cur.next()
             clauses["order_by"] = keys
+        elif kw == "qualify":
+            # Round-6: QUALIFY <pred> — the window-result filter (DuckDB/
+            # Snowflake surface): runs AFTER window functions compute, so
+            # ``ROW_NUMBER() OVER (...) AS rn ... QUALIFY rn <= 3`` is
+            # top-k-per-group in one statement.
+            cur.next()
+            qp = ExprParser(cur, weak_typing, resolver)
+            clauses["qualify"] = qp.parse()
+            if qp.subqueries or qp.exists_subqueries:
+                raise ParseError("subqueries are not supported in QUALIFY")
         elif kw == "limit":
             cur.next()
             clauses["limit"] = int(cur.next())
@@ -1000,6 +1010,8 @@ def _window_column(
 
 
 def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
+    if "qualify" in clauses and not spec.windows:
+        raise ParseError("QUALIFY requires a window function in the SELECT")
     grouped_windows = bool(spec.windows) and bool(
         spec.aggregates or clauses.get("group_by")
     )
@@ -1017,6 +1029,8 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         spec.projections = spec.projections + [
             (alias, None) for _, _, alias, _, _, _ in spec.windows
         ]
+        if "qualify" in clauses:
+            df = df.filter(clauses["qualify"])
     q = Query(df)
     if "where" in clauses:
         q.where(clauses["where"])
@@ -1052,6 +1066,8 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         spec.projections = spec.projections + [
             (alias, None) for _, _, alias, _, _, _ in spec.windows
         ]
+        if "qualify" in clauses:
+            df = df.filter(clauses["qualify"])
         q = Query(df)
     if "order_by" in clauses:
         for col, desc, nulls in clauses["order_by"]:

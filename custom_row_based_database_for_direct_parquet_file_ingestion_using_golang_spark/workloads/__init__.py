@@ -18,17 +18,16 @@ from . import timeseries  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a prefix of the
 # registered inventory (~50 entries per round), so the order below rotates
 # each round to keep every row's evidence at most ~two rounds stale (the
-# best achievable at 151 entries / 50 slots). Round-6 curation: (0) the
+# best achievable at 152 entries / 50 slots). Round-6 curation: (0) the
 # round-3-green block deferred past the round-5 boundary — three rounds
-# stale now, the oldest evidence in the registry, so it leads; (1) the 22
+# stale now, the oldest evidence in the registry, so it leads; (1) the 23
 # entries NEW in round 6 (set-op/EXISTS/IS NULL/SAMPLE/scalar-subquery/
 # ROLLUP/window-frame dialect drives, SemDeDup, edit-distance dedup, ORC
-# round-trip, vocabulary/OOV, JPEG/MJPEG/TIFF/WebP/μ-law/FFT media);
-# (2) the r4-green BMP-decode flagship fills the last slot — the rest of
-# the r4 block plus the whole r5-green block age to ≤2 rounds and rotate
-# forward in r7. Every
-# name must exist in QUERIES; ordered_queries() raises otherwise so a
-# rename can't silently drop an entry from the gate window.
+# round-trip, vocabulary/OOV, JPEG/MJPEG/TIFF/WebP/μ-law/FFT media,
+# per-group sampling, QUALIFY). The r4 and r5 green blocks age to ≤2-3
+# rounds below the boundary and lead the r7 window. Every name must
+# exist in QUERIES; ordered_queries() raises otherwise so a rename can't
+# silently drop an entry from the gate window.
 PRIORITY: list[str] = [
     # (0) round-3 evidence deferred at r5 — stalest rows in the registry.
     "range_join_follow_events",
@@ -56,12 +55,11 @@ PRIORITY: list[str] = [
     "agg_group_implicit_count",
     "filter_between",
     "filter_in",
-    "filter_like",
     "refsql_distinct_order_limit",
     "refsql_where_like_between",
-    # (projection_alias — the thinnest r3 parser shape, pytest-pinned on
-    # every sweep — ages one more round so all 22 new entries fit the
-    # 50-slot window.)
+    # (projection_alias and filter_like — the thinnest r3 parser shapes,
+    # pytest-pinned on every sweep — age one more round so all 23 new
+    # entries fit the 50-slot window.)
     # (1) new in round 6.
     "refsql_setops_orders",
     "refsql_exists_subquery",
@@ -71,6 +69,7 @@ PRIORITY: list[str] = [
     "refsql_q3_shipping",
     "refsql_cte_semi_join",
     "refsql_grouped_window_rank",
+    "refsql_qualify_topk",
     "refsql_scalar_subquery",
     "refsql_rollup_orders",
     "refsql_window_frame",
@@ -93,6 +92,7 @@ PRIORITY: list[str] = [
     # their code paths are freshly exercised by the round-6 media/dedup
     # entries anyway.
     "projection_alias",
+    "filter_like",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_avi_frame_sample",

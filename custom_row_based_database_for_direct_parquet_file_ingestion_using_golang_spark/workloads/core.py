@@ -965,3 +965,30 @@ def refsql_grouped_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RANK() OVER (ORDER BY count DESC, o_orderpriority) AS rk "
         "FROM orders GROUP BY o_orderpriority ORDER BY rk",
     )
+
+
+@query(
+    "refsql_qualify_topk",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS INT) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    ORDER BY o_orderstatus, rn
+    """,
+)
+def refsql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QUALIFY through the dialect (round-6): top-2 orders per status in
+    # ONE statement — the window-result filter DuckDB also speaks, so the
+    # oracle is the identical text. Deterministic tie-break on the order
+    # key; Catalyst plans WindowGroupLimit for the rank cut.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders QUALIFY rn <= 2 ORDER BY o_orderstatus, rn",
+    )

@@ -1150,3 +1150,23 @@ def test_join_using_cross_semi_anti(engine, spark):
         "ON students.id = badges.id ORDER BY id"
     ).collect()
     assert [r.id for r in anti] == [2, 4, 5, 6]
+
+
+def test_qualify_window_filter(engine):
+    # Top-1 per course by id — QUALIFY runs after the window computes.
+    out = engine.ref_sql(
+        "SELECT course, id, ROW_NUMBER() OVER (PARTITION BY course "
+        "ORDER BY id DESC) AS rn FROM students QUALIFY rn = 1 "
+        "ORDER BY course"
+    ).collect()
+    assert [(r.course, r.id) for r in out] == [
+        ("AI/ML", 2), ("CS", 4), ("Data Science", 3), ("EE", 5), ("Mech", 6),
+    ]
+    # Composes with grouped windows: keep only the top-ranked group.
+    out = engine.ref_sql(
+        "SELECT course, COUNT(*), RANK() OVER (ORDER BY count DESC) AS rk "
+        "FROM students GROUP BY course QUALIFY rk = 1"
+    ).collect()
+    assert [(r.course, r.rk) for r in out] == [("Mech", 1)]
+    with pytest.raises(ParseError, match="requires a window"):
+        engine.ref_sql("SELECT id FROM students QUALIFY id > 1")
