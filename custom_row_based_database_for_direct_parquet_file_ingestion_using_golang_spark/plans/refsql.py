@@ -64,7 +64,9 @@ Round-6 extensions:
   * ``ROWS BETWEEN <bound> AND <bound>`` frames in OVER clauses for
     aggregate window functions; windows compose with GROUP BY (standard
     evaluation order — the window runs OVER the aggregated frame, so
-    ``RANK() OVER (ORDER BY sum_v DESC)`` ranks groups by their totals).
+    ``RANK() OVER (ORDER BY sum_v DESC)`` ranks groups by their totals);
+    ``QUALIFY <pred>`` filters on window results (top-k-per-group in one
+    statement).
   * Bare numeric literal projections (``SELECT 1``), named by their text.
 """
 
