@@ -1170,3 +1170,30 @@ def test_qualify_window_filter(engine):
     assert [(r.course, r.rk) for r in out] == [("Mech", 1)]
     with pytest.raises(ParseError, match="requires a window"):
         engine.ref_sql("SELECT id FROM students QUALIFY id > 1")
+
+
+def test_repl_runs_round6_statements(engine):
+    # The CLI REPL path (NL-vs-SQL sniff → ref_sql → fixed-width render)
+    # must carry the round-6 dialect: CTEs, set ops, EXISTS, QUALIFY.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.__main__ import (
+        run_statement,
+    )
+
+    out = run_statement(
+        engine,
+        "WITH m AS (SELECT id, course FROM students WHERE course = 'Mech') "
+        "SELECT COUNT(*) AS n FROM m",
+    )
+    assert "2" in out and "n" in out
+    out = run_statement(
+        engine,
+        "SELECT id FROM students WHERE id = 1 "
+        "UNION SELECT id FROM students WHERE id = 6 ORDER BY id",
+    )
+    assert "1" in out and "6" in out
+    out = run_statement(
+        engine,
+        "SELECT course, id, ROW_NUMBER() OVER (PARTITION BY course "
+        "ORDER BY id) AS rn FROM students QUALIFY rn = 1 ORDER BY course",
+    )
+    assert "Mech" in out and "rn" in out
