@@ -544,12 +544,13 @@ def refsql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "refsql_q1_expression_aggregates",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
-             AS sum_disc,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(24,8))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS sum_base,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
+                AS DOUBLE) AS sum_disc,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
            count(*) AS count
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus
@@ -563,7 +564,7 @@ def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFra
     # the results are bit-exact against the oracle with NO rounding: any
     # drift in expression parsing, cast semantics, or aggregation flips
     # the hash at the 8th decimal.
-    return _ref_select(
+    df = _ref_select(
         spark,
         sf_dir,
         "SELECT l_returnflag, l_linestatus, "
@@ -578,6 +579,13 @@ def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFra
         "GROUP BY l_returnflag, l_linestatus "
         "ORDER BY l_returnflag, l_linestatus",
     )
+    # Final outputs are never DECIMAL-typed — the DECIMAL sums stay exact
+    # inside the plan; the delivered columns are cast to DOUBLE here and
+    # identically in the oracle SQL, so a single decimal ULP of drift in
+    # the plan still flips the hash after the (deterministic) final cast.
+    for c in ("sum_qty", "sum_base", "sum_disc", "sum_charge"):
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return df
 
 
 @query(
@@ -714,9 +722,10 @@ def refsql_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "refsql_window_frame",
     """
     SELECT o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS moving_sum
     FROM orders WHERE o_custkey <= 200
     ORDER BY o_orderkey
     """,
@@ -726,7 +735,7 @@ def refsql_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer ordered by the unique order key (deterministic frame
     # contents), DECIMAL-cast so the windowed sum is bit-exact on both
     # engines.
-    return _ref_select(
+    df = _ref_select(
         spark,
         sf_dir,
         "SELECT o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) "
@@ -734,6 +743,9 @@ def refsql_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum "
         "FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey",
     )
+    # Final outputs are never DECIMAL-typed — see the oracle-conventions
+    # rule in workloads/registry.py; the oracle applies the same CAST.
+    return df.withColumn("moving_sum", F.col("moving_sum").cast("double"))
 
 
 @query(
@@ -862,7 +874,7 @@ def refsql_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8)))
-                AS DECIMAL(38,8)) AS revenue,
+                AS DOUBLE) AS revenue,
            min(o_orderdate) AS o_orderdate, min(o_orderpriority) AS priority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
@@ -880,7 +892,7 @@ def refsql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame-native q3_shipping_priority pins the same semantics; this
     # entry pins the PARSER's end-to-end path — join assembly, qualified
     # columns, expression aggregates, multi-key ORDER BY with LIMIT.
-    return _ref_select(
+    df = _ref_select(
         spark,
         sf_dir,
         "SELECT l_orderkey, "
@@ -894,6 +906,10 @@ def refsql_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND l_shipdate > '1995-03-15' "
         "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
     )
+    # Final outputs are never DECIMAL-typed (oracle-conventions rule): the
+    # sum stays DECIMAL inside the plan for exactness; only the delivered
+    # column is re-typed, and the oracle applies the identical final CAST.
+    return df.withColumn("revenue", F.col("revenue").cast("double"))
 
 
 @query(

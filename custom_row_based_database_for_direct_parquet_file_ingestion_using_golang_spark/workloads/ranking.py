@@ -650,7 +650,7 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orc_roundtrip_ingest",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS count,
-           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
              AS sum_qty,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price
@@ -689,7 +689,7 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("count"),
             F.sum(F.col("l_quantity").cast("decimal(20,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),

@@ -7,6 +7,15 @@ before value-hashing); float aggregates are rounded to 2 decimals on both
 sides so sum-order nondeterminism cannot flip the hash. Queries without an
 SQL-expressible oracle register with ``oracle=None`` → the driver records a
 weaker rows-only check.
+
+Final outputs are never DECIMAL-typed: the driver's value hash canonicalizes
+DECIMAL differently on its two sides (DuckDB's pandas materialization renders
+``253942.0`` where Spark's collect keeps ``Decimal('253942.00')``), so even
+cell-for-cell-identical row sets hash-mismatch. Keep DECIMAL *inside* the
+plan for exact sums, but CAST every delivered column to DOUBLE (or round per
+the 2-dp convention) on BOTH the Spark and oracle sides at the final
+projection. ``tests/test_oracle_parity.py`` pins this with a no-decimal
+schema sweep over every registered query.
 """
 
 from __future__ import annotations
