@@ -757,6 +757,8 @@ def semantic_dedup(
     vec_col: str,
     n_clusters: int = 8,
     threshold: float = 0.999,
+    centroids: str = "hash",
+    train_limit: int = 512,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cluster the corpus, then drop rows whose cosine similarity to a
@@ -769,11 +771,15 @@ def semantic_dedup(
 
     Deterministic by construction, so the whole pipeline replays in ANSI
     SQL for the oracle gate:
-      * "centroids" are the ``n_clusters`` rows with the smallest
-        ``md5(id)`` — an engine-independent hash sample (the paper uses
-        k-means; swap in ``similarity._train_centroids`` for quality at
-        scale — the pipeline shape is identical, only the assignment
-        vectors change).
+      * ``centroids="hash"`` (default): centroids are the ``n_clusters``
+        rows with the smallest ``md5(id)`` — an engine-independent hash
+        sample the ANSI oracle can replay exactly.
+        ``centroids="kmeans"``: spherical k-means via
+        ``similarity._train_centroids`` (the paper's setting) — better
+        cluster balance at scale; deterministic for a fixed corpus but
+        not SQL-replayable, so use it outside the oracle gate. The
+        pipeline shape is identical either way, only the assignment
+        vectors change.
       * assignment = argmax of 6-dp-rounded cosine, ties to the lowest
         centroid index (both engines agree on rounded doubles where raw
         last-ulp argmax could flip).
@@ -782,28 +788,48 @@ def semantic_dedup(
         lower-id cluster-mate is similar, dropped or not — exists-join
         semantics, no iteration).
 
-    100 TB posture: centroid pick is a TakeOrdered of k rows; assignment
-    is a zero-shuffle map with the k·dim weights inlined as plan literals
-    (JVM column algebra, no UDF); the pair stage shuffles once on
-    cluster_id, then the quadratic work runs as Arrow-batched BLAS tiles
-    inside each cluster task (column-chunked n×n similarity, O(n·4096)
-    memory) — n_clusters scales with corpus size (the paper's k ≈ n/160)
-    to bound cluster width."""
+    100 TB posture: centroid pick is a TakeOrdered of k rows (hash) or a
+    one-pass hash-sampled k-means (kmeans); assignment is a zero-shuffle
+    map with the k·dim weights inlined as plan literals (JVM column
+    algebra, no UDF); the pair stage shuffles once on cluster_id, then
+    the quadratic work runs as Arrow-batched BLAS tiles inside each
+    cluster task (column-chunked n×n similarity, O(n·4096) memory).
+
+    k-ceiling: plan-literal assignment grows the plan O(k·dim), which
+    caps practical n_clusters at ~10³ (see docs/SCALING.md "SemDeDup
+    k-ceiling") — beyond that, broadcast the centroid matrix and assign
+    in a Pandas-UDF argmax instead; the paper's k ≈ n/160 needs that
+    swap well before 100 TB."""
     from .similarity import cosine
 
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col), as_double.alias("_v"))
-    cent_rows = (
-        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(n_clusters)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["_v"]] for r in cent_rows]
+    if centroids == "kmeans":
+        from .similarity import _train_centroids
+
+        cents = _train_centroids(
+            base,
+            id_col,
+            "_v",
+            train_limit=train_limit,
+            n_centroids=n_clusters,
+            n_iter=8,
+            seed=42,
+        )
+    elif centroids == "hash":
+        cent_rows = (
+            base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h")
+            .limit(n_clusters)
+            .collect()
+        )
+        cents = [[float(x) for x in r["_v"]] for r in cent_rows]
+    else:
+        raise ValueError(f"centroids must be 'hash' or 'kmeans', got {centroids!r}")
     sims = F.array(
         *[
             F.round(cosine(F.col("_v"), F.array(*[F.lit(w) for w in c])), 6)
-            for c in centroids
+            for c in cents
         ]
     )
     assigned = base.select(

@@ -195,6 +195,78 @@ def blocked_all_pairs_topk(
     )
 
 
+def blocked_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs-above-threshold via the same block-matrix tiling as
+    :func:`blocked_all_pairs_topk`: rows hash into ``n_blocks`` blocks, every
+    unordered block pair becomes one tile whose cosine matrix runs in BLAS,
+    and each tile emits ONLY the pairs with similarity ≥ ``threshold``
+    (upper triangle / normalized id order, so every pair surfaces exactly
+    once — no global dedup pass).
+
+    Scale shape: O(n·B) shuffle for the tile replication; the quadratic
+    term lives inside (n/B)² numpy tiles, never as a row-level cross join,
+    and the output is bounded by the true near-duplicate count rather than
+    a top-k cap. At 100 TB raise ``n_blocks`` so tiles fit executor memory
+    (or pre-bucket with RP-LSH and run this per bucket for approximate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    pair_schema = "id_a long, id_b long, score double"
+
+    tagged = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).alias("blk"),
+    )
+    partner = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other")
+    grid = (
+        tagged.select("vid", "vec", "blk", partner)
+        .withColumn("ba", F.least("blk", "other"))
+        .withColumn("bb", F.greatest("blk", "other"))
+        .dropDuplicates(["vid", "ba", "bb"])
+    )
+
+    def tile_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=["id_a", "id_b", "score"]).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        left = pdf[pdf["blk"] == ba]
+        right = pdf[pdf["blk"] == bb]
+        if left.empty or right.empty:
+            return empty
+        la = np.stack(left["vec"].to_numpy())
+        lb = np.stack(right["vec"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        lb = lb / np.linalg.norm(lb, axis=1, keepdims=True)
+        sims = la @ lb.T
+        keep_r, keep_c = np.nonzero(sims >= threshold)
+        if len(keep_r) == 0:
+            return empty
+        rows_a = left["vid"].to_numpy()[keep_r]
+        rows_b = right["vid"].to_numpy()[keep_c]
+        scores = sims[keep_r, keep_c]
+        if ba == bb:
+            # same-block tile: full n×n matrix → keep upper triangle only
+            mask = rows_a < rows_b
+            rows_a, rows_b, scores = rows_a[mask], rows_b[mask], scores[mask]
+        else:
+            # cross-block tile: each pair appears once — normalize id order
+            rows_a, rows_b = np.minimum(rows_a, rows_b), np.maximum(rows_a, rows_b)
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "score": scores})
+
+    return grid.groupBy("ba", "bb").applyInPandas(
+        lambda key, pdf: tile_pairs(pdf), schema=pair_schema
+    )
+
+
 def _kmeans_centroids(
     sample: "list[list[float]]", n_centroids: int, n_iter: int, seed: int
 ) -> "list[list[float]]":

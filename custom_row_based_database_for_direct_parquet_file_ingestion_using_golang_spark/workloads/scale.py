@@ -1389,25 +1389,25 @@ def weak_typing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-cosine near-dup detection: every 10th vector gets a planted
-    # scaled+shifted twin; pairs with cosine ≥ 0.999 are duplicates. Brute
-    # force here (oracle-exact); the corpus-scale path buckets with RP-LSH
-    # first (similarity.lsh_topk) and verifies candidates the same way.
+    # scaled+shifted twin; pairs with cosine ≥ 0.999 are duplicates. Routed
+    # through the blocked exact path (block-matrix BLAS tiles emitting only
+    # above-threshold pairs) — same exact result as a cross join, but the
+    # quadratic term stays inside (n/B)² numpy tiles instead of a row-level
+    # Spark cross join, so the shape survives scale-up. The approximate
+    # corpus-scale alternative buckets with RP-LSH first (similarity
+    # .lsh_topk) and verifies candidates the same way.
     base = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
     mutated = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("v", lambda x: x * 1.001 + 0.0005).alias("v"),
     )
     corpus = base.unionByName(mutated)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = similarity.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.999)
-        .select("id_a", "id_b", F.round(cos, 6).alias("score"))
-        .orderBy("id_a", "id_b")
+    pairs = similarity.blocked_threshold_pairs(
+        corpus, "vec_id", "v", threshold=0.999
     )
+    return pairs.select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -257,6 +257,23 @@ def test_semantic_dedup_drops_planted_twins(spark):
     kept = sorted(r.id for r in out.filter(~out.is_dup).collect())
     assert kept == [0, 20, 30]
 
+    # centroids="kmeans" (the at-scale path — _train_centroids spherical
+    # k-means instead of hash-picked rows): identical survivor set here,
+    # since the drop rule only depends on twins landing in one cluster.
+    out_km = semantic_dedup(
+        df, "id", "v", n_clusters=2, threshold=0.999, centroids="kmeans"
+    )
+    kept_km = sorted(r.id for r in out_km.filter(~out_km.is_dup).collect())
+    assert kept_km == [0, 20, 30]
+    cl_km = {r.id: r.cluster_id for r in out_km.collect()}
+    assert cl_km[0] == cl_km[10] == cl_km[11]
+    assert cl_km[20] == cl_km[21]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(df, "id", "v", centroids="bogus")
+
 
 def test_edit_distance_pairs_blocking_and_exactness(spark):
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (

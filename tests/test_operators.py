@@ -190,6 +190,19 @@ def test_lsh_topk_finds_planted_neighbor(spark):
     assert 1 in ids  # the planted neighbor survives bucketing
 
 
+def test_lsh_topk_fills_k_on_fixture_corpus(spark, sf_dir):
+    """Round-4 regression: lsh_topk once returned 7 of k=10 rows on the
+    fixture embeddings (too many planes → starved candidate set). The
+    auto-sized ``n_planes=None`` path must yield big-enough buckets that a
+    small corpus fills k."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    rows = QUERIES["ann_lsh_top10"](spark, sf_dir).collect()
+    assert len(rows) == 10, f"ann_lsh_top10 returned {len(rows)} of k=10"
+
+
 def test_quantized_topk_matches_brute_force(spark, sf_dir):
     # int8 first pass + float rescore: self-similarity must rank first,
     # and recall@10 vs exact brute force must be near-total — int8 keeps
@@ -479,6 +492,42 @@ def test_blocked_all_pairs_matches_brute_force(spark, sf_dir):
     assert [(r.id_a, r.id_b) for r in brute] == [(r.id_a, r.id_b) for r in blocked]
     for rb, rk in zip(brute, blocked):
         assert rb.score == pytest.approx(rk.score, abs=1e-5)
+
+
+def test_blocked_threshold_pairs_matches_brute_force(spark, sf_dir):
+    """blocked_threshold_pairs must emit EXACTLY the above-threshold pair
+    set a row-level cross join would — every pair once, none missed across
+    tile boundaries (same-block triangle + cross-block id normalization)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Plant twins so the threshold set is non-trivial at every scale.
+    twins = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.002).alias("v"),
+    )
+    corpus = emb.unionByName(twins)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    brute = {
+        (r.id_a, r.id_b): r.score
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.999)
+        .select("id_a", "id_b", cos.alias("score"))
+        .collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.blocked_threshold_pairs(
+            corpus, "vec_id", "v", threshold=0.999, n_blocks=4
+        ).collect()
+    }
+    assert brute.keys() == blocked.keys()
+    assert len(brute) > 0
+    for key in brute:
+        assert brute[key] == pytest.approx(blocked[key], abs=1e-9)
 
 
 def test_frame_sample_plan(spark):
