@@ -60,6 +60,8 @@ PRIORITY: list[str] = [
     "ts_linear_interpolate",
     "ts_ohlc_daily",
     "ann_quantized_top10",
+    # (1b) new in round 7.
+    "bloom_decontaminate_train",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -82,8 +84,11 @@ PRIORITY: list[str] = [
     "agg_global",
     "distinct_values",
     "order_limit_offset",
-    "filter_not_and_or",
     # -- ~50-slot window boundary (50 entries above this line). Below:
+    # (filter_not_and_or displaced to make room for bloom_decontaminate_train
+    # — its NOT/AND/OR path is pytest-pinned and shared with every refsql
+    # predicate entry.)
+    "filter_not_and_or",
     # first the rest of the r4-green block (also three rounds stale — they
     # lead the r8 window; the 50-slot budget simply ran out), then the
     # r6-green entries (1 round stale at r7), then everything unlisted in

@@ -309,6 +309,78 @@ def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "bloom_decontaminate_train",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_NORM} AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, is_eval, {_SQL_5GRAMS} AS grams FROM d),
+    g AS (SELECT doc_id, is_eval, unnest(list_distinct(grams)) AS gram FROM sh),
+    h AS (
+      SELECT doc_id, is_eval, gram,
+             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+               % 16384 AS h1,
+             CAST(concat('0x', substr(md5(gram), 16, 15)) AS BIGINT)
+               % 16384 AS h2
+      FROM g
+    ),
+    hp AS (
+      SELECT doc_id, is_eval, gram, i, (h1 + i * h2) % 16384 AS pos
+      FROM h, (SELECT unnest(range(3)) AS i)
+    ),
+    bits AS (SELECT DISTINCT pos FROM hp WHERE is_eval),
+    probe AS (
+      SELECT hp.doc_id, hp.gram,
+             bool_and(bits.pos IS NOT NULL) AS hit
+      FROM hp LEFT JOIN bits ON hp.pos = bits.pos
+      WHERE NOT hp.is_eval
+      GROUP BY hp.doc_id, hp.gram
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_grams,
+           CAST(count(*) FILTER (WHERE hit) AS INT) AS n_hits,
+           count(*) FILTER (WHERE hit) > 0 AS contaminated
+    FROM probe GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bloom_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (round-7): build a bloom over the eval
+    split's distinct 5-grams (same deterministic md5 split as the
+    contamination audit), then flag every train document whose gram set
+    hits the filter — WITHOUT a gram join against the corpus. The probe is
+    broadcast column algebra inside the train scan (the packed bitset is a
+    plan-literal long array; the k bit tests run per-gram INSIDE the gram
+    array — no explode, no shuffle), which is the shape that survives a
+    100 TB train side: the corpus row count never multiplies and nothing
+    shuffles on gram keys.
+
+    The oracle replays the ENTIRE bloom construction in SQL — identical
+    md5-derived double hashing, identical bitset, identical false
+    positives — so this is a value-exact check of the filter itself, not a
+    statistical sanity test."""
+    from ..operators import membership
+    from ..operators.text import norm_tokens, shingles_from_tokens
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    gramed = docs.select(
+        "doc_id",
+        (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
+        shingles_from_tokens(norm_tokens("text"), 5).alias("grams"),
+    )
+    eval_grams = gramed.filter(F.col("is_eval")).select(
+        F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    bloom = membership.bloom_build(eval_grams, "gram", m_bits=16384, k=3)
+    train = gramed.filter(~F.col("is_eval"))
+    return membership.bloom_gram_audit(
+        train, "doc_id", "grams", bloom
+    ).orderBy("doc_id")
+
+
 def _sql_pii() -> str:
     from ..operators.text import PII_PATTERNS
 

@@ -1,0 +1,88 @@
+"""Bloom-filter membership operator (operators/membership.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    membership,
+)
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+    plan_text,
+    shuffle_count,
+)
+
+
+def _py_positions(key: str, m_bits: int, k: int) -> list[int]:
+    h = hashlib.md5(key.encode()).hexdigest()
+    h1 = int(h[0:15], 16) % m_bits
+    h2 = int(h[15:30], 16) % m_bits
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def test_bloom_positions_match_reference_hash(spark):
+    keys = ["", "a", "key1", "the quick brown fox", "αβγ"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r.k: list(r.p)
+        for r in df.select(
+            "k", membership.bloom_positions(F.col("k"), 1 << 14, 4).alias("p")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == _py_positions(k, 1 << 14, 4), k
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(1000)], ["k"])
+    bf = membership.bloom_build(keys, "k", m_bits=1 << 14, k=4)
+    assert 0 < bf.n_set_bits <= 4000
+    misses = (
+        keys.select(membership.bloom_contains(F.col("k"), bf).alias("hit"))
+        .filter(~F.col("hit"))
+        .count()
+    )
+    assert misses == 0  # bloom filters never have false negatives
+    absent = spark.createDataFrame([(f"other{i}",) for i in range(2000)], ["k"])
+    fp = (
+        absent.select(membership.bloom_contains(F.col("k"), bf).alias("hit"))
+        .filter("hit")
+        .count()
+    )
+    # theoretical fp ≈ (1 - e^{-kn/m})^4 ≈ 0.2% here; allow generous slack
+    assert fp / 2000 < 0.02
+
+
+def test_bloom_probe_is_shuffle_free_and_udf_free(spark):
+    keys = spark.createDataFrame([(f"key{i}",) for i in range(100)], ["k"])
+    bf = membership.bloom_build(keys, "k", m_bits=1 << 10, k=3)
+    probe = spark.range(1000).select(
+        membership.bloom_contains(F.concat(F.lit("x"), F.col("id")), bf).alias("hit")
+    )
+    assert shuffle_count(probe) == 0
+    txt = plan_text(probe)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_bloom_gram_audit_counts(spark):
+    keys = spark.createDataFrame([("alpha",), ("beta",)], ["k"])
+    bf = membership.bloom_build(keys, "k", m_bits=1 << 12, k=3)
+    docs = spark.createDataFrame(
+        [(1, ["alpha", "beta", "zzz", "alpha"]), (2, ["qqq"])],
+        ["id", "grams"],
+    )
+    rows = {
+        r.id: r
+        for r in membership.bloom_gram_audit(docs, "id", "grams", bf).collect()
+    }
+    # duplicates collapse (array_distinct) before counting
+    assert rows[1].n_grams == 3 and rows[1].n_hits == 2 and rows[1].contaminated
+    assert rows[2].n_grams == 1 and rows[2].n_hits == 0 and not rows[2].contaminated
+
+
+def test_bloom_build_rejects_bad_m():
+    with pytest.raises(ValueError, match="multiple of 64"):
+        membership.bloom_build(None, "k", m_bits=100)
