@@ -369,3 +369,79 @@ def sample_per_group(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def hash_bucket(tok: Column, n_buckets: int) -> Column:
+    """Engine-portable feature-hash bucket: 60 bits of md5 hex mod
+    ``n_buckets`` (DuckDB replays with a '0x' string cast — same contract
+    as operators/membership.py). The hashing trick bounds the model at
+    ``n_buckets`` weights no matter the vocabulary size."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def nb_train_token_logodds(
+    df: "DataFrame",
+    toks_col: str,
+    label_col: str,
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+) -> list[float]:
+    """Train a hashed naive-Bayes token model (the fastText-style linear
+    classifier shape real pipelines use for quality/language filters):
+    per-bucket log-odds ``ln P(bucket|pos) - ln P(bucket|neg)`` with
+    Laplace smoothing, over a boolean label column.
+
+    One distributed pass: explode tokens → hash-bucket → grouped
+    conditional counts. The shuffle carries at most ``n_buckets`` rows
+    (map-side partial agg), and the collect is the model itself —
+    ``n_buckets`` ints per class — so training is corpus-size-independent
+    on the driver. Returns ``weights[bucket]`` as plain Python floats.
+    """
+    counts = (
+        df.select(
+            F.col(label_col).alias("_lbl"),
+            F.explode(F.col(toks_col)).alias("_tok"),
+        )
+        .select("_lbl", hash_bucket(F.col("_tok"), n_buckets).alias("_b"))
+        .groupBy("_b")
+        .agg(
+            F.count(F.when(F.col("_lbl"), 1)).alias("c_pos"),
+            F.count(F.when(~F.col("_lbl"), 1)).alias("c_neg"),
+        )
+        .collect()
+    )
+    import math
+
+    c_pos = [0] * n_buckets
+    c_neg = [0] * n_buckets
+    for r in counts:
+        c_pos[r._b] = r.c_pos
+        c_neg[r._b] = r.c_neg
+    n_pos, n_neg = sum(c_pos), sum(c_neg)
+    denom_pos = n_pos + alpha * n_buckets
+    denom_neg = n_neg + alpha * n_buckets
+    return [
+        math.log((c_pos[b] + alpha) / denom_pos)
+        - math.log((c_neg[b] + alpha) / denom_neg)
+        for b in range(n_buckets)
+    ]
+
+
+def nb_score_tokens(toks: Column, weights: list[float]) -> Column:
+    """Mean token log-odds under a trained hashed-NB model — the weights
+    ship as ONE plan-literal double array and the score runs INSIDE the
+    token array (transform + aggregate): zero shuffle, zero UDF, scan-stage
+    scoring on a 100 TB corpus. Positive means the positive class."""
+    n_buckets = len(weights)
+    w = F.lit(weights)
+    total = F.aggregate(
+        F.transform(
+            toks, lambda t: F.element_at(w, hash_bucket(t, n_buckets).cast("int") + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(toks)

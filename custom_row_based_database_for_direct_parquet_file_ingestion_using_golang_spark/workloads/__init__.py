@@ -62,6 +62,7 @@ PRIORITY: list[str] = [
     "ann_quantized_top10",
     # (1b) new in round 7.
     "bloom_decontaminate_train",
+    "classifier_hashed_nb_langid",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -83,11 +84,11 @@ PRIORITY: list[str] = [
     "agg_group_having",
     "agg_global",
     "distinct_values",
-    "order_limit_offset",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (filter_not_and_or displaced to make room for bloom_decontaminate_train
-    # — its NOT/AND/OR path is pytest-pinned and shared with every refsql
-    # predicate entry.)
+    # (order_limit_offset and filter_not_and_or displaced to make room for
+    # the two round-7 entries — both are thin pytest-pinned shapes whose
+    # code paths every refsql entry shares.)
+    "order_limit_offset",
     "filter_not_and_or",
     # first the rest of the r4-green block (also three rounds stale — they
     # lead the r8 window; the 50-slot budget simply ran out), then the

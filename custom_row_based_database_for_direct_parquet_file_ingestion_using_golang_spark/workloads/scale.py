@@ -1680,6 +1680,77 @@ def text_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.char_lm_cross_entropy(docs).orderBy("doc_id")
 
 
+@query(
+    "classifier_hashed_nb_langid",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_NORM} AS toks, lang = 'en' AS lbl
+      FROM documents
+    ),
+    e AS (SELECT doc_id, lbl, unnest(toks) AS tok FROM d),
+    bk AS (
+      SELECT doc_id, lbl,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 512 AS bkt
+      FROM e
+    ),
+    cnt AS (
+      SELECT bkt, count(*) FILTER (WHERE lbl) AS c_pos,
+             count(*) FILTER (WHERE NOT lbl) AS c_neg
+      FROM bk GROUP BY bkt
+    ),
+    allb AS (SELECT unnest(range(512)) AS bkt),
+    fullb AS (
+      SELECT allb.bkt, coalesce(c_pos, 0) AS c_pos, coalesce(c_neg, 0) AS c_neg
+      FROM allb LEFT JOIN cnt ON allb.bkt = cnt.bkt
+    ),
+    tot AS (SELECT sum(c_pos) AS np, sum(c_neg) AS nn FROM fullb),
+    w AS (
+      SELECT bkt, ln((c_pos + 0.5) / (np + 0.5 * 512))
+                - ln((c_neg + 0.5) / (nn + 0.5 * 512)) AS w
+      FROM fullb, tot
+    )
+    SELECT bk.doc_id, CAST(count(*) AS INT) AS n_tokens,
+           round(avg(w.w), 4) + 0.0 AS score,
+           round(avg(w.w), 4) > 0 AS pred_en
+    FROM bk JOIN w ON bk.bkt = w.bkt
+    GROUP BY bk.doc_id ORDER BY doc_id
+    """,
+)
+def classifier_hashed_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier (round-7) — the fastText-style shape real
+    pipelines use for quality/language filtering: train per-bucket naive-
+    Bayes token log-odds against the corpus's own labels (here lang='en'),
+    then score every document as its mean token log-odds.
+
+    Scale shape: training is ONE pass whose shuffle carries at most
+    n_buckets rows (hashing trick bounds the model regardless of
+    vocabulary); the trained weights ship back as a single plan-literal
+    double array, and scoring runs INSIDE each doc's token array
+    (transform + aggregate — zero shuffle, zero UDF, scan-stage cost).
+    The oracle replays training AND scoring in SQL — identical md5
+    bucketing, identical smoothed counts — so the model itself is
+    value-checked, not just the pipeline plumbing (ln/avg ULP noise is
+    absorbed by the 4-dp convention, as in text_char_lm_quality)."""
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        text_ops.norm_tokens("text").alias("toks"),
+        (F.col("lang") == "en").alias("lbl"),
+    )
+    weights = text_ops.nb_train_token_logodds(toked, "toks", "lbl", n_buckets=512)
+    score = text_ops.nb_score_tokens(F.col("toks"), weights)
+    return toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        # + 0.0 normalizes IEEE negative zero (a ~-1e-16 mean rounds to
+        # -0.0 in DuckDB but +0.0 here; -0.0 + 0.0 = +0.0 in both).
+        (F.round(score, 4) + F.lit(0.0)).alias("score"),
+        (F.round(score, 4) > 0).alias("pred_en"),
+    ).orderBy("doc_id")
+
+
 # --- deterministic sampling / dataset splits -------------------------------
 #
 # Training pipelines need REPRODUCIBLE sampling: rand()-based sampling gives

@@ -86,3 +86,40 @@ def test_bloom_gram_audit_counts(spark):
 def test_bloom_build_rejects_bad_m():
     with pytest.raises(ValueError, match="multiple of 64"):
         membership.bloom_build(None, "k", m_bits=100)
+
+
+# --- hashed-NB classifier (operators/text.py round-7) ----------------------
+
+
+def test_nb_classifier_separates_planted_labels(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+
+    pos_doc = ["apple", "banana", "cherry"]
+    neg_doc = ["xray", "yankee", "zulu"]
+    rows = [(i, pos_doc, True) for i in range(20)] + [
+        (i + 100, neg_doc, False) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, toks ARRAY<STRING>, lbl BOOLEAN")
+    w = text_ops.nb_train_token_logodds(df, "toks", "lbl", n_buckets=64)
+    assert len(w) == 64
+    scored = df.select(
+        "id", "lbl", text_ops.nb_score_tokens(F.col("toks"), w).alias("s")
+    ).collect()
+    for r in scored:
+        assert (r.s > 0) == r.lbl, (r.id, r.s)
+
+
+def test_nb_scoring_is_shuffle_free(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+
+    w = [0.1] * 64
+    probe = spark.range(100).select(
+        F.array(F.lit("a"), F.lit("b")).alias("toks")
+    ).select(text_ops.nb_score_tokens(F.col("toks"), w).alias("s"))
+    assert shuffle_count(probe) == 0
+    txt = plan_text(probe)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
