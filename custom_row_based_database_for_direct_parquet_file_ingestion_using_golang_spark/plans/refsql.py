@@ -68,6 +68,13 @@ Round-6 extensions:
     ``QUALIFY <pred>`` filters on window results (top-k-per-group in one
     statement).
   * Bare numeric literal projections (``SELECT 1``), named by their text.
+
+Round-7 extensions:
+  * ``MERGE INTO t USING s [AS a] ON t.k = a.k [AND ...]`` with
+    ``WHEN MATCHED [AND <pred>] THEN UPDATE SET * | DELETE`` and
+    ``WHEN NOT MATCHED THEN INSERT *`` — the Delta-style CDC verb over
+    copy-on-write storage (anti-join + union plan, staged atomic swap,
+    snapshot-retiring); source may be a table or ``(SELECT ...) AS a``.
 """
 
 from __future__ import annotations
@@ -1360,6 +1367,8 @@ class RefSQL:
             return self._update(cur)
         if verb == "delete":
             return self._delete(cur)
+        if verb == "merge":
+            return self._merge(cur)
         if verb == "create":
             return self._create(cur)
         if verb == "drop":
@@ -1667,6 +1676,188 @@ class RefSQL:
         if dp.subqueries:
             raise ParseError("IN (SELECT ...) is not supported in DELETE")
         return self.engine.delete(table, where)
+
+    def _merge(self, cur: _Cursor) -> int:
+        """Dialect extension (round-7): ``MERGE INTO t USING s [AS a] ON
+        t.k = a.k [AND ...] [WHEN MATCHED [AND <pred>] THEN UPDATE SET * |
+        WHEN MATCHED [AND <pred>] THEN DELETE] [WHEN NOT MATCHED THEN
+        INSERT *]`` — the Delta-style CDC verb over copy-on-write storage.
+
+        The source is a catalog table or a parenthesized SELECT; ON must be
+        a conjunction of qualified equi-conditions (one side target, one
+        side source). ``UPDATE SET *`` replaces every key-matching target
+        row with its source row (SCD1 — the source must expose all target
+        columns); the optional ``AND <pred>`` filters which SOURCE rows
+        participate (unqualified source column references). Executes as one
+        anti-join + union plan (operators/maintenance.py shape) into a
+        staged overwrite + atomic swap, so a failed merge leaves the old
+        snapshot intact and VERSION AS OF can read the pre-merge table.
+        Returns affected rows: matched source rows updated + target rows
+        deleted + source rows inserted. At scale the small CDC changeset
+        broadcasts (AQE) and the one shuffle is the target anti-join."""
+        from pyspark.sql import Observation
+
+        cur.expect_kw("merge")
+        cur.expect_kw("into")
+        target = _unquote(cur.next())
+        tgt_alias = target
+        if cur.peek_kw() == "as":
+            cur.next()
+            tgt_alias = _unquote(cur.next())
+        cur.expect_kw("using")
+        if cur.peek() == "(":
+            cur.next()
+            src = self._select_df(cur)
+            if cur.next() != ")":
+                raise ParseError("expected ')' to close the MERGE source")
+            if cur.peek_kw() == "as":
+                cur.next()
+            src_alias = _unquote(cur.next())
+        else:
+            src_name = _unquote(cur.next())
+            src = self._table_df(src_name)
+            src_alias = src_name
+            if cur.peek_kw() == "as":
+                cur.next()
+                src_alias = _unquote(cur.next())
+        cur.expect_kw("on")
+
+        def _qualified(tok: str) -> tuple[str, str]:
+            if "." not in tok:
+                raise ParseError(
+                    f"MERGE ON requires qualified columns, got {tok!r}"
+                )
+            q, c = tok.split(".", 1)
+            return _unquote(q), _unquote(c)
+
+        pairs: list[tuple[str, str]] = []  # (target_col, source_col)
+        while True:
+            lq, lc = _qualified(cur.next())
+            if cur.next() != "=":
+                raise ParseError("MERGE ON supports only equi-conditions")
+            rq, rc = _qualified(cur.next())
+            sides = {lq: lc, rq: rc}
+            if set(sides) != {tgt_alias, src_alias}:
+                raise ParseError(
+                    f"each ON conjunct must pair {tgt_alias!r} with "
+                    f"{src_alias!r}, got {lq!r} = {rq!r}"
+                )
+            pairs.append((sides[tgt_alias], sides[src_alias]))
+            if cur.peek_kw() == "and":
+                cur.next()
+                continue
+            break
+
+        upd_pred = del_pred = None
+        has_update = has_delete = has_insert = False
+        while cur.peek_kw() == "when":
+            cur.next()
+            if cur.peek_kw() == "matched":
+                cur.next()
+                pred = None
+                if cur.peek_kw() == "and":
+                    cur.next()
+                    pp = ExprParser(cur, self.weak, self._scalar)
+                    pred = pp.parse()
+                    if pp.subqueries:
+                        raise ParseError(
+                            "subqueries are not supported in MERGE WHEN AND"
+                        )
+                cur.expect_kw("then")
+                if cur.peek_kw() == "update":
+                    if has_update or has_delete:
+                        raise ParseError("at most one WHEN MATCHED clause")
+                    cur.next()
+                    cur.expect_kw("set")
+                    if cur.next() != "*":
+                        raise ParseError("MERGE supports UPDATE SET * only")
+                    has_update, upd_pred = True, pred
+                elif cur.peek_kw() == "delete":
+                    if has_update or has_delete:
+                        raise ParseError("at most one WHEN MATCHED clause")
+                    cur.next()
+                    has_delete, del_pred = True, pred
+                else:
+                    raise ParseError("expected UPDATE or DELETE after THEN")
+            elif cur.peek_kw() == "not":
+                cur.next()
+                cur.expect_kw("matched")
+                cur.expect_kw("then")
+                cur.expect_kw("insert")
+                if cur.next() != "*":
+                    raise ParseError("MERGE supports INSERT * only")
+                has_insert = True
+            else:
+                raise ParseError("expected MATCHED or NOT MATCHED")
+        if not (has_update or has_delete or has_insert):
+            raise ParseError("MERGE needs at least one WHEN clause")
+        if not cur.done():
+            raise ParseError(f"unexpected token {cur.peek()!r} after MERGE")
+
+        meta = self.engine.catalog.get(target)
+        tgt = self.engine.table(target)
+        tcols = tgt.columns
+        if has_update or has_insert:
+            missing = [c for c in tcols if c not in src.columns]
+            if missing:
+                raise ParseError(
+                    f"MERGE source is missing target column(s) {missing} "
+                    "(UPDATE SET * / INSERT * need the full row)"
+                )
+        t, s = tgt.alias("__mt"), src.alias("__ms")
+        on = None
+        for tc, sc in pairs:
+            eq = F.col(f"__mt.{tc}") == F.col(f"__ms.{sc}")
+            on = eq if on is None else (on & eq)
+
+        # Matched source rows that act (UPDATE's optional AND filters the
+        # source side BEFORE matching — a filtered-out source row leaves its
+        # target row untouched).
+        upd_src = src.filter(upd_pred) if upd_pred is not None else src
+        del_src = src.filter(del_pred) if del_pred is not None else src
+        # At most one WHEN MATCHED clause (enforced above): the acting
+        # source rows — whose keys knock matching target rows out — are
+        # either the update set or the delete set.
+        acting = upd_src if has_update else (del_src if has_delete else None)
+
+        kept = tgt
+        n_del = 0
+        if acting is not None:
+            a = acting.alias("__ms")
+            key_cond = None
+            for tc, sc in pairs:
+                eq = F.col(f"__mt.{tc}") == F.col(f"__ms.{sc}")
+                key_cond = eq if key_cond is None else (key_cond & eq)
+            if has_delete:
+                # Deleted target rows leave no trace in the written result,
+                # so they can't ride the write-pass Observation — one
+                # explicit (semi-join) count job, before the swap.
+                n_del = t.join(a, key_cond, "left_semi").count()
+            kept = t.join(a, key_cond, "left_anti").select(tcols)
+
+        parts = [kept.withColumn("__tag", F.lit(None).cast("string"))]
+        if has_update:
+            matched = (
+                upd_src.alias("__ms").join(t, on, "left_semi").select(tcols)
+            )
+            parts.append(matched.withColumn("__tag", F.lit("u")))
+        if has_insert:
+            fresh = src.alias("__ms").join(t, on, "left_anti").select(tcols)
+            parts.append(fresh.withColumn("__tag", F.lit("i")))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        obs = Observation()
+        result = result.observe(
+            obs,
+            F.sum(F.when(F.col("__tag") == "u", 1).otherwise(0)).alias("u"),
+            F.sum(F.when(F.col("__tag") == "i", 1).otherwise(0)).alias("i"),
+        )
+        self.engine.store.overwrite(
+            target, result.drop("__tag"), meta.partition_by
+        )
+        got = obs.get
+        return int((got["u"] or 0) + (got["i"] or 0) + n_del)
 
     def _create(self, cur: _Cursor):
         cur.expect_kw("create")

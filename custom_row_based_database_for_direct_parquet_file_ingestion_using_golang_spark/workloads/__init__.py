@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     # (1b) new in round 7.
     "bloom_decontaminate_train",
     "classifier_hashed_nb_langid",
+    "refsql_merge_upsert",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -83,11 +84,11 @@ PRIORITY: list[str] = [
     "weak_typing_filter",
     "agg_group_having",
     "agg_global",
-    "distinct_values",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (order_limit_offset and filter_not_and_or displaced to make room for
-    # the two round-7 entries — both are thin pytest-pinned shapes whose
-    # code paths every refsql entry shares.)
+    # (distinct_values, order_limit_offset and filter_not_and_or displaced
+    # to make room for the three round-7 entries — all thin pytest-pinned
+    # shapes whose code paths every refsql entry shares.)
+    "distinct_values",
     "order_limit_offset",
     "filter_not_and_or",
     # first the rest of the r4-green block (also three rounds stale — they

@@ -272,6 +272,89 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_merge_upsert",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM base WHERE o_orderkey % 7 = 0),
+    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice + 0.25 AS o_totalprice
+            FROM base WHERE o_orderkey % 13 = 0),
+    del AS (SELECT o_orderkey FROM base
+            WHERE o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0),
+    srckeys AS (SELECT o_orderkey FROM upd
+                UNION ALL SELECT o_orderkey FROM ins
+                UNION ALL SELECT o_orderkey FROM del),
+    kept AS (SELECT * FROM base
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM srckeys)),
+    merged AS (SELECT * FROM kept
+               UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def refsql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO through the DIALECT (round-7): the same CDC batch as
+    # merge_upsert_orders, but every step is a SQL statement against
+    # copy-on-write engine storage — CTAS builds the changeset tables
+    # (set-op + expression projections through the parser), one MERGE
+    # upserts (UPDATE SET * + INSERT *), a second MERGE deletes from a
+    # key-only source, and the final aggregate reads the POST-MERGE table
+    # through the dialect. The oracle replays the whole batch relationally
+    # over the raw parquet — a wrong anti-join, a dropped WHEN clause, or
+    # a row lost in the staged-overwrite swap flips the hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_merge_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_raw")
+    e.ref_sql(
+        "CREATE TABLE mo AS SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders_raw"
+    )
+    e.ref_sql(
+        "CREATE TABLE chg AS "
+        "SELECT o_orderkey, 'U' AS o_orderstatus, "
+        "o_totalprice + 1000.0 AS o_totalprice "
+        "FROM mo WHERE o_orderkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, "
+        "o_totalprice + 0.25 AS o_totalprice "
+        "FROM mo WHERE o_orderkey % 13 = 0"
+    )
+    e.ref_sql(
+        "CREATE TABLE dl AS SELECT o_orderkey FROM mo "
+        "WHERE o_orderkey % 31 = 0 AND o_orderkey % 7 <> 0"
+    )
+    e.ref_sql(
+        "MERGE INTO mo USING chg ON mo.o_orderkey = chg.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    e.ref_sql(
+        "MERGE INTO mo USING dl ON mo.o_orderkey = dl.o_orderkey "
+        "WHEN MATCHED THEN DELETE"
+    )
+    return e.ref_sql(
+        "WITH a AS (SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS t FROM mo GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, n, ROUND(t, 2) AS total FROM a "
+        "ORDER BY o_orderstatus"
+    )
+
+
+@query(
     "zorder_optimized_scan",
     """
     SELECT event_id, user_id, event_type FROM events

@@ -1197,3 +1197,162 @@ def test_repl_runs_round6_statements(engine):
         "ORDER BY id) AS rn FROM students QUALIFY rn = 1 ORDER BY course",
     )
     assert "Mech" in out and "rn" in out
+
+
+# -- MERGE INTO (round-7 dialect extension) ---------------------------------
+
+
+@pytest.fixture()
+def merge_engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "mdb"))
+    e.create_table("acct", [("id", "INT"), ("name", "TEXT"), ("bal", "FLOAT")])
+    e.insert_rows(
+        "acct",
+        [
+            {"id": 1, "name": "a", "bal": 10.0},
+            {"id": 2, "name": "b", "bal": 20.0},
+            {"id": 3, "name": "c", "bal": 30.0},
+        ],
+    )
+    e.create_table("chg", [("id", "INT"), ("name", "TEXT"), ("bal", "FLOAT")])
+    e.insert_rows(
+        "chg",
+        [
+            {"id": 2, "name": "b2", "bal": 25.0},
+            {"id": 4, "name": "d", "bal": 40.0},
+        ],
+    )
+    return e
+
+
+def test_merge_upsert_update_and_insert(merge_engine):
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert n == 2  # one update + one insert
+    rows = {
+        r.id: (r.name, r.bal)
+        for r in merge_engine.ref_sql("SELECT * FROM acct").collect()
+    }
+    assert rows == {
+        1: ("a", 10.0),
+        2: ("b2", 25.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+
+
+def test_merge_update_only_leaves_unmatched_source_alone(merge_engine):
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert n == 1
+    ids = sorted(
+        r.id for r in merge_engine.ref_sql("SELECT id FROM acct").collect()
+    )
+    assert ids == [1, 2, 3]  # id 4 NOT inserted without the insert clause
+
+
+def test_merge_matched_and_predicate_filters_source(merge_engine):
+    # Only source rows passing the AND act; chg id=2 has bal 25 < 30.
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED AND bal >= 30 THEN UPDATE SET *"
+    )
+    assert n == 0
+    rows = {
+        r.id: r.name
+        for r in merge_engine.ref_sql("SELECT id, name FROM acct").collect()
+    }
+    assert rows[2] == "b"  # untouched
+
+
+def test_merge_delete_clause(merge_engine):
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg AS c ON acct.id = c.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 1
+    ids = sorted(
+        r.id for r in merge_engine.ref_sql("SELECT id FROM acct").collect()
+    )
+    assert ids == [1, 3]
+
+
+def test_merge_subquery_source(merge_engine):
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING (SELECT id, name, bal FROM chg WHERE id = 4) "
+        "AS s ON acct.id = s.id WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert n == 1
+    assert (
+        merge_engine.ref_sql("SELECT count FROM acct") is not None
+    )  # table still queryable
+    ids = sorted(
+        r.id for r in merge_engine.ref_sql("SELECT id FROM acct").collect()
+    )
+    assert ids == [1, 2, 3, 4]
+
+
+def test_merge_preserves_snapshot_for_time_travel(spark, tmp_path):
+    merge_engine = Engine(spark, str(tmp_path / "mtt"), keep_snapshots=3)
+    merge_engine.create_table(
+        "acct", [("id", "INT"), ("name", "TEXT"), ("bal", "FLOAT")]
+    )
+    merge_engine.insert_rows(
+        "acct",
+        [
+            {"id": 1, "name": "a", "bal": 10.0},
+            {"id": 2, "name": "b", "bal": 20.0},
+            {"id": 3, "name": "c", "bal": 30.0},
+        ],
+    )
+    merge_engine.create_table(
+        "chg", [("id", "INT"), ("name", "TEXT"), ("bal", "FLOAT")]
+    )
+    merge_engine.insert_rows("chg", [{"id": 2, "name": "b2", "bal": 25.0}])
+    merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    old = merge_engine.ref_sql("SELECT id, name FROM acct VERSION AS OF 0")
+    assert {r.name for r in old.collect()} == {"a", "b", "c"}  # pre-merge
+
+
+def test_merge_parse_errors(merge_engine):
+    with pytest.raises(ParseError, match="qualified"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON id = id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ParseError, match="at least one WHEN"):
+        merge_engine.ref_sql("MERGE INTO acct USING chg ON acct.id = chg.id")
+    with pytest.raises(ParseError, match="at most one WHEN MATCHED"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ParseError, match="UPDATE SET \\*"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN MATCHED THEN UPDATE SET bal = 1"
+        )
+
+
+def test_merge_missing_source_column_rejected(merge_engine, spark):
+    merge_engine.create_table("thin", [("id", "INT")])
+    merge_engine.insert_rows("thin", [{"id": 2}])
+    with pytest.raises(ParseError, match="missing target column"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING thin ON acct.id = thin.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    # DELETE needs only the key — thin source is fine there.
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING thin ON acct.id = thin.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 1
