@@ -75,6 +75,8 @@ Round-7 extensions:
     ``WHEN NOT MATCHED THEN INSERT *`` — the Delta-style CDC verb over
     copy-on-write storage (anti-join + union plan, staged atomic swap,
     snapshot-retiring); source may be a table or ``(SELECT ...) AS a``.
+  * ``GROUP BY ALL`` (group on every non-aggregate SELECT item) and
+    integer ordinals in GROUP BY / ORDER BY indexing the output columns.
 """
 
 from __future__ import annotations
@@ -818,6 +820,13 @@ def parse_select(
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
+            # Round-7 extension: GROUP BY ALL — group on every
+            # non-aggregate SELECT item (the DuckDB ergonomic; resolved
+            # against the projection list in build_select).
+            if cur.peek_kw() == "all":
+                cur.next()
+                clauses["group_by"] = ["__ALL__"]
+                continue
             # Round-6 extension: GROUP BY ROLLUP(a, b) / CUBE(a, b) —
             # grouping-set aggregation in one Expand pass (Query mode).
             if cur.peek_kw() in ("rollup", "cube") and cur.peek(1) == "(":
@@ -1021,6 +1030,57 @@ def _window_column(
 def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     if "qualify" in clauses and not spec.windows:
         raise ParseError("QUALIFY requires a window function in the SELECT")
+    # Round-7 ergonomics, resolved against the ORIGINAL spec lists (before
+    # window aliases are appended to the projections below):
+    #   * GROUP BY ALL → every non-aggregate SELECT item becomes a key.
+    #   * Integer ordinals in GROUP BY / ORDER BY index the OUTPUT columns
+    #     (projections as written, then aggregates, then window aliases —
+    #     the dialect's output order). A GROUP BY ordinal must land on a
+    #     projection; ORDER BY ordinals may name any output column.
+    if clauses.get("group_by") == ["__ALL__"]:
+        if not spec.projections:
+            raise ParseError("GROUP BY ALL needs at least one plain item")
+        clauses["group_by"] = [item for item, _ in spec.projections]
+    if clauses.get("group_by"):
+        group_items = (
+            [(c, None) for c in df.columns] if spec.star else spec.projections
+        )
+        resolved = []
+        for g in clauses["group_by"]:
+            if g.isdigit():
+                n = int(g)
+                if not 1 <= n <= len(group_items):
+                    raise ParseError(
+                        f"GROUP BY ordinal {n} must reference a "
+                        f"non-aggregate SELECT item (1..{len(group_items)})"
+                    )
+                g = group_items[n - 1][0]
+            resolved.append(g)
+        clauses["group_by"] = resolved
+    if clauses.get("order_by"):
+        from ..operators.query import agg_default_name
+
+        if spec.star:
+            out_names = list(df.columns)
+        else:
+            out_names = [alias or item for item, alias in spec.projections]
+            out_names += [
+                alias or agg_default_name(fn, col)
+                for fn, col, alias in spec.aggregates
+            ]
+            out_names += [alias for _, _, alias, _, _, _ in spec.windows]
+        resolved_order = []
+        for col, desc, nulls in clauses["order_by"]:
+            if col.isdigit():
+                n = int(col)
+                if not 1 <= n <= len(out_names):
+                    raise ParseError(
+                        f"ORDER BY ordinal {n} out of range "
+                        f"(1..{len(out_names)})"
+                    )
+                col = out_names[n - 1]
+            resolved_order.append((col, desc, nulls))
+        clauses["order_by"] = resolved_order
     grouped_windows = bool(spec.windows) and bool(
         spec.aggregates or clauses.get("group_by")
     )

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "bloom_decontaminate_train",
     "classifier_hashed_nb_langid",
     "refsql_merge_upsert",
+    "refsql_group_by_all_ordinals",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -83,11 +84,11 @@ PRIORITY: list[str] = [
     "filter_compare",
     "weak_typing_filter",
     "agg_group_having",
-    "agg_global",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (distinct_values, order_limit_offset and filter_not_and_or displaced
-    # to make room for the three round-7 entries — all thin pytest-pinned
-    # shapes whose code paths every refsql entry shares.)
+    # (agg_global, distinct_values, order_limit_offset and filter_not_and_or
+    # displaced to make room for the four round-7 entries — all thin
+    # pytest-pinned shapes whose code paths every refsql entry shares.)
+    "agg_global",
     "distinct_values",
     "order_limit_offset",
     "filter_not_and_or",

@@ -589,6 +589,31 @@ def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "refsql_group_by_all_ordinals",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ALL ORDER BY 1, 2
+    """,
+)
+def refsql_group_by_all_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 ergonomics through the dialect: GROUP BY ALL (every
+    # non-aggregate SELECT item becomes a key) + ORDER BY output ordinals.
+    # DuckDB supports the identical surface, so the oracle runs the SAME
+    # text — a wrong ALL expansion or ordinal mapping flips the hash.
+    # (ROUND around SUM isn't a dialect aggregate shape; the CTE rounds
+    # post-aggregation, same plan.)
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH a AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS t FROM orders GROUP BY ALL) "
+        "SELECT o_orderstatus, o_orderpriority, n, ROUND(t, 2) AS total "
+        "FROM a ORDER BY 1, 2",
+    )
+
+
+@query(
     "refsql_group_by_expression",
     """
     SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,

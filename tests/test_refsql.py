@@ -1356,3 +1356,37 @@ def test_merge_missing_source_column_rejected(merge_engine, spark):
         "WHEN MATCHED THEN DELETE"
     )
     assert n == 1
+
+
+# -- GROUP BY ALL + ordinals (round-7 dialect ergonomics) --------------------
+
+
+def test_group_by_all(engine):
+    df = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students GROUP BY ALL ORDER BY course"
+    )
+    rows = {r.course: r.n for r in df.collect()}
+    assert rows["Mech"] == 2 and rows["CS"] == 1
+
+
+def test_group_and_order_by_ordinals(engine):
+    df = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students GROUP BY 1 ORDER BY 2 DESC, 1"
+    )
+    rows = df.collect()
+    assert rows[0].course == "Mech" and rows[0].n == 2
+    assert [r.n for r in rows] == sorted([r.n for r in rows], reverse=True)
+
+
+def test_order_by_ordinal_with_star(engine):
+    df = engine.ref_sql("SELECT * FROM students ORDER BY 1 DESC LIMIT 2")
+    assert [r.id for r in df.collect()] == [6, 5]
+
+
+def test_ordinal_out_of_range_rejected(engine):
+    with pytest.raises(ParseError, match="ordinal 5"):
+        engine.ref_sql("SELECT name FROM students ORDER BY 5")
+    with pytest.raises(ParseError, match="non-aggregate"):
+        engine.ref_sql(
+            "SELECT course, COUNT(*) AS n FROM students GROUP BY 2"
+        )
