@@ -92,6 +92,10 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     "refsql_setops_orders",
     "refsql_exists_subquery",
+    # round-7 additions
+    "bloom_decontaminate_train",
+    "classifier_hashed_nb_langid",
+    "dedup_embedding_neardup",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
