@@ -445,3 +445,53 @@ def nb_score_tokens(toks: Column, weights: list[float]) -> Column:
         lambda acc, x: acc + x,
     )
     return total / F.size(toks)
+
+
+def chunk_documents(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> "DataFrame":
+    """Sliding-window document chunking — the embedding/RAG-pipeline
+    primitive: split each document into token windows of ``chunk_tokens``
+    with ``overlap`` tokens of context carried between consecutive chunks
+    (stride = chunk_tokens - overlap). The final chunk may be short — no
+    token is dropped, and no fully-redundant tail chunk is emitted (a
+    window starts only while it still adds uncovered tokens, i.e. start
+    <= n - overlap).
+
+    Returns ``(id_col, chunk_id, n_chunk_tokens, chunk_text)`` with
+    ``chunk_id`` 0-based per document.
+
+    Scale shape: pure column algebra — tokenization, window-start
+    generation (``sequence``), per-start array slices, and one
+    ``explode`` whose output multiplicity is the chunk count (bounded by
+    doc length / stride). No shuffle, no UDF: chunking happens in the
+    scan stage, and every derived value (chunk_id from the start offset,
+    not a window function) keeps the op deterministic and
+    oracle-replayable."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = norm_tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        ((F.col("_start") - 1) / stride).cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

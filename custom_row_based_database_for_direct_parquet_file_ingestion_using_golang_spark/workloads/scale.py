@@ -1681,6 +1681,42 @@ def text_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_chunk_sliding",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INT) AS chunk_id,
+           CAST(len(toks[start : start + 31]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start : start + 31], ' ')) AS chunk_hash
+    FROM st ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (round-7): 32-token chunks with 8-token
+    overlap (stride 24) over every document — the embedding/RAG prep step.
+    The workload hashes each chunk's text (md5 both sides), so the oracle
+    value-checks the exact chunk CONTENT and boundaries, not just counts:
+    an off-by-one in the window start, a dropped tail chunk, or a slice
+    clipping bug flips the hash. Pure scan-stage column algebra — the only
+    row multiplication is the chunk explode itself."""
+    from ..operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
     "classifier_hashed_nb_langid",
     f"""
     WITH d AS (

@@ -123,3 +123,52 @@ def test_nb_scoring_is_shuffle_free(spark):
     assert shuffle_count(probe) == 0
     txt = plan_text(probe)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+# --- sliding-window chunking (operators/text.py round-7) -------------------
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")], ["id", "t"])
+    out = text_ops.chunk_documents(df, "id", "t", chunk_tokens=32, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r.id, r.chunk_id))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    # doc 1: starts 1,25,49,73 (a start at 97 would add no uncovered
+    # tokens — no redundant tail chunk); final chunk clips short
+    d1 = by_doc[1]
+    assert [c.chunk_id for c in d1] == [0, 1, 2, 3]
+    assert [c.n_chunk_tokens for c in d1] == [32, 32, 32, 28]
+    # consecutive chunks share exactly `overlap` tokens
+    t0, t1 = d1[0].chunk_text.split(" "), d1[1].chunk_text.split(" ")
+    assert t0[-8:] == t1[:8]
+    # no token dropped: strided reassembly reproduces the doc
+    reassembled = t0 + [
+        w for c in d1[1:] for w in c.chunk_text.split(" ")[8:]
+    ]
+    assert reassembled == words.split(" ")
+    # short doc → one chunk with all tokens; empty doc → one (empty) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+    assert len(by_doc[3]) == 1
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "t"])
+    with pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(df, "id", "t", chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        text_ops.chunk_documents(df, "id", "t", chunk_tokens=0)
+    out = text_ops.chunk_documents(df, "id", "t", chunk_tokens=4, overlap=1)
+    assert shuffle_count(out) == 0
+    txt = plan_text(out)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
