@@ -169,6 +169,10 @@ def is_natural_language(text: str) -> bool:
         # 'WITH x AS (SELECT ...' is SQL; 'with all due respect, show me
         # the students' is NL — the CTE shape has AS as the third word.
         return not (len(words) > 3 and words[2] == "as")
+    if first == "merge":
+        # 'MERGE INTO t USING ...' is SQL; 'merge these two lists for me'
+        # is NL — the statement shape has INTO as the second word.
+        return not (len(words) > 1 and words[1] == "into")
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
         "optimize", "vacuum", "alter", "explain", "describe", "copy",

@@ -1390,3 +1390,28 @@ def test_ordinal_out_of_range_rejected(engine):
         engine.ref_sql(
             "SELECT course, COUNT(*) AS n FROM students GROUP BY 2"
         )
+
+
+def test_repl_runs_round7_statements(engine):
+    # The CLI REPL path (NL-vs-SQL sniff → ref_sql → fixed-width render)
+    # must carry the round-7 dialect: MERGE INTO, GROUP BY ALL, ordinals.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.__main__ import (
+        run_statement,
+    )
+
+    out = run_statement(
+        engine,
+        "SELECT course, COUNT(*) AS n FROM students GROUP BY ALL "
+        "ORDER BY 2 DESC, 1 LIMIT 1",
+    )
+    assert "Mech" in out and "n" in out
+    engine.create_table("chg_s", [("id", "INT"), ("name", "TEXT"), ("course", "TEXT")])
+    engine.insert_rows("chg_s", [{"id": 1, "name": "Noelle", "course": "Mech"}])
+    out = run_statement(
+        engine,
+        "MERGE INTO students USING chg_s ON students.id = chg_s.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    assert "1" in out  # affected-row count rendered
+    rows = {r.id: r.name for r in engine.ref_sql("SELECT id, name FROM students").collect()}
+    assert rows[1] == "Noelle"
