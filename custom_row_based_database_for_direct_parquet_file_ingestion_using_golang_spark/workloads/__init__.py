@@ -66,6 +66,7 @@ PRIORITY: list[str] = [
     "refsql_merge_upsert",
     "refsql_group_by_all_ordinals",
     "corpus_chunk_sliding",
+    "stream_bloom_drop_denied",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -83,12 +84,12 @@ PRIORITY: list[str] = [
     "q01_pricing_summary",
     "scan_full_table",
     "filter_compare",
-    "weak_typing_filter",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (agg_group_having, agg_global, distinct_values, order_limit_offset
-    # and filter_not_and_or displaced to make room for the five round-7
-    # entries — all thin pytest-pinned shapes whose code paths every
-    # refsql entry shares.)
+    # (weak_typing_filter, agg_group_having, agg_global, distinct_values,
+    # order_limit_offset and filter_not_and_or displaced to make room for
+    # the six round-7 entries — all thin pytest-pinned shapes whose code
+    # paths every refsql entry shares.)
+    "weak_typing_filter",
     "agg_group_having",
     "agg_global",
     "distinct_values",

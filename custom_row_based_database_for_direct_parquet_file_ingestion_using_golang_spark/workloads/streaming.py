@@ -203,3 +203,82 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("ws"), "nation", "n", "total")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_bloom_drop_denied",
+    """
+    WITH denied AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) >= 'f0'
+    ),
+    dh AS (
+      SELECT CAST(concat('0x', substr(md5(k), 1, 15)) AS BIGINT) % 4096 AS h1,
+             CAST(concat('0x', substr(md5(k), 16, 15)) AS BIGINT) % 4096 AS h2
+      FROM denied
+    ),
+    bits AS (
+      SELECT DISTINCT (h1 + i * h2) % 4096 AS pos
+      FROM dh, (SELECT unnest(range(3)) AS i)
+    ),
+    eh AS (
+      SELECT event_id, ts, value,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 4096 AS h1,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 16, 15))
+                  AS BIGINT) % 4096 AS h2
+      FROM events
+    ),
+    ep AS (
+      SELECT event_id, ts, value, (h1 + i * h2) % 4096 AS pos
+      FROM eh, (SELECT unnest(range(3)) AS i)
+    ),
+    hit AS (
+      SELECT event_id, min(ts) AS ts, min(value) AS value,
+             bool_and(bits.pos IS NOT NULL) AS in_bloom
+      FROM ep LEFT JOIN bits ON ep.pos = bits.pos
+      GROUP BY event_id
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM hit WHERE NOT in_bloom
+    GROUP BY ws
+    """,
+)
+def stream_bloom_drop_denied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion guard (round-7): drop events from a denylisted
+    user set using a BLOOM FILTER broadcast into the stream — the
+    don't-re-ingest / denylist pattern at 100 TB, where the membership
+    probe must be a stateless scan-stage predicate (no stream-static join,
+    no state store). The bloom is built ONCE batch-side over the denied
+    keys; the probe is plan-literal column algebra inside the streaming
+    filter, so each micro-batch pays scan cost only. The oracle replays
+    the bloom bit-for-bit in SQL (identical md5 double hashing —
+    including any false-positive drops) and the hourly aggregate must
+    converge to the batch answer on bounded input."""
+    from ..operators import membership
+    from .registry import load
+
+    static_events = load(spark, sf_dir, "events")
+    denied = (
+        static_events.filter(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) >= "f0"
+        )
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    bloom = membership.bloom_build(denied, "k", m_bits=4096, k=3)
+    stream = read_events_stream(spark, sf_dir)
+    kept = stream.filter(
+        ~membership.bloom_contains(F.col("user_id").cast("string"), bloom)
+    )
+    agg = (
+        kept.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(F.col("window.start").alias("ws"), "n", "total")
+    )
+    return run_to_memory(agg, mode="complete")
