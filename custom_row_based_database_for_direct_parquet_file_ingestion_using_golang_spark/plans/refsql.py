@@ -77,6 +77,8 @@ Round-7 extensions:
     snapshot-retiring); source may be a table or ``(SELECT ...) AS a``.
   * ``GROUP BY ALL`` (group on every non-aggregate SELECT item) and
     integer ordinals in GROUP BY / ORDER BY indexing the output columns.
+  * ``RANGE BETWEEN <bound> AND <bound>`` frames (logical value offsets
+    over exactly one numeric ORDER BY key — Spark's rangeBetween).
 """
 
 from __future__ import annotations
@@ -635,16 +637,17 @@ def parse_select(
                 # Round-6 extension: explicit frame — ``ROWS BETWEEN
                 # <bound> AND <bound>`` (bounds: UNBOUNDED PRECEDING /
                 # n PRECEDING / CURRENT ROW / n FOLLOWING / UNBOUNDED
-                # FOLLOWING). Only ROWS (physical offsets); RANGE keeps
-                # Spark's default frame semantics.
+                # FOLLOWING). Round-7 adds ``RANGE BETWEEN`` (logical
+                # value offsets — requires exactly one numeric ORDER BY
+                # key, Spark's rangeBetween contract).
                 frame = None
-                if cur.peek_kw() == "rows":
-                    cur.next()
+                if cur.peek_kw() in ("rows", "range"):
+                    kind = cur.next().lower()
                     cur.expect_kw("between")
                     lo = _frame_bound(cur)
                     cur.expect_kw("and")
                     hi = _frame_bound(cur)
-                    frame = (lo, hi)
+                    frame = (kind, lo, hi)
                 if cur.next() != ")":
                     raise ParseError("expected ')' to close OVER")
                 if low == "grouping":
@@ -999,14 +1002,24 @@ def _window_column(
             *[(F.col(c).desc() if d else F.col(c).asc()) for c, d in order]
         )
     if frame is not None:
+        kind, lo, hi = frame
         if fn not in AGG_FUNCS:
             raise ParseError(
-                f"ROWS BETWEEN frames apply to aggregate window functions, "
-                f"not {fn}()"
+                f"{kind.upper()} BETWEEN frames apply to aggregate window "
+                f"functions, not {fn}()"
             )
         if not order:
-            raise ParseError("a ROWS frame requires ORDER BY in the OVER clause")
-        w = w.rowsBetween(*frame)
+            raise ParseError(
+                f"a {kind.upper()} frame requires ORDER BY in the OVER clause"
+            )
+        if kind == "range":
+            if len(order) != 1:
+                raise ParseError(
+                    "a RANGE frame requires exactly one ORDER BY key"
+                )
+            w = w.rangeBetween(lo, hi)
+        else:
+            w = w.rowsBetween(lo, hi)
     if fn in ("row_number", "rank", "dense_rank"):
         if args:
             raise ParseError(f"{fn}() takes no arguments")

@@ -774,6 +774,35 @@ def refsql_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS range_sum
+    FROM orders WHERE o_custkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def refsql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE frame through the dialect (round-7): logical VALUE offsets over
+    # the numeric sort key — rows whose o_orderkey lies within 5 of the
+    # current row's key sum together, however many physical rows that is
+    # (the semantic ROWS frames can't express). DECIMAL inside the plan,
+    # DOUBLE delivered (oracle-conventions rule).
+    df = _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS range_sum "
+        "FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey",
+    )
+    return df.withColumn("range_sum", F.col("range_sum").cast("double"))
+
+
+@query(
     "refsql_exists_subquery",
     """
     SELECT c_mktsegment, count(*) AS count

@@ -1415,3 +1415,25 @@ def test_repl_runs_round7_statements(engine):
     assert "1" in out  # affected-row count rendered
     rows = {r.id: r.name for r in engine.ref_sql("SELECT id, name FROM students").collect()}
     assert rows[1] == "Noelle"
+
+
+def test_range_frame_window(engine):
+    # RANGE BETWEEN: logical value offsets over the single numeric sort
+    # key — ids within 1 of the current id sum together.
+    df = engine.ref_sql(
+        "SELECT id, SUM(id) OVER (ORDER BY id "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s "
+        "FROM students ORDER BY id"
+    )
+    rows = {r.id: r.s for r in df.collect()}
+    assert rows[1] == 3 and rows[3] == 9 and rows[6] == 11
+    with pytest.raises(ParseError, match="exactly one ORDER BY key"):
+        engine.ref_sql(
+            "SELECT id, SUM(id) OVER (ORDER BY id, name "
+            "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM students"
+        )
+    with pytest.raises(ParseError, match="RANGE frame requires ORDER BY"):
+        engine.ref_sql(
+            "SELECT id, SUM(id) OVER (RANGE BETWEEN 1 PRECEDING AND "
+            "CURRENT ROW) AS s FROM students"
+        )
