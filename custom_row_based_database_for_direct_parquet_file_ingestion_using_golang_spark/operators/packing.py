@@ -83,3 +83,66 @@ def token_budget_filter(
     return docs.withColumn("_start", start).filter(
         F.col("_start") < F.lit(budget)
     ).drop("_start")
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tau: float = 0.7,
+    target_frac: float = 0.5,
+    mark: bool = False,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-pretraining
+    sampler, XLM-style): target share of group i ∝ n_i^tau, so tau < 1
+    upweights small domains and flattens the mixture; tau = 1 keeps the
+    natural distribution. Downsampling only — per-group keep rate =
+    min(1, share_i · target_total / n_i) applied as a DETERMINISTIC
+    md5-bucket filter on ``id_col`` (byte-identical across runs, engines,
+    partitionings, task retries — no rand()).
+
+    ``mark=True`` returns every row with a ``_mix_keep`` boolean instead
+    of filtering (for auditing the realized mixture).
+
+    Scale shape: one grouped count (map-side partial agg; the group list
+    is assumed small — domains/languages), a 1-row total broadcast back,
+    a broadcast join of the per-group rates, and a scan-stage hash filter.
+    Everything stays in-plan: no driver collect, no rand-based sampling.
+    The rate is rounded to 4 dp before the integer threshold compare so
+    the same mixture replays exactly in an ANSI oracle (pow/sum ULP noise
+    cannot flip a row's assignment)."""
+    if tau <= 0:
+        raise ValueError("tau must be positive")
+    if not 0 < target_frac <= 1:
+        raise ValueError("target_frac must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.pow("_n", F.lit(tau))).alias("_W"),
+    )
+    # totals derives from counts, so after the cross join `_n` exists on
+    # both lineages — qualify every reference through its own frame.
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        counts[group_col],
+        F.least(
+            F.lit(1.0),
+            F.pow(counts["_n"], F.lit(tau))
+            / totals["_W"]
+            * (totals["_N"] * F.lit(target_frac))
+            / counts["_n"],
+        ).alias("_rate"),
+    )
+    thr = F.round(F.col("_rate") * 10000, 0).cast("int")
+    # 16 bits of md5 → uniform u in [0, 10000) — same contract the other
+    # hash samplers use (md5, not xxhash, so the oracle replays it).
+    u = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int"),
+        F.lit(10000),
+    )
+    marked = df.join(F.broadcast(rates), group_col).withColumn(
+        "_mix_keep", u < thr
+    )
+    if mark:
+        return marked.drop("_rate")
+    return marked.filter(F.col("_mix_keep")).drop("_rate", "_mix_keep")

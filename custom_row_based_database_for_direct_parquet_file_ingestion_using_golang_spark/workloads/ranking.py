@@ -683,6 +683,51 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total_n, sum(pow(n, 0.5)) AS total_w FROM c),
+    r AS (
+      SELECT source, n,
+             least(1.0, pow(n, 0.5) / total_w * (total_n * 0.5) / n) AS rate
+      FROM c, t
+    ),
+    k AS (
+      SELECT d.source,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10000 AS u,
+             CAST(round(r.rate * 10000, 0) AS INT) AS thr
+      FROM documents d JOIN r ON d.source = r.source
+    )
+    SELECT source, count(*) AS n_total,
+           CAST(count(*) FILTER (WHERE u < thr) AS BIGINT) AS n_kept
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature sampling (round-7): keep rates computed FROM the corpus
+    # (share_i ∝ n_i^0.5, half the corpus kept) instead of hand-set
+    # thresholds — tau < 1 flattens the source distribution, the
+    # multilingual-pretraining mixing rule. The whole pipeline (counts →
+    # pow/share → rounded integer threshold → md5-bucket keep) replays in
+    # the oracle, so every row's keep/drop assignment is value-checked.
+    from ..operators.packing import temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    marked = temperature_mix(
+        docs, "source", "doc_id", tau=0.5, target_frac=0.5, mark=True
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("_mix_keep").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- token-budget selection ------------------------------------------------
 
 

@@ -172,3 +172,37 @@ def test_chunk_documents_validation_and_plan(spark):
     assert shuffle_count(out) == 0
     txt = plan_text(out)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+# --- temperature mixing (operators/packing.py round-7) ---------------------
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    kept = temperature_mix(df, "grp", "id", tau=0.5, target_frac=0.5)
+    by = {r.grp: r.n for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # tau=0.5 shares: w_big=30, w_small=10 → big 375, small kept fully
+    # (125 desired > 100 available → rate caps at 1.0).
+    assert by["small"] == 100
+    assert 300 < by["big"] < 450
+    # deterministic: identical rerun keeps the identical id set
+    k1 = sorted(r.id for r in kept.collect())
+    k2 = sorted(
+        r.id for r in temperature_mix(df, "grp", "id", tau=0.5, target_frac=0.5).collect()
+    )
+    assert k1 == k2
+    # tau=1 keeps the natural distribution: every group's rate equals
+    # target_frac, so big's keep fraction ~0.5
+    nat = temperature_mix(df, "grp", "id", tau=1.0, target_frac=0.5)
+    byn = {r.grp: r.n for r in nat.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert 350 < byn["big"] < 550 and 30 < byn["small"] < 70
+
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix(df, "grp", "id", tau=0)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix(df, "grp", "id", target_frac=0)
