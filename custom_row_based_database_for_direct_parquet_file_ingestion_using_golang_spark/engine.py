@@ -524,29 +524,46 @@ class Engine:
         df = self.spark.read.orc(path)
         return self._register_ingested(name, df, partition_by)
 
-    def export_table(self, name: str, path: str, fmt: str = "parquet") -> int:
+    def export_table(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> int:
         """COPY t TO 'path': write a table out as parquet or CSV — the
         export complement of the reference's import-only surface. Returns
         the row count written. Distributed write (one file per partition);
         callers wanting a single CSV file can coalesce afterwards — a
         forced coalesce(1) here would serialize a 100 TB export through
-        one task."""
+        one task. ``partition_by`` writes hive-layout subdirectories
+        (``col=value/``) so downstream scans partition-prune — the layout
+        a 100 TB corpus export needs for selective re-reads."""
         fmt = fmt.lower()
         df = self.table(name)
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"unknown PARTITION BY column(s) {missing}")
         n = df.count()
+
+        def _writer(d):
+            w = d.write.mode("overwrite")
+            return w.partitionBy(*partition_by) if partition_by else w
+
         if fmt == "parquet":
-            df.write.mode("overwrite").parquet(path)
+            _writer(df).parquet(path)
         elif fmt == "csv":
-            df.write.mode("overwrite").option("header", True).csv(path)
+            _writer(df).option("header", True).csv(path)
         elif fmt in ("json", "jsonl"):
             # JSON Lines: one object per line — the interchange format LLM
             # data pipelines actually move corpora in. Spark's json writer
             # is already line-delimited; ``ignoreNullFields=False`` keeps
             # NULL columns as explicit nulls so a re-ingest round-trips the
             # schema instead of silently dropping sparse columns.
-            df.write.mode("overwrite").option("ignoreNullFields", False).json(path)
+            _writer(df).option("ignoreNullFields", False).json(path)
         elif fmt == "orc":
-            df.write.mode("overwrite").orc(path)
+            _writer(df).orc(path)
         else:
             raise ValueError(
                 f"unsupported export format {fmt!r} (parquet|csv|jsonl|orc)"

@@ -1518,8 +1518,9 @@ class RefSQL:
             return self.engine.summarize(table)
         if verb == "copy":
             # Dialect extension: ``COPY t TO 'path' [FORMAT
-            # parquet|csv|jsonl|orc]`` — the export complement of the
-            # reference's import surface.
+            # parquet|csv|jsonl|orc] [PARTITION BY (col, ...)]`` — the
+            # export complement of the reference's import surface;
+            # PARTITION BY writes hive-layout subdirectories (round-7).
             cur.expect_kw("copy")
             table = _unquote(cur.next())
             cur.expect_kw("to")
@@ -1528,10 +1529,27 @@ class RefSQL:
             if cur.peek_kw() == "format":
                 cur.next()
                 fmt = cur.next().lower()
+            part_cols: list[str] | None = None
+            if cur.peek_kw() == "partition":
+                cur.next()
+                cur.expect_kw("by")
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after PARTITION BY")
+                part_cols = []
+                while True:
+                    tok = cur.next()
+                    if tok == ")":
+                        break
+                    if tok == ",":
+                        continue
+                    part_cols.append(_unquote(tok))
+                if not part_cols:
+                    raise ParseError("PARTITION BY needs at least one column")
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after COPY")
-            n = self.engine.export_table(table, path, fmt)
-            return f"copied '{table}' to {path} ({n} row(s), {fmt})"
+            n = self.engine.export_table(table, path, fmt, part_cols)
+            suffix = f", partitioned by {', '.join(part_cols)}" if part_cols else ""
+            return f"copied '{table}' to {path} ({n} row(s), {fmt}{suffix})"
         if verb == "alter":
             # Dialect extension: ``ALTER TABLE t ADD/DROP COLUMN c [TYPE]``
             # — catalog-only schema evolution (Engine.add_column/

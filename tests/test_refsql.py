@@ -1437,3 +1437,29 @@ def test_range_frame_window(engine):
             "SELECT id, SUM(id) OVER (RANGE BETWEEN 1 PRECEDING AND "
             "CURRENT ROW) AS s FROM students"
         )
+
+
+def test_copy_partition_by_export(engine, tmp_path):
+    import os
+
+    out = str(tmp_path / "part_export")
+    msg = engine.ref_sql(
+        f"COPY students TO '{out}' FORMAT parquet PARTITION BY (course)"
+    )
+    assert "6 row(s)" in msg and "partitioned by course" in msg
+    # hive layout: course=<value>/ subdirectories, prunable on re-read
+    subdirs = {d for d in os.listdir(out) if d.startswith("course=")}
+    assert "course=Mech" in subdirs and len(subdirs) == 5
+    back = engine.spark.read.parquet(out)
+    assert back.count() == 6 and set(back.columns) == {"id", "name", "course"}
+    # partition pruning: a course filter must prune to one partition
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    pruned = back.filter(back.course == "Mech")
+    assert pruned.count() == 2
+    with pytest.raises(ValueError, match="unknown PARTITION BY"):
+        engine.export_table("students", out + "2", "parquet", ["nope"])
+    with pytest.raises(ParseError, match="at least one column"):
+        engine.ref_sql(f"COPY students TO '{out}3' PARTITION BY ()")
