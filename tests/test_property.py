@@ -852,3 +852,60 @@ def test_refsql_cte_matches_spark_sql(spark, w1, w2, limit):
         ).collect()
     ]
     assert got == want, f"{w1} / {w2}"
+
+
+# --- round-7 dialect surface: differential fuzz vs Spark SQL ----------------
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    where=_where_exprs(),
+    agg=st.sampled_from(["SUM(id)", "MIN(price)", "COUNT(*)"]),
+    ord_col=st.integers(1, 2),
+    desc=st.booleans(),
+)
+def test_refsql_group_by_all_ordinals_match_spark_sql(
+    spark, where, agg, ord_col, desc
+):
+    # GROUP BY ALL must equal an explicit GROUP BY over the non-aggregate
+    # items, and ORDER BY ordinals must equal ordering by the named output
+    # column (Spark SQL supports both natively — same text both sides,
+    # except the dialect side exercises OUR parser).
+    eng = _fuzz_engine(spark)
+    d = "DESC" if desc else "ASC"
+    got = [
+        tuple(r)
+        for r in eng.ref_sql(
+            f"SELECT flag, name, {agg} AS a FROM t WHERE {where} "
+            f"GROUP BY ALL ORDER BY {ord_col} {d}, 2, 1, a"
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT flag, name, {agg} AS a FROM fuzz_t WHERE {where} "
+            f"GROUP BY ALL ORDER BY {ord_col} {d}, 2, 1, a"
+        ).collect()
+    ]
+    assert got == want, f"{where} / {agg} / ORDER BY {ord_col} {d}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lo=st.integers(0, 3),
+    hi=st.integers(0, 3),
+    agg=st.sampled_from(["SUM", "COUNT", "MIN", "MAX", "AVG"]),
+    kind=st.sampled_from(["ROWS", "RANGE"]),
+)
+def test_refsql_frames_match_spark_sql(spark, lo, hi, agg, kind):
+    eng = _fuzz_engine(spark)
+    frame = f"{kind} BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+    q = (
+        f"SELECT id, {agg}(id) OVER (ORDER BY id {frame}) AS v "
+        f"FROM {{t}} ORDER BY id"
+    )
+    got = [tuple(r) for r in eng.ref_sql(q.format(t="t")).collect()]
+    want = [tuple(r) for r in spark.sql(q.format(t="fuzz_t")).collect()]
+    assert got == want, frame
