@@ -114,7 +114,10 @@ EXPR_AGG_FUNCS = {
     "variance", "var_samp", "var_pop", "corr", "covar_samp", "covar_pop",
     "approx_count_distinct",
 }
-WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead", "ntile"}
+WINDOW_FUNCS = {
+    "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
+    "first_value", "last_value", "nth_value",  # round-7
+}
 KEYWORDS_STOP = {
     "from", "where", "group", "having", "order", "limit", "offset", "by",
     "and", "or", "not", "in", "between", "like", "as", "desc", "asc",
@@ -1003,7 +1006,9 @@ def _window_column(
         )
     if frame is not None:
         kind, lo, hi = frame
-        if fn not in AGG_FUNCS:
+        if fn not in AGG_FUNCS and fn not in (
+            "first_value", "last_value", "nth_value"
+        ):
             raise ParseError(
                 f"{kind.upper()} BETWEEN frames apply to aggregate window "
                 f"functions, not {fn}()"
@@ -1033,6 +1038,14 @@ def _window_column(
         if len(args) != 1:
             raise ParseError("ntile(n) takes exactly one argument")
         return F.ntile(int(args[0])).over(w)
+    if fn in ("first_value", "last_value"):
+        if len(args) != 1:
+            raise ParseError(f"{fn}(col) takes exactly one argument")
+        return getattr(F, fn)(arg_col(args[0])).over(w)
+    if fn == "nth_value":
+        if len(args) != 2:
+            raise ParseError("nth_value(col, n) takes exactly two arguments")
+        return F.nth_value(arg_col(args[0]), int(args[1])).over(w)
     # aggregate-over-window: count/sum/avg/min/max
     if len(args) != 1:
         raise ParseError(f"{fn}() takes exactly one argument")

@@ -1463,3 +1463,22 @@ def test_copy_partition_by_export(engine, tmp_path):
         engine.export_table("students", out + "2", "parquet", ["nope"])
     with pytest.raises(ParseError, match="at least one column"):
         engine.ref_sql(f"COPY students TO '{out}3' PARTITION BY ()")
+
+
+def test_first_last_nth_value_windows(engine):
+    df = engine.ref_sql(
+        "SELECT id, course, "
+        "FIRST_VALUE(name) OVER (PARTITION BY course ORDER BY id) AS fst, "
+        "LAST_VALUE(name) OVER (PARTITION BY course ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst, "
+        "NTH_VALUE(name, 2) OVER (PARTITION BY course ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth "
+        "FROM students WHERE course = 'Mech' ORDER BY id"
+    )
+    rows = df.collect()
+    assert all(r.fst == "Noel" and r.lst == "Frank" for r in rows)
+    assert all(r.nth == "Frank" for r in rows)
+    with pytest.raises(ParseError, match="exactly two arguments"):
+        engine.ref_sql(
+            "SELECT NTH_VALUE(name) OVER (ORDER BY id) AS x FROM students"
+        )
