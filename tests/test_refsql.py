@@ -1482,3 +1482,45 @@ def test_first_last_nth_value_windows(engine):
         engine.ref_sql(
             "SELECT NTH_VALUE(name) OVER (ORDER BY id) AS x FROM students"
         )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_merge_matches_dict_model_random_batches(spark, tmp_path, seed):
+    """Dialect MERGE vs a Python dict model over a seeded random CDC batch:
+    updates overwrite by key, inserts add new keys, deletes remove —
+    applied in the single-statement MERGE semantics (update+insert in one
+    statement, delete in a second)."""
+    import random
+
+    rng = random.Random(seed)
+    base = {i: rng.randint(0, 100) for i in range(20)}
+    upd = {i: rng.randint(200, 300) for i in rng.sample(range(20), 6)}
+    ins = {i: rng.randint(400, 500) for i in range(30, 36)}
+    dele = [i for i in rng.sample(range(20), 5) if i not in upd]
+
+    e = Engine(spark, str(tmp_path / f"mdl{seed}"))
+    e.create_table("tgt", [("k", "INT"), ("v", "INT")])
+    e.insert_rows("tgt", [{"k": k, "v": v} for k, v in base.items()])
+    e.create_table("chg", [("k", "INT"), ("v", "INT")])
+    e.insert_rows(
+        "chg", [{"k": k, "v": v} for k, v in {**upd, **ins}.items()]
+    )
+    e.create_table("dl", [("k", "INT")])
+    e.insert_rows("dl", [{"k": k} for k in dele])
+
+    n1 = e.ref_sql(
+        "MERGE INTO tgt USING chg ON tgt.k = chg.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    n2 = e.ref_sql(
+        "MERGE INTO tgt USING dl ON tgt.k = dl.k WHEN MATCHED THEN DELETE"
+    )
+    model = dict(base)
+    model.update(upd)
+    model.update(ins)
+    for k in dele:
+        model.pop(k, None)
+    got = {r.k: r.v for r in e.ref_sql("SELECT k, v FROM tgt").collect()}
+    assert got == model, f"seed {seed}"
+    assert n1 == len(upd) + len(ins)
+    assert n2 == len(dele)
