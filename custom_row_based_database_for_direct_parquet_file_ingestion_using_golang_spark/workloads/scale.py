@@ -310,6 +310,72 @@ def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "contamination_bloom_prefilter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_NORM} AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, is_eval, {_SQL_5GRAMS} AS grams FROM d),
+    e AS (SELECT doc_id, is_eval, unnest(grams) AS g FROM sh)
+    SELECT a.doc_id AS eval_doc_id,
+           count(DISTINCT b.doc_id) AS n_train_docs
+    FROM e a JOIN e b ON a.g = b.g AND b.is_eval = FALSE
+    WHERE a.is_eval = TRUE
+    GROUP BY eval_doc_id ORDER BY eval_doc_id
+    """,
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-ACCELERATED exact contamination join (round-7): identical
+    output to contamination_eval_train_overlap — the oracle is the plain
+    exact-join SQL — but the train-side gram stream is prefiltered with a
+    bloom over the eval grams BEFORE the shuffle join. Correctness
+    argument: blooms have no false negatives, so every truly-matching
+    train gram survives the prefilter; false positives carry no matching
+    eval gram and fall out of the equi-join. At 100 TB this is the
+    standard sketch-accelerated join: the shuffle carries only the ~fp+hit
+    fraction of train grams instead of all of them, and the filter runs
+    in the scan stage (plan-literal bitset, zero extra shuffle)."""
+    from ..operators import membership
+    from ..operators.text import norm_tokens, shingles_from_tokens
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    toked = docs.select(
+        "doc_id",
+        norm_tokens("text").alias("toks"),
+        (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
+    )
+    grams = toked.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks"), 5))
+        ).alias("g"),
+    )
+    ev = grams.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    bloom = membership.bloom_build(
+        ev.select("g").distinct(), "g", m_bits=1 << 15, k=3
+    )
+    tr = (
+        grams.filter(~F.col("is_eval"))
+        # scan-stage bloom prune: only grams that MIGHT match reach the
+        # shuffle; the equi-join then removes the false positives.
+        .filter(membership.bloom_contains(F.col("g"), bloom))
+        .select(F.col("doc_id").alias("train_id"), "g")
+    )
+    return (
+        ev.join(tr, "g")
+        .groupBy("eval_doc_id")
+        .agg(F.count_distinct("train_id").alias("n_train_docs"))
+        .orderBy("eval_doc_id")
+    )
+
+
+@query(
     "bloom_decontaminate_train",
     f"""
     WITH d AS (
