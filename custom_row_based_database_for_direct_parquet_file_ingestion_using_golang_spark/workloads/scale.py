@@ -336,7 +336,14 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     eval gram and fall out of the equi-join. At 100 TB this is the
     standard sketch-accelerated join: the shuffle carries only the ~fp+hit
     fraction of train grams instead of all of them, and the filter runs
-    in the scan stage (plan-literal bitset, zero extra shuffle)."""
+    in the scan stage (plan-literal bitset, zero extra shuffle).
+
+    Measured honestly at sf0.1 (5k docs): the prefiltered variant is
+    SLOWER (2.4 s vs 1.1 s warm) — the bloom build pass plus 3 md5 probes
+    per train gram cost more than the small shuffle they save at fixture
+    scale. The crossover needs a train side that dwarfs the eval side
+    (the 100 TB regime this shape exists for); kept out of the bench
+    headline set for that reason."""
     from ..operators import membership
     from ..operators.text import norm_tokens, shingles_from_tokens
     from ..operators.util import ensure_parallelism
