@@ -580,28 +580,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select("doc", _simhash_pack_udf()(F.col("hs")).alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    df: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """All pairs with Hamming(hash) ≤ max_hamming over ANY 64-bit hash
+    column (SimHash, image pHash, audio fingerprints, ...). Returns
+    ``(id_a, id_b, hamming)``.
 
     Blocking by pigeonhole: split the 64-bit hash into ``max_hamming + 1``
     chunks — any pair within the Hamming budget must agree exactly on at
     least one chunk, so an equi-join per chunk finds all candidates without
-    a cross product. Exact xor/bit_count filter applies after.
+    a cross product. Exact xor/bit_count filter applies after. The shuffle
+    carries (id, hash, chunk-key) rows — 8-byte hashes, never payloads —
+    and hot chunk keys are bounded by the hash's bit entropy.
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sh = simhash(df, id_col, text_col)
-    blocked = sh.select(
+    src = df.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("h"))
+    blocked = src.select(
         "doc",
-        "simhash",
+        "h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * width)
+                        F.shiftright(F.col("h"), c * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
@@ -609,10 +613,10 @@ def simhash_pairs(
                 ]
             )
         ).alias("ck"),
-    ).select("doc", "simhash", "ck.chunk", "ck.key")
+    ).select("doc", "h", "ck.chunk", "ck.key")
     # Materialize once before the self-join — same rationale as
     # minhash_lsh_pairs: either join strategy would otherwise compute the
-    # SimHash pipeline once per side.
+    # upstream hash pipeline once per side.
     blocked = blocked.localCheckpoint()
     return (
         blocked.alias("x")
@@ -621,12 +625,22 @@ def simhash_pairs(
         .select(
             F.col("x.doc").alias("id_a"),
             F.col("y.doc").alias("id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias(
+            F.bit_count(F.col("x.h").bitwiseXOR(F.col("y.h"))).alias(
                 "hamming"
             ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — the SimHash
+    front-end over the generic :func:`hamming_pairs` blocking."""
+    return hamming_pairs(
+        simhash(df, id_col, text_col), "doc", "simhash", max_hamming
     )
 
 

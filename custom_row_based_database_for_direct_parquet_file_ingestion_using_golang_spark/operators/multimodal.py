@@ -2021,3 +2021,82 @@ def decode_webp_lossless(payload: bytes) -> dict:
         "mean_pixel": float(img.mean()),
         "pixels": img,
     }
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis of size n (the 8-point JPEG basis
+    generalized — same formula as _jpeg_dct_basis)."""
+    x = np.arange(n)
+    u = x.reshape(n, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    c[0, :] /= np.sqrt(2)
+    return c
+
+
+def phash64(pixels: "np.ndarray") -> int:
+    """64-bit perceptual hash (classic pHash): grayscale → 32×32
+    area-mean resize → 2-D DCT-II → top-left 8×8 low-frequency block →
+    bit i = coefficient > median (median over the 63 non-DC
+    coefficients, so a global brightness shift can't flip half the
+    bits). Robust to re-encoding, resizing, and small noise; Hamming
+    distance between hashes ranks visual similarity."""
+    g = pixels.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    # guarantee ≥32 samples per axis before the area split (tiny images
+    # upscale by pixel repetition — area means are unchanged)
+    if g.shape[0] < 32:
+        g = np.repeat(g, -(-32 // g.shape[0]), axis=0)
+    if g.shape[1] < 32:
+        g = np.repeat(g, -(-32 // g.shape[1]), axis=1)
+    rows = [b.mean(axis=0) for b in np.array_split(g, 32, axis=0)]
+    g32 = np.stack(
+        [
+            np.array([c.mean() for c in np.array_split(r, 32)])
+            for r in rows
+        ]
+    )
+    c = _dct_matrix(32)
+    coef = c @ g32 @ c.T
+    low = coef[:8, :8].ravel()
+    med = float(np.median(low[1:]))
+    h = 0
+    for i, v in enumerate(low):
+        if v > med:
+            h |= 1 << i
+    # two's-complement into a signed 64-bit long for Spark LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def extract_image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash, width, height) via REAL decode of each payload
+    (BMP/PNG/GIF/JPEG/TIFF/WebP-lossless) inside Arrow ``mapInPandas`` —
+    bytes never leave the batch path; the hash is 8 bytes per image, so
+    the downstream near-dup join moves hashes, not pixels."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "phash": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload[:2] == b"BM":
+                    d = decode_bmp(bytes(payload))
+                elif payload[:8] == PNG_SIG:
+                    d = decode_png(bytes(payload))
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    d = decode_gif(bytes(payload))
+                elif payload[:2] == b"\xff\xd8":
+                    d = decode_jpeg(bytes(payload))
+                elif payload[:2] in (b"II", b"MM"):
+                    d = decode_tiff(bytes(payload))
+                else:
+                    d = decode_webp_lossless(bytes(payload))
+                out["media_id"].append(mid)
+                out["phash"].append(phash64(d["pixels"]))
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, schema="media_id long, phash long, width int, height int"
+    )

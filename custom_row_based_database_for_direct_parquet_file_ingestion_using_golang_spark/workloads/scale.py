@@ -1165,6 +1165,76 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_bmp_features(media)
 
 
+@query("multimodal_phash_neardup")  # rows-only: DCT isn't SQL-expressible
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup detection (round-7): per-doc smooth
+    sinusoid images (distinct low-frequency content per doc_id); every
+    10th doc gets a noise-perturbed twin, and encodings alternate BMP/PNG
+    so the hash must survive a format change. pHash = 32×32 area resize →
+    2-D DCT → 8×8 low-band median bits (operators/multimodal.phash64);
+    pairs via the generic pigeonhole Hamming blocking
+    (dedup.hamming_pairs) — the join moves 8-byte hashes, never pixels.
+    Rows-only (DCT in SQL is impractical); pytest pins recall/precision
+    on the planted twins and the re-encoding invariance."""
+    from ..operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(400)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        def img_for(did: int, noise_seed: int | None) -> "np.ndarray":
+            # Distinct low-frequency content per doc: a 3-term Fourier
+            # mixture whose frequencies/phases/amplitudes derive from a
+            # per-doc seeded RNG (a small parametric family would collide
+            # across docs in the 8x8 DCT low band).
+            y, x = np.mgrid[0:40, 0:40]
+            prng = np.random.default_rng(1_234_567 + did)
+            g = np.full((40, 40), 128.0)
+            for _ in range(3):
+                fx, fy = prng.uniform(0.5, 3.5, 2)
+                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
+                amp = prng.uniform(25, 45)
+                g = g + amp * np.sin(2 * np.pi * fx * x / 40 + p1) * np.cos(
+                    2 * np.pi * fy * y / 40 + p2
+                )
+            if noise_seed is not None:
+                rng = np.random.default_rng(noise_seed)
+                g = g + rng.integers(-3, 4, g.shape)
+            g = np.clip(g, 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].astype("int64"):
+                px = img_for(did, None)
+                enc = (
+                    multimodal.encode_bmp
+                    if did % 2 == 0
+                    else multimodal.encode_png
+                )
+                out["media_id"].append(did)
+                out["payload"].append(enc(px))
+                if did % 10 == 0:
+                    twin = img_for(did, noise_seed=did + 1)
+                    tenc = (
+                        multimodal.encode_png
+                        if did % 2 == 0
+                        else multimodal.encode_bmp
+                    )
+                    out["media_id"].append(did + 1_000_000)
+                    out["payload"].append(tenc(twin))
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    hashes = multimodal.extract_image_phash(media)
+    return hamming_pairs(hashes, "media_id", "phash", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "multimodal_png_decode",
     """

@@ -206,3 +206,72 @@ def test_temperature_mix_flattens_distribution(spark):
         temperature_mix(df, "grp", "id", tau=0)
     with pytest.raises(ValueError, match="target_frac"):
         temperature_mix(df, "grp", "id", target_frac=0)
+
+
+# --- perceptual image hashing (round-7) -------------------------------------
+
+
+def test_phash_invariances_and_separation():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (48, 64, 3)).astype("uint8")
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = M.phash64(img)
+    # re-encoding through BMP AND PNG must preserve the hash exactly
+    assert ham(h, M.phash64(M.decode_bmp(M.encode_bmp(img))["pixels"])) == 0
+    assert ham(h, M.phash64(M.decode_png(M.encode_png(img))["pixels"])) == 0
+    # global brightness shift: invariant (median over non-DC coefficients)
+    bright = np.clip(img.astype(int) + 40, 0, 255).astype("uint8")
+    assert ham(h, M.phash64(bright)) == 0
+    # small noise: close; different random image: far
+    noisy = np.clip(img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255)
+    assert ham(h, M.phash64(noisy.astype("uint8"))) <= 8
+    other = rng.integers(0, 256, (48, 64, 3)).astype("uint8")
+    assert ham(h, M.phash64(other)) > 16
+    # tiny images run through the upscale path deterministically
+    small = rng.integers(0, 256, (5, 7, 3)).astype("uint8")
+    assert M.phash64(small) == M.phash64(small)
+
+
+def test_hamming_pairs_matches_brute_force(spark):
+    import itertools
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    hashes = [0, 1, 3, 1 << 40, (1 << 40) | 7, -1, -2, 12345]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id LONG, h LONG"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "id", "h", max_hamming=3).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want
+
+
+def test_phash_neardup_workload_recall(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    rows = QUERIES["multimodal_phash_neardup"](spark, sf_dir).collect()
+    planted = [r for r in rows if r.id_b == r.id_a + 1_000_000]
+    extras = [r for r in rows if r.id_b != r.id_a + 1_000_000]
+    assert len(planted) == 40  # every 10th of 400 docs gets a twin
+    assert len(extras) == 0
+    assert all(r.hamming <= 6 for r in planted)
