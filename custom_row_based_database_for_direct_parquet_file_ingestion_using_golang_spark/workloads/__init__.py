@@ -67,6 +67,10 @@ PRIORITY: list[str] = [
     "refsql_group_by_all_ordinals",
     "corpus_chunk_sliding",
     "stream_bloom_drop_denied",
+    "refsql_range_frame",
+    "corpus_temperature_mix",
+    "contamination_bloom_prefilter",
+    "multimodal_phash_neardup",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -76,19 +80,24 @@ PRIORITY: list[str] = [
     "corpus_line_dedup",
     "dedup_exact_groups",
     "dedup_embedding_neardup",
-    "similar_pairs_top15",
-    "bm25_top10",
-    "corpus_pack_sequences",
-    "dedup_exact_survivors",
     "window_topk_per_group",
     "q01_pricing_summary",
     "scan_full_table",
     "filter_compare",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (weak_typing_filter, agg_group_having, agg_global, distinct_values,
-    # order_limit_offset and filter_not_and_or displaced to make room for
-    # the six round-7 entries — all thin pytest-pinned shapes whose code
-    # paths every refsql entry shares.)
+    # (Displaced to fit the ten round-7 entries: the thin predicate/agg
+    # shapes every refsql entry shares (weak_typing_filter,
+    # agg_group_having, agg_global, distinct_values, order_limit_offset,
+    # filter_not_and_or) and four r4-green entries whose operator families
+    # keep other in-window representatives — similar_pairs_top15/
+    # bm25_top10/corpus_pack_sequences/dedup_exact_survivors are
+    # pytest+property-pinned, and blocked-BLAS / exact-dedup paths are
+    # exercised by dedup_embedding_neardup and dedup_exact_groups above.
+    # All of these lead the r8 window.)
+    "similar_pairs_top15",
+    "bm25_top10",
+    "corpus_pack_sequences",
+    "dedup_exact_survivors",
     "weak_typing_filter",
     "agg_group_having",
     "agg_global",
