@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "corpus_temperature_mix",
     "contamination_bloom_prefilter",
     "multimodal_phash_neardup",
+    "multimodal_audio_neardup",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -80,7 +81,6 @@ PRIORITY: list[str] = [
     "corpus_line_dedup",
     "dedup_exact_groups",
     "dedup_embedding_neardup",
-    "window_topk_per_group",
     "q01_pricing_summary",
     "scan_full_table",
     "filter_compare",
@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     # pytest+property-pinned, and blocked-BLAS / exact-dedup paths are
     # exercised by dedup_embedding_neardup and dedup_exact_groups above.
     # All of these lead the r8 window.)
+    "window_topk_per_group",
     "similar_pairs_top15",
     "bm25_top10",
     "corpus_pack_sequences",

@@ -1165,6 +1165,68 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_bmp_features(media)
 
 
+@query("multimodal_audio_neardup")  # rows-only: FFT isn't SQL-expressible
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-audio-fingerprint near-dup detection (round-7), the audio
+    sibling of multimodal_phash_neardup: per-doc 4-sine mixtures (seeded
+    frequencies/phases/amplitudes per doc_id); every 10th doc gets a twin
+    re-encoded through LOSSY G.711 μ-law with 0.3% additive noise. The
+    fingerprint (multimodal.audio_fingerprint64, Philips band-energy
+    signs) must survive the codec + noise; pairs via the same generic
+    hamming_pairs blocking — 8-byte fingerprints shuffle, never
+    waveforms. Rows-only; pytest pins planted-twin recall and zero false
+    pairs."""
+    from ..operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(400)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        def synth(did: int) -> "np.ndarray":
+            prng = np.random.default_rng(7_654_321 + did)
+            t = np.arange(4096) / 8000.0
+            s = sum(
+                prng.uniform(0.2, 1.0)
+                * np.sin(
+                    2 * np.pi * prng.uniform(100, 3500) * t
+                    + prng.uniform(0, 2 * np.pi)
+                )
+                for _ in range(8)
+            )
+            return s / np.max(np.abs(s)) * 0.8
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].astype("int64"):
+                s = synth(did)
+                pcm = np.round(s * 32767).astype(np.int16)
+                out["media_id"].append(did)
+                out["payload"].append(multimodal.encode_wav(pcm, 8000))
+                if did % 10 == 0:
+                    rng = np.random.default_rng(did + 1)
+                    noisy = np.clip(s + rng.normal(0, 0.003, s.shape), -1, 1)
+                    # real G.711 μ-law compression: lossy 8-bit codes the
+                    # decoder expands back per spec
+                    codes = multimodal.linear_to_mulaw(
+                        np.round(noisy * 32767).astype(np.int16)
+                    )
+                    out["media_id"].append(did + 1_000_000)
+                    out["payload"].append(
+                        multimodal.encode_wav_mulaw(codes, 8000)
+                    )
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
+    fps = multimodal.extract_audio_fingerprint(media)
+    # measured: planted twins ≤7 bits, unrelated 8-sine mixtures ≥9
+    return hamming_pairs(fps, "media_id", "fingerprint", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query("multimodal_phash_neardup")  # rows-only: DCT isn't SQL-expressible
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-dup detection (round-7): per-doc smooth

@@ -275,3 +275,72 @@ def test_phash_neardup_workload_recall(spark, sf_dir):
     assert len(planted) == 40  # every 10th of 400 docs gets a twin
     assert len(extras) == 0
     assert all(r.hamming <= 6 for r in planted)
+
+
+def test_audio_fingerprint_invariances():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    prng = np.random.default_rng(11)
+    t = np.arange(4096) / 8000.0
+    s = sum(
+        prng.uniform(0.2, 1.0)
+        * np.sin(2 * np.pi * prng.uniform(100, 3500) * t + prng.uniform(0, 6.28))
+        for _ in range(8)
+    )
+    s = s / np.max(np.abs(s)) * 0.8
+    pcm = np.round(s * 32767).astype(np.int16)
+    h = M.audio_fingerprint64(pcm)
+    # amplitude invariance (signs of energy differences)
+    assert ham(h, M.audio_fingerprint64((pcm * 0.25).astype(np.int16))) == 0
+    # PCM16 WAV round-trip: exact
+    assert ham(
+        h,
+        M.audio_fingerprint64(M.decode_wav(M.encode_wav(pcm, 8000))["samples"]),
+    ) == 0
+    # lossy G.711 mu-law round-trip (real compressor + spec decoder): close
+    codes = M.linear_to_mulaw(pcm)
+    back = M.decode_wav(M.encode_wav_mulaw(codes, 8000))["samples"]
+    assert ham(h, M.audio_fingerprint64(back)) <= 8
+    # unrelated mixture: far
+    prng2 = np.random.default_rng(99)
+    s2 = sum(
+        prng2.uniform(0.2, 1.0)
+        * np.sin(2 * np.pi * prng2.uniform(100, 3500) * t + prng2.uniform(0, 6.28))
+        for _ in range(8)
+    )
+    pcm2 = np.round(s2 / np.max(np.abs(s2)) * 26000).astype(np.int16)
+    assert ham(h, M.audio_fingerprint64(pcm2)) > 8
+
+
+def test_linear_to_mulaw_round_trip():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    x = (np.sin(np.linspace(0, 60, 4000)) * 25000).astype("int16")
+    back = M.decode_wav(M.encode_wav_mulaw(M.linear_to_mulaw(x), 8000))["samples"]
+    rel = np.abs(back.astype(float) - x) / (np.abs(x) + 100.0)
+    assert rel.max() < 0.05  # within mu-law quantization error
+
+
+def test_audio_neardup_workload_recall(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    rows = QUERIES["multimodal_audio_neardup"](spark, sf_dir).collect()
+    planted = [r for r in rows if r.id_b == r.id_a + 1_000_000]
+    extras = [r for r in rows if r.id_b != r.id_a + 1_000_000]
+    assert len(planted) == 40
+    # LSH-family honesty: a rare genuine <=8-bit collision between
+    # unrelated mixtures is allowed, but must stay rare.
+    assert len(extras) <= 2
