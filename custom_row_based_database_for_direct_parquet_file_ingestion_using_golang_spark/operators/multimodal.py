@@ -813,7 +813,7 @@ def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 30) -> bytes:
 
 
 @_malformed_guard
-def demux_avi(payload: bytes) -> dict:
+def demux_avi(payload: bytes, with_pixels: bool = False) -> dict:
     """REAL demux of an AVI: RIFF walk to the hdrl (width/height/frame
     count/rate + the stream's fccHandler) and the movi list, yielding one
     descriptor per frame with its offset RELATIVE TO THE MOVI PAYLOAD
@@ -861,28 +861,30 @@ def demux_avi(payload: bytes) -> dict:
         if cid == b"00db":
             raw = np.frombuffer(movi, dtype=np.uint8, count=row_size * h, offset=fpos + 8)
             rgb = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
-            frames.append(
-                {
-                    "frame_no": len(frames),
-                    "offset": fpos + 8,
-                    "n_bytes": size,
-                    "pixel_sum": int(rgb.sum(dtype=np.int64)),
-                }
-            )
+            desc = {
+                "frame_no": len(frames),
+                "offset": fpos + 8,
+                "n_bytes": size,
+                "pixel_sum": int(rgb.sum(dtype=np.int64)),
+            }
+            if with_pixels:
+                desc["pixels"] = rgb
+            frames.append(desc)
         elif cid == b"00dc":
             if handler != b"MJPG":
                 raise NotImplementedError(
                     f"compressed AVI stream {handler!r} not supported (MJPG only)"
                 )
             d = decode_jpeg(bytes(movi[fpos + 8 : fpos + 8 + size]))
-            frames.append(
-                {
-                    "frame_no": len(frames),
-                    "offset": fpos + 8,
-                    "n_bytes": size,
-                    "pixel_sum": d["pixel_sum"],
-                }
-            )
+            desc = {
+                "frame_no": len(frames),
+                "offset": fpos + 8,
+                "n_bytes": size,
+                "pixel_sum": d["pixel_sum"],
+            }
+            if with_pixels:
+                desc["pixels"] = d["pixels"]
+            frames.append(desc)
         fpos += 8 + size + (size & 1)
     return {
         "width": w,
@@ -2170,4 +2172,29 @@ def extract_audio_fingerprint(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(
         batches, schema="media_id long, fingerprint long, n_samples long"
+    )
+
+
+def extract_video_frame_phash(media: DataFrame) -> DataFrame:
+    """(media_id, frame_no, phash) — one perceptual hash per REALLY-decoded
+    video frame (uncompressed-DIB or Motion-JPEG AVI), inside Arrow
+    ``mapInPandas``. A video's fingerprint is its bag of frame hashes:
+    near-dup videos share many frame hashes within a small Hamming budget,
+    which `dedup.hamming_pairs` + a per-video-pair count turn into video
+    matches — the join moves 8 bytes per FRAME, never pixels."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_no": [], "phash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = demux_avi(bytes(payload), with_pixels=True)
+                for f in d["frames"]:
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f["frame_no"])
+                    out["phash"].append(phash64(f["pixels"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, schema="media_id long, frame_no int, phash long"
     )

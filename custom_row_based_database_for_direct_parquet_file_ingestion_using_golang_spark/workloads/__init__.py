@@ -72,6 +72,7 @@ PRIORITY: list[str] = [
     "contamination_bloom_prefilter",
     "multimodal_phash_neardup",
     "multimodal_audio_neardup",
+    "multimodal_video_neardup",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -81,7 +82,6 @@ PRIORITY: list[str] = [
     "corpus_line_dedup",
     "dedup_exact_groups",
     "dedup_embedding_neardup",
-    "q01_pricing_summary",
     "scan_full_table",
     "filter_compare",
     # -- ~50-slot window boundary (50 entries above this line). Below:
@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     # pytest+property-pinned, and blocked-BLAS / exact-dedup paths are
     # exercised by dedup_embedding_neardup and dedup_exact_groups above.
     # All of these lead the r8 window.)
+    "q01_pricing_summary",
     "window_topk_per_group",
     "similar_pairs_top15",
     "bm25_top10",

@@ -1165,6 +1165,72 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_bmp_features(media)
 
 
+@query("multimodal_video_neardup")  # rows-only: DCT isn't SQL-expressible
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection (round-7) — the video corner of the
+    modality triangle: per-doc 6-frame clips (each frame a distinct
+    seeded Fourier-mixture image); every 10th doc gets a twin re-encoded
+    through LOSSY Motion-JPEG. A video's fingerprint is its bag of
+    per-frame pHashes (multimodal.extract_video_frame_phash); frame
+    matches come from the generic hamming_pairs blocking over composite
+    (video, frame) ids, and a video pair is a near-dup when ≥4 of its 6
+    frames match within 6 bits. The joins move 8 bytes per frame — never
+    pixels. Rows-only; pytest pins planted-twin recall and zero false
+    video pairs."""
+    from ..operators.dedup import hamming_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(150)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        def frame_for(seed: int) -> "np.ndarray":
+            y, x = np.mgrid[0:24, 0:32]
+            prng = np.random.default_rng(9_999 + seed)
+            g = np.full((24, 32), 128.0)
+            for _ in range(3):
+                fx, fy = prng.uniform(0.5, 3.0, 2)
+                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
+                amp = prng.uniform(25, 45)
+                g = g + amp * np.sin(2 * np.pi * fx * x / 32 + p1) * np.cos(
+                    2 * np.pi * fy * y / 24 + p2
+                )
+            g = np.clip(g, 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].astype("int64"):
+                frames = [frame_for(int(did) * 16 + i) for i in range(6)]
+                out["media_id"].append(did)
+                out["payload"].append(multimodal.encode_avi(frames))
+                if did % 10 == 0:
+                    out["media_id"].append(did + 1_000_000)
+                    out["payload"].append(multimodal.encode_avi_mjpeg(frames))
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
+    fh = multimodal.extract_video_frame_phash(media).select(
+        (F.col("media_id") * 100 + F.col("frame_no")).alias("fid"),
+        "phash",
+    )
+    fp = hamming_pairs(fh, "fid", "phash", max_hamming=6)
+    va = (F.col("id_a") / 100).cast("long")
+    vb = (F.col("id_b") / 100).cast("long")
+    return (
+        fp.select(
+            va.alias("video_a"), vb.alias("video_b"), F.col("id_a").alias("fa")
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count_distinct("fa").alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= 4)
+        .orderBy("video_a", "video_b")
+    )
+
+
 @query("multimodal_audio_neardup")  # rows-only: FFT isn't SQL-expressible
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-audio-fingerprint near-dup detection (round-7), the audio

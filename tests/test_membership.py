@@ -344,3 +344,37 @@ def test_audio_neardup_workload_recall(spark, sf_dir):
     # LSH-family honesty: a rare genuine <=8-bit collision between
     # unrelated mixtures is allowed, but must stay rare.
     assert len(extras) <= 2
+
+
+def test_video_frame_phash_survives_mjpeg():
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal as M,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (24, 32, 3)).astype("uint8") for _ in range(4)]
+    d = M.demux_avi(M.encode_avi(frames), with_pixels=True)
+    assert all(
+        np.array_equal(f["pixels"], g) for f, g in zip(d["frames"], frames)
+    )
+    dm = M.demux_avi(M.encode_avi_mjpeg(frames), with_pixels=True)
+    for f, g in zip(dm["frames"], frames):
+        drift = bin(
+            (M.phash64(f["pixels"]) ^ M.phash64(g)) & ((1 << 64) - 1)
+        ).count("1")
+        assert drift <= 6  # lossy MJPEG must not move the perceptual hash far
+
+
+def test_video_neardup_workload_recall(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    rows = QUERIES["multimodal_video_neardup"](spark, sf_dir).collect()
+    planted = [r for r in rows if r.video_b == r.video_a + 1_000_000]
+    extras = [r for r in rows if r.video_b != r.video_a + 1_000_000]
+    assert len(planted) == 15  # every 10th of 150 docs gets an MJPEG twin
+    assert len(extras) == 0
+    assert all(r.n_matched_frames >= 4 for r in planted)
