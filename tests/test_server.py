@@ -496,6 +496,32 @@ def test_query_api_round6_dialect_surface(api):
     assert out["success"] and "2" in out["result"]
 
 
+def test_query_api_round7_dialect_surface(api):
+    # Round-7 verbs through /api/query: MERGE INTO (the NL-vs-SQL sniff
+    # must route it to SQL), GROUP BY ALL, and ORDER BY ordinals.
+    assert _query(api, "CREATE TABLE r7 (id INT, grp TEXT, v INT)")["success"]
+    assert _query(
+        api, "INSERT INTO r7 VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)"
+    )["success"]
+    assert _query(api, "CREATE TABLE r7c (id INT, grp TEXT, v INT)")["success"]
+    assert _query(api, "INSERT INTO r7c VALUES (2, 'a', 99), (9, 'c', 1)")[
+        "success"
+    ]
+    out = _query(
+        api,
+        "MERGE INTO r7 USING r7c ON r7.id = r7c.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out["success"] and "2" in out["result"], out
+    out = _query(
+        api,
+        "SELECT grp, COUNT(*) AS n FROM r7 GROUP BY ALL ORDER BY 2 DESC, 1",
+    )
+    assert out["success"] and "a" in out["result"]
+    out = _query(api, "SELECT id, v FROM r7 WHERE id = 2")
+    assert out["success"] and "99" in out["result"]  # merge applied
+
+
 def test_upload_gzipped_jsonl_and_csv(api):
     import gzip
 
