@@ -146,3 +146,50 @@ def temperature_mix(
     if mark:
         return marked.drop("_rate")
     return marked.filter(F.col("_mix_keep")).drop("_rate", "_mix_keep")
+
+
+def pack_with_splits(
+    docs: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    shard_col: str,
+    ctx_len: int,
+) -> DataFrame:
+    """Full-fidelity GPT-style packing: where :func:`pack_sequences` only
+    assigns each document to the sequence holding its FIRST token, this
+    emits one row per (document, sequence) SPAN — a document crossing a
+    context boundary splits, and the spans say exactly which of its
+    tokens land in which sequence:
+
+      ``(..., seq_id, tok_start, n_span_tokens)``
+
+    with ``tok_start`` the 0-based offset inside the document. Spans of
+    one document are contiguous, non-overlapping, and sum to its token
+    count — the layout a training-data builder writes shard files from.
+
+    Scale shape: ONE shuffle (the per-shard cumulative-sum window — same
+    as pack_sequences); the span explode multiplies rows only by each
+    doc's sequence-crossing count (≈ n_docs + total_tokens/ctx_len). All
+    arithmetic is exact integer DIV/mod on longs, so the same spans
+    replay in an ANSI oracle and re-runs are byte-identical."""
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    staged = docs.withColumn("_cum", cum).filter(n > 0)
+    first_seq = F.expr(f"_cum DIV {int(ctx_len)}")
+    last_seq = F.expr(f"(_cum + {tokens_col} - 1) DIV {int(ctx_len)}")
+    spans = staged.withColumn(
+        "seq_id", F.explode(F.sequence(first_seq, last_seq))
+    )
+    seq_lo = F.col("seq_id") * ctx_len
+    tok_start = F.greatest(F.lit(0).cast("long"), seq_lo - F.col("_cum"))
+    tok_end = F.least(n, seq_lo + ctx_len - F.col("_cum"))
+    return spans.withColumn("tok_start", tok_start).withColumn(
+        "n_span_tokens", (tok_end - tok_start).cast("long")
+    ).drop("_cum")

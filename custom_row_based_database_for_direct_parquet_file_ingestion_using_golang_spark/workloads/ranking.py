@@ -684,6 +684,52 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_split_spans",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(regexp_extract_all(text, '{WORDISH}')) AS n_tok
+               FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS cum
+      FROM t
+    ),
+    sp AS (
+      SELECT doc_id, source, n_tok, cum,
+             unnest(range(CAST(cum // 256 AS BIGINT),
+                          CAST((cum + n_tok - 1) // 256 + 1 AS BIGINT)))
+               AS seq_id
+      FROM c WHERE n_tok > 0
+    )
+    SELECT doc_id, source, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(0, seq_id * 256 - cum) AS BIGINT) AS tok_start,
+           CAST(least(n_tok, seq_id * 256 + 256 - cum)
+                - greatest(0, seq_id * 256 - cum) AS BIGINT) AS n_span_tokens
+    FROM sp ORDER BY source, doc_id, seq_id
+    """,
+)
+def corpus_pack_split_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-fidelity packing (round-7): per-(doc, sequence) token spans with
+    # documents SPLIT across 256-token context boundaries — one cumulative
+    # window per shard, integer-exact arithmetic, so the oracle replays
+    # every span boundary. A wrong exclusive-cumsum, an off-by-one at a
+    # boundary, or a dropped zero-token doc flips the hash.
+    from ..operators.packing import pack_with_splits
+    from ..operators.text import word_token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", word_token_count("text").alias("n_tok")
+    )
+    spans = pack_with_splits(docs, "doc_id", "n_tok", "source", 256)
+    return spans.select(
+        "doc_id", "source", "seq_id", "tok_start", "n_span_tokens"
+    ).orderBy("source", "doc_id", "seq_id")
+
+
+@query(
     "corpus_temperature_mix",
     """
     WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

@@ -378,3 +378,50 @@ def test_video_neardup_workload_recall(spark, sf_dir):
     assert len(planted) == 15  # every 10th of 150 docs gets an MJPEG twin
     assert len(extras) == 0
     assert all(r.n_matched_frames >= 4 for r in planted)
+
+
+# --- packing with document splits (round-7) ---------------------------------
+
+
+def test_pack_with_splits_covers_every_token(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.packing import (
+        pack_with_splits,
+    )
+
+    rows = [
+        (1, "s", 100),
+        (2, "s", 300),   # crosses boundaries at ctx=128
+        (3, "s", 0),     # zero-token doc: no spans
+        (4, "s", 128),
+        (5, "t", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc LONG, shard STRING, n LONG")
+    spans = pack_with_splits(df, "doc", "n", "shard", 128).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc, []).append(r)
+    assert 3 not in by_doc
+    for doc, n in [(1, 100), (2, 300), (4, 128), (5, 5)]:
+        ss = sorted(by_doc[doc], key=lambda r: r.seq_id)
+        assert sum(r.n_span_tokens for r in ss) == n  # no token dropped
+        # spans are contiguous within the doc
+        pos = 0
+        for r in ss:
+            assert r.tok_start == pos
+            pos += r.n_span_tokens
+    # doc2 starts at cum=100 → spans seqs 0..3 at ctx 128: 28+128+128+16
+    assert [r.n_span_tokens for r in sorted(by_doc[2], key=lambda r: r.seq_id)] == [
+        28,
+        128,
+        128,
+        16,
+    ]
+    # shards pack independently: doc5 (shard t) starts at seq 0
+    assert by_doc[5][0].seq_id == 0 and by_doc[5][0].n_span_tokens == 5
+    # every sequence's spans sum to exactly ctx_len except each shard's last
+    per_seq = {}
+    for r in spans:
+        if r.shard == "s":
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_span_tokens
+    last = max(per_seq)
+    assert all(v == 128 for k, v in per_seq.items() if k != last)
