@@ -773,6 +773,7 @@ def semantic_dedup(
     threshold: float = 0.999,
     centroids: str = "hash",
     train_limit: int = 512,
+    assignment: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     cluster the corpus, then drop rows whose cosine similarity to a
@@ -840,17 +841,60 @@ def semantic_dedup(
         cents = [[float(x) for x in r["_v"]] for r in cent_rows]
     else:
         raise ValueError(f"centroids must be 'hash' or 'kmeans', got {centroids!r}")
-    sims = F.array(
-        *[
-            F.round(cosine(F.col("_v"), F.array(*[F.lit(w) for w in c])), 6)
-            for c in cents
-        ]
-    )
-    assigned = base.select(
-        F.col(id_col),
-        F.col("_v"),
-        F.array_position(sims, F.array_max(sims)).cast("int").alias("cluster_id"),
-    )
+    if assignment == "literal":
+        # Plan-literal centroids: zero-shuffle JVM column algebra inside
+        # WholeStageCodegen — best below the k-ceiling (~10^3 clusters;
+        # docs/SCALING.md "SemDeDup k-ceiling").
+        sims = F.array(
+            *[
+                F.round(cosine(F.col("_v"), F.array(*[F.lit(w) for w in c])), 6)
+                for c in cents
+            ]
+        )
+        assigned = base.select(
+            F.col(id_col),
+            F.col("_v"),
+            F.array_position(sims, F.array_max(sims))
+            .cast("int")
+            .alias("cluster_id"),
+        )
+    elif assignment == "broadcast":
+        # The at-scale path the k-ceiling note prescribes: the centroid
+        # matrix rides task broadcast (k·dim doubles — megabytes at
+        # k=10^5, far past any plan-literal budget) and assignment is ONE
+        # Arrow pass: a BLAS (batch × k) matmul + argmax per batch.
+        # Still zero shuffle. Tie-breaks match the literal path exactly:
+        # similarities round to 6 dp and the LOWEST centroid index wins.
+        import pandas as _pd
+
+        cmat = np.asarray(cents, dtype=np.float64)
+        cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+        def assign(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                sims = np.round(vn @ cnorm.T, 6)
+                # argmax returns the FIRST maximal index — same tie rule
+                # as array_position(sims, array_max(sims)); +1 to match
+                # its 1-based cluster ids.
+                pdf = pdf.copy()
+                pdf["cluster_id"] = (
+                    sims.argmax(axis=1).astype("int32") + 1
+                )
+                yield pdf
+
+        assigned = base.select(F.col(id_col), F.col("_v")).mapInPandas(
+            assign,
+            schema=f"{id_col} {base.schema[id_col].dataType.simpleString()}, "
+            "_v array<double>, cluster_id int",
+        )
+    else:
+        raise ValueError(
+            f"assignment must be 'literal' or 'broadcast', got {assignment!r}"
+        )
     # Within-cluster compare as a BLAS tile per cluster (applyInPandas):
     # one shuffle on cluster_id, then the quadratic work runs as a single
     # n×n (column-chunked) matrix product instead of n² interpreted

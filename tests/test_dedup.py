@@ -302,3 +302,30 @@ def test_edit_distance_pairs_blocking_and_exactness(spark):
         [(1, "aaaa"), (2, "aaaabbbbbb")], ["id", "k"]
     )
     assert edit_distance_pairs(long, "id", "k", max_dist=2).count() == 0
+
+
+def test_semantic_dedup_broadcast_assignment_matches_literal(spark, sf_dir):
+    """The at-scale broadcast+Arrow-argmax assignment must reproduce the
+    plan-literal path exactly — same 6-dp rounding, same lowest-index tie
+    rule — on real fixture embeddings."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lit = semantic_dedup(emb, "vec_id", "v", n_clusters=6, threshold=0.999)
+    bc = semantic_dedup(
+        emb, "vec_id", "v", n_clusters=6, threshold=0.999,
+        assignment="broadcast",
+    )
+    a = {(r.vec_id): (r.cluster_id, r.is_dup) for r in lit.collect()}
+    b = {(r.vec_id): (r.cluster_id, r.is_dup) for r in bc.collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assignment"):
+        semantic_dedup(emb, "vec_id", "v", assignment="nope")
