@@ -70,6 +70,23 @@ class Bloom:
     def n_set_bits(self) -> int:
         return sum(bin(w & 0xFFFFFFFFFFFFFFFF).count("1") for w in self.words)
 
+    def union(self, other: "Bloom") -> "Bloom":
+        """OR-merge two filters built with the SAME (m_bits, k): the
+        incremental-denylist operation — yesterday's bloom ∪ today's new
+        keys without re-scanning history. A key probing True in either
+        input probes True in the union (bloom filters are closed under
+        bitwise OR)."""
+        if (self.m_bits, self.k) != (other.m_bits, other.k):
+            raise ValueError(
+                "bloom union requires identical (m_bits, k): "
+                f"{(self.m_bits, self.k)} vs {(other.m_bits, other.k)}"
+            )
+        merged = []
+        for a, b in zip(self.words, other.words):
+            w = (a & 0xFFFFFFFFFFFFFFFF) | (b & 0xFFFFFFFFFFFFFFFF)
+            merged.append(w - (1 << 64) if w >= (1 << 63) else w)
+        return Bloom(m_bits=self.m_bits, k=self.k, words=tuple(merged))
+
 
 def bloom_build(df: DataFrame, key_col: str | Column, m_bits: int = 1 << 17,
                 k: int = 5) -> Bloom:

@@ -425,3 +425,56 @@ def test_pack_with_splits_covers_every_token(spark):
             per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_span_tokens
     last = max(per_seq)
     assert all(v == 128 for k, v in per_seq.items() if k != last)
+
+
+def test_bloom_union_merges_key_sets(spark):
+    a_keys = spark.createDataFrame([(f"a{i}",) for i in range(200)], ["k"])
+    b_keys = spark.createDataFrame([(f"b{i}",) for i in range(200)], ["k"])
+    ba = membership.bloom_build(a_keys, "k", m_bits=1 << 12, k=3)
+    bb = membership.bloom_build(b_keys, "k", m_bits=1 << 12, k=3)
+    u = ba.union(bb)
+    assert u.n_set_bits >= max(ba.n_set_bits, bb.n_set_bits)
+    both = a_keys.unionByName(b_keys)
+    misses = (
+        both.select(membership.bloom_contains(F.col("k"), u).alias("hit"))
+        .filter(~F.col("hit"))
+        .count()
+    )
+    assert misses == 0
+    with pytest.raises(ValueError, match="identical"):
+        ba.union(membership.bloom_build(a_keys, "k", m_bits=1 << 10, k=3))
+
+
+def test_nb_classifier_scores_inside_structured_stream(spark, tmp_path):
+    """The hashed-NB scorer is stateless column algebra, so it must work
+    unchanged as a streaming filter — the shape a live quality gate uses."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text as text_ops,
+    )
+
+    pos_doc, neg_doc = ["apple", "banana"], ["xray", "zulu"]
+    train = spark.createDataFrame(
+        [(i, pos_doc, True) for i in range(10)]
+        + [(i + 50, neg_doc, False) for i in range(10)],
+        "id LONG, toks ARRAY<STRING>, lbl BOOLEAN",
+    )
+    w = text_ops.nb_train_token_logodds(train, "toks", "lbl", n_buckets=64)
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "xray zulu"), (3, "banana apple")],
+        ["id", "text"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id LONG, text STRING").parquet(src)
+    scored = stream.select(
+        "id", text_ops.nb_score_tokens(F.split("text", " "), w).alias("s")
+    ).filter(F.col("s") > 0)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("nb_stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.id for r in spark.sql("SELECT * FROM nb_stream_out").collect())
+    assert ids == [1, 3]
