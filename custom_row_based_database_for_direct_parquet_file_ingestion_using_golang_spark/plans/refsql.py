@@ -79,6 +79,10 @@ Round-7 extensions:
     integer ordinals in GROUP BY / ORDER BY indexing the output columns.
   * ``RANGE BETWEEN <bound> AND <bound>`` frames (logical value offsets
     over exactly one numeric ORDER BY key — Spark's rangeBetween).
+  * Derived tables: ``FROM (SELECT ...) AS x`` (alias mandatory; one
+    plain subselect — use a CTE for set-op bodies), composing with joins
+    and every outer clause.
+  * ``FIRST_VALUE / LAST_VALUE / NTH_VALUE`` window functions.
 """
 
 from __future__ import annotations
@@ -534,6 +538,9 @@ class SelectSpec:
     joins: list[tuple[str, str, "str | None", Column]] = field(
         default_factory=list
     )  # (how, table, alias, on-condition)
+    # Dialect extension (round-7): FROM (SELECT ...) AS x — a derived
+    # table; (sub_spec, sub_clauses) resolved recursively at execute time.
+    derived: "tuple[SelectSpec, dict] | None" = None
 
 
 def parse_select(
@@ -727,10 +734,31 @@ def parse_select(
                     )
             spec.projections.append((name, alias))
     cur.expect_kw("from")
-    spec.table = _unquote(cur.next())
-    if cur.peek_kw() == "as":
+    if cur.peek() == "(":
+        # Round-7: derived table — ``FROM (SELECT ...) AS x``. One plain
+        # subselect (use a CTE for set-op bodies); the alias is mandatory
+        # (standard SQL) and names the frame for qualified references.
         cur.next()
+        sub_spec, _, sub_clauses = parse_select(cur, weak_typing, resolver)
+        if cur.next() != ")":
+            raise ParseError("expected ')' to close the derived table")
+        if cur.peek_kw() == "as":
+            cur.next()
+        nxt = cur.peek()
+        if nxt is None or nxt in (",", ")") or (cur.peek_kw() or "") in (
+            "where", "group", "order", "limit", "offset", "having",
+            "qualify", "union", "intersect", "except", "join", "inner",
+            "left", "right", "full", "cross", "sample", "version",
+        ):
+            raise ParseError("derived table needs an alias: (SELECT ...) AS x")
+        spec.derived = (sub_spec, sub_clauses)
         spec.alias = _unquote(cur.next())
+        spec.table = spec.alias
+    else:
+        spec.table = _unquote(cur.next())
+        if cur.peek_kw() == "as":
+            cur.next()
+            spec.alias = _unquote(cur.next())
     if cur.peek_kw() == "version":
         # Dialect extension (SURVEY.md §7.4): `FROM t VERSION AS OF n`
         # reads a retired copy-on-write snapshot (Engine.table_at) — the
@@ -1244,11 +1272,19 @@ class RefSQL:
         broadcast vs shuffle join per side as usual."""
         if spec.version is not None and spec.table in self._ctes:
             raise ParseError("VERSION AS OF applies to tables, not CTEs")
-        df = (
-            self.engine.table_at(spec.table, spec.version)
-            if spec.version is not None
-            else self._table_df(spec.table)
-        )
+        if spec.derived is not None:
+            if spec.version is not None:
+                raise ParseError(
+                    "VERSION AS OF applies to tables, not derived tables"
+                )
+            dspec, dclauses = spec.derived
+            df = build_select(self._resolved_from(dspec), dspec, dclauses)
+        else:
+            df = (
+                self.engine.table_at(spec.table, spec.version)
+                if spec.version is not None
+                else self._table_df(spec.table)
+            )
         if spec.sample is not None:
             pct, scol = spec.sample
             keep = (256 * pct) // 100

@@ -74,13 +74,13 @@ PRIORITY: list[str] = [
     "multimodal_audio_neardup",
     "multimodal_video_neardup",
     "corpus_pack_split_spans",
+    "refsql_derived_table",
     # (2) round-4-green block — three rounds stale, oldest driver evidence.
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
     "multimodal_avi_frame_sample",
     "dedup_ngram_jaccard_top20",
     "dedup_duplicate_clusters",
-    "corpus_line_dedup",
     "dedup_embedding_neardup",
     "scan_full_table",
     "filter_compare",
@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     # pytest+property-pinned, and blocked-BLAS / exact-dedup paths are
     # exercised by dedup_embedding_neardup and dedup_exact_groups above.
     # All of these lead the r8 window.)
+    "corpus_line_dedup",
     "dedup_exact_groups",
     "q01_pricing_summary",
     "window_topk_per_group",

@@ -589,6 +589,35 @@ def refsql_q1_expression_aggregates(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "refsql_derived_table",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(big_total), 2) AS total
+    FROM (SELECT o_orderstatus, o_totalprice AS big_total
+          FROM orders WHERE o_totalprice > 150000) AS d
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FROM (SELECT ...) AS x through the dialect (round-7): an aliased,
+    # renamed, filtered subselect aggregated by the outer query. DuckDB
+    # runs nearly the same text (ROUND-around-SUM moves to a CTE on the
+    # dialect side, same plan); a broken subselect resolution, dropped
+    # rename, or alias leak flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH a AS (SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(big_total) AS t "
+        "FROM (SELECT o_orderstatus, o_totalprice AS big_total "
+        "FROM orders WHERE o_totalprice > 150000) AS d "
+        "GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, n, ROUND(t, 2) AS total FROM a "
+        "ORDER BY o_orderstatus",
+    )
+
+
+@query(
     "refsql_group_by_all_ordinals",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -1524,3 +1524,32 @@ def test_merge_matches_dict_model_random_batches(spark, tmp_path, seed):
     assert got == model, f"seed {seed}"
     assert n1 == len(upd) + len(ins)
     assert n2 == len(dele)
+
+
+# -- derived tables (round-7) -------------------------------------------------
+
+
+def test_derived_table_basic_and_join(engine):
+    df = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM "
+        "(SELECT course FROM students WHERE id <= 4) AS d "
+        "GROUP BY course ORDER BY course"
+    )
+    rows = {r.course: r.n for r in df.collect()}
+    assert rows == {"AI/ML": 1, "CS": 1, "Data Science": 1, "Mech": 1}
+    # derived table joined against a base table with qualified refs
+    df = engine.ref_sql(
+        "SELECT d.course, s.name FROM "
+        "(SELECT course FROM students WHERE id = 1) AS d "
+        "JOIN students AS s ON d.course = s.course ORDER BY s.id"
+    )
+    assert [r.name for r in df.collect()] == ["Noel", "Frank"]
+
+
+def test_derived_table_requires_alias(engine):
+    with pytest.raises(ParseError, match="needs an alias"):
+        engine.ref_sql("SELECT name FROM (SELECT name FROM students)")
+    with pytest.raises(ParseError, match="VERSION AS OF"):
+        engine.ref_sql(
+            "SELECT name FROM (SELECT name FROM students) AS d VERSION AS OF 0"
+        )
