@@ -131,7 +131,7 @@ class Engine:
             partition_by=partition_by or [],
         )
         # Storage first, catalog second (no phantom entries on failure).
-        self.store.init_empty(name, meta.schema)
+        self.store.init_empty(name, meta.schema, meta.partition_by)
         self.catalog.add_table(meta)
 
     def drop_table(self, name: str) -> None:
@@ -539,8 +539,19 @@ class Engine:
         one task. ``partition_by`` writes hive-layout subdirectories
         (``col=value/``) so downstream scans partition-prune — the layout
         a 100 TB corpus export needs for selective re-reads."""
+        return self.export_df(self.table(name), path, fmt, partition_by)
+
+    def export_df(
+        self,
+        df: DataFrame,
+        path: str,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Distributed export of an arbitrary DataFrame — the engine of
+        ``export_table`` and the dialect's ``COPY (SELECT ...) TO`` form
+        (export a query result without materializing a table first)."""
         fmt = fmt.lower()
-        df = self.table(name)
         if partition_by:
             missing = [c for c in partition_by if c not in df.columns]
             if missing:

@@ -83,6 +83,8 @@ Round-7 extensions:
     plain subselect — use a CTE for set-op bodies), composing with joins
     and every outer clause.
   * ``FIRST_VALUE / LAST_VALUE / NTH_VALUE`` window functions.
+  * ``CREATE TABLE ... PARTITIONED BY (...)`` (both forms) and
+    ``COPY (SELECT ...) TO 'path'`` query export.
 """
 
 from __future__ import annotations
@@ -1571,7 +1573,17 @@ class RefSQL:
             # export complement of the reference's import surface;
             # PARTITION BY writes hive-layout subdirectories (round-7).
             cur.expect_kw("copy")
-            table = _unquote(cur.next())
+            src_df = None
+            if cur.peek() == "(":
+                # Round-7: ``COPY (SELECT ...) TO 'path' ...`` — export a
+                # query result without materializing a table first.
+                cur.next()
+                src_df = self._select_df(cur)
+                if cur.next() != ")":
+                    raise ParseError("expected ')' to close the COPY query")
+                table = "(query)"
+            else:
+                table = _unquote(cur.next())
             cur.expect_kw("to")
             path = _unquote(cur.next())
             fmt = "parquet"
@@ -1596,7 +1608,10 @@ class RefSQL:
                     raise ParseError("PARTITION BY needs at least one column")
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after COPY")
-            n = self.engine.export_table(table, path, fmt, part_cols)
+            if src_df is not None:
+                n = self.engine.export_df(src_df, path, fmt, part_cols)
+            else:
+                n = self.engine.export_table(table, path, fmt, part_cols)
             suffix = f", partitioned by {', '.join(part_cols)}" if part_cols else ""
             return f"copied '{table}' to {path} ({n} row(s), {fmt}{suffix})"
         if verb == "alter":
@@ -2016,19 +2031,53 @@ class RefSQL:
             self.engine.mviews.create(name, " ".join(rest))
             return None
         cur.expect_kw("table")
-        if cur.peek_kw(1) == "as" and cur.peek_kw(2) == "select":
-            # Dialect extension: ``CREATE TABLE t AS SELECT ...`` — CTAS.
-            # One distributed write; the new table's declared schema comes
-            # from the SELECT result (same registration path as ingest).
+
+        def _partition_cols() -> "list[str] | None":
+            # Round-7: [PARTITIONED BY (col, ...)] — hive-layout storage
+            # so filters on the partition columns prune whole directories.
+            if cur.peek_kw() != "partitioned":
+                return None
+            cur.next()
+            cur.expect_kw("by")
+            if cur.next() != "(":
+                raise ParseError("expected '(' after PARTITIONED BY")
+            out: list[str] = []
+            while True:
+                tok = cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                out.append(_unquote(tok))
+            if not out:
+                raise ParseError("PARTITIONED BY needs at least one column")
+            return out
+
+        if cur.peek_kw(1) == "as" and cur.peek_kw(2) == "select" or (
+            cur.peek_kw(1) == "partitioned"
+        ):
+            # Dialect extension: ``CREATE TABLE t [PARTITIONED BY (...)]
+            # AS SELECT ...`` — CTAS. One distributed write; the new
+            # table's declared schema comes from the SELECT result (same
+            # registration path as ingest).
             name = _unquote(cur.next())
-            cur.next()  # AS
-            df = self._select_df(cur)
-            if not cur.done():
-                raise ParseError(
-                    f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
-                )
-            self.engine.create_table_from(name, df)
-            return None
+            part = _partition_cols()
+            if cur.peek_kw() == "as":
+                cur.next()  # AS
+                df = self._select_df(cur)
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
+                    )
+                self.engine.create_table_from(name, df, partition_by=part)
+                return None
+            # fall through: CREATE TABLE t PARTITIONED BY (...) (cols)
+            # isn't a form we accept — the column list comes first.
+            raise ParseError(
+                "PARTITIONED BY goes after the column list "
+                "(CREATE TABLE t (cols) PARTITIONED BY (...)) or before "
+                "AS SELECT"
+            )
         table = _unquote(cur.next())
         if cur.next() != "(":
             raise ParseError("expected '(' after table name")
@@ -2042,5 +2091,17 @@ class RefSQL:
             name = _unquote(tok)
             decl = cur.next().upper()
             cols.append((name, decl))
-        self.engine.create_table(table, cols)
+        part = _partition_cols()
+        if not cur.done():
+            raise ParseError(
+                f"unexpected token {cur.peek()!r} after CREATE TABLE"
+            )
+        if part:
+            declared = {n for n, _ in cols}
+            missing = [c for c in part if c not in declared]
+            if missing:
+                raise ParseError(
+                    f"PARTITIONED BY column(s) {missing} not in the table"
+                )
+        self.engine.create_table(table, cols, partition_by=part)
         return None

@@ -51,11 +51,21 @@ class ParquetTableStore:
     def table_path(self, name: str) -> str:
         return os.path.join(self.tables_dir, name)
 
-    def init_empty(self, name: str, schema) -> str:
-        """Materialize an empty table dir so scans of a fresh table work."""
+    def init_empty(
+        self, name: str, schema, partition_by: list[str] | None = None
+    ) -> str:
+        """Materialize an empty table dir so scans of a fresh table work.
+
+        A partitioned table's empty write must partition too: an
+        unpartitioned part file at the table root would sit beside the
+        later ``col=value/`` directories and corrupt partition discovery
+        once it carried rows."""
         path = self.table_path(name)
         empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(path)
+        writer = empty.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         return path
 
     def read(self, name: str, schema=None) -> DataFrame:

@@ -1553,3 +1553,33 @@ def test_derived_table_requires_alias(engine):
         engine.ref_sql(
             "SELECT name FROM (SELECT name FROM students) AS d VERSION AS OF 0"
         )
+
+
+def test_create_table_partitioned_by(engine, tmp_path, spark):
+    import os
+
+    e = Engine(spark, str(tmp_path / "pdb"))
+    e.ref_sql("CREATE TABLE pt (id INT, grp TEXT) PARTITIONED BY (grp)")
+    e.ref_sql("INSERT INTO pt VALUES (1, 'a'), (2, 'b')")
+    entries = {f for f in os.listdir(e.store.table_path("pt")) if not f.startswith((".", "_"))}
+    assert entries == {"grp=a", "grp=b"}  # no loose unpartitioned files
+    assert {r.id for r in e.ref_sql("SELECT id FROM pt WHERE grp = 'a'").collect()} == {1}
+    # CTAS form
+    e.ref_sql("CREATE TABLE pt2 PARTITIONED BY (grp) AS SELECT id, grp FROM pt")
+    entries2 = {f for f in os.listdir(e.store.table_path("pt2")) if not f.startswith((".", "_"))}
+    assert entries2 == {"grp=a", "grp=b"}
+    with pytest.raises(ParseError, match="not in the table"):
+        e.ref_sql("CREATE TABLE bad (id INT) PARTITIONED BY (nope)")
+
+
+def test_copy_query_export(engine, tmp_path):
+    out = str(tmp_path / "copy_query")
+    msg = engine.ref_sql(
+        f"COPY (SELECT course, COUNT(*) AS n FROM students GROUP BY course) "
+        f"TO '{out}' FORMAT parquet"
+    )
+    assert "5 row(s)" in msg
+    back = engine.spark.read.parquet(out)
+    assert {(r.course, r.n) for r in back.collect()} == {
+        ("Mech", 2), ("AI/ML", 1), ("Data Science", 1), ("CS", 1), ("EE", 1),
+    }
