@@ -71,10 +71,13 @@ Round-6 extensions:
 
 Round-7 extensions:
   * ``MERGE INTO t USING s [AS a] ON t.k = a.k [AND ...]`` with
-    ``WHEN MATCHED [AND <pred>] THEN UPDATE SET * | DELETE`` and
-    ``WHEN NOT MATCHED THEN INSERT *`` — the Delta-style CDC verb over
-    copy-on-write storage (anti-join + union plan, staged atomic swap,
-    snapshot-retiring); source may be a table or ``(SELECT ...) AS a``.
+    ``WHEN MATCHED [AND <pred>] THEN UPDATE SET * | DELETE``,
+    ``WHEN NOT MATCHED [BY TARGET] THEN INSERT *``, and (round-8)
+    ``WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE`` — the full
+    Delta-style CDC triad over copy-on-write storage (anti-join + union
+    plan, staged atomic swap, snapshot-retiring); source may be a table
+    or ``(SELECT ...) AS a``. UPDATE SET * raises on duplicate join keys
+    on either side (round-8 multi-match guard).
   * ``GROUP BY ALL`` (group on every non-aggregate SELECT item) and
     integer ordinals in GROUP BY / ORDER BY indexing the output columns.
   * ``RANGE BETWEEN <bound> AND <bound>`` frames (logical value offsets
@@ -1833,10 +1836,19 @@ class RefSQL:
         return self.engine.delete(table, where)
 
     def _merge(self, cur: _Cursor) -> int:
-        """Dialect extension (round-7): ``MERGE INTO t USING s [AS a] ON
+        """Dialect extension (round-7/8): ``MERGE INTO t USING s [AS a] ON
         t.k = a.k [AND ...] [WHEN MATCHED [AND <pred>] THEN UPDATE SET * |
-        WHEN MATCHED [AND <pred>] THEN DELETE] [WHEN NOT MATCHED THEN
-        INSERT *]`` — the Delta-style CDC verb over copy-on-write storage.
+        WHEN MATCHED [AND <pred>] THEN DELETE] [WHEN NOT MATCHED [BY
+        TARGET] THEN INSERT *] [WHEN NOT MATCHED BY SOURCE [AND <pred>]
+        THEN DELETE]`` — the full Delta-style CDC triad over copy-on-write
+        storage.
+
+        UPDATE SET * enforces 1:1 matching (round-8): duplicate join keys
+        on either side raise (Delta's multiple-rows-matched error) rather
+        than silently fanning out or collapsing rows; matched DELETE is
+        exempt (idempotent). NOT MATCHED BY SOURCE DELETE removes target
+        rows with no source match — its optional AND predicate references
+        unqualified TARGET columns and filters which unmatched rows die.
 
         The source is a catalog table or a parenthesized SELECT; ON must be
         a conjunction of qualified equi-conditions (one side target, one
@@ -1903,21 +1915,26 @@ class RefSQL:
                 continue
             break
 
-        upd_pred = del_pred = None
-        has_update = has_delete = has_insert = False
+        upd_pred = del_pred = src_del_pred = None
+        has_update = has_delete = has_insert = has_source_delete = False
+
+        def _when_pred():
+            if cur.peek_kw() != "and":
+                return None
+            cur.next()
+            pp = ExprParser(cur, self.weak, self._scalar)
+            pred = pp.parse()
+            if pp.subqueries:
+                raise ParseError(
+                    "subqueries are not supported in MERGE WHEN AND"
+                )
+            return pred
+
         while cur.peek_kw() == "when":
             cur.next()
             if cur.peek_kw() == "matched":
                 cur.next()
-                pred = None
-                if cur.peek_kw() == "and":
-                    cur.next()
-                    pp = ExprParser(cur, self.weak, self._scalar)
-                    pred = pp.parse()
-                    if pp.subqueries:
-                        raise ParseError(
-                            "subqueries are not supported in MERGE WHEN AND"
-                        )
+                pred = _when_pred()
                 cur.expect_kw("then")
                 if cur.peek_kw() == "update":
                     if has_update or has_delete:
@@ -1937,14 +1954,39 @@ class RefSQL:
             elif cur.peek_kw() == "not":
                 cur.next()
                 cur.expect_kw("matched")
-                cur.expect_kw("then")
-                cur.expect_kw("insert")
-                if cur.next() != "*":
-                    raise ParseError("MERGE supports INSERT * only")
-                has_insert = True
+                by_source = False
+                if cur.peek_kw() == "by":
+                    # Round-8: the full CDC triad — ``WHEN NOT MATCHED BY
+                    # SOURCE [AND <pred>] THEN DELETE`` removes target rows
+                    # with no source match (the pred filters which — over
+                    # unqualified TARGET columns); ``BY TARGET`` is the
+                    # standard synonym for the plain NOT MATCHED insert arm.
+                    cur.next()
+                    side = cur.next().lower()
+                    if side == "source":
+                        by_source = True
+                    elif side != "target":
+                        raise ParseError(
+                            "expected SOURCE or TARGET after NOT MATCHED BY"
+                        )
+                if by_source:
+                    if has_source_delete:
+                        raise ParseError(
+                            "at most one WHEN NOT MATCHED BY SOURCE clause"
+                        )
+                    pred = _when_pred()
+                    cur.expect_kw("then")
+                    cur.expect_kw("delete")
+                    has_source_delete, src_del_pred = True, pred
+                else:
+                    cur.expect_kw("then")
+                    cur.expect_kw("insert")
+                    if cur.next() != "*":
+                        raise ParseError("MERGE supports INSERT * only")
+                    has_insert = True
             else:
                 raise ParseError("expected MATCHED or NOT MATCHED")
-        if not (has_update or has_delete or has_insert):
+        if not (has_update or has_delete or has_insert or has_source_delete):
             raise ParseError("MERGE needs at least one WHEN clause")
         if not cur.done():
             raise ParseError(f"unexpected token {cur.peek()!r} after MERGE")
@@ -1975,6 +2017,50 @@ class RefSQL:
         # either the update set or the delete set.
         acting = upd_src if has_update else (del_src if has_delete else None)
 
+        if has_update:
+            # Multi-match guard (round-8): UPDATE SET * is only
+            # well-defined 1:1. A target row matched by ≥2 source rows
+            # would fan out (anti-join removes it once, the matched set
+            # re-inserts one row per source row); a source row matching
+            # ≥2 target rows would collapse them to one. Detect both with
+            # one key-pruned aggregate — row-id both sides, inner-join on
+            # the keys, compare pair count against distinct ids per side —
+            # and raise, matching Delta's multiple-rows-matched error.
+            # DELETE is exempt: deleting a row twice is idempotent and
+            # collapse cannot lose data. Cost: one extra key-column scan
+            # of the target per UPDATE merge.
+            tk = t.select(
+                *[F.col(f"__mt.{tc}").alias(f"__k{i}")
+                  for i, (tc, _sc) in enumerate(pairs)]
+            ).withColumn("__tid", F.monotonically_increasing_id())
+            sk = upd_src.alias("__ms").select(
+                *[F.col(f"__ms.{sc}").alias(f"__k{i}")
+                  for i, (_tc, sc) in enumerate(pairs)]
+            ).withColumn("__sid", F.monotonically_increasing_id())
+            key_eq = [f"__k{i}" for i in range(len(pairs))]
+            g = (
+                tk.join(sk, on=key_eq, how="inner")
+                .agg(
+                    F.count(F.lit(1)).alias("m"),
+                    F.count_distinct("__tid").alias("d"),
+                    F.count_distinct("__sid").alias("u"),
+                )
+                .first()
+            )
+            if g["m"] > g["d"]:
+                raise ValueError(
+                    "MERGE: a target row matched multiple source rows "
+                    "(duplicate join keys in the UPDATE source) — "
+                    "UPDATE SET * would fan the target out; dedupe the "
+                    "source on the join keys first"
+                )
+            if g["m"] > g["u"]:
+                raise ValueError(
+                    "MERGE: a source row matched multiple target rows "
+                    "(duplicate join keys in the target) — UPDATE SET * "
+                    "would collapse them to one row"
+                )
+
         kept = tgt
         n_del = 0
         if acting is not None:
@@ -1989,6 +2075,39 @@ class RefSQL:
                 # explicit (semi-join) count job, before the swap.
                 n_del = t.join(a, key_cond, "left_semi").count()
             kept = t.join(a, key_cond, "left_anti").select(tcols)
+
+        n_src_del = 0
+        if has_source_delete:
+            # NOT MATCHED BY SOURCE DELETE: drop surviving target rows with
+            # no source match (optionally only those passing the pred).
+            # One broadcast-able marker join against the distinct source
+            # keys — the doomed rows are counted by an Observation placed
+            # BEFORE the filter, so no extra count job runs.
+            marker = src.select(
+                *[F.col(sc).alias(f"__mk{i}")
+                  for i, (_tc, sc) in enumerate(pairs)]
+            ).dropDuplicates().withColumn("__mhit", F.lit(1))
+            mcond = None
+            for i, (tc, _sc) in enumerate(pairs):
+                eq = kept[tc] == marker[f"__mk{i}"]
+                mcond = eq if mcond is None else (mcond & eq)
+            joined = kept.join(F.broadcast(marker), mcond, "left")
+            doomed = F.col("__mhit").isNull() & (
+                F.coalesce(src_del_pred, F.lit(False))
+                if src_del_pred is not None
+                else F.lit(True)
+            )
+            obs_sd = Observation()
+            joined = joined.observe(
+                obs_sd,
+                F.sum(F.when(doomed, 1).otherwise(0)).alias("sd"),
+            )
+            kept = joined.filter(~doomed).select(tcols)
+            # The Observation materializes with the write pass below; read
+            # it after the overwrite via this closure.
+            _obs_sd = obs_sd
+        else:
+            _obs_sd = None
 
         parts = [kept.withColumn("__tag", F.lit(None).cast("string"))]
         if has_update:
@@ -2012,7 +2131,9 @@ class RefSQL:
             target, result.drop("__tag"), meta.partition_by
         )
         got = obs.get
-        return int((got["u"] or 0) + (got["i"] or 0) + n_del)
+        if _obs_sd is not None:
+            n_src_del = int(_obs_sd.get["sd"] or 0)
+        return int((got["u"] or 0) + (got["i"] or 0) + n_del + n_src_del)
 
     def _create(self, cur: _Cursor):
         cur.expect_kw("create")

@@ -15,127 +15,108 @@ from . import streaming  # noqa: F401, E402
 from . import ranking  # noqa: F401, E402
 from . import timeseries  # noqa: F401, E402
 
-# Driver-facing priority order. The correctness gate samples a prefix of the
-# registered inventory (~50 entries per round), so the order below rotates
-# each round to keep every row's evidence as fresh as the 152-entry /
-# 50-slot arithmetic allows (~3-round cycle). Round-7 curation, per the
-# round-6 verdict's rotation order: (0) the three round-6 red rows whose
-# DECIMAL output columns were re-typed to DOUBLE this round — they must go
-# green again first; (1) the 25 entries with NO on-disk driver row at all
-# (the round-5 artifact was lost, so their only evidence is pytest); (2) the
-# remaining slots filled from the round-4-green block, now three rounds
-# stale — the oldest driver evidence in the registry. The rest of the
-# r4-green block (q2–q22, joins/setops/subqueries, pipeline/text tier) plus
-# the 46 r6-green entries sit below the boundary and lead the r8 window.
-# Every name must exist in QUERIES; ordered_queries() raises otherwise so a
-# rename can't silently drop an entry from the gate window.
+# Driver-facing priority order. The correctness gate samples a 50-entry
+# prefix of the registered inventory per round, so the order below rotates
+# each round, strictly oldest-evidence-first. Rotation policy (round-7
+# verdict): with 166+ workloads over a 50-slot window the minimum rotation
+# period is ~3.3 rounds, so the target is "no entry's newest driver row
+# more than 3 rounds stale" (new-in-round entries exempt); the lost round-5
+# artifact left a 69-entry r4-or-older backlog that takes r8+r9 to clear.
+# Round-8 curation: (0) new-in-round-8 entries; (1) the 27 entries whose
+# newest driver row is r2/r3 — the oldest evidence on disk; (2) 19 picked
+# from the 42-entry r4-green block, preferring operator families with no
+# fresher in-window sibling (streaming core, ANN/LSH/simhash rows-only
+# pins, z-order, packing, BM25). The 23 unpicked r4 entries lead the r9
+# window, then the r6 block. Every name must exist in QUERIES;
+# ordered_queries() raises otherwise so a rename can't silently drop an
+# entry from the gate window.
 PRIORITY: list[str] = [
-    # (0) round-6 red rows, re-typed (DECIMAL → DOUBLE final projection).
-    "refsql_q3_shipping",
-    "refsql_window_frame",
-    "orc_roundtrip_ingest",
-    # (1) no on-disk driver row ever (round-5 artifact lost) — pytest-only.
-    "refsql_join_customer_nation",
-    "refsql_left_join_counts",
-    "refsql_ctas_insert_select",
-    "refsql_window_topk",
-    "refsql_in_subquery",
-    "refsql_q1_expression_aggregates",
-    "refsql_group_by_expression",
-    "profile_orders",
-    "histogram_totalprice",
-    "corr_lineitem",
-    "dedup_winnow_top15",
-    "graph_pagerank_knn",
-    "multimodal_png_decode",
-    "multimodal_gif_decode",
-    "embedding_quantize_int8",
-    "text_html_strip",
-    "text_char_lm_quality",
-    "timetravel_version_as_of",
-    "events_activity_islands",
-    "jsonl_roundtrip_ingest",
-    "mv_incremental_refresh",
-    "ts_gapfill_locf",
-    "ts_linear_interpolate",
-    "ts_ohlc_daily",
-    "ann_quantized_top10",
-    # (1b) new in round 7.
-    "bloom_decontaminate_train",
-    "classifier_hashed_nb_langid",
-    "refsql_merge_upsert",
-    "refsql_group_by_all_ordinals",
-    "corpus_chunk_sliding",
-    "stream_bloom_drop_denied",
-    "refsql_range_frame",
-    "corpus_temperature_mix",
-    "contamination_bloom_prefilter",
-    "multimodal_phash_neardup",
-    "multimodal_audio_neardup",
-    "multimodal_video_neardup",
-    "corpus_pack_split_spans",
-    "refsql_derived_table",
-    # (2) round-4-green block — three rounds stale, oldest driver evidence.
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "multimodal_avi_frame_sample",
-    "dedup_ngram_jaccard_top20",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_neardup",
-    "scan_full_table",
-    "filter_compare",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # (Displaced to fit the ten round-7 entries: the thin predicate/agg
-    # shapes every refsql entry shares (weak_typing_filter,
-    # agg_group_having, agg_global, distinct_values, order_limit_offset,
-    # filter_not_and_or) and four r4-green entries whose operator families
-    # keep other in-window representatives — similar_pairs_top15/
-    # bm25_top10/corpus_pack_sequences/dedup_exact_survivors are
-    # pytest+property-pinned, and blocked-BLAS / exact-dedup paths are
-    # exercised by dedup_embedding_neardup and dedup_exact_groups above.
-    # All of these lead the r8 window.)
-    "corpus_line_dedup",
-    "dedup_exact_groups",
-    "q01_pricing_summary",
-    "window_topk_per_group",
-    "similar_pairs_top15",
-    "bm25_top10",
-    "corpus_pack_sequences",
-    "dedup_exact_survivors",
-    "weak_typing_filter",
-    "agg_group_having",
+    # (0) new in round 8.
+    "refsql_window_value_functions",
+    "refsql_merge_source_delete",
+    "skew_salted_join",
+    "crossmodal_image_text_neardup",
+    # (1) r2-green — 6 rounds stale, oldest evidence in the registry.
+    "cube_status_priority",
+    "embedding_norms_stats",
+    "json_extract_props",
+    "sample_hash_deterministic",
+    "split_train_eval_stratified",
+    "text_fingerprints",
+    # (1) r3-green — 5 rounds stale.
     "agg_global",
     "distinct_values",
-    "order_limit_offset",
+    "filter_like",
     "filter_not_and_or",
-    # first the rest of the r4-green block (also three rounds stale — they
-    # lead the r8 window; the 50-slot budget simply ran out), then the
-    # r6-green entries (1 round stale at r7), then everything unlisted in
-    # registration order.
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "join_semi_exists",
+    "order_limit_offset",
+    "pipeline_curate_corpus",
+    "projection_alias",
+    "q10_returned_revenue_top20",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_with_exists",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q10_returned_revenue_top20",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    "join_anti_not_exists",
-    "join_outer_suppliers_per_nation",
-    "join_semi_exists",
     "setop_union_intersect_except",
     "subquery_above_avg",
-    "pipeline_curate_corpus",
+    # (2) r4-green picks — 4 rounds stale; families with no fresher
+    # in-window sibling first (streaming core, ANN/LSH/simhash, z-order,
+    # packing, BM25, exact-dedup survivors, weak typing).
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_stateful_user_totals",
+    "ann_brute_force_top10",
+    "ann_ivf_top10",
+    "ann_lsh_top10",
+    "ann_quantized_top10",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "zorder_optimized_scan",
+    "q01_pricing_summary",
+    "window_topk_per_group",
+    "bm25_top10",
+    "corpus_pack_sequences",
+    "dedup_exact_survivors",
+    "similar_pairs_top15",
+    "weak_typing_filter",
+    "agg_group_having",
+    "agg_count_distinct",
+    # -- ~50-slot window boundary (50 entries above this line). Below: the
+    # 23 unpicked r4-green entries (4 rounds stale — they lead the r9
+    # window; the 50-slot budget ran out), then the r6-green block (2
+    # rounds stale at r8, fills r9/r10), then r7-green, then everything
+    # unlisted in registration order.
+    "agg_percentiles",
+    "asof_click_to_purchase",
     "contamination_eval_train_overlap",
-    "text_token_stats",
-    "text_quality_scores",
+    "corpus_line_dedup",
+    "corpus_top_bigrams",
+    "dedup_exact_groups",
+    "join_revenue_per_nation",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_sole_late_suppliers",
+    "refsql_group_having_order",
+    "stream_dedup_within_watermark",
+    "stream_session_windows",
+    "stream_sliding_window",
     "text_lang_breakdown",
     "text_pii_redact",
-    "corpus_top_bigrams",
-    "projection_alias",
-    "filter_like",
-    # r6-green (1 round stale at r7).
+    "text_quality_scores",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_type_token_ratio",
+    # r6-green (2 rounds stale at r8).
     "range_join_follow_events",
     "merge_upsert_orders",
     "tfidf_top3_terms",

@@ -1342,6 +1342,86 @@ def test_merge_parse_errors(merge_engine):
         )
 
 
+def test_merge_not_matched_by_source_delete(merge_engine):
+    # Full CDC triad (round-8): update matched, insert fresh, delete
+    # target rows the source no longer carries.
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert n == 4  # 1 update + 1 insert + 2 source-deletes (ids 1, 3)
+    rows = {
+        r.id: (r.name, r.bal)
+        for r in merge_engine.ref_sql("SELECT * FROM acct").collect()
+    }
+    assert rows == {2: ("b2", 25.0), 4: ("d", 40.0)}
+
+
+def test_merge_by_source_predicate_filters_target_rows(merge_engine):
+    # The AND pred references unqualified TARGET columns: only unmatched
+    # rows passing it die; id=1 (bal 10) survives, id=3 (bal 30) dies.
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN NOT MATCHED BY SOURCE AND bal > 15 THEN DELETE"
+    )
+    assert n == 1
+    ids = sorted(
+        r.id for r in merge_engine.ref_sql("SELECT id FROM acct").collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_merge_update_rejects_duplicate_source_keys(merge_engine):
+    # UPDATE SET * with two source rows sharing a matching key would fan
+    # the target out — the round-8 guard raises instead (Delta semantics).
+    merge_engine.insert_rows("chg", [{"id": 2, "name": "b3", "bal": 26.0}])
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    # DELETE stays allowed: removing the same row twice is idempotent.
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 1
+    # Unmatched duplicate source keys are harmless for UPDATE too (they
+    # never reach the matched set).
+    n = merge_engine.ref_sql(
+        "MERGE INTO acct USING chg ON acct.id = chg.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert n == 0
+
+
+def test_merge_update_rejects_duplicate_target_keys(merge_engine):
+    # Duplicate-keyed target rows matched by one source row would collapse
+    # to a single row under the anti-join+union plan — guard raises.
+    merge_engine.insert_rows("acct", [{"id": 2, "name": "dup", "bal": 0.0}])
+    with pytest.raises(ValueError, match="multiple target rows"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_merge_by_source_parse_errors(merge_engine):
+    with pytest.raises(ParseError, match="SOURCE or TARGET"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN NOT MATCHED BY ELSEWHERE THEN DELETE"
+        )
+    with pytest.raises(ParseError, match="at most one WHEN NOT MATCHED BY"):
+        merge_engine.ref_sql(
+            "MERGE INTO acct USING chg ON acct.id = chg.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+
+
 def test_merge_missing_source_column_rejected(merge_engine, spark):
     merge_engine.create_table("thin", [("id", "INT")])
     merge_engine.insert_rows("thin", [{"id": 2}])
