@@ -832,6 +832,54 @@ def refsql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_window_value_functions",
+    """
+    SELECT o_orderkey,
+           round(FIRST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS first_price,
+           round(LAST_VALUE(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             2) AS last_price,
+           round(NTH_VALUE(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             2) AS second_price
+    FROM orders WHERE o_custkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def refsql_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FIRST_VALUE / LAST_VALUE / NTH_VALUE through the DIALECT (round-8
+    # driver row for the round-7 verbs): per-customer first/last/second
+    # order value. FIRST_VALUE rides the default ORDER BY frame (prefix →
+    # first row, deterministic); LAST_VALUE and NTH_VALUE need the explicit
+    # unbounded ROWS frame or they'd see only the prefix — exactly the
+    # standard-SQL footgun, so the oracle runs the identical frames in
+    # DuckDB. Unique sort key (o_orderkey) keeps every value deterministic.
+    df = _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey, "
+        "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) AS first_price, "
+        "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS last_price, "
+        "NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING) AS second_price "
+        "FROM orders WHERE o_custkey <= 200 ORDER BY o_orderkey",
+    )
+    return df.select(
+        "o_orderkey",
+        F.round("first_price", 2).alias("first_price"),
+        F.round("last_price", 2).alias("last_price"),
+        F.round("second_price", 2).alias("second_price"),
+    )
+
+
+@query(
     "refsql_exists_subquery",
     """
     SELECT c_mktsegment, count(*) AS count

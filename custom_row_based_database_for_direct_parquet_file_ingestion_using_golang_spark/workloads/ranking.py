@@ -355,6 +355,77 @@ def refsql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_merge_source_delete",
+    """
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (SELECT o_orderkey, o_orderstatus,
+                   o_totalprice + 10.0 AS o_totalprice
+            FROM base WHERE o_orderkey % 5 = 0),
+    ins AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice + 0.5 AS o_totalprice
+            FROM base WHERE o_orderkey % 11 = 0),
+    kept AS (SELECT * FROM base
+             WHERE o_orderkey % 5 <> 0 AND o_orderstatus <> 'F'),
+    merged AS (SELECT * FROM kept
+               UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM ins)
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def refsql_merge_source_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FULL Delta-style CDC triad in ONE dialect MERGE (round-8):
+    # snapshot-sync semantics — the feed carries updates (key % 5 = 0,
+    # price bumped) and fresh rows (key % 11 = 0, shifted key); matched
+    # target rows update, unmatched feed rows insert, and target rows the
+    # feed no longer carries die IF they pass the BY SOURCE predicate
+    # (o_orderstatus = 'F' — finished orders are purged, open ones
+    # survive the sync). The oracle replays the whole batch relationally;
+    # a wrong arm, a dropped predicate, or a marker-join bug flips the
+    # hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_mrgsd_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_raw")
+    e.ref_sql(
+        "CREATE TABLE mo AS SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders_raw"
+    )
+    e.ref_sql(
+        "CREATE TABLE feed AS "
+        "SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice + 10.0 AS o_totalprice "
+        "FROM mo WHERE o_orderkey % 5 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 20000000 AS o_orderkey, 'N' AS o_orderstatus, "
+        "o_totalprice + 0.5 AS o_totalprice "
+        "FROM mo WHERE o_orderkey % 11 = 0"
+    )
+    e.ref_sql(
+        "MERGE INTO mo USING feed ON mo.o_orderkey = feed.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND o_orderstatus = 'F' THEN DELETE"
+    )
+    return e.ref_sql(
+        "WITH a AS (SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS t FROM mo GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, n, ROUND(t, 2) AS total FROM a "
+        "ORDER BY o_orderstatus"
+    )
+
+
+@query(
     "zorder_optimized_scan",
     """
     SELECT event_id, user_id, event_type FROM events

@@ -47,6 +47,56 @@ def join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_join",
+    """
+    WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+                            ELSE l_suppkey END AS sk,
+                       l_extendedprice, l_discount
+                FROM lineitem)
+    SELECT s_nationkey, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM li JOIN supplier ON sk = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-stress driver row (round-8): HALF of lineitem is remapped onto
+    # supplier key 1 — the hot-key histogram AQE's skew-join handles for
+    # sort-merge but that kills a plain hash-partitioned join (one reducer
+    # gets 50% of the fact table). operators/skew.salted_join spreads the
+    # hot key over salt_n=8 reducers: left rows take a random salt, right
+    # rows replicate once per salt, the join keys on (sk, salt). The
+    # oracle runs the UNSALTED relational join — salting must be
+    # result-invariant, so any replication/dedup mistake flips the hash.
+    # tests/test_skew_and_stateful.py asserts the salt actually splits the
+    # hot key's rows across partitions.
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "sk", salt_n=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                "revenue",
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey AS orderkey,

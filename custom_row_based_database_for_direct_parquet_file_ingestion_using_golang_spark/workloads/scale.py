@@ -1363,6 +1363,129 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("crossmodal_image_text_neardup")  # rows-only: DCT/SimHash not SQL
+def crossmodal_image_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup (round-8): a pair is a duplicate only when BOTH
+    modalities agree — image pHash Hamming ≤ 6 AND text SimHash Hamming
+    ≤ 14 — composing two green primitives (multimodal.phash64 over real
+    BMP/PNG decode, dedup.simhash) through the same pigeonhole
+    hamming_pairs blocking, then an inner join on the pair key.
+
+    The fixture plants three twin classes over the documents table: FULL
+    twins (noise-perturbed image + one-token text edit, id+1e6) that must
+    survive the joint vote; IMAGE-ONLY twins (near image, unrelated text,
+    id+2e6) and TEXT-ONLY twins (unrelated image, near text, id+3e6) that
+    each match one modality and must be rejected. pytest pins 100% recall
+    on the full twins and zero single-modality leakage at both scales.
+
+    Scale shape: payloads live only inside the Arrow encode/decode
+    batches; both pair joins move 8-byte hashes, and the final join keys
+    on (id_a, id_b) over two already-small candidate sets. Rows-only (a
+    DCT + SimHash replay in SQL is impractical)."""
+    from ..operators.dedup import hamming_pairs, simhash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+
+    def make(it):
+        import numpy as np
+        import pandas as pd
+
+        def img_for(did: int, noise_seed: int | None) -> "np.ndarray":
+            # Same 3-term Fourier-mixture family as the pHash fixture —
+            # distinct low-frequency content per seed, so only the planted
+            # noisy twins land within the Hamming budget.
+            y, x = np.mgrid[0:40, 0:40]
+            prng = np.random.default_rng(7_654_321 + did)
+            g = np.full((40, 40), 128.0)
+            for _ in range(3):
+                fx, fy = prng.uniform(0.5, 3.5, 2)
+                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
+                amp = prng.uniform(25, 45)
+                g = g + amp * np.sin(2 * np.pi * fx * x / 40 + p1) * np.cos(
+                    2 * np.pi * fy * y / 40 + p2
+                )
+            if noise_seed is not None:
+                rng = np.random.default_rng(noise_seed)
+                g = g + rng.integers(-3, 4, g.shape)
+            g = np.clip(g, 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+
+        def edit_text(t: str, seed: int) -> str:
+            # Light edit: append ONE token — a SimHash-near variant. An
+            # appended weight-1 token flips only zero-sum bit positions
+            # (~64·P(bitsum=0)/2 ≈ 2-3 bits for 30-token docs), where
+            # REPLACING a token perturbs two weights and overflows the
+            # budget on short docs (sf0.01 doc 140: 28 tokens → 10 bits).
+            if not t.strip():
+                return t
+            rng = np.random.default_rng(seed)
+            return f"{t} q{rng.integers(0, 10)}"
+
+        def unrelated_text(seed: int) -> str:
+            rng = np.random.default_rng(seed)
+            return " ".join(f"w{rng.integers(0, 10**9)}" for _ in range(40))
+
+        for pdf in it:
+            out = {"media_id": [], "payload": [], "text": []}
+
+            def emit(mid: int, px, txt: str) -> None:
+                enc = (
+                    multimodal.encode_bmp
+                    if mid % 2 == 0
+                    else multimodal.encode_png
+                )
+                out["media_id"].append(mid)
+                out["payload"].append(enc(px))
+                out["text"].append(txt)
+
+            for did, txt in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"].fillna("")
+            ):
+                did = int(did)
+                emit(did, img_for(did, None), txt)
+                if did % 10 == 0:
+                    # FULL twin: both modalities near.
+                    emit(
+                        did + 1_000_000,
+                        img_for(did, noise_seed=did + 1),
+                        edit_text(txt, did),
+                    )
+                elif did % 20 == 5:
+                    # IMAGE-ONLY twin: near image, unrelated text.
+                    emit(
+                        did + 2_000_000,
+                        img_for(did, noise_seed=did + 2),
+                        unrelated_text(did),
+                    )
+                elif did % 20 == 15:
+                    # TEXT-ONLY twin: unrelated image, near text.
+                    emit(
+                        did + 3_000_000,
+                        img_for(did + 777_000, None),
+                        edit_text(txt, did),
+                    )
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(
+        make, schema="media_id long, payload binary, text string"
+    ).localCheckpoint()  # one encode pass feeds both modality branches
+    media = multimodal.wrap_binary(
+        raw.select("media_id", "payload"), "media_id", "payload", "image"
+    )
+    img_pairs = hamming_pairs(
+        multimodal.extract_image_phash(media), "media_id", "phash",
+        max_hamming=6,
+    ).select("id_a", "id_b", F.col("hamming").alias("img_hamming"))
+    txt_pairs = hamming_pairs(
+        simhash(raw.select("media_id", "text"), "media_id", "text"),
+        "doc", "simhash", max_hamming=14,
+    ).select("id_a", "id_b", F.col("hamming").alias("txt_hamming"))
+    return (
+        img_pairs.join(txt_pairs, ["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "multimodal_png_decode",
     """

@@ -277,6 +277,35 @@ def test_phash_neardup_workload_recall(spark, sf_dir):
     assert all(r.hamming <= 6 for r in planted)
 
 
+def test_crossmodal_neardup_joint_vote(spark, sf_dir):
+    # Round-8: the joint image+text vote keeps every FULL twin (both
+    # modalities near) and rejects every single-modality plant — the
+    # property that makes the composition stricter than either primitive.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+        load,
+    )
+
+    rows = QUERIES["crossmodal_image_text_neardup"](spark, sf_dir).collect()
+    n_planted = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .limit(300)
+        .filter("doc_id % 10 = 0")
+        .count()
+    )
+    full = [r for r in rows if r.id_b - r.id_a == 1_000_000]
+    img_only = [r for r in rows if r.id_b - r.id_a == 2_000_000]
+    txt_only = [r for r in rows if r.id_b - r.id_a == 3_000_000]
+    other = [
+        r for r in rows
+        if r.id_b - r.id_a not in (1_000_000, 2_000_000, 3_000_000)
+    ]
+    assert len(full) == n_planted and n_planted > 0
+    assert not img_only and not txt_only and not other
+    assert all(r.img_hamming <= 6 and r.txt_hamming <= 14 for r in full)
+
+
 def test_audio_fingerprint_invariances():
     import numpy as np
 

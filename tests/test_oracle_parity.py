@@ -126,6 +126,16 @@ def test_registry_matches_survey_totals():
         f"registry has {len(workload.ORACLES)} oracles, SURVEY.md documents "
         f"{documented_o} — update SURVEY.md §8"
     )
+    # Round-8 (ADVICE): the headline-set count drifted 40→43 unguarded —
+    # pin it against bench.BENCH_QUERIES too.
+    mb = re.search(r"headline set of (\d+) queries", survey.read_text())
+    assert mb, "SURVEY.md 'headline set of N queries' line not found"
+    import bench
+
+    assert len(bench.BENCH_QUERIES) == int(mb.group(1)), (
+        f"bench.py has {len(bench.BENCH_QUERIES)} headline queries, "
+        f"SURVEY.md documents {mb.group(1)} — update SURVEY.md §8"
+    )
 
 
 def test_priority_window_names_registered():

@@ -69,6 +69,69 @@ def test_salted_join_matches_plain(spark):
     assert left.join(right, "k").count() == salted_join(left, right, "k", salt_n=4).count()
 
 
+def test_salted_join_splits_hot_key_across_partitions(spark):
+    # Round-8: the salt must ACTUALLY spread the hot key — the join's
+    # shuffle partitions on (key, salt), and the hot key's rows land on
+    # several distinct salts, so no single reducer sees the whole key.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    left = _skewed_df(spark).withColumnRenamed("v", "lv")
+    right = spark.createDataFrame([("HOT", 1.5)], ["k", "weight"])
+    joined = salted_join(left, right, "k", salt_n=8)
+    txt = plan_text(joined)
+    assert "__salt" in txt, "salt column missing from the physical plan"
+    # Replay the left-side salting (same seed) and count distinct salts
+    # the hot key actually takes: must use most of the 8 buckets.
+    salts = (
+        left.withColumn(
+            "__salt", F.floor(F.rand(seed=42) * 8).cast("int")
+        )
+        .filter(F.col("k") == "HOT")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 6, f"hot key only spread over {salts}/8 salt buckets"
+
+
+def test_skew_salted_join_workload_matches_unsalted(spark, sf_dir):
+    # The driver-row workload (round-8): salted result ≡ plain join.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+        load,
+    )
+
+    got = {
+        r.s_nationkey: (r.n, r.revenue)
+        for r in QUERIES["skew_salted_join"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    want = {
+        r.s_nationkey: (r.n, r.revenue)
+        for r in li.join(sup, "sk")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_stateful_user_totals_converges_to_batch(spark, sf_dir):
     stream_out = run_to_memory(
         stateful_user_totals(read_events_stream(spark, sf_dir)), mode="update"
