@@ -551,12 +551,20 @@ class Engine:
         """Distributed export of an arbitrary DataFrame — the engine of
         ``export_table`` and the dialect's ``COPY (SELECT ...) TO`` form
         (export a query result without materializing a table first)."""
+        from pyspark.sql import Observation
+
         fmt = fmt.lower()
         if partition_by:
             missing = [c for c in partition_by if c not in df.columns]
             if missing:
                 raise ValueError(f"unknown PARTITION BY column(s) {missing}")
-        n = df.count()
+        # Round-8 (advice): the row count rides the write pass via an
+        # Observation (the _merge pattern) instead of a separate count()
+        # job — one execution of the exported query, and the reported
+        # count is exactly the rows written even for nondeterministic
+        # sources.
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
 
         def _writer(d):
             w = d.write.mode("overwrite")
@@ -579,7 +587,7 @@ class Engine:
             raise ValueError(
                 f"unsupported export format {fmt!r} (parquet|csv|jsonl|orc)"
             )
-        return n
+        return int(obs.get["n"] or 0)
 
     def summarize(
         self, name: str, columns: list[str] | None = None, exact: bool = True

@@ -133,11 +133,13 @@ def temperature_mix(
         ).alias("_rate"),
     )
     thr = F.round(F.col("_rate") * 10000, 0).cast("int")
-    # 16 bits of md5 → uniform u in [0, 10000) — same contract the other
-    # hash samplers use (md5, not xxhash, so the oracle replays it).
+    # 60 bits of md5 → u in [0, 10000) with modulo bias ~1e-14 (round-8:
+    # the earlier 16-bit variant over-kept low-u buckets by up to ~8%
+    # relative — 2^16 % 10000 = 5536 leftover values). md5, not xxhash,
+    # so an ANSI oracle replays the exact assignment.
     u = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int"),
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
         F.lit(10000),
     )
     marked = df.join(F.broadcast(rates), group_col).withColumn(

@@ -17,6 +17,31 @@ import random
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """The blocked tilers carry ids as int64 through Arrow — a non-integral
+    id column would silently cast to NULL and its rows would vanish from
+    the output (round-8 advice: fail fast instead)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{fn} requires an integral id column (ids ride Arrow batches "
+            f"as int64); {id_col!r} is {dt.simpleString()} — add a "
+            "monotonically-increasing or hashed surrogate key first"
+        )
+
+
+def _safe_row_norms(mat):
+    """Row norms with zero clamped to 1.0: a zero vector then scores 0.0
+    against everything (dot with anything is 0) instead of NaN — which the
+    >= / top-k comparisons would silently drop (round-8 advice)."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.where(norms == 0.0, 1.0, norms)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -140,6 +165,7 @@ def blocked_all_pairs_topk(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(df, id_col, "blocked_all_pairs_topk")
     pair_schema = "id_a long, id_b long, score double"
 
     tagged = df.select(
@@ -165,8 +191,8 @@ def blocked_all_pairs_topk(
             )
         la = np.stack(left["vec"].to_numpy())
         lb = np.stack(right["vec"].to_numpy())
-        la = la / np.linalg.norm(la, axis=1, keepdims=True)
-        lb = lb / np.linalg.norm(lb, axis=1, keepdims=True)
+        la = la / _safe_row_norms(la)
+        lb = lb / _safe_row_norms(lb)
         sims = la @ lb.T
         ia = left["vid"].to_numpy()
         ib = right["vid"].to_numpy()
@@ -218,6 +244,7 @@ def blocked_threshold_pairs(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(df, id_col, "blocked_threshold_pairs")
     pair_schema = "id_a long, id_b long, score double"
 
     tagged = df.select(
@@ -244,8 +271,8 @@ def blocked_threshold_pairs(
             return empty
         la = np.stack(left["vec"].to_numpy())
         lb = np.stack(right["vec"].to_numpy())
-        la = la / np.linalg.norm(la, axis=1, keepdims=True)
-        lb = lb / np.linalg.norm(lb, axis=1, keepdims=True)
+        la = la / _safe_row_norms(la)
+        lb = lb / _safe_row_norms(lb)
         sims = la @ lb.T
         keep_r, keep_c = np.nonzero(sims >= threshold)
         if len(keep_r) == 0:

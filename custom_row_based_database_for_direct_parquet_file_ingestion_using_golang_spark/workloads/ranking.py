@@ -812,7 +812,7 @@ def corpus_pack_split_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
       SELECT d.source,
-             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 10000 AS u,
              CAST(round(r.rate * 10000, 0) AS INT) AS thr
       FROM documents d JOIN r ON d.source = r.source

@@ -530,6 +530,35 @@ def test_blocked_threshold_pairs_matches_brute_force(spark, sf_dir):
         assert brute[key] == pytest.approx(blocked[key], abs=1e-9)
 
 
+def test_blocked_tilers_guard_ids_and_zero_norms(spark):
+    # Round-8 advice: non-integral ids fail fast (they'd silently cast to
+    # NULL and vanish); zero-norm vectors score 0.0 instead of NaN (which
+    # the threshold/top-k comparisons would silently drop).
+    strdf = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], ["sid", "v"]
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        similarity.blocked_all_pairs_topk(strdf, "sid", "v", k=2)
+    with pytest.raises(ValueError, match="integral id column"):
+        similarity.blocked_threshold_pairs(strdf, "sid", "v", threshold=0.5)
+
+    zdf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])], ["vid", "v"]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.blocked_threshold_pairs(
+            zdf, "vid", "v", threshold=-1.0, n_blocks=2
+        ).collect()
+    }
+    # zero-norm row 3 participates with score 0.0 against both others
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 3)] == 0.0 and pairs[(2, 3)] == 0.0
+    top = similarity.blocked_all_pairs_topk(zdf, "vid", "v", k=3, n_blocks=2)
+    scores = {(r.id_a, r.id_b): r.score for r in top.collect()}
+    assert scores[(1, 3)] == 0.0 and scores[(2, 3)] == 0.0
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v" * 4096), (2, b"a" * 10)], ["id", "payload"])
     media = multimodal.wrap_binary(df, "id", "payload", "video")
