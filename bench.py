@@ -12,9 +12,12 @@ single-JVM-session noise (Catalyst codegen class compilation, C2 JIT of
 that generated code) with measured swings of 3-10× run-to-run; the min is
 the reproducible statistic and the one that scales — on a real cluster
 those per-query costs amortize over minutes-long queries, not sub-second
-ones. ALL per-pass times ship in the JSON under "passes" (pass 0 = cold),
-so a regression in the min can be distinguished from shared-VM noise
-(noise shows as warm-pass variance; a plan change shifts every pass).
+ones. Per-pass times for the top-3 most expensive queries ship in the JSON
+under "passes" (pass 0 = cold; capped in round-8 so the driver's 2000-char
+tail never truncates the headline dicts), so a regression in the min can
+be distinguished from shared-VM noise (noise shows as warm-pass variance;
+a plan change shifts every pass). Full per-pass detail for every query
+still prints to stderr.
 Timing wraps the full action (plan + execute + count); a count keeps
 driver transfer out of the measurement.
 
@@ -164,6 +167,37 @@ KNOWN_FLOORS_SF01 = {
 }
 
 
+def render_artifact(
+    passes: dict[str, list[float]],
+    timings: dict[str, float],
+    reruns: dict[str, int],
+    sentinel: dict,
+    total: float,
+    sf,
+) -> str:
+    """One JSON line, truncation-hardened (round-8): the driver archives
+    only the FINAL 2000 chars of stdout, and in rounds 6-7 the full
+    per-pass dict pushed exactly the noise-adjudication data (winnow's
+    passes, half the queries dict) past the cut. Per-pass arrays are now
+    capped to the top-3 most expensive queries — the only ones whose
+    noise-vs-regression call needs pass evidence — so queries + reruns +
+    sentinel + value always fit the surviving window. Key order still puts
+    the headline data last."""
+    top3 = sorted(timings, key=timings.get, reverse=True)[:3]
+    return json.dumps(
+        {
+            "metric": "workload_total_runtime",
+            "unit": "sec",
+            "passes": {n: passes[n] for n in top3 if n in passes},
+            "queries": timings,
+            "reruns": reruns,
+            "sentinel": sentinel,
+            "value": total,
+            "sf": sf,
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -290,26 +324,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Key order matters: the driver archives only the final 2000 chars of
-    # stdout, so the headline minima, rerun record, sentinel verdict, and
-    # total must come last (the big per-pass dict may truncate).
     print(
-        json.dumps(
+        render_artifact(
+            passes,
+            timings,
+            reruns,
             {
-                "metric": "workload_total_runtime",
-                "unit": "sec",
-                "passes": passes,
-                "queries": timings,
-                "reruns": reruns,
-                "sentinel": {
-                    "floor_sec": round(sent_floor, 4),
-                    "contended": sent_ratios,
-                    "load_start": [round(x, 2) for x in load_start],
-                    "load_end": [round(x, 2) for x in os.getloadavg()],
-                },
-                "value": round(total, 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "floor_sec": round(sent_floor, 4),
+                "contended": sent_ratios,
+                "load_start": [round(x, 2) for x in load_start],
+                "load_end": [round(x, 2) for x in os.getloadavg()],
+            },
+            round(total, 4),
+            float(sf) if sf.replace(".", "").isdigit() else sf,
         )
     )
     spark.stop()

@@ -26,10 +26,25 @@ def _tracked(pattern: str) -> set[str]:
 
 
 def test_driver_artifacts_are_git_tracked():
+    # Artifacts newer than HEAD are the driver's post-final-commit writes
+    # (it records round N's JSONs AFTER the round's last commit, so every
+    # end-of-round snapshot would otherwise carry this red — round-7
+    # verdict); they're exempt here and picked up by the next round's
+    # first commit.
+    head_time = int(
+        subprocess.run(
+            ["git", "log", "-1", "--format=%ct"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    )
     on_disk = {
         p.name
         for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
         for p in REPO.glob(pat)
+        if p.stat().st_mtime <= head_time
     }
     tracked = _tracked("CORRECTNESS_r*.json") | _tracked("BENCH_r*.json")
     untracked = sorted(on_disk - tracked)
@@ -37,3 +52,39 @@ def test_driver_artifacts_are_git_tracked():
         f"driver artifacts not committed: {untracked} — round evidence "
         "disappears on workspace reset (round 5's did); `git add` them"
     )
+
+
+def test_bench_artifact_tail_is_self_contained():
+    """Round-8 (verdict item 5): the driver archives only the FINAL 2000
+    chars of bench stdout. Simulate a 43-query artifact and assert the
+    last-2000-char window still carries every headline dict — queries,
+    reruns, sentinel, and value — with per-pass arrays capped to the
+    top-3 expensive queries."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    timings = {f"query_with_a_long_name_{i:02d}": 0.1 + i * 0.01 for i in range(43)}
+    passes = {n: [t * 3, t, t * 1.1] for n, t in timings.items()}
+    sentinel = {
+        "floor_sec": 0.01,
+        "contended": {"query_with_a_long_name_42": 2.85},
+        "load_start": [6.26, 4.1, 3.0],
+        "load_end": [3.57, 3.9, 3.1],
+    }
+    line = bench.render_artifact(
+        passes, timings, {"query_with_a_long_name_42": 1}, sentinel, 12.34, 0.1
+    )
+    parsed = json.loads(line)
+    assert set(parsed["passes"]) == {
+        "query_with_a_long_name_42",
+        "query_with_a_long_name_41",
+        "query_with_a_long_name_40",
+    }
+    tail = line[-2000:]
+    # Everything needed for a noise-vs-regression call survives the cut.
+    for needle in ('"queries"', '"reruns"', '"sentinel"', '"value"', '"sf"'):
+        assert needle in tail, f"{needle} truncated out of the 2000-char tail"
+    assert '"query_with_a_long_name_00"' in tail  # full queries dict intact
