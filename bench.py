@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "bloom_decontaminate_train",
     "classifier_hashed_nb_langid",
     "dedup_embedding_neardup",
+    # round-8 additions
+    "skew_salted_join",
+    "crossmodal_image_text_neardup",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
