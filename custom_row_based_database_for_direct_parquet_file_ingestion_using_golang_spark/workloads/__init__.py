@@ -22,12 +22,12 @@ from . import timeseries  # noqa: F401, E402
 # period is ~3.3 rounds, so the target is "no entry's newest driver row
 # more than 3 rounds stale" (new-in-round entries exempt); the lost round-5
 # artifact left a 69-entry r4-or-older backlog that takes r8+r9 to clear.
-# Round-8 curation: (0) new-in-round-8 entries; (1) the 27 entries whose
-# newest driver row is r2/r3 — the oldest evidence on disk; (2) 19 picked
-# from the 42-entry r4-green block, preferring operator families with no
-# fresher in-window sibling (streaming core, ANN/LSH/simhash rows-only
-# pins, z-order, packing, BM25). The 23 unpicked r4 entries lead the r9
-# window, then the r6 block. Every name must exist in QUERIES;
+# Round-8 curation: (0) the 5 new-in-round-8 entries; (1) the 27 entries
+# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 18
+# picked from the 42-entry r4-green block, preferring operator families
+# with no fresher in-window sibling (streaming core, ANN/LSH/simhash
+# rows-only pins, z-order, packing, BM25). The 24 unpicked r4 entries
+# lead the r9 window, then the r6 block. Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
 # entry from the gate window.
 PRIORITY: list[str] = [
@@ -36,6 +36,7 @@ PRIORITY: list[str] = [
     "refsql_merge_source_delete",
     "skew_salted_join",
     "crossmodal_image_text_neardup",
+    "embedding_similarity_join",
     # (1) r2-green — 6 rounds stale, oldest evidence in the registry.
     "cube_status_priority",
     "embedding_norms_stats",
@@ -86,12 +87,12 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "weak_typing_filter",
     "agg_group_having",
-    "agg_count_distinct",
     # -- ~50-slot window boundary (50 entries above this line). Below: the
-    # 23 unpicked r4-green entries (4 rounds stale — they lead the r9
+    # 24 unpicked r4-green entries (4 rounds stale — they lead the r9
     # window; the 50-slot budget ran out), then the r6-green block (2
     # rounds stale at r8, fills r9/r10), then r7-green, then everything
     # unlisted in registration order.
+    "agg_count_distinct",
     "agg_percentiles",
     "asof_click_to_purchase",
     "contamination_eval_train_overlap",

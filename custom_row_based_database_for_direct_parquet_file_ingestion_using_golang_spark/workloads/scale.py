@@ -1836,6 +1836,32 @@ def weak_typing_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(dual_compare("s", ">", 300.0)).select("doc_id", "lang")
 
 
+@query("embedding_similarity_join")  # rows-only: LSH recall is probabilistic
+def embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity JOIN between two tables (round-8): a probe
+    set of perturbed twins (every 7th vector, scaled + shifted) joined
+    against the embeddings corpus at cosine ≥ 0.999 through
+    similarity.lsh_similarity_join — shared RP-LSH buckets prune
+    candidates, multi-probe (1 flipped bit) recovers near-boundary pairs,
+    and the exact JVM cosine verify makes precision exactly 1.0; only
+    recall is approximate. The embedding analogue of the bloom-prefiltered
+    contamination join: both sides shuffle once on bucket id and the cross
+    join never materializes. Rows-only (LSH bucketing isn't worth
+    replaying in SQL); pytest pins recall vs the exact cross join and the
+    emitted-pairs-are-exact-pairs subset property at both scales."""
+    from ..operators.similarity import lsh_similarity_join
+
+    base = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    queries = base.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("qid"),
+        F.transform("v", lambda x: x * 1.001 + 0.0003).alias("qv"),
+    )
+    return lsh_similarity_join(
+        queries, base, "qid", "qv", "vec_id", "v",
+        dim=64, threshold=0.999, probe_bits=1,
+    ).orderBy("id_l", "id_r")
+
+
 @query(
     "dedup_embedding_neardup",
     """

@@ -530,6 +530,63 @@ def test_blocked_threshold_pairs_matches_brute_force(spark, sf_dir):
         assert brute[key] == pytest.approx(blocked[key], abs=1e-9)
 
 
+def test_lsh_similarity_join_recall_and_precision(spark, sf_dir):
+    # Round-8: the approximate similarity join's precision is exactly 1.0
+    # (every emitted pair re-verified in exact cosine) and recall on the
+    # planted twins must be total at test scale (few planes → big buckets
+    # + 1-bit multi-probe).
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("qid"),
+        F.transform("v", lambda x: x * 1.001 + 0.0003).alias("qv"),
+    )
+    # exact reference: brute-force cross join at the same threshold
+    cos = similarity.cosine(F.col("qv"), F.col("v"))
+    exact = {
+        (r.qid, r.vec_id)
+        for r in queries.crossJoin(emb).filter(cos >= 0.999).collect()
+    }
+    got = {
+        (r.id_l, r.id_r)
+        for r in QUERIES["embedding_similarity_join"](spark, sf_dir).collect()
+    }
+    assert got <= exact  # precision 1.0: no pair below threshold leaks
+    planted = {(q, q - 2_000_000) for q, _ in exact}
+    assert planted <= exact  # sanity: every twin is above threshold
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"LSH join recall {recall:.3f} vs exact"
+    assert planted <= got, "a planted twin pair was missed"
+
+
+def test_lsh_similarity_join_probe_bits(spark):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.similarity import (
+        lsh_similarity_join,
+    )
+
+    left = spark.createDataFrame([(1, [1.0, 0.0, 0.0])], ["lid", "lv"])
+    right = spark.createDataFrame([(2, [1.0, 0.001, 0.0])], ["rid", "rv"])
+    with pytest.raises(ValueError, match="probe_bits"):
+        lsh_similarity_join(
+            left, right, "lid", "lv", "rid", "rv", dim=3,
+            threshold=0.9, probe_bits=3,
+        )
+    # probe_bits=2 widens the candidate set; identical-direction vectors
+    # always share the 0-probe bucket, so the pair must surface at any
+    # probe level.
+    for pb in (0, 1, 2):
+        rows = lsh_similarity_join(
+            left, right, "lid", "lv", "rid", "rv", dim=3,
+            threshold=0.999, n_planes=4, probe_bits=pb,
+        ).collect()
+        assert [(r.id_l, r.id_r) for r in rows] == [(1, 2)], pb
+
+
 def test_blocked_tilers_guard_ids_and_zero_norms(spark):
     # Round-8 advice: non-integral ids fail fast (they'd silently cast to
     # NULL and vanish); zero-norm vectors score 0.0 instead of NaN (which
