@@ -167,6 +167,13 @@ KNOWN_FLOORS_SF01 = {
     "multimodal_jpeg_decode": 1.98,
     "refsql_setops_orders": 0.73,
     "refsql_exists_subquery": 0.49,
+    # round-7 additions (floors from the r7 bench run, sentinel ≤1.2):
+    "bloom_decontaminate_train": 1.32,
+    "classifier_hashed_nb_langid": 1.39,
+    "dedup_embedding_neardup": 0.78,
+    # round-8 additions (floors measured on a quiet VM, sentinel ≤0.51):
+    "skew_salted_join": 0.62,
+    "crossmodal_image_text_neardup": 4.92,
 }
 
 

@@ -122,6 +122,7 @@ EXPR_AGG_FUNCS = {
     "percentile", "median", "stddev", "stddev_samp", "stddev_pop",
     "variance", "var_samp", "var_pop", "corr", "covar_samp", "covar_pop",
     "approx_count_distinct",
+    "string_agg", "listagg",  # round-8; ORDER BY → WITHIN GROUP rewrite
 }
 WINDOW_FUNCS = {
     "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
@@ -177,6 +178,34 @@ def _literal_value(tok: str) -> Any:
 
 class ParseError(ValueError):
     pass
+
+
+def _string_agg_within_group(buf: list[str]) -> str:
+    """Rewrite a captured ``string_agg ( expr , sep order by key [desc] )``
+    token list into Spark's ``string_agg(expr, sep) WITHIN GROUP (ORDER BY
+    key [DESC])`` form. Without an in-call ORDER BY the text passes through
+    unchanged (nondeterministic concatenation order — same caveat as every
+    engine)."""
+    depth = 0
+    split = None
+    for i, t in enumerate(buf):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 1
+            and t.lower() == "order"
+            and i + 1 < len(buf)
+            and buf[i + 1].lower() == "by"
+        ):
+            split = i
+            break
+    if split is None:
+        return " ".join(buf)
+    head = " ".join(buf[:split]).rstrip(", ")
+    order = " ".join(buf[split:-1])
+    return f"{head} ) within group ( {order} )"
 
 
 @dataclass
@@ -583,6 +612,13 @@ def parse_select(
                     depth -= 1
                 buf.append(t if _is_string_lit(t) else _unquote_bare(t))
             text = " ".join(buf)
+            if low in ("string_agg", "listagg"):
+                # Round-8: STRING_AGG(expr, sep [ORDER BY key [DESC]]).
+                # DuckDB takes the ORDER BY inside the call; Spark's
+                # listagg/string_agg needs WITHIN GROUP (ORDER BY ...) —
+                # rewrite the captured text so the dialect accepts the
+                # portable in-call form and Catalyst still compiles it.
+                text = _string_agg_within_group(buf)
             if cur.peek_kw() == "over":
                 raise ParseError(
                     f"{low}(...) OVER is not supported (window frames take "

@@ -22,11 +22,11 @@ from . import timeseries  # noqa: F401, E402
 # period is ~3.3 rounds, so the target is "no entry's newest driver row
 # more than 3 rounds stale" (new-in-round entries exempt); the lost round-5
 # artifact left a 69-entry r4-or-older backlog that takes r8+r9 to clear.
-# Round-8 curation: (0) the 5 new-in-round-8 entries; (1) the 27 entries
-# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 18
+# Round-8 curation: (0) the 6 new-in-round-8 entries; (1) the 27 entries
+# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 17
 # picked from the 42-entry r4-green block, preferring operator families
 # with no fresher in-window sibling (streaming core, ANN/LSH/simhash
-# rows-only pins, z-order, packing, BM25). The 24 unpicked r4 entries
+# rows-only pins, z-order, packing, BM25). The 25 unpicked r4 entries
 # lead the r9 window, then the r6 block. Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
 # entry from the gate window.
@@ -37,6 +37,7 @@ PRIORITY: list[str] = [
     "skew_salted_join",
     "crossmodal_image_text_neardup",
     "embedding_similarity_join",
+    "refsql_string_agg",
     # (1) r2-green — 6 rounds stale, oldest evidence in the registry.
     "cube_status_priority",
     "embedding_norms_stats",
@@ -75,7 +76,6 @@ PRIORITY: list[str] = [
     "ann_brute_force_top10",
     "ann_ivf_top10",
     "ann_lsh_top10",
-    "ann_quantized_top10",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "zorder_optimized_scan",
@@ -88,7 +88,7 @@ PRIORITY: list[str] = [
     "weak_typing_filter",
     "agg_group_having",
     # -- ~50-slot window boundary (50 entries above this line). Below: the
-    # 24 unpicked r4-green entries (4 rounds stale — they lead the r9
+    # 25 unpicked r4-green entries (4 rounds stale — they lead the r9
     # window; the 50-slot budget ran out), then the r6-green block (2
     # rounds stale at r8, fills r9/r10), then r7-green, then everything
     # unlisted in registration order.
@@ -165,6 +165,7 @@ PRIORITY: list[str] = [
     "multimodal_audio_spectrum",
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
+    "ann_quantized_top10",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821

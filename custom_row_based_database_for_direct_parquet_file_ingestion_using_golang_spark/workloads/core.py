@@ -832,6 +832,32 @@ def refsql_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_string_agg",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS count
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def refsql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # STRING_AGG through the dialect (round-8): per-region sorted nation
+    # list. The dialect accepts DuckDB's portable in-call ORDER BY form
+    # and rewrites it to Spark's WITHIN GROUP syntax — the in-call sort
+    # makes the concatenation deterministic, so the whole string
+    # hash-checks against the oracle byte-for-byte.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations, "
+        "COUNT(*) FROM nation "
+        "JOIN region ON nation.n_regionkey = region.r_regionkey "
+        "GROUP BY r_name ORDER BY r_name",
+    )
+
+
+@query(
     "refsql_window_value_functions",
     """
     SELECT o_orderkey,

@@ -871,6 +871,28 @@ def test_window_rows_frame(engine):
         )
 
 
+def test_string_agg_through_dialect(engine):
+    # Round-8: STRING_AGG/LISTAGG with the portable in-call ORDER BY —
+    # rewritten to Spark's WITHIN GROUP form; DESC honored; deterministic.
+    out = engine.ref_sql(
+        "SELECT course, STRING_AGG(name, ',' ORDER BY name) AS names "
+        "FROM students GROUP BY course ORDER BY course"
+    ).collect()
+    by = {r.course: r.names for r in out}
+    for names in by.values():
+        assert names == ",".join(sorted(names.split(",")))
+    desc = engine.ref_sql(
+        "SELECT STRING_AGG(name, '|' ORDER BY name DESC) AS names "
+        "FROM students"
+    ).first().names
+    assert desc == "|".join(sorted(desc.split("|"), reverse=True))
+    # listagg alias; no ORDER BY still parses and aggregates all rows
+    n = engine.ref_sql(
+        "SELECT LISTAGG(name, ';') AS names FROM students"
+    ).first().names
+    assert len(n.split(";")) == 6
+
+
 def test_case_when_projection(engine):
     out = engine.ref_sql(
         "SELECT name, CASE WHEN id >= 4 THEN 'late' ELSE 'early' END AS band "
