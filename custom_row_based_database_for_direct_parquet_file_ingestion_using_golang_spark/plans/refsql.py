@@ -180,6 +180,33 @@ class ParseError(ValueError):
     pass
 
 
+def _capture_filter(cur: "_Cursor") -> str | None:
+    """Round-8: ``FILTER ( WHERE <pred> )`` after an aggregate call —
+    returns the predicate text verbatim (balanced parens preserved, same
+    hand-to-Catalyst contract as expression aggregate arguments), or None
+    when no FILTER clause follows."""
+    if cur.peek_kw() != "filter":
+        return None
+    cur.next()
+    if cur.next() != "(":
+        raise ParseError("expected '(' after FILTER")
+    cur.expect_kw("where")
+    buf: list[str] = []
+    depth = 1
+    while True:
+        t = cur.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+    if not buf:
+        raise ParseError("FILTER (WHERE ...) needs a predicate")
+    return " ".join(buf)
+
+
 def _string_agg_within_group(buf: list[str]) -> str:
     """Rewrite a captured ``string_agg ( expr , sep order by key [desc] )``
     token list into Spark's ``string_agg(expr, sep) WITHIN GROUP (ORDER BY
@@ -619,6 +646,9 @@ def parse_select(
                 # rewrite the captured text so the dialect accepts the
                 # portable in-call form and Catalyst still compiles it.
                 text = _string_agg_within_group(buf)
+            filt = _capture_filter(cur)
+            if filt is not None:
+                text = f"{text} filter ( where {filt} )"
             if cur.peek_kw() == "over":
                 raise ParseError(
                     f"{low}(...) OVER is not supported (window frames take "
@@ -715,6 +745,27 @@ def parse_select(
                     raise ParseError(f"{low}(...) requires an OVER clause")
                 if len(args) != 1:
                     raise ParseError(f"{low}() takes exactly one argument")
+                filt = _capture_filter(cur)
+                if filt is not None:
+                    # Round-8: fn(arg) FILTER (WHERE pred) — conditional
+                    # aggregation; compiled verbatim by Catalyst (the
+                    # _expr path), alias mandatory.
+                    if low == "grouping":
+                        raise ParseError(
+                            "grouping() cannot take a FILTER clause"
+                        )
+                    if cur.peek_kw() != "as":
+                        raise ParseError(
+                            f"{low}(...) FILTER needs AS <alias>"
+                        )
+                    cur.next()
+                    alias = _unquote(cur.next())
+                    spec.aggregates.append((
+                        "_expr",
+                        f"{low}({args[0]}) filter ( where {filt} )",
+                        alias,
+                    ))
+                    continue
                 alias = None
                 if cur.peek_kw() == "as":
                     cur.next()

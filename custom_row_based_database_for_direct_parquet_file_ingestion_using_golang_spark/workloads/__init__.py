@@ -22,11 +22,11 @@ from . import timeseries  # noqa: F401, E402
 # period is ~3.3 rounds, so the target is "no entry's newest driver row
 # more than 3 rounds stale" (new-in-round entries exempt); the lost round-5
 # artifact left a 69-entry r4-or-older backlog that takes r8+r9 to clear.
-# Round-8 curation: (0) the 6 new-in-round-8 entries; (1) the 27 entries
-# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 17
+# Round-8 curation: (0) the 7 new-in-round-8 entries; (1) the 27 entries
+# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 16
 # picked from the 42-entry r4-green block, preferring operator families
 # with no fresher in-window sibling (streaming core, ANN/LSH/simhash
-# rows-only pins, z-order, packing, BM25). The 25 unpicked r4 entries
+# rows-only pins, z-order, packing, BM25). The 26 unpicked r4 entries
 # lead the r9 window, then the r6 block. Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
 # entry from the gate window.
@@ -38,6 +38,7 @@ PRIORITY: list[str] = [
     "crossmodal_image_text_neardup",
     "embedding_similarity_join",
     "refsql_string_agg",
+    "refsql_filtered_agg",
     # (1) r2-green — 6 rounds stale, oldest evidence in the registry.
     "cube_status_priority",
     "embedding_norms_stats",
@@ -86,13 +87,13 @@ PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "similar_pairs_top15",
     "weak_typing_filter",
-    "agg_group_having",
     # -- ~50-slot window boundary (50 entries above this line). Below: the
-    # 25 unpicked r4-green entries (4 rounds stale — they lead the r9
+    # 26 unpicked r4-green entries (4 rounds stale — they lead the r9
     # window; the 50-slot budget ran out), then the r6-green block (2
     # rounds stale at r8, fills r9/r10), then r7-green, then everything
     # unlisted in registration order.
     "agg_count_distinct",
+    "agg_group_having",
     "agg_percentiles",
     "asof_click_to_purchase",
     "contamination_eval_train_overlap",

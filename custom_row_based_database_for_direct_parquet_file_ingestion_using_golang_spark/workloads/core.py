@@ -858,6 +858,41 @@ def refsql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_filtered_agg",
+    """
+    SELECT o_orderstatus,
+           count(*) AS count,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS big_n,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'),
+                 2) AS urgent_total,
+           round(avg(o_totalprice) FILTER (WHERE o_totalprice <= 150000),
+                 2) AS small_avg
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def refsql_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTER (WHERE ...) through the dialect (round-8): conditional
+    # aggregation — three filtered aggregates with different predicates in
+    # ONE grouped pass (the standard-SQL replacement for CASE-WHEN-inside-
+    # SUM). Compiled verbatim by Catalyst; the oracle runs the identical
+    # FILTER clauses in DuckDB, so a dropped or misattached predicate
+    # flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH a AS (SELECT o_orderstatus, COUNT(*), "
+        "COUNT(*) FILTER (WHERE o_totalprice > 150000) AS big_n, "
+        "SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') "
+        "AS ut, "
+        "AVG(o_totalprice) FILTER (WHERE o_totalprice <= 150000) AS sa "
+        "FROM orders GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, count, big_n, "
+        "ROUND(ut, 2) AS urgent_total, ROUND(sa, 2) AS small_avg "
+        "FROM a ORDER BY o_orderstatus",
+    )
+
+
+@query(
     "refsql_window_value_functions",
     """
     SELECT o_orderkey,

@@ -893,6 +893,31 @@ def test_string_agg_through_dialect(engine):
     assert len(n.split(";")) == 6
 
 
+def test_filter_clause_aggregates(engine):
+    # Round-8: fn(arg) FILTER (WHERE pred) — conditional aggregation.
+    rows = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n, "
+        "COUNT(*) FILTER (WHERE id >= 4) AS late_n "
+        "FROM students GROUP BY course ORDER BY course"
+    ).collect()
+    assert sum(r.n for r in rows) == 6
+    assert sum(r.late_n for r in rows) == 3
+    # composes with the statistical (_expr) family and STRING_AGG
+    r = engine.ref_sql(
+        "SELECT MEDIAN(id) FILTER (WHERE id > 1) AS m, "
+        "STRING_AGG(name, ',' ORDER BY id) FILTER (WHERE id <= 2) AS early "
+        "FROM students"
+    ).first()
+    assert r.m == 4.0
+    assert len(r.early.split(",")) == 2
+    with pytest.raises(ParseError, match="FILTER needs AS"):
+        engine.ref_sql("SELECT COUNT(*) FILTER (WHERE id > 1) FROM students")
+    with pytest.raises(ParseError, match="needs a predicate"):
+        engine.ref_sql(
+            "SELECT COUNT(*) FILTER (WHERE) AS x FROM students"
+        )
+
+
 def test_case_when_projection(engine):
     out = engine.ref_sql(
         "SELECT name, CASE WHEN id >= 4 THEN 'late' ELSE 'early' END AS band "
