@@ -45,10 +45,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query.
 
-    Omitted only for the 4 non-SQL-expressible operators (engine-specific
-    xxhash64-based signatures / approximate ANN): for those the driver
-    records row counts with ``rows_match: null`` (no oracle comparison);
-    their verification lives in the pytest parity/recall pins
-    (tests/test_operators.py, tests/test_dedup.py).
+    Omitted only for the 10 non-SQL-expressible operators (engine-specific
+    xxhash64-based signatures, approximate ANN/LSH, DCT/FFT perceptual
+    hashes): for those the driver records row counts with ``rows_match:
+    null`` (no oracle comparison); their verification lives in the pytest
+    parity/recall pins (tests/test_operators.py, tests/test_dedup.py,
+    tests/test_membership.py).
     """
     return workload.ordered_oracles()

@@ -123,6 +123,8 @@ EXTRA_PASS_QUERIES = {
     "dedup_minhash_lsh",
     "stream_session_windows",
     "q5_local_supplier_volume",
+    # round-8: Arrow-encode-heavy fixture, Python-stage variance
+    "crossmodal_image_text_neardup",
 }
 
 # Known warm floors at sf0.1 (sec): BASELINE.md's floor table plus the
