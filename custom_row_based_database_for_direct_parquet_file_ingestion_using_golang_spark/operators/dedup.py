@@ -568,6 +568,104 @@ def _simhash_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_lsh_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    new_id: str,
+    new_text: str,
+    corpus_id: str,
+    corpus_text: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup JOIN (round-8): pairs between a NEW batch and
+    an existing CORPUS with shingle Jaccard ≥ ``threshold`` — the
+    dedupe-the-incoming-crawl-against-what-we-already-have shape, without
+    ever comparing new×corpus exhaustively.
+
+    Same machinery as :func:`minhash_lsh_pairs` (row-local signatures,
+    banded buckets, exact-Jaccard verify → precision exact, recall from
+    the banding curve 1-(1-j^r)^b), but the band join runs NEW against
+    CORPUS instead of self-joining — so a daily batch only shuffles its
+    own band rows plus the corpus band rows, and at 100 TB the corpus
+    side's (doc, band, bucket) index is materialized once and reused
+    across batches (persist it with the corpus). Returns
+    (new_doc, corpus_doc, jaccard)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    params = _perm_params(num_perm)
+
+    def prep(df: DataFrame, id_col: str, text_col: str):
+        toked = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc"), norm_tokens(text_col).alias("toks")
+        )
+        base = F.transform(
+            shingles_from_tokens(F.col("toks"), n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+        )
+        sigged = toked.select(
+            "doc", _perm_mins_udf(params)(base).alias("sig")
+        )
+        banded = sigged.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnd).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at(F.col("sig"), bnd * r + j + 1)
+                                    for j in range(r)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+        # Materialized once — same rationale as minhash_lsh_pairs (the
+        # band join would otherwise re-plan the signature pipeline).
+        banded = banded.localCheckpoint()
+        sh = toked.select(
+            "doc",
+            F.array_distinct(shingles_from_tokens(F.col("toks"), n)).alias("sh"),
+        )
+        return banded, sh
+
+    nb, nsh = prep(new, new_id, new_text)
+    cb, csh = prep(corpus, corpus_id, corpus_text)
+    cand = (
+        nb.alias("x")
+        .join(cb.alias("y"), ["band", "bucket"])
+        .select(
+            F.col("x.doc").alias("new_doc"), F.col("y.doc").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(nsh.select(F.col("doc").alias("new_doc"),
+                             F.col("sh").alias("sh_n")), "new_doc")
+        .join(csh.select(F.col("doc").alias("corpus_doc"),
+                         F.col("sh").alias("sh_c")), "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            (
+                F.size(F.array_intersect("sh_n", "sh_c"))
+                / F.size(F.array_union("sh_n", "sh_c"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "new_doc", "corpus_doc", "jaccard"
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token-hash
     bits (+1/-1), computed ROW-LOCALLY.

@@ -2276,6 +2276,93 @@ def split_train_eval_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_lsh")  # rows-only: xxhash64 banding not SQL
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against an existing corpus (round-8): a NEW
+    batch — light edits of every 10th corpus doc (near-dups that must
+    match their source) plus synthetic unrelated docs (that must not
+    match anything) — LSH-joined against the full documents corpus via
+    dedup.minhash_lsh_join. The daily-crawl-vs-warehouse shape: the new
+    batch never cross-joins the corpus; both sides meet only in shared
+    band buckets and candidates are exact-Jaccard verified. Rows-only
+    (xxhash64 banding isn't SQL-replayable); pytest pins planted recall,
+    unrelated-batch silence, and the threshold floor at both scales."""
+    from ..operators.dedup import minhash_lsh_join
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" q7")).alias("text"),
+    )
+    unrelated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), i)), 1, 6
+                ),
+            ),
+        ).alias("text"),
+    )
+    new_batch = near.unionByName(unrelated)
+    return minhash_lsh_join(
+        new_batch, docs, "doc_id", "text", "doc_id", "text",
+        threshold=0.5,
+    ).orderBy("new_doc", "corpus_doc")
+
+
+@query(
+    "corpus_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS skey
+      FROM documents
+    )
+    SELECT doc_id, skey % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % 8
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM k ORDER BY shard, pos
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic global corpus shuffle + shard assignment (round-8):
+    # the pre-training data-order step — every doc gets a pseudo-random
+    # but REPRODUCIBLE position (60 md5 bits as the sort key; no rand(),
+    # so task retries, engine swaps, and incremental re-runs produce the
+    # byte-identical order) and a shard id for parallel writers. The
+    # oracle replays key, shard, and position exactly — the whole
+    # permutation is hash-checked, not just counts.
+    #
+    # Scale shape: shard assignment is a row-local projection; the only
+    # shuffle is the per-shard window sort. At 100 TB, write with
+    # df.repartition(n, "shard").sortWithinPartitions("skey") instead of
+    # the windowed row_number (same order, no global numbering) — the
+    # numbered form here is the oracle-checkable equivalent.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    skey = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    from pyspark.sql import Window
+
+    keyed = docs.select("doc_id", skey.alias("skey")).withColumn(
+        "shard", F.pmod(F.col("skey"), F.lit(8))
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
 @query(
     "dedup_semantic_clusters",
     """

@@ -119,6 +119,35 @@ def test_minhash_lsh_finds_near_dups(docs_df):
         )
 
 
+def test_minhash_lsh_join_incremental_dedup(spark, sf_dir):
+    # Round-8: the new-batch-vs-corpus LSH join — every planted near-dup
+    # (light edit of a corpus doc) matches its source, the unrelated
+    # synthetic batch matches nothing, and every reported jaccard clears
+    # the threshold (the exact-verify guarantee).
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+        load,
+    )
+
+    rows = QUERIES["dedup_incremental_lsh"](spark, sf_dir).collect()
+    planted = {
+        int(r.doc_id) + 5_000_000
+        for r in load(spark, sf_dir, "documents")
+        .filter("doc_id % 10 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    got_pairs = {(r.new_doc, r.corpus_doc) for r in rows}
+    # each planted doc matches its own source...
+    missing = {
+        n for n in planted if (n, n - 5_000_000) not in got_pairs
+    }
+    assert not missing, f"planted near-dups missed: {sorted(missing)[:5]}"
+    # ...and the unrelated batch (6e6 offset) matches nothing
+    assert not [p for p in got_pairs if p[0] >= 6_000_000]
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
 def test_connected_components_multi_hop(spark):
     # Two components: a 4-node path 1-2-3-4 (forces 3 propagation rounds —
     # labels must travel the full diameter, not just one hop) and a 2-clique
