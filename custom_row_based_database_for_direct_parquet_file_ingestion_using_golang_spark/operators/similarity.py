@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -581,6 +583,177 @@ def dequantize_int8(
     return df.withColumn(
         out,
         F.transform(F.col(codes_col), lambda c: c.cast("double") * F.col(scale_col)),
+    )
+
+
+def _lloyd_l2(sample, k: int, n_iter: int, seed: int):
+    """Plain (non-spherical) L2 Lloyd iterations — PQ subspace codebooks
+    quantize raw subvectors, so no normalization here (contrast
+    _kmeans_centroids, whose spherical variant serves IVF's cosine
+    assignment)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype="float64")
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    train_limit: int = 2048,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> "list":
+    """Product-quantization codebooks (round-8): split each UNIT-NORMALIZED
+    vector into ``m`` subvectors of dim/m components and train an L2
+    k-means codebook of ``k_codes`` centroids per subspace, driver-side,
+    on the same deterministic hash sample IVF training uses (one corpus
+    pass, bounded collect ≤ train_limit rows). Returns a list of m numpy
+    (k, dim/m) codebooks. Model size: m·k·(dim/m) floats — corpus-size
+    independent, ships as plan literals."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub_d = dim // m
+    sample_rows = _ivf_training_sample(df, id_col, vec_col, train_limit).collect()
+    if len(sample_rows) < max(k_codes, train_limit // 4):
+        n = df.count()
+        mod = max(1, n // train_limit)
+        sample_rows = (
+            df.select(
+                F.xxhash64(F.col(id_col)).alias("h"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+            .collect()
+        )
+    if not sample_rows:
+        raise ValueError("PQ training: corpus is empty")
+    sample_rows.sort(key=lambda r: r.h)
+    x = np.asarray([r.v for r in sample_rows[:train_limit]], dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return [
+        _lloyd_l2(x[:, j * sub_d : (j + 1) * sub_d], k_codes, n_iter, seed + j)
+        for j in range(m)
+    ]
+
+
+def _pq_encode_udf(codebooks: "list"):
+    """Arrow-vectorized PQ encoder: per batch, normalize rows and assign
+    each subvector to argmin_c ||v_j - c||² = argmax_c (v_j·c - ||c||²/2)
+    with one BLAS matmul per subspace. A plan-literal column-algebra
+    formulation was measured ~50× slower (m·k interpreted aggregate dot
+    products per row — 512 for m=16/k=32 — versus one (n, sub_d)×(sub_d,
+    k) matmul per batch); same Arrow-over-literal-algebra trade the
+    MinHash signature and SemDeDup assignment stages already make. The
+    codebooks ride the closure as numpy constants — m·k·(dim/m) doubles,
+    corpus-size independent."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    sub_d = cbs[0].shape[1]
+    biases = [0.5 * (cb * cb).sum(axis=1) for cb in cbs]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        x = np.stack(vs.to_numpy()).astype("float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), len(cbs)), dtype="int32")
+        for j, (cb, bias) in enumerate(zip(cbs, biases)):
+            sub = x[:, j * sub_d : (j + 1) * sub_d]
+            codes[:, j] = (sub @ cb.T - bias).argmax(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 16,
+    k_codes: int = 32,
+    rescore: int = 8,
+    train_limit: int = 2048,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by cosine via product quantization with
+    asymmetric distance computation (ADC — Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the corpus
+    scan reads m small int codes per vector (dim·4 bytes → m bytes of
+    codes at 100 TB), the query-to-codebook dot-product table (m×k_codes
+    doubles) is computed driver-side and shipped as plan literals, and
+    each candidate's approximate score is m plan-literal table lookups
+    (``element_at``). Encoding runs in one Arrow batch pass per partition
+    (see _pq_encode_udf); scoring and the top-k stay JVM-side, zero
+    shuffle. The ``rescore·k`` best candidates re-rank in exact float
+    cosine (same tail as quantized_topk), so returned scores are exact
+    and only recall is approximate (pytest pins ≥0.9 vs brute force —
+    1.0 at the m=16/k_codes=32/rescore=8 defaults on the fixtures)."""
+    import numpy as np
+
+    codebooks = pq_train(
+        df, id_col, vec_col, dim, m, k_codes, train_limit, n_iter, seed
+    )
+    qrow = query.limit(2).collect()
+    if len(qrow) != 1:
+        raise ValueError("pq_topk expects exactly one query row")
+    q = np.asarray(list(qrow[0][0]), dtype="float64")
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sub_d = dim // m
+    # ADC table: table[j][c] = dot(q_j, codebook_j[c]) — m×k_codes doubles.
+    tables = [
+        [float(q[j * sub_d : (j + 1) * sub_d] @ c) for c in cb]
+        for j, cb in enumerate(codebooks)
+    ]
+    encoded = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _pq_encode_udf(codebooks)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("pq"),
+    )
+    adc = None
+    for j, tab in enumerate(tables):
+        lookup = F.element_at(
+            F.array(*[F.lit(v) for v in tab]),
+            F.element_at(F.col("pq"), j + 1) + 1,
+        )
+        adc = lookup if adc is None else (adc + lookup)
+    cand = (
+        encoded.select(F.col(id_col), F.col(vec_col), adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(rescore * k)
+    )
+    return (
+        cand.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

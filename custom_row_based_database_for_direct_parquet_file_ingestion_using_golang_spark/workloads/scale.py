@@ -1024,6 +1024,20 @@ def ann_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, "vec_id", "embedding", q, k=10)
 
 
+@query("ann_pq_top10")  # rows-only: PQ codes are approximate by design
+def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ANN (round-8): m=16 subspace codebooks of 32
+    # centroids (trained driver-side on the IVF hash sample), m-byte codes
+    # per vector, ADC scoring as m plan-literal table lookups, exact float
+    # rescore of the 8k candidate set. The 100 TB memory-bandwidth shape:
+    # the heavy scan reads 16 bytes of codes instead of 256 bytes of
+    # floats per vector. pytest pins recall ≥ 0.9 vs brute force (1.0 on
+    # the fixtures) and exact rescored scores.
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.pq_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
+
+
 @query("ann_ivf_top10")  # rows-only: IVF probing is approximate by design
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse-quantizer scale path: spherical k-means lists + n_probe exact

@@ -257,6 +257,30 @@ def test_quantized_topk_matches_brute_force(spark, sf_dir):
             assert r.score == pytest.approx(bscore[r.vec_id])
 
 
+def test_pq_topk_recall_and_exact_rescore(spark, sf_dir):
+    # Round-8 PQ/ADC: self-similarity ranks first, recall@10 vs brute
+    # force ≥ 0.9 at the m=16/k_codes=32/rescore=8 defaults, and every
+    # overlapping score is the EXACT float cosine (rescore guarantee).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    pq = similarity.pq_topk(emb, "vec_id", "embedding", q, dim=64, k=10).collect()
+    assert pq[0].vec_id == 7 and pq[0].score == pytest.approx(1.0)
+    recall = len({r.vec_id for r in pq} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.9, f"PQ recall@10 too low: {recall}"
+    bscore = {r.vec_id: r.score for r in brute}
+    for r in pq:
+        if r.vec_id in bscore:
+            assert r.score == pytest.approx(bscore[r.vec_id])
+    # deterministic across invocations (seeded training + hash sample)
+    again = similarity.pq_topk(emb, "vec_id", "embedding", q, dim=64, k=10).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in pq]
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_train(emb, "vec_id", "embedding", dim=64, m=7)
+
+
 def test_ivf_topk_self_first_and_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
