@@ -1653,6 +1653,50 @@ def test_merge_matches_dict_model_random_batches(spark, tmp_path, seed):
     assert n2 == len(dele)
 
 
+@pytest.mark.parametrize("seed", [11, 47, 83])
+def test_merge_triad_matches_dict_model(spark, tmp_path, seed):
+    """Round-8: the full snapshot-sync triad vs a dict model — one MERGE
+    whose feed defines the desired end state for a random key subset:
+    matched keys update, fresh keys insert, keys the feed no longer
+    carries die iff they pass the BY SOURCE predicate (v is odd)."""
+    import random
+
+    rng = random.Random(seed)
+    base = {i: rng.randint(0, 100) for i in range(25)}
+    feed_keys = rng.sample(range(40), 18)  # mix of existing and fresh keys
+    feed = {k: rng.randint(200, 300) for k in feed_keys}
+
+    e = Engine(spark, str(tmp_path / f"triad{seed}"))
+    e.create_table("tgt", [("k", "INT"), ("v", "INT")])
+    e.insert_rows("tgt", [{"k": k, "v": v} for k, v in base.items()])
+    e.create_table("feed", [("k", "INT"), ("v", "INT")])
+    e.insert_rows("feed", [{"k": k, "v": v} for k, v in feed.items()])
+
+    n = e.ref_sql(
+        "MERGE INTO tgt USING feed ON tgt.k = feed.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND v % 2 = 1 THEN DELETE"
+    )
+    model = {}
+    for k, v in base.items():
+        if k in feed:
+            model[k] = feed[k]          # updated
+        elif v % 2 == 1:
+            pass                        # unmatched + odd → deleted
+        else:
+            model[k] = v                # unmatched + even → survives
+    for k, v in feed.items():
+        if k not in base:
+            model[k] = v                # inserted
+    got = {r.k: r.v for r in e.ref_sql("SELECT k, v FROM tgt").collect()}
+    assert got == model, f"seed {seed}"
+    n_upd = len([k for k in feed if k in base])
+    n_ins = len([k for k in feed if k not in base])
+    n_del = len([k for k, v in base.items() if k not in feed and v % 2 == 1])
+    assert n == n_upd + n_ins + n_del, f"seed {seed}"
+
+
 # -- derived tables (round-7) -------------------------------------------------
 
 
