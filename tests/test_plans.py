@@ -342,3 +342,50 @@ def test_refsql_union_all_is_shuffle_free_and_sample_prunes_columns(
     )
     cols = read_columns(s)
     assert cols and all(c <= {"o_orderkey"} for c in cols), cols
+
+
+def test_round8_join_tiers_never_plan_cross_joins(spark, sf_dir):
+    # The round-8 approximate joins' scale claim is "the cross product
+    # never materializes" — pin it: no CartesianProduct and no
+    # BroadcastNestedLoopJoin anywhere in either plan.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    for name in ("embedding_similarity_join", "dedup_incremental_lsh"):
+        txt = plan_text(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in txt, name
+        assert "BroadcastNestedLoopJoin" not in txt, name
+
+
+def test_pq_scoring_is_literal_lookup_single_arrow_stage(spark, sf_dir):
+    # PQ/ADC plan shape: exactly ONE Arrow stage (the batch encoder) and
+    # zero row-at-a-time Python; the ADC score and candidate top-k are
+    # JVM-side (TakeOrderedAndProject on the approximate score).
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    txt = plan_text(
+        similarity.pq_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
+    )
+    import re
+
+    # formatted mode prints each node twice (tree + detail header) — count
+    # the detail headers, one per physical node.
+    arrow_nodes = re.findall(r"^\(\d+\) ArrowEvalPython", txt, re.M)
+    assert len(arrow_nodes) == 1, txt
+    assert "BatchEvalPython" not in txt
+    assert "TakeOrderedAndProject" in txt
