@@ -720,7 +720,10 @@ def pq_topk(
     if len(qrow) != 1:
         raise ValueError("pq_topk expects exactly one query row")
     q = np.asarray(list(qrow[0][0]), dtype="float64")
-    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    qn = float(np.linalg.norm(q))
+    if qn == 0.0:
+        raise ValueError("pq_topk: query vector has zero norm")
+    q = q / qn
     sub_d = dim // m
     # ADC table: table[j][c] = dot(q_j, codebook_j[c]) — m×k_codes doubles.
     tables = [
@@ -799,7 +802,10 @@ def lsh_similarity_join(
     and only recall is approximate (a pair hashing >probe_bits apart on
     every shared bucket is missed; for twin-grade cosine ≥ 0.999 the
     flip probability per plane is ~cos⁻¹(s)/π ≈ 0.6%, so recall at 12
-    planes/1 probe bit is ≈ 99.8%).
+    planes/1 probe bit is ≈ 99.8%). Zero-norm vectors never match: their
+    cosine is NaN and NaN comparisons are false — same exclusion contract
+    as the >=-threshold comparisons everywhere else; hash them out first
+    if they need different handling.
 
     Scale shape: this is the embedding analogue of the bloom-prefiltered
     contamination join — each side shuffles once on bucket id (left
