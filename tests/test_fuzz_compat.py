@@ -92,3 +92,45 @@ def test_dual_compare_fuzz(spark):
             if bool(row[f"o{i}"]) != want:
                 mismatches.append((row.l, op, row.r, row[f"o{i}"], want))
     assert not mismatches, mismatches[:5]
+
+
+def test_filtered_agg_and_string_agg_match_duckdb_fuzz(spark, tmp_path):
+    """Round-8 differential fuzz: random grouped queries using the new
+    FILTER (WHERE ...) and STRING_AGG verbs, run through the DIALECT and
+    through DuckDB over the byte-identical parquet — results must match
+    cell-for-cell across randomized predicates and seeds."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    frng = random.Random(4242)
+    rows = [
+        (frng.choice(["a", "b", "c", "d"]), frng.randint(0, 60))
+        for _ in range(400)
+    ]
+    pq = str(tmp_path / "fz.parquet")
+    spark.createDataFrame(rows, ["g", "v"]).coalesce(1).write.parquet(pq)
+    e = Engine(spark, str(tmp_path / "fzdb"))
+    e.ingest_parquet(pq, "t")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    for trial in range(6):
+        p1 = f"v > {frng.randint(0, 55)}"
+        p2 = f"v % {frng.randint(2, 5)} = {frng.randint(0, 1)}"
+        sql = (
+            "SELECT g, COUNT(*) AS n, "
+            f"COUNT(*) FILTER (WHERE {p1}) AS n1, "
+            f"SUM(v) FILTER (WHERE {p2}) AS s2, "
+            "STRING_AGG(v, ',' ORDER BY v) AS vs "
+            "FROM t GROUP BY g ORDER BY g"
+        )
+        got = [
+            (r.g, r.n, r.n1, r.s2, r.vs) for r in e.ref_sql(sql).collect()
+        ]
+        # DuckDB's string_agg takes the in-call ORDER BY natively — the
+        # exact portable form the dialect accepts.
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial}: {sql}"
