@@ -2085,6 +2085,81 @@ def phash64(pixels: "np.ndarray") -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _decode_pixels(payload: bytes) -> dict:
+    """Sniff + REAL-decode any supported image container, returning the
+    full pixel dict (the metadata-only sibling is :func:`decode_image`)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return decode_tiff(payload)
+    return decode_webp_lossless(payload)
+
+
+def area_resize(pixels: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Area-mean resize to (out_h, out_w): rows/columns split into output
+    bins (``np.array_split`` — non-divisible dims get uneven bins) and
+    each block averages per channel. Exact block means — no interpolation
+    kernel, no resampling phase — which makes the result replayable in an
+    analytic oracle when the source image is a linear gradient (the
+    multimodal_image_resize workload). Same family as the pHash internal
+    32×32 reduction."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("area_resize: output dims must be positive")
+    g = pixels.astype(np.float64)
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[:, :, None]
+    if g.shape[0] < out_h:
+        g = np.repeat(g, -(-out_h // g.shape[0]), axis=0)
+    if g.shape[1] < out_w:
+        g = np.repeat(g, -(-out_w // g.shape[1]), axis=1)
+    rows = np.stack([b.mean(axis=0) for b in np.array_split(g, out_h, axis=0)])
+    out = np.stack(
+        [b.mean(axis=1) for b in np.array_split(rows, out_w, axis=1)], axis=1
+    )
+    return out[:, :, 0] if squeeze else out
+
+
+def transform_image_resize(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Distributed image resize (round-8 — the brief's multimodal
+    ``resize`` transform as a first-class operator): REAL-decode each
+    payload (any supported container), area-mean resize to (out_h,
+    out_w), and re-encode as uncompressed BMP — all inside one Arrow
+    ``mapInPandas`` batch, bytes never leaving the batch path. Returns
+    the canonical (media_id, payload, width, height) media frame, so
+    every downstream extractor (features, pHash, re-export) composes
+    unchanged. At 100 TB this is the thumbnail/normalization pass before
+    feature extraction: embarrassingly parallel, output bytes ∝
+    out_w·out_h regardless of input size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = _decode_pixels(bytes(payload))
+                px = area_resize(d["pixels"], out_h, out_w)
+                px8 = np.clip(np.round(px), 0, 255).astype(np.uint8)
+                if px8.ndim == 2:
+                    px8 = np.repeat(px8[:, :, None], 3, axis=2)
+                out["media_id"].append(mid)
+                out["payload"].append(encode_bmp(px8))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, payload binary, width int, height int"
+    )
+
+
 def extract_image_phash(media: DataFrame) -> DataFrame:
     """(media_id, phash, width, height) via REAL decode of each payload
     (BMP/PNG/GIF/JPEG/TIFF/WebP-lossless) inside Arrow ``mapInPandas`` —

@@ -1501,6 +1501,71 @@ def crossmodal_image_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_image_resize",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 * (1 + 2 * (doc_id % 4)) AS w,
+             8 * (1 + 2 * (doc_id % 3)) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             (w // 8) * j + ((w // 8) - 1) // 2
+             + 2 * ((h // 8) * i + ((h // 8) - 1) // 2) AS v
+      FROM p, range(0, 8) t1(i), range(0, 8) t2(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(3 * sum(v) AS BIGINT) AS pixel_sum,
+           round(avg(v), 2) AS mean_pixel
+    FROM cells GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-class image RESIZE transform (round-8), verified ANALYTICALLY:
+    # each doc gets a linear-gradient BMP (pixel = x + 2y) whose dims are
+    # odd multiples of 8, so the 8×8 area-mean resize produces EXACT
+    # integer block means — mean over block j of x is bw·j + (bw-1)/2 with
+    # bw odd. The pipeline is real end-to-end (encode → decode → area
+    # resize → re-encode BMP → decode features), and the oracle recomputes
+    # every resized pixel in SQL — an off-by-one in the block split, a
+    # wrong mean, or a channel mixup flips the hash.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                w = 8 * (1 + 2 * (did % 4))
+                h = 8 * (1 + 2 * (did % 3))
+                y, x = np.mgrid[0:h, 0:w]
+                g = (x + 2 * y).astype(np.uint8)
+                payloads.append(
+                    multimodal.encode_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    resized = multimodal.transform_image_resize(media, out_w=8, out_h=8)
+    feats = multimodal.extract_bmp_features(
+        multimodal.wrap_binary(resized, "media_id", "payload", "image")
+    )
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "pixel_sum",
+        F.round("mean_pixel", 2).alias("mean_pixel"),
+    ).orderBy("media_id")
+
+
+@query(
     "multimodal_png_decode",
     """
     WITH p AS (

@@ -669,6 +669,51 @@ def test_blocked_tilers_guard_ids_and_zero_norms(spark):
     assert scores[(1, 3)] == 0.0 and scores[(2, 3)] == 0.0
 
 
+def test_area_resize_matches_block_means_and_transform_roundtrip(spark):
+    # Round-8: area_resize equals the explicit per-block numpy mean on a
+    # random image, and the distributed transform round-trips through a
+    # real decode → resize → BMP re-encode → decode across formats.
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    got = multimodal.area_resize(img, 8, 8)
+    want = np.stack(
+        [
+            np.stack(
+                [
+                    img[3 * i : 3 * i + 3, 5 * j : 5 * j + 5].astype(
+                        "float64"
+                    ).mean(axis=(0, 1))
+                    for j in range(8)
+                ]
+            )
+            for i in range(8)
+        ]
+    )
+    assert np.allclose(got, want)
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.area_resize(img, 0, 8)
+
+    # cross-format: a PNG input resizes identically to its BMP twin
+    rows = [
+        (1, multimodal.encode_bmp(img)),
+        (2, multimodal.encode_png(img)),
+    ]
+    media = multimodal.wrap_binary(
+        spark.createDataFrame(rows, ["id", "payload"]), "id", "payload", "image"
+    )
+    resized = multimodal.transform_image_resize(media, out_w=8, out_h=8)
+    out = {r.media_id: r for r in resized.collect()}
+    assert out[1].width == 8 and out[1].height == 8
+    assert bytes(out[1].payload) == bytes(out[2].payload)  # same pixels in
+    d = multimodal.decode_bmp(bytes(out[1].payload))
+    assert d["width"] == 8 and d["height"] == 8
+    assert np.array_equal(
+        d["pixels"], np.clip(np.round(want), 0, 255).astype(np.uint8)
+    )
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v" * 4096), (2, b"a" * 10)], ["id", "payload"])
     media = multimodal.wrap_binary(df, "id", "payload", "video")
