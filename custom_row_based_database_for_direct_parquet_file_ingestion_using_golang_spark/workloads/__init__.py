@@ -88,7 +88,7 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "weak_typing_filter",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the four round-8 entries the 50-slot budget could not seat
+    # first the five round-8 entries the 50-slot budget could not seat
     # (they debut with pytest pins only and MUST get their first driver
     # row in r9), then the 26 unpicked r4-green entries (4 rounds stale —
     # they lead the r9 window with them), then the r6-green block (2
@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "dedup_incremental_lsh",
     "ann_pq_top10",
     "multimodal_image_resize",
+    "multimodal_audio_resample",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1566,6 +1566,56 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_resample",
+    """
+    WITH p AS (
+      SELECT doc_id, 1001 + doc_id % 50 AS n_in, 1 + doc_id % 7 AS c
+      FROM documents
+    ),
+    q AS (SELECT doc_id, c, (n_in - 1) * 4 // 5 + 1 AS m FROM p)
+    SELECT doc_id AS media_id,
+           CAST(6400 AS INT) AS sample_rate,
+           CAST(m AS BIGINT) AS n_samples,
+           CAST(m * c + 5 * (m * (m - 1) // 2) AS BIGINT) AS abs_sum
+    FROM q ORDER BY media_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-class audio RESAMPLE (round-8), verified ANALYTICALLY: each
+    # doc gets a PCM16 ramp (sample n = c + 4n) at 8000 Hz; resampling to
+    # 6400 Hz reads input positions k·1.25 — a dyadic-exact ratio, so the
+    # linear interpolation of the ramp is exact: resampled[k] = c + 5k.
+    # The oracle recomputes the output length ((n-1)·4//5 + 1) and the
+    # closed-form Σ(c + 5k) — a wrong interpolation weight, an off-by-one
+    # in the output grid, or a codec bug in the re-encode flips the hash.
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 1001 + did % 50
+                c = 1 + did % 7
+                s = (c + 4 * np.arange(n)).astype(np.int16)
+                payloads.append(multimodal.encode_wav(s, 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
+    resampled = multimodal.transform_audio_resample(media, out_rate=6400)
+    feats = multimodal.extract_wav_features(
+        multimodal.wrap_binary(resampled, "media_id", "payload", "audio")
+    )
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "abs_sum"
+    ).orderBy("media_id")
+
+
+@query(
     "multimodal_png_decode",
     """
     WITH p AS (

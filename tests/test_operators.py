@@ -714,6 +714,39 @@ def test_area_resize_matches_block_means_and_transform_roundtrip(spark):
     )
 
 
+def test_audio_resample_exact_on_ramp_and_through_mulaw(spark):
+    # Round-8: dyadic-ratio resample of a ramp is sample-exact, the
+    # re-encoded WAV decodes at the new rate, and the transform accepts
+    # the G.711 μ-law container (decode handles it; output is PCM16).
+    import numpy as np
+
+    ramp = (3 + 4 * np.arange(101)).astype(np.int16)
+    rows = [
+        (1, multimodal.encode_wav(ramp, 8000)),
+        (2, multimodal.encode_wav_mulaw(multimodal.linear_to_mulaw(ramp), 8000)),
+    ]
+    media = multimodal.wrap_binary(
+        spark.createDataFrame(rows, ["id", "payload"]), "id", "payload", "audio"
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.transform_audio_resample(media, 6400).collect()
+    }
+    m = (101 - 1) * 4 // 5 + 1
+    d = multimodal.decode_wav(bytes(out[1].payload))
+    assert out[1].sample_rate == 6400 and out[1].n_samples == m
+    assert d["sample_rate"] == 6400
+    assert np.array_equal(d["samples"], (3 + 5 * np.arange(m)).astype(np.int16))
+    # μ-law input: lossy codec, but length/rate contract identical and
+    # values within companding error of the exact ramp
+    d2 = multimodal.decode_wav(bytes(out[2].payload))
+    assert d2["sample_rate"] == 6400 and len(d2["samples"]) == m
+    err = np.abs(d2["samples"].astype("int64") - (3 + 5 * np.arange(m)))
+    assert err.max() <= 32  # G.711 segment quantization bound at this level
+    with pytest.raises(ValueError, match="out_rate"):
+        multimodal.transform_audio_resample(media, 0)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"v" * 4096), (2, b"a" * 10)], ["id", "payload"])
     media = multimodal.wrap_binary(df, "id", "payload", "video")
