@@ -14,6 +14,7 @@ from . import scale  # noqa: F401, E402
 from . import streaming  # noqa: F401, E402
 from . import ranking  # noqa: F401, E402
 from . import timeseries  # noqa: F401, E402
+from . import sketches  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
@@ -88,7 +89,7 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "weak_typing_filter",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the five round-8 entries the 50-slot budget could not seat
+    # first the eight round-8 entries the 50-slot budget could not seat
     # (they debut with pytest pins only and MUST get their first driver
     # row in r9), then the 26 unpicked r4-green entries (4 rounds stale —
     # they lead the r9 window with them), then the r6-green block (2
@@ -99,6 +100,9 @@ PRIORITY: list[str] = [
     "ann_pq_top10",
     "multimodal_image_resize",
     "multimodal_audio_resample",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1,0 +1,174 @@
+"""Sketch-tier workloads: engine-portable HLL / KMV / Count-Min.
+
+Each estimate is replayed EXACTLY by the DuckDB oracle (same md5-derived
+hashing, integer-scaled harmonic sums, shared rounding convention), so
+the driver hash-checks the sketch itself, not just its statistical
+plausibility. Each workload also carries the exact answer alongside the
+estimate: at test scale that column is cheap, and it makes the sketch's
+error visible in the delivered rows.
+
+Reference scope note: CustomDB (the Go reference) has no sketch tier;
+these are part of the beyond-reference at-scale analytics operators
+(SURVEY.md §2.8). 100 TB posture per operator is in the functions'
+docstrings and docs/SCALING.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import sketch as sk
+from ..operators.text import norm_tokens
+from .registry import load, query
+from .scale import _SQL_TOKS_NORM
+
+# DuckDB replay of operators/sketch.hash60 (60-bit md5 prefix).
+_SQL_H60 = "CAST('0x' || substr(md5({x}),1,15) AS BIGINT)"
+
+
+@query(
+    "sketch_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             {_SQL_H60.format(x="CAST(l_orderkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    wb AS (SELECT l_returnflag, h % 1024 AS bucket, h // 1024 AS w FROM h),
+    r AS (
+      SELECT l_returnflag, bucket,
+             MAX(51 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS rho
+      FROM wb GROUP BY l_returnflag, bucket
+    ),
+    z AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS INT) AS v_obs,
+             SUM(1::BIGINT << (51 - rho)) AS zs
+      FROM r GROUP BY l_returnflag
+    ),
+    e AS (
+      SELECT l_returnflag, v_obs,
+             CAST(zs + (1024 - v_obs) * (1::BIGINT << 51) AS DOUBLE)
+               / (1::BIGINT << 51) AS zd,
+             1024 - v_obs AS v_zero
+      FROM z
+    ),
+    est AS (
+      SELECT l_returnflag, v_obs, v_zero,
+             0.7213/(1 + 1.079/1024) * 1024 * 1024 / zd AS e_raw
+      FROM e
+    ),
+    x AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT est.l_returnflag, v_obs,
+           round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                 THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END, 2) + 0.0
+             AS hll_est,
+           exact_cnt
+    FROM est JOIN x ON est.l_returnflag = x.l_returnflag
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct orders per return flag via HyperLogLog (p=10, m=1024), with
+    the exact count alongside for visible error. The sketch shuffle is
+    bounded at 1024 register rows PER GROUP regardless of order count —
+    at 100 TB this replaces a distinct-pair shuffle of billions of rows
+    with 7 KiB of mergeable registers per group (the exact column here is
+    the test-scale self-check, not part of the at-scale plan)."""
+    li = load(spark, sf_dir, "lineitem")
+    est = sk.hll_distinct(
+        li, F.col("l_orderkey").cast("string"), p=10,
+        group_cols=["l_returnflag"],
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_cnt")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+@query(
+    "sketch_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT {_SQL_H60.format(x="CAST(p_partkey AS VARCHAR)")} AS h
+      FROM part
+    ),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    a AS (SELECT CAST(COUNT(*) AS INT) AS n_in_sketch, MAX(h) AS hk FROM k)
+    SELECT n_in_sketch,
+           round(CASE WHEN n_in_sketch < 256 THEN CAST(n_in_sketch AS DOUBLE)
+                 ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+                 END, 2) + 0.0 AS kmv_est,
+           (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part)
+             AS exact_cnt
+    FROM a
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part keys via KMV (k=256): the k smallest distinct
+    hashes — a TakeOrderedAndProject, never a full sort — estimate
+    (k-1)/(h_k/2^60). sf0.001 has <k distinct parts (exact branch);
+    sf0.01+ exercises the estimator branch, so the gate covers both.
+    2^60 is written as its exact double literal in the oracle; the
+    multiply order matches Spark's so the doubles agree bit-for-bit."""
+    part = load(spark, sf_dir, "part")
+    est = sk.kmv_estimate(
+        sk.kmv_sketch(part, F.col("p_partkey").cast("string"), 256), 256
+    )
+    exact = part.agg(
+        F.countDistinct("p_partkey").alias("exact_cnt")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS_NORM}) AS tok FROM documents
+    ),
+    exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY tok),
+    cand AS (SELECT tok, exact_cnt FROM exact
+             ORDER BY exact_cnt DESC, tok LIMIT 20),
+    cms AS (
+      SELECT r.i,
+             {_SQL_H60.format(x="'cms' || CAST(r.i AS VARCHAR) || '|' || tok")}
+               % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks CROSS JOIN range(3) r(i)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT c.tok, c.exact_cnt, MIN(COALESCE(m.cnt, 0)) AS cms_est
+      FROM cand c CROSS JOIN range(3) r(i)
+      LEFT JOIN cms m
+        ON m.i = r.i
+       AND m.bucket = {_SQL_H60.format(
+           x="'cms' || CAST(r.i AS VARCHAR) || '|' || c.tok")} % 1024
+      GROUP BY c.tok, c.exact_cnt
+    )
+    SELECT tok, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM probe
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequencies for the 20 most common document tokens via a
+    Count-Min grid (width=1024, depth=3). CMS never undercounts
+    (``overcount >= 0`` always — pinned in tests); the grid is
+    depth*width = 3072 counters no matter the corpus size, merges by
+    addition across shards, and the probe side broadcasts the grid. The
+    exact side exists at test scale to make the overcount visible."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(norm_tokens("text")).alias("tok"))
+    cms = sk.cms_build(toks, "tok", width=1024, depth=3)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), "tok").limit(20)
+    probed = sk.cms_point_estimates(cms, cand, "tok", 1024, 3)
+    return probed.select(
+        "tok", "exact_cnt", F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+        .alias("overcount"),
+    )

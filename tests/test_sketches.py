@@ -63,3 +63,119 @@ def test_hll_group_distinct_matches_exact_ordering(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"]), r
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable sketches (operators/sketch.py) — round 8.
+# These DO have driver entries (sketch_hll_distinct / sketch_kmv_distinct /
+# sketch_cms_heavy_hitters): the md5-derived hashing replays in ANSI SQL, so
+# the oracle hash-checks the registers themselves. The tests below pin the
+# algebraic properties the oracle can't see: mergeability, error envelopes,
+# the CMS never-undercount guarantee, and parameter validation.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+    sketch as sk,
+)
+
+
+def test_hll_estimate_within_envelope(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    est = sk.hll_distinct(
+        li, F.col("l_orderkey").cast("string"), p=10
+    ).collect()[0]["hll_est"]
+    # Standard error for m=1024 is 1.04/sqrt(1024) ≈ 3.25%; allow 4 sigma.
+    assert abs(est - exact) <= max(5.0, 4 * 0.0325 * exact), (est, exact)
+
+
+def test_hll_merge_equals_sketch_of_union(spark, sf_dir):
+    # The mergeability contract: MAX-merging two register tables is
+    # bit-identical to sketching the concatenated input — the property that
+    # makes per-day rollups at 100 TB sound.
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 != 0)
+    key = F.col("l_orderkey").cast("string")
+    merged = sk.hll_merge(
+        sk.hll_registers(a, key, p=9), sk.hll_registers(b, key, p=9)
+    )
+    whole = sk.hll_registers(li, key, p=9)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_registers_bounded_by_m(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    regs = sk.hll_registers(li, F.col("l_orderkey").cast("string"), p=7)
+    assert regs.count() <= 128  # m = 2^7 regardless of input cardinality
+    bad = regs.filter((F.col("rho") < 1) | (F.col("rho") > 54)).count()
+    assert bad == 0  # rho range: [1, 60-p+1]
+
+
+def test_kmv_exact_branch_and_estimator_branch(spark):
+    # < k distinct values → the sketch IS the distinct set (exact branch).
+    small = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    row = sk.kmv_estimate(sk.kmv_sketch(small, "k", k=256), 256).collect()[0]
+    assert row["n_in_sketch"] == 10 and row["kmv_est"] == 10.0
+    # >= k distinct → estimator branch, ~1/sqrt(k-1) ≈ 6.3% sigma; 4 sigma.
+    big = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    row = sk.kmv_estimate(sk.kmv_sketch(big, "k", k=256), 256).collect()[0]
+    assert row["n_in_sketch"] == 256
+    assert abs(row["kmv_est"] - 20_000) <= 4 * 0.063 * 20_000, row
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    df = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+    a = spark.range(0, 5_000, 2).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(1, 5_000, 2).select(F.col("id").cast("string").alias("k"))
+    merged = sk.kmv_merge(sk.kmv_sketch(a, "k", 64), sk.kmv_sketch(b, "k", 64), 64)
+    whole = sk.kmv_sketch(df, "k", 64)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        norm_tokens,
+    )
+
+    toks = docs.select(F.explode(norm_tokens("text")).alias("tok"))
+    cms = sk.cms_build(toks, "tok", width=512, depth=3)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probed = sk.cms_point_estimates(cms, exact, "tok", 512, 3)
+    under = probed.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert under == 0  # the CMS guarantee: estimates are always >= truth
+    # grid bounded by construction
+    assert cms.count() <= 3 * 512
+
+
+def test_cms_merge_is_addition(spark):
+    a = spark.range(1_000).select((F.col("id") % 50).cast("string").alias("k"))
+    b = spark.range(500).select((F.col("id") % 20).cast("string").alias("k"))
+    ga = sk.cms_build(a, "k", width=128, depth=2)
+    gb = sk.cms_build(b, "k", width=128, depth=2)
+    merged = (
+        ga.unionByName(gb).groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.cms_build(a.unionByName(b), "k", width=128, depth=2)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_sketch_parameter_validation(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        sk.hll_registers(df, "k", p=6)
+    with pytest.raises(ValueError):
+        sk.hll_registers(df, "k", p=21)
+    with pytest.raises(ValueError):
+        sk.kmv_sketch(df, "k", k=1)
+    with pytest.raises(ValueError):
+        sk.cms_build(df, "k", width=1, depth=3)
+    with pytest.raises(ValueError):
+        sk.cms_build(df, "k", width=16, depth=0)
