@@ -88,6 +88,15 @@ Round-7 extensions:
   * ``FIRST_VALUE / LAST_VALUE / NTH_VALUE`` window functions.
   * ``CREATE TABLE ... PARTITIONED BY (...)`` (both forms) and
     ``COPY (SELECT ...) TO 'path'`` query export.
+  * ``FROM t PIVOT (agg(expr) FOR col IN (lit [AS name], ...))`` —
+    standard-SQL pivot with a mandatory explicit IN list (the
+    deterministic-schema requirement Spark's own SQL PIVOT shares);
+    compiles to ``groupBy(implicit keys).pivot(col, values).agg(...)``
+    — one Expand-free aggregation pass, the implicit keys are every
+    column not consumed by the aggregate or the FOR column (standard
+    semantics). ``UNPIVOT [INCLUDE NULLS] (val FOR name IN (c, ...))``
+    is the inverse (scan-stage Expand, no shuffle); NULL measures drop
+    by default (ANSI), INCLUDE NULLS keeps them.
 """
 
 from __future__ import annotations
@@ -602,6 +611,12 @@ class SelectSpec:
     # Dialect extension (round-7): FROM (SELECT ...) AS x — a derived
     # table; (sub_spec, sub_clauses) resolved recursively at execute time.
     derived: "tuple[SelectSpec, dict] | None" = None
+    # Dialect extension (round-8): FROM t PIVOT (agg(expr) FOR col IN
+    # (lit [AS name], ...)) — (agg_text, for_col, [(value, out_name)]).
+    pivot: "tuple[str, str, list[tuple[Any, str]]] | None" = None
+    # Dialect extension (round-8): FROM t UNPIVOT [INCLUDE NULLS]
+    # (val FOR name IN (col, ...)) — (val_col, name_col, cols, keep_nulls).
+    unpivot: "tuple[str, str, list[str], bool] | None" = None
 
 
 def parse_select(
@@ -879,6 +894,96 @@ def parse_select(
         cur.expect_kw("percent")
         cur.expect_kw("by")
         spec.sample = (pct, _unquote(cur.next()))
+
+    if cur.peek_kw() == "pivot":
+        # Round-8: ``PIVOT (agg(expr) FOR col IN (lit [AS name], ...))``.
+        # The IN list is mandatory and explicit — the output schema must
+        # be known at plan time (Spark's SQL PIVOT imposes the same rule
+        # for a deterministic schema; DuckDB's auto-discovering PIVOT
+        # can't promise one). The aggregate call is captured verbatim
+        # (balanced parens) and compiled by Catalyst inside the pivot
+        # aggregation.
+        cur.next()
+        if cur.next() != "(":
+            raise ParseError("expected '(' after PIVOT")
+        fn = cur.next().lower()
+        if fn not in AGG_FUNCS | EXPR_AGG_FUNCS or cur.peek() != "(":
+            raise ParseError("PIVOT needs an aggregate call: agg(expr)")
+        cur.next()  # (
+        buf = [fn, "("]
+        depth = 1
+        while depth:
+            t = cur.next()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+        agg_text = " ".join(buf)
+        cur.expect_kw("for")
+        for_col = _unquote(cur.next())
+        cur.expect_kw("in")
+        if cur.next() != "(":
+            raise ParseError("expected '(' after PIVOT ... IN")
+        entries: list[tuple[Any, str]] = []
+        while True:
+            t = cur.next()
+            if t == ")":
+                break
+            if t == ",":
+                continue
+            value = _literal_value(t)
+            if value is None:
+                raise ParseError(
+                    f"PIVOT IN list takes literals, got {t!r}"
+                )
+            name = _unquote(t) if _is_string_lit(t) else str(value)
+            if cur.peek_kw() == "as":
+                cur.next()
+                name = _unquote(cur.next())
+            entries.append((value, name))
+        if not entries:
+            raise ParseError("PIVOT IN list needs at least one value")
+        if len({n for _, n in entries}) != len(entries):
+            raise ParseError("PIVOT IN list has duplicate output names")
+        if cur.next() != ")":
+            raise ParseError("expected ')' to close PIVOT")
+        spec.pivot = (agg_text, for_col, entries)
+
+    if cur.peek_kw() == "unpivot":
+        # Round-8: ``UNPIVOT [INCLUDE NULLS] (val FOR name IN (c, ...))``
+        # — the inverse rotation. ANSI default drops NULL measures;
+        # INCLUDE NULLS keeps them (Spark's unpivot keeps them natively,
+        # so the default adds one scan-stage filter).
+        if spec.pivot is not None:
+            raise ParseError("PIVOT and UNPIVOT cannot be combined")
+        cur.next()
+        keep_nulls = False
+        if cur.peek_kw() == "include":
+            cur.next()
+            cur.expect_kw("nulls")
+            keep_nulls = True
+        if cur.next() != "(":
+            raise ParseError("expected '(' after UNPIVOT")
+        val_col = _unquote(cur.next())
+        cur.expect_kw("for")
+        name_col = _unquote(cur.next())
+        cur.expect_kw("in")
+        if cur.next() != "(":
+            raise ParseError("expected '(' after UNPIVOT ... IN")
+        ucols: list[str] = []
+        while True:
+            t = cur.next()
+            if t == ")":
+                break
+            if t == ",":
+                continue
+            ucols.append(_unquote(t))
+        if not ucols:
+            raise ParseError("UNPIVOT IN list needs at least one column")
+        if cur.next() != ")":
+            raise ParseError("expected ')' to close UNPIVOT")
+        spec.unpivot = (val_col, name_col, ucols, keep_nulls)
 
     # Dialect extension (beyond the reference, which has no joins at all —
     # select.go:49-54 takes a single table): standard equi/theta joins.
@@ -1387,6 +1492,35 @@ class RefSQL:
                     F.substring(F.md5(F.col(scol).cast("string")), 1, 2)
                     < format(keep, "02x")
                 )
+        if spec.pivot is not None:
+            agg_text, for_col, entries = spec.pivot
+            if for_col not in df.columns:
+                raise ParseError(f"PIVOT FOR column {for_col!r} not found")
+            # Standard implicit grouping: every column the pivot clause
+            # does not consume (neither the FOR column nor any column
+            # referenced in the aggregate) is a group key — the same rule
+            # Spark SQL's PIVOT applies.
+            consumed = {for_col} | {
+                t for t in tokenize(agg_text) if t in set(df.columns)
+            }
+            gcols = [c for c in df.columns if c not in consumed]
+            values = [v for v, _ in entries]
+            df = df.groupBy(*gcols).pivot(for_col, values).agg(
+                F.expr(agg_text)
+            )
+            # .pivot names output columns str(value); apply the AS names.
+            for v, name in entries:
+                if str(v) != name:
+                    df = df.withColumnRenamed(str(v), name)
+        if spec.unpivot is not None:
+            val_col, name_col, ucols, keep_nulls = spec.unpivot
+            missing = [c for c in ucols if c not in df.columns]
+            if missing:
+                raise ParseError(f"UNPIVOT columns not found: {missing}")
+            ids = [c for c in df.columns if c not in set(ucols)]
+            df = df.unpivot(ids, ucols, name_col, val_col)
+            if not keep_nulls:
+                df = df.filter(F.col(val_col).isNotNull())
         if spec.joins:
             df = df.alias(spec.alias or spec.table)
             for how, jtable, jalias, cond in spec.joins:

@@ -103,6 +103,8 @@ PRIORITY: list[str] = [
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
+    "refsql_pivot_status",
+    "refsql_unpivot_measures",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1200,3 +1200,77 @@ def refsql_qualify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
         "FROM orders QUALIFY rn <= 2 ORDER BY o_orderstatus, rn",
     )
+
+
+@query(
+    "refsql_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(20,2)) END)
+                AS DOUBLE) AS f_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(20,2)) END)
+                AS DOUBLE) AS o_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(20,2)) END)
+                AS DOUBLE) AS p_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def refsql_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: PIVOT through the dialect — revenue by order status fanned
+    # into one column per status, grouped implicitly on the one column the
+    # pivot clause doesn't consume (standard semantics). Sums run in
+    # DECIMAL inside the pivot aggregation (bit-exact), delivered as
+    # DOUBLE per the no-decimal-outputs convention. The oracle is the
+    # definitionally-equivalent conditional aggregation, so a wrong
+    # implicit-group inference, value routing, or AS naming flips rows,
+    # schema, or hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH src AS (SELECT o_orderpriority, o_orderstatus, o_totalprice "
+        "FROM orders), "
+        "p AS (SELECT * FROM src PIVOT ("
+        "SUM(CAST(o_totalprice AS DECIMAL(20,2))) FOR o_orderstatus "
+        "IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total))) "
+        "SELECT o_orderpriority, CAST(f_total AS DOUBLE) AS f_total, "
+        "CAST(o_total AS DOUBLE) AS o_total, "
+        "CAST(p_total AS DOUBLE) AS p_total "
+        "FROM p ORDER BY o_orderpriority",
+    )
+
+
+@query(
+    "refsql_unpivot_measures",
+    """
+    WITH u AS (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n,
+           CAST(sum(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS total
+    FROM u GROUP BY measure ORDER BY measure
+    """,
+)
+def refsql_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: UNPIVOT through the dialect — three lineitem measures
+    # rotated into (measure, val) rows (a scan-stage Expand, no shuffle
+    # until the aggregate), then re-aggregated. DECIMAL sums inside,
+    # DOUBLE out. The oracle is the definitional UNION ALL expansion; a
+    # dropped column, wrong measure labeling, or NULL mishandling flips
+    # the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH src AS (SELECT l_quantity AS quantity, l_discount AS "
+        "discount, l_tax AS tax FROM lineitem), "
+        "u AS (SELECT * FROM src UNPIVOT (val FOR measure IN "
+        "(quantity, discount, tax))), "
+        "a AS (SELECT measure, COUNT(*) AS n, "
+        "SUM(CAST(val AS DECIMAL(20,4))) AS t FROM u GROUP BY measure) "
+        "SELECT measure, n, CAST(t AS DOUBLE) AS total FROM a "
+        "ORDER BY measure",
+    )

@@ -1754,3 +1754,113 @@ def test_copy_query_export(engine, tmp_path):
     assert {(r.course, r.n) for r in back.collect()} == {
         ("Mech", 2), ("AI/ML", 1), ("Data Science", 1), ("CS", 1), ("EE", 1),
     }
+
+
+# -- PIVOT / UNPIVOT (round-8) ----------------------------------------------
+
+
+@pytest.fixture()
+def scores_engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "pivotdb"))
+    e.create_table(
+        "scores", [("name", "TEXT"), ("subject", "TEXT"), ("score", "INT")]
+    )
+    e.insert_rows(
+        "scores",
+        [
+            {"name": "ana", "subject": "math", "score": 10},
+            {"name": "ana", "subject": "math", "score": 4},
+            {"name": "ana", "subject": "eng", "score": 7},
+            {"name": "bob", "subject": "math", "score": 9},
+            # bob has no 'eng' row -> NULL pivot cell, dropped by UNPIVOT
+        ],
+    )
+    return e
+
+
+def test_pivot_basic(scores_engine):
+    rows = scores_engine.ref_sql(
+        "SELECT * FROM scores PIVOT (SUM(score) FOR subject IN "
+        "('math' AS math, 'eng' AS eng)) ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["math"], r["eng"]) for r in rows] == [
+        ("ana", 14, 7), ("bob", 9, None),
+    ]
+
+
+def test_pivot_default_names_and_count(scores_engine):
+    # No AS: string values name their own columns; missing combinations
+    # are NULL (standard pivot-aggregate semantics). COUNT(score) — not
+    # COUNT(*) — so `score` is consumed by the aggregate and drops out of
+    # the implicit group keys (with COUNT(*) it would stay a key, exactly
+    # as Spark SQL's own PIVOT treats it).
+    rows = scores_engine.ref_sql(
+        "SELECT * FROM scores PIVOT (COUNT(score) FOR subject IN "
+        "('math', 'eng')) ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["math"], r["eng"]) for r in rows] == [
+        ("ana", 2, 1), ("bob", 1, None),
+    ]
+
+
+def test_pivot_composes_with_where_and_agg(scores_engine):
+    # The pivoted frame is a normal FROM relation: outer WHERE/aggregates
+    # apply to it.
+    rows = scores_engine.ref_sql(
+        "SELECT COUNT(*) FROM scores PIVOT (SUM(score) FOR subject IN "
+        "('math' AS math, 'eng' AS eng)) WHERE eng IS NULL"
+    ).collect()
+    assert rows[0][0] == 1
+
+
+def test_unpivot_drops_null_measures_by_default(scores_engine):
+    rows = scores_engine.ref_sql(
+        "WITH p AS (SELECT * FROM scores PIVOT (SUM(score) FOR subject IN "
+        "('math' AS math, 'eng' AS eng))) "
+        "SELECT * FROM p UNPIVOT (v FOR k IN (math, eng)) ORDER BY name, k"
+    ).collect()
+    # bob's NULL eng cell is dropped (ANSI default)
+    assert [(r["name"], r["k"], r["v"]) for r in rows] == [
+        ("ana", "eng", 7), ("ana", "math", 14), ("bob", "math", 9),
+    ]
+
+
+def test_unpivot_include_nulls(scores_engine):
+    rows = scores_engine.ref_sql(
+        "WITH p AS (SELECT * FROM scores PIVOT (SUM(score) FOR subject IN "
+        "('math' AS math, 'eng' AS eng))) "
+        "SELECT * FROM p UNPIVOT INCLUDE NULLS (v FOR k IN (math, eng)) "
+        "ORDER BY name, k"
+    ).collect()
+    assert [(r["name"], r["k"], r["v"]) for r in rows] == [
+        ("ana", "eng", 7), ("ana", "math", 14),
+        ("bob", "eng", None), ("bob", "math", 9),
+    ]
+
+
+def test_pivot_unpivot_negative_cases(scores_engine):
+    with pytest.raises(ParseError, match="aggregate call"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores PIVOT (score FOR subject IN ('math'))"
+        )
+    with pytest.raises(ParseError, match="literals"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores PIVOT (SUM(score) FOR subject IN (name))"
+        )
+    with pytest.raises(ParseError, match="duplicate"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores PIVOT (SUM(score) FOR subject IN "
+            "('math' AS x, 'eng' AS x))"
+        )
+    with pytest.raises(ParseError, match="not found"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores PIVOT (SUM(score) FOR nope IN ('math'))"
+        )
+    with pytest.raises(ParseError, match="not found"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores UNPIVOT (v FOR k IN (nope))"
+        )
+    with pytest.raises(ParseError, match="at least one"):
+        scores_engine.ref_sql(
+            "SELECT * FROM scores PIVOT (SUM(score) FOR subject IN ())"
+        )
