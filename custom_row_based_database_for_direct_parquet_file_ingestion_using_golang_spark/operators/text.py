@@ -371,6 +371,38 @@ def sample_per_group(
     )
 
 
+def weighted_sample(
+    df: "DataFrame", weight_col: str, id_col: str, k: int, salt: str = "aes"
+) -> "DataFrame":
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): the k rows with the largest ``u^(1/w)`` where ``u``
+    is an md5-derived uniform in (0, 1] — each row's inclusion odds are
+    proportional to its weight, and the draw is a pure function of
+    (id, salt): byte-identical across runs, engines, partitionings and
+    task retries, and stable under appends (new rows never flip existing
+    keys). Different ``salt`` values give independent draws.
+
+    The rank key is compared as ``ln(u)/w`` (same ordering as
+    ``u^(1/w)``, one transcendental instead of two); rows with
+    non-positive weight are excluded (their inclusion odds are zero or
+    undefined). Plan: scan-stage column algebra + TakeOrderedAndProject —
+    at 100 TB the sample needs no shuffle at all, just the per-partition
+    top-k reduction every executor already does for LIMIT+ORDER BY.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from .sketch import hash60
+
+    h = hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .orderBy(key.desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hash_bucket(tok: Column, n_buckets: int) -> Column:
     """Engine-portable feature-hash bucket: 60 bits of md5 hex mod
     ``n_buckets`` (DuckDB replays with a '0x' string cast — same contract

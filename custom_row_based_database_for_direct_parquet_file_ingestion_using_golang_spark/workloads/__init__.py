@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "sketch_cms_heavy_hitters",
     "refsql_pivot_status",
     "refsql_unpivot_measures",
+    "sample_weighted_aes",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -2377,6 +2377,35 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_aes",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ln((CAST(CAST('0x' || substr(md5('aes|' || CAST(doc_id AS
+                 VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars > 0
+    ) AS t ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic weighted sampling without replacement (Efraimidis-
+    # Spirakis A-ES, round-8): 50 documents drawn with inclusion odds
+    # proportional to n_chars — the weight-proportional subsample a
+    # data-mixing pipeline needs (longer docs = more tokens = more draw
+    # mass), as a pure function of (doc_id, salt) so re-runs, engines and
+    # task retries agree byte-for-byte. The oracle replays the exact
+    # md5-derived uniform and rank key; the only transcendental (ln) is
+    # ORDERED on, not hashed, and rank-neighbor gaps are ~1/n relative —
+    # libm ULP noise cannot flip the selected set. Plan: scan-stage
+    # column algebra + TakeOrderedAndProject (no shuffle at any scale).
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.weighted_sample(docs, "n_chars", "doc_id", 50).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
     "split_train_eval_stratified",
     """
     SELECT source,

@@ -1596,3 +1596,82 @@ def test_decode_image_routes_all_real_formats():
     assert (d["width"], d["height"]) == (6, 4)
     with _pytest.raises(NotImplementedError, match="unrecognized"):
         M.decode_image(b"\x00\x01unknown")
+
+
+# -- weighted sampling (round-8) ---------------------------------------------
+
+
+def test_weighted_sample_matches_exact_replay(spark, sf_dir):
+    # The A-ES draw is a pure function of (id, salt): replay the exact
+    # md5 → uniform → ln(u)/w rank in plain Python and demand the same set.
+    import hashlib
+    import math
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        weighted_sample,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(docs, "n_chars", "doc_id", 20).collect()
+    ]
+    rows = docs.select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(f"aes|{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        keyed.append((math.log(u) / float(r["n_chars"]), -r["doc_id"], r["doc_id"]))
+    keyed.sort(reverse=True)
+    want = [d for _, _, d in keyed[:20]]
+    assert sorted(got) == sorted(want)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # Rows weighted 50x should dominate the sample: with 100 heavy and
+    # 900 light rows carrying ~85% of the total mass, a k=100 draw picks
+    # mostly heavy rows; a uniform draw would pick ~10.
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        weighted_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, F.lit(50.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    heavy = (
+        weighted_sample(df, "w", "id", 100)
+        .filter(F.col("id") < 100)
+        .count()
+    )
+    assert heavy >= 60, heavy  # E[heavy] ≈ 85; 60 is > 6 sigma below
+
+
+def test_weighted_sample_salt_and_validation(spark):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = {r["id"] for r in weighted_sample(df, "w", "id", 50, salt="a").collect()}
+    b = {r["id"] for r in weighted_sample(df, "w", "id", 50, salt="b").collect()}
+    assert a != b  # independent draws
+    # zero/negative weights are excluded entirely
+    z = df.withColumn("w", F.when(F.col("id") < 490, 0.0).otherwise(-1.0))
+    assert weighted_sample(z, "w", "id", 50).count() == 0
+    # k larger than the population returns every positive-weight row
+    assert weighted_sample(df, "w", "id", 10_000).count() == 500
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", "id", 0)
