@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "refsql_pivot_status",
     "refsql_unpivot_measures",
     "sample_weighted_aes",
+    "sketch_hll_set_algebra",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

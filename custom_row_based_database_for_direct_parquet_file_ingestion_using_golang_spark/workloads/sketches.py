@@ -172,3 +172,118 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_cnt")).cast("long")
         .alias("overcount"),
     )
+
+
+def _hll_est_sql(regs: str, out: str) -> str:
+    """One estimate CTE chain over a register CTE named ``regs`` —
+    the exact SQL replay of operators/sketch.hll_estimate at p=10."""
+    return f"""
+    {regs}_z AS (
+      SELECT CAST(COUNT(*) AS INT) AS v_obs,
+             SUM(1::BIGINT << (51 - rho)) AS zs
+      FROM {regs}
+    ),
+    {regs}_e AS (
+      SELECT round(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                   THEN 1024.0 * ln(1024.0 / v_zero) ELSE e_raw END, 2) + 0.0
+               AS {out}
+      FROM (
+        SELECT 1024 - v_obs AS v_zero,
+               0.7213/(1 + 1.079/1024) * 1024 * 1024 /
+                 (CAST(zs + (1024 - v_obs) * (1::BIGINT << 51) AS DOUBLE)
+                  / (1::BIGINT << 51)) AS e_raw
+        FROM {regs}_z
+      ) AS raw
+    )"""
+
+
+_HLL_REG_SQL = """
+    {name}_h AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events WHERE event_type = '{etype}'
+    ),
+    {name}_r AS (
+      SELECT h % 1024 AS bucket,
+             MAX(51 - CASE WHEN h // 1024 = 0 THEN 0
+                      ELSE length(bin(h // 1024)) END) AS rho
+      FROM {name}_h GROUP BY 1
+    )"""
+
+
+@query(
+    "sketch_hll_set_algebra",
+    f"""
+    WITH {_HLL_REG_SQL.format(name="a", etype="click")},
+    {_HLL_REG_SQL.format(name="b", etype="purchase")},
+    u_r AS (
+      SELECT bucket, MAX(rho) AS rho
+      FROM (SELECT * FROM a_r UNION ALL SELECT * FROM b_r) AS ab
+      GROUP BY bucket
+    ),
+    {_hll_est_sql("a_r", "est_clicks")},
+    {_hll_est_sql("b_r", "est_purchases")},
+    {_hll_est_sql("u_r", "est_union")},
+    x AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      ) AS i
+    )
+    SELECT est_clicks, est_purchases, est_union,
+           round(est_clicks + est_purchases - est_union, 2) + 0.0
+             AS est_intersect,
+           exact_intersect
+    FROM a_r_e, b_r_e, u_r_e, x
+    """,
+)
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: distinct clickers, distinct purchasers, their
+    UNION by MAX-merging the two register tables (never rescanning either
+    input — the rollup property), and the intersection by inclusion-
+    exclusion over the three estimates. This is the sketch tier's reason
+    to exist at 100 TB: |A ∪ B| and |A ∩ B| over billions of users from
+    two 4 KiB register tables, mergeable across days and shards. The
+    exact intersection rides along at test scale to make the error
+    visible. Inclusion-exclusion can legitimately go negative on small
+    overlaps — delivered as computed (the honest sketch answer), with
+    the +0.0 IEEE -0.0 normalization on both engines."""
+    ev = load(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    ra = sk.hll_registers(a, key, p=10)
+    rb = sk.hll_registers(b, key, p=10)
+    ea = sk.hll_estimate(ra, 10, out_col="est_clicks").select("est_clicks")
+    eb = sk.hll_estimate(rb, 10, out_col="est_purchases").select(
+        "est_purchases"
+    )
+    eu = sk.hll_estimate(sk.hll_merge(ra, rb), 10, out_col="est_union").select(
+        "est_union"
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_clicks",
+            "est_purchases",
+            "est_union",
+            (
+                F.round(
+                    F.col("est_clicks")
+                    + F.col("est_purchases")
+                    - F.col("est_union"),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("est_intersect"),
+            "exact_intersect",
+        )
+    )

@@ -179,3 +179,24 @@ def test_sketch_parameter_validation(spark):
         sk.cms_build(df, "k", width=1, depth=3)
     with pytest.raises(ValueError):
         sk.cms_build(df, "k", width=16, depth=0)
+
+
+def test_hll_set_algebra_envelope(spark, sf_dir):
+    # The composed inclusion-exclusion intersection carries ~3x a single
+    # sketch's error; pin a loose absolute+relative envelope vs exact.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.sketches import (
+        sketch_hll_set_algebra,
+    )
+
+    row = sketch_hll_set_algebra(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact_union = a.union(b).distinct().count()
+    assert row["exact_intersect"] == a.intersect(b).count()
+    assert abs(row["est_union"] - exact_union) <= max(
+        10.0, 4 * 0.0325 * exact_union
+    ), row
+    assert abs(row["est_intersect"] - row["exact_intersect"]) <= max(
+        15.0, 12 * 0.0325 * exact_union
+    ), row
