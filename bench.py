@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "skew_salted_join",
     "crossmodal_image_text_neardup",
+    "sketch_hll_distinct",
+    "sample_weighted_aes",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -176,6 +178,9 @@ KNOWN_FLOORS_SF01 = {
     # round-8 additions (floors measured on a quiet VM, sentinel ≤0.51):
     "skew_salted_join": 0.62,
     "crossmodal_image_text_neardup": 4.92,
+    # round-8 sketch/sampling additions (3 warm passes, loadavg ~1.2):
+    "sketch_hll_distinct": 0.66,
+    "sample_weighted_aes": 0.29,
 }
 
 
