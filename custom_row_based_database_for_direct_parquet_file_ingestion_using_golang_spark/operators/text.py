@@ -403,6 +403,35 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: "DataFrame", group_col: str, weight_col: str, id_col: str, n: int,
+    salt: str = "aes",
+) -> "DataFrame":
+    """Per-group A-ES weighted sample: the ``n`` rows of each group with
+    the largest ``u^(1/w)`` rank — :func:`weighted_sample` stratified by
+    ``group_col`` (per-domain / per-language draws proportional to weight
+    inside each stratum, deterministic under the same (id, salt)
+    contract). One shuffle on the group key; WindowGroupLimit cuts to ~n
+    rows per group inside the sort, so the window stage never
+    materializes whole groups."""
+    from pyspark.sql import Window as W
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from .sketch import hash60
+
+    h = hash60(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def hash_bucket(tok: Column, n_buckets: int) -> Column:
     """Engine-portable feature-hash bucket: 60 bits of md5 hex mod
     ``n_buckets`` (DuckDB replays with a '0x' string cast — same contract

@@ -132,6 +132,45 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def tumbling_hll_registers(
+    events: DataFrame, key_col: str = "user_id",
+    width: str = "1 hour", p: int = 8,
+) -> DataFrame:
+    """Streaming HLL register table per tumbling window: distinct-``key``
+    sketches maintained AS the streaming state. The scan stage computes
+    (bucket, rho) row-locally (operators/sketch hashing — engine-portable
+    md5 derivation); the streaming aggregation is ``groupBy(window,
+    bucket).max(rho)`` — a per-window state of at most m = 2^p rows no
+    matter how many distinct keys flow through, and MAX is exactly the
+    HLL merge operation, so micro-batch folding IS sketch merging. This
+    is the streaming form of the batch rollup: the state never grows
+    with cardinality, only with windows — the property an exact
+    streaming COUNT(DISTINCT) (state = every key seen) cannot have.
+    Output: ``ws timestamp, bucket int, rho int``; feed the result to
+    :func:`..operators.sketch.hll_estimate` (group_cols=["ws"]) for the
+    per-window estimates."""
+    from ..operators.sketch import HASH_BITS, _check_p, hash60
+
+    _check_p(p)
+    m = 1 << p
+    h = hash60(F.col(key_col).cast("string"))
+    w = F.expr(f"__h DIV {m}")
+    staged = events.select("ts", h.alias("__h")).select(
+        "ts",
+        F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("bucket"),
+        (
+            F.lit(HASH_BITS - p + 1)
+            - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+        ).cast("int").alias("__rho"),
+    )
+    return (
+        staged.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "bucket")
+        .agg(F.max("__rho").alias("rho"))
+        .select(F.col("window.start").alias("ws"), "bucket", "rho")
+    )
+
+
 def static_enrich(
     stream: DataFrame, dim: DataFrame, on, how: str = "inner"
 ) -> DataFrame:

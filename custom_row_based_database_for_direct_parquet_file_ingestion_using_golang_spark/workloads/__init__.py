@@ -89,7 +89,7 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "weak_typing_filter",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the eight round-8 entries the 50-slot budget could not seat
+    # first the thirteen round-8 entries the 50-slot budget could not seat
     # (they debut with pytest pins only and MUST get their first driver
     # row in r9), then the 26 unpicked r4-green entries (4 rounds stale —
     # they lead the r9 window with them), then the r6-green block (2
@@ -107,6 +107,8 @@ PRIORITY: list[str] = [
     "refsql_unpivot_measures",
     "sample_weighted_aes",
     "sketch_hll_set_algebra",
+    "stream_hll_distinct_users",
+    "sample_weighted_per_source",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

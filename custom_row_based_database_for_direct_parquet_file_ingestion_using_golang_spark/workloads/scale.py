@@ -2406,6 +2406,49 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_per_source",
+    """
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ln((CAST(CAST('0x' || substr(md5('aes|' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                        / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, count(*) AS n, min(doc_id) AS min_id,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM r WHERE rk <= 10 GROUP BY source ORDER BY source
+    """,
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified weighted sampling (round-8): 10 docs per source, drawn
+    # with odds proportional to n_chars inside each stratum — the
+    # per-domain quota draw a mixing pipeline uses (equal doc counts per
+    # domain, length-weighted within). Same deterministic A-ES contract
+    # as sample_weighted_aes; aggregating the sampled ids makes any rank
+    # or key drift flip the hash. Plan: ONE shuffle on source;
+    # WindowGroupLimit cuts each group to ~10 rows inside the sort.
+    docs = load(spark, sf_dir, "documents")
+    sampled = text_ops.weighted_sample_per_group(
+        docs, "source", "n_chars", "doc_id", 10
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "split_train_eval_stratified",
     """
     SELECT source,

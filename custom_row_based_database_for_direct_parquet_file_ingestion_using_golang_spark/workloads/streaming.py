@@ -282,3 +282,76 @@ def stream_bloom_drop_denied(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("ws"), "n", "total")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_hll_distinct_users",
+    """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT ws, h % 256 AS bucket,
+             MAX(53 - CASE WHEN h // 256 = 0 THEN 0
+                      ELSE length(bin(h // 256)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT ws, CAST(COUNT(*) AS INT) AS v_obs,
+             SUM(1::BIGINT << (53 - rho)) AS zs
+      FROM r GROUP BY ws
+    ),
+    e AS (
+      SELECT ws, v_obs,
+             CAST(zs + (256 - v_obs) * (1::BIGINT << 53) AS DOUBLE)
+               / (1::BIGINT << 53) AS zd,
+             256 - v_obs AS v_zero
+      FROM z
+    ),
+    est AS (
+      SELECT ws, v_obs, v_zero,
+             0.7213/(1 + 1.079/256) * 256 * 256 / zd AS e_raw
+      FROM e
+    ),
+    x AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT est.ws, v_obs,
+           round(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+                 THEN 256.0 * ln(256.0 / v_zero) ELSE e_raw END, 2) + 0.0
+             AS hll_est,
+           exact_cnt
+    FROM est JOIN x ON est.ws = x.ws
+    """,
+)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketches (round 8): the HLL register table
+    IS the streaming state — ``groupBy(window, bucket).max(rho)`` holds at
+    most 256 rows per window regardless of user cardinality, and the MAX
+    fold across micro-batches is exactly the HLL merge. An exact streaming
+    COUNT(DISTINCT) would hold every key seen; this state is constant per
+    window. The estimate runs batch-side over the materialized registers
+    (presentation, not state); the oracle replays registers AND estimates
+    bit-for-bit, with the exact per-window count alongside."""
+    from ..operators import sketch as sk
+    from ..streaming.ops import run_to_memory, tumbling_hll_registers
+    from .registry import load
+
+    events = read_events_stream(spark, sf_dir)
+    regs = run_to_memory(
+        tumbling_hll_registers(events, "user_id", "1 hour", p=8),
+        mode="complete",
+    )
+    est = sk.hll_estimate(regs, p=8, group_cols=["ws"])
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("exact_cnt"))
+        .select(F.col("window.start").alias("ws"), "exact_cnt")
+    )
+    return est.join(exact, "ws")

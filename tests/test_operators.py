@@ -1675,3 +1675,41 @@ def test_weighted_sample_salt_and_validation(spark):
     assert weighted_sample(df, "w", "id", 10_000).count() == 500
     with pytest.raises(ValueError):
         weighted_sample(df, "w", "id", 0)
+
+
+def test_weighted_sample_per_group_quota_and_replay(spark, sf_dir):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        weighted_sample_per_group,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    got = weighted_sample_per_group(docs, "source", "n_chars", "doc_id", 5)
+    rows = got.collect()
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append(r["doc_id"])
+    # quota: exactly min(5, group size) per stratum
+    sizes = {
+        r["source"]: r["cnt"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    for src, cnt in sizes.items():
+        assert len(per[src]) == min(5, cnt), (src, len(per[src]))
+    # exact replay of the per-group draw in plain Python
+    keyed = defaultdict(list)
+    for r in docs.select("doc_id", "source", "n_chars").collect():
+        h = int(hashlib.md5(f"aes|{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float(1 << 60)
+        keyed[r["source"]].append(
+            (math.log(u) / float(r["n_chars"]), -r["doc_id"], r["doc_id"])
+        )
+    for src, lst in keyed.items():
+        lst.sort(reverse=True)
+        assert sorted(d for _, _, d in lst[:5]) == sorted(per[src]), src

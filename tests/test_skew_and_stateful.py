@@ -157,3 +157,41 @@ def test_stateful_user_totals_converges_to_batch(spark, sf_dir):
     )
     want = {r.user_id: (r.n, round(r.t, 4)) for r in batch}
     assert got == want
+
+
+def test_stream_hll_registers_converge_to_batch_and_stay_bounded(spark, sf_dir):
+    # The streaming sketch's contract: (1) the state is bounded at m rows
+    # per window regardless of cardinality; (2) running the stream to
+    # completion yields EXACTLY the batch register table over the same
+    # rows (MAX-folding across micro-batches is the HLL merge, so the
+    # result is path-independent).
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        sketch as sk,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_hll_registers,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        tumbling_hll_registers(events, "user_id", "1 hour", p=7),
+        mode="complete",
+    )
+    per_window = got.groupBy("ws").count().agg(F.max("count")).collect()[0][0]
+    assert per_window <= 128  # m = 2^7, by construction
+
+    batch = load(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour")["start"].alias("ws"), "user_id"
+    )
+    want = sk.hll_registers(
+        batch, F.col("user_id").cast("string"), p=7, group_cols=["ws"]
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
