@@ -136,6 +136,7 @@ EXPR_AGG_FUNCS = {
 WINDOW_FUNCS = {
     "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
     "first_value", "last_value", "nth_value",  # round-7
+    "percent_rank", "cume_dist",  # round-8
 }
 KEYWORDS_STOP = {
     "from", "where", "group", "having", "order", "limit", "offset", "by",
@@ -1250,7 +1251,7 @@ def _window_column(
             w = w.rangeBetween(lo, hi)
         else:
             w = w.rowsBetween(lo, hi)
-    if fn in ("row_number", "rank", "dense_rank"):
+    if fn in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
         if args:
             raise ParseError(f"{fn}() takes no arguments")
         return getattr(F, fn)().over(w)

@@ -109,6 +109,7 @@ PRIORITY: list[str] = [
     "sketch_hll_set_algebra",
     "stream_hll_distinct_users",
     "sample_weighted_per_source",
+    "refsql_window_rank_family",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1274,3 +1274,39 @@ def refsql_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT measure, n, CAST(t AS DOUBLE) AS total FROM a "
         "ORDER BY measure",
     )
+
+
+@query(
+    "refsql_window_rank_family",
+    """
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS prank,
+           CUME_DIST() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey) AS cdist
+    FROM customer
+    """,
+)
+def refsql_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: the full ranking family through the dialect — RANK,
+    # PERCENT_RANK, CUME_DIST in one SELECT over the same window. The
+    # oracle runs the identical text; outputs are delivered UNROUNDED
+    # deliberately: percent_rank = (rank-1)/(n-1) and cume_dist =
+    # peers/n are pure rational arithmetic over identical integers, so
+    # the doubles agree bit-for-bit across engines — any divergence in
+    # window framing, tie handling, or partition bounds flips the hash
+    # at full precision.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT c_custkey, c_nationkey, "
+        "RANK() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS rnk, "
+        "PERCENT_RANK() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS prank, "
+        "CUME_DIST() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey) AS cdist "
+        "FROM customer",
+    )

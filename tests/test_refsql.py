@@ -1864,3 +1864,16 @@ def test_pivot_unpivot_negative_cases(scores_engine):
         scores_engine.ref_sql(
             "SELECT * FROM scores PIVOT (SUM(score) FOR subject IN ())"
         )
+
+
+def test_percent_rank_cume_dist(engine):
+    rows = engine.ref_sql(
+        "SELECT id, PERCENT_RANK() OVER (ORDER BY id) AS pr, "
+        "CUME_DIST() OVER (ORDER BY id) AS cd FROM students ORDER BY id"
+    ).collect()
+    assert [r["pr"] for r in rows] == [i / 5 for i in range(6)]
+    assert [r["cd"] for r in rows] == [(i + 1) / 6 for i in range(6)]
+    with pytest.raises(ParseError, match="takes no arguments"):
+        engine.ref_sql(
+            "SELECT PERCENT_RANK(id) OVER (ORDER BY id) AS x FROM students"
+        )
