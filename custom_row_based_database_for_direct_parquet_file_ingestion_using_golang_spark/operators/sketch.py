@@ -198,6 +198,53 @@ def kmv_estimate(sketch: DataFrame, k: int,
     )
 
 
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (the theta-sketch
+    trick): merge to M = the k smallest hashes of A ∪ B, then
+
+      * ``jaccard``       = |M ∩ S_A ∩ S_B| / |M| — the fraction of the
+        union's k-minimum survivors present in BOTH input sketches (an
+        unbiased Jaccard estimator because M is a uniform hash-order
+        sample of A ∪ B),
+      * ``est_union``     = the KMV cardinality estimate of M,
+      * ``est_intersect`` = jaccard · est_union.
+
+    Every step is exact integer/rational arithmetic over the shared
+    60-bit hashes — membership joins, counts, and divisions of identical
+    integers — so an ANSI oracle replays it bit-for-bit; only the final
+    deliverables round (jaccard 4 dp, estimates 2 dp, ``+ 0.0``
+    normalizing IEEE -0.0). Output: one row ``n_union_sketch int,
+    n_both int, jaccard double, est_union double, est_intersect
+    double``. All joins are over <= k-row frames (broadcast)."""
+    m = kmv_merge(a, b, k)
+    both = (
+        m.join(F.broadcast(a), "h", "left_semi")
+        .join(F.broadcast(b), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_both"))
+    )
+    stats = m.agg(
+        F.count(F.lit(1)).cast("int").alias("n_union_sketch"),
+        F.max("h").alias("__hk"),
+    ).crossJoin(F.broadcast(both))
+    union_raw = F.when(
+        F.col("n_union_sketch") < F.lit(k),
+        F.col("n_union_sketch").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS))
+        / F.col("__hk").cast("double")
+    )
+    jacc_raw = F.col("n_both").cast("double") / F.col("n_union_sketch")
+    return stats.select(
+        "n_union_sketch",
+        "n_both",
+        (F.round(jacc_raw, 4) + F.lit(0.0)).alias("jaccard"),
+        (F.round(union_raw, 2) + F.lit(0.0)).alias("est_union"),
+        (F.round(jacc_raw * union_raw, 2) + F.lit(0.0)).alias(
+            "est_intersect"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min
 # ---------------------------------------------------------------------------

@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "stream_hll_distinct_users",
     "sample_weighted_per_source",
     "refsql_window_rank_family",
+    "sketch_kmv_set_ops",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -287,3 +287,81 @@ def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+@query(
+    "sketch_kmv_set_ops",
+    f"""
+    WITH a_k AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_SQL_H60.format(x="CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders WHERE o_orderstatus = 'F'
+      ) AS ha ORDER BY h LIMIT 128
+    ),
+    b_k AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_SQL_H60.format(x="CAST(o_custkey AS VARCHAR)")} AS h
+        FROM orders WHERE o_orderstatus = 'O'
+      ) AS hb ORDER BY h LIMIT 128
+    ),
+    m AS (
+      SELECT h FROM (
+        SELECT h FROM a_k UNION SELECT h FROM b_k
+      ) AS u ORDER BY h LIMIT 128
+    ),
+    s AS (
+      SELECT CAST((SELECT COUNT(*) FROM m) AS INT) AS n_union_sketch,
+             (SELECT MAX(h) FROM m) AS hk,
+             CAST((SELECT COUNT(*) FROM m
+                   WHERE h IN (SELECT h FROM a_k)
+                     AND h IN (SELECT h FROM b_k)) AS INT) AS n_both
+    ),
+    e AS (
+      SELECT n_union_sketch, n_both,
+             CAST(n_both AS DOUBLE) / n_union_sketch AS jacc_raw,
+             CASE WHEN n_union_sketch < 128
+                  THEN CAST(n_union_sketch AS DOUBLE)
+                  ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+             END AS union_raw
+      FROM s
+    ),
+    x AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ) AS i
+    )
+    SELECT n_union_sketch, n_both,
+           round(jacc_raw, 4) + 0.0 AS jaccard,
+           round(union_raw, 2) + 0.0 AS est_union,
+           round(jacc_raw * union_raw, 2) + 0.0 AS est_intersect,
+           exact_intersect
+    FROM e, x
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (theta-sketch trick): customers with finished
+    ('F') vs open ('O') orders, Jaccard and intersection estimated from
+    two k=128 sketches — the union's k-minimum survivors are a uniform
+    hash-order sample of A ∪ B, so the fraction present in both input
+    sketches estimates the Jaccard unbiasedly. At 100 TB this answers
+    overlap questions (shared users, contaminated keys, common vocab)
+    from two k-row tables that merge across shards by union+re-take-k;
+    the oracle replays the sketches, the membership joins, and the
+    estimate arithmetic bit-for-bit (pure integer/rational math — the
+    only rounding is the delivered 4/2 dp convention)."""
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    a = sk.kmv_sketch(orders.filter(F.col("o_orderstatus") == "F"), key, 128)
+    b = sk.kmv_sketch(orders.filter(F.col("o_orderstatus") == "O"), key, 128)
+    est = sk.kmv_set_estimates(a, b, 128)
+    exact = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(
+            orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    return est.crossJoin(F.broadcast(exact))

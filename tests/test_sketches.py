@@ -200,3 +200,22 @@ def test_hll_set_algebra_envelope(spark, sf_dir):
     assert abs(row["est_intersect"] - row["exact_intersect"]) <= max(
         15.0, 12 * 0.0325 * exact_union
     ), row
+
+
+def test_kmv_set_estimates_envelope_and_identity(spark):
+    # Identity: A vs A gives jaccard 1.0 and est_intersect == est_union.
+    a = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+    sa = sk.kmv_sketch(a, "k", 128)
+    row = sk.kmv_set_estimates(sa, sa, 128).collect()[0]
+    assert row["jaccard"] == 1.0
+    assert row["est_intersect"] == row["est_union"]
+    # Known half-overlap: A = [0, 10k), B = [5k, 15k) — J = 1/3.
+    b = spark.range(5_000, 15_000).select(F.col("id").cast("string").alias("k"))
+    a2 = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    row = sk.kmv_set_estimates(
+        sk.kmv_sketch(a2, "k", 256), sk.kmv_sketch(b, "k", 256), 256
+    ).collect()[0]
+    # Jaccard sigma ≈ sqrt(J(1-J)/k) ≈ 0.03; allow 4 sigma.
+    assert abs(row["jaccard"] - 1 / 3) <= 0.12, row
+    assert abs(row["est_union"] - 15_000) <= 4 * 0.063 * 15_000, row
+    assert abs(row["est_intersect"] - 5_000) <= 0.35 * 5_000, row
