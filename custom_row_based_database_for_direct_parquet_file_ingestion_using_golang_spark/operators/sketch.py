@@ -246,6 +246,80 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equi-width histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def hist_build(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 1024
+) -> DataFrame:
+    """Equi-width histogram over ``col``: one count per OBSERVED bin
+    (``floor((x-lo)/width)`` clamped to [0, n_bins-1] — out-of-range
+    values land in the edge bins). ONE shuffle bounded at n_bins rows by
+    construction; histograms with the same (lo, hi, n_bins) merge by
+    ``unionByName -> groupBy(bin) -> sum(cnt)``. Unlike GK/KLL/t-digest,
+    the state layout is deterministic and engine-portable, so an ANSI
+    oracle replays it exactly; the price is a fixed value-error bound of
+    one bin width instead of a rank-error bound. Output: ``bin int,
+    cnt long``."""
+    if n_bins < 2:
+        raise ValueError("hist requires n_bins >= 2")
+    if not hi > lo:
+        raise ValueError("hist requires hi > lo")
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.greatest(b.cast("int"), F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, qs: list[float], lo: float, hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates from an equi-width histogram: for each q, the
+    first bin whose cumulative count reaches ``rank = ceil(q*n)``, with
+    linear interpolation inside the bin. Integer/rational arithmetic
+    throughout (the cumulative window, the rank comparison, the
+    within-bin fraction), so both engines agree bit-for-bit before the
+    delivered 2 dp rounding. The histogram side is <= n_bins rows — all
+    joins broadcast. Output: ``q double, est_q double``."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be fractions in (0, 1]")
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_bins
+    spark = hist.sparkSession
+    c = hist.select(
+        "bin", "cnt",
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum"),
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.ceil(F.col("q") * F.col("n")).cast("long")
+    sel = (
+        qdf.crossJoin(F.broadcast(n))
+        .join(F.broadcast(c), F.col("cum") >= rank)
+        .groupBy("q", "n")
+        .agg(F.min(F.struct("bin", "cnt", "cum")).alias("s"))
+        .select("q", "n", "s.bin", "s.cnt", "s.cum")
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (rank - (F.col("cum") - F.col("cnt"))).cast("double")
+        / F.col("cnt").cast("double")
+    )
+    return sel.select(
+        "q", (F.round(est, 2) + F.lit(0.0)).alias("est_q")
+    ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 # ---------------------------------------------------------------------------
 

@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "sample_weighted_per_source",
     "refsql_window_rank_family",
     "sketch_kmv_set_ops",
+    "sketch_hist_quantiles",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

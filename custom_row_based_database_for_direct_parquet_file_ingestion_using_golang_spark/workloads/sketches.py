@@ -365,3 +365,71 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "sketch_hist_quantiles",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                  / 500.0) AS INT), 0), 999) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ),
+    n AS (SELECT SUM(cnt) AS n FROM b),
+    qv AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    sel AS (
+      SELECT q, n, MIN(bin) AS bin
+      FROM qv CROSS JOIN n JOIN c ON cum >= CAST(ceil(q * n) AS BIGINT)
+      GROUP BY q, n
+    ),
+    e AS (SELECT s.q, s.n, s.bin, c.cnt, c.cum
+          FROM sel s JOIN c ON c.bin = s.bin),
+    x AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q, round(quantile_cont(o_totalprice, 0.5), 2) + 0.0
+               AS exact_q FROM orders
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(o_totalprice, 0.9), 2) + 0.0
+        FROM orders
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(o_totalprice, 0.99), 2) + 0.0
+        FROM orders
+    )
+    SELECT e.q,
+           round(0.0 + 500.0 * (e.bin +
+                 CAST(CAST(ceil(e.q * e.n) AS BIGINT) - (e.cum - e.cnt)
+                      AS DOUBLE)
+                 / CAST(e.cnt AS DOUBLE)), 2) + 0.0 AS est_q,
+           x.exact_q
+    FROM e JOIN x ON e.q = x.q
+    """,
+)
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (round 8): p50/p90/p99 of order totals
+    from a 1000-bin equi-width histogram — the deterministic alternative
+    to GK/KLL whose state layout an ANSI oracle can replay exactly. The
+    shuffle is bounded at n_bins counter rows no matter the input size;
+    histograms merge by addition across shards/days; the value-error
+    bound is one bin width (500 here, honest in the delivered est-vs-
+    exact columns). The exact interpolated percentile rides along via
+    Spark percentile ≡ DuckDB quantile_cont (2 dp rounding absorbs the
+    interpolation ULP)."""
+    qs = [0.5, 0.9, 0.99]
+    orders = load(spark, sf_dir, "orders")
+    hist = sk.hist_build(orders, "o_totalprice", 0.0, 500_000.0, 1000)
+    est = sk.hist_quantiles(hist, qs, 0.0, 500_000.0, 1000)
+    qarr = F.array(*[F.lit(q) for q in qs])
+    exact = (
+        orders.agg(F.percentile(F.col("o_totalprice"), qarr).alias("ex"))
+        .select(F.posexplode("ex").alias("pos", "ex_raw"))
+        .select(
+            F.element_at(qarr, F.col("pos") + 1).alias("q"),
+            (F.round("ex_raw", 2) + F.lit(0.0)).alias("exact_q"),
+        )
+    )
+    return est.join(exact, "q").orderBy("q")

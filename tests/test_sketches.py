@@ -219,3 +219,36 @@ def test_kmv_set_estimates_envelope_and_identity(spark):
     assert abs(row["jaccard"] - 1 / 3) <= 0.12, row
     assert abs(row["est_union"] - 15_000) <= 4 * 0.063 * 15_000, row
     assert abs(row["est_intersect"] - 5_000) <= 0.35 * 5_000, row
+
+
+def test_hist_quantiles_error_bound_and_merge(spark, sf_dir):
+    # The histogram quantile's value error is bounded by ONE BIN WIDTH —
+    # the deterministic contract GK/KLL trade away. Also: histograms merge
+    # by addition (split-sketch == whole-sketch).
+    orders = load(spark, sf_dir, "orders")
+    lo, hi, bins = 0.0, 500_000.0, 1000
+    width = (hi - lo) / bins
+    hist = sk.hist_build(orders, "o_totalprice", lo, hi, bins)
+    est = {
+        r["q"]: r["est_q"]
+        for r in sk.hist_quantiles(hist, [0.5, 0.9, 0.99], lo, hi, bins).collect()
+    }
+    exact = orders.agg(
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    ).collect()[0][0]
+    for q, ex in zip([0.5, 0.9, 0.99], exact):
+        assert abs(est[q] - ex) <= width, (q, est[q], ex)
+    # merge = addition
+    a = sk.hist_build(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_totalprice", lo, hi, bins
+    )
+    b = sk.hist_build(
+        orders.filter(F.col("o_orderkey") % 2 != 0), "o_totalprice", lo, hi, bins
+    )
+    merged = a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    assert merged.exceptAll(hist).count() == 0
+    assert hist.exceptAll(merged).count() == 0
+    with pytest.raises(ValueError):
+        sk.hist_build(orders, "o_totalprice", 10.0, 10.0, 8)
+    with pytest.raises(ValueError):
+        sk.hist_quantiles(hist, [0.0], lo, hi, bins)
