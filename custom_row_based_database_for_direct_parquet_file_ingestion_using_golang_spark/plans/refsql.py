@@ -995,8 +995,46 @@ def parse_select(
     # the DataFrame aliases the executor assigns; USING (round-6) is
     # equi-join sugar resolved by the executor (one output column per
     # USING name, standard semantics); CROSS JOIN takes no condition.
-    _JOIN_KWS = ("join", "inner", "left", "right", "full", "cross")
+    _JOIN_KWS = ("join", "inner", "left", "right", "full", "cross", "asof")
     while cur.peek_kw() in _JOIN_KWS:
+        if cur.peek_kw() == "asof":
+            # Round-8: ``ASOF [LEFT] JOIN t [AS x] ON l.k = r.k AND
+            # l.ts >= r.ts`` (DuckDB's surface) — exactly one equality
+            # conjunct (the key) and one >=/<= conjunct (the time order;
+            # >= from the left side = backward lookup, <= = forward).
+            # Compiled by the executor to operators/joins.asof_join (the
+            # union-tag single-shuffle plan), never a theta join. Plain
+            # ASOF is INNER (unmatched left rows drop); ASOF LEFT keeps
+            # them with NULL payload.
+            cur.next()
+            how = "asof"
+            if cur.peek_kw() == "left":
+                cur.next()
+                how = "asof_left"
+            cur.expect_kw("join")
+            jtable = _unquote(cur.next())
+            jalias = None
+            if cur.peek_kw() == "as":
+                cur.next()
+                jalias = _unquote(cur.next())
+            cur.expect_kw("on")
+            conjs: list[tuple[str, str, str]] = []
+            while True:
+                lt = _unquote(cur.next())
+                op = cur.next()
+                if op not in ("=", ">=", "<="):
+                    raise ParseError(
+                        "ASOF JOIN ON takes =, >= or <= conjuncts, "
+                        f"got {op!r}"
+                    )
+                rt = _unquote(cur.next())
+                conjs.append((lt, op, rt))
+                if cur.peek_kw() == "and":
+                    cur.next()
+                    continue
+                break
+            spec.joins.append((how, jtable, jalias, conjs))
+            continue
         how = "inner"
         if cur.peek_kw() != "join":
             how = cur.next().lower()
@@ -1525,6 +1563,13 @@ class RefSQL:
         if spec.joins:
             df = df.alias(spec.alias or spec.table)
             for how, jtable, jalias, cond in spec.joins:
+                if how in ("asof", "asof_left"):
+                    df = self._asof(
+                        df, spec.alias or spec.table,
+                        self._table_df(jtable), jalias or jtable,
+                        cond, inner=(how == "asof"),
+                    )
+                    continue
                 jdf = self._table_df(jtable).alias(jalias or jtable)
                 if how == "cross":
                     df = df.crossJoin(jdf)
@@ -1537,6 +1582,84 @@ class RefSQL:
         elif spec.alias:
             df = df.alias(spec.alias)
         return df
+
+    def _asof(
+        self, left: DataFrame, lname: str, right: DataFrame, rname: str,
+        conjs: list, inner: bool,
+    ) -> DataFrame:
+        """Compile a parsed ASOF JOIN to operators/joins.asof_join: one
+        equality conjunct names the key (the right key is renamed onto
+        the left name so the union-tag plan shares one column), the
+        >=/<= conjunct names the two timestamps and the direction; every
+        remaining right column travels as payload. INNER drops left rows
+        with no match (NULL carried timestamp)."""
+        from ..operators.joins import asof_join
+
+        def side_of(tok: str) -> tuple[str, str]:
+            if "." in tok:
+                q, c = tok.split(".", 1)
+                if q == lname:
+                    cols, s = left.columns, "l"
+                elif q == rname:
+                    cols, s = right.columns, "r"
+                else:
+                    raise ParseError(
+                        f"unknown qualifier {q!r} in ASOF JOIN ON "
+                        f"(sides are {lname!r} and {rname!r})"
+                    )
+                if c not in cols:
+                    raise ParseError(f"ASOF JOIN: no column {c!r} in {q!r}")
+                return s, c
+            in_l, in_r = tok in left.columns, tok in right.columns
+            if in_l and not in_r:
+                return "l", tok
+            if in_r and not in_l:
+                return "r", tok
+            raise ParseError(
+                f"ambiguous or unknown column {tok!r} in ASOF JOIN ON — "
+                "qualify it"
+            )
+
+        eqs: list[tuple[str, str]] = []
+        ineqs: list[tuple[str, str, str]] = []
+        for lt, op, rt in conjs:
+            s1, c1 = side_of(lt)
+            s2, c2 = side_of(rt)
+            if s1 == s2:
+                raise ParseError(
+                    "each ASOF JOIN conjunct must compare a left column "
+                    "to a right column"
+                )
+            if s1 == "r":  # normalize to left-column-first
+                c1, c2 = c2, c1
+                op = {"=": "=", ">=": "<=", "<=": ">="}[op]
+            if op == "=":
+                eqs.append((c1, c2))
+            else:
+                ineqs.append((c1, op, c2))
+        if len(eqs) != 1 or len(ineqs) != 1:
+            raise ParseError(
+                "ASOF JOIN needs exactly one equality conjunct (the key) "
+                "and one >=/<= conjunct (the time order)"
+            )
+        kl, kr = eqs[0]
+        tl, op, tr = ineqs[0]
+        if kr != kl:
+            if kl in right.columns:
+                raise ParseError(
+                    f"ASOF JOIN: right side already has a column {kl!r}; "
+                    "rename one key"
+                )
+            right = right.withColumnRenamed(kr, kl)
+        payload = [c for c in right.columns if c not in (kl, tr)]
+        out = asof_join(
+            left, right, on=kl, left_ts=tl, right_ts=tr,
+            right_payload=payload,
+            direction="backward" if op == ">=" else "forward",
+        )
+        if inner:
+            out = out.filter(F.col(f"asof_{tr}").isNotNull())
+        return out
 
     def _resolved_from(self, spec: "SelectSpec") -> DataFrame:
         """FROM resolution plus the IN-subquery join rewrites: each

@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "refsql_window_rank_family",
     "sketch_kmv_set_ops",
     "sketch_hist_quantiles",
+    "refsql_asof_join",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1310,3 +1310,39 @@ def refsql_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY c_acctbal DESC, c_custkey) AS cdist "
         "FROM customer",
     )
+
+
+@query(
+    "refsql_asof_join",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p0 AS (SELECT user_id, ts, MAX(value) AS pval FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    p AS (SELECT user_id, ts AS pts, pval FROM p0)
+    SELECT c.event_id, c.user_id, p.pval
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.pts
+    """,
+)
+def refsql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: ASOF LEFT JOIN through the dialect — each click picks up
+    # the latest prior purchase value per user, compiled to the
+    # union-tag single-shuffle asof plan (operators/joins.asof_join),
+    # never a theta join. DuckDB runs its own native ASOF LEFT JOIN on
+    # the identical text, so the oracle checks the dialect's key
+    # resolution, direction inference (>= = backward), and NULL
+    # handling for never-purchased users against an independent native
+    # implementation. pval is an exact MAX of parquet doubles — no
+    # rounding needed for hash parity.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "p0 AS (SELECT user_id, ts, MAX(value) AS pval FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+        "p AS (SELECT user_id, ts AS pts, pval FROM p0) "
+        "SELECT event_id, user_id, pval FROM c "
+        "ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts",
+    )

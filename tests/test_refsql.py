@@ -1877,3 +1877,87 @@ def test_percent_rank_cume_dist(engine):
         engine.ref_sql(
             "SELECT PERCENT_RANK(id) OVER (ORDER BY id) AS x FROM students"
         )
+
+
+# -- ASOF JOIN (round-8) ------------------------------------------------------
+
+
+@pytest.fixture()
+def asof_engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "asofdb"))
+    e.create_table("trades", [("sym", "TEXT"), ("t", "INT"), ("qty", "INT")])
+    e.create_table("quotes", [("sym", "TEXT"), ("qt", "INT"), ("px", "FLOAT")])
+    e.insert_rows(
+        "trades",
+        [
+            {"sym": "A", "t": 5, "qty": 1},
+            {"sym": "A", "t": 10, "qty": 2},
+            {"sym": "B", "t": 3, "qty": 3},
+            {"sym": "C", "t": 9, "qty": 4},  # no quotes at all
+        ],
+    )
+    e.insert_rows(
+        "quotes",
+        [
+            {"sym": "A", "qt": 4, "px": 100.0},
+            {"sym": "A", "qt": 9, "px": 101.5},
+            {"sym": "B", "qt": 7, "px": 50.0},  # after B's only trade
+        ],
+    )
+    return e
+
+
+def test_asof_left_join_backward(asof_engine):
+    rows = asof_engine.ref_sql(
+        "SELECT t, qty, px FROM trades ASOF LEFT JOIN quotes "
+        "ON trades.sym = quotes.sym AND trades.t >= quotes.qt "
+        "ORDER BY qty"
+    ).collect()
+    assert [(r["t"], r["qty"], r["px"]) for r in rows] == [
+        (5, 1, 100.0),   # latest quote at/before t=5 is qt=4
+        (10, 2, 101.5),  # qt=9
+        (3, 3, None),    # B's quote is later
+        (9, 4, None),    # C has no quotes
+    ]
+
+
+def test_asof_inner_join_drops_unmatched(asof_engine):
+    rows = asof_engine.ref_sql(
+        "SELECT qty, px FROM trades ASOF JOIN quotes "
+        "ON trades.sym = quotes.sym AND trades.t >= quotes.qt ORDER BY qty"
+    ).collect()
+    assert [(r["qty"], r["px"]) for r in rows] == [(1, 100.0), (2, 101.5)]
+
+
+def test_asof_forward_direction(asof_engine):
+    # <= from the left side = forward: the EARLIEST quote at/after t.
+    rows = asof_engine.ref_sql(
+        "SELECT qty, px FROM trades ASOF JOIN quotes "
+        "ON trades.sym = quotes.sym AND trades.t <= quotes.qt ORDER BY qty"
+    ).collect()
+    # A t=5 -> earliest quote at/after is qt=9 (101.5); A t=10 has no
+    # later quote (dropped by INNER); B t=3 -> qt=7 (50.0); C has none.
+    assert [(r["qty"], r["px"]) for r in rows] == [(1, 101.5), (3, 50.0)]
+
+
+def test_asof_negative_cases(asof_engine):
+    with pytest.raises(ParseError, match="exactly one equality"):
+        asof_engine.ref_sql(
+            "SELECT qty FROM trades ASOF JOIN quotes "
+            "ON trades.sym = quotes.sym"
+        )
+    with pytest.raises(ParseError, match="left column to a right"):
+        asof_engine.ref_sql(
+            "SELECT qty FROM trades ASOF JOIN quotes "
+            "ON trades.sym = trades.sym AND trades.t >= quotes.qt"
+        )
+    with pytest.raises(ParseError, match="=, >= or <="):
+        asof_engine.ref_sql(
+            "SELECT qty FROM trades ASOF JOIN quotes "
+            "ON trades.sym = quotes.sym AND trades.t > quotes.qt"
+        )
+    with pytest.raises(ParseError, match="ambiguous"):
+        asof_engine.ref_sql(
+            "SELECT qty FROM trades ASOF JOIN quotes "
+            "ON sym = quotes.sym AND trades.t >= quotes.qt"
+        )
