@@ -389,3 +389,73 @@ def test_pq_scoring_is_literal_lookup_single_arrow_stage(spark, sf_dir):
     assert len(arrow_nodes) == 1, txt
     assert "BatchEvalPython" not in txt
     assert "TakeOrderedAndProject" in txt
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark, sf_dir):
+    # The A-ES draw must be scan-stage algebra + TakeOrderedAndProject:
+    # zero shuffle exchanges at any scale.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.text import (
+        weighted_sample,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    df = weighted_sample(
+        load(spark, sf_dir, "documents"), "n_chars", "doc_id", 50
+    )
+    txt = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in txt, txt
+    assert shuffle_count(df) == 0, txt
+
+
+def test_sketch_shuffles_bounded_by_construction(spark, sf_dir):
+    # HLL registers: ONE shuffle (partial MAX -> exchange on group+bucket).
+    # Histogram: ONE shuffle (partial COUNT -> exchange on bin). The CMS
+    # probe broadcasts the grid.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        sketch as sk,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    regs = sk.hll_registers(li, F.col("l_orderkey").cast("string"), p=10)
+    assert shuffle_count(regs) == 1
+    hist = sk.hist_build(
+        load(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500_000.0, 1000
+    )
+    assert shuffle_count(hist) == 1
+    docs = load(spark, sf_dir, "documents").limit(50)
+    keys = docs.select(F.col("doc_id").cast("string").alias("k"))
+    cms = sk.cms_build(keys, "k", width=64, depth=2)
+    probed = sk.cms_point_estimates(cms, keys, "k", 64, 2)
+    assert has_broadcast_join(probed)
+
+
+def test_dialect_asof_never_plans_nested_loop(spark, tmp_path):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    e = Engine(spark, str(tmp_path / "asofplan"))
+    e.create_table("l", [("k", "INT"), ("t", "INT"), ("v", "INT")])
+    e.create_table("r", [("k", "INT"), ("rt", "INT"), ("px", "FLOAT")])
+    e.insert_rows("l", [{"k": 1, "t": 5, "v": 1}])
+    e.insert_rows("r", [{"k": 1, "rt": 3, "px": 1.5}])
+    df = e.ref_sql(
+        "SELECT t, v, px FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.t >= r.rt"
+    )
+    txt = plan_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    # the union-tag plan is a window over one hash exchange on the key
+    assert "Window" in txt, txt
