@@ -134,3 +134,100 @@ def test_filtered_agg_and_string_agg_match_duckdb_fuzz(spark, tmp_path):
         # exact portable form the dialect accepts.
         want = [tuple(r) for r in con.execute(sql).fetchall()]
         assert got == want, f"trial {trial}: {sql}"
+
+
+def test_asof_join_matches_duckdb_fuzz(spark, tmp_path):
+    """Round-8 differential fuzz: the dialect's ASOF [LEFT] JOIN vs
+    DuckDB's own native ASOF implementation over byte-identical parquet
+    — randomized keys, timestamps (with cross-side ties), and payload,
+    both directions, inner and left. DuckDB is an independent
+    implementation of the same semantics, so agreement here pins the
+    boundary rules (ties match: >= is inclusive) rather than our own
+    reading of them."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    arng = random.Random(777)
+    # ts values collide across sides on purpose (small domain) so the
+    # inclusive boundary is exercised; right side unique per (k, rt).
+    lrows = [
+        (arng.randint(1, 6), arng.randint(0, 30), i) for i in range(300)
+    ]
+    seen = set()
+    rrows = []
+    for _ in range(120):
+        k, rt = arng.randint(1, 6), arng.randint(0, 30)
+        if (k, rt) in seen:
+            continue
+        seen.add((k, rt))
+        rrows.append((k, rt, round(arng.uniform(1, 100), 2)))
+    lpq, rpq = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    spark.createDataFrame(lrows, ["k", "t", "rid"]).coalesce(1).write.parquet(lpq)
+    spark.createDataFrame(rrows, ["k", "rt", "px"]).coalesce(1).write.parquet(rpq)
+    e = Engine(spark, str(tmp_path / "asfz"))
+    e.ingest_parquet(lpq, "l")
+    e.ingest_parquet(rpq, "r")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW l AS SELECT * FROM read_parquet('{lpq}/*.parquet')")
+    con.execute(f"CREATE VIEW r AS SELECT * FROM read_parquet('{rpq}/*.parquet')")
+
+    for how in ("ASOF JOIN", "ASOF LEFT JOIN"):
+        for op in (">=", "<="):
+            sql = (
+                f"SELECT rid, px FROM l {how} r "
+                f"ON l.k = r.k AND l.t {op} r.rt ORDER BY rid"
+            )
+            got = [(r.rid, r.px) for r in e.ref_sql(sql).collect()]
+            want = [tuple(r) for r in con.execute(sql).fetchall()]
+            assert got == want, f"{how} {op}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"
+
+
+def test_pivot_unpivot_match_duckdb_fuzz(spark, tmp_path):
+    """Round-8 differential fuzz: the dialect's PIVOT/UNPIVOT vs DuckDB's
+    own standard-syntax implementations over byte-identical parquet —
+    randomized groups, statuses (including one absent from some groups so
+    NULL cells appear), integer sums (no float hazard). DuckDB 1.0 runs
+    the IDENTICAL text, so agreement pins implicit-group inference, value
+    routing, AS naming, and the NULL-measure drop rule."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    prng = random.Random(31337)
+    rows = [
+        (
+            prng.choice(["g1", "g2", "g3", "g4"]),
+            prng.choice(["s1", "s2", "s2", "s3"]),  # s3 rare -> NULL cells
+            prng.randint(1, 99),
+        )
+        for _ in range(300)
+    ]
+    pq = str(tmp_path / "pv.parquet")
+    spark.createDataFrame(rows, ["g", "s", "v"]).coalesce(1).write.parquet(pq)
+    e = Engine(spark, str(tmp_path / "pvdb"))
+    e.ingest_parquet(pq, "t")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    psql = (
+        "SELECT * FROM t PIVOT (SUM(v) FOR s IN "
+        "('s1' AS a, 's2' AS b, 's3' AS c)) ORDER BY g"
+    )
+    got = [(r.g, r.a, r.b, r.c) for r in e.ref_sql(psql).collect()]
+    want = [tuple(r) for r in con.execute(psql).fetchall()]
+    assert got == want, (got, want)
+
+    usql = (
+        "WITH p AS (SELECT * FROM t PIVOT (SUM(v) FOR s IN "
+        "('s1' AS a, 's2' AS b, 's3' AS c))) "
+        "SELECT g, k, val FROM p UNPIVOT (val FOR k IN (a, b, c)) "
+        "ORDER BY g, k"
+    )
+    got = [(r.g, r.k, r.val) for r in e.ref_sql(usql).collect()]
+    want = [tuple(r) for r in con.execute(usql).fetchall()]
+    assert got == want, (got, want)
