@@ -620,6 +620,48 @@ class SelectSpec:
     unpivot: "tuple[str, str, list[str], bool] | None" = None
 
 
+def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
+    """Parse the body of an OVER clause (the opening '(' already
+    consumed, consumes through the closing ')'): ``[PARTITION BY c, ...]
+    [ORDER BY c [ASC|DESC], ...] [ROWS|RANGE BETWEEN <bound> AND
+    <bound>]``. Shared by inline ``OVER (...)`` and the round-8 named
+    ``WINDOW w AS (...)`` clause. ROWS frames take physical offsets;
+    RANGE (round-7) takes logical value offsets over exactly one numeric
+    ORDER BY key (Spark's rangeBetween contract)."""
+    part: list[str] = []
+    order: list[tuple[str, bool]] = []
+    if cur.peek_kw() == "partition":
+        cur.next()
+        cur.expect_kw("by")
+        part.append(_unquote(cur.next()))
+        while cur.peek() == ",":
+            cur.next()
+            part.append(_unquote(cur.next()))
+    if cur.peek_kw() == "order":
+        cur.next()
+        cur.expect_kw("by")
+        while True:
+            c = _unquote(cur.next())
+            desc = False
+            if cur.peek_kw() in ("asc", "desc"):
+                desc = cur.next().lower() == "desc"
+            order.append((c, desc))
+            if cur.peek() != ",":
+                break
+            cur.next()
+    frame = None
+    if cur.peek_kw() in ("rows", "range"):
+        kind = cur.next().lower()
+        cur.expect_kw("between")
+        lo = _frame_bound(cur)
+        cur.expect_kw("and")
+        hi = _frame_bound(cur)
+        frame = (kind, lo, hi)
+    if cur.next() != ")":
+        raise ParseError("expected ')' to close the window definition")
+    return part, order, frame
+
+
 def parse_select(
     cur: _Cursor, weak_typing: bool = False, resolver=None
 ) -> tuple[SelectSpec, Query | None, dict]:
@@ -706,47 +748,19 @@ def parse_select(
             args = [a for a in args if a]
             if cur.peek_kw() == "over":
                 # Dialect extension: window functions — ``fn(args) OVER
-                # ([PARTITION BY c, ...] [ORDER BY c [DESC], ...]) AS x``.
+                # ([PARTITION BY c, ...] [ORDER BY c [DESC], ...]) AS x``
+                # or (round-8) ``fn(args) OVER w AS x`` with ``w`` defined
+                # in a ``WINDOW w AS (...)`` clause (resolved after the
+                # clause list parses — standard SQL puts WINDOW after
+                # HAVING, textually later than the SELECT list).
                 cur.next()
-                if cur.next() != "(":
-                    raise ParseError("expected '(' after OVER")
-                part: list[str] = []
-                order: list[tuple[str, bool]] = []
-                if cur.peek_kw() == "partition":
+                if cur.peek() == "(":
                     cur.next()
-                    cur.expect_kw("by")
-                    part.append(_unquote(cur.next()))
-                    while cur.peek() == ",":
-                        cur.next()
-                        part.append(_unquote(cur.next()))
-                if cur.peek_kw() == "order":
-                    cur.next()
-                    cur.expect_kw("by")
-                    while True:
-                        c = _unquote(cur.next())
-                        desc = False
-                        if cur.peek_kw() in ("asc", "desc"):
-                            desc = cur.next().lower() == "desc"
-                        order.append((c, desc))
-                        if cur.peek() != ",":
-                            break
-                        cur.next()
-                # Round-6 extension: explicit frame — ``ROWS BETWEEN
-                # <bound> AND <bound>`` (bounds: UNBOUNDED PRECEDING /
-                # n PRECEDING / CURRENT ROW / n FOLLOWING / UNBOUNDED
-                # FOLLOWING). Round-7 adds ``RANGE BETWEEN`` (logical
-                # value offsets — requires exactly one numeric ORDER BY
-                # key, Spark's rangeBetween contract).
-                frame = None
-                if cur.peek_kw() in ("rows", "range"):
-                    kind = cur.next().lower()
-                    cur.expect_kw("between")
-                    lo = _frame_bound(cur)
-                    cur.expect_kw("and")
-                    hi = _frame_bound(cur)
-                    frame = (kind, lo, hi)
-                if cur.next() != ")":
-                    raise ParseError("expected ')' to close OVER")
+                    part, order, frame = _over_body(cur)
+                else:
+                    # Named-window reference: `part` carries the name (a
+                    # str, unlike the inline list) until resolution.
+                    part, order, frame = _unquote(cur.next()), None, None
                 if low == "grouping":
                     raise ParseError("grouping() cannot take an OVER clause")
                 if cur.peek_kw() != "as":
@@ -1212,6 +1226,26 @@ def parse_select(
             clauses["qualify"] = qp.parse()
             if qp.subqueries or qp.exists_subqueries:
                 raise ParseError("subqueries are not supported in QUALIFY")
+        elif kw == "window":
+            # Round-8: ``WINDOW w AS ([PARTITION BY ...] [ORDER BY ...]
+            # [frame]) [, w2 AS (...)]`` — named window definitions
+            # referenced by ``fn() OVER w`` in the SELECT list (standard
+            # SQL; resolution happens after the clause loop since the
+            # references parse first).
+            cur.next()
+            defs = clauses.setdefault("window_defs", {})
+            while True:
+                wname = _unquote(cur.next())
+                if wname in defs:
+                    raise ParseError(f"duplicate WINDOW name {wname!r}")
+                cur.expect_kw("as")
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after WINDOW name AS")
+                defs[wname] = _over_body(cur)
+                if cur.peek() == ",":
+                    cur.next()
+                    continue
+                break
         elif kw == "limit":
             cur.next()
             clauses["limit"] = int(cur.next())
@@ -1227,6 +1261,21 @@ def parse_select(
             break
         else:
             raise ParseError(f"unexpected token {cur.peek()!r}")
+    # Resolve named-window references (``OVER w`` left the name string in
+    # the partition slot) against the WINDOW clause definitions.
+    defs = clauses.pop("window_defs", {})
+    if any(isinstance(p, str) for _, _, _, p, _, _ in spec.windows):
+        resolved_w = []
+        for fn, args, alias, part, order, frame in spec.windows:
+            if isinstance(part, str):
+                if part not in defs:
+                    raise ParseError(
+                        f"unknown window name {part!r} — define it with "
+                        f"WINDOW {part} AS (...)"
+                    )
+                part, order, frame = defs[part]
+            resolved_w.append((fn, args, alias, part, order, frame))
+        spec.windows = resolved_w
     return spec, None, clauses
 
 

@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "sketch_kmv_set_ops",
     "sketch_hist_quantiles",
     "refsql_asof_join",
+    "refsql_named_window",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1346,3 +1346,40 @@ def refsql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_id, user_id, pval FROM c "
         "ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts",
     )
+
+
+@query(
+    "refsql_named_window",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(c_custkey) OVER w AS prev_key,
+           SUM(c_custkey) OVER w2 AS run_keys
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def refsql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: the WINDOW clause — two verbs sharing one named window
+    # plus a framed named window, all integer outputs (exact hash, no
+    # rounding). DuckDB runs the IDENTICAL text, so a wrong definition
+    # lookup, a dropped frame, or reference-vs-inline divergence flips
+    # the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT c_custkey, c_nationkey, "
+        "ROW_NUMBER() OVER w AS rn, "
+        "LAG(c_custkey) OVER w AS prev_key, "
+        "SUM(c_custkey) OVER w2 AS run_keys "
+        "FROM customer "
+        "WINDOW w AS (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey), "
+        "w2 AS (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    )

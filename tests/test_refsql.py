@@ -1961,3 +1961,26 @@ def test_asof_negative_cases(asof_engine):
             "SELECT qty FROM trades ASOF JOIN quotes "
             "ON sym = quotes.sym AND trades.t >= quotes.qt"
         )
+
+
+def test_named_window_clause(engine):
+    rows = engine.ref_sql(
+        "SELECT id, ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk "
+        "FROM students WINDOW w AS (ORDER BY id DESC) ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["rn"], r["rk"]) for r in rows] == [
+        (i, 7 - i, 7 - i) for i in range(1, 7)
+    ]
+    # QUALIFY composes with named windows
+    rows = engine.ref_sql(
+        "SELECT id, ROW_NUMBER() OVER w AS rn FROM students "
+        "WINDOW w AS (ORDER BY id) QUALIFY rn <= 2 ORDER BY id"
+    ).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    with pytest.raises(ParseError, match="unknown window name"):
+        engine.ref_sql("SELECT ROW_NUMBER() OVER nope AS rn FROM students")
+    with pytest.raises(ParseError, match="duplicate WINDOW"):
+        engine.ref_sql(
+            "SELECT ROW_NUMBER() OVER w AS rn FROM students "
+            "WINDOW w AS (ORDER BY id), w AS (ORDER BY id)"
+        )
