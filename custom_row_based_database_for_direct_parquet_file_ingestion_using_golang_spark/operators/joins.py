@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: "str | list[str]",
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
@@ -42,6 +42,9 @@ def asof_join(
     """For each left row, attach the most recent right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' mirrors).
 
+    ``on`` may be one key column or a composite list (round-8) — e.g.
+    (symbol, venue) quotes; the union-tag window simply partitions on
+    all of them, so the plan stays one shuffle regardless of key arity.
     ``tolerance`` (an INTERVAL string like '3 days') bounds the lookback:
     matches older than ``left_ts - tolerance`` become NULL.
     Right rows must be unique per (on, right_ts); pre-aggregate if not.
@@ -59,9 +62,10 @@ def asof_join(
     if collisions:
         raise ValueError(f"payload columns collide with left columns: {sorted(collisions)}")
 
+    keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
     payload = list(right_payload)
-    other_lcols = [c for c in lcols if c not in (on, left_ts)]
+    other_lcols = [c for c in lcols if c not in (*keys, left_ts)]
 
     match_type = T.StructType(
         [T.StructField("matched_ts", right.schema[right_ts].dataType)]
@@ -69,7 +73,7 @@ def asof_join(
     )
 
     r = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         F.struct(
@@ -78,7 +82,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in other_lcols],
     )
     l = left.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(match_type).alias("__match"),
@@ -92,13 +96,13 @@ def asof_join(
         else [F.col("__ts").desc(), F.col("__tag").asc()]
     )
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
     carried = unioned.select(
-        on,
+        *keys,
         "__ts",
         "__tag",
         F.last("__match", ignorenulls=True).over(w).alias("__match"),

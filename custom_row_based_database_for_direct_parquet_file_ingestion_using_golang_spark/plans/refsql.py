@@ -1686,23 +1686,26 @@ class RefSQL:
                 eqs.append((c1, c2))
             else:
                 ineqs.append((c1, op, c2))
-        if len(eqs) != 1 or len(ineqs) != 1:
+        if not eqs or len(ineqs) != 1:
             raise ParseError(
-                "ASOF JOIN needs exactly one equality conjunct (the key) "
-                "and one >=/<= conjunct (the time order)"
+                "ASOF JOIN needs exactly one equality conjunct (or "
+                "several, for a composite key) and one >=/<= conjunct "
+                "(the time order)"
             )
-        kl, kr = eqs[0]
         tl, op, tr = ineqs[0]
-        if kr != kl:
-            if kl in right.columns:
-                raise ParseError(
-                    f"ASOF JOIN: right side already has a column {kl!r}; "
-                    "rename one key"
-                )
-            right = right.withColumnRenamed(kr, kl)
-        payload = [c for c in right.columns if c not in (kl, tr)]
+        keys = []
+        for kl, kr in eqs:
+            if kr != kl:
+                if kl in right.columns:
+                    raise ParseError(
+                        f"ASOF JOIN: right side already has a column "
+                        f"{kl!r}; rename one key"
+                    )
+                right = right.withColumnRenamed(kr, kl)
+            keys.append(kl)
+        payload = [c for c in right.columns if c not in (*keys, tr)]
         out = asof_join(
-            left, right, on=kl, left_ts=tl, right_ts=tr,
+            left, right, on=keys, left_ts=tl, right_ts=tr,
             right_payload=payload,
             direction="backward" if op == ">=" else "forward",
         )

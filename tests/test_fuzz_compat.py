@@ -165,24 +165,41 @@ def test_asof_join_matches_duckdb_fuzz(spark, tmp_path):
         seen.add((k, rt))
         rrows.append((k, rt, round(arng.uniform(1, 100), 2)))
     lpq, rpq = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
-    spark.createDataFrame(lrows, ["k", "t", "rid"]).coalesce(1).write.parquet(lpq)
-    spark.createDataFrame(rrows, ["k", "rt", "px"]).coalesce(1).write.parquet(rpq)
+    l2pq, r2pq = str(tmp_path / "l2.parquet"), str(tmp_path / "r2.parquet")
+    ldf = spark.createDataFrame(lrows, ["k", "t", "rid"])
+    rdf = spark.createDataFrame(rrows, ["k", "rt", "px"])
+    ldf.coalesce(1).write.parquet(lpq)
+    rdf.coalesce(1).write.parquet(rpq)
+    # l2/r2 add a second (derived) key column for the composite-key pass
+    # (kept out of l/r: a same-named NON-key right column is an operator
+    # error — payload collision — by design).
+    ldf.selectExpr("k", "k % 2 AS k2", "t", "rid").coalesce(1).write.parquet(l2pq)
+    rdf.selectExpr("k", "k % 2 AS k2", "rt", "px").coalesce(1).write.parquet(r2pq)
     e = Engine(spark, str(tmp_path / "asfz"))
-    e.ingest_parquet(lpq, "l")
-    e.ingest_parquet(rpq, "r")
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW l AS SELECT * FROM read_parquet('{lpq}/*.parquet')")
-    con.execute(f"CREATE VIEW r AS SELECT * FROM read_parquet('{rpq}/*.parquet')")
+    for name, pq in (("l", lpq), ("r", rpq), ("l2", l2pq), ("r2", r2pq)):
+        e.ingest_parquet(pq, name)
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
 
+    keyforms = (
+        ("l", "r", "l.k = r.k"),
+        ("l2", "r2", "l2.k = r2.k AND l2.k2 = r2.k2"),  # composite (round-8)
+    )
     for how in ("ASOF JOIN", "ASOF LEFT JOIN"):
         for op in (">=", "<="):
-            sql = (
-                f"SELECT rid, px FROM l {how} r "
-                f"ON l.k = r.k AND l.t {op} r.rt ORDER BY rid"
-            )
-            got = [(r.rid, r.px) for r in e.ref_sql(sql).collect()]
-            want = [tuple(r) for r in con.execute(sql).fetchall()]
-            assert got == want, f"{how} {op}: first diff {next((a, b) for a, b in zip(got, want) if a != b)}"
+            for lt, rt_, keys in keyforms:
+                sql = (
+                    f"SELECT rid, px FROM {lt} {how} {rt_} "
+                    f"ON {keys} AND {lt}.t {op} {rt_}.rt ORDER BY rid"
+                )
+                got = [(r.rid, r.px) for r in e.ref_sql(sql).collect()]
+                want = [tuple(r) for r in con.execute(sql).fetchall()]
+                assert got == want, (
+                    f"{how} {op} [{keys}]: first diff "
+                    f"{next((a, b) for a, b in zip(got, want) if a != b)}"
+                )
 
 
 def test_pivot_unpivot_match_duckdb_fuzz(spark, tmp_path):
