@@ -618,6 +618,9 @@ class SelectSpec:
     # Dialect extension (round-8): FROM t UNPIVOT [INCLUDE NULLS]
     # (val FOR name IN (col, ...)) — (val_col, name_col, cols, keep_nulls).
     unpivot: "tuple[str, str, list[str], bool] | None" = None
+    # Dialect extension (round-8): SELECT * EXCLUDE (c1, ...) — star
+    # minus named columns (wide-table ergonomic).
+    star_exclude: list[str] = field(default_factory=list)
 
 
 def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
@@ -683,6 +686,21 @@ def parse_select(
         low = tok.lower()
         if tok == "*":
             spec.star = True
+            if cur.peek_kw() == "exclude":
+                # Round-8: ``* EXCLUDE (c1, ...)`` — star minus named
+                # columns (resolved and validated in build_select).
+                cur.next()
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after EXCLUDE")
+                while True:
+                    t = cur.next()
+                    if t == ")":
+                        break
+                    if t == ",":
+                        continue
+                    spec.star_exclude.append(_unquote(t))
+                if not spec.star_exclude:
+                    raise ParseError("EXCLUDE needs at least one column")
         elif low in EXPR_AGG_FUNCS and cur.peek() == "(":
             # Statistical aggregate: capture the whole call verbatim
             # (balanced parens, commas kept) and hand it to Catalyst.
@@ -1529,7 +1547,18 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             # (select_negative_test.go:34-68 asserts it appears).
             cols.append(F.col("count"))
         q.select(*cols)
-    return q.df()
+    out = q.df()
+    if spec.star and spec.star_exclude:
+        # Round-8: SELECT * EXCLUDE (c1, ...) — the wide-table ergonomic
+        # (DuckDB/Snowflake/Databricks). Validated against the frame so a
+        # typo errors instead of silently excluding nothing.
+        missing = [c for c in spec.star_exclude if c not in out.columns]
+        if missing:
+            raise ParseError(f"EXCLUDE columns not found: {missing}")
+        if len(spec.star_exclude) >= len(out.columns):
+            raise ParseError("EXCLUDE cannot remove every column")
+        out = out.drop(*spec.star_exclude)
+    return out
 
 
 class RefSQL:

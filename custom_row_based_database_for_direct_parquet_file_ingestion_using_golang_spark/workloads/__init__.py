@@ -114,6 +114,9 @@ PRIORITY: list[str] = [
     "sketch_hist_quantiles",
     "refsql_asof_join",
     "refsql_named_window",
+    "refsql_star_exclude",
+    "events_funnel_steps",
+    "events_cohort_retention",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

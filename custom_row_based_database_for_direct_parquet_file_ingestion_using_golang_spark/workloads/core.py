@@ -1383,3 +1383,22 @@ def refsql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY c_acctbal DESC, c_custkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     )
+
+
+@query(
+    "refsql_star_exclude",
+    """
+    SELECT * EXCLUDE (text) FROM documents ORDER BY doc_id LIMIT 25
+    """,
+)
+def refsql_star_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: SELECT * EXCLUDE (...) — the wide-table ergonomic, on its
+    # natural use case (drop the huge text column, keep the metadata).
+    # DuckDB runs the identical text. Note Catalyst prunes the excluded
+    # column out of the scan entirely (drop folds into the projection),
+    # so this is column pruning, not read-then-discard.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT * EXCLUDE (text) FROM documents ORDER BY doc_id LIMIT 25",
+    )

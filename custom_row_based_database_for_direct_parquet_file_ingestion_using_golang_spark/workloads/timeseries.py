@@ -177,3 +177,149 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_funnel_steps",
+    """
+    WITH a AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN a ON e.user_id = a.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.t_view
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN b ON e.user_id = b.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS step_view,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS step_click,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_purchase,
+           round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM a), 4) + 0.0 AS conversion
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (round 8): users who VIEWED, then CLICKED strictly
+    after their first view, then PURCHASED strictly after that first
+    click — the sequential-event analytics shape (onboarding funnels,
+    attribution). Each step is a per-user MIN over a filtered, step-
+    gated event set: three aggregations on the SAME key, so after the
+    first shuffle the per-user joins are co-partitioned and Catalyst
+    reuses the partitioning rather than reshuffling. The oracle replays
+    the identical step chain; the conversion ratio is rational
+    arithmetic over exact counts (4 dp convention)."""
+    ev = load(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("step_view"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("step_click"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("step_purchase"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "step_view",
+            "step_click",
+            "step_purchase",
+            (
+                F.round(
+                    F.col("step_purchase").cast("double")
+                    / F.col("step_view"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("conversion"),
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+    d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    j AS (SELECT f.cohort_day,
+                 date_diff('day', f.cohort_day, d.day) AS offset_days,
+                 d.user_id
+          FROM d JOIN f ON d.user_id = f.user_id),
+    r AS (SELECT cohort_day, offset_days,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+          FROM j WHERE offset_days IN (0, 1, 7, 14) GROUP BY 1, 2),
+    s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM f GROUP BY 1)
+    SELECT r.cohort_day, r.offset_days, r.active_users, s.cohort_size,
+           round(CAST(active_users AS DOUBLE) / cohort_size, 4) + 0.0
+             AS retention
+    FROM r JOIN s ON r.cohort_day = s.cohort_day
+    ORDER BY r.cohort_day, r.offset_days
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (round 8): users grouped by first-activity day,
+    measured active again at day offsets 0/1/7/14 — the product-
+    analytics matrix. Two aggregations on user_id (first day, distinct
+    active days) share one shuffle key; the retention join is per
+    cohort-day (tiny — broadcastable at any scale since cohorts are
+    bounded by the date range, not the user count). Rates are rational
+    over exact counts (4 dp)."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = d.join(f, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("offset_days"),
+        "user_id",
+    )
+    r = (
+        j.filter(F.col("offset_days").isin(0, 1, 7, 14))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    s = f.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        r.join(F.broadcast(s), "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_days",
+            "active_users",
+            "cohort_size",
+            (
+                F.round(
+                    F.col("active_users").cast("double")
+                    / F.col("cohort_size"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )

@@ -459,3 +459,15 @@ def test_dialect_asof_never_plans_nested_loop(spark, tmp_path):
     assert "CartesianProduct" not in txt, txt
     # the union-tag plan is a window over one hash exchange on the key
     assert "Window" in txt, txt
+
+
+def test_star_exclude_prunes_scan(spark, sf_dir):
+    # * EXCLUDE (text) must fold into the parquet scan as column pruning
+    # — the excluded (huge) column is never read, not read-then-dropped.
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    df = QUERIES["refsql_star_exclude"](spark, sf_dir)
+    (cols,) = read_columns(df)
+    assert "text" not in cols, cols

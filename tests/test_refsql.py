@@ -1984,3 +1984,22 @@ def test_named_window_clause(engine):
             "SELECT ROW_NUMBER() OVER w AS rn FROM students "
             "WINDOW w AS (ORDER BY id), w AS (ORDER BY id)"
         )
+
+
+def test_star_exclude(engine):
+    rows = engine.ref_sql(
+        "SELECT * EXCLUDE (course) FROM students ORDER BY id LIMIT 2"
+    )
+    assert rows.columns == ["id", "name"]
+    assert [r["id"] for r in rows.collect()] == [1, 2]
+    # composes with WHERE and DISTINCT
+    d = engine.ref_sql(
+        "SELECT DISTINCT * EXCLUDE (id, name) FROM students WHERE id <= 2"
+    ).collect()
+    assert sorted(r["course"] for r in d) == ["AI/ML", "Mech"]
+    with pytest.raises(ParseError, match="not found"):
+        engine.ref_sql("SELECT * EXCLUDE (nope) FROM students")
+    with pytest.raises(ParseError, match="every column"):
+        engine.ref_sql("SELECT * EXCLUDE (id, name, course) FROM students")
+    with pytest.raises(ParseError, match="at least one"):
+        engine.ref_sql("SELECT * EXCLUDE () FROM students")
