@@ -697,6 +697,7 @@ def pq_topk(
     train_limit: int = 2048,
     n_iter: int = 8,
     seed: int = 42,
+    scan: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by cosine via product quantization with
     asymmetric distance computation (ADC — Jégou et al., "Product
@@ -710,7 +711,12 @@ def pq_topk(
     shuffle. The ``rescore·k`` best candidates re-rank in exact float
     cosine (same tail as quantized_topk), so returned scores are exact
     and only recall is approximate (pytest pins ≥0.9 vs brute force —
-    1.0 at the m=16/k_codes=32/rescore=8 defaults on the fixtures)."""
+    1.0 at the m=16/k_codes=32/rescore=8 defaults on the fixtures).
+
+    ``scan`` (round-8): the frame to encode and score, when a coarse
+    index has already pruned the corpus (see :func:`ivf_pq_topk`);
+    defaults to ``df``. Codebooks always train on ``df`` — they are
+    corpus-level model state, independent of any one query's pruning."""
     import numpy as np
 
     codebooks = pq_train(
@@ -730,7 +736,8 @@ def pq_topk(
         [float(q[j * sub_d : (j + 1) * sub_d] @ c) for c in cb]
         for j, cb in enumerate(codebooks)
     ]
-    encoded = df.select(
+    base = df if scan is None else scan
+    encoded = base.select(
         F.col(id_col),
         F.col(vec_col),
         _pq_encode_udf(codebooks)(
@@ -757,6 +764,69 @@ def pq_topk(
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    k_codes: int = 32,
+    rescore: int = 8,
+    ivf_train_limit: int = 512,
+    pq_train_limit: int = 2048,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ composed (round-8) — the production ANN serving shape
+    (FAISS's IVFPQ, Jégou et al. 2011): the coarse spherical-k-means
+    quantizer prunes the corpus to the query's ``n_probe`` inverted
+    lists, and only those candidates are PQ-encoded and ADC-scored, with
+    the exact-cosine rescore tail. At 100 TB the two stages multiply:
+    IVF cuts the scanned ROWS to n_probe/n_centroids of the corpus
+    (partition pruning with a materialized index — ivf_build), PQ cuts
+    the scanned BYTES per row from dim·4 to m. Codes here are over the
+    raw unit vectors, not IVF residuals — the residual refinement trades
+    portability for recall we already have (pytest pins recall vs brute
+    force ≥0.9 with the exact-rescore tail; 1.0 on the fixtures).
+
+    Both quantizers train on the full corpus' deterministic hash sample
+    (corpus-level model state); only the per-query scan is pruned."""
+    centroids = _train_centroids(
+        df, id_col, vec_col, ivf_train_limit, n_centroids, n_iter, seed
+    )
+    listed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias(
+            "list_id"
+        ),
+    )
+    qd = _centroid_dots(F.col("q"), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            qd,
+            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
+        )
+    )
+    probes = query.select(
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
+        ).alias("list_id")
+    )
+    pruned = listed.join(F.broadcast(probes), "list_id").select(
+        F.col(id_col), F.col(vec_col)
+    )
+    return pq_topk(
+        df, id_col, vec_col, query, dim, k=k, m=m, k_codes=k_codes,
+        rescore=rescore, train_limit=pq_train_limit, n_iter=n_iter,
+        seed=seed, scan=pruned,
     )
 
 

@@ -117,6 +117,7 @@ PRIORITY: list[str] = [
     "refsql_star_exclude",
     "events_funnel_steps",
     "events_cohort_retention",
+    "ann_ivf_pq_top10",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

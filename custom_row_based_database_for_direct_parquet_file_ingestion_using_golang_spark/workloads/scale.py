@@ -3112,3 +3112,17 @@ def corpus_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("ann_ivf_pq_top10")  # rows-only: two-stage ANN is approximate by design
+def ann_ivf_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF+PQ composed (round-8) — the production serving shape: the
+    # coarse quantizer prunes to n_probe=6 of 16 inverted lists, PQ-ADC
+    # scores only those candidates from 16-byte codes, exact rescore
+    # tail. At 100 TB the stages multiply: rows cut by IVF, bytes/row
+    # cut by PQ. pytest pins recall vs brute force.
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=10, n_probe=6
+    )

@@ -1713,3 +1713,44 @@ def test_weighted_sample_per_group_quota_and_replay(spark, sf_dir):
     for src, lst in keyed.items():
         lst.sort(reverse=True)
         assert sorted(d for _, _, d in lst[:5]) == sorted(per[src]), src
+
+
+def test_ivf_pq_topk_recall_and_determinism(spark, sf_dir):
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    got = similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=10, n_probe=6
+    ).collect()
+    # self-match survives both pruning stages, scores are exact floats
+    assert got[0].vec_id == 7 and got[0].score == pytest.approx(1.0)
+    # The PQ stage must not lose what IVF kept: vs ivf_topk with the SAME
+    # coarse parameters, the composed result recovers ≥0.9 (ADC + exact
+    # rescore is near-exact inside the pruned set).
+    ivf_only = similarity.ivf_topk(
+        emb, "vec_id", "embedding", q, k=10, n_centroids=16, n_probe=6
+    ).collect()
+    vs_ivf = len({r.vec_id for r in got} & {r.vec_id for r in ivf_only}) / 10
+    assert vs_ivf >= 0.9, vs_ivf
+    # vs brute force, recall is bounded by the coarse pruning (same ≥0.5
+    # contract the plain-IVF pin uses at half-probe).
+    recall = len({r.vec_id for r in got} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.5, recall
+    # Full probe removes the pruning: recall must reach the PQ pin.
+    full = similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=10,
+        n_centroids=16, n_probe=16,
+    ).collect()
+    recall_full = len({r.vec_id for r in full} & {r.vec_id for r in brute}) / 10
+    assert recall_full >= 0.9, recall_full
+    again = similarity.ivf_pq_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=10, n_probe=6
+    ).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in got]
