@@ -121,6 +121,7 @@ class Query:
         self._where: Column | str | None = None
         self._group: list[str] = []
         self._group_mode: str = "groupby"
+        self._group_sets: list = []
         self._aggs: list[Column] = []
         self._having: Column | str | None = None
         self._order: list[Column] = []
@@ -141,13 +142,22 @@ class Query:
         self._where = cond
         return self
 
-    def group_by(self, *cols: str, mode: str = "groupby") -> "Query":
+    def group_by(
+        self, *cols: str, mode: str = "groupby", sets: "list | None" = None
+    ) -> "Query":
         # Reference limitation NOT copied: it supports exactly one grouping
         # column (select.go:165-173); this accepts any number. ``mode``
-        # selects plain grouping vs the grouping-set variants — rollup and
-        # cube plan as ONE Expand + aggregate pass (no per-level re-scans).
-        if mode not in ("groupby", "rollup", "cube"):
+        # selects plain grouping vs the grouping-set variants — rollup,
+        # cube, and explicit ``sets`` (round-8) all plan as ONE Expand +
+        # aggregate pass (no per-level re-scans). With mode='sets',
+        # ``sets`` is the explicit list of grouping-column lists and
+        # ``cols`` the union of referenced columns.
+        if mode not in ("groupby", "rollup", "cube", "sets"):
             raise ValueError(f"unsupported grouping mode {mode!r}")
+        if mode == "sets":
+            if not sets:
+                raise ValueError("mode='sets' requires a grouping-set list")
+            self._group_sets = [list(s) for s in sets]
         self._group = list(cols)
         self._group_mode = mode
         return self
@@ -212,12 +222,17 @@ class Query:
                 # Lenient GROUP BY: auto-append COUNT(*) (select.go:187-192).
                 aggs = [agg_spec("count")]
             if self._group:
-                grouper = {
-                    "groupby": df.groupBy,
-                    "rollup": df.rollup,
-                    "cube": df.cube,
-                }[self._group_mode]
-                df = grouper(*self._group).agg(*aggs)
+                if self._group_mode == "sets":
+                    df = df.groupingSets(
+                        self._group_sets, *self._group
+                    ).agg(*aggs)
+                else:
+                    grouper = {
+                        "groupby": df.groupBy,
+                        "rollup": df.rollup,
+                        "cube": df.cube,
+                    }[self._group_mode]
+                    df = grouper(*self._group).agg(*aggs)
             else:
                 df = df.agg(*aggs)
             if self._having is not None:

@@ -1129,6 +1129,52 @@ def parse_select(
                 cur.next()
                 clauses["group_by"] = ["__ALL__"]
                 continue
+            # Round-8 extension: explicit GROUP BY GROUPING SETS
+            # ((a, b), (a), ()) — the general grouping-set form ROLLUP
+            # and CUBE are shorthands of; same single Expand + aggregate
+            # pass (DataFrame.groupingSets). Plain columns only in sets.
+            if cur.peek_kw() == "grouping" and cur.peek_kw(1) == "sets":
+                cur.next()
+                cur.next()
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after GROUPING SETS")
+                gsets: list[list[str]] = []
+                while True:
+                    t = cur.next()
+                    if t == ")":
+                        break
+                    if t == ",":
+                        continue
+                    if t != "(":
+                        raise ParseError(
+                            "expected '(' to open a grouping set"
+                        )
+                    s: list[str] = []
+                    while True:
+                        t2 = cur.next()
+                        if t2 == ")":
+                            break
+                        if t2 == ",":
+                            continue
+                        s.append(_unquote(t2))
+                    gsets.append(s)
+                if not gsets:
+                    raise ParseError(
+                        "GROUPING SETS needs at least one set"
+                    )
+                union_cols: list[str] = []
+                for s in gsets:
+                    for c in s:
+                        if c not in union_cols:
+                            union_cols.append(c)
+                if not union_cols:
+                    raise ParseError(
+                        "GROUPING SETS needs at least one column overall"
+                    )
+                clauses["group_mode"] = "sets"
+                clauses["group_sets"] = gsets
+                clauses["group_by"] = union_cols
+                continue
             # Round-6 extension: GROUP BY ROLLUP(a, b) / CUBE(a, b) —
             # grouping-set aggregation in one Expand pass (Query mode).
             if cur.peek_kw() in ("rollup", "cube") and cur.peek(1) == "(":
@@ -1471,6 +1517,7 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
                 for i, g in enumerate(group)
             ],
             mode=clauses.get("group_mode", "groupby"),
+            sets=clauses.get("group_sets"),
         )
     if spec.aggregates:
         q.agg(*[agg_spec(fn, col, alias) for fn, col, alias in spec.aggregates])

@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "events_funnel_steps",
     "events_cohort_retention",
     "ann_ivf_pq_top10",
+    "refsql_grouping_sets",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1402,3 +1402,33 @@ def refsql_star_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "SELECT * EXCLUDE (text) FROM documents ORDER BY doc_id LIMIT 25",
     )
+
+
+@query(
+    "refsql_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def refsql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: explicit GROUPING SETS through the dialect — the general
+    # form ROLLUP/CUBE are shorthands of, compiled to ONE Expand +
+    # aggregate pass (DataFrame.groupingSets). DuckDB runs the identical
+    # text; DECIMAL sums inside, DOUBLE out. A wrong set expansion
+    # changes the row count; a wrong column union changes the NULL
+    # pattern — either flips the hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH a AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS t FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+        "(o_orderstatus), ())) "
+        "SELECT o_orderstatus, o_orderpriority, n, "
+        "CAST(t AS DOUBLE) AS total FROM a",
+    )

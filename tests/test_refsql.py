@@ -2003,3 +2003,21 @@ def test_star_exclude(engine):
         engine.ref_sql("SELECT * EXCLUDE (id, name, course) FROM students")
     with pytest.raises(ParseError, match="at least one"):
         engine.ref_sql("SELECT * EXCLUDE () FROM students")
+
+
+def test_grouping_sets(engine):
+    rows = engine.ref_sql(
+        "SELECT course, COUNT(*) AS n FROM students "
+        "GROUP BY GROUPING SETS ((course), ()) ORDER BY course NULLS LAST"
+    ).collect()
+    # 5 per-course rows + 1 grand total (NULL course)
+    assert len(rows) == 6
+    assert rows[-1]["course"] is None and rows[-1]["n"] == 6
+    with pytest.raises(ParseError, match="at least one set"):
+        engine.ref_sql(
+            "SELECT COUNT(*) AS n FROM students GROUP BY GROUPING SETS ()"
+        )
+    with pytest.raises(ParseError, match="at least one column"):
+        engine.ref_sql(
+            "SELECT COUNT(*) AS n FROM students GROUP BY GROUPING SETS (())"
+        )
