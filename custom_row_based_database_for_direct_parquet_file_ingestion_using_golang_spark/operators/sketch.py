@@ -251,7 +251,8 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
 
 
 def hist_build(
-    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 1024
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-width histogram over ``col``: one count per OBSERVED bin
     (``floor((x-lo)/width)`` clamped to [0, n_bins-1] — out-of-range
@@ -267,18 +268,19 @@ def hist_build(
     if not hi > lo:
         raise ValueError("hist requires hi > lo")
     width = (hi - lo) / n_bins
+    gcols = list(group_cols or [])
     b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
     b = F.least(F.greatest(b.cast("int"), F.lit(0)), F.lit(n_bins - 1))
     return (
         df.where(F.col(col).isNotNull())
-        .groupBy(b.alias("bin"))
+        .groupBy(*gcols, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def hist_quantiles(
     hist: DataFrame, qs: list[float], lo: float, hi: float,
-    n_bins: int = 1024,
+    n_bins: int = 1024, group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from an equi-width histogram: for each q, the
     first bin whose cumulative count reaches ``rank = ceil(q*n)``, with
@@ -289,25 +291,41 @@ def hist_quantiles(
     joins broadcast. Output: ``q double, est_q double``."""
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError("qs must be fractions in (0, 1]")
+    import functools
+
     from pyspark.sql import Window as W
 
     width = (hi - lo) / n_bins
+    gcols = list(group_cols or [])
     spark = hist.sparkSession
-    c = hist.select(
-        "bin", "cnt",
-        F.sum("cnt").over(
-            W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-        ).alias("cum"),
+    cumw = (
+        W.partitionBy(*gcols) if gcols else W.partitionBy()
+    ).orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = hist.select(*gcols, "bin", "cnt", F.sum("cnt").over(cumw).alias("cum"))
+    n = (
+        hist.groupBy(*gcols).agg(F.sum("cnt").alias("n"))
+        if gcols
+        else hist.agg(F.sum("cnt").alias("n"))
     )
-    n = hist.agg(F.sum("cnt").alias("n"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     rank = F.ceil(F.col("q") * F.col("n")).cast("long")
+    nq = qdf.crossJoin(F.broadcast(n)).alias("nq")
+    ca = c.alias("c")
+    cond = F.col("c.cum") >= F.ceil(F.col("nq.q") * F.col("nq.n")).cast("long")
+    if gcols:
+        cond = functools.reduce(
+            lambda acc, g: acc & (F.col(f"nq.{g}") == F.col(f"c.{g}")),
+            gcols,
+            cond,
+        )
     sel = (
-        qdf.crossJoin(F.broadcast(n))
-        .join(F.broadcast(c), F.col("cum") >= rank)
-        .groupBy("q", "n")
-        .agg(F.min(F.struct("bin", "cnt", "cum")).alias("s"))
-        .select("q", "n", "s.bin", "s.cnt", "s.cum")
+        nq.join(F.broadcast(ca), cond)
+        .groupBy(*[F.col(f"nq.{g}") for g in gcols], "nq.q", "nq.n")
+        .agg(F.min(F.struct("c.bin", "c.cnt", "c.cum")).alias("s"))
+        .select(
+            *[F.col(f"nq.{g}").alias(g) for g in gcols],
+            F.col("q"), F.col("n"), "s.bin", "s.cnt", "s.cum",
+        )
     )
     est = F.lit(lo) + F.lit(width) * (
         F.col("bin")
@@ -315,8 +333,8 @@ def hist_quantiles(
         / F.col("cnt").cast("double")
     )
     return sel.select(
-        "q", (F.round(est, 2) + F.lit(0.0)).alias("est_q")
-    ).orderBy("q")
+        *gcols, "q", (F.round(est, 2) + F.lit(0.0)).alias("est_q")
+    ).orderBy(*gcols, "q")
 
 
 # ---------------------------------------------------------------------------

@@ -89,12 +89,13 @@ PRIORITY: list[str] = [
     "similar_pairs_top15",
     "weak_typing_filter",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the thirteen round-8 entries the 50-slot budget could not seat
-    # (they debut with pytest pins only and MUST get their first driver
-    # row in r9), then the 26 unpicked r4-green entries (4 rounds stale —
-    # they lead the r9 window with them), then the r6-green block (2
-    # rounds stale at r8, fills r9/r10), then r7-green, then everything
-    # unlisted in registration order.
+    # first the round-8 entries the 50-slot budget could not seat (every
+    # name from here to "agg_count_distinct" — they debut with pytest
+    # pins only and MUST get their first driver row in r9), then the 26
+    # unpicked r4-green entries (4 rounds stale — they lead the r9
+    # window with them), then the r6-green block (2 rounds stale at r8,
+    # fills r9/r10), then r7-green, then everything unlisted in
+    # registration order.
     "corpus_shuffle_shards",
     "dedup_incremental_lsh",
     "ann_pq_top10",
@@ -119,6 +120,7 @@ PRIORITY: list[str] = [
     "events_cohort_retention",
     "ann_ivf_pq_top10",
     "refsql_grouping_sets",
+    "sketch_hist_quantiles_grouped",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

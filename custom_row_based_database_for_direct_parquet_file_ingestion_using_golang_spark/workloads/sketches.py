@@ -433,3 +433,63 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.join(exact, "q").orderBy("q")
+
+
+@query(
+    "sketch_hist_quantiles_grouped",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+                                        - 0.0) / 100.0) AS INT), 0),
+                   1099) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ),
+    n AS (SELECT l_returnflag, SUM(cnt) AS n FROM b GROUP BY 1),
+    qv AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+    sel AS (
+      SELECT n.l_returnflag, qv.q, n.n, MIN(c.bin) AS bin
+      FROM qv CROSS JOIN n JOIN c
+        ON c.l_returnflag = n.l_returnflag
+       AND c.cum >= CAST(ceil(qv.q * n.n) AS BIGINT)
+      GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT s.l_returnflag, s.q, s.n, s.bin, c.cnt, c.cum
+      FROM sel s JOIN c
+        ON c.l_returnflag = s.l_returnflag AND c.bin = s.bin
+    )
+    SELECT e.l_returnflag, e.q,
+           round(0.0 + 100.0 * (e.bin +
+                 CAST(CAST(ceil(e.q * e.n) AS BIGINT) - (e.cum - e.cnt)
+                      AS DOUBLE)
+                 / CAST(e.cnt AS DOUBLE)), 2) + 0.0 AS est_q
+    FROM e
+    """,
+)
+def sketch_hist_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram quantiles (round 8): p50/p95 of extended price
+    PER RETURN FLAG from per-group 1100-bin histograms — the dashboard
+    shape ("p95 latency per service") at bounded state: n_bins counters
+    per group, one shuffle, add-mergeable across shards/days, value
+    error ≤ one bin width (100 here — pinned per group against the exact
+    quantile in pytest; the exact column is NOT delivered because
+    percentile interpolation sits on half-cent rounding knife edges
+    across engines, the known AVG/interp ULP class). The oracle replays
+    per-group bins, cumulative ranks, and interpolation bit-for-bit."""
+    qs = [0.5, 0.95]
+    li = load(spark, sf_dir, "lineitem")
+    hist = sk.hist_build(
+        li, "l_extendedprice", 0.0, 110_000.0, 1100,
+        group_cols=["l_returnflag"],
+    )
+    return sk.hist_quantiles(
+        hist, qs, 0.0, 110_000.0, 1100, group_cols=["l_returnflag"]
+    )

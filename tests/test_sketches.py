@@ -252,3 +252,29 @@ def test_hist_quantiles_error_bound_and_merge(spark, sf_dir):
         sk.hist_build(orders, "o_totalprice", 10.0, 10.0, 8)
     with pytest.raises(ValueError):
         sk.hist_quantiles(hist, [0.0], lo, hi, bins)
+
+
+def test_grouped_hist_quantiles_error_bound(spark, sf_dir):
+    # Per-group estimates must stay within one bin width of each group's
+    # exact quantile (the exact column is pytest-only: percentile
+    # interpolation sits on half-cent knife edges across engines).
+    li = load(spark, sf_dir, "lineitem")
+    lo, hi, bins = 0.0, 110_000.0, 1100
+    width = (hi - lo) / bins
+    hist = sk.hist_build(
+        li, "l_extendedprice", lo, hi, bins, group_cols=["l_returnflag"]
+    )
+    est = {
+        (r["l_returnflag"], r["q"]): r["est_q"]
+        for r in sk.hist_quantiles(
+            hist, [0.5, 0.95], lo, hi, bins, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("ex")
+    ).collect()
+    assert len(est) == 2 * len(exact)
+    for row in exact:
+        for q, ex in zip([0.5, 0.95], row["ex"]):
+            e = est[(row["l_returnflag"], q)]
+            assert abs(e - ex) <= width, (row["l_returnflag"], q, e, ex)
