@@ -171,6 +171,43 @@ def tumbling_hll_registers(
     )
 
 
+def tumbling_cms(
+    events: DataFrame, key_col: str = "user_id",
+    width: str = "1 hour", cms_width: int = 256, depth: int = 3,
+) -> DataFrame:
+    """Streaming Count-Min grid per tumbling window: the frequency
+    sketch maintained AS the streaming state. The scan stage computes
+    the depth (row, bucket) positions row-locally (operators/sketch
+    salted-md5 hashing); the streaming aggregation is ``groupBy(window,
+    i, bucket).count`` — at most depth·cms_width counter rows per window
+    no matter how many distinct keys flow through, and COUNT's
+    micro-batch fold is exactly the CMS merge (addition). Point queries
+    run batch-side against the materialized grid
+    (:func:`..operators.sketch.cms_point_estimates`); the CMS guarantee
+    (never an undercount) survives streaming because addition is the
+    merge. Output: ``ws timestamp, i int, bucket int, cnt long``."""
+    from ..operators.sketch import _cms_bucket
+
+    if cms_width < 2 or depth < 1:
+        raise ValueError("cms requires width >= 2 and depth >= 1")
+    key = F.col(key_col).cast("string")
+    pos = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("i"),
+            _cms_bucket(key, i, cms_width).cast("int").alias("bucket"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        events.select("ts", F.explode(pos).alias("p"))
+        .select("ts", "p.i", "p.bucket")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "i", "bucket", "cnt")
+    )
+
+
 def static_enrich(
     stream: DataFrame, dim: DataFrame, on, how: str = "inner"
 ) -> DataFrame:

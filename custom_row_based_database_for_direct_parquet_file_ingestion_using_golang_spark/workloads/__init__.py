@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "ann_ivf_pq_top10",
     "refsql_grouping_sets",
     "sketch_hist_quantiles_grouped",
+    "stream_cms_user_traffic",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -355,3 +355,36 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("ws"), "exact_cnt")
     )
     return est.join(exact, "ws")
+
+
+@query(
+    "stream_cms_user_traffic",
+    """
+    WITH g AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, r.i,
+             CAST('0x' || substr(md5('cms' || CAST(r.i AS VARCHAR) || '|'
+                                  || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN range(3) r(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT ws, CAST(i AS INT) AS i, CAST(bucket AS INT) AS bucket, cnt
+    FROM g
+    """,
+)
+def stream_cms_user_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window traffic sketch (round 8): the Count-Min grid
+    IS the streaming state — ``groupBy(window, i, bucket).count`` holds
+    ≤ depth·width = 768 counter rows per window regardless of user
+    cardinality, and COUNT's micro-batch fold is exactly the CMS merge
+    (addition), so the never-undercount guarantee survives streaming.
+    The oracle replays every occupied grid cell bit-for-bit (salted md5
+    positions and counts); heavy-hitter point queries run batch-side
+    against this grid via cms_point_estimates (pinned in pytest)."""
+    from ..streaming.ops import run_to_memory, tumbling_cms
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        tumbling_cms(events, "user_id", "1 hour", 256, 3), mode="complete"
+    )

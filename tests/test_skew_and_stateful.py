@@ -195,3 +195,66 @@ def test_stream_hll_registers_converge_to_batch_and_stay_bounded(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_cms_converges_and_never_undercounts(spark, sf_dir):
+    # Streaming CMS contract: (1) state bounded at depth*width per
+    # window; (2) the bounded stream's grid equals the batch grid
+    # (COUNT's fold is the CMS addition-merge); (3) point estimates from
+    # the streamed grid never undercount the true per-window frequency.
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        sketch as sk,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_cms,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        tumbling_cms(events, "user_id", "1 hour", 128, 2), mode="complete"
+    )
+    per_window = got.groupBy("ws").count().agg(F.max("count")).collect()[0][0]
+    assert per_window <= 2 * 128
+
+    ev = load(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour")["start"].alias("ws"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    # batch grid over the same rows, per window — must match exactly
+    batch = (
+        ev.select(
+            "ws",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).cast("int").alias("i"),
+                        sk._cms_bucket(F.col("k"), i, 128).cast("int").alias("bucket"),
+                    )
+                    for i in range(2)
+                ])
+            ).alias("p"),
+        )
+        .select("ws", "p.i", "p.bucket")
+        .groupBy("ws", "i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    # never-undercount: probe one window's grid with that window's truth
+    ws0 = got.agg(F.min("ws")).collect()[0][0]
+    grid0 = got.filter(F.col("ws") == ws0).select("i", "bucket", "cnt")
+    truth0 = (
+        ev.filter(F.col("ws") == ws0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    probed = sk.cms_point_estimates(grid0, truth0, "k", 128, 2)
+    assert probed.filter(F.col("cms_est") < F.col("true_cnt")).count() == 0
