@@ -1919,6 +1919,80 @@ class RefSQL:
             q.limit(trailing["limit"])
         return q.df()
 
+    _RECURSION_CAP = 100
+
+    def _recursive_cte(self, name: str, toks: list[str]) -> DataFrame:
+        """Round-8: WITH RECURSIVE — standard iterate-to-fixpoint
+        semantics over ``anchor UNION [ALL] recursive``. Spark has no
+        native recursive CTE, so this is a driver-side loop: each round
+        binds the CTE name to the PREVIOUS round's new rows (the working
+        frontier — standard SQL recursion sees the last increment, not
+        the accumulation), evaluates the recursive arm, and stops when
+        it yields nothing. UNION (distinct) additionally drops rows
+        already accumulated — which is what terminates cyclic graphs.
+        Every round localCheckpoints the frontier and the accumulator,
+        so the plan never grows with the iteration count (the same
+        lineage-truncation discipline the label-propagation dedup
+        uses); a {cap}-round cap turns a non-converging recursion into
+        an error instead of a hang. The oracle side (DuckDB) runs its
+        NATIVE recursive CTE — an independent implementation of the
+        same fixpoint."""
+        depth = 0
+        split = None
+        union_all = False
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.lower() == "union":
+                split = i
+                union_all = (
+                    i + 1 < len(toks) and toks[i + 1].lower() == "all"
+                )
+                break
+        if split is None:
+            raise ParseError(
+                f"recursive CTE {name!r} needs 'anchor UNION [ALL] "
+                "recursive-arm' (the anchor first)"
+            )
+        anchor_toks = toks[:split]
+        rec_toks = toks[split + (2 if union_all else 1):]
+        if any(t.lower() == name.lower() for t in anchor_toks):
+            raise ParseError(
+                f"the anchor arm of recursive CTE {name!r} cannot "
+                "reference the CTE itself"
+            )
+        acur = _Cursor(list(anchor_toks))
+        acc = self._select_df(acur)
+        if not union_all:
+            acc = acc.dropDuplicates()
+        acc = acc.localCheckpoint(eager=True)
+        frontier = acc
+        for _ in range(self._RECURSION_CAP):
+            self._ctes[name] = frontier
+            rcur = _Cursor(list(rec_toks))
+            arm = self._select_df(rcur)
+            if not rcur.done():
+                raise ParseError(
+                    f"unexpected token {rcur.peek()!r} in the recursive "
+                    f"arm of CTE {name!r}"
+                )
+            if not union_all:
+                arm = arm.dropDuplicates().exceptAll(acc)
+            arm = arm.localCheckpoint(eager=True)
+            if arm.count() == 0:
+                break
+            acc = acc.unionByName(arm).localCheckpoint(eager=True)
+            frontier = arm
+        else:
+            raise ParseError(
+                f"recursive CTE {name!r} did not converge within "
+                f"{self._RECURSION_CAP} iterations"
+            )
+        self._ctes.pop(name, None)
+        return acc
+
     def execute(self, sql: str):
         """Run one statement. SELECT returns a DataFrame; DML returns an
         affected-row count; DDL returns None (SHOW TABLES returns a list)."""
@@ -1935,17 +2009,46 @@ class RefSQL:
             # before the catalog. Set-op chains and every SELECT feature
             # work inside a CTE body; re-references recompute (standard
             # lazy-plan semantics — Catalyst reuses exchanges where it
-            # can).
+            # can). Round-8: ``WITH RECURSIVE name AS (anchor UNION [ALL]
+            # recursive) ...`` — Spark has no native recursive CTEs, so a
+            # self-referencing body runs as a driver-side fixpoint loop
+            # (see _recursive_cte).
             cur.expect_kw("with")
+            recursive = False
+            if cur.peek_kw() == "recursive":
+                cur.next()
+                recursive = True
             while True:
                 name = _unquote(cur.next())
                 cur.expect_kw("as")
                 if cur.next() != "(":
                     raise ParseError("expected '(' after WITH name AS")
-                body = self._select_df(cur)
-                if cur.next() != ")":
-                    raise ParseError("expected ')' to close the CTE body")
-                self._ctes[name] = body
+                # Capture the body's tokens to the matching ')' — a
+                # recursive body cannot be built eagerly (it references
+                # the not-yet-bound name), and for plain CTEs parsing a
+                # sub-cursor is equivalent.
+                body_toks: list[str] = []
+                depth = 1
+                while True:
+                    t = cur.next()
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    body_toks.append(t)
+                refs_self = any(t.lower() == name.lower() for t in body_toks)
+                if recursive and refs_self:
+                    self._ctes[name] = self._recursive_cte(name, body_toks)
+                else:
+                    sub = _Cursor(body_toks)
+                    self._ctes[name] = self._select_df(sub)
+                    if not sub.done():
+                        raise ParseError(
+                            f"unexpected token {sub.peek()!r} in the "
+                            f"body of CTE {name!r}"
+                        )
                 if cur.peek() == ",":
                     cur.next()
                     continue

@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     "refsql_grouping_sets",
     "sketch_hist_quantiles_grouped",
     "stream_cms_user_traffic",
+    "refsql_recursive_cte",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -1432,3 +1432,41 @@ def refsql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderstatus, o_orderpriority, n, "
         "CAST(t AS DOUBLE) AS total FROM a",
     )
+
+
+@query(
+    "refsql_recursive_cte",
+    """
+    WITH RECURSIVE s AS (
+      SELECT 1 AS n
+      UNION ALL
+      SELECT n + 1 FROM s WHERE n < 31
+    ),
+    o AS (SELECT day(o_orderdate) AS n, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1)
+    SELECT s.n AS day_of_month, COALESCE(o.n_orders, 0) AS n_orders
+    FROM s LEFT JOIN o ON s.n = o.n
+    """,
+)
+def refsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8: WITH RECURSIVE through the dialect — Spark has no native
+    # recursive CTE, so the executor runs the standard fixpoint loop
+    # driver-side (frontier semantics, localCheckpoint per round, 100-
+    # round cap). The classic reporting shape: a recursively generated
+    # day series LEFT-joined to per-day order counts so absent days
+    # surface as zeros. The oracle is DuckDB's NATIVE recursive CTE —
+    # an independent implementation of the same fixpoint. (The dialect
+    # anchor uses FROM region LIMIT 1 as its one-row seed — FROM-less
+    # SELECT is outside the reference grammar.)
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH RECURSIVE s AS ("
+        "SELECT 1 AS n FROM region LIMIT 1 "
+        "UNION ALL "
+        "SELECT n + 1 AS n FROM s WHERE n < 31), "
+        "o AS (SELECT DAY(o_orderdate) AS n, COUNT(*) AS n_orders "
+        "FROM orders GROUP BY DAY(o_orderdate)) "
+        "SELECT s.n AS day_of_month, COALESCE(o.n_orders, 0) AS n_orders "
+        "FROM s LEFT JOIN o AS o ON s.n = o.n",
+    )

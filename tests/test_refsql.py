@@ -2021,3 +2021,64 @@ def test_grouping_sets(engine):
         engine.ref_sql(
             "SELECT COUNT(*) AS n FROM students GROUP BY GROUPING SETS (())"
         )
+
+
+# -- WITH RECURSIVE (round-8) -------------------------------------------------
+
+
+def test_recursive_cte_series_and_composition(engine):
+    rows = engine.ref_sql(
+        "WITH RECURSIVE s AS ("
+        "SELECT 1 AS n FROM students LIMIT 1 "
+        "UNION ALL SELECT n + 1 AS n FROM s WHERE n < 10) "
+        "SELECT COUNT(*) AS c, SUM(n) AS total FROM s"
+    ).collect()
+    assert (rows[0]["c"], rows[0]["total"]) == (10, 55)
+    # composes with later plain CTEs and the main SELECT
+    rows = engine.ref_sql(
+        "WITH RECURSIVE s AS ("
+        "SELECT 1 AS n FROM students LIMIT 1 "
+        "UNION ALL SELECT n + 1 AS n FROM s WHERE n < 6), "
+        "t AS (SELECT n FROM s WHERE n > 3) "
+        "SELECT COUNT(*) AS c FROM t"
+    ).collect()
+    assert rows[0]["c"] == 3
+
+
+def test_recursive_cte_union_distinct_terminates_on_cycles(spark, tmp_path):
+    # Graph reachability over a CYCLIC edge table: UNION (distinct)
+    # semantics drop already-seen rows, which is what terminates the
+    # fixpoint — the textbook recursive-CTE property.
+    e = Engine(spark, str(tmp_path / "recdb"))
+    e.create_table("edges", [("src", "INT"), ("dst", "INT")])
+    e.insert_rows(
+        "edges",
+        [
+            {"src": 1, "dst": 2},
+            {"src": 2, "dst": 3},
+            {"src": 3, "dst": 1},  # cycle 1->2->3->1
+            {"src": 3, "dst": 4},
+        ],
+    )
+    rows = e.ref_sql(
+        "WITH RECURSIVE r AS ("
+        "SELECT dst AS node FROM edges WHERE src = 1 "
+        "UNION "
+        "SELECT e.dst AS node FROM r JOIN edges AS e ON r.node = e.src) "
+        "SELECT node FROM r ORDER BY node"
+    ).collect()
+    assert [r["node"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_recursive_cte_errors(engine):
+    with pytest.raises(ParseError, match="did not converge"):
+        engine.ref_sql(
+            "WITH RECURSIVE s AS ("
+            "SELECT 1 AS n FROM students LIMIT 1 "
+            "UNION ALL SELECT n + 1 AS n FROM s) "
+            "SELECT COUNT(*) AS c FROM s"
+        )
+    with pytest.raises(ParseError, match="anchor"):
+        engine.ref_sql(
+            "WITH RECURSIVE s AS (SELECT n FROM s) SELECT COUNT(*) AS c FROM s"
+        )
