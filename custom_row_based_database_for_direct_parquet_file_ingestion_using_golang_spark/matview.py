@@ -22,9 +22,17 @@ Materialize/Druid rollup segments or a Delta MERGE-based summary table):
   * The view definition is persisted as the dialect SQL TEXT and re-parsed
     per refresh — no pickled plans, restart-safe.
 
+Round-8 adds APPROX_COUNT_DISTINCT(col): the state is an HLL register
+array (p=8 → 256 ints per group, engine-portable md5 hashing from
+operators/sketch), merged by ELEMENTWISE MAX — the one distinct-count
+representation that is incrementally maintainable, because exact
+distinct state grows with every key seen while registers are constant.
+Finalization runs the integer-scaled harmonic estimate at READ time.
+
 Restrictions (v1, validated at CREATE): single base table, aggregates
-required (COUNT/SUM/AVG/MIN/MAX), optional WHERE and GROUP BY; no JOIN /
-HAVING / ORDER / LIMIT / DISTINCT — those belong to queries over the view.
+required (COUNT/SUM/AVG/MIN/MAX/APPROX_COUNT_DISTINCT), optional WHERE
+and GROUP BY; no JOIN / HAVING / ORDER / LIMIT / DISTINCT — those belong
+to queries over the view.
 """
 
 from __future__ import annotations
@@ -35,6 +43,13 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 _DEC = "decimal(38,6)"
+
+# HLL parameters for APPROX_COUNT_DISTINCT state (operators/sketch math,
+# fixed so every refresh of a view agrees on the register layout).
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P            # 256 registers per group
+_HLL_RHO0 = 60 - _HLL_P + 1     # rho for w == 0 (53)
+_HLL_SCALE = 61 - _HLL_P        # integer harmonic-sum shift (53)
 
 
 class MaterializedViews:
@@ -80,8 +95,41 @@ class MaterializedViews:
             )
         if not spec.aggregates:
             raise ParseError(
-                "materialized views require aggregates (COUNT/SUM/AVG/MIN/MAX)"
+                "materialized views require aggregates (COUNT/SUM/AVG/MIN/MAX"
+                "/APPROX_COUNT_DISTINCT)"
             )
+        # Normalize + validate aggregate forms. APPROX_COUNT_DISTINCT(c)
+        # arrives as a verbatim "_expr" capture — rewrite it to the
+        # internal hll_distinct fn; every other _expr form (and any
+        # unknown fn) is REJECTED rather than silently dropped from the
+        # state (the pre-round-8 hazard).
+        normalized = []
+        for fn, col, alias in spec.aggregates:
+            if fn == "_expr":
+                text = col.strip()
+                low = text.lower()
+                if low.startswith("approx_count_distinct (") and text.endswith(")"):
+                    inner = text[len("approx_count_distinct ("):-1].strip()
+                    if not inner or " " in inner or any(
+                        ch in inner for ch in "(),"
+                    ):
+                        raise ParseError(
+                            "materialized-view APPROX_COUNT_DISTINCT takes "
+                            "one plain column"
+                        )
+                    normalized.append(("hll_distinct", inner, alias))
+                    continue
+                raise ParseError(
+                    f"materialized views do not support the aggregate "
+                    f"{text.split(' ', 1)[0]!r} (COUNT/SUM/AVG/MIN/MAX/"
+                    "APPROX_COUNT_DISTINCT only)"
+                )
+            if fn not in ("count", "sum", "avg", "min", "max"):
+                raise ParseError(
+                    f"materialized views do not support the aggregate {fn!r}"
+                )
+            normalized.append((fn, col, alias))
+        spec.aggregates = normalized
         from .operators.query import is_value_expr
 
         bad_group = [g for g in clauses.get("group_by", []) if is_value_expr(g)]
@@ -127,6 +175,23 @@ class MaterializedViews:
                 out.append(F.min(arg_col(col)).alias(f"s{k}_min"))
             elif fn == "max":
                 out.append(F.max(arg_col(col)).alias(f"s{k}_max"))
+            elif fn == "hll_distinct":
+                # Registers as a fixed-length array: index = bucket,
+                # value = max rho (NULL = never-hit bucket). Inputs are
+                # the pre-projected (__hll{k}_bucket, __hll{k}_rho) row
+                # columns (see _compute_state) so the md5 derivation runs
+                # once per row, not once per register.
+                out.append(
+                    F.array(*[
+                        F.max(
+                            F.when(
+                                F.col(f"__hll{k}_bucket") == i,
+                                F.col(f"__hll{k}_rho"),
+                            )
+                        )
+                        for i in range(_HLL_M)
+                    ]).alias(f"s{k}_regs")
+                )
         return out
 
     @staticmethod
@@ -146,11 +211,43 @@ class MaterializedViews:
                 out.append(F.min(f"s{k}_min").alias(f"s{k}_min"))
             elif fn == "max":
                 out.append(F.max(f"s{k}_max").alias(f"s{k}_max"))
+            elif fn == "hll_distinct":
+                # Elementwise MAX across state rows — the HLL merge.
+                # MAX ignores NULLs, so never-hit buckets stay NULL.
+                out.append(
+                    F.array(*[
+                        F.max(F.element_at(F.col(f"s{k}_regs"), i + 1))
+                        for i in range(_HLL_M)
+                    ]).alias(f"s{k}_regs")
+                )
         return out
 
     def _compute_state(self, df: DataFrame, spec, clauses) -> DataFrame:
+        from .operators.query import arg_col
+        from .operators.sketch import hash60
+
         if "where" in clauses:
             df = df.filter(clauses["where"])
+        # Pre-project the HLL (bucket, rho) per row so the state
+        # aggregation's _HLL_M conditional MAXes reference two plain
+        # columns instead of re-deriving the hash per register.
+        for k, (fn, col, _alias) in enumerate(spec.aggregates):
+            if fn != "hll_distinct":
+                continue
+            h = hash60(arg_col(col).cast("string"))
+            bucket = F.pmod(h, F.lit(_HLL_M))
+            # Integer div via exact double division of a multiple of
+            # _HLL_M (quotient <= 2^52, double-exact).
+            w = ((h - bucket) / F.lit(_HLL_M)).cast("long")
+            df = df.withColumn(
+                f"__hll{k}_bucket", bucket.cast("int")
+            ).withColumn(
+                f"__hll{k}_rho",
+                (
+                    F.lit(_HLL_RHO0)
+                    - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+                ).cast("int"),
+            )
         group = clauses.get("group_by", [])
         return df.groupBy(*group).agg(*self._state_aggs(spec))
 
@@ -166,6 +263,28 @@ class MaterializedViews:
                 if (fn == "count" and col == "*")
                 else f"{fn}_{col.rsplit('.', 1)[-1]}"
             )
+            if fn == "hll_distinct":
+                # The sketch estimate (operators/sketch.hll_estimate math
+                # at p=8), computed over the register array at read time:
+                # SQL lambda over the state column — JVM-side, no UDF.
+                regs = f"s{k}_regs"
+                v_obs = F.expr(f"size(filter({regs}, r -> r IS NOT NULL))")
+                zs = F.expr(
+                    f"aggregate(filter({regs}, r -> r IS NOT NULL), "
+                    f"CAST(0 AS BIGINT), (acc, r) -> acc + "
+                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - r))"
+                )
+                v_zero = (F.lit(_HLL_M) - v_obs).cast("long")
+                zst = zs + v_zero * F.lit(1 << _HLL_SCALE)
+                z = zst.cast("double") / F.lit(float(1 << _HLL_SCALE))
+                alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+                e_raw = F.lit(alpha * float(_HLL_M) * float(_HLL_M)) / z
+                est = F.when(
+                    (e_raw <= F.lit(2.5 * _HLL_M)) & (v_zero > 0),
+                    F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v_zero),
+                ).otherwise(e_raw)
+                cols.append((F.round(est, 2) + F.lit(0.0)).alias(name))
+                continue
             if fn == "count":
                 cols.append(F.col(f"s{k}_cnt").alias(name))
             elif fn == "sum":

@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "sketch_hist_quantiles_grouped",
     "stream_cms_user_traffic",
     "refsql_recursive_cte",
+    "mv_hll_distinct_refresh",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

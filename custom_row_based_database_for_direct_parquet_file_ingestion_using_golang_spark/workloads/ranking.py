@@ -941,3 +941,79 @@ def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "mv_hll_distinct_refresh",
+    """
+    WITH base AS (SELECT * FROM orders
+                  UNION ALL SELECT * FROM orders WHERE o_orderkey < 1000),
+    h AS (
+      SELECT o_orderstatus,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM base
+    ),
+    wb AS (SELECT o_orderstatus, h % 256 AS bucket, h // 256 AS w FROM h),
+    r AS (
+      SELECT o_orderstatus, bucket,
+             MAX(53 - CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS rho
+      FROM wb GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS INT) AS v_obs,
+             SUM(1::BIGINT << (53 - rho)) AS zs
+      FROM r GROUP BY 1
+    ),
+    e AS (
+      SELECT o_orderstatus, v_obs, 256 - v_obs AS v_zero,
+             0.7213/(1 + 1.079/256) * 256 * 256 /
+               (CAST(zs + (256 - v_obs) * (1::BIGINT << 53) AS DOUBLE)
+                / (1::BIGINT << 53)) AS e_raw
+      FROM z
+    ),
+    n AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1)
+    SELECT e.o_orderstatus, n.n,
+           round(CASE WHEN e_raw <= 640.0 AND v_zero > 0
+                 THEN 256.0 * ln(256.0 / v_zero) ELSE e_raw END, 2) + 0.0
+             AS cust_est
+    FROM e JOIN n ON e.o_orderstatus = n.o_orderstatus
+    """,
+)
+def mv_hll_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate-distinct materialized view, incrementally maintained
+    # (round 8): CREATE with APPROX_COUNT_DISTINCT state (HLL registers,
+    # p=8 — the ONE distinct representation that maintains incrementally,
+    # since exact distinct state grows with every key seen), append a
+    # slice as new parquet files, REFRESH — which must take the
+    # incremental path (asserted) and ELEMENTWISE-MAX-merge the delta's
+    # registers — then read the finalized estimates. The oracle replays
+    # the register math over base ∪ slice directly, so a wrong merge, a
+    # double-counted file (registers are max-idempotent but counts are
+    # not), or a missed group flips the hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_mvhll_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_hllb")
+    e.ref_sql(
+        "CREATE MATERIALIZED VIEW orders_hll_mv AS "
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "APPROX_COUNT_DISTINCT(o_custkey) AS cust_est "
+        "FROM orders_hllb GROUP BY o_orderstatus"
+    )
+    extra = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 1000
+    )
+    e.append_df("orders_hllb", extra)
+    msg = e.ref_sql("REFRESH MATERIALIZED VIEW orders_hll_mv")
+    assert "incremental" in msg, msg
+    return e.table("orders_hll_mv").select("o_orderstatus", "n", "cust_est")

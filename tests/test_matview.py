@@ -124,3 +124,61 @@ def test_mv_drop_and_errors(eng):
 def test_mv_rejects_unsupported_shapes(eng, bad):
     with pytest.raises(ParseError):
         eng.mviews.create("nope", bad)
+
+
+def test_mv_approx_count_distinct_incremental_equals_batch(spark, tmp_path):
+    # The HLL-register state merged incrementally (elementwise MAX) must
+    # equal the batch sketch over the final table — register merge is
+    # exact, not approximate, and idempotent under re-appended values.
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        sketch as sk,
+    )
+
+    e = Engine(spark, str(tmp_path / "mvhll"))
+    e.create_table("t", [("g", "TEXT"), ("k", "INT")])
+    e.insert_rows("t", [{"g": "a", "k": i} for i in range(300)])
+    e.insert_rows("t", [{"g": "b", "k": i} for i in range(40)])
+    e.ref_sql(
+        "CREATE MATERIALIZED VIEW dv AS SELECT g, "
+        "APPROX_COUNT_DISTINCT(k) AS est FROM t GROUP BY g"
+    )
+    # append overlapping + new keys (two refreshes: merge must be
+    # idempotent for re-seen keys and additive for new ones)
+    e.insert_rows("t", [{"g": "a", "k": i} for i in range(250, 600)])
+    assert "incremental" in e.ref_sql("REFRESH MATERIALIZED VIEW dv")
+    e.insert_rows("t", [{"g": "b", "k": i} for i in range(40)])  # all dups
+    assert "incremental" in e.ref_sql("REFRESH MATERIALIZED VIEW dv")
+    got = {r["g"]: r["est"] for r in e.table("dv").collect()}
+    want = {
+        r["g"]: r["hll_est"]
+        for r in sk.hll_distinct(
+            e.table("t"), F.col("k").cast("string"), p=8, group_cols=["g"]
+        ).collect()
+    }
+    assert got == want, (got, want)
+    # sanity: estimates are near the true distinct counts (600 and 40)
+    assert abs(got["a"] - 600) <= 0.3 * 600 and abs(got["b"] - 40) <= 15, got
+
+
+def test_mv_rejects_unsupported_expr_aggregates(spark, tmp_path):
+    import pytest as _pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "mvbad"))
+    e.create_table("t", [("g", "TEXT"), ("v", "INT")])
+    e.insert_rows("t", [{"g": "a", "v": 1}])
+    with _pytest.raises(ParseError, match="do not support"):
+        e.ref_sql(
+            "CREATE MATERIALIZED VIEW bad AS SELECT g, "
+            "MEDIAN(v) AS m FROM t GROUP BY g"
+        )
+    with _pytest.raises(ParseError, match="one plain column"):
+        e.ref_sql(
+            "CREATE MATERIALIZED VIEW bad2 AS SELECT g, "
+            "APPROX_COUNT_DISTINCT(v + 1) AS m FROM t GROUP BY g"
+        )
