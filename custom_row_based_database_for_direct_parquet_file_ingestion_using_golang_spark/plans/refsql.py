@@ -97,6 +97,20 @@ Round-7 extensions:
     semantics). ``UNPIVOT [INCLUDE NULLS] (val FOR name IN (c, ...))``
     is the inverse (scan-stage Expand, no shuffle); NULL measures drop
     by default (ANSI), INCLUDE NULLS keeps them.
+  * ``ASOF [LEFT] JOIN t ON l.k = r.k [AND ...] AND l.ts >= r.ts`` —
+    one or more key equalities (composite keys allowed) plus one
+    time inequality (``<=`` = forward lookup); compiles to the
+    union-tag single-shuffle window plan (operators/joins.asof_join),
+    never a theta join. Plain ASOF is INNER; LEFT keeps unmatched.
+  * ``PERCENT_RANK`` / ``CUME_DIST`` window verbs, and the named
+    ``WINDOW w AS (...)`` clause (``fn() OVER w``; definitions parse
+    after the references, resolved post-clause-loop).
+  * ``SELECT * EXCLUDE (c1, ...)`` — star minus named columns,
+    validated, folded into the scan as column pruning.
+  * ``GROUP BY GROUPING SETS ((a, b), (a), ())`` — the general
+    grouping-set form (DataFrame.groupingSets, one Expand pass).
+  * ``WITH RECURSIVE name AS (anchor UNION [ALL] recursive-arm)`` —
+    driver-side fixpoint with frontier semantics (see _recursive_cte).
 """
 
 from __future__ import annotations
