@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "stream_cms_user_traffic",
     "refsql_recursive_cte",
     "mv_hll_distinct_refresh",
+    "sample_quality_weighted",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -3126,3 +3126,48 @@ def ann_ivf_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         emb, "vec_id", "embedding", q, dim=64, k=10, n_probe=6
     )
+
+
+@query(
+    "sample_quality_weighted",
+    f"""
+    WITH q0 AS (SELECT * FROM ({_sql_quality("text")}) AS z),
+    s AS (
+      SELECT d.doc_id, d.source, q0.quality,
+             ln((CAST(CAST('0x' || substr(md5('qws|' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                 + 1.0) / 1152921504606846976.0) / q0.quality AS k
+      FROM documents d JOIN q0 ON d.doc_id = q0.doc_id
+      WHERE q0.quality > 0
+    )
+    SELECT doc_id, source, quality FROM s ORDER BY k DESC, doc_id LIMIT 40
+    """,
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-weighted curation draw (round-8): 40 documents sampled with
+    # inclusion odds proportional to the composite quality score — the
+    # canonical "sample good data harder" curation op, composed from two
+    # green primitives (text.quality_score, text.weighted_sample). The
+    # weight is the ROUNDED 4-dp score so both engines rank identical
+    # doubles; the whole plan is scan-stage column algebra +
+    # TakeOrderedAndProject (the score costs no shuffle, the draw costs
+    # no shuffle — curation sampling at 100 TB is a single pass).
+    from ..operators.text import quality_score_from_tokens, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        tokenize("text").alias("toks"),
+        tokenize(F.lower("text")).alias("toks_lower"),
+    ).select(
+        "doc_id",
+        "source",
+        quality_score_from_tokens(
+            "text", F.col("toks"), F.col("toks_lower")
+        ).alias("quality"),
+    )
+    return text_ops.weighted_sample(
+        scored, "quality", "doc_id", 40, salt="qws"
+    ).select("doc_id", "source", "quality")
