@@ -125,6 +125,7 @@ PRIORITY: list[str] = [
     "refsql_recursive_cte",
     "mv_hll_distinct_refresh",
     "sample_quality_weighted",
+    "sketch_cms_topk",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",
