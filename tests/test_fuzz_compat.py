@@ -248,3 +248,43 @@ def test_pivot_unpivot_match_duckdb_fuzz(spark, tmp_path):
     got = [(r.g, r.k, r.val) for r in e.ref_sql(usql).collect()]
     want = [tuple(r) for r in con.execute(usql).fetchall()]
     assert got == want, (got, want)
+
+
+def test_recursive_cte_matches_duckdb_fuzz(spark, tmp_path):
+    """Round-8 differential fuzz: WITH RECURSIVE reachability over random
+    directed graphs (cycles included) — the dialect's driver-side
+    fixpoint vs DuckDB's native recursive CTE over byte-identical
+    parquet. UNION-distinct termination, frontier semantics, and the
+    accumulation all have to agree on every seed."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    grng = random.Random(90210)
+    e = Engine(spark, str(tmp_path / "recfz"))
+    con = duckdb.connect()
+    for trial in range(3):
+        n_nodes, n_edges = 25, 60
+        edges = list({
+            (grng.randint(1, n_nodes), grng.randint(1, n_nodes))
+            for _ in range(n_edges)
+        })
+        pq = str(tmp_path / f"g{trial}.parquet")
+        spark.createDataFrame(edges, ["src", "dst"]).coalesce(1).write.parquet(pq)
+        e.ingest_parquet(pq, f"g{trial}")
+        con.execute(
+            f"CREATE VIEW g{trial} AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+        )
+        start = grng.randint(1, n_nodes)
+        sql = (
+            f"WITH RECURSIVE r AS ("
+            f"SELECT dst AS node FROM g{trial} WHERE src = {start} "
+            f"UNION "
+            f"SELECT e.dst AS node FROM r JOIN g{trial} AS e ON r.node = e.src) "
+            f"SELECT node FROM r ORDER BY node"
+        )
+        got = [r.node for r in e.ref_sql(sql).collect()]
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial} start={start}: {got} != {want}"
