@@ -126,6 +126,7 @@ PRIORITY: list[str] = [
     "mv_hll_distinct_refresh",
     "sample_quality_weighted",
     "sketch_cms_topk",
+    "text_pmi_collocations",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

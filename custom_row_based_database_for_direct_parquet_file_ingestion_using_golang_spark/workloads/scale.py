@@ -3171,3 +3171,86 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.weighted_sample(
         scored, "quality", "doc_id", 40, salt="qws"
     ).select("doc_id", "source", "quality")
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS_NORM} AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+    g AS (SELECT unnest({_SQL_BIGRAMS}) AS gram FROM t),
+    gc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cab
+           FROM g GROUP BY gram),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+    j AS (
+      SELECT gc.gram, gc.cab, ua.c AS ca, ub.c AS cb
+      FROM gc
+      JOIN uc ua ON ua.tok = string_split(gc.gram, ' ')[1]
+      JOIN uc ub ON ub.tok = string_split(gc.gram, ' ')[2]
+      WHERE gc.cab >= 5
+    )
+    SELECT gram, cab AS n,
+           round(ln((CAST(cab AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                     * CAST(nu.n AS DOUBLE))
+                    / (CAST(nb.n AS DOUBLE) * CAST(ca AS DOUBLE)
+                       * CAST(cb AS DOUBLE))), 3) + 0.0 AS pmi
+    FROM j, nu, nb
+    ORDER BY pmi DESC, gram LIMIT 15
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations (round 8): bigrams that co-occur far more
+    than their unigram frequencies predict — ln(p(ab)/(p(a)p(b))) with a
+    min-support cut, the classic collocation/multi-word-expression
+    extractor (and a boilerplate detector that, unlike raw bigram
+    counts, is not dominated by stopword pairs). Two vocab-bounded
+    aggregations + two vocab-bounded joins; totals broadcast as 1-row
+    frames. The PMI products are mirrored factor-for-factor in the
+    oracle so both engines run the identical double arithmetic; the ln
+    ULP is absorbed by the 3 dp rounding convention."""
+    from ..operators.text import norm_tokens, shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
+    u = toked.select(F.explode("toks").alias("tok"))
+    uc = u.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nu = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    g = toked.select(
+        F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("gram")
+    )
+    gc = g.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cab")
+    )
+    nb = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    ua = uc.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    j = (
+        gc.filter(F.col("cab") >= 5)
+        .withColumn("tok_a", F.split("gram", " ")[0])
+        .withColumn("tok_b", F.split("gram", " ")[1])
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    num = (
+        F.col("cab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    )
+    den = (
+        F.col("n_bi").cast("double")
+        * F.col("ca").cast("double")
+        * F.col("cb").cast("double")
+    )
+    return (
+        j.select(
+            "gram",
+            F.col("cab").alias("n"),
+            (F.round(F.log(num / den), 3) + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "gram")
+        .limit(15)
+    )
