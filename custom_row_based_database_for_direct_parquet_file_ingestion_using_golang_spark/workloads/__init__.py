@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "sample_quality_weighted",
     "sketch_cms_topk",
     "text_pmi_collocations",
+    "events_transition_matrix",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -323,3 +323,56 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "offset_days")
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH nxt AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nxt WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           round(CAST(c.n AS DOUBLE) / tot.t, 4) + 0.0 AS p
+    FROM c JOIN tot ON c.cur = tot.cur
+    ORDER BY c.cur, c.nxt
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (round 8): P(next | current) per user
+    stream — the Markov-chain view of behavioral sequences (what follows
+    a view? how often does click lead to purchase?). One window over the
+    (user, time) sort computes every transition; the probabilities are
+    rational arithmetic over exact counts (4 dp convention). Plan: ONE
+    shuffle for the window, partial-aggregated counts, broadcast row
+    totals."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = nxt.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = c.groupBy("cur").agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.round(F.col("n").cast("double") / F.col("t"), 4) + F.lit(0.0))
+            .alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
