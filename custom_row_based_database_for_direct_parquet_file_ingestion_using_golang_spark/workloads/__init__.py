@@ -128,6 +128,8 @@ PRIORITY: list[str] = [
     "sketch_cms_topk",
     "text_pmi_collocations",
     "events_transition_matrix",
+    "events_rfm_segments",
+    "corpus_dup_rate_by_source",
     "agg_count_distinct",
     "agg_group_having",
     "agg_percentiles",

@@ -3254,3 +3254,48 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "gram")
         .limit(15)
     )
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    """
+    WITH h AS (SELECT source, md5(text) AS sig FROM documents),
+    per AS (SELECT source, sig, COUNT(*) AS c FROM h GROUP BY source, sig)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups,
+           round(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) + 0.0
+             AS dup_rate
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostics (round 8): the curation
+    dashboard metric that decides WHERE to spend dedup effort — docs,
+    unique signatures, duplicate count, and duplicate rate per source.
+    Signatures are md5(text) (exact dedup's key), so the shuffle moves
+    32-byte hashes, never documents; two partial-aggregated groupBys
+    share the source key. Rates are rational over exact counts."""
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.md5("text").alias("sig"))
+        .groupBy("source", "sig")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            (F.sum("c") - F.count(F.lit(1))).cast("bigint").alias("n_dups"),
+            (
+                F.round(
+                    (F.sum("c") - F.count(F.lit(1))).cast("double")
+                    / F.sum("c"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -376,3 +376,67 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+@query(
+    "events_rfm_segments",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_diff('second', MAX(ts),
+                  TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) AS rec_s,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             round(SUM(CAST(value AS DECIMAL(20,2))), 2) + 0.0 AS mon
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY rec_s, user_id) AS r_tile,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+             NTILE(4) OVER (ORDER BY mon DESC, user_id) AS m_tile
+      FROM p
+    )
+    SELECT r_tile, f_tile, m_tile, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (round 8): recency / frequency / monetary
+    quartiles over each user's purchase history — the classic customer-
+    value matrix. Recency is integer seconds to a fixed anchor (no
+    wall-clock: deterministic and oracle-replayable); monetary sums run
+    in DECIMAL and quartile ORDER BYs carry a user_id tiebreak, so the
+    NTILE assignment is bit-stable across engines. Plan: one shuffle for
+    the per-user aggregate; the three NTILEs share one tiny frame
+    (users-with-purchases) — the window sorts are per-quartile-dimension
+    over that reduced set, not the event stream."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    anchor = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (anchor.cast("long") - F.max("ts").cast("long"))
+            .cast("bigint")
+            .alias("rec_s"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            (
+                F.round(F.sum(F.col("value").cast("decimal(20,2)")), 2)
+                .cast("double")
+                + F.lit(0.0)
+            ).alias("mon"),
+        )
+    )
+    t = p.select(
+        "user_id",
+        F.ntile(4).over(W.orderBy("rec_s", "user_id")).alias("r_tile"),
+        F.ntile(4).over(W.orderBy(F.desc("freq"), "user_id")).alias("f_tile"),
+        F.ntile(4).over(W.orderBy(F.desc("mon"), "user_id")).alias("m_tile"),
+    )
+    return (
+        t.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
