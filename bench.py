@@ -184,6 +184,46 @@ KNOWN_FLOORS_SF01 = {
 }
 
 
+def should_rerun(
+    times: list[float],
+    floor: float | None,
+    post_ratio: float,
+    load_ratio: float,
+) -> bool:
+    """Decide whether a query's measured passes warrant an automatic re-run.
+
+    A floor is *suspicious* when it exceeds 1.5× the known warm floor (or,
+    with no recorded floor, when the warm passes spread >2.5× on a
+    non-trivial query). A suspicious floor is re-run when ANY contention
+    signal fires:
+
+    - the sentinel probe reads contended (post_ratio > 1.2), OR
+    - the query's own passes straddle a load spike (spread > 2.5×), OR
+    - machine loadavg grew >1.5× since the bench started.
+
+    The last two exist because of round 8's miss: dedup_winnow_top15 ran
+    9.0/28.1 s (floor 4.14) while loadavg rose 2.1 → 5.3, yet the sentinel
+    probe — sampled between the spikes — read clean, so the old
+    sentinel-only predicate never re-ran it and the contended 9.0 s became
+    the recorded value.
+    """
+    if not times:
+        return False
+    best = min(times)
+    if floor is not None:
+        suspicious = best > 1.5 * floor
+    else:
+        suspicious = (
+            len(times) > 1 and best > 0.5 and max(times[1:]) > 2.5 * best
+        )
+    if not suspicious:
+        return False
+    if post_ratio > 1.2:
+        return True
+    spread = (max(times) / best) if best > 0 else 1.0
+    return spread > 2.5 or load_ratio > 1.5
+
+
 def render_artifact(
     passes: dict[str, list[float]],
     timings: dict[str, float],
@@ -304,24 +344,27 @@ def main() -> None:
             times.append(dt)
         best = min(times)
         # Auto-rerun: a suspicious floor (vs the known warm floor, or a
-        # >2.5× warm-pass spread on an unknown one) under a contended
-        # sentinel is re-measured up to twice — transient co-tenant load
-        # must not become the recorded minimum.
+        # >2.5× warm-pass spread on an unknown one) under ANY contention
+        # signal — sentinel, pass spread, or loadavg growth — is
+        # re-measured up to twice; transient co-tenant load must not
+        # become the recorded minimum. Predicate in should_rerun().
         floor = floors.get(name)
         extra = 0
         while extra < 2:
-            suspicious = (
+            # Only pay the sentinel probe when the floor already looks off.
+            pre_suspicious = (
                 best > 1.5 * floor
                 if floor is not None
                 else (
                     len(times) > 1
                     and best > 0.5
-                    and max(times[1:]) > 2.5 * min(times)
+                    and max(times[1:]) > 2.5 * best
                 )
             )
-            post_ratio = sentinel_sec() / sent_floor if suspicious else 1.0
+            post_ratio = sentinel_sec() / sent_floor if pre_suspicious else 1.0
             ratio = max(ratio, post_ratio)
-            if not (suspicious and post_ratio > 1.2):
+            load_ratio = os.getloadavg()[0] / max(load_start[0], 0.5)
+            if not should_rerun(times, floor, post_ratio, load_ratio):
                 break
             dt, n = run_pass(fn)
             times.append(dt)

@@ -725,7 +725,17 @@ def pq_topk(
     qrow = query.limit(2).collect()
     if len(qrow) != 1:
         raise ValueError("pq_topk expects exactly one query row")
-    q = np.asarray(list(qrow[0][0]), dtype="float64")
+    # One contract for the whole ANN family (quantized_topk, ivf_topk,
+    # lsh_topk): the query frame exposes the vector as column 'q'. Read
+    # it by NAME — the positional qrow[0][0] read silently grabbed
+    # whatever column happened to be first, then the rescore crossJoin
+    # failed on F.col("q") anyway (round-9 advice).
+    if "q" not in query.columns:
+        raise ValueError(
+            "pq_topk: query frame must expose the vector as column 'q' "
+            f"(got columns {query.columns})"
+        )
+    q = np.asarray(list(qrow[0]["q"]), dtype="float64")
     qn = float(np.linalg.norm(q))
     if qn == 0.0:
         raise ValueError("pq_topk: query vector has zero norm")

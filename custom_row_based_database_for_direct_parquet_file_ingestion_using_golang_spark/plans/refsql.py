@@ -1983,28 +1983,33 @@ class RefSQL:
             acc = acc.dropDuplicates()
         acc = acc.localCheckpoint(eager=True)
         frontier = acc
-        for _ in range(self._RECURSION_CAP):
-            self._ctes[name] = frontier
-            rcur = _Cursor(list(rec_toks))
-            arm = self._select_df(rcur)
-            if not rcur.done():
+        # try/finally so a mid-loop failure (a Spark action error, the
+        # non-convergence raise below) can't leave a stale frontier bound
+        # to the CTE name for later statements on this instance.
+        try:
+            for _ in range(self._RECURSION_CAP):
+                self._ctes[name] = frontier
+                rcur = _Cursor(list(rec_toks))
+                arm = self._select_df(rcur)
+                if not rcur.done():
+                    raise ParseError(
+                        f"unexpected token {rcur.peek()!r} in the recursive "
+                        f"arm of CTE {name!r}"
+                    )
+                if not union_all:
+                    arm = arm.dropDuplicates().exceptAll(acc)
+                arm = arm.localCheckpoint(eager=True)
+                if arm.count() == 0:
+                    break
+                acc = acc.unionByName(arm).localCheckpoint(eager=True)
+                frontier = arm
+            else:
                 raise ParseError(
-                    f"unexpected token {rcur.peek()!r} in the recursive "
-                    f"arm of CTE {name!r}"
+                    f"recursive CTE {name!r} did not converge within "
+                    f"{self._RECURSION_CAP} iterations"
                 )
-            if not union_all:
-                arm = arm.dropDuplicates().exceptAll(acc)
-            arm = arm.localCheckpoint(eager=True)
-            if arm.count() == 0:
-                break
-            acc = acc.unionByName(arm).localCheckpoint(eager=True)
-            frontier = arm
-        else:
-            raise ParseError(
-                f"recursive CTE {name!r} did not converge within "
-                f"{self._RECURSION_CAP} iterations"
-            )
-        self._ctes.pop(name, None)
+        finally:
+            self._ctes.pop(name, None)
         return acc
 
     def execute(self, sql: str):

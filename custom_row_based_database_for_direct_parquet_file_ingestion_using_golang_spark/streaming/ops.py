@@ -134,7 +134,7 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 def tumbling_hll_registers(
     events: DataFrame, key_col: str = "user_id",
-    width: str = "1 hour", p: int = 8,
+    width: str = "1 hour", p: int = 8, ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming HLL register table per tumbling window: distinct-``key``
     sketches maintained AS the streaming state. The scan stage computes
@@ -148,15 +148,16 @@ def tumbling_hll_registers(
     streaming COUNT(DISTINCT) (state = every key seen) cannot have.
     Output: ``ws timestamp, bucket int, rho int``; feed the result to
     :func:`..operators.sketch.hll_estimate` (group_cols=["ws"]) for the
-    per-window estimates."""
+    per-window estimates. ``ts_col`` names the event-time column the
+    window and watermark key on (default ``ts``)."""
     from ..operators.sketch import HASH_BITS, _check_p, hash60
 
     _check_p(p)
     m = 1 << p
     h = hash60(F.col(key_col).cast("string"))
     w = F.expr(f"__h DIV {m}")
-    staged = events.select("ts", h.alias("__h")).select(
-        "ts",
+    staged = events.select(ts_col, h.alias("__h")).select(
+        ts_col,
         F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("bucket"),
         (
             F.lit(HASH_BITS - p + 1)
@@ -164,8 +165,8 @@ def tumbling_hll_registers(
         ).cast("int").alias("__rho"),
     )
     return (
-        staged.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", width), "bucket")
+        staged.withWatermark(ts_col, "10 minutes")
+        .groupBy(F.window(ts_col, width), "bucket")
         .agg(F.max("__rho").alias("rho"))
         .select(F.col("window.start").alias("ws"), "bucket", "rho")
     )
@@ -174,6 +175,7 @@ def tumbling_hll_registers(
 def tumbling_cms(
     events: DataFrame, key_col: str = "user_id",
     width: str = "1 hour", cms_width: int = 256, depth: int = 3,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Streaming Count-Min grid per tumbling window: the frequency
     sketch maintained AS the streaming state. The scan stage computes
@@ -185,7 +187,8 @@ def tumbling_cms(
     run batch-side against the materialized grid
     (:func:`..operators.sketch.cms_point_estimates`); the CMS guarantee
     (never an undercount) survives streaming because addition is the
-    merge. Output: ``ws timestamp, i int, bucket int, cnt long``."""
+    merge. Output: ``ws timestamp, i int, bucket int, cnt long``.
+    ``ts_col`` names the event-time column (default ``ts``)."""
     from ..operators.sketch import _cms_bucket
 
     if cms_width < 2 or depth < 1:
@@ -199,10 +202,10 @@ def tumbling_cms(
         for i in range(depth)
     ])
     return (
-        events.select("ts", F.explode(pos).alias("p"))
-        .select("ts", "p.i", "p.bucket")
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", width), "i", "bucket")
+        events.select(ts_col, F.explode(pos).alias("p"))
+        .select(ts_col, "p.i", "p.bucket")
+        .withWatermark(ts_col, "10 minutes")
+        .groupBy(F.window(ts_col, width), "i", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("ws"), "i", "bucket", "cnt")
     )

@@ -287,3 +287,48 @@ def test_zorder_key_rejects_strings_accepts_timestamps(spark):
         for r in maintenance.zorder_key(ts, ["ts", "d"], bits=2).collect()
     }
     assert rows[0] < rows[1] < rows[2] < rows[3]  # monotone along the diagonal
+
+
+def test_recursive_cte_failure_unbinds_frontier(spark, sf_dir):
+    """Round-9 advice: a recursive CTE that errors mid-fixpoint must not
+    leave the working frontier bound to the CTE name — a later statement
+    on the same RefSQL instance would silently read the stale frontier
+    instead of raising 'no such table'."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+        RefSQL,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _SfTables,
+    )
+
+    eng = RefSQL(_SfTables(spark, sf_dir))
+    eng._RECURSION_CAP = 2  # force the non-convergence raise quickly
+    with pytest.raises(ParseError, match="did not converge"):
+        eng.execute(
+            "WITH RECURSIVE r AS ("
+            "SELECT o_orderkey AS k FROM orders LIMIT 1 "
+            "UNION ALL SELECT k + 1 AS k FROM r) "
+            "SELECT count(*) AS n FROM r"
+        )
+    assert "r" not in eng._ctes  # stale frontier must be gone
+    with pytest.raises(Exception):  # and 'r' is not resolvable as a table
+        eng.execute("SELECT * FROM r LIMIT 1")
+
+
+def test_pq_topk_rejects_query_frame_without_q_column(spark):
+    """Round-9 advice: pq_topk's query frame must expose the vector as
+    column 'q' (the whole ANN family's contract); a positional read of a
+    differently-shaped frame must fail loudly, not score garbage."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(64)], ["id", "vec"]
+    )
+    bad_query = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0],)], ["vector"]
+    )
+    with pytest.raises(ValueError, match="column 'q'"):
+        similarity.pq_topk(corpus, "id", "vec", bad_query, dim=4, m=2, k_codes=4)
