@@ -119,6 +119,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.compat import dual_compare, ref_like, truthy
@@ -288,6 +289,25 @@ class _Cursor:
         return self.i >= len(self.toks)
 
 
+def _sql_literal_text(v: Any) -> str:
+    """Render a python value (an eagerly-resolved scalar subquery result)
+    back to SQL literal text so it can splice into a raw arithmetic run
+    that Catalyst's expression parser compiles."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v}'"
+    return str(v)
+
+
 class ExprParser:
     """WHERE/HAVING predicate → Spark Column (precedence per expr.go)."""
 
@@ -305,6 +325,18 @@ class ExprParser:
         # [NOT] EXISTS (SELECT ...) markers — (spec, clauses, negated).
         # Same first-class restriction as IN subqueries.
         self.exists_subqueries: list[tuple[Any, dict, bool]] = []
+        # Round-9: IN (SELECT ...) in NON-conjunct positions (under OR/
+        # NOT/parens) — (placeholder, left_col, spec, clauses). The
+        # executor materializes the membership test as a three-valued
+        # BOOLEAN column on the outer frame (left join against the
+        # deduplicated subquery values), so the predicate tree can use it
+        # anywhere a boolean fits.
+        self.bool_in_subqueries: list[tuple[str, str, Any, dict]] = []
+        # Round-9: correlated scalar subqueries — (placeholder,
+        # body_tokens, uncorrelated_error). The eager resolver path fails
+        # on outer references; the executor decorrelates (group the inner
+        # by its correlation keys, left-join onto the outer frame).
+        self.correlated_scalars: list[tuple[str, list[str], str]] = []
         self._sub_ok = True
         # Scalar-subquery resolver (round-6 extension): a callable
         # ``(spec, clauses) -> python value`` the executor supplies.
@@ -327,8 +359,10 @@ class ExprParser:
         while self.cur.peek_kw() == "or":
             if len(self.subqueries) + len(self.exists_subqueries) > n0:
                 raise ParseError(
-                    "IN/EXISTS (SELECT ...) is only supported as a top-level "
-                    "AND condition of WHERE, not under OR"
+                    "IN/EXISTS (SELECT ...) joined by OR must be "
+                    "parenthesized — write (x IN (SELECT ...)) OR ... to "
+                    "use the boolean membership-column form (EXISTS has "
+                    "no boolean form; only top-level AND conjuncts)"
                 )
             self.cur.next()
             prev = self._no_sub()
@@ -365,6 +399,16 @@ class ExprParser:
         backticks stripped from bare identifiers)."""
 
         def one_operand(out: list[str]) -> None:
+            if self.cur.peek() == "(" and self.cur.peek_kw(1) == "select":
+                # Round-9: scalar subquery INSIDE an arithmetic run —
+                # ``2 * (SELECT AVG(x) FROM t ...)``. Resolve it here
+                # (eager literal, or correlated placeholder column) and
+                # splice the result back as a token; the raw re-lex would
+                # otherwise hand the subquery text to Catalyst's parser,
+                # which cannot see this engine's tables.
+                col, lit, ph = self._scalar_subquery()
+                out.append(ph if col is not None else _sql_literal_text(lit))
+                return
             t = self.cur.next()
             if t == "(":
                 out.append(t)
@@ -403,6 +447,45 @@ class ExprParser:
         self.cur.i = start  # rewind; rebuild the whole run as raw text
         return F.expr(" ".join(self._collect_arith_tokens())), None, None
 
+    def _scalar_subquery(self) -> tuple[Column | None, Any, str | None]:
+        """Consume ``( SELECT ... )`` positioned ON the '('. Returns
+        (placeholder_column, None, placeholder_name) for a CORRELATED
+        subquery — the executor decorrelates it and binds the placeholder
+        — or (None, literal, None) for an uncorrelated one (executed
+        eagerly, Spark's own inline-the-scalar strategy). Correlation is
+        pre-detected textually from alias-qualified outer references
+        (skipping the doomed eager attempt); an eager AnalysisException
+        still falls back to the marker so the executor can report the
+        precise decorrelation error."""
+        if self.resolver is None:
+            raise ParseError(
+                "scalar subqueries are not supported in this context"
+            )
+        self.cur.next()  # '('
+        start = self.cur.i
+        spec2, _, clauses2 = parse_select(
+            self.cur, self.weak, resolver=self.resolver
+        )
+        if self.cur.next() != ")":
+            raise ParseError("expected ')' after scalar subquery")
+        end = self.cur.i - 1
+        body = list(self.cur.toks[start:end])
+        try:
+            correlated = bool(_split_correlated(body)[2])
+        except ParseError:
+            correlated = False  # let the eager path report its error
+        err = ""
+        if not correlated:
+            try:
+                return None, self.resolver(spec2, clauses2), None
+            except AnalysisException as e:
+                # Unqualified outer reference (or a real error) — the
+                # executor's decorrelation gives the precise message.
+                err = str(e)
+        ph = f"__subq_scalar_{len(self.correlated_scalars)}"
+        self.correlated_scalars.append((ph, body, err))
+        return F.col(ph), None, ph
+
     def _operand(self) -> tuple[Column | None, Any, str | None]:
         """Returns (column_expr, literal_value, column_name). Exactly one of
         column_expr / literal_value is meaningful; parenthesized
@@ -412,17 +495,16 @@ class ExprParser:
             # Round-6 extension: uncorrelated scalar subquery in operand
             # position — ``WHERE x > (SELECT AVG(y) FROM t)``. Executed
             # eagerly by the resolver; 0 rows ⇒ NULL (ANSI), >1 row errors.
-            if self.resolver is None:
-                raise ParseError(
-                    "scalar subqueries are not supported in this context"
-                )
-            self.cur.next()
-            spec2, _, clauses2 = parse_select(
-                self.cur, self.weak, resolver=self.resolver
-            )
-            if self.cur.next() != ")":
-                raise ParseError("expected ')' after scalar subquery")
-            return None, self.resolver(spec2, clauses2), None
+            # Round-9: correlated scalar subqueries — ``(SELECT AVG(y)
+            # FROM t WHERE t.k = o.k)`` — fail the eager path on the
+            # unresolvable outer reference; the raw tokens are recorded as
+            # a marker and the EXECUTOR decorrelates (group the inner by
+            # its equality-correlation keys, left-join onto the outer
+            # frame — one bounded shuffle, never a per-row re-execution).
+            # Outer references must be alias-qualified (same contract as
+            # correlated EXISTS).
+            col, lit, _ph = self._scalar_subquery()
+            return col, lit, None
         if t == "(":
             self.cur.next()
             prev = self._no_sub()  # parenthesized conjuncts have no rewrite
@@ -528,15 +610,15 @@ class ExprParser:
                 raise ParseError("expected '(' after IN")
             if self.cur.peek_kw() == "select":
                 # Dialect extension: ``x [NOT] IN (SELECT single_col ...)``
-                # — recorded as a marker; the executor rewrites it as a
-                # left-semi join (IN) or a null-aware left-anti join
-                # (NOT IN, exact ANSI three-valued semantics). Nested
-                # subqueries compose (the rewrite recurses).
-                if not self._sub_ok:
-                    raise ParseError(
-                        "IN (SELECT ...) is only supported as a top-level "
-                        "AND condition of WHERE"
-                    )
+                # — as a top-level WHERE conjunct, recorded as a marker;
+                # the executor rewrites it as a left-semi join (IN) or a
+                # null-aware left-anti join (NOT IN, exact ANSI
+                # three-valued semantics). Nested subqueries compose (the
+                # rewrite recurses). Round-9: in NON-conjunct positions
+                # (under OR, NOT, or parentheses) the membership test
+                # instead becomes a three-valued boolean COLUMN on the
+                # outer frame (see _resolved_from) — same ANSI semantics,
+                # usable anywhere in the predicate tree.
                 if name is None:
                     raise ParseError(
                         "IN (SELECT ...) needs a column on the left side"
@@ -546,6 +628,11 @@ class ExprParser:
                 )
                 if self.cur.next() != ")":
                     raise ParseError("expected ')' after subquery")
+                if not self._sub_ok:
+                    ph = f"__subq_inbool_{len(self.bool_in_subqueries)}"
+                    self.bool_in_subqueries.append((ph, name, spec2, clauses2))
+                    out = F.col(ph)
+                    return ~out if negate else out
                 self.subqueries.append((name, spec2, clauses2, negate))
                 # The join IS the predicate; the conjunct slot stays TRUE.
                 return F.lit(True)
@@ -616,6 +703,16 @@ class SelectSpec:
     # markers — the subquery's WHERE (which may reference alias-qualified
     # OUTER columns: correlation) becomes the join condition of a
     # left-semi (EXISTS) / left-anti (NOT EXISTS) join.
+    # Round-9: IN (SELECT ...) in non-conjunct positions — materialized
+    # as a three-valued boolean column (placeholder, left_col, spec,
+    # clauses); and correlated scalar subqueries (placeholder, raw body
+    # tokens, uncorrelated-attempt error) decorrelated by the executor.
+    bool_in_subqueries: list[tuple[str, str, "SelectSpec", dict]] = field(
+        default_factory=list
+    )
+    scalar_subqueries: list[tuple[str, list, str]] = field(
+        default_factory=list
+    )
     exists_subqueries: list[tuple["SelectSpec", dict, bool]] = field(
         default_factory=list
     )
@@ -1120,7 +1217,12 @@ def parse_select(
         cur.expect_kw("on")
         onp = ExprParser(cur, weak_typing, resolver)
         cond = onp.parse()
-        if onp.subqueries or onp.exists_subqueries:
+        if (
+            onp.subqueries
+            or onp.exists_subqueries
+            or onp.bool_in_subqueries
+            or onp.correlated_scalars
+        ):
             raise ParseError("subqueries are not supported in JOIN ... ON")
         spec.joins.append((how, jtable, jalias, cond))
 
@@ -1133,6 +1235,8 @@ def parse_select(
             clauses["where"] = wp.parse()
             spec.in_subqueries.extend(wp.subqueries)
             spec.exists_subqueries.extend(wp.exists_subqueries)
+            spec.bool_in_subqueries.extend(wp.bool_in_subqueries)
+            spec.scalar_subqueries.extend(wp.correlated_scalars)
         elif kw == "group":
             cur.next()
             cur.expect_kw("by")
@@ -1236,7 +1340,12 @@ def parse_select(
             cur.next()
             hp = ExprParser(cur, weak_typing, resolver)
             clauses["having"] = hp.parse()
-            if hp.subqueries or hp.exists_subqueries:
+            if (
+                hp.subqueries
+                or hp.exists_subqueries
+                or hp.bool_in_subqueries
+                or hp.correlated_scalars
+            ):
                 raise ParseError(
                     "IN/EXISTS subqueries are not supported in HAVING"
                 )
@@ -1302,7 +1411,12 @@ def parse_select(
             cur.next()
             qp = ExprParser(cur, weak_typing, resolver)
             clauses["qualify"] = qp.parse()
-            if qp.subqueries or qp.exists_subqueries:
+            if (
+                qp.subqueries
+                or qp.exists_subqueries
+                or qp.bool_in_subqueries
+                or qp.correlated_scalars
+            ):
                 raise ParseError("subqueries are not supported in QUALIFY")
         elif kw == "window":
             # Round-8: ``WINDOW w AS ([PARTITION BY ...] [ORDER BY ...]
@@ -1619,6 +1733,12 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         if len(spec.star_exclude) >= len(out.columns):
             raise ParseError("EXCLUDE cannot remove every column")
         out = out.drop(*spec.star_exclude)
+    # Round-9: boolean-IN / correlated-scalar placeholder columns are
+    # internal — they exist so the WHERE can reference them; a SELECT *
+    # must not surface them.
+    leak = [c for c in out.columns if c.startswith("__subq_")]
+    if leak:
+        out = out.drop(*leak)
     return out
 
 
@@ -1847,7 +1967,117 @@ class RefSQL:
                 df = df.join(sub, cond, "left_anti")
             else:
                 df = df.join(sub, F.col(lname) == F.col("__subq_v"), "left_semi")
+        for ph, lname, spec2, clauses2 in spec.bool_in_subqueries:
+            df = self._bool_in_column(df, ph, lname, spec2, clauses2)
+        for ph, body_toks, orig_err in spec.scalar_subqueries:
+            df = self._correlated_scalar(df, ph, body_toks, orig_err)
         return df
+
+    def _bool_in_column(
+        self, df: DataFrame, ph: str, lname: str, spec2, clauses2
+    ) -> DataFrame:
+        """Round-9: ``x IN (SELECT c ...)`` in a NON-conjunct position
+        (under OR/NOT/parens) — where the semi/anti join rewrite doesn't
+        apply — materializes as a three-valued boolean column ``ph`` on
+        the outer frame. ANSI semantics: TRUE on a match; NULL when x IS
+        NULL or when there is no match but the subquery contains a NULL
+        (membership is then unknowable); FALSE otherwise. Physical shape:
+        the subquery deduplicates (bounded by its distinct values), a
+        left equi-join marks matches (at most one per outer row — the
+        build side is distinct), and the subquery's has-NULL bit is one
+        bounded driver-side probe. NOT folds through the column by
+        Kleene logic for free (~NULL = NULL)."""
+        sub = build_select(self._resolved_from(spec2), spec2, clauses2)
+        if len(sub.columns) != 1:
+            raise ParseError(
+                "IN (SELECT ...) subquery must select exactly one column"
+            )
+        sub = sub.toDF("__subq_v").distinct()
+        has_null = bool(
+            sub.filter(F.col("__subq_v").isNull()).limit(1).count()
+        )
+        matches = sub.filter(F.col("__subq_v").isNotNull())
+        df = df.join(
+            matches, F.col(lname) == F.col("__subq_v"), "left"
+        )
+        no_match = (
+            F.lit(None).cast("boolean") if has_null else F.lit(False)
+        )
+        return df.withColumn(
+            ph,
+            F.when(F.col(lname).isNull(), F.lit(None).cast("boolean"))
+            .when(F.col("__subq_v").isNotNull(), F.lit(True))
+            .otherwise(no_match),
+        ).drop("__subq_v")
+
+    def _correlated_scalar(
+        self, df: DataFrame, ph: str, body_toks: list[str], orig_err: str
+    ) -> DataFrame:
+        """Round-9: decorrelate ``(SELECT agg(col) FROM t WHERE t.k = o.k
+        [AND local...])`` — the classic rewrite (group the inner by its
+        correlation keys, aggregate once, LEFT JOIN onto the outer frame
+        on the keys), the same plan Catalyst's
+        RewriteCorrelatedScalarSubquery produces. One shuffle bounded by
+        the inner's distinct correlation keys, never a per-outer-row
+        re-execution; AQE picks broadcast when the aggregate side is
+        small. COUNT over an empty group coalesces to 0 (the textbook
+        decorrelation-COUNT bug, handled); every other aggregate is NULL
+        on no-match, matching ANSI's empty-subquery-result semantics."""
+        head, local, pairs = _split_correlated(body_toks)
+        if not pairs:
+            raise ParseError(
+                "scalar subquery failed to execute (and has no "
+                "alias-qualified correlated equality to decorrelate on): "
+                + (orig_err.splitlines()[0] if orig_err else "<no detail>")
+            )
+        toks = list(head)
+        if local:
+            toks.append("where")
+            for i, c in enumerate(local):
+                if i:
+                    toks.append("and")
+                toks.extend(c)
+        cur = _Cursor(toks)
+        spec2, _, clauses2 = parse_select(cur, self.weak, resolver=self._scalar)
+        if not cur.done():
+            raise ParseError(
+                f"unexpected token {cur.peek()!r} in correlated scalar "
+                "subquery"
+            )
+        if (
+            len(spec2.aggregates) != 1
+            or spec2.projections
+            or spec2.windows
+            or spec2.star
+            or clauses2.get("group_by")
+        ):
+            raise ParseError(
+                "a correlated scalar subquery must select exactly one "
+                "aggregate (no other projections, windows, or GROUP BY)"
+            )
+        inner = self._resolved_from(spec2)
+        if not (spec2.joins or spec2.alias):
+            inner = inner.alias(spec2.table)
+        if "where" in clauses2:
+            inner = inner.filter(clauses2["where"])
+        fn, colname, _ = spec2.aggregates[0]
+        keys = [
+            F.col(ik).alias(f"__subq_k{i}") for i, (ik, _) in enumerate(pairs)
+        ]
+        agg = inner.groupBy(*keys).agg(agg_spec(fn, colname, ph))
+        cond = None
+        for i, (_, oc) in enumerate(pairs):
+            c = F.col(oc) == F.col(f"__subq_k{i}")
+            cond = c if cond is None else (cond & c)
+        out = df.join(agg, cond, "left").drop(
+            *[f"__subq_k{i}" for i in range(len(pairs))]
+        )
+        if fn.lower() == "count":
+            out = out.withColumn(ph, F.coalesce(F.col(ph), F.lit(0)))
+        return out
+
+
+
 
     def _scalar(self, spec: "SelectSpec", clauses: dict):
         """Execute an uncorrelated scalar subquery to one python value —
@@ -2821,3 +3051,110 @@ class RefSQL:
                 )
         self.engine.create_table(table, cols, partition_by=part)
         return None
+
+
+def _split_correlated(
+    body_toks: list[str],
+) -> tuple[list[str], list[list[str]], list[tuple[str, str]]]:
+    """Split a correlated scalar subquery's raw tokens into (head tokens,
+    local WHERE conjuncts, correlation pairs). A conjunct is CORRELATED
+    when it references an alias-qualified column whose qualifier is
+    neither the inner table nor its alias; such a conjunct must be an
+    equality ``inner_col = outer.col`` (the decorrelatable shape — the
+    same equality restriction Catalyst's own
+    RewriteCorrelatedScalarSubquery imposes). Returns correlation pairs
+    as (inner_key, outer_col), both unqualified. Module-level so the
+    PARSER can pre-detect correlation (and skip the doomed eager
+    execution attempt) and the EXECUTOR can reuse the same split."""
+    depth = 0
+    where_i = None
+    inner_names: set[str] = set()
+    tail_kws = {
+        "group", "order", "limit", "offset", "having",
+        "qualify", "window", "union", "intersect", "except",
+    }
+    for i, t in enumerate(body_toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() == "from" and i + 1 < len(body_toks):
+            tbl = _unquote(body_toks[i + 1])
+            inner_names.add(tbl.lower())
+            j = i + 2
+            if j < len(body_toks) and body_toks[j].lower() == "as":
+                j += 1
+            if (
+                j < len(body_toks)
+                and body_toks[j] not in ("(", ")", ",")
+                and body_toks[j].lower() not in tail_kws | {"where", "as"}
+                and _literal_value(body_toks[j]) is None
+            ):
+                inner_names.add(_unquote(body_toks[j]).lower())
+        elif depth == 0 and t.lower() == "where":
+            where_i = i
+            break
+    if where_i is None:
+        return body_toks, [], []
+    head = body_toks[:where_i]
+    tail = body_toks[where_i + 1:]
+    depth = 0
+    for t in tail:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.lower() in tail_kws:
+            raise ParseError(
+                f"correlated scalar subqueries do not support "
+                f"{t.upper()} (plain 'SELECT agg(col) FROM t WHERE "
+                "...' only)"
+            )
+    conjuncts: list[list[str]] = []
+    cur_toks: list[str] = []
+    depth = 0
+    for t in tail:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t.lower() == "and":
+            conjuncts.append(cur_toks)
+            cur_toks = []
+        else:
+            cur_toks.append(t)
+    conjuncts.append(cur_toks)
+
+    def outer_ref(tok: str) -> bool:
+        if _is_string_lit(tok) or "." not in tok:
+            return False
+        if _literal_value(tok) is not None:  # 1.5 etc.
+            return False
+        qual = _unquote(tok).rsplit(".", 1)[0].lower()
+        return qual not in inner_names
+
+    local: list[list[str]] = []
+    pairs: list[tuple[str, str]] = []
+    for c in conjuncts:
+        if not any(outer_ref(t) for t in c):
+            local.append(c)
+            continue
+        if len(c) != 3 or c[1] != "=":
+            raise ParseError(
+                "correlated conjuncts in a scalar subquery must be "
+                f"equalities 'inner_col = outer.col' (got {' '.join(c)!r})"
+            )
+        a, b = c[0], c[2]
+        if outer_ref(a) and outer_ref(b):
+            raise ParseError(
+                "correlated equality must compare an inner column "
+                f"against an outer one (both sides outer in {' '.join(c)!r})"
+            )
+        outer_tok, inner_tok = (a, b) if outer_ref(a) else (b, a)
+        pairs.append(
+            (
+                _unquote(inner_tok).rsplit(".", 1)[-1],
+                _unquote(outer_tok).rsplit(".", 1)[-1],
+            )
+        )
+    return head, local, pairs

@@ -1470,3 +1470,60 @@ def refsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.n AS day_of_month, COALESCE(o.n_orders, 0) AS n_orders "
         "FROM s LEFT JOIN o AS o ON s.n = o.n",
     )
+
+
+@query(
+    "refsql_correlated_scalar",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders AS o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders AS o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def refsql_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: correlated scalar subquery through the dialect — orders
+    # more than twice their customer's average order value. The executor
+    # decorrelates (group the inner by its equality-correlation key,
+    # aggregate once, LEFT JOIN onto the outer — one shuffle bounded by
+    # distinct customers, never a per-row re-execution; the same rewrite
+    # Catalyst's RewriteCorrelatedScalarSubquery performs). The oracle is
+    # DuckDB's NATIVE correlated-subquery engine — an independent
+    # implementation of the same semantics.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price "
+        "FROM orders AS o "
+        "WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) "
+        "FROM orders AS o2 WHERE o2.o_custkey = o.o_custkey) "
+        "ORDER BY o_orderkey",
+    )
+
+
+@query(
+    "refsql_in_or_membership",
+    """
+    SELECT o_orderpriority, count(*) AS count
+    FROM orders
+    WHERE (o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000))
+       OR o_totalprice > 300000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def refsql_in_or_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: IN (SELECT ...) in a NON-conjunct position — under OR the
+    # semi-join rewrite doesn't apply, so the dialect materializes the
+    # membership test as a three-valued boolean column (left equi-join
+    # against the deduplicated subquery values + a bounded has-NULL
+    # probe), ANSI Kleene semantics intact anywhere in the predicate
+    # tree. Oracle: DuckDB's native unrestricted IN.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, COUNT(*) FROM orders "
+        "WHERE (o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 8000)) OR o_totalprice > 300000 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )

@@ -614,11 +614,27 @@ def test_in_subquery_conjuncts_nesting_and_errors(spark, tmp_path):
         "(SELECT k FROM s WHERE k IN (SELECT k FROM s WHERE k = 3))"
     ).collect()[0]["count"]
     assert n == 1
-    # structural restrictions
-    with pytest.raises(ParseError, match="top-level AND"):
+    # structural restrictions: a bare IN-subquery conjunct under OR still
+    # raises (the semi-join marker was already recorded), pointing at the
+    # parenthesized boolean-membership form
+    with pytest.raises(ParseError, match="parenthesized"):
         e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k FROM s) OR k = 1")
-    with pytest.raises(ParseError, match="top-level AND"):
-        e.ref_sql("SELECT * FROM t WHERE NOT (k IN (SELECT k FROM s))")
+    # round-9: parenthesized / negated membership works as a three-valued
+    # boolean column — NOT IN-set = {1, 4}, (IN-set) OR k = 1 = {1, 2, 3}
+    got = sorted(
+        r.k
+        for r in e.ref_sql(
+            "SELECT k FROM t WHERE NOT (k IN (SELECT k FROM s))"
+        ).collect()
+    )
+    assert got == [1, 4]
+    got = sorted(
+        r.k
+        for r in e.ref_sql(
+            "SELECT k FROM t WHERE (k IN (SELECT k FROM s)) OR k = 1"
+        ).collect()
+    )
+    assert got == [1, 2, 3]
     with pytest.raises(ParseError, match="exactly one column"):
         e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k, grp FROM s)")
     with pytest.raises(ParseError, match="not supported in UPDATE"):
@@ -2081,4 +2097,75 @@ def test_recursive_cte_errors(engine):
     with pytest.raises(ParseError, match="anchor"):
         engine.ref_sql(
             "WITH RECURSIVE s AS (SELECT n FROM s) SELECT COUNT(*) AS c FROM s"
+        )
+
+
+def test_correlated_scalar_and_boolean_in(spark, tmp_path):
+    """Round-9: correlated scalar subqueries (decorrelated to group+left
+    join) and IN (SELECT ...) in non-conjunct positions (three-valued
+    boolean membership column)."""
+    e = Engine(spark, str(tmp_path / "corr"))
+    e.ref_sql("CREATE TABLE emp (id INT, dept TEXT, sal INT)")
+    for row in [
+        (1, "'a'", 100), (2, "'a'", 200), (3, "'b'", 50),
+        (4, "'b'", 150), (5, "'c'", 70),
+    ]:
+        e.ref_sql(f"INSERT INTO emp VALUES ({row[0]}, {row[1]}, {row[2]})")
+    # above own-department average: a→150 (emp 2), b→100 (emp 4), c→70 (none)
+    got = sorted(
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM emp AS o WHERE sal > "
+            "(SELECT AVG(i.sal) FROM emp AS i WHERE i.dept = o.dept)"
+        ).collect()
+    )
+    assert got == [2, 4]
+    # correlated COUNT coalesces to 0 on no-match (the decorrelation-COUNT
+    # bug): every emp has >= 1 same-dept-higher-paid peer except the max
+    got = sorted(
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM emp AS o WHERE "
+            "(SELECT COUNT(i.id) FROM emp AS i WHERE i.dept = o.dept "
+            "AND i.sal > 1000) = 0"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
+    # local conjunct composes with the correlation equality
+    got = sorted(
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM emp AS o WHERE sal > "
+            "(SELECT AVG(i.sal) FROM emp AS i WHERE i.dept = o.dept "
+            "AND i.sal < 200)"
+        ).collect()
+    )
+    assert got == [2, 4]  # a-avg over {100}=100 → emp2; b-avg {50,150}=100 → emp4
+    # three-valued NOT IN via the boolean column: subquery containing a
+    # NULL makes non-matching memberships UNKNOWN, which NOT keeps UNKNOWN
+    # → filtered (ANSI), so only genuine matches would pass the inner IN
+    e.ref_sql("CREATE TABLE probe (v INT)")
+    e.ref_sql("INSERT INTO probe VALUES (100)")
+    e.ref_sql("INSERT INTO probe VALUES (NULL)")
+    got = sorted(
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM emp WHERE NOT (sal IN (SELECT v FROM probe))"
+        ).collect()
+    )
+    assert got == []  # NULL in probe → every non-match is UNKNOWN, not TRUE
+    # without the NULL, NOT (IN) behaves set-theoretically
+    e.ref_sql("DELETE FROM probe WHERE v IS NULL")
+    got = sorted(
+        r.id
+        for r in e.ref_sql(
+            "SELECT id FROM emp WHERE NOT (sal IN (SELECT v FROM probe))"
+        ).collect()
+    )
+    assert got == [2, 3, 4, 5]
+    # error contract: uncorrelatable scalar (inequality correlation)
+    with pytest.raises(ParseError, match="equalit"):
+        e.ref_sql(
+            "SELECT id FROM emp AS o WHERE sal > "
+            "(SELECT AVG(i.sal) FROM emp AS i WHERE i.sal < o.sal)"
         )
