@@ -617,6 +617,7 @@ def pq_train(
     train_limit: int = 2048,
     n_iter: int = 8,
     seed: int = 42,
+    centroids: "list | None" = None,
 ) -> "list":
     """Product-quantization codebooks (round-8): split each UNIT-NORMALIZED
     vector into ``m`` subvectors of dim/m components and train an L2
@@ -624,7 +625,14 @@ def pq_train(
     on the same deterministic hash sample IVF training uses (one corpus
     pass, bounded collect ≤ train_limit rows). Returns a list of m numpy
     (k, dim/m) codebooks. Model size: m·k·(dim/m) floats — corpus-size
-    independent, ships as plan literals."""
+    independent, ships as plan literals.
+
+    ``centroids`` (round-9): train on IVF RESIDUALS v̂ − c(v̂) instead of
+    the raw unit vectors — the standard FAISS-IVFPQ accuracy lever
+    (Jégou et al. 2011 §IV): residuals concentrate near the origin, so
+    the same m·k_codes codebook budget quantizes them far more finely.
+    Assignment uses the same argmax-dot rule the plan-side list
+    assignment uses, so train/encode/scan agree on every vector."""
     import numpy as np
 
     if dim % m:
@@ -647,6 +655,9 @@ def pq_train(
     sample_rows.sort(key=lambda r: r.h)
     x = np.asarray([r.v for r in sample_rows[:train_limit]], dtype="float64")
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype="float64")
+        x = x - C[(x @ C.T).argmax(axis=1)]
     return [
         _lloyd_l2(x[:, j * sub_d : (j + 1) * sub_d], k_codes, n_iter, seed + j)
         for j in range(m)
@@ -684,6 +695,36 @@ def _pq_encode_udf(codebooks: "list"):
     return enc
 
 
+def _pq_encode_residual_udf(codebooks: "list", centroids: "list"):
+    """Round-9 residual variant of :func:`_pq_encode_udf`: takes (vector,
+    1-based list_id) and encodes the IVF residual v̂ − centroid[list_id]
+    against residual-trained codebooks — same one-matmul-per-subspace
+    Arrow batch shape, plus one row-gather for the centroid subtraction.
+    The list_id comes from the PLAN's assignment column so encode and
+    scan can never disagree on a vector's list."""
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    C = np.asarray(centroids, dtype="float64")
+    sub_d = cbs[0].shape[1]
+    biases = [0.5 * (cb * cb).sum(axis=1) for cb in cbs]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series, list_ids: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        x = np.stack(vs.to_numpy()).astype("float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = x - C[list_ids.to_numpy().astype("int64") - 1]
+        codes = np.empty((len(x), len(cbs)), dtype="int32")
+        for j, (cb, bias) in enumerate(zip(cbs, biases)):
+            sub = x[:, j * sub_d : (j + 1) * sub_d]
+            codes[:, j] = (sub @ cb.T - bias).argmax(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -698,6 +739,7 @@ def pq_topk(
     n_iter: int = 8,
     seed: int = 42,
     scan: DataFrame | None = None,
+    centroids: "list | None" = None,
 ) -> DataFrame:
     """Approximate top-k by cosine via product quantization with
     asymmetric distance computation (ADC — Jégou et al., "Product
@@ -716,11 +758,21 @@ def pq_topk(
     ``scan`` (round-8): the frame to encode and score, when a coarse
     index has already pruned the corpus (see :func:`ivf_pq_topk`);
     defaults to ``df``. Codebooks always train on ``df`` — they are
-    corpus-level model state, independent of any one query's pruning."""
+    corpus-level model state, independent of any one query's pruning.
+
+    ``centroids`` (round-9): residual coding — codes quantize the IVF
+    residual v̂ − c(v̂) instead of the raw unit vector (codebooks train on
+    residuals too), and the approximate score decomposes exactly as
+    q·v̂ = q·c_list + q·r: the per-list constant ships as one extra
+    plan-literal lookup on the scan's ``list_id`` column (which the
+    ``scan`` frame must then carry). The FAISS-IVFPQ accuracy lever:
+    residuals concentrate near the origin, so the same code budget
+    quantizes them far more finely."""
     import numpy as np
 
     codebooks = pq_train(
-        df, id_col, vec_col, dim, m, k_codes, train_limit, n_iter, seed
+        df, id_col, vec_col, dim, m, k_codes, train_limit, n_iter, seed,
+        centroids=centroids,
     )
     qrow = query.limit(2).collect()
     if len(qrow) != 1:
@@ -747,13 +799,28 @@ def pq_topk(
         for j, cb in enumerate(codebooks)
     ]
     base = df if scan is None else scan
-    encoded = base.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _pq_encode_udf(codebooks)(
-            F.col(vec_col).cast("array<double>")
-        ).alias("pq"),
-    )
+    if centroids is not None:
+        if "list_id" not in base.columns:
+            raise ValueError(
+                "pq_topk(centroids=...): the scan frame must carry the "
+                "IVF assignment as column 'list_id'"
+            )
+        encoded = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("list_id"),
+            _pq_encode_residual_udf(codebooks, centroids)(
+                F.col(vec_col).cast("array<double>"), F.col("list_id")
+            ).alias("pq"),
+        )
+    else:
+        encoded = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _pq_encode_udf(codebooks)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("pq"),
+        )
     adc = None
     for j, tab in enumerate(tables):
         lookup = F.element_at(
@@ -761,6 +828,12 @@ def pq_topk(
             F.element_at(F.col("pq"), j + 1) + 1,
         )
         adc = lookup if adc is None else (adc + lookup)
+    if centroids is not None:
+        # q·v̂ = q·c_list + q·r — the per-list constant as one lookup.
+        qc = [float(q @ np.asarray(c, dtype="float64")) for c in centroids]
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int")
+        )
     cand = (
         encoded.select(F.col(id_col), F.col(vec_col), adc.alias("adc"))
         .orderBy(F.col("adc").desc(), F.col(id_col))
@@ -793,6 +866,7 @@ def ivf_pq_topk(
     pq_train_limit: int = 2048,
     n_iter: int = 8,
     seed: int = 42,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF + PQ composed (round-8) — the production ANN serving shape
     (FAISS's IVFPQ, Jégou et al. 2011): the coarse spherical-k-means
@@ -801,10 +875,17 @@ def ivf_pq_topk(
     the exact-cosine rescore tail. At 100 TB the two stages multiply:
     IVF cuts the scanned ROWS to n_probe/n_centroids of the corpus
     (partition pruning with a materialized index — ivf_build), PQ cuts
-    the scanned BYTES per row from dim·4 to m. Codes here are over the
-    raw unit vectors, not IVF residuals — the residual refinement trades
-    portability for recall we already have (pytest pins recall vs brute
-    force ≥0.9 with the exact-rescore tail; 1.0 on the fixtures).
+    the scanned BYTES per row from dim·4 to m.
+
+    Round-9: codes quantize IVF RESIDUALS by default (``residual=True``
+    — the standard FAISS-IVFPQ accuracy lever, Jégou et al. 2011 §IV):
+    codebooks train on v̂ − c(v̂), the scan encodes residuals against its
+    plan-assigned list_id, and the ADC score adds the per-list q·c
+    constant back — exactly q·v̂ = q·c_list + q·r. Residuals concentrate
+    near the origin, so the same m·k_codes budget quantizes them far
+    more finely (pytest pins the PQ stage at parity with plain IVF and
+    full-probe recall ≥0.9 vs brute force). ``residual=False`` keeps the
+    round-8 raw-vector coding for comparison.
 
     Both quantizers train on the full corpus' deterministic hash sample
     (corpus-level model state); only the per-query scan is pruned."""
@@ -830,13 +911,13 @@ def ivf_pq_topk(
             F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
         ).alias("list_id")
     )
-    pruned = listed.join(F.broadcast(probes), "list_id").select(
-        F.col(id_col), F.col(vec_col)
-    )
+    pruned = listed.join(F.broadcast(probes), "list_id")
+    if not residual:
+        pruned = pruned.select(F.col(id_col), F.col(vec_col))
     return pq_topk(
         df, id_col, vec_col, query, dim, k=k, m=m, k_codes=k_codes,
         rescore=rescore, train_limit=pq_train_limit, n_iter=n_iter,
-        seed=seed, scan=pruned,
+        seed=seed, scan=pruned, centroids=centroids if residual else None,
     )
 
 

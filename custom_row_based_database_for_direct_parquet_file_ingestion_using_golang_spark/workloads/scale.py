@@ -3120,7 +3120,10 @@ def ann_ivf_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coarse quantizer prunes to n_probe=6 of 16 inverted lists, PQ-ADC
     # scores only those candidates from 16-byte codes, exact rescore
     # tail. At 100 TB the stages multiply: rows cut by IVF, bytes/row
-    # cut by PQ. pytest pins recall vs brute force.
+    # cut by PQ. Round-9: codes quantize IVF residuals (FAISS's
+    # by_residual default) — A/B in BASELINE.md: 1.5x tighter ADC on
+    # clustered corpora, parity-after-rescore on this near-uniform
+    # fixture. pytest pins recall vs brute force + the residual A/B.
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return similarity.ivf_pq_topk(

@@ -1754,3 +1754,71 @@ def test_ivf_pq_topk_recall_and_determinism(spark, sf_dir):
         emb, "vec_id", "embedding", q, dim=64, k=10, n_probe=6
     ).collect()
     assert [r.vec_id for r in again] == [r.vec_id for r in got]
+
+
+def test_ivf_pq_residual_coding_tightens_adc_on_clustered_data(spark):
+    """Round-9: residual-coded IVFPQ (Jégou et al. 2011 §IV) — pin the
+    regime the lever is FOR. On clustered corpora (the real-world shape)
+    residual codebooks quantize measurably finer than raw-vector ones:
+    ADC error shrinks and the worst true-top-10 candidate ranks higher
+    in the ADC ordering (so a smaller rescore tail suffices). On the
+    near-uniform synthetic embeddings fixture residuals are NOT smaller
+    (mean ||v - c|| = 1.26 > 1 with 16 lists in 64-dim), and raw coding
+    measures mildly better — both measurements recorded in BASELINE.md;
+    the exact-rescore tail absorbs the difference either way."""
+    import numpy as np
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.RandomState(0)
+    dim, n_clusters, per = 64, 16, 128
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per, axis=0) + 0.08 * rng.randn(n_clusters * per, dim)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = np.array(S._train_centroids(df, "vec_id", "embedding", 512, 16, 8, 42))
+    assign = (X @ cent.T).argmax(1)
+    assert np.linalg.norm(X - cent[assign], axis=1).mean() < 0.7  # clustered
+    q = X[7]
+    exact = X @ q
+    stats = {}
+    for residual in (False, True):
+        cbs = [
+            np.asarray(c)
+            for c in S.pq_train(
+                df, "vec_id", "embedding", dim, m=16, k_codes=32,
+                centroids=cent if residual else None,
+            )
+        ]
+        base = X - cent[assign] if residual else X
+        codes = np.stack(
+            [
+                np.argmax(base[:, j * 4:(j + 1) * 4] @ cb.T - 0.5 * (cb * cb).sum(1), axis=1)
+                for j, cb in enumerate(cbs)
+            ],
+            axis=1,
+        )
+        adc = np.zeros(len(X))
+        for j, cb in enumerate(cbs):
+            adc += (q[j * 4:(j + 1) * 4] @ cb.T)[codes[:, j]]
+        if residual:
+            adc += (cent @ q)[assign]
+        rank = np.argsort(np.argsort(-adc))
+        true10 = np.argsort(-exact)[:10]
+        stats[residual] = (np.abs(adc - exact).mean(), rank[true10].max())
+    # residual ADC is tighter AND ranks the true candidates higher
+    assert stats[True][0] < stats[False][0], stats
+    assert stats[True][1] < stats[False][1], stats
+    # measured at seed 0: err 0.042 -> 0.028, worst-rank 92 -> 47; leave
+    # slack for BLAS noise but pin the ~1.3x+ improvement
+    assert stats[True][0] < 0.85 * stats[False][0], stats
+    # end-to-end: the residual path returns the exact self-match first
+    qdf = spark.createDataFrame([(X[7].tolist(),)], "q array<double>")
+    got = S.ivf_pq_topk(df, "vec_id", "embedding", qdf, dim=64, k=5, n_probe=16).collect()
+    assert got[0].vec_id == 7 and abs(got[0].score - 1.0) < 1e-6
