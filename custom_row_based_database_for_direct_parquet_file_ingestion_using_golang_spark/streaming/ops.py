@@ -172,6 +172,67 @@ def tumbling_hll_registers(
     )
 
 
+def session_hll_registers(
+    events: DataFrame, key_col: str = "event_type",
+    item_col: str = "user_id", gap: str = "2 hours", p: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Round-9: HLL registers per SESSION window — distinct-``item``
+    sketches where the session-window merge and the sketch merge are the
+    same fold. Unlike the tumbling variant, ``bucket`` must NOT be a
+    grouping key here: session windows are data-driven per group, so
+    grouping by (key, bucket) would sessionize each bucket's events
+    independently and split sessions per bucket (a real bug caught by
+    the oracle in round 9). Instead the state is the full register VECTOR
+    — m explicit ``MAX(rho WHERE bucket=i)`` aggregates in ONE streaming
+    aggregation — so merging two sessions (a late-but-in-watermark event
+    bridging two bursts) folds the registers elementwise, which IS the
+    HLL merge. State = exactly m small ints per active (key, session);
+    the watermark closes sessions and drops their state. Output:
+    ``session_start, session_end, <key>, r0..r{m-1}`` (wide); unpivot to
+    (bucket, rho) rows for :func:`..operators.sketch.hll_estimate`. m is
+    capped at 256 columns — at p > 8 use the tumbling form or a custom
+    stateful operator instead."""
+    from ..operators.sketch import HASH_BITS, _check_p, hash60
+
+    _check_p(p)
+    m = 1 << p
+    if m > 256:
+        raise ValueError(
+            "session_hll_registers: p > 8 (m > 256 register columns) — "
+            "use tumbling_hll_registers or applyInPandasWithState"
+        )
+    h = hash60(F.col(item_col).cast("string"))
+    w = F.expr(f"__h DIV {m}")
+    staged = events.select(ts_col, key_col, h.alias("__h")).select(
+        ts_col,
+        key_col,
+        F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("bucket"),
+        (
+            F.lit(HASH_BITS - p + 1)
+            - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+        ).cast("int").alias("__rho"),
+    )
+    return (
+        staged.withWatermark(ts_col, "10 minutes")
+        .groupBy(F.session_window(ts_col, gap), key_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("bucket") == i, F.col("__rho"))
+                ).alias(f"r{i}")
+                for i in range(m)
+            ]
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            *[f"r{i}" for i in range(m)],
+        )
+    )
+
+
 def tumbling_cms(
     events: DataFrame, key_col: str = "user_id",
     width: str = "1 hour", cms_width: int = 256, depth: int = 3,

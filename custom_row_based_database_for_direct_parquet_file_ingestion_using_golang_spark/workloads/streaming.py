@@ -358,6 +358,121 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_hll_users",
+    """
+    WITH g AS (
+      SELECT event_type, ts, user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY event_type
+                                          ORDER BY ts) > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, ts, user_id,
+             SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    w AS (SELECT event_type, sid, MIN(ts) AS session_start
+          FROM s GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, sid,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM s
+    ),
+    r AS (
+      SELECT event_type, sid, h % 128 AS bucket,
+             MAX(54 - CASE WHEN h // 128 = 0 THEN 0
+                      ELSE length(bin(h // 128)) END) AS rho
+      FROM h GROUP BY 1, 2, 3
+    ),
+    z AS (
+      SELECT event_type, sid, CAST(COUNT(*) AS INT) AS v_obs,
+             SUM(1::BIGINT << (54 - rho)) AS zs
+      FROM r GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT event_type, sid, v_obs,
+             CAST(zs + (128 - v_obs) * (1::BIGINT << 54) AS DOUBLE)
+               / (1::BIGINT << 54) AS zd,
+             128 - v_obs AS v_zero
+      FROM z
+    ),
+    est AS (
+      SELECT event_type, sid, v_obs, v_zero,
+             0.7213/(1 + 1.079/128) * 128 * 128 / zd AS e_raw
+      FROM e
+    ),
+    x AS (SELECT event_type, sid,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_cnt
+          FROM s GROUP BY 1, 2)
+    SELECT w.event_type, w.session_start, est.v_obs,
+           round(CASE WHEN e_raw <= 320.0 AND v_zero > 0
+                 THEN 128.0 * ln(128.0 / v_zero) ELSE e_raw END, 2) + 0.0
+             AS hll_est,
+           x.exact_cnt
+    FROM est
+    JOIN x ON est.event_type = x.event_type AND est.sid = x.sid
+    JOIN w ON w.event_type = est.event_type AND w.sid = est.sid
+    """,
+)
+def stream_session_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-window HLL (round 9): distinct users per 2-hour-
+    gap activity burst, per event type, with the register VECTOR as the
+    session state (m explicit MAX aggregates in one streaming
+    aggregation). The deep property: the session-window MERGE (two
+    bursts joined by a late-but-in-watermark event) and the HLL MERGE
+    are the same fold — elementwise max of the registers — so the sketch
+    stays exact under every session-merge the engine performs, where an
+    exact distinct-count state would hold every key seen. (Grouping by
+    bucket instead — the tumbling form's shape — would sessionize each
+    bucket independently and SPLIT sessions; the oracle caught exactly
+    that.) State = m small ints per active (type, session); the
+    watermark closes sessions. The estimate runs batch-side over the
+    unpivoted registers; the oracle replays gaps-and-islands
+    sessionization, registers, AND the estimate bit-for-bit (ties in ts
+    cannot flip an island: equal timestamps have gap 0), with the exact
+    per-session count alongside."""
+    from ..operators import sketch as sk
+    from ..streaming.ops import run_to_memory, session_hll_registers
+    from .registry import load
+
+    m = 128  # p = 7
+    events = read_events_stream(spark, sf_dir)
+    wide = run_to_memory(
+        session_hll_registers(
+            events, "event_type", "user_id", "2 hours", p=7
+        ),
+        mode="complete",
+    )
+    stack = ", ".join(f"'{i}', r{i}" for i in range(m))
+    regs = wide.selectExpr(
+        "event_type",
+        "session_start",
+        f"stack({m}, {stack}) AS (bucket, rho)",
+    ).filter(F.col("rho").isNotNull())
+    est = sk.hll_estimate(
+        regs, p=7, group_cols=["event_type", "session_start"]
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "2 hours"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_cnt"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "event_type",
+            "exact_cnt",
+        )
+    )
+    return est.join(exact, ["event_type", "session_start"]).select(
+        "event_type", "session_start", "v_obs", "hll_est", "exact_cnt"
+    )
+
+
+@query(
     "stream_cms_user_traffic",
     """
     WITH g AS (
