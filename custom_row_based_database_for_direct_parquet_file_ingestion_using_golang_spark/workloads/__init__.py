@@ -19,83 +19,25 @@ from . import sketches  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
 # each round, strictly oldest-evidence-first. Rotation policy (round-7
-# verdict): with 166+ workloads over a 50-slot window the minimum rotation
-# period is ~3.3 rounds, so the target is "no entry's newest driver row
-# more than 3 rounds stale" (new-in-round entries exempt); the lost round-5
-# artifact left a 69-entry r4-or-older backlog that takes r8+r9 to clear.
-# Round-8 curation: (0) the 7 new-in-round-8 entries; (1) the 27 entries
-# whose newest driver row is r2/r3 — the oldest evidence on disk; (2) 16
-# picked from the 42-entry r4-green block, preferring operator families
-# with no fresher in-window sibling (streaming core, ANN/LSH/simhash
-# rows-only pins, z-order, packing, BM25). The 26 unpicked r4 entries
-# lead the r9 window, then the r6 block. Every name must exist in QUERIES;
+# verdict): with 200+ workloads over a 50-slot window the minimum rotation
+# period is ~4 rounds, so the target is "no entry's newest driver row
+# more than 3-4 rounds stale" (new-in-round entries exempt). Round-9
+# curation: (0) the 3 new-in-round-9 entries; (1) the 34 round-8 additions
+# that debuted BELOW the r8 boundary — the only registry entries with zero
+# driver evidence (sketches, PQ/IVFPQ ANN, weighted sampling, events
+# analytics, 8 dialect verbs); (2) 13 picks from the 26-entry r4-green
+# block, per the round-8 verdict's order (text_*, stream session/sliding,
+# q16/q19/q20/q21, agg_count_distinct). The 13 unpicked r4 entries MUST
+# lead the r10 window (they will be 6 rounds stale), then the r6-green
+# block (3 rounds stale at r9). Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
 # entry from the gate window.
 PRIORITY: list[str] = [
-    # (0) new in round 8.
-    "refsql_window_value_functions",
-    "refsql_merge_source_delete",
-    "skew_salted_join",
-    "crossmodal_image_text_neardup",
-    "embedding_similarity_join",
-    "refsql_string_agg",
-    "refsql_filtered_agg",
-    # (1) r2-green — 6 rounds stale, oldest evidence in the registry.
-    "cube_status_priority",
-    "embedding_norms_stats",
-    "json_extract_props",
-    "sample_hash_deterministic",
-    "split_train_eval_stratified",
-    "text_fingerprints",
-    # (1) r3-green — 5 rounds stale.
-    "agg_global",
-    "distinct_values",
-    "filter_like",
-    "filter_not_and_or",
-    "join_anti_not_exists",
-    "join_outer_suppliers_per_nation",
-    "join_semi_exists",
-    "order_limit_offset",
-    "pipeline_curate_corpus",
-    "projection_alias",
-    "q10_returned_revenue_top20",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "setop_union_intersect_except",
-    "subquery_above_avg",
-    # (2) r4-green picks — 4 rounds stale; families with no fresher
-    # in-window sibling first (streaming core, ANN/LSH/simhash, z-order,
-    # packing, BM25, exact-dedup survivors, weak typing).
-    "stream_tumbling_counts",
-    "stream_stream_join",
-    "stream_stateful_user_totals",
-    "ann_brute_force_top10",
-    "ann_ivf_top10",
-    "ann_lsh_top10",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "zorder_optimized_scan",
-    "q01_pricing_summary",
-    "window_topk_per_group",
-    "bm25_top10",
-    "corpus_pack_sequences",
-    "dedup_exact_survivors",
-    "similar_pairs_top15",
-    "weak_typing_filter",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the round-8 entries the 50-slot budget could not seat (every
-    # name from here to "agg_count_distinct" — they debut with pytest
-    # pins only and MUST get their first driver row in r9), then the 26
-    # unpicked r4-green entries (4 rounds stale — they lead the r9
-    # window with them), then the r6-green block (2 rounds stale at r8,
-    # fills r9/r10), then r7-green, then everything unlisted in
-    # registration order.
+    # (0) new in round 9.
+    "refsql_correlated_scalar",
+    "refsql_in_or_membership",
+    "stream_session_hll_users",
+    # (1) round-8 additions with NO driver row yet — first-ever checks.
     "corpus_shuffle_shards",
     "dedup_incremental_lsh",
     "ann_pq_top10",
@@ -130,7 +72,26 @@ PRIORITY: list[str] = [
     "events_transition_matrix",
     "events_rfm_segments",
     "corpus_dup_rate_by_source",
+    # (2) r4-green picks — 5 rounds stale (the round-8 verdict's order).
+    "text_lang_breakdown",
+    "text_pii_redact",
+    "text_quality_scores",
+    "text_repetition_ratio",
+    "text_token_stats",
+    "text_type_token_ratio",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_sole_late_suppliers",
     "agg_count_distinct",
+    # -- ~50-slot window boundary (50 entries above this line). Below:
+    # first the 13 r4-green entries the 50-slot budget could not seat —
+    # their newest driver row is r4, they will be 6 rounds stale at r10
+    # and MUST lead the r10 window; then the r6-green block (3 rounds
+    # stale at r9, fills r10); then the former r8-window entries (r8-green,
+    # 1 round stale) and everything unlisted in registration order.
     "agg_group_having",
     "agg_percentiles",
     "asof_click_to_purchase",
@@ -142,21 +103,9 @@ PRIORITY: list[str] = [
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_image_features",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_sole_late_suppliers",
     "refsql_group_having_order",
     "stream_dedup_within_watermark",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "text_lang_breakdown",
-    "text_pii_redact",
-    "text_quality_scores",
-    "text_repetition_ratio",
-    "text_token_stats",
-    "text_type_token_ratio",
-    # r6-green (2 rounds stale at r8).
+    # r6-green (3 rounds stale at r9).
     "range_join_follow_events",
     "merge_upsert_orders",
     "tfidf_top3_terms",
@@ -205,6 +154,57 @@ PRIORITY: list[str] = [
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
     "ann_quantized_top10",
+    # former r8 window (r8-green, 1 round stale) — r11 material.
+    "refsql_window_value_functions",
+    "refsql_merge_source_delete",
+    "skew_salted_join",
+    "crossmodal_image_text_neardup",
+    "embedding_similarity_join",
+    "refsql_string_agg",
+    "refsql_filtered_agg",
+    "cube_status_priority",
+    "embedding_norms_stats",
+    "json_extract_props",
+    "sample_hash_deterministic",
+    "split_train_eval_stratified",
+    "text_fingerprints",
+    "agg_global",
+    "distinct_values",
+    "filter_like",
+    "filter_not_and_or",
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "join_semi_exists",
+    "order_limit_offset",
+    "pipeline_curate_corpus",
+    "projection_alias",
+    "q10_returned_revenue_top20",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "setop_union_intersect_except",
+    "subquery_above_avg",
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_stateful_user_totals",
+    "ann_brute_force_top10",
+    "ann_ivf_top10",
+    "ann_lsh_top10",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "zorder_optimized_scan",
+    "q01_pricing_summary",
+    "window_topk_per_group",
+    "bm25_top10",
+    "corpus_pack_sequences",
+    "dedup_exact_survivors",
+    "similar_pairs_top15",
+    "weak_typing_filter",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
