@@ -2474,17 +2474,31 @@ class RefSQL:
             # do" on an engine whose execution IS the plan.
             cur.expect_kw("explain")
             analyze = False
+            estimate = False
             if cur.peek_kw() == "analyze":
                 # ``EXPLAIN ANALYZE SELECT ...`` — EXECUTE the query, then
                 # return the final (AQE-resolved) plan with runtime
                 # metrics: actual row counts per operator, not estimates.
                 cur.next()
                 analyze = True
+            elif cur.peek_kw() == "estimate":
+                # Round-9: ``EXPLAIN ESTIMATE SELECT ...`` — cost estimates
+                # WITHOUT executing anything: Catalyst's CBO statistics for
+                # the optimized plan (rows/bytes), plus per-scan parquet
+                # FOOTER stats (row counts, compressed bytes, and the byte
+                # share of the pruned ReadSchema columns — metadata-only
+                # reads, zero row groups touched). The number that matters
+                # at 100 TB: how many bytes the column pruning actually
+                # saves before you pay for the scan.
+                cur.next()
+                estimate = True
             if cur.peek_kw() != "select":
                 raise ParseError("EXPLAIN supports SELECT statements")
             plan_df = self._select_df(cur)
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
+            if estimate:
+                return _estimate_report(plan_df)
             if analyze:
                 n = plan_df.count()  # run it; metrics land on the plan
                 plan = plan_df._jdf.queryExecution().executedPlan().toString()
@@ -3158,3 +3172,85 @@ def _split_correlated(
             )
         )
     return head, local, pairs
+
+
+def _estimate_report(df: DataFrame) -> str:
+    """``EXPLAIN ESTIMATE`` body (round-9): pre-execution cost estimates,
+    metadata-only. Two sources, clearly labeled:
+
+    * Catalyst CBO plan statistics for the optimized plan — sizeInBytes
+      always, rowCount when the plan carries it (filters make it vanish
+      without ANALYZE-collected table stats; we report 'unknown' rather
+      than inventing a selectivity).
+    * Parquet FOOTER stats per scan: exact row counts, compressed bytes,
+      and the byte share of the pruned ReadSchema columns (one pyarrow
+      metadata read per file — zero row groups, zero data pages). This is
+      the 100-TB-relevant number: bytes the scan will actually read after
+      column pruning, before any row filtering.
+    """
+    import re as _re
+
+    from .inspect import plan_text
+
+    qe = df._jdf.queryExecution()
+    stats = qe.optimizedPlan().stats()
+    size = int(str(stats.sizeInBytes()))
+    rc = stats.rowCount()
+    rows = None if rc.isEmpty() else int(str(rc.get()))
+    lines = [
+        "== Estimate (pre-execution, metadata-only) ==",
+        (
+            "plan output (Catalyst CBO): "
+            f"rows={rows if rows is not None else 'unknown'}, "
+            f"sizeInBytes={size}"
+        ),
+    ]
+    text = plan_text(df)
+    # Formatted scan blocks: 'Location: InMemoryFileIndex ... [file:/...]'
+    # then 'ReadSchema: struct<col:type,...>' in the same block, in order.
+    locs = _re.findall(r"Location:.*?\[([^\]]+)\]", text)
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    for loc, sch in zip(locs, schemas):
+        path = loc.split(",")[0].strip()
+        path = path.removeprefix("file:")
+        read_cols = {
+            c.split(":", 1)[0].strip() for c in sch.split(",") if c.strip()
+        }
+        try:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            files = (
+                sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                if _os.path.isdir(path)
+                else [path]
+            )
+            n_rows = 0
+            total_b = 0
+            read_b = 0
+            n_cols = 0
+            for f in files:
+                md = _pq.ParquetFile(f).metadata
+                n_rows += md.num_rows
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                n_cols = max(n_cols, md.num_columns)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for i in range(md.num_columns):
+                        b = rg.column(i).total_compressed_size
+                        total_b += b
+                        if names[i] in read_cols:
+                            read_b += b
+            pct = (100.0 * read_b / total_b) if total_b else 0.0
+            lines.append(
+                f"scan {path}: {n_rows} rows, {total_b} B compressed; "
+                f"reads {len(read_cols)}/{n_cols} columns "
+                f"≈ {read_b} B ({pct:.1f}%) after pruning"
+            )
+        except Exception as e:  # footer unreadable — report, don't fail
+            lines.append(f"scan {path}: footer stats unavailable ({e})")
+    return "\n".join(lines)

@@ -2169,3 +2169,42 @@ def test_correlated_scalar_and_boolean_in(spark, tmp_path):
             "SELECT id FROM emp AS o WHERE sal > "
             "(SELECT AVG(i.sal) FROM emp AS i WHERE i.sal < o.sal)"
         )
+
+
+def test_explain_estimate_reports_footer_stats(spark, sf_dir):
+    """Round-9: EXPLAIN ESTIMATE — pre-execution cost estimates from
+    Catalyst CBO stats + parquet footers (metadata-only; zero row groups
+    read). Footer numbers are pinned against pyarrow directly."""
+    import pyarrow.parquet as pq
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        RefSQL,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _SfTables,
+    )
+
+    eng = RefSQL(_SfTables(spark, sf_dir))
+    out = eng.execute(
+        "EXPLAIN ESTIMATE SELECT l_quantity FROM lineitem "
+        "WHERE l_quantity > 30"
+    )
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    assert "== Estimate (pre-execution, metadata-only) ==" in out
+    assert "sizeInBytes=" in out
+    assert f"{md.num_rows} rows" in out  # exact footer row count
+    assert f"reads 1/{md.num_columns} columns" in out  # pruning visible
+    # the pruned byte share is strictly partial
+    import re
+
+    pct = float(re.search(r"\((\d+\.\d)%\) after pruning", out).group(1))
+    assert 0.0 < pct < 100.0, out
+    # join: one scan line per base table
+    out2 = eng.execute(
+        "EXPLAIN ESTIMATE SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    assert out2.count("scan ") == 2, out2
+    # non-SELECT still rejected
+    with pytest.raises(ParseError, match="EXPLAIN supports SELECT"):
+        eng.execute("EXPLAIN ESTIMATE SHOW TABLES")
