@@ -147,6 +147,13 @@ EXPR_AGG_FUNCS = {
     "variance", "var_samp", "var_pop", "corr", "covar_samp", "covar_pop",
     "approx_count_distinct",
     "string_agg", "listagg",  # round-8; ORDER BY → WITHIN GROUP rewrite
+    # Round-9: selector aggregates. arg_max/arg_min are DuckDB's names —
+    # rewritten to Spark's max_by/min_by at capture (same function, both
+    # engines document the argument order identically). Ties are
+    # nondeterministic in BOTH engines; oracle workloads must pick
+    # tie-free keys. mode() is deterministic in neither on multimodal
+    # input; any_value is nondeterministic by definition.
+    "max_by", "min_by", "arg_max", "arg_min", "any_value", "mode",
 }
 WINDOW_FUNCS = {
     "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
@@ -826,6 +833,10 @@ def parse_select(
                     depth -= 1
                 buf.append(t if _is_string_lit(t) else _unquote_bare(t))
             text = " ".join(buf)
+            if low in ("arg_max", "arg_min"):
+                # DuckDB spelling → Spark's max_by/min_by (identical
+                # semantics and argument order in both engines' docs).
+                text = ("max_by" if low == "arg_max" else "min_by") + text[len(low):]
             if low in ("string_agg", "listagg"):
                 # Round-8: STRING_AGG(expr, sep [ORDER BY key [DESC]]).
                 # DuckDB takes the ORDER BY inside the call; Spark's
@@ -1543,14 +1554,35 @@ def _window_column(
         if len(args) != 1:
             raise ParseError("ntile(n) takes exactly one argument")
         return F.ntile(int(args[0])).over(w)
+    def _ignore_nulls(arg: str) -> tuple[str, bool]:
+        # Round-9: in-call ``IGNORE NULLS`` (the DuckDB-portable spelling:
+        # ``last_value(x IGNORE NULLS)``) for the value window functions
+        # — the LOCF primitive. Spark exposes it as the ignoreNulls param.
+        low_a = arg.lower()
+        if low_a.endswith(" ignore nulls"):
+            return arg[: -len(" ignore nulls")].strip(), True
+        return arg, False
+
     if fn in ("first_value", "last_value"):
         if len(args) != 1:
             raise ParseError(f"{fn}(col) takes exactly one argument")
-        return getattr(F, fn)(arg_col(args[0])).over(w)
+        a0, ign = _ignore_nulls(args[0])
+        col = (
+            getattr(F, fn)(arg_col(a0), ignoreNulls=True)
+            if ign
+            else getattr(F, fn)(arg_col(a0))
+        )
+        return col.over(w)
     if fn == "nth_value":
         if len(args) != 2:
             raise ParseError("nth_value(col, n) takes exactly two arguments")
-        return F.nth_value(arg_col(args[0]), int(args[1])).over(w)
+        a0, ign = _ignore_nulls(args[0])
+        col = (
+            F.nth_value(arg_col(a0), int(args[1]), ignoreNulls=True)
+            if ign
+            else F.nth_value(arg_col(a0), int(args[1]))
+        )
+        return col.over(w)
     # aggregate-over-window: count/sum/avg/min/max
     if len(args) != 1:
         raise ParseError(f"{fn}() takes exactly one argument")
@@ -2113,8 +2145,6 @@ class RefSQL:
             if cur.peek_kw() == "all":
                 cur.next()
                 keep_dups = True
-                if op == "intersect":
-                    raise ParseError("INTERSECT ALL is not supported")
             spec2, _, clauses2 = parse_select(
                 cur, self.weak, resolver=self._scalar
             )
@@ -2151,7 +2181,9 @@ class RefSQL:
                 if not keep_dups:
                     acc = acc.dropDuplicates()
             elif op == "intersect":
-                acc = acc.intersect(nxt)
+                # Round-9: INTERSECT ALL — multiset semantics (min
+                # multiplicity per row), Spark's intersectAll ≡ ANSI.
+                acc = acc.intersectAll(nxt) if keep_dups else acc.intersect(nxt)
             else:  # except
                 acc = acc.exceptAll(nxt) if keep_dups else acc.subtract(nxt)
         q = Query(acc)

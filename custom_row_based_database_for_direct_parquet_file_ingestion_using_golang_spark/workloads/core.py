@@ -1527,3 +1527,80 @@ def refsql_in_or_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c_acctbal > 8000)) OR o_totalprice > 300000 "
         "GROUP BY o_orderpriority ORDER BY o_orderpriority",
     )
+
+
+@query(
+    "refsql_arg_max_orders",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           max(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def refsql_arg_max_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: selector aggregates through the dialect — arg_max/arg_min
+    # (DuckDB's names, rewritten to Spark's max_by/min_by at capture;
+    # identical documented semantics). Ties would be nondeterministic in
+    # BOTH engines, so the workload keys on o_totalprice extremes, which
+    # are verified tie-free per priority group at sf0.001/0.01/0.1.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderpriority, "
+        "ARG_MAX(o_orderkey, o_totalprice) AS top_order, "
+        "ARG_MIN(o_orderkey, o_totalprice) AS bottom_order, "
+        "MAX(o_totalprice) AS top_price "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+
+
+@query(
+    "refsql_intersect_all",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT o_orderkey AS l_orderkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def refsql_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: INTERSECT ALL — multiset intersection (min multiplicity
+    # per value: an order key appearing for k qualifying lineitems and
+    # once on the orders side survives exactly min(k, 1) times). Spark's
+    # intersectAll and DuckDB's INTERSECT ALL are both the ANSI multiset
+    # form; the value hash sees the duplicate rows, so multiplicity is
+    # checked, not just membership.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45 "
+        "INTERSECT ALL "
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000",
+    )
+
+
+@query(
+    "refsql_locf_ignore_nulls",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN value > 50 THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS locf
+    FROM events
+    """,
+)
+def refsql_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: in-call IGNORE NULLS (the DuckDB-portable spelling) on the
+    # value window functions — the LOCF primitive: carry the last
+    # above-threshold reading forward per user. event_id breaks ORDER BY
+    # ties so the window is total and both engines walk identical row
+    # orders. Delivered UNROUNDED: the carried value is an exact input
+    # double (no arithmetic), so both engines emit identical bits.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT event_id, user_id, "
+        "LAST_VALUE(CASE WHEN value > 50 THEN value END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS locf "
+        "FROM events",
+    )

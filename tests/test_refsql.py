@@ -2208,3 +2208,50 @@ def test_explain_estimate_reports_footer_stats(spark, sf_dir):
     # non-SELECT still rejected
     with pytest.raises(ParseError, match="EXPLAIN supports SELECT"):
         eng.execute("EXPLAIN ESTIMATE SHOW TABLES")
+
+
+def test_selector_aggs_intersect_all_ignore_nulls(spark, tmp_path):
+    """Round-9 dialect additions: ARG_MAX/ARG_MIN (DuckDB names -> Spark
+    max_by/min_by), INTERSECT ALL multiset semantics, and in-call
+    IGNORE NULLS on the value window functions."""
+    e = Engine(spark, str(tmp_path / "r9d"))
+    e.ref_sql("CREATE TABLE m (g TEXT, k INT, v INT)")
+    for g, k, v in [("a", 1, 10), ("a", 2, 30), ("b", 3, 5), ("b", 4, 50)]:
+        e.ref_sql(f"INSERT INTO m VALUES ('{g}', {k}, {v})")
+    rows = e.ref_sql(
+        "SELECT g, ARG_MAX(k, v) AS hi, ARG_MIN(k, v) AS lo, "
+        "ANY_VALUE(g) AS av FROM m GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r.g, r.hi, r.lo) for r in rows] == [("a", 2, 1), ("b", 4, 3)]
+    assert all(r.av == r.g for r in rows)
+    # INTERSECT ALL keeps min multiplicity: {1,1,2} ∩all {1,1,1} = {1,1}
+    e.ref_sql("CREATE TABLE ia (x INT)")
+    e.ref_sql("CREATE TABLE ib (x INT)")
+    for x in (1, 1, 2):
+        e.ref_sql(f"INSERT INTO ia VALUES ({x})")
+    for x in (1, 1, 1):
+        e.ref_sql(f"INSERT INTO ib VALUES ({x})")
+    got = [
+        r.x
+        for r in e.ref_sql(
+            "SELECT x FROM ia INTERSECT ALL SELECT x FROM ib"
+        ).collect()
+    ]
+    assert sorted(got) == [1, 1]
+    # plain INTERSECT still deduplicates
+    assert (
+        e.ref_sql("SELECT x FROM ia INTERSECT SELECT x FROM ib").count() == 1
+    )
+    # IGNORE NULLS carries the last non-null; without it, NULL wins
+    e.ref_sql("CREATE TABLE ln (i INT, x INT)")
+    for i, x in [(1, 10), (2, None), (3, None), (4, 40)]:
+        e.ref_sql(f"INSERT INTO ln VALUES ({i}, {'NULL' if x is None else x})")
+    rows = e.ref_sql(
+        "SELECT i, LAST_VALUE(x IGNORE NULLS) OVER (ORDER BY i) AS l, "
+        "LAST_VALUE(x) OVER (ORDER BY i) AS raw, "
+        "NTH_VALUE(x IGNORE NULLS, 2) OVER (ORDER BY i) AS n2 FROM ln "
+        "ORDER BY i"
+    ).collect()
+    assert [r.l for r in rows] == [10, 10, 10, 40]
+    assert [r.raw for r in rows] == [10, None, None, 40]
+    assert [r.n2 for r in rows] == [None, None, None, 40]
