@@ -101,8 +101,10 @@ class Engine:
         self.store = ParquetTableStore(spark, root, keep_snapshots=keep_snapshots)
         self.image_dir = image_dir or ""
         from .matview import MaterializedViews
+        from .vecindex import VectorIndexes
 
         self.mviews = MaterializedViews(self)
+        self.vindexes = VectorIndexes(self)
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the table as of a retired snapshot (requires the

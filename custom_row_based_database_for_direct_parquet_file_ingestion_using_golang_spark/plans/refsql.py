@@ -2368,14 +2368,42 @@ class RefSQL:
                     )
                 self.engine.mviews.drop(name)
                 return None
+            if cur.peek_kw() == "vector":
+                cur.next()
+                cur.expect_kw("index")
+                name = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after DROP "
+                        "VECTOR INDEX"
+                    )
+                self.engine.vindexes.drop(name)
+                return None
             cur.expect_kw("table")
             self.engine.drop_table(_unquote(cur.next()))
             return None
         if verb == "refresh":
             # Dialect extension: ``REFRESH MATERIALIZED VIEW mv`` —
             # incremental maintenance from the base table's new parquet
-            # files (full recompute iff the base was rewritten).
+            # files (full recompute iff the base was rewritten). Round-9:
+            # ``REFRESH VECTOR INDEX vi [RETRAIN]`` — re-assign the
+            # current table against the existing quantizer (RETRAIN
+            # re-trains it first, the drift lever).
             cur.expect_kw("refresh")
+            if cur.peek_kw() == "vector":
+                cur.next()
+                cur.expect_kw("index")
+                name = _unquote(cur.next())
+                retrain = False
+                if cur.peek_kw() == "retrain":
+                    cur.next()
+                    retrain = True
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after REFRESH "
+                        "VECTOR INDEX"
+                    )
+                return self.engine.vindexes.refresh(name, retrain=retrain)
             cur.expect_kw("materialized")
             cur.expect_kw("view")
             name = _unquote(cur.next())
@@ -2384,6 +2412,40 @@ class RefSQL:
                     f"unexpected token {cur.peek()!r} after REFRESH"
                 )
             return self.engine.mviews.refresh(name)
+        if verb == "search":
+            # Round-9: ``SEARCH vi [K n] [PROBE p] USING SELECT <vec> FROM
+            # ...`` — query a persistent vector index; the USING subquery
+            # must yield exactly one row with one array column (the query
+            # vector). Returns the top-k DataFrame (id, exact cosine).
+            cur.expect_kw("search")
+            name = _unquote(cur.next())
+            k, n_probe = 10, 4
+            if cur.peek_kw() == "k":
+                cur.next()
+                k = int(cur.next())
+            if cur.peek_kw() == "probe":
+                cur.next()
+                n_probe = int(cur.next())
+            cur.expect_kw("using")
+            if cur.peek_kw() != "select":
+                raise ParseError("SEARCH ... USING needs a SELECT")
+            qdf = self._select_df(cur)
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after SEARCH"
+                )
+            if len(qdf.columns) != 1:
+                raise ParseError(
+                    "the SEARCH query must select exactly one vector column"
+                )
+            rows = qdf.limit(2).collect()
+            if len(rows) != 1 or rows[0][0] is None:
+                raise ParseError(
+                    "the SEARCH query must yield exactly one non-null row"
+                )
+            return self.engine.vindexes.search(
+                name, list(rows[0][0]), k=k, n_probe=n_probe
+            )
         if verb == "show":
             if len(toks) >= 2 and toks[1].lower() == "materialized":
                 cur.next()
@@ -2395,6 +2457,16 @@ class RefSQL:
                         "MATERIALIZED VIEWS"
                     )
                 return self.engine.mviews.names() or ["(no materialized views)"]
+            if len(toks) >= 2 and toks[1].lower() == "vector":
+                cur.next()
+                cur.next()
+                cur.expect_kw("indexes")
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after SHOW "
+                        "VECTOR INDEXES"
+                    )
+                return self.engine.vindexes.names() or ["(no vector indexes)"]
             if len(toks) >= 2 and toks[1].lower() == "versions":
                 # SHOW VERSIONS FOR t: list the retired snapshot numbers a
                 # VERSION AS OF query can read (companion to time travel).
@@ -3021,6 +3093,39 @@ class RefSQL:
                 raise ParseError("CREATE MATERIALIZED VIEW needs AS SELECT ...")
             cur.i = len(cur.toks)
             self.engine.mviews.create(name, " ".join(rest))
+            return None
+        if cur.peek_kw() == "vector":
+            # Round-9: ``CREATE VECTOR INDEX vi ON t (vec_col) ID id_col
+            # [CENTROIDS n]`` — persistent IVF index through the catalog
+            # (vecindex.py): inverted lists as list_id-partitioned
+            # parquet, the quantizer's centroids as registry metadata.
+            cur.next()
+            cur.expect_kw("index")
+            name = _unquote(cur.next())
+            cur.expect_kw("on")
+            table = _unquote(cur.next())
+            if cur.next() != "(":
+                raise ParseError("expected '(<vector column>)' after table")
+            vec_col = _unquote(cur.next())
+            if cur.next() != ")":
+                raise ParseError("expected ')' after the vector column")
+            cur.expect_kw("id")
+            id_col = _unquote(cur.next())
+            n_centroids = 16
+            if cur.peek_kw() == "centroids":
+                cur.next()
+                try:
+                    n_centroids = int(cur.next())
+                except ValueError:
+                    raise ParseError("CENTROIDS takes an integer")
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after CREATE VECTOR "
+                    "INDEX"
+                )
+            self.engine.vindexes.create(
+                name, table, id_col, vec_col, n_centroids=n_centroids
+            )
             return None
         cur.expect_kw("table")
 

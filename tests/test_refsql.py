@@ -2255,3 +2255,60 @@ def test_selector_aggs_intersect_all_ignore_nulls(spark, tmp_path):
     assert [r.l for r in rows] == [10, 10, 10, 40]
     assert [r.raw for r in rows] == [10, None, None, 40]
     assert [r.n2 for r in rows] == [None, None, None, 40]
+
+
+def test_vector_index_lifecycle_through_dialect(spark, tmp_path, sf_dir):
+    """Round-9: persistent IVF indexes through the catalog — CREATE/SHOW/
+    SEARCH/REFRESH [RETRAIN]/DROP VECTOR INDEX, with the quantizer stored
+    as registry metadata and the inverted lists as list_id-partitioned
+    parquet. Survives an engine restart (fresh instance, same root)."""
+    e = Engine(spark, str(tmp_path / "vidx"))
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.ref_sql("CREATE VECTOR INDEX vi ON embeddings (embedding) ID vec_id CENTROIDS 16")
+    assert e.ref_sql("SHOW VECTOR INDEXES") == ["vi"]
+    got = e.ref_sql(
+        "SEARCH vi K 5 PROBE 16 USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    assert got[0].vec_id == 7 and got[0].score == pytest.approx(1.0)
+    assert len(got) == 5
+    # full probe == brute force (pruning removed, rescore is exact cosine)
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+
+    emb = e.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(emb, "vec_id", "embedding", q, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+    # restart: a fresh engine on the same root reloads quantizer + lists
+    e2 = Engine(spark, str(tmp_path / "vidx"))
+    again = e2.ref_sql(
+        "SEARCH vi K 5 PROBE 16 USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in got]
+    # refresh picks up appended rows against the EXISTING quantizer
+    dim = len(emb.select("embedding").first()[0])
+    newvec = [1.0] + [0.0] * (dim - 1)
+    e2.insert_rows(
+        "embeddings",
+        [{"vec_id": 999999, "embedding": newvec, "label": 0}],
+    )
+    msg = e2.ref_sql("REFRESH VECTOR INDEX vi")
+    assert "existing quantizer" in msg
+    hit = e2.vindexes.search("vi", newvec, k=1, n_probe=16).collect()
+    assert hit[0].vec_id == 999999 and hit[0].score == pytest.approx(1.0)
+    # retrain is the drift lever
+    assert "retrained" in e2.ref_sql("REFRESH VECTOR INDEX vi RETRAIN")
+    # error contract
+    with pytest.raises(ValueError, match="already exists"):
+        e2.vindexes.create("vi", "embeddings", "vec_id", "embedding")
+    with pytest.raises(ValueError, match="no such vector index"):
+        e2.vindexes.search("nope", newvec)
+    with pytest.raises(ValueError, match="no column"):
+        e2.vindexes.create("v2", "embeddings", "vec_id", "missing_col")
+    e2.ref_sql("DROP VECTOR INDEX vi")
+    assert e2.ref_sql("SHOW VECTOR INDEXES") == ["(no vector indexes)"]
