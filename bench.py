@@ -104,10 +104,15 @@ BENCH_QUERIES = [
     "crossmodal_image_text_neardup",
     "sketch_hll_distinct",
     "sample_weighted_aes",
+    # round-9 additions
+    "refsql_correlated_scalar",
+    "refsql_in_or_membership",
+    "sketch_hist_quantiles_grouped",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_stream_join",
+    "stream_session_hll_users",
 ]
 
 # Queries that showed 2-4× run-to-run swings on the shared VM in past
@@ -181,6 +186,12 @@ KNOWN_FLOORS_SF01 = {
     # round-8 sketch/sampling additions (3 warm passes, loadavg ~1.2):
     "sketch_hll_distinct": 0.66,
     "sample_weighted_aes": 0.29,
+    # round-9 additions (floors from the r9 rehearsal, sentinel 1.00,
+    # loadavg < 1):
+    "refsql_correlated_scalar": 0.36,
+    "refsql_in_or_membership": 0.50,
+    "sketch_hist_quantiles_grouped": 1.66,
+    "stream_session_hll_users": 2.72,
 }
 
 

@@ -440,3 +440,37 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+@query(
+    "events_ohlc_bars",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           arg_min(value, ts) AS open, max(value) AS high,
+           min(value) AS low, arg_max(value, ts) AS close,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: OHLC bars — the time-series resample every metrics store
+    # ships (open/high/low/close per day per series), expressed with the
+    # new selector aggregates through the dialect: open/close are
+    # ARG_MIN/ARG_MAX of value keyed on ts. Deterministic because event
+    # timestamps are globally UNIQUE at every fixture scale (verified
+    # sf0.001/0.01/0.1) — on real data, key on a (ts, id) composite.
+    # Delivered unrounded: every output is an exact input double (no
+    # arithmetic), bit-identical cross-engine. date_trunc is the same
+    # function name and semantics in Spark and DuckDB, so the dialect SQL
+    # and the oracle SQL are the identical text.
+    from .core import _ref_select
+
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day, "
+        "ARG_MIN(value, ts) AS open, MAX(value) AS high, "
+        "MIN(value) AS low, ARG_MAX(value, ts) AS close, "
+        "COUNT(*) AS n_events "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    )

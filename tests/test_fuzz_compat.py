@@ -288,3 +288,59 @@ def test_recursive_cte_matches_duckdb_fuzz(spark, tmp_path):
         got = [r.node for r in e.ref_sql(sql).collect()]
         want = [r[0] for r in con.execute(sql).fetchall()]
         assert got == want, f"trial {trial} start={start}: {got} != {want}"
+
+
+def test_correlated_scalar_and_bool_in_match_duckdb_fuzz(spark, tmp_path):
+    """Round-9 differential fuzz: correlated scalar subqueries (the
+    group+left-join decorrelation) and parenthesized IN-subquery
+    membership under OR/NOT, run through the DIALECT and through DuckDB's
+    native subquery engine over byte-identical parquet."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    frng = random.Random(909)
+    rows = [
+        (
+            i,
+            frng.choice(["a", "b", "c", "d", "e"]),
+            frng.randint(0, 100),
+        )
+        for i in range(500)
+    ]
+    pq = str(tmp_path / "cs.parquet")
+    spark.createDataFrame(rows, ["id", "g", "v"]).coalesce(1).write.parquet(pq)
+    e = Engine(spark, str(tmp_path / "csdb"))
+    e.ingest_parquet(pq, "t")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    aggs = ["AVG(i.v)", "MAX(i.v)", "MIN(i.v)", "SUM(i.v)", "COUNT(i.id)"]
+    for trial in range(8):
+        agg = frng.choice(aggs)
+        thr = frng.randint(0, 100)
+        local = frng.randint(0, 80)
+        # correlated scalar with a local conjunct, inside arithmetic
+        sql = (
+            "SELECT id FROM t AS o WHERE v * 2 > "
+            f"1 + (SELECT {agg} FROM t AS i WHERE i.g = o.g "
+            f"AND i.v < {local}) ORDER BY id"
+        )
+        got = [r.id for r in e.ref_sql(sql).collect()]
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial}: {sql}"
+        # boolean IN membership under OR and NOT
+        sql2 = (
+            "SELECT COUNT(*) AS n FROM t WHERE "
+            f"(g IN (SELECT g FROM t WHERE v > {thr})) OR v < {local % 20}"
+        )
+        sql3 = (
+            "SELECT COUNT(*) AS n FROM t WHERE "
+            f"NOT (v IN (SELECT v FROM t WHERE g = 'a' AND v > {thr}))"
+        )
+        for sql_b in (sql2, sql3):
+            got_n = e.ref_sql(sql_b).collect()[0][0]
+            want_n = con.execute(sql_b).fetchone()[0]
+            assert got_n == want_n, f"trial {trial}: {sql_b}"
