@@ -688,6 +688,9 @@ class ExprParser:
 class SelectSpec:
     table: str
     distinct: bool = False
+    # Round-9: SELECT DISTINCT ON (cols) — first row per group by the
+    # statement's ORDER BY (the DuckDB/Postgres top-1-per-group verb).
+    distinct_on: list[str] = field(default_factory=list)
     projections: list[tuple[str, str | None]] = field(default_factory=list)  # (item, alias)
     aggregates: list[tuple[str, str, str | None]] = field(default_factory=list)  # (fn, col, alias)
     star: bool = False
@@ -794,7 +797,23 @@ def parse_select(
     spec = SelectSpec(table="")
     if cur.peek_kw() == "distinct":
         cur.next()
-        spec.distinct = True
+        if cur.peek_kw() == "on":
+            # Round-9: DISTINCT ON (c1, ...) — first row per group by the
+            # ORDER BY (compiled to a row_number window + rank-1 filter).
+            cur.next()
+            if cur.next() != "(":
+                raise ParseError("expected '(' after DISTINCT ON")
+            while True:
+                t = cur.next()
+                if t == ")":
+                    break
+                if t == ",":
+                    continue
+                spec.distinct_on.append(_unquote(t))
+            if not spec.distinct_on:
+                raise ParseError("DISTINCT ON needs at least one column")
+        else:
+            spec.distinct = True
 
     # projection list until FROM
     while cur.peek_kw() != "from":
@@ -1593,6 +1612,48 @@ def _window_column(
 def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     if "qualify" in clauses and not spec.windows:
         raise ParseError("QUALIFY requires a window function in the SELECT")
+    if spec.distinct_on:
+        # Round-9: DISTINCT ON (cols) — keep the FIRST row per group
+        # under the statement's ORDER BY (DuckDB/Postgres semantics),
+        # compiled to row_number over (partition by cols order by keys)
+        # = 1. One shuffle on the ON columns; the final ORDER BY then
+        # sorts the survivors as written. Ambiguity guard: ORDER BY must
+        # be present (without it "first" is arbitrary in both engines)
+        # and must extend beyond the ON columns so the pick is defined.
+        if spec.aggregates or clauses.get("group_by") or spec.distinct:
+            raise ParseError(
+                "DISTINCT ON cannot combine with GROUP BY/aggregates/"
+                "plain DISTINCT"
+            )
+        order = clauses.get("order_by")
+        extra = [
+            (c, d, n) for c, d, n in (order or [])
+            if c not in spec.distinct_on
+        ]
+        if not extra:
+            raise ParseError(
+                "DISTINCT ON requires an ORDER BY with at least one key "
+                "beyond the ON columns (it defines which row is 'first')"
+            )
+        if "where" in clauses:
+            df = df.filter(clauses.pop("where"))
+        from pyspark.sql import Window as W
+
+        keys = []
+        for c, d, n in order:
+            col = arg_col(c)
+            if n == "first":
+                keys.append(col.desc_nulls_first() if d else col.asc_nulls_first())
+            elif n == "last":
+                keys.append(col.desc_nulls_last() if d else col.asc_nulls_last())
+            else:
+                keys.append(col.desc() if d else col.asc())
+        w = W.partitionBy(*[F.col(c) for c in spec.distinct_on]).orderBy(*keys)
+        df = (
+            df.withColumn("__subq_rn", F.row_number().over(w))
+            .filter(F.col("__subq_rn") == 1)
+            .drop("__subq_rn")
+        )
     # Round-7 ergonomics, resolved against the ORIGINAL spec lists (before
     # window aliases are appended to the projections below):
     #   * GROUP BY ALL → every non-aggregate SELECT item becomes a key.

@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     "refsql_intersect_all",
     "refsql_locf_ignore_nulls",
     "events_ohlc_bars",
+    "refsql_distinct_on",
     # (1) round-8 additions with NO driver row yet — first-ever checks.
     "corpus_shuffle_shards",
     "dedup_incremental_lsh",
@@ -77,7 +78,7 @@ PRIORITY: list[str] = [
     "events_rfm_segments",
     "corpus_dup_rate_by_source",
     # (2) r4-green picks — 5 rounds stale (the round-8 verdict's order;
-    # q19/q20/q21/agg_count_distinct displaced below by the 4 late
+    # q16/q19/q20/q21/agg_count_distinct displaced below by the 5 late
     # round-9 additions — never-checked beats stale-green).
     "text_lang_breakdown",
     "text_pii_redact",
@@ -87,13 +88,13 @@ PRIORITY: list[str] = [
     "text_type_token_ratio",
     "stream_session_windows",
     "stream_sliding_window",
-    "q16_supplier_part_counts",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the 17 r4-green entries the 50-slot budget could not seat —
+    # first the 18 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
     # and MUST lead the r10 window; then the r6-green block (3 rounds
     # stale at r9, fills r10); then the former r8-window entries (r8-green,
     # 1 round stale) and everything unlisted in registration order.
+    "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q20_excess_volume_suppliers",
     "q21_sole_late_suppliers",

@@ -1604,3 +1604,30 @@ def refsql_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS locf "
         "FROM events",
     )
+
+
+@query(
+    "refsql_distinct_on",
+    """
+    SELECT DISTINCT ON (o_orderpriority)
+           o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+)
+def refsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: DISTINCT ON — the DuckDB/Postgres top-1-per-group verb,
+    # compiled to a row_number window + rank-1 filter (one shuffle on the
+    # ON columns). The trailing o_orderkey key makes the pick total even
+    # under value ties, so both engines select identical rows; delivered
+    # o_totalprice is an exact input double (unrounded-safe). The oracle
+    # runs DuckDB's NATIVE DISTINCT ON — same SQL text, independent
+    # implementation.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT DISTINCT ON (o_orderpriority) "
+        "o_orderpriority, o_orderkey, o_totalprice "
+        "FROM orders "
+        "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
+    )

@@ -2312,3 +2312,31 @@ def test_vector_index_lifecycle_through_dialect(spark, tmp_path, sf_dir):
         e2.vindexes.create("v2", "embeddings", "vec_id", "missing_col")
     e2.ref_sql("DROP VECTOR INDEX vi")
     assert e2.ref_sql("SHOW VECTOR INDEXES") == ["(no vector indexes)"]
+
+
+def test_distinct_on(spark, tmp_path):
+    """Round-9: DISTINCT ON (cols) — first row per group by ORDER BY."""
+    e = Engine(spark, str(tmp_path / "don"))
+    e.ref_sql("CREATE TABLE s (g TEXT, k INT, v INT)")
+    for g, k, v in [("a", 1, 10), ("a", 2, 30), ("b", 3, 5), ("b", 4, 5)]:
+        e.ref_sql(f"INSERT INTO s VALUES ('{g}', {k}, {v})")
+    rows = e.ref_sql(
+        "SELECT DISTINCT ON (g) g, k, v FROM s ORDER BY g, v DESC, k"
+    ).collect()
+    assert [(r.g, r.k, r.v) for r in rows] == [("a", 2, 30), ("b", 3, 5)]
+    # WHERE applies before the pick
+    rows = e.ref_sql(
+        "SELECT DISTINCT ON (g) g, k FROM s WHERE k != 2 "
+        "ORDER BY g, v DESC, k"
+    ).collect()
+    assert [(r.g, r.k) for r in rows] == [("a", 1), ("b", 3)]
+    # guards: no ORDER BY beyond the ON cols; no GROUP BY combo
+    with pytest.raises(ParseError, match="beyond the ON columns"):
+        e.ref_sql("SELECT DISTINCT ON (g) g, k FROM s ORDER BY g")
+    with pytest.raises(ParseError, match="beyond the ON columns"):
+        e.ref_sql("SELECT DISTINCT ON (g) g, k FROM s")
+    with pytest.raises(ParseError, match="cannot combine"):
+        e.ref_sql(
+            "SELECT DISTINCT ON (g) g, COUNT(*) FROM s GROUP BY g "
+            "ORDER BY g, k"
+        )
