@@ -1,0 +1,108 @@
+"""Feature-scaling operators for training-data pipelines.
+
+The standard sklearn-preprocessing trio re-expressed as Spark column
+algebra: one bounded per-group aggregate (the fitted "scaler state" — a
+handful of doubles per group), broadcast back onto the rows, zero Python.
+At 100 TB the aggregate is one shuffle bounded by the group count and the
+apply stage is scan-local — the same fit/transform split sklearn makes,
+with the fit output small enough to broadcast.
+
+No reference equivalent (the reference has no numeric feature prep);
+shapes follow sklearn's RobustScaler / StandardScaler / MinMaxScaler
+documentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _grouped(df: DataFrame, group_cols: list[str] | None, aggs) -> DataFrame:
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _join_state(df: DataFrame, state: DataFrame, group_cols: list[str] | None) -> DataFrame:
+    if group_cols:
+        return df.join(F.broadcast(state), group_cols)
+    return df.crossJoin(F.broadcast(state))
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "scaled",
+    ndigits: int = 4,
+) -> DataFrame:
+    """RobustScaler: ``(x - median) / IQR`` per group — the outlier-proof
+    normalization (median/quartiles move with the bulk, not the tails).
+    Quantiles are EXACT interpolated (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), so the fitted state replays cross-engine;
+    delivered values round to ``ndigits`` (quantile interpolation carries
+    ~1-ULP cross-engine noise — the known AVG/interp class). Groups where
+    IQR = 0 scale to NULL (explicitly, not a divide-by-zero)."""
+    v = F.col(value_col).cast("double")
+    state = _grouped(
+        df, group_cols,
+        [
+            F.percentile(v, F.lit(0.5)).alias("__med"),
+            F.percentile(v, F.lit(0.75)).alias("__q3"),
+            F.percentile(v, F.lit(0.25)).alias("__q1"),
+        ],
+    ).withColumn("__iqr", F.col("__q3") - F.col("__q1"))
+    out = _join_state(df, state, group_cols)
+    scaled = F.when(
+        F.col("__iqr") > 0,
+        F.round((v - F.col("__med")) / F.col("__iqr"), ndigits) + F.lit(0.0),
+    )
+    return out.withColumn(out_col, scaled).drop("__med", "__q1", "__q3", "__iqr")
+
+
+def zscore_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "scaled",
+    ndigits: int = 4,
+) -> DataFrame:
+    """StandardScaler: ``(x - mean) / stddev_samp`` per group. Sample
+    stddev on both engines (Spark ``stddev`` ≡ DuckDB ``stddev``);
+    single-row groups have NULL stddev and scale to NULL."""
+    v = F.col(value_col).cast("double")
+    state = _grouped(
+        df, group_cols,
+        [F.avg(v).alias("__mu"), F.stddev(v).alias("__sd")],
+    )
+    out = _join_state(df, state, group_cols)
+    scaled = F.when(
+        F.col("__sd") > 0,
+        F.round((v - F.col("__mu")) / F.col("__sd"), ndigits) + F.lit(0.0),
+    )
+    return out.withColumn(out_col, scaled).drop("__mu", "__sd")
+
+
+def minmax_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "scaled",
+    ndigits: int = 4,
+) -> DataFrame:
+    """MinMaxScaler: ``(x - min) / (max - min)`` per group into [0, 1].
+    min/max are exact input values (no interpolation), so this variant
+    has NO cross-engine noise before the rounding; constant groups scale
+    to NULL."""
+    v = F.col(value_col).cast("double")
+    state = _grouped(
+        df, group_cols,
+        [F.min(v).alias("__lo"), F.max(v).alias("__hi")],
+    )
+    out = _join_state(df, state, group_cols)
+    scaled = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.round((v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")), ndigits)
+        + F.lit(0.0),
+    )
+    return out.withColumn(out_col, scaled).drop("__lo", "__hi")

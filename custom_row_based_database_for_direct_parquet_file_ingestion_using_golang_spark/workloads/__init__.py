@@ -42,6 +42,8 @@ PRIORITY: list[str] = [
     "refsql_locf_ignore_nulls",
     "events_ohlc_bars",
     "refsql_distinct_on",
+    "features_robust_scale",
+    "features_minmax_scale",
     # (1) round-8 additions with NO driver row yet — first-ever checks.
     "corpus_shuffle_shards",
     "dedup_incremental_lsh",
@@ -78,7 +80,8 @@ PRIORITY: list[str] = [
     "events_rfm_segments",
     "corpus_dup_rate_by_source",
     # (2) r4-green picks — 5 rounds stale (the round-8 verdict's order;
-    # q16/q19/q20/q21/agg_count_distinct displaced below by the 5 late
+    # stream_session/sliding + q16/q19/q20/q21/agg_count_distinct
+    # displaced below by the 7 late
     # round-9 additions — never-checked beats stale-green).
     "text_lang_breakdown",
     "text_pii_redact",
@@ -86,14 +89,14 @@ PRIORITY: list[str] = [
     "text_repetition_ratio",
     "text_token_stats",
     "text_type_token_ratio",
-    "stream_session_windows",
-    "stream_sliding_window",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the 18 r4-green entries the 50-slot budget could not seat —
+    # first the 20 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
     # and MUST lead the r10 window; then the r6-green block (3 rounds
     # stale at r9, fills r10); then the former r8-window entries (r8-green,
     # 1 round stale) and everything unlisted in registration order.
+    "stream_session_windows",
+    "stream_sliding_window",
     "q16_supplier_part_counts",
     "q19_disjunctive_revenue",
     "q20_excess_volume_suppliers",

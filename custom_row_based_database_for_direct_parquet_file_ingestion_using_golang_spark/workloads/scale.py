@@ -3302,3 +3302,64 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "features_robust_scale",
+    """
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(CAST(value AS DOUBLE), 0.5) AS med,
+             quantile_cont(CAST(value AS DOUBLE), 0.75)
+               - quantile_cont(CAST(value AS DOUBLE), 0.25) AS iqr
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN s.iqr > 0
+                THEN round((CAST(e.value AS DOUBLE) - s.med) / s.iqr, 4) + 0.0
+           END AS scaled
+    FROM events e JOIN s ON e.event_type = s.event_type
+    """,
+)
+def features_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: RobustScaler feature prep — (x - median)/IQR per event
+    # type, the outlier-proof normalization a training pipeline runs
+    # before model fitting. Fit = one bounded per-group aggregate (three
+    # exact interpolated quantiles, broadcast back); transform =
+    # scan-local column algebra. 4-dp rounding absorbs the ~1-ULP
+    # cross-engine quantile-interpolation noise.
+    from ..operators import features
+
+    ev = load(spark, sf_dir, "events")
+    return features.robust_scale(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "scaled"
+    )
+
+
+@query(
+    "features_minmax_scale",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             MIN(CAST(l_quantity AS DOUBLE)) AS lo,
+             MAX(CAST(l_quantity AS DOUBLE)) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN s.hi > s.lo
+                THEN round((CAST(l.l_quantity AS DOUBLE) - s.lo)
+                           / (s.hi - s.lo), 4) + 0.0
+           END AS scaled
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    """,
+)
+def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: MinMaxScaler — (x - min)/(max - min) into [0, 1] per
+    # return flag. min/max are exact input values (no interpolation), so
+    # the fitted state is bit-identical cross-engine before rounding.
+    from ..operators import features
+
+    li = load(spark, sf_dir, "lineitem")
+    return features.minmax_scale(li, "l_quantity", ["l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "scaled"
+    )

@@ -1822,3 +1822,40 @@ def test_ivf_pq_residual_coding_tightens_adc_on_clustered_data(spark):
     qdf = spark.createDataFrame([(X[7].tolist(),)], "q array<double>")
     got = S.ivf_pq_topk(df, "vec_id", "embedding", qdf, dim=64, k=5, n_probe=16).collect()
     assert got[0].vec_id == 7 and abs(got[0].score - 1.0) < 1e-6
+
+
+def test_feature_scalers(spark):
+    """Round-9 feature-scaling trio: per-group fit state broadcast onto
+    rows; degenerate groups (IQR/stddev/range = 0) scale to NULL, never
+    a divide-by-zero."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        features,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 5.0)],
+        ["g", "v"],
+    )
+    mm = {
+        (r.g, r.v): r.scaled
+        for r in features.minmax_scale(df, "v", ["g"]).collect()
+    }
+    assert mm[("a", 0.0)] == 0.0 and mm[("a", 20.0)] == 1.0
+    assert mm[("a", 10.0)] == 0.5
+    assert mm[("b", 5.0)] is None  # constant group -> NULL, not a crash
+    zs = {
+        (r.g, r.v): r.scaled
+        for r in features.zscore_scale(df, "v", ["g"]).collect()
+    }
+    assert zs[("a", 10.0)] == 0.0 and zs[("a", 20.0)] == 1.0  # sd = 10
+    assert zs[("b", 5.0)] is None  # zero stddev
+    rb = {
+        (r.g, r.v): r.scaled
+        for r in features.robust_scale(df, "v", ["g"]).collect()
+    }
+    # a: median 10, IQR = 15 - 5 = 10 -> (20-10)/10 = 1.0
+    assert rb[("a", 20.0)] == 1.0 and rb[("a", 10.0)] == 0.0
+    assert rb[("b", 5.0)] is None
+    # global (ungrouped) mode
+    g = features.minmax_scale(df, "v").select("v", "scaled").collect()
+    assert {r.v: r.scaled for r in g}[20.0] == 1.0
