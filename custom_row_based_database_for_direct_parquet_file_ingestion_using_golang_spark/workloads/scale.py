@@ -3363,3 +3363,80 @@ def features_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.minmax_scale(li, "l_quantity", ["l_returnflag"]).select(
         "l_orderkey", "l_linenumber", "l_returnflag", "scaled"
     )
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKS_NORM} AS toks,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, is_eval, {_SQL_5GRAMS} AS grams FROM d),
+    e AS (SELECT doc_id, is_eval, unnest(grams) AS g FROM sh),
+    tg AS (SELECT DISTINCT g FROM e WHERE NOT is_eval),
+    ev AS (
+      SELECT e.doc_id, tg.g IS NOT NULL AS hit
+      FROM e LEFT JOIN tg ON e.g = tg.g
+      WHERE e.is_eval
+    )
+    SELECT doc_id AS eval_doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_seen,
+           round(1.0 - (count(*) FILTER (WHERE hit))
+                 / CAST(count(*) AS DOUBLE), 4) + 0.0 AS novelty
+    FROM ev GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (round 9): for each eval-split document,
+    the fraction of its distinct 5-grams NOT present anywhere in the
+    train split — the per-document QUALITY-SCORE complement of the
+    contamination audit (contamination counts offending train docs;
+    novelty grades how much of the eval doc is genuinely unseen, the
+    signal used to filter memorized/boilerplate eval items). The train
+    side collapses to a distinct-gram set before the join, so the join
+    key cardinality is the train VOCABULARY of grams, not the corpus; at
+    100 TB the bloom variant (operators/membership) prefilters the same
+    test without materializing the set. The novelty ratio is one exact
+    integer division (IEEE correctly rounded — bit-identical
+    cross-engine) before the 4-dp delivery rounding."""
+    from ..operators.text import norm_tokens, shingles_from_tokens
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
+        F.explode(
+            F.array_distinct(
+                shingles_from_tokens(norm_tokens("text"), 5)
+            )
+        ).alias("g"),
+    )
+    train_set = grams.filter(~F.col("is_eval")).select("g").distinct()
+    ev = grams.filter(F.col("is_eval")).join(
+        train_set.withColumn("__hit", F.lit(1)), "g", "left"
+    )
+    return (
+        ev.groupBy(F.col("doc_id").alias("eval_doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_seen"),
+        )
+        .select(
+            "eval_doc_id",
+            "n_grams",
+            "n_seen",
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_seen") / F.col("n_grams").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("novelty"),
+        )
+        .orderBy("eval_doc_id")
+    )
