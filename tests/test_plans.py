@@ -471,3 +471,49 @@ def test_star_exclude_prunes_scan(spark, sf_dir):
     df = QUERIES["refsql_star_exclude"](spark, sf_dir)
     (cols,) = read_columns(df)
     assert "text" not in cols, cols
+
+
+def test_round9_subquery_and_distinct_on_plans(spark, sf_dir):
+    """Round-9 plan pins: the correlated-scalar decorrelation is a
+    group+join (never a per-row loop or a nested-loop join); the boolean
+    IN membership column plans an equi-join (no cross product); and
+    DISTINCT ON plans exactly one window (RunningWindowFunction /
+    WindowGroupLimit family), one shuffle on the ON columns."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    corr = plan_text(QUERIES["refsql_correlated_scalar"](spark, sf_dir))
+    assert "CartesianProduct" not in corr
+    assert "BroadcastNestedLoopJoin" not in corr
+    assert "HashAggregate" in corr  # the decorrelated group-by side
+    # one join of the aggregate side onto the outer frame
+    assert ("SortMergeJoin" in corr) or ("BroadcastHashJoin" in corr), corr
+
+    inb = plan_text(QUERIES["refsql_in_or_membership"](spark, sf_dir))
+    assert "CartesianProduct" not in inb
+    assert "BroadcastNestedLoopJoin" not in inb
+
+    don = plan_text(QUERIES["refsql_distinct_on"](spark, sf_dir))
+    assert don.count("Window") >= 1 and "CartesianProduct" not in don
+    # the rank-1 filter survives into the plan
+    assert "row_number" in don.lower(), don
+
+
+def test_feature_scaler_state_joins_broadcast(spark, sf_dir):
+    """The fitted scaler state is a handful of doubles per group — it
+    must BROADCAST back onto the rows, never shuffle the fact side."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    for name in ("features_robust_scale", "features_minmax_scale"):
+        txt = plan_text(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in txt, name
+        assert "CartesianProduct" not in txt, name
