@@ -272,6 +272,38 @@ def tumbling_cms(
     )
 
 
+def tumbling_histogram(
+    events: DataFrame, value_col: str = "value",
+    lo: float = 0.0, hi: float = 1000.0, n_bins: int = 500,
+    width: str = "1 day", ts_col: str = "ts",
+) -> DataFrame:
+    """Round-9: equi-width histogram per tumbling window with the BINS as
+    the streaming state — the streaming quantile sketch that replays in
+    ANSI SQL. The scan assigns each event its bin row-locally (same
+    clamped formula as the batch operators/sketch.hist_build, so batch
+    and stream agree bit-for-bit); the streaming aggregation is
+    ``groupBy(window, bin).count`` — at most n_bins counter rows per
+    window no matter how many events flow through, and COUNT's
+    micro-batch fold is exactly the histogram merge (addition), the same
+    state-IS-the-sketch property the CMS/HLL streaming forms have. Feed
+    the materialized bins to :func:`..operators.sketch.hist_quantiles`
+    (group_cols=["ws"]) for per-window quantiles with value error ≤ one
+    bin width. Output: ``ws timestamp, bin int, cnt long``."""
+    if n_bins < 2 or not hi > lo:
+        raise ValueError("histogram requires n_bins >= 2 and hi > lo")
+    bw = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(bw))
+    b = F.least(F.greatest(b.cast("int"), F.lit(0)), F.lit(n_bins - 1))
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .select(ts_col, b.alias("bin"))
+        .withWatermark(ts_col, "10 minutes")
+        .groupBy(F.window(ts_col, width), "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ws"), "bin", "cnt")
+    )
+
+
 def static_enrich(
     stream: DataFrame, dim: DataFrame, on, how: str = "inner"
 ) -> DataFrame:

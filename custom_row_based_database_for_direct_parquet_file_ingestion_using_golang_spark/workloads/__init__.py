@@ -45,6 +45,7 @@ PRIORITY: list[str] = [
     "features_robust_scale",
     "features_minmax_scale",
     "text_ngram_novelty",
+    "stream_hist_quantiles",
     # (1) round-8 additions with NO driver row yet — first-ever checks.
     "corpus_shuffle_shards",
     "dedup_incremental_lsh",
@@ -88,13 +89,13 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "text_quality_scores",
     "text_repetition_ratio",
-    "text_token_stats",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the 21 r4-green entries the 50-slot budget could not seat —
+    # first the 22 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
     # and MUST lead the r10 window; then the r6-green block (3 rounds
     # stale at r9, fills r10); then the former r8-window entries (r8-green,
     # 1 round stale) and everything unlisted in registration order.
+    "text_token_stats",
     "text_type_token_ratio",
     "stream_session_windows",
     "stream_sliding_window",

@@ -503,3 +503,68 @@ def stream_cms_user_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         tumbling_cms(events, "user_id", "1 hour", 256, 3), mode="complete"
     )
+
+
+@query(
+    "stream_hist_quantiles",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+             LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - 0.0)
+                                        / 2.0) AS INT), 0), 499) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT ws, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY ws ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ),
+    n AS (SELECT ws, SUM(cnt) AS n FROM b GROUP BY 1),
+    qv AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q),
+    sel AS (
+      SELECT n.ws, qv.q, n.n, MIN(c.bin) AS bin
+      FROM qv CROSS JOIN n JOIN c
+        ON c.ws = n.ws AND c.cum >= CAST(ceil(qv.q * n.n) AS BIGINT)
+      GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT s.ws, s.q, s.n, s.bin, c.cnt, c.cum
+      FROM sel s JOIN c ON c.ws = s.ws AND c.bin = s.bin
+    )
+    SELECT e.ws, e.q,
+           round(0.0 + 2.0 * (e.bin +
+                 CAST(CAST(ceil(e.q * e.n) AS BIGINT) - (e.cum - e.cnt)
+                      AS DOUBLE)
+                 / CAST(e.cnt AS DOUBLE)), 2) + 0.0 AS est_q
+    FROM e
+    """,
+)
+def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram quantiles (round 9): p50/p95 of event value
+    per DAY with the equi-width BINS as the streaming state (≤ 500
+    counter rows per window; COUNT's micro-batch fold IS the histogram
+    merge — the same state-is-the-sketch property as the streaming
+    HLL/CMS forms, and the replayable alternative to a streaming
+    t-digest). The quantile interpolation runs batch-side over the
+    materialized bins; the oracle replays bin assignment, cumulative
+    ranks, and interpolation bit-for-bit."""
+    from ..operators import sketch as sk
+    from ..streaming.ops import run_to_memory, tumbling_histogram
+
+    events = read_events_stream(spark, sf_dir)
+    bins = run_to_memory(
+        tumbling_histogram(
+            events, "value", 0.0, 1000.0, 500, width="1 day"
+        ),
+        mode="complete",
+    )
+    # hist_quantiles self-joins its input (cumulative ranks vs totals);
+    # a memory-sink VIEW trips Spark's self-join ambiguity resolution
+    # where a file scan doesn't — checkpoint the (≤ n_bins×windows rows)
+    # frame to give the two join sides independent lineage.
+    bins = bins.localCheckpoint(eager=True)
+    return sk.hist_quantiles(
+        bins, [0.5, 0.95], 0.0, 1000.0, 500, group_cols=["ws"]
+    )
