@@ -1501,11 +1501,54 @@ def parse_select(
     return spec, None, clauses
 
 
-def _frame_bound(cur: _Cursor) -> int:
-    """One ROWS-frame bound → Spark rowsBetween offset."""
+_INTERVAL_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _frame_bound(cur: _Cursor) -> "int | tuple":
+    """One frame bound → Spark rowsBetween/rangeBetween offset. Round-9:
+    ``INTERVAL '<n> <unit>' PRECEDING/FOLLOWING`` (or the unquoted
+    ``INTERVAL <n> <unit>`` spelling) returns ``("interval", micros)`` —
+    only valid in a RANGE frame over one timestamp ORDER BY key, where
+    _window_column desugars the sort key to unix epoch microseconds (the
+    rolling-time-window primitive; DuckDB runs the same frame natively)."""
     from pyspark.sql import Window as W
 
     t = cur.next().lower()
+    if t == "interval":
+        v = cur.next()
+        if _is_string_lit(v):
+            parts = v[1:-1].split()
+            if len(parts) != 2:
+                raise ParseError(
+                    f"INTERVAL literal must be '<n> <unit>', got {v}"
+                )
+            qty_s, unit = parts
+        else:
+            qty_s, unit = v, cur.next()
+        try:
+            qty = int(qty_s)
+        except ValueError:
+            raise ParseError(f"INTERVAL quantity must be an integer, got {qty_s!r}")
+        unit = unit.lower().rstrip("s")
+        if unit not in _INTERVAL_MICROS:
+            raise ParseError(
+                f"unsupported INTERVAL unit {unit!r} in a frame bound "
+                f"(supported: {sorted(_INTERVAL_MICROS)})"
+            )
+        micros = qty * _INTERVAL_MICROS[unit]
+        d = cur.next().lower()
+        if d == "preceding":
+            return ("interval", -micros)
+        if d == "following":
+            return ("interval", micros)
+        raise ParseError(
+            f"expected PRECEDING/FOLLOWING after INTERVAL, got {d!r}"
+        )
     if t == "unbounded":
         d = cur.next().lower()
         if d == "preceding":
@@ -1552,11 +1595,32 @@ def _window_column(
             raise ParseError(
                 f"a {kind.upper()} frame requires ORDER BY in the OVER clause"
             )
+        interval_frame = isinstance(lo, tuple) or isinstance(hi, tuple)
+        if interval_frame and kind != "range":
+            raise ParseError("INTERVAL frame bounds require a RANGE frame")
         if kind == "range":
             if len(order) != 1:
                 raise ParseError(
                     "a RANGE frame requires exactly one ORDER BY key"
                 )
+            if interval_frame:
+                # Round-9: RANGE over INTERVAL bounds — the rolling
+                # time window. Desugar the (timestamp) sort key to unix
+                # epoch microseconds and the bounds to micro offsets;
+                # Spark's rangeBetween then matches DuckDB's native
+                # timestamp RANGE frame exactly (micros are exact
+                # integers). ASC only: a descending rolling-time frame
+                # inverts the offset signs differently per engine.
+                c, d = order[0]
+                if d:
+                    raise ParseError(
+                        "INTERVAL RANGE frames support ASC ORDER BY only"
+                    )
+                w = W.partitionBy(*[F.col(p) for p in part]).orderBy(
+                    F.unix_micros(F.col(c).cast("timestamp")).asc()
+                )
+                lo = lo[1] if isinstance(lo, tuple) else lo
+                hi = hi[1] if isinstance(hi, tuple) else hi
             w = w.rangeBetween(lo, hi)
         else:
             w = w.rowsBetween(lo, hi)

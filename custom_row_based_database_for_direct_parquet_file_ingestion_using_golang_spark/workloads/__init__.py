@@ -90,6 +90,9 @@ PRIORITY: list[str] = [
     "text_quality_scores",
     "text_repetition_ratio",
     # -- ~50-slot window boundary (50 entries above this line). Below:
+    # first the late round-9 additions that could not be seated (they
+    # debut in r10 with first-ever driver rows):
+    "refsql_rolling_time_window",
     # first the 22 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
     # and MUST lead the r10 window; then the r6-green block (3 rounds

@@ -1631,3 +1631,43 @@ def refsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders "
         "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
     )
+
+
+@query(
+    "refsql_rolling_time_window",
+    """
+    WITH w AS (
+      SELECT event_id, user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '6 hours' PRECEDING
+                 AND CURRENT ROW) AS n_6h,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '6 hours' PRECEDING
+                 AND CURRENT ROW) AS v_6h
+      FROM events
+    )
+    SELECT event_id, user_id, n_6h, round(v_6h, 2) AS v_6h FROM w
+    """,
+)
+def refsql_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: INTERVAL bounds in RANGE frames — the rolling time window
+    # ("events/value in the trailing 6 hours per user"). The dialect
+    # desugars the timestamp sort key to unix epoch microseconds +
+    # rangeBetween micro offsets, matching DuckDB's NATIVE timestamp
+    # RANGE frame exactly (micros are exact integers). The window SUM
+    # rounds through a CTE (true sums of 2-dp inputs are multiples of
+    # 0.01, so the half-cent boundary is unreachable and the 2-dp round
+    # is engine-stable despite differing float accumulation orders).
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH w AS (SELECT event_id, user_id, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '6 hours' PRECEDING AND CURRENT ROW) "
+        "AS n_6h, "
+        "SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '6 hours' PRECEDING AND CURRENT ROW) "
+        "AS v_6h "
+        "FROM events) "
+        "SELECT event_id, user_id, n_6h, ROUND(v_6h, 2) AS v_6h FROM w",
+    )

@@ -2340,3 +2340,51 @@ def test_distinct_on(spark, tmp_path):
             "SELECT DISTINCT ON (g) g, COUNT(*) FROM s GROUP BY g "
             "ORDER BY g, k"
         )
+
+
+def test_interval_range_frame(spark, tmp_path):
+    """Round-9: INTERVAL bounds in RANGE frames — rolling time windows.
+    Epoch-micros desugar; ASC-only and RANGE-only guards."""
+    import datetime as _dt
+
+    e = Engine(spark, str(tmp_path / "ivf"))
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, h, m), v)
+        for i, (h, m, v) in enumerate(
+            [(0, 0, 1), (0, 30, 2), (1, 15, 4), (5, 0, 8)]
+        )
+    ]
+    pqp = str(tmp_path / "tl.parquet")
+    spark.createDataFrame(rows, "id int, ts timestamp, v int").coalesce(
+        1
+    ).write.parquet(pqp)
+    e.ingest_parquet(pqp, "tl")
+    rows = e.ref_sql(
+        "SELECT id, SUM(v) OVER (ORDER BY ts RANGE BETWEEN "
+        "INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS s FROM tl "
+        "ORDER BY id"
+    ).collect()
+    # id2 at 01:15 sees 00:30 (45min back) but not 00:00 (75min back)
+    assert [(r.id, r.s) for r in rows] == [(0, 1), (1, 3), (2, 6), (3, 8)]
+    # unquoted INTERVAL spelling parses too
+    rows2 = e.ref_sql(
+        "SELECT id, COUNT(*) OVER (ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS n FROM tl "
+        "ORDER BY id"
+    ).collect()
+    assert [r.n for r in rows2] == [1, 2, 3, 1]
+    with pytest.raises(ParseError, match="ASC ORDER BY only"):
+        e.ref_sql(
+            "SELECT id, SUM(v) OVER (ORDER BY ts DESC RANGE BETWEEN "
+            "INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS s FROM tl"
+        )
+    with pytest.raises(ParseError, match="require a RANGE frame"):
+        e.ref_sql(
+            "SELECT id, SUM(v) OVER (ORDER BY ts ROWS BETWEEN "
+            "INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS s FROM tl"
+        )
+    with pytest.raises(ParseError, match="unsupported INTERVAL unit"):
+        e.ref_sql(
+            "SELECT id, SUM(v) OVER (ORDER BY ts RANGE BETWEEN "
+            "INTERVAL '1 month' PRECEDING AND CURRENT ROW) AS s FROM tl"
+        )
