@@ -478,6 +478,81 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_limit: int = 512,
+    n_iter: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batched-query IVF top-k (round-9) — the SERVING shape: N queries
+    answered in ONE plan, no per-query driver round trips. Every stage is
+    column algebra over broadcast centroid literals:
+
+    * the corpus assigns its inverted-list id in a narrow map;
+    * EACH QUERY ranks the centroids in-plan and explodes its n_probe
+      nearest list ids (queries × n_probe rows — the probe fan-out);
+    * a broadcast equi-join on list_id pairs every query with ONLY its
+      probed candidates (never a cross join — candidate count is
+      |corpus| · n_probe/n_centroids per query);
+    * exact cosine + a per-query window top-k (WindowGroupLimit pushes
+      the rank filter into the sort).
+
+    With n_probe = n_centroids the pruning vanishes and the result is
+    the EXACT per-query top-k — which is how the oracle checks this
+    operator end-to-end; partial probe trades recall exactly like
+    single-query ivf_topk. Output: ``<qid>, <id>, score`` (score is
+    exact cosine rounded to 6 dp, ties broken by id)."""
+    from pyspark.sql import Window as W
+
+    centroids = _train_centroids(
+        df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
+    )
+    listed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias(
+            "list_id"
+        ),
+    )
+    qd = _centroid_dots(F.col(qvec_col), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            qd,
+            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
+        )
+    )
+    probes = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).alias("__qv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
+        ).alias("list_id"),
+    )
+    cand = listed.join(F.broadcast(probes), "list_id")
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w = W.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy(qid_col, F.col("score").desc(), F.col(id_col))
+    )
+
+
 def ivf_build(
     df: DataFrame,
     id_col: str,

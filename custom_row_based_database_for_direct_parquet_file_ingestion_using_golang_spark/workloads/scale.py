@@ -3440,3 +3440,41 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_doc_id")
     )
+
+
+@query(
+    "ann_batch_queries",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])),
+                   6) AS score
+      FROM q JOIN embeddings e ON TRUE
+    )
+    SELECT qid, vec_id, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) <= 5
+    ORDER BY qid, score DESC, vec_id
+    """,
+)
+def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-query ANN (round 9) — the serving shape: 8 queries
+    answered in ONE plan (in-plan probe assignment per query, broadcast
+    equi-join on list_id, exact cosine, per-query window top-k; never a
+    per-query driver round trip). Run at FULL probe the IVF pruning
+    vanishes and the result is the exact per-query top-5 — which is what
+    the oracle checks (DuckDB's native list_dot_product cross-join
+    top-k); partial probe trades recall exactly like single-query
+    ivf_topk and is pinned in pytest. Both engines rank by the
+    6-dp-rounded score with a vec_id tiebreak, so selection is total."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return similarity.ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, "qid", "qv",
+        k=5, n_centroids=16, n_probe=16,
+    )

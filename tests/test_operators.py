@@ -1859,3 +1859,50 @@ def test_feature_scalers(spark):
     # global (ungrouped) mode
     g = features.minmax_scale(df, "v").select("v", "scaled").collect()
     assert {r.v: r.scaled for r in g}[20.0] == 1.0
+
+
+def test_ivf_topk_batch_partial_probe_and_plan(spark, sf_dir):
+    """Round-9 batched-query ANN: per-query recall at partial probe
+    matches the single-query ivf_topk contract, and the plan never
+    materializes a query x corpus cross product."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.registry import (
+        load,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    batch = similarity.ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, "qid", "qv",
+        k=10, n_centroids=16, n_probe=6,
+    )
+    txt = plan_text(batch)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    rows = batch.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append(r.vec_id)
+    assert set(got) == {0, 1, 2, 3}
+    for qid, ids in got.items():
+        # self-match survives pruning (its own list is always probed)
+        assert ids[0] == qid, (qid, ids)
+        # batch result == single-query ivf_topk with identical params
+        q1 = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        single = [
+            r.vec_id
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", q1, k=10,
+                n_centroids=16, n_probe=6,
+            ).collect()
+        ]
+        assert ids == single, (qid, ids, single)
