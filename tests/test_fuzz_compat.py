@@ -344,3 +344,61 @@ def test_correlated_scalar_and_bool_in_match_duckdb_fuzz(spark, tmp_path):
             got_n = e.ref_sql(sql_b).collect()[0][0]
             want_n = con.execute(sql_b).fetchone()[0]
             assert got_n == want_n, f"trial {trial}: {sql_b}"
+
+
+def test_distinct_on_selector_aggs_interval_frames_fuzz(spark, tmp_path):
+    """Round-9 differential fuzz: DISTINCT ON, ARG_MAX/ARG_MIN, and
+    INTERVAL RANGE frames vs DuckDB over byte-identical parquet with
+    randomized predicates. Sort keys always end in the unique id so
+    every pick is total on both engines."""
+    import datetime as _dt
+
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    frng = random.Random(77)
+    base = _dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            frng.choice(["a", "b", "c"]),
+            frng.randint(0, 50),
+            base + _dt.timedelta(minutes=frng.randint(0, 5000)),
+        )
+        for i in range(300)
+    ]
+    pq = str(tmp_path / "f9.parquet")
+    spark.createDataFrame(
+        rows, "id int, g string, v int, ts timestamp"
+    ).coalesce(1).write.parquet(pq)
+    e = Engine(spark, str(tmp_path / "f9db"))
+    e.ingest_parquet(pq, "t")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    for trial in range(5):
+        thr = frng.randint(0, 45)
+        hours = frng.randint(1, 12)
+        sqls = [
+            # DISTINCT ON with a filter and a total sort
+            f"SELECT DISTINCT ON (g) g, id, v FROM t WHERE v > {thr} "
+            "ORDER BY g, v DESC, id",
+            # selector aggregates (id is unique -> arg over v ties broken
+            # upstream by restricting to distinct-v groups is overkill;
+            # instead select arg over (v*1000+id), a unique key)
+            "SELECT g, ARG_MAX(id, v * 1000 + id) AS hi, "
+            "ARG_MIN(id, v * 1000 + id) AS lo, COUNT(*) AS n "
+            f"FROM t WHERE v <= {max(thr, 5)} GROUP BY g ORDER BY g",
+            # rolling time window (exact integer micros on both engines)
+            "WITH w AS (SELECT id, COUNT(*) OVER (PARTITION BY g "
+            f"ORDER BY ts RANGE BETWEEN INTERVAL {hours} HOUR PRECEDING "
+            "AND CURRENT ROW) AS n FROM t) "
+            "SELECT id, n FROM w ORDER BY id",
+        ]
+        for sql in sqls:
+            got = [tuple(r) for r in e.ref_sql(sql).collect()]
+            want = [tuple(r) for r in con.execute(sql).fetchall()]
+            assert got == want, f"trial {trial}: {sql}"
