@@ -112,6 +112,25 @@ class Engine:
         meta = self.catalog.get(name)
         return self.store.read_version(name, version, meta.schema)
 
+    def diff_versions(
+        self, name: str, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Round-9: row-level snapshot diff — the CDC-read companion to
+        VERSION AS OF. Returns the MULTISET difference between two
+        snapshots (``v_to=None`` = the current table): rows only in the
+        newer side tagged ``_change='insert'``, rows only in the older
+        side tagged ``'delete'`` (an UPDATE appears as one delete + one
+        insert — copy-on-write storage has no row identity to pair them).
+        exceptAll keeps duplicate multiplicity exact; the diff is two
+        distributed anti-semantics passes, never a driver collect."""
+        older = self.table_at(name, v_from)
+        newer = (
+            self.table(name) if v_to is None else self.table_at(name, v_to)
+        )
+        ins = newer.exceptAll(older).withColumn("_change", F.lit("insert"))
+        dels = older.exceptAll(newer).withColumn("_change", F.lit("delete"))
+        return ins.unionByName(dels)
+
     # ---- DDL (D1-D3) ----------------------------------------------------
 
     def create_table(

@@ -2537,6 +2537,34 @@ class RefSQL:
                     f"unexpected token {cur.peek()!r} after REFRESH"
                 )
             return self.engine.mviews.refresh(name)
+        if verb == "diff":
+            # Round-9: ``DIFF t FROM VERSION a TO [VERSION b | CURRENT]``
+            # — row-level multiset diff between two snapshots (the
+            # CDC-read companion to VERSION AS OF): inserts tagged
+            # _change='insert', deletes 'delete'; an UPDATE shows as one
+            # of each (copy-on-write storage has no row identity).
+            cur.expect_kw("diff")
+            table = _unquote(cur.next())
+            cur.expect_kw("from")
+            cur.expect_kw("version")
+            try:
+                v_from = int(cur.next())
+            except ValueError:
+                raise ParseError("DIFF ... FROM VERSION takes an integer")
+            cur.expect_kw("to")
+            v_to: int | None
+            if cur.peek_kw() == "current":
+                cur.next()
+                v_to = None
+            else:
+                cur.expect_kw("version")
+                try:
+                    v_to = int(cur.next())
+                except ValueError:
+                    raise ParseError("DIFF ... TO VERSION takes an integer")
+            if not cur.done():
+                raise ParseError(f"unexpected token {cur.peek()!r} after DIFF")
+            return self.engine.diff_versions(table, v_from, v_to)
         if verb == "search":
             # Round-9: ``SEARCH vi [K n] [PROBE p] USING SELECT <vec> FROM
             # ...`` — query a persistent vector index; the USING subquery

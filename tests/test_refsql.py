@@ -2388,3 +2388,33 @@ def test_interval_range_frame(spark, tmp_path):
             "SELECT id, SUM(v) OVER (ORDER BY ts RANGE BETWEEN "
             "INTERVAL '1 month' PRECEDING AND CURRENT ROW) AS s FROM tl"
         )
+
+
+def test_diff_versions_cdc_read(spark, tmp_path):
+    """Round-9: DIFF t FROM VERSION a TO [VERSION b | CURRENT] — row-level
+    multiset snapshot diff (the CDC-read companion to VERSION AS OF)."""
+    e = Engine(spark, str(tmp_path / "cdcr"), keep_snapshots=4)
+    e.create_table("v", [("k", "INT"), ("val", "TEXT")])
+    e.insert_rows("v", [{"k": 1, "val": "one"}, {"k": 2, "val": "two"}])
+    e.ref_sql("UPDATE v SET val = 'TWO' WHERE k = 2")  # retires v0
+    e.ref_sql("DELETE FROM v WHERE k = 1")             # retires v1
+    # v0 -> current: k1 deleted; k2 value changed = delete + insert
+    got = sorted(
+        (r.k, r.val, r._change)
+        for r in e.ref_sql("DIFF v FROM VERSION 0 TO CURRENT").collect()
+    )
+    assert got == [
+        (1, "one", "delete"),
+        (2, "TWO", "insert"),
+        (2, "two", "delete"),
+    ]
+    # v0 -> v1: only the update
+    got = sorted(
+        (r.k, r.val, r._change)
+        for r in e.ref_sql("DIFF v FROM VERSION 0 TO VERSION 1").collect()
+    )
+    assert got == [(2, "TWO", "insert"), (2, "two", "delete")]
+    # identical snapshots diff empty
+    assert e.ref_sql("DIFF v FROM VERSION 1 TO VERSION 1").count() == 0
+    with pytest.raises(ParseError, match="takes an integer"):
+        e.ref_sql("DIFF v FROM VERSION x TO CURRENT")
