@@ -158,9 +158,20 @@ def is_natural_language(text: str) -> bool:
     first = words[0]
     if first == "show":
         # 'SHOW TABLES' / 'SHOW VERSIONS FOR t' / 'SHOW MATERIALIZED VIEWS'
-        # are SQL; 'show me all students' is NL.
+        # / 'SHOW VECTOR INDEXES' are SQL; 'show me all students' is NL.
         return not (
-            len(words) > 1 and words[1] in ("tables", "versions", "materialized")
+            len(words) > 1
+            and words[1] in ("tables", "versions", "materialized", "vector")
+        )
+    if first == "search":
+        # 'SEARCH vi K 10 USING SELECT ...' is SQL (the vector-index
+        # query has a USING clause); 'search for the best students' is NL.
+        return "using" not in words
+    if first == "diff":
+        # 'DIFF t FROM VERSION 0 TO CURRENT' is SQL; 'diff these two
+        # answers for me' is NL — the statement shape is FROM VERSION.
+        return not (
+            len(words) > 3 and words[2] == "from" and words[3] == "version"
         )
     if first == "summarize":
         # 'SUMMARIZE t' is SQL; 'summarize the sales for me' is NL.

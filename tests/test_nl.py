@@ -173,3 +173,19 @@ def test_is_natural_language_knows_round5_verbs():
     # NL phrasings stay NL
     assert is_natural_language("summarize the sales by region please")
     assert is_natural_language("show me all students")
+
+
+def test_round9_verbs_sniff_as_sql():
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.nl import (
+        is_natural_language,
+    )
+
+    assert not is_natural_language("SHOW VECTOR INDEXES")
+    assert not is_natural_language(
+        "SEARCH vi K 10 USING SELECT embedding FROM embeddings WHERE vec_id = 7"
+    )
+    assert not is_natural_language("DIFF v FROM VERSION 0 TO CURRENT")
+    # the NL shapes stay NL
+    assert is_natural_language("search for the best students")
+    assert is_natural_language("diff these two answers for me")
+    assert is_natural_language("show me every vector in the table")
