@@ -2572,13 +2572,16 @@ class RefSQL:
             # vector). Returns the top-k DataFrame (id, exact cosine).
             cur.expect_kw("search")
             name = _unquote(cur.next())
-            k, n_probe = 10, 4
+            k, n_probe, mode = 10, 4, "exact"
             if cur.peek_kw() == "k":
                 cur.next()
                 k = int(cur.next())
             if cur.peek_kw() == "probe":
                 cur.next()
                 n_probe = int(cur.next())
+            if cur.peek_kw() == "mode":
+                cur.next()
+                mode = cur.next().lower()
             cur.expect_kw("using")
             if cur.peek_kw() != "select":
                 raise ParseError("SEARCH ... USING needs a SELECT")
@@ -2597,7 +2600,7 @@ class RefSQL:
                     "the SEARCH query must yield exactly one non-null row"
                 )
             return self.engine.vindexes.search(
-                name, list(rows[0][0]), k=k, n_probe=n_probe
+                name, list(rows[0][0]), k=k, n_probe=n_probe, mode=mode
             )
         if verb == "show":
             if len(toks) >= 2 and toks[1].lower() == "materialized":
@@ -3271,13 +3274,28 @@ class RefSQL:
                     n_centroids = int(cur.next())
                 except ValueError:
                     raise ParseError("CENTROIDS takes an integer")
+            pq_m = None
+            pq_k = 32
+            if cur.peek_kw() == "pq":
+                # Round-9: ``PQ m [k]`` — persist residual PQ codes in
+                # the index (m int codes per vector) so ADC search reads
+                # codes, not vectors (SEARCH ... MODE ADC).
+                cur.next()
+                try:
+                    pq_m = int(cur.next())
+                except ValueError:
+                    raise ParseError("PQ takes an integer subspace count")
+                nxt = cur.peek()
+                if nxt is not None and nxt.isdigit():
+                    pq_k = int(cur.next())
             if not cur.done():
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after CREATE VECTOR "
                     "INDEX"
                 )
             self.engine.vindexes.create(
-                name, table, id_col, vec_col, n_centroids=n_centroids
+                name, table, id_col, vec_col, n_centroids=n_centroids,
+                pq_m=pq_m, pq_k=pq_k,
             )
             return None
         cur.expect_kw("table")

@@ -75,7 +75,18 @@ class VectorIndexes:
         n_centroids: int = 16,
         train_limit: int = 512,
         seed: int = 42,
+        pq_m: int | None = None,
+        pq_k: int = 32,
+        dim: int | None = None,
     ) -> None:
+        """Build and register the index. ``pq_m`` (round-9) additionally
+        stores residual PQ codes (``pq_m`` int codes per vector — 16
+        bytes/vector at the default m=16) as a column of the partitioned
+        index parquet, and the residual codebooks in the registry — the
+        full FAISS-IVFPQ serving artifact: an ADC search then reads m
+        bytes per candidate instead of dim·4 (see search(mode='adc'))."""
+        from pyspark.sql import functions as F
+
         from .operators import similarity
 
         if name in self._load():
@@ -88,10 +99,38 @@ class VectorIndexes:
                     f"(columns: {df.columns})"
                 )
         idx_path = os.path.join(self.dir, name)
-        centroids = similarity.ivf_build(
-            df, id_col, vec_col, idx_path,
-            n_centroids=n_centroids, train_limit=train_limit, seed=seed,
-        )
+        codebooks = None
+        if pq_m is None:
+            centroids = similarity.ivf_build(
+                df, id_col, vec_col, idx_path,
+                n_centroids=n_centroids, train_limit=train_limit, seed=seed,
+            )
+        else:
+            if dim is None:
+                dim = len(df.select(vec_col).first()[0])
+            centroids = similarity._train_centroids(
+                df, id_col, vec_col, train_limit, n_centroids, 8, seed
+            )
+            codebooks = similarity.pq_train(
+                df, id_col, vec_col, dim, m=pq_m, k_codes=pq_k,
+                seed=seed, centroids=centroids,
+            )
+            listed = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                similarity._argmax_1based(
+                    similarity._centroid_dots(F.col(vec_col), centroids)
+                ).alias("list_id"),
+            )
+            listed = listed.withColumn(
+                "pq",
+                similarity._pq_encode_residual_udf(codebooks, centroids)(
+                    F.col(vec_col).cast("array<double>"), F.col("list_id")
+                ),
+            )
+            listed.write.mode("overwrite").partitionBy("list_id").parquet(
+                idx_path
+            )
         meta = self._load()
         meta[name] = {
             "table": table,
@@ -102,6 +141,13 @@ class VectorIndexes:
             "seed": seed,
             "path": idx_path,
             "centroids": [[float(x) for x in c] for c in centroids],
+            "pq_m": pq_m,
+            "pq_k": pq_k,
+            "codebooks": (
+                None
+                if codebooks is None
+                else [[[float(x) for x in row] for row in cb] for cb in codebooks]
+            ),
         }
         self._save(meta)
 
@@ -120,17 +166,30 @@ class VectorIndexes:
         m = self._get(name)
         df = self.engine.table(m["table"])
         if retrain:
-            centroids = similarity.ivf_build(
-                df, m["id_col"], m["vec_col"], m["path"],
-                n_centroids=m["n_centroids"],
-                train_limit=m["train_limit"], seed=m["seed"],
-            )
+            # Retrain everything (the drift lever): recreate under the
+            # same registered parameters, PQ codes included.
+            params = {
+                k2: m[k2]
+                for k2 in (
+                    "table", "id_col", "vec_col", "n_centroids",
+                    "train_limit", "seed",
+                )
+            }
+            pq_m, pq_k = m.get("pq_m"), m.get("pq_k", 32)
             meta = self._load()
-            meta[name]["centroids"] = [
-                [float(x) for x in c] for c in centroids
-            ]
+            del meta[name]
             self._save(meta)
-            return f"retrained + rebuilt {name!r} ({len(centroids)} lists)"
+            self.create(
+                name, params["table"], params["id_col"], params["vec_col"],
+                n_centroids=params["n_centroids"],
+                train_limit=params["train_limit"], seed=params["seed"],
+                pq_m=pq_m, pq_k=pq_k,
+            )
+            return (
+                f"retrained + rebuilt {name!r} ({m['n_centroids']} lists"
+                + (f", PQ m={pq_m}" if pq_m else "")
+                + ")"
+            )
         listed = df.select(
             F.col(m["id_col"]),
             F.col(m["vec_col"]),
@@ -138,6 +197,18 @@ class VectorIndexes:
                 _centroid_dots(F.col(m["vec_col"]), m["centroids"])
             ).alias("list_id"),
         )
+        if m.get("codebooks"):
+            # PQ index: re-encode against the STORED codebooks — model
+            # state stays fixed, only the codes/lists refresh.
+            listed = listed.withColumn(
+                "pq",
+                similarity._pq_encode_residual_udf(
+                    m["codebooks"], m["centroids"]
+                )(
+                    F.col(m["vec_col"]).cast("array<double>"),
+                    F.col("list_id"),
+                ),
+            )
         listed.write.mode("overwrite").partitionBy("list_id").parquet(
             m["path"]
         )
@@ -158,17 +229,86 @@ class VectorIndexes:
         query_vec: list[float],
         k: int = 10,
         n_probe: int = 4,
+        mode: str = "exact",
+        rescore: int = 8,
     ) -> DataFrame:
+        """Query the index. ``mode='exact'``: partition-pruned scan of the
+        probed lists + exact cosine (ivf_probe_indexed). ``mode='adc'``
+        (round-9, requires a PQ-coded index): score candidates from their
+        persisted m-byte residual codes via plan-literal ADC table lookups
+        + the per-list q·c constant — the scan reads CODES, not vectors —
+        then exact-rescore the best ``rescore·k`` (reading only those
+        vectors). The FAISS-IVFPQ query path against the stored artifact."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
         from .operators import similarity
+        from .operators.similarity import cosine
 
         m = self._get(name)
-        return similarity.ivf_probe_indexed(
-            self.engine.spark,
-            m["path"],
-            m["centroids"],
-            m["id_col"],
-            m["vec_col"],
-            [float(x) for x in query_vec],
-            k=k,
-            n_probe=n_probe,
+        q = [float(x) for x in query_vec]
+        if mode == "exact":
+            return similarity.ivf_probe_indexed(
+                self.engine.spark,
+                m["path"],
+                m["centroids"],
+                m["id_col"],
+                m["vec_col"],
+                q,
+                k=k,
+                n_probe=n_probe,
+            )
+        if mode != "adc":
+            raise ValueError(f"search mode must be 'exact' or 'adc', got {mode!r}")
+        if not m.get("codebooks"):
+            raise ValueError(
+                f"vector index {name!r} has no PQ codes — create it with "
+                "pq_m (CREATE VECTOR INDEX ... PQ m [k])"
+            )
+        C = np.asarray(m["centroids"], dtype="float64")
+        qv = np.asarray(q, dtype="float64")
+        qn = float(np.linalg.norm(qv))
+        if qn == 0.0:
+            raise ValueError("query vector has zero norm")
+        qv = qv / qn
+        dots = C @ qv
+        probes = [
+            i + 1
+            for i in sorted(range(len(C)), key=lambda i: (-dots[i], i))[:n_probe]
+        ]
+        sub_d = len(m["codebooks"][0][0])
+        tables = [
+            [float(qv[j * sub_d:(j + 1) * sub_d] @ np.asarray(c)) for c in cb]
+            for j, cb in enumerate(m["codebooks"])
+        ]
+        qc = [float(c @ qv) for c in C]
+        cand = self.engine.spark.read.parquet(m["path"]).filter(
+            F.col("list_id").isin(probes)
+        )
+        adc = None
+        for j, tab in enumerate(tables):
+            lookup = F.element_at(
+                F.array(*[F.lit(v) for v in tab]),
+                F.element_at(F.col("pq"), j + 1) + 1,
+            )
+            adc = lookup if adc is None else (adc + lookup)
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int")
+        )
+        top = (
+            cand.select(F.col(m["id_col"]), F.col(m["vec_col"]), adc.alias("adc"))
+            .orderBy(F.col("adc").desc(), F.col(m["id_col"]))
+            .limit(rescore * k)
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            top.select(
+                F.col(m["id_col"]),
+                F.round(
+                    cosine(F.col(m["vec_col"]).cast("array<double>"), qcol), 6
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(m["id_col"]))
+            .limit(k)
         )

@@ -2418,3 +2418,49 @@ def test_diff_versions_cdc_read(spark, tmp_path):
     assert e.ref_sql("DIFF v FROM VERSION 1 TO VERSION 1").count() == 0
     with pytest.raises(ParseError, match="takes an integer"):
         e.ref_sql("DIFF v FROM VERSION x TO CURRENT")
+
+
+def test_vector_index_pq_codes_adc_search(spark, tmp_path, sf_dir):
+    """Round-9: PQ-coded vector index — residual codes persisted in the
+    partitioned index parquet, residual codebooks in the registry; ADC
+    search reads codes (+ per-list constant) and exact-rescores the
+    tail. Full probe + generous rescore => recall 1.0 vs exact mode."""
+    e = Engine(spark, str(tmp_path / "vpq"))
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.ref_sql(
+        "CREATE VECTOR INDEX vp ON embeddings (embedding) ID vec_id "
+        "CENTROIDS 16 PQ 16 32"
+    )
+    adc = e.ref_sql(
+        "SEARCH vp K 10 PROBE 16 MODE ADC USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    exact = e.ref_sql(
+        "SEARCH vp K 10 PROBE 16 USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    assert adc[0].vec_id == 7 and adc[0].score == pytest.approx(1.0)
+    assert {r.vec_id for r in adc} == {r.vec_id for r in exact}
+    # refresh keeps codebooks: identical results after the rebuild
+    assert "existing quantizer" in e.ref_sql("REFRESH VECTOR INDEX vp")
+    again = e.ref_sql(
+        "SEARCH vp K 10 PROBE 16 MODE ADC USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    assert [r.vec_id for r in again] == [r.vec_id for r in adc]
+    # retrain rebuilds quantizer + codebooks under the registered params
+    assert "PQ m=16" in e.ref_sql("REFRESH VECTOR INDEX vp RETRAIN")
+    # persists across engine restarts
+    e2 = Engine(spark, str(tmp_path / "vpq"))
+    again2 = e2.ref_sql(
+        "SEARCH vp K 5 PROBE 16 MODE ADC USING "
+        "SELECT embedding FROM embeddings WHERE vec_id = 7"
+    ).collect()
+    assert again2[0].vec_id == 7
+    # a code-less index rejects ADC loudly
+    e2.ref_sql("CREATE VECTOR INDEX vx ON embeddings (embedding) ID vec_id")
+    with pytest.raises(ValueError, match="no PQ codes"):
+        e2.ref_sql(
+            "SEARCH vx MODE ADC USING "
+            "SELECT embedding FROM embeddings WHERE vec_id = 7"
+        )
