@@ -517,3 +517,36 @@ def test_feature_scaler_state_joins_broadcast(spark, sf_dir):
         txt = plan_text(QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in txt, name
         assert "CartesianProduct" not in txt, name
+
+
+def test_vector_index_adc_search_prunes_partitions_and_reads_codes(
+    spark, tmp_path_factory, sf_dir
+):
+    """Round-9: SEARCH ... MODE ADC against a PQ-coded index must (a)
+    prune to the probed list partitions (PartitionFilters, not a
+    post-scan Filter) and (b) feed the candidate ranking from the stored
+    codes via plan-literal lookups — no UDF, no cross join."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    root = str(tmp_path_factory.mktemp("vadc"))
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.vindexes.create(
+        "vp", "embeddings", "vec_id", "embedding", n_centroids=16,
+        pq_m=16, pq_k=32,
+    )
+    q = [1.0] + [0.0] * 63
+    df = e.vindexes.search("vp", q, k=5, n_probe=4, mode="adc")
+    txt = plan_text(df)
+    probe_lines = [
+        line for line in txt.splitlines() if "PartitionFilters" in line
+    ]
+    assert probe_lines and any("list_id" in line for line in probe_lines), txt
+    assert "element_at" in txt  # plan-literal ADC lookups on the codes
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt  # no row-at-a-time python
