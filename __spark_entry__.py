@@ -51,5 +51,14 @@ def oracle_sql() -> dict[str, str]:
     null`` (no oracle comparison); their verification lives in the pytest
     parity/recall pins (tests/test_operators.py, tests/test_dedup.py,
     tests/test_membership.py).
+
+    ``{sf_dir}`` templating (round-9): oracles that must reference the
+    parquet FILES themselves (parquet_metadata footer audits) rather than
+    the pre-registered table views carry an ``{sf_dir}`` placeholder;
+    it resolves here to the driver's fixed sf0.01 gate directory (the
+    pytest parity harness substitutes its own sf_dir the same way).
     """
-    return workload.ordered_oracles()
+    return {
+        n: sql.replace("{sf_dir}", "/root/testdata/sf0.01")
+        for n, sql in workload.ordered_oracles().items()
+    }

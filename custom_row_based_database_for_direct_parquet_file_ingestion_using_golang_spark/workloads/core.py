@@ -1671,3 +1671,40 @@ def refsql_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events) "
         "SELECT event_id, user_id, n_6h, ROUND(v_6h, 2) AS v_6h FROM w",
     )
+
+
+@query(
+    "storage_column_stats",
+    """
+    SELECT path_in_schema AS column,
+           CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+           CAST(SUM(num_values) AS BIGINT) AS n_values
+    FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def storage_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage audit (round 9): per-column compressed/uncompressed bytes
+    and value counts straight from the parquet FOOTERS — the numbers
+    that price a 100-TB scan (EXPLAIN ESTIMATE's per-scan line, as a
+    queryable table). One pyarrow metadata read, zero row groups; the
+    oracle replays DuckDB's own parquet_metadata() over the same file,
+    so two independent footer readers must agree byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    acc: dict[str, list[int]] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(md.num_columns):
+            c = rg.column(i)
+            a = acc.setdefault(c.path_in_schema, [0, 0, 0])
+            a[0] += c.total_compressed_size
+            a[1] += c.total_uncompressed_size
+            a[2] += c.num_values
+    return spark.createDataFrame(
+        [(k, *v) for k, v in sorted(acc.items())],
+        "column string, compressed_bytes long, uncompressed_bytes long, "
+        "n_values long",
+    )

@@ -74,7 +74,7 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(workload.ORACLES[name])
+    res = duck.execute(workload.ORACLES[name].replace("{sf_dir}", sf_dir))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
@@ -99,7 +99,9 @@ def test_oracle_query_not_vacuous(name, spark, sf_dir, duck):
     nothing (empty == empty passes for ANY bug that yields empty). Every
     entry must produce rows at the test scale."""
     n = duck.execute(
-        f"SELECT count(*) FROM ({workload.ORACLES[name]})"
+        "SELECT count(*) FROM ("
+        + workload.ORACLES[name].replace("{sf_dir}", sf_dir)
+        + ")"
     ).fetchone()[0]
     assert n > 0, f"{name}: oracle returns 0 rows at this scale — vacuous check"
 
