@@ -443,15 +443,19 @@ class ExprParser:
         to Catalyst (``WHERE price * (1 - disc) > 100``). Plain operands
         keep the reference path (literal typing, weak-mode dual compare,
         HAVING aggregate-call names)."""
-        if self.cur.peek() == "(" and self.cur.peek_kw(1) == "select":
-            # Scalar subquery: no arithmetic tail (the resolved literal
-            # can't round-trip through the raw-token re-lex below).
-            return self._operand()
         start = self.cur.i
+        n_scalars = len(self.correlated_scalars)
         expr, lit, name = self._operand()
         if self.cur.peek() not in self._ARITH_OPS:
             return expr, lit, name
         self.cur.i = start  # rewind; rebuild the whole run as raw text
+        # Roll back any correlated-scalar markers the first parse pass
+        # registered — the re-lex re-registers them (a stale marker would
+        # add a dead LEFT JOIN whose placeholder nothing references).
+        # Round-9: the re-lex handles scalar subqueries itself (eager
+        # literal text / correlated placeholder), so subquery-first
+        # arithmetic like ``(SELECT AVG(x) ...) * 2 > y`` works too.
+        del self.correlated_scalars[n_scalars:]
         return F.expr(" ".join(self._collect_arith_tokens())), None, None
 
     def _scalar_subquery(self) -> tuple[Column | None, Any, str | None]:

@@ -2464,3 +2464,39 @@ def test_vector_index_pq_codes_adc_search(spark, tmp_path, sf_dir):
             "SEARCH vx MODE ADC USING "
             "SELECT embedding FROM embeddings WHERE vec_id = 7"
         )
+
+
+def test_scalar_subquery_first_arithmetic(spark, sf_dir):
+    """Round-9 regression: a scalar subquery FIRST in an arithmetic run
+    (``(SELECT avg ...) * 2 > x``) re-lexes cleanly — including the
+    correlated form, whose first-pass marker must be rolled back so no
+    dead LEFT JOIN survives the rewind."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        RefSQL,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _SfTables,
+    )
+
+    eng = RefSQL(_SfTables(spark, sf_dir))
+    n_all = eng.execute("SELECT count(*) AS n FROM orders").collect()[0][0]
+    n = eng.execute(
+        "SELECT count(*) AS n FROM orders WHERE "
+        "(SELECT AVG(o_totalprice) FROM orders) * 2 > o_totalprice"
+    ).collect()[0][0]
+    assert 0 < n <= n_all
+    corr = eng.execute(
+        "SELECT count(*) AS n FROM orders AS o WHERE "
+        "(SELECT AVG(o2.o_totalprice) FROM orders AS o2 "
+        "WHERE o2.o_custkey = o.o_custkey) * 2 > o_totalprice"
+    )
+    # exactly ONE decorrelation join in the plan — the rolled-back
+    # first-pass marker must not add a second
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    txt = plan_text(corr)
+    assert txt.count("__subq_scalar_") > 0
+    assert "__subq_scalar_1" not in txt  # only marker #0 exists
+    assert 0 < corr.collect()[0][0] <= n_all
