@@ -106,3 +106,29 @@ def minmax_scale(
         + F.lit(0.0),
     )
     return out.withColumn(out_col, scaled).drop("__lo", "__hi")
+
+
+def quantile_rank_scale(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "scaled",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """QuantileTransformer (uniform output): percent_rank per group —
+    rank/(n-1) in [0, 1]. Pure RATIONAL arithmetic (no interpolation, no
+    stddev), so the output is bit-identical cross-engine UNROUNDED — the
+    same property the dialect's PERCENT_RANK delivery relies on.
+    ``tiebreak_col`` totalizes the order under value ties (pass the row
+    id); without it, tied values share a rank (standard percent_rank
+    semantics), which is also engine-stable. One window sort per group;
+    single-row groups scale to 0.0 (percent_rank's defined value)."""
+    from pyspark.sql import Window as W
+
+    keys = [F.col(value_col).asc()]
+    if tiebreak_col:
+        keys.append(F.col(tiebreak_col).asc())
+    w = (
+        W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    ).orderBy(*keys)
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -3478,3 +3478,25 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", queries, "qid", "qv",
         k=5, n_centroids=16, n_probe=16,
     )
+
+
+@query(
+    "features_quantile_rank",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS scaled
+    FROM events
+    """,
+)
+def features_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: QuantileTransformer feature prep — percent_rank per event
+    # type with the event_id tiebreak making the order total. Delivered
+    # UNROUNDED: rank/(n-1) is rational arithmetic, bit-identical
+    # cross-engine (the PERCENT_RANK precedent).
+    from ..operators import features
+
+    ev = load(spark, sf_dir, "events")
+    return features.quantile_rank_scale(
+        ev, "value", ["event_type"], tiebreak_col="event_id"
+    ).select("event_id", "event_type", "scaled")
