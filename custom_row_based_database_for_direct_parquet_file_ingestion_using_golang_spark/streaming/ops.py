@@ -372,6 +372,94 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def temporal_enrich_latest(
+    events: DataFrame,
+    ref_type: str = "click",
+    evt_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Round-9: streaming TEMPORAL (as-of) enrichment via
+    applyInPandasWithState — each ``evt_type`` event is enriched with the
+    LATEST ``ref_type`` event at-or-before its timestamp, per key. The
+    state is ONE tuple per key (the latest reference seen), the temporal
+    join no built-in streaming operator expresses: a stream-stream
+    interval join needs a bounded interval, while as-of wants "the most
+    recent, however old" — exactly what explicit GroupState holds at
+    constant size.
+
+    Within a micro-batch, rows process in event-time order (references
+    before events on ties), so on bounded single-batch input the result
+    is EXACTLY the batch backward as-of join — which is what the DuckDB
+    ASOF JOIN oracle checks. On a live multi-batch stream an event joins
+    only state that has already arrived (the standard no-buffering
+    temporal-join semantics; add a watermarked buffer if cross-batch
+    disorder matters). Output: ``evt_id, <key>, ref_id, ref_value``
+    (NULLs when no reference precedes the event)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("evt_id", T.LongType()),
+            T.StructField(key_col, T.LongType()),
+            T.StructField("ref_id", T.LongType()),
+            T.StructField("ref_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ref_ts", T.LongType()),  # epoch micros
+            T.StructField("ref_id", T.LongType()),
+            T.StructField("ref_value", T.DoubleType()),
+        ]
+    )
+    tagged = events.filter(
+        F.col("event_type").isin([ref_type, evt_type])
+    ).select(
+        key_col,
+        "event_id",
+        F.col("event_type").alias("tag"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tsm"),
+        "value",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ref_ts, ref_id, ref_val = (
+            state.get if state.exists else (None, None, None)
+        )
+        parts = [p for p in pdfs if len(p)]
+        out = {"evt_id": [], key_col: [], "ref_id": [], "ref_value": []}
+        if parts:
+            rows = pd.concat(parts)
+            # event-time order; references win ties (ASOF >= includes
+            # the equal-timestamp reference)
+            rows = rows.assign(__r=(rows["tag"] != ref_type).astype(int))
+            rows = rows.sort_values(["tsm", "__r", "event_id"])
+            for eid, tag, tsm, val in zip(
+                rows["event_id"], rows["tag"], rows["tsm"], rows["value"]
+            ):
+                if tag == ref_type:
+                    if ref_ts is None or tsm >= ref_ts:
+                        ref_ts, ref_id, ref_val = int(tsm), int(eid), float(val)
+                else:
+                    out["evt_id"].append(int(eid))
+                    out[key_col].append(int(key[0]))
+                    out["ref_id"].append(ref_id)
+                    out["ref_value"].append(ref_val)
+        state.update((ref_ts, ref_id, ref_val))
+        yield pd.DataFrame(out)
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_upsert_into(engine, table: str, stream: DataFrame, keys: list[str]):
     """Exactly-once-style streaming sink: each micro-batch MERGEs into an
     engine table via foreachBatch (anti-join + union + atomic swap). The

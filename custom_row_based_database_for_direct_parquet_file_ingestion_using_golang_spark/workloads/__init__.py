@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "ann_batch_queries",
     "storage_column_stats",
     "features_quantile_rank",
+    "stream_temporal_enrich",
     # first the 22 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
     # and MUST lead the r10 window; then the r6-green block (3 rounds

@@ -568,3 +568,38 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles(
         bins, [0.5, 0.95], 0.0, 1000.0, 500, group_cols=["ws"]
     )
+
+
+@query(
+    "stream_temporal_enrich",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS evt_id, p.user_id,
+           c.event_id AS ref_id, c.value AS ref_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal (as-of) enrichment (round 9): every purchase
+    carries the user's LATEST click at-or-before it, held as ONE
+    GroupState tuple per user — the as-of join no built-in streaming
+    operator expresses (interval joins need a bounded interval; as-of
+    wants the most recent, however old). On bounded input this converges
+    exactly to the batch backward as-of join, which the oracle replays
+    with DuckDB's NATIVE ASOF JOIN — an independent implementation.
+    ref_value is an exact carried input double (unrounded-safe)."""
+    from ..streaming.ops import run_to_memory, temporal_enrich_latest
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        temporal_enrich_latest(events, "click", "purchase"), mode="append"
+    )
