@@ -3500,3 +3500,67 @@ def features_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.quantile_rank_scale(
         ev, "value", ["event_type"], tiebreak_col="event_id"
     ).select("event_id", "event_type", "scaled")
+
+
+@query(
+    "corpus_chunk_dedup_rate",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_SQL_TOKS_NORM} AS toks
+               FROM documents),
+    st AS (
+      SELECT doc_id, source, toks,
+             unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS start
+      FROM d
+    ),
+    ch AS (
+      SELECT source,
+             md5(array_to_string(toks[start : start + 31], ' ')) AS h
+      FROM st
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+           round(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 4)
+             + 0.0 AS dup_rate
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def corpus_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup diagnostics (round 9): after sliding-window
+    chunking (the RAG/embedding prep step), what fraction of chunks per
+    SOURCE are duplicates? Boilerplate shows up at chunk granularity even
+    when whole documents are unique — this is the measurement that
+    decides whether to dedup before or after chunking in the pipeline.
+    Chunk boundaries are the deterministic column-algebra windows
+    (corpus_chunk_sliding), identity is the md5 of the chunk text (both
+    engines), and the dup rate is one exact integer division (IEEE
+    correctly rounded, bit-identical) before the 4-dp delivery."""
+    from ..operators.text import chunk_documents
+    from ..operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    src = docs.select("doc_id", "source")
+    return (
+        chunks.join(F.broadcast(src), "doc_id")
+        .select("source", F.md5("chunk_text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("h").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct") / F.col("n_chunks").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
