@@ -22,14 +22,14 @@ from . import sketches  # noqa: F401, E402
 # verdict): with 200+ workloads over a 50-slot window the minimum rotation
 # period is ~4 rounds, so the target is "no entry's newest driver row
 # more than 3-4 rounds stale" (new-in-round entries exempt). Round-9
-# curation: (0) the 3 new-in-round-9 entries; (1) the 34 round-8 additions
+# curation: (0) 12 new-in-round-9 entries; (1) the 34 round-8 additions
 # that debuted BELOW the r8 boundary — the only registry entries with zero
 # driver evidence (sketches, PQ/IVFPQ ANN, weighted sampling, events
-# analytics, 8 dialect verbs); (2) 13 picks from the 26-entry r4-green
-# block, per the round-8 verdict's order (text_*, stream session/sliding,
-# q16/q19/q20/q21, agg_count_distinct). The 13 unpicked r4 entries MUST
-# lead the r10 window (they will be 6 rounds stale), then the r6-green
-# block (3 rounds stale at r9). Every name must exist in QUERIES;
+# analytics, 8 dialect verbs); (2) 4 picks from the 26-entry r4-green
+# block (never-checked beats stale-green, so late round-9 additions
+# displaced most r4 picks). The 22 unpicked r4 entries plus the 6 late
+# round-9 debuts below the boundary MUST lead the r10 window, then the
+# r6-green block (3 rounds stale at r9). Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
 # entry from the gate window.
 PRIORITY: list[str] = [
@@ -81,10 +81,9 @@ PRIORITY: list[str] = [
     "events_transition_matrix",
     "events_rfm_segments",
     "corpus_dup_rate_by_source",
-    # (2) r4-green picks — 5 rounds stale (the round-8 verdict's order;
-    # stream_session/sliding + q16/q19/q20/q21/agg_count_distinct
-    # displaced below by the 7 late
-    # round-9 additions — never-checked beats stale-green).
+    # (2) r4-green picks — 5 rounds stale (the rest of the round-8
+    # verdict's preferred picks were displaced below by the late round-9
+    # additions — never-checked beats stale-green; they lead r10).
     "text_lang_breakdown",
     "text_pii_redact",
     "text_quality_scores",
