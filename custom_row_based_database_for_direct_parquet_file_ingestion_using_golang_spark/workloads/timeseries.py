@@ -474,3 +474,89 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(*) AS n_events "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     )
+
+
+@query(
+    "events_user_lifetime",
+    """
+    SELECT user_id,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS days_active,
+           CAST(count(*) AS BIGINT) AS n_events,
+           arg_max(event_type, ts) AS last_event_type
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: per-user lifetime profile — first/last activity, active
+    # span in days, event count, and the LAST action (arg_max keyed on
+    # the globally-unique ts). The retention-analysis base table every
+    # events pipeline materializes. date_diff('day', a, b) is whole-day
+    # truncation on both engines (Spark datediff(DATE(b), DATE(a)) —
+    # mirrored explicitly below).
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.datediff(
+                F.to_date(F.max("ts")), F.to_date(F.min("ts"))
+            ).cast("long").alias("days_active"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_gini_concentration",
+    """
+    WITH u AS (
+      SELECT user_id, round(sum(value), 2) AS total
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT total,
+             row_number() OVER (ORDER BY total, user_id) AS i,
+             count(*) OVER () AS n,
+             sum(total) OVER () AS s
+      FROM u
+    )
+    SELECT round(2.0 * sum(i * total) / (max(n) * max(s))
+                 - (max(n) + 1.0) / max(n), 4) + 0.0 AS gini,
+           CAST(max(n) AS BIGINT) AS n_users
+    FROM r
+    """,
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: Gini coefficient of per-user event value — the standard
+    # concentration measure ("do 10% of users generate 90% of value?")
+    # via the rank formula G = 2*Σ(i·xᵢ)/(n·Σx) − (n+1)/n over totals
+    # sorted ascending (user_id breaks ties, totalizing the rank). The
+    # per-user totals round to 2 dp first (sums of 2-dp inputs are exact
+    # multiples of 0.01), so both engines rank identical values; the
+    # final expression is two exact divisions, rounded 4 dp.
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    w = W.orderBy("total", "user_id")
+    r = u.select(
+        "total",
+        F.row_number().over(w).alias("i"),
+    )
+    return r.agg(
+        (
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("total"))
+                / (F.count(F.lit(1)) * F.sum("total"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
