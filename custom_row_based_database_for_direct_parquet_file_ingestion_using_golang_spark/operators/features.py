@@ -132,3 +132,34 @@ def quantile_rank_scale(
         W.partitionBy(*group_cols) if group_cols else W.partitionBy()
     ).orderBy(*keys)
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def loo_target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    out_col: str = "encoded",
+) -> DataFrame:
+    """Leave-one-out target encoding — the no-leakage categorical encoder
+    (each row gets its category's mean target EXCLUDING itself, so the
+    row's own label never reaches its feature): ``(sum - x) / (n - 1)``
+    per category, pure column algebra over one window (no frame exclusion
+    needed — Spark has none; the algebraic identity replaces it).
+    Singleton categories encode to NULL (no peers to average). The
+    numerator rounds to 2 dp (target sums of 2-dp inputs are true
+    multiples of 0.01, so the re-round erases each engine's
+    accumulation-order ULP noise), and the quotient is delivered
+    UNROUNDED: both engines then divide bit-identical inputs, and IEEE
+    division is correctly rounded, so the doubles match bit-for-bit. A
+    final decimal rounding would REINTRODUCE a knife edge — quotients
+    m/(100·(n-1)) land exactly on half-boundaries whenever (n-1) divides
+    2·10^d·m, where Spark's HALF_UP and DuckDB's rounding legitimately
+    disagree (observed at n-1 = 200)."""
+    from pyspark.sql import Window as W
+
+    t = F.col(target_col).cast("double")
+    w = W.partitionBy(category_col)
+    s = F.sum(t).over(w)
+    n = F.count(t).over(w)
+    loo = F.round(s - t, 2) / (n - F.lit(1)).cast("double")
+    return df.withColumn(out_col, F.when(n > 1, loo))

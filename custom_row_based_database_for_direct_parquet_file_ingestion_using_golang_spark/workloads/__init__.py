@@ -27,7 +27,7 @@ from . import sketches  # noqa: F401, E402
 # driver evidence (sketches, PQ/IVFPQ ANN, weighted sampling, events
 # analytics, 8 dialect verbs); (2) 4 picks from the 26-entry r4-green
 # block (never-checked beats stale-green, so late round-9 additions
-# displaced most r4 picks). The 22 unpicked r4 entries plus the 6 late
+# displaced most r4 picks). The 22 unpicked r4 entries plus the late
 # round-9 debuts below the boundary MUST lead the r10 window, then the
 # r6-green block (3 rounds stale at r9). Every name must exist in QUERIES;
 # ordered_queries() raises otherwise so a rename can't silently drop an
@@ -99,10 +99,11 @@ PRIORITY: list[str] = [
     "corpus_chunk_dedup_rate",
     "events_user_lifetime",
     "events_gini_concentration",
+    "features_target_encode_loo",
     # then the 22 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
-    # and MUST lead the r10 window together with the 8 debuts above
-    # (30 entries total); then the r6-green block (3 rounds stale at r9,
+    # and MUST lead the r10 window together with the 9 debuts above
+    # (31 entries total); then the r6-green block (3 rounds stale at r9,
     # fills r10); then the former r8-window entries (r8-green, 1 round
     # stale) and everything unlisted in registration order.
     "text_token_stats",

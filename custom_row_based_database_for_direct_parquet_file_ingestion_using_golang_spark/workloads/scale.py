@@ -3564,3 +3564,37 @@ def corpus_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "features_target_encode_loo",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS v,
+             sum(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CASE WHEN n > 1
+                THEN round(s - v, 2) / CAST(n - 1 AS DOUBLE)
+           END AS encoded
+    FROM w
+    """,
+)
+def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: leave-one-out target encoding — each event's type encoded
+    # as the mean value of all OTHER events of that type (the standard
+    # no-leakage categorical encoder for model features). The numerator
+    # re-rounds to 2 dp so both engines divide bit-identical inputs
+    # (sums of 2-dp values are true multiples of 0.01); the quotient is
+    # delivered UNROUNDED — IEEE division of identical inputs is
+    # bit-identical, while a decimal rounding would land on exact-half
+    # knife edges (m/20000 at n-1=200) where the engines' rounding
+    # modes legitimately differ.
+    from ..operators import features
+
+    ev = load(spark, sf_dir, "events")
+    return features.loo_target_encode(ev, "event_type", "value").select(
+        "event_id", "event_type", "encoded"
+    )
