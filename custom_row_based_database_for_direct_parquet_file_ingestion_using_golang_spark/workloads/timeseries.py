@@ -560,3 +560,57 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@query(
+    "events_hourly_anomaly_zscore",
+    """
+    WITH h AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, ws, n,
+             avg(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS mu,
+             stddev(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type) AS sd
+      FROM h
+    )
+    SELECT event_type, ws, n,
+           round((n - mu) / sd, 4) + 0.0 AS z
+    FROM s WHERE sd > 0 ORDER BY event_type, ws
+    """,
+)
+def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: volume-anomaly monitoring — per-hour event counts z-scored
+    # against their type's own distribution (the pipeline-health check
+    # every ingestion service runs; threshold downstream at |z| > 3).
+    # Counts are exact ints; mean/sample-stddev carry only accumulation
+    # ULP, absorbed by the 4-dp rounding (the robust_scale precedent).
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("ws")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type")
+    s = h.select(
+        "event_type",
+        "ws",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("mu"),
+        F.stddev(F.col("n").cast("double")).over(w).alias("sd"),
+    )
+    return (
+        s.filter(F.col("sd") > 0)
+        .select(
+            "event_type",
+            "ws",
+            "n",
+            (
+                F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4)
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+        .orderBy("event_type", "ws")
+    )
