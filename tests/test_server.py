@@ -553,3 +553,35 @@ def test_upload_gzipped_jsonl_and_csv(api):
     )
     resp = _call(api, "/api/upload", body, headers={"Content-Type": ctype})
     assert resp["success"] is False and "unsupported file type" in resp["error"]
+
+
+def test_query_api_round9_dialect_surface(api, tmp_path_factory):
+    """Round-9 verbs through /api/query: DISTINCT ON, correlated scalar
+    subqueries, selector aggregates, and the snapshot DIFF all route as
+    SQL (sniffer) and render through the web surface."""
+    assert _query(api, "CREATE TABLE r9 (id INT, grp TEXT, v INT)")["success"]
+    assert _query(
+        api,
+        "INSERT INTO r9 VALUES (1, 'a', 10), (2, 'a', 30), "
+        "(3, 'b', 5), (4, 'b', 50)",
+    )["success"]
+    out = _query(
+        api,
+        "SELECT DISTINCT ON (grp) grp, id, v FROM r9 ORDER BY grp, v DESC, id",
+    )
+    assert out["success"] and "30" in out["result"] and "50" in out["result"]
+    out = _query(
+        api,
+        "SELECT grp, ARG_MAX(id, v) AS hi FROM r9 GROUP BY grp ORDER BY grp",
+    )
+    assert out["success"] and "2" in out["result"] and "4" in out["result"]
+    out = _query(
+        api,
+        "SELECT id FROM r9 AS o WHERE v > "
+        "(SELECT AVG(i.v) FROM r9 AS i WHERE i.grp = o.grp) ORDER BY id",
+    )
+    assert out["success"] and "2" in out["result"] and "4" in out["result"]
+    # snapshot diff renders (requires a snapshot-retaining engine — the
+    # api fixture keeps none, so assert the clean error path instead)
+    out = _query(api, "DIFF r9 FROM VERSION 0 TO CURRENT")
+    assert "success" in out  # structured envelope either way, no 500
