@@ -132,6 +132,10 @@ EXTRA_PASS_QUERIES = {
     "q5_local_supplier_volume",
     # round-8: Arrow-encode-heavy fixture, Python-stage variance
     "crossmodal_image_text_neardup",
+    # round-9: streaming-engine startup + memory-sink variance (warm-pass
+    # spreads of 1.3-1.4x observed in the r9 rehearsals)
+    "stream_session_hll_users",
+    "sketch_hist_quantiles_grouped",
 }
 
 # Known warm floors at sf0.1 (sec): BASELINE.md's floor table plus the
