@@ -1017,3 +1017,61 @@ def mv_hll_distinct_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     msg = e.ref_sql("REFRESH MATERIALIZED VIEW orders_hll_mv")
     assert "incremental" in msg, msg
     return e.table("orders_hll_mv").select("o_orderstatus", "n", "cust_est")
+
+
+@query(
+    "corpus_pack_fill_stats",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(regexp_extract_all(text, '{WORDISH}')) AS n_tok
+               FROM documents),
+    p AS (
+      SELECT source, n_tok,
+             ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok) // 512)
+               AS seq_id
+      FROM t
+    ),
+    q AS (
+      SELECT source, seq_id, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+      FROM p GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           CAST(max(seq_tok) AS BIGINT) AS max_fill,
+           CAST(min(seq_tok) AS BIGINT) AS min_fill,
+           CAST(count(*) FILTER (WHERE seq_tok > 512) AS BIGINT)
+             AS n_overflow
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def corpus_pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: packing-quality diagnostics — per-sequence token fill
+    # after the greedy doc-order packing (corpus_pack_sequences). A doc
+    # is assigned wholly to the sequence its running sum starts in, so a
+    # sequence can OVERFLOW 512 tokens; n_overflow is exactly the work
+    # the split-span pass (pack_split_spans) must fix, and min/max fill
+    # bound the padding waste a trainer would pay. All-integer outputs —
+    # the whole assignment replays exactly on both engines.
+    from ..operators.packing import pack_sequences
+    from ..operators.text import word_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", word_token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tok", "source", 512)
+    per_seq = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_tok").alias("seq_tok")
+    )
+    return (
+        per_seq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("seq_tok").alias("max_fill"),
+            F.min("seq_tok").alias("min_fill"),
+            F.count(F.when(F.col("seq_tok") > 512, 1)).alias("n_overflow"),
+        )
+        .orderBy("source")
+    )
