@@ -614,3 +614,55 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "ws")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    """
+    WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM e GROUP BY d),
+    sup AS (
+      SELECT d + CAST(k AS INT) AS day, user_id
+      FROM e, (SELECT unnest(range(0, 7)) AS k) t
+    ),
+    wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM sup GROUP BY day)
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           dau.dau / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.day
+    ORDER BY day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: DAU/WAU stickiness — daily actives over trailing-7-day
+    # actives per day, the standard engagement ratio. The trailing
+    # distinct count avoids a range self-join: each (day, user) supports
+    # the WAU of days d..d+6, so ONE explode-by-7 + count distinct gives
+    # every trailing window (row growth exactly 7x the distinct
+    # (day, user) pairs — bounded, shuffle on day). Stickiness is one
+    # IEEE division of exact integers, delivered UNROUNDED (bit-identical
+    # cross-engine; a decimal rounding could land on rational knife
+    # edges — the LOO-encoding lesson).
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dau = e.groupBy("d").agg(F.count_distinct("user_id").alias("dau"))
+    sup = e.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = sup.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["day"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
