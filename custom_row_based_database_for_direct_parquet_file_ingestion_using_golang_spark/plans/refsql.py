@@ -2267,18 +2267,30 @@ class RefSQL:
         COMBINED result. Non-final arms cannot carry ORDER BY/LIMIT."""
         spec, _, clauses = parse_select(cur, self.weak, resolver=self._scalar)
         arms: list[tuple[SelectSpec, dict]] = [(spec, clauses)]
-        ops: list[tuple[str, bool]] = []
+        ops: list[tuple[str, bool, bool]] = []
         while cur.peek_kw() in self._SETOP_KWS:
             op = cur.next().lower()
             keep_dups = False
             if cur.peek_kw() == "all":
                 cur.next()
                 keep_dups = True
+            by_name = False
+            if cur.peek_kw() == "by":
+                # Round-9: UNION [ALL] BY NAME — arms combine by COLUMN
+                # NAME instead of position (the DuckDB ergonomic; Spark's
+                # unionByName). Missing columns null-fill on both sides.
+                cur.next()
+                cur.expect_kw("name")
+                if op != "union":
+                    raise ParseError(
+                        f"BY NAME applies to UNION, not {op.upper()}"
+                    )
+                by_name = True
             spec2, _, clauses2 = parse_select(
                 cur, self.weak, resolver=self._scalar
             )
             arms.append((spec2, clauses2))
-            ops.append((op, keep_dups))
+            ops.append((op, keep_dups, by_name))
         if not ops:
             return build_select(self._resolved_from(spec), spec, clauses)
         # Compound: the trailing sort/limit clauses belong to the whole
@@ -2298,7 +2310,12 @@ class RefSQL:
                 )
         frames = [build_select(self._resolved_from(s), s, c) for s, c in arms]
         acc = frames[0]
-        for (op, keep_dups), nxt in zip(ops, frames[1:]):
+        for (op, keep_dups, by_name), nxt in zip(ops, frames[1:]):
+            if by_name:
+                acc = acc.unionByName(nxt, allowMissingColumns=True)
+                if not keep_dups:
+                    acc = acc.dropDuplicates()
+                continue
             if len(nxt.columns) != len(acc.columns):
                 raise ParseError(
                     f"set operation arms select {len(acc.columns)} vs "

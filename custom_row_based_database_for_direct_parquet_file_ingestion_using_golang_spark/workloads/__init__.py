@@ -103,10 +103,11 @@ PRIORITY: list[str] = [
     "events_hourly_anomaly_zscore",
     "corpus_pack_fill_stats",
     "events_dau_wau_stickiness",
+    "refsql_union_by_name",
     # then the 22 r4-green entries the 50-slot budget could not seat —
     # their newest driver row is r4, they will be 6 rounds stale at r10
-    # and MUST lead the r10 window together with the 12 debuts above
-    # (34 entries total); then the r6-green block (3 rounds stale at r9,
+    # and MUST lead the r10 window together with the 13 debuts above
+    # (35 entries total); then the r6-green block (3 rounds stale at r9,
     # fills r10); then the former r8-window entries (r8-green, 1 round
     # stale) and everything unlisted in registration order.
     "text_token_stats",

@@ -1708,3 +1708,32 @@ def storage_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column string, compressed_bytes long, uncompressed_bytes long, "
         "n_values long",
     )
+
+
+@query(
+    "refsql_union_by_name",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS v, o_orderpriority AS p
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL BY NAME
+    SELECT o_orderpriority AS p, o_orderkey AS k, o_totalprice AS v
+    FROM orders WHERE o_totalprice < 1000
+    ORDER BY k
+    """,
+)
+def refsql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-9: UNION ALL BY NAME — arms combine by COLUMN NAME instead of
+    # position (Spark unionByName ≡ DuckDB BY NAME), the schema-evolution
+    # ergonomic for concatenating shards whose column order drifted. The
+    # second arm's columns are deliberately permuted: a positional union
+    # would scramble k/v/p, so the hash check pins name resolution.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderkey AS k, o_totalprice AS v, o_orderpriority AS p "
+        "FROM orders WHERE o_totalprice > 400000 "
+        "UNION ALL BY NAME "
+        "SELECT o_orderpriority AS p, o_orderkey AS k, o_totalprice AS v "
+        "FROM orders WHERE o_totalprice < 1000 "
+        "ORDER BY k",
+    )

@@ -2500,3 +2500,26 @@ def test_scalar_subquery_first_arithmetic(spark, sf_dir):
     assert txt.count("__subq_scalar_") > 0
     assert "__subq_scalar_1" not in txt  # only marker #0 exists
     assert 0 < corr.collect()[0][0] <= n_all
+
+
+def test_union_by_name(spark, tmp_path):
+    """Round-9: UNION [ALL] BY NAME — name resolution, null-fill for
+    missing columns, and the non-UNION guard."""
+    e = Engine(spark, str(tmp_path / "ubn"))
+    e.ref_sql("CREATE TABLE a (x INT, y TEXT)")
+    e.ref_sql("INSERT INTO a VALUES (1, 'one')")
+    e.ref_sql("CREATE TABLE b (y TEXT, x INT, z INT)")
+    e.ref_sql("INSERT INTO b VALUES ('two', 2, 99)")
+    rows = e.ref_sql(
+        "SELECT x, y FROM a UNION ALL BY NAME SELECT y, x, z FROM b "
+        "ORDER BY x"
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [(1, "one", None), (2, "two", 99)]
+    # plain (distinct) BY NAME deduplicates
+    e.ref_sql("INSERT INTO a VALUES (2, 'two')")
+    got = e.ref_sql(
+        "SELECT x, y FROM a UNION BY NAME SELECT y, x FROM b ORDER BY x"
+    ).collect()
+    assert [(r.x, r.y) for r in got] == [(1, "one"), (2, "two")]
+    with pytest.raises(ParseError, match="BY NAME applies to UNION"):
+        e.ref_sql("SELECT x FROM a INTERSECT BY NAME SELECT x FROM b")
