@@ -909,3 +909,68 @@ def test_refsql_frames_match_spark_sql(spark, lo, hi, agg, kind):
     got = [tuple(r) for r in eng.ref_sql(q.format(t="t")).collect()]
     want = [tuple(r) for r in spark.sql(q.format(t="fuzz_t")).collect()]
     assert got == want, frame
+
+
+def test_feature_scalers_match_python_reference(spark):
+    """Round-9 property test: the four feature scalers vs a plain
+    numpy/statistics reference on randomized grouped data (including a
+    constant group and a singleton group — the degenerate NULL cases)."""
+    import random as _random
+    import statistics as _stats
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        features,
+    )
+
+    rng = _random.Random(505)
+    rows = []
+    rid = 0
+    for g, n in [("a", 37), ("b", 11), ("c", 1), ("d", 8)]:
+        for _ in range(n):
+            v = 7.0 if g == "d" else round(rng.uniform(-50, 150), 2)
+            rows.append((rid, g, v))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    by_g = {}
+    for _, g, v in rows:
+        by_g.setdefault(g, []).append(v)
+
+    mm = {r.id: r.scaled for r in features.minmax_scale(df, "v", ["g"]).collect()}
+    zs = {r.id: r.scaled for r in features.zscore_scale(df, "v", ["g"]).collect()}
+    rb = {r.id: r.scaled for r in features.robust_scale(df, "v", ["g"]).collect()}
+    loo = {
+        r.id: r.encoded
+        for r in features.loo_target_encode(df, "g", "v", out_col="encoded").collect()
+    }
+
+    def q(vals, p):
+        # exact interpolated quantile, the percentile/quantile_cont formula
+        s = sorted(vals)
+        pos = (len(s) - 1) * p
+        lo = int(pos)
+        frac = pos - lo
+        return s[lo] if frac == 0 else s[lo] + frac * (s[lo + 1] - s[lo])
+
+    for i, g, v in rows:
+        vals = by_g[g]
+        lo_v, hi_v = min(vals), max(vals)
+        if hi_v > lo_v:
+            assert mm[i] == round((v - lo_v) / (hi_v - lo_v), 4), (i, g)
+        else:
+            assert mm[i] is None
+        if len(vals) > 1 and _stats.stdev(vals) > 0:
+            want = round((v - _stats.mean(vals)) / _stats.stdev(vals), 4)
+            assert abs(zs[i] - want) <= 1e-4, (i, g, zs[i], want)
+        else:
+            assert zs[i] is None
+        iqr = q(vals, 0.75) - q(vals, 0.25)
+        if iqr > 0:
+            want = round((v - q(vals, 0.5)) / iqr, 4)
+            assert abs(rb[i] - want) <= 1e-4, (i, g, rb[i], want)
+        else:
+            assert rb[i] is None
+        if len(vals) > 1:
+            want = round(sum(vals) - v, 2) / (len(vals) - 1)
+            assert abs(loo[i] - want) <= 1e-9, (i, g)
+        else:
+            assert loo[i] is None
