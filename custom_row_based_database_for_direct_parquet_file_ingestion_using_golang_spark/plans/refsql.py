@@ -607,7 +607,9 @@ class ExprParser:
 
         nxt = self.cur.peek_kw()
         negate = False
-        if nxt == "not" and self.cur.peek_kw(1) in ("in", "between", "like"):
+        if nxt == "not" and self.cur.peek_kw(1) in (
+            "in", "between", "like", "ilike",
+        ):
             self.cur.next()
             negate = True
             nxt = self.cur.peek_kw()
@@ -681,6 +683,15 @@ class ExprParser:
             if not _is_string_lit(pat):
                 raise ParseError("LIKE pattern must be a quoted string")
             out = ref_like(left, pat[1:-1])
+        elif nxt == "ilike":
+            # Round-9: case-insensitive LIKE (the DuckDB/Postgres verb) —
+            # the reference's restricted shapes over lower() of both
+            # sides.
+            self.cur.next()
+            pat = self.cur.next()
+            if not _is_string_lit(pat):
+                raise ParseError("ILIKE pattern must be a quoted string")
+            out = ref_like(F.lower(left), pat[1:-1].lower())
         else:
             # Bare operand ⇒ truthiness (expr.go:515-517); parenthesized
             # boolean sub-expressions pass through unchanged.
@@ -2693,6 +2704,66 @@ class RefSQL:
                 table = "(query)"
             else:
                 table = _unquote(cur.next())
+            if src_df is None and cur.peek_kw() == "from":
+                # Round-9: ``COPY t FROM 'path' [FORMAT parquet|csv|orc]``
+                # — the ingestion counterpart. Creates the table when it
+                # doesn't exist (schema from the file, the reference's
+                # import behavior); APPENDS when it does (DuckDB's COPY
+                # FROM semantics), aligning columns by name.
+                cur.next()
+                src_path = cur.next()
+                if not _is_string_lit(src_path):
+                    raise ParseError("COPY ... FROM takes a quoted path")
+                src_path = src_path[1:-1]
+                fmt = None
+                if cur.peek_kw() == "format":
+                    cur.next()
+                    fmt = cur.next().lower()
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after COPY FROM"
+                    )
+                if fmt is None:
+                    low = src_path.lower()
+                    fmt = (
+                        "csv" if low.endswith(".csv")
+                        else "orc" if low.endswith(".orc")
+                        else "parquet"
+                    )
+                exists = True
+                try:
+                    self.engine.catalog.get(table)
+                except KeyError:
+                    exists = False
+                if not exists:
+                    if fmt == "csv":
+                        self.engine.ingest_csv(src_path, table)
+                    elif fmt == "orc":
+                        self.engine.ingest_orc(src_path, table)
+                    elif fmt == "parquet":
+                        self.engine.ingest_parquet(src_path, table)
+                    else:
+                        raise ParseError(
+                            f"COPY FROM format {fmt!r} not supported "
+                            "(parquet|csv|orc)"
+                        )
+                    return f"created '{table}' from {src_path}"
+                spark = self.engine.spark
+                if fmt == "csv":
+                    new = spark.read.option("header", True).option(
+                        "inferSchema", True
+                    ).csv(src_path)
+                elif fmt == "orc":
+                    new = spark.read.orc(src_path)
+                elif fmt == "parquet":
+                    new = spark.read.parquet(src_path)
+                else:
+                    raise ParseError(
+                        f"COPY FROM format {fmt!r} not supported "
+                        "(parquet|csv|orc)"
+                    )
+                n = self.engine.append_df(table, new)
+                return f"appended {n} row(s) to '{table}'"
             cur.expect_kw("to")
             path = _unquote(cur.next())
             fmt = "parquet"

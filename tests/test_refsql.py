@@ -2523,3 +2523,48 @@ def test_union_by_name(spark, tmp_path):
     assert [(r.x, r.y) for r in got] == [(1, "one"), (2, "two")]
     with pytest.raises(ParseError, match="BY NAME applies to UNION"):
         e.ref_sql("SELECT x FROM a INTERSECT BY NAME SELECT x FROM b")
+
+
+def test_copy_from_and_ilike(spark, tmp_path, sf_dir):
+    """Round-9: COPY ... FROM (create-or-append ingestion through the
+    dialect) and ILIKE (case-insensitive restricted LIKE)."""
+    e = Engine(spark, str(tmp_path / "cfrom"))
+    # create from file
+    msg = e.ref_sql(f"COPY nat FROM '{sf_dir}/nation.parquet'")
+    assert "created" in msg
+    n0 = e.table("nat").count()
+    assert n0 == 25
+    # append (same file again doubles the rows, aligned by name)
+    msg = e.ref_sql(f"COPY nat FROM '{sf_dir}/nation.parquet' FORMAT parquet")
+    assert "appended 25" in msg
+    assert e.table("nat").count() == 50
+    # ILIKE: restricted shapes, case-folded (fixture names are NATION_<n>,
+    # stored uppercase — the lowercase pattern only matches case-folded)
+    got = sorted(
+        r.n_name
+        for r in e.ref_sql(
+            "SELECT DISTINCT n_name FROM nat WHERE n_name ILIKE 'nation_1%'"
+        ).collect()
+    )
+    assert got and all(g.startswith("NATION_1") for g in got), got
+    # plain LIKE stays case-sensitive: the lowercase pattern matches nothing
+    assert (
+        e.ref_sql(
+            "SELECT count(*) AS n FROM nat WHERE n_name LIKE 'nation_1%'"
+        ).collect()[0][0]
+        == 0
+    )
+    assert (
+        e.ref_sql(
+            "SELECT count(*) AS n FROM nat WHERE n_name NOT ILIKE '%_1%'"
+        ).collect()[0][0]
+        > 0
+    )
+    with pytest.raises(ParseError, match="quoted string"):
+        e.ref_sql("SELECT * FROM nat WHERE n_name ILIKE uni")
+    # csv round trip through COPY TO + COPY FROM
+    out = str(tmp_path / "nat_csv")
+    e.ref_sql(f"COPY (SELECT n_name, n_nationkey FROM nat) TO '{out}' FORMAT csv")
+    msg = e.ref_sql(f"COPY nat2 FROM '{out}' FORMAT csv")
+    assert "created" in msg
+    assert e.table("nat2").count() == 50
