@@ -312,6 +312,10 @@ def _sql_literal_text(v: Any) -> str:
         return f"TIMESTAMP '{v}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v}'"
+    if isinstance(v, float):
+        # A bare decimal-point literal parses as DECIMAL in Spark SQL —
+        # the round-6 hash-divergence class; keep floats DOUBLE-typed.
+        return f"CAST({v!r} AS DOUBLE)"
     return str(v)
 
 
@@ -832,6 +836,37 @@ def parse_select(
 
     # projection list until FROM
     while cur.peek_kw() != "from":
+        if cur.peek() == "(" and cur.peek_kw(1) == "select":
+            # Round-9: UNCORRELATED scalar subquery in the SELECT list —
+            # ``SELECT a, (SELECT max(x) FROM t) AS m FROM ...``. Resolved
+            # eagerly to a literal (Spark's own inline-the-scalar
+            # strategy) and projected as a value expression; AS alias
+            # mandatory (a subquery has no natural output name).
+            # Correlated projections are not supported — use the
+            # decorrelated WHERE form or a JOIN.
+            if resolver is None:
+                raise ParseError(
+                    "scalar subqueries are not supported in this context"
+                )
+            cur.next()
+            spec2, _, clauses2 = parse_select(cur, weak_typing, resolver)
+            if cur.next() != ")":
+                raise ParseError("expected ')' after scalar subquery")
+            try:
+                val = resolver(spec2, clauses2)
+            except AnalysisException:
+                raise ParseError(
+                    "correlated scalar subqueries are not supported in "
+                    "the SELECT list (use the WHERE form or a JOIN)"
+                )
+            if cur.peek_kw() != "as":
+                raise ParseError(
+                    "a scalar subquery in the SELECT list needs AS <alias>"
+                )
+            cur.next()
+            alias = _unquote(cur.next())
+            spec.projections.append((_sql_literal_text(val), alias))
+            continue
         tok = cur.next()
         if tok == ",":
             continue

@@ -2568,3 +2568,35 @@ def test_copy_from_and_ilike(spark, tmp_path, sf_dir):
     msg = e.ref_sql(f"COPY nat2 FROM '{out}' FORMAT csv")
     assert "created" in msg
     assert e.table("nat2").count() == 50
+
+
+def test_scalar_subquery_in_select_list(spark, sf_dir):
+    """Round-9: uncorrelated scalar subqueries as TOP-LEVEL select items
+    — eagerly inlined literals, DOUBLE-typed (never DECIMAL), AS alias
+    mandatory; correlated projections raise a clear error."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+        RefSQL,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _SfTables,
+    )
+    from pyspark.sql.types import DoubleType
+
+    eng = RefSQL(_SfTables(spark, sf_dir))
+    df = eng.execute(
+        "SELECT o_orderkey, (SELECT MAX(o_totalprice) FROM orders) AS mx "
+        "FROM orders WHERE o_orderkey < 5 ORDER BY o_orderkey"
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and len({r.mx for r in rows}) == 1
+    assert isinstance(df.schema["mx"].dataType, DoubleType)  # never DECIMAL
+    with pytest.raises(ParseError, match="AS <alias>"):
+        eng.execute(
+            "SELECT (SELECT MAX(o_totalprice) FROM orders) FROM orders"
+        )
+    with pytest.raises(ParseError, match="correlated scalar subqueries"):
+        eng.execute(
+            "SELECT (SELECT MAX(o2.o_totalprice) FROM orders AS o2 "
+            "WHERE o2.o_custkey = o.o_custkey) AS m FROM orders AS o"
+        )
