@@ -170,6 +170,83 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
 
 
+def _inline_named_windows(toks: list[str]) -> list[str]:
+    """Round-10: inline every ``WINDOW w AS (...)`` definition at the
+    token level — rewrite each ``OVER w`` reference to ``OVER ( <def> )``
+    and drop the WINDOW clause. Named windows then work in EVERY
+    expression context (``CAST(SUM(x) OVER w AS BIGINT)``, arithmetic,
+    value expressions routed through Catalyst), not just bare SELECT-item
+    window verbs. A ``WINDOW`` clause is recognized only by the full
+    ``WINDOW <name> AS (`` shape, so a column named ``window`` is safe.
+    References with no matching definition are left alone — the clause-
+    level resolver still raises its unknown-window error for those."""
+    defs: dict[str, list[str]] = {}
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if (
+            t.lower() == "window"
+            and i + 3 < n
+            and toks[i + 2].lower() == "as"
+            and toks[i + 3] == "("
+        ):
+            i += 1  # past WINDOW
+            while True:
+                name = _unquote(toks[i])
+                if name in defs:
+                    raise ParseError(f"duplicate WINDOW name {name!r}")
+                i += 2  # past <name> AS; toks[i] == "("
+                depth = 1
+                i += 1
+                body: list[str] = []
+                while i < n and depth:
+                    if toks[i] == "(":
+                        depth += 1
+                    elif toks[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    body.append(toks[i])
+                    i += 1
+                if depth:
+                    raise ParseError(f"unbalanced WINDOW {name} AS (...)")
+                defs[name] = body
+                i += 1  # past ')'
+                if (
+                    i + 3 < n
+                    and toks[i] == ","
+                    and toks[i + 2].lower() == "as"
+                    and toks[i + 3] == "("
+                ):
+                    i += 1
+                    continue
+                break
+        else:
+            out.append(t)
+            i += 1
+    if not defs:
+        return out
+    res: list[str] = []
+    i = 0
+    n = len(out)
+    while i < n:
+        t = out[i]
+        if (
+            t.lower() == "over"
+            and i + 1 < n
+            and out[i + 1] != "("
+            and _unquote(out[i + 1]) in defs
+        ):
+            res.extend(["over", "("] + defs[_unquote(out[i + 1])] + [")"])
+            i += 2
+        else:
+            res.append(t)
+            i += 1
+    return res
+
+
 def _is_string_lit(tok: str) -> bool:
     return len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]
 
@@ -2472,6 +2549,8 @@ class RefSQL:
         toks = tokenize(sql)
         if not toks:
             raise ParseError("empty statement")
+        if any(t.lower() == "window" for t in toks):
+            toks = _inline_named_windows(toks)
         verb = toks[0].lower()
         cur = _Cursor(toks)
         self._ctes = {}

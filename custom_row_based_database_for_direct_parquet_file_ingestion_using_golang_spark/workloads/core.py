@@ -1354,7 +1354,7 @@ def refsql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            ROW_NUMBER() OVER w AS rn,
            LAG(c_custkey) OVER w AS prev_key,
-           SUM(c_custkey) OVER w2 AS run_keys
+           CAST(SUM(c_custkey) OVER w2 AS BIGINT) AS run_keys
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal DESC, c_custkey),
@@ -1365,17 +1365,19 @@ def refsql_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def refsql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8: the WINDOW clause — two verbs sharing one named window
-    # plus a framed named window, all integer outputs (exact hash, no
-    # rounding). DuckDB runs the IDENTICAL text, so a wrong definition
-    # lookup, a dropped frame, or reference-vs-inline divergence flips
-    # the hash.
+    # plus a framed named window, all integer outputs. Round-10: the
+    # running sum is CAST to BIGINT on BOTH sides — DuckDB types
+    # SUM(BIGINT) as HUGEINT, which exports to Arrow as decimal128(38,0)
+    # and diverges the driver's value hash even on cell-identical rows
+    # (round-9's only red). The CAST exercises the round-10 named-window
+    # inlining too: ``OVER w2`` inside a CAST expression.
     return _ref_select(
         spark,
         sf_dir,
         "SELECT c_custkey, c_nationkey, "
         "ROW_NUMBER() OVER w AS rn, "
         "LAG(c_custkey) OVER w AS prev_key, "
-        "SUM(c_custkey) OVER w2 AS run_keys "
+        "CAST(SUM(c_custkey) OVER w2 AS BIGINT) AS run_keys "
         "FROM customer "
         "WINDOW w AS (PARTITION BY c_nationkey "
         "ORDER BY c_acctbal DESC, c_custkey), "

@@ -74,7 +74,27 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(workload.ORACLES[name].replace("{sf_dir}", sf_dir))
+    oracle_sql = workload.ORACLES[name].replace("{sf_dir}", sf_dir)
+    # Round-10 (the round-9 red): the ORACLE side must be decimal-free
+    # too. DuckDB types SUM(BIGINT) as HUGEINT, which fetchall() renders
+    # as a plain int (so this harness used to stay green) but which
+    # exports to Arrow as decimal128(38,0) — diverging the DRIVER's value
+    # hash on cell-identical rows. DESCRIBE exposes the declared types
+    # without executing; HUGEINT and DECIMAL are exactly the types that
+    # export as decimal128.
+    duck_types = duck.execute("DESCRIBE " + oracle_sql).fetchall()
+    bad = [
+        (c, t)
+        for c, t, *_ in duck_types
+        if "DECIMAL" in t.upper() or "HUGEINT" in t.upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle output columns {bad} are DECIMAL/HUGEINT-typed — "
+        "they export to Arrow as decimal128 and diverge the driver's value "
+        "hash; CAST to BIGINT/DOUBLE on both sides"
+    )
+
+    res = duck.execute(oracle_sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 

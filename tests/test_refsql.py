@@ -2002,6 +2002,32 @@ def test_named_window_clause(engine):
         )
 
 
+def test_named_window_inside_expressions(engine):
+    # Round-10: named windows are inlined at the token level, so OVER w
+    # works in ANY expression context — CAST around a framed running sum
+    # (the round-9 HUGEINT-red fix shape) and arithmetic over a window verb.
+    rows = engine.ref_sql(
+        "SELECT id, CAST(SUM(id) OVER w AS BIGINT) AS run_ids, "
+        "CAST(ROW_NUMBER() OVER w2 * 10 AS INT) AS rn10 "
+        "FROM students "
+        "WINDOW w AS (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW), w2 AS (ORDER BY id) "
+        "ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["run_ids"], r["rn10"]) for r in rows] == [
+        (i, i * (i + 1) // 2, 10 * i) for i in range(1, 7)
+    ]
+    # a shared name used both bare and inside CAST resolves identically
+    rows = engine.ref_sql(
+        "SELECT id, RANK() OVER w AS rk, "
+        "CAST(COUNT(id) OVER w AS BIGINT) AS cnt FROM students "
+        "WINDOW w AS (ORDER BY id DESC) ORDER BY id"
+    ).collect()
+    assert [(r["rk"], r["cnt"]) for r in rows] == [
+        (7 - i, 7 - i) for i in range(1, 7)
+    ]
+
+
 def test_star_exclude(engine):
     rows = engine.ref_sql(
         "SELECT * EXCLUDE (course) FROM students ORDER BY id LIMIT 2"
