@@ -18,79 +18,24 @@ from . import sketches  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
-# each round, strictly oldest-evidence-first. Rotation policy (round-7
-# verdict): with 200+ workloads over a 50-slot window the minimum rotation
-# period is ~4 rounds, so the target is "no entry's newest driver row
-# more than 3-4 rounds stale" (new-in-round entries exempt). Round-9
-# curation: (0) 12 new-in-round-9 entries; (1) the 34 round-8 additions
-# that debuted BELOW the r8 boundary — the only registry entries with zero
-# driver evidence (sketches, PQ/IVFPQ ANN, weighted sampling, events
-# analytics, 8 dialect verbs); (2) 4 picks from the 26-entry r4-green
-# block (never-checked beats stale-green, so late round-9 additions
-# displaced most r4 picks). The 22 unpicked r4 entries plus the late
-# round-9 debuts below the boundary MUST lead the r10 window, then the
-# r6-green block (3 rounds stale at r9). Every name must exist in QUERIES;
-# ordered_queries() raises otherwise so a rename can't silently drop an
-# entry from the gate window.
+# each round, strictly oldest-evidence-first. Rotation policy (formalized
+# round-10, per the round-9 verdict): with 232 workloads over a 50-slot
+# window the minimum rotation period is 232/50 = 4.6 rounds, so the
+# BINDING rule is "no entry's newest driver row more than 4 rounds stale,
+# oldest-first" (new-in-round entries exempt — they debut in-window or as
+# next-round leads below the boundary). Round-10 curation: (0) new-in-
+# round-10 entries are inserted at the top as they land, displacing the
+# r6-green fillers at the window tail; (1) the 13 late-round-9 additions
+# that have NEVER been driver-checked; (2) the refsql_named_window re-seat
+# (round-9's one red — HUGEINT/decimal128 oracle typing, fixed round-10);
+# (3) the 22 r4-green entries (6 rounds stale, the oldest evidence in the
+# registry); (4) r6-green fillers (4 rounds stale). Below the boundary:
+# the remaining r6-green block leads r11, then the former r8 window
+# (r8-green), then the round-9 window entries (r9-green, freshest). Every
+# name must exist in QUERIES; ordered_queries() raises otherwise so a
+# rename can't silently drop an entry from the gate window.
 PRIORITY: list[str] = [
-    # (0) new in round 9.
-    "refsql_correlated_scalar",
-    "refsql_in_or_membership",
-    "stream_session_hll_users",
-    "refsql_arg_max_orders",
-    "refsql_intersect_all",
-    "refsql_locf_ignore_nulls",
-    "events_ohlc_bars",
-    "refsql_distinct_on",
-    "features_robust_scale",
-    "features_minmax_scale",
-    "text_ngram_novelty",
-    "stream_hist_quantiles",
-    # (1) round-8 additions with NO driver row yet — first-ever checks.
-    "corpus_shuffle_shards",
-    "dedup_incremental_lsh",
-    "ann_pq_top10",
-    "multimodal_image_resize",
-    "multimodal_audio_resample",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "sketch_cms_heavy_hitters",
-    "refsql_pivot_status",
-    "refsql_unpivot_measures",
-    "sample_weighted_aes",
-    "sketch_hll_set_algebra",
-    "stream_hll_distinct_users",
-    "sample_weighted_per_source",
-    "refsql_window_rank_family",
-    "sketch_kmv_set_ops",
-    "sketch_hist_quantiles",
-    "refsql_asof_join",
-    "refsql_named_window",
-    "refsql_star_exclude",
-    "events_funnel_steps",
-    "events_cohort_retention",
-    "ann_ivf_pq_top10",
-    "refsql_grouping_sets",
-    "sketch_hist_quantiles_grouped",
-    "stream_cms_user_traffic",
-    "refsql_recursive_cte",
-    "mv_hll_distinct_refresh",
-    "sample_quality_weighted",
-    "sketch_cms_topk",
-    "text_pmi_collocations",
-    "events_transition_matrix",
-    "events_rfm_segments",
-    "corpus_dup_rate_by_source",
-    # (2) r4-green picks — 5 rounds stale (the rest of the round-8
-    # verdict's preferred picks were displaced below by the late round-9
-    # additions — never-checked beats stale-green; they lead r10).
-    "text_lang_breakdown",
-    "text_pii_redact",
-    "text_quality_scores",
-    "text_repetition_ratio",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the late round-9 additions that could not be seated (they
-    # debut in r10 with first-ever driver rows):
+    # (1) late round-9 additions — first-ever driver checks.
     "refsql_rolling_time_window",
     "ann_batch_queries",
     "storage_column_stats",
@@ -104,12 +49,9 @@ PRIORITY: list[str] = [
     "corpus_pack_fill_stats",
     "events_dau_wau_stickiness",
     "refsql_union_by_name",
-    # then the 22 r4-green entries the 50-slot budget could not seat —
-    # their newest driver row is r4, they will be 6 rounds stale at r10
-    # and MUST lead the r10 window together with the 13 debuts above
-    # (35 entries total); then the r6-green block (3 rounds stale at r9,
-    # fills r10); then the former r8-window entries (r8-green, 1 round
-    # stale) and everything unlisted in registration order.
+    # (2) round-9's one red, fixed round-10 (CAST ... AS BIGINT both sides).
+    "refsql_named_window",
+    # (3) r4-green — 6 rounds stale, oldest evidence in the registry.
     "text_token_stats",
     "text_type_token_ratio",
     "stream_session_windows",
@@ -132,7 +74,7 @@ PRIORITY: list[str] = [
     "multimodal_image_features",
     "refsql_group_having_order",
     "stream_dedup_within_watermark",
-    # r6-green (3 rounds stale at r9).
+    # (4) r6-green fillers (4 rounds stale).
     "range_join_follow_events",
     "merge_upsert_orders",
     "tfidf_top3_terms",
@@ -147,6 +89,9 @@ PRIORITY: list[str] = [
     "q8_market_share",
     "q9_nation_profit",
     "q11_important_parts",
+    # -- ~50-slot window boundary (50 entries above this line). Below:
+    # the remaining r6-green block (4 rounds stale at r10) MUST lead the
+    # r11 window:
     "q12_priority_shipping",
     "q13_orders_per_customer_distribution",
     "q15_top_suppliers",
@@ -181,7 +126,7 @@ PRIORITY: list[str] = [
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
     "ann_quantized_top10",
-    # former r8 window (r8-green, 1 round stale) — r11 material.
+    # former r8 window (r8-green, 2 rounds stale at r10) — fills r11.
     "refsql_window_value_functions",
     "refsql_merge_source_delete",
     "skew_salted_join",
@@ -232,6 +177,56 @@ PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "similar_pairs_top15",
     "weak_typing_filter",
+    # round-9 window entries (r9-green, freshest) — r12 material.
+    "refsql_correlated_scalar",
+    "refsql_in_or_membership",
+    "stream_session_hll_users",
+    "refsql_arg_max_orders",
+    "refsql_intersect_all",
+    "refsql_locf_ignore_nulls",
+    "events_ohlc_bars",
+    "refsql_distinct_on",
+    "features_robust_scale",
+    "features_minmax_scale",
+    "text_ngram_novelty",
+    "stream_hist_quantiles",
+    "corpus_shuffle_shards",
+    "dedup_incremental_lsh",
+    "ann_pq_top10",
+    "multimodal_image_resize",
+    "multimodal_audio_resample",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
+    "refsql_pivot_status",
+    "refsql_unpivot_measures",
+    "sample_weighted_aes",
+    "sketch_hll_set_algebra",
+    "stream_hll_distinct_users",
+    "sample_weighted_per_source",
+    "refsql_window_rank_family",
+    "sketch_kmv_set_ops",
+    "sketch_hist_quantiles",
+    "refsql_asof_join",
+    "refsql_star_exclude",
+    "events_funnel_steps",
+    "events_cohort_retention",
+    "ann_ivf_pq_top10",
+    "refsql_grouping_sets",
+    "sketch_hist_quantiles_grouped",
+    "stream_cms_user_traffic",
+    "refsql_recursive_cte",
+    "mv_hll_distinct_refresh",
+    "sample_quality_weighted",
+    "sketch_cms_topk",
+    "text_pmi_collocations",
+    "events_transition_matrix",
+    "events_rfm_segments",
+    "corpus_dup_rate_by_source",
+    "text_lang_breakdown",
+    "text_pii_redact",
+    "text_quality_scores",
+    "text_repetition_ratio",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
