@@ -115,6 +115,7 @@ Round-7 extensions:
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -382,7 +383,11 @@ def _sql_literal_text(v: Any) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
+        # Round-10 (advice): bare TRUE/FALSE text is neither a value
+        # expression nor a column to the projection builder, so it fell
+        # into the missing-column-tolerant branch and silently projected
+        # NULL. The CAST form routes through Catalyst's parser.
+        return "CAST(1 AS BOOLEAN)" if v else "CAST(0 AS BOOLEAN)"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, datetime.datetime):
@@ -390,6 +395,13 @@ def _sql_literal_text(v: Any) -> str:
     if isinstance(v, datetime.date):
         return f"DATE '{v}'"
     if isinstance(v, float):
+        # Round-10 (advice): repr(inf)/repr(nan) are not valid SQL CAST
+        # bodies — reject rather than splice invalid text.
+        if not math.isfinite(v):
+            raise ParseError(
+                f"scalar subquery resolved to a non-finite float ({v!r}) "
+                "— cannot splice it as a SQL literal"
+            )
         # A bare decimal-point literal parses as DECIMAL in Spark SQL —
         # the round-6 hash-divergence class; keep floats DOUBLE-typed.
         return f"CAST({v!r} AS DOUBLE)"
@@ -1746,6 +1758,22 @@ def _window_column(
                 w = W.partitionBy(*[F.col(p) for p in part]).orderBy(
                     F.unix_micros(F.col(c).cast("timestamp")).asc()
                 )
+                # Round-10 (advice): a finite NUMERIC bound alongside an
+                # INTERVAL bound would silently be reinterpreted as an
+                # epoch-microsecond offset after the unix_micros desugar
+                # (5 would mean 5 µs); DuckDB rejects numeric RANGE
+                # bounds over a timestamp key — so do we. UNBOUNDED and
+                # CURRENT ROW remain valid companions.
+                ok_plain = (
+                    W.unboundedPreceding, W.unboundedFollowing, W.currentRow
+                )
+                for b in (lo, hi):
+                    if not isinstance(b, tuple) and b not in ok_plain:
+                        raise ParseError(
+                            "an INTERVAL RANGE frame cannot mix a plain "
+                            "numeric bound — use INTERVAL on both bounds, "
+                            "or UNBOUNDED/CURRENT ROW"
+                        )
                 lo = lo[1] if isinstance(lo, tuple) else lo
                 hi = hi[1] if isinstance(hi, tuple) else hi
             w = w.rangeBetween(lo, hi)
@@ -2281,15 +2309,24 @@ class RefSQL:
             sub.filter(F.col("__subq_v").isNull()).limit(1).count()
         )
         matches = sub.filter(F.col("__subq_v").isNotNull())
+        # Round-10 (advice): ANSI defines ``x IN (<empty subquery>)`` as
+        # FALSE even for NULL x — so ``NOT (x IN ...)`` must KEEP NULL-x
+        # rows when the subquery is empty. Probe emptiness alongside the
+        # has-NULL bit (both are bounded ≤1-row driver probes); the
+        # NULL-x branch then yields FALSE instead of UNKNOWN.
+        is_empty = (not has_null) and matches.isEmpty()
         df = df.join(
             matches, F.col(lname) == F.col("__subq_v"), "left"
         )
         no_match = (
             F.lit(None).cast("boolean") if has_null else F.lit(False)
         )
+        null_left = (
+            F.lit(False) if is_empty else F.lit(None).cast("boolean")
+        )
         return df.withColumn(
             ph,
-            F.when(F.col(lname).isNull(), F.lit(None).cast("boolean"))
+            F.when(F.col(lname).isNull(), null_left)
             .when(F.col("__subq_v").isNotNull(), F.lit(True))
             .otherwise(no_match),
         ).drop("__subq_v")
@@ -3601,12 +3638,26 @@ def _split_correlated(
         "group", "order", "limit", "offset", "having",
         "qualify", "window", "union", "intersect", "except",
     }
+    # Round-10 (advice): JOINed tables and their aliases are INNER names
+    # too — without this, `(SELECT avg(a.x) FROM a JOIN b ON ...)` was
+    # pre-detected as correlated (b.* looked outer) and misrouted into
+    # decorrelation; worse, the join keyword itself was registered as the
+    # FROM table's alias.
+    join_kws = {
+        "join", "left", "right", "inner", "cross", "full",
+        "outer", "asof", "semi", "anti", "on", "using", "natural",
+    }
+    not_alias = tail_kws | join_kws | {"where", "as"}
     for i, t in enumerate(body_toks):
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and t.lower() == "from" and i + 1 < len(body_toks):
+        elif (
+            depth == 0
+            and t.lower() in ("from", "join")
+            and i + 1 < len(body_toks)
+        ):
             tbl = _unquote(body_toks[i + 1])
             inner_names.add(tbl.lower())
             j = i + 2
@@ -3615,7 +3666,7 @@ def _split_correlated(
             if (
                 j < len(body_toks)
                 and body_toks[j] not in ("(", ")", ",")
-                and body_toks[j].lower() not in tail_kws | {"where", "as"}
+                and body_toks[j].lower() not in not_alias
                 and _literal_value(body_toks[j]) is None
             ):
                 inner_names.add(_unquote(body_toks[j]).lower())

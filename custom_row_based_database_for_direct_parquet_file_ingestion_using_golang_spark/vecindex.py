@@ -179,12 +179,23 @@ class VectorIndexes:
             meta = self._load()
             del meta[name]
             self._save(meta)
-            self.create(
-                name, params["table"], params["id_col"], params["vec_col"],
-                n_centroids=params["n_centroids"],
-                train_limit=params["train_limit"], seed=params["seed"],
-                pq_m=pq_m, pq_k=pq_k,
-            )
+            try:
+                self.create(
+                    name, params["table"], params["id_col"],
+                    params["vec_col"],
+                    n_centroids=params["n_centroids"],
+                    train_limit=params["train_limit"], seed=params["seed"],
+                    pq_m=pq_m, pq_k=pq_k,
+                )
+            except BaseException:
+                # Round-10 (advice): if the rebuild fails (base table or
+                # column dropped, table emptied), restore the previous
+                # registration instead of orphaning the index — the old
+                # parquet artifact is still on disk and still searchable.
+                meta = self._load()
+                meta[name] = m
+                self._save(meta)
+                raise
             return (
                 f"retrained + rebuilt {name!r} ({m['n_centroids']} lists"
                 + (f", PQ m={pq_m}" if pq_m else "")

@@ -332,3 +332,116 @@ def test_pq_topk_rejects_query_frame_without_q_column(spark):
     )
     with pytest.raises(ValueError, match="column 'q'"):
         similarity.pq_topk(corpus, "id", "vec", bad_query, dim=4, m=2, k_codes=4)
+
+
+# -- round-10 advice fixes ----------------------------------------------------
+
+
+def test_uncorrelated_scalar_subquery_with_join(engine):
+    """Round-10 advice: _split_correlated must register JOINed tables and
+    their aliases as INNER names — an uncorrelated scalar subquery with a
+    JOIN inside used to be pre-detected as correlated (the joined side's
+    qualifier looked outer) and misrouted into decorrelation."""
+    engine.ref_sql("CREATE TABLE a (k INT, x INT)")
+    engine.ref_sql("CREATE TABLE b (k INT, cat TEXT)")
+    for k, x in [(1, 10), (2, 20), (3, 30)]:
+        engine.ref_sql(f"INSERT INTO a VALUES ({k}, {x})")
+    for k, cat in [(1, "'x'"), (2, "'x'"), (3, "'y'")]:
+        engine.ref_sql(f"INSERT INTO b VALUES ({k}, {cat})")
+    # avg(a.x) over cat='x' = 15; rows with x > 15 → x=20, 30
+    rows = engine.ref_sql(
+        "SELECT k FROM a WHERE x > "
+        "(SELECT AVG(a.x) FROM a JOIN b ON a.k = b.k WHERE b.cat = 'x')"
+    ).collect()
+    assert sorted(r.k for r in rows) == [2, 3]
+    # aliased join sides are inner too, including an inner-inner equality
+    # conjunct (i.k = j.k shape) in the WHERE
+    rows = engine.ref_sql(
+        "SELECT k FROM a WHERE x > "
+        "(SELECT AVG(i.x) FROM a AS i JOIN b AS j ON i.k = j.k "
+        "WHERE j.cat = 'x' AND i.k = j.k)"
+    ).collect()
+    assert sorted(r.k for r in rows) == [2, 3]
+
+
+def test_null_in_empty_subquery_is_false(engine):
+    """Round-10 advice: ANSI defines ``x IN (<empty subquery>)`` as FALSE
+    even for NULL x — so NOT (x IN ...) over an empty subquery must KEEP
+    NULL-x rows (NOT FALSE = TRUE), matching DuckDB."""
+    engine.ref_sql("CREATE TABLE t (id INT, v INT)")
+    engine.ref_sql("INSERT INTO t VALUES (1, 10)")
+    engine.ref_sql("INSERT INTO t VALUES (2, NULL)")
+    engine.ref_sql("CREATE TABLE empty_probe (v INT)")
+    rows = engine.ref_sql(
+        "SELECT id FROM t WHERE NOT (v IN (SELECT v FROM empty_probe))"
+    ).collect()
+    assert sorted(r.id for r in rows) == [1, 2]  # NULL-v row kept
+    # non-empty subquery containing NULL: non-matches stay UNKNOWN
+    engine.ref_sql("INSERT INTO empty_probe VALUES (NULL)")
+    rows = engine.ref_sql(
+        "SELECT id FROM t WHERE NOT (v IN (SELECT v FROM empty_probe))"
+    ).collect()
+    assert rows == []
+
+
+def test_boolean_scalar_subquery_projection(engine):
+    """Round-10 advice: a SELECT-list scalar subquery resolving to a
+    boolean used to splice bare TRUE/FALSE text, which fell into the
+    missing-column-tolerant branch and silently projected NULL."""
+    engine.ref_sql("CREATE TABLE flags (b BOOL)")
+    engine.ref_sql("INSERT INTO flags VALUES (TRUE)")
+    engine.ref_sql("CREATE TABLE one (x INT)")
+    engine.ref_sql("INSERT INTO one VALUES (1)")
+    row = engine.ref_sql(
+        "SELECT x, (SELECT MAX(b) FROM flags) AS flag FROM one"
+    ).collect()[0]
+    assert row.flag is True
+    assert row.x == 1
+
+
+def test_interval_range_frame_rejects_mixed_numeric_bound(spark, tmp_path, sf_dir):
+    """Round-10 advice: mixing an INTERVAL bound with a plain numeric
+    bound used to silently reinterpret the numeric as epoch MICROSECONDS
+    after the unix_micros desugar; DuckDB errors — so do we."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "ivr"))
+    e.ingest_parquet(f"{sf_dir}/events.parquet", "ev")
+    # bare window verbs route through the dialect's unix_micros desugar —
+    # the path where a plain 5 used to silently become 5 microseconds
+    with pytest.raises(ParseError, match="cannot mix a plain numeric"):
+        e.ref_sql(
+            "SELECT SUM(value) OVER (ORDER BY ts RANGE BETWEEN "
+            "INTERVAL 1 HOUR PRECEDING AND 5 FOLLOWING) AS s FROM ev"
+        )
+    with pytest.raises(ParseError, match="cannot mix a plain numeric"):
+        e.ref_sql(
+            "SELECT SUM(value) OVER (ORDER BY ts RANGE BETWEEN "
+            "5 PRECEDING AND INTERVAL 1 HOUR FOLLOWING) AS s FROM ev"
+        )
+    # UNBOUNDED / CURRENT ROW companions remain valid
+    got = e.ref_sql(
+        "SELECT COUNT(value) OVER (ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s FROM ev LIMIT 5"
+    ).collect()
+    assert all(r.s >= 1 for r in got)
+
+
+def test_vecindex_refresh_retrain_restores_entry_on_failure(spark, tmp_path, sf_dir):
+    """Round-10 advice: refresh(retrain=True) deleted the registry entry
+    before create(); a failing rebuild (base table dropped) must restore
+    the old registration instead of orphaning the index."""
+    e = Engine(spark, str(tmp_path / "vrf"))
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.ref_sql("CREATE VECTOR INDEX vr ON embeddings (embedding) ID vec_id CENTROIDS 4")
+    e.drop_table("embeddings")
+    with pytest.raises(Exception):
+        e.vindexes.refresh("vr", retrain=True)
+    # registration survived the failed rebuild; the old artifact still works
+    assert e.ref_sql("SHOW VECTOR INDEXES") == ["vr"]
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    dim = len(e.table("embeddings").select("embedding").first()[0])
+    hit = e.vindexes.search("vr", [1.0] + [0.0] * (dim - 1), k=1, n_probe=4)
+    assert hit.count() == 1
