@@ -114,6 +114,7 @@ def quantile_rank_scale(
     group_cols: list[str] | None = None,
     out_col: str = "scaled",
     tiebreak_col: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """QuantileTransformer (uniform output): percent_rank per group —
     rank/(n-1) in [0, 1]. Pure RATIONAL arithmetic (no interpolation, no
@@ -122,9 +123,22 @@ def quantile_rank_scale(
     ``tiebreak_col`` totalizes the order under value ties (pass the row
     id); without it, tied values share a rank (standard percent_rank
     semantics), which is also engine-stable. One window sort per group;
-    single-row groups scale to 0.0 (percent_rank's defined value)."""
+    single-row groups scale to 0.0 (percent_rank's defined value).
+
+    ``group_cols`` is REQUIRED unless ``allow_global=True``: an ungrouped
+    ``Window.partitionBy()`` funnels every row through ONE task — the
+    classic scale killer (fine at notebook scale, catastrophic at 100 TB).
+    The explicit opt-in documents that the caller accepts a single-
+    partition sort of the whole frame."""
     from pyspark.sql import Window as W
 
+    if not group_cols and not allow_global:
+        raise ValueError(
+            "quantile_rank_scale without group_cols is a GLOBAL single-"
+            "partition window sort (every row through one task); pass "
+            "group_cols, or allow_global=True to accept that on a small "
+            "frame"
+        )
     keys = [F.col(value_col).asc()]
     if tiebreak_col:
         keys.append(F.col(tiebreak_col).asc())
@@ -154,12 +168,30 @@ def loo_target_encode(
     final decimal rounding would REINTRODUCE a knife edge — quotients
     m/(100·(n-1)) land exactly on half-boundaries whenever (n-1) divides
     2·10^d·m, where Spark's HALF_UP and DuckDB's rounding legitimately
-    disagree (observed at n-1 = 200)."""
-    from pyspark.sql import Window as W
+    disagree (observed at n-1 = 200).
 
+    Physical shape (round-10, skew-hardened): fit = one bounded groupBy
+    aggregate (sum, n per category — a handful of doubles), apply =
+    broadcast join + column algebra. The earlier ``Window.partitionBy(
+    category)`` shape funneled a hot category through ONE task; the
+    groupBy's partial (map-side) aggregation pre-collapses hot keys, and
+    the broadcast apply is scan-local — the same fit/transform split as
+    the other scalers."""
     t = F.col(target_col).cast("double")
-    w = W.partitionBy(category_col)
-    s = F.sum(t).over(w)
-    n = F.count(t).over(w)
-    loo = F.round(s - t, 2) / (n - F.lit(1)).cast("double")
-    return df.withColumn(out_col, F.when(n > 1, loo))
+    state = df.groupBy(F.col(category_col).alias("__loo_k")).agg(
+        F.sum(t).alias("__loo_s"), F.count(t).alias("__loo_n")
+    )
+    # Null-safe join: a NULL category is a real group (matching the
+    # window semantics, where NULLs form their own partition).
+    out = df.join(
+        F.broadcast(state),
+        F.col(category_col).eqNullSafe(F.col("__loo_k")),
+        "left",
+    )
+    loo = (
+        F.round(F.col("__loo_s") - t, 2)
+        / (F.col("__loo_n") - F.lit(1)).cast("double")
+    )
+    return out.withColumn(
+        out_col, F.when(F.col("__loo_n") > 1, loo)
+    ).drop("__loo_k", "__loo_s", "__loo_n")
