@@ -345,6 +345,18 @@ def _string_agg_within_group(buf: list[str]) -> str:
     return f"{head} ) within group ( {order} )"
 
 
+#: Built-in one-row zero-column relation spliced in for FROM-less SELECTs.
+DUAL_TABLE = "__dual__"
+
+#: Tokens that may legitimately follow a FROM-less projection list.
+_FROMLESS_STOP = frozenset(
+    {
+        "union", "intersect", "except", "where", "order", "limit",
+        "offset", "group", "having", "qualify", "window",
+    }
+)
+
+
 @dataclass
 class _Cursor:
     toks: list[str]
@@ -925,6 +937,23 @@ def parse_select(
 
     # projection list until FROM
     while cur.peek_kw() != "from":
+        if (
+            cur.done()
+            or cur.peek() == ")"
+            or cur.peek_kw() in _FROMLESS_STOP
+        ):
+            # Round-10: FROM-less SELECT (``SELECT 1``, ``SELECT expr``,
+            # ``SELECT (SELECT max(x) FROM t)``) — standard DuckDB/Spark
+            # ergonomic, and the natural recursive-CTE anchor. Splice a
+            # built-in one-row zero-column dual relation into the token
+            # stream; everything downstream (projections, WHERE, set-op
+            # arms, subquery contexts) then works unchanged.
+            if spec.star:
+                raise ParseError("SELECT * requires a FROM clause")
+            if not (spec.projections or spec.aggregates or spec.windows):
+                raise ParseError("SELECT needs at least one item")
+            cur.toks[cur.i:cur.i] = ["from", DUAL_TABLE]
+            break
         if cur.peek() == "(" and cur.peek_kw(1) == "select":
             # Round-9: UNCORRELATED scalar subquery in the SELECT list —
             # ``SELECT a, (SELECT max(x) FROM t) AS m FROM ...``. Resolved
@@ -2069,6 +2098,11 @@ class RefSQL:
     def _table_df(self, name: str) -> DataFrame:
         if name in self._ctes:
             return self._ctes[name]
+        if name == DUAL_TABLE:
+            # The FROM-less SELECT relation: one row, zero columns — a
+            # plan-time constant (Catalyst folds literal projections over
+            # it to a LocalRelation; nothing is scanned).
+            return self.engine.spark.range(1).select()
         return self.engine.table(name)
 
     def _from_df(self, spec: "SelectSpec") -> DataFrame:

@@ -1458,8 +1458,9 @@ def refsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day series LEFT-joined to per-day order counts so absent days
     # surface as zeros. The oracle is DuckDB's NATIVE recursive CTE —
     # an independent implementation of the same fixpoint. (The dialect
-    # anchor uses FROM region LIMIT 1 as its one-row seed — FROM-less
-    # SELECT is outside the reference grammar.)
+    # anchor here keeps the historical FROM region LIMIT 1 seed; the
+    # round-10 FROM-less form is exercised by
+    # refsql_fromless_recursive_anchor.)
     return _ref_select(
         spark,
         sf_dir,
@@ -1471,6 +1472,57 @@ def refsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders GROUP BY DAY(o_orderdate)) "
         "SELECT s.n AS day_of_month, COALESCE(o.n_orders, 0) AS n_orders "
         "FROM s LEFT JOIN o AS o ON s.n = o.n",
+    )
+
+
+@query(
+    "refsql_fromless_recursive_anchor",
+    """
+    WITH RECURSIVE m AS (
+      SELECT 1 AS month_no
+      UNION ALL
+      SELECT month_no + 1 FROM m WHERE month_no < 12
+    ),
+    o AS (SELECT month(o_orderdate) AS month_no,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_finished
+          FROM orders GROUP BY 1)
+    SELECT m.month_no,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.n_finished, 0) AS n_finished,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS total_orders
+    FROM m LEFT JOIN o ON m.month_no = o.month_no
+    """,
+)
+def refsql_fromless_recursive_anchor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Round-10: FROM-less SELECT through the dialect — the recursive-CTE
+    # anchor is a bare ``SELECT 1 AS month_no`` (no more ``FROM region
+    # LIMIT 1`` workaround; the parser splices a one-row dual relation),
+    # and the projection carries a FROM-less-adjacent uncorrelated scalar
+    # subquery. A recursively generated month series LEFT-joins to
+    # per-month order counts so absent months surface as zeros. All
+    # outputs integer (exact hash); the oracle is DuckDB's NATIVE
+    # recursive CTE + scalar subquery engine over identical text modulo
+    # aggregate-naming sugar.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH RECURSIVE m AS ("
+        "SELECT 1 AS month_no "
+        "UNION ALL "
+        "SELECT month_no + 1 AS month_no FROM m WHERE month_no < 12), "
+        "o AS (SELECT MONTH(o_orderdate) AS month_no, "
+        "COUNT(*) AS n_orders, "
+        "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished "
+        "FROM orders GROUP BY MONTH(o_orderdate)) "
+        "SELECT m.month_no AS month_no, "
+        "COALESCE(o.n_orders, 0) AS n_orders, "
+        "COALESCE(o.n_finished, 0) AS n_finished, "
+        "(SELECT COUNT(*) FROM orders) AS total_orders "
+        "FROM m LEFT JOIN o AS o ON m.month_no = o.month_no",
     )
 
 

@@ -402,3 +402,53 @@ def test_distinct_on_selector_aggs_interval_frames_fuzz(spark, tmp_path):
             got = [tuple(r) for r in e.ref_sql(sql).collect()]
             want = [tuple(r) for r in con.execute(sql).fetchall()]
             assert got == want, f"trial {trial}: {sql}"
+
+
+def test_fromless_select_matches_duckdb_fuzz(spark, tmp_path):
+    """Round-10 differential fuzz: FROM-less SELECT — random literal
+    arithmetic, optional WHERE over the dual relation, UNION ALL chains,
+    and FROM-less recursive-CTE anchors — through the dialect and through
+    DuckDB running the IDENTICAL text."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    frng = random.Random(424242)
+    e = Engine(spark, str(tmp_path / "flfz"))
+    con = duckdb.connect()
+
+    def lit_expr() -> str:
+        a, b = frng.randint(-20, 20), frng.randint(1, 9)
+        return frng.choice(
+            [f"{a} + {b}", f"{a} - {b}", f"{a} * {b}", f"({a} + {b}) * 2"]
+        )
+
+    for trial in range(12):
+        n_items = frng.randint(1, 3)
+        items = ", ".join(
+            f"{lit_expr()} AS c{i}" for i in range(n_items)
+        )
+        sql = f"SELECT {items}"
+        if frng.random() < 0.4:
+            x = frng.randint(0, 3)
+            sql += f" WHERE {x} < 2"
+        if frng.random() < 0.4:
+            sql += f" UNION ALL SELECT {', '.join(f'{lit_expr()} AS c{i}' for i in range(n_items))}"
+        got = sorted(tuple(r) for r in e.ref_sql(sql).collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"
+
+    for trial in range(4):
+        start = frng.randint(0, 3)
+        step = frng.randint(1, 3)
+        cap = start + step * frng.randint(2, 6)
+        sql = (
+            f"WITH RECURSIVE s AS (SELECT {start} AS n "
+            f"UNION ALL SELECT n + {step} AS n FROM s WHERE n < {cap}) "
+            f"SELECT n FROM s ORDER BY n"
+        )
+        got = [r.n for r in e.ref_sql(sql).collect()]
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"

@@ -2626,3 +2626,49 @@ def test_scalar_subquery_in_select_list(spark, sf_dir):
             "SELECT (SELECT MAX(o2.o_totalprice) FROM orders AS o2 "
             "WHERE o2.o_custkey = o.o_custkey) AS m FROM orders AS o"
         )
+
+
+def test_fromless_select(engine):
+    """Round-10: FROM-less SELECT — literals, expressions, scalar
+    subqueries, WHERE, set-op arms, and the recursive-CTE anchor (which
+    previously needed a FROM t LIMIT 1 workaround)."""
+    assert engine.ref_sql("SELECT 1 AS n").collect()[0].n == 1
+    assert engine.ref_sql("SELECT 2 + 3 AS v").collect()[0].v == 5
+    row = engine.ref_sql("SELECT 'x' AS s, 1.5 AS f").collect()[0]
+    assert (row.s, row.f) == ("x", 1.5)
+    # bare literal: Spark names the column by its text, like DuckDB
+    assert engine.ref_sql("SELECT 42").collect() == [(42,)]
+    # WHERE over the dual relation
+    assert engine.ref_sql("SELECT 1 AS n WHERE 1 = 2").collect() == []
+    assert len(engine.ref_sql("SELECT 1 AS n WHERE 1 = 1").collect()) == 1
+    # set-op arms
+    got = sorted(
+        r.n
+        for r in engine.ref_sql(
+            "SELECT 1 AS n UNION ALL SELECT 2 AS n UNION ALL SELECT 2 AS n"
+        ).collect()
+    )
+    assert got == [1, 2, 2]
+    # scalar subquery as the only item
+    engine.ref_sql("CREATE TABLE fl (x INT)")
+    engine.ref_sql("INSERT INTO fl VALUES (7)")
+    assert (
+        engine.ref_sql("SELECT (SELECT MAX(x) FROM fl) AS m").collect()[0].m
+        == 7
+    )
+    # recursive-CTE anchor without the FROM t LIMIT 1 workaround
+    got = sorted(
+        r.n
+        for r in engine.ref_sql(
+            "WITH RECURSIVE s AS (SELECT 1 AS n "
+            "UNION ALL SELECT n + 1 AS n FROM s WHERE n < 5) "
+            "SELECT n FROM s"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
+    # SELECT * has no relation to expand
+    with pytest.raises(ParseError, match="requires a FROM"):
+        engine.ref_sql("SELECT *")
+    # empty projection list is still an error
+    with pytest.raises(ParseError):
+        engine.ref_sql("SELECT")
