@@ -331,6 +331,49 @@ def _argmax_1based(arr: Column) -> Column:
     return F.array_position(arr, F.array_max(arr))
 
 
+def _arg_topn_1based(arr: Column, n: int) -> Column:
+    """array<int> of the 1-based indices of the ``n`` LARGEST values in
+    ``arr``, descending, index tie-break — the same (-value, idx) ranking
+    the probe side uses, so build-side multi-assignment and query-side
+    probing agree on ordering."""
+    ranked = F.array_sort(
+        F.transform(
+            arr,
+            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["idx"])
+
+
+def _assign_lists(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "list[list[float]]",
+    n_assign: int,
+) -> DataFrame:
+    """(id, vec, list_id) assignment frame. ``n_assign`` > 1 is IVF
+    multi-assignment (round-10): each vector spills to its ``n_assign``
+    nearest lists, the standard recall lever when partial-probe recall is
+    pruning-bound — a query's true neighbor sitting just across a Voronoi
+    boundary is now found in the adjacent list too. Storage and assignment
+    write cost scale by n_assign; query cost is unchanged (same probed
+    lists, ~n_assign× the candidates within them). Callers must dedupe
+    candidates by id (copies are identical)."""
+    dots = _centroid_dots(F.col(vec_col), centroids)
+    if n_assign <= 1:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _argmax_1based(dots).alias("list_id"),
+        )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_arg_topn_1based(dots, n_assign)).alias("list_id"),
+    )
+
+
 def _approx_row_count(df: DataFrame) -> int:
     """Corpus size for modulus sizing, WITHOUT a data scan where possible:
     when the frame is a plain parquet file scan, sum the parquet footers'
@@ -427,10 +470,14 @@ def ivf_topk(
     train_limit: int = 512,
     n_iter: int = 8,
     seed: int = 42,
+    n_assign: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse spherical-k-means
     quantizer partitions the corpus into ``n_centroids`` lists; a query
     scans only its ``n_probe`` nearest lists with exact cosine.
+    ``n_assign`` > 1 spills each corpus vector to its n nearest lists
+    (multi-assignment — the recall lever when partial-probe recall is
+    IVF-pruning-bound; candidates dedupe before ranking).
 
     Training runs driver-side on a small deterministic hash sample
     (_ivf_training_sample — shuffle-free, sort-free, plan-asserted in
@@ -447,35 +494,25 @@ def ivf_topk(
         df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
     )
 
-    listed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias("list_id"),
-    )
+    listed = _assign_lists(df, id_col, vec_col, centroids, n_assign)
     # Query's n_probe nearest lists, in-plan: rank centroid dots via a
     # sorted array of (-dot, idx) structs, slice the prefix, explode.
     qd = _centroid_dots(F.col("q"), centroids)
-    ranked = F.array_sort(
-        F.transform(
-            qd,
-            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
-        )
-    )
     probes = query.select(
         "q",
-        F.explode(
-            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
-        ).alias("list_id"),
+        F.explode(_arg_topn_1based(qd, n_probe)).alias("list_id"),
     )
     cand = listed.join(F.broadcast(probes), "list_id")
-    return (
-        cand.select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("score"),
     )
+    if n_assign > 1:
+        # Copies of a spilled vector land in multiple probed lists as
+        # EXACT duplicate (id, score) rows — dedupe before ranking so a
+        # duplicate can't occupy two top-k slots.
+        scored = scored.distinct()
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def ivf_topk_batch(
@@ -491,6 +528,7 @@ def ivf_topk_batch(
     train_limit: int = 512,
     n_iter: int = 8,
     seed: int = 42,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Batched-query IVF top-k (round-9) — the SERVING shape: N queries
     answered in ONE plan, no per-query driver round trips. Every stage is
@@ -515,26 +553,12 @@ def ivf_topk_batch(
     centroids = _train_centroids(
         df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
     )
-    listed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias(
-            "list_id"
-        ),
-    )
+    listed = _assign_lists(df, id_col, vec_col, centroids, n_assign)
     qd = _centroid_dots(F.col(qvec_col), centroids)
-    ranked = F.array_sort(
-        F.transform(
-            qd,
-            lambda d, i: F.struct((-d).alias("neg"), (i + 1).alias("idx")),
-        )
-    )
     probes = queries.select(
         F.col(qid_col),
         F.col(qvec_col).alias("__qv"),
-        F.explode(
-            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["idx"])
-        ).alias("list_id"),
+        F.explode(_arg_topn_1based(qd, n_probe)).alias("list_id"),
     )
     cand = listed.join(F.broadcast(probes), "list_id")
     scored = cand.select(
@@ -542,6 +566,10 @@ def ivf_topk_batch(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("score"),
     )
+    if n_assign > 1:
+        # spilled copies are exact duplicate rows per (query, id) — dedupe
+        # so one corpus vector can't fill two of a query's k slots
+        scored = scored.distinct()
     w = W.partitionBy(qid_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
@@ -562,12 +590,15 @@ def ivf_build(
     train_limit: int = 512,
     n_iter: int = 8,
     seed: int = 42,
+    n_assign: int = 1,
 ) -> "list[list[float]]":
     """Materialize an IVF index: train the coarse quantizer, assign every
     vector its inverted-list id (pure Column algebra over centroid
     literals), and write the corpus parquet PARTITIONED BY ``list_id``.
     Returns the centroids — persist them next to the index; they ARE the
-    index metadata.
+    index metadata. ``n_assign`` > 1 spills each vector to its n nearest
+    lists (multi-assignment) at n_assign× storage — probe with
+    ``ivf_probe_indexed(dedup=True)``.
 
     This is the 100 TB serving shape `docs/SCALING.md` describes: build
     once (one training pass + one assignment/write pass), then every probe
@@ -577,11 +608,7 @@ def ivf_build(
     centroids = _train_centroids(
         df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
     )
-    listed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias("list_id"),
-    )
+    listed = _assign_lists(df, id_col, vec_col, centroids, n_assign)
     listed.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
     return centroids
 
@@ -595,13 +622,16 @@ def ivf_probe_indexed(
     query_vec: "list[float]",
     k: int = 10,
     n_probe: int = 4,
+    dedup: bool = False,
 ) -> DataFrame:
     """Query a materialized IVF index: rank centroids driver-side (a tiny
     numpy dot over the persisted quantizer — no corpus access), then read
     ONLY the ``n_probe`` nearest list partitions. The ``isin`` literal
     reaches the scan as a PartitionFilter (plan-asserted in
     tests/test_plans.py), so probe I/O is proportional to the probed
-    lists, not the corpus. Exact cosine rescoring on the candidates."""
+    lists, not the corpus. Exact cosine rescoring on the candidates.
+    Pass ``dedup=True`` against an index built with multi-assignment
+    (n_assign > 1) so a spilled vector's copies collapse to one row."""
     import numpy as np
 
     c = np.asarray(centroids, dtype="float64")
@@ -616,16 +646,15 @@ def ivf_probe_indexed(
     ]
     cand = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col),
-            F.round(
-                cosine(F.col(vec_col).cast("array<double>"), qcol), 6
-            ).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), qcol), 6
+        ).alias("score"),
     )
+    if dedup:
+        scored = scored.distinct()
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
 def quantize_int8(

@@ -3565,6 +3565,18 @@ class RefSQL:
                 nxt = cur.peek()
                 if nxt is not None and nxt.isdigit():
                     pq_k = int(cur.next())
+            n_assign = 1
+            if cur.peek_kw() == "assign":
+                # Round-10: ``ASSIGN n`` — IVF multi-assignment; each
+                # vector spills to its n nearest lists at build (the
+                # partial-probe recall lever, at n× index storage).
+                cur.next()
+                try:
+                    n_assign = int(cur.next())
+                except ValueError:
+                    raise ParseError("ASSIGN takes an integer")
+                if n_assign < 1:
+                    raise ParseError("ASSIGN must be >= 1")
             if not cur.done():
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after CREATE VECTOR "
@@ -3572,7 +3584,7 @@ class RefSQL:
                 )
             self.engine.vindexes.create(
                 name, table, id_col, vec_col, n_centroids=n_centroids,
-                pq_m=pq_m, pq_k=pq_k,
+                pq_m=pq_m, pq_k=pq_k, n_assign=n_assign,
             )
             return None
         cur.expect_kw("table")

@@ -78,13 +78,18 @@ class VectorIndexes:
         pq_m: int | None = None,
         pq_k: int = 32,
         dim: int | None = None,
+        n_assign: int = 1,
     ) -> None:
         """Build and register the index. ``pq_m`` (round-9) additionally
         stores residual PQ codes (``pq_m`` int codes per vector — 16
         bytes/vector at the default m=16) as a column of the partitioned
         index parquet, and the residual codebooks in the registry — the
         full FAISS-IVFPQ serving artifact: an ADC search then reads m
-        bytes per candidate instead of dim·4 (see search(mode='adc'))."""
+        bytes per candidate instead of dim·4 (see search(mode='adc')).
+        ``n_assign`` (round-10) > 1 spills each vector to its n nearest
+        lists at build — multi-assignment, the standard lever when
+        partial-probe recall is IVF-pruning-bound — at n_assign× index
+        storage; searches dedupe the spilled copies automatically."""
         from pyspark.sql import functions as F
 
         from .operators import similarity
@@ -104,6 +109,7 @@ class VectorIndexes:
             centroids = similarity.ivf_build(
                 df, id_col, vec_col, idx_path,
                 n_centroids=n_centroids, train_limit=train_limit, seed=seed,
+                n_assign=n_assign,
             )
         else:
             if dim is None:
@@ -115,12 +121,10 @@ class VectorIndexes:
                 df, id_col, vec_col, dim, m=pq_m, k_codes=pq_k,
                 seed=seed, centroids=centroids,
             )
-            listed = df.select(
-                F.col(id_col),
-                F.col(vec_col),
-                similarity._argmax_1based(
-                    similarity._centroid_dots(F.col(vec_col), centroids)
-                ).alias("list_id"),
+            # Each spilled copy encodes the residual against ITS OWN
+            # list's centroid, so ADC stays consistent per list.
+            listed = similarity._assign_lists(
+                df, id_col, vec_col, centroids, n_assign
             )
             listed = listed.withColumn(
                 "pq",
@@ -143,6 +147,7 @@ class VectorIndexes:
             "centroids": [[float(x) for x in c] for c in centroids],
             "pq_m": pq_m,
             "pq_k": pq_k,
+            "n_assign": n_assign,
             "codebooks": (
                 None
                 if codebooks is None
@@ -161,7 +166,6 @@ class VectorIndexes:
         from pyspark.sql import functions as F
 
         from .operators import similarity
-        from .operators.similarity import _argmax_1based, _centroid_dots
 
         m = self._get(name)
         df = self.engine.table(m["table"])
@@ -186,6 +190,7 @@ class VectorIndexes:
                     n_centroids=params["n_centroids"],
                     train_limit=params["train_limit"], seed=params["seed"],
                     pq_m=pq_m, pq_k=pq_k,
+                    n_assign=m.get("n_assign", 1),
                 )
             except BaseException:
                 # Round-10 (advice): if the rebuild fails (base table or
@@ -201,12 +206,9 @@ class VectorIndexes:
                 + (f", PQ m={pq_m}" if pq_m else "")
                 + ")"
             )
-        listed = df.select(
-            F.col(m["id_col"]),
-            F.col(m["vec_col"]),
-            _argmax_1based(
-                _centroid_dots(F.col(m["vec_col"]), m["centroids"])
-            ).alias("list_id"),
+        listed = similarity._assign_lists(
+            df, m["id_col"], m["vec_col"], m["centroids"],
+            m.get("n_assign", 1),
         )
         if m.get("codebooks"):
             # PQ index: re-encode against the STORED codebooks — model
@@ -269,6 +271,7 @@ class VectorIndexes:
                 q,
                 k=k,
                 n_probe=n_probe,
+                dedup=m.get("n_assign", 1) > 1,
             )
         if mode != "adc":
             raise ValueError(f"search mode must be 'exact' or 'adc', got {mode!r}")
@@ -307,10 +310,26 @@ class VectorIndexes:
         adc = adc + F.element_at(
             F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int")
         )
-        top = (
-            cand.select(F.col(m["id_col"]), F.col(m["vec_col"]), adc.alias("adc"))
-            .orderBy(F.col("adc").desc(), F.col(m["id_col"]))
-            .limit(rescore * k)
+        top = cand.select(
+            F.col(m["id_col"]), F.col(m["vec_col"]), adc.alias("adc")
+        )
+        if m.get("n_assign", 1) > 1:
+            # Multi-assigned indexes carry each vector in up to n_assign
+            # probed lists with DIFFERENT per-list ADC scores (the
+            # residual is list-relative); keep one copy per id — the
+            # best-ADC one — so spilled copies don't crowd the rescore
+            # budget. The exact-rescore tail uses the full vector, which
+            # is identical across copies.
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(m["id_col"]).orderBy(F.col("adc").desc())
+            top = (
+                top.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        top = top.orderBy(F.col("adc").desc(), F.col(m["id_col"])).limit(
+            rescore * k
         )
         qcol = F.array(*[F.lit(float(x)) for x in q])
         return (

@@ -2672,3 +2672,55 @@ def test_fromless_select(engine):
     # empty projection list is still an error
     with pytest.raises(ParseError):
         engine.ref_sql("SELECT")
+
+
+def test_vector_index_multi_assignment(spark, tmp_path, sf_dir):
+    """Round-10: CREATE VECTOR INDEX ... ASSIGN 2 — multi-assigned
+    persistent index. Searches dedupe the spilled copies (no duplicate
+    ids in exact OR ADC mode), full probe matches brute force, and
+    refresh preserves the spill factor."""
+    from pyspark.sql import functions as F
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+
+    e = Engine(spark, str(tmp_path / "vma"))
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.ref_sql(
+        "CREATE VECTOR INDEX vm ON embeddings (embedding) ID vec_id "
+        "CENTROIDS 8 PQ 4 8 ASSIGN 2"
+    )
+    emb = e.table("embeddings")
+    n = emb.count()
+    # the spilled index parquet carries ~2 rows per vector
+    idx_path = e.vindexes._get("vm")["path"]
+    idx = spark.read.parquet(idx_path)
+    idx_rows = idx.count()
+    assert n < idx_rows <= 2 * n
+    assert idx.select("vec_id").distinct().count() == n
+    # full probe == brute force, no duplicate ids
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q"))
+    brute = similarity.brute_force_topk(
+        emb, "vec_id", "embedding", q, k=5
+    ).collect()
+    qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    got = e.vindexes.search("vm", list(qv), k=5, n_probe=8).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+    # ADC mode dedupes the per-list copies too
+    adc = e.vindexes.search(
+        "vm", list(qv), k=5, n_probe=8, mode="adc", rescore=8
+    ).collect()
+    ids = [r.vec_id for r in adc]
+    assert len(ids) == len(set(ids)) == 5
+    assert ids[0] == 7
+    # refresh keeps the spill factor (codes re-encode per copy)
+    e.ref_sql("REFRESH VECTOR INDEX vm")
+    spark.catalog.refreshByPath(idx_path)
+    idx2 = spark.read.parquet(idx_path)
+    assert idx2.count() == idx_rows
+    with pytest.raises(ParseError, match="ASSIGN"):
+        e.ref_sql(
+            "CREATE VECTOR INDEX bad ON embeddings (embedding) ID vec_id "
+            "ASSIGN 0"
+        )
