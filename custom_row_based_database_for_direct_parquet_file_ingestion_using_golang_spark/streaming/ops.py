@@ -378,6 +378,7 @@ def temporal_enrich_latest(
     evt_type: str = "purchase",
     key_col: str = "user_id",
     ts_col: str = "ts",
+    buffer_seconds: "float | None" = None,
 ) -> DataFrame:
     """Round-9: streaming TEMPORAL (as-of) enrichment via
     applyInPandasWithState — each ``evt_type`` event is enriched with the
@@ -392,10 +393,23 @@ def temporal_enrich_latest(
     before events on ties), so on bounded single-batch input the result
     is EXACTLY the batch backward as-of join — which is what the DuckDB
     ASOF JOIN oracle checks. On a live multi-batch stream an event joins
-    only state that has already arrived (the standard no-buffering
-    temporal-join semantics; add a watermarked buffer if cross-batch
-    disorder matters). Output: ``evt_id, <key>, ref_id, ref_value``
-    (NULLs when no reference precedes the event)."""
+    only state that has already arrived, and the single-tuple state keeps
+    only the NEWEST reference — cross-batch disorder (a late reference,
+    or an event older than the retained reference) degrades to a NULL or
+    the floor reference.
+
+    ``buffer_seconds`` (round-10) closes that caveat: the state becomes a
+    watermark-style BOUNDED BUFFER of references per key — all references
+    within ``buffer_seconds`` of the key's max seen event time, plus one
+    floor reference below the horizon (so as-of lookups older than the
+    horizon still resolve). A late-arriving reference then enriches a
+    LATER batch's events correctly (binary-searched at-or-before lookup),
+    and an event never joins a reference from its future. State size is
+    bounded by the reference rate within the horizon — the same bound a
+    watermarked stream-stream join holds.
+
+    Output: ``evt_id, <key>, ref_id, ref_value`` (NULLs when no reference
+    precedes the event)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -404,13 +418,6 @@ def temporal_enrich_latest(
         [
             T.StructField("evt_id", T.LongType()),
             T.StructField(key_col, T.LongType()),
-            T.StructField("ref_id", T.LongType()),
-            T.StructField("ref_value", T.DoubleType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("ref_ts", T.LongType()),  # epoch micros
             T.StructField("ref_id", T.LongType()),
             T.StructField("ref_value", T.DoubleType()),
         ]
@@ -425,31 +432,104 @@ def temporal_enrich_latest(
         "value",
     )
 
-    def update(key, pdfs, state: GroupState):
-        ref_ts, ref_id, ref_val = (
-            state.get if state.exists else (None, None, None)
-        )
+    def _sorted_rows(pdfs):
         parts = [p for p in pdfs if len(p)]
-        out = {"evt_id": [], key_col: [], "ref_id": [], "ref_value": []}
-        if parts:
-            rows = pd.concat(parts)
-            # event-time order; references win ties (ASOF >= includes
-            # the equal-timestamp reference)
-            rows = rows.assign(__r=(rows["tag"] != ref_type).astype(int))
-            rows = rows.sort_values(["tsm", "__r", "event_id"])
-            for eid, tag, tsm, val in zip(
-                rows["event_id"], rows["tag"], rows["tsm"], rows["value"]
-            ):
-                if tag == ref_type:
-                    if ref_ts is None or tsm >= ref_ts:
-                        ref_ts, ref_id, ref_val = int(tsm), int(eid), float(val)
-                else:
-                    out["evt_id"].append(int(eid))
-                    out[key_col].append(int(key[0]))
-                    out["ref_id"].append(ref_id)
-                    out["ref_value"].append(ref_val)
-        state.update((ref_ts, ref_id, ref_val))
-        yield pd.DataFrame(out)
+        if not parts:
+            return None
+        rows = pd.concat(parts)
+        # event-time order; references win ties (ASOF >= includes the
+        # equal-timestamp reference)
+        rows = rows.assign(__r=(rows["tag"] != ref_type).astype(int))
+        return rows.sort_values(["tsm", "__r", "event_id"])
+
+    if buffer_seconds is None:
+        state_schema = T.StructType(
+            [
+                T.StructField("ref_ts", T.LongType()),  # epoch micros
+                T.StructField("ref_id", T.LongType()),
+                T.StructField("ref_value", T.DoubleType()),
+            ]
+        )
+
+        def update(key, pdfs, state: GroupState):
+            ref_ts, ref_id, ref_val = (
+                state.get if state.exists else (None, None, None)
+            )
+            out = {"evt_id": [], key_col: [], "ref_id": [], "ref_value": []}
+            rows = _sorted_rows(pdfs)
+            if rows is not None:
+                for eid, tag, tsm, val in zip(
+                    rows["event_id"], rows["tag"], rows["tsm"], rows["value"]
+                ):
+                    if tag == ref_type:
+                        if ref_ts is None or tsm >= ref_ts:
+                            ref_ts, ref_id, ref_val = (
+                                int(tsm), int(eid), float(val)
+                            )
+                    else:
+                        # as-of: only a reference at-or-before the event
+                        # qualifies — a newer retained reference (cross-
+                        # batch disorder) must not enrich an older event
+                        hit = ref_ts is not None and ref_ts <= tsm
+                        out["evt_id"].append(int(eid))
+                        out[key_col].append(int(key[0]))
+                        out["ref_id"].append(ref_id if hit else None)
+                        out["ref_value"].append(ref_val if hit else None)
+            state.update((ref_ts, ref_id, ref_val))
+            yield pd.DataFrame(out)
+
+    else:
+        import bisect
+
+        horizon = int(buffer_seconds * 1_000_000)
+        state_schema = T.StructType(
+            [
+                T.StructField("ref_ts", T.ArrayType(T.LongType())),
+                T.StructField("ref_id", T.ArrayType(T.LongType())),
+                T.StructField("ref_value", T.ArrayType(T.DoubleType())),
+                T.StructField("max_ts", T.LongType()),
+            ]
+        )
+
+        def update(key, pdfs, state: GroupState):  # noqa: F811
+            if state.exists:
+                b_ts, b_id, b_val, max_ts = state.get
+                b_ts, b_id, b_val = list(b_ts), list(b_id), list(b_val)
+            else:
+                b_ts, b_id, b_val, max_ts = [], [], [], None
+            out = {"evt_id": [], key_col: [], "ref_id": [], "ref_value": []}
+            rows = _sorted_rows(pdfs)
+            if rows is not None:
+                for eid, tag, tsm, val in zip(
+                    rows["event_id"], rows["tag"], rows["tsm"], rows["value"]
+                ):
+                    tsm = int(tsm)
+                    max_ts = tsm if max_ts is None else max(max_ts, tsm)
+                    if tag == ref_type:
+                        # insert after any equal-ts refs: on ties the
+                        # later-inserted (higher event_id, since the batch
+                        # is sorted) reference wins the lookup
+                        j = bisect.bisect_right(b_ts, tsm)
+                        b_ts.insert(j, tsm)
+                        b_id.insert(j, int(eid))
+                        b_val.insert(j, float(val))
+                    else:
+                        j = bisect.bisect_right(b_ts, tsm) - 1
+                        out["evt_id"].append(int(eid))
+                        out[key_col].append(int(key[0]))
+                        out["ref_id"].append(b_id[j] if j >= 0 else None)
+                        out["ref_value"].append(b_val[j] if j >= 0 else None)
+            if max_ts is not None and b_ts:
+                # evict below the horizon, keeping ONE floor reference so
+                # as-of lookups older than the horizon still resolve
+                cutoff = max_ts - horizon
+                j = bisect.bisect_left(b_ts, cutoff)
+                keep_from = max(0, j - 1)
+                b_ts, b_id, b_val = (
+                    b_ts[keep_from:], b_id[keep_from:], b_val[keep_from:]
+                )
+            state.update((b_ts, b_id, b_val, max_ts))
+            yield pd.DataFrame(out)
 
     return tagged.groupBy(key_col).applyInPandasWithState(
         update,

@@ -258,3 +258,141 @@ def test_stream_cms_converges_and_never_undercounts(spark, sf_dir):
     )
     probed = sk.cms_point_estimates(grid0, truth0, "k", 128, 2)
     assert probed.filter(F.col("cms_est") < F.col("true_cnt")).count() == 0
+
+
+def test_temporal_enrich_cross_batch_late_reference(spark, tmp_path):
+    """Round-10: the buffered temporal enrichment (buffer_seconds) holds a
+    watermark-bounded reference buffer per key, so a reference arriving in
+    a LATER micro-batch with an EARLIER timestamp still enriches events
+    behind it — and an event never joins a reference from its future.
+    Two parquet files + maxFilesPerTrigger=1 force two micro-batches."""
+    import time
+    from datetime import datetime, timezone
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        temporal_enrich_latest,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+    cols = ["user_id", "event_id", "event_type", "ts", "value"]
+    # batch 1: ref r101@t=100, event e201@t=110 (joins r101)
+    b1 = [(1, 101, "click", ts(100), 1.0), (1, 201, "purchase", ts(110), 9.0)]
+    # batch 2: LATE ref r102@t=50; event e202@t=70 (must join r102, and
+    # must NOT join the future r101@100); event e203@t=120 (joins r101 —
+    # the buffer retained it past the late insert)
+    b2 = [
+        (1, 102, "click", ts(50), 2.0),
+        (1, 202, "purchase", ts(70), 9.0),
+        (1, 203, "purchase", ts(120), 9.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    def run(buffer_seconds):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, "
+                "ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(str(src))
+        )
+        out = temporal_enrich_latest(
+            stream, "click", "purchase", buffer_seconds=buffer_seconds
+        )
+        name = f"te_{'buf' if buffer_seconds else 'plain'}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return {
+            r.evt_id: (r.ref_id, r.ref_value)
+            for r in spark.table(name).collect()
+        }
+
+    buffered = run(3600.0)
+    assert buffered[201] == (101, 1.0)
+    assert buffered[202] == (102, 2.0), "late reference missed"
+    assert buffered[203] == (101, 1.0), "buffer dropped the newest ref"
+
+    # the single-tuple variant cannot recover the late reference, but the
+    # round-10 guard keeps it from joining the FUTURE one
+    plain = run(None)
+    assert plain[201] == (101, 1.0)
+    assert plain[202] == (None, None)
+    assert plain[203] == (101, 1.0)
+
+
+def test_temporal_enrich_buffer_evicts_below_horizon(spark, tmp_path):
+    """The reference buffer is BOUNDED: refs older than the horizon evict
+    (keeping one floor ref), so state can't grow with the stream."""
+    from datetime import datetime, timezone
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        temporal_enrich_latest,
+    )
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc)
+
+    cols = ["user_id", "event_id", "event_type", "ts", "value"]
+    rows = [(1, 100 + i, "click", ts(10 * i), float(i)) for i in range(20)]
+    rows.append((1, 900, "purchase", ts(195), 0.0))
+    src = tmp_path / "src2"
+    src.mkdir()
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+        str(src / "all.parquet")
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, "
+            "ts timestamp, value double"
+        )
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(str(src))
+    )
+    out = temporal_enrich_latest(
+        stream, "click", "purchase", buffer_seconds=30.0
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("te_evict")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r.evt_id: r.ref_id for r in spark.table("te_evict").collect()}
+    # purchase@195 joins click@190 (event_id 119) — correctness unaffected
+    # by eviction of the old refs
+    assert got[900] == 119
