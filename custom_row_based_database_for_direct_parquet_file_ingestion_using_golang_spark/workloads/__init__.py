@@ -37,6 +37,8 @@ from . import sketches  # noqa: F401, E402
 PRIORITY: list[str] = [
     # (0) new in round 10.
     "refsql_fromless_recursive_anchor",
+    "ann_multiassign_top10",
+    "stream_temporal_enrich_buffered",
     # (1) late round-9 additions — first-ever driver checks.
     "refsql_rolling_time_window",
     "ann_batch_queries",
@@ -88,11 +90,11 @@ PRIORITY: list[str] = [
     "window_running_revenue",
     "rollup_status_priority",
     "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_nation_profit",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # the remaining r6-green block (4 rounds stale at r10) MUST lead the
     # r11 window:
+    "q8_market_share",
+    "q9_nation_profit",
     "q11_important_parts",
     "q12_priority_shipping",
     "q13_orders_per_customer_distribution",

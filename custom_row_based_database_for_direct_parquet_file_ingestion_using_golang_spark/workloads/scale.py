@@ -3481,6 +3481,44 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_multiassign_top10",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 4),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])),
+                   6) AS score
+      FROM q JOIN embeddings e ON TRUE
+    )
+    SELECT qid, vec_id, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) <= 5
+    ORDER BY qid, score DESC, vec_id
+    """,
+)
+def ann_multiassign_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-assigned ANN (round 10): the corpus spills each vector to
+    its 2 nearest IVF lists (the partial-probe recall lever — A/B in
+    BASELINE.md) and 4 queries run at FULL probe, where the result must
+    be the EXACT per-query top-5 — which only holds if the spilled
+    copies dedupe correctly (a duplicate id occupying two top-k slots
+    would break the oracle match). Partial-probe recall gains are pinned
+    in pytest (test_ivf_multi_assignment_raises_partial_probe_recall);
+    this row pins the dedup correctness end-to-end against DuckDB's
+    exact cross-join top-k."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return similarity.ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, "qid", "qv",
+        k=5, n_centroids=16, n_probe=16, n_assign=2,
+    )
+
+
+@query(
     "features_quantile_rank",
     """
     SELECT event_id, event_type,

@@ -571,6 +571,47 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_temporal_enrich_buffered",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS evt_id, p.user_id,
+           c.event_id AS ref_id, c.value AS ref_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def stream_temporal_enrich_buffered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-10: the BUFFERED temporal enrichment — per-key state is a
+    watermark-bounded reference buffer (all clicks within the horizon of
+    the key's max event time + one floor click), so a late-arriving
+    reference enriches a later batch's events (multi-batch disorder tests
+    in test_skew_and_stateful.py). On bounded single-batch input the
+    buffered and single-tuple variants both converge exactly to the batch
+    backward as-of join — the same DuckDB NATIVE ASOF oracle — so a green
+    row here pins that the buffer/eviction machinery changes nothing when
+    nothing is late."""
+    from ..streaming.ops import run_to_memory, temporal_enrich_latest
+
+    events = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        temporal_enrich_latest(
+            events, "click", "purchase", buffer_seconds=86400.0
+        ),
+        mode="append",
+    )
+
+
+@query(
     "stream_temporal_enrich",
     """
     WITH clicks AS (
