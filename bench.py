@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "refsql_correlated_scalar",
     "refsql_in_or_membership",
     "sketch_hist_quantiles_grouped",
+    # round-10 additions
+    "ann_multiassign_top10",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
