@@ -168,7 +168,84 @@ KEYWORDS_STOP = {
 
 
 def tokenize(text: str) -> list[str]:
-    return [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
+    toks = [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
+    if any(
+        "::" in t and t[0] not in "'\"`" for t in toks
+    ):
+        toks = _expand_cast_shorthand(toks)
+    return toks
+
+
+#: keywords that may precede '(' without being a function name — the
+#: ``::`` postfix expansion must not absorb them into the CAST.
+_CAST_ABSORB_STOP = frozenset(
+    {
+        "select", "where", "and", "or", "not", "in", "on", "as", "by",
+        "from", "when", "then", "else", "union", "all", "distinct",
+        "values", "between", "like", "having", "limit", "offset",
+        "join", "over", "using", "exists",
+    }
+)
+
+
+def _expand_cast_shorthand(toks: list[str]) -> list[str]:
+    """Round-10: the ``expr::TYPE`` cast shorthand (DuckDB/Postgres; Spark
+    SQL also accepts it natively) — expanded at the TOKEN level into
+    ``CAST(expr AS TYPE)`` so it works in every dialect context, not just
+    the raw-Catalyst value-expression path. Without this, a bare
+    ``col::TYPE`` token was neither a value expression nor a column and
+    SILENTLY projected NULL via the missing-column-tolerant branch.
+    Supports ``ident::type`` / ``literal::type`` (chains left-to-right)
+    and the postfix ``(...)::type`` form; simple type names only."""
+    out: list[str] = []
+    for t in toks:
+        if t[0] in "'\"`" or "::" not in t:
+            out.append(t)
+            continue
+        parts = t.split("::")
+        if any(p == "" for p in parts[1:]):
+            raise ParseError("'::' needs a type name to its right")
+        if parts[0] == "":
+            # postfix form: '(...)::type' or "'lit'::type" (a string
+            # literal is its own token, so the '::type' piece follows it)
+            for typ in parts[1:]:
+                if not out:
+                    raise ParseError("'::' needs a value to its left")
+                if out[-1] == ")":
+                    depth = 0
+                    for i in range(len(out) - 1, -1, -1):
+                        if out[i] == ")":
+                            depth += 1
+                        elif out[i] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    else:
+                        raise ParseError(
+                            "unbalanced parentheses before '::'"
+                        )
+                    # a function CALL casts whole: absorb the name
+                    # before the '(' (``floor(x)::BIGINT``), but never a
+                    # keyword (``... IN (1, 2)`` stays untouched)
+                    if (
+                        i > 0
+                        and re.fullmatch(r"[A-Za-z_][\w$]*", out[i - 1])
+                        and out[i - 1].lower() not in _CAST_ABSORB_STOP
+                    ):
+                        i -= 1
+                    out[i:i] = ["cast", "("]
+                    out.extend(["as", typ, ")"])
+                elif out[-1] not in (",", "(", "="):
+                    prev = out.pop()
+                    out.extend(["cast", "(", prev, "as", typ, ")"])
+                else:
+                    raise ParseError("'::' needs a value to its left")
+            continue
+        expr = [parts[0]]
+        for typ in parts[1:]:
+            expr = ["cast", "("] + expr + ["as", typ, ")"]
+        out.extend(expr)
+    return out
 
 
 def _inline_named_windows(toks: list[str]) -> list[str]:
@@ -534,6 +611,23 @@ class ExprParser:
                     out.append(t2 if _is_string_lit(t2) else _unquote_bare(t2))
             else:
                 out.append(t if _is_string_lit(t) else _unquote_bare(t))
+                if self.cur.peek() == "(" and re.fullmatch(
+                    r"[A-Za-z_][\w$]*", t
+                ):
+                    # round-10: a function CALL is one operand — capture
+                    # its balanced argument list so ``CAST(x AS T) % 2``
+                    # re-lexes whole
+                    out.append(self.cur.next())
+                    depth = 1
+                    while depth:
+                        t2 = self.cur.next()
+                        if t2 == "(":
+                            depth += 1
+                        elif t2 == ")":
+                            depth -= 1
+                        out.append(
+                            t2 if _is_string_lit(t2) else _unquote_bare(t2)
+                        )
 
         toks: list[str] = []
         one_operand(toks)
@@ -652,6 +746,23 @@ class ExprParser:
                 else f"{fn}_{_unquote(arg).rsplit('.', 1)[-1]}"
             )
             return F.col(name), None, name
+        if self.cur.peek() == "(" and re.fullmatch(r"[A-Za-z_][\w$]*", tok):
+            # Round-10: generic scalar FUNCTION-CALL operand — ``WHERE
+            # CAST(x AS BIGINT) > 1``, ``WHERE round(x, 2) = 0.5``,
+            # ``WHERE length(name) > 3`` (and the ``::`` shorthand, which
+            # expands to CAST). The balanced call is captured raw and
+            # compiled by Catalyst — the same strategy the arithmetic
+            # re-lex uses; subqueries are not supported inside the call.
+            buf = [tok, self.cur.next()]
+            depth = 1
+            while depth:
+                t2 = self.cur.next()
+                if t2 == "(":
+                    depth += 1
+                elif t2 == ")":
+                    depth -= 1
+                buf.append(t2 if _is_string_lit(t2) else _unquote_bare(t2))
+            return F.expr(" ".join(buf)), None, None
         name = _unquote(tok)
         return F.col(name), None, name
 
@@ -862,6 +973,80 @@ class SelectSpec:
     # Dialect extension (round-8): SELECT * EXCLUDE (c1, ...) — star
     # minus named columns (wide-table ergonomic).
     star_exclude: list[str] = field(default_factory=list)
+    # Dialect extension (round-10): FROM (VALUES (...), ...) AS v(c1, ...)
+    # — inline table constructor; the raw VALUES row text, compiled by
+    # Catalyst at execute time (a LocalRelation — nothing scanned).
+    values_sql: "str | None" = None
+    # Round-10: explicit derived-table column list `AS x(c1, c2, ...)` —
+    # renames the derived frame's columns positionally (SELECT or VALUES).
+    derived_cols: "list[str] | None" = None
+
+
+def _join_side(cur: _Cursor) -> tuple["str | tuple", "str | None"]:
+    """The relation after a JOIN keyword: a table name (optionally
+    aliased), or (round-10) an inline ``(VALUES ...) AS v[(c1, ...)]``
+    table constructor — returned as the marker tuple
+    ``("__values__", values_sql, cols)`` with the mandatory alias."""
+    if cur.peek() == "(" and cur.peek_kw(1) == "values":
+        cur.next()
+        cur.next()
+        vsql = _capture_values_tokens(cur)
+        if cur.peek_kw() == "as":
+            cur.next()
+        nxt = cur.peek()
+        if nxt is None or nxt in (",", ")", "("):
+            raise ParseError(
+                "a VALUES join side needs an alias: (VALUES ...) AS v"
+            )
+        jalias = _unquote(cur.next())
+        cols = _alias_column_list(cur)
+        return ("__values__", vsql, cols), jalias
+    jtable = _unquote(cur.next())
+    jalias = None
+    if cur.peek_kw() == "as":
+        cur.next()
+        jalias = _unquote(cur.next())
+    return jtable, jalias
+
+
+def _capture_values_tokens(cur: _Cursor) -> str:
+    """Positioned just past ``( VALUES``: capture the row tokens up to the
+    matching ')' and return the raw ``values ...`` SQL text."""
+    depth = 0
+    vtoks: list[str] = []
+    while True:
+        t = cur.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        vtoks.append(t)
+    if not vtoks:
+        raise ParseError("VALUES needs at least one row")
+    return "values " + " ".join(vtoks)
+
+
+def _alias_column_list(cur: _Cursor) -> "list[str] | None":
+    """Optional ``(c1, c2, ...)`` column list after a derived-table alias
+    (round-10): returns the names, or None when absent."""
+    if cur.peek() != "(":
+        return None
+    cur.next()
+    cols: list[str] = []
+    while True:
+        t = cur.next()
+        if t == ")":
+            break
+        if t == ",":
+            continue
+        cols.append(_unquote(t))
+    if not cols:
+        raise ParseError("alias column list needs at least one name")
+    if len(set(cols)) != len(cols):
+        raise ParseError("alias column list has duplicate names")
+    return cols
 
 
 def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
@@ -1183,10 +1368,29 @@ def parse_select(
                     )
             spec.projections.append((name, alias))
     cur.expect_kw("from")
-    if cur.peek() == "(":
+    if cur.peek() == "(" and cur.peek_kw(1) == "values":
+        # Round-10: inline table constructor — ``FROM (VALUES (1, 'a'),
+        # (2, 'b')) AS v(c1, c2)``. Rows are captured verbatim and
+        # compiled by Catalyst (a LocalRelation); the alias is mandatory,
+        # the column list optional (defaults to col0, col1, ... — the
+        # DuckDB naming).
+        cur.next()
+        cur.next()
+        spec.values_sql = _capture_values_tokens(cur)
+        if cur.peek_kw() == "as":
+            cur.next()
+        nxt = cur.peek()
+        if nxt is None or nxt in (",", ")", "("):
+            raise ParseError("VALUES table needs an alias: (VALUES ...) AS v")
+        spec.alias = _unquote(cur.next())
+        spec.table = spec.alias
+        spec.derived_cols = _alias_column_list(cur)
+    elif cur.peek() == "(":
         # Round-7: derived table — ``FROM (SELECT ...) AS x``. One plain
         # subselect (use a CTE for set-op bodies); the alias is mandatory
         # (standard SQL) and names the frame for qualified references.
+        # Round-10: an optional column list ``AS x(c1, c2)`` renames the
+        # derived columns positionally.
         cur.next()
         sub_spec, _, sub_clauses = parse_select(cur, weak_typing, resolver)
         if cur.next() != ")":
@@ -1203,6 +1407,7 @@ def parse_select(
         spec.derived = (sub_spec, sub_clauses)
         spec.alias = _unquote(cur.next())
         spec.table = spec.alias
+        spec.derived_cols = _alias_column_list(cur)
     else:
         spec.table = _unquote(cur.next())
         if cur.peek_kw() == "as":
@@ -1353,11 +1558,7 @@ def parse_select(
                 cur.next()
                 how = "asof_left"
             cur.expect_kw("join")
-            jtable = _unquote(cur.next())
-            jalias = None
-            if cur.peek_kw() == "as":
-                cur.next()
-                jalias = _unquote(cur.next())
+            jtable, jalias = _join_side(cur)
             cur.expect_kw("on")
             conjs: list[tuple[str, str, str]] = []
             while True:
@@ -1386,11 +1587,7 @@ def parse_select(
             elif cur.peek_kw() == "outer":
                 cur.next()
         cur.expect_kw("join")
-        jtable = _unquote(cur.next())
-        jalias = None
-        if cur.peek_kw() == "as":
-            cur.next()
-            jalias = _unquote(cur.next())
+        jtable, jalias = _join_side(cur)
         if how == "cross":
             if cur.peek_kw() in ("on", "using"):
                 raise ParseError("CROSS JOIN takes no ON/USING condition")
@@ -2095,6 +2292,21 @@ class RefSQL:
         # execute().
         self._ctes: dict[str, DataFrame] = {}
 
+    def _join_side_df(self, jtable) -> DataFrame:
+        """A join side: a table name, or the round-10 inline-VALUES
+        marker ("__values__", values_sql, cols)."""
+        if isinstance(jtable, tuple) and jtable[0] == "__values__":
+            _, vsql, cols = jtable
+            df = self.engine.spark.sql(vsql)
+            names = cols or [f"col{i}" for i in range(len(df.columns))]
+            if len(names) != len(df.columns):
+                raise ParseError(
+                    f"alias lists {len(names)} columns but VALUES rows "
+                    f"have {len(df.columns)}"
+                )
+            return df.toDF(*names)
+        return self._table_df(jtable)
+
     def _table_df(self, name: str) -> DataFrame:
         if name in self._ctes:
             return self._ctes[name]
@@ -2113,13 +2325,34 @@ class RefSQL:
         broadcast vs shuffle join per side as usual."""
         if spec.version is not None and spec.table in self._ctes:
             raise ParseError("VERSION AS OF applies to tables, not CTEs")
-        if spec.derived is not None:
+        if spec.values_sql is not None:
+            # Inline VALUES table (round-10): Catalyst compiles the rows
+            # to a LocalRelation; rename to the alias column list, else
+            # to col0, col1, ... (the DuckDB naming).
+            df = self.engine.spark.sql(spec.values_sql)
+            names = spec.derived_cols or [
+                f"col{i}" for i in range(len(df.columns))
+            ]
+            if len(names) != len(df.columns):
+                raise ParseError(
+                    f"alias lists {len(names)} columns but VALUES rows "
+                    f"have {len(df.columns)}"
+                )
+            df = df.toDF(*names)
+        elif spec.derived is not None:
             if spec.version is not None:
                 raise ParseError(
                     "VERSION AS OF applies to tables, not derived tables"
                 )
             dspec, dclauses = spec.derived
             df = build_select(self._resolved_from(dspec), dspec, dclauses)
+            if spec.derived_cols is not None:
+                if len(spec.derived_cols) != len(df.columns):
+                    raise ParseError(
+                        f"alias lists {len(spec.derived_cols)} columns but "
+                        f"the derived table has {len(df.columns)}"
+                    )
+                df = df.toDF(*spec.derived_cols)
         else:
             df = (
                 self.engine.table_at(spec.table, spec.version)
@@ -2171,11 +2404,11 @@ class RefSQL:
                 if how in ("asof", "asof_left"):
                     df = self._asof(
                         df, spec.alias or spec.table,
-                        self._table_df(jtable), jalias or jtable,
+                        self._join_side_df(jtable), jalias or jtable,
                         cond, inner=(how == "asof"),
                     )
                     continue
-                jdf = self._table_df(jtable).alias(jalias or jtable)
+                jdf = self._join_side_df(jtable).alias(jalias or jtable)
                 if how == "cross":
                     df = df.crossJoin(jdf)
                 elif isinstance(cond, tuple):
@@ -2687,6 +2920,14 @@ class RefSQL:
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")
             return out
+        if verb == "values":
+            # Round-10: statement-level table constructor — ``VALUES
+            # (1, 'a'), (2, 'b')``. Catalyst compiles the literal rows to
+            # a LocalRelation; columns are named col0, col1, ... (the
+            # DuckDB naming — Spark's native col1-based naming is
+            # remapped so oracle comparisons line up).
+            df = self.engine.spark.sql(" ".join(toks))
+            return df.toDF(*[f"col{i}" for i in range(len(df.columns))])
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":

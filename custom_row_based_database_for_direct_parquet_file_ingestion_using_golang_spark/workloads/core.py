@@ -1527,6 +1527,45 @@ def refsql_fromless_recursive_anchor(
 
 
 @query(
+    "refsql_values_dim_join",
+    """
+    SELECT d.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(floor(o_totalprice)::BIGINT) AS BIGINT) AS total_floor
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                 ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                 ('5-LOW', 'cold')) AS d(pri, bucket)
+      ON orders.o_orderpriority = d.pri
+    GROUP BY d.bucket
+    """,
+)
+def refsql_values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-10: inline VALUES table constructor as a JOIN side — the
+    # classic "decode codes via a literal dimension" lookup, plus the ::
+    # cast shorthand inside an aggregate argument. floor() BEFORE the
+    # BIGINT cast on BOTH sides: Spark's double→BIGINT cast TRUNCATES
+    # toward zero while DuckDB's ROUNDS to nearest, so the bare cast
+    # diverges by 1 on about half the rows — floor() is defined
+    # identically in both engines and makes the summed integers exact.
+    # The VALUES rows compile to a LocalRelation and the join broadcasts
+    # — at 100 TB this is a map-side hash lookup, zero extra shuffles.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT d.bucket, "
+        "COUNT(*) AS n_orders, "
+        "SUM(floor(o_totalprice)::BIGINT) AS total_floor "
+        "FROM orders "
+        "JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), "
+        "('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'), "
+        "('5-LOW', 'cold')) AS d(pri, bucket) "
+        "ON orders.o_orderpriority = d.pri "
+        "GROUP BY d.bucket",
+    )
+
+
+@query(
     "refsql_correlated_scalar",
     """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price

@@ -452,3 +452,73 @@ def test_fromless_select_matches_duckdb_fuzz(spark, tmp_path):
         got = [r.n for r in e.ref_sql(sql).collect()]
         want = [r[0] for r in con.execute(sql).fetchall()]
         assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"
+
+
+def test_values_and_cast_shorthand_match_duckdb_fuzz(spark, tmp_path):
+    """Round-10 differential fuzz: inline VALUES tables (statement +
+    derived + join-side) and the ``::`` cast shorthand through the
+    dialect vs DuckDB running the IDENTICAL text."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    vrng = random.Random(101010)
+    e = Engine(spark, str(tmp_path / "vcfz"))
+    con = duckdb.connect()
+
+    def lit():
+        k = vrng.random()
+        if k < 0.4:
+            return str(vrng.randint(-50, 50))
+        if k < 0.7:
+            return "'" + "".join(
+                vrng.choice("abcxyz") for _ in range(vrng.randint(1, 4))
+            ) + "'"
+        return f"{vrng.randint(-20, 20)}.{vrng.randint(0, 99):02d}"
+
+    for trial in range(10):
+        ncols = vrng.randint(1, 3)
+        nrows = vrng.randint(1, 4)
+        # column types must be consistent per position for both engines
+        col_kinds = [vrng.choice(["i", "s"]) for _ in range(ncols)]
+
+        def row():
+            vals = []
+            for kind in col_kinds:
+                if kind == "i":
+                    vals.append(str(vrng.randint(-50, 50)))
+                else:
+                    vals.append(
+                        "'" + "".join(
+                            vrng.choice("abcxyz")
+                            for _ in range(vrng.randint(1, 4))
+                        ) + "'"
+                    )
+            return "(" + ", ".join(vals) + ")"
+
+        rows_sql = ", ".join(row() for _ in range(nrows))
+        cols = ", ".join(f"c{i}" for i in range(ncols))
+        sql = (
+            f"SELECT {cols} FROM (VALUES {rows_sql}) AS v({cols}) "
+            f"ORDER BY {cols}"
+        )
+        got = [tuple(r) for r in e.ref_sql(sql).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"
+
+    for trial in range(10):
+        a, b = vrng.randint(-99, 99), vrng.randint(1, 9)
+        sql = vrng.choice(
+            [
+                f"SELECT ({a} + {b})::DOUBLE AS x",
+                f"SELECT {a}::DOUBLE / {b} AS x",
+                f"SELECT '{a}'::INT + {b} AS x",
+                f"SELECT abs({a})::BIGINT AS x",
+                f"SELECT {a}::BIGINT::DOUBLE AS x",
+            ]
+        )
+        got = [tuple(r) for r in e.ref_sql(sql).collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"

@@ -2724,3 +2724,95 @@ def test_vector_index_multi_assignment(spark, tmp_path, sf_dir):
             "CREATE VECTOR INDEX bad ON embeddings (embedding) ID vec_id "
             "ASSIGN 0"
         )
+
+
+def test_values_table_constructor(spark, tmp_path, sf_dir):
+    """Round-10: VALUES — statement form (col0-based naming, matching
+    DuckDB), derived-table form with alias column list, and as a JOIN
+    side (the inline-dimension lookup join)."""
+    e = Engine(spark, str(tmp_path / "vals"))
+    rows = e.ref_sql("VALUES (1, 'a'), (2, 'b')").collect()
+    assert [(r.col0, r.col1) for r in rows] == [(1, "a"), (2, "b")]
+    rows = e.ref_sql(
+        "SELECT a, b FROM (VALUES (1, 'x'), (2, 'y')) AS v(a, b) ORDER BY a"
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (2, "y")]
+    # default naming without a column list
+    rows = e.ref_sql(
+        "SELECT col0 FROM (VALUES (10), (20)) AS v ORDER BY col0"
+    ).collect()
+    assert [r.col0 for r in rows] == [10, 20]
+    # JOIN side: inline dimension decode
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    rows = e.ref_sql(
+        "SELECT n_name, s.code FROM nation "
+        "JOIN (VALUES (0, 'R0'), (1, 'R1')) AS s(rk, code) "
+        "ON nation.n_regionkey = s.rk ORDER BY n_name LIMIT 3"
+    ).collect()
+    assert all(r.code in ("R0", "R1") for r in rows) and len(rows) == 3
+    # error contracts
+    with pytest.raises(ParseError, match="alias"):
+        e.ref_sql("SELECT * FROM (VALUES (1))")
+    with pytest.raises(ParseError, match="columns"):
+        e.ref_sql("SELECT * FROM (VALUES (1, 2)) AS v(a)")
+    with pytest.raises(ParseError, match="at least one row"):
+        e.ref_sql("SELECT * FROM (VALUES) AS v(a)")
+    # derived-SELECT alias column lists work too
+    rows = e.ref_sql(
+        "SELECT x, y FROM (SELECT n_nationkey AS a, n_name AS b "
+        "FROM nation LIMIT 2) AS d(x, y) ORDER BY x"
+    ).collect()
+    assert len(rows) == 2 and rows[0].x == 0
+
+
+def test_cast_shorthand(spark, tmp_path, sf_dir):
+    """Round-10: the expr::TYPE cast shorthand — expanded at the token
+    level into CAST(expr AS TYPE), so it works in projections, WHERE,
+    aggregates, and chains. Before the expansion a bare col::TYPE
+    silently projected NULL (missing-column-tolerant branch)."""
+    e = Engine(spark, str(tmp_path / "cc"))
+    e.ingest_parquet(f"{sf_dir}/customer.parquet", "customer")
+    rows = e.ref_sql(
+        "SELECT c_acctbal::BIGINT AS b FROM customer ORDER BY b DESC LIMIT 1"
+    ).collect()
+    assert rows[0].b is not None and isinstance(rows[0].b, int)
+    # WHERE position (runs through the function-call operand path)
+    n = e.ref_sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal::BIGINT > 0"
+    ).collect()[0].n
+    assert n > 0
+    # literal lhs + arithmetic + chain
+    assert e.ref_sql("SELECT '3'::INT + 1 AS four").collect()[0].four == 4
+    assert (
+        e.ref_sql("SELECT 1::BIGINT::DOUBLE AS d").collect()[0].d == 1.0
+    )
+    # parenthesized lhs
+    rows = e.ref_sql(
+        "SELECT (c_acctbal + 1)::BIGINT AS b FROM customer "
+        "ORDER BY b DESC LIMIT 1"
+    ).collect()
+    assert isinstance(rows[0].b, int)
+    # inside an aggregate argument
+    s = e.ref_sql(
+        "SELECT SUM(c_acctbal::BIGINT) AS s FROM customer"
+    ).collect()[0].s
+    assert isinstance(s, int)
+    with pytest.raises(ParseError, match="type name"):
+        e.ref_sql("SELECT c_acctbal:: FROM customer")
+
+
+def test_where_function_call_operands(spark, tmp_path, sf_dir):
+    """Round-10: generic scalar function calls as WHERE operands —
+    CAST / round / length compile through Catalyst."""
+    e = Engine(spark, str(tmp_path / "wf"))
+    e.ingest_parquet(f"{sf_dir}/customer.parquet", "customer")
+    got = e.ref_sql(
+        "SELECT c_custkey FROM customer WHERE length(c_name) >= 8 "
+        "ORDER BY c_custkey LIMIT 2"
+    ).collect()
+    assert len(got) == 2
+    got = e.ref_sql(
+        "SELECT c_custkey FROM customer "
+        "WHERE CAST(c_acctbal AS BIGINT) % 2 = 0 ORDER BY c_custkey LIMIT 2"
+    ).collect()
+    assert len(got) == 2
