@@ -527,6 +527,12 @@ class ExprParser:
         # by its correlation keys, left-join onto the outer frame).
         self.correlated_scalars: list[tuple[str, list[str], str]] = []
         self._sub_ok = True
+        # Round-10: aggregate calls seen while parsing (``COUNT(*)`` /
+        # ``SUM(x)`` ... mapped to their default output names) — the
+        # HAVING handler uses these to add HIDDEN aggregates for calls
+        # that don't appear in the SELECT list (standard SQL allows
+        # HAVING over any aggregate; the hidden column drops post-filter).
+        self.agg_calls: list[tuple[str, str, str]] = []
         # Scalar-subquery resolver (round-6 extension): a callable
         # ``(spec, clauses) -> python value`` the executor supplies.
         # ``(SELECT agg ...)`` in a comparison position executes the
@@ -745,6 +751,7 @@ class ExprParser:
                 if (fn == "count" and arg == "*")
                 else f"{fn}_{_unquote(arg).rsplit('.', 1)[-1]}"
             )
+            self.agg_calls.append((fn, arg, name))
             return F.col(name), None, name
         if self.cur.peek() == "(" and re.fullmatch(r"[A-Za-z_][\w$]*", tok):
             # Round-10: generic scalar FUNCTION-CALL operand — ``WHERE
@@ -980,6 +987,28 @@ class SelectSpec:
     # Round-10: explicit derived-table column list `AS x(c1, c2, ...)` —
     # renames the derived frame's columns positionally (SELECT or VALUES).
     derived_cols: "list[str] | None" = None
+
+
+def _contains_agg_call(buf: list[str]) -> bool:
+    """True when a captured expression contains an AGGREGATE call
+    (``fn (`` for a known aggregate name) and no window form (no OVER) —
+    the round-10 rule that routes aggregate-wrapping expressions like
+    ``round(AVG(x), 2)`` to the aggregate list instead of the
+    post-aggregation projection path. Scalar subqueries were already
+    resolved out of the buffer by this point, so any aggregate name seen
+    here belongs to this SELECT."""
+    has_agg = False
+    for i, t in enumerate(buf):
+        low = t.lower()
+        if low == "over":
+            return False
+        if (
+            (low in AGG_FUNCS or low in EXPR_AGG_FUNCS)
+            and i + 1 < len(buf)
+            and buf[i + 1] == "("
+        ):
+            has_agg = True
+    return has_agg
 
 
 def _join_side(cur: _Cursor) -> tuple["str | tuple", "str | None"]:
@@ -1308,6 +1337,41 @@ def parse_select(
                         alias,
                     ))
                     continue
+                if cur.peek() in ("+", "-", "*", "/", "%", "||"):
+                    # Round-10: arithmetic CONTINUES the item —
+                    # ``MAX(a) - MIN(a) AS spread`` is ONE aggregate
+                    # expression, not an aggregate followed by a stray
+                    # projection. Capture the remainder to the item
+                    # boundary and compile the whole text in the agg
+                    # list (the _expr path).
+                    buf2 = [low, "(", args[0], ")"]
+                    depth2 = 0
+                    while True:
+                        nxt = cur.peek()
+                        if nxt is None:
+                            break
+                        nk = cur.peek_kw()
+                        if depth2 == 0 and (
+                            nxt == "," or nk in ("from", "as")
+                        ):
+                            break
+                        t2 = cur.next()
+                        if t2 == "(":
+                            depth2 += 1
+                        elif t2 == ")":
+                            depth2 -= 1
+                        buf2.append(
+                            t2 if _is_string_lit(t2) else _unquote_bare(t2)
+                        )
+                    if cur.peek_kw() != "as":
+                        raise ParseError(
+                            f"aggregate expression "
+                            f"'{' '.join(buf2)}' needs AS <alias>"
+                        )
+                    cur.next()
+                    alias = _unquote(cur.next())
+                    spec.aggregates.append(("_expr", " ".join(buf2), alias))
+                    continue
                 alias = None
                 if cur.peek_kw() == "as":
                     cur.next()
@@ -1366,7 +1430,19 @@ def parse_select(
                     raise ParseError(
                         f"expression projection '{name}' needs AS <alias>"
                     )
-            spec.projections.append((name, alias))
+            if _contains_agg_call(buf):
+                # Round-10: an expression WRAPPING an aggregate —
+                # ``round(AVG(x), 2) AS a``, ``CAST(SUM(x) AS BIGINT)``,
+                # ``MAX(a) - MIN(a)`` — is an AGGREGATE item, not a
+                # post-aggregation projection (where the input columns no
+                # longer exist). The whole text compiles via Catalyst in
+                # the agg list (the _expr path); window forms (any OVER
+                # inside) stay projections. Standard SQL allows arbitrary
+                # expressions over aggregates; this closes the old
+                # "ROUND around an aggregate needs a CTE" limitation.
+                spec.aggregates.append(("_expr", name, alias))
+            else:
+                spec.projections.append((name, alias))
     cur.expect_kw("from")
     if cur.peek() == "(" and cur.peek_kw(1) == "values":
         # Round-10: inline table constructor — ``FROM (VALUES (1, 'a'),
@@ -1744,6 +1820,26 @@ def parse_select(
                 raise ParseError(
                     "IN/EXISTS subqueries are not supported in HAVING"
                 )
+            # Round-10: HAVING over an aggregate NOT in the SELECT list
+            # (``SELECT g, MAX(v) AS m ... HAVING COUNT(*) > 2``) —
+            # standard SQL. Add each missing call as a HIDDEN aggregate
+            # under its default output name; build_select drops the
+            # hidden columns after the filter applies.
+            from ..operators.query import agg_default_name
+
+            present = {
+                a if a is not None else agg_default_name(fn, col)
+                for fn, col, a in spec.aggregates
+                if fn != "_expr"
+            } | {a for fn, _c, a in spec.aggregates if a is not None}
+            hidden = []
+            for fn, arg, name in hp.agg_calls:
+                if name not in present:
+                    spec.aggregates.append((fn, arg, None))
+                    present.add(name)
+                    hidden.append(name)
+            if hidden:
+                clauses["having_hidden"] = hidden
         elif kw == "order":
             # Multi-column ORDER BY, each key with its own ASC/DESC — the
             # reference parses a single sort key (select.go); multi-key is
@@ -2253,8 +2349,14 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             cols.append(base.alias(alias) if alias else base)
         from ..operators.query import agg_default_name
 
+        hidden_aggs = set(clauses.get("having_hidden", ()))
         for fn, col, alias in spec.aggregates:
-            cols.append(F.col(alias or agg_default_name(fn, col)))
+            name = alias or agg_default_name(fn, col)
+            if name in hidden_aggs:
+                # round-10: added only so HAVING could reference it —
+                # not part of the declared SELECT list
+                continue
+            cols.append(F.col(name))
         if group and not spec.aggregates:
             # Lenient GROUP BY: surface the implicit COUNT(*) column
             # (select_negative_test.go:34-68 asserts it appears).

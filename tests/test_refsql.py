@@ -2816,3 +2816,48 @@ def test_where_function_call_operands(spark, tmp_path, sf_dir):
         "WHERE CAST(c_acctbal AS BIGINT) % 2 = 0 ORDER BY c_custkey LIMIT 2"
     ).collect()
     assert len(got) == 2
+
+
+def test_aggregate_wrapping_expressions(spark, tmp_path, sf_dir):
+    """Round-10: expressions OVER aggregates are aggregate items —
+    round(AVG(x), 2), CAST(SUM(x) AS BIGINT), MAX(x) - MIN(x) — closing
+    the old 'wrap an aggregate needs a CTE' limitation; and HAVING may
+    reference aggregates that are NOT in the SELECT list (a hidden
+    aggregate computes the filter and drops from the output)."""
+    e = Engine(spark, str(tmp_path / "aggx"))
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    rows = e.ref_sql(
+        "SELECT o_orderstatus, round(AVG(o_totalprice), 2) AS a "
+        "FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    assert len(rows) == 3 and all(r.a == round(r.a, 2) for r in rows)
+    rows = e.ref_sql(
+        "SELECT o_orderstatus, MAX(o_totalprice) - MIN(o_totalprice) "
+        "AS spread FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    assert all(r.spread > 0 for r in rows)
+    rows = e.ref_sql(
+        "SELECT CAST(SUM(floor(o_totalprice)) AS BIGINT) AS s FROM orders"
+    ).collect()
+    assert isinstance(rows[0].s, int)
+    # hidden HAVING aggregate: COUNT(*) filters but does not surface
+    rows = e.ref_sql(
+        "SELECT o_orderstatus, MAX(o_totalprice) AS m FROM orders "
+        "GROUP BY o_orderstatus HAVING COUNT(*) > 2"
+    )
+    assert rows.columns == ["o_orderstatus", "m"]
+    assert rows.count() >= 1
+    # ... and a SUM-based hidden filter
+    rows = e.ref_sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus HAVING SUM(o_totalprice) > 0"
+    )
+    assert rows.columns == ["o_orderstatus", "n"] and rows.count() == 3
+    # window forms still route to projections, not aggregates
+    rows = e.ref_sql(
+        "SELECT o_orderkey, CAST(SUM(o_totalprice) OVER w AS BIGINT) "
+        "AS run FROM orders WINDOW w AS (ORDER BY o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "ORDER BY o_orderkey LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and rows[0].run <= rows[2].run
