@@ -1566,6 +1566,39 @@ def refsql_values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_agg_expressions",
+    """
+    SELECT o_orderstatus,
+           CAST(floor(MAX(o_totalprice)) - floor(MIN(o_totalprice))
+                AS BIGINT) AS spread_floor,
+           CAST(SUM(floor(o_totalprice)) AS BIGINT) AS total_floor
+    FROM orders
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 2
+    """,
+)
+def refsql_agg_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-10: expressions OVER aggregates as single aggregate items —
+    # a MAX-minus-MIN spread and a CAST-wrapped SUM (closing the old
+    # "wrap an aggregate needs a CTE" limitation) — plus HAVING over an
+    # aggregate NOT in the SELECT list (COUNT(*) computes as a hidden
+    # column and drops from the output). floor() keeps every delivered
+    # value an exact integer (no rounding convention needed); DuckDB runs
+    # the IDENTICAL text.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, "
+        "CAST(floor(MAX(o_totalprice)) - floor(MIN(o_totalprice)) "
+        "AS BIGINT) AS spread_floor, "
+        "CAST(SUM(floor(o_totalprice)) AS BIGINT) AS total_floor "
+        "FROM orders "
+        "GROUP BY o_orderstatus "
+        "HAVING COUNT(*) > 2",
+    )
+
+
+@query(
     "refsql_correlated_scalar",
     """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
