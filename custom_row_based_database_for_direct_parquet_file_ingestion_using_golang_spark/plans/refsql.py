@@ -173,6 +173,17 @@ def tokenize(text: str) -> list[str]:
         "::" in t and t[0] not in "'\"`" for t in toks
     ):
         toks = _expand_cast_shorthand(toks)
+    # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
+    # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
+    # the ``AS <type> )`` cast-tail position so aliases stay untouched.
+    for i, t in enumerate(toks):
+        if (
+            t.lower() in ("varchar", "text")
+            and 0 < i < len(toks) - 1
+            and toks[i - 1].lower() == "as"
+            and toks[i + 1] == ")"
+        ):
+            toks[i] = "string"
     return toks
 
 
@@ -753,6 +764,13 @@ class ExprParser:
             )
             self.agg_calls.append((fn, arg, name))
             return F.col(name), None, name
+        if tok.lower() in ("timestamp", "date", "interval") and (
+            self.cur.peek() is not None and _is_string_lit(self.cur.peek())
+        ):
+            # Round-10: typed literals in predicate position — ``WHERE
+            # ts > TIMESTAMP '2024-01-02 00:00:00'`` / ``DATE '...'`` /
+            # ``INTERVAL '...'`` — compiled by Catalyst verbatim.
+            return F.expr(f"{tok} {self.cur.next()}"), None, None
         if self.cur.peek() == "(" and re.fullmatch(r"[A-Za-z_][\w$]*", tok):
             # Round-10: generic scalar FUNCTION-CALL operand — ``WHERE
             # CAST(x AS BIGINT) > 1``, ``WHERE round(x, 2) = 0.5``,
@@ -896,10 +914,15 @@ class ExprParser:
             out = left.isNotNull() if not_null else left.isNull()
         elif nxt == "between":
             self.cur.next()
-            _, lo, _ = self._operand()
+            le, lo, _ = self._operand()
             self.cur.expect_kw("and")
-            _, hi, _ = self._operand()
-            out = left.between(F.lit(lo), F.lit(hi))
+            he, hi, _ = self._operand()
+            # Round-10: bounds may be column EXPRESSIONS (typed literals
+            # like TIMESTAMP '...', function calls), not just literals.
+            out = left.between(
+                le if le is not None else F.lit(lo),
+                he if he is not None else F.lit(hi),
+            )
         elif nxt == "like":
             self.cur.next()
             pat = self.cur.next()

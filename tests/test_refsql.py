@@ -2861,3 +2861,39 @@ def test_aggregate_wrapping_expressions(spark, tmp_path, sf_dir):
         "ORDER BY o_orderkey LIMIT 3"
     ).collect()
     assert len(rows) == 3 and rows[0].run <= rows[2].run
+
+
+def test_typed_literals_and_portable_type_names(spark, tmp_path, sf_dir):
+    """Round-10: TIMESTAMP '...' / DATE '...' typed literals in predicate
+    position (comparisons and BETWEEN bounds), and DuckDB's VARCHAR/TEXT
+    mapping to Spark's STRING in cast-tail position."""
+    e = Engine(spark, str(tmp_path / "dtl"))
+    e.ingest_parquet(f"{sf_dir}/events.parquet", "ev")
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    n_all = e.table("ev").count()
+    n = e.ref_sql(
+        "SELECT COUNT(*) AS n FROM ev "
+        "WHERE ts > TIMESTAMP '2024-01-02 00:00:00'"
+    ).collect()[0].n
+    assert 0 < n < n_all
+    n2 = e.ref_sql(
+        "SELECT COUNT(*) AS n FROM ev WHERE ts BETWEEN "
+        "TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-02 00:00:00'"
+    ).collect()[0].n
+    assert 0 < n2 < n_all
+    n3 = e.ref_sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate >= DATE '1995-01-01'"
+    ).collect()[0].n
+    assert n3 > 0
+    # VARCHAR / TEXT → STRING in cast tails (both CAST and :: forms);
+    # a column alias named varchar is untouched
+    row = e.ref_sql(
+        "SELECT CAST(o_orderkey AS VARCHAR) AS s, o_orderkey::TEXT AS t "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    ).collect()[0]
+    assert row.s == row.t and isinstance(row.s, str)
+    row = e.ref_sql(
+        "SELECT o_orderkey AS varchar FROM orders ORDER BY o_orderkey LIMIT 1"
+    ).collect()[0]
+    assert row.varchar == row[0]
