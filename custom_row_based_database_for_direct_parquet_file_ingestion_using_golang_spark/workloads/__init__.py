@@ -41,6 +41,7 @@ PRIORITY: list[str] = [
     "stream_temporal_enrich_buffered",
     "refsql_values_dim_join",
     "refsql_agg_expressions",
+    "refsql_typed_literal_range",
     # (1) late round-9 additions — first-ever driver checks.
     "refsql_rolling_time_window",
     "ann_batch_queries",
@@ -89,10 +90,10 @@ PRIORITY: list[str] = [
     "window_lag_delta",
     "pivot_status_by_priority",
     "window_ntile_quartiles",
-    "window_running_revenue",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # the remaining r6-green block (4 rounds stale at r10) MUST lead the
     # r11 window:
+    "window_running_revenue",
     "rollup_status_priority",
     "q7_nation_trade_volume",
     "q8_market_share",

@@ -1599,6 +1599,34 @@ def refsql_agg_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_typed_literal_range",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_id
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00'
+                 AND TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def refsql_typed_literal_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-10: TIMESTAMP typed literals as BETWEEN bounds in the dialect
+    # — the time-range report every events pipeline writes. MIN(event_id)
+    # pins that the range filter (not just the count) matches; all
+    # outputs integer (exact hash). DuckDB runs the IDENTICAL text; both
+    # engines evaluate the literals in the session's UTC zone.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS first_id "
+        "FROM events "
+        "WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' "
+        "AND TIMESTAMP '2024-01-03 00:00:00' "
+        "GROUP BY event_type",
+    )
+
+
+@query(
     "refsql_correlated_scalar",
     """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
