@@ -184,6 +184,11 @@ def is_natural_language(text: str) -> bool:
         # 'MERGE INTO t USING ...' is SQL; 'merge these two lists for me'
         # is NL — the statement shape has INTO as the second word.
         return not (len(words) > 1 and words[1] == "into")
+    if first == "values" or first.startswith("values("):
+        # Round-10: 'VALUES (1, ...)' / 'VALUES(1)' is the SQL table
+        # constructor; 'values matter to this team' is NL — the statement
+        # shape opens a parenthesized row immediately.
+        return not text.strip()[len("values"):].lstrip().startswith("(")
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
         "optimize", "vacuum", "alter", "explain", "describe", "copy",

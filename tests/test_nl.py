@@ -189,3 +189,15 @@ def test_round9_verbs_sniff_as_sql():
     assert is_natural_language("search for the best students")
     assert is_natural_language("diff these two answers for me")
     assert is_natural_language("show me every vector in the table")
+
+
+def test_values_statement_is_sql_not_nl():
+    """Round-10: 'VALUES (1, ...)' is the SQL table constructor; prose
+    starting with the word 'values' stays NL."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.nl import (
+        is_natural_language,
+    )
+
+    assert not is_natural_language("VALUES (1, 'a'), (2, 'b')")
+    assert not is_natural_language("values(1)")
+    assert is_natural_language("values matter to this team")

@@ -585,3 +585,26 @@ def test_query_api_round9_dialect_surface(api, tmp_path_factory):
     # api fixture keeps none, so assert the clean error path instead)
     out = _query(api, "DIFF r9 FROM VERSION 0 TO CURRENT")
     assert "success" in out  # structured envelope either way, no 500
+
+
+def test_round10_dialect_verbs_over_rest(api):
+    """Round-10 verbs round-trip through the REST surface: VALUES
+    (statement + join side), FROM-less SELECT, ::TYPE casts, and
+    aggregate-wrapping expressions."""
+    v = _query(api, "VALUES (1, 'a'), (2, 'b')")
+    assert v["success"] and "a" in v["result"] and "b" in v["result"]
+    f = _query(api, "SELECT 2 + 3 AS five")
+    assert f["success"] and "5" in f["result"]
+    assert _query(api, "CREATE TABLE m (k INT, v DOUBLE)")["success"]
+    _query(api, "INSERT INTO m VALUES (0, 1.5)")
+    _query(api, "INSERT INTO m VALUES (1, 2.5)")
+    _query(api, "INSERT INTO m VALUES (0, 3.5)")
+    c = _query(api, "SELECT v::BIGINT AS b FROM m WHERE k = 1")
+    assert c["success"] and "2" in c["result"]
+    j = _query(
+        api,
+        "SELECT d.label, round(AVG(v), 2) AS a FROM m "
+        "JOIN (VALUES (0, 'even'), (1, 'odd')) AS d(k2, label) "
+        "ON m.k = d.k2 GROUP BY d.label HAVING COUNT(*) > 1",
+    )
+    assert j["success"] and "even" in j["result"] and "odd" not in j["result"]
