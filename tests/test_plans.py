@@ -574,3 +574,29 @@ def test_vector_index_adc_search_prunes_partitions_and_reads_codes(
     assert "element_at" in txt  # plan-literal ADC lookups on the codes
     assert "CartesianProduct" not in txt
     assert "BatchEvalPython" not in txt  # no row-at-a-time python
+
+
+def test_round10_workload_plans(spark, sf_dir):
+    """Round-10 workloads keep their 100-TB plan shapes: the typed-
+    literal BETWEEN pushes to the parquet scan, the VALUES dimension is a
+    LocalTableScan broadcast-joined (never cartesian), and the
+    aggregate-expression query runs map-side partial aggregation."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    t = plan_text(QUERIES["refsql_typed_literal_range"](spark, sf_dir))
+    assert "PushedFilters" in t
+    pushed = t[t.index("PushedFilters"):].split("]")[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+    t = plan_text(QUERIES["refsql_values_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in t
+    assert "LocalTableScan" in t
+    assert "CartesianProduct" not in t
+
+    t = plan_text(QUERIES["refsql_agg_expressions"](spark, sf_dir))
+    assert t.count("HashAggregate") >= 2  # partial + final
