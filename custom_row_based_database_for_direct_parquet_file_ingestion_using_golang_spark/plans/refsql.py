@@ -2129,9 +2129,20 @@ def _window_column(
             raise ParseError(f"{fn}() takes no arguments")
         return getattr(F, fn)().over(w)
     if fn in ("lag", "lead"):
-        if not 1 <= len(args) <= 2:
-            raise ParseError(f"{fn}(col [, offset]) takes 1-2 arguments")
-        off = int(args[1]) if len(args) == 2 else 1
+        # Round-10: the full 3-arg form — fn(col, offset, default) — the
+        # standard boundary-fill spelling (shared with DuckDB).
+        if not 1 <= len(args) <= 3:
+            raise ParseError(
+                f"{fn}(col [, offset [, default]]) takes 1-3 arguments"
+            )
+        off = int(args[1]) if len(args) >= 2 else 1
+        if len(args) == 3:
+            default = _literal_value(args[2])
+            if default is None and args[2].lower() != "null":
+                raise ParseError(
+                    f"{fn}() default must be a literal, got {args[2]!r}"
+                )
+            return getattr(F, fn)(arg_col(args[0]), off, default).over(w)
         return getattr(F, fn)(arg_col(args[0]), off).over(w)
     if fn == "ntile":
         if len(args) != 1:

@@ -2897,3 +2897,27 @@ def test_typed_literals_and_portable_type_names(spark, tmp_path, sf_dir):
         "SELECT o_orderkey AS varchar FROM orders ORDER BY o_orderkey LIMIT 1"
     ).collect()[0]
     assert row.varchar == row[0]
+
+
+def test_lag_lead_default_argument(spark, tmp_path, sf_dir):
+    """Round-10: the 3-arg LAG/LEAD form — fn(col, offset, default) fills
+    window boundaries with the literal default (DuckDB-identical)."""
+    e = Engine(spark, str(tmp_path / "lag3"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    rows = e.ref_sql(
+        "SELECT n_nationkey, LAG(n_nationkey, 2, -1) OVER "
+        "(ORDER BY n_nationkey) AS l2 FROM nation "
+        "ORDER BY n_nationkey LIMIT 4"
+    ).collect()
+    assert [r.l2 for r in rows] == [-1, -1, 0, 1]
+    rows = e.ref_sql(
+        "SELECT n_nationkey, LEAD(n_nationkey, 1, 999) OVER "
+        "(ORDER BY n_nationkey DESC) AS nx FROM nation "
+        "ORDER BY n_nationkey LIMIT 1"
+    ).collect()
+    assert rows[0].nx == 999
+    with pytest.raises(ParseError, match="default must be a literal"):
+        e.ref_sql(
+            "SELECT LAG(n_nationkey, 1, n_regionkey) OVER "
+            "(ORDER BY n_nationkey) AS x FROM nation"
+        )
