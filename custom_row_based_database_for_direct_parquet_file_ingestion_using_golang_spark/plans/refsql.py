@@ -596,7 +596,9 @@ class ExprParser:
             return out
         return self._predicate()
 
-    _ARITH_OPS = ("+", "-", "*", "/", "%")
+    # round-10: || (string concat) joins the arithmetic re-lex set, so
+    # ``WHERE a || 'X' = ...`` compiles like any computed comparison side
+    _ARITH_OPS = ("+", "-", "*", "/", "%", "||")
 
     def _collect_arith_tokens(self) -> list[str]:
         """Lex one arithmetic run: operand (token or balanced paren group)

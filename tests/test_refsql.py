@@ -2921,3 +2921,13 @@ def test_lag_lead_default_argument(spark, tmp_path, sf_dir):
             "SELECT LAG(n_nationkey, 1, n_regionkey) OVER "
             "(ORDER BY n_nationkey) AS x FROM nation"
         )
+
+
+def test_concat_operator_in_where(spark, tmp_path, sf_dir):
+    """Round-10: || (string concat) as a WHERE comparison side."""
+    e = Engine(spark, str(tmp_path / "cc2"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    rows = e.ref_sql(
+        "SELECT n_name FROM nation WHERE n_name || 'X' = 'NATION_0X'"
+    ).collect()
+    assert [r.n_name for r in rows] == ["NATION_0"]
