@@ -974,3 +974,36 @@ def test_feature_scalers_match_python_reference(spark):
             assert abs(loo[i] - want) <= 1e-9, (i, g)
         else:
             assert loo[i] is None
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    inner=st.sampled_from(
+        ["SUM(id)", "AVG(id)", "COUNT(*)", "MIN(id)", "MAX(id)"]
+    ),
+    wrap=st.sampled_from(
+        [
+            "round({a}, 2)",
+            "CAST({a} AS BIGINT)",
+            "{a} + 1",
+            "{a} * 2 - 1",
+            "CAST(round({a}, 0) AS BIGINT)",
+        ]
+    ),
+    grouped=st.booleans(),
+)
+def test_refsql_agg_wrapping_exprs_match_spark_sql(spark, inner, wrap, grouped):
+    """Round-10: expressions wrapping aggregates route to the aggregate
+    list and must match Spark SQL compiling the identical text."""
+    eng = _fuzz_engine(spark)
+    item = wrap.format(a=inner)
+    group = " GROUP BY flag" if grouped else ""
+    head = "flag, " if grouped else ""
+    got_df = eng.ref_sql(f"SELECT {head}{item} AS a FROM t{group}")
+    want_df = spark.sql(f"SELECT {head}{item} AS a FROM fuzz_t{group}")
+
+    def key(rows):
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    assert key(got_df.collect()) == key(want_df.collect()), item
