@@ -91,8 +91,12 @@ PRIORITY: list[str] = [
     "pivot_status_by_priority",
     "window_ntile_quartiles",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # the remaining r6-green block (4 rounds stale at r10) MUST lead the
-    # r11 window:
+    # first the two late round-10 additions (they debut in r11 with
+    # first-ever driver rows):
+    "corpus_doc_length_histogram",
+    "events_peak_hour_by_type",
+    # then the remaining r6-green block (4 rounds stale at r10) MUST lead
+    # the r11 window:
     "window_running_revenue",
     "rollup_status_priority",
     "q7_nation_trade_volume",

@@ -3636,3 +3636,41 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.loo_target_encode(ev, "event_type", "value").select(
         "event_id", "event_type", "encoded"
     )
+
+
+@query(
+    "corpus_doc_length_histogram",
+    f"""
+    WITH t AS (SELECT source,
+                      CAST(len({_SQL_TOKS.format(t='text')}) AS INT) AS n
+               FROM documents)
+    SELECT source,
+           CAST(least(CAST(floor(n / 32) AS INT), 15) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n) AS INT) AS min_tokens,
+           CAST(MAX(n) AS INT) AS max_tokens
+    FROM t
+    GROUP BY source, least(CAST(floor(n / 32) AS INT), 15)
+    """,
+)
+def corpus_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution audit (round 10) — the pre-training
+    report every corpus pipeline runs before packing: per source, a
+    fixed-width histogram of whitespace token counts (32-token buckets,
+    top bucket open-ended) with per-bucket min/max. Plain floor/least
+    bucketing (portable arithmetic — no engine-specific width_bucket),
+    so the oracle replays the exact bucket math; all outputs integer.
+    At 100 TB: one narrow map (token count) + one partial-aggregated
+    groupBy bounded by sources x 16 buckets."""
+    docs = load(spark, sf_dir, "documents")
+    n = text_ops.token_count("text").cast("int")
+    bucket = F.least(F.floor(n / 32).cast("int"), F.lit(15)).cast("int")
+    return (
+        docs.select("source", n.alias("n"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n").cast("int").alias("min_tokens"),
+            F.max("n").cast("int").alias("max_tokens"),
+        )
+    )

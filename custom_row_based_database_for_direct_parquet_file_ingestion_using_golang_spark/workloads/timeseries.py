@@ -666,3 +666,36 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_peak_hour_by_type",
+    """
+    WITH h AS (SELECT event_type, hour(ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM events GROUP BY event_type, hour(ts)),
+    r AS (SELECT event_type, hr, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY cnt DESC, hr) AS rn
+          FROM h)
+    SELECT event_type, hr, cnt FROM r WHERE rn = 1
+    """,
+)
+def events_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak traffic hour per event type (round 10) — the capacity-planning
+    report: hourly counts, then rank-1 per type with the (cnt DESC, hr)
+    tiebreak making the pick total. Runs through the DIALECT (CTE +
+    window + filter); DuckDB runs the IDENTICAL text. One shuffle for the
+    hourly aggregate (bounded by types x 24) + one for the tiny window."""
+    from .core import _ref_select
+
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH h AS (SELECT event_type, HOUR(ts) AS hr, COUNT(*) AS cnt "
+        "FROM events GROUP BY event_type, HOUR(ts)), "
+        "r AS (SELECT event_type, hr, cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY cnt DESC, hr) AS rn FROM h) "
+        "SELECT event_type, hr, cnt FROM r WHERE rn = 1",
+    )
