@@ -522,3 +522,98 @@ def test_values_and_cast_shorthand_match_duckdb_fuzz(spark, tmp_path):
         got = [tuple(r) for r in e.ref_sql(sql).collect()]
         want = [tuple(r) for r in con.execute(sql).fetchall()]
         assert got == want, f"trial {trial}: {sql!r}: {got} != {want}"
+
+
+def test_random_select_grammar_matches_duckdb_fuzz(spark, sf_dir):
+    """Round-10: the random-grammar differential sweep that found the
+    aggregate-expression routing bugs, institutionalized. Random SELECTs
+    over projections/casts/WHERE/aggregates/HAVING run through the
+    dialect and through DuckDB on the same parquet; results must agree
+    (double::BIGINT casts excluded — Spark truncates, DuckDB rounds,
+    a documented engine-semantics difference, DIALECT.md)."""
+    import math
+
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _ref_select,
+    )
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    grng = random.Random(987654)
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    conf = {
+        "customer": ("c_mktsegment", "c_acctbal", "c_custkey"),
+        "orders": ("o_orderstatus", "o_totalprice", "o_custkey"),
+        "lineitem": ("l_returnflag", "l_quantity", "l_orderkey"),
+    }
+    for trial in range(40):
+        t = grng.choice(list(conf))
+        g, v, k = conf[t]
+        if grng.random() < 0.5:
+            # aggregate grammar (incl. wrapped aggregates + HAVING)
+            aggs = []
+            for j in range(grng.randint(1, 3)):
+                kind = grng.choice(
+                    ["count", "sumf", "avg", "minmax", "spread"]
+                )
+                if kind == "count":
+                    aggs.append(f"COUNT(*) AS a{j}")
+                elif kind == "sumf":
+                    aggs.append(
+                        f"CAST(SUM(floor({v})::BIGINT) AS BIGINT) AS a{j}"
+                    )
+                elif kind == "avg":
+                    aggs.append(f"round(AVG({v}), 2) AS a{j}")
+                elif kind == "minmax":
+                    aggs.append(f"{grng.choice(['MIN', 'MAX'])}({v}) AS a{j}")
+                else:
+                    aggs.append(
+                        f"CAST(floor(MAX({v})) - floor(MIN({v})) AS BIGINT)"
+                        f" AS a{j}"
+                    )
+            sql = f"SELECT {g}, " + ", ".join(aggs) + f" FROM {t}"
+            if grng.random() < 0.5:
+                sql += f" WHERE {k} > {grng.randint(0, 300)}"
+            sql += f" GROUP BY {g}"
+            if grng.random() < 0.4:
+                sql += " HAVING COUNT(*) > 2"
+        else:
+            # projection/filter grammar
+            items = []
+            for j in range(grng.randint(1, 3)):
+                c = grng.choice([v, k])
+                items.append(
+                    grng.choice(
+                        [f"{c} AS p{j}", f"({c} + {grng.randint(1, 9)}) * 2 AS p{j}", f"{g} AS p{j}"]
+                    )
+                )
+            sql = f"SELECT {', '.join(items)} FROM {t}"
+            pred = grng.choice(
+                [
+                    f"{k} > {grng.randint(0, 2000)}",
+                    f"{k} BETWEEN {grng.randint(0, 100)} AND {grng.randint(500, 4000)}",
+                    f"NOT ({k} < {grng.randint(0, 500)} OR {k} > {grng.randint(2000, 5000)})",
+                    f"{k} IN ({grng.randint(0, 40)}, {grng.randint(41, 99)})",
+                ]
+            )
+            sql += f" WHERE {pred}"
+        sdf = _ref_select(spark, sf_dir, sql)
+        got = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+        res = con.execute(sql)
+        want = canon(res.fetchall(), [d[0] for d in res.description])
+        assert got == want, f"trial {trial}: {sql!r}"
