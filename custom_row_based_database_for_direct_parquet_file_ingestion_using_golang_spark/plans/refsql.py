@@ -3892,6 +3892,21 @@ class RefSQL:
 
     def _create(self, cur: _Cursor):
         cur.expect_kw("create")
+        or_replace = False
+        if cur.peek_kw() == "or":
+            # Round-10: ``CREATE OR REPLACE TABLE`` (plain and CTAS) —
+            # the idempotent-script ergonomic; drops an existing table of
+            # the same name first (copy-on-write storage: the old
+            # snapshot dirs are gone, this is a full replace, not a
+            # versioned swap).
+            cur.next()
+            cur.expect_kw("replace")
+            if cur.peek_kw() != "table":
+                raise ParseError(
+                    "OR REPLACE applies to CREATE TABLE (views and "
+                    "indexes: DROP then CREATE)"
+                )
+            or_replace = True
         if cur.peek_kw() == "materialized":
             # Dialect extension: ``CREATE MATERIALIZED VIEW mv AS SELECT
             # <aggs> FROM t [WHERE ...] [GROUP BY ...]`` — incrementally
@@ -4005,6 +4020,11 @@ class RefSQL:
                     raise ParseError(
                         f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
                     )
+                if or_replace and name in self.engine.show_tables():
+                    # materialize BEFORE dropping: the SELECT may read
+                    # the table being replaced
+                    df = df.localCheckpoint()
+                    self.engine.drop_table(name)
                 self.engine.create_table_from(name, df, partition_by=part)
                 return None
             # fall through: CREATE TABLE t PARTITIONED BY (...) (cols)
@@ -4039,6 +4059,8 @@ class RefSQL:
                 raise ParseError(
                     f"PARTITIONED BY column(s) {missing} not in the table"
                 )
+        if or_replace and table in self.engine.show_tables():
+            self.engine.drop_table(table)
         self.engine.create_table(table, cols, partition_by=part)
         return None
 

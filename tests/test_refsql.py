@@ -2931,3 +2931,26 @@ def test_concat_operator_in_where(spark, tmp_path, sf_dir):
         "SELECT n_name FROM nation WHERE n_name || 'X' = 'NATION_0X'"
     ).collect()
     assert [r.n_name for r in rows] == ["NATION_0"]
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """Round-10: CREATE OR REPLACE TABLE — plain and CTAS (the CTAS may
+    read the table it replaces; the result materializes before the
+    drop)."""
+    e = Engine(spark, str(tmp_path / "corp"))
+    e.ref_sql("CREATE TABLE t (a INT, b TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    e.ref_sql("CREATE OR REPLACE TABLE t (a INT)")
+    assert e.table("t").columns == ["a"]
+    assert e.table("t").count() == 0
+    e.ref_sql("INSERT INTO t VALUES (5)")
+    e.ref_sql("INSERT INTO t VALUES (6)")
+    # self-referencing CTAS replace
+    e.ref_sql("CREATE OR REPLACE TABLE t AS SELECT a + 10 AS a FROM t")
+    assert sorted(r.a for r in e.table("t").collect()) == [15, 16]
+    # plain CREATE still refuses to clobber
+    with pytest.raises(Exception):
+        e.ref_sql("CREATE TABLE t (x INT)")
+    # OR REPLACE on non-table objects raises a clear error
+    with pytest.raises(ParseError, match="OR REPLACE applies"):
+        e.ref_sql("CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT 1 AS x")
