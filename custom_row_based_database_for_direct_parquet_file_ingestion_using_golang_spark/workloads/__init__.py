@@ -18,85 +18,31 @@ from . import sketches  # noqa: F401, E402
 
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
-# each round, strictly oldest-evidence-first. Rotation policy (formalized
-# round-10, per the round-9 verdict): with 232 workloads over a 50-slot
-# window the minimum rotation period is 232/50 = 4.6 rounds, so the
-# BINDING rule is "no entry's newest driver row more than 4 rounds stale,
+# each round, strictly oldest-evidence-first. Rotation policy (restated
+# round-11, per the round-10 verdict): with 240 workloads over a 50-slot
+# window the minimum rotation period is 240/50 = 4.8 rounds, so the
+# BINDING rule is "no entry's newest driver row more than 5 rounds stale,
 # oldest-first" (new-in-round entries exempt — they debut in-window or as
-# next-round leads below the boundary). Round-10 curation: (0) new-in-
-# round-10 entries are inserted at the top as they land, displacing the
-# r6-green fillers at the window tail; (1) the 13 late-round-9 additions
-# that have NEVER been driver-checked; (2) the refsql_named_window re-seat
-# (round-9's one red — HUGEINT/decimal128 oracle typing, fixed round-10);
-# (3) the 22 r4-green entries (6 rounds stale, the oldest evidence in the
-# registry); (4) r6-green fillers (4 rounds stale). Below the boundary:
-# the remaining r6-green block leads r11, then the former r8 window
-# (r8-green), then the round-9 window entries (r9-green, freshest). Every
-# name must exist in QUERIES; ordered_queries() raises otherwise so a
-# rename can't silently drop an entry from the gate window.
+# next-round leads below the boundary). Round-11 curation: (0) new-in-
+# round-11 entries are inserted at the top as they land, displacing the
+# r7-green fillers at the window tail; (1) the two late-round-10 additions
+# that have NEVER been driver-checked; (2) the 39 r6-green entries
+# (5 rounds stale — at the policy limit, must all be checked this round);
+# (3) r7-green fillers (4 rounds stale) — scan_full_table/filter_compare
+# first (§2-core rows the r10 rotation accidentally dropped from the
+# gate; see the round-10 verdict). Below the boundary: the remaining
+# r7-green block (restored round-11 — the r10 rotate commit dropped it
+# from PRIORITY entirely) leads r12, then the former r8 window
+# (r8-green), then the round-9 window (r9-green), then the round-10
+# window (r10-green, freshest). Every name must exist in QUERIES;
+# ordered_queries() raises otherwise, and tests/test_oracle_parity.py
+# pins set(PRIORITY) == set(QUERIES) so a curation edit can never drop
+# an entry from the rotation again.
 PRIORITY: list[str] = [
-    # (0) new in round 10.
-    "refsql_fromless_recursive_anchor",
-    "ann_multiassign_top10",
-    "stream_temporal_enrich_buffered",
-    "refsql_values_dim_join",
-    "refsql_agg_expressions",
-    "refsql_typed_literal_range",
-    # (1) late round-9 additions — first-ever driver checks.
-    "refsql_rolling_time_window",
-    "ann_batch_queries",
-    "storage_column_stats",
-    "features_quantile_rank",
-    "stream_temporal_enrich",
-    "corpus_chunk_dedup_rate",
-    "events_user_lifetime",
-    "events_gini_concentration",
-    "features_target_encode_loo",
-    "events_hourly_anomaly_zscore",
-    "corpus_pack_fill_stats",
-    "events_dau_wau_stickiness",
-    "refsql_union_by_name",
-    # (2) round-9's one red, fixed round-10 (CAST ... AS BIGINT both sides).
-    "refsql_named_window",
-    # (3) r4-green — 6 rounds stale, oldest evidence in the registry.
-    "text_token_stats",
-    "text_type_token_ratio",
-    "stream_session_windows",
-    "stream_sliding_window",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_excess_volume_suppliers",
-    "q21_sole_late_suppliers",
-    "agg_count_distinct",
-    "agg_group_having",
-    "agg_percentiles",
-    "asof_click_to_purchase",
-    "contamination_eval_train_overlap",
-    "corpus_line_dedup",
-    "corpus_top_bigrams",
-    "dedup_exact_groups",
-    "join_revenue_per_nation",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "refsql_group_having_order",
-    "stream_dedup_within_watermark",
-    # (4) r6-green fillers (4 rounds stale).
-    "range_join_follow_events",
-    "merge_upsert_orders",
-    "tfidf_top3_terms",
-    "events_sessionize",
-    "events_value_percentiles",
-    "window_lag_delta",
-    "pivot_status_by_priority",
-    "window_ntile_quartiles",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the two late round-10 additions (they debut in r11 with
-    # first-ever driver rows):
+    # (1) late round-10 additions — first-ever driver checks.
     "corpus_doc_length_histogram",
     "events_peak_hour_by_type",
-    # then the remaining r6-green block (4 rounds stale at r10) MUST lead
-    # the r11 window:
+    # (2) r6-green — 5 rounds stale, oldest evidence in the registry.
     "window_running_revenue",
     "rollup_status_priority",
     "q7_nation_trade_volume",
@@ -136,8 +82,62 @@ PRIORITY: list[str] = [
     "multimodal_audio_spectrum",
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
+    # (3) r7-green fillers (4 rounds stale) — §2-core scan/filter first.
     "ann_quantized_top10",
-    # former r8 window (r8-green, 2 rounds stale at r10) — fills r11.
+    "scan_full_table",
+    "filter_compare",
+    "refsql_join_customer_nation",
+    "refsql_left_join_counts",
+    "refsql_ctas_insert_select",
+    "refsql_window_topk",
+    "refsql_in_subquery",
+    "refsql_q1_expression_aggregates",
+    # -- ~50-slot window boundary (50 entries above this line). Below:
+    # first the remaining r7-green block (4 rounds stale at r11; restored
+    # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
+    # lead the r12 window:
+    "refsql_derived_table",
+    "refsql_group_by_all_ordinals",
+    "refsql_group_by_expression",
+    "refsql_window_frame",
+    "refsql_range_frame",
+    "refsql_q3_shipping",
+    "profile_orders",
+    "histogram_totalprice",
+    "corr_lineitem",
+    "contamination_bloom_prefilter",
+    "bloom_decontaminate_train",
+    "dedup_winnow_top15",
+    "dedup_ngram_jaccard_top20",
+    "dedup_duplicate_clusters",
+    "graph_pagerank_knn",
+    "multimodal_bmp_decode",
+    "multimodal_video_neardup",
+    "multimodal_audio_neardup",
+    "multimodal_phash_neardup",
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    "multimodal_avi_frame_sample",
+    "dedup_embedding_neardup",
+    "embedding_quantize_int8",
+    "text_html_strip",
+    "text_char_lm_quality",
+    "corpus_chunk_sliding",
+    "classifier_hashed_nb_langid",
+    "stream_bloom_drop_denied",
+    "refsql_merge_upsert",
+    "timetravel_version_as_of",
+    "events_activity_islands",
+    "jsonl_roundtrip_ingest",
+    "mv_incremental_refresh",
+    "corpus_pack_split_spans",
+    "corpus_temperature_mix",
+    "orc_roundtrip_ingest",
+    "ts_gapfill_locf",
+    "ts_linear_interpolate",
+    "ts_ohlc_daily",
+    # former r8 window (r8-green, 3 rounds stale at r11) — fills r12.
     "refsql_window_value_functions",
     "refsql_merge_source_delete",
     "skew_salted_join",
@@ -188,7 +188,7 @@ PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "similar_pairs_top15",
     "weak_typing_filter",
-    # round-9 window entries (r9-green, freshest) — r12 material.
+    # round-9 window entries (r9-green, 2 rounds stale at r11) — r13 material.
     "refsql_correlated_scalar",
     "refsql_in_or_membership",
     "stream_session_hll_users",
@@ -238,6 +238,57 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "text_quality_scores",
     "text_repetition_ratio",
+    # round-10 window entries (r10-green, freshest) — r13/r14 material.
+    "refsql_fromless_recursive_anchor",
+    "ann_multiassign_top10",
+    "stream_temporal_enrich_buffered",
+    "refsql_values_dim_join",
+    "refsql_agg_expressions",
+    "refsql_typed_literal_range",
+    "refsql_rolling_time_window",
+    "ann_batch_queries",
+    "storage_column_stats",
+    "features_quantile_rank",
+    "stream_temporal_enrich",
+    "corpus_chunk_dedup_rate",
+    "events_user_lifetime",
+    "events_gini_concentration",
+    "features_target_encode_loo",
+    "events_hourly_anomaly_zscore",
+    "corpus_pack_fill_stats",
+    "events_dau_wau_stickiness",
+    "refsql_union_by_name",
+    "refsql_named_window",
+    "text_token_stats",
+    "text_type_token_ratio",
+    "stream_session_windows",
+    "stream_sliding_window",
+    "q16_supplier_part_counts",
+    "q19_disjunctive_revenue",
+    "q20_excess_volume_suppliers",
+    "q21_sole_late_suppliers",
+    "agg_count_distinct",
+    "agg_group_having",
+    "agg_percentiles",
+    "asof_click_to_purchase",
+    "contamination_eval_train_overlap",
+    "corpus_line_dedup",
+    "corpus_top_bigrams",
+    "dedup_exact_groups",
+    "join_revenue_per_nation",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "refsql_group_having_order",
+    "stream_dedup_within_watermark",
+    "range_join_follow_events",
+    "merge_upsert_orders",
+    "tfidf_top3_terms",
+    "events_sessionize",
+    "events_value_percentiles",
+    "window_lag_delta",
+    "pivot_status_by_priority",
+    "window_ntile_quartiles",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821

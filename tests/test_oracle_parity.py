@@ -172,3 +172,30 @@ def test_priority_window_names_registered():
     ordered = ordered_queries()
     assert list(ordered)[: len(PRIORITY)] == PRIORITY
     assert set(ordered) == set(workload.QUERIES)
+
+
+def test_priority_covers_entire_registry():
+    """set(PRIORITY) == set(QUERIES), both directions (round-10 verdict #1).
+
+    The r10 rotation commit dropped a 49-entry r7-evidence block from
+    PRIORITY entirely — those workloads became unreachable by the driver's
+    50-slot gate window forever, because only PRIORITY order is sampled.
+    The subset check above cannot catch an *omission*; this equality pins
+    every registered workload into the rotation so a hand-curated edit can
+    never silently retire an entry again. A duplicate-name check rides
+    along: a duplicate would shift the window boundary off by one.
+    """
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        PRIORITY,
+    )
+
+    assert len(PRIORITY) == len(set(PRIORITY)), sorted(
+        n for n in set(PRIORITY) if PRIORITY.count(n) > 1
+    )
+    missing_from_priority = set(workload.QUERIES) - set(PRIORITY)
+    assert not missing_from_priority, (
+        f"{len(missing_from_priority)} registered workloads are absent from "
+        f"PRIORITY and can never be driver-checked: "
+        f"{sorted(missing_from_priority)}"
+    )
+    assert set(PRIORITY) == set(workload.QUERIES)
