@@ -523,6 +523,68 @@ class Engine:
         schema from the frame; one distributed write)."""
         return self._register_ingested(name, df, partition_by)
 
+    def replace_table_from(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Atomic ``CREATE OR REPLACE TABLE ... AS SELECT`` (round-11,
+        ADVICE): the new result materializes FULLY in the store's staging
+        directory before the old table is touched (``store.overwrite``'s
+        staging+swap, the same machinery UPDATE/DELETE ride), and the
+        catalog entry flips only after the swap — a failed SELECT or a
+        failed write leaves the old table intact and readable. This also
+        makes the self-referencing CTAS natural: the staging write streams
+        from the old files while they still exist, so no driver-side
+        localCheckpoint materialization is needed. REPLACE keeps drop+
+        create history semantics: snapshots die with the old definition
+        (the rule ``drop_table`` applies — a replaced table must not
+        time-travel into pre-replace data whose schema may differ)."""
+        from pyspark.sql import Observation
+
+        if name not in self.catalog:
+            return self._register_ingested(name, df, partition_by)
+        meta = TableMeta(
+            name=name,
+            columns=[
+                ColumnDef(f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+            ],
+            path=self.store.table_path(name),
+            partition_by=partition_by or [],
+        )
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        self.store.overwrite(name, df, meta.partition_by)
+        self.catalog.update_table(meta)
+        self.store.vacuum(name, keep=0)
+        return int(obs.get["rows"] or 0)
+
+    def replace_table(
+        self,
+        name: str,
+        columns: list[tuple[str, str]],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Atomic plain ``CREATE OR REPLACE TABLE`` (round-11, ADVICE):
+        validate the whole new definition BEFORE touching the existing
+        table, then swap in the new empty storage via staging — a bad
+        column spec (or a failed write) can no longer destroy both the
+        old and the new table the way drop-then-create could."""
+        cols = [ColumnDef(n, t) for n, t in columns]
+        for c in cols:
+            c.spark_type  # raises on an unparseable declared type
+        if name not in self.catalog:
+            return self.create_table(name, columns, partition_by)
+        meta = TableMeta(
+            name=name,
+            columns=cols,
+            path=self.store.table_path(name),
+            partition_by=partition_by or [],
+        )
+        empty = self.spark.createDataFrame([], meta.schema)
+        self.store.overwrite(name, empty, meta.partition_by)
+        self.catalog.update_table(meta)
+        self.store.vacuum(name, keep=0)
+
     def ingest_parquet(
         self, path: str, name: str, partition_by: list[str] | None = None
     ) -> int:

@@ -175,16 +175,36 @@ def tokenize(text: str) -> list[str]:
         toks = _expand_cast_shorthand(toks)
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
-    # the ``AS <type> )`` cast-tail position so aliases stay untouched.
+    # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
+    # round-11 (ADVICE): the bare ``AS <name> )`` shape also matches an
+    # alias that is the last item of a parenthesized subselect
+    # (``(SELECT 1 AS text)``), which the old check silently renamed.
     for i, t in enumerate(toks):
         if (
             t.lower() in ("varchar", "text")
             and 0 < i < len(toks) - 1
             and toks[i - 1].lower() == "as"
             and toks[i + 1] == ")"
+            and _closes_cast_call(toks, i + 1)
         ):
             toks[i] = "string"
     return toks
+
+
+def _closes_cast_call(toks: list[str], close_idx: int) -> bool:
+    """True iff the ')' at ``close_idx`` closes a CAST( / TRY_CAST( call:
+    walk backwards balancing parens to the matching '(' and test the
+    token immediately before it."""
+    depth = 0
+    for j in range(close_idx - 1, -1, -1):
+        t = toks[j]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            if depth == 0:
+                return j > 0 and toks[j - 1].lower() in ("cast", "try_cast")
+            depth -= 1
+    return False
 
 
 #: keywords that may precede '(' without being a function name — the
@@ -268,14 +288,38 @@ def _inline_named_windows(toks: list[str]) -> list[str]:
     window verbs. A ``WINDOW`` clause is recognized only by the full
     ``WINDOW <name> AS (`` shape, so a column named ``window`` is safe.
     References with no matching definition are left alone — the clause-
-    level resolver still raises its unknown-window error for those."""
+    level resolver still raises its unknown-window error for those.
+
+    Round-11 (ADVICE): window names are scoped PER SELECT, as standard
+    SQL requires — a paren group whose first token is SELECT/WITH opens
+    a fresh scope, so two CTEs may each define ``WINDOW w`` and a name
+    defined in one CTE never leaks into OVER references in another (or
+    into the outer query). Expression parens (function calls, grouping)
+    share the enclosing SELECT's scope, which keeps ``OVER w`` inside
+    CAST(...) working."""
+    return _inline_named_windows_scoped(toks)
+
+
+def _inline_named_windows_scoped(toks: list[str]) -> list[str]:
     defs: dict[str, list[str]] = {}
     out: list[str] = []
     i = 0
     n = len(toks)
     while i < n:
         t = toks[i]
-        if (
+        if t == "(":
+            j = _match_paren(toks, i)
+            inner = toks[i + 1 : j]
+            if inner and inner[0].lower() in ("select", "with"):
+                # A subquery / CTE body is its own window-name scope.
+                out.extend(["("] + _inline_named_windows_scoped(inner) + [")"])
+                i = j + 1
+                continue
+            # Expression parens share this scope — scan inside normally
+            # (a deeper subquery is still caught at its own '(').
+            out.append(t)
+            i += 1
+        elif (
             t.lower() == "window"
             and i + 3 < n
             and toks[i + 2].lower() == "as"
@@ -285,7 +329,9 @@ def _inline_named_windows(toks: list[str]) -> list[str]:
             while True:
                 name = _unquote(toks[i])
                 if name in defs:
-                    raise ParseError(f"duplicate WINDOW name {name!r}")
+                    raise ParseError(
+                        f"duplicate WINDOW name {name!r} in the same SELECT"
+                    )
                 i += 2  # past <name> AS; toks[i] == "("
                 depth = 1
                 i += 1
@@ -317,12 +363,19 @@ def _inline_named_windows(toks: list[str]) -> list[str]:
             i += 1
     if not defs:
         return out
+    # Rewrite OVER <name> references in THIS scope only: skip subquery
+    # groups (already processed above; an unresolved ref inside one must
+    # surface that scope's unknown-window error, not borrow an outer def).
     res: list[str] = []
     i = 0
     n = len(out)
     while i < n:
         t = out[i]
-        if (
+        if t == "(" and i + 1 < n and out[i + 1].lower() in ("select", "with"):
+            j = _match_paren(out, i)
+            res.extend(out[i : j + 1])
+            i = j + 1
+        elif (
             t.lower() == "over"
             and i + 1 < n
             and out[i + 1] != "("
@@ -334,6 +387,19 @@ def _inline_named_windows(toks: list[str]) -> list[str]:
             res.append(t)
             i += 1
     return res
+
+
+def _match_paren(toks: list[str], open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx``."""
+    depth = 0
+    for j in range(open_idx, len(toks)):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ParseError("unbalanced parentheses")
 
 
 def _is_string_lit(tok: str) -> bool:
@@ -4020,12 +4086,17 @@ class RefSQL:
                     raise ParseError(
                         f"unexpected token {cur.peek()!r} after CREATE TABLE AS"
                     )
-                if or_replace and name in self.engine.show_tables():
-                    # materialize BEFORE dropping: the SELECT may read
-                    # the table being replaced
-                    df = df.localCheckpoint()
-                    self.engine.drop_table(name)
-                self.engine.create_table_from(name, df, partition_by=part)
+                if or_replace:
+                    # Round-11 (ADVICE): atomic replace — the result
+                    # materializes in staging before the old table is
+                    # touched (engine.replace_table_from), so a failed
+                    # SELECT/write leaves the old table intact. The
+                    # staging write also reads the old files in place,
+                    # which makes the self-referencing CTAS work without
+                    # a driver-side localCheckpoint.
+                    self.engine.replace_table_from(name, df, partition_by=part)
+                else:
+                    self.engine.create_table_from(name, df, partition_by=part)
                 return None
             # fall through: CREATE TABLE t PARTITIONED BY (...) (cols)
             # isn't a form we accept — the column list comes first.
@@ -4059,9 +4130,13 @@ class RefSQL:
                 raise ParseError(
                     f"PARTITIONED BY column(s) {missing} not in the table"
                 )
-        if or_replace and table in self.engine.show_tables():
-            self.engine.drop_table(table)
-        self.engine.create_table(table, cols, partition_by=part)
+        if or_replace:
+            # Round-11 (ADVICE): validate-then-swap — a bad column spec
+            # surfacing at create time can no longer lose BOTH tables the
+            # way drop-then-create could.
+            self.engine.replace_table(table, cols, partition_by=part)
+        else:
+            self.engine.create_table(table, cols, partition_by=part)
         return None
 
 

@@ -79,6 +79,7 @@ class VectorIndexes:
         pq_k: int = 32,
         dim: int | None = None,
         n_assign: int = 1,
+        _path: str | None = None,
     ) -> None:
         """Build and register the index. ``pq_m`` (round-9) additionally
         stores residual PQ codes (``pq_m`` int codes per vector — 16
@@ -103,7 +104,7 @@ class VectorIndexes:
                     f"table {table!r} has no column {c!r} "
                     f"(columns: {df.columns})"
                 )
-        idx_path = os.path.join(self.dir, name)
+        idx_path = _path or os.path.join(self.dir, name)
         codebooks = None
         if pq_m is None:
             centroids = similarity.ivf_build(
@@ -183,6 +184,15 @@ class VectorIndexes:
             meta = self._load()
             del meta[name]
             self._save(meta)
+            # Round-11 (ADVICE): build the new index under a TEMP path and
+            # swap only on success. The old rollback restored the registry
+            # entry on failure, but create() wrote mode('overwrite') to the
+            # SAME path — a failure during/after that write left the
+            # restored registration pointing at a destroyed or partial
+            # artifact. Now the old parquet is untouched until the rebuild
+            # has fully materialized, so "still searchable" holds for real.
+            tmp_path = m["path"] + ".rebuild"
+            shutil.rmtree(tmp_path, ignore_errors=True)
             try:
                 self.create(
                     name, params["table"], params["id_col"],
@@ -191,16 +201,25 @@ class VectorIndexes:
                     train_limit=params["train_limit"], seed=params["seed"],
                     pq_m=pq_m, pq_k=pq_k,
                     n_assign=m.get("n_assign", 1),
+                    _path=tmp_path,
                 )
             except BaseException:
-                # Round-10 (advice): if the rebuild fails (base table or
-                # column dropped, table emptied), restore the previous
-                # registration instead of orphaning the index — the old
-                # parquet artifact is still on disk and still searchable.
+                # Rebuild failed (base table or column dropped, table
+                # emptied): restore the previous registration — the old
+                # parquet artifact was never touched and is still
+                # searchable — and clear the partial temp build.
+                shutil.rmtree(tmp_path, ignore_errors=True)
                 meta = self._load()
                 meta[name] = m
                 self._save(meta)
                 raise
+            # Success: swap the artifact directories and point the fresh
+            # registration at the canonical path.
+            shutil.rmtree(m["path"], ignore_errors=True)
+            os.rename(tmp_path, m["path"])
+            meta = self._load()
+            meta[name]["path"] = m["path"]
+            self._save(meta)
             return (
                 f"retrained + rebuilt {name!r} ({m['n_centroids']} lists"
                 + (f", PQ m={pq_m}" if pq_m else "")

@@ -445,3 +445,138 @@ def test_vecindex_refresh_retrain_restores_entry_on_failure(spark, tmp_path, sf_
     dim = len(e.table("embeddings").select("embedding").first()[0])
     hit = e.vindexes.search("vr", [1.0] + [0.0] * (dim - 1), k=1, n_probe=4)
     assert hit.count() == 1
+
+
+# ---- round-11 ADVICE regressions ----------------------------------------
+
+
+def test_alias_named_text_varchar_survives(spark, tmp_path, sf_dir):
+    """Round-11 advice: the VARCHAR/TEXT→STRING token rewrite matched ANY
+    ``AS <name> )`` sequence, silently renaming an alias named text/varchar
+    that closes a parenthesized subselect — the outer reference then
+    projected NULL via the missing-column-tolerant branch. Now the rewrite
+    fires only when the ')' closes a CAST(/TRY_CAST( call."""
+    e = Engine(spark, str(tmp_path / "vtx"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql("SELECT text FROM (SELECT 1 AS text) AS d").collect()
+    assert [r.text for r in got] == [1]
+    got = e.ref_sql("SELECT varchar FROM (SELECT 2 AS varchar) AS d").collect()
+    assert [r.varchar for r in got] == [2]
+    # the cast-tail rewrite itself still works
+    got = e.ref_sql(
+        "SELECT CAST(n_nationkey AS VARCHAR) AS s FROM nation "
+        "WHERE n_nationkey = 3"
+    ).collect()
+    assert got[0].s == "3"
+    got = e.ref_sql("SELECT CAST(7 AS TEXT) AS s FROM nation LIMIT 1").collect()
+    assert got[0].s == "7"
+
+
+def test_named_windows_scoped_per_select(spark, tmp_path, sf_dir):
+    """Round-11 advice: window names are per SELECT (standard SQL) — two
+    CTEs may each define WINDOW w (the statement-global collector raised
+    'duplicate WINDOW name'), and a def in one scope must not be inlined
+    into OVER references in another scope."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "nwsc"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql(
+        "WITH a AS (SELECT n_nationkey, CAST(SUM(n_nationkey) OVER w AS BIGINT) AS s "
+        "FROM nation WINDOW w AS (ORDER BY n_nationkey)), "
+        "b AS (SELECT n_nationkey, COUNT(*) OVER w AS c "
+        "FROM nation WINDOW w AS (PARTITION BY n_regionkey)) "
+        "SELECT a.n_nationkey AS k, a.s AS s, b.c AS c FROM a "
+        "JOIN b ON a.n_nationkey = b.n_nationkey "
+        "ORDER BY k LIMIT 3"
+    ).collect()
+    assert [r.k for r in got] == [0, 1, 2]
+    assert [r.s for r in got] == [0, 1, 3]  # running sum of 0,1,2
+    assert all(r.c >= 1 for r in got)
+    # a def inside a CTE must NOT leak into the outer query's OVER refs
+    with pytest.raises(Exception, match="(?i)window"):
+        e.ref_sql(
+            "WITH a AS (SELECT n_nationkey FROM nation "
+            "WINDOW w AS (ORDER BY n_nationkey)) "
+            "SELECT SUM(n_nationkey) OVER w AS s FROM a"
+        )
+    # duplicate names within ONE select still raise
+    with pytest.raises(ParseError, match="duplicate WINDOW"):
+        e.ref_sql(
+            "SELECT COUNT(*) OVER w AS c FROM nation "
+            "WINDOW w AS (ORDER BY n_nationkey), w AS (PARTITION BY n_regionkey)"
+        )
+
+
+def test_vecindex_retrain_failure_leaves_artifact_searchable(
+    spark, tmp_path, sf_dir, monkeypatch
+):
+    """Round-11 advice: a retrain that fails DURING the rebuild write must
+    leave the OLD index artifact untouched (build under a temp path, swap
+    on success) — the restored registration previously pointed at a
+    destroyed/partial parquet directory."""
+    import os
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        similarity,
+    )
+
+    e = Engine(spark, str(tmp_path / "vrs"))
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "embeddings")
+    e.ref_sql(
+        "CREATE VECTOR INDEX vs ON embeddings (embedding) ID vec_id CENTROIDS 4"
+    )
+    dim = len(e.table("embeddings").select("embedding").first()[0])
+    q = [1.0] + [0.0] * (dim - 1)
+    before = {r.vec_id for r in e.vindexes.search("vs", q, k=3, n_probe=4).collect()}
+    idx_path = e.vindexes._get("vs")["path"]
+
+    def boom(df, id_col, vec_col, path, **kw):
+        # simulate a failure mid-write: partial garbage lands at the
+        # TARGET path the builder was given, then the job dies
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "part-junk"), "w") as f:
+            f.write("partial")
+        raise RuntimeError("simulated executor loss during index write")
+
+    monkeypatch.setattr(similarity, "ivf_build", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        e.vindexes.refresh("vs", retrain=True)
+    monkeypatch.undo()
+    # registration restored AND the artifact is the old, intact one
+    assert e.ref_sql("SHOW VECTOR INDEXES") == ["vs"]
+    assert not os.path.exists(idx_path + ".rebuild")  # temp build cleaned
+    after = {r.vec_id for r in e.vindexes.search("vs", q, k=3, n_probe=4).collect()}
+    assert after == before
+    # and a successful retrain still swaps cleanly
+    msg = e.vindexes.refresh("vs", retrain=True)
+    assert "retrained" in msg
+    assert not os.path.exists(idx_path + ".rebuild")
+    assert e.vindexes.search("vs", q, k=3, n_probe=4).count() == 3
+
+
+def test_create_or_replace_is_atomic(spark, tmp_path, sf_dir):
+    """Round-11 advice: CREATE OR REPLACE TABLE validated nothing before
+    dropping — a definition that failed at create time lost BOTH tables.
+    Now the new definition validates (plain) / fully materializes in
+    staging (CTAS) before the old table is touched."""
+    e = Engine(spark, str(tmp_path / "corat"))
+    e.ref_sql("CREATE TABLE t (a INT, b TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    # plain replace with a bad column type: old table intact
+    with pytest.raises(Exception):
+        e.ref_sql("CREATE OR REPLACE TABLE t (a NOTATYPE)")
+    assert sorted(r.a for r in e.table("t").collect()) == [1, 2]
+    # CTAS replace whose SELECT fails at EXECUTION (ANSI divide-by-zero
+    # surfaces mid-write, after planning): old table intact
+    with pytest.raises(Exception):
+        e.ref_sql(
+            "CREATE OR REPLACE TABLE t AS SELECT a / 0 AS a FROM t"
+        )
+    assert sorted(r.a for r in e.table("t").collect()) == [1, 2]
+    assert e.table("t").columns == ["a", "b"]
+    # and the happy paths still replace (schema change + self-reference)
+    e.ref_sql("CREATE OR REPLACE TABLE t AS SELECT a + 10 AS a FROM t")
+    assert sorted(r.a for r in e.table("t").collect()) == [11, 12]
