@@ -617,3 +617,60 @@ def test_random_select_grammar_matches_duckdb_fuzz(spark, sf_dir):
         res = con.execute(sql)
         want = canon(res.fetchall(), [d[0] for d in res.description])
         assert got == want, f"trial {trial}: {sql!r}"
+
+    # Round-11 (verdict #7): the named-WINDOW production — the r10
+    # _inline_named_windows token pre-pass routes OVER <name> through
+    # every expression context; regressions in it (or in its round-11
+    # per-SELECT scoping) must surface here as differential failures,
+    # not as workload reds. Unique ORDER BY keys keep window results
+    # deterministic cross-engine.
+    winconf = {
+        "customer": ("c_mktsegment", "c_acctbal", "c_custkey"),
+        "orders": ("o_orderstatus", "o_totalprice", "o_orderkey"),
+    }
+    for trial in range(12):
+        t = grng.choice(list(winconf))
+        g, v, k = winconf[t]
+        frame = grng.choice(
+            ["", " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+        )
+        if grng.random() < 0.3:
+            # the same window NAME in two SELECT scopes (CTE + outer) —
+            # the per-SELECT scoping case
+            sql = (
+                f"WITH a AS (SELECT {k} AS pk, ROW_NUMBER() OVER w AS r "
+                f"FROM {t} WHERE {k} < {grng.randint(200, 900)} "
+                f"WINDOW w AS (ORDER BY {k})) "
+                f"SELECT pk, r, CAST(SUM(r) OVER w AS BIGINT) AS s "
+                f"FROM a WINDOW w AS (ORDER BY pk{frame})"
+            )
+        else:
+            # w = frameless (ranking functions reject frames, by design);
+            # ws = aggregate window, optionally framed
+            items = ["ROW_NUMBER() OVER w AS r"]
+            if grng.random() < 0.7:
+                # OVER <name> nested inside CAST — the value-expr path
+                # the token pre-pass exists for
+                items.append(
+                    f"CAST(SUM(floor({v})::BIGINT) OVER ws AS BIGINT) AS s"
+                )
+                if grng.random() < 0.5:
+                    items.append(
+                        f"{grng.choice(['RANK()', 'DENSE_RANK()'])} OVER w AS rk"
+                    )
+                wdefs = (
+                    f"WINDOW w AS (PARTITION BY {g} ORDER BY {k}), "
+                    f"ws AS (PARTITION BY {g} ORDER BY {k}{frame})"
+                )
+            else:
+                wdefs = f"WINDOW w AS (PARTITION BY {g} ORDER BY {k})"
+            sql = f"SELECT {k} AS pk, " + ", ".join(items) + f" FROM {t}"
+            if grng.random() < 0.5:
+                sql += f" WHERE {k} > {grng.randint(0, 400)}"
+            sql += f" {wdefs}"
+        sdf = _ref_select(spark, sf_dir, sql)
+        got = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+        res = con.execute(sql)
+        want = canon(res.fetchall(), [d[0] for d in res.description])
+        assert got == want, f"window trial {trial}: {sql!r}"
