@@ -39,6 +39,8 @@ from . import sketches  # noqa: F401, E402
 # pins set(PRIORITY) == set(QUERIES) so a curation edit can never drop
 # an entry from the rotation again.
 PRIORITY: list[str] = [
+    # (0) new in round 11.
+    "ann_multiassign_recall",
     # (1) late round-10 additions — first-ever driver checks.
     "corpus_doc_length_histogram",
     "events_peak_hour_by_type",
@@ -91,11 +93,11 @@ PRIORITY: list[str] = [
     "refsql_ctas_insert_select",
     "refsql_window_topk",
     "refsql_in_subquery",
-    "refsql_q1_expression_aggregates",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # first the remaining r7-green block (4 rounds stale at r11; restored
     # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
     # lead the r12 window:
+    "refsql_q1_expression_aggregates",
     "refsql_derived_table",
     "refsql_group_by_all_ordinals",
     "refsql_group_by_expression",

@@ -3518,6 +3518,56 @@ def ann_multiassign_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_multiassign_recall")  # rows-only: partial probe is approximate
+def ann_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH-side value of IVF multi-assignment (round-11, verdict #6):
+    8 queries at PARTIAL probe (6 of 16 lists) over a 3x-spilled corpus,
+    each compared IN-PLAN against its exact brute-force top-10 (broadcast
+    cross-score + per-query window top-k — the independent truth, not the
+    IVF operator at full probe). Output: one row per query with its
+    recall@10, so the recall gain the r10 A/B measured (BASELINE.md:
+    single-assignment ~0.61 mean at probe=6 vs >=0.9 spilled) is driver-
+    visible, not pytest-only. Rows-only by design: the probed candidate
+    set is a property of the trained quantizer, not SQL-expressible.
+    pytest pins mean recall >= 0.9 and dominance over single-assignment
+    (test_operators.test_multiassign_recall_workload_floor)."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    approx = similarity.ivf_topk_batch(
+        emb, "vec_id", "embedding", queries, "qid", "qv",
+        k=10, n_centroids=16, n_probe=6, n_assign=3,
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "qid", "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(
+        approx.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
+    ).groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        queries.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.lit(10.0)).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 @query(
     "features_quantile_rank",
     """
