@@ -173,6 +173,16 @@ def tokenize(text: str) -> list[str]:
         "::" in t and t[0] not in "'\"`" for t in toks
     ):
         toks = _expand_cast_shorthand(toks)
+    # Round-11: portable function spellings — DuckDB names whose exact
+    # Spark equivalent differs only in spelling, rewritten when (and only
+    # when) the token is immediately CALLED, so a column named
+    # ``starts_with`` is untouched. Found by the r11 differential sweep:
+    # ``starts_with(s, p)`` raised AnalysisException while ``contains``/
+    # ``ends_with``-adjacent shapes worked.
+    for i, t in enumerate(toks):
+        alias = _FN_SPELLING.get(t.lower())
+        if alias and i + 1 < len(toks) and toks[i + 1] == "(":
+            toks[i] = alias
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
     # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
@@ -189,6 +199,18 @@ def tokenize(text: str) -> list[str]:
         ):
             toks[i] = "string"
     return toks
+
+
+#: DuckDB function spellings whose Spark twin is identical in signature
+#: and semantics — rewritten at tokenize time when called. Spelling-only
+#: pairs; anything with semantic drift (string_split's regex vs literal
+#: separator, floor's return type) stays out and is documented in
+#: DIALECT.md instead.
+_FN_SPELLING = {
+    "starts_with": "startswith",  # DuckDB starts_with ≡ Spark startswith
+    "ends_with": "endswith",
+    "strpos": "instr",  # 1-based first occurrence, 0 when absent — both
+}
 
 
 def _closes_cast_call(toks: list[str], close_idx: int) -> bool:
@@ -759,7 +781,7 @@ class ExprParser:
         self.cur.next()  # '('
         start = self.cur.i
         spec2, _, clauses2 = parse_select(
-            self.cur, self.weak, resolver=self.resolver
+            self.cur, self.weak, resolver=self.resolver, subquery=True
         )
         if self.cur.next() != ")":
             raise ParseError("expected ')' after scalar subquery")
@@ -1212,12 +1234,18 @@ def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
 
 
 def parse_select(
-    cur: _Cursor, weak_typing: bool = False, resolver=None
+    cur: _Cursor, weak_typing: bool = False, resolver=None,
+    subquery: bool = False,
 ) -> tuple[SelectSpec, Query | None, dict]:
     """Parse SELECT ... and return (spec, clauses) — assembly happens in
     execute_select where the DataFrame is available. ``resolver`` (optional)
     executes uncorrelated scalar subqueries to literals (RefSQL supplies
-    it; contexts without an engine parse without scalar-subquery support)."""
+    it; contexts without an engine parse without scalar-subquery support).
+    ``subquery=True`` (round-11, found by differential sweep) relaxes the
+    dialect's expression-alias requirement: inside a SCALAR subquery the
+    output name is never observable (the value is spliced), and standard
+    SQL allows ``(SELECT round(AVG(x), 2) FROM t)`` unaliased — such items
+    get an internal auto-alias instead of raising."""
     cur.expect_kw("select")
     spec = SelectSpec(table="")
     if cur.peek_kw() == "distinct":
@@ -1272,7 +1300,9 @@ def parse_select(
                     "scalar subqueries are not supported in this context"
                 )
             cur.next()
-            spec2, _, clauses2 = parse_select(cur, weak_typing, resolver)
+            spec2, _, clauses2 = parse_select(
+                cur, weak_typing, resolver, subquery=True
+            )
             if cur.next() != ")":
                 raise ParseError("expected ')' after scalar subquery")
             try:
@@ -1345,11 +1375,14 @@ def parse_select(
                     "COUNT/SUM/AVG/MIN/MAX)"
                 )
             if cur.peek_kw() != "as":
-                raise ParseError(
-                    f"statistical aggregate {low}(...) needs AS <alias>"
-                )
-            cur.next()
-            alias = _unquote(cur.next())
+                if not subquery:
+                    raise ParseError(
+                        f"statistical aggregate {low}(...) needs AS <alias>"
+                    )
+                alias = "__sq_expr"
+            else:
+                cur.next()
+                alias = _unquote(cur.next())
             spec.aggregates.append(("_expr", text, alias))
         elif (low in AGG_FUNCS or low in WINDOW_FUNCS) and cur.peek() == "(":
             cur.next()  # (
@@ -1518,9 +1551,11 @@ def parse_select(
                     # the column by its text, same as DuckDB.
                     float(name)
                 except ValueError:
-                    raise ParseError(
-                        f"expression projection '{name}' needs AS <alias>"
-                    )
+                    if not subquery:
+                        raise ParseError(
+                            f"expression projection '{name}' needs AS <alias>"
+                        )
+                    alias = "__sq_expr"
             if _contains_agg_call(buf):
                 # Round-10: an expression WRAPPING an aggregate —
                 # ``round(AVG(x), 2) AS a``, ``CAST(SUM(x) AS BIGINT)``,

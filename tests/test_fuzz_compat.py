@@ -674,3 +674,135 @@ def test_random_select_grammar_matches_duckdb_fuzz(spark, sf_dir):
         res = con.execute(sql)
         want = canon(res.fetchall(), [d[0] for d in res.description])
         assert got == want, f"window trial {trial}: {sql!r}"
+
+
+def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
+    """Round-11: the compositional sweep that found the unaliased-scalar-
+    subquery and starts_with gaps, institutionalized — CASE-in-aggregate,
+    COUNT(DISTINCT), scalar subqueries in WHERE arithmetic (unaliased
+    expression projections), CTE chains, ROLLUP, [NOT] IN subqueries,
+    set-op mixes, DISTINCT+OFFSET, || chains, and scalar string/date/num
+    functions (incl. the starts_with/ends_with/strpos spellings). Numbers
+    normalize as floats on both sides: Spark floor() returns BIGINT where
+    DuckDB returns DOUBLE — a documented type-level difference
+    (DIALECT.md), not a value difference."""
+    import math
+
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _ref_select,
+    )
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rng = random.Random(24681357)
+
+    def norm(v):
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, (int, float)):
+            if isinstance(v, float) and math.isnan(v):
+                return "NaN"
+            return f"{float(v):.6f}"
+        return str(v)
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+    scalar_fns = [
+        "upper({s})", "length(trim({s}))", "substr({s}, 2, 3)",
+        "replace({s}, 'A', 'z')", "starts_with({s}, 'N')",
+        "ends_with({s}, '3')", "strpos({s}, '_')", "contains({s}, 'A')",
+        "lpad({s}, 12, '.')", "reverse({s})",
+    ]
+    shapes = [
+        "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
+        "cte_chain", "rollup", "in_sub_not", "union_mix",
+        "distinct_offset", "concat_chain",
+    ]
+    for trial in range(25):
+        shape = shapes[trial % len(shapes)]
+        if shape == "scalar_fns":
+            items = [
+                f.format(s="n_name") + f" AS p{j}"
+                for j, f in enumerate(
+                    rng.sample(scalar_fns, rng.randint(2, 4))
+                )
+            ]
+            sql = f"SELECT {', '.join(items)} FROM nation"
+        elif shape == "case_in_agg":
+            thr = rng.randint(10, 40) * 100
+            sql = (
+                "SELECT o_orderstatus AS g, "
+                f"CAST(SUM(CASE WHEN o_totalprice > {thr} THEN 1 ELSE 0 END) AS BIGINT) AS hi, "
+                f"CAST(SUM(CASE WHEN o_totalprice <= {thr} THEN 1 ELSE 0 END) AS BIGINT) AS lo "
+                "FROM orders GROUP BY o_orderstatus"
+            )
+        elif shape == "count_distinct":
+            sql = (
+                "SELECT l_returnflag AS g, COUNT(DISTINCT l_orderkey) AS d, "
+                "COUNT(*) AS n, COUNT(DISTINCT l_linestatus) AS d2 "
+                f"FROM lineitem WHERE l_quantity > {rng.randint(1, 30)} "
+                "GROUP BY l_returnflag"
+            )
+        elif shape == "scalar_sub":
+            # UNALIASED aggregate-wrapping expression inside the scalar
+            # subquery — the round-11 fix
+            sql = (
+                "SELECT c_custkey FROM customer WHERE c_acctbal > "
+                "(SELECT round(AVG(c_acctbal), 2) FROM customer) * "
+                f"{rng.choice(['1.1', '0.9', '2'])} "
+                f"AND c_custkey < {rng.randint(100, 500)}"
+            )
+        elif shape == "cte_chain":
+            sql = (
+                "WITH a AS (SELECT o_custkey, o_totalprice FROM orders "
+                f"WHERE o_orderkey < {rng.randint(300, 900)}), "
+                "b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, "
+                "round(SUM(o_totalprice), 2) AS s FROM a GROUP BY o_custkey) "
+                "SELECT n, CAST(COUNT(*) AS BIGINT) AS freq, "
+                "round(MAX(s), 2) AS mx FROM b GROUP BY n"
+            )
+        elif shape == "rollup":
+            sql = (
+                "SELECT n_regionkey, n_nationkey % 3 AS m, COUNT(*) AS n "
+                "FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey % 3)"
+            )
+        elif shape == "in_sub_not":
+            sql = (
+                "SELECT n_nationkey FROM nation WHERE n_regionkey "
+                f"{rng.choice(['IN', 'NOT IN'])} "
+                "(SELECT n_regionkey FROM nation WHERE n_nationkey < "
+                f"{rng.randint(2, 9)})"
+            )
+        elif shape == "union_mix":
+            op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            sql = (
+                "SELECT n_regionkey AS x FROM nation WHERE n_nationkey < "
+                f"{rng.randint(5, 15)} {op} SELECT n_regionkey AS x "
+                f"FROM nation WHERE n_nationkey >= {rng.randint(8, 20)}"
+            )
+        elif shape == "distinct_offset":
+            sql = (
+                "SELECT DISTINCT o_orderstatus AS s, o_orderpriority AS p "
+                f"FROM orders ORDER BY s, p LIMIT {rng.randint(2, 6)} "
+                f"OFFSET {rng.randint(0, 3)}"
+            )
+        else:
+            sql = (
+                "SELECT n_name || '-' || CAST(n_regionkey AS VARCHAR) || '!' "
+                "AS tag FROM nation WHERE length(n_name || 'x') > "
+                f"{rng.randint(6, 10)}"
+            )
+        sdf = _ref_select(spark, sf_dir, sql)
+        got = canon([tuple(r) for r in sdf.collect()], sdf.columns)
+        res = con.execute(sql)
+        want = canon(res.fetchall(), [d[0] for d in res.description])
+        assert got == want, f"{shape} trial {trial}: {sql!r}"

@@ -2954,3 +2954,56 @@ def test_create_or_replace_table(spark, tmp_path):
     # OR REPLACE on non-table objects raises a clear error
     with pytest.raises(ParseError, match="OR REPLACE applies"):
         e.ref_sql("CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT 1 AS x")
+
+
+def test_function_spelling_rewrites(spark, tmp_path, sf_dir):
+    """Round-11 (sweep find): DuckDB spellings starts_with/ends_with/strpos
+    rewrite to Spark's startswith/endswith/instr when CALLED; a column
+    named starts_with is untouched."""
+    e = Engine(spark, str(tmp_path / "fsp"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql(
+        "SELECT n_name, starts_with(n_name, 'NATION_1') AS a, "
+        "ends_with(n_name, '0') AS b, strpos(n_name, '_') AS c "
+        "FROM nation WHERE n_nationkey <= 1 ORDER BY n_name"
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in got] == [(False, True, 7), (True, False, 7)]
+    # not rewritten when it's a column, not a call
+    e.ref_sql("CREATE TABLE sw (starts_with INT)")
+    e.ref_sql("INSERT INTO sw VALUES (7)")
+    assert e.ref_sql("SELECT starts_with FROM sw").collect()[0][0] == 7
+
+
+def test_scalar_subquery_unaliased_expression(spark, tmp_path, sf_dir):
+    """Round-11 (sweep find): inside a scalar subquery an expression
+    projection needs no alias (standard SQL; the output name is never
+    observable) — `(SELECT round(AVG(x), 2) FROM t)` in WHERE arithmetic
+    and statistical aggregates both parse. Top-level items still require
+    the alias."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "sqa"))
+    e.ingest_parquet(f"{sf_dir}/customer.parquet", "customer")
+    from pyspark.sql import functions as sf
+
+    n = e.ref_sql(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > "
+        "(SELECT round(AVG(c_acctbal), 2) FROM customer) * 1.5"
+    ).count()
+    avg = e.table("customer").agg(sf.avg("c_acctbal")).first()[0]
+    want = e.table("customer").filter(
+        sf.col("c_acctbal") > round(avg, 2) * 1.5
+    ).count()
+    assert n == want and n > 0
+    assert (
+        e.ref_sql(
+            "SELECT c_custkey FROM customer WHERE c_acctbal > "
+            "(SELECT stddev_pop(c_acctbal) FROM customer)"
+        ).count()
+        > 0
+    )
+    # top-level expression projections still demand the alias
+    with pytest.raises(ParseError, match="needs AS"):
+        e.ref_sql("SELECT round(AVG(c_acctbal), 2) FROM customer")
