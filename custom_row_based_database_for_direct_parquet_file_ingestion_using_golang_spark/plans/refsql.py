@@ -210,6 +210,15 @@ _FN_SPELLING = {
     "starts_with": "startswith",  # DuckDB starts_with ≡ Spark startswith
     "ends_with": "endswith",
     "strpos": "instr",  # 1-based first occurrence, 0 when absent — both
+    # DuckDB's SELECT-list unnest ≡ Spark's explode generator for the
+    # one-level array case: one output row per element, empty/NULL
+    # arrays produce no rows in both engines. Catalyst accepts a
+    # generator among ordinary projections, so the existing value-expr
+    # path plans it (one Generate node, no shuffle). Struct-unpacking
+    # and recursive unnest are not covered — Spark raises its own
+    # analysis error there. Build arrays with sequence(), not DuckDB's
+    # range() (a table function in Spark).
+    "unnest": "explode",
 }
 
 

@@ -41,6 +41,10 @@ from . import sketches  # noqa: F401, E402
 PRIORITY: list[str] = [
     # (0) new in round 11.
     "ann_multiassign_recall",
+    "ann_matryoshka_top10",
+    "ann_hard_negatives",
+    "corpus_length_bucket_batches",
+    "refsql_unnest_tokens",
     # (1) late round-10 additions — first-ever driver checks.
     "corpus_doc_length_histogram",
     "events_peak_hour_by_type",
@@ -89,14 +93,14 @@ PRIORITY: list[str] = [
     "scan_full_table",
     "filter_compare",
     "refsql_join_customer_nation",
-    "refsql_left_join_counts",
-    "refsql_ctas_insert_select",
-    "refsql_window_topk",
-    "refsql_in_subquery",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # first the remaining r7-green block (4 rounds stale at r11; restored
     # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
     # lead the r12 window:
+    "refsql_left_join_counts",
+    "refsql_ctas_insert_select",
+    "refsql_window_topk",
+    "refsql_in_subquery",
     "refsql_q1_expression_aggregates",
     "refsql_derived_table",
     "refsql_group_by_all_ordinals",

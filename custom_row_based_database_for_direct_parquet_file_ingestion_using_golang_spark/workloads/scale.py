@@ -3518,6 +3518,210 @@ def ann_multiassign_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_matryoshka_top10",
+    """
+    WITH q AS (SELECT vec_id AS qid, (embedding[1:16])::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+                                          q.qv), 6) AS score
+      FROM q JOIN embeddings e ON TRUE
+    )
+    SELECT qid, vec_id, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) <= 10
+    ORDER BY qid, score DESC, vec_id
+    """,
+)
+def ann_matryoshka_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation (round-11): score on the
+    FIRST 16 of 64 dims only — the MRL serving trade (4x less scan
+    bandwidth and 4x smaller indexes when embeddings are trained
+    nested). Truncated cosine renormalizes by construction, so this is
+    exact top-k under the truncated metric — fully SQL-expressible,
+    hash-checked against DuckDB list slicing. Truncation RECALL vs the
+    full metric is data-dependent (the synthetic isotropic fixture has
+    no MRL head structure, so no recall floor is pinned — self-hit
+    rank-1 is, in test_operators). At 100 TB the slice pushes into the
+    scan: 16 floats per row cross the wire, not 64."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "qid", "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+        .orderBy("qid", F.col("score").desc(), "vec_id")
+    )
+
+
+@query(
+    "ann_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      (embedding)::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 4),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity((e.embedding)::DOUBLE[], q.qv),
+                   6) AS score
+      FROM q JOIN embeddings e ON e.label <> q.qlabel
+    )
+    SELECT qid, vec_id, score FROM s
+    QUALIFY row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, vec_id) <= 5
+    ORDER BY qid, score DESC, vec_id
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (round-11): for each query, the top-5 most
+    SIMILAR vectors with a DIFFERENT label — the contrastive-training
+    prep step (negatives that are hard because they're close). The
+    label predicate folds into the candidate join, so at scale this is
+    the same probe-bounded shape as any ANN pass with a pushed filter,
+    never a second scan. Exact form here (broadcast cross-score) —
+    hash-checked against DuckDB's predicated cross join."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)  # includes label
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries), F.col("label") != F.col("qlabel")
+        )
+        .select(
+            "qid", "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy("qid", F.col("score").desc(), "vec_id")
+    )
+
+
+#: power-of-two length buckets for batch packing — identical CASE text on
+#: both engines (integer compares only; no log2 float knife edges).
+_SQL_LEN_BUCKET = """CASE WHEN {c} <= 16 THEN 16 WHEN {c} <= 32 THEN 32
+    WHEN {c} <= 64 THEN 64 WHEN {c} <= 128 THEN 128
+    WHEN {c} <= 256 THEN 256 WHEN {c} <= 512 THEN 512
+    WHEN {c} <= 1024 THEN 1024 ELSE 2048 END"""
+
+
+@query(
+    "corpus_length_bucket_batches",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_SQL_TOKS.format(t='text')}) AS BIGINT)
+                        AS n_toks
+               FROM documents),
+    b AS (SELECT n_toks,
+                 CAST({_SQL_LEN_BUCKET.format(c='n_toks')} AS BIGINT)
+                   AS bucket
+          FROM t)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+           CAST(SUM(bucket - n_toks) AS BIGINT) AS padding,
+           SUM(n_toks)::DOUBLE / (COUNT(*) * bucket) AS fill
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def corpus_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching prep (round-11): assign every document a
+    power-of-two token-length bucket and report per-bucket volume,
+    padding waste (bucket_top − tokens summed), and fill efficiency —
+    the standard transformer-training lever (padding-to-longest inside a
+    length bucket wastes far less compute than global padding). Integer
+    CASE bucketing (no log2 float edges); `fill` is a quotient of exact
+    integers delivered UNROUNDED — IEEE division of identical operands
+    is bit-identical cross-engine (the LOO-encoder precedent). One
+    shuffle (the groupBy); the bucket map is scan-side."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("bigint").alias("n_toks")
+    )
+    b = docs.withColumn(
+        "bucket",
+        F.expr(_SQL_LEN_BUCKET.format(c="n_toks")).cast("bigint"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("sum_toks"),
+            F.sum(F.col("bucket") - F.col("n_toks")).alias("padding"),
+            (
+                F.sum("n_toks").cast("double")
+                / (F.count(F.lit(1)) * F.first("bucket"))
+            ).alias("fill"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "refsql_unnest_tokens",
+    f"""
+    WITH x AS (SELECT doc_id, unnest({_SQL_TOKS_NORM}) AS tok
+               FROM documents WHERE doc_id < 40)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM x WHERE length(tok) >= 4
+    GROUP BY tok HAVING COUNT(*) >= 3
+    ORDER BY n DESC, tok LIMIT 25
+    """,
+)
+def refsql_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-list unnest through the dialect (round-11): token explode +
+    per-token aggregation written as plain SQL — the everyday corpus-
+    analytics shape (term frequencies over normalized tokens). The
+    dialect maps unnest to Spark's explode generator (one Generate node
+    planned inside the scan stage — rows fan out map-side, the only
+    shuffle is the groupBy). Oracle: DuckDB's native unnest on the same
+    normalization."""
+    from .core import _ref_select
+
+    return _ref_select(
+        spark,
+        sf_dir,
+        # NB: Spark SQL single-quoted literals eat one backslash level, so
+        # the regex \s must be spelled \\s in the SQL text (r10 gotcha
+        # class: '\s+' reaches the regex engine as 's+' and replaces runs
+        # of the letter s).
+        "WITH x AS (SELECT doc_id, unnest(split(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ' '), "
+        "'\\\\s+', ' ')), ' ')) AS tok FROM documents WHERE doc_id < 40) "
+        "SELECT tok, COUNT(*) AS n, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM x WHERE length(tok) >= 4 "
+        "GROUP BY tok HAVING COUNT(*) >= 3 "
+        "ORDER BY n DESC, tok LIMIT 25",
+    )
+
+
 @query("ann_multiassign_recall")  # rows-only: partial probe is approximate
 def ann_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEARCH-side value of IVF multi-assignment (round-11, verdict #6):

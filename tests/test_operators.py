@@ -2021,3 +2021,50 @@ def test_multiassign_recall_workload_floor(spark, sf_dir):
         single.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
     ).count()
     assert mean >= n_single / 80, "spill failed to dominate single-assignment"
+
+
+def test_matryoshka_truncation_self_hit_and_shape(spark, sf_dir):
+    """Round-11: truncated-dimension (matryoshka) scoring — the self-hit
+    must stay rank 1 at score 1.0 (cosine of identical truncated vectors),
+    every query returns exactly 10 rows, and truncated scores differ from
+    full-dim scores (the truncation actually bites). No recall floor by
+    design: the synthetic isotropic fixture has no MRL head structure."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.scale import (
+        ann_matryoshka_top10,
+    )
+
+    rows = ann_matryoshka_top10(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert sorted(by_q) == [0, 1, 2, 3]
+    for qid, rs in by_q.items():
+        assert len(rs) == 10
+        assert rs[0].vec_id == qid and rs[0].score == pytest.approx(1.0)
+    # truncation bites: the 16-dim neighbor sets differ from full-dim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    full = [
+        r.vec_id
+        for r in similarity.brute_force_topk(emb, "vec_id", "embedding", q0, k=10).collect()
+    ]
+    trunc = [r.vec_id for r in by_q[0]]
+    assert trunc != full
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    """Round-11: every mined hard negative must carry a label different
+    from its query's label, and be among the closest such vectors."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.scale import (
+        ann_hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = ann_hard_negatives(spark, sf_dir).collect()
+    assert len(rows) == 20  # 4 queries x top-5
+    for r in rows:
+        assert labels[r.vec_id] != labels[r.qid]
+        assert r.vec_id != r.qid  # self always shares its own label

@@ -3007,3 +3007,25 @@ def test_scalar_subquery_unaliased_expression(spark, tmp_path, sf_dir):
     # top-level expression projections still demand the alias
     with pytest.raises(ParseError, match="needs AS"):
         e.ref_sql("SELECT round(AVG(c_acctbal), 2) FROM customer")
+
+
+def test_unnest_select_list(spark, tmp_path, sf_dir):
+    """Round-11: SELECT-list unnest maps to Spark's explode generator —
+    one row per element, empty arrays yield no rows, and the exploded
+    column composes with WHERE/GROUP BY in an outer select."""
+    e = Engine(spark, str(tmp_path / "unn"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql(
+        "SELECT n_nationkey, unnest(sequence(1, n_nationkey)) AS v "
+        "FROM nation WHERE n_nationkey BETWEEN 1 AND 3"
+    ).collect()
+    # key 1 -> [1], key 2 -> [1,2], key 3 -> [1,2,3]
+    assert sorted((r.n_nationkey, r.v) for r in got) == [
+        (1, 1), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3),
+    ]
+    # aggregation over an exploded CTE
+    n = e.ref_sql(
+        "WITH x AS (SELECT unnest(split('a b a c', ' ')) AS tok) "
+        "SELECT tok, COUNT(*) AS n FROM x GROUP BY tok ORDER BY n DESC, tok"
+    ).collect()
+    assert [(r.tok, r.n) for r in n] == [("a", 2), ("b", 1), ("c", 1)]
