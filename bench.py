@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "sketch_hist_quantiles_grouped",
     # round-10 additions
     "ann_multiassign_top10",
+    # round-11 additions
+    "ann_multiassign_recall",
+    "ann_matryoshka_top10",
+    "ann_hard_negatives",
+    "corpus_length_bucket_batches",
+    "refsql_unnest_tokens",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
