@@ -85,3 +85,45 @@ def salted_join(
     )
     out = l.join(r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostics: the top_k heaviest keys with their row
+    counts, share of the table, and ratio versus the mean key weight —
+    the number that decides whether a downstream join/groupBy on this
+    key needs salting (``salted_join``/``salted_aggregate``), an AQE
+    skew split, or nothing.
+
+    Plan shape at 100 TB: ONE shuffle (the per-key partial+final count);
+    the table-level totals come from a 1-row aggregate of the counted
+    frame broadcast back onto it — never a global window (a single-
+    partition sort over all distinct keys) and never a second scan of
+    the base table. share and ratio are quotients of exact integers,
+    delivered unrounded (IEEE division of identical operands is
+    bit-identical cross-engine).
+    """
+    if not key_cols:
+        raise ValueError("skew_report needs at least one key column")
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            *key_cols,
+            F.col("n"),
+            (F.col("n") / F.col("__total")).alias("share"),
+            (F.col("n") * F.col("__nkeys") / F.col("__total")).alias(
+                "ratio_vs_mean"
+            ),
+        )
+        .orderBy(F.col("n").desc(), *[F.col(c) for c in key_cols])
+        .limit(top_k)
+    )

@@ -45,6 +45,7 @@ PRIORITY: list[str] = [
     "ann_hard_negatives",
     "corpus_length_bucket_batches",
     "refsql_unnest_tokens",
+    "events_skew_report",
     # (1) late round-10 additions — first-ever driver checks.
     "corpus_doc_length_histogram",
     "events_peak_hour_by_type",
@@ -92,11 +93,11 @@ PRIORITY: list[str] = [
     "ann_quantized_top10",
     "scan_full_table",
     "filter_compare",
-    "refsql_join_customer_nation",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # first the remaining r7-green block (4 rounds stale at r11; restored
     # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
     # lead the r12 window:
+    "refsql_join_customer_nation",
     "refsql_left_join_counts",
     "refsql_ctas_insert_select",
     "refsql_window_topk",

@@ -3722,6 +3722,34 @@ def refsql_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_skew_report",
+    """
+    WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type, user_id),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+    SELECT c.event_type, c.user_id, c.n,
+           c.n / s.total AS share,
+           c.n * s.nkeys / s.total AS ratio_vs_mean
+    FROM c, s
+    ORDER BY c.n DESC, c.event_type, c.user_id LIMIT 10
+    """,
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics workload (round-11): the top-10 heaviest
+    (event_type, user_id) keys with share-of-table and ratio-vs-mean —
+    the pre-flight check that decides salting vs AQE-split vs nothing
+    for a join or groupBy on this key. One shuffle (the per-key count);
+    the totals are a 1-row broadcast, never a global window or a second
+    scan (operators/skew.skew_report). share/ratio ship unrounded:
+    quotients of exact integers are bit-identical cross-engine."""
+    from ..operators import skew
+
+    ev = load(spark, sf_dir, "events")
+    return skew.skew_report(ev, ["event_type", "user_id"], top_k=10)
+
+
 @query("ann_multiassign_recall")  # rows-only: partial probe is approximate
 def ann_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEARCH-side value of IVF multi-assignment (round-11, verdict #6):

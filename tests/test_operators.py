@@ -2068,3 +2068,25 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
     for r in rows:
         assert labels[r.vec_id] != labels[r.qid]
         assert r.vec_id != r.qid  # self always shares its own label
+
+
+def test_skew_report_shape_and_math(spark):
+    """Round-11: skew_report surfaces the hot key with exact share/ratio
+    arithmetic, orders heaviest-first, respects top_k, and rejects empty
+    key lists."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        skew,
+    )
+
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{i}", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    rep = skew.skew_report(df, ["k"], top_k=3).collect()
+    assert [r.k for r in rep][0] == "hot" and len(rep) == 3
+    assert rep[0].n == 90
+    assert rep[0].share == pytest.approx(0.9)
+    # 11 distinct keys, mean weight 100/11 => ratio 90*11/100
+    assert rep[0].ratio_vs_mean == pytest.approx(90 * 11 / 100)
+    with pytest.raises(ValueError, match="at least one key"):
+        skew.skew_report(df, [])

@@ -600,3 +600,42 @@ def test_round10_workload_plans(spark, sf_dir):
 
     t = plan_text(QUERIES["refsql_agg_expressions"](spark, sf_dir))
     assert t.count("HashAggregate") >= 2  # partial + final
+
+
+def test_round11_workload_plans(spark, sf_dir):
+    """Round-11 workloads keep their 100-TB plan shapes: the unnest
+    workload plans a single Generate inside the scan stage (fan-out
+    map-side, no cartesian), the length-bucket aggregation keeps
+    map-side partial aggregation, matryoshka truncation projects the
+    slice before scoring, and no round-11 plan contains a
+    CartesianProduct (the broadcast cross-scores are
+    BroadcastNestedLoopJoin over a 4-row literal side by design)."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    t = plan_text(QUERIES["refsql_unnest_tokens"](spark, sf_dir))
+    assert "Generate" in t and "explode" in t
+    assert "CartesianProduct" not in t
+
+    t = plan_text(QUERIES["corpus_length_bucket_batches"](spark, sf_dir))
+    assert t.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in t
+
+    t = plan_text(QUERIES["ann_matryoshka_top10"](spark, sf_dir))
+    assert "slice(" in t  # truncation happens in the projection
+    assert "CartesianProduct" not in t
+
+    for name in ("ann_hard_negatives", "ann_multiassign_recall"):
+        assert "CartesianProduct" not in plan_text(
+            QUERIES[name](spark, sf_dir)
+        ), name
+
+    # skew_report: totals come back as a 1-row broadcast join, never a
+    # global Window (single-partition sort over all distinct keys)
+    t = plan_text(QUERIES["events_skew_report"](spark, sf_dir))
+    assert "Window" not in t
+    assert "TakeOrderedAndProject" in t  # top_k never sorts everything
