@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "ann_hard_negatives",
     "corpus_length_bucket_batches",
     "refsql_unnest_tokens",
+    "events_skew_report",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",

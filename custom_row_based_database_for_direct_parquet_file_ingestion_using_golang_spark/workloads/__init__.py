@@ -19,8 +19,8 @@ from . import sketches  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
 # each round, strictly oldest-evidence-first. Rotation policy (restated
-# round-11, per the round-10 verdict): with 240 workloads over a 50-slot
-# window the minimum rotation period is 240/50 = 4.8 rounds, so the
+# round-11, per the round-10 verdict): with 246 workloads over a 50-slot
+# window the minimum rotation period is 246/50 = 4.9 rounds, so the
 # BINDING rule is "no entry's newest driver row more than 5 rounds stale,
 # oldest-first" (new-in-round entries exempt — they debut in-window or as
 # next-round leads below the boundary). Round-11 curation: (0) new-in-
