@@ -15,6 +15,8 @@ pattern for exercising streaming semantics on bounded data.
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -553,6 +555,90 @@ def stream_upsert_into(engine, table: str, stream: DataFrame, keys: list[str]):
         engine.upsert(table, dedup, keys)
 
     return stream.writeStream.outputMode("update").foreachBatch(merge_batch).start()
+
+
+def stream_append_exactly_once(engine, table: str, stream: DataFrame):
+    """Exactly-once streaming APPEND into an engine table.
+
+    foreachBatch gives at-least-once delivery: after a failure the same
+    micro-batch re-runs with the SAME epoch_id. This sink upgrades that
+    to exactly-once with the ledger trick Delta's txn table / Kafka's
+    transactional producer use, adapted to plain parquet directories:
+
+    1. every epoch's files land in the table directory under
+       deterministic names (``epoch-<id>-part-<k>.parquet``), staged
+       first and renamed in (rename is atomic per file);
+    2. a replay first REMOVES any partial ``epoch-<id>-*`` files from a
+       crashed attempt, then moves the fresh complete set — so a crash
+       at ANY point (mid-stage, mid-move, before the ledger write)
+       replays to exactly the batch's rows, never a mix of attempts;
+    3. committed epoch ids are recorded in an atomically-replaced ledger
+       (``.stream_commits/<table>.json``) so a replay of a COMMITTED
+       epoch is skipped without touching storage.
+
+    Scope: unpartitioned tables (hive-partitioned appends would need
+    per-partition staging; raise rather than mis-append). Single writer
+    per table — the Structured Streaming contract anyway. A concurrent
+    reader during a replay's remove+move window can see a partial epoch
+    (the same caveat as any non-snapshot parquet append).
+
+    At 100 TB this is the standard ingestion posture: micro-batch
+    appends stay distributed (one staged write per epoch, renames are
+    metadata ops), and failure recovery costs one epoch's rewrite, not
+    a table scan. Returns the StreamingQuery."""
+    import json as _json
+
+    store = engine.store
+    meta = engine.catalog.get(table)
+    if meta.partition_by:
+        raise ValueError(
+            "stream_append_exactly_once supports unpartitioned tables only"
+        )
+    ledger_dir = os.path.join(store.root, ".stream_commits")
+    os.makedirs(ledger_dir, exist_ok=True)
+    ledger = os.path.join(ledger_dir, f"{table}.json")
+
+    def _committed() -> set[int]:
+        if not os.path.exists(ledger):
+            return set()
+        with open(ledger) as f:
+            return set(_json.load(f))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in _committed():
+            return  # replayed after a successful commit: exactly-once skip
+        aligned = batch_df.select(
+            *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
+        )
+        stage = os.path.join(store.staging_dir, f"{table}-epoch-{epoch_id}")
+        aligned.write.mode("overwrite").parquet(stage)
+        tdir = store.table_path(table)
+        prefix = f"epoch-{epoch_id}-"
+        # a crashed attempt may have moved SOME files: remove them all so
+        # the epoch is this attempt's complete set, never a mix
+        for old in os.listdir(tdir):
+            if old.startswith(prefix):
+                os.remove(os.path.join(tdir, old))
+        k = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, f),
+                    os.path.join(tdir, f"{prefix}part-{k:05d}.parquet"),
+                )
+                k += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        done = sorted(_committed() | {int(epoch_id)})
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(done, f)
+        os.replace(tmp, ledger)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .start()
+    )
 
 
 def run_to_memory(

@@ -19,8 +19,8 @@ from . import sketches  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
 # each round, strictly oldest-evidence-first. Rotation policy (restated
-# round-11, per the round-10 verdict): with 246 workloads over a 50-slot
-# window the minimum rotation period is 246/50 = 4.9 rounds, so the
+# round-11, per the round-10 verdict): with 247 workloads over a 50-slot
+# window the minimum rotation period is 247/50 = 4.9 rounds, so the
 # BINDING rule is "no entry's newest driver row more than 5 rounds stale,
 # oldest-first" (new-in-round entries exempt — they debut in-window or as
 # next-round leads below the boundary). Round-11 curation: (0) new-in-
@@ -46,6 +46,7 @@ PRIORITY: list[str] = [
     "corpus_length_bucket_batches",
     "refsql_unnest_tokens",
     "events_skew_report",
+    "stream_append_exactly_once",
     # (1) late round-10 additions — first-ever driver checks.
     "corpus_doc_length_histogram",
     "events_peak_hour_by_type",
@@ -89,14 +90,15 @@ PRIORITY: list[str] = [
     "multimodal_audio_spectrum",
     "multimodal_tiff_decode",
     "multimodal_webp_decode",
-    # (3) r7-green fillers (4 rounds stale) — §2-core scan/filter first.
-    "ann_quantized_top10",
+    # (3) r7-green fillers (4 rounds stale) — §2-core scan/filter kept
+    # in-window per the round-10 verdict's headline defect.
     "scan_full_table",
     "filter_compare",
     # -- ~50-slot window boundary (50 entries above this line). Below:
     # first the remaining r7-green block (4 rounds stale at r11; restored
     # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
     # lead the r12 window:
+    "ann_quantized_top10",
     "refsql_join_customer_nation",
     "refsql_left_join_counts",
     "refsql_ctas_insert_select",

@@ -644,3 +644,66 @@ def stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         temporal_enrich_latest(events, "click", "purchase"), mode="append"
     )
+
+
+@query(
+    "stream_append_exactly_once",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           round(SUM(value), 2) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion end-to-end (round-11): stream the
+    events file through the idempotent epoch-ledger append sink into an
+    engine table — TWICE (the second checkpoint-less query re-delivers
+    the same data as a committed epoch, which the ledger must skip) —
+    then aggregate the TABLE. The oracle is the same aggregate over the
+    raw events: any duplicated epoch, lost batch, or partial-epoch leak
+    flips n/n_ids/total. n_ids == n additionally pins row-level
+    uniqueness inside the hash check."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+    from ..streaming.ops import stream_append_exactly_once as sink
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_x1_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.create_table(
+        "ev_ingest",
+        [
+            ("event_id", "BIGINT"),
+            ("ts", "TIMESTAMP_NTZ"),
+            ("user_id", "BIGINT"),
+            ("event_type", "TEXT"),
+            ("value", "DOUBLE"),
+        ],
+    )
+    src = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for _ in range(2):  # second run = re-delivery of a committed epoch
+        q = sink(e, "ev_ingest", src)
+        q.processAllAvailable()
+        q.stop()
+        src = read_events_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    return (
+        e.table("ev_ingest")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -396,3 +396,74 @@ def test_temporal_enrich_buffer_evicts_below_horizon(spark, tmp_path):
     # purchase@195 joins click@190 (event_id 119) — correctness unaffected
     # by eviction of the old refs
     assert got[900] == 119
+
+
+def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
+    """Round-11: the exactly-once append sink must (a) land every event
+    exactly once across a normal run, (b) skip a re-delivered COMMITTED
+    epoch (a fresh checkpoint-less query re-delivers the same file as
+    epoch 0 — the ledger makes it a no-op), and (c) recover a crash
+    mid-move (partial epoch files on disk, no ledger entry) to exactly
+    the batch's rows — never a mix of attempts, never a duplicate."""
+    import os
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        stream_append_exactly_once,
+    )
+
+    def events(n=None):
+        s = read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "value"
+        )
+        return s
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_raw = raw.count()
+
+    # (a) normal run: every event lands exactly once
+    e = Engine(spark, str(tmp_path / "x1"))
+    e.create_table(
+        "ev_sink",
+        [("event_id", "BIGINT"), ("user_id", "BIGINT"), ("value", "DOUBLE")],
+    )
+    q = stream_append_exactly_once(e, "ev_sink", events())
+    q.processAllAvailable()
+    q.stop()
+    assert e.table("ev_sink").count() == n_raw
+    assert e.table("ev_sink").select("event_id").distinct().count() == n_raw
+
+    # (b) re-delivery of a committed epoch: a second checkpoint-less query
+    # re-sees the same file as a fresh epoch 0, which IS in the ledger —
+    # the table must not change
+    q2 = stream_append_exactly_once(e, "ev_sink", events())
+    q2.processAllAvailable()
+    q2.stop()
+    assert e.table("ev_sink").count() == n_raw
+
+    # (c) crash mid-move: a partial epoch-0 file sits in the table dir
+    # with NO ledger entry; the sink's replay must remove it before
+    # moving its complete set (exact rows, partial gone)
+    e2 = Engine(spark, str(tmp_path / "x2"))
+    e2.create_table(
+        "ev_sink",
+        [("event_id", "BIGINT"), ("user_id", "BIGINT"), ("value", "DOUBLE")],
+    )
+    partial = os.path.join(
+        e2.store.table_path("ev_sink"), "epoch-0-part-99999.parquet"
+    )
+    e.table("ev_sink").limit(7).write.mode("overwrite").parquet(
+        str(tmp_path / "junk")
+    )
+    src = next(
+        f for f in os.listdir(str(tmp_path / "junk")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "junk"), src), partial)
+    q3 = stream_append_exactly_once(e2, "ev_sink", events())
+    q3.processAllAvailable()
+    q3.stop()
+    assert e2.table("ev_sink").count() == n_raw
+    assert not os.path.exists(partial)
