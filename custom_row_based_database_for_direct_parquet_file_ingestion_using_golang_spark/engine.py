@@ -202,6 +202,78 @@ class Engine:
             )
         )
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME TO new: one storage-directory rename (a
+        metadata op at any scale — no file rewrites) + the catalog entry.
+        Snapshots move with the table so time travel survives the rename.
+        Refused while a materialized view or vector index pins the old
+        name — their registries store the base-table name, and silently
+        re-pointing (or orphaning) them would corrupt the next refresh."""
+        import os
+        import shutil
+
+        meta = self.catalog.get(old)
+        if new in self.catalog:
+            raise ValueError(f"table '{new}' already exists")
+        deps = [
+            f"materialized view '{n}'"
+            for n, m in self.mviews._load().items()
+            if m.get("base") == old
+        ] + [
+            f"vector index '{n}'"
+            for n, m in self.vindexes._load().items()
+            if m.get("table") == old
+        ]
+        if deps:
+            raise ValueError(
+                f"cannot rename '{old}': referenced by {', '.join(deps)}"
+            )
+        new_path = self.store.table_path(new)
+        os.rename(meta.path, new_path)
+        old_snaps = os.path.join(self.store.snapshots_dir, old)
+        if os.path.exists(old_snaps):
+            new_snaps = os.path.join(self.store.snapshots_dir, new)
+            shutil.rmtree(new_snaps, ignore_errors=True)
+            os.rename(old_snaps, new_snaps)
+        self.catalog.drop_table(old)
+        self.catalog.add_table(
+            TableMeta(
+                name=new,
+                columns=meta.columns,
+                path=new_path,
+                partition_by=meta.partition_by,
+            )
+        )
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """ALTER TABLE t RENAME COLUMN old TO new. Spark reads parquet
+        columns BY NAME, so a catalog-only rename would silently read the
+        column as NULL — this is an honest copy-on-write rewrite through
+        the store's staging+swap (the same machinery UPDATE rides). At
+        100 TB that is a full-table rewrite; engines that avoid it (Delta
+        with column mapping) carry a name-indirection layer on every read
+        — a trade we document rather than take."""
+        meta = self.catalog.get(table)
+        if old in meta.partition_by:
+            raise ValueError(f"cannot rename partition column '{old}'")
+        if not any(c.name == old for c in meta.columns):
+            raise KeyError(f"column '{old}' does not exist on '{table}'")
+        if any(c.name == new for c in meta.columns):
+            raise ValueError(f"column '{new}' already exists on '{table}'")
+        df = self.table(table).withColumnRenamed(old, new)
+        self.store.overwrite(table, df, meta.partition_by)
+        self.catalog.update_table(
+            TableMeta(
+                name=meta.name,
+                columns=[
+                    ColumnDef(new if c.name == old else c.name, c.decl)
+                    for c in meta.columns
+                ],
+                path=meta.path,
+                partition_by=meta.partition_by,
+            )
+        )
+
     def show_tables(self) -> list[str]:
         return self.catalog.show_tables()
 

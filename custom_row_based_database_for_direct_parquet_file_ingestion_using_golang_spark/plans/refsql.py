@@ -3476,6 +3476,33 @@ class RefSQL:
             cur.expect_kw("table")
             table = _unquote(cur.next())
             action = cur.next().lower()
+            if action == "rename":
+                # Round-11: RENAME TO t2 (metadata-only directory move) /
+                # RENAME COLUMN a TO b (honest copy-on-write rewrite —
+                # parquet reads columns by name, so catalog-only would
+                # NULL the column out).
+                if cur.peek_kw() == "to":
+                    cur.next()
+                    new_name = _unquote(cur.next())
+                    if not cur.done():
+                        raise ParseError(
+                            f"unexpected token {cur.peek()!r} after RENAME TO"
+                        )
+                    self.engine.rename_table(table, new_name)
+                    return f"renamed '{table}' to '{new_name}'"
+                cur.expect_kw("column")
+                old_col = _unquote(cur.next())
+                cur.expect_kw("to")
+                new_col = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after RENAME COLUMN"
+                    )
+                self.engine.rename_column(table, old_col, new_col)
+                return (
+                    f"altered '{table}': renamed column {old_col} "
+                    f"to {new_col}"
+                )
             cur.expect_kw("column")
             colname = _unquote(cur.next())
             if action == "add":
@@ -3493,7 +3520,10 @@ class RefSQL:
                     )
                 self.engine.drop_column(table, colname)
                 return f"altered '{table}': dropped {colname}"
-            raise ParseError(f"ALTER TABLE supports ADD/DROP COLUMN, got {action!r}")
+            raise ParseError(
+                f"ALTER TABLE supports ADD/DROP/RENAME COLUMN and "
+                f"RENAME TO, got {action!r}"
+            )
         if verb == "explain":
             # Dialect extension: ``EXPLAIN SELECT ...`` returns the Catalyst
             # physical plan — the honest answer to "what will this query

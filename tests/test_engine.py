@@ -378,3 +378,44 @@ def test_orc_export_ingest_roundtrip(spark, tmp_path):
     out2 = str(tmp_path / "nation_orc2")
     msg = e.ref_sql(f"COPY nation TO '{out2}' FORMAT orc")
     assert "orc" in msg and e.spark.read.orc(out2).count() == n
+
+
+def test_alter_table_rename(spark, tmp_path, sf_dir):
+    """Round-11: ALTER TABLE RENAME TO (metadata-only dir move; snapshots
+    travel with it; refused while a matview or vector index pins the
+    name) and RENAME COLUMN (copy-on-write rewrite — parquet reads
+    columns by name, so catalog-only would NULL the data out)."""
+    import pytest
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path / "rn"), keep_snapshots=2)
+    e.ref_sql("CREATE TABLE t (a INT, b TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    e.ref_sql("UPDATE t SET b = 'z' WHERE a = 2")  # retires a snapshot
+    msg = e.ref_sql("ALTER TABLE t RENAME TO t2")
+    assert msg == "renamed 't' to 't2'"
+    assert e.show_tables() == ["t2"]
+    assert sorted(r.b for r in e.table("t2").collect()) == ["x", "z"]
+    # snapshots moved with the table: version 0 still readable
+    assert e.store.versions("t2") == [0]
+    # rename column rewrites and keeps values
+    msg = e.ref_sql("ALTER TABLE t2 RENAME COLUMN b TO label")
+    assert "renamed column b" in msg
+    assert e.table("t2").columns == ["a", "label"]
+    assert sorted(r.label for r in e.table("t2").collect()) == ["x", "z"]
+    # guard rails
+    e.ref_sql("CREATE TABLE other (a INT)")
+    with pytest.raises(ValueError, match="already exists"):
+        e.rename_table("t2", "other")
+    with pytest.raises(KeyError):
+        e.rename_column("t2", "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        e.rename_column("t2", "a", "label")
+    # a vector-index dependency blocks the rename
+    e.ingest_parquet(f"{sf_dir}/embeddings.parquet", "emb")
+    e.ref_sql("CREATE VECTOR INDEX vi ON emb (embedding) ID vec_id CENTROIDS 4")
+    with pytest.raises(ValueError, match="referenced by"):
+        e.rename_table("emb", "emb2")
