@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "corpus_length_bucket_batches",
     "refsql_unnest_tokens",
     "events_skew_report",
+    "stream_append_exactly_once",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
