@@ -274,6 +274,16 @@ class Engine:
             )
         )
 
+    def truncate_table(self, name: str) -> None:
+        """TRUNCATE: remove every row, keep schema + partitioning. An
+        empty staged write swapped in atomically — no scan of the old
+        data (DELETE without WHERE would plan one); with snapshot
+        retention on, the pre-truncate table retires as a version and
+        stays time-travelable."""
+        meta = self.catalog.get(name)
+        empty = self.spark.createDataFrame([], meta.schema)
+        self.store.overwrite(name, empty, meta.partition_by)
+
     def show_tables(self) -> list[str]:
         return self.catalog.show_tables()
 

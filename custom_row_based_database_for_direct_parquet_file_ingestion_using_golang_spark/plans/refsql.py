@@ -1102,6 +1102,7 @@ class SelectSpec:
     # Dialect extension (round-8): SELECT * EXCLUDE (c1, ...) — star
     # minus named columns (wide-table ergonomic).
     star_exclude: list[str] = field(default_factory=list)
+    star_replace: "list[tuple[str, str]]" = field(default_factory=list)
     # Dialect extension (round-10): FROM (VALUES (...), ...) AS v(c1, ...)
     # — inline table constructor; the raw VALUES row text, compiled by
     # Catalyst at execute time (a LocalRelation — nothing scanned).
@@ -1335,21 +1336,59 @@ def parse_select(
         low = tok.lower()
         if tok == "*":
             spec.star = True
-            if cur.peek_kw() == "exclude":
-                # Round-8: ``* EXCLUDE (c1, ...)`` — star minus named
-                # columns (resolved and validated in build_select).
-                cur.next()
+            while cur.peek_kw() in ("exclude", "replace"):
+                mod = cur.next().lower()
                 if cur.next() != "(":
-                    raise ParseError("expected '(' after EXCLUDE")
+                    raise ParseError(f"expected '(' after {mod.upper()}")
+                if mod == "exclude":
+                    # Round-8: ``* EXCLUDE (c1, ...)`` — star minus named
+                    # columns (resolved and validated in build_select).
+                    while True:
+                        t = cur.next()
+                        if t == ")":
+                            break
+                        if t == ",":
+                            continue
+                        spec.star_exclude.append(_unquote(t))
+                    if not spec.star_exclude:
+                        raise ParseError("EXCLUDE needs at least one column")
+                    continue
+                # Round-11: ``* REPLACE (expr AS col, ...)`` — star with
+                # named columns swapped for expressions IN PLACE
+                # (DuckDB/Snowflake/Databricks). Expression tokens are
+                # captured balanced to the top-level AS and compiled via
+                # Catalyst at assembly.
                 while True:
+                    buf: list[str] = []
+                    depth = 0
+                    while True:
+                        t = cur.peek()
+                        if t is None:
+                            raise ParseError("unterminated REPLACE (...)")
+                        if depth == 0 and cur.peek_kw() == "as":
+                            break
+                        t = cur.next()
+                        if t == "(":
+                            depth += 1
+                        elif t == ")":
+                            if depth == 0:
+                                raise ParseError(
+                                    "REPLACE items are 'expr AS col'"
+                                )
+                            depth -= 1
+                        buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+                    if not buf:
+                        raise ParseError("REPLACE items are 'expr AS col'")
+                    cur.next()  # AS
+                    col = _unquote(cur.next())
+                    spec.star_replace.append((" ".join(buf), col))
                     t = cur.next()
                     if t == ")":
                         break
-                    if t == ",":
-                        continue
-                    spec.star_exclude.append(_unquote(t))
-                if not spec.star_exclude:
-                    raise ParseError("EXCLUDE needs at least one column")
+                    if t != ",":
+                        raise ParseError(
+                            f"expected ',' or ')' in REPLACE, got {t!r}"
+                        )
         elif low in EXPR_AGG_FUNCS and cur.peek() == "(":
             # Statistical aggregate: capture the whole call verbatim
             # (balanced parens, commas kept) and hand it to Catalyst.
@@ -2509,6 +2548,19 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             cols.append(F.col("count"))
         q.select(*cols)
     out = q.df()
+    if spec.star and spec.star_replace:
+        # Round-11: SELECT * REPLACE (expr AS col) — swap named columns
+        # for expressions in place (withColumn keeps the position, so the
+        # star's column ORDER is unchanged — the DuckDB contract). A
+        # column both replaced and excluded is a contradiction; error.
+        for expr_text, col in spec.star_replace:
+            if col not in out.columns:
+                raise ParseError(f"REPLACE column not found: {col!r}")
+            if col in spec.star_exclude:
+                raise ParseError(
+                    f"column {col!r} is both REPLACEd and EXCLUDEd"
+                )
+            out = out.withColumn(col, F.expr(expr_text))
     if spec.star and spec.star_exclude:
         # Round-8: SELECT * EXCLUDE (c1, ...) — the wide-table ergonomic
         # (DuckDB/Snowflake/Databricks). Validated against the frame so a
@@ -3564,6 +3616,22 @@ class RefSQL:
                     "formatted"
                 )
             )
+        if verb == "truncate":
+            # Round-11: ``TRUNCATE [TABLE] t`` — remove every row, keep
+            # the declared schema and partitioning. Rides the store's
+            # staging+swap (and snapshot retention, so a retained
+            # pre-truncate version stays time-travelable) — the same
+            # machinery DELETE uses, minus the scan.
+            cur.expect_kw("truncate")
+            if cur.peek_kw() == "table":
+                cur.next()
+            table = _unquote(cur.next())
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after TRUNCATE"
+                )
+            self.engine.truncate_table(table)
+            return f"truncated '{table}'"
         if verb == "optimize":
             return self._optimize(cur)
         if verb == "vacuum":

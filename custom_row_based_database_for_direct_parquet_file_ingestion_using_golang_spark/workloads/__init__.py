@@ -19,8 +19,8 @@ from . import sketches  # noqa: F401, E402
 # Driver-facing priority order. The correctness gate samples a 50-entry
 # prefix of the registered inventory per round, so the order below rotates
 # each round, strictly oldest-evidence-first. Rotation policy (restated
-# round-11, per the round-10 verdict): with 247 workloads over a 50-slot
-# window the minimum rotation period is 247/50 = 4.9 rounds, so the
+# round-11, per the round-10 verdict): with 248 workloads over a 50-slot
+# window the minimum rotation period is 248/50 = 5.0 rounds, so the
 # BINDING rule is "no entry's newest driver row more than 5 rounds stale,
 # oldest-first" (new-in-round entries exempt — they debut in-window or as
 # next-round leads below the boundary). Round-11 curation: (0) new-in-
@@ -95,7 +95,10 @@ PRIORITY: list[str] = [
     "scan_full_table",
     "filter_compare",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the remaining r7-green block (4 rounds stale at r11; restored
+    # first the late round-11 additions (never driver-checked — they
+    # debut in r12 with first-ever rows, the r10-precedented pattern):
+    "refsql_star_replace",
+    # then the remaining r7-green block (4 rounds stale at r11; restored
     # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
     # lead the r12 window:
     "ann_quantized_top10",

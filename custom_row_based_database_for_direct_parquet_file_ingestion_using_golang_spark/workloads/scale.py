@@ -3750,6 +3750,30 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.skew_report(ev, ["event_type", "user_id"], top_k=10)
 
 
+@query(
+    "refsql_star_replace",
+    """
+    SELECT * REPLACE (lower(n_name) AS n_name,
+                      CAST(n_regionkey * 10 AS BIGINT) AS n_regionkey)
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def refsql_star_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * REPLACE through the dialect (round-11): star expansion
+    with named columns swapped for expressions IN PLACE — column order
+    preserved (withColumn replaces positionally, the DuckDB contract).
+    DuckDB runs the identical standard syntax as the oracle."""
+    from .core import _ref_select
+
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT * REPLACE (lower(n_name) AS n_name, "
+        "CAST(n_regionkey * 10 AS BIGINT) AS n_regionkey) "
+        "FROM nation ORDER BY n_nationkey",
+    )
+
+
 @query("ann_multiassign_recall")  # rows-only: partial probe is approximate
 def ann_multiassign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEARCH-side value of IVF multi-assignment (round-11, verdict #6):

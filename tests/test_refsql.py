@@ -3029,3 +3029,53 @@ def test_unnest_select_list(spark, tmp_path, sf_dir):
         "SELECT tok, COUNT(*) AS n FROM x GROUP BY tok ORDER BY n DESC, tok"
     ).collect()
     assert [(r.tok, r.n) for r in n] == [("a", 2), ("b", 1), ("c", 1)]
+
+
+def test_star_replace_modifier(spark, tmp_path, sf_dir):
+    """Round-11: SELECT * REPLACE (expr AS col) swaps columns in place
+    (order preserved), composes with EXCLUDE, validates names, and
+    rejects a column that is both replaced and excluded."""
+    e = Engine(spark, str(tmp_path / "srep"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql(
+        "SELECT * REPLACE (lower(n_name) AS n_name, n_regionkey * 10 AS "
+        "n_regionkey) FROM nation WHERE n_nationkey < 2 ORDER BY n_nationkey"
+    )
+    assert got.columns == e.table("nation").columns  # order preserved
+    rows = got.collect()
+    assert [r.n_name for r in rows] == ["nation_0", "nation_1"]
+    assert all(r.n_regionkey % 10 == 0 for r in rows)
+    # composes with EXCLUDE
+    got = e.ref_sql(
+        "SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name) "
+        "FROM nation WHERE n_nationkey = 3"
+    )
+    assert "n_regionkey" not in got.columns
+    assert got.collect()[0].n_name == "NATION_3"
+    with pytest.raises(ParseError, match="not found"):
+        e.ref_sql("SELECT * REPLACE (1 AS nope) FROM nation")
+    with pytest.raises(ParseError, match="REPLACEd and EXCLUDEd"):
+        e.ref_sql(
+            "SELECT * EXCLUDE (n_name) REPLACE (upper(n_name) AS n_name) "
+            "FROM nation"
+        )
+
+
+def test_truncate_table(spark, tmp_path, sf_dir):
+    """Round-11: TRUNCATE keeps schema/partitioning, removes all rows,
+    and a retained snapshot stays time-travelable."""
+    e = Engine(spark, str(tmp_path / "trunc"), keep_snapshots=2)
+    e.ref_sql("CREATE TABLE t (a INT, b TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    msg = e.ref_sql("TRUNCATE TABLE t")
+    assert msg == "truncated 't'"
+    assert e.table("t").count() == 0
+    assert e.table("t").columns == ["a", "b"]
+    e.ref_sql("INSERT INTO t VALUES (9, 'z')")
+    assert e.table("t").count() == 1
+    # pre-truncate rows retired as version 0
+    assert [r.a for r in sorted(e.ref_sql(
+        "SELECT a FROM t VERSION AS OF 0"
+    ).collect(), key=lambda r: r.a)] == [1, 2]
+    # bare TRUNCATE t also parses
+    assert e.ref_sql("TRUNCATE t") == "truncated 't'"
