@@ -189,6 +189,10 @@ def is_natural_language(text: str) -> bool:
         # constructor; 'values matter to this team' is NL — the statement
         # shape opens a parenthesized row immediately.
         return not text.strip()[len("values"):].lstrip().startswith("(")
+    if first == "truncate":
+        # Round-11: 'TRUNCATE [TABLE] t' is SQL; 'truncate this essay to
+        # 100 words' is NL — the statement shape is 2-3 words.
+        return len(words) not in (2, 3)
     return first not in (
         "select", "insert", "update", "delete", "create", "drop",
         "optimize", "vacuum", "alter", "explain", "describe", "copy",

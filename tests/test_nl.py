@@ -201,3 +201,15 @@ def test_values_statement_is_sql_not_nl():
     assert not is_natural_language("VALUES (1, 'a'), (2, 'b')")
     assert not is_natural_language("values(1)")
     assert is_natural_language("values matter to this team")
+
+
+def test_truncate_sniffs_as_sql():
+    """Round-11: 'TRUNCATE [TABLE] t' routes as SQL; truncate-prose
+    stays NL."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.nl import (
+        is_natural_language,
+    )
+
+    assert not is_natural_language("TRUNCATE TABLE events")
+    assert not is_natural_language("truncate events")
+    assert is_natural_language("truncate this essay to one hundred words")
