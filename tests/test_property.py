@@ -1007,3 +1007,28 @@ def test_refsql_agg_wrapping_exprs_match_spark_sql(spark, inner, wrap, grouped):
         return sorted(tuple(str(v) for v in r) for r in rows)
 
     assert key(got_df.collect()) == key(want_df.collect()), item
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=60),
+    top_k=st.integers(1, 8),
+)
+def test_skew_report_matches_counter_reference(spark, keys, top_k):
+    """Round-11: skew_report ≡ a Counter-based python reference — counts,
+    shares, ratios, heaviest-first order (key tiebreak), top_k bound."""
+    from collections import Counter
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        skew,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = skew.skew_report(df, ["k"], top_k=top_k).collect()
+    c = Counter(keys)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    assert [(r.k, r.n) for r in got] == want
+    total, nkeys = len(keys), len(c)
+    for r in got:
+        assert r.share == r.n / total
+        assert r.ratio_vs_mean == r.n * nkeys / total
