@@ -725,9 +725,9 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
     shapes = [
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
         "cte_chain", "rollup", "in_sub_not", "union_mix",
-        "distinct_offset", "concat_chain",
+        "distinct_offset", "concat_chain", "star_replace",
     ]
-    for trial in range(25):
+    for trial in range(27):
         shape = shapes[trial % len(shapes)]
         if shape == "scalar_fns":
             items = [
@@ -794,6 +794,19 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 "SELECT DISTINCT o_orderstatus AS s, o_orderpriority AS p "
                 f"FROM orders ORDER BY s, p LIMIT {rng.randint(2, 6)} "
                 f"OFFSET {rng.randint(0, 3)}"
+            )
+        elif shape == "star_replace":
+            # round-11 star modifier — DuckDB runs the identical syntax
+            sql = rng.choice(
+                [
+                    "SELECT * REPLACE (lower(n_name) AS n_name) FROM nation",
+                    "SELECT * REPLACE (CAST(n_regionkey * "
+                    f"{rng.randint(2, 9)} AS BIGINT) AS n_regionkey, "
+                    "upper(n_name) AS n_name) FROM nation",
+                    "SELECT * EXCLUDE (n_regionkey) REPLACE "
+                    "(reverse(n_name) AS n_name) FROM nation WHERE "
+                    f"n_nationkey < {rng.randint(5, 20)}",
+                ]
             )
         else:
             sql = (
