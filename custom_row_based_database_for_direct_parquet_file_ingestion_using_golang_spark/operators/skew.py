@@ -120,7 +120,13 @@ def skew_report(
             *key_cols,
             F.col("n"),
             (F.col("n") / F.col("__total")).alias("share"),
-            (F.col("n") * F.col("__nkeys") / F.col("__total")).alias(
+            # Divide FIRST: n * nkeys as a long*long product overflows
+            # 2^63 at the scale this diagnostic exists for (~1e12 rows ×
+            # ~1e9 keys) and Spark's non-ANSI arithmetic would wrap
+            # silently. n/total is ≤ 1.0, so the double product is always
+            # in range; the oracle mirrors the same association so the
+            # IEEE result stays bit-identical cross-engine.
+            (F.col("n") / F.col("__total") * F.col("__nkeys")).alias(
                 "ratio_vs_mean"
             ),
         )

@@ -3731,7 +3731,7 @@ def refsql_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
     SELECT c.event_type, c.user_id, c.n,
            c.n / s.total AS share,
-           c.n * s.nkeys / s.total AS ratio_vs_mean
+           c.n / s.total * s.nkeys AS ratio_vs_mean
     FROM c, s
     ORDER BY c.n DESC, c.event_type, c.user_id LIMIT 10
     """,

@@ -1031,4 +1031,6 @@ def test_skew_report_matches_counter_reference(spark, keys, top_k):
     total, nkeys = len(keys), len(c)
     for r in got:
         assert r.share == r.n / total
-        assert r.ratio_vs_mean == r.n * nkeys / total
+        # divide-first association (overflow-safe at scale) — mirror it
+        # exactly so the float comparison is bit-identical
+        assert r.ratio_vs_mean == r.n / total * nkeys
