@@ -2489,6 +2489,37 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         if "qualify" in clauses:
             df = df.filter(clauses["qualify"])
         q = Query(df)
+    if spec.star and spec.star_replace:
+        # Round-12 (advice): SELECT * REPLACE (expr AS col) — swap named
+        # columns for expressions in place, BEFORE ORDER BY / DISTINCT /
+        # LIMIT bind, so ordering and dedup see the replaced output (the
+        # DuckDB contract: the SELECT list evaluates before ORDER BY /
+        # DISTINCT). All replacement expressions are computed against the
+        # PRE-replace frame in one select — mutually-referencing items
+        # (* REPLACE (b AS a, a AS b)) each see the original columns, and
+        # the star's column ORDER is unchanged (each slot keeps its
+        # position). A column both replaced and excluded, replaced twice,
+        # or not present is an error.
+        df_r = q.df()
+        repl: dict[str, str] = {}
+        for expr_text, col in spec.star_replace:
+            if col not in df_r.columns:
+                raise ParseError(f"REPLACE column not found: {col!r}")
+            if col in spec.star_exclude:
+                raise ParseError(
+                    f"column {col!r} is both REPLACEd and EXCLUDEd"
+                )
+            if col in repl:
+                raise ParseError(f"duplicate REPLACE of column {col!r}")
+            repl[col] = expr_text
+        q = Query(
+            df_r.select(
+                *[
+                    F.expr(repl[c]).alias(c) if c in repl else F.col(c)
+                    for c in df_r.columns
+                ]
+            )
+        )
     if "order_by" in clauses:
         for col, desc, nulls in clauses["order_by"]:
             q.order_by(col, desc=desc, nulls=nulls)
@@ -2548,19 +2579,6 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             cols.append(F.col("count"))
         q.select(*cols)
     out = q.df()
-    if spec.star and spec.star_replace:
-        # Round-11: SELECT * REPLACE (expr AS col) — swap named columns
-        # for expressions in place (withColumn keeps the position, so the
-        # star's column ORDER is unchanged — the DuckDB contract). A
-        # column both replaced and excluded is a contradiction; error.
-        for expr_text, col in spec.star_replace:
-            if col not in out.columns:
-                raise ParseError(f"REPLACE column not found: {col!r}")
-            if col in spec.star_exclude:
-                raise ParseError(
-                    f"column {col!r} is both REPLACEd and EXCLUDEd"
-                )
-            out = out.withColumn(col, F.expr(expr_text))
     if spec.star and spec.star_exclude:
         # Round-8: SELECT * EXCLUDE (c1, ...) — the wide-table ergonomic
         # (DuckDB/Snowflake/Databricks). Validated against the frame so a

@@ -806,6 +806,19 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "SELECT * EXCLUDE (n_regionkey) REPLACE "
                     "(reverse(n_name) AS n_name) FROM nation WHERE "
                     f"n_nationkey < {rng.randint(5, 20)}",
+                    # round-12 (advice): ORDER BY binds to the REPLACED
+                    # value — negation inverts which LIMIT-k set survives
+                    "SELECT * REPLACE (n_nationkey * -1 AS n_nationkey) "
+                    "FROM nation ORDER BY n_nationkey LIMIT "
+                    f"{rng.randint(3, 8)}",
+                    # DISTINCT dedups the replaced output, not the input
+                    "WITH t AS (SELECT n_regionkey FROM nation) SELECT "
+                    "DISTINCT * REPLACE (n_regionkey % "
+                    f"{rng.randint(2, 3)} AS n_regionkey) FROM t",
+                    # mutually-referencing items bind to ORIGINAL columns
+                    "SELECT * REPLACE (n_regionkey AS n_nationkey, "
+                    "n_nationkey AS n_regionkey) FROM nation WHERE "
+                    f"n_nationkey < {rng.randint(4, 12)}",
                 ]
             )
         else:

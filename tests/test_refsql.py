@@ -3059,6 +3059,35 @@ def test_star_replace_modifier(spark, tmp_path, sf_dir):
             "SELECT * EXCLUDE (n_name) REPLACE (upper(n_name) AS n_name) "
             "FROM nation"
         )
+    # Round-12 (advice): ORDER BY binds to the REPLACED output, not the
+    # original values — negating the key must invert the sort
+    got = e.ref_sql(
+        "SELECT * REPLACE (n_nationkey * -1 AS n_nationkey) FROM nation "
+        "ORDER BY n_nationkey LIMIT 3"
+    ).collect()
+    assert [r.n_nationkey for r in got] == [-24, -23, -22]
+    # DISTINCT dedups the REPLACED rows (5 regionkeys collapse to 2)
+    got = e.ref_sql(
+        "WITH t AS (SELECT n_regionkey FROM nation) "
+        "SELECT DISTINCT * REPLACE (n_regionkey % 2 AS n_regionkey) FROM t"
+    ).collect()
+    assert sorted(r.n_regionkey for r in got) == [0, 1]
+    # mutually-referencing items each evaluate against the ORIGINAL
+    # columns (a true swap, the DuckDB contract)
+    orig = e.table("nation").filter("n_nationkey = 7").collect()[0]
+    got = e.ref_sql(
+        "SELECT * REPLACE (n_regionkey AS n_nationkey, n_nationkey AS "
+        "n_regionkey) FROM nation WHERE n_nationkey = 7"
+    ).collect()[0]
+    assert (got.n_nationkey, got.n_regionkey) == (
+        orig.n_regionkey,
+        orig.n_nationkey,
+    )
+    with pytest.raises(ParseError, match="duplicate REPLACE"):
+        e.ref_sql(
+            "SELECT * REPLACE (1 AS n_nationkey, 2 AS n_nationkey) "
+            "FROM nation"
+        )
 
 
 def test_truncate_table(spark, tmp_path, sf_dir):
