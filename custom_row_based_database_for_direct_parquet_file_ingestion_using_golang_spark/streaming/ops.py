@@ -557,7 +557,9 @@ def stream_upsert_into(engine, table: str, stream: DataFrame, keys: list[str]):
     return stream.writeStream.outputMode("update").foreachBatch(merge_batch).start()
 
 
-def stream_append_exactly_once(engine, table: str, stream: DataFrame):
+def stream_append_exactly_once(
+    engine, table: str, stream: DataFrame, app_id: str | None = None
+):
     """Exactly-once streaming APPEND into an engine table.
 
     foreachBatch gives at-least-once delivery: after a failure the same
@@ -565,73 +567,111 @@ def stream_append_exactly_once(engine, table: str, stream: DataFrame):
     to exactly-once with the ledger trick Delta's txn table / Kafka's
     transactional producer use, adapted to plain parquet directories:
 
-    1. every epoch's files land in the table directory under
-       deterministic names (``epoch-<id>-part-<k>.parquet``), staged
-       first and renamed in (rename is atomic per file);
-    2. a replay first REMOVES any partial ``epoch-<id>-*`` files from a
-       crashed attempt, then moves the fresh complete set — so a crash
-       at ANY point (mid-stage, mid-move, before the ledger write)
-       replays to exactly the batch's rows, never a mix of attempts;
-    3. committed epoch ids are recorded in an atomically-replaced ledger
-       (``.stream_commits/<table>.json``) so a replay of a COMMITTED
-       epoch is skipped without touching storage.
+    1. every epoch's files land in the table directory under names
+       carrying the producer+epoch prefix
+       (``epoch-<app8>-<id>-part-<k>.parquet``; partitioned tables place
+       them inside their hive ``col=value/`` directories), staged first
+       and renamed in (rename is atomic per file);
+    2. a replay first REMOVES any partial ``epoch-<app8>-<id>-*`` files
+       from a crashed attempt — anywhere in the partition tree — then
+       moves the fresh complete set, so a crash at ANY point (mid-stage,
+       mid-move, before the ledger write) replays to exactly the batch's
+       rows, never a mix of attempts;
+    3. committed epochs are recorded per producer in an atomically-
+       replaced ledger (``.stream_commits/<table>.json``, a JSON object
+       ``{app_id: [epoch, ...]}``) so a replay of a COMMITTED epoch is
+       skipped without touching storage.
 
-    Scope: unpartitioned tables (hive-partitioned appends would need
-    per-partition staging; raise rather than mis-append). Single writer
-    per table — the Structured Streaming contract anyway. A concurrent
-    reader during a replay's remove+move window can see a partial epoch
-    (the same caveat as any non-snapshot parquet append).
+    The ledger key is ``(app_id, epoch_id)`` — Delta's
+    ``(txnAppId, txnVersion)`` pattern — NOT epoch_id alone: a fresh
+    checkpoint-less query restarts epochs at 0, and an epoch-only ledger
+    would silently DROP its (possibly different) data as already
+    committed. ``app_id`` identifies the logical producer: pass a stable
+    id (plus a checkpointLocation, so epoch ids are monotone across
+    restarts) to get exactly-once across restarts/re-deliveries of the
+    SAME stream; the default — a fresh id per call — treats every new
+    sink as a new producer, so its batches always land. Within one run,
+    Spark's retry of a failed micro-batch reuses the epoch_id and is
+    deduped either way.
+
+    Single writer per (table, app_id) — the Structured Streaming
+    contract anyway. A concurrent reader during a replay's remove+move
+    window can see a partial epoch (the same caveat as any non-snapshot
+    parquet append).
 
     At 100 TB this is the standard ingestion posture: micro-batch
     appends stay distributed (one staged write per epoch, renames are
-    metadata ops), and failure recovery costs one epoch's rewrite, not
-    a table scan. Returns the StreamingQuery."""
+    metadata ops — a partitioned epoch is one rename per part file, not
+    per row), and failure recovery costs one epoch's rewrite, not a
+    table scan. Returns the StreamingQuery."""
+    import hashlib
     import json as _json
 
     store = engine.store
     meta = engine.catalog.get(table)
-    if meta.partition_by:
-        raise ValueError(
-            "stream_append_exactly_once supports unpartitioned tables only"
-        )
+    parts = list(meta.partition_by or [])
+    if app_id is None:
+        app_id = uuid.uuid4().hex
+    # short fs-safe producer tag for file prefixes; the ledger keeps the
+    # full app_id (two producers' epoch files must never collide, or one
+    # replay's cleanup would delete the other's committed rows)
+    app8 = hashlib.md5(app_id.encode()).hexdigest()[:8]
     ledger_dir = os.path.join(store.root, ".stream_commits")
     os.makedirs(ledger_dir, exist_ok=True)
     ledger = os.path.join(ledger_dir, f"{table}.json")
 
-    def _committed() -> set[int]:
+    def _committed() -> dict[str, set[int]]:
         if not os.path.exists(ledger):
-            return set()
+            return {}
         with open(ledger) as f:
-            return set(_json.load(f))
+            data = _json.load(f)
+        if isinstance(data, list):  # pre-r12 epoch-only ledger
+            return {"": set(data)}
+        return {k: set(v) for k, v in data.items()}
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if int(epoch_id) in _committed():
+        done = _committed()
+        if int(epoch_id) in done.get(app_id, set()):
             return  # replayed after a successful commit: exactly-once skip
         aligned = batch_df.select(
             *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
         )
-        stage = os.path.join(store.staging_dir, f"{table}-epoch-{epoch_id}")
-        aligned.write.mode("overwrite").parquet(stage)
+        stage = os.path.join(
+            store.staging_dir, f"{table}-{app8}-epoch-{epoch_id}"
+        )
+        writer = aligned.write.mode("overwrite")
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(stage)
         tdir = store.table_path(table)
-        prefix = f"epoch-{epoch_id}-"
-        # a crashed attempt may have moved SOME files: remove them all so
-        # the epoch is this attempt's complete set, never a mix
-        for old in os.listdir(tdir):
-            if old.startswith(prefix):
-                os.remove(os.path.join(tdir, old))
+        prefix = f"epoch-{app8}-{epoch_id}-"
+        # a crashed attempt may have moved SOME files: remove them all —
+        # anywhere in the partition tree — so the epoch is this attempt's
+        # complete set, never a mix
+        for dirpath, _dirs, files in os.walk(tdir):
+            for old in files:
+                if old.startswith(prefix):
+                    os.remove(os.path.join(dirpath, old))
         k = 0
-        for f in sorted(os.listdir(stage)):
-            if f.endswith(".parquet"):
+        for dirpath, dirs, files in os.walk(stage):
+            dirs.sort()
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, stage)
+                dest = tdir if rel == "." else os.path.join(tdir, rel)
+                os.makedirs(dest, exist_ok=True)
                 os.rename(
-                    os.path.join(stage, f),
-                    os.path.join(tdir, f"{prefix}part-{k:05d}.parquet"),
+                    os.path.join(dirpath, f),
+                    os.path.join(dest, f"{prefix}part-{k:05d}.parquet"),
                 )
                 k += 1
         shutil.rmtree(stage, ignore_errors=True)
-        done = sorted(_committed() | {int(epoch_id)})
+        done = _committed()  # re-read: cheap, and keeps the write fresh
+        done.setdefault(app_id, set()).add(int(epoch_id))
         tmp = ledger + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump(done, f)
+            _json.dump({k: sorted(v) for k, v in done.items()}, f)
         os.replace(tmp, ledger)
 
     return (

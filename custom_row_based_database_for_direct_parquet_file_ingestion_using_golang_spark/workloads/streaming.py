@@ -690,8 +690,11 @@ def stream_append_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # Stable app_id = the SAME logical producer re-delivering; the r12
+    # ledger keys on (app_id, epoch), so only this producer's committed
+    # epoch 0 is skipped — a different producer's epoch 0 would land.
     for _ in range(2):  # second run = re-delivery of a committed epoch
-        q = sink(e, "ev_ingest", src)
+        q = sink(e, "ev_ingest", src, app_id="events-ingest")
         q.processAllAvailable()
         q.stop()
         src = read_events_stream(spark, sf_dir).select(

@@ -399,12 +399,17 @@ def test_temporal_enrich_buffer_evicts_below_horizon(spark, tmp_path):
 
 
 def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
-    """Round-11: the exactly-once append sink must (a) land every event
-    exactly once across a normal run, (b) skip a re-delivered COMMITTED
-    epoch (a fresh checkpoint-less query re-delivers the same file as
-    epoch 0 — the ledger makes it a no-op), and (c) recover a crash
-    mid-move (partial epoch files on disk, no ledger entry) to exactly
-    the batch's rows — never a mix of attempts, never a duplicate."""
+    """Round-11/12: the exactly-once append sink must (a) land every
+    event exactly once across a normal run, (b) skip a re-delivered
+    COMMITTED epoch of the SAME producer (same app_id re-sees the same
+    file as epoch 0, which is in the ledger — a no-op), (b2) NOT drop a
+    NEW producer's epoch 0 (the r12 advice fix: the ledger keys on
+    (app_id, epoch), so a fresh checkpoint-less query with its own
+    app_id appends instead of being silently discarded), and (c) recover
+    a crash mid-move (partial epoch files on disk, no ledger entry) to
+    exactly the batch's rows — never a mix of attempts, never a
+    duplicate."""
+    import hashlib
     import os
 
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
@@ -430,19 +435,26 @@ def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
         "ev_sink",
         [("event_id", "BIGINT"), ("user_id", "BIGINT"), ("value", "DOUBLE")],
     )
-    q = stream_append_exactly_once(e, "ev_sink", events())
+    q = stream_append_exactly_once(e, "ev_sink", events(), app_id="prod-a")
     q.processAllAvailable()
     q.stop()
     assert e.table("ev_sink").count() == n_raw
     assert e.table("ev_sink").select("event_id").distinct().count() == n_raw
 
-    # (b) re-delivery of a committed epoch: a second checkpoint-less query
-    # re-sees the same file as a fresh epoch 0, which IS in the ledger —
-    # the table must not change
-    q2 = stream_append_exactly_once(e, "ev_sink", events())
+    # (b) re-delivery of a committed epoch by the SAME producer: a second
+    # query with the same app_id re-sees the same file as epoch 0, which
+    # IS in its ledger entry — the table must not change
+    q2 = stream_append_exactly_once(e, "ev_sink", events(), app_id="prod-a")
     q2.processAllAvailable()
     q2.stop()
     assert e.table("ev_sink").count() == n_raw
+
+    # (b2) a NEW producer (default app_id = fresh) carrying its own epoch
+    # 0 must land — an epoch-only ledger would silently drop it
+    qb = stream_append_exactly_once(e, "ev_sink", events())
+    qb.processAllAvailable()
+    qb.stop()
+    assert e.table("ev_sink").count() == 2 * n_raw
 
     # (c) crash mid-move: a partial epoch-0 file sits in the table dir
     # with NO ledger entry; the sink's replay must remove it before
@@ -452,8 +464,9 @@ def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
         "ev_sink",
         [("event_id", "BIGINT"), ("user_id", "BIGINT"), ("value", "DOUBLE")],
     )
+    app8 = hashlib.md5(b"prod-c").hexdigest()[:8]
     partial = os.path.join(
-        e2.store.table_path("ev_sink"), "epoch-0-part-99999.parquet"
+        e2.store.table_path("ev_sink"), f"epoch-{app8}-0-part-99999.parquet"
     )
     e.table("ev_sink").limit(7).write.mode("overwrite").parquet(
         str(tmp_path / "junk")
@@ -462,8 +475,92 @@ def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
         f for f in os.listdir(str(tmp_path / "junk")) if f.endswith(".parquet")
     )
     os.rename(os.path.join(str(tmp_path / "junk"), src), partial)
-    q3 = stream_append_exactly_once(e2, "ev_sink", events())
+    q3 = stream_append_exactly_once(e2, "ev_sink", events(), app_id="prod-c")
     q3.processAllAvailable()
     q3.stop()
     assert e2.table("ev_sink").count() == n_raw
+    assert not os.path.exists(partial)
+
+
+def test_stream_append_exactly_once_partitioned(spark, tmp_path, sf_dir):
+    """Round-12 (verdict #5): the exactly-once sink over a HIVE-
+    PARTITIONED table — the primary 100-TB ingest shape. Epoch files
+    land inside their ``col=value/`` directories (none at the table
+    root), per-partition counts are exact, a same-producer re-delivery
+    is skipped, and a crash mid-move with a partial epoch file INSIDE a
+    partition directory recovers to exactly the batch's rows."""
+    import hashlib
+    import os
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        stream_append_exactly_once,
+    )
+
+    cols = [
+        ("event_id", "BIGINT"),
+        ("user_id", "BIGINT"),
+        ("event_type", "TEXT"),
+        ("value", "DOUBLE"),
+    ]
+
+    def events():
+        return read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_raw = raw.count()
+    want = {
+        r.event_type: r.n
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    e = Engine(spark, str(tmp_path / "p1"))
+    e.create_table("ev_part", cols, partition_by=["event_type"])
+    q = stream_append_exactly_once(e, "ev_part", events(), app_id="pp")
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: r.n
+        for r in e.table("ev_part")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    tdir = e.store.table_path("ev_part")
+    assert not [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert any(d.startswith("event_type=") for d in os.listdir(tdir))
+
+    # same-producer re-delivery: skipped
+    q2 = stream_append_exactly_once(e, "ev_part", events(), app_id="pp")
+    q2.processAllAvailable()
+    q2.stop()
+    assert e.table("ev_part").count() == n_raw
+
+    # crash mid-move: a partial epoch file inside a partition dir, no
+    # ledger entry — replay must remove it anywhere in the tree
+    e2 = Engine(spark, str(tmp_path / "p2"))
+    e2.create_table("ev_part", cols, partition_by=["event_type"])
+    app8 = hashlib.md5(b"pq").hexdigest()[:8]
+    pdir = os.path.join(e2.store.table_path("ev_part"), "event_type=click")
+    os.makedirs(pdir, exist_ok=True)
+    partial = os.path.join(pdir, f"epoch-{app8}-0-part-99999.parquet")
+    raw.select("event_id", "user_id", "value").limit(5).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "junk2"))
+    src = next(
+        f
+        for f in os.listdir(str(tmp_path / "junk2"))
+        if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "junk2"), src), partial)
+    q3 = stream_append_exactly_once(e2, "ev_part", events(), app_id="pq")
+    q3.processAllAvailable()
+    q3.stop()
+    assert e2.table("ev_part").count() == n_raw
     assert not os.path.exists(partial)
