@@ -1103,6 +1103,9 @@ class SelectSpec:
     # minus named columns (wide-table ergonomic).
     star_exclude: list[str] = field(default_factory=list)
     star_replace: "list[tuple[str, str]]" = field(default_factory=list)
+    # Dialect extension (round-12): SELECT * RENAME (col AS new, ...) —
+    # star with named columns renamed in place (DuckDB 1.3+/Snowflake).
+    star_rename: "list[tuple[str, str]]" = field(default_factory=list)
     # Dialect extension (round-10): FROM (VALUES (...), ...) AS v(c1, ...)
     # — inline table constructor; the raw VALUES row text, compiled by
     # Catalyst at execute time (a LocalRelation — nothing scanned).
@@ -1336,10 +1339,32 @@ def parse_select(
         low = tok.lower()
         if tok == "*":
             spec.star = True
-            while cur.peek_kw() in ("exclude", "replace"):
+            while cur.peek_kw() in ("exclude", "replace", "rename"):
                 mod = cur.next().lower()
                 if cur.next() != "(":
                     raise ParseError(f"expected '(' after {mod.upper()}")
+                if mod == "rename":
+                    # Round-12: ``* RENAME (col AS new, ...)`` — star with
+                    # named columns renamed in place (values untouched,
+                    # positions preserved). Completes the DuckDB star-
+                    # modifier family (EXCLUDE r8, REPLACE r11).
+                    while True:
+                        old = _unquote(cur.next())
+                        if old in (")", ","):
+                            raise ParseError("RENAME items are 'col AS new'")
+                        if cur.peek_kw() != "as":
+                            raise ParseError("RENAME items are 'col AS new'")
+                        cur.next()  # AS
+                        new = _unquote(cur.next())
+                        spec.star_rename.append((old, new))
+                        t = cur.next()
+                        if t == ")":
+                            break
+                        if t != ",":
+                            raise ParseError(
+                                f"expected ',' or ')' in RENAME, got {t!r}"
+                            )
+                    continue
                 if mod == "exclude":
                     # Round-8: ``* EXCLUDE (c1, ...)`` — star minus named
                     # columns (resolved and validated in build_select).
@@ -2489,17 +2514,18 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
         if "qualify" in clauses:
             df = df.filter(clauses["qualify"])
         q = Query(df)
-    if spec.star and spec.star_replace:
-        # Round-12 (advice): SELECT * REPLACE (expr AS col) — swap named
-        # columns for expressions in place, BEFORE ORDER BY / DISTINCT /
-        # LIMIT bind, so ordering and dedup see the replaced output (the
-        # DuckDB contract: the SELECT list evaluates before ORDER BY /
-        # DISTINCT). All replacement expressions are computed against the
-        # PRE-replace frame in one select — mutually-referencing items
-        # (* REPLACE (b AS a, a AS b)) each see the original columns, and
-        # the star's column ORDER is unchanged (each slot keeps its
-        # position). A column both replaced and excluded, replaced twice,
-        # or not present is an error.
+    if spec.star and (spec.star_replace or spec.star_rename):
+        # Round-12 (advice): SELECT * REPLACE (expr AS col) / RENAME
+        # (col AS new) — swap/rename named columns in place, BEFORE
+        # ORDER BY / DISTINCT / LIMIT bind, so ordering and dedup see the
+        # replaced/renamed output (the DuckDB contract: the SELECT list
+        # evaluates before ORDER BY / DISTINCT). All replacement
+        # expressions are computed against the PRE-replace frame in one
+        # select — mutually-referencing items (* REPLACE (b AS a, a AS
+        # b)) each see the original columns, and the star's column ORDER
+        # is unchanged (each slot keeps its position). A column both
+        # replaced/renamed and excluded, replaced/renamed twice, renamed
+        # onto a surviving name, or not present is an error.
         df_r = q.df()
         repl: dict[str, str] = {}
         for expr_text, col in spec.star_replace:
@@ -2512,10 +2538,30 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             if col in repl:
                 raise ParseError(f"duplicate REPLACE of column {col!r}")
             repl[col] = expr_text
+        ren: dict[str, str] = {}
+        for old, new in spec.star_rename:
+            if old not in df_r.columns:
+                raise ParseError(f"RENAME column not found: {old!r}")
+            if old in spec.star_exclude:
+                raise ParseError(
+                    f"column {old!r} is both RENAMEd and EXCLUDEd"
+                )
+            if old in ren:
+                raise ParseError(f"duplicate RENAME of column {old!r}")
+            ren[old] = new
+        # a rename target colliding with a surviving output name would
+        # make downstream references ambiguous — reject
+        targets = list(ren.values())
+        survivors = [ren.get(c, c) for c in df_r.columns]
+        for t in targets:
+            if survivors.count(t) > 1:
+                raise ParseError(f"RENAME target {t!r} is not unique")
         q = Query(
             df_r.select(
                 *[
-                    F.expr(repl[c]).alias(c) if c in repl else F.col(c)
+                    (
+                        F.expr(repl[c]) if c in repl else F.col(c)
+                    ).alias(ren.get(c, c))
                     for c in df_r.columns
                 ]
             )

@@ -725,10 +725,11 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
     shapes = [
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
         "cte_chain", "rollup", "in_sub_not", "union_mix",
-        "distinct_offset", "concat_chain", "star_replace",
+        "distinct_offset", "concat_chain", "star_replace", "star_rename",
     ]
     for trial in range(27):
         shape = shapes[trial % len(shapes)]
+        dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
             items = [
                 f.format(s="n_name") + f" AS p{j}"
@@ -821,6 +822,34 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     f"n_nationkey < {rng.randint(4, 12)}",
                 ]
             )
+        elif shape == "star_rename":
+            # round-12: * RENAME — DuckDB 1.0 predates the syntax (it is
+            # 1.3+), so the oracle is the hand-expanded projection of the
+            # same semantics (rename in place, ORDER BY binds to the new
+            # name)
+            if rng.random() < 0.5:
+                k = rng.randint(3, 8)
+                sql = (
+                    "SELECT * RENAME (n_name AS nation_name) FROM nation "
+                    f"ORDER BY nation_name DESC LIMIT {k}"
+                )
+                dsql = (
+                    "SELECT n_nationkey, n_name AS nation_name, "
+                    "n_regionkey FROM nation "
+                    f"ORDER BY nation_name DESC LIMIT {k}"
+                )
+            else:
+                k = rng.randint(4, 12)
+                sql = (
+                    "SELECT * RENAME (n_nationkey AS n_regionkey, "
+                    "n_regionkey AS n_nationkey) FROM nation "
+                    f"WHERE n_nationkey < {k}"
+                )
+                dsql = (
+                    "SELECT n_nationkey AS n_regionkey, n_name, "
+                    "n_regionkey AS n_nationkey FROM nation "
+                    f"WHERE n_nationkey < {k}"
+                )
         else:
             sql = (
                 "SELECT n_name || '-' || CAST(n_regionkey AS VARCHAR) || '!' "
@@ -829,6 +858,6 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             )
         sdf = _ref_select(spark, sf_dir, sql)
         got = canon([tuple(r) for r in sdf.collect()], sdf.columns)
-        res = con.execute(sql)
+        res = con.execute(dsql or sql)
         want = canon(res.fetchall(), [d[0] for d in res.description])
         assert got == want, f"{shape} trial {trial}: {sql!r}"

@@ -3090,6 +3090,63 @@ def test_star_replace_modifier(spark, tmp_path, sf_dir):
         )
 
 
+def test_star_rename_modifier(spark, tmp_path, sf_dir):
+    """Round-12 (verdict #7): SELECT * RENAME (col AS new) — the third
+    DuckDB star modifier (EXCLUDE r8, REPLACE r11). Renames in place
+    (values untouched, positions preserved), composes with EXCLUDE and
+    REPLACE, lets ORDER BY bind to the NEW name, and rejects unknown
+    sources, duplicate sources, colliding targets, and rename+exclude
+    contradictions."""
+    e = Engine(spark, str(tmp_path / "sren"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    base_cols = e.table("nation").columns
+    got = e.ref_sql(
+        "SELECT * RENAME (n_name AS nation_name) FROM nation "
+        "ORDER BY nation_name LIMIT 2"
+    )
+    assert got.columns == [
+        "nation_name" if c == "n_name" else c for c in base_cols
+    ]
+    assert [r.nation_name for r in got.collect()] == [
+        "NATION_0",
+        "NATION_1",
+    ]
+    # composes: REPLACE binds to the ORIGINAL name, RENAME relabels it
+    got = e.ref_sql(
+        "SELECT * REPLACE (lower(n_name) AS n_name) "
+        "RENAME (n_name AS nm) FROM nation WHERE n_nationkey = 4"
+    ).collect()[0]
+    assert got.nm == "nation_4"
+    # composes with EXCLUDE on a different column
+    got = e.ref_sql(
+        "SELECT * EXCLUDE (n_name) RENAME (n_regionkey AS rk) "
+        "FROM nation WHERE n_nationkey = 1"
+    )
+    assert "n_name" not in got.columns and "rk" in got.columns
+    # a two-column swap via rename only (targets unique post-rename)
+    got = e.ref_sql(
+        "SELECT * RENAME (n_nationkey AS n_regionkey, n_regionkey AS "
+        "n_nationkey) FROM nation WHERE n_name = 'NATION_9'"
+    ).collect()[0]
+    orig = e.table("nation").filter("n_nationkey = 9").collect()[0]
+    assert (got.n_regionkey, got.n_nationkey) == (
+        orig.n_nationkey,
+        orig.n_regionkey,
+    )
+    with pytest.raises(ParseError, match="not found"):
+        e.ref_sql("SELECT * RENAME (nope AS x) FROM nation")
+    with pytest.raises(ParseError, match="duplicate RENAME"):
+        e.ref_sql(
+            "SELECT * RENAME (n_name AS a, n_name AS b) FROM nation"
+        )
+    with pytest.raises(ParseError, match="not unique"):
+        e.ref_sql("SELECT * RENAME (n_name AS n_regionkey) FROM nation")
+    with pytest.raises(ParseError, match="RENAMEd and EXCLUDEd"):
+        e.ref_sql(
+            "SELECT * EXCLUDE (n_name) RENAME (n_name AS x) FROM nation"
+        )
+
+
 def test_truncate_table(spark, tmp_path, sf_dir):
     """Round-11: TRUNCATE keeps schema/partitioning, removes all rows,
     and a retained snapshot stays time-travelable."""
