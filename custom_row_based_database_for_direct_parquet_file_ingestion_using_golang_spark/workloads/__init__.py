@@ -20,87 +20,39 @@ from . import sketches  # noqa: F401, E402
 # prefix of the registered inventory per round, so the order below rotates
 # each round, strictly oldest-evidence-first. Rotation policy (restated
 # round-11, per the round-10 verdict): with 248 workloads over a 50-slot
-# window the minimum rotation period is 248/50 = 5.0 rounds, so the
+# window the minimum rotation period is 248/50 = 4.96 rounds, so the
 # BINDING rule is "no entry's newest driver row more than 5 rounds stale,
 # oldest-first" (new-in-round entries exempt — they debut in-window or as
-# next-round leads below the boundary). Round-11 curation: (0) new-in-
-# round-11 entries are inserted at the top as they land, displacing the
-# r7-green fillers at the window tail; (1) the two late-round-10 additions
-# that have NEVER been driver-checked; (2) the 39 r6-green entries
-# (5 rounds stale — at the policy limit, must all be checked this round);
-# (3) r7-green fillers (4 rounds stale) — scan_full_table/filter_compare
-# first (§2-core rows the r10 rotation accidentally dropped from the
-# gate; see the round-10 verdict). Below the boundary: the remaining
-# r7-green block (restored round-11 — the r10 rotate commit dropped it
-# from PRIORITY entirely) leads r12, then the former r8 window
-# (r8-green), then the round-9 window (r9-green), then the round-10
-# window (r10-green, freshest). Every name must exist in QUERIES;
-# ordered_queries() raises otherwise, and tests/test_oracle_parity.py
-# pins set(PRIORITY) == set(QUERIES) so a curation edit can never drop
-# an entry from the rotation again.
+# next-round leads below the boundary).
+#
+# REGISTRY FREEZE (round-12 decision, r11 verdict #3 option (a)): the
+# registry HOLDS at 248 — 248/50 = 4.96 is the ceiling of the ≤5-round
+# policy, so ANY net addition makes the policy arithmetically
+# unsatisfiable. New driver-visible workloads may land only by retiring
+# a genuinely redundant entry one-for-one (verdict-named candidates:
+# ann_lsh_top10 vs ann_ivf_top10 overlap; the corpus_pack_* siblings) or
+# after the driver widens the window. Depth work (operators, fuzz,
+# pytest, floors, docs) is unconstrained.
+#
+# Round-12 curation: (1) refsql_star_replace — the registry's only
+# never-checked entry — debuts first; (2) the full 48-entry r7-green
+# block (5 rounds stale, AT the policy limit, all drained this round);
+# (3) refsql_window_value_functions, the oldest r8-green, fills the
+# 50th slot (the r11 verdict queued both r8 fillers, but 1+48+2 = 51
+# overfills a 50-slot window — refsql_merge_source_delete is first
+# below the boundary instead and leads r13). Below the boundary: the
+# former r8 window (r8-green — 5 rounds stale at r13, all must drain
+# then), then r9-green (r13/r14), then r10-green, then the rotated-out
+# round-11 window (r11-green, freshest). Every name must exist in
+# QUERIES; ordered_queries() raises otherwise, and
+# tests/test_oracle_parity.py pins set(PRIORITY) == set(QUERIES) so a
+# curation edit can never drop an entry from the rotation again.
 PRIORITY: list[str] = [
-    # (0) new in round 11.
-    "ann_multiassign_recall",
-    "ann_matryoshka_top10",
-    "ann_hard_negatives",
-    "corpus_length_bucket_batches",
-    "refsql_unnest_tokens",
-    "events_skew_report",
-    "stream_append_exactly_once",
-    # (1) late round-10 additions — first-ever driver checks.
-    "corpus_doc_length_histogram",
-    "events_peak_hour_by_type",
-    # (2) r6-green — 5 rounds stale, oldest evidence in the registry.
-    "window_running_revenue",
-    "rollup_status_priority",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_orders_per_customer_distribution",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "corpus_domain_mix",
-    "corpus_token_budget_select",
-    "stream_static_enrich",
-    "agg_count_null_semantics",
-    "agg_group_implicit_count",
-    "filter_between",
-    "filter_in",
-    "refsql_distinct_order_limit",
-    "refsql_where_like_between",
-    "refsql_setops_orders",
-    "refsql_exists_subquery",
-    "refsql_isnull_distinct_agg",
-    "refsql_sample_nulls_order",
-    "refsql_stats_aggregates",
-    "refsql_cte_semi_join",
-    "refsql_grouped_window_rank",
-    "refsql_qualify_topk",
-    "refsql_scalar_subquery",
-    "refsql_rollup_orders",
-    "dedup_semantic_clusters",
-    "dedup_edit_distance",
-    "corpus_vocab_oov",
-    "corpus_sample_per_group",
-    "multimodal_jpeg_decode",
-    "multimodal_mjpeg_frame_sample",
-    "multimodal_mulaw_decode",
-    "multimodal_audio_spectrum",
-    "multimodal_tiff_decode",
-    "multimodal_webp_decode",
-    # (3) r7-green fillers (4 rounds stale) — §2-core scan/filter kept
-    # in-window per the round-10 verdict's headline defect.
-    "scan_full_table",
-    "filter_compare",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # first the late round-11 additions (never driver-checked — they
-    # debut in r12 with first-ever rows, the r10-precedented pattern):
+    # (1) first-ever driver check (late round-11 addition; judge-
+    # rehearsed green at sf0.01 in the r11 verdict).
     "refsql_star_replace",
-    # then the remaining r7-green block (4 rounds stale at r11; restored
-    # round-11 after the r10 rotation dropped it from PRIORITY) — it MUST
-    # lead the r12 window:
+    # (2) the 48-entry r7-green block — 5 rounds stale at r12, AT the
+    # policy limit: every entry must drain this round.
     "ann_quantized_top10",
     "refsql_join_customer_nation",
     "refsql_left_join_counts",
@@ -149,8 +101,14 @@ PRIORITY: list[str] = [
     "ts_gapfill_locf",
     "ts_linear_interpolate",
     "ts_ohlc_daily",
-    # former r8 window (r8-green, 3 rounds stale at r11) — fills r12.
+    # (3) oldest-r8 filler (the single remaining slot: 1 debut + 48
+    # r7-green leaves room for one of the two r8-green fillers the
+    # r11 verdict queued; the other leads r13 below the boundary).
     "refsql_window_value_functions",
+    # -- ~50-slot window boundary (50 entries above this line). Below:
+    # the former r8 window (r8-green, 4 rounds stale at r12) MUST lead
+    # r13 — at r13 it is 5 rounds stale, exactly at the policy limit
+    # again (the registry-freeze arithmetic; see header comment):
     "refsql_merge_source_delete",
     "skew_salted_join",
     "crossmodal_image_text_neardup",
@@ -301,6 +259,58 @@ PRIORITY: list[str] = [
     "window_lag_delta",
     "pivot_status_by_priority",
     "window_ntile_quartiles",
+    # round-11 window (r11-green, freshest evidence) — rotated to the
+    # tail after its r11 check; r14/r15 material.
+    "ann_multiassign_recall",
+    "ann_matryoshka_top10",
+    "ann_hard_negatives",
+    "corpus_length_bucket_batches",
+    "refsql_unnest_tokens",
+    "events_skew_report",
+    "stream_append_exactly_once",
+    "corpus_doc_length_histogram",
+    "events_peak_hour_by_type",
+    "window_running_revenue",
+    "rollup_status_priority",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_orders_per_customer_distribution",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "corpus_domain_mix",
+    "corpus_token_budget_select",
+    "stream_static_enrich",
+    "agg_count_null_semantics",
+    "agg_group_implicit_count",
+    "filter_between",
+    "filter_in",
+    "refsql_distinct_order_limit",
+    "refsql_where_like_between",
+    "refsql_setops_orders",
+    "refsql_exists_subquery",
+    "refsql_isnull_distinct_agg",
+    "refsql_sample_nulls_order",
+    "refsql_stats_aggregates",
+    "refsql_cte_semi_join",
+    "refsql_grouped_window_rank",
+    "refsql_qualify_topk",
+    "refsql_scalar_subquery",
+    "refsql_rollup_orders",
+    "dedup_semantic_clusters",
+    "dedup_edit_distance",
+    "corpus_vocab_oov",
+    "corpus_sample_per_group",
+    "multimodal_jpeg_decode",
+    "multimodal_mjpeg_frame_sample",
+    "multimodal_mulaw_decode",
+    "multimodal_audio_spectrum",
+    "multimodal_tiff_decode",
+    "multimodal_webp_decode",
+    "scan_full_table",
+    "filter_compare",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
