@@ -4,6 +4,7 @@ whole corpus evaluates in a single plan)."""
 
 from __future__ import annotations
 
+import os
 import random
 import string
 
@@ -545,7 +546,10 @@ def test_random_select_grammar_matches_duckdb_fuzz(spark, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    grng = random.Random(987654)
+    # Fresh-seed sweeps (round-12): the per-round sweep runs this same
+    # grammar with new seeds via SPARKDB_FUZZ_SEED; the pinned default
+    # keeps CI deterministic.
+    grng = random.Random(int(os.environ.get("SPARKDB_FUZZ_SEED", "987654")))
 
     def norm(v):
         if isinstance(v, float):
@@ -701,7 +705,11 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    rng = random.Random(24681357)
+    # Fresh-seed sweeps (round-12): same grammar, new seeds per round via
+    # SPARKDB_FUZZ_SEED (offset so the two sweeps never share a stream).
+    rng = random.Random(
+        int(os.environ.get("SPARKDB_FUZZ_SEED", "0")) * 7919 + 24681357
+    )
 
     def norm(v):
         if isinstance(v, bool):

@@ -482,6 +482,43 @@ def test_stream_append_exactly_once_replay_and_crash(spark, tmp_path, sf_dir):
     assert not os.path.exists(partial)
 
 
+def test_stream_append_exactly_once_legacy_ledger(spark, tmp_path, sf_dir):
+    """Round-12: a pre-r12 ledger (a bare JSON list of epoch ids) must
+    not crash the upgraded sink — it reads as an anonymous producer's
+    history, so a NEW producer's epoch 0 still lands."""
+    import json
+    import os
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.streaming.ops import (
+        read_events_stream,
+        stream_append_exactly_once,
+    )
+
+    e = Engine(spark, str(tmp_path / "leg"))
+    e.create_table(
+        "ev_sink",
+        [("event_id", "BIGINT"), ("user_id", "BIGINT"), ("value", "DOUBLE")],
+    )
+    ldir = os.path.join(e.store.root, ".stream_commits")
+    os.makedirs(ldir, exist_ok=True)
+    with open(os.path.join(ldir, "ev_sink.json"), "w") as f:
+        json.dump([0, 1], f)  # pre-r12 format: epoch ids only
+    src = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    q = stream_append_exactly_once(e, "ev_sink", src, app_id="fresh")
+    q.processAllAvailable()
+    q.stop()
+    n_raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert e.table("ev_sink").count() == n_raw
+    with open(os.path.join(ldir, "ev_sink.json")) as f:
+        data = json.load(f)
+    assert data[""] == [0, 1] and data["fresh"] == [0]
+
+
 def test_stream_append_exactly_once_partitioned(spark, tmp_path, sf_dir):
     """Round-12 (verdict #5): the exactly-once sink over a HIVE-
     PARTITIONED table — the primary 100-TB ingest shape. Epoch files
