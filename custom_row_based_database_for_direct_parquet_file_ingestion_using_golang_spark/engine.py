@@ -366,11 +366,20 @@ class Engine:
         return F.expr(where) if isinstance(where, str) else where
 
     def update(
-        self, name: str, set_values: dict[str, Any], where: Column | str | None = None
+        self,
+        name: str,
+        set_values: dict[str, Any],
+        where: Column | str | None = None,
+        frame: DataFrame | None = None,
     ) -> int:
         """UPDATE via copy-on-write: read snapshot → conditional withColumn →
         staged overwrite + atomic swap. No WHERE ⇒ all rows (reference
-        update.go:87-98). Returns the matched-row count."""
+        update.go:87-98). Returns the matched-row count.
+
+        ``frame`` (round-12): an optional pre-built frame — the table plus
+        helper predicate columns (e.g. IN-subquery membership booleans the
+        dialect materializes as joins). Helper columns never reach storage:
+        the write projects the declared schema only."""
         from pyspark.sql import Observation
 
         meta = self.catalog.get(name)
@@ -378,7 +387,7 @@ class Engine:
         for cname in set_values:
             if cname not in declared:
                 raise ValueError(f"unknown SET column '{cname}'")
-        df = self.table(name)
+        df = self.table(name) if frame is None else frame
         cond = self._where_col(where)
         # Matched-row count via the Observation API: piggybacks on the
         # copy-on-write pass, so the table is scanned ONCE (the reference
@@ -405,25 +414,39 @@ class Engine:
             df = df.withColumn(
                 cname, F.when(F.col(mcol), target).otherwise(F.col(cname))
             )
-        self.store.overwrite(name, df.drop(mcol), meta.partition_by)
+        self.store.overwrite(
+            name,
+            df.select(*[F.col(c.name) for c in meta.columns]),
+            meta.partition_by,
+        )
         return obs.get["matched"] or 0
 
-    def delete(self, name: str, where: Column | str) -> int:
+    def delete(
+        self,
+        name: str,
+        where: Column | str,
+        frame: DataFrame | None = None,
+    ) -> int:
         """DELETE requires a predicate — parity with the reference's safety
-        guard ('DELETE without WHERE is not allowed', delete.go:33)."""
+        guard ('DELETE without WHERE is not allowed', delete.go:33).
+        ``frame`` as in :meth:`update` (round-12)."""
         from pyspark.sql import Observation
 
         if where is None:
             raise ValueError("DELETE without WHERE is not allowed for safety")
         meta = self.catalog.get(name)
-        df = self.table(name)
+        df = self.table(name) if frame is None else frame
         # NULL predicate ⇒ row is NOT deleted (SQL: DELETE only where the
         # predicate is TRUE, not NULL) — coalesce makes ~cond keep it.
         cond = F.coalesce(self._where_col(where), F.lit(False))
         # Single pass: count the doomed rows while writing the survivors.
         obs = Observation()
         df = df.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("doomed"))
-        self.store.overwrite(name, df.filter(~cond), meta.partition_by)
+        self.store.overwrite(
+            name,
+            df.filter(~cond).select(*[F.col(c.name) for c in meta.columns]),
+            meta.partition_by,
+        )
         return obs.get["doomed"] or 0
 
     # ---- maintenance ------------------------------------------------------

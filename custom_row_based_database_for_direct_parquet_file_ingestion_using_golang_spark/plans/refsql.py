@@ -610,9 +610,21 @@ class ExprParser:
 
     COMPARATORS = ("=", "!=", "<>", "<=", ">=", "<", ">")
 
-    def __init__(self, cur: _Cursor, weak_typing: bool = False, resolver=None):
+    def __init__(
+        self,
+        cur: _Cursor,
+        weak_typing: bool = False,
+        resolver=None,
+        conjunct_in_joins: bool = True,
+    ):
         self.cur = cur
         self.weak = weak_typing
+        # Round-12: when False, even top-level-conjunct IN (SELECT ...)
+        # predicates take the boolean-membership-COLUMN path instead of
+        # the semi/anti-join marker — the DML (UPDATE/DELETE) surface has
+        # no FROM-resolution stage to apply join markers, but can
+        # materialize membership columns on the table frame.
+        self.conjunct_in_joins = conjunct_in_joins
         # IN (SELECT ...) markers collected during the parse — the caller
         # rewrites them as semi/anti joins. Only valid as top-level AND
         # conjuncts of a WHERE (the standard first-class restriction: a
@@ -981,7 +993,7 @@ class ExprParser:
                 )
                 if self.cur.next() != ")":
                     raise ParseError("expected ')' after subquery")
-                if not self._sub_ok:
+                if not self._sub_ok or not self.conjunct_in_joins:
                     ph = f"__subq_inbool_{len(self.bool_in_subqueries)}"
                     self.bool_in_subqueries.append((ph, name, spec2, clauses2))
                     out = F.col(ph)
@@ -3840,13 +3852,13 @@ class RefSQL:
                 continue
             break
         where = None
+        frame = None
         if cur.peek_kw() == "where":
             cur.next()
-            up = ExprParser(cur, self.weak, self._scalar)
+            up = ExprParser(cur, self.weak, self._scalar, conjunct_in_joins=False)
             where = up.parse()
-            if up.subqueries:
-                raise ParseError("IN (SELECT ...) is not supported in UPDATE")
-        return self.engine.update(table, sets, where)
+            frame = self._dml_frame(table, up, "UPDATE")
+        return self.engine.update(table, sets, where, frame=frame)
 
     def _delete(self, cur: _Cursor) -> int:
         cur.expect_kw("delete")
@@ -3856,11 +3868,35 @@ class RefSQL:
             # Mandatory WHERE — reference safety guard (delete.go:33).
             raise ParseError("DELETE without WHERE is not allowed for safety")
         cur.next()
-        dp = ExprParser(cur, self.weak, self._scalar)
+        dp = ExprParser(cur, self.weak, self._scalar, conjunct_in_joins=False)
         where = dp.parse()
-        if dp.subqueries:
-            raise ParseError("IN (SELECT ...) is not supported in DELETE")
-        return self.engine.delete(table, where)
+        frame = self._dml_frame(table, dp, "DELETE")
+        return self.engine.delete(table, where, frame=frame)
+
+    def _dml_frame(self, table: str, ep: "ExprParser", verb: str):
+        """Round-12: materialize ``x [NOT] IN (SELECT ...)`` predicates in
+        UPDATE/DELETE as three-valued membership COLUMNS on the table
+        frame (the _bool_in_column join rewrite the SELECT path uses in
+        non-conjunct positions), so ``DELETE FROM docs WHERE id IN
+        (SELECT doc_id FROM contaminated)`` — the canonical
+        decontamination DML — runs as ONE distributed join + copy-on-write
+        rewrite, never a driver-side value list. Returns None when the
+        predicate needs no helper columns (the engine reads the table
+        itself). EXISTS and correlated scalars stay out of DML scope."""
+        if ep.exists_subqueries:
+            raise ParseError(
+                f"EXISTS subqueries are not supported in {verb}"
+            )
+        if ep.correlated_scalars:
+            raise ParseError(
+                f"correlated scalar subqueries are not supported in {verb}"
+            )
+        if not ep.bool_in_subqueries:
+            return None
+        df = self.engine.table(table)
+        for ph, lname, spec2, clauses2 in ep.bool_in_subqueries:
+            df = self._bool_in_column(df, ph, lname, spec2, clauses2)
+        return df
 
     def _merge(self, cur: _Cursor) -> int:
         """Dialect extension (round-7/8): ``MERGE INTO t USING s [AS a] ON

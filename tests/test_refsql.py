@@ -637,8 +637,69 @@ def test_in_subquery_conjuncts_nesting_and_errors(spark, tmp_path):
     assert got == [1, 2, 3]
     with pytest.raises(ParseError, match="exactly one column"):
         e.ref_sql("SELECT * FROM t WHERE k IN (SELECT k, grp FROM s)")
-    with pytest.raises(ParseError, match="not supported in UPDATE"):
-        e.ref_sql("UPDATE t SET grp = 'x' WHERE k IN (SELECT k FROM s)")
+    # round-12: IN (SELECT ...) now works in DML — see
+    # test_dml_in_subqueries for the full matrix
+    n = e.ref_sql("UPDATE t SET grp = 'x' WHERE k IN (SELECT k FROM s)")
+    assert n == 2
+    assert sorted(
+        (r.k, r.grp) for r in e.table("t").collect()
+    ) == [(1, "a"), (2, "x"), (3, "x"), (4, "b")]
+
+
+def test_dml_in_subqueries(spark, tmp_path, sf_dir):
+    """Round-12: ``UPDATE/DELETE ... WHERE x [NOT] IN (SELECT ...)`` —
+    the canonical decontamination DML (delete documents whose ids appear
+    in a denylist table). Membership materializes as the SELECT path's
+    three-valued boolean column (a distributed join, never a driver-side
+    value list); ANSI semantics hold: DELETE removes only TRUE rows (a
+    NULL-membership row survives), NOT IN against a subquery containing
+    NULL matches nothing."""
+    e = Engine(spark, str(tmp_path / "dmlsub"))
+    e.ref_sql("CREATE TABLE docs (id INT, label TEXT)")
+    for i, lab in [(1, "keep"), (2, "keep"), (3, "keep"), (4, "keep")]:
+        e.ref_sql(f"INSERT INTO docs VALUES ({i}, '{lab}')")
+    e.ref_sql("INSERT INTO docs VALUES (NULL, 'nullrow')")
+    e.ref_sql("CREATE TABLE denylist (doc_id INT)")
+    e.ref_sql("INSERT INTO denylist VALUES (2)")
+    e.ref_sql("INSERT INTO denylist VALUES (3)")
+    # DELETE ... IN: only the TRUE rows die; the NULL-id row survives
+    n = e.ref_sql(
+        "DELETE FROM docs WHERE id IN (SELECT doc_id FROM denylist)"
+    )
+    assert n == 2
+    left = sorted(
+        (r.id if r.id is not None else -1) for r in e.table("docs").collect()
+    )
+    assert left == [-1, 1, 4]
+    # UPDATE ... NOT IN composes with ordinary conjuncts
+    n = e.ref_sql(
+        "UPDATE docs SET label = 'clean' "
+        "WHERE id NOT IN (SELECT doc_id FROM denylist) AND id >= 4"
+    )
+    assert n == 1
+    assert {
+        (r.id if r.id is not None else -1): r.label
+        for r in e.table("docs").collect()
+    } == {1: "keep", 4: "clean", -1: "nullrow"}
+    # ANSI trap: a NULL in the subquery makes NOT IN delete nothing
+    e.ref_sql("INSERT INTO denylist VALUES (NULL)")
+    assert (
+        e.ref_sql(
+            "DELETE FROM docs WHERE id NOT IN (SELECT doc_id FROM denylist)"
+        )
+        == 0
+    )
+    # self-referencing subquery reads the pre-delete snapshot
+    n = e.ref_sql(
+        "DELETE FROM docs WHERE id IN "
+        "(SELECT id FROM docs WHERE label = 'clean')"
+    )
+    assert n == 1
+    # EXISTS stays out of DML scope, with a clear error
+    with pytest.raises(ParseError, match="not supported in DELETE"):
+        e.ref_sql(
+            "DELETE FROM docs WHERE EXISTS (SELECT 1 FROM denylist)"
+        )
 
 
 def test_value_expressions_in_projections_and_aggregates(spark, tmp_path):
