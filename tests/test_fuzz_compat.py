@@ -869,3 +869,90 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         res = con.execute(dsql or sql)
         want = canon(res.fetchall(), [d[0] for d in res.description])
         assert got == want, f"{shape} trial {trial}: {sql!r}"
+
+
+def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
+    """Round-12: differential DML sweep — the same randomized INSERT /
+    UPDATE / DELETE sequence (including ``[NOT] IN (SELECT ...)``
+    predicates, the round-12 DML extension) applied through the dialect's
+    copy-on-write engine and through DuckDB on identical tables; the full
+    table contents must agree after EVERY statement, so a mis-scoped
+    predicate, a dropped NULL row, or a double-applied SET surfaces at
+    the statement that caused it. Seeded via SPARKDB_FUZZ_SEED like the
+    grammar sweeps."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark import (
+        Engine,
+    )
+
+    e = Engine(spark, str(tmp_path / "dmlfuzz"))
+    con = duckdb.connect()
+    e.ref_sql("CREATE TABLE t (id INT, grp TEXT, v INT)")
+    con.execute("CREATE TABLE t (id INT, grp TEXT, v INT)")
+    e.ref_sql("CREATE TABLE dl (id INT)")
+    con.execute("CREATE TABLE dl (id INT)")
+    rng = random.Random(
+        int(os.environ.get("SPARKDB_FUZZ_SEED", "0")) * 104729 + 55501
+    )
+
+    def both(stmt: str):
+        e.ref_sql(stmt)
+        con.execute(stmt)
+
+    def state():
+        got = sorted(
+            (str(r.id), str(r.grp), str(r.v))
+            for r in e.table("t").collect()
+        )
+        want = sorted(
+            tuple(str(c) for c in row)
+            for row in con.execute("SELECT id, grp, v FROM t").fetchall()
+        )
+        return got, want
+
+    # seed rows (one NULL id — the three-valued DML edge)
+    for i in range(8):
+        both(f"INSERT INTO t VALUES ({i}, 'g{i % 3}', {i * 10})")
+    both("INSERT INTO t VALUES (NULL, 'gnull', 5)")
+    both(f"INSERT INTO dl VALUES ({rng.randint(0, 7)})")
+    next_id = 100
+    for step in range(14):
+        kind = rng.choice(
+            ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain"]
+        )
+        if kind == "ins":
+            stmt = (
+                f"INSERT INTO t VALUES ({next_id}, 'g{rng.randint(0, 3)}', "
+                f"{rng.randint(0, 99)})"
+            )
+            next_id += 1
+        elif kind == "ins_dl":
+            stmt = f"INSERT INTO dl VALUES ({rng.randint(0, 7)})"
+        elif kind == "upd_in":
+            neg = rng.choice(["", "NOT "])
+            stmt = (
+                f"UPDATE t SET v = {rng.randint(100, 999)} "
+                f"WHERE id {neg}IN (SELECT id FROM dl WHERE id < "
+                f"{rng.randint(1, 9)}) AND v < {rng.randint(20, 200)}"
+            )
+        elif kind == "upd_plain":
+            stmt = (
+                f"UPDATE t SET grp = 'x{step}' "
+                f"WHERE v BETWEEN {rng.randint(0, 40)} AND "
+                f"{rng.randint(50, 400)}"
+            )
+        elif kind == "del_in":
+            neg = rng.choice(["", "NOT "])
+            stmt = (
+                f"DELETE FROM t WHERE id {neg}IN "
+                f"(SELECT id FROM dl WHERE id % 2 = {rng.randint(0, 1)})"
+            )
+        else:
+            stmt = (
+                f"DELETE FROM t WHERE v > {rng.randint(300, 900)} "
+                f"AND grp = 'g{rng.randint(0, 3)}'"
+            )
+        both(stmt)
+        got, want = state()
+        assert got == want, f"step {step}: {stmt!r}\n{got}\n{want}"
