@@ -409,11 +409,23 @@ class Engine:
         df = df.observe(
             obs, F.sum(F.when(F.col(mcol), 1).otherwise(0)).alias("matched")
         )
+        # One select, not chained withColumn: every SET target evaluates
+        # against the row's ORIGINAL values (standard SQL — ``SET a = b,
+        # b = a`` swaps). Values may be plain literals (reference parity)
+        # or Columns (round-12 expression SET, e.g. ``SET v = v + 1``).
+        targets = {}
         for cname, val in set_values.items():
-            target = F.lit(val).cast(declared[cname].spark_type)
-            df = df.withColumn(
-                cname, F.when(F.col(mcol), target).otherwise(F.col(cname))
+            src = val if isinstance(val, Column) else F.lit(val)
+            target = src.cast(declared[cname].spark_type)
+            targets[cname] = F.when(F.col(mcol), target).otherwise(
+                F.col(cname)
             )
+        df = df.select(
+            *[
+                targets[c].alias(c) if c in targets else F.col(c)
+                for c in df.columns
+            ]
+        )
         self.store.overwrite(
             name,
             df.select(*[F.col(c.name) for c in meta.columns]),

@@ -3841,12 +3841,67 @@ class RefSQL:
             col = _unquote(cur.next())
             if cur.next() != "=":
                 raise ParseError("expected '=' in SET")
-            tok = cur.next()
-            if tok.upper() == "NULL":
-                sets[col] = None
+            # Round-12: the SET value is a full expression — captured
+            # balanced to the next top-level ',' or WHERE and compiled
+            # via Catalyst (``SET v = v + 1``, ``SET g = upper(g)``). A
+            # single token keeps the reference's literal semantics
+            # (typed coercion; a bare word is a string, update.go). An
+            # uncorrelated scalar subquery executes eagerly to a literal
+            # (the WHERE path's inline-the-scalar strategy).
+            if cur.peek() == "(" and cur.peek_kw(1) == "select":
+                cur.next()  # '('
+                spec2, _, clauses2 = parse_select(
+                    cur, self.weak, resolver=self._scalar, subquery=True
+                )
+                if cur.next() != ")":
+                    raise ParseError("expected ')' after scalar subquery")
+                sets[col] = self._scalar(spec2, clauses2)
+                if cur.peek() == ",":
+                    cur.next()
+                    continue
+                if cur.peek() is not None and cur.peek_kw() != "where":
+                    raise ParseError(
+                        "arithmetic around a scalar subquery is not "
+                        "supported in SET (compute it inside the subquery)"
+                    )
+                break
+            buf: list[str] = []
+            depth = 0
+            while True:
+                t = cur.peek()
+                if t is None:
+                    break
+                if depth == 0 and (t == "," or cur.peek_kw() == "where"):
+                    break
+                t = cur.next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        raise ParseError("unbalanced ')' in SET value")
+                    depth -= 1
+                buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+            if not buf:
+                raise ParseError("SET needs a value expression")
+            if len(buf) == 1:
+                tok = buf[0]
+                if tok.upper() == "NULL":
+                    sets[col] = None
+                elif (
+                    not _is_string_lit(tok)
+                    and _literal_value(tok) is None
+                    and _unquote(tok)
+                    in {c.name for c in self.engine.catalog.get(table).columns}
+                ):
+                    # a bare token naming a DECLARED column is a column
+                    # reference (``SET v = w``); any other bare word keeps
+                    # the reference's word-is-a-string semantics
+                    sets[col] = F.col(_unquote(tok))
+                else:
+                    lit = _literal_value(tok)
+                    sets[col] = lit if lit is not None else _unquote(tok)
             else:
-                lit = _literal_value(tok)
-                sets[col] = lit if lit is not None else _unquote(tok)
+                sets[col] = F.expr(" ".join(buf))
             if cur.peek() == ",":
                 cur.next()
                 continue

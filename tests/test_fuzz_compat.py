@@ -919,7 +919,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
     next_id = 100
     for step in range(14):
         kind = rng.choice(
-            ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain"]
+            ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain",
+             "upd_expr", "upd_swapish"]
         )
         if kind == "ins":
             stmt = (
@@ -941,6 +942,18 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
                 f"UPDATE t SET grp = 'x{step}' "
                 f"WHERE v BETWEEN {rng.randint(0, 40)} AND "
                 f"{rng.randint(50, 400)}"
+            )
+        elif kind == "upd_expr":
+            # round-12 expression SET — identical syntax in DuckDB
+            stmt = (
+                f"UPDATE t SET v = v + {rng.randint(1, 9)} "
+                f"WHERE id % {rng.randint(2, 4)} = 0"
+            )
+        elif kind == "upd_swapish":
+            # both targets must see ORIGINAL values (standard SQL)
+            stmt = (
+                f"UPDATE t SET v = v * 2, grp = grp || '_{step}' "
+                f"WHERE v < {rng.randint(30, 300)}"
             )
         elif kind == "del_in":
             neg = rng.choice(["", "NOT "])

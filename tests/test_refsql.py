@@ -646,6 +646,50 @@ def test_in_subquery_conjuncts_nesting_and_errors(spark, tmp_path):
     ) == [(1, "a"), (2, "x"), (3, "x"), (4, "b")]
 
 
+def test_update_set_expressions(spark, tmp_path):
+    """Round-12: UPDATE SET takes full expressions compiled via Catalyst
+    — arithmetic over the row (``v = v + 1``), function calls, and
+    multi-column swaps where every SET target evaluates against the
+    row's ORIGINAL values (standard SQL). Single-token values keep the
+    reference's literal semantics: numbers/strings/NULL as before, a
+    bare word that names a DECLARED column is a column reference, any
+    other bare word is still a string (reference parity)."""
+    e = Engine(spark, str(tmp_path / "updx"))
+    e.ref_sql("CREATE TABLE t (id INT, v INT, w INT, g TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 10, 100, 'a')")
+    e.ref_sql("INSERT INTO t VALUES (2, 20, 200, 'b')")
+    assert e.ref_sql("UPDATE t SET v = v + 1 WHERE id = 1") == 1
+    assert {r.id: r.v for r in e.table("t").collect()} == {1: 11, 2: 20}
+    # swap: both targets see pre-update values
+    assert e.ref_sql("UPDATE t SET v = w, w = v WHERE id = 2") == 1
+    row = e.table("t").filter("id = 2").collect()[0]
+    assert (row.v, row.w) == (200, 20)
+    # negative literal (lexes as two tokens -> expression path)
+    assert e.ref_sql("UPDATE t SET v = -5 WHERE id = 1") == 1
+    assert e.table("t").filter("id = 1").collect()[0].v == -5
+    # function call over a TEXT column
+    assert e.ref_sql("UPDATE t SET g = upper(g) WHERE id = 2") == 1
+    assert e.table("t").filter("id = 2").collect()[0].g == "B"
+    # reference parity: a bare word that is NOT a column stays a string
+    assert e.ref_sql("UPDATE t SET g = freeword WHERE id = 1") == 1
+    assert e.table("t").filter("id = 1").collect()[0].g == "freeword"
+    # expression composes with the round-12 IN-subquery predicate
+    e.ref_sql("CREATE TABLE dl (id INT)")
+    e.ref_sql("INSERT INTO dl VALUES (2)")
+    assert (
+        e.ref_sql(
+            "UPDATE t SET v = v * 10 WHERE id IN (SELECT id FROM dl)"
+        )
+        == 1
+    )
+    assert e.table("t").filter("id = 2").collect()[0].v == 2000
+    # uncorrelated scalar subquery executes eagerly to a literal
+    assert e.ref_sql("UPDATE t SET w = (SELECT MAX(v) FROM t) WHERE id = 1") == 1
+    assert e.table("t").filter("id = 1").collect()[0].w == 2000
+    with pytest.raises(ParseError, match="arithmetic around"):
+        e.ref_sql("UPDATE t SET w = (SELECT MAX(v) FROM t) * 2 WHERE id = 1")
+
+
 def test_dml_in_subqueries(spark, tmp_path, sf_dir):
     """Round-12: ``UPDATE/DELETE ... WHERE x [NOT] IN (SELECT ...)`` —
     the canonical decontamination DML (delete documents whose ids appear
