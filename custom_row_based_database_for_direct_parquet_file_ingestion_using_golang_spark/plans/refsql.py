@@ -2578,6 +2578,22 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
                 ]
             )
         )
+    if spec.star and spec.star_exclude and spec.distinct:
+        # Round-12: DISTINCT dedups the post-EXCLUDE output (DuckDB) —
+        # drop the columns BEFORE the distinct, or rows differing only
+        # in an excluded column would survive as duplicates. Without
+        # DISTINCT the drop stays post-ORDER BY (below) so ordering may
+        # still reference an excluded column — also the DuckDB contract
+        # (its DISTINCT conversely rejects ordering by a non-output
+        # column, which the dropped frame reproduces as an unresolved-
+        # column error).
+        df_e = q.df()
+        missing = [c for c in spec.star_exclude if c not in df_e.columns]
+        if missing:
+            raise ParseError(f"EXCLUDE columns not found: {missing}")
+        if len(spec.star_exclude) >= len(df_e.columns):
+            raise ParseError("EXCLUDE cannot remove every column")
+        q = Query(df_e.drop(*spec.star_exclude))
     if "order_by" in clauses:
         for col, desc, nulls in clauses["order_by"]:
             q.order_by(col, desc=desc, nulls=nulls)
@@ -2637,10 +2653,11 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             cols.append(F.col("count"))
         q.select(*cols)
     out = q.df()
-    if spec.star and spec.star_exclude:
+    if spec.star and spec.star_exclude and not spec.distinct:
         # Round-8: SELECT * EXCLUDE (c1, ...) — the wide-table ergonomic
         # (DuckDB/Snowflake/Databricks). Validated against the frame so a
-        # typo errors instead of silently excluding nothing.
+        # typo errors instead of silently excluding nothing. (With
+        # DISTINCT the drop already happened pre-dedup above.)
         missing = [c for c in spec.star_exclude if c not in out.columns]
         if missing:
             raise ParseError(f"EXCLUDE columns not found: {missing}")

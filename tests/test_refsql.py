@@ -2144,6 +2144,13 @@ def test_star_exclude(engine):
         "SELECT DISTINCT * EXCLUDE (id, name) FROM students WHERE id <= 2"
     ).collect()
     assert sorted(r["course"] for r in d) == ["AI/ML", "Mech"]
+    # round-12: DISTINCT dedups the POST-exclude output (DuckDB) — rows
+    # differing only in the excluded unique id collapse
+    d = engine.ref_sql(
+        "SELECT DISTINCT * EXCLUDE (id, name) FROM students"
+    ).collect()
+    courses = [r["course"] for r in d]
+    assert len(courses) == len(set(courses))
     with pytest.raises(ParseError, match="not found"):
         engine.ref_sql("SELECT * EXCLUDE (nope) FROM students")
     with pytest.raises(ParseError, match="every column"):
