@@ -310,6 +310,120 @@ def _expand_cast_shorthand(toks: list[str]) -> list[str]:
     return out
 
 
+_QUALIFY_HIDDEN = "__qualify_w"
+
+
+def _hoist_qualify_windows(toks: list[str]) -> list[str]:
+    """Round-12: inline window calls in QUALIFY — DuckDB's primary idiom
+    ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY v) <= k`` — by
+    hoisting each ``fn(args) OVER (...)`` call into the SELECT list as a
+    hidden window item (``, fn(args) OVER (...) AS __qualify_w<k>``,
+    inserted before that SELECT's FROM) and replacing the call in the
+    QUALIFY predicate with the alias. The clause-level window machinery
+    then computes it, QUALIFY filters on it, and the executor drops the
+    hidden column from the output (star and projection paths both).
+    Scoped per SELECT like ``_inline_named_windows``: subquery groups
+    recurse, and each QUALIFY's items insert before the nearest
+    preceding top-level FROM, so set-op arms stay independent."""
+    out: list[str] = []
+    i, n = 0, len(toks)
+    # recurse into subquery scopes first
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            j = _match_paren(toks, i)
+            inner = toks[i + 1 : j]
+            if inner and inner[0].lower() in ("select", "with"):
+                out.extend(["("] + _hoist_qualify_windows(inner) + [")"])
+                i = j + 1
+                continue
+        out.append(t)
+        i += 1
+    toks = out
+    n = len(toks)
+    stops = {"order", "limit", "offset", "window",
+             "union", "intersect", "except"}
+    res: list[str] = []
+    i = 0
+    counter = 0
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            # subquery groups were rewritten above — copy them opaque
+            j = _match_paren(toks, i)
+            res.extend(toks[i : j + 1])
+            i = j + 1
+            continue
+        if t.lower() != "qualify":
+            res.append(t)
+            i += 1
+            continue
+        # find the nearest preceding top-level FROM in what we've built
+        f = None
+        depth = 0
+        for k in range(len(res) - 1, -1, -1):
+            if res[k] == ")":
+                depth += 1
+            elif res[k] == "(":
+                depth -= 1
+            elif depth == 0 and res[k].lower() == "from":
+                f = k
+                break
+        if f is None:
+            res.append(t)
+            i += 1
+            continue
+        # region of the QUALIFY predicate
+        j = i + 1
+        depth = 0
+        while j < n:
+            tj = toks[j]
+            if tj == "(":
+                depth += 1
+            elif tj == ")":
+                depth -= 1
+            elif depth == 0 and tj.lower() in stops:
+                break
+            j += 1
+        region = toks[i + 1 : j]
+        # hoist ident ( ... ) OVER ( ... ) calls out of the region
+        hoisted: list[list[str]] = []
+        newreg: list[str] = []
+        k = 0
+        m = len(region)
+        while k < m:
+            tk = region[k]
+            if (
+                re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", tk)
+                and k + 1 < m
+                and region[k + 1] == "("
+            ):
+                c = _match_paren(region, k + 1)
+                if (
+                    c + 2 < m
+                    and region[c + 1].lower() == "over"
+                    and region[c + 2] == "("
+                ):
+                    e = _match_paren(region, c + 2)
+                    hoisted.append(region[k : e + 1])
+                    newreg.append(f"{_QUALIFY_HIDDEN}{counter}")
+                    counter += 1
+                    k = e + 1
+                    continue
+            newreg.append(tk)
+            k += 1
+        if hoisted:
+            items: list[str] = []
+            for idx, call in enumerate(hoisted):
+                alias = f"{_QUALIFY_HIDDEN}{counter - len(hoisted) + idx}"
+                items.extend([","] + call + ["as", alias])
+            res[f:f] = items  # insert before FROM
+        res.append("qualify")
+        res.extend(newreg)
+        i = j
+    return res
+
+
 def _inline_named_windows(toks: list[str]) -> list[str]:
     """Round-10: inline every ``WINDOW w AS (...)`` definition at the
     token level — rewrite each ``OVER w`` reference to ``OVER ( <def> )``
@@ -2483,7 +2597,9 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             )
         # Window aliases become plain projectable columns downstream.
         spec.projections = spec.projections + [
-            (alias, None) for _, _, alias, _, _, _ in spec.windows
+            (alias, None)
+            for _, _, alias, _, _, _ in spec.windows
+            if not alias.startswith(_QUALIFY_HIDDEN)
         ]
         if "qualify" in clauses:
             df = df.filter(clauses["qualify"])
@@ -2521,7 +2637,9 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
                 alias, _window_column(fn, args, part, order, frame)
             )
         spec.projections = spec.projections + [
-            (alias, None) for _, _, alias, _, _, _ in spec.windows
+            (alias, None)
+            for _, _, alias, _, _, _ in spec.windows
+            if not alias.startswith(_QUALIFY_HIDDEN)
         ]
         if "qualify" in clauses:
             df = df.filter(clauses["qualify"])
@@ -2667,7 +2785,11 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     # Round-9: boolean-IN / correlated-scalar placeholder columns are
     # internal — they exist so the WHERE can reference them; a SELECT *
     # must not surface them.
-    leak = [c for c in out.columns if c.startswith("__subq_")]
+    leak = [
+        c
+        for c in out.columns
+        if c.startswith("__subq_") or c.startswith(_QUALIFY_HIDDEN)
+    ]
     if leak:
         out = out.drop(*leak)
     return out
@@ -3248,6 +3370,8 @@ class RefSQL:
             raise ParseError("empty statement")
         if any(t.lower() == "window" for t in toks):
             toks = _inline_named_windows(toks)
+        if any(t.lower() == "qualify" for t in toks):
+            toks = _hoist_qualify_windows(toks)
         verb = toks[0].lower()
         cur = _Cursor(toks)
         self._ctes = {}
@@ -3957,7 +4081,8 @@ class RefSQL:
         itself). EXISTS and correlated scalars stay out of DML scope."""
         if ep.exists_subqueries:
             raise ParseError(
-                f"EXISTS subqueries are not supported in {verb}"
+                f"EXISTS subqueries are not supported in {verb} — rewrite "
+                "an equality correlation as x IN (SELECT k FROM ...)"
             )
         if ep.correlated_scalars:
             raise ParseError(

@@ -734,6 +734,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
         "cte_chain", "rollup", "in_sub_not", "union_mix",
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
+        "qualify", "grouping_sets", "distinct_on",
     ]
     for trial in range(27):
         shape = shapes[trial % len(shapes)]
@@ -862,6 +863,29 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "n_regionkey AS n_nationkey FROM nation "
                     f"WHERE n_nationkey < {k}"
                 )
+        elif shape == "qualify":
+            # round-12: QUALIFY through the dialect vs DuckDB's native
+            # QUALIFY — per-group top-k in one statement
+            sql = (
+                "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+                f"WHERE o_custkey < {rng.randint(40, 120)} "
+                "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+                f"ORDER BY o_totalprice DESC) <= {rng.randint(1, 3)}"
+            )
+        elif shape == "grouping_sets":
+            sql = (
+                "SELECT o_orderstatus AS s, o_orderpriority AS p, "
+                "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+                "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+                f"({rng.choice(['o_orderstatus', 'o_orderpriority'])}), ())"
+            )
+        elif shape == "distinct_on":
+            d = rng.choice(["ASC", "DESC"])
+            sql = (
+                "SELECT DISTINCT ON (l_returnflag) l_returnflag, "
+                "l_orderkey, l_quantity FROM lineitem "
+                f"ORDER BY l_returnflag, l_quantity {d}, l_orderkey"
+            )
         else:
             sql = (
                 "SELECT n_name || '-' || CAST(n_regionkey AS VARCHAR) || '!' "

@@ -3202,6 +3202,40 @@ def test_star_replace_modifier(spark, tmp_path, sf_dir):
         )
 
 
+def test_qualify_inline_window(spark, tmp_path, sf_dir):
+    """Round-12: QUALIFY with an INLINE window call — DuckDB's primary
+    idiom (``QUALIFY row_number() OVER (...) <= k``) — hoists the call
+    into a hidden SELECT-list window item and filters on it; the hidden
+    column never reaches the output (star or projection), composes with
+    boolean operators, and set-op arms hoist independently."""
+    e = Engine(spark, str(tmp_path / "qiw"))
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    got = e.ref_sql(
+        "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey < 30 "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1"
+    )
+    assert got.columns == ["o_custkey", "o_orderkey"]  # hidden col dropped
+    per_key = {}
+    for r in got.collect():
+        per_key.setdefault(r.o_custkey, []).append(r.o_orderkey)
+    assert all(len(v) == 1 for v in per_key.values())
+    # star output drops the hidden column too
+    star = e.ref_sql(
+        "SELECT * FROM orders WHERE o_custkey < 10 "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderkey) = 1"
+    )
+    assert star.columns == e.table("orders").columns
+    # composes under OR with plain predicates
+    both = e.ref_sql(
+        "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey < 30 "
+        "QUALIFY rank() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC) = 1 OR o_custkey = 7"
+    ).count()
+    assert both >= len(per_key)
+
+
 def test_star_rename_modifier(spark, tmp_path, sf_dir):
     """Round-12 (verdict #7): SELECT * RENAME (col AS new) — the third
     DuckDB star modifier (EXCLUDE r8, REPLACE r11). Renames in place
