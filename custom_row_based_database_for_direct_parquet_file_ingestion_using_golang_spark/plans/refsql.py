@@ -111,6 +111,18 @@ Round-7 extensions:
     grouping-set form (DataFrame.groupingSets, one Expand pass).
   * ``WITH RECURSIVE name AS (anchor UNION [ALL] recursive-arm)`` —
     driver-side fixpoint with frontier semantics (see _recursive_cte).
+
+Round-12 extensions:
+  * Derived tables as JOIN sides: ``JOIN (SELECT ...) AS x [(c1, ...)]
+    ON ...`` — the subquery builds independently and joins like any
+    relation (Catalyst still picks broadcast vs shuffle on it).
+  * ``[CROSS | INNER | LEFT] JOIN LATERAL (SELECT ... WHERE
+    <outer>.col = inner_col ...) AS x [ON TRUE]`` — correlated lateral
+    subqueries, DECORRELATED (RefSQL._lateral): aggregate bodies become
+    groupBy(correlation key) + one equi-join with the count-bug handled
+    (empty groups still yield COUNT 0 / SUM NULL rows); ``ORDER BY ...
+    LIMIT k`` bodies become a per-key window top-k + equi-join; never a
+    per-outer-row rescan, never a cartesian product.
 """
 
 from __future__ import annotations
@@ -1263,11 +1275,15 @@ def _contains_agg_call(buf: list[str]) -> bool:
     return has_agg
 
 
-def _join_side(cur: _Cursor) -> tuple["str | tuple", "str | None"]:
+def _join_side(
+    cur: _Cursor, weak_typing: bool = False, resolver=None,
+) -> tuple["str | tuple", "str | None"]:
     """The relation after a JOIN keyword: a table name (optionally
-    aliased), or (round-10) an inline ``(VALUES ...) AS v[(c1, ...)]``
-    table constructor — returned as the marker tuple
-    ``("__values__", values_sql, cols)`` with the mandatory alias."""
+    aliased), an inline ``(VALUES ...) AS v[(c1, ...)]`` table constructor
+    (round-10, marker ``("__values__", values_sql, cols)``), or (round-12)
+    a derived table ``(SELECT ...) AS x[(c1, ...)]`` (marker
+    ``("__subselect__", spec, clauses, cols)``) — alias mandatory for
+    both inline forms."""
     if cur.peek() == "(" and cur.peek_kw(1) == "values":
         cur.next()
         cur.next()
@@ -1282,6 +1298,29 @@ def _join_side(cur: _Cursor) -> tuple["str | tuple", "str | None"]:
         jalias = _unquote(cur.next())
         cols = _alias_column_list(cur)
         return ("__values__", vsql, cols), jalias
+    if cur.peek() == "(" and cur.peek_kw(1) == "select":
+        # Round-12: derived table as a join side — ``JOIN (SELECT ...)
+        # AS x [(c1, ...)] ON ...``. Same contract as the FROM-position
+        # derived table (one plain subselect; use a CTE for set-op
+        # bodies); the subquery builds independently and joins like any
+        # relation, so Catalyst still picks broadcast vs shuffle on the
+        # built side.
+        cur.next()
+        sub_spec, _, sub_clauses = parse_select(cur, weak_typing, resolver)
+        if cur.next() != ")":
+            raise ParseError("expected ')' to close the derived join side")
+        if cur.peek_kw() == "as":
+            cur.next()
+        nxt = cur.peek()
+        if nxt is None or nxt in (",", ")", "(") or (cur.peek_kw() or "") in (
+            "on", "using", "where", "group", "order", "limit",
+        ):
+            raise ParseError(
+                "a derived join side needs an alias: (SELECT ...) AS x"
+            )
+        jalias = _unquote(cur.next())
+        cols = _alias_column_list(cur)
+        return ("__subselect__", sub_spec, sub_clauses, cols), jalias
     jtable = _unquote(cur.next())
     jalias = None
     if cur.peek_kw() == "as":
@@ -1307,6 +1346,25 @@ def _capture_values_tokens(cur: _Cursor) -> str:
     if not vtoks:
         raise ParseError("VALUES needs at least one row")
     return "values " + " ".join(vtoks)
+
+
+def _capture_balanced_tokens(cur: _Cursor) -> list[str]:
+    """Positioned just past an opening '(' : capture tokens up to the
+    MATCHING ')' (consumed, not returned) honoring nesting."""
+    depth = 0
+    toks: list[str] = []
+    while True:
+        t = cur.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        toks.append(t)
+    if not toks:
+        raise ParseError("empty parenthesized body")
+    return toks
 
 
 def _alias_column_list(cur: _Cursor) -> "list[str] | None":
@@ -1959,7 +2017,7 @@ def parse_select(
                 cur.next()
                 how = "asof_left"
             cur.expect_kw("join")
-            jtable, jalias = _join_side(cur)
+            jtable, jalias = _join_side(cur, weak_typing, resolver)
             cur.expect_kw("on")
             conjs: list[tuple[str, str, str]] = []
             while True:
@@ -1988,7 +2046,57 @@ def parse_select(
             elif cur.peek_kw() == "outer":
                 cur.next()
         cur.expect_kw("join")
-        jtable, jalias = _join_side(cur)
+        if cur.peek_kw() == "lateral":
+            # Round-12: LATERAL join — the body is a correlated subselect
+            # whose WHERE may reference the OUTER row (qualified by the
+            # outer alias). Captured raw here; the executor decorrelates
+            # it into a groupBy / window-top-k + equi-join plan
+            # (RefSQL._lateral — Neumann-style unnesting, never a
+            # per-outer-row rescan). CROSS/INNER take no ON; LEFT
+            # requires the canonical ``ON TRUE``.
+            if how not in ("cross", "inner", "left"):
+                raise ParseError(
+                    "LATERAL supports CROSS / INNER / LEFT JOIN only"
+                )
+            cur.next()
+            if cur.next() != "(":
+                raise ParseError("expected '(' after LATERAL")
+            body = _capture_balanced_tokens(cur)
+            if cur.peek_kw() == "as":
+                cur.next()
+            nxt = cur.peek()
+            if nxt is None or nxt in (",", ")", "(") or (
+                cur.peek_kw() or ""
+            ) in ("on", "where", "group", "order", "limit"):
+                raise ParseError(
+                    "a LATERAL join needs an alias: LATERAL (SELECT ...) AS x"
+                )
+            lalias = _unquote(cur.next())
+            lcols = _alias_column_list(cur)
+            if how == "left":
+                cur.expect_kw("on")
+                if cur.next().lower() != "true":
+                    raise ParseError(
+                        "LEFT JOIN LATERAL takes ON TRUE (the correlation "
+                        "lives in the body's WHERE)"
+                    )
+            elif cur.peek_kw() == "on":
+                cur.next()
+                if cur.next().lower() != "true":
+                    raise ParseError(
+                        "JOIN LATERAL takes ON TRUE (the correlation "
+                        "lives in the body's WHERE)"
+                    )
+            spec.joins.append(
+                (
+                    "lateral_left" if how == "left" else "lateral_inner",
+                    ("__lateral__", tuple(body), lcols),
+                    lalias,
+                    None,
+                )
+            )
+            continue
+        jtable, jalias = _join_side(cur, weak_typing, resolver)
         if how == "cross":
             if cur.peek_kw() in ("on", "using"):
                 raise ParseError("CROSS JOIN takes no ON/USING condition")
@@ -2808,8 +2916,9 @@ class RefSQL:
         self._ctes: dict[str, DataFrame] = {}
 
     def _join_side_df(self, jtable) -> DataFrame:
-        """A join side: a table name, or the round-10 inline-VALUES
-        marker ("__values__", values_sql, cols)."""
+        """A join side: a table name, the round-10 inline-VALUES marker
+        ("__values__", values_sql, cols), or the round-12 derived-table
+        marker ("__subselect__", spec, clauses, cols)."""
         if isinstance(jtable, tuple) and jtable[0] == "__values__":
             _, vsql, cols = jtable
             df = self.engine.spark.sql(vsql)
@@ -2820,6 +2929,19 @@ class RefSQL:
                     f"have {len(df.columns)}"
                 )
             return df.toDF(*names)
+        if isinstance(jtable, tuple) and jtable[0] == "__subselect__":
+            _, sub_spec, sub_clauses, cols = jtable
+            df = build_select(
+                self._resolved_from(sub_spec), sub_spec, sub_clauses
+            )
+            if cols is not None:
+                if len(cols) != len(df.columns):
+                    raise ParseError(
+                        f"alias lists {len(cols)} columns but the derived "
+                        f"join side has {len(df.columns)}"
+                    )
+                df = df.toDF(*cols)
+            return df
         return self._table_df(jtable)
 
     def _table_df(self, name: str) -> DataFrame:
@@ -2915,15 +3037,26 @@ class RefSQL:
                 df = df.filter(F.col(val_col).isNotNull())
         if spec.joins:
             df = df.alias(spec.alias or spec.table)
+            outer_names = [spec.alias or spec.table]
             for how, jtable, jalias, cond in spec.joins:
+                if how in ("lateral_inner", "lateral_left"):
+                    _, body, lcols = jtable
+                    df = self._lateral(
+                        df, tuple(outer_names), list(body), jalias, lcols,
+                        left=(how == "lateral_left"),
+                    )
+                    outer_names.append(jalias)
+                    continue
                 if how in ("asof", "asof_left"):
                     df = self._asof(
                         df, spec.alias or spec.table,
                         self._join_side_df(jtable), jalias or jtable,
                         cond, inner=(how == "asof"),
                     )
+                    outer_names.append(jalias or jtable)
                     continue
                 jdf = self._join_side_df(jtable).alias(jalias or jtable)
+                outer_names.append(jalias or jtable)
                 if how == "cross":
                     df = df.crossJoin(jdf)
                 elif isinstance(cond, tuple):
@@ -3016,6 +3149,299 @@ class RefSQL:
         if inner:
             out = out.filter(F.col(f"asof_{tr}").isNotNull())
         return out
+
+    def _lateral(
+        self,
+        outer: DataFrame,
+        outer_names: tuple,
+        toks: list[str],
+        alias: str,
+        cols: "list[str] | None",
+        left: bool = False,
+    ) -> DataFrame:
+        """Compile a LATERAL join body by DECORRELATION (Neumann/Kemper
+        unnesting), never a per-outer-row rescan.
+
+        Supported body shape (restrictions documented in DIALECT.md):
+        ``SELECT items FROM table [AS a] WHERE conjuncts [ORDER BY ...
+        LIMIT k]`` where at least one top-level conjunct is a correlation
+        EQUALITY ``<outer_alias>.col = inner_col`` (outer references must
+        be qualified with an outer relation's alias; any number of such
+        keys compose) and every other conjunct is inner-only. Three plans:
+
+        * aggregate items (``count(*)``, ``sum(x)``, expressions over
+          them) → groupBy(correlation keys) + ONE equi-join. The body
+          always yields exactly one row per outer row in SQL — COUNT over
+          an empty group is 0 — which a naive groupBy+join drops (the
+          classic "count bug" of unnesting). The grouped side is
+          COMPLETED with the missing outer keys (distinct-keys anti-join,
+          0 for COUNT items / NULL otherwise) so the join always matches;
+          CROSS/INNER and LEFT coincide, per SQL.
+        * ``ORDER BY ... LIMIT k`` (no aggregates) → per-key window
+          row_number ≤ k on the INNER side (one shuffle on the keys —
+          the top-k never materializes more than k rows per key), then
+          the equi-join; CROSS/INNER drops outer rows with an empty
+          body, LEFT NULL-pads them.
+        * plain items → filter + equi-join.
+
+        At 100 TB the point is exactly this: the correlated subquery
+        becomes one shuffle on the correlation key + one join that AQE /
+        broadcast planning treat like any other — no nested-loop rescan
+        of the inner table per outer row."""
+        cur = _Cursor(list(toks))
+        cur.expect_kw("select")
+        # --- SELECT items: raw token runs split on top-level commas
+        items: list[tuple[list[str], "str | None"]] = []
+        buf: list[str] = []
+        depth = 0
+        while True:
+            if cur.done():
+                raise ParseError("LATERAL body needs a FROM clause")
+            if depth == 0 and cur.peek_kw() == "from":
+                break
+            t = cur.next()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and t == ",":
+                items.append((buf, None))
+                buf = []
+                continue
+            buf.append(t)
+        if buf:
+            items.append((buf, None))
+        norm_items: list[tuple[list[str], str]] = []
+        for buf, _ in items:
+            if not buf:
+                raise ParseError("empty item in LATERAL SELECT list")
+            if buf == ["*"] or (len(buf) == 1 and buf[0].endswith(".*")):
+                raise ParseError(
+                    "LATERAL body items must be named expressions, not *"
+                )
+            al = None
+            if len(buf) >= 3 and buf[-2].lower() == "as":
+                al = _unquote(buf[-1])
+                buf = buf[:-2]
+            text = " ".join(buf)
+            if al is None:
+                if len(buf) == 1 and re.fullmatch(r"[A-Za-z_][\w.]*", buf[0]):
+                    al = _unquote(buf[0]).rsplit(".", 1)[-1]
+                else:
+                    raise ParseError(
+                        f"LATERAL item '{text}' needs AS <alias>"
+                    )
+            norm_items.append((buf, al))
+        cur.expect_kw("from")
+        tname = _unquote(cur.next())
+        talias = None
+        if cur.peek_kw() == "as":
+            cur.next()
+            talias = _unquote(cur.next())
+        elif cur.peek() is not None and cur.peek_kw() not in (
+            "where", "order", "limit",
+        ):
+            talias = _unquote(cur.next())
+        inner = self._table_df(tname)
+        inner_name = talias or tname
+        inner = inner.alias(inner_name)
+        # --- WHERE: split top-level AND conjuncts at token level so the
+        # correlation equalities can be lifted out; everything else must
+        # be inner-only and recombines into one Catalyst expression.
+        conjuncts: list[list[str]] = []
+        if cur.peek_kw() == "where":
+            cur.next()
+            buf, depth = [], 0
+            while not cur.done() and not (
+                depth == 0 and cur.peek_kw() in ("order", "limit", "group")
+            ):
+                t = cur.next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                if depth == 0 and t.lower() == "and":
+                    conjuncts.append(buf)
+                    buf = []
+                    continue
+                buf.append(t)
+            if buf:
+                conjuncts.append(buf)
+        if cur.peek_kw() == "group":
+            raise ParseError(
+                "GROUP BY inside a LATERAL body is not supported — "
+                "aggregate items group by the correlation key implicitly"
+            )
+
+        def outer_qual(tok: str) -> bool:
+            return "." in tok and _unquote(tok).split(".", 1)[0] in outer_names
+
+        def inner_col(tok: str) -> "str | None":
+            c = _unquote(tok)
+            if "." in c:
+                q, c2 = c.split(".", 1)
+                return c2 if q == inner_name and c2 in inner.columns else None
+            return c if c in inner.columns else None
+
+        keys: list[tuple[str, str]] = []  # (outer qualified ref, inner col)
+        residual: list[list[str]] = []
+        for conj in conjuncts:
+            refs = [t for t in conj if outer_qual(t)]
+            if not refs:
+                residual.append(conj)
+                continue
+            ok = len(conj) == 3 and conj[1] == "="
+            if ok:
+                a, b = conj[0], conj[2]
+                if outer_qual(a) and inner_col(b) is not None:
+                    keys.append((_unquote(a), inner_col(b)))
+                elif outer_qual(b) and inner_col(a) is not None:
+                    keys.append((_unquote(b), inner_col(a)))
+                else:
+                    ok = False
+            if not ok:
+                raise ParseError(
+                    "LATERAL correlation must be equality conjuncts "
+                    f"'<outer>.col = <inner col>'; got: {' '.join(conj)}"
+                )
+        if not keys:
+            raise ParseError(
+                "LATERAL body has no correlation conjunct — use a plain "
+                "derived join side: JOIN (SELECT ...) AS x"
+            )
+        if residual:
+            text = " and ".join("( " + " ".join(c) + " )" for c in residual)
+            wp = ExprParser(_Cursor(tokenize(text)), self.weak, None)
+            inner = inner.filter(wp.parse())
+        # --- ORDER BY / LIMIT tail
+        order: list[tuple[str, bool]] = []
+        limit: "int | None" = None
+        if cur.peek_kw() == "order":
+            cur.next()
+            cur.expect_kw("by")
+            while not cur.done() and cur.peek_kw() != "limit":
+                t = cur.next()
+                if t == ",":
+                    continue
+                desc = False
+                if cur.peek_kw() in ("asc", "desc"):
+                    desc = cur.next().lower() == "desc"
+                order.append((_unquote(t), desc))
+        if cur.peek_kw() == "limit":
+            cur.next()
+            try:
+                limit = int(cur.next())
+            except (TypeError, ValueError):
+                raise ParseError("LATERAL LIMIT needs an integer")
+        if not cur.done():
+            raise ParseError(f"unexpected token {cur.peek()!r} in LATERAL body")
+
+        aggs = [(buf, al) for buf, al in norm_items if _contains_agg_call(buf)]
+        if aggs and len(aggs) != len(norm_items):
+            raise ParseError(
+                "LATERAL body mixes aggregate and plain items — aggregate "
+                "bodies must be all-aggregate (the implicit group is the "
+                "correlation key)"
+            )
+        if aggs and (order or limit is not None):
+            raise ParseError(
+                "LATERAL aggregate bodies take no ORDER BY / LIMIT "
+                "(they yield one row per outer row)"
+            )
+        if order and limit is None:
+            raise ParseError(
+                "ORDER BY inside a LATERAL body needs a LIMIT "
+                "(it is meaningless otherwise)"
+            )
+        taken = set(outer.columns)
+        out_names = cols or [al for _, al in norm_items]
+        if cols is not None and len(cols) != len(norm_items):
+            raise ParseError(
+                f"alias lists {len(cols)} columns but the LATERAL body "
+                f"has {len(norm_items)}"
+            )
+        clash = [n for n in out_names if n in taken]
+        if clash:
+            raise ParseError(
+                f"LATERAL output columns {clash} collide with outer "
+                "columns — alias them"
+            )
+        kcols = [f"__lat_k{i}" for i in range(len(keys))]
+        key_exprs = [
+            F.col(f"{inner_name}.{kc}").alias(kn)
+            for (_o, kc), kn in zip(keys, kcols)
+        ]
+        if aggs:
+            # Aggregate body: SQL returns exactly ONE row per outer row
+            # (COUNT over an empty group is 0, other aggregates NULL) —
+            # the "count bug" a naive groupBy+join drops. Completing the
+            # grouped side with the missing outer keys (distinct keys
+            # anti-join, zero/NULL defaults) keeps the join an always-
+            # matching equi-join AND keeps the lateral alias qualifier on
+            # every output column (a post-join coalesce would strip it).
+            # NULL handling is exact: inner NULL-key groups can never
+            # match (ANSI '='), so they are filtered; outer NULL keys
+            # match their zero-row via null-safe equality.
+            lat = inner.groupBy(*key_exprs).agg(
+                *[
+                    F.expr(" ".join(buf)).alias(n)
+                    for (buf, _), n in zip(norm_items, out_names)
+                ]
+            )
+            nonnull = None
+            for kn in kcols:
+                c = F.col(kn).isNotNull()
+                nonnull = c if nonnull is None else (nonnull & c)
+            lat = lat.filter(nonnull)
+            types = {f.name: f.dataType for f in lat.schema.fields}
+            okeys = outer.select(
+                *[
+                    F.col(oref).alias(kn)
+                    for (oref, _kc), kn in zip(keys, kcols)
+                ]
+            ).distinct()
+            zeros = okeys.join(lat.select(*kcols), kcols, "left_anti").select(
+                *kcols,
+                *[
+                    (
+                        F.lit(0) if buf[0].lower() == "count" else F.lit(None)
+                    ).cast(types[n]).alias(n)
+                    for (buf, _), n in zip(norm_items, out_names)
+                ],
+            )
+            lat = lat.unionByName(zeros).alias(alias)
+            cond = None
+            for (oref, _kc), kn in zip(keys, kcols):
+                c = F.col(oref).eqNullSafe(F.col(f"{alias}.{kn}"))
+                cond = c if cond is None else (cond & c)
+            return outer.join(lat, cond, "inner").drop(*kcols)
+        else:
+            if limit is not None:
+                from pyspark.sql import Window as W
+
+                okeys = []
+                for c, desc in order:
+                    col = F.col(c)
+                    okeys.append(col.desc() if desc else col.asc())
+                w = W.partitionBy(
+                    *[F.col(f"{inner_name}.{kc}") for _o, kc in keys]
+                ).orderBy(*okeys)
+                inner = inner.withColumn(
+                    "__lat_rn", F.row_number().over(w)
+                ).filter(F.col("__lat_rn") <= limit)
+            lat = inner.select(
+                *key_exprs,
+                *[
+                    F.expr(" ".join(buf)).alias(n)
+                    for (buf, _), n in zip(norm_items, out_names)
+                ],
+            )
+        lat = lat.alias(alias)
+        cond = None
+        for (oref, _kc), kn in zip(keys, kcols):
+            c = F.col(oref) == F.col(f"{alias}.{kn}")
+            cond = c if cond is None else (cond & c)
+        return outer.join(lat, cond, "left" if left else "inner").drop(*kcols)
 
     def _resolved_from(self, spec: "SelectSpec") -> DataFrame:
         """FROM resolution plus the IN-subquery join rewrites: each

@@ -734,9 +734,10 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
         "cte_chain", "rollup", "in_sub_not", "union_mix",
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
-        "qualify", "grouping_sets", "distinct_on",
+        "qualify", "grouping_sets", "distinct_on", "lateral",
+        "derived_join",
     ]
-    for trial in range(27):
+    for trial in range(34):
         shape = shapes[trial % len(shapes)]
         dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
@@ -885,6 +886,48 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 "SELECT DISTINCT ON (l_returnflag) l_returnflag, "
                 "l_orderkey, l_quantity FROM lineitem "
                 f"ORDER BY l_returnflag, l_quantity {d}, l_orderkey"
+            )
+        elif shape == "lateral":
+            # round-12: LATERAL decorrelation vs DuckDB's native LATERAL
+            # — count-bug (aggregate body over possibly-empty groups),
+            # per-key top-k (tie-broken so both engines agree), LEFT
+            # NULL-padding, and residual inner-only conjuncts
+            sql = rng.choice(
+                [
+                    "SELECT c.c_custkey, x.n FROM customer AS c "
+                    "CROSS JOIN LATERAL (SELECT count(*) AS n FROM orders "
+                    "WHERE o_custkey = c.c_custkey AND o_totalprice > "
+                    f"{rng.randint(10, 30) * 100}) AS x "
+                    f"WHERE c.c_custkey < {rng.randint(30, 90)}",
+                    "SELECT c.c_custkey, x.ok, x.tp FROM customer AS c "
+                    "JOIN LATERAL (SELECT o_orderkey AS ok, o_totalprice "
+                    "AS tp FROM orders WHERE o_custkey = c.c_custkey "
+                    "ORDER BY o_totalprice DESC, o_orderkey LIMIT "
+                    f"{rng.randint(1, 3)}) AS x ON TRUE "
+                    f"WHERE c.c_custkey < {rng.randint(30, 90)}",
+                    "SELECT c.c_custkey, x.ok FROM customer AS c "
+                    "LEFT JOIN LATERAL (SELECT o_orderkey AS ok "
+                    "FROM orders WHERE o_custkey = c.c_custkey "
+                    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) "
+                    "AS x ON TRUE "
+                    f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                    "SELECT c.c_custkey, x.n, x.mx FROM customer AS c "
+                    "CROSS JOIN LATERAL (SELECT count(o_orderkey) AS n, "
+                    "round(MAX(o_totalprice), 2) AS mx FROM orders "
+                    "WHERE o_custkey = c.c_custkey) AS x "
+                    f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                ]
+            )
+        elif shape == "derived_join":
+            # round-12: derived table as a JOIN side
+            sql = (
+                "SELECT c.c_custkey, t.n FROM customer AS c "
+                f"{rng.choice(['JOIN', 'LEFT JOIN'])} "
+                "(SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n "
+                "FROM orders WHERE o_totalprice > "
+                f"{rng.randint(10, 25) * 100} GROUP BY o_custkey) AS t "
+                "ON c.c_custkey = t.o_custkey "
+                f"WHERE c.c_custkey < {rng.randint(20, 60)}"
             )
         else:
             sql = (

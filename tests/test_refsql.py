@@ -3311,3 +3311,181 @@ def test_truncate_table(spark, tmp_path, sf_dir):
     ).collect(), key=lambda r: r.a)] == [1, 2]
     # bare TRUNCATE t also parses
     assert e.ref_sql("TRUNCATE t") == "truncated 't'"
+
+
+def test_derived_join_side(spark, tmp_path, sf_dir):
+    """Round-12: a derived table as a JOIN side — ``JOIN (SELECT ...)
+    AS x [(c1, ...)] ON ...``. The subquery builds independently (its
+    own GROUP BY, WHERE) and joins like any relation; the optional
+    column list renames positionally."""
+    e = Engine(spark, str(tmp_path / "djs"))
+    for t in ("customer", "orders"):
+        e.ingest_parquet(f"{sf_dir}/{t}.parquet", t)
+    rows = e.ref_sql(
+        "SELECT c.c_custkey, t.n FROM customer AS c "
+        "JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY o_custkey) AS t "
+        "ON c.c_custkey = t.o_custkey WHERE c.c_custkey < 5 "
+        "ORDER BY c.c_custkey"
+    ).collect()
+    per_key = {
+        r.o_custkey: r.n
+        for r in e.table("orders").groupBy("o_custkey").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert [(r.c_custkey, r.n) for r in rows] == [
+        (k, per_key[k]) for k in sorted(per_key) if k < 5
+    ]
+    # column list renames positionally; LEFT keeps unmatched customers
+    rows = e.ref_sql(
+        "SELECT c.c_custkey, t.big FROM customer AS c "
+        "LEFT JOIN (SELECT o_custkey, MAX(o_totalprice) AS m FROM orders "
+        "WHERE o_totalprice > 999999999 GROUP BY o_custkey) "
+        "AS t (k, big) ON c.c_custkey = t.k WHERE c.c_custkey < 3"
+    ).collect()
+    assert len(rows) == 3 and all(r.big is None for r in rows)
+    with pytest.raises(ParseError, match="needs an alias"):
+        e.ref_sql(
+            "SELECT 1 AS one FROM customer AS c "
+            "JOIN (SELECT o_custkey FROM orders) ON c.c_custkey = o_custkey"
+        )
+
+
+def test_lateral_aggregate_count_bug(spark, tmp_path):
+    """Round-12: LATERAL with an aggregate body decorrelates to
+    groupBy + equi-join WITHOUT the classic count bug — an outer row
+    with no matches still appears, COUNT = 0 / SUM = NULL (SQL: the
+    body always returns exactly one row). NULL outer keys match
+    nothing (ANSI '=') and still yield the 0 row."""
+    e = Engine(spark, str(tmp_path / "latc"))
+    e.ref_sql("CREATE TABLE cust (ck INT, nm TEXT)")
+    e.ref_sql("INSERT INTO cust VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    e.ref_sql("INSERT INTO cust (nm) VALUES ('nullkey')")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10), (1, 20), (3, 5)")
+    # an inner NULL key must never match an outer NULL key
+    e.ref_sql("INSERT INTO ords (v) VALUES (999)")
+    rows = e.ref_sql(
+        "SELECT c.nm, x.n, x.s FROM cust AS c "
+        "CROSS JOIN LATERAL (SELECT count(*) AS n, SUM(v) AS s "
+        "FROM ords WHERE ck = c.ck) AS x ORDER BY c.nm"
+    ).collect()
+    assert [(r.nm, r.n, r.s) for r in rows] == [
+        ("a", 2, 30),
+        ("b", 0, None),
+        ("c", 1, 5),
+        ("nullkey", 0, None),
+    ]
+    # LEFT JOIN LATERAL ON TRUE is identical for aggregate bodies
+    rows2 = e.ref_sql(
+        "SELECT c.nm, x.n FROM cust AS c LEFT JOIN LATERAL "
+        "(SELECT count(*) AS n FROM ords WHERE ck = c.ck) AS x ON TRUE "
+        "ORDER BY c.nm"
+    ).collect()
+    assert [(r.nm, r.n) for r in rows2] == [
+        ("a", 2), ("b", 0), ("c", 1), ("nullkey", 0)
+    ]
+    # outputs can drive the outer WHERE / ORDER BY via the alias
+    rows3 = e.ref_sql(
+        "SELECT c.nm FROM cust AS c CROSS JOIN LATERAL "
+        "(SELECT count(*) AS n FROM ords WHERE ck = c.ck) AS x "
+        "WHERE x.n >= 1 ORDER BY x.n DESC"
+    ).collect()
+    assert [r.nm for r in rows3] == ["a", "c"]
+
+
+def test_lateral_topk_and_plain(spark, tmp_path):
+    """Round-12: LATERAL ``ORDER BY ... LIMIT k`` decorrelates to a
+    per-key window top-k on the inner side + one equi-join — never a
+    per-outer-row rescan and never a cartesian product. INNER drops
+    outer rows with an empty body; LEFT NULL-pads them."""
+    e = Engine(spark, str(tmp_path / "latk"))
+    e.ref_sql("CREATE TABLE cust (ck INT)")
+    e.ref_sql("INSERT INTO cust VALUES (1), (2), (3)")
+    e.ref_sql("CREATE TABLE ords (ck INT, ok INT, v INT)")
+    e.ref_sql(
+        "INSERT INTO ords VALUES (1, 100, 5), (1, 101, 9), (1, 102, 7), "
+        "(3, 300, 1)"
+    )
+    df = e.ref_sql(
+        "SELECT c.ck, x.ok, x.v FROM cust AS c JOIN LATERAL "
+        "(SELECT ok, v FROM ords WHERE ck = c.ck "
+        "ORDER BY v DESC LIMIT 2) AS x ON TRUE ORDER BY c.ck, x.v DESC"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert [(r.ck, r.ok, r.v) for r in df.collect()] == [
+        (1, 101, 9), (1, 102, 7), (3, 300, 1)
+    ]
+    rows = e.ref_sql(
+        "SELECT c.ck, x.ok FROM cust AS c LEFT JOIN LATERAL "
+        "(SELECT ok FROM ords WHERE ck = c.ck ORDER BY v DESC LIMIT 1) "
+        "AS x ON TRUE ORDER BY c.ck"
+    ).collect()
+    assert [(r.ck, r.ok) for r in rows] == [(1, 101), (2, None), (3, 300)]
+    # plain correlated body: residual inner-only conjuncts fold into the
+    # inner filter before the join
+    rows = e.ref_sql(
+        "SELECT c.ck, x.ok FROM cust AS c JOIN LATERAL "
+        "(SELECT ok FROM ords WHERE ck = c.ck AND v > 5) AS x ON TRUE "
+        "ORDER BY c.ck, x.ok"
+    ).collect()
+    assert [(r.ck, r.ok) for r in rows] == [(1, 101), (1, 102)]
+
+
+def test_lateral_guards(spark, tmp_path):
+    """Round-12: LATERAL scope guards reject what the decorrelator
+    cannot compile, each with an actionable message."""
+    e = Engine(spark, str(tmp_path / "latg"))
+    e.ref_sql("CREATE TABLE cust (ck INT)")
+    e.ref_sql("INSERT INTO cust VALUES (1)")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10)")
+    with pytest.raises(ParseError, match="no correlation conjunct"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c JOIN LATERAL "
+            "(SELECT v FROM ords WHERE v > 0) AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="equality conjuncts"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c JOIN LATERAL "
+            "(SELECT v FROM ords WHERE ck > c.ck) AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="mixes aggregate and plain"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c JOIN LATERAL "
+            "(SELECT v, count(*) AS n FROM ords WHERE ck = c.ck) "
+            "AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="needs a LIMIT"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c JOIN LATERAL "
+            "(SELECT v FROM ords WHERE ck = c.ck ORDER BY v) AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="no ORDER BY / LIMIT"):
+        e.ref_sql(
+            "SELECT c.ck, x.n FROM cust AS c JOIN LATERAL "
+            "(SELECT count(*) AS n FROM ords WHERE ck = c.ck LIMIT 1) "
+            "AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="CROSS / INNER / LEFT"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c RIGHT JOIN LATERAL "
+            "(SELECT v FROM ords WHERE ck = c.ck) AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="needs an alias"):
+        e.ref_sql(
+            "SELECT c.ck FROM cust AS c JOIN LATERAL "
+            "(SELECT v FROM ords WHERE ck = c.ck) ON TRUE"
+        )
+    with pytest.raises(ParseError, match="GROUP BY inside a LATERAL"):
+        e.ref_sql(
+            "SELECT c.ck, x.n FROM cust AS c JOIN LATERAL "
+            "(SELECT count(*) AS n FROM ords WHERE ck = c.ck GROUP BY v) "
+            "AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="collide with outer"):
+        e.ref_sql(
+            "SELECT c.ck, x.ck FROM cust AS c JOIN LATERAL "
+            "(SELECT ck FROM ords WHERE ck = c.ck) AS x ON TRUE"
+        )
