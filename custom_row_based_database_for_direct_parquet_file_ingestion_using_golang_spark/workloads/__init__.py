@@ -32,7 +32,10 @@ from . import sketches  # noqa: F401, E402
 # a genuinely redundant entry one-for-one (verdict-named candidates:
 # ann_lsh_top10 vs ann_ivf_top10 overlap; the corpus_pack_* siblings) or
 # after the driver widens the window. Depth work (operators, fuzz,
-# pytest, floors, docs) is unconstrained.
+# pytest, floors, docs) is unconstrained. One swap executed this round
+# under that rule: corpus_pack_sequences (redundant sibling of
+# corpus_pack_split_spans) retired for refsql_lateral_topk (the round-12
+# LATERAL decorrelation debut) — registry still 248.
 #
 # Round-12 curation: (1) refsql_star_replace — the registry's only
 # never-checked entry — debuts first; (2) the full 48-entry r7-green
@@ -106,9 +109,17 @@ PRIORITY: list[str] = [
     # r11 verdict queued; the other leads r13 below the boundary).
     "refsql_window_value_functions",
     # -- ~50-slot window boundary (50 entries above this line). Below:
-    # the former r8 window (r8-green, 4 rounds stale at r12) MUST lead
-    # r13 — at r13 it is 5 rounds stale, exactly at the policy limit
-    # again (the registry-freeze arithmetic; see header comment):
+    # refsql_lateral_topk is the round-12 DEBUT (new-in-round entries
+    # lead the next round's window — the r10/r11 precedent). It entered
+    # by ONE-FOR-ONE SWAP under the registry freeze (r11 verdict #3(c)):
+    # corpus_pack_sequences — one of the two verdict-named redundancy
+    # candidates, its packing coverage kept by corpus_pack_split_spans +
+    # property tests — retired, so the registry HOLDS at 248 and the
+    # rotation arithmetic is unchanged. Then the former r8 window
+    # (r8-green, 4 rounds stale at r12; was 50 entries, 49 after the
+    # retirement) MUST drain at r13 — 5 rounds stale, exactly at the
+    # policy limit — so the r13 window is exactly 1 debut + 49 r8-green:
+    "refsql_lateral_topk",
     "refsql_merge_source_delete",
     "skew_salted_join",
     "crossmodal_image_text_neardup",
@@ -154,7 +165,6 @@ PRIORITY: list[str] = [
     "q01_pricing_summary",
     "window_topk_per_group",
     "bm25_top10",
-    "corpus_pack_sequences",
     "dedup_exact_survivors",
     "similar_pairs_top15",
     "weak_typing_filter",

@@ -508,6 +508,50 @@ def refsql_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_lateral_topk",
+    """
+    SELECT c.c_custkey, a.n_f, x.o_orderkey AS top_ok,
+           x.o_totalprice AS top_price
+    FROM customer AS c
+    CROSS JOIN LATERAL (SELECT count(*) AS n_f FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderstatus = 'F') AS a
+    LEFT JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_custkey = c.c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       LIMIT 1) AS x ON TRUE
+    WHERE c.c_custkey < 200
+    ORDER BY c.c_custkey
+    """,
+)
+def refsql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12: LATERAL joins through the dialect, decorrelated — the
+    # aggregate body becomes groupBy(o_custkey) + one equi-join with the
+    # grouped side completed for customers that have NO 'F' orders (the
+    # classic "count bug": n_f must be 0 there, not a dropped row), and
+    # the ORDER BY ... LIMIT 1 body becomes a per-key window top-1 +
+    # LEFT join (customers with no orders at all NULL-pad). The oracle
+    # is DuckDB's NATIVE LATERAL on the identical SQL text — both
+    # decorrelation plans must agree with true per-row evaluation,
+    # including empty groups and ties (broken deterministically by
+    # o_orderkey).
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT c.c_custkey, a.n_f, x.o_orderkey AS top_ok, "
+        "x.o_totalprice AS top_price "
+        "FROM customer AS c "
+        "CROSS JOIN LATERAL (SELECT count(*) AS n_f FROM orders "
+        "WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F') AS a "
+        "LEFT JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS x ON TRUE "
+        "WHERE c.c_custkey < 200 "
+        "ORDER BY c.c_custkey",
+    )
+
+
+@query(
     "refsql_in_subquery",
     """
     SELECT o_orderstatus, count(*) AS count,

@@ -667,47 +667,13 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sequence packing ------------------------------------------------------
 
 
-@query(
-    "corpus_pack_sequences",
-    f"""
-    WITH t AS (SELECT doc_id, source,
-                      len(regexp_extract_all(text, '{WORDISH}')) AS n_tok
-               FROM documents),
-    p AS (
-      SELECT source, n_tok,
-             ((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) - n_tok) // 512)
-               AS seq_id
-      FROM t
-    )
-    SELECT source, CAST(max(seq_id) AS BIGINT) + 1 AS n_seqs,
-           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
-    FROM p GROUP BY source ORDER BY source
-    """,
-)
-def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # GPT-style packing audit: per shard (source), docs are packed into
-    # 512-token sequences in doc_id order; the summary per shard (sequence
-    # count, docs, tokens) pins the whole cumulative assignment — any
-    # off-by-one in the running sum shifts max(seq_id) or total_tokens.
-    from ..operators.packing import pack_sequences
-    from ..operators.text import word_token_count
-
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", word_token_count("text").alias("n_tok")
-    )
-    packed = pack_sequences(toks, "doc_id", "n_tok", "source", 512)
-    return (
-        packed.groupBy("source")
-        .agg(
-            (F.max("seq_id") + F.lit(1)).alias("n_seqs"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-        )
-        .orderBy("source")
-    )
+# NOTE (round-12): the `corpus_pack_sequences` workload (per-shard packing
+# SUMMARY) was retired one-for-one for `refsql_lateral_topk` under the
+# registry freeze (r11 verdict #3(c) — it was one of the two verdict-named
+# redundancy candidates). The packing operator itself stays fully covered:
+# `corpus_pack_split_spans` below replays every span boundary against the
+# oracle, and `operators.packing.pack_sequences` keeps its hypothesis
+# property test (`test_property.py`) and boundary pytest.
 
 
 # --- domain mixing ---------------------------------------------------------
