@@ -2279,6 +2279,31 @@ def parse_select(
             # the same documented-upgrade shape as multi-column GROUP BY.
             cur.next()
             cur.expect_kw("by")
+            if cur.peek_kw() == "all" and (
+                cur.peek(1) is None
+                or cur.peek(1) in (")", ",")
+                or (cur.peek_kw(1) or "")
+                in (
+                    "asc", "desc", "nulls", "limit", "offset",
+                    "union", "intersect", "except",
+                )
+            ):
+                # Round-12: ORDER BY ALL (DuckDB ergonomic) — sort by
+                # every output column left-to-right, one shared
+                # ASC/DESC/NULLS. Resolved against the output list in
+                # build_select (the GROUP BY ALL pattern).
+                cur.next()
+                desc = False
+                if cur.peek_kw() in ("asc", "desc"):
+                    desc = cur.next().lower() == "desc"
+                nulls = None
+                if cur.peek_kw() == "nulls":
+                    cur.next()
+                    nulls = cur.next().lower()
+                    if nulls not in ("first", "last"):
+                        raise ParseError("NULLS takes FIRST or LAST")
+                clauses["order_by"] = [("__ALL__", desc, nulls)]
+                continue
             keys: list[tuple[str, bool]] = []
             while True:
                 # Order keys accept value expressions too (round-5): grab
@@ -2680,6 +2705,25 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
             out_names += [alias for _, _, alias, _, _, _ in spec.windows]
         resolved_order = []
         for col, desc, nulls in clauses["order_by"]:
+            if col == "__ALL__":
+                # Round-12: ORDER BY ALL — every OUTPUT column
+                # left-to-right (DuckDB semantics), so star modifiers
+                # apply first: excluded columns don't sort, renamed ones
+                # sort under their new name (both exist on the frame at
+                # sort time — rename runs before ORDER BY, exclusion
+                # drops after it).
+                names = [
+                    c
+                    for c in out_names
+                    if not c.startswith(("__subq_", _QUALIFY_HIDDEN))
+                ]
+                if spec.star and spec.star_exclude:
+                    names = [c for c in names if c not in spec.star_exclude]
+                if spec.star and spec.star_rename:
+                    ren = dict(spec.star_rename)
+                    names = [ren.get(c, c) for c in names]
+                resolved_order.extend((n2, desc, nulls) for n2 in names)
+                continue
             if col.isdigit():
                 n = int(col)
                 if not 1 <= n <= len(out_names):

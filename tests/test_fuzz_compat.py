@@ -735,9 +735,9 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "cte_chain", "rollup", "in_sub_not", "union_mix",
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
-        "derived_join",
+        "derived_join", "order_by_all",
     ]
-    for trial in range(34):
+    for trial in range(36):
         shape = shapes[trial % len(shapes)]
         dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
@@ -916,6 +916,20 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "round(MAX(o_totalprice), 2) AS mx FROM orders "
                     "WHERE o_custkey = c.c_custkey) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                ]
+            )
+        elif shape == "order_by_all":
+            # round-12: ORDER BY ALL — one shared direction over every
+            # output column; composes with GROUP BY ALL and LIMIT
+            d = rng.choice(["", " DESC"])
+            sql = rng.choice(
+                [
+                    "SELECT n_regionkey, n_name FROM nation "
+                    f"ORDER BY ALL{d} LIMIT {rng.randint(3, 12)}",
+                    "SELECT o_orderstatus AS s, o_orderpriority AS p, "
+                    "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+                    f"GROUP BY ALL ORDER BY ALL{d} "
+                    f"LIMIT {rng.randint(3, 9)}",
                 ]
             )
         elif shape == "derived_join":

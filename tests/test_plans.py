@@ -639,3 +639,38 @@ def test_round11_workload_plans(spark, sf_dir):
     t = plan_text(QUERIES["events_skew_report"](spark, sf_dir))
     assert "Window" not in t
     assert "TakeOrderedAndProject" in t  # top_k never sorts everything
+
+
+def test_round12_lateral_plans(spark, sf_dir):
+    """Round-12: the LATERAL decorrelation keeps its 100-TB plan shapes.
+    The top-k body plans a WindowGroupLimit (Partial+Final — the per-key
+    LIMIT prunes MAP-SIDE before the window shuffle, so at scale the
+    shuffle moves at most k rows per key) and an equi-join; the aggregate
+    body keeps map-side partial aggregation and compiles its null-safe
+    key match to hash-join keys. No lateral plan contains a
+    CartesianProduct or a per-outer-row rescan."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _ref_select,
+    )
+
+    t = plan_text(QUERIES["refsql_lateral_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in t
+    assert "CartesianProduct" not in t
+
+    t = plan_text(
+        _ref_select(
+            spark,
+            sf_dir,
+            "SELECT c.c_custkey, a.n FROM customer AS c CROSS JOIN LATERAL "
+            "(SELECT count(*) AS n FROM orders "
+            "WHERE o_custkey = c.c_custkey) AS a",
+        )
+    )
+    assert t.count("HashAggregate") >= 2  # partial + final on the inner
+    assert "CartesianProduct" not in t

@@ -3489,3 +3489,71 @@ def test_lateral_guards(spark, tmp_path):
             "SELECT c.ck, x.ck FROM cust AS c JOIN LATERAL "
             "(SELECT ck FROM ords WHERE ck = c.ck) AS x ON TRUE"
         )
+
+
+def test_order_by_all(spark, tmp_path, sf_dir):
+    """Round-12: ORDER BY ALL — sort by every output column
+    left-to-right (DuckDB ergonomic), one shared ASC/DESC; star
+    modifiers apply first (excluded columns don't sort, renamed ones
+    sort under the new name)."""
+    e = Engine(spark, str(tmp_path / "oball"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    rows = e.ref_sql(
+        "SELECT n_regionkey, n_name FROM nation ORDER BY ALL LIMIT 3"
+    ).collect()
+    assert [(r.n_regionkey, r.n_name) for r in rows] == sorted(
+        [
+            (x.n_regionkey, x.n_name)
+            for x in e.table("nation").collect()
+        ]
+    )[:3]
+    rows = e.ref_sql(
+        "SELECT n_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM nation GROUP BY ALL ORDER BY ALL DESC LIMIT 2"
+    ).collect()
+    base = sorted(
+        [
+            (r.n_regionkey, r["count"])
+            for r in e.table("nation").groupBy("n_regionkey").count().collect()
+        ],
+        reverse=True,
+    )
+    assert [(r.g, r.n) for r in rows] == base[:2]
+    # an excluded column doesn't participate in the sort
+    rows = e.ref_sql(
+        "SELECT * EXCLUDE (n_nationkey) FROM nation ORDER BY ALL LIMIT 2"
+    ).collect()
+    assert [r.n_name for r in rows] == ["NATION_0", "NATION_1"]
+    # a column literally named "all" would be shadowed — the lookahead
+    # only fires when ALL ends the clause, so expressions still parse
+    rows = e.ref_sql(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey DESC LIMIT 1"
+    ).collect()
+    assert rows[0].n_nationkey == e.table("nation").count() - 1
+
+
+def test_asof_join_derived_side(spark, tmp_path):
+    """Round-12: ASOF JOIN accepts a derived table as its right side —
+    the filtered-reference shape (join against only the relevant
+    reference rows) without a CTE."""
+    e = Engine(spark, str(tmp_path / "asofd"))
+    e.ref_sql("CREATE TABLE ev (k INT, ts INT, v TEXT)")
+    e.ref_sql(
+        "INSERT INTO ev VALUES (1, 10, 'a'), (1, 20, 'b'), (2, 15, 'c')"
+    )
+    e.ref_sql("CREATE TABLE ref (k INT, rts INT, kind TEXT, price INT)")
+    e.ref_sql(
+        "INSERT INTO ref VALUES (1, 5, 'x', 100), (1, 18, 'x', 200), "
+        "(1, 19, 'y', 999), (2, 15, 'x', 300)"
+    )
+    rows = e.ref_sql(
+        "SELECT k, ts, asof_rts, price FROM ev "
+        "ASOF JOIN (SELECT k AS rk, rts, price FROM ref "
+        "WHERE kind = 'x') AS r ON ev.k = r.rk AND ev.ts >= r.rts "
+        "ORDER BY k, ts"
+    ).collect()
+    assert [(r.k, r.ts, r.asof_rts, r.price) for r in rows] == [
+        (1, 10, 5, 100),
+        (1, 20, 18, 200),
+        (2, 15, 15, 300),
+    ]
