@@ -1485,37 +1485,36 @@ def parse_select(
             cur.toks[cur.i:cur.i] = ["from", DUAL_TABLE]
             break
         if cur.peek() == "(" and cur.peek_kw(1) == "select":
-            # Round-9: UNCORRELATED scalar subquery in the SELECT list —
-            # ``SELECT a, (SELECT max(x) FROM t) AS m FROM ...``. Resolved
-            # eagerly to a literal (Spark's own inline-the-scalar
-            # strategy) and projected as a value expression; AS alias
-            # mandatory (a subquery has no natural output name).
-            # Correlated projections are not supported — use the
-            # decorrelated WHERE form or a JOIN.
+            # Round-9: scalar subquery in the SELECT list — ``SELECT a,
+            # (SELECT max(x) FROM t) AS m FROM ...``. An UNCORRELATED
+            # body resolves eagerly to a literal (Spark's own
+            # inline-the-scalar strategy). Round-12: a CORRELATED body
+            # (``(SELECT count(*) FROM i WHERE i.k = o.k)``) routes to
+            # the same decorrelator as the WHERE form — groupBy the
+            # correlation keys + one LEFT join, COUNT coalesced to 0 —
+            # with the user's alias as the attached column name. AS
+            # alias mandatory (a subquery has no natural output name).
             if resolver is None:
                 raise ParseError(
                     "scalar subqueries are not supported in this context"
                 )
             cur.next()
-            spec2, _, clauses2 = parse_select(
-                cur, weak_typing, resolver, subquery=True
-            )
-            if cur.next() != ")":
-                raise ParseError("expected ')' after scalar subquery")
-            try:
-                val = resolver(spec2, clauses2)
-            except AnalysisException:
-                raise ParseError(
-                    "correlated scalar subqueries are not supported in "
-                    "the SELECT list (use the WHERE form or a JOIN)"
-                )
+            body = _capture_balanced_tokens(cur)
             if cur.peek_kw() != "as":
                 raise ParseError(
                     "a scalar subquery in the SELECT list needs AS <alias>"
                 )
             cur.next()
             alias = _unquote(cur.next())
-            spec.projections.append((_sql_literal_text(val), alias))
+            spec2, _, clauses2 = parse_select(
+                _Cursor(list(body)), weak_typing, resolver, subquery=True
+            )
+            try:
+                val = resolver(spec2, clauses2)
+                spec.projections.append((_sql_literal_text(val), alias))
+            except AnalysisException as exc:
+                spec.scalar_subqueries.append((alias, list(body), str(exc)))
+                spec.projections.append((alias, None))
             continue
         tok = cur.next()
         if tok == ",":
@@ -3497,7 +3496,9 @@ class RefSQL:
         is deduplicated before the join (semi/anti cardinality is per left
         row anyway; distinct keeps the build side minimal)."""
         df = self._from_df(spec)
-        if spec.exists_subqueries and not (spec.joins or spec.alias):
+        if (spec.exists_subqueries or spec.scalar_subqueries) and not (
+            spec.joins or spec.alias
+        ):
             # Correlated predicates reference the outer table by (alias-)
             # qualified name; make sure the outer frame carries one.
             df = df.alias(spec.table)
@@ -3611,7 +3612,14 @@ class RefSQL:
                     toks.append("and")
                 toks.extend(c)
         cur = _Cursor(toks)
-        spec2, _, clauses2 = parse_select(cur, self.weak, resolver=self._scalar)
+        # subquery=True: the item's output name is the attached
+        # placeholder, never observable — ``round(MAX(x), 2)`` unaliased
+        # is standard SQL here (the round-11 relaxation, applied to the
+        # re-parse too so round-12's SELECT-list correlated scalars
+        # accept expression-wrapped aggregates).
+        spec2, _, clauses2 = parse_select(
+            cur, self.weak, resolver=self._scalar, subquery=True
+        )
         if not cur.done():
             raise ParseError(
                 f"unexpected token {cur.peek()!r} in correlated scalar "

@@ -735,9 +735,9 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "cte_chain", "rollup", "in_sub_not", "union_mix",
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
-        "derived_join", "order_by_all",
+        "derived_join", "order_by_all", "select_corr_scalar",
     ]
-    for trial in range(36):
+    for trial in range(38):
         shape = shapes[trial % len(shapes)]
         dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
@@ -916,6 +916,20 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "round(MAX(o_totalprice), 2) AS mx FROM orders "
                     "WHERE o_custkey = c.c_custkey) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                ]
+            )
+        elif shape == "select_corr_scalar":
+            # round-12: correlated scalar subqueries as SELECT items —
+            # decorrelated to groupBy + LEFT join; COUNT is 0 on empty
+            sql = rng.choice(
+                [
+                    "SELECT c.c_custkey, (SELECT count(*) FROM orders "
+                    "WHERE o_custkey = c.c_custkey AND o_totalprice > "
+                    f"{rng.randint(10, 30) * 100}) AS n "
+                    f"FROM customer AS c WHERE c.c_custkey < {rng.randint(30, 90)}",
+                    "SELECT c.c_custkey, (SELECT round(MAX(o_totalprice), 2) "
+                    "FROM orders WHERE o_custkey = c.c_custkey) AS m "
+                    f"FROM customer AS c WHERE c.c_custkey < {rng.randint(30, 90)}",
                 ]
             )
         elif shape == "order_by_all":

@@ -2711,7 +2711,10 @@ def test_copy_from_and_ilike(spark, tmp_path, sf_dir):
 def test_scalar_subquery_in_select_list(spark, sf_dir):
     """Round-9: uncorrelated scalar subqueries as TOP-LEVEL select items
     — eagerly inlined literals, DOUBLE-typed (never DECIMAL), AS alias
-    mandatory; correlated projections raise a clear error."""
+    mandatory. Round-12: CORRELATED projections no longer error — they
+    route to the decorrelator (see
+    test_correlated_scalar_in_select_list); here we pin that the
+    qualified-correlation shape matches a window-computed reference."""
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
         ParseError,
         RefSQL,
@@ -2733,11 +2736,26 @@ def test_scalar_subquery_in_select_list(spark, sf_dir):
         eng.execute(
             "SELECT (SELECT MAX(o_totalprice) FROM orders) FROM orders"
         )
-    with pytest.raises(ParseError, match="correlated scalar subqueries"):
-        eng.execute(
-            "SELECT (SELECT MAX(o2.o_totalprice) FROM orders AS o2 "
-            "WHERE o2.o_custkey = o.o_custkey) AS m FROM orders AS o"
+    # round-12: the correlated form decorrelates instead of erroring —
+    # per-custkey max must equal the window-computed reference
+    got = eng.execute(
+        "SELECT o.o_orderkey, (SELECT MAX(o2.o_totalprice) FROM orders "
+        "AS o2 WHERE o2.o_custkey = o.o_custkey) AS m "
+        "FROM orders AS o WHERE o.o_orderkey < 20 ORDER BY o.o_orderkey"
+    ).collect()
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ref = {
+        r.o_orderkey: r.m
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn(
+            "m", F.max("o_totalprice").over(W.partitionBy("o_custkey"))
         )
+        .filter(F.col("o_orderkey") < 20)
+        .collect()
+    }
+    assert {r.o_orderkey: r.m for r in got} == ref
 
 
 def test_fromless_select(engine):
@@ -3557,3 +3575,38 @@ def test_asof_join_derived_side(spark, tmp_path):
         (1, 20, 18, 200),
         (2, 15, 15, 300),
     ]
+
+
+def test_correlated_scalar_in_select_list(spark, tmp_path):
+    """Round-12: correlated scalar subqueries as SELECT items —
+    ``SELECT a, (SELECT agg FROM i WHERE i.k = o.k) AS n`` — routed to
+    the round-9 decorrelator (groupBy correlation keys + LEFT join).
+    COUNT is 0 for outer rows with no matches; other aggregates NULL;
+    uncorrelated bodies still inline eagerly as literals."""
+    e = Engine(spark, str(tmp_path / "csel"))
+    e.ref_sql("CREATE TABLE cust (ck INT, nm TEXT)")
+    e.ref_sql("INSERT INTO cust VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10), (1, 20), (3, 5)")
+    rows = e.ref_sql(
+        "SELECT c.nm, (SELECT count(*) FROM ords WHERE ck = c.ck) AS n, "
+        "(SELECT SUM(v) FROM ords WHERE ck = c.ck) AS s "
+        "FROM cust AS c ORDER BY c.nm"
+    ).collect()
+    assert [(r.nm, r.n, r.s) for r in rows] == [
+        ("a", 2, 30),
+        ("b", 0, None),
+        ("c", 1, 5),
+    ]
+    # the scalar column can drive WHERE/ORDER BY like any output
+    rows = e.ref_sql(
+        "SELECT c.nm, (SELECT MAX(v) FROM ords WHERE ck = c.ck) AS m "
+        "FROM cust AS c WHERE c.ck < 3 ORDER BY c.nm"
+    ).collect()
+    assert [(r.nm, r.m) for r in rows] == [("a", 20), ("b", None)]
+    # mixed: an uncorrelated body still inlines as a literal
+    rows = e.ref_sql(
+        "SELECT c.nm, (SELECT CAST(MAX(v) AS BIGINT) FROM ords) AS gm "
+        "FROM cust AS c ORDER BY c.nm LIMIT 1"
+    ).collect()
+    assert (rows[0].nm, rows[0].gm) == ("a", 20)
