@@ -3534,8 +3534,41 @@ class RefSQL:
                 df = df.join(sub, F.col(lname) == F.col("__subq_v"), "left_semi")
         for ph, lname, spec2, clauses2 in spec.bool_in_subqueries:
             df = self._bool_in_column(df, ph, lname, spec2, clauses2)
+        # Round-12: correlated scalars sharing the SAME inner relation,
+        # local filter, and correlation keys batch into ONE groupBy +
+        # ONE join — ``SELECT (SELECT count(*) ...), (SELECT sum(v) ...)``
+        # over the same inner costs one shuffle, not two. Grouping is by
+        # the raw token text of the FROM tail + local conjuncts + pairs
+        # (syntactic identity — a conservative, always-correct key).
+        buckets: dict = {}
+        border: list = []
         for ph, body_toks, orig_err in spec.scalar_subqueries:
-            df = self._correlated_scalar(df, ph, body_toks, orig_err)
+            try:
+                head, local, pairs = _split_correlated(list(body_toks))
+                fi = next(
+                    (
+                        i
+                        for i, t in enumerate(head)
+                        if t.lower() == "from"
+                        and head[:i].count("(") == head[:i].count(")")
+                    ),
+                    None,
+                )
+            except ParseError:
+                fi, pairs = None, []
+            if fi is None or not pairs:
+                key = ("__solo__", ph)
+            else:
+                key = (
+                    " ".join(head[fi:]),
+                    tuple(" ".join(c) for c in local),
+                    tuple(pairs),
+                )
+            if key not in buckets:
+                border.append(key)
+            buckets.setdefault(key, []).append((ph, body_toks, orig_err))
+        for key in border:
+            df = self._correlated_scalar(df, buckets[key])
         return df
 
     def _bool_in_column(
@@ -3585,7 +3618,7 @@ class RefSQL:
         ).drop("__subq_v")
 
     def _correlated_scalar(
-        self, df: DataFrame, ph: str, body_toks: list[str], orig_err: str
+        self, df: DataFrame, members: "list[tuple[str, list[str], str]]"
     ) -> DataFrame:
         """Round-9: decorrelate ``(SELECT agg(col) FROM t WHERE t.k = o.k
         [AND local...])`` — the classic rewrite (group the inner by its
@@ -3596,56 +3629,72 @@ class RefSQL:
         re-execution; AQE picks broadcast when the aggregate side is
         small. COUNT over an empty group coalesces to 0 (the textbook
         decorrelation-COUNT bug, handled); every other aggregate is NULL
-        on no-match, matching ANSI's empty-subquery-result semantics."""
-        head, local, pairs = _split_correlated(body_toks)
-        if not pairs:
-            raise ParseError(
-                "scalar subquery failed to execute (and has no "
-                "alias-qualified correlated equality to decorrelate on): "
-                + (orig_err.splitlines()[0] if orig_err else "<no detail>")
+        on no-match, matching ANSI's empty-subquery-result semantics.
+
+        Round-12: ``members`` is a BATCH of scalar subqueries sharing
+        the same inner relation, local filter, and correlation pairs
+        (grouped syntactically in _resolved_from) — every member's
+        aggregate computes in the ONE groupBy pass and joins in the ONE
+        join, so N scalars over the same inner cost one shuffle."""
+        parsed = []
+        pairs = None
+        for ph, body_toks, orig_err in members:
+            head, local, pairs = _split_correlated(list(body_toks))
+            if not pairs:
+                raise ParseError(
+                    "scalar subquery failed to execute (and has no "
+                    "alias-qualified correlated equality to decorrelate "
+                    "on): "
+                    + (orig_err.splitlines()[0] if orig_err else "<no detail>")
+                )
+            toks = list(head)
+            if local:
+                toks.append("where")
+                for i, c in enumerate(local):
+                    if i:
+                        toks.append("and")
+                    toks.extend(c)
+            cur = _Cursor(toks)
+            # subquery=True: the item's output name is the attached
+            # placeholder, never observable — ``round(MAX(x), 2)``
+            # unaliased is standard SQL here (the round-11 relaxation,
+            # applied to the re-parse too so round-12's SELECT-list
+            # correlated scalars accept expression-wrapped aggregates).
+            spec2, _, clauses2 = parse_select(
+                cur, self.weak, resolver=self._scalar, subquery=True
             )
-        toks = list(head)
-        if local:
-            toks.append("where")
-            for i, c in enumerate(local):
-                if i:
-                    toks.append("and")
-                toks.extend(c)
-        cur = _Cursor(toks)
-        # subquery=True: the item's output name is the attached
-        # placeholder, never observable — ``round(MAX(x), 2)`` unaliased
-        # is standard SQL here (the round-11 relaxation, applied to the
-        # re-parse too so round-12's SELECT-list correlated scalars
-        # accept expression-wrapped aggregates).
-        spec2, _, clauses2 = parse_select(
-            cur, self.weak, resolver=self._scalar, subquery=True
-        )
-        if not cur.done():
-            raise ParseError(
-                f"unexpected token {cur.peek()!r} in correlated scalar "
-                "subquery"
-            )
-        if (
-            len(spec2.aggregates) != 1
-            or spec2.projections
-            or spec2.windows
-            or spec2.star
-            or clauses2.get("group_by")
-        ):
-            raise ParseError(
-                "a correlated scalar subquery must select exactly one "
-                "aggregate (no other projections, windows, or GROUP BY)"
-            )
-        inner = self._resolved_from(spec2)
-        if not (spec2.joins or spec2.alias):
-            inner = inner.alias(spec2.table)
-        if "where" in clauses2:
-            inner = inner.filter(clauses2["where"])
-        fn, colname, _ = spec2.aggregates[0]
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} in correlated scalar "
+                    "subquery"
+                )
+            if (
+                len(spec2.aggregates) != 1
+                or spec2.projections
+                or spec2.windows
+                or spec2.star
+                or clauses2.get("group_by")
+            ):
+                raise ParseError(
+                    "a correlated scalar subquery must select exactly one "
+                    "aggregate (no other projections, windows, or GROUP BY)"
+                )
+            parsed.append((ph, spec2, clauses2))
+        _, spec0, clauses0 = parsed[0]
+        inner = self._resolved_from(spec0)
+        if not (spec0.joins or spec0.alias):
+            inner = inner.alias(spec0.table)
+        if "where" in clauses0:
+            inner = inner.filter(clauses0["where"])
         keys = [
             F.col(ik).alias(f"__subq_k{i}") for i, (ik, _) in enumerate(pairs)
         ]
-        agg = inner.groupBy(*keys).agg(agg_spec(fn, colname, ph))
+        agg = inner.groupBy(*keys).agg(
+            *[
+                agg_spec(s.aggregates[0][0], s.aggregates[0][1], ph)
+                for ph, s, _ in parsed
+            ]
+        )
         cond = None
         for i, (_, oc) in enumerate(pairs):
             c = F.col(oc) == F.col(f"__subq_k{i}")
@@ -3653,8 +3702,9 @@ class RefSQL:
         out = df.join(agg, cond, "left").drop(
             *[f"__subq_k{i}" for i in range(len(pairs))]
         )
-        if fn.lower() == "count":
-            out = out.withColumn(ph, F.coalesce(F.col(ph), F.lit(0)))
+        for ph, s, _ in parsed:
+            if s.aggregates[0][0].lower() == "count":
+                out = out.withColumn(ph, F.coalesce(F.col(ph), F.lit(0)))
         return out
 
 

@@ -674,3 +674,25 @@ def test_round12_lateral_plans(spark, sf_dir):
     )
     assert t.count("HashAggregate") >= 2  # partial + final on the inner
     assert "CartesianProduct" not in t
+
+    # Correlated scalars sharing the same inner+filter+keys BATCH into
+    # one groupBy pass + one join: count and sum appear in a single
+    # HashAggregate's function list, never as two separate shuffles.
+    t = plan_text(
+        _ref_select(
+            spark,
+            sf_dir,
+            "SELECT c.c_custkey, "
+            "(SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey) "
+            "AS n, "
+            "(SELECT SUM(o_totalprice) FROM orders "
+            "WHERE o_custkey = c.c_custkey) AS s "
+            "FROM customer AS c WHERE c.c_custkey < 50",
+        )
+    )
+    shared = [
+        l
+        for l in t.splitlines()
+        if "Functions" in l and "count(" in l and "sum(" in l
+    ]
+    assert shared, "count+sum must compute in ONE batched groupBy"
