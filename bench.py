@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "refsql_unnest_tokens",
     "events_skew_report",
     "stream_append_exactly_once",
+    # round-12 additions
+    "refsql_lateral_topk",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -206,6 +208,9 @@ KNOWN_FLOORS_SF01 = {
     "refsql_in_or_membership": 0.50,
     "sketch_hist_quantiles_grouped": 1.66,
     "stream_session_hll_users": 2.72,
+    # round-12 addition (bench-order warm 0.49 on a quiet run; isolated
+    # probe passes 1.85/0.98/0.86/0.79 — first-lateral-in-session ~1.9):
+    "refsql_lateral_topk": 0.49,
 }
 
 
