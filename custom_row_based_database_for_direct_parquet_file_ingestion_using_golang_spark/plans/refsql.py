@@ -767,6 +767,13 @@ class ExprParser:
         # deduplicated subquery values), so the predicate tree can use it
         # anywhere a boolean fits.
         self.bool_in_subqueries: list[tuple[str, str, Any, dict]] = []
+        # Round-12: [NOT] EXISTS in NON-conjunct positions (under OR/NOT/
+        # parens) — (placeholder, raw body tokens). EXISTS is two-valued
+        # (never UNKNOWN), so the executor materializes a plain boolean
+        # flag column: equality-correlated bodies decorrelate to a
+        # distinct-keys left join (_bool_exists_column); uncorrelated
+        # bodies fold to a constant via one bounded driver probe.
+        self.bool_exists_subqueries: list[tuple[str, list[str]]] = []
         # Round-9: correlated scalar subqueries — (placeholder,
         # body_tokens, uncorrelated_error). The eager resolver path fails
         # on outer references; the executor decorrelates (group the inner
@@ -801,9 +808,9 @@ class ExprParser:
             if len(self.subqueries) + len(self.exists_subqueries) > n0:
                 raise ParseError(
                     "IN/EXISTS (SELECT ...) joined by OR must be "
-                    "parenthesized — write (x IN (SELECT ...)) OR ... to "
-                    "use the boolean membership-column form (EXISTS has "
-                    "no boolean form; only top-level AND conjuncts)"
+                    "parenthesized — write (x IN (SELECT ...)) OR ... or "
+                    "(EXISTS (SELECT ...)) OR ... to use the boolean "
+                    "column form"
                 )
             self.cur.next()
             prev = self._no_sub()
@@ -1059,10 +1066,20 @@ class ExprParser:
             k0 = "exists"
         if k0 == "exists":
             if not self._sub_ok:
-                raise ParseError(
-                    "EXISTS (SELECT ...) is only supported as a top-level "
-                    "AND condition of WHERE"
-                )
+                # Round-12: EXISTS under OR/NOT/parens — no semi-join
+                # rewrite applies, so it becomes a BOOLEAN flag column
+                # (EXISTS is two-valued, so unlike the IN form there is
+                # no UNKNOWN branch). The body is captured raw; the
+                # executor decorrelates equality-correlated bodies to a
+                # distinct-keys left join (_bool_exists_column).
+                self.cur.next()
+                if self.cur.next() != "(":
+                    raise ParseError("expected '(' after EXISTS")
+                toks = _capture_balanced_tokens(self.cur)
+                ph = f"__subq_exbool_{len(self.bool_exists_subqueries)}"
+                self.bool_exists_subqueries.append((ph, toks))
+                out = F.col(ph)
+                return ~out if neg_exists else out
             self.cur.next()
             if self.cur.next() != "(":
                 raise ParseError("expected '(' after EXISTS")
@@ -1216,6 +1233,11 @@ class SelectSpec:
     # clauses); and correlated scalar subqueries (placeholder, raw body
     # tokens, uncorrelated-attempt error) decorrelated by the executor.
     bool_in_subqueries: list[tuple[str, str, "SelectSpec", dict]] = field(
+        default_factory=list
+    )
+    # Round-12: [NOT] EXISTS in non-conjunct positions — (placeholder,
+    # raw body tokens); materialized as a boolean flag column.
+    bool_exists_subqueries: list[tuple[str, list]] = field(
         default_factory=list
     )
     scalar_subqueries: list[tuple[str, list, str]] = field(
@@ -2124,6 +2146,7 @@ def parse_select(
             onp.subqueries
             or onp.exists_subqueries
             or onp.bool_in_subqueries
+            or onp.bool_exists_subqueries
             or onp.correlated_scalars
         ):
             raise ParseError("subqueries are not supported in JOIN ... ON")
@@ -2139,6 +2162,7 @@ def parse_select(
             spec.in_subqueries.extend(wp.subqueries)
             spec.exists_subqueries.extend(wp.exists_subqueries)
             spec.bool_in_subqueries.extend(wp.bool_in_subqueries)
+            spec.bool_exists_subqueries.extend(wp.bool_exists_subqueries)
             spec.scalar_subqueries.extend(wp.correlated_scalars)
         elif kw == "group":
             cur.next()
@@ -2247,6 +2271,7 @@ def parse_select(
                 hp.subqueries
                 or hp.exists_subqueries
                 or hp.bool_in_subqueries
+                or hp.bool_exists_subqueries
                 or hp.correlated_scalars
             ):
                 raise ParseError(
@@ -2363,6 +2388,7 @@ def parse_select(
                 qp.subqueries
                 or qp.exists_subqueries
                 or qp.bool_in_subqueries
+                or qp.bool_exists_subqueries
                 or qp.correlated_scalars
             ):
                 raise ParseError("subqueries are not supported in QUALIFY")
@@ -3534,6 +3560,8 @@ class RefSQL:
                 df = df.join(sub, F.col(lname) == F.col("__subq_v"), "left_semi")
         for ph, lname, spec2, clauses2 in spec.bool_in_subqueries:
             df = self._bool_in_column(df, ph, lname, spec2, clauses2)
+        for ph, body_toks in spec.bool_exists_subqueries:
+            df = self._bool_exists_column(df, ph, list(body_toks))
         # Round-12: correlated scalars sharing the SAME inner relation,
         # local filter, and correlation keys batch into ONE groupBy +
         # ONE join — ``SELECT (SELECT count(*) ...), (SELECT sum(v) ...)``
@@ -3616,6 +3644,65 @@ class RefSQL:
             .when(F.col("__subq_v").isNotNull(), F.lit(True))
             .otherwise(no_match),
         ).drop("__subq_v")
+
+    def _bool_exists_column(
+        self, df: DataFrame, ph: str, body_toks: list[str]
+    ) -> DataFrame:
+        """Round-12: ``EXISTS (SELECT ...)`` in a NON-conjunct position
+        (under OR/NOT/parens) — where the semi-join rewrite doesn't
+        apply — materializes as a boolean flag column ``ph``. EXISTS is
+        TWO-valued (a subquery either has rows or hasn't; no UNKNOWN
+        branch, unlike IN), so the flag is plain TRUE/FALSE.
+
+        Equality-correlated bodies decorrelate: the inner's DISTINCT
+        correlation keys (after its local filter) left-join onto the
+        outer frame, and the flag is key-matched. The build side is
+        distinct so the join never fans out; inner NULL keys can't match
+        (ANSI '='), and an outer NULL key correctly reads FALSE.
+        Uncorrelated bodies fold to a constant via one bounded ≤1-row
+        driver probe (the same strategy as the IN form's has-NULL bit)."""
+        head, local, pairs = _split_correlated(list(body_toks))
+        toks = list(head)
+        if local:
+            toks.append("where")
+            for i, c in enumerate(local):
+                if i:
+                    toks.append("and")
+                toks.extend(c)
+        cur = _Cursor(toks)
+        spec2, _, clauses2 = parse_select(
+            cur, self.weak, resolver=self._scalar, subquery=True
+        )
+        if not cur.done():
+            raise ParseError(
+                f"unexpected token {cur.peek()!r} in EXISTS subquery"
+            )
+        for bad in ("group_by", "having", "order_by", "limit", "offset"):
+            if bad in clauses2:
+                raise ParseError(
+                    f"EXISTS subqueries do not support {bad.upper()} "
+                    "(the projection/grouping is irrelevant to EXISTS)"
+                )
+        inner = self._resolved_from(spec2)
+        if not (spec2.joins or spec2.alias):
+            inner = inner.alias(spec2.table)
+        if "where" in clauses2:
+            inner = inner.filter(clauses2["where"])
+        if not pairs:
+            return df.withColumn(ph, F.lit(not inner.isEmpty()))
+        keys = [
+            F.col(ik).alias(f"__subq_k{i}") for i, (ik, _) in enumerate(pairs)
+        ]
+        sub = inner.select(*keys).distinct()
+        cond = None
+        for i, (_, oc) in enumerate(pairs):
+            c = F.col(oc) == F.col(f"__subq_k{i}")
+            cond = c if cond is None else (cond & c)
+        return (
+            df.join(sub, cond, "left")
+            .withColumn(ph, F.col("__subq_k0").isNotNull())
+            .drop(*[f"__subq_k{i}" for i in range(len(pairs))])
+        )
 
     def _correlated_scalar(
         self, df: DataFrame, members: "list[tuple[str, list[str], str]]"
@@ -4607,7 +4694,7 @@ class RefSQL:
         rewrite, never a driver-side value list. Returns None when the
         predicate needs no helper columns (the engine reads the table
         itself). EXISTS and correlated scalars stay out of DML scope."""
-        if ep.exists_subqueries:
+        if ep.exists_subqueries or ep.bool_exists_subqueries:
             raise ParseError(
                 f"EXISTS subqueries are not supported in {verb} — rewrite "
                 "an equality correlation as x IN (SELECT k FROM ...)"

@@ -736,8 +736,9 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
+        "bool_exists",
     ]
-    for trial in range(38):
+    for trial in range(40):
         shape = shapes[trial % len(shapes)]
         dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
@@ -917,6 +918,16 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "WHERE o_custkey = c.c_custkey) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
                 ]
+            )
+        elif shape == "bool_exists":
+            # round-12: [NOT] EXISTS under OR/NOT/parens — the boolean
+            # flag-column form vs DuckDB's native EXISTS
+            neg = rng.choice(["", "NOT "])
+            sql = (
+                "SELECT c.c_custkey FROM customer AS c WHERE "
+                f"({neg}EXISTS (SELECT 1 FROM orders WHERE o_custkey = "
+                f"c.c_custkey AND o_totalprice > {rng.randint(10, 40) * 100}"
+                f")) OR c.c_acctbal > {rng.randint(9000, 9900)}"
             )
         elif shape == "select_corr_scalar":
             # round-12: correlated scalar subqueries as SELECT items —

@@ -1106,11 +1106,21 @@ def test_exists_subqueries(engine, spark):
         ).count()
         == 0
     )
-    # Restrictions: not under OR; no GROUP BY/LIMIT inside.
-    with pytest.raises(ParseError, match="top-level AND"):
+    # Round-12: EXISTS in the RIGHT arm of an OR works — the boolean
+    # flag-column form (test_exists_boolean_form covers it fully). In
+    # the LEFT arm the semi-join marker is already recorded, so it still
+    # raises with the parenthesize hint.
+    rows = engine.ref_sql(
+        "SELECT id FROM students WHERE id = 1 OR EXISTS "
+        "(SELECT 1 FROM enroll WHERE enroll.sid = students.id) "
+        "ORDER BY id"
+    ).collect()
+    assert len(rows) >= 1 and rows[0].id == 1
+    with pytest.raises(ParseError, match="boolean column form"):
         engine.ref_sql(
-            "SELECT id FROM students WHERE id = 1 OR EXISTS "
-            "(SELECT 1 FROM enroll WHERE enroll.sid = students.id)"
+            "SELECT id FROM students WHERE EXISTS "
+            "(SELECT 1 FROM enroll WHERE enroll.sid = students.id) "
+            "OR id = 1"
         )
     with pytest.raises(ParseError, match="do not support"):
         engine.ref_sql(
@@ -3610,3 +3620,53 @@ def test_correlated_scalar_in_select_list(spark, tmp_path):
         "FROM cust AS c ORDER BY c.nm LIMIT 1"
     ).collect()
     assert (rows[0].nm, rows[0].gm) == ("a", 20)
+
+
+def test_exists_boolean_form(spark, tmp_path):
+    """Round-12: [NOT] EXISTS under OR/NOT/parens — the boolean flag
+    column form (EXISTS is two-valued, so unlike boolean IN there is no
+    UNKNOWN branch). Equality-correlated bodies decorrelate to a
+    distinct-keys left join; uncorrelated bodies fold to a constant."""
+    e = Engine(spark, str(tmp_path / "bex"))
+    e.ref_sql("CREATE TABLE cust (ck INT, bal INT)")
+    e.ref_sql("INSERT INTO cust VALUES (1, 5), (2, 50), (3, 5)")
+    e.ref_sql("INSERT INTO cust (bal) VALUES (99)")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10), (3, 99)")
+    # EXISTS under OR: customer 2 passes on balance, 1 and 3 on orders;
+    # the NULL-key customer passes on balance (NULL key matches nothing)
+    rows = e.ref_sql(
+        "SELECT ck, bal FROM cust AS c WHERE c.bal > 40 OR "
+        "(EXISTS (SELECT 1 FROM ords WHERE ck = c.ck)) ORDER BY bal, ck"
+    ).collect()
+    assert [(r.ck, r.bal) for r in rows] == [
+        (1, 5), (3, 5), (2, 50), (None, 99)
+    ]
+    # NOT (EXISTS ...) — negation folds through the two-valued flag
+    rows = e.ref_sql(
+        "SELECT ck FROM cust AS c WHERE NOT (EXISTS "
+        "(SELECT 1 FROM ords WHERE ck = c.ck)) AND c.ck IS NOT NULL"
+    ).collect()
+    assert [r.ck for r in rows] == [2]
+    # residual inner-only conjunct folds into the inner filter
+    rows = e.ref_sql(
+        "SELECT ck FROM cust AS c WHERE (EXISTS (SELECT 1 FROM ords "
+        "WHERE ck = c.ck AND v > 50)) OR c.bal > 98 ORDER BY ck NULLS LAST"
+    ).collect()
+    assert [r.ck for r in rows] == [3, None]
+    # uncorrelated body folds to a constant (one bounded driver probe)
+    assert (
+        len(
+            e.ref_sql(
+                "SELECT ck FROM cust WHERE (EXISTS "
+                "(SELECT 1 FROM ords WHERE v > 1000)) OR bal > 98"
+            ).collect()
+        )
+        == 1
+    )
+    # the flag column never leaks into a star projection
+    out = e.ref_sql(
+        "SELECT * FROM cust AS c WHERE c.bal > 40 OR "
+        "(EXISTS (SELECT 1 FROM ords WHERE ck = c.ck))"
+    )
+    assert all(not c.startswith("__subq_") for c in out.columns)
