@@ -3308,7 +3308,8 @@ class RefSQL:
             cur.next()
             talias = _unquote(cur.next())
         elif cur.peek() is not None and cur.peek_kw() not in (
-            "where", "order", "limit",
+            "where", "order", "limit", "group", "having", "qualify",
+            "join", "inner", "left", "right", "full", "cross",
         ):
             talias = _unquote(cur.next())
         inner = self._table_df(tname)
@@ -3392,6 +3393,11 @@ class RefSQL:
                 t = cur.next()
                 if t == ",":
                     continue
+                if not re.fullmatch(r"[A-Za-z_`\"'][\w.`\"']*", t):
+                    raise ParseError(
+                        "LATERAL ORDER BY keys must be plain columns, "
+                        f"got {t!r}"
+                    )
                 desc = False
                 if cur.peek_kw() in ("asc", "desc"):
                     desc = cur.next().lower() == "desc"

@@ -3670,3 +3670,25 @@ def test_exists_boolean_form(spark, tmp_path):
         "(EXISTS (SELECT 1 FROM ords WHERE ck = c.ck))"
     )
     assert all(not c.startswith("__subq_") for c in out.columns)
+
+
+def test_lateral_parse_edges(spark, tmp_path):
+    """Round-12 hardening: a GROUP BY in a LATERAL body errors with the
+    intended message (GROUP is never misread as a table alias), and an
+    expression ORDER BY key is rejected rather than silently misparsed."""
+    e = Engine(spark, str(tmp_path / "latp"))
+    e.ref_sql("CREATE TABLE cust (ck INT)")
+    e.ref_sql("INSERT INTO cust VALUES (1)")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10)")
+    with pytest.raises(ParseError, match="GROUP BY inside a LATERAL"):
+        e.ref_sql(
+            "SELECT c.ck, x.n FROM cust AS c JOIN LATERAL "
+            "(SELECT count(*) AS n FROM ords GROUP BY v) AS x ON TRUE"
+        )
+    with pytest.raises(ParseError, match="plain columns"):
+        e.ref_sql(
+            "SELECT c.ck, x.v FROM cust AS c JOIN LATERAL "
+            "(SELECT v FROM ords WHERE ck = c.ck "
+            "ORDER BY v * -1 LIMIT 1) AS x ON TRUE"
+        )
