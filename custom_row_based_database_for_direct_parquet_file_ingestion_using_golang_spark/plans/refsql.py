@@ -2022,7 +2022,21 @@ def parse_select(
     # equi-join sugar resolved by the executor (one output column per
     # USING name, standard semantics); CROSS JOIN takes no condition.
     _JOIN_KWS = ("join", "inner", "left", "right", "full", "cross", "asof")
-    while cur.peek_kw() in _JOIN_KWS:
+    while cur.peek_kw() in _JOIN_KWS or cur.peek() == ",":
+        if cur.peek() == ",":
+            # Round-12: ANSI-89 comma join — ``FROM a, b [, ...]`` is a
+            # cross product whose WHERE equalities Catalyst folds back
+            # into a hash join condition (never an executed cartesian
+            # when the predicate links the sides). ``FROM a, LATERAL
+            # (SELECT ...)`` is the DuckDB comma spelling of CROSS JOIN
+            # LATERAL.
+            cur.next()
+            if cur.peek_kw() == "lateral":
+                cur.toks[cur.i:cur.i] = ["cross", "join"]
+                continue
+            jtable, jalias = _join_side(cur, weak_typing, resolver)
+            spec.joins.append(("cross", jtable, jalias, None))
+            continue
         if cur.peek_kw() == "asof":
             # Round-8: ``ASOF [LEFT] JOIN t [AS x] ON l.k = r.k AND
             # l.ts >= r.ts`` (DuckDB's surface) — exactly one equality

@@ -736,9 +736,9 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
-        "bool_exists",
+        "bool_exists", "comma_join",
     ]
-    for trial in range(40):
+    for trial in range(42):
         shape = shapes[trial % len(shapes)]
         dsql = None  # DuckDB-side override when syntaxes diverge
         if shape == "scalar_fns":
@@ -916,6 +916,21 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "CROSS JOIN LATERAL (SELECT count(o_orderkey) AS n, "
                     "round(MAX(o_totalprice), 2) AS mx FROM orders "
                     "WHERE o_custkey = c.c_custkey) AS x "
+                    f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                ]
+            )
+        elif shape == "comma_join":
+            # round-12: ANSI-89 comma joins (+ the comma-LATERAL spelling)
+            sql = rng.choice(
+                [
+                    "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n "
+                    "FROM customer AS c, nation AS n "
+                    "WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey "
+                    f"< {rng.randint(50, 200)} GROUP BY n.n_name",
+                    "SELECT c.c_custkey, x.n FROM customer AS c, LATERAL "
+                    "(SELECT count(*) AS n FROM orders WHERE o_custkey = "
+                    "c.c_custkey AND o_totalprice > "
+                    f"{rng.randint(10, 30) * 100}) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
                 ]
             )

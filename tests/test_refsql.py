@@ -3692,3 +3692,43 @@ def test_lateral_parse_edges(spark, tmp_path):
             "(SELECT v FROM ords WHERE ck = c.ck "
             "ORDER BY v * -1 LIMIT 1) AS x ON TRUE"
         )
+
+
+def test_comma_joins(spark, tmp_path, sf_dir):
+    """Round-12: ANSI-89 comma joins — ``FROM a, b WHERE a.k = b.k``.
+    The comma is a cross product; Catalyst folds the WHERE equalities
+    back into hash-join conditions, so a linked chain never executes a
+    cartesian. ``FROM a, LATERAL (...)`` is the comma spelling of CROSS
+    JOIN LATERAL."""
+    e = Engine(spark, str(tmp_path / "cj"))
+    for t in ("customer", "orders", "nation"):
+        e.ingest_parquet(f"{sf_dir}/{t}.parquet", t)
+    df = e.ref_sql(
+        "SELECT n.n_name, c.c_custkey FROM customer AS c, nation AS n "
+        "WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey < 5 "
+        "ORDER BY c.c_custkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    cdf, ndf = e.table("customer"), e.table("nation")
+    ref = {
+        r.c_custkey: r.n_name
+        for r in cdf.join(ndf, cdf.c_nationkey == ndf.n_nationkey)
+        .filter("c_custkey < 5")
+        .collect()
+    }
+    assert {r.c_custkey: r.n_name for r in rows} == ref
+    # comma-LATERAL spelling
+    rows = e.ref_sql(
+        "SELECT c.c_custkey, x.n FROM customer AS c, LATERAL "
+        "(SELECT count(*) AS n FROM orders WHERE o_custkey = c.c_custkey) "
+        "AS x WHERE c.c_custkey < 3 ORDER BY c.c_custkey"
+    ).collect()
+    per_key = {
+        r.o_custkey: r["count"]
+        for r in e.table("orders").groupBy("o_custkey").count().collect()
+    }
+    assert [(r.c_custkey, r.n) for r in rows] == [
+        (k, per_key.get(k, 0)) for k in range(3)
+    ]
