@@ -115,14 +115,28 @@ Round-7 extensions:
 Round-12 extensions:
   * Derived tables as JOIN sides: ``JOIN (SELECT ...) AS x [(c1, ...)]
     ON ...`` — the subquery builds independently and joins like any
-    relation (Catalyst still picks broadcast vs shuffle on it).
+    relation (Catalyst still picks broadcast vs shuffle on it); ASOF
+    accepts one too. ANSI-89 comma joins (``FROM a, b WHERE a.k =
+    b.k``) parse as cross joins whose WHERE equalities Catalyst folds
+    into hash-join conditions.
   * ``[CROSS | INNER | LEFT] JOIN LATERAL (SELECT ... WHERE
-    <outer>.col = inner_col ...) AS x [ON TRUE]`` — correlated lateral
-    subqueries, DECORRELATED (RefSQL._lateral): aggregate bodies become
-    groupBy(correlation key) + one equi-join with the count-bug handled
-    (empty groups still yield COUNT 0 / SUM NULL rows); ``ORDER BY ...
-    LIMIT k`` bodies become a per-key window top-k + equi-join; never a
-    per-outer-row rescan, never a cartesian product.
+    <outer>.col = inner_col ...) AS x [ON TRUE]`` (also ``FROM a,
+    LATERAL (...)``) — correlated lateral subqueries, DECORRELATED
+    (RefSQL._lateral): aggregate bodies become groupBy(correlation key)
+    + one equi-join with the count-bug handled (empty groups still
+    yield COUNT 0 / SUM NULL rows); ``ORDER BY ... LIMIT k`` bodies
+    become a per-key window top-k + equi-join; never a per-outer-row
+    rescan, never a cartesian product.
+  * Correlated scalar subqueries as SELECT items (round-9 decorrelator;
+    COUNT 0 on empty groups); N scalars sharing the same inner
+    relation + filter + correlation keys BATCH into one groupBy pass +
+    one join.
+  * ``[NOT] EXISTS`` under OR/NOT/parens — a two-valued boolean flag
+    column (RefSQL._bool_exists_column): equality-correlated bodies
+    decorrelate to a distinct-keys left join; uncorrelated bodies fold
+    to a constant via one bounded driver probe.
+  * ``ORDER BY ALL [ASC|DESC]`` — every output column left-to-right
+    (DuckDB ergonomic), star-modifier-aware.
 """
 
 from __future__ import annotations
