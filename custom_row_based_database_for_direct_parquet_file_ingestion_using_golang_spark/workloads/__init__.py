@@ -118,7 +118,9 @@ PRIORITY: list[str] = [
     # rotation arithmetic is unchanged. Then the former r8 window
     # (r8-green, 4 rounds stale at r12; was 50 entries, 49 after the
     # retirement) MUST drain at r13 — 5 rounds stale, exactly at the
-    # policy limit — so the r13 window is exactly 1 debut + 49 r8-green:
+    # policy limit — so the r13 window is exactly 1 debut + 49 followers
+    # (judge-merged evidence: 48 r8-green + refsql_correlated_scalar,
+    # which re-greened r9 and so drains a round early — harmless):
     "refsql_lateral_topk",
     "refsql_merge_source_delete",
     "skew_salted_join",
