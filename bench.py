@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_scores",
     "text_repetition_ratio",
+    "text_dup_ngram_chars",
     "text_pii_redact",
     "corpus_line_dedup",
     "contamination_eval_train_overlap",
@@ -169,6 +170,8 @@ KNOWN_FLOORS_SF01 = {
     "text_token_stats": 0.20,
     "text_quality_scores": 0.27,
     "text_repetition_ratio": 0.19,
+    # sorted-runs F.aggregate fold, zero exchanges (round-12)
+    "text_dup_ngram_chars": 0.14,
     "text_pii_redact": 0.32,
     "corpus_line_dedup": 0.90,
     "contamination_eval_train_overlap": 0.98,

@@ -227,6 +227,150 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(shingle_multiset(text, n))
 
 
+def _l0() -> Column:
+    # lazy: F.lit needs an active session, so no module-level Column
+    return F.lit(0).cast("long")
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """One-pass run-length scan over a SORTED string array — the shared
+    kernel behind the Gopher/RedPajama-v2 repetition-quality signals.
+
+    Returns struct(n_distinct, top_elem, top_count, dup_occurrences,
+    dup_chars): the number of distinct elements, the most frequent element
+    (ties broken toward the lexicographically smallest — deterministic and
+    SQL-replayable as ``ORDER BY count DESC, elem``), its count, the total
+    occurrences belonging to elements appearing >= 2 times, and the
+    character sum over those occurrences.
+
+    Shape: ``array_sort`` makes equal elements adjacent, so ONE
+    ``F.aggregate`` fold with a struct accumulator computes every counter
+    in O(len) — all JVM-side Catalyst expressions in the scan stage (no
+    Python, no explode, no shuffle). A per-doc hash map would be O(len)
+    too but costs an Arrow round-trip; the naive HOF formulation
+    (``transform(x -> size(filter(...)))``) is O(len^2) and melts on
+    10k-gram documents at 100 TB.
+    """
+
+    def _close(acc: Column) -> list[Column]:
+        # Fold the in-flight run into the counters (no-op while run = 0).
+        # Strict `>` keeps the FIRST max run: the array is sorted
+        # ascending, so that is the lexicographically smallest tie.
+        take = acc["run"] > acc["top_count"]
+        dup = acc["run"] >= 2
+        return [
+            (acc["n_distinct"] + F.when(acc["run"] >= 1, 1).otherwise(0)).alias(
+                "n_distinct"
+            ),
+            F.when(take, acc["prev"]).otherwise(acc["top_elem"]).alias("top_elem"),
+            F.when(take, acc["run"]).otherwise(acc["top_count"]).alias("top_count"),
+            (acc["dup_occurrences"] + F.when(dup, acc["run"]).otherwise(0)).alias(
+                "dup_occurrences"
+            ),
+            (
+                acc["dup_chars"]
+                + F.when(dup, acc["run"] * F.length(acc["prev"])).otherwise(0)
+            ).alias("dup_chars"),
+        ]
+
+    start = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _l0().alias("run"),
+        _l0().alias("n_distinct"),
+        F.lit(None).cast("string").alias("top_elem"),
+        _l0().alias("top_count"),
+        _l0().alias("dup_occurrences"),
+        _l0().alias("dup_chars"),
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        same = F.struct(
+            acc["prev"].alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            acc["n_distinct"].alias("n_distinct"),
+            acc["top_elem"].alias("top_elem"),
+            acc["top_count"].alias("top_count"),
+            acc["dup_occurrences"].alias("dup_occurrences"),
+            acc["dup_chars"].alias("dup_chars"),
+        )
+        fresh = F.struct(
+            x.alias("prev"), F.lit(1).cast("long").alias("run"), *_close(acc)
+        )
+        return F.when(acc["prev"].eqNullSafe(x), same).otherwise(fresh)
+
+    return F.aggregate(
+        sorted_arr, start, _merge, lambda acc: F.struct(*_close(acc))
+    )
+
+
+def ngram_char_stats(toks: Column, n: int) -> Column:
+    """Word-n-gram repetition statistics of a token-array column — the
+    RedPajama-v2 / Gopher character-coverage repetition signals
+    (``rps_doc_frac_chars_top_ngram`` / ``frac_chars_dupe_ngrams``), as one
+    scan-stage struct column:
+
+      n_grams           shingle count (multiset; < n tokens → 1 whole-text)
+      total_chars       length of the space-joined token text (the
+                        normalized document — the fraction denominator)
+      n_distinct        distinct n-grams
+      top_gram          most frequent n-gram (ties → lexicographically
+                        smallest, so the value is deterministic and the
+                        oracle replays it as ORDER BY count DESC, gram)
+      top_count         its occurrence count
+      top_chars         top_count * len(top_gram) — chars covered by the
+                        most frequent n-gram (occurrences scored
+                        independently; overlaps not collapsed — the
+                        documented RPv2 convention, which can exceed
+                        total_chars on pathological inputs)
+      dup_occurrences   occurrences of n-grams appearing >= 2 times
+      dup_chars         character sum over those occurrences
+
+    Callers derive the published fractions as top_chars / total_chars and
+    dup_chars / total_chars (guard total_chars = 0). Everything is built-in
+    Column algebra over ``array_sort`` + one ``F.aggregate`` fold — no
+    Python, no explode, no shuffle: per-document quality tagging at scan
+    speed. Stage the token array as its own column first (see
+    ``norm_tokens``)."""
+    grams = shingles_from_tokens(toks, n)
+    s = _run_stats(F.array_sort(grams))
+    return F.struct(
+        F.size(grams).cast("long").alias("n_grams"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+        s["n_distinct"].alias("n_distinct"),
+        s["top_elem"].alias("top_gram"),
+        s["top_count"].alias("top_count"),
+        (s["top_count"] * F.length(s["top_elem"])).cast("long").alias("top_chars"),
+        s["dup_occurrences"].alias("dup_occurrences"),
+        s["dup_chars"].alias("dup_chars"),
+    )
+
+
+def line_dup_stats(text: Column | str) -> Column:
+    """Line-level duplicate statistics — the Gopher/Dolma
+    duplicate-line-fraction family, one scan-stage struct per document:
+
+      n_lines         non-empty lines (split on \\n, blanks dropped)
+      n_distinct      distinct non-empty lines
+      dup_occurrences occurrences belonging to lines appearing >= 2 times
+      dup_chars       character sum over those occurrences
+      total_chars     character sum over all non-empty lines
+
+    The published fractions derive as (n_lines - n_distinct) / n_lines
+    (repeats beyond first), dup_occurrences / n_lines (all occurrences of
+    duplicated lines), and dup_chars / total_chars. Same sorted-runs
+    ``F.aggregate`` kernel as ``ngram_char_stats`` — no explode, no
+    shuffle."""
+    lines = F.filter(F.split(_c(text), "\n"), lambda x: F.length(x) > 0)
+    s = _run_stats(F.array_sort(lines))
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        s["n_distinct"].alias("n_distinct"),
+        s["dup_occurrences"].alias("dup_occurrences"),
+        s["dup_chars"].alias("dup_chars"),
+        F.aggregate(lines, _l0(), lambda a, x: a + F.length(x)).alias("total_chars"),
+    )
+
+
 def char_bigrams(text: Column | str) -> Column:
     """Character-bigram array of the [a-z ]-normalized text, in position
     order (deterministic). Docs normalizing to < 2 chars get an empty

@@ -32,10 +32,15 @@ from . import sketches  # noqa: F401, E402
 # a genuinely redundant entry one-for-one (verdict-named candidates:
 # ann_lsh_top10 vs ann_ivf_top10 overlap; the corpus_pack_* siblings) or
 # after the driver widens the window. Depth work (operators, fuzz,
-# pytest, floors, docs) is unconstrained. One swap executed this round
+# pytest, floors, docs) is unconstrained. Two swaps executed this round
 # under that rule: corpus_pack_sequences (redundant sibling of
 # corpus_pack_split_spans) retired for refsql_lateral_topk (the round-12
-# LATERAL decorrelation debut) — registry still 248.
+# LATERAL decorrelation debut), and ann_lsh_top10 (the other
+# verdict-named candidate: rows-only, redundant with ann_ivf_top10's
+# bucketed-ANN coverage; the lsh_topk operator keeps its pytests)
+# retired for text_dup_ngram_chars (oracle-checked RPv2/Gopher
+# character-coverage repetition signals) — registry still 248, and the
+# oracle-checked share rises 234 → 235 (rows-only 14 → 13).
 #
 # Round-12 curation: (1) refsql_star_replace — the registry's only
 # never-checked entry — debuts first; (2) the full 48-entry r7-green
@@ -118,10 +123,13 @@ PRIORITY: list[str] = [
     # rotation arithmetic is unchanged. Then the former r8 window
     # (r8-green, 4 rounds stale at r12; was 50 entries, 49 after the
     # retirement) MUST drain at r13 — 5 rounds stale, exactly at the
-    # policy limit — so the r13 window is exactly 1 debut + 49 followers
-    # (judge-merged evidence: 48 r8-green + refsql_correlated_scalar,
+    # policy limit — so the r13 window is exactly 2 debuts + 48 followers
+    # (text_dup_ngram_chars entered by the second one-for-one swap,
+    # retiring the r8-green ann_lsh_top10, so the r8 block is 47 entries;
+    # judge-merged evidence: 47 r8-green + refsql_correlated_scalar,
     # which re-greened r9 and so drains a round early — harmless):
     "refsql_lateral_topk",
+    "text_dup_ngram_chars",
     "refsql_merge_source_delete",
     "skew_salted_join",
     "crossmodal_image_text_neardup",
@@ -160,7 +168,6 @@ PRIORITY: list[str] = [
     "stream_stateful_user_totals",
     "ann_brute_force_top10",
     "ann_ivf_top10",
-    "ann_lsh_top10",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "zorder_optimized_scan",

@@ -224,12 +224,12 @@ def test_lsh_topk_fills_k_on_fixture_corpus(spark, sf_dir):
     fixture embeddings (too many planes → starved candidate set). The
     auto-sized ``n_planes=None`` path must yield big-enough buckets that a
     small corpus fills k."""
-    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
-        QUERIES,
-    )
-
-    rows = QUERIES["ann_lsh_top10"](spark, sf_dir).collect()
-    assert len(rows) == 10, f"ann_lsh_top10 returned {len(rows)} of k=10"
+    # (was the ann_lsh_top10 workload body until its round-12 retirement
+    # in the one-for-one registry swap — the operator keeps the pin)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    rows = similarity.lsh_topk(emb, "vec_id", "embedding", q, dim=64, k=10).collect()
+    assert len(rows) == 10, f"lsh_topk returned {len(rows)} of k=10"
 
 
 def test_quantized_topk_matches_brute_force(spark, sf_dir):

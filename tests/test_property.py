@@ -1034,3 +1034,89 @@ def test_skew_report_matches_counter_reference(spark, keys, top_k):
         # divide-first association (overflow-safe at scale) — mirror it
         # exactly so the float comparison is bit-identical
         assert r.ratio_vs_mean == r.n / total * nkeys
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "xyz"]), max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+def test_ngram_char_stats_matches_counter_reference(spark, docs, n):
+    """Round-12: ngram_char_stats (sorted-runs F.aggregate fold) ≡ a
+    Counter-based python reference on every field, including the
+    whole-text short-doc collapse and the lexicographic top-gram
+    tie-break."""
+    from collections import Counter
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text,
+    )
+
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select(
+            "doc_id", text.ngram_char_stats(F.col("toks"), n).alias("s")
+        ).collect()
+    }
+
+    for i, toks in rows:
+        joined = " ".join(toks)
+        if len(toks) < n:
+            grams = [joined]
+        else:
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        top_gram, top_count = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want = {
+            "n_grams": len(grams),
+            "total_chars": len(joined),
+            "n_distinct": len(c),
+            "top_gram": top_gram,
+            "top_count": top_count,
+            "top_chars": top_count * len(top_gram),
+            "dup_occurrences": sum(v for v in c.values() if v >= 2),
+            "dup_chars": sum(v * len(g) for g, v in c.items() if v >= 2),
+        }
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["l1", "l2", "line three", ""]), max_size=16),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dup_stats_matches_counter_reference(spark, docs):
+    """Round-12: line_dup_stats ≡ a Counter reference — blank lines drop,
+    duplicate occurrences and characters count every repeated occurrence."""
+    from collections import Counter
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        text,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.s.asDict()
+        for r in df.select("doc_id", text.line_dup_stats("text").alias("s")).collect()
+    }
+
+    for i, lines in [(i, [x for x in ls if x]) for i, ls in enumerate(docs)]:
+        c = Counter(lines)
+        want = {
+            "n_lines": len(lines),
+            "n_distinct": len(c),
+            "dup_occurrences": sum(v for v in c.values() if v >= 2),
+            "dup_chars": sum(v * len(x) for x, v in c.items() if v >= 2),
+            "total_chars": sum(len(x) for x in lines),
+        }
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
