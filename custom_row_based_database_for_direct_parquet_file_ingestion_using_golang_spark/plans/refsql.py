@@ -137,6 +137,11 @@ Round-12 extensions:
     to a constant via one bounded driver probe.
   * ``ORDER BY ALL [ASC|DESC]`` — every output column left-to-right
     (DuckDB ergonomic), star-modifier-aware.
+  * ``string_split(s, '<literal>')`` (aliases ``str_split``,
+    ``string_to_array``) — rewritten to Spark ``split`` with the
+    separator regex-escaped, closing the literal-vs-regex drift for
+    literal separators (_rewrite_string_split); non-literal/empty
+    separators stay un-rewritten by design.
 """
 
 from __future__ import annotations
@@ -209,6 +214,8 @@ def tokenize(text: str) -> list[str]:
         alias = _FN_SPELLING.get(t.lower())
         if alias and i + 1 < len(toks) and toks[i + 1] == "(":
             toks[i] = alias
+    # Round-12: string_split(s, '<literal>') → split(s, <escaped regex>)
+    toks = _rewrite_string_split(toks)
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
     # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
@@ -229,9 +236,10 @@ def tokenize(text: str) -> list[str]:
 
 #: DuckDB function spellings whose Spark twin is identical in signature
 #: and semantics — rewritten at tokenize time when called. Spelling-only
-#: pairs; anything with semantic drift (string_split's regex vs literal
-#: separator, floor's return type) stays out and is documented in
-#: DIALECT.md instead.
+#: pairs; anything with semantic drift (floor's return type) stays out
+#: and is documented in DIALECT.md instead. string_split's literal-vs-
+#: regex separator drift is CLOSED for the literal-separator case by
+#: _rewrite_string_split below (round-12).
 _FN_SPELLING = {
     "starts_with": "startswith",  # DuckDB starts_with ≡ Spark startswith
     "ends_with": "endswith",
@@ -246,6 +254,69 @@ _FN_SPELLING = {
     # range() (a table function in Spark).
     "unnest": "explode",
 }
+
+#: DuckDB spellings of literal-separator split (string_to_array is the
+#: Postgres-compatible alias DuckDB also accepts).
+_SPLIT_SPELLINGS = frozenset({"string_split", "str_split", "string_to_array"})
+
+
+def _rewrite_string_split(toks: list[str]) -> list[str]:
+    """Round-12: close the string_split semantic drift for the common
+    case. DuckDB's ``string_split(s, sep)`` takes a LITERAL separator
+    where Spark's ``split`` takes a Java regex — a spelling rewrite alone
+    would silently change semantics for separators like ``'.'`` or
+    ``'|'``. When the separator is a single non-empty string-literal
+    token, rewrite the call to ``split(s, <regex-escaped literal>)``:
+    every metacharacter backslash-escaped (Java regex treats an escaped
+    non-alphanumeric as that character literally), backslashes then
+    doubled so Spark's non-ANSI string-literal parser delivers the regex
+    intact. Non-literal or empty separators stay un-rewritten (and fail
+    with Spark's own unknown-function error) rather than guessing —
+    DuckDB splits per-char on ``''``, Java regex does not."""
+    out = toks
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if (
+            t.lower() not in _SPLIT_SPELLINGS
+            or i + 1 >= len(out)
+            or out[i + 1] != "("
+        ):
+            i += 1
+            continue
+        depth = 0
+        last_comma = close = None
+        for j in range(i + 1, len(out)):
+            tj = out[j]
+            if tj == "(":
+                depth += 1
+            elif tj == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+            elif tj == "," and depth == 1:
+                last_comma = j
+        if (
+            close is None
+            or last_comma is None
+            or close - last_comma != 2
+            or not _is_string_lit(out[last_comma + 1])
+        ):
+            i += 1
+            continue
+        sep = out[last_comma + 1][1:-1]
+        if not sep:
+            i += 1
+            continue
+        regex = re.escape(sep)  # escapes non-alphanumerics only: Java-safe
+        quoted = "'" + regex.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if out is toks:
+            out = list(toks)
+        out[i] = "split"
+        out[last_comma + 1] = quoted
+        i += 1
+    return out
 
 
 def _closes_cast_call(toks: list[str], close_idx: int) -> bool:

@@ -582,7 +582,17 @@ def test_random_select_grammar_matches_duckdb_fuzz(spark, sf_dir):
                         f"CAST(SUM(floor({v})::BIGINT) AS BIGINT) AS a{j}"
                     )
                 elif kind == "avg":
-                    aggs.append(f"round(AVG({v}), 2) AS a{j}")
+                    # decimal-staged: bare round(AVG(x), 2) diverges when
+                    # the double lands a hair BELOW a .xx5 tie whose
+                    # shortest decimal repr IS the tie — Spark rounds the
+                    # shortest repr (BigDecimal.valueOf → HALF_UP: up),
+                    # DuckDB rounds the binary value (down). Seed 121202
+                    # trial 34 hit it (AVG = 4472.024999999999636 →
+                    # "4472.025"). The 6dp decimal cast collapses both
+                    # engines onto the same decimal first (DIALECT.md).
+                    aggs.append(
+                        f"round(CAST(AVG({v}) AS DECIMAL(18, 6)), 2) AS a{j}"
+                    )
                 elif kind == "minmax":
                     aggs.append(f"{grng.choice(['MIN', 'MAX'])}({v}) AS a{j}")
                 else:
@@ -736,7 +746,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
-        "bool_exists", "comma_join",
+        "bool_exists", "comma_join", "string_split",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -932,6 +942,24 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "c.c_custkey AND o_totalprice > "
                     f"{rng.randint(10, 30) * 100}) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                ]
+            )
+        elif shape == "string_split":
+            # round-12: string_split's literal separator rewrites to a
+            # regex-escaped Spark split — metachar separators are the
+            # point (DuckDB runs the same SQL with native literal
+            # semantics). Backslash stays out: Spark's non-ANSI string
+            # LITERAL parser mangles it before the rewrite ever runs
+            # (documented engine-wide divergence, DIALECT.md).
+            fn = rng.choice(["string_split", "str_split", "string_to_array"])
+            sep = rng.choice([" ", ".", "|", "(", "+", "*", "e", "_", ","])
+            base = rng.choice(["n_name", "'al.pha|be(ta 2+2*3_x,y'"])
+            body = f"{fn}({base}, '{sep}')"
+            sql = rng.choice(
+                [
+                    f"SELECT n_nationkey AS k, {body} AS parts FROM nation",
+                    f"SELECT n_nationkey AS k, unnest({body}) AS tok "
+                    "FROM nation",
                 ]
             )
         elif shape == "bool_exists":

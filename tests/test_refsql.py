@@ -3114,6 +3114,47 @@ def test_function_spelling_rewrites(spark, tmp_path, sf_dir):
     assert e.ref_sql("SELECT starts_with FROM sw").collect()[0][0] == 7
 
 
+def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
+    """Round-12: string_split/str_split/string_to_array with a LITERAL
+    separator rewrite to Spark's split with the separator regex-escaped —
+    DuckDB's literal semantics on metachar separators like '.' and '|'
+    (a bare spelling rewrite would silently regex-split). Non-literal and
+    empty separators stay un-rewritten; a column named string_split is
+    untouched."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        tokenize,
+    )
+
+    e = Engine(spark, str(tmp_path / "ssp"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    got = e.ref_sql(
+        "SELECT string_split('a.b.c', '.') AS dots, "
+        "str_split('x|y||z', '|') AS pipes, "
+        "string_to_array('p(q)r', '(') AS parens, "
+        "string_split(n_name, '_') AS toks "
+        "FROM nation WHERE n_nationkey = 0"
+    ).collect()[0]
+    assert got.dots == ["a", "b", "c"]
+    assert got.pipes == ["x", "y", "", "z"]
+    assert got.parens == ["p", "q)r"]
+    assert got.toks == ["NATION", "0"]
+    # composes with unnest (the SELECT-list explode path)
+    toks = e.ref_sql(
+        "SELECT unnest(string_split(n_name, '_')) AS tok "
+        "FROM nation WHERE n_nationkey = 0"
+    ).collect()
+    assert [r.tok for r in toks] == ["NATION", "0"]
+    # token-level checks: escaping, and the leave-alone cases
+    assert "split" in tokenize("SELECT string_split(x, '.') AS p FROM t")
+    assert "'\\\\.'" in tokenize("SELECT string_split(x, '.') AS p FROM t")
+    # non-literal separator: untouched (no silent semantics guess)
+    assert "string_split" in tokenize("SELECT string_split(x, y) AS p FROM t")
+    # empty separator: untouched (DuckDB splits per-char, Java regex not)
+    assert "string_split" in tokenize("SELECT string_split(x, '') AS p FROM t")
+    # bare identifier (not a call): untouched
+    assert "string_split" in tokenize("SELECT string_split FROM t")
+
+
 def test_scalar_subquery_unaliased_expression(spark, tmp_path, sf_dir):
     """Round-11 (sweep find): inside a scalar subquery an expression
     projection needs no alias (standard SQL; the output name is never
