@@ -142,6 +142,11 @@ Round-12 extensions:
     separator regex-escaped, closing the literal-vs-regex drift for
     literal separators (_rewrite_string_split); non-literal/empty
     separators stay un-rewritten by design.
+  * ``FROM range(...)`` / ``generate_series(...)`` — DuckDB's
+    integer-series table functions over spark.range (end-exclusive /
+    end-inclusive, default column named after the function,
+    wrong-direction bounds error at plan time like DuckDB's binder);
+    compose with aliases ``AS r(x)``, CTEs, and joins.
 """
 
 from __future__ import annotations
@@ -1358,6 +1363,11 @@ class SelectSpec:
     # Round-10: explicit derived-table column list `AS x(c1, c2, ...)` —
     # renames the derived frame's columns positionally (SELECT or VALUES).
     derived_cols: "list[str] | None" = None
+    # Dialect extension (round-12): FROM range(...) / generate_series(...)
+    # — DuckDB's integer-series table functions, compiled to spark.range
+    # (a splittable, codegen'd leaf — parallelizes across executors, no
+    # data scanned). (fn_name, [args]) with 1-3 integer literal args.
+    table_fn: "tuple[str, list[int]] | None" = None
 
 
 def _contains_agg_call(buf: list[str]) -> bool:
@@ -1973,6 +1983,46 @@ def parse_select(
         spec.alias = _unquote(cur.next())
         spec.table = spec.alias
         spec.derived_cols = _alias_column_list(cur)
+    elif cur.peek_kw() in ("range", "generate_series") and cur.peek(1) == "(":
+        # Round-12: DuckDB's integer-series table functions. range is
+        # end-EXCLUSIVE, generate_series end-INCLUSIVE; the default
+        # column carries the function's name (the DuckDB contract);
+        # wrong-direction bounds error like DuckDB's binder does (Spark's
+        # bare range would silently return empty).
+        fn = cur.next().lower()
+        cur.next()
+        args: list[int] = []
+        while True:
+            t = cur.next()
+            if t == ")":
+                break
+            if t == ",":
+                continue
+            try:
+                args.append(int(t))
+            except ValueError:
+                raise ParseError(
+                    f"{fn}() takes integer literal arguments, got {t!r}"
+                )
+        if not 1 <= len(args) <= 3:
+            raise ParseError(f"{fn}() takes 1 to 3 arguments")
+        if len(args) == 3 and args[2] == 0:
+            raise ParseError(f"{fn}() step must not be 0")
+        if len(args) >= 2:
+            start, stop = args[0], args[1]
+            step = args[2] if len(args) == 3 else 1
+            if (step > 0 and start > stop) or (step < 0 and start < stop):
+                raise ParseError(
+                    f"{fn}({start}, {stop}, {step}): start is past stop "
+                    "for the step direction"
+                )
+        spec.table_fn = (fn, args)
+        spec.table = fn
+        if cur.peek_kw() == "as":
+            cur.next()
+            spec.alias = _unquote(cur.next())
+            spec.table = spec.alias
+            spec.derived_cols = _alias_column_list(cur)
     else:
         spec.table = _unquote(cur.next())
         if cur.peek_kw() == "as":
@@ -3144,6 +3194,30 @@ class RefSQL:
                     f"have {len(df.columns)}"
                 )
             df = df.toDF(*names)
+        elif spec.table_fn is not None:
+            # Integer-series table function (round-12): spark.range is a
+            # splittable codegen'd leaf — at scale the series partitions
+            # across executors like any other relation, nothing scanned.
+            if spec.version is not None:
+                raise ParseError(
+                    "VERSION AS OF applies to tables, not table functions"
+                )
+            fn, args = spec.table_fn
+            if len(args) == 1:
+                start, stop, step = 0, args[0], 1
+            elif len(args) == 2:
+                start, stop, step = args[0], args[1], 1
+            else:
+                start, stop, step = args
+            if fn == "generate_series":
+                stop += 1 if step > 0 else -1  # DuckDB: end-inclusive
+            names = spec.derived_cols or [fn]
+            if len(names) != 1:
+                raise ParseError(
+                    f"{fn}() produces exactly 1 column, alias lists "
+                    f"{len(names)}"
+                )
+            df = self.engine.spark.range(start, stop, step).toDF(*names)
         elif spec.derived is not None:
             if spec.version is not None:
                 raise ParseError(

@@ -746,7 +746,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "distinct_offset", "concat_chain", "star_replace", "star_rename",
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
-        "bool_exists", "comma_join", "string_split",
+        "bool_exists", "comma_join", "string_split", "table_fn",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -960,6 +960,26 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     f"SELECT n_nationkey AS k, {body} AS parts FROM nation",
                     f"SELECT n_nationkey AS k, unnest({body}) AS tok "
                     "FROM nation",
+                ]
+            )
+        elif shape == "table_fn":
+            # round-12: FROM range()/generate_series() vs DuckDB's native
+            # table functions (same SQL both engines; bounds generated
+            # well-directed — wrong direction errors in both binders)
+            fn = rng.choice(["range", "generate_series"])
+            lo = rng.randint(-20, 20)
+            hi = lo + rng.randint(0, 40)
+            step = rng.choice([1, 2, 3, 7])
+            if rng.random() < 0.5:
+                lo, hi, step = hi, lo, -step
+            sql = rng.choice(
+                [
+                    f"SELECT * FROM {fn}({lo}, {hi}, {step})",
+                    f"SELECT s.v * 3 AS t FROM {fn}({lo}, {hi}, {step}) "
+                    f"AS s(v) WHERE s.v % 2 = 0",
+                    f"SELECT CAST(SUM({fn}) AS BIGINT) AS s, "
+                    f"CAST(COUNT(*) AS BIGINT) AS n "
+                    f"FROM {fn}({lo}, {hi}, {step})",
                 ]
             )
         elif shape == "bool_exists":

@@ -3155,6 +3155,63 @@ def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
     assert "string_split" in tokenize("SELECT string_split FROM t")
 
 
+def test_range_table_functions(spark, tmp_path, sf_dir):
+    """Round-12: FROM range(...) / generate_series(...) — DuckDB's
+    integer-series table functions compiled to spark.range (a splittable
+    codegen'd leaf). range is end-exclusive, generate_series inclusive;
+    the default column carries the function name; wrong-direction bounds
+    error like DuckDB's binder; composes with aliases, column lists,
+    WHERE, aggregates, CTEs, and joins."""
+    e = Engine(spark, str(tmp_path / "rtf"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    assert [r.range for r in e.ref_sql("SELECT * FROM range(4)").collect()] == [
+        0, 1, 2, 3,
+    ]
+    assert [
+        r.generate_series
+        for r in e.ref_sql("SELECT * FROM generate_series(4)").collect()
+    ] == [0, 1, 2, 3, 4]
+    assert [
+        r.range for r in e.ref_sql("SELECT * FROM range(2, 9, 3)").collect()
+    ] == [2, 5, 8]
+    assert [
+        r.g
+        for r in e.ref_sql(
+            "SELECT * FROM generate_series(10, 2, -4) AS s(g)"
+        ).collect()
+    ] == [10, 6, 2]
+    # expression + filter over an aliased column list
+    assert [
+        r.y
+        for r in e.ref_sql(
+            "SELECT r.x * 2 AS y FROM range(4) AS r(x) WHERE r.x > 1"
+        ).collect()
+    ] == [4, 6]
+    # aggregate over the default column name; CTE composition
+    assert e.ref_sql(
+        "SELECT CAST(SUM(range) AS BIGINT) AS s FROM range(100)"
+    ).collect()[0].s == 4950
+    assert e.ref_sql(
+        "WITH seq AS (SELECT * FROM generate_series(1, 6) AS g(n)) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS s FROM seq"
+    ).collect()[0].s == 21
+    # join side: the series is a relation like any other
+    got = e.ref_sql(
+        "SELECT n.n_name, r.range AS i FROM range(2) AS r "
+        "JOIN nation AS n ON n.n_nationkey = r.range ORDER BY i"
+    ).collect()
+    assert [(r.n_name, r.i) for r in got] == [("NATION_0", 0), ("NATION_1", 1)]
+    # DuckDB binder parity: wrong-direction bounds error at plan time
+    with pytest.raises(ParseError, match="start is past stop"):
+        e.ref_sql("SELECT * FROM range(5, 1)")
+    with pytest.raises(ParseError, match="step must not be 0"):
+        e.ref_sql("SELECT * FROM range(1, 5, 0)")
+    # a TABLE named range still resolves (the branch needs the call parens)
+    e.ref_sql("CREATE TABLE range (x INT)")
+    e.ref_sql("INSERT INTO range VALUES (7)")
+    assert e.ref_sql("SELECT x FROM range").collect()[0].x == 7
+
+
 def test_scalar_subquery_unaliased_expression(spark, tmp_path, sf_dir):
     """Round-11 (sweep find): inside a scalar subquery an expression
     projection needs no alias (standard SQL; the output name is never
