@@ -1101,3 +1101,82 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the positional dedup of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): find, per document, the maximal TOKEN-POSITION spans whose
+    every k-token window also occurs elsewhere in the corpus (or at
+    another position of the same document). The published pipeline CUTS
+    these spans from the training text instead of dropping whole
+    documents — the high-precision complement to MinHash/winnowing
+    near-dup, which only score documents as units.
+
+    Returns (id_col, span_start, span_end, span_tokens): 0-based token
+    offsets over ``norm_tokens(text)``, end-exclusive, spans ≥ k tokens,
+    non-overlapping and maximal per document (two duplicated k-gram
+    starts p1 < p2 merge iff p2 ≤ p1 + k — their windows overlap or
+    abut).
+
+    Plan (the distributed adaptation of the paper's suffix array — a
+    suffix array is cheaper in one address space but does not shard):
+      1. posexplode the k-gram stream: (id, pos, xxhash64(gram)) — the
+         shuffle moves 8-byte hashes + integers, never text;
+      2. ONE window count over partitionBy(gram_hash) marks duplicated
+         occurrences (a groupBy + self-join would shuffle the
+         occurrences twice);
+      3. per-document lag/running-sum merge of surviving positions into
+         maximal spans (standard islands), then min/max per island.
+    Three shuffles total, each linear in token count; no driver-side
+    state. Same-doc repeats count toward ``min_occurrences`` exactly as
+    in the paper (a doc repeating a k-gram internally is a duplicate).
+    xxhash64 collisions can merge distinct grams (~2^-64 per pair) — the
+    paper's Bloom variants accept the same class of error.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), norm_tokens(F.col(text_col)).alias("_t")
+    )
+    grams = toks.select(
+        "_id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), k)).alias("_pos", "_g"),
+        F.size("_t").alias("_n"),
+    ).filter(F.col("_n") >= k)  # short docs have no k-gram to match
+    occ = grams.select(
+        "_id", "_pos", F.xxhash64("_g").alias("_h")
+    ).withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+    dup = occ.filter(F.col("_cnt") >= min_occurrences).select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    spans = (
+        dup.withColumn("_prev", F.lag("_pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_pos") > F.col("_prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_span", F.sum("_new").over(w))
+        .groupBy("_id", "_span")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    return spans

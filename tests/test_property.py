@@ -1120,3 +1120,57 @@ def test_line_dup_stats_matches_counter_reference(spark, docs):
             "total_chars": sum(len(x) for x in lines),
         }
         assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=18),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_duplicate_spans_matches_python_reference(spark, docs, k):
+    """Round-12: duplicate_spans (exact-substring positional dedup, Lee
+    et al. 2021) ≡ a Counter-based python reference — corpus-wide k-gram
+    duplication incl. same-doc repeats, island merging at gap ≤ k,
+    end-exclusive bounds, sub-k docs excluded."""
+    from collections import Counter
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
+    )
+
+    c: Counter = Counter()
+    for toks in docs:
+        for j in range(len(toks) - k + 1):
+            c[tuple(toks[j : j + k])] += 1
+    want = []
+    for i, toks in enumerate(docs):
+        dup_pos = [
+            j
+            for j in range(len(toks) - k + 1)
+            if c[tuple(toks[j : j + k])] >= 2
+        ]
+        spans, start, prev = [], None, None
+        for p in dup_pos:
+            if start is None:
+                start, prev = p, p
+            elif p > prev + k:
+                spans.append((start, prev + k))
+                start, prev = p, p
+            else:
+                prev = p
+        if start is not None:
+            spans.append((start, prev + k))
+        for s, e in spans:
+            want.append((i, s, e, e - s))
+    assert got == sorted(want), f"{got} != {sorted(want)}"
