@@ -258,6 +258,22 @@ _FN_SPELLING = {
     # analysis error there. Build arrays with sequence(), not DuckDB's
     # range() (a table function in Spark).
     "unnest": "explode",
+    # Round-12 list/regex spellings, each differentially probed vs DuckDB
+    # (incl. NULL elements, missing needles, empty arrays) before entering
+    # the table — see test_list_function_spellings:
+    "list_position": "array_position",  # 1-based, 0 when absent — both
+    "array_length": "array_size",  # NULL→NULL, []→0 — both
+    "list_sort": "array_sort",  # ASC NULLS LAST default — both
+    # regexp_matches ≡ regexp_like: both UNANCHORED partial match. Regex
+    # DIALECT drift (RE2 vs Java) is the caller's concern — stay within
+    # the common syntax subset (the PII-pattern rule); Java-only
+    # constructs error on the DuckDB side, never silently diverge.
+    "regexp_matches": "regexp_like",
+    # Probed and REJECTED (silent value drift — documented in DIALECT.md
+    # instead): array_to_string (DuckDB NULL on empty list, Spark '');
+    # list_contains (DuckDB two-valued False on missing needle with NULL
+    # elements, Spark three-valued NULL); list_distinct (DuckDB drops
+    # NULLs, Spark keeps one).
 }
 
 #: DuckDB spellings of literal-separator split (string_to_array is the

@@ -739,6 +739,11 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "replace({s}, 'A', 'z')", "starts_with({s}, 'N')",
         "ends_with({s}, '3')", "strpos({s}, '_')", "contains({s}, 'A')",
         "lpad({s}, 12, '.')", "reverse({s})",
+        # round-12 list/regex spellings (value-probed, see _FN_SPELLING)
+        "list_position(string_split({s}, '_'), 'N')",
+        "array_length(string_split({s}, '_'))",
+        "list_sort(string_split({s}, '_'))",
+        "regexp_matches({s}, 'N.T')",
     ]
     shapes = [
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",

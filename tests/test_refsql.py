@@ -3155,6 +3155,31 @@ def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
     assert "string_split" in tokenize("SELECT string_split FROM t")
 
 
+def test_list_function_spellings(spark, tmp_path, sf_dir):
+    """Round-12: DuckDB list/regex spellings probed value-identical vs
+    DuckDB (incl. NULL elements, missing needles, empty arrays) and added
+    to the rewrite table: list_position/array_length/list_sort/
+    regexp_matches. array_to_string and list_contains were probed and
+    REJECTED (silent drift on empty lists / NULL elements — DIALECT.md)."""
+    e = Engine(spark, str(tmp_path / "lfs"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    r = e.ref_sql(
+        "SELECT list_position(string_split(n_name, '_'), '0') AS pos, "
+        "array_length(string_split(n_name, '_')) AS alen, "
+        "list_sort(string_split(n_name, '_')) AS srt, "
+        "regexp_matches(n_name, 'N_0') AS rx, "
+        "regexp_matches(n_name, '^0') AS rx_anchor "
+        "FROM nation WHERE n_nationkey = 0"
+    ).collect()[0]
+    assert (r.pos, r.alen, r.srt, r.rx, r.rx_anchor) == (
+        2, 2, ["0", "NATION"], True, False,
+    )
+    # a column named after a rewritten spelling is untouched (call-only)
+    e.ref_sql("CREATE TABLE lf (array_length INT)")
+    e.ref_sql("INSERT INTO lf VALUES (5)")
+    assert e.ref_sql("SELECT array_length FROM lf").collect()[0][0] == 5
+
+
 def test_range_table_functions(spark, tmp_path, sf_dir):
     """Round-12: FROM range(...) / generate_series(...) — DuckDB's
     integer-series table functions compiled to spark.range (a splittable
