@@ -1133,9 +1133,12 @@ def duplicate_spans(
          occurrences (a groupBy + self-join would shuffle the
          occurrences twice);
       3. per-document lag/running-sum merge of surviving positions into
-         maximal spans (standard islands), then min/max per island.
-    Three shuffles total, each linear in token count; no driver-side
-    state. Same-doc repeats count toward ``min_occurrences`` exactly as
+         maximal spans (standard islands), then min/max per island — the
+         island groupBy REUSES the window's hashpartitioning(_id)
+         (a (_id, _span) cluster is a subset of an _id cluster).
+    TWO shuffles total (plan-verified at sf0.1), each linear in token
+    count; no driver-side state. Same-doc repeats count toward
+    ``min_occurrences`` exactly as
     in the paper (a doc repeating a k-gram internally is a duplicate).
     xxhash64 collisions can merge distinct grams (~2^-64 per pair) — the
     paper's Bloom variants accept the same class of error.
@@ -1180,3 +1183,59 @@ def duplicate_spans(
         )
     )
     return spans
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Apply ``duplicate_spans``: return each document's token stream
+    with every duplicated span CUT — the actual output of the Lee et al.
+    2021 ExactSubstr pipeline (training text with corpus-duplicated
+    substrings removed, not documents dropped).
+
+    Returns (id_col, tokens, n_tokens, n_cut): the surviving normalized
+    tokens in original order, their count, and the number removed.
+    Documents with no duplicated span pass through with n_cut = 0.
+
+    Plan: duplicate_spans (2 shuffles) → per-doc span-array rollup
+    (reuses the span partitioning) → ONE left join back to the corpus on
+    the id → a positional HOF filter drops tokens covered by any span
+    (``F.filter``'s (element, index) form against the tiny span array —
+    O(tokens × spans_per_doc) row-local work, spans_per_doc is small by
+    construction since spans are merged maximal islands). The heavy text
+    column never shuffles: the span side is (id, few ints) and the
+    corpus side stays where it is under a broadcast-or-shuffle join that
+    Catalyst picks from the span side's actual size. This variant cuts
+    EVERY occurrence of a duplicated span (the conservative
+    decontamination form); keep-one-copy requires a canonical-occurrence
+    exemption and is intentionally out of scope."""
+    spans = (
+        duplicate_spans(df, id_col, text_col, k=k, min_occurrences=min_occurrences)
+        .groupBy(F.col(id_col).alias("_sid"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("_spans")
+        )
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"), norm_tokens(F.col(text_col)).alias("_t")
+    )
+    joined = toks.join(spans, toks["_id"] == spans["_sid"], "left")
+    covered = lambda i: F.exists(  # noqa: E731 — shared by filter + count
+        F.coalesce(F.col("_spans"), F.array()),
+        lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+    )
+    kept = F.filter(F.col("_t"), lambda x, i: ~covered(i))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        kept.alias("tokens"),
+        F.size(kept).alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_cut"),
+    )

@@ -329,3 +329,40 @@ def test_semantic_dedup_broadcast_assignment_matches_literal(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="assignment"):
         semantic_dedup(emb, "vec_id", "v", assignment="nope")
+
+
+def test_duplicate_spans_and_cut(spark):
+    """Round-12: exact-substring positional dedup (Lee et al. 2021) —
+    cross-doc shared spans, same-doc periodic repeats, untouched uniques,
+    and the cut companion's surviving token streams."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    rows = [
+        (0, "a b c q r s t u d e f"),   # shares "q r s t u" with doc 1
+        (1, "x y q r s t u z w"),
+        (2, "m n o p m n o p m n o p"),  # period-4 self-repeat covers all
+        (3, "unique words only here nothing shared"),
+        (4, "tiny doc"),                 # < k tokens: no k-gram, exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, "doc_id", "text", k=5).collect()
+    )
+    assert spans == [(0, 3, 8, 5), (1, 2, 7, 5), (2, 0, 12, 12)]
+
+    cut = {
+        r.doc_id: (r.tokens, r.n_tokens, r.n_cut)
+        for r in cut_duplicate_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert cut[0] == (["a", "b", "c", "d", "e", "f"], 6, 5)
+    assert cut[1] == (["x", "y", "z", "w"], 4, 5)
+    assert cut[2] == ([], 0, 12)  # fully duplicated doc vanishes
+    assert cut[3][2] == 0 and cut[3][1] == 6  # untouched
+    assert cut[4] == (["tiny", "doc"], 2, 0)  # sub-k doc passes through
+    # guard
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, "doc_id", "text", k=0)
