@@ -2007,31 +2007,53 @@ def parse_select(
         # bare range would silently return empty).
         fn = cur.next().lower()
         cur.next()
-        args: list[int] = []
+        raw: list[list[str]] = [[]]
         while True:
             t = cur.next()
             if t == ")":
                 break
             if t == ",":
+                raw.append([])
                 continue
-            try:
-                args.append(int(t))
-            except ValueError:
-                raise ParseError(
-                    f"{fn}() takes integer literal arguments, got {t!r}"
-                )
-        if not 1 <= len(args) <= 3:
-            raise ParseError(f"{fn}() takes 1 to 3 arguments")
-        if len(args) == 3 and args[2] == 0:
-            raise ParseError(f"{fn}() step must not be 0")
-        if len(args) >= 2:
-            start, stop = args[0], args[1]
-            step = args[2] if len(args) == 3 else 1
-            if (step > 0 and start > stop) or (step < 0 and start < stop):
-                raise ParseError(
-                    f"{fn}({start}, {stop}, {step}): start is past stop "
-                    "for the step direction"
-                )
+            raw[-1].append(t)
+        raw = [a for a in raw if a]
+        args: list
+        if all(len(a) == 1 for a in raw) and all(
+            _literal_value(a[0]) is not None
+            and isinstance(_literal_value(a[0]), int)
+            for a in raw
+        ):
+            args = [int(a[0]) for a in raw]
+            if not 1 <= len(args) <= 3:
+                raise ParseError(f"{fn}() takes 1 to 3 arguments")
+            if len(args) == 3 and args[2] == 0:
+                raise ParseError(f"{fn}() step must not be 0")
+            if len(args) >= 2:
+                start, stop = args[0], args[1]
+                step = args[2] if len(args) == 3 else 1
+                if (step > 0 and start > stop) or (step < 0 and start < stop):
+                    raise ParseError(
+                        f"{fn}({start}, {stop}, {step}): start is past stop "
+                        "for the step direction"
+                    )
+        elif (
+            # temporal series: TIMESTAMP/DATE bounds + INTERVAL step —
+            # the gap-fill calendar-spine idiom. DuckDB coerces DATE
+            # bounds to TIMESTAMP output; so do we (one sequence()).
+            len(raw) == 3
+            and all(
+                len(a) == 2 and _is_string_lit(a[1]) for a in raw
+            )
+            and raw[0][0].lower() in ("timestamp", "date")
+            and raw[1][0].lower() in ("timestamp", "date")
+            and raw[2][0].lower() == "interval"
+        ):
+            args = [f"{a[0].upper()} {a[1]}" for a in raw]
+        else:
+            raise ParseError(
+                f"{fn}() takes integer literals or TIMESTAMP/DATE bounds "
+                "with an INTERVAL step"
+            )
         spec.table_fn = (fn, args)
         spec.table = fn
         if cur.peek_kw() == "as":
@@ -3219,21 +3241,41 @@ class RefSQL:
                     "VERSION AS OF applies to tables, not table functions"
                 )
             fn, args = spec.table_fn
-            if len(args) == 1:
-                start, stop, step = 0, args[0], 1
-            elif len(args) == 2:
-                start, stop, step = args[0], args[1], 1
-            else:
-                start, stop, step = args
-            if fn == "generate_series":
-                stop += 1 if step > 0 else -1  # DuckDB: end-inclusive
             names = spec.derived_cols or [fn]
             if len(names) != 1:
                 raise ParseError(
                     f"{fn}() produces exactly 1 column, alias lists "
                     f"{len(names)}"
                 )
-            df = self.engine.spark.range(start, stop, step).toDF(*names)
+            if args and isinstance(args[0], str):
+                # Temporal series: Spark's sequence() is end-INCLUSIVE
+                # like generate_series; range() drops the exact stop
+                # bound. The series materializes as one array then
+                # explodes — a calendar spine is dimension-sized by
+                # nature (wrong-direction bounds raise in Spark's
+                # sequence, matching DuckDB's binder behavior).
+                lo, hi, step = args
+                seq = (
+                    f"sequence(CAST({lo} AS TIMESTAMP), "
+                    f"CAST({hi} AS TIMESTAMP), {step})"
+                )
+                df = self.engine.spark.range(1).select(
+                    F.explode(F.expr(seq)).alias(names[0])
+                )
+                if fn == "range":
+                    df = df.filter(
+                        F.col(names[0]) != F.expr(f"CAST({hi} AS TIMESTAMP)")
+                    )
+            else:
+                if len(args) == 1:
+                    start, stop, step = 0, args[0], 1
+                elif len(args) == 2:
+                    start, stop, step = args[0], args[1], 1
+                else:
+                    start, stop, step = args
+                if fn == "generate_series":
+                    stop += 1 if step > 0 else -1  # DuckDB: end-inclusive
+                df = self.engine.spark.range(start, stop, step).toDF(*names)
         elif spec.derived is not None:
             if spec.version is not None:
                 raise ParseError(

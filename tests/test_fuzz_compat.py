@@ -977,6 +977,10 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             step = rng.choice([1, 2, 3, 7])
             if rng.random() < 0.5:
                 lo, hi, step = hi, lo, -step
+            day_a = rng.randint(1, 10)
+            day_b = day_a + rng.randint(0, 15)
+            unit = rng.choice(["day", "hour"])
+            n_step = rng.randint(1, 5)
             sql = rng.choice(
                 [
                     f"SELECT * FROM {fn}({lo}, {hi}, {step})",
@@ -985,6 +989,14 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     f"SELECT CAST(SUM({fn}) AS BIGINT) AS s, "
                     f"CAST(COUNT(*) AS BIGINT) AS n "
                     f"FROM {fn}({lo}, {hi}, {step})",
+                    # temporal spine (round-12): TIMESTAMP/DATE bounds +
+                    # INTERVAL step, DATE coerced to TIMESTAMP output
+                    f"SELECT * FROM {fn}(TIMESTAMP '2024-03-{day_a:02d} "
+                    f"00:00:00', TIMESTAMP '2024-03-{day_b:02d} 12:00:00', "
+                    f"INTERVAL '{n_step} {unit}')",
+                    f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+                    f"{fn}(DATE '2024-03-{day_a:02d}', "
+                    f"DATE '2024-03-{day_b:02d}', INTERVAL '{n_step} day')",
                 ]
             )
         elif shape == "bool_exists":

@@ -3226,6 +3226,36 @@ def test_range_table_functions(spark, tmp_path, sf_dir):
         "JOIN nation AS n ON n.n_nationkey = r.range ORDER BY i"
     ).collect()
     assert [(r.n_name, r.i) for r in got] == [("NATION_0", 0), ("NATION_1", 1)]
+    # temporal series (round-12): TIMESTAMP/DATE bounds + INTERVAL step;
+    # DATE bounds coerce to TIMESTAMP output (DuckDB semantics), range
+    # drops the exact stop bound, generate_series keeps it
+    import datetime as _dt
+
+    ts = [
+        r.range
+        for r in e.ref_sql(
+            "SELECT * FROM range(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-04', INTERVAL '1 day')"
+        ).collect()
+    ]
+    assert ts == [_dt.datetime(2024, 1, d) for d in (1, 2, 3)]
+    gs = [
+        r.d
+        for r in e.ref_sql(
+            "SELECT * FROM generate_series(DATE '2024-01-01', "
+            "DATE '2024-01-07', INTERVAL '2 day') AS s(d)"
+        ).collect()
+    ]
+    assert gs == [_dt.datetime(2024, 1, d) for d in (1, 3, 5, 7)]
+    # the gap-fill calendar-spine shape: series LEFT JOINed to data
+    spine = e.ref_sql(
+        "SELECT d.day AS day, CAST(COUNT(n.n_nationkey) AS BIGINT) AS n "
+        "FROM generate_series(DATE '2024-01-01', DATE '2024-01-03', "
+        "INTERVAL '1 day') AS d(day) LEFT JOIN nation AS n "
+        "ON n.n_nationkey = CAST(dayofmonth(d.day) AS BIGINT) "
+        "GROUP BY d.day ORDER BY day"
+    ).collect()
+    assert [r.n for r in spine] == [1, 1, 1]
     # DuckDB binder parity: wrong-direction bounds error at plan time
     with pytest.raises(ParseError, match="start is past stop"):
         e.ref_sql("SELECT * FROM range(5, 1)")
