@@ -3155,6 +3155,46 @@ def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
     assert "string_split" in tokenize("SELECT string_split FROM t")
 
 
+def test_round12_feature_compositions(spark, tmp_path, sf_dir):
+    """Round-12 cross-feature compositions, each probed value-identical
+    vs DuckDB before pinning: series × QUALIFY / set ops / IN-subquery /
+    star EXCLUDE / LATERAL, and string_split × unnest × GROUP BY."""
+    e = Engine(spark, str(tmp_path / "r12c"))
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    top3 = e.ref_sql(
+        "SELECT * FROM range(20) AS r(x) "
+        "QUALIFY row_number() OVER (ORDER BY x DESC) <= 3"
+    ).collect()
+    assert sorted(r.x for r in top3) == [17, 18, 19]
+    u = e.ref_sql(
+        "SELECT * FROM range(3) AS a(v) UNION ALL "
+        "SELECT * FROM range(2) AS b(v) ORDER BY v"
+    ).collect()
+    assert [r.v for r in u] == [0, 0, 1, 1, 2]
+    n = e.ref_sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "WHERE o_custkey IN (SELECT range FROM range(50))"
+    ).collect()[0].n
+    assert n > 0
+    d = e.ref_sql(
+        "SELECT * EXCLUDE (v2) FROM (SELECT r.range AS v1, r.range * 2 AS "
+        "v2 FROM range(4) AS r) AS d ORDER BY v1"
+    )
+    assert d.columns == ["v1"] and [r.v1 for r in d.collect()] == [0, 1, 2, 3]
+    lat = e.ref_sql(
+        "SELECT r.x, l.m FROM range(3) AS r(x) CROSS JOIN LATERAL "
+        "(SELECT CAST(MAX(o_totalprice) AS DOUBLE) AS m FROM orders "
+        "WHERE o_custkey = r.x) AS l"
+    ).collect()
+    assert len(lat) == 3  # count-bug handling: empty keys keep their row
+    toks = e.ref_sql(
+        "SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT "
+        "unnest(string_split(o_orderpriority, '-')) AS tok FROM orders) "
+        "AS t GROUP BY tok ORDER BY n DESC, tok LIMIT 3"
+    ).collect()
+    assert all(r.n > 0 for r in toks) and len(toks) == 3
+
+
 def test_list_function_spellings(spark, tmp_path, sf_dir):
     """Round-12: DuckDB list/regex spellings probed value-identical vs
     DuckDB (incl. NULL elements, missing needles, empty arrays) and added
