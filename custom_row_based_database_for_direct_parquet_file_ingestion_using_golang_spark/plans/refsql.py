@@ -191,6 +191,14 @@ EXPR_AGG_FUNCS = {
     # tie-free keys. mode() is deterministic in neither on multimodal
     # input; any_value is nondeterministic by definition.
     "max_by", "min_by", "arg_max", "arg_min", "any_value", "mode",
+    # Round-12: conditional/boolean aggregates. count_if/bool_and/
+    # bool_or carry the same name and semantics in BOTH engines
+    # (probed; note DuckDB's count_if is a macro that rejects FILTER —
+    # the dialect supports FILTER on it, the oracle errors loudly).
+    # every is the Spark/Postgres spelling of bool_and (no DuckDB 1.0
+    # twin). quantile_cont arrives via the spelling rewrite to
+    # percentile (both exact interpolated).
+    "count_if", "bool_and", "bool_or", "every",
 }
 WINDOW_FUNCS = {
     "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
@@ -269,6 +277,10 @@ _FN_SPELLING = {
     # the common syntax subset (the PII-pattern rule); Java-only
     # constructs error on the DuckDB side, never silently diverge.
     "regexp_matches": "regexp_like",
+    # quantile_cont ≡ percentile: both EXACT interpolated (the dialect's
+    # percentile already pins ≡ DuckDB quantile_cont in the agg table) —
+    # the rewrite routes DuckDB's primary quantile name into that path.
+    "quantile_cont": "percentile",
     # Probed and REJECTED (silent value drift — documented in DIALECT.md
     # instead): array_to_string (DuckDB NULL on empty list, Spark '');
     # list_contains (DuckDB two-valued False on missing needle with NULL

@@ -752,6 +752,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
+        "cond_aggs",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -764,6 +765,20 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 )
             ]
             sql = f"SELECT {', '.join(items)} FROM nation"
+        elif shape == "cond_aggs":
+            # round-12: count_if/bool_and/bool_or (same names in DuckDB)
+            # + quantile_cont (spelling-rewritten to percentile)
+            thr = rng.randint(10, 40) * 100
+            p = rng.choice(["0.25", "0.5", "0.9"])
+            sql = (
+                "SELECT o_orderstatus AS g, "
+                f"CAST(count_if(o_totalprice > {thr}) AS BIGINT) AS ci, "
+                f"bool_and(o_totalprice > {rng.randint(0, 200)}) AS ba, "
+                f"bool_or(o_totalprice > {thr * 100}) AS bo, "
+                f"round(CAST(quantile_cont(o_totalprice, {p}) AS "
+                "DECIMAL(18, 6)), 2) AS q "
+                "FROM orders GROUP BY o_orderstatus"
+            )
         elif shape == "case_in_agg":
             thr = rng.randint(10, 40) * 100
             sql = (

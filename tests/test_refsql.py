@@ -3155,6 +3155,38 @@ def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
     assert "string_split" in tokenize("SELECT string_split FROM t")
 
 
+def test_conditional_boolean_aggregates(spark, tmp_path, sf_dir):
+    """Round-12: count_if / bool_and / bool_or (same name + semantics in
+    DuckDB, probed), every (the Spark/Postgres bool_and spelling), and
+    quantile_cont (spelling-rewritten to percentile — both exact
+    interpolated)."""
+    e = Engine(spark, str(tmp_path / "cba"))
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    g = {
+        r.g: (r.hi, r.ba, r.bo)
+        for r in e.ref_sql(
+            "SELECT o_orderstatus AS g, "
+            "CAST(count_if(o_totalprice > 50000) AS BIGINT) AS hi, "
+            "bool_and(o_totalprice > 0) AS ba, "
+            "bool_or(o_totalprice > 1e12) AS bo "
+            "FROM orders GROUP BY o_orderstatus"
+        ).collect()
+    }
+    assert all(ba is True and bo is False for _, ba, bo in g.values())
+    assert sum(hi for hi, _, _ in g.values()) > 0
+    got = e.ref_sql(
+        "SELECT every(o_totalprice > 0) AS e, "
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS med FROM orders"
+    ).collect()[0]
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS med FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert got.e is True and got.med == want
+
+
 def test_round12_feature_compositions(spark, tmp_path, sf_dir):
     """Round-12 cross-feature compositions, each probed value-identical
     vs DuckDB before pinning: series × QUALIFY / set ops / IN-subquery /
