@@ -171,7 +171,7 @@ KNOWN_FLOORS_SF01 = {
     "text_quality_scores": 0.27,
     "text_repetition_ratio": 0.19,
     # sorted-runs F.aggregate fold, zero exchanges (round-12)
-    "text_dup_ngram_chars": 0.14,
+    "text_dup_ngram_chars": 0.48,
     "text_pii_redact": 0.32,
     "corpus_line_dedup": 0.90,
     "contamination_eval_train_overlap": 0.98,
