@@ -199,6 +199,11 @@ EXPR_AGG_FUNCS = {
     # twin). quantile_cont arrives via the spelling rewrite to
     # percentile (both exact interpolated).
     "count_if", "bool_and", "bool_or", "every",
+    # Round-12: ARRAY_AGG(expr [ORDER BY key [DESC]]) — the in-call
+    # ORDER BY form compiles to a struct-sort-project expression (see
+    # _array_agg_expression); without it, Spark's own array_agg
+    # (≡ collect_list, nondeterministic order — both engines).
+    "array_agg",
 }
 WINDOW_FUNCS = {
     "row_number", "rank", "dense_rank", "lag", "lead", "ntile",
@@ -772,6 +777,62 @@ def _string_agg_within_group(buf: list[str]) -> str:
     head = " ".join(buf[:split]).rstrip(", ")
     order = " ".join(buf[split:-1])
     return f"{head} ) within group ( {order} )"
+
+
+def _array_agg_expression(buf: list[str], filt: str | None) -> str:
+    """Round-12: compile ``array_agg ( expr [ORDER BY key [DESC|ASC]] )``
+    (captured token list, fn name first) to a DETERMINISTIC Spark
+    expression. Spark's array_agg ≡ collect_list has no WITHIN GROUP
+    form, so the in-call ORDER BY becomes a struct-sort-project:
+
+        transform(array_sort(array_agg(struct(key AS _k, expr AS _v))
+                  [FILTER (WHERE ...)]), s -> s._v)   [wrapped in reverse()]
+
+    array_sort compares _k first then _v — deterministic; DuckDB breaks
+    key ties arbitrarily, so cross-engine parity needs tie-free keys
+    (the arg_max rule). Without ORDER BY the call passes through
+    verbatim (nondeterministic order in both engines — rows-only
+    territory). The FILTER clause attaches to the inner aggregate call,
+    where Spark requires it."""
+    depth = 0
+    split = None
+    for i, t in enumerate(buf):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (
+            depth == 1
+            and t.lower() == "order"
+            and i + 1 < len(buf)
+            and buf[i + 1].lower() == "by"
+        ):
+            split = i
+            break
+    if split is None:
+        call = " ".join(buf)
+        if filt:
+            call = f"{call} filter ( where {filt} )"
+        # ANSI/DuckDB: an empty group aggregates to NULL; Spark's
+        # collect_list-backed array_agg returns [] — nullify for parity.
+        # (Identical aggregate expressions dedupe in the Aggregate node.)
+        return f"case when size({call}) = 0 then null else {call} end"
+    expr = " ".join(buf[2:split]).rstrip(", ")
+    order_toks = buf[split + 2 : -1]
+    desc = False
+    if order_toks and order_toks[-1].lower() in ("desc", "asc"):
+        desc = order_toks[-1].lower() == "desc"
+        order_toks = order_toks[:-1]
+    key = " ".join(order_toks)
+    if not expr or not key:
+        raise ParseError("array_agg(expr ORDER BY key [DESC]) malformed")
+    call = f"array_agg(struct(({key}) AS _k, ({expr}) AS _v))"
+    if filt:
+        call = f"{call} filter ( where {filt} )"
+    out = f"transform(array_sort({call}), s -> s._v)"
+    if desc:
+        out = f"reverse({out})"
+    return f"case when size({out}) = 0 then null else {out} end"
 
 
 #: Built-in one-row zero-column relation spliced in for FROM-less SELECTs.
@@ -1768,7 +1829,12 @@ def parse_select(
                 # portable in-call form and Catalyst still compiles it.
                 text = _string_agg_within_group(buf)
             filt = _capture_filter(cur)
-            if filt is not None:
+            if low == "array_agg":
+                # Round-12: in-call ORDER BY → struct-sort-project (the
+                # FILTER must attach to the inner aggregate, so this
+                # branch owns it).
+                text = _array_agg_expression(buf, filt)
+            elif filt is not None:
                 text = f"{text} filter ( where {filt} )"
             if cur.peek_kw() == "over":
                 raise ParseError(

@@ -752,7 +752,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
-        "cond_aggs",
+        "cond_aggs", "array_agg",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -765,6 +765,18 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 )
             ]
             sql = f"SELECT {', '.join(items)} FROM nation"
+        elif shape == "array_agg":
+            # round-12: ordered array_agg (struct-sort-project) — keys
+            # are o_orderkey (unique), so the order is tie-free and the
+            # value lists compare exactly cross-engine
+            d = rng.choice(["", " DESC"])
+            lim = rng.randint(20, 80)
+            sql = (
+                "SELECT o_custkey, array_agg(o_orderkey"
+                + (" * 2" if rng.random() < 0.5 else "")
+                + f" ORDER BY o_orderkey{d}) AS ks "
+                f"FROM orders WHERE o_custkey < {lim} GROUP BY o_custkey"
+            )
         elif shape == "cond_aggs":
             # round-12: count_if/bool_and/bool_or (same names in DuckDB)
             # + quantile_cont (spelling-rewritten to percentile)

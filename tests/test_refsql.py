@@ -3155,6 +3155,45 @@ def test_string_split_literal_separator_rewrite(spark, tmp_path, sf_dir):
     assert "string_split" in tokenize("SELECT string_split FROM t")
 
 
+def test_array_agg_ordered(spark, tmp_path, sf_dir):
+    """Round-12: ARRAY_AGG(expr ORDER BY key [DESC]) — deterministic
+    ordered array aggregation via struct-sort-project (Spark's array_agg
+    has no WITHIN GROUP form); FILTER attaches to the inner aggregate;
+    empty groups nullify (DuckDB/ANSI — Spark's collect_list returns
+    [])."""
+    e = Engine(spark, str(tmp_path / "aagg"))
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders")
+    asc = {
+        r.o_custkey: r.ks
+        for r in e.ref_sql(
+            "SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey) "
+            "AS ks FROM orders WHERE o_custkey < 20 GROUP BY o_custkey"
+        ).collect()
+    }
+    assert asc and all(ks == sorted(ks) for ks in asc.values())
+    desc = {
+        r.o_custkey: r.ks
+        for r in e.ref_sql(
+            "SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey "
+            "DESC) AS ks FROM orders WHERE o_custkey < 20 GROUP BY o_custkey"
+        ).collect()
+    }
+    assert desc == {k: sorted(v, reverse=True) for k, v in asc.items()}
+    # FILTER that empties every group → NULL (not []), both with and
+    # without the in-call ORDER BY
+    for order in ("ORDER BY o_orderkey", ""):
+        rows = e.ref_sql(
+            f"SELECT o_custkey, array_agg(o_orderkey {order}) "
+            "FILTER (WHERE o_totalprice > 1e15) AS ks "
+            "FROM orders WHERE o_custkey < 10 GROUP BY o_custkey"
+        ).collect()
+        assert rows and all(r.ks is None for r in rows)
+    with pytest.raises(ParseError, match="malformed"):
+        e.ref_sql(
+            "SELECT array_agg(ORDER BY o_orderkey) AS ks FROM orders"
+        )
+
+
 def test_conditional_boolean_aggregates(spark, tmp_path, sf_dir):
     """Round-12: count_if / bool_and / bool_or (same name + semantics in
     DuckDB, probed), every (the Spark/Postgres bool_and spelling), and
