@@ -785,15 +785,27 @@ def _array_agg_expression(buf: list[str], filt: str | None) -> str:
     expression. Spark's array_agg ≡ collect_list has no WITHIN GROUP
     form, so the in-call ORDER BY becomes a struct-sort-project:
 
-        transform(array_sort(array_agg(struct(key AS _k, expr AS _v))
-                  [FILTER (WHERE ...)]), s -> s._v)   [wrapped in reverse()]
+        transform(array_sort(array_agg(struct(nullflag AS _n, key AS _k,
+                  expr AS _v)) [FILTER (WHERE ...)]), s -> s._v)
+        [wrapped in reverse()]
 
-    array_sort compares _k first then _v — deterministic; DuckDB breaks
-    key ties arbitrarily, so cross-engine parity needs tie-free keys
-    (the arg_max rule). Without ORDER BY the call passes through
-    verbatim (nondeterministic order in both engines — rows-only
-    territory). The FILTER clause attaches to the inner aggregate call,
-    where Spark requires it."""
+    array_sort compares _n, then _k, then _v — deterministic; DuckDB
+    breaks key ties arbitrarily, so cross-engine parity needs tie-free
+    keys (the arg_max rule). Round-13 NULL hardening (advice items):
+
+    * NULL sort keys order LAST in both directions (DuckDB's default
+      null order, probed). The leading ``_n`` flag forces it: ``key IS
+      NULL`` for ASC; ``key IS NOT NULL`` for DESC so the trailing
+      ``reverse()`` lands the NULL-key rows back at the tail.
+    * NULL *elements* survive in BOTH forms. Spark's collect_list drops
+      NULL entries outright ([10,NULL,20] → [10,20], an all-NULL group
+      → [] → the empty-group wrapper's NULL where DuckDB says [NULL]) —
+      so the plain form also routes through a struct collect (a struct
+      with a NULL field is itself non-NULL and is kept).
+
+    Without ORDER BY the element ORDER stays nondeterministic in both
+    engines — rows-only territory. The FILTER clause attaches to the
+    inner aggregate call, where Spark requires it."""
     depth = 0
     split = None
     for i, t in enumerate(buf):
@@ -810,13 +822,18 @@ def _array_agg_expression(buf: list[str], filt: str | None) -> str:
             split = i
             break
     if split is None:
-        call = " ".join(buf)
+        expr = " ".join(buf[2:-1]).strip()
+        if not expr:
+            raise ParseError("array_agg(expr) malformed")
+        # Struct-wrap so NULL elements survive the collect (bare
+        # collect_list drops them — round-13 advice); empty group → []
+        # → NULL for ANSI/DuckDB parity. (Identical aggregate
+        # expressions dedupe in the Aggregate node.)
+        call = f"array_agg(struct(({expr}) AS _v))"
         if filt:
             call = f"{call} filter ( where {filt} )"
-        # ANSI/DuckDB: an empty group aggregates to NULL; Spark's
-        # collect_list-backed array_agg returns [] — nullify for parity.
-        # (Identical aggregate expressions dedupe in the Aggregate node.)
-        return f"case when size({call}) = 0 then null else {call} end"
+        out = f"transform({call}, s -> s._v)"
+        return f"case when size({out}) = 0 then null else {out} end"
     expr = " ".join(buf[2:split]).rstrip(", ")
     order_toks = buf[split + 2 : -1]
     desc = False
@@ -826,7 +843,13 @@ def _array_agg_expression(buf: list[str], filt: str | None) -> str:
     key = " ".join(order_toks)
     if not expr or not key:
         raise ParseError("array_agg(expr ORDER BY key [DESC]) malformed")
-    call = f"array_agg(struct(({key}) AS _k, ({expr}) AS _v))"
+    # NULLS-LAST both ways: the _n flag sorts NULL keys last under ASC,
+    # and FIRST under DESC so reverse() returns them to the tail.
+    nullflag = f"(({key}) is not null)" if desc else f"(({key}) is null)"
+    call = (
+        f"array_agg(struct({nullflag} AS _n, ({key}) AS _k, "
+        f"({expr}) AS _v))"
+    )
     if filt:
         call = f"{call} filter ( where {filt} )"
     out = f"transform(array_sort({call}), s -> s._v)"
@@ -1273,6 +1296,17 @@ class ExprParser:
                         f"EXISTS subqueries do not support {bad.upper()} "
                         "(the projection/grouping is irrelevant to EXISTS)"
                     )
+            if spec2.aggregates:
+                # ANSI: an ungrouped-aggregate subquery yields ONE row
+                # even over empty input, so EXISTS over it is constant
+                # TRUE — a row-existence rewrite would silently diverge
+                # (round-13 advice). Reject loudly, like GROUP BY above.
+                raise ParseError(
+                    "EXISTS over an ungrouped-aggregate subquery is "
+                    "always TRUE (the aggregate yields one row even on "
+                    "empty input) — drop the aggregate or compare the "
+                    "scalar subquery's value instead"
+                )
             self.exists_subqueries.append((spec2, clauses2, neg_exists))
             # The join IS the predicate; the conjunct slot stays TRUE.
             return F.lit(True)
@@ -3552,9 +3586,10 @@ class RefSQL:
           always yields exactly one row per outer row in SQL — COUNT over
           an empty group is 0 — which a naive groupBy+join drops (the
           classic "count bug" of unnesting). The grouped side is
-          COMPLETED with the missing outer keys (distinct-keys anti-join,
-          0 for COUNT items / NULL otherwise) so the join always matches;
-          CROSS/INNER and LEFT coincide, per SQL.
+          COMPLETED with the missing outer keys (distinct-keys anti-join;
+          each item's fill value is the item evaluated over an EMPTY
+          group — round-13, so count(*)+1 fills 1, not 0) so the join
+          always matches; CROSS/INNER and LEFT coincide, per SQL.
         * ``ORDER BY ... LIMIT k`` (no aggregates) → per-key window
           row_number ≤ k on the INNER side (one shuffle on the keys —
           the top-k never materializes more than k rows per key), then
@@ -3784,15 +3819,21 @@ class RefSQL:
                     for (oref, _kc), kn in zip(keys, kcols)
                 ]
             ).distinct()
-            zeros = okeys.join(lat.select(*kcols), kcols, "left_anti").select(
-                *kcols,
+            # Round-13 (advice): the completion row's value per item is
+            # the item EVALUATED OVER AN EMPTY GROUP — an ungrouped
+            # aggregate over limit(0) — not a count-prefix guess, so
+            # expression-wrapped aggregates (count(*)+1 → 1) fill
+            # exactly as ANSI/DuckDB's one-row empty-group result does.
+            # One broadcast row; the cross join is a 1-row BNLJ.
+            empty = inner.limit(0).agg(
                 *[
-                    (
-                        F.lit(0) if buf[0].lower() == "count" else F.lit(None)
-                    ).cast(types[n]).alias(n)
+                    F.expr(" ".join(buf)).cast(types[n]).alias(n)
                     for (buf, _), n in zip(norm_items, out_names)
-                ],
+                ]
             )
+            zeros = okeys.join(
+                lat.select(*kcols), kcols, "left_anti"
+            ).crossJoin(F.broadcast(empty))
             lat = lat.unionByName(zeros).alias(alias)
             cond = None
             for (oref, _kc), kn in zip(keys, kcols):
@@ -3998,6 +4039,17 @@ class RefSQL:
                     f"EXISTS subqueries do not support {bad.upper()} "
                     "(the projection/grouping is irrelevant to EXISTS)"
                 )
+        if spec2.aggregates:
+            # Mirrors the conjunct path (round-13 advice): ANSI returns
+            # one row from an ungrouped-aggregate subquery even on empty
+            # input, making EXISTS constant TRUE — a row-existence flag
+            # would silently diverge. Reject loudly.
+            raise ParseError(
+                "EXISTS over an ungrouped-aggregate subquery is always "
+                "TRUE (the aggregate yields one row even on empty input) "
+                "— drop the aggregate or compare the scalar subquery's "
+                "value instead"
+            )
         inner = self._resolved_from(spec2)
         if not (spec2.joins or spec2.alias):
             inner = inner.alias(spec2.table)

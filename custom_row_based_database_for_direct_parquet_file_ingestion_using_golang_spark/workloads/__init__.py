@@ -29,107 +29,34 @@ from . import sketches  # noqa: F401, E402
 # registry HOLDS at 248 — 248/50 = 4.96 is the ceiling of the ≤5-round
 # policy, so ANY net addition makes the policy arithmetically
 # unsatisfiable. New driver-visible workloads may land only by retiring
-# a genuinely redundant entry one-for-one (verdict-named candidates:
-# ann_lsh_top10 vs ann_ivf_top10 overlap; the corpus_pack_* siblings) or
-# after the driver widens the window. Depth work (operators, fuzz,
-# pytest, floors, docs) is unconstrained. Two swaps executed this round
-# under that rule: corpus_pack_sequences (redundant sibling of
-# corpus_pack_split_spans) retired for refsql_lateral_topk (the round-12
-# LATERAL decorrelation debut), and ann_lsh_top10 (the other
-# verdict-named candidate: rows-only, redundant with ann_ivf_top10's
-# bucketed-ANN coverage; the lsh_topk operator keeps its pytests)
-# retired for text_dup_ngram_chars (oracle-checked RPv2/Gopher
-# character-coverage repetition signals) — registry still 248, and the
-# oracle-checked share rises 234 → 235 (rows-only 14 → 13).
+# a genuinely redundant entry one-for-one, or after the driver widens
+# the window. Depth work (operators, fuzz, pytest, floors, docs) is
+# unconstrained. Swap history: r12 retired corpus_pack_sequences for
+# refsql_lateral_topk and ann_lsh_top10 for text_dup_ngram_chars
+# (registry held at 248; oracle-checked share 234 -> 235).
 #
-# Round-12 curation: (1) refsql_star_replace — the registry's only
-# never-checked entry — debuts first; (2) the full 48-entry r7-green
-# block (5 rounds stale, AT the policy limit, all drained this round);
-# (3) refsql_window_value_functions, the oldest r8-green, fills the
-# 50th slot (the r11 verdict queued both r8 fillers, but 1+48+2 = 51
-# overfills a 50-slot window — refsql_merge_source_delete is first
-# below the boundary instead and leads r13). Below the boundary: the
-# former r8 window (r8-green — 5 rounds stale at r13, all must drain
-# then), then r9-green (r13/r14), then r10-green, then the rotated-out
-# round-11 window (r11-green, freshest). Every name must exist in
+# Round-13 curation (executing the r12 verdict's prescription exactly):
+# (1) the two r12 debuts refsql_lateral_topk + text_dup_ngram_chars —
+# judge-rehearsed green, never driver-checked — lead; (2) the 47-entry
+# r8-green block (5 rounds stale at r13, AT the policy limit, all
+# drained this round, refsql_merge_source_delete leading); (3) the
+# oldest r9-green entry (refsql_correlated_scalar — re-greened r9 out
+# of the old r8 window, so it is the oldest remaining evidence) fills
+# the 50th slot. 2 + 47 + 1 = 50, zero pre-r9 evidence left after this
+# window runs. Below the boundary: r13 debuts-by-swap (if any), then
+# the 48-entry r9-green block (5 rounds stale at r14 — all must drain
+# then; 2 + 48 = 50 seats r14 exactly), then r10-green, r11-green, and
+# the rotated-out r12 window freshest-last. Every name must exist in
 # QUERIES; ordered_queries() raises otherwise, and
 # tests/test_oracle_parity.py pins set(PRIORITY) == set(QUERIES) so a
 # curation edit can never drop an entry from the rotation again.
 PRIORITY: list[str] = [
-    # (1) first-ever driver check (late round-11 addition; judge-
-    # rehearsed green at sf0.01 in the r11 verdict).
-    "refsql_star_replace",
-    # (2) the 48-entry r7-green block — 5 rounds stale at r12, AT the
-    # policy limit: every entry must drain this round.
-    "ann_quantized_top10",
-    "refsql_join_customer_nation",
-    "refsql_left_join_counts",
-    "refsql_ctas_insert_select",
-    "refsql_window_topk",
-    "refsql_in_subquery",
-    "refsql_q1_expression_aggregates",
-    "refsql_derived_table",
-    "refsql_group_by_all_ordinals",
-    "refsql_group_by_expression",
-    "refsql_window_frame",
-    "refsql_range_frame",
-    "refsql_q3_shipping",
-    "profile_orders",
-    "histogram_totalprice",
-    "corr_lineitem",
-    "contamination_bloom_prefilter",
-    "bloom_decontaminate_train",
-    "dedup_winnow_top15",
-    "dedup_ngram_jaccard_top20",
-    "dedup_duplicate_clusters",
-    "graph_pagerank_knn",
-    "multimodal_bmp_decode",
-    "multimodal_video_neardup",
-    "multimodal_audio_neardup",
-    "multimodal_phash_neardup",
-    "multimodal_png_decode",
-    "multimodal_gif_decode",
-    "multimodal_wav_decode",
-    "multimodal_avi_frame_sample",
-    "dedup_embedding_neardup",
-    "embedding_quantize_int8",
-    "text_html_strip",
-    "text_char_lm_quality",
-    "corpus_chunk_sliding",
-    "classifier_hashed_nb_langid",
-    "stream_bloom_drop_denied",
-    "refsql_merge_upsert",
-    "timetravel_version_as_of",
-    "events_activity_islands",
-    "jsonl_roundtrip_ingest",
-    "mv_incremental_refresh",
-    "corpus_pack_split_spans",
-    "corpus_temperature_mix",
-    "orc_roundtrip_ingest",
-    "ts_gapfill_locf",
-    "ts_linear_interpolate",
-    "ts_ohlc_daily",
-    # (3) oldest-r8 filler (the single remaining slot: 1 debut + 48
-    # r7-green leaves room for one of the two r8-green fillers the
-    # r11 verdict queued; the other leads r13 below the boundary).
-    "refsql_window_value_functions",
-    # -- ~50-slot window boundary (50 entries above this line). Below:
-    # refsql_lateral_topk is the round-12 DEBUT (new-in-round entries
-    # lead the next round's window — the r10/r11 precedent). It entered
-    # by ONE-FOR-ONE SWAP under the registry freeze (r11 verdict #3(c)):
-    # corpus_pack_sequences — one of the two verdict-named redundancy
-    # candidates, its packing coverage kept by corpus_pack_split_spans +
-    # property tests — retired, so the registry HOLDS at 248 and the
-    # rotation arithmetic is unchanged. Then the former r8 window
-    # (r8-green, 4 rounds stale at r12; was 50 entries, 49 after the
-    # retirement) MUST drain at r13 — 5 rounds stale, exactly at the
-    # policy limit — so the r13 window is exactly 2 debuts + 48 followers
-    # (text_dup_ngram_chars entered by the second one-for-one swap,
-    # retiring the r8-green ann_lsh_top10, so the r8 block is 47 entries;
-    # judge-merged evidence: 47 r8-green + refsql_correlated_scalar,
-    # which re-greened r9 and so drains a round early — harmless):
+    # (1) the two round-12 DEBUTS (judge-rehearsed green at sf0.01 in the
+    # r12 verdict: 200/200 and 500/500 hash-match) — first driver checks.
     "refsql_lateral_topk",
     "text_dup_ngram_chars",
+    # (2) the 47-entry r8-green block — 5 rounds stale at r13, AT the
+    # policy limit: every entry drains this round.
     "refsql_merge_source_delete",
     "skew_salted_join",
     "crossmodal_image_text_neardup",
@@ -177,8 +104,17 @@ PRIORITY: list[str] = [
     "dedup_exact_survivors",
     "similar_pairs_top15",
     "weak_typing_filter",
-    # round-9 window entries (r9-green, 2 rounds stale at r11) — r13 material.
+    # (3) oldest-r9 filler (2 debuts + 47 r8-green leaves exactly one
+    # slot; refsql_correlated_scalar is the oldest remaining evidence —
+    # it re-greened r9 out of the r8 block, so it drains here).
     "refsql_correlated_scalar",
+    # -- ~50-slot window boundary (50 entries above this line). Below,
+    # strictly oldest-evidence-first: any round-13 debuts entered by
+    # one-for-one swap under the registry freeze lead the r14 window,
+    # then the r9-green block (48 entries — 5 rounds stale at r14, ALL
+    # must drain then; 2 debuts + 48 = 50 seats the r14 window exactly),
+    # then r10-green (r15 material), then r11-green, then the rotated-out
+    # round-12 window (r12-green, freshest evidence) at the tail.
     "refsql_in_or_membership",
     "stream_session_hll_users",
     "refsql_arg_max_orders",
@@ -227,7 +163,7 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "text_quality_scores",
     "text_repetition_ratio",
-    # round-10 window entries (r10-green, freshest) — r13/r14 material.
+    # round-10 window entries (r10-green) — r15 material.
     "refsql_fromless_recursive_anchor",
     "ann_multiassign_top10",
     "stream_temporal_enrich_buffered",
@@ -278,8 +214,7 @@ PRIORITY: list[str] = [
     "window_lag_delta",
     "pivot_status_by_priority",
     "window_ntile_quartiles",
-    # round-11 window (r11-green, freshest evidence) — rotated to the
-    # tail after its r11 check; r14/r15 material.
+    # round-11 window (r11-green) — r15/r16 material.
     "ann_multiassign_recall",
     "ann_matryoshka_top10",
     "ann_hard_negatives",
@@ -330,6 +265,58 @@ PRIORITY: list[str] = [
     "multimodal_webp_decode",
     "scan_full_table",
     "filter_compare",
+    # the rotated-out round-12 window (r12-green, freshest evidence) —
+    # r16 material.
+    "refsql_star_replace",
+    "ann_quantized_top10",
+    "refsql_join_customer_nation",
+    "refsql_left_join_counts",
+    "refsql_ctas_insert_select",
+    "refsql_window_topk",
+    "refsql_in_subquery",
+    "refsql_q1_expression_aggregates",
+    "refsql_derived_table",
+    "refsql_group_by_all_ordinals",
+    "refsql_group_by_expression",
+    "refsql_window_frame",
+    "refsql_range_frame",
+    "refsql_q3_shipping",
+    "profile_orders",
+    "histogram_totalprice",
+    "corr_lineitem",
+    "contamination_bloom_prefilter",
+    "bloom_decontaminate_train",
+    "dedup_winnow_top15",
+    "dedup_ngram_jaccard_top20",
+    "dedup_duplicate_clusters",
+    "graph_pagerank_knn",
+    "multimodal_bmp_decode",
+    "multimodal_video_neardup",
+    "multimodal_audio_neardup",
+    "multimodal_phash_neardup",
+    "multimodal_png_decode",
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    "multimodal_avi_frame_sample",
+    "dedup_embedding_neardup",
+    "embedding_quantize_int8",
+    "text_html_strip",
+    "text_char_lm_quality",
+    "corpus_chunk_sliding",
+    "classifier_hashed_nb_langid",
+    "stream_bloom_drop_denied",
+    "refsql_merge_upsert",
+    "timetravel_version_as_of",
+    "events_activity_islands",
+    "jsonl_roundtrip_ingest",
+    "mv_incremental_refresh",
+    "corpus_pack_split_spans",
+    "corpus_temperature_mix",
+    "orc_roundtrip_ingest",
+    "ts_gapfill_locf",
+    "ts_linear_interpolate",
+    "ts_ohlc_daily",
+    "refsql_window_value_functions",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821

@@ -3996,3 +3996,108 @@ def test_comma_joins(spark, tmp_path, sf_dir):
     assert [(r.c_custkey, r.n) for r in rows] == [
         (k, per_key.get(k, 0)) for k in range(3)
     ]
+
+
+def test_lateral_expression_wrapped_aggregate_fill(spark, tmp_path):
+    """Round-13 (advice): the empty-group completion row evaluates each
+    LATERAL item over an EMPTY group instead of guessing from a COUNT
+    prefix — ``count(*) + 1`` fills 1 for an unmatched outer key (DuckDB
+    native LATERAL parity), not 0."""
+    e = Engine(spark, str(tmp_path / "latx"))
+    e.ref_sql("CREATE TABLE cust (ck INT)")
+    e.ref_sql("INSERT INTO cust VALUES (1), (2), (42)")
+    e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
+    e.ref_sql("INSERT INTO ords VALUES (1, 10), (1, 20), (2, 5)")
+    rows = e.ref_sql(
+        "SELECT c.ck, x.m, x.z FROM cust AS c CROSS JOIN LATERAL "
+        "(SELECT count(*) + 1 AS m, coalesce(sum(v), 0) AS z "
+        "FROM ords WHERE ck = c.ck) AS x ORDER BY c.ck"
+    ).collect()
+    assert [(r.ck, r.m, r.z) for r in rows] == [
+        (1, 3, 30), (2, 2, 5), (42, 1, 0)
+    ]
+    # ANSI/Postgres: a lone all-NULL fill row is STILL one row per outer
+    # row (DuckDB 1.0's CROSS-LATERAL drops it — documented divergence,
+    # DIALECT.md; its own LEFT-LATERAL and scalar-subquery forms agree
+    # with us).
+    rows2 = e.ref_sql(
+        "SELECT c.ck, x.s FROM cust AS c CROSS JOIN LATERAL "
+        "(SELECT sum(v) AS s FROM ords WHERE ck = c.ck) AS x "
+        "ORDER BY c.ck"
+    ).collect()
+    assert [(r.ck, r.s) for r in rows2] == [(1, 30), (2, 5), (42, None)]
+
+
+def test_array_agg_null_semantics(spark, tmp_path):
+    """Round-13 (advice): NULL elements survive ARRAY_AGG in both forms
+    (struct-collect — bare collect_list drops them), an all-NULL group
+    is [NULL] not NULL, and NULL ORDER BY keys sort LAST under both ASC
+    and DESC (DuckDB's default null order, probed)."""
+    e = Engine(spark, str(tmp_path / "aaggn"))
+    e.ref_sql("CREATE TABLE t (g INT, k INT, v INT)")
+    e.ref_sql(
+        "INSERT INTO t VALUES (1, 1, 10), (1, NULL, 99), (1, 2, 20), "
+        "(2, NULL, NULL), (3, 1, NULL), (3, 2, 5)"
+    )
+    asc = {
+        r.g: r.a
+        for r in e.ref_sql(
+            "SELECT g, array_agg(v ORDER BY k) AS a FROM t GROUP BY g"
+        ).collect()
+    }
+    assert asc == {1: [10, 20, 99], 2: [None], 3: [None, 5]}
+    desc = {
+        r.g: r.a
+        for r in e.ref_sql(
+            "SELECT g, array_agg(v ORDER BY k DESC) AS a FROM t GROUP BY g"
+        ).collect()
+    }
+    assert desc == {1: [20, 10, 99], 2: [None], 3: [5, None]}
+    # plain form: NULL elements kept (order nondeterministic — compare
+    # multisets); all-NULL group is [NULL]
+    plain = {
+        r.g: r.a
+        for r in e.ref_sql(
+            "SELECT g, array_agg(v) AS a FROM t GROUP BY g"
+        ).collect()
+    }
+    assert sorted(plain[1]) == [10, 20, 99]
+    assert plain[2] == [None]
+    assert sorted(plain[3], key=lambda x: (x is None, x)) == [5, None]
+    # empty group (FILTER excludes all) still nullifies
+    r = e.ref_sql(
+        "SELECT array_agg(v) FILTER (WHERE v > 1000) AS a FROM t"
+    ).collect()[0]
+    assert r.a is None
+
+
+def test_exists_aggregate_body_rejected(spark, tmp_path):
+    """Round-13 (advice): EXISTS over an ungrouped-aggregate subquery is
+    constant TRUE in ANSI (one row even on empty input) — a
+    row-existence rewrite silently diverges, so BOTH EXISTS paths
+    (conjunct semi-join and boolean-flag under OR/NOT) reject loudly."""
+    e = Engine(spark, str(tmp_path / "exagg"))
+    e.ref_sql("CREATE TABLE a (k INT)")
+    e.ref_sql("INSERT INTO a VALUES (1), (2)")
+    e.ref_sql("CREATE TABLE b (k INT)")
+    e.ref_sql("INSERT INTO b VALUES (1)")
+    for q in (
+        # conjunct path (semi-join rewrite)
+        "SELECT k FROM a WHERE EXISTS "
+        "(SELECT count(*) FROM b WHERE a.k = b.k)",
+        # boolean-flag path (under OR; parenthesized per the dialect)
+        "SELECT k FROM a WHERE (EXISTS "
+        "(SELECT count(*) FROM b WHERE a.k = b.k)) OR FALSE",
+    ):
+        with pytest.raises(ParseError, match="ungrouped-aggregate"):
+            e.ref_sql(q)
+    # plain row-existence EXISTS still works on both paths
+    rows = e.ref_sql(
+        "SELECT k FROM a WHERE EXISTS (SELECT k FROM b WHERE a.k = b.k)"
+    ).collect()
+    assert [r.k for r in rows] == [1]
+    rows = e.ref_sql(
+        "SELECT k FROM a WHERE (EXISTS "
+        "(SELECT k FROM b WHERE a.k = b.k)) OR k = 2 ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [1, 2]
