@@ -4959,18 +4959,23 @@ class RefSQL:
         cur.expect_kw("update")
         table = _unquote(cur.next())
         cur.expect_kw("set")
-        sets: dict[str, Any] = {}
+        # Round-13: SET values are CAPTURED first (token buffers /
+        # eagerly-resolved scalar subqueries) and compiled after the
+        # optional FROM clause is known — ``UPDATE t SET c = s.v FROM s
+        # WHERE t.k = s.k`` needs the source's columns to resolve the
+        # value expressions.
+        entries: list[tuple[str, str, Any]] = []  # (col, kind, payload)
         while True:
             col = _unquote(cur.next())
             if cur.next() != "=":
                 raise ParseError("expected '=' in SET")
             # Round-12: the SET value is a full expression — captured
-            # balanced to the next top-level ',' or WHERE and compiled
-            # via Catalyst (``SET v = v + 1``, ``SET g = upper(g)``). A
-            # single token keeps the reference's literal semantics
-            # (typed coercion; a bare word is a string, update.go). An
-            # uncorrelated scalar subquery executes eagerly to a literal
-            # (the WHERE path's inline-the-scalar strategy).
+            # balanced to the next top-level ',' / WHERE / FROM and
+            # compiled via Catalyst (``SET v = v + 1``). A single token
+            # keeps the reference's literal semantics (typed coercion; a
+            # bare word is a string, update.go). An uncorrelated scalar
+            # subquery executes eagerly to a literal (the WHERE path's
+            # inline-the-scalar strategy).
             if cur.peek() == "(" and cur.peek_kw(1) == "select":
                 cur.next()  # '('
                 spec2, _, clauses2 = parse_select(
@@ -4978,11 +4983,13 @@ class RefSQL:
                 )
                 if cur.next() != ")":
                     raise ParseError("expected ')' after scalar subquery")
-                sets[col] = self._scalar(spec2, clauses2)
+                entries.append((col, "scalar", self._scalar(spec2, clauses2)))
                 if cur.peek() == ",":
                     cur.next()
                     continue
-                if cur.peek() is not None and cur.peek_kw() != "where":
+                if cur.peek() is not None and cur.peek_kw() not in (
+                    "where", "from",
+                ):
                     raise ParseError(
                         "arithmetic around a scalar subquery is not "
                         "supported in SET (compute it inside the subquery)"
@@ -4994,7 +5001,9 @@ class RefSQL:
                 t = cur.peek()
                 if t is None:
                     break
-                if depth == 0 and (t == "," or cur.peek_kw() == "where"):
+                if depth == 0 and (
+                    t == "," or cur.peek_kw() in ("where", "from")
+                ):
                     break
                 t = cur.next()
                 if t == "(":
@@ -5006,6 +5015,20 @@ class RefSQL:
                 buf.append(t if _is_string_lit(t) else _unquote_bare(t))
             if not buf:
                 raise ParseError("SET needs a value expression")
+            entries.append((col, "toks", buf))
+            if cur.peek() == ",":
+                cur.next()
+                continue
+            break
+        if cur.peek_kw() == "from":
+            return self._update_from(cur, table, entries)
+        tgt_cols = {c.name for c in self.engine.catalog.get(table).columns}
+        sets: dict[str, Any] = {}
+        for col, kind, payload in entries:
+            if kind == "scalar":
+                sets[col] = payload
+                continue
+            buf = payload
             if len(buf) == 1:
                 tok = buf[0]
                 if tok.upper() == "NULL":
@@ -5013,8 +5036,7 @@ class RefSQL:
                 elif (
                     not _is_string_lit(tok)
                     and _literal_value(tok) is None
-                    and _unquote(tok)
-                    in {c.name for c in self.engine.catalog.get(table).columns}
+                    and _unquote(tok) in tgt_cols
                 ):
                     # a bare token naming a DECLARED column is a column
                     # reference (``SET v = w``); any other bare word keeps
@@ -5025,10 +5047,6 @@ class RefSQL:
                     sets[col] = lit if lit is not None else _unquote(tok)
             else:
                 sets[col] = F.expr(" ".join(buf))
-            if cur.peek() == ",":
-                cur.next()
-                continue
-            break
         where = None
         frame = None
         if cur.peek_kw() == "where":
@@ -5037,6 +5055,234 @@ class RefSQL:
             where = up.parse()
             frame = self._dml_frame(table, up, "UPDATE")
         return self.engine.update(table, sets, where, frame=frame)
+
+    def _update_from(
+        self,
+        cur: _Cursor,
+        table: str,
+        entries: "list[tuple[str, str, Any]]",
+    ) -> int:
+        """Round-13: ``UPDATE t SET c = s.v [, ...] FROM s [AS a] WHERE
+        t.k = a.k [AND ...]`` — the correlated per-row SET from a second
+        table (DuckDB/Postgres join update; the round-12 verdict's top
+        DML gap: constant re-labeling shape in curation pipelines).
+
+        Compiled Spark-first as ONE left equi-join + the existing
+        copy-on-write rewrite (engine.update with a pre-joined frame):
+        the source's referenced columns are renamed to collision-proof
+        ``__src_*`` helpers, SET/WHERE token runs are rewritten against
+        them, and a constant ``__upd_hit`` marker on the source drives
+        the matched predicate — unmatched target rows pass through
+        untouched, NULL join keys match nothing (ANSI '='). Helper
+        columns never reach storage (engine.update projects the declared
+        schema). At scale this is exactly the plan you want: one shuffle
+        (or broadcast, via AQE) on the correlation keys, never a
+        per-row subquery re-execution.
+
+        Determinism guard: the source must be UNIQUE on the equality
+        keys after source-only filters — a target row matched by ≥2
+        source rows raises (DuckDB silently picks an arbitrary match;
+        Delta raises — we follow Delta). One source-side aggregate, the
+        same cost class as MERGE's 1:1 guard. Scope: the WHERE needs at
+        least one top-level ``t.col = s.col`` equality conjunct; other
+        conjuncts may reference either side; no subqueries in the FROM
+        form's WHERE or SET."""
+        cur.expect_kw("from")
+        if cur.peek() == "(":
+            cur.next()
+            src = self._select_df(cur)
+            if cur.next() != ")":
+                raise ParseError("expected ')' to close the UPDATE source")
+            if cur.peek_kw() == "as":
+                cur.next()
+            src_alias = _unquote(cur.next())
+        else:
+            src_name = _unquote(cur.next())
+            src = self._table_df(src_name)
+            src_alias = src_name
+            if cur.peek_kw() == "as":
+                cur.next()
+                src_alias = _unquote(cur.next())
+        if src_alias == table:
+            raise ParseError(
+                "UPDATE ... FROM source alias collides with the target "
+                "table name — alias the source"
+            )
+        if cur.peek_kw() != "where":
+            raise ParseError(
+                "UPDATE ... FROM requires a WHERE with a join condition "
+                "(an unconditional cross-join update is almost certainly "
+                "a mistake)"
+            )
+        cur.next()
+        cond_toks: list[str] = []
+        while not cur.done():
+            t = cur.next()
+            cond_toks.append(t if _is_string_lit(t) else _unquote_bare(t))
+        if not cond_toks:
+            raise ParseError("UPDATE ... FROM WHERE needs a predicate")
+
+        tgt_cols = {c.name for c in self.engine.catalog.get(table).columns}
+        src_cols = set(src.columns)
+
+        def rewrite(toks: list[str], what: str) -> list[str]:
+            out = []
+            for i, t in enumerate(toks):
+                if _is_string_lit(t) or not re.fullmatch(
+                    r"[A-Za-z_][\w.]*", t
+                ):
+                    out.append(t)
+                    continue
+                if "." in t:
+                    q, c = t.split(".", 1)
+                    if q == src_alias and c in src_cols:
+                        out.append(f"__src_{c}")
+                    elif q == table and c in tgt_cols:
+                        out.append(c)
+                    else:
+                        raise ParseError(
+                            f"unknown qualified reference {t!r} in {what} "
+                            f"(qualifiers: {table!r} for the target, "
+                            f"{src_alias!r} for the source)"
+                        )
+                    continue
+                # unqualified: target first (standard scoping), then a
+                # source-only column; function names survive because a
+                # call is followed by '(' — and a column can't be.
+                nxt = toks[i + 1] if i + 1 < len(toks) else None
+                if nxt != "(" and t not in tgt_cols and t in src_cols:
+                    out.append(f"__src_{t}")
+                else:
+                    out.append(t)
+            return out
+
+        # Split the WHERE into top-level AND conjuncts; lift the
+        # target=source equality keys (the join correlation), keep the
+        # rest as residual condition text.
+        conjuncts: list[list[str]] = []
+        buf2: list[str] = []
+        depth = 0
+        for t in cond_toks:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and t.lower() == "and":
+                conjuncts.append(buf2)
+                buf2 = []
+                continue
+            buf2.append(t)
+        if buf2:
+            conjuncts.append(buf2)
+        pairs: list[tuple[str, str]] = []  # (target col, source col)
+        residual: list[list[str]] = []
+        for conj in conjuncts:
+            if len(conj) == 3 and conj[1] == "=":
+                a, b = conj[0], conj[2]
+
+                def side(tok):
+                    if "." not in tok or _is_string_lit(tok):
+                        return None
+                    q, c = tok.split(".", 1)
+                    if q == table and c in tgt_cols:
+                        return ("t", c)
+                    if q == src_alias and c in src_cols:
+                        return ("s", c)
+                    return None
+
+                sa, sb = side(a), side(b)
+                if sa and sb and {sa[0], sb[0]} == {"t", "s"}:
+                    tc = sa[1] if sa[0] == "t" else sb[1]
+                    sc = sa[1] if sa[0] == "s" else sb[1]
+                    pairs.append((tc, sc))
+                    continue
+            residual.append(conj)
+        if not pairs:
+            raise ParseError(
+                "UPDATE ... FROM needs at least one top-level "
+                f"'{table}.col = {src_alias}.col' equality conjunct "
+                "to join on"
+            )
+        residual_rw = [rewrite(c, "WHERE") for c in residual]
+
+        # Determinism guard: source must be unique on the equality keys,
+        # after applying residual conjuncts that touch ONLY the source
+        # (they can legitimately disambiguate, e.g. a flag column).
+        src_only = []
+        mixed = []
+        for rw in residual_rw:
+            if any(t in tgt_cols for t in rw):
+                mixed.append(rw)
+            else:
+                src_only.append(rw)
+        src_rn = src.select(
+            *[F.col(c).alias(f"__src_{c}") for c in src.columns]
+        )
+        guard_src = src_rn
+        for rw in src_only:
+            guard_src = guard_src.filter(F.expr(" ".join(rw)))
+        skeys = [sc for _tc, sc in pairs]
+        dup = (
+            guard_src.groupBy(*[F.col(f"__src_{c}") for c in skeys])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "UPDATE ... FROM: the source has duplicate rows on the "
+                f"join keys {skeys} — a target row would match multiple "
+                "source rows (DuckDB picks one arbitrarily; this engine "
+                "raises, like Delta). Dedupe the source on the keys "
+                "first."
+            )
+
+        # Compile the SET values against the rewritten namespace.
+        sets: dict[str, Any] = {}
+        used_src: set[str] = set(skeys)
+        for col, kind, payload in entries:
+            if kind == "scalar":
+                sets[col] = payload
+                continue
+            rw = rewrite(payload, "SET")
+            used_src.update(
+                t[len("__src_"):] for t in rw if t.startswith("__src_")
+            )
+            if len(rw) == 1:
+                tok = rw[0]
+                if tok.upper() == "NULL":
+                    sets[col] = None
+                elif tok.startswith("__src_") or (
+                    not _is_string_lit(tok)
+                    and _literal_value(tok) is None
+                    and _unquote(tok) in tgt_cols
+                ):
+                    sets[col] = F.col(_unquote(tok))
+                else:
+                    lit = _literal_value(tok)
+                    sets[col] = lit if lit is not None else _unquote(tok)
+            else:
+                sets[col] = F.expr(" ".join(rw))
+        for rw in residual_rw:
+            used_src.update(
+                t[len("__src_"):] for t in rw if t.startswith("__src_")
+            )
+
+        # One left join: target × (renamed, column-pruned source + hit
+        # marker); the engine's copy-on-write pass does the rest.
+        src_sel = src_rn.select(
+            *[F.col(f"__src_{c}") for c in sorted(used_src)]
+        ).withColumn("__upd_hit", F.lit(True))
+        cond = None
+        for tc, sc in pairs:
+            eq = F.col(tc) == F.col(f"__src_{sc}")
+            cond = eq if cond is None else (cond & eq)
+        for rw in residual_rw:
+            cond = cond & F.expr(" ".join(rw))
+        frame = self.engine.table(table).join(src_sel, cond, "left")
+        return self.engine.update(
+            table, sets, F.col("__upd_hit"), frame=frame
+        )
 
     def _delete(self, cur: _Cursor) -> int:
         cur.expect_kw("delete")

@@ -115,6 +115,13 @@ PRIORITY: list[str] = [
     # must drain then; 2 debuts + 48 = 50 seats the r14 window exactly),
     # then r10-green (r15 material), then r11-green, then the rotated-out
     # round-12 window (r12-green, freshest evidence) at the tail.
+    #
+    # Round-13 debuts, entered by one-for-one swap under the freeze
+    # (registry holds at 248): refsql_update_from (oracle-checked join
+    # update) replaces the retired ann_ivf_pq_top10 (rows-only,
+    # redundant by composition with ann_ivf_top10 + ann_pq_top10;
+    # operator keeps its pytests). Oracle-checked share 235 -> 236.
+    "refsql_update_from",
     "refsql_in_or_membership",
     "stream_session_hll_users",
     "refsql_arg_max_orders",
@@ -147,7 +154,6 @@ PRIORITY: list[str] = [
     "refsql_star_exclude",
     "events_funnel_steps",
     "events_cohort_retention",
-    "ann_ivf_pq_top10",
     "refsql_grouping_sets",
     "sketch_hist_quantiles_grouped",
     "stream_cms_user_traffic",

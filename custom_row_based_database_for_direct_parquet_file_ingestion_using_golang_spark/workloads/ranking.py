@@ -426,6 +426,77 @@ def refsql_merge_source_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_update_from",
+    """
+    WITH uo AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders),
+    seg AS (SELECT c_custkey, substr(c_mktsegment, 1, 1) AS tag,
+                   c_acctbal * 0.1 AS boost
+            FROM customer WHERE c_custkey % 3 = 0),
+    upd AS (SELECT o.o_orderkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                             AND o.o_totalprice < 150000.0
+                        THEN s.tag ELSE o.o_orderstatus
+                   END AS o_orderstatus,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                             AND o.o_totalprice < 150000.0
+                        THEN o.o_totalprice + s.boost ELSE o.o_totalprice
+                   END AS o_totalprice
+            FROM uo o LEFT JOIN seg s ON o.o_custkey = s.c_custkey)
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM upd GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def refsql_update_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UPDATE ... FROM through the DIALECT (round-13): the correlated
+    # per-row SET from a second table — the re-labeling shape curation
+    # pipelines hit constantly (the r12 verdict's top DML gap). One
+    # dialect statement re-tags every matching order with its customer's
+    # market-segment initial and boosts the price by 10% of the account
+    # balance; the join + SET compile to ONE left equi-join + the
+    # copy-on-write rewrite (never a per-row subquery), the source is
+    # unique on c_custkey by construction (the determinism guard), and
+    # the residual conjunct filters matching on the TARGET side. The
+    # oracle replays the update relationally as a LEFT JOIN + CASE — a
+    # mis-scoped SET, a dropped unmatched row, or a double-applied
+    # residual flips the hash.
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"sparkdb_updf_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    e = Engine(spark, root)
+    e.ingest_parquet(f"{sf_dir}/orders.parquet", "orders_raw")
+    e.ingest_parquet(f"{sf_dir}/customer.parquet", "customer_raw")
+    e.ref_sql(
+        "CREATE TABLE uo AS SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "o_totalprice FROM orders_raw"
+    )
+    e.ref_sql(
+        "CREATE TABLE seg AS SELECT c_custkey, "
+        "substr(c_mktsegment, 1, 1) AS tag, c_acctbal * 0.1 AS boost "
+        "FROM customer_raw WHERE c_custkey % 3 = 0"
+    )
+    e.ref_sql(
+        "UPDATE uo SET o_orderstatus = seg.tag, "
+        "o_totalprice = o_totalprice + seg.boost FROM seg "
+        "WHERE uo.o_custkey = seg.c_custkey AND uo.o_totalprice < 150000.0"
+    )
+    return e.ref_sql(
+        "WITH a AS (SELECT o_orderstatus, COUNT(*) AS n, "
+        "SUM(o_totalprice) AS t FROM uo GROUP BY o_orderstatus) "
+        "SELECT o_orderstatus, n, ROUND(t, 2) AS total FROM a "
+        "ORDER BY o_orderstatus"
+    )
+
+
+@query(
     "zorder_optimized_scan",
     """
     SELECT event_id, user_id, event_type FROM events

@@ -3183,7 +3183,12 @@ def corpus_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_pq_top10")  # rows-only: two-stage ANN is approximate by design
+# ann_ivf_pq_top10 retired round-13 in a one-for-one registry swap under
+# the freeze (the r12 verdict's swap discipline): rows-only and redundant
+# by composition — its two stages are covered by ann_ivf_top10 (list
+# pruning) and ann_pq_top10 (ADC scoring), both still in rotation, and
+# the ivf_pq_topk operator keeps its recall/determinism pytests. Swapped
+# for the oracle-checked refsql_update_from (round-13 join update).
 def ann_ivf_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF+PQ composed (round-8) — the production serving shape: the
     # coarse quantizer prunes to n_probe=6 of 16 inverted lists, PQ-ADC

@@ -1109,6 +1109,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
     con.execute("CREATE TABLE t (id INT, grp TEXT, v INT)")
     e.ref_sql("CREATE TABLE dl (id INT)")
     con.execute("CREATE TABLE dl (id INT)")
+    e.ref_sql("CREATE TABLE src (id INT, nv INT)")
+    con.execute("CREATE TABLE src (id INT, nv INT)")
     rng = random.Random(
         int(os.environ.get("SPARKDB_FUZZ_SEED", "0")) * 104729 + 55501
     )
@@ -1133,11 +1135,16 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
         both(f"INSERT INTO t VALUES ({i}, 'g{i % 3}', {i * 10})")
     both("INSERT INTO t VALUES (NULL, 'gnull', 5)")
     both(f"INSERT INTO dl VALUES ({rng.randint(0, 7)})")
+    # join-update source: UNIQUE ids (the dialect's 1:1 guard; DuckDB
+    # would otherwise pick an arbitrary match — nondeterministic)
+    for i in range(0, 8, 2):
+        both(f"INSERT INTO src VALUES ({i}, {rng.randint(500, 599)})")
+    both("INSERT INTO src VALUES (NULL, 777)")
     next_id = 100
     for step in range(14):
         kind = rng.choice(
             ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain",
-             "upd_expr", "upd_swapish"]
+             "upd_expr", "upd_swapish", "upd_from"]
         )
         if kind == "ins":
             stmt = (
@@ -1171,6 +1178,13 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
             stmt = (
                 f"UPDATE t SET v = v * 2, grp = grp || '_{step}' "
                 f"WHERE v < {rng.randint(30, 300)}"
+            )
+        elif kind == "upd_from":
+            # round-13 join update — identical syntax in DuckDB; the
+            # source is unique on id so both engines are deterministic
+            stmt = (
+                f"UPDATE t SET v = src.nv + {rng.randint(0, 9)} FROM src "
+                f"WHERE t.id = src.id AND t.v < {rng.randint(50, 600)}"
             )
         elif kind == "del_in":
             neg = rng.choice(["", "NOT "])

@@ -690,6 +690,70 @@ def test_update_set_expressions(spark, tmp_path):
         e.ref_sql("UPDATE t SET w = (SELECT MAX(v) FROM t) * 2 WHERE id = 1")
 
 
+def test_update_from_join(spark, tmp_path):
+    """Round-13: ``UPDATE t SET c = s.v FROM s WHERE t.k = s.k`` — the
+    correlated per-row SET from a second table (DuckDB/Postgres join
+    update), compiled to ONE left equi-join + the copy-on-write rewrite.
+    Unmatched rows pass through, NULL keys match nothing, SET values mix
+    source/target references, residual conjuncts filter matching, and
+    the determinism guard raises on a source with duplicate join keys
+    (DuckDB picks arbitrarily; we follow Delta and refuse)."""
+    e = Engine(spark, str(tmp_path / "updfrom"))
+    e.ref_sql("CREATE TABLE t (k INT, lbl TEXT, v INT)")
+    e.ref_sql(
+        "INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30), "
+        "(NULL, 'n', 40)"
+    )
+    e.ref_sql("CREATE TABLE s (k INT, nl TEXT, bonus INT, flag BOOLEAN)")
+    e.ref_sql(
+        "INSERT INTO s VALUES (1, 'A1', 100, TRUE), (2, 'B2', 200, TRUE), "
+        "(9, 'Z', 900, TRUE), (NULL, 'NN', 999, TRUE)"
+    )
+    # basic join update: 2 matches, source + mixed-side SET expressions
+    n = e.ref_sql(
+        "UPDATE t SET lbl = s.nl, v = v + s.bonus FROM s WHERE t.k = s.k"
+    )
+    assert n == 2
+    assert {
+        (r.k, r.lbl, r.v) for r in e.table("t").collect()
+    } == {(1, "A1", 110), (2, "B2", 220), (3, "c", 30), (None, "n", 40)}
+    # residual conjuncts on both sides filter which rows match
+    assert (
+        e.ref_sql(
+            "UPDATE t SET v = s.bonus * 2 + t.v FROM s "
+            "WHERE t.k = s.k AND s.flag AND t.v < 150"
+        )
+        == 1
+    )
+    assert e.table("t").filter("k = 1").collect()[0].v == 310
+    # subquery source with alias
+    assert (
+        e.ref_sql(
+            "UPDATE t SET lbl = x.nl FROM "
+            "(SELECT k, nl FROM s WHERE bonus > 150) AS x WHERE t.k = x.k"
+        )
+        == 1
+    )
+    assert e.table("t").filter("k = 2").collect()[0].lbl == "B2"
+    # duplicate source keys: loud refusal, not an arbitrary pick
+    e.ref_sql("INSERT INTO s VALUES (1, 'DUP', 1, TRUE)")
+    with pytest.raises(ValueError, match="duplicate rows on the join keys"):
+        e.ref_sql("UPDATE t SET lbl = s.nl FROM s WHERE t.k = s.k")
+    # ... unless a source-only conjunct disambiguates
+    assert (
+        e.ref_sql(
+            "UPDATE t SET lbl = s.nl FROM s "
+            "WHERE t.k = s.k AND s.bonus > 50"
+        )
+        == 2
+    )
+    # guards: a join equality and a WHERE are mandatory
+    with pytest.raises(ParseError, match="equality conjunct"):
+        e.ref_sql("UPDATE t SET v = 1 FROM s WHERE s.flag")
+    with pytest.raises(ParseError, match="requires a WHERE"):
+        e.ref_sql("UPDATE t SET v = 1 FROM s")
+
+
 def test_dml_in_subqueries(spark, tmp_path, sf_dir):
     """Round-12: ``UPDATE/DELETE ... WHERE x [NOT] IN (SELECT ...)`` —
     the canonical decontamination DML (delete documents whose ids appear
