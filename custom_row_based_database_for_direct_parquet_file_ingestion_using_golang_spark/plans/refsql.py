@@ -3681,10 +3681,33 @@ class RefSQL:
                 buf.append(t)
             if buf:
                 conjuncts.append(buf)
+        # Round-13: GROUP BY inside the body — multi-row grouped laterals.
+        # Decorrelation is the same groupBy, over (correlation keys ∪
+        # inner GROUP BY keys); NO completion row (ANSI: GROUP BY over
+        # empty input yields no groups, so CROSS/INNER drops unmatched
+        # outer rows and LEFT NULL-pads them — DuckDB-probed).
+        group_toks: list[str] = []
         if cur.peek_kw() == "group":
+            cur.next()
+            cur.expect_kw("by")
+            while not cur.done() and cur.peek_kw() not in (
+                "order", "limit", "having",
+            ):
+                t = cur.next()
+                if t == ",":
+                    continue
+                if not re.fullmatch(r"[A-Za-z_`\"'][\w.`\"']*", t):
+                    raise ParseError(
+                        "LATERAL GROUP BY keys must be plain inner "
+                        f"columns, got {t!r}"
+                    )
+                group_toks.append(t)
+            if not group_toks:
+                raise ParseError("LATERAL GROUP BY needs at least one key")
+        if cur.peek_kw() == "having":
             raise ParseError(
-                "GROUP BY inside a LATERAL body is not supported — "
-                "aggregate items group by the correlation key implicitly"
+                "HAVING inside a LATERAL body is not supported — filter "
+                "the aggregate in the outer WHERE via the lateral alias"
             )
 
         def outer_qual(tok: str) -> bool:
@@ -3727,6 +3750,14 @@ class RefSQL:
             text = " and ".join("( " + " ".join(c) + " )" for c in residual)
             wp = ExprParser(_Cursor(tokenize(text)), self.weak, None)
             inner = inner.filter(wp.parse())
+        group_keys: list[str] = []
+        for t in group_toks:
+            g = inner_col(t)
+            if g is None:
+                raise ParseError(
+                    f"LATERAL GROUP BY key {t!r} is not an inner column"
+                )
+            group_keys.append(g)
         # --- ORDER BY / LIMIT tail
         order: list[tuple[str, bool]] = []
         limit: "int | None" = None
@@ -3756,13 +3787,27 @@ class RefSQL:
             raise ParseError(f"unexpected token {cur.peek()!r} in LATERAL body")
 
         aggs = [(buf, al) for buf, al in norm_items if _contains_agg_call(buf)]
-        if aggs and len(aggs) != len(norm_items):
+        if group_keys:
+            if order or limit is not None:
+                raise ParseError(
+                    "LATERAL GROUP BY bodies take no ORDER BY / LIMIT — "
+                    "rank via the lateral alias in the outer query"
+                )
+            for buf, _ in norm_items:
+                if _contains_agg_call(buf):
+                    continue
+                if not (len(buf) == 1 and inner_col(buf[0]) in group_keys):
+                    raise ParseError(
+                        f"LATERAL item '{' '.join(buf)}' must be an "
+                        "aggregate or a bare GROUP BY key"
+                    )
+        elif aggs and len(aggs) != len(norm_items):
             raise ParseError(
                 "LATERAL body mixes aggregate and plain items — aggregate "
                 "bodies must be all-aggregate (the implicit group is the "
                 "correlation key)"
             )
-        if aggs and (order or limit is not None):
+        if not group_keys and aggs and (order or limit is not None):
             raise ParseError(
                 "LATERAL aggregate bodies take no ORDER BY / LIMIT "
                 "(they yield one row per outer row)"
@@ -3790,6 +3835,45 @@ class RefSQL:
             F.col(f"{inner_name}.{kc}").alias(kn)
             for (_o, kc), kn in zip(keys, kcols)
         ]
+        if group_keys:
+            # Grouped lateral (round-13): ONE groupBy over (correlation
+            # keys ∪ GROUP BY keys) + ONE equi-join — the same shuffle
+            # count as the scalar-aggregate path, never a per-outer-row
+            # rescan. No completion: an unmatched outer key has zero
+            # groups (ANSI), so CROSS/INNER drops it and LEFT NULL-pads.
+            gcols = [f"__lat_g{j}" for j in range(len(group_keys))]
+            gb = [
+                *key_exprs,
+                *[
+                    F.col(f"{inner_name}.{g}").alias(gn)
+                    for g, gn in zip(group_keys, gcols)
+                ],
+            ]
+            agg_exprs = [
+                F.expr(" ".join(buf)).alias(n)
+                for (buf, _), n in zip(norm_items, out_names)
+                if _contains_agg_call(buf)
+            ]
+            grouped = (
+                inner.groupBy(*gb).agg(*agg_exprs)
+                if agg_exprs
+                else inner.select(*gb).distinct()
+            )
+            proj = [F.col(k) for k in kcols]
+            for (buf, _), n in zip(norm_items, out_names):
+                if _contains_agg_call(buf):
+                    proj.append(F.col(n))
+                else:
+                    j = group_keys.index(inner_col(buf[0]))
+                    proj.append(F.col(gcols[j]).alias(n))
+            lat = grouped.select(*proj).alias(alias)
+            cond = None
+            for (oref, _kc), kn in zip(keys, kcols):
+                c = F.col(oref) == F.col(f"{alias}.{kn}")
+                cond = c if cond is None else (cond & c)
+            return outer.join(
+                lat, cond, "left" if left else "inner"
+            ).drop(*kcols)
         if aggs:
             # Aggregate body: SQL returns exactly ONE row per outer row
             # (COUNT over an empty group is 0, other aggregates NULL) —

@@ -959,6 +959,29 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "round(MAX(o_totalprice), 2) AS mx FROM orders "
                     "WHERE o_custkey = c.c_custkey) AS x "
                     f"WHERE c.c_custkey < {rng.randint(20, 60)}",
+                    # round-13: expression-wrapped aggregate — the
+                    # empty-group completion must fill count(*)+1 = 1,
+                    # not 0 (evaluated over an empty group)
+                    "SELECT c.c_custkey, x.m FROM customer AS c "
+                    "CROSS JOIN LATERAL (SELECT count(*) + 1 AS m "
+                    "FROM orders WHERE o_custkey = c.c_custkey AND "
+                    f"o_totalprice > {rng.randint(10, 30) * 100}) AS x "
+                    f"WHERE c.c_custkey < {rng.randint(30, 90)}",
+                    # round-13: grouped lateral — multi-row per outer key,
+                    # no completion (CROSS drops unmatched, LEFT pads)
+                    "SELECT c.c_custkey, x.st, x.n FROM customer AS c "
+                    "CROSS JOIN LATERAL (SELECT o_orderstatus AS st, "
+                    "count(*) AS n FROM orders "
+                    "WHERE o_custkey = c.c_custkey "
+                    "GROUP BY o_orderstatus) AS x "
+                    f"WHERE c.c_custkey < {rng.randint(30, 90)}",
+                    "SELECT c.c_custkey, x.st, x.tot FROM customer AS c "
+                    "LEFT JOIN LATERAL (SELECT o_orderstatus AS st, "
+                    "round(sum(o_totalprice), 2) AS tot FROM orders "
+                    "WHERE o_custkey = c.c_custkey AND o_totalprice < "
+                    f"{rng.randint(100, 300) * 1000} "
+                    "GROUP BY o_orderstatus) AS x ON TRUE "
+                    f"WHERE c.c_custkey < {rng.randint(20, 60)}",
                 ]
             )
         elif shape == "comma_join":

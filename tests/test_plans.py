@@ -696,3 +696,33 @@ def test_round12_lateral_plans(spark, sf_dir):
         if "Functions" in l and "count(" in l and "sum(" in l
     ]
     assert shared, "count+sum must compute in ONE batched groupBy"
+
+
+def test_round13_lateral_group_by_plan(spark, sf_dir):
+    """Round-13: a grouped LATERAL body decorrelates to ONE groupBy over
+    (correlation keys ∪ GROUP BY keys) + ONE equi-join — exactly one
+    aggregate exchange with map-side partial aggregation, never a
+    per-outer-row rescan or a CartesianProduct."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _ref_select,
+    )
+
+    t = plan_text(
+        _ref_select(
+            spark,
+            sf_dir,
+            "SELECT c.c_custkey, a.st, a.n, a.tot FROM customer AS c "
+            "CROSS JOIN LATERAL (SELECT o_orderstatus AS st, "
+            "count(*) AS n, sum(o_totalprice) AS tot FROM orders "
+            "WHERE o_custkey = c.c_custkey GROUP BY o_orderstatus) AS a",
+        )
+    )
+    assert "CartesianProduct" not in t
+    # partial + final halves of the ONE decorrelated aggregate
+    assert t.count("HashAggregate") >= 2
+    # one aggregate exchange on the grouped side (hashpartitioning over
+    # the correlation + group keys), not one per outer row
+    assert t.count("Exchange hashpartitioning") <= 3

@@ -4165,3 +4165,73 @@ def test_exists_aggregate_body_rejected(spark, tmp_path):
         "(SELECT k FROM b WHERE a.k = b.k)) OR k = 2 ORDER BY k"
     ).collect()
     assert [r.k for r in rows] == [1, 2]
+
+
+def test_lateral_group_by(spark, tmp_path):
+    """Round-13: GROUP BY inside a LATERAL body — multi-row grouped
+    laterals, decorrelated to ONE groupBy over (correlation keys ∪
+    GROUP BY keys) + ONE equi-join. No completion row (ANSI: zero
+    groups for an unmatched outer key — CROSS/INNER drops it, LEFT
+    NULL-pads; DuckDB-probed). Items must be aggregates or bare group
+    keys; ORDER BY/LIMIT/HAVING reject loudly."""
+    e = Engine(spark, str(tmp_path / "latgb"))
+    e.ref_sql("CREATE TABLE o (ok INT, tag TEXT)")
+    e.ref_sql("INSERT INTO o VALUES (1,'x'),(2,'y'),(42,'z'),(NULL,'n')")
+    e.ref_sql("CREATE TABLE i (ik INT, grp TEXT, v INT)")
+    e.ref_sql(
+        "INSERT INTO i VALUES (1,'a',10),(1,'a',20),(1,'b',5),(2,'a',7),"
+        "(NULL,'z',1)"
+    )
+    rows = e.ref_sql(
+        "SELECT x.ok, l.g, l.n, l.s FROM o AS x CROSS JOIN LATERAL "
+        "(SELECT grp AS g, count(*) AS n, sum(v) AS s FROM i "
+        "WHERE x.ok = ik GROUP BY grp) AS l ORDER BY x.ok, l.g"
+    ).collect()
+    assert [(r.ok, r.g, r.n, r.s) for r in rows] == [
+        (1, "a", 2, 30), (1, "b", 1, 5), (2, "a", 1, 7)
+    ]
+    # LEFT NULL-pads unmatched outer rows (42 and the NULL key)
+    rows = e.ref_sql(
+        "SELECT x.ok, l.g, l.n FROM o AS x LEFT JOIN LATERAL "
+        "(SELECT grp AS g, count(*) AS n FROM i WHERE x.ok = ik "
+        "GROUP BY grp) AS l ON TRUE"
+    ).collect()
+    got = sorted(
+        ((r.ok, r.g, r.n) for r in rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    assert got == [
+        (1, "a", 2), (1, "b", 1), (2, "a", 1),
+        (42, None, None), (None, None, None),
+    ]
+    # keys-only body = grouped DISTINCT; inner-only residual composes
+    rows = e.ref_sql(
+        "SELECT x.ok, l.g, l.m FROM o AS x CROSS JOIN LATERAL "
+        "(SELECT grp AS g, max(v) + 1 AS m FROM i WHERE x.ok = ik "
+        "AND v > 5 GROUP BY grp) AS l ORDER BY x.ok, l.g"
+    ).collect()
+    assert [(r.ok, r.g, r.m) for r in rows] == [
+        (1, "a", 21), (2, "a", 8)
+    ]
+    for bad, pat in [
+        (
+            "SELECT x.ok, l.g FROM o AS x CROSS JOIN LATERAL "
+            "(SELECT grp AS g, v AS w FROM i WHERE x.ok = ik "
+            "GROUP BY grp) AS l",
+            "bare GROUP BY key",
+        ),
+        (
+            "SELECT x.ok, l.g FROM o AS x CROSS JOIN LATERAL "
+            "(SELECT grp AS g FROM i WHERE x.ok = ik GROUP BY grp "
+            "ORDER BY grp LIMIT 1) AS l",
+            "no ORDER BY",
+        ),
+        (
+            "SELECT x.ok, l.n FROM o AS x CROSS JOIN LATERAL "
+            "(SELECT count(*) AS n FROM i WHERE x.ok = ik GROUP BY grp "
+            "HAVING count(*) > 1) AS l",
+            "HAVING",
+        ),
+    ]:
+        with pytest.raises(ParseError, match=pat):
+            e.ref_sql(bad)
