@@ -180,7 +180,8 @@ KNOWN_FLOORS_SF01 = {
     "dedup_minhash_lsh": 2.2,
     "similar_pairs_top15": 0.86,
     "multimodal_image_features": 0.39,
-    "pipeline_curate_corpus": 2.5,
+    # round-13: the Lee-et-al span-cut stage composed in (+2 shuffles)
+    "pipeline_curate_corpus": 4.6,
     "stream_tumbling_counts": 0.99,
     "stream_session_windows": 1.2,
     "stream_stream_join": 2.75,

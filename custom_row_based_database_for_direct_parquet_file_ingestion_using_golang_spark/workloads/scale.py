@@ -1886,31 +1886,84 @@ def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation() -> str:
+    # Round-13: the oracle replays the COMPOSED pipeline — score →
+    # filter → Lee-et-al exact-substring span CUT (k=8, ≥2 occurrences,
+    # corpus = the kept docs) → exact-dedup on the post-cut token stream
+    # → per-language stats. The span stage is the SQL transliteration of
+    # operators/dedup.py duplicate_spans/cut_duplicate_spans: k-gram
+    # window counts, gap-≤k island merge, end-exclusive bounds,
+    # positional token filter.
     toks = _SQL_TOKS.format(t="text")
     return f"""
     WITH scored AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              {_sql_lang_guess_expr()} AS guess,
              ({_sql_quality_expr()}) AS quality,
-             CAST(len({toks}) AS INT) AS n_tokens,
-             {_SQL_NORM.format(t='text')} AS norm
+             CAST(len({toks}) AS INT) AS n_tokens
       FROM documents
     ),
     kept AS (
-      SELECT * FROM scored
+      SELECT doc_id, text, guess FROM scored
       WHERE quality >= 0.6 AND guess != 'und' AND n_tokens BETWEEN 5 AND 1000
+    ),
+    tok AS (
+      SELECT doc_id, guess, {_SQL_TOKS_NORM} AS t FROM kept
+    ),
+    grams AS (
+      SELECT doc_id, u.j AS pos,
+             array_to_string(t[u.j + 1 : u.j + 8], ' ') AS g
+      FROM tok, UNNEST(range(0, len(t) - 7)) AS u(j)
+    ),
+    occ AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM grams
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + 8
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (SELECT doc_id, pos FROM occ WHERE cnt >= 2)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM (SELECT doc_id, pos,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS span
+            FROM isl)
+      GROUP BY doc_id, span
+    ),
+    toku AS (
+      SELECT doc_id, u.j AS i, t[u.j + 1] AS tk
+      FROM tok, UNNEST(range(0, len(t))) AS u(j)
+    ),
+    survive AS (
+      SELECT tu.doc_id, tu.i, tu.tk FROM toku tu
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = tu.doc_id
+                          AND tu.i >= sp.s AND tu.i < sp.e)
+    ),
+    cut AS (
+      SELECT t.doc_id, t.guess, len(t.t) AS n_orig,
+             coalesce(string_agg(s.tk, ' ' ORDER BY s.i), '') AS cut_text,
+             count(s.i) AS n_tok
+      FROM tok t LEFT JOIN survive s ON t.doc_id = s.doc_id
+      GROUP BY t.doc_id, t.guess, len(t.t)
     ),
     deduped AS (
       -- arg-min semantics: the group representative is the min-doc_id row,
       -- so the two engines can never legitimately pick different values
-      -- when duplicate docs differ in raw n_tokens/guess.
+      -- when duplicate docs differ in raw n_tok/guess.
       SELECT min(doc_id) AS doc_id, min_by(guess, doc_id) AS guess,
-             min_by(n_tokens, doc_id) AS n_tokens
-      FROM kept GROUP BY norm
+             min_by(n_tok, doc_id) AS n_tokens,
+             min_by(n_orig - n_tok, doc_id) AS n_cut
+      FROM cut GROUP BY cut_text
     )
     -- CAST: DuckDB sum(INT) widens to HUGEINT, whose driver hash differs
     -- from Spark's BIGINT even when values are identical.
-    SELECT guess, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    SELECT guess, count(*) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_cut) AS BIGINT) AS cut_tokens
     FROM deduped GROUP BY guess ORDER BY guess
     """
 
@@ -1958,23 +2011,28 @@ def _sql_quality_expr() -> str:
 
 @query("pipeline_curate_corpus", _sql_curation())
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale tier end-to-end: score (lang + quality + token count) →
-    filter → exact-dedup on normalized text → per-language corpus stats.
-    One scan, one dedup shuffle, one agg shuffle — the whole curation
-    pipeline as a single Catalyst plan."""
+    """The scale tier end-to-end, in the published pipeline order (Lee
+    et al. 2021): score (lang + quality + token count) → filter →
+    exact-substring duplicate-span CUT (the paper's ExactSubstr
+    transform, k=8 over the kept corpus) → exact-dedup on the POST-CUT
+    token stream → per-language corpus stats. Round-13 composes the
+    round-12 span-cut operator into the end-to-end workload: the span
+    stage adds its two hash-bounded shuffles (gram-hash window + per-doc
+    islands) and the heavy text column still never shuffles — the span
+    side joining back is (id, few ints)."""
+    from ..operators.dedup import cut_duplicate_spans
     from ..operators.text import (
         lang_guess_from_tokens,
-        normalize_text,
         quality_score_from_tokens,
         tokenize,
     )
     from ..operators.util import ensure_parallelism
 
-    # Lang-ID + quality + normalization are hundreds of ops/row; a
-    # single-row-group input file would serialize them onto one core.
-    # Token arrays are staged as their own select so the three features
-    # share one tokenize pass instead of re-evaluating it per reference
-    # (interpreted higher-order functions do no CSE).
+    # Lang-ID + quality are hundreds of ops/row; a single-row-group
+    # input file would serialize them onto one core. Token arrays are
+    # staged as their own select so the features share one tokenize pass
+    # instead of re-evaluating it per reference (interpreted
+    # higher-order functions do no CSE).
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     toked = docs.select(
         "doc_id",
@@ -1984,29 +2042,43 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = toked.select(
         "doc_id",
+        "text",
         lang_guess_from_tokens(F.col("toks_lower")).alias("guess"),
         quality_score_from_tokens("text", F.col("toks"), F.col("toks_lower")).alias(
             "quality"
         ),
         F.size("toks").cast("int").alias("n_tokens"),
-        normalize_text("text").alias("norm"),
     )
     kept = scored.filter(
         (F.col("quality") >= 0.6)
         & (F.col("guess") != "und")
         & F.col("n_tokens").between(5, 1000)
     )
+    # Lee et al.'s ExactSubstr cut: every ≥k-token span whose windows
+    # also occur elsewhere in the KEPT corpus is removed from the
+    # training stream (docs survive with the duplicated substrings cut).
+    cut = cut_duplicate_spans(
+        kept.select("doc_id", "text"), "doc_id", "text", k=8
+    )
+    feat = kept.select("doc_id", "guess").join(cut, "doc_id")
     # min_by mirrors the oracle's arg-min: representative values come from
-    # the min-doc_id row of each normalized-text group (any_value could
+    # the min-doc_id row of each post-cut-text group (any_value could
     # diverge between engines when dup docs differ in raw token counts).
-    deduped = kept.groupBy("norm").agg(
+    deduped = feat.groupBy(
+        F.array_join("tokens", " ").alias("cut_text")
+    ).agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("guess", "doc_id").alias("guess"),
         F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("n_cut", "doc_id").alias("n_cut"),
     )
     return (
         deduped.groupBy("guess")
-        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("total_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_cut").alias("cut_tokens"),
+        )
         .orderBy("guess")
     )
 
