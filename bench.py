@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "stream_append_exactly_once",
     # round-12 additions
     "refsql_lateral_topk",
+    # round-13 additions
+    "refsql_update_from",
+    "refsql_lateral_group_by",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
@@ -172,6 +175,9 @@ KNOWN_FLOORS_SF01 = {
     "text_repetition_ratio": 0.19,
     # sorted-runs F.aggregate fold, zero exchanges (round-12)
     "text_dup_ngram_chars": 0.48,
+    # round-13 dialect additions (isolated warm passes on a quiet VM)
+    "refsql_update_from": 4.0,
+    "refsql_lateral_group_by": 0.5,
     "text_pii_redact": 0.32,
     "corpus_line_dedup": 0.90,
     "contamination_eval_train_overlap": 0.98,

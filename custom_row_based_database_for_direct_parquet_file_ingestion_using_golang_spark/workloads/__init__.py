@@ -43,10 +43,12 @@ from . import sketches  # noqa: F401, E402
 # oldest r9-green entry (refsql_correlated_scalar — re-greened r9 out
 # of the old r8 window, so it is the oldest remaining evidence) fills
 # the 50th slot. 2 + 47 + 1 = 50, zero pre-r9 evidence left after this
-# window runs. Below the boundary: r13 debuts-by-swap (if any), then
-# the 48-entry r9-green block (5 rounds stale at r14 — all must drain
-# then; 2 + 48 = 50 seats r14 exactly), then r10-green, r11-green, and
-# the rotated-out r12 window freshest-last. Every name must exist in
+# window runs. Below the boundary: the two r13 debuts-by-swap, then
+# the r9-green block (46 entries — BOTH r13 retirees, ann_ivf_pq_top10
+# and dedup_incremental_lsh, happened to be r9-block entries — 5 rounds
+# stale at r14, all must drain then: 2 debuts + 46 r9 + 2 oldest-r10
+# fillers = 50 seats r14 exactly), then r10-green, r11-green, and the
+# rotated-out r12 window freshest-last. Every name must exist in
 # QUERIES; ordered_queries() raises otherwise, and
 # tests/test_oracle_parity.py pins set(PRIORITY) == set(QUERIES) so a
 # curation edit can never drop an entry from the rotation again.
@@ -109,19 +111,28 @@ PRIORITY: list[str] = [
     # it re-greened r9 out of the r8 block, so it drains here).
     "refsql_correlated_scalar",
     # -- ~50-slot window boundary (50 entries above this line). Below,
-    # strictly oldest-evidence-first: any round-13 debuts entered by
-    # one-for-one swap under the registry freeze lead the r14 window,
-    # then the r9-green block (48 entries — 5 rounds stale at r14, ALL
-    # must drain then; 2 debuts + 48 = 50 seats the r14 window exactly),
-    # then r10-green (r15 material), then r11-green, then the rotated-out
-    # round-12 window (r12-green, freshest evidence) at the tail.
+    # strictly oldest-evidence-first: the two round-13 debuts (entered
+    # by one-for-one swaps under the registry freeze) lead the r14
+    # window, then the r9-green block (46 entries — both r13 retirees
+    # were r9-block entries — 5 rounds stale at r14, ALL must drain
+    # then; 2 debuts + 46 r9 + the 2 oldest r10-green fillers = 50
+    # seats the r14 window exactly), then r10-green (r15 material),
+    # then r11-green, then the rotated-out round-12 window (r12-green,
+    # freshest evidence) at the tail.
     #
     # Round-13 debuts, entered by one-for-one swap under the freeze
     # (registry holds at 248): refsql_update_from (oracle-checked join
     # update) replaces the retired ann_ivf_pq_top10 (rows-only,
     # redundant by composition with ann_ivf_top10 + ann_pq_top10;
-    # operator keeps its pytests). Oracle-checked share 235 -> 236.
+    # operator keeps its pytests), and refsql_lateral_group_by
+    # (oracle-checked grouped-lateral decorrelation, DuckDB native
+    # grouped LATERAL as oracle) replaces the retired
+    # dedup_incremental_lsh (rows-only; coverage kept by
+    # dedup_minhash_lsh — same signature/band machinery — plus the
+    # join-shape pytests, which now call the function directly).
+    # Oracle-checked share 235 -> 237; rows-only 13 -> 11.
     "refsql_update_from",
+    "refsql_lateral_group_by",
     "refsql_in_or_membership",
     "stream_session_hll_users",
     "refsql_arg_max_orders",
@@ -134,7 +145,6 @@ PRIORITY: list[str] = [
     "text_ngram_novelty",
     "stream_hist_quantiles",
     "corpus_shuffle_shards",
-    "dedup_incremental_lsh",
     "ann_pq_top10",
     "multimodal_image_resize",
     "multimodal_audio_resample",

@@ -552,6 +552,46 @@ def refsql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "refsql_lateral_group_by",
+    """
+    SELECT c.c_custkey, g.st, g.n, g.tot
+    FROM customer AS c
+    CROSS JOIN LATERAL (SELECT o_orderstatus AS st, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS tot
+                        FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_totalprice > 1000.0
+                        GROUP BY o_orderstatus) AS g
+    WHERE c.c_custkey < 150
+    ORDER BY c.c_custkey, g.st
+    """,
+)
+def refsql_lateral_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-13: GROUP BY inside a LATERAL body — the multi-row grouped
+    # lateral, decorrelated to ONE groupBy over (correlation key ∪ GROUP
+    # BY key) + ONE equi-join (plan-pinned in test_plans.py). Unlike the
+    # scalar-aggregate form there is NO completion row: a customer with
+    # no qualifying orders has zero groups and drops under CROSS (ANSI).
+    # The oracle is DuckDB's NATIVE grouped LATERAL on the identical SQL
+    # text — the decorrelated plan must agree with true per-row
+    # evaluation, including the residual inner-only conjunct and empty
+    # groups.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "SELECT c.c_custkey, g.st, g.n, g.tot "
+        "FROM customer AS c "
+        "CROSS JOIN LATERAL (SELECT o_orderstatus AS st, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS tot "
+        "FROM orders WHERE o_custkey = c.c_custkey "
+        "AND o_totalprice > 1000.0 "
+        "GROUP BY o_orderstatus) AS g "
+        "WHERE c.c_custkey < 150 "
+        "ORDER BY c.c_custkey, g.st",
+    )
+
+
+@query(
     "refsql_in_subquery",
     """
     SELECT o_orderstatus, count(*) AS count,

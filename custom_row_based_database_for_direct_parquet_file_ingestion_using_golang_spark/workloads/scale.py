@@ -2618,7 +2618,13 @@ def split_train_eval_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental_lsh")  # rows-only: xxhash64 banding not SQL
+# dedup_incremental_lsh retired round-13 in a one-for-one registry swap
+# under the freeze: rows-only and redundant in coverage with
+# dedup_minhash_lsh (same signature/band machinery, still in rotation) —
+# only the batch-vs-corpus JOIN SHAPE differs, and that shape keeps its
+# planted-recall + plan-shape pytests (test_operators.py, test_plans.py,
+# both calling the function directly). Swapped for the oracle-checked
+# refsql_lateral_group_by (round-13 grouped-lateral decorrelation).
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against an existing corpus (round-8): a NEW
     batch — light edits of every 10th corpus doc (near-dups that must

@@ -125,11 +125,15 @@ def test_minhash_lsh_join_incremental_dedup(spark, sf_dir):
     # synthetic batch matches nothing, and every reported jaccard clears
     # the threshold (the exact-verify guarantee).
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
-        QUERIES,
         load,
     )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.scale import (
+        dedup_incremental_lsh,
+    )
 
-    rows = QUERIES["dedup_incremental_lsh"](spark, sf_dir).collect()
+    # direct call: the workload retired from the driver registry in the
+    # round-13 swap, but the join shape keeps its pytest coverage
+    rows = dedup_incremental_lsh(spark, sf_dir).collect()
     planted = {
         int(r.doc_id) + 5_000_000
         for r in load(spark, sf_dir, "documents")

@@ -356,8 +356,17 @@ def test_round8_join_tiers_never_plan_cross_joins(spark, sf_dir):
         QUERIES,
     )
 
-    for name in ("embedding_similarity_join", "dedup_incremental_lsh"):
-        txt = plan_text(QUERIES[name](spark, sf_dir))
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.scale import (
+        dedup_incremental_lsh,
+    )
+
+    # dedup_incremental_lsh retired from the registry (round-13 swap)
+    # but keeps its plan-shape pin via a direct call
+    for name, fn in (
+        ("embedding_similarity_join", QUERIES["embedding_similarity_join"]),
+        ("dedup_incremental_lsh", dedup_incremental_lsh),
+    ):
+        txt = plan_text(fn(spark, sf_dir))
         assert "CartesianProduct" not in txt, name
         assert "BroadcastNestedLoopJoin" not in txt, name
 
