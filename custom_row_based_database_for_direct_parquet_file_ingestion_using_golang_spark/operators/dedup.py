@@ -1159,8 +1159,19 @@ def duplicate_spans(
         "_id", "_pos", F.xxhash64("_g").alias("_h")
     ).withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
     dup = occ.filter(F.col("_cnt") >= min_occurrences).select("_id", "_pos")
+    return _positions_to_spans(dup, id_col, k)
+
+
+def _positions_to_spans(dup: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge surviving k-gram start positions (``_id``, ``_pos``) into
+    maximal per-document spans — the standard lag/running-sum islands
+    merge (two k-gram starts p1 < p2 merge iff p2 ≤ p1 + k: their
+    windows overlap or abut). The island groupBy REUSES the window's
+    hashpartitioning(_id); end bounds are exclusive (+k)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_id").orderBy("_pos")
-    spans = (
+    return (
         dup.withColumn("_prev", F.lag("_pos").over(w))
         .withColumn(
             "_new",
@@ -1182,7 +1193,6 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
-    return spans
 
 
 def cut_duplicate_spans(
@@ -1213,21 +1223,34 @@ def cut_duplicate_spans(
     EVERY occurrence of a duplicated span (the conservative
     decontamination form); keep-one-copy requires a canonical-occurrence
     exemption and is intentionally out of scope."""
-    spans = (
-        duplicate_spans(df, id_col, text_col, k=k, min_occurrences=min_occurrences)
-        .groupBy(F.col(id_col).alias("_sid"))
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
-                )
-            ).alias("_spans")
-        )
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, min_occurrences=min_occurrences
+    )
+    return _apply_spans(df, spans, id_col, text_col)
+
+
+def _apply_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Cut a span frame (``id_col``, span_start, span_end — 0-based token
+    offsets, end-exclusive over ``norm_tokens(text)``) out of each
+    document's token stream. Returns (id_col, tokens, n_tokens, n_cut);
+    span-free documents pass through with n_cut = 0. The heavy text
+    column never shuffles: the span side rolls up to (id, few ints) and
+    Catalyst picks broadcast-or-shuffle from its actual size; the token
+    filter is a positional HOF against the tiny per-doc span array —
+    row-local, O(tokens × spans_per_doc)."""
+    rolled = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
     )
     toks = df.select(
         F.col(id_col).alias("_id"), norm_tokens(F.col(text_col)).alias("_t")
     )
-    joined = toks.join(spans, toks["_id"] == spans["_sid"], "left")
+    joined = toks.join(rolled, toks["_id"] == rolled["_sid"], "left")
     covered = lambda i: F.exists(  # noqa: E731 — shared by filter + count
         F.coalesce(F.col("_spans"), F.array()),
         lambda sp: (i >= sp["s"]) & (i < sp["e"]),
@@ -1239,3 +1262,84 @@ def cut_duplicate_spans(
         F.size(kept).alias("n_tokens"),
         (F.size("_t") - F.size(kept)).alias("n_cut"),
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    corpus_text_col: "str | None" = None,
+) -> DataFrame:
+    """Cross-corpus exact-substring contamination spans (round-13): the
+    maximal token-position spans of ``df`` (the TRAINING side) whose
+    every k-token window also occurs ANYWHERE in ``corpus`` (the EVAL /
+    benchmark side) — the token-level decontamination complement of
+    ``duplicate_spans`` (within-corpus) and of the Bloom document-level
+    prefilter (operators/membership.py): instead of dropping whole
+    training documents that share an n-gram with the eval set, only the
+    overlapping substrings are located (and ``cut_contaminated_spans``
+    removes them), preserving the rest of the document.
+
+    Returns (id_col, span_start, span_end, span_tokens) with the same
+    conventions as duplicate_spans: 0-based offsets over
+    ``norm_tokens(text)``, end-exclusive, spans ≥ k tokens, maximal
+    islands (gap ≤ k merges).
+
+    Plan — the same two-shuffle shape as duplicate_spans, with the
+    window count replaced by a semi-join against the eval gram set:
+      1. posexplode the training k-gram stream to (id, pos,
+         xxhash64(gram)) — 8-byte hashes shuffle, never text;
+      2. DISTINCT eval gram hashes (eval sets are benchmark-sized, so
+         this side is small — AQE broadcasts it) left-SEMI join the
+         training stream on the hash;
+      3. the shared islands merge (_positions_to_spans) rolls surviving
+         positions into maximal spans, reusing the _id partitioning.
+    xxhash64 collisions can mark a clean gram contaminated (~2^-64 per
+    pair) — the conservative error direction for decontamination."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ctext = corpus_text_col or text_col
+    toks = df.select(
+        F.col(id_col).alias("_id"), norm_tokens(F.col(text_col)).alias("_t")
+    )
+    grams = toks.select(
+        "_id",
+        F.posexplode(shingles_from_tokens(F.col("_t"), k)).alias("_pos", "_g"),
+        F.size("_t").alias("_n"),
+    ).filter(F.col("_n") >= k)
+    occ = grams.select("_id", "_pos", F.xxhash64("_g").alias("_h"))
+    ctoks = corpus.select(norm_tokens(F.col(ctext)).alias("_t"))
+    cgrams = (
+        ctoks.select(
+            F.explode(shingles_from_tokens(F.col("_t"), k)).alias("_g"),
+            F.size("_t").alias("_n"),
+        )
+        .filter(F.col("_n") >= k)
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    dup = occ.join(cgrams, "_h", "left_semi").select("_id", "_pos")
+    return _positions_to_spans(dup, id_col, k)
+
+
+def cut_contaminated_spans(
+    df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    corpus_text_col: "str | None" = None,
+) -> DataFrame:
+    """Apply ``contaminated_spans``: each training document's token
+    stream with every eval-overlapping span CUT — token-level benchmark
+    decontamination (remove the leaked benchmark text, keep the rest of
+    the document; dropping whole documents wastes data and a Bloom
+    doc-level filter can't tell a 10-token leak from a full copy).
+    Returns (id_col, tokens, n_tokens, n_cut); clean documents pass
+    through with n_cut = 0."""
+    spans = contaminated_spans(
+        df, corpus, id_col, text_col, k=k, corpus_text_col=corpus_text_col
+    )
+    return _apply_spans(df, spans, id_col, text_col)

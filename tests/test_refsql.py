@@ -3834,10 +3834,21 @@ def test_lateral_guards(spark, tmp_path):
             "SELECT c.ck FROM cust AS c JOIN LATERAL "
             "(SELECT v FROM ords WHERE ck = c.ck) ON TRUE"
         )
-    with pytest.raises(ParseError, match="GROUP BY inside a LATERAL"):
+    # round-13: GROUP BY in the body is now a grouped lateral — the
+    # former rejection became real semantics (count per v group here);
+    # what still raises is a plain item that is not a bare group key.
+    assert (
         e.ref_sql(
             "SELECT c.ck, x.n FROM cust AS c JOIN LATERAL "
             "(SELECT count(*) AS n FROM ords WHERE ck = c.ck GROUP BY v) "
+            "AS x ON TRUE"
+        ).count()
+        > 0
+    )
+    with pytest.raises(ParseError, match="bare GROUP BY key"):
+        e.ref_sql(
+            "SELECT c.ck, x.w FROM cust AS c JOIN LATERAL "
+            "(SELECT ck AS w FROM ords WHERE ck = c.ck GROUP BY v) "
             "AS x ON TRUE"
         )
     with pytest.raises(ParseError, match="collide with outer"):
@@ -4009,7 +4020,10 @@ def test_lateral_parse_edges(spark, tmp_path):
     e.ref_sql("INSERT INTO cust VALUES (1)")
     e.ref_sql("CREATE TABLE ords (ck INT, v INT)")
     e.ref_sql("INSERT INTO ords VALUES (1, 10)")
-    with pytest.raises(ParseError, match="GROUP BY inside a LATERAL"):
+    # GROUP is never misread as a table alias: the grouped body parses
+    # (round-13) and the uncorrelated-body guard fires, not an
+    # alias/unknown-table error.
+    with pytest.raises(ParseError, match="no correlation conjunct"):
         e.ref_sql(
             "SELECT c.ck, x.n FROM cust AS c JOIN LATERAL "
             "(SELECT count(*) AS n FROM ords GROUP BY v) AS x ON TRUE"
@@ -4235,3 +4249,60 @@ def test_lateral_group_by(spark, tmp_path):
     ]:
         with pytest.raises(ParseError, match=pat):
             e.ref_sql(bad)
+
+
+def test_temporal_series_splittable(spark, tmp_path):
+    """Round-13: fixed-length interval steps (second/minute/hour/day)
+    compile the temporal series to a SPLITTABLE spark.range over epoch
+    micros — a Range leaf in the plan, not a single-row sequence() +
+    explode — with DuckDB's end-inclusive (generate_series) /
+    end-exclusive (range) semantics preserved. Month steps keep the
+    sequence() path (calendar arithmetic)."""
+    e = Engine(spark, str(tmp_path / "tser"))
+    rows = e.ref_sql(
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-04', INTERVAL '1 day')"
+    ).collect()
+    assert [str(r[0])[:10] for r in rows] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    rows = e.ref_sql(
+        "SELECT * FROM range(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-04', INTERVAL '1 day')"
+    ).collect()
+    assert len(rows) == 3  # end-exclusive
+    # a stop that the step never lands on is NOT trimmed by range()
+    rows = e.ref_sql(
+        "SELECT * FROM range(TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2024-01-01 02:30:00', INTERVAL '1 hour')"
+    ).collect()
+    assert len(rows) == 3  # 00:00, 01:00, 02:00
+    # empty and single-point series
+    assert (
+        e.ref_sql(
+            "SELECT * FROM range(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-01', INTERVAL '1 day')"
+        ).count()
+        == 0
+    )
+    assert (
+        e.ref_sql(
+            "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-01', INTERVAL '1 day')"
+        ).count()
+        == 1
+    )
+    # the plan is a splittable Range leaf, not explode-over-one-row
+    df = e.ref_sql(
+        "SELECT * FROM generate_series(TIMESTAMP '2000-01-01', "
+        "TIMESTAMP '2030-01-01', INTERVAL '1 hour')"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Range (" in plan and "Generate" not in plan
+    assert df.count() == 262993
+    # month steps stay on sequence() (calendar arithmetic)
+    rows = e.ref_sql(
+        "SELECT * FROM generate_series(TIMESTAMP '2024-01-15', "
+        "TIMESTAMP '2024-04-15', INTERVAL '1 month')"
+    ).collect()
+    assert len(rows) == 4
