@@ -102,9 +102,11 @@ class Engine:
         self.image_dir = image_dir or ""
         from .matview import MaterializedViews
         from .vecindex import VectorIndexes
+        from .views import Views
 
         self.mviews = MaterializedViews(self)
         self.vindexes = VectorIndexes(self)
+        self.views = Views(self)
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the table as of a retired snapshot (requires the
@@ -145,6 +147,11 @@ class Engine:
             ColumnDef(_, decl).spark_type
         if name in self.catalog:
             raise ValueError(f"table '{name}' already exists")
+        if name in self.views:
+            # One namespace (round-13): a table silently shadowing a view
+            # (tables resolve first) would flip query results without an
+            # error anywhere.
+            raise ValueError(f"'{name}' already exists as a view")
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(n, t) for n, t in columns],
@@ -156,6 +163,8 @@ class Engine:
         self.catalog.add_table(meta)
 
     def drop_table(self, name: str) -> None:
+        if name not in self.catalog and name in self.views:
+            raise ValueError(f"'{name}' is a view — use DROP VIEW")
         self.catalog.drop_table(name)
         self.store.drop(name)
 
@@ -618,6 +627,8 @@ class Engine:
 
         if name in self.catalog:
             raise ValueError(f"table '{name}' already exists")
+        if name in self.views:
+            raise ValueError(f"'{name}' already exists as a view")
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(f.name, f.dataType.simpleString()) for f in df.schema.fields],

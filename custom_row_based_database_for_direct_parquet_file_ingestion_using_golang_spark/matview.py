@@ -319,6 +319,8 @@ class MaterializedViews:
             raise ValueError(f"materialized view '{name}' already exists")
         if name in self.engine.catalog:
             raise ValueError(f"'{name}' is already a table")
+        if name in self.engine.views:
+            raise ValueError(f"'{name}' is already a (plain) view")
         spec, clauses = self._parse(select_sql)
         base_df = self.engine.table(spec.table)  # raises on unknown table
         state = self._compute_state(base_df, spec, clauses)

@@ -3320,6 +3320,25 @@ class RefSQL:
             # plan-time constant (Catalyst folds literal projections over
             # it to a LocalRelation; nothing is scanned).
             return self.engine.spark.range(1).select()
+        views = getattr(self.engine, "views", None)
+        if (
+            views is not None
+            and name not in self.engine.catalog
+            and name in views
+        ):
+            # Plain logical view (round-13, views.py): expand the stored
+            # SELECT through a FRESH sub-executor (its CTEs stay out of
+            # this statement's scope); the view's plan inlines here, so
+            # pushdown/pruning cross the view boundary for free. Cycle
+            # guard: views may reference views, and OR REPLACE can close
+            # a loop after creation — detect at expansion.
+            stack = getattr(self, "_view_stack", frozenset())
+            if name in stack:
+                chain = " -> ".join([*sorted(stack), name])
+                raise ParseError(f"view cycle detected: {chain}")
+            sub = RefSQL(self.engine, weak_typing=self.weak)
+            sub._view_stack = frozenset(stack) | {name}
+            return sub.execute(views.get(name))
         return self.engine.table(name)
 
     def _from_df(self, spec: "SelectSpec") -> DataFrame:
@@ -4582,6 +4601,15 @@ class RefSQL:
                     )
                 self.engine.vindexes.drop(name)
                 return None
+            if cur.peek_kw() == "view":
+                cur.next()
+                name = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after DROP VIEW"
+                    )
+                self.engine.views.drop(name)
+                return None
             cur.expect_kw("table")
             self.engine.drop_table(_unquote(cur.next()))
             return None
@@ -4701,6 +4729,14 @@ class RefSQL:
                         "VECTOR INDEXES"
                     )
                 return self.engine.vindexes.names() or ["(no vector indexes)"]
+            if len(toks) >= 2 and toks[1].lower() == "views":
+                cur.next()
+                cur.next()
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after SHOW VIEWS"
+                    )
+                return self.engine.views.names() or ["(no views)"]
             if len(toks) >= 2 and toks[1].lower() == "versions":
                 # SHOW VERSIONS FOR t: list the retired snapshot numbers a
                 # VERSION AS OF query can read (companion to time travel).
@@ -5755,12 +5791,24 @@ class RefSQL:
             # versioned swap).
             cur.next()
             cur.expect_kw("replace")
-            if cur.peek_kw() != "table":
+            if cur.peek_kw() not in ("table", "view"):
                 raise ParseError(
-                    "OR REPLACE applies to CREATE TABLE (views and "
-                    "indexes: DROP then CREATE)"
+                    "OR REPLACE applies to CREATE TABLE / CREATE VIEW "
+                    "(materialized views and indexes: DROP then CREATE)"
                 )
             or_replace = True
+        if cur.peek_kw() == "view":
+            # Round-13 (views.py): plain logical view — the SELECT text
+            # persists in the registry and expands at reference time.
+            cur.next()
+            name = _unquote(cur.next())
+            cur.expect_kw("as")
+            rest = cur.toks[cur.i:]
+            if not rest or rest[0].lower() not in ("select", "with", "values"):
+                raise ParseError("CREATE VIEW needs AS SELECT/WITH/VALUES ...")
+            cur.i = len(cur.toks)
+            self.engine.views.create(name, " ".join(rest), or_replace=or_replace)
+            return None
         if cur.peek_kw() == "materialized":
             # Dialect extension: ``CREATE MATERIALIZED VIEW mv AS SELECT
             # <aggs> FROM t [WHERE ...] [GROUP BY ...]`` — incrementally

@@ -1047,6 +1047,13 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
                     f"{fn}(DATE '2024-03-{day_a:02d}', "
                     f"DATE '2024-03-{day_b:02d}', INTERVAL '{n_step} day')",
+                    # round-13: the series as a JOIN SIDE — the gap-fill
+                    # calendar-spine idiom (the splittable range leaf
+                    # joins like any other relation); integer variant
+                    f"SELECT d.v, CAST(COUNT(o_orderkey) AS BIGINT) AS n "
+                    f"FROM generate_series(1, {rng.randint(5, 15)}) "
+                    f"AS d(v) LEFT JOIN orders "
+                    f"ON o_custkey = d.v GROUP BY d.v",
                 ]
             )
         elif shape == "bool_exists":

@@ -4306,3 +4306,72 @@ def test_temporal_series_splittable(spark, tmp_path):
         "TIMESTAMP '2024-04-15', INTERVAL '1 month')"
     ).collect()
     assert len(rows) == 4
+
+
+def test_plain_views(spark, tmp_path):
+    """Round-13 (views.py): CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW
+    VIEWS — plain logical views stored as SQL text and EXPANDED at
+    reference time, so pushdown crosses the view boundary; one namespace
+    with tables/matviews (collisions refuse both directions); view
+    bodies may be WITH-queries and reference other views; cycles (made
+    possible by OR REPLACE) are detected at expansion; the registry
+    persists across engine instances."""
+    root = str(tmp_path / "vdb")
+    e = Engine(spark, root)
+    e.ref_sql("CREATE TABLE t (k INT, g TEXT, v INT)")
+    e.ref_sql("INSERT INTO t VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+    e.ref_sql("CREATE VIEW va AS SELECT k, v FROM t WHERE g = 'a'")
+    assert sorted(
+        (r.k, r.v) for r in e.ref_sql("SELECT * FROM va").collect()
+    ) == [(1, 10), (3, 30)]
+    # WITH body + view-over-view
+    e.ref_sql(
+        "CREATE VIEW vsum AS WITH x AS (SELECT v FROM va) "
+        "SELECT CAST(SUM(v) AS BIGINT) AS s FROM x"
+    )
+    assert e.ref_sql("SELECT s FROM vsum").collect()[0].s == 40
+    # views join like tables
+    rows = e.ref_sql(
+        "SELECT t.k, va.v FROM t JOIN va ON t.k = va.k ORDER BY t.k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (3, 30)]
+    assert e.ref_sql("SHOW VIEWS") == ["va", "vsum"]
+    # OR REPLACE swaps the definition
+    e.ref_sql("CREATE OR REPLACE VIEW va AS SELECT k, v FROM t WHERE g = 'b'")
+    assert [(r.k, r.v) for r in e.ref_sql("SELECT * FROM va").collect()] == [
+        (2, 20)
+    ]
+    # pushdown reaches the parquet scan THROUGH the view
+    plan = (
+        e.ref_sql("SELECT k FROM va WHERE k = 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EqualTo(k,2)" in plan
+    # cycle via OR REPLACE: va -> vb -> va
+    e.ref_sql("CREATE VIEW vb AS SELECT * FROM va")
+    with pytest.raises(ParseError, match="view cycle"):
+        e.ref_sql("CREATE OR REPLACE VIEW va AS SELECT * FROM vb")
+    # one namespace, both directions + wrong DROP verb
+    with pytest.raises(ValueError, match="already exists as a table"):
+        e.ref_sql("CREATE VIEW t AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists as a view"):
+        e.ref_sql("CREATE TABLE vb (x INT)")
+    with pytest.raises(ValueError, match="already exists as a view"):
+        e.ref_sql("CREATE TABLE vb AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="use DROP VIEW"):
+        e.ref_sql("DROP TABLE vb")
+    # unknown base table fails at CREATE (bind-time validation)
+    with pytest.raises(Exception, match="nosuch"):
+        e.ref_sql("CREATE VIEW vbad AS SELECT 1 AS x FROM nosuch")
+    # persistence across engine instances over the same root
+    e2 = Engine(spark, root)
+    assert "va" in e2.ref_sql("SHOW VIEWS")
+    assert [(r.k, r.v) for r in e2.ref_sql("SELECT * FROM vb").collect()] == [
+        (2, 20)
+    ]
+    e2.ref_sql("DROP VIEW vb")
+    assert "vb" not in e2.ref_sql("SHOW VIEWS")
+    with pytest.raises(KeyError, match="does not exist"):
+        e2.ref_sql("DROP VIEW vb")
