@@ -147,6 +147,18 @@ Round-12 extensions:
     end-inclusive, default column named after the function,
     wrong-direction bounds error at plan time like DuckDB's binder);
     compose with aliases ``AS r(x)``, CTEs, and joins.
+  * JSON text extraction (round-13, every value form probed vs DuckDB
+    before entry — see test_json_functions_vs_duckdb):
+    ``json_extract_string(j, path)`` / ``json_extract_path_text`` and
+    the ``j ->> 'key' | n | '$.path'`` operator → Spark
+    ``get_json_object`` (IDENTICAL on every probed case incl. number
+    re-serialization ``1.50``→``1.5``, ``1e3``→``1000.0``, escape and
+    unicode passthrough, object/array minification); ``json_valid``,
+    ``json_keys`` and ``json_array_length`` close their object/scalar
+    edge drifts via try_parse_json-backed CASE wrappers
+    (_rewrite_json_calls). ``json_extract`` / ``->`` (JSON-quoted
+    results, no Spark twin) reject loudly. Malformed JSON yields NULL
+    here where DuckDB raises (Spark's lenient read — documented).
 """
 
 from __future__ import annotations
@@ -168,8 +180,10 @@ _TOKEN_RE = re.compile(
   | "(?:[^"\\]|\\.)*"      # double-quoted string
   | `[^`]*`                # backtick identifier
   | <> | != | <= | >=      # two-char operators
+  | ->> | ->               # JSON extraction operators (round-13)
   | [(),=<>*;]             # single-char punctuation
-  | (?:[^\s(),=<>;!]|!(?!=))+   # bare word; '!' allowed unless it starts '!='
+  | (?:[^\s(),=<>;!-]|!(?!=)|-(?!>))+   # bare word; '!' allowed unless it
+                           # starts '!='; '-' allowed unless it starts '->'
     """,
     re.VERBOSE,
 )
@@ -234,6 +248,12 @@ def tokenize(text: str) -> list[str]:
             toks[i] = alias
     # Round-12: string_split(s, '<literal>') → split(s, <escaped regex>)
     toks = _rewrite_string_split(toks)
+    # Round-13: JSON text extraction — '->>' sugar, then the portable
+    # json_* call forms (value-probed vs DuckDB; drift-closing wrappers)
+    if any(t in ("->>", "->") for t in toks):
+        toks = _rewrite_json_arrows(toks)
+    if any(t.lower().startswith("json_") for t in toks if t[0] not in "'\"`"):
+        toks = _rewrite_json_calls(toks)
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
     # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
@@ -354,6 +374,253 @@ def _rewrite_string_split(toks: list[str]) -> list[str]:
         out[i] = "split"
         out[last_comma + 1] = quoted
         i += 1
+    return out
+
+
+#: bare-key JSON path: a literal like 'k' (DuckDB shorthand for '$.k')
+_JSON_BARE_KEY = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+#: spellings that compile straight to get_json_object after path
+#: normalization (json_extract_path_text is DuckDB's Postgres alias)
+_JSON_TEXT_FNS = frozenset({"json_extract_string", "json_extract_path_text"})
+
+
+def _norm_json_path(tok: str) -> str | None:
+    """Normalize a LITERAL JSON path token to the '$'-rooted form both
+    engines share: bare key 'k' → '$.k' (DuckDB shorthand), integer n →
+    '$[n]' (array index), '$...' passes through. Returns None for a
+    non-literal token (dynamic path — passes through un-normalized; both
+    engines accept the '$'-form dynamically). JSONPointer ('/a/b') and
+    exotic keys reject loudly rather than silently extracting nothing."""
+    if _is_string_lit(tok):
+        body = tok[1:-1]
+        if body.startswith("$"):
+            return tok
+        if body.startswith("/"):
+            raise ParseError(
+                "JSONPointer paths ('/a/b') are not supported — use the "
+                "'$.a.b' form (both engines accept it)"
+            )
+        if _JSON_BARE_KEY.match(body):
+            return "'$." + body + "'"
+        raise ParseError(
+            f"JSON key {tok} needs the explicit '$'-rooted path form "
+            "(keys with '.', '[' or quotes are ambiguous as bare keys)"
+        )
+    if re.fullmatch(r"\d+", tok):
+        return "'$[" + tok + "]'"
+    return None
+
+
+def _rewrite_json_arrows(toks: list[str]) -> list[str]:
+    """Round-13: ``expr ->> 'key' | n | '$.path'`` → a
+    ``json_extract_string(expr, '<path>')`` call (which
+    _rewrite_json_calls then lowers to get_json_object). The left
+    operand is the preceding primary: a column/literal token, or a
+    balanced ``(...)`` group with its call name absorbed — the same
+    capture rule as the ``::`` postfix cast. Chains re-scan from the
+    rewritten call, so ``j ->> 'a' ->> 'b'`` nests naturally. ``->``
+    (DuckDB json_extract: JSON-quoted results, no Spark twin) rejects
+    loudly instead of drifting silently."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "->":
+            raise ParseError(
+                "'->' / json_extract return JSON-quoted values in DuckDB "
+                "('\"hi\"') with no Spark equivalent — use '->>' / "
+                "json_extract_string (text extraction, probed identical "
+                "in both engines)"
+            )
+        if t != "->>":
+            i += 1
+            continue
+        if i == 0 or i + 1 >= len(out):
+            raise ParseError("'->>' needs a value on both sides")
+        path = _norm_json_path(out[i + 1])
+        if path is None:
+            raise ParseError(
+                "'->>' needs a literal key, array index, or '$'-path to "
+                "its right — use json_extract_string(j, expr) for a "
+                "dynamic path"
+            )
+        j = i - 1
+        if out[j] == ")":
+            depth = 0
+            while j >= 0:
+                if out[j] == ")":
+                    depth += 1
+                elif out[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                raise ParseError("unbalanced parentheses before '->>'")
+            if (
+                j > 0
+                and re.fullmatch(r"[A-Za-z_][\w$.]*", out[j - 1])
+                and out[j - 1].lower() not in _CAST_ABSORB_STOP
+            ):
+                j -= 1
+        elif not (
+            _is_string_lit(out[j])
+            or out[j].startswith("`")
+            or re.fullmatch(r"[A-Za-z_][\w$.]*", out[j])
+        ):
+            raise ParseError(
+                "'->>' left side must be a column, literal, or "
+                "parenthesized expression"
+            )
+        lhs = out[j:i]
+        out[j : i + 2] = (
+            ["json_extract_string", "("] + lhs + [",", path, ")"]
+        )
+        i = j + 1
+    return out
+
+
+def _rewrite_json_calls(toks: list[str]) -> list[str]:
+    """Round-13 portable JSON call forms, each VALUE-PROBED vs DuckDB
+    before entering (test_json_functions_vs_duckdb):
+
+    * ``json_extract_string/json_extract_path_text(j, path)`` →
+      ``get_json_object`` — identical on every probed case (scalars
+      unquoted, objects/arrays minified the same way, missing/json-null
+      → NULL, number re-serialization matches: 1.50→1.5, 1e3→1000.0).
+      Literal paths normalize via _norm_json_path; dynamic paths pass
+      through and must be '$'-rooted (both engines accept those).
+    * ``json_valid(x)`` → ``CASE WHEN x IS NULL THEN NULL ELSE
+      try_parse_json(x) IS NOT NULL END`` (DuckDB: NULL→NULL, ''→false,
+      any valid JSON value incl. 'null'→true — try_parse_json('null')
+      is a non-SQL-NULL variant, probed).
+    * ``json_keys(j [, path])`` → json_object_keys with a wrapper
+      closing the non-object edge (DuckDB [] vs Spark NULL): valid
+      non-objects yield array(), invalid NULL; key order is insertion
+      order in BOTH engines (probed).
+    * ``json_array_length(j [, path])`` — Spark's own returns NULL for
+      valid non-arrays where DuckDB returns 0; the wrapper restores 0.
+    * ``json_extract(...)`` rejects loudly (JSON-quoted results, same
+      drift class as '->').
+
+    Documented divergences (DIALECT.md): malformed JSON is NULL here,
+    an error in DuckDB; duplicate keys parse in DuckDB but fail Spark's
+    try_parse_json, so the three WRAPPED forms return their invalid-JSON
+    branch there (plain extraction agrees: both pick the first key)."""
+    out = toks
+    i = 0
+    while i < len(out):
+        t = out[i].lower()
+        if (
+            not t.startswith("json_")
+            or i + 1 >= len(out)
+            or out[i + 1] != "("
+        ):
+            i += 1
+            continue
+        if t == "json_extract":
+            raise ParseError(
+                "json_extract / '->' return JSON-quoted values in DuckDB "
+                "('\"hi\"') with no Spark equivalent — use "
+                "json_extract_string / '->>' (text extraction, probed "
+                "identical in both engines)"
+            )
+        if t not in _JSON_TEXT_FNS and t not in (
+            "json_valid",
+            "json_keys",
+            "json_array_length",
+        ):
+            i += 1
+            continue
+        depth = 0
+        close = None
+        commas: list[int] = []
+        for k in range(i + 1, len(out)):
+            tk = out[k]
+            if tk == "(":
+                depth += 1
+            elif tk == ")":
+                depth -= 1
+                if depth == 0:
+                    close = k
+                    break
+            elif tk == "," and depth == 1:
+                commas.append(k)
+        if close is None:
+            raise ParseError(f"unbalanced parentheses in {out[i]}(...)")
+        if out is toks:
+            out = list(toks)
+        if t in _JSON_TEXT_FNS:
+            if len(commas) != 1:
+                raise ParseError(
+                    f"{out[i]} takes exactly (json, path) — path lists "
+                    "are not supported"
+                )
+            c = commas[0]
+            if close - c == 2:  # single-token path: normalize literals
+                norm = _norm_json_path(out[c + 1])
+                if norm is not None:
+                    out[c + 1] = norm
+            out[i] = "get_json_object"
+            i += 1
+            continue
+        if len(commas) > (0 if t == "json_valid" else 1):
+            raise ParseError(f"too many arguments to {out[i]}(...)")
+        if commas:  # 2-arg json_keys/json_array_length: extract first
+            c = commas[0]
+            if close - c == 2:
+                norm = _norm_json_path(out[c + 1])
+                if norm is not None:
+                    out[c + 1] = norm
+            e = (
+                ["get_json_object", "("]
+                + out[i + 2 : c]
+                + [","]
+                + out[c + 1 : close]
+                + [")"]
+            )
+        else:
+            e = out[i + 2 : close]
+        if not e or e == [","]:
+            raise ParseError(f"{out[i]}(...) needs an argument")
+        # args may themselves contain json_* calls / '->>' results —
+        # lower them now, since the scan skips past the replacement
+        e = _rewrite_json_calls(e)
+        if t == "json_valid":
+            repl = (
+                ["(", "case", "when"]
+                + e
+                + ["is", "null", "then", "null", "else",
+                   "try_parse_json", "("]
+                + e
+                + [")", "is", "not", "null", "end", ")"]
+            )
+        elif t == "json_keys":
+            probe = ["json_object_keys", "("] + e + [")"]
+            repl = (
+                ["(", "case", "when"]
+                + probe
+                + ["is", "not", "null", "then"]
+                + probe
+                + ["when", "try_parse_json", "("]
+                + e
+                + [")", "is", "not", "null", "then", "array", "(", ")",
+                   "else", "null", "end", ")"]
+            )
+        else:  # json_array_length
+            probe = ["json_array_length", "("] + e + [")"]
+            repl = (
+                ["(", "case", "when"]
+                + probe
+                + ["is", "not", "null", "then"]
+                + probe
+                + ["when", "try_parse_json", "("]
+                + e
+                + [")", "is", "not", "null", "then", "0",
+                   "else", "null", "end", ")"]
+            )
+        out[i : close + 1] = repl
+        i += len(repl)
     return out
 
 

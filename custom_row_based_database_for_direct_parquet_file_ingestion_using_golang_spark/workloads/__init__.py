@@ -43,12 +43,14 @@ from . import sketches  # noqa: F401, E402
 # oldest r9-green entry (refsql_correlated_scalar — re-greened r9 out
 # of the old r8 window, so it is the oldest remaining evidence) fills
 # the 50th slot. 2 + 47 + 1 = 50, zero pre-r9 evidence left after this
-# window runs. Below the boundary: the two r13 debuts-by-swap, then
-# the r9-green block (46 entries — BOTH r13 retirees, ann_ivf_pq_top10
-# and dedup_incremental_lsh, happened to be r9-block entries — 5 rounds
-# stale at r14, all must drain then: 2 debuts + 46 r9 + 2 oldest-r10
-# fillers = 50 seats r14 exactly), then r10-green, r11-green, and the
-# rotated-out r12 window freshest-last. Every name must exist in
+# window runs. Below the boundary: the three r13 debuts-by-swap, then
+# the r9-green block (45 entries remain — the first two r13 retirees,
+# ann_ivf_pq_top10 and dedup_incremental_lsh, were r9-block entries, and
+# refsql_in_or_membership moved UP into the seat the third retiree
+# ann_ivf_top10 vacated inside this window — 5 rounds stale at r14, all
+# must drain then: 3 debuts + 45 r9 + 2 oldest-r10 fillers = 50 seats
+# r14 exactly), then r10-green, r11-green, and the rotated-out r12
+# window freshest-last. Every name must exist in
 # QUERIES; ordered_queries() raises otherwise, and
 # tests/test_oracle_parity.py pins set(PRIORITY) == set(QUERIES) so a
 # curation edit can never drop an entry from the rotation again.
@@ -96,7 +98,10 @@ PRIORITY: list[str] = [
     "stream_stream_join",
     "stream_stateful_user_totals",
     "ann_brute_force_top10",
-    "ann_ivf_top10",
+    # ann_ivf_top10's seat (retired in r13 swap #3 — see below): refilled
+    # oldest-evidence-first by the leading r9-green entry, which was due
+    # at r14 anyway.
+    "refsql_in_or_membership",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "zorder_optimized_scan",
@@ -111,12 +116,13 @@ PRIORITY: list[str] = [
     # it re-greened r9 out of the r8 block, so it drains here).
     "refsql_correlated_scalar",
     # -- ~50-slot window boundary (50 entries above this line). Below,
-    # strictly oldest-evidence-first: the two round-13 debuts (entered
+    # strictly oldest-evidence-first: the three round-13 debuts (entered
     # by one-for-one swaps under the registry freeze) lead the r14
-    # window, then the r9-green block (46 entries — both r13 retirees
-    # were r9-block entries — 5 rounds stale at r14, ALL must drain
-    # then; 2 debuts + 46 r9 + the 2 oldest r10-green fillers = 50
-    # seats the r14 window exactly), then r10-green (r15 material),
+    # window, then the r9-green block (45 entries remain after the
+    # retirements + the in-window seat refill — 5 rounds stale at r14,
+    # ALL must drain then; 3 debuts + 45 r9 + the 2 oldest r10-green
+    # fillers = 50 seats the r14 window exactly), then r10-green (r15
+    # material),
     # then r11-green, then the rotated-out round-12 window (r12-green,
     # freshest evidence) at the tail.
     #
@@ -130,10 +136,22 @@ PRIORITY: list[str] = [
     # dedup_incremental_lsh (rows-only; coverage kept by
     # dedup_minhash_lsh — same signature/band machinery — plus the
     # join-shape pytests, which now call the function directly).
-    # Oracle-checked share 235 -> 237; rows-only 13 -> 11.
+    # Swap #3: refsql_json_family (oracle-checked JSON text-extraction
+    # family through the dialect — '->>', json_extract_string/
+    # json_extract_path_text, drift-closed json_valid/json_keys/
+    # json_array_length — same SQL runs natively in DuckDB) replaces the
+    # retired ann_ivf_top10 (rows-only; single-assignment IVF is the a=1
+    # special case of the multi-assign machinery the driver still checks
+    # via ann_multiassign_top10 (oracle) + ann_multiassign_recall
+    # (bench); ivf_topk keeps its recall pytests + probe plan pins).
+    # ann_ivf_top10 sat INSIDE the r13 window, so its seat refills
+    # oldest-first with refsql_in_or_membership (moved up from here).
+    # Oracle-checked share 235 -> 238; rows-only 13 -> 10. The r14
+    # arithmetic becomes: 3 debuts + 45 remaining r9-green + 2 oldest
+    # r10-green fillers = 50.
     "refsql_update_from",
     "refsql_lateral_group_by",
-    "refsql_in_or_membership",
+    "refsql_json_family",
     "stream_session_hll_users",
     "refsql_arg_max_orders",
     "refsql_intersect_all",

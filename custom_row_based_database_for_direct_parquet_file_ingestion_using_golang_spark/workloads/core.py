@@ -297,6 +297,62 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "refsql_json_family",
+    """
+    WITH doc AS (
+      SELECT event_id,
+             '{"u": ' || CAST(user_id AS VARCHAR) || ', "t": "' || event_type
+             || '", "o": {"k": ' || json_extract_string(props, '$.k')
+             || ', "tags": ["' || event_type || '", "x"]}}' AS j
+      FROM events WHERE event_id % 7 = 0
+    )
+    SELECT CAST(j ->> 'u' AS BIGINT) % 10 AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(j, '$.o.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(json_array_length(j, '$.o.tags')) AS BIGINT) AS tags,
+           CAST(SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+           CAST(MAX(array_length(json_keys(j ->> 'o'))) AS BIGINT) AS okeys,
+           MIN(json_extract_path_text(j, '$.o.tags[0]')) AS tag0
+    FROM doc GROUP BY 1 ORDER BY bucket
+    """,
+)
+def refsql_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-13: the JSON text-extraction family THROUGH THE DIALECT on the
+    # identical SQL text DuckDB runs natively — nested documents are BUILT
+    # in-query (string concat over events columns), then every supported
+    # form extracts from them: '->>' (bare key, chained hop), literal
+    # bare-key and '$'-path json_extract_string, the Postgres alias
+    # json_extract_path_text with an array index, plus the drift-closed
+    # wrappers json_valid / json_keys / json_array_length (DuckDB's
+    # valid-non-array→0 and non-object→[] edges restored over Spark's
+    # NULLs via try_parse_json CASE wrappers). Everything lowers to
+    # get_json_object — JVM-side, codegen'd, zero Python in the row path;
+    # the one shuffle is the GROUP BY. A path-normalization bug, a wrapper
+    # edge miss, or a '->>'-chain mis-parse flips the value hash.
+    return _ref_select(
+        spark,
+        sf_dir,
+        "WITH doc AS ("
+        " SELECT event_id,"
+        " '{\"u\": ' || CAST(user_id AS VARCHAR) || ', \"t\": \"' ||"
+        " event_type || '\", \"o\": {\"k\": ' ||"
+        " json_extract_string(props, '$.k') ||"
+        " ', \"tags\": [\"' || event_type || '\", \"x\"]}}' AS j"
+        " FROM events WHERE event_id % 7 = 0)"
+        " SELECT CAST(j ->> 'u' AS BIGINT) % 10 AS bucket,"
+        " count(*) AS n,"
+        " CAST(SUM(CAST(json_extract_string(j, '$.o.k') AS BIGINT))"
+        " AS BIGINT) AS sum_k,"
+        " CAST(SUM(json_array_length(j, '$.o.tags')) AS BIGINT) AS tags,"
+        " CAST(SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS ok,"
+        " CAST(MAX(array_length(json_keys(j ->> 'o'))) AS BIGINT) AS okeys,"
+        " MIN(json_extract_path_text(j, '$.o.tags[0]')) AS tag0"
+        " FROM doc GROUP BY 1 ORDER BY bucket",
+    )
+
+
 # A2: COUNT(col) counts non-NULL only — exercised with a genuinely NULL
 # column (the reference counts key-presence instead; documented delta,
 # SURVEY.md §7.4 / select.go:106-112).

@@ -1107,15 +1107,15 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, "vec_id", "embedding", q, dim=64, k=10)
 
 
-@query("ann_ivf_top10")  # rows-only: IVF probing is approximate by design
-def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Coarse-quantizer scale path: spherical k-means lists + n_probe exact
-    # rescoring (operators/similarity.ivf_topk). Recall vs brute force is
-    # pinned by pytest (test_operators.py) rather than a SQL oracle — the
-    # probed candidate set is a property of the trained centroids.
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return similarity.ivf_topk(emb, "vec_id", "embedding", q, k=10)
+# ann_ivf_top10 retired round-13 in the third one-for-one registry swap
+# (for the oracle-checked refsql_json_family): rows-only, and plain
+# single-assignment IVF is the a=1 special case of the multi-assign
+# machinery the driver still checks twice — ann_multiassign_top10
+# (oracle-green: full probe over a spilled corpus must equal DuckDB's
+# exact top-k, via the same similarity.ivf_topk_batch path) and
+# ann_multiassign_recall (bench headline, partial probe). The ivf_topk
+# operator keeps its planted-recall pytests (test_operators.py) and the
+# partition-pruned-probe plan pins.
 
 
 # --- multimodal ------------------------------------------------------------

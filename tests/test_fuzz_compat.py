@@ -752,7 +752,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "qualify", "grouping_sets", "distinct_on", "lateral",
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
-        "cond_aggs", "array_agg", "quantified", "is_distinct",
+        "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -806,6 +806,34 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             sql = (
                 f"SELECT c_custkey FROM customer WHERE c_nationkey "
                 f"{form} {rhs} AND c_custkey < {rng.randint(50, 400)}"
+            )
+        elif shape == "json_fn":
+            # round-13: JSON text extraction — documents BUILT in-query
+            # (integer/text concat only, no double formatting), then a
+            # random sample of the supported forms: '->>' (bare key +
+            # chained hop), json_extract_string bare-key/'$'-path,
+            # json_extract_path_text with an array index, and the
+            # drift-closed json_valid / json_keys / json_array_length
+            # wrappers. Identical SQL runs natively in DuckDB.
+            forms = rng.sample(
+                [
+                    "j ->> 'k' AS a",
+                    "CAST(json_extract_string(j, '$.k') AS BIGINT) AS b",
+                    "json_extract_path_text(j, '$.o.t[1]') AS c",
+                    "j ->> 'o' ->> 'n' AS d",
+                    "json_valid(j) AS e",
+                    "CAST(json_array_length(j, 'o') AS INT) AS f",
+                    "array_length(json_keys(j)) AS g",
+                    "CAST(json_array_length(j, '$.o.t') AS INT) AS h",
+                    "json_extract_string(j, 'o') AS i",
+                ],
+                rng.randint(3, 5),
+            )
+            sql = (
+                'WITH d AS (SELECT \'{"k": \' || '
+                "CAST(n_nationkey AS VARCHAR) || ', \"o\": {\"n\": \"' "
+                "|| n_name || '\", \"t\": [\"a\", \"b\"]}}' AS j "
+                "FROM nation) SELECT " + ", ".join(forms) + " FROM d"
             )
         elif shape == "cond_aggs":
             # round-12: count_if/bool_and/bool_or (same names in DuckDB)

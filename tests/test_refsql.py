@@ -4514,3 +4514,97 @@ def test_is_distinct_from_vs_duckdb(spark, tmp_path):
         mine = [r[0] for r in e.ref_sql(sql).collect()]
         want = [r[0] for r in con.execute(sql).fetchall()]
         assert mine == want, f"{sql}: {mine} != {want}"
+
+
+def test_json_functions_vs_duckdb(spark, tmp_path):
+    """Round-13: the JSON text-extraction family, value-probed vs DuckDB
+    on the SAME SQL. ``json_extract_string`` / ``json_extract_path_text``
+    / ``->>`` lower to Spark ``get_json_object`` (identical on every
+    probed case — scalars unquoted, objects/arrays minified identically,
+    number re-serialization matches: 1.50→1.5, 1e3→1000.0, big ints
+    preserved); ``json_valid`` / ``json_keys`` / ``json_array_length``
+    close their non-object/scalar edges via try_parse_json-backed CASE
+    wrappers (DuckDB: valid-non-array length = 0, non-object keys = [],
+    'null' is valid). ``json_extract`` and ``->`` (JSON-quoted results)
+    reject loudly. Documented divergences (DIALECT.md): malformed JSON
+    is NULL/false here where DuckDB raises; duplicate-key objects fail
+    Spark's try_parse_json, so the three WRAPPED forms take their
+    invalid branch there (plain extraction agrees — first key wins)."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "jf"))
+    con = duckdb.connect()
+    rows = [
+        (1, '{"a": 1, "s": "hi", "f": 1.50, "g": 1e3, "b": true, '
+            '"n": null, "o": {"x": [1, 2], "b": "deep"}, "arr": [7, 8, 9]}'),
+        (2, '{"o": {"b": 1, "a": 2}}'),
+        (3, '[1, 2, 3]'),
+        (4, '5'),
+        (5, '"hi"'),
+        (6, 'true'),
+        (7, 'null'),
+        (8, '{}'),
+        (9, '[]'),
+        (10, None),
+        (11, '{"big": 12345678901234567890, "arr": []}'),
+    ]
+    for eng in ("mine", "duck"):
+        tgt = e.ref_sql if eng == "mine" else con.execute
+        tgt("CREATE TABLE jt (id INT, j TEXT)")
+        vals = ", ".join(
+            f"({i}, " + ("NULL" if j is None else f"'{j}'") + ")"
+            for i, j in rows
+        )
+        tgt(f"INSERT INTO jt VALUES {vals}")
+    sql = (
+        "SELECT id, json_extract_string(j, '$.s') AS s, "
+        "j ->> 'o' AS o, "
+        "j ->> 'o' ->> 'b' AS chained, "
+        "json_extract_path_text(j, '$.o.x[1]') AS idx, "
+        "json_extract_string(j, 'f') AS f, "
+        "json_extract_string(j, '$.g') AS g, "
+        "json_extract_string(j, '$.n') AS n, "
+        "json_extract_string(j, '$.big') AS big, "
+        "j ->> 1 AS second, "
+        "json_valid(j) AS ok, "
+        "json_array_length(j) AS alen, "
+        "json_array_length(j, 'arr') AS alen2, "
+        "json_keys(j) AS ks, "
+        "json_keys(j, '$.o') AS oks "
+        "FROM jt ORDER BY id"
+    )
+    mine = [tuple(r) for r in e.ref_sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert mine == want, f"\nmine: {mine}\nduck: {want}"
+    # malformed JSON: Spark's lenient NULL/false (DuckDB raises — the
+    # documented divergence), engine-side only
+    e.ref_sql("INSERT INTO jt VALUES (12, 'not json')")
+    r = e.ref_sql(
+        "SELECT json_extract_string(j, '$.a') AS a, json_valid(j) AS ok, "
+        "json_keys(j) AS ks, json_array_length(j) AS n "
+        "FROM jt WHERE id = 12"
+    ).collect()[0]
+    assert tuple(r) == (None, False, None, None)
+    # dynamic path column passes through ('$'-rooted form required)
+    e.ref_sql("CREATE TABLE jp (j TEXT, p TEXT)")
+    e.ref_sql("INSERT INTO jp VALUES ('{\"a\": 41}', '$.a')")
+    assert e.ref_sql(
+        "SELECT json_extract_string(j, p) + 1 AS v FROM jp"
+    ).collect()[0][0] == 42.0
+    # rejections: JSON-quoted extraction forms and pointer paths
+    for bad in (
+        "SELECT j -> 'a' FROM jt",
+        "SELECT json_extract(j, '$.a') FROM jt",
+        "SELECT json_extract_string(j, '/a/b') FROM jt",
+        "SELECT j ->> upper(p) FROM jp",
+    ):
+        with pytest.raises(ParseError):
+            e.ref_sql(bad)
+    # a column NAMED like a json function is untouched (call-only rewrite)
+    e.ref_sql("CREATE TABLE jn (json_valid INT)")
+    e.ref_sql("INSERT INTO jn VALUES (3)")
+    assert e.ref_sql("SELECT json_valid FROM jn").collect()[0][0] == 3
