@@ -74,6 +74,12 @@ class TableMeta:
     columns: list[ColumnDef]
     path: str
     partition_by: list[str] = field(default_factory=list)
+    # Round-13: declared PRIMARY KEY — INFORMATIONAL, the warehouse
+    # precedent (Delta/Snowflake PKs are not enforced on plain appends;
+    # enforcing would cost a full-table anti-join per insert at 100 TB).
+    # Used as the default conflict target by INSERT ... ON CONFLICT /
+    # INSERT OR REPLACE|IGNORE, which DO check it where it matters.
+    primary_key: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -82,11 +88,14 @@ class TableMeta:
         )
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "columns": [[c.name, c.decl] for c in self.columns],
             "path": self.path,
             "partition_by": self.partition_by,
         }
+        if self.primary_key:
+            out["primary_key"] = self.primary_key
+        return out
 
     @staticmethod
     def from_json(name: str, d: dict) -> "TableMeta":
@@ -95,6 +104,7 @@ class TableMeta:
             columns=[ColumnDef(n, t) for n, t in d["columns"]],
             path=d["path"],
             partition_by=d.get("partition_by", []),
+            primary_key=d.get("primary_key", []),
         )
 
 

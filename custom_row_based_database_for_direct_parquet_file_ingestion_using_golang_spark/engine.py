@@ -140,6 +140,7 @@ class Engine:
         name: str,
         columns: list[tuple[str, str]],
         partition_by: list[str] | None = None,
+        primary_key: list[str] | None = None,
     ) -> None:
         for _, decl in columns:
             # Validate: one of the 5 reference types or a parseable Spark DDL
@@ -152,11 +153,16 @@ class Engine:
             # (tables resolve first) would flip query results without an
             # error anywhere.
             raise ValueError(f"'{name}' already exists as a view")
+        declared = {n for n, _ in columns}
+        for k in primary_key or []:
+            if k not in declared:
+                raise ValueError(f"PRIMARY KEY column '{k}' not in the table")
         meta = TableMeta(
             name=name,
             columns=[ColumnDef(n, t) for n, t in columns],
             path=self.store.table_path(name),
             partition_by=partition_by or [],
+            primary_key=primary_key or [],
         )
         # Storage first, catalog second (no phantom entries on failure).
         self.store.init_empty(name, meta.schema, meta.partition_by)
@@ -368,6 +374,27 @@ class Engine:
         df = self.spark.createDataFrame(coerced, meta.schema)
         self.store.append(name, df, meta.partition_by)
         return n
+
+    def coerce_rows_df(self, name: str, rows: list[dict[str, Any]]) -> DataFrame:
+        """The INSERT VALUES coercion as a DataFrame builder WITHOUT the
+        append — the ON CONFLICT path (round-13) resolves the batch
+        against the table before anything is written."""
+        meta = self.catalog.get(name)
+        declared = {c.name: c.decl for c in meta.columns}
+        coerced = []
+        for row in rows:
+            unknown = set(row) - set(declared)
+            if unknown:
+                raise ValueError(f"unknown columns for '{name}': {sorted(unknown)}")
+            out = {}
+            for cname, decl in declared.items():
+                val = row.get(cname)
+                if decl.upper() == "IMAGE" and val is not None:
+                    resolved = resolve_image(str(val), self.image_dir)
+                    val = resolved if resolved is not None else str(val)
+                out[cname] = _coerce(val, decl)
+            coerced.append(out)
+        return self.spark.createDataFrame(coerced, meta.schema)
 
     def _where_col(self, where: Column | str | None) -> Column | None:
         if where is None:
@@ -691,6 +718,7 @@ class Engine:
         name: str,
         columns: list[tuple[str, str]],
         partition_by: list[str] | None = None,
+        primary_key: list[str] | None = None,
     ) -> None:
         """Atomic plain ``CREATE OR REPLACE TABLE`` (round-11, ADVICE):
         validate the whole new definition BEFORE touching the existing
@@ -701,12 +729,17 @@ class Engine:
         for c in cols:
             c.spark_type  # raises on an unparseable declared type
         if name not in self.catalog:
-            return self.create_table(name, columns, partition_by)
+            return self.create_table(name, columns, partition_by, primary_key)
+        declared = {n for n, _ in columns}
+        for k in primary_key or []:
+            if k not in declared:
+                raise ValueError(f"PRIMARY KEY column '{k}' not in the table")
         meta = TableMeta(
             name=name,
             columns=cols,
             path=self.store.table_path(name),
             partition_by=partition_by or [],
+            primary_key=primary_key or [],
         )
         empty = self.spark.createDataFrame([], meta.schema)
         self.store.overwrite(name, empty, meta.partition_by)

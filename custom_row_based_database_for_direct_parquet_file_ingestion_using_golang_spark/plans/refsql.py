@@ -5507,6 +5507,14 @@ class RefSQL:
 
     def _insert(self, cur: _Cursor) -> int:
         cur.expect_kw("insert")
+        or_mode: str | None = None
+        if cur.peek_kw() == "or":
+            # Round-13: ``INSERT OR REPLACE|IGNORE`` (DuckDB/SQLite) —
+            # sugar for ON CONFLICT over the declared PRIMARY KEY.
+            cur.next()
+            or_mode = cur.next().lower()
+            if or_mode not in ("replace", "ignore"):
+                raise ParseError("expected REPLACE or IGNORE after INSERT OR")
         cur.expect_kw("into")
         table = _unquote(cur.next())
         cols: list[str] | None = None
@@ -5520,6 +5528,40 @@ class RefSQL:
                 if tok == ",":
                     continue
                 cols.append(_unquote(tok))
+        # Round-13: split off a top-level ``ON CONFLICT ...`` tail before
+        # the body parse (the body may be a SELECT whose joins use ON —
+        # the tail is recognized by the ON CONFLICT ( | DO sequence).
+        conflict_cur: _Cursor | None = None
+        depth = 0
+        for k in range(cur.i, len(cur.toks)):
+            t = cur.toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and t.lower() == "on"
+                and k + 1 < len(cur.toks)
+                and cur.toks[k + 1].lower() == "conflict"
+                and k + 2 < len(cur.toks)
+                and (
+                    cur.toks[k + 2] == "("
+                    or cur.toks[k + 2].lower() == "do"
+                )
+            ):
+                conflict_cur = _Cursor(cur.toks[k:])
+                cur = _Cursor(cur.toks[: k], cur.i)
+                break
+        if or_mode is not None and conflict_cur is not None:
+            raise ParseError(
+                "use either INSERT OR REPLACE/IGNORE or ON CONFLICT, "
+                "not both"
+            )
+        if or_mode is not None or conflict_cur is not None:
+            return self._insert_on_conflict(
+                cur, table, cols, or_mode, conflict_cur
+            )
         if cur.peek_kw() == "select":
             # Dialect extension: ``INSERT INTO t [(cols)] SELECT ...`` —
             # set-based append (the reference inserts one VALUES row at a
@@ -5570,6 +5612,299 @@ class RefSQL:
                 )
             rows.append(dict(zip(names, vals)))
         return self.engine.insert_rows(table, rows)
+
+    def _insert_body_df(
+        self, cur: _Cursor, table: str, cols: list[str] | None
+    ) -> DataFrame:
+        """Build the incoming INSERT batch (VALUES or SELECT) as a
+        DataFrame aligned + cast to the target's declared schema, without
+        writing anything — the ON CONFLICT resolution needs the batch
+        first. VALUES batches carry a ``__ord`` column (list order) so
+        first-wins dedup is deterministic; SELECT batches carry NULL
+        there (set semantics — no meaningful first)."""
+        meta = self.engine.catalog.get(table)
+        if cur.peek_kw() == "select":
+            src = self._select_df(cur)
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after INSERT ... SELECT"
+                )
+            targets = cols if cols is not None else [
+                c.name for c in meta.columns
+            ]
+            if len(targets) != len(src.columns):
+                raise ParseError(
+                    f"INSERT targets {len(targets)} column(s), SELECT "
+                    f"produces {len(src.columns)}"
+                )
+            src = src.toDF(*targets)
+            for m in [c.name for c in meta.columns if c.name not in targets]:
+                src = src.withColumn(m, F.lit(None))
+            return src.select(
+                *[F.col(c.name).cast(c.spark_type) for c in meta.columns],
+                F.lit(None).cast("long").alias("__ord"),
+            )
+        cur.expect_kw("values")
+        rows: list[dict] = []
+        declared = [c.name for c in meta.columns]
+        while not cur.done():
+            if cur.peek() == ",":
+                cur.next()
+                continue
+            if cur.next() != "(":
+                raise ParseError("expected '(' in VALUES")
+            vals: list[Any] = []
+            while True:
+                tok = cur.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                if tok.upper() == "NULL":
+                    vals.append(None)
+                    continue
+                lit = _literal_value(tok)
+                vals.append(lit if lit is not None else _unquote(tok))
+            names = cols if cols is not None else declared
+            if len(vals) != len(names):
+                raise ParseError(
+                    f"{len(names)} columns but {len(vals)} values"
+                )
+            rows.append(dict(zip(names, vals)))
+        inc = self.engine.coerce_rows_df(table, rows)
+        # monotonically_increasing_id over a local list-backed frame is
+        # partition-ordered, so it preserves the VALUES list order.
+        return inc.withColumn("__ord", F.monotonically_increasing_id())
+
+    def _insert_on_conflict(
+        self,
+        cur: _Cursor,
+        table: str,
+        cols: list[str] | None,
+        or_mode: str | None,
+        ccur: _Cursor | None,
+    ) -> int:
+        """Round-13: ``INSERT ... ON CONFLICT [(cols)] DO NOTHING | DO
+        UPDATE SET c = expr [, ...] [WHERE pred]`` and the ``INSERT OR
+        REPLACE|IGNORE`` sugar (DuckDB/SQLite; Postgres 9.5 upsert) —
+        the idempotent-ingest DML.
+
+        Semantics follow Postgres/DuckDB, probed in
+        test_insert_on_conflict_vs_duckdb: the conflict target is the
+        explicit column list or the declared PRIMARY KEY; NULL conflict
+        keys raise (PK semantics — DuckDB rejects NULL key inserts);
+        ``excluded.col`` in DO UPDATE refers to the incoming row, bare /
+        table-qualified names to the existing row; DO UPDATE's WHERE
+        filters which matched rows update (a matched row failing the
+        predicate stays UNCHANGED — it does not insert); a batch whose
+        conflict keys collide raises for DO UPDATE (Postgres's "cannot
+        affect row a second time") while DO NOTHING keeps the FIRST
+        VALUES row per key (an arbitrary one for SELECT sources — the
+        same order-dependence Postgres has).
+
+        Scale shape: DO NOTHING is ONE anti-join of the (small) batch
+        against the key-pruned target scan + an append — no rewrite. DO
+        UPDATE is ONE left join of the target against the batch (AQE
+        broadcasts the small side) into the staged copy-on-write swap +
+        one anti-join for the fresh rows — the same cost class as MERGE,
+        with the batch never driver-collected."""
+        from pyspark.sql import Observation, Window
+
+        meta = self.engine.catalog.get(table)
+        tcols = [c.name for c in meta.columns]
+        decls = {c.name: c.spark_type for c in meta.columns}
+        keys: list[str] = []
+        do_update = False
+        sets: list[tuple[str, list[str]]] = []
+        where_toks: list[str] | None = None
+        if ccur is not None:
+            ccur.expect_kw("on")
+            ccur.expect_kw("conflict")
+            if ccur.peek() == "(":
+                ccur.next()
+                while True:
+                    t = ccur.next()
+                    if t == ")":
+                        break
+                    if t == ",":
+                        continue
+                    keys.append(_unquote(t))
+            ccur.expect_kw("do")
+            nxt = ccur.next().lower()
+            if nxt == "nothing":
+                pass
+            elif nxt == "update":
+                do_update = True
+                ccur.expect_kw("set")
+                while True:
+                    col = _unquote(ccur.next())
+                    if ccur.next() != "=":
+                        raise ParseError("expected '=' in DO UPDATE SET")
+                    buf: list[str] = []
+                    depth = 0
+                    while not ccur.done():
+                        t = ccur.peek()
+                        if depth == 0 and (
+                            t == "," or t.lower() == "where"
+                        ):
+                            break
+                        if t == "(":
+                            depth += 1
+                        elif t == ")":
+                            depth -= 1
+                        buf.append(ccur.next())
+                    if not buf:
+                        raise ParseError("empty DO UPDATE SET expression")
+                    sets.append((col, buf))
+                    if ccur.peek() == ",":
+                        ccur.next()
+                        continue
+                    break
+                if ccur.peek_kw() == "where":
+                    ccur.next()
+                    where_toks = ccur.toks[ccur.i:]
+                    ccur.i = len(ccur.toks)
+                    if not where_toks:
+                        raise ParseError("empty DO UPDATE WHERE")
+            else:
+                raise ParseError(
+                    "expected NOTHING or UPDATE after ON CONFLICT DO"
+                )
+            if not ccur.done():
+                raise ParseError(
+                    f"unexpected token {ccur.peek()!r} after ON CONFLICT"
+                )
+        if not keys:
+            keys = list(meta.primary_key)
+        if not keys:
+            raise ParseError(
+                "ON CONFLICT needs a conflict target: list the columns "
+                "(ON CONFLICT (k)) or declare a PRIMARY KEY on the table"
+            )
+        for k in keys:
+            if k not in tcols:
+                raise ParseError(f"conflict column '{k}' not in '{table}'")
+        if or_mode == "replace":
+            do_update = True
+            sets = [(c, [f"excluded.{c}"]) for c in tcols if c not in keys]
+            if not sets:
+                raise ParseError(
+                    "INSERT OR REPLACE needs at least one non-key column"
+                )
+        for col, _buf in sets:
+            if col not in tcols:
+                raise ParseError(f"SET column '{col}' not in '{table}'")
+            if col in keys:
+                raise ParseError(
+                    f"DO UPDATE may not modify conflict key '{col}'"
+                )
+
+        inc = self._insert_body_df(cur, table, cols)
+
+        # NULL conflict keys: reject like a real PRIMARY KEY would
+        # (DuckDB errors; silently never-conflicting NULLs would make
+        # the idempotent-ingest pattern quietly duplicate rows).
+        nullcond = None
+        for k in keys:
+            c = F.col(k).isNull()
+            nullcond = c if nullcond is None else (nullcond | c)
+        if inc.filter(nullcond).limit(1).count() > 0:
+            raise ValueError(
+                f"NULL in conflict key column(s) {keys} — ON CONFLICT "
+                "keys follow PRIMARY KEY semantics (no NULLs)"
+            )
+        tgt = self.engine.table(table)
+
+        def _rewrite(buf: list[str]) -> str:
+            # excluded.c -> the incoming row's column; t.c / <table>.c ->
+            # the existing row's (bare names already resolve there).
+            out = []
+            for t in buf:
+                low = t.lower()
+                if low.startswith("excluded."):
+                    c = _unquote(t.split(".", 1)[1])
+                    if c not in tcols:
+                        raise ParseError(
+                            f"excluded.{c}: no such column in '{table}'"
+                        )
+                    out.append(f"__exc_{c}")
+                elif low.startswith(table.lower() + "."):
+                    out.append(_unquote(t.split(".", 1)[1]))
+                else:
+                    out.append(t)
+            return " ".join(out)
+
+        if not do_update:
+            # DO NOTHING: first-wins batch dedup, then one anti-join
+            # against the target's key columns, then an append-only write.
+            w = Window.partitionBy(*keys).orderBy(
+                F.col("__ord").asc_nulls_last()
+            )
+            survivors = (
+                inc.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__ord")
+            )
+            fresh = survivors.join(
+                tgt.select(*keys).dropDuplicates(), on=keys, how="left_anti"
+            )
+            return self.engine.append_df(table, fresh)
+
+        # DO UPDATE: duplicate conflict keys in one batch would update
+        # the same row twice — Postgres/DuckDB raise; so do we.
+        dup = (
+            inc.groupBy(*keys).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "ON CONFLICT DO UPDATE cannot affect the same row twice "
+                f"— duplicate conflict key(s) {keys} in the batch"
+            )
+        exc = inc.drop("__ord").select(
+            *[F.col(c).alias(f"__exc_{c}") for c in tcols]
+        )
+        cond = None
+        for k in keys:
+            eq = F.col(k) == F.col(f"__exc_{k}")
+            cond = eq if cond is None else (cond & eq)
+        joined = tgt.join(exc, cond, "left")
+        hit = F.col(f"__exc_{keys[0]}").isNotNull()
+        upd = hit
+        if where_toks is not None:
+            upd = hit & F.expr(_rewrite(where_toks))
+        out_cols = []
+        set_map = {c: b for c, b in sets}
+        for c in tcols:
+            if c in set_map:
+                out_cols.append(
+                    F.when(upd, F.expr(_rewrite(set_map[c])).cast(decls[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        kept = joined.select(
+            *out_cols, F.when(upd, F.lit("u")).alias("__tag")
+        )
+        fresh = (
+            inc.drop("__ord")
+            .join(tgt.select(*keys).dropDuplicates(), on=keys, how="left_anti")
+            .select(*tcols)
+            .withColumn("__tag", F.lit("i"))
+        )
+        result = kept.unionByName(fresh)
+        obs = Observation()
+        result = result.observe(
+            obs,
+            F.sum(F.when(F.col("__tag") == "u", 1).otherwise(0)).alias("u"),
+            F.sum(F.when(F.col("__tag") == "i", 1).otherwise(0)).alias("i"),
+        )
+        self.engine.store.overwrite(
+            table, result.drop("__tag"), meta.partition_by
+        )
+        got = obs.get
+        return int((got["u"] or 0) + (got["i"] or 0))
 
     def _update(self, cur: _Cursor) -> int:
         cur.expect_kw("update")
@@ -6412,14 +6747,44 @@ class RefSQL:
         if cur.next() != "(":
             raise ParseError("expected '(' after table name")
         cols: list[tuple[str, str]] = []
+        pkey: list[str] = []
         while True:
             tok = cur.next()
             if tok == ")":
                 break
             if tok == ",":
                 continue
+            if tok.lower() == "primary":
+                # Round-13: table-level ``PRIMARY KEY (a, b)`` — declared,
+                # INFORMATIONAL (the Delta/Snowflake warehouse stance:
+                # never enforced on plain appends, which would cost a
+                # full-table anti-join per insert at scale), and the
+                # default conflict target for INSERT ... ON CONFLICT /
+                # INSERT OR REPLACE|IGNORE.
+                cur.expect_kw("key")
+                if pkey:
+                    raise ParseError("at most one PRIMARY KEY")
+                if cur.next() != "(":
+                    raise ParseError("expected '(' after PRIMARY KEY")
+                while True:
+                    t2 = cur.next()
+                    if t2 == ")":
+                        break
+                    if t2 == ",":
+                        continue
+                    pkey.append(_unquote(t2))
+                if not pkey:
+                    raise ParseError("PRIMARY KEY needs at least one column")
+                continue
             name = _unquote(tok)
             decl = cur.next().upper()
+            if cur.peek_kw() == "primary":
+                # inline ``col TYPE PRIMARY KEY`` (single-column form)
+                cur.next()
+                cur.expect_kw("key")
+                if pkey:
+                    raise ParseError("at most one PRIMARY KEY")
+                pkey.append(name)
             cols.append((name, decl))
         part = _partition_cols()
         if not cur.done():
@@ -6437,9 +6802,13 @@ class RefSQL:
             # Round-11 (ADVICE): validate-then-swap — a bad column spec
             # surfacing at create time can no longer lose BOTH tables the
             # way drop-then-create could.
-            self.engine.replace_table(table, cols, partition_by=part)
+            self.engine.replace_table(
+                table, cols, partition_by=part, primary_key=pkey
+            )
         else:
-            self.engine.create_table(table, cols, partition_by=part)
+            self.engine.create_table(
+                table, cols, partition_by=part, primary_key=pkey
+            )
         return None
 
 

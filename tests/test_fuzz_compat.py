@@ -1199,6 +1199,9 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
     con.execute("CREATE TABLE dl (id INT)")
     e.ref_sql("CREATE TABLE src (id INT, nv INT)")
     con.execute("CREATE TABLE src (id INT, nv INT)")
+    # round-13 upsert target: same PRIMARY KEY DDL parses in both engines
+    e.ref_sql("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
+    con.execute("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
     rng = random.Random(
         int(os.environ.get("SPARKDB_FUZZ_SEED", "0")) * 104729 + 55501
     )
@@ -1211,10 +1214,15 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
         got = sorted(
             (str(r.id), str(r.grp), str(r.v))
             for r in e.table("t").collect()
+        ) + sorted(
+            (str(r.id), str(r.w)) for r in e.table("pk").collect()
         )
         want = sorted(
             tuple(str(c) for c in row)
             for row in con.execute("SELECT id, grp, v FROM t").fetchall()
+        ) + sorted(
+            tuple(str(c) for c in row)
+            for row in con.execute("SELECT id, w FROM pk").fetchall()
         )
         return got, want
 
@@ -1232,7 +1240,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
     for step in range(14):
         kind = rng.choice(
             ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain",
-             "upd_expr", "upd_swapish", "upd_from"]
+             "upd_expr", "upd_swapish", "upd_from",
+             "oc_nothing", "oc_update", "oc_replace"]
         )
         if kind == "ins":
             stmt = (
@@ -1274,6 +1283,31 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
                 f"UPDATE t SET v = src.nv + {rng.randint(0, 9)} FROM src "
                 f"WHERE t.id = src.id AND t.v < {rng.randint(50, 600)}"
             )
+        elif kind in ("oc_nothing", "oc_update", "oc_replace"):
+            # round-13 upsert — identical syntax in DuckDB. Batch ids are
+            # DISTINCT: DuckDB 1.0 raises its sequential-insert constraint
+            # error on in-batch duplicates even under DO NOTHING (we keep
+            # Postgres first-wins there — pinned engine-side, DIALECT.md).
+            a, b = rng.sample(range(0, 10), 2)
+            vals = (
+                f"({a}, {rng.randint(0, 99)}), ({b}, {rng.randint(0, 99)})"
+            )
+            if kind == "oc_nothing":
+                stmt = (
+                    f"INSERT INTO pk VALUES {vals} "
+                    "ON CONFLICT (id) DO NOTHING"
+                )
+            elif kind == "oc_update":
+                tail = (
+                    f" WHERE w < {rng.randint(20, 120)}"
+                    if rng.random() < 0.5 else ""
+                )
+                stmt = (
+                    f"INSERT INTO pk VALUES {vals} ON CONFLICT (id) "
+                    f"DO UPDATE SET w = w + excluded.w{tail}"
+                )
+            else:
+                stmt = f"INSERT OR REPLACE INTO pk VALUES {vals}"
         elif kind == "del_in":
             neg = rng.choice(["", "NOT "])
             stmt = (

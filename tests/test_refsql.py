@@ -4608,3 +4608,95 @@ def test_json_functions_vs_duckdb(spark, tmp_path):
     e.ref_sql("CREATE TABLE jn (json_valid INT)")
     e.ref_sql("INSERT INTO jn VALUES (3)")
     assert e.ref_sql("SELECT json_valid FROM jn").collect()[0][0] == 3
+
+
+def test_insert_on_conflict_vs_duckdb(spark, tmp_path):
+    """Round-13: ``INSERT ... ON CONFLICT [(cols)] DO NOTHING | DO UPDATE
+    SET ... [WHERE ...]`` + the ``INSERT OR REPLACE|IGNORE`` sugar — the
+    idempotent-ingest DML, probed value-identical vs DuckDB on the same
+    SQL (both engines parse the same CREATE TABLE ... PRIMARY KEY).
+    excluded.col references the incoming row; DO UPDATE's WHERE leaves
+    failing matched rows UNCHANGED; duplicate batch keys raise for DO
+    UPDATE (Postgres's cannot-affect-row-twice) in both engines.
+    Documented divergence: duplicate batch keys under DO NOTHING keep
+    the FIRST row here (Postgres) where DuckDB 1.0 raises its
+    sequential-insert constraint error."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "oc"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE kv (k INT PRIMARY KEY, v TEXT, n INT)")
+        run("INSERT INTO kv VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+
+    def both(stmt):
+        e.ref_sql(stmt)
+        con.execute(stmt)
+        mine = [tuple(r) for r in e.ref_sql(
+            "SELECT * FROM kv ORDER BY k").collect()]
+        want = con.execute("SELECT * FROM kv ORDER BY k").fetchall()
+        assert mine == want, f"{stmt}:\n mine={mine}\n duck={want}"
+
+    both("INSERT INTO kv VALUES (2, 'B', 99), (4, 'd', 40) "
+         "ON CONFLICT (k) DO NOTHING")
+    both("INSERT INTO kv VALUES (3, 'C', 77), (5, 'e', 50) "
+         "ON CONFLICT (k) DO UPDATE SET v = excluded.v, n = n + excluded.n")
+    both("INSERT INTO kv VALUES (1, 'zz', 5), (6, 'f', 60) "
+         "ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE n < 8")
+    both("INSERT OR REPLACE INTO kv VALUES (4, 'D2', 44), (7, 'g', 70)")
+    both("INSERT OR IGNORE INTO kv VALUES (5, 'X', 0), (8, 'h', 80)")
+    # SELECT source + implicit PK conflict target
+    both("INSERT INTO kv SELECT k + 100 AS k, upper(v) AS v, n * 2 AS n "
+         "FROM kv WHERE k <= 2 ON CONFLICT DO NOTHING")
+    # DO UPDATE with a duplicate batch key raises in BOTH engines
+    stmt = ("INSERT INTO kv VALUES (9, 'x', 1), (9, 'y', 2) "
+            "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    with pytest.raises(ValueError):
+        e.ref_sql(stmt)
+    with pytest.raises(Exception):
+        con.execute(stmt)
+    # composite key via table-level PRIMARY KEY (a, b)
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE kv2 (a INT, b TEXT, s INT, PRIMARY KEY (a, b))")
+        run("INSERT INTO kv2 VALUES (1, 'x', 1), (1, 'y', 2)")
+    e.ref_sql("INSERT INTO kv2 VALUES (1, 'x', 10), (2, 'x', 3) "
+              "ON CONFLICT (a, b) DO UPDATE SET s = s + excluded.s")
+    con.execute("INSERT INTO kv2 VALUES (1, 'x', 10), (2, 'x', 3) "
+                "ON CONFLICT (a, b) DO UPDATE SET s = s + excluded.s")
+    assert [tuple(r) for r in e.ref_sql(
+        "SELECT * FROM kv2 ORDER BY a, b").collect()
+    ] == con.execute("SELECT * FROM kv2 ORDER BY a, b").fetchall()
+    # engine-side pins --------------------------------------------------
+    # DO NOTHING first-wins on duplicate batch keys (Postgres; DuckDB 1.0
+    # raises its sequential-insert error — documented divergence)
+    e.ref_sql("INSERT INTO kv VALUES (10, 'p', 1), (10, 'q', 2) "
+              "ON CONFLICT (k) DO NOTHING")
+    assert e.ref_sql("SELECT v FROM kv WHERE k = 10").collect()[0][0] == "p"
+    # NULL conflict keys reject (PRIMARY KEY semantics)
+    with pytest.raises(ValueError):
+        e.ref_sql("INSERT INTO kv VALUES (NULL, 'x', 1) "
+                  "ON CONFLICT (k) DO NOTHING")
+    # PRIMARY KEY is informational on plain INSERT (the Delta/Snowflake
+    # warehouse stance): no enforcement, documented in DIALECT.md
+    e.ref_sql("INSERT INTO kv VALUES (1, 'dup', 0)")
+    assert e.ref_sql(
+        "SELECT count(*) AS c FROM kv WHERE k = 1").collect()[0][0] == 2
+    # guards
+    e.ref_sql("CREATE TABLE nopk (k INT, v TEXT)")
+    with pytest.raises(ParseError):  # no PK and no explicit target
+        e.ref_sql("INSERT INTO nopk VALUES (1, 'a') ON CONFLICT DO NOTHING")
+    with pytest.raises(ParseError):  # key columns are immutable
+        e.ref_sql("INSERT INTO kv VALUES (1, 'a', 1) "
+                  "ON CONFLICT (k) DO UPDATE SET k = 99")
+    with pytest.raises(ParseError):  # OR-mode and ON CONFLICT conflict
+        e.ref_sql("INSERT OR IGNORE INTO kv VALUES (1, 'a', 1) "
+                  "ON CONFLICT (k) DO NOTHING")
+    # the declared key survives an engine restart (catalog round-trip)
+    e2 = Engine(spark, str(tmp_path / "oc"))
+    e2.ref_sql("INSERT OR IGNORE INTO kv VALUES (1, 'again', 1)")
+    assert e2.ref_sql(
+        "SELECT count(*) AS c FROM kv WHERE k = 1").collect()[0][0] == 2
