@@ -21,6 +21,7 @@ select.go:41-42 vs 516-597).
 from __future__ import annotations
 
 import glob
+import json
 import os
 from collections.abc import Iterable
 from typing import Any
@@ -832,6 +833,98 @@ class Engine:
                 f"unsupported export format {fmt!r} (parquet|csv|jsonl|orc)"
             )
         return int(obs.get["n"] or 0)
+
+    def export_database(self, path: str, fmt: str = "parquet") -> int:
+        """Round-13 ``EXPORT DATABASE 'path' [FORMAT ...]`` (the DuckDB
+        ops statement): every catalog table as one DISTRIBUTED write
+        under ``<path>/tables/<name>/`` plus a ``manifest.json`` carrying
+        the metadata files alone can't (declared types incl. IMAGE/
+        DECIMAL, PARTITIONED BY layout, the declared PRIMARY KEY, and
+        logical-view SQL text in creation order). Refuses a non-empty
+        target. Returns total rows exported. Materialized views and
+        vector indexes are derived state and deliberately excluded —
+        they rebuild from their definitions (documented in DIALECT.md).
+
+        Scale: one ``export_df`` job per table (fully parallel writes,
+        counts ride the write pass as Observations); the manifest is
+        metadata-only. The export is a portable snapshot a different
+        engine root — or a different cluster — can IMPORT."""
+        fmt = fmt.lower()
+        if fmt not in ("parquet", "csv", "json", "jsonl", "orc"):
+            raise ValueError(
+                f"unsupported export format {fmt!r} (parquet|csv|jsonl|orc)"
+            )
+        if os.path.exists(path) and os.listdir(path):
+            raise ValueError(
+                f"EXPORT DATABASE target '{path}' exists and is not empty"
+            )
+        os.makedirs(path, exist_ok=True)
+        manifest: dict = {"format": fmt, "tables": {}, "views": []}
+        total = 0
+        for name in self.catalog.show_tables():
+            meta = self.catalog.get(name)
+            total += self.export_table(
+                name, os.path.join(path, "tables", name), fmt, None
+            )
+            entry = meta.to_json()
+            entry.pop("path", None)  # paths are engine-root-relative noise
+            manifest["tables"][name] = entry
+        manifest["views"] = [
+            {"name": n, "sql": s} for n, s in self.views.items()
+        ]
+        tmp = os.path.join(path, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
+        return total
+
+    def import_database(self, path: str) -> int:
+        """Round-13 ``IMPORT DATABASE 'path'``: rebuild every exported
+        table (declared schema, partition layout, PRIMARY KEY) and replay
+        the logical views in creation order. ALL names are
+        collision-checked against tables/views/matviews BEFORE anything
+        is created, so a clash refuses with the catalog untouched.
+        Reads apply the manifest's declared schema explicitly (CSV/JSONL
+        would otherwise re-infer and drift types). Returns rows loaded."""
+        mpath = os.path.join(path, "manifest.json")
+        if not os.path.exists(mpath):
+            raise ValueError(f"no manifest.json under '{path}' — not an export")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        fmt = manifest.get("format", "parquet")
+        names = list(manifest["tables"]) + [
+            v["name"] for v in manifest.get("views", [])
+        ]
+        for n in names:
+            if n in self.catalog or n in self.views or n in self.mviews:
+                raise ValueError(
+                    f"IMPORT DATABASE: '{n}' already exists — refusing "
+                    "(nothing was created)"
+                )
+        total = 0
+        for name, entry in manifest["tables"].items():
+            meta = TableMeta.from_json(name, {**entry, "path": ""})
+            self.create_table(
+                name,
+                [(c.name, c.decl) for c in meta.columns],
+                partition_by=meta.partition_by,
+                primary_key=meta.primary_key,
+            )
+            src = os.path.join(path, "tables", name)
+            if fmt == "parquet":
+                df = self.spark.read.parquet(src)
+            elif fmt == "orc":
+                df = self.spark.read.orc(src)
+            elif fmt == "csv":
+                df = self.spark.read.schema(meta.schema).option(
+                    "header", True
+                ).csv(src)
+            else:  # json / jsonl
+                df = self.spark.read.schema(meta.schema).json(src)
+            total += self.append_df(name, df)
+        for v in manifest.get("views", []):
+            self.views.create(v["name"], v["sql"])
+        return total
 
     def summarize(
         self, name: str, columns: list[str] | None = None, exact: bool = True

@@ -5228,6 +5228,37 @@ class RefSQL:
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SUMMARIZE")
             return self.engine.summarize(table)
+        if verb in ("export", "import"):
+            # Round-13 (DuckDB ops statements): ``EXPORT DATABASE 'path'
+            # [FORMAT parquet|csv|jsonl|orc]`` — every table as one
+            # distributed write + a manifest (declared schemas incl.
+            # PRIMARY KEY, partition layout, view SQL in creation order);
+            # ``IMPORT DATABASE 'path'`` rebuilds it all, collision-
+            # checked up front. Matviews/vector indexes are derived state
+            # and excluded (they rebuild from their definitions).
+            cur.next()
+            cur.expect_kw("database")
+            p = cur.next()
+            if not _is_string_lit(p):
+                raise ParseError(f"{verb.upper()} DATABASE takes a quoted path")
+            p = p[1:-1]
+            if verb == "export":
+                fmt = "parquet"
+                if cur.peek_kw() == "format":
+                    cur.next()
+                    fmt = cur.next().lower()
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after EXPORT DATABASE"
+                    )
+                n = self.engine.export_database(p, fmt)
+                return f"exported database to {p} ({n} row(s), {fmt})"
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after IMPORT DATABASE"
+                )
+            n = self.engine.import_database(p)
+            return f"imported database from {p} ({n} row(s))"
         if verb == "copy":
             # Dialect extension: ``COPY t TO 'path' [FORMAT
             # parquet|csv|jsonl|orc] [PARTITION BY (col, ...)]`` — the

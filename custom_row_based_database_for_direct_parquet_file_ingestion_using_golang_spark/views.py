@@ -54,6 +54,12 @@ class Views:
     def names(self) -> list[str]:
         return sorted(self._load())
 
+    def items(self) -> list[tuple[str, str]]:
+        """(name, sql) pairs in REGISTRY (creation) order — EXPORT
+        DATABASE replays views in this order so view-over-view
+        definitions rebind cleanly at import."""
+        return [(n, d["sql"]) for n, d in self._load().items()]
+
     def __contains__(self, name: str) -> bool:
         return name in self._load()
 

@@ -4700,3 +4700,57 @@ def test_insert_on_conflict_vs_duckdb(spark, tmp_path):
     e2.ref_sql("INSERT OR IGNORE INTO kv VALUES (1, 'again', 1)")
     assert e2.ref_sql(
         "SELECT count(*) AS c FROM kv WHERE k = 1").collect()[0][0] == 2
+
+
+def test_export_import_database(spark, tmp_path):
+    """Round-13: ``EXPORT DATABASE 'path' [FORMAT ...]`` / ``IMPORT
+    DATABASE 'path'`` (the DuckDB ops statements) — every table as one
+    distributed write plus a manifest carrying what data files can't:
+    declared types, PARTITIONED BY layout, the declared PRIMARY KEY,
+    and logical-view SQL in creation order. Import rebuilds all of it
+    in a fresh engine root, collision-checked up front; CSV re-reads
+    apply the manifest schema explicitly so types don't re-infer."""
+    e = Engine(spark, str(tmp_path / "src"))
+    e.ref_sql("CREATE TABLE kv (k INT PRIMARY KEY, v TEXT, n DECIMAL)")
+    e.ref_sql("INSERT INTO kv VALUES (1, 'a', 10.5), (2, 'b', 20.25)")
+    e.ref_sql("CREATE TABLE ev (d TEXT, x INT) PARTITIONED BY (d)")
+    e.ref_sql("INSERT INTO ev VALUES ('m', 1), ('m', 2), ('t', 3)")
+    # view-over-view: import must replay in creation order
+    e.ref_sql("CREATE VIEW v1 AS SELECT k, n * 2 AS n2 FROM kv")
+    e.ref_sql("CREATE VIEW v2 AS SELECT n2 + 1 AS n3 FROM v1")
+    for fmt in ("parquet", "csv"):
+        exp = str(tmp_path / f"exp_{fmt}")
+        msg = e.ref_sql(f"EXPORT DATABASE '{exp}' FORMAT {fmt}")
+        assert "5 row(s)" in msg
+        e2 = Engine(spark, str(tmp_path / f"dst_{fmt}"))
+        e2.ref_sql(f"IMPORT DATABASE '{exp}'")
+        assert e2.show_tables() == ["ev", "kv"]
+        assert e2.views.names() == ["v1", "v2"]
+        # data + declared types round-trip (DECIMAL via manifest schema,
+        # not CSV re-inference)
+        assert [tuple(r) for r in e2.ref_sql(
+            "SELECT * FROM kv ORDER BY k").collect()
+        ] == [tuple(r) for r in e.ref_sql(
+            "SELECT * FROM kv ORDER BY k").collect()]
+        assert [c.decl for c in e2.catalog.get("kv").columns] == [
+            c.decl for c in e.catalog.get("kv").columns
+        ]
+        # views replay against the imported tables
+        assert [r.n3 for r in e2.ref_sql(
+            "SELECT * FROM v2 ORDER BY n3").collect()] == [22.0, 41.5]
+        # PK + partition layout survive; upsert works post-import
+        assert e2.catalog.get("kv").primary_key == ["k"]
+        assert e2.catalog.get("ev").partition_by == ["d"]
+        e2.ref_sql("INSERT OR REPLACE INTO kv VALUES (2, 'B', 99.0)")
+        assert e2.ref_sql(
+            "SELECT v FROM kv WHERE k = 2").collect()[0][0] == "B"
+    # refusals: non-empty export target, name collision (atomic: nothing
+    # created), missing manifest
+    with pytest.raises(ValueError):
+        e.ref_sql(f"EXPORT DATABASE '{tmp_path / 'exp_parquet'}'")
+    before = e.show_tables()
+    with pytest.raises(ValueError):
+        e.ref_sql(f"IMPORT DATABASE '{tmp_path / 'exp_parquet'}'")
+    assert e.show_tables() == before
+    with pytest.raises(ValueError):
+        e.ref_sql(f"IMPORT DATABASE '{tmp_path}'")
