@@ -254,6 +254,15 @@ def tokenize(text: str) -> list[str]:
         toks = _rewrite_json_arrows(toks)
     if any(t.lower().startswith("json_") for t in toks if t[0] not in "'\"`"):
         toks = _rewrite_json_calls(toks)
+    # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
+    # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
+    # plus the list_extract/list_element dynamic-index spellings.
+    if any(
+        "[" in t or t.lower() in ("list_extract", "list_element")
+        for t in toks
+        if t[0] not in "'\"`"
+    ):
+        toks = _rewrite_brackets(toks)
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
     # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
@@ -621,6 +630,177 @@ def _rewrite_json_calls(toks: list[str]) -> list[str]:
             )
         out[i : close + 1] = repl
         i += len(repl)
+    return out
+
+
+#: a whole-token bracket group: [n] | [i:j] | [i:] | [:j]
+_BRACKET_GROUP = re.compile(r"\[[^\[\]]*\]")
+#: identifier (possibly qualified / backticked) directly carrying groups
+_BRACKETED_IDENT = re.compile(r"([A-Za-z_`][\w.$`]*)((?:\[[^\[\]]*\])+)\Z")
+
+
+def _capture_lhs_primary(out: list[str], i: int, what: str) -> int:
+    """Index of the first token of the primary expression ending at
+    ``out[i-1]`` — a column/literal token, or a balanced ``(...)`` group
+    with its call name absorbed (the ``::`` capture rule). Shared by the
+    '->>' and bracket-postfix rewrites."""
+    j = i - 1
+    if out[j] == ")":
+        depth = 0
+        while j >= 0:
+            if out[j] == ")":
+                depth += 1
+            elif out[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            raise ParseError(f"unbalanced parentheses before {what}")
+        if (
+            j > 0
+            and re.fullmatch(r"[A-Za-z_][\w$.]*", out[j - 1])
+            and out[j - 1].lower() not in _CAST_ABSORB_STOP
+        ):
+            j -= 1
+    elif not (
+        _is_string_lit(out[j])
+        or out[j].startswith("`")
+        or re.fullmatch(r"[A-Za-z_][\w$.]*", out[j])
+        or _BRACKET_GROUP.fullmatch(out[j])
+    ):
+        raise ParseError(
+            f"{what} must follow a column, literal, or parenthesized "
+            "expression"
+        )
+    return j
+
+
+def _rewrite_brackets(toks: list[str]) -> list[str]:
+    """Round-13: DuckDB's 1-BASED bracket indexing — ``arr[n]`` /
+    ``arr[i:j]`` / ``arr[i:]`` / ``arr[:j]`` — and the
+    ``list_extract``/``list_element`` dynamic-index spellings.
+
+    This CLOSES an active silent drift: Spark SQL's native ``arr[i]`` is
+    0-based, so the raw pass-through was off by one against every other
+    engine in this dialect's orbit. Value-probed equivalences
+    (test_bracket_indexing_vs_duckdb):
+
+    * ``arr[n]`` → ``try_element_at(arr, nullif(n, 0))`` — 1-based,
+      out-of-range → NULL, negative counts from the end, index 0 → NULL
+      (the nullif closes Spark's INVALID_INDEX_OF_ZERO raise), NULL
+      array/index → NULL. Same for list_extract/list_element with a
+      dynamic index expression.
+    * ``arr[i:j]`` (1 ≤ i, j literal ints) → ``slice(arr, i, j-i+1)``
+      (both ends inclusive; j < i yields []); ``arr[i:]`` →
+      ``slice(arr, i, size(arr))``; ``arr[:j]`` → ``slice(arr, 1, j)``.
+      Negative/dynamic slice bounds reject loudly (DuckDB's negative
+      slices stay out of scope — documented).
+
+    Bracket groups attach to the preceding primary (column, literal,
+    ``(...)`` with call-name absorb), so ``split(s, '_')[2]`` and
+    chained ``m[1][2]`` work. String subscripting (DuckDB slices chars)
+    is NOT emulated — Spark's analyzer rejects element_at on strings
+    loudly; use substr. List literals ``[1, 2]`` are not a supported
+    value form (use array(...))."""
+    # 1) split bracket groups glued onto identifiers by the tokenizer
+    out: list[str] = []
+    for t in toks:
+        if t[0] in "'\"" or "[" not in t:
+            out.append(t)
+            continue
+        m = _BRACKETED_IDENT.fullmatch(t)
+        if m and not t.startswith("["):
+            out.append(m.group(1))
+            out.extend(_BRACKET_GROUP.findall(m.group(2)))
+        else:
+            out.append(t)
+    # 2) list_extract / list_element → try_element_at with the 0-edge
+    #    closed (DuckDB: index 0 → NULL; Spark raises without nullif)
+    i = 0
+    while i < len(out):
+        t = out[i].lower()
+        if (
+            t in ("list_extract", "list_element")
+            and i + 1 < len(out)
+            and out[i + 1] == "("
+        ):
+            depth = 0
+            close = last_comma = None
+            for k in range(i + 1, len(out)):
+                tk = out[k]
+                if tk == "(":
+                    depth += 1
+                elif tk == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+                elif tk == "," and depth == 1:
+                    last_comma = k
+            if close is None or last_comma is None:
+                raise ParseError(f"{out[i]} takes (list, index)")
+            # cast: try_element_at demands an INT index (a BIGINT column
+            # fails analysis); nullif closes the 0-index raise
+            out[i] = "try_element_at"
+            out[last_comma + 1 : close] = (
+                ["nullif", "(", "cast", "(", "("]
+                + out[last_comma + 1 : close]
+                + [")", "as", "int", ")", ",", "0", ")"]
+            )
+        i += 1
+    # 3) postfix bracket groups
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (
+            t.startswith("[") and t.endswith("]") and len(t) >= 3
+        ):
+            i += 1
+            continue
+        if i == 0:
+            raise ParseError(
+                "a bracket index needs a value to its left (list "
+                "literals are not a value form — use array(...))"
+            )
+        inner = t[1:-1].strip()
+        j = _capture_lhs_primary(out, i, f"bracket index {t!r}")
+        lhs = out[j:i]
+        if ":" in inner:
+            lo_s, hi_s = inner.split(":", 1)
+            lo_s, hi_s = lo_s.strip(), hi_s.strip()
+            if (lo_s and not re.fullmatch(r"\d+", lo_s)) or (
+                hi_s and not re.fullmatch(r"\d+", hi_s)
+            ):
+                raise ParseError(
+                    f"slice bounds in {t!r} must be positive integer "
+                    "literals (negative/dynamic slices are not supported)"
+                )
+            lo = int(lo_s) if lo_s else 1
+            if lo < 1:
+                raise ParseError("slice bounds are 1-based")
+            if hi_s:
+                length = max(0, int(hi_s) - lo + 1)
+                repl = (
+                    ["slice", "("] + lhs + [",", str(lo), ",", str(length), ")"]
+                )
+            else:
+                repl = (
+                    ["slice", "(", "("] + lhs + [")", ",", str(lo), ",",
+                     "size", "("] + lhs + [")", ")"]
+                )
+        else:
+            if not re.fullmatch(r"-?\d+", inner):
+                raise ParseError(
+                    f"bracket index {t!r} must be an integer literal — "
+                    "use list_extract(list, expr) for a dynamic index"
+                )
+            repl = (
+                ["try_element_at", "("] + lhs
+                + [",", "nullif", "(", inner, ",", "0", ")", ")"]
+            )
+        out[j : i + 1] = repl
+        i = j + 1
     return out
 
 

@@ -744,6 +744,13 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "array_length(string_split({s}, '_'))",
         "list_sort(string_split({s}, '_'))",
         "regexp_matches({s}, 'N.T')",
+        # round-13: 1-based bracket indexing/slicing (Spark's native
+        # arr[i] is 0-based — the rewrite closes the off-by-one)
+        "string_split({s}, '_')[2]",
+        "string_split({s}, '_')[-1]",
+        "string_split({s}, '_')[1:2]",
+        "string_split({s}, '_')[2:]",
+        "list_extract(string_split({s}, '_'), length({s}) % 3)",
     ]
     shapes = [
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",

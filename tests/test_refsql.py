@@ -4754,3 +4754,57 @@ def test_export_import_database(spark, tmp_path):
     assert e.show_tables() == before
     with pytest.raises(ValueError):
         e.ref_sql(f"IMPORT DATABASE '{tmp_path}'")
+
+
+def test_bracket_indexing_vs_duckdb(spark, tmp_path):
+    """Round-13: 1-based bracket indexing/slicing. This closed an ACTIVE
+    silent drift — Spark's native ``arr[i]`` is 0-based, so the raw
+    pass-through was off by one against DuckDB's 1-based brackets.
+    ``arr[n]`` → try_element_at(arr, nullif(n, 0)) (OOR → NULL, negative
+    from the end, [0] → NULL via the nullif — Spark raises on a bare 0),
+    ``arr[i:j]``/``[i:]``/``[:j]`` → slice with both-ends-inclusive
+    arithmetic; list_extract/list_element carry dynamic indexes. Probed
+    value-identical vs DuckDB on the same SQL."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "bi"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE ar (id INT, s TEXT)")
+        run("INSERT INTO ar VALUES (1, 'a_b_c'), (2, 'x'), (3, NULL), "
+            "(4, 'p_q_r_s_t')")
+    sql = (
+        "SELECT id, "
+        "string_split(s, '_')[2] AS second, "
+        "string_split(s, '_')[-1] AS last, "
+        "string_split(s, '_')[0] AS zero, "
+        "string_split(s, '_')[9] AS oor, "
+        "string_split(s, '_')[2:3] AS mid, "
+        "string_split(s, '_')[2:] AS tail, "
+        "string_split(s, '_')[:2] AS head, "
+        "string_split(s, '_')[3:2] AS empty, "
+        "list_extract(string_split(s, '_'), id) AS dyn, "
+        "list_element(string_split(s, '_'), id - 1) AS dyn0 "
+        "FROM ar ORDER BY id"
+    )
+    mine = [tuple(r) for r in e.ref_sql(sql).collect()]
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert mine == want, f"\nmine: {mine}\nduck: {want}"
+    # chained groups + parenthesized primaries
+    sql2 = ("SELECT (string_split(s, '_')[1:2])[2] AS c FROM ar "
+            "WHERE id = 1")
+    assert [r.c for r in e.ref_sql(sql2).collect()] == [
+        r[0] for r in con.execute(sql2).fetchall()
+    ]
+    # rejections: dynamic bracket index, dynamic/negative slice bounds
+    for bad in (
+        "SELECT string_split(s, '_')[id] FROM ar",
+        "SELECT string_split(s, '_')[1:id] FROM ar",
+        "SELECT string_split(s, '_')[-2:] FROM ar",
+    ):
+        with pytest.raises(ParseError):
+            e.ref_sql(bad)
