@@ -735,3 +735,49 @@ def test_round13_lateral_group_by_plan(spark, sf_dir):
     # one aggregate exchange on the grouped side (hashpartitioning over
     # the correlation + group keys), not one per outer row
     assert t.count("Exchange hashpartitioning") <= 3
+
+
+def test_round13_json_family_plan(spark, sf_dir):
+    """Round-13: the JSON family stays in the scan stage. Every form
+    lowers to get_json_object — JVM-side Column algebra, no Python in
+    the row path and no Generate/explode — and the scan reads ONLY the
+    referenced columns (event_id for the filter, user_id/event_type/
+    props for the document build): a JSON-extraction projection must
+    never drag the full events schema through the shuffle."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
+        QUERIES,
+    )
+
+    t = plan_text(QUERIES["refsql_json_family"](spark, sf_dir))
+    assert "get_json_object" in t
+    assert "BatchEvalPython" not in t and "ArrowEvalPython" not in t
+    m = [ln for ln in t.splitlines() if "ReadSchema" in ln]
+    assert m, "no ReadSchema in plan"
+    schema_line = m[0]
+    for col in ("event_id", "user_id", "event_type", "props"):
+        assert col in schema_line
+    for col in ("ts", "value"):  # untouched columns must be pruned
+        assert col not in schema_line
+
+
+def test_round13_bracket_indexing_plan(spark, sf_dir):
+    """Round-13: bracket indexing lowers to try_element_at/slice —
+    scan-stage Column algebra, zero exchanges for a pure projection."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.inspect import (
+        plan_text,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads.core import (
+        _ref_select,
+    )
+
+    df = _ref_select(
+        spark, sf_dir,
+        "SELECT string_split(n_name, '_')[2] AS second, "
+        "string_split(n_name, '_')[1:2] AS head FROM nation",
+    )
+    t = plan_text(df)
+    assert "element_at" in t and "slice" in t
+    assert "Exchange" not in t

@@ -4680,6 +4680,28 @@ def test_insert_on_conflict_vs_duckdb(spark, tmp_path):
     with pytest.raises(ValueError):
         e.ref_sql("INSERT INTO kv VALUES (NULL, 'x', 1) "
                   "ON CONFLICT (k) DO NOTHING")
+    # scale-shape pin: DO NOTHING is the APPEND fast path — every
+    # pre-existing data file survives untouched (new files only) —
+    # while DO UPDATE is the copy-on-write rewrite that replaces them
+    # (the cost split SCALING.md documents)
+    import glob as _glob
+    import os as _os
+
+    def _files():
+        return {
+            p for p in _glob.glob(
+                _os.path.join(e.store.table_path("kv"), "**", "*.parquet"),
+                recursive=True,
+            )
+        }
+
+    before = _files()
+    e.ref_sql("INSERT INTO kv VALUES (11, 'new', 1) "
+              "ON CONFLICT (k) DO NOTHING")
+    assert before <= _files()  # append-only: old files all still there
+    e.ref_sql("INSERT INTO kv VALUES (11, 'upd', 2) "
+              "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    assert not (before & _files())  # rewrite: every old file replaced
     # PRIMARY KEY is informational on plain INSERT (the Delta/Snowflake
     # warehouse stance): no enforcement, documented in DIALECT.md
     e.ref_sql("INSERT INTO kv VALUES (1, 'dup', 0)")
