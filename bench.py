@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "refsql_update_from",
     "refsql_lateral_group_by",
+    "refsql_json_family",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",

@@ -5393,8 +5393,21 @@ class RefSQL:
             return self.engine.show_tables()
         if verb == "describe":
             # Dialect extension: ``DESCRIBE t`` — catalog-only schema
-            # listing, "column TYPE" per line.
+            # listing, "column TYPE" per line. Round-13: ``DESCRIBE
+            # SELECT ...`` (DuckDB) — the QUERY's output schema without
+            # executing it (Catalyst analysis only, Spark type names).
             cur.expect_kw("describe")
+            if cur.peek_kw() == "select":
+                df = self._select_df(cur)
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after "
+                        "DESCRIBE SELECT"
+                    )
+                return [
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                ]
             table = _unquote(cur.next())
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after DESCRIBE")

@@ -4830,3 +4830,19 @@ def test_bracket_indexing_vs_duckdb(spark, tmp_path):
     ):
         with pytest.raises(ParseError):
             e.ref_sql(bad)
+
+
+def test_describe_select(spark, tmp_path, sf_dir):
+    """Round-13: ``DESCRIBE SELECT ...`` (DuckDB) — the query's OUTPUT
+    schema from Catalyst analysis alone, no execution (Spark type
+    names; DuckDB's differ by spelling — VARCHAR vs string — so this is
+    engine-side surface, not an oracle row)."""
+    e = Engine(spark, str(tmp_path / "ds"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    out = e.ref_sql(
+        "DESCRIBE SELECT n_name, n_nationkey + 1 AS nk, "
+        "string_split(n_name, '_') AS parts FROM nation"
+    )
+    assert out == ["n_name string", "nk int", "parts array<string>"]
+    # plain DESCRIBE t unchanged
+    assert e.ref_sql("DESCRIBE nation")[0].startswith("n_nationkey")
