@@ -5187,8 +5187,29 @@ class RefSQL:
                     cur.next()
                     continue
                 break
-            if cur.peek_kw() != "select":
-                raise ParseError("WITH must be followed by SELECT")
+            nxt = cur.peek_kw()
+            if nxt in ("insert", "update", "delete", "merge"):
+                # Round-13: CTE-fronted DML (Postgres/DuckDB) — ``WITH
+                # staged AS (SELECT ...) INSERT INTO t SELECT * FROM
+                # staged`` and the UPDATE/DELETE/MERGE forms. The bound
+                # CTE frames resolve before the catalog everywhere the
+                # statement reads a relation (_table_df), including
+                # UPDATE ... FROM sources, IN (SELECT ...) predicates,
+                # and MERGE USING. A CTE reading the DML's own target
+                # sees the PRE-statement snapshot (the staged
+                # copy-on-write write streams from the old files — the
+                # self-referencing-CTAS machinery).
+                return {
+                    "insert": self._insert,
+                    "update": self._update,
+                    "delete": self._delete,
+                    "merge": self._merge,
+                }[nxt](cur)
+            if nxt != "select":
+                raise ParseError(
+                    "WITH must be followed by SELECT, INSERT, UPDATE, "
+                    "DELETE, or MERGE"
+                )
             out = self._select_df(cur)
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SELECT")

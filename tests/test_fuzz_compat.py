@@ -1248,7 +1248,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
         kind = rng.choice(
             ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain",
              "upd_expr", "upd_swapish", "upd_from",
-             "oc_nothing", "oc_update", "oc_replace"]
+             "oc_nothing", "oc_update", "oc_replace",
+             "cte_ins", "cte_del"]
         )
         if kind == "ins":
             stmt = (
@@ -1289,6 +1290,23 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
             stmt = (
                 f"UPDATE t SET v = src.nv + {rng.randint(0, 9)} FROM src "
                 f"WHERE t.id = src.id AND t.v < {rng.randint(50, 600)}"
+            )
+        elif kind == "cte_ins":
+            # round-13: CTE-fronted INSERT — identical syntax in DuckDB
+            stmt = (
+                f"WITH c AS (SELECT id + {next_id} AS id, grp, "
+                f"v + {rng.randint(1, 9)} AS v FROM t WHERE v < "
+                f"{rng.randint(20, 200)}) "
+                "INSERT INTO t SELECT id, grp, v FROM c"
+            )
+            next_id += 200
+        elif kind == "cte_del":
+            # round-13: CTE-fronted DELETE reading the PRE-statement
+            # snapshot of its own target
+            stmt = (
+                f"WITH doomed AS (SELECT id FROM t WHERE v > "
+                f"{rng.randint(100, 900)}) "
+                "DELETE FROM t WHERE id IN (SELECT id FROM doomed)"
             )
         elif kind in ("oc_nothing", "oc_update", "oc_replace"):
             # round-13 upsert — identical syntax in DuckDB. Batch ids are

@@ -4846,3 +4846,56 @@ def test_describe_select(spark, tmp_path, sf_dir):
     assert out == ["n_name string", "nk int", "parts array<string>"]
     # plain DESCRIBE t unchanged
     assert e.ref_sql("DESCRIBE nation")[0].startswith("n_nationkey")
+
+
+def test_cte_fronted_dml_vs_duckdb(spark, tmp_path):
+    """Round-13: ``WITH ... INSERT|UPDATE|DELETE|MERGE`` (Postgres/
+    DuckDB CTE-fronted DML) — the bound CTE frames resolve before the
+    catalog everywhere the statement reads a relation: INSERT SELECT
+    sources, UPDATE ... FROM sources, IN (SELECT ...) predicates, and
+    the ON CONFLICT composition. A CTE reading the DML's own target
+    sees the PRE-statement snapshot (the staged copy-on-write write
+    streams from the old files). Value-probed vs DuckDB on the same
+    SQL after every statement."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "cdml"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (id INT, v INT)")
+        run("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+        run("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
+        run("INSERT INTO pk VALUES (1, 1)")
+
+    def both(stmt):
+        e.ref_sql(stmt)
+        con.execute(stmt)
+        for tbl in ("t", "pk"):
+            mine = sorted(tuple(r) for r in e.ref_sql(
+                f"SELECT * FROM {tbl}").collect())
+            want = sorted(con.execute(f"SELECT * FROM {tbl}").fetchall())
+            assert mine == want, f"{stmt} → {tbl}: {mine} != {want}"
+
+    both("WITH doubled AS (SELECT id + 10 AS id, v * 2 AS v FROM t) "
+         "INSERT INTO t SELECT id, v FROM doubled")
+    both("WITH big AS (SELECT id FROM t WHERE v > 25) "
+         "DELETE FROM t WHERE id IN (SELECT id FROM big)")
+    both("WITH src AS (SELECT id, v + 100 AS nv FROM t WHERE id <= 2) "
+         "UPDATE t SET v = src.nv FROM src WHERE t.id = src.id")
+    both("WITH feed AS (SELECT id, v AS w FROM t) "
+         "INSERT INTO pk SELECT id, w FROM feed "
+         "ON CONFLICT (id) DO UPDATE SET w = excluded.w")
+    # the CTE sees the PRE-statement target snapshot
+    both("WITH snap AS (SELECT max(v) AS m FROM t) "
+         "UPDATE t SET v = (SELECT m FROM snap) WHERE id = 1")
+    # MERGE with a CTE source (relational oracle — DuckDB 1.0 lacks
+    # MERGE, so replay the triad relationally)
+    e.ref_sql("WITH feed AS (SELECT id, v AS w FROM t WHERE id % 2 = 1) "
+              "MERGE INTO pk USING feed ON pk.id = feed.id "
+              "WHEN MATCHED THEN UPDATE SET * "
+              "WHEN NOT MATCHED THEN INSERT *")
+    got = {r.id for r in e.ref_sql("SELECT id FROM pk").collect()}
+    want_ids = {r[0] for r in con.execute(
+        "SELECT id FROM pk UNION SELECT id FROM t WHERE id % 2 = 1"
+    ).fetchall()}
+    assert got == want_ids
