@@ -5762,6 +5762,16 @@ class RefSQL:
                 raise ParseError("expected REPLACE or IGNORE after INSERT OR")
         cur.expect_kw("into")
         table = _unquote(cur.next())
+        by_name = False
+        if cur.peek_kw() == "by" and cur.peek_kw(1) == "name":
+            # Round-13: ``INSERT INTO t BY NAME SELECT ...`` (DuckDB) —
+            # the schema-evolution insert: source columns bind to target
+            # columns BY NAME (any order, missing → NULL, unknown source
+            # names error), never positionally. SELECT sources only
+            # (DuckDB's own restriction — VALUES rows carry no names).
+            cur.next()
+            cur.next()
+            by_name = True
         cols: list[str] | None = None
         if cur.peek() == "(":
             cur.next()
@@ -5773,6 +5783,11 @@ class RefSQL:
                 if tok == ",":
                     continue
                 cols.append(_unquote(tok))
+        if by_name and cols is not None:
+            raise ParseError(
+                "INSERT BY NAME binds by the SELECT's own column names — "
+                "drop the explicit column list"
+            )
         # Round-13: split off a top-level ``ON CONFLICT ...`` tail before
         # the body parse (the body may be a SELECT whose joins use ON —
         # the tail is recognized by the ON CONFLICT ( | DO sequence).
@@ -5805,7 +5820,7 @@ class RefSQL:
             )
         if or_mode is not None or conflict_cur is not None:
             return self._insert_on_conflict(
-                cur, table, cols, or_mode, conflict_cur
+                cur, table, cols, or_mode, conflict_cur, by_name
             )
         if cur.peek_kw() == "select":
             # Dialect extension: ``INSERT INTO t [(cols)] SELECT ...`` —
@@ -5818,6 +5833,9 @@ class RefSQL:
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after INSERT ... SELECT"
                 )
+            if by_name:
+                src = self._align_by_name(table, src)
+                return self.engine.append_df(table, src)
             declared = self.engine.catalog.get(table).columns
             targets = cols if cols is not None else [c.name for c in declared]
             if len(targets) != len(src.columns):
@@ -5829,6 +5847,11 @@ class RefSQL:
             for m in [c.name for c in declared if c.name not in targets]:
                 src = src.withColumn(m, F.lit(None))
             return self.engine.append_df(table, src)
+        if by_name:
+            raise ParseError(
+                "INSERT BY NAME needs a SELECT source (VALUES rows carry "
+                "no column names — DuckDB's restriction too)"
+            )
         cur.expect_kw("values")
         rows: list[dict] = []
         declared = [c.name for c in self.engine.catalog.get(table).columns]
@@ -5858,8 +5881,33 @@ class RefSQL:
             rows.append(dict(zip(names, vals)))
         return self.engine.insert_rows(table, rows)
 
+    def _align_by_name(self, table: str, src: DataFrame) -> DataFrame:
+        """INSERT BY NAME binding: source columns map to declared target
+        columns by NAME (any order), missing targets fill NULL, unknown
+        or duplicated source names error (DuckDB's binder behavior)."""
+        meta = self.engine.catalog.get(table)
+        names = [c.name for c in meta.columns]
+        unknown = [c for c in src.columns if c not in names]
+        if unknown:
+            raise ParseError(
+                f"INSERT BY NAME: '{table}' has no column(s) {unknown}"
+            )
+        if len(set(src.columns)) != len(src.columns):
+            raise ParseError(
+                "INSERT BY NAME: duplicate column names in the SELECT"
+            )
+        for m in [n for n in names if n not in src.columns]:
+            src = src.withColumn(m, F.lit(None))
+        return src.select(
+            *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
+        )
+
     def _insert_body_df(
-        self, cur: _Cursor, table: str, cols: list[str] | None
+        self,
+        cur: _Cursor,
+        table: str,
+        cols: list[str] | None,
+        by_name: bool = False,
     ) -> DataFrame:
         """Build the incoming INSERT batch (VALUES or SELECT) as a
         DataFrame aligned + cast to the target's declared schema, without
@@ -5873,6 +5921,10 @@ class RefSQL:
             if not cur.done():
                 raise ParseError(
                     f"unexpected token {cur.peek()!r} after INSERT ... SELECT"
+                )
+            if by_name:
+                return self._align_by_name(table, src).select(
+                    "*", F.lit(None).cast("long").alias("__ord")
                 )
             targets = cols if cols is not None else [
                 c.name for c in meta.columns
@@ -5888,6 +5940,11 @@ class RefSQL:
             return src.select(
                 *[F.col(c.name).cast(c.spark_type) for c in meta.columns],
                 F.lit(None).cast("long").alias("__ord"),
+            )
+        if by_name:
+            raise ParseError(
+                "INSERT BY NAME needs a SELECT source (VALUES rows carry "
+                "no column names — DuckDB's restriction too)"
             )
         cur.expect_kw("values")
         rows: list[dict] = []
@@ -5928,6 +5985,7 @@ class RefSQL:
         cols: list[str] | None,
         or_mode: str | None,
         ccur: _Cursor | None,
+        by_name: bool = False,
     ) -> int:
         """Round-13: ``INSERT ... ON CONFLICT [(cols)] DO NOTHING | DO
         UPDATE SET c = expr [, ...] [WHERE pred]`` and the ``INSERT OR
@@ -6044,7 +6102,7 @@ class RefSQL:
                     f"DO UPDATE may not modify conflict key '{col}'"
                 )
 
-        inc = self._insert_body_df(cur, table, cols)
+        inc = self._insert_body_df(cur, table, cols, by_name)
 
         # NULL conflict keys: reject like a real PRIMARY KEY would
         # (DuckDB errors; silently never-conflicting NULLs would make

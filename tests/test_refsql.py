@@ -4899,3 +4899,42 @@ def test_cte_fronted_dml_vs_duckdb(spark, tmp_path):
         "SELECT id FROM pk UNION SELECT id FROM t WHERE id % 2 = 1"
     ).fetchall()}
     assert got == want_ids
+
+
+def test_insert_by_name_vs_duckdb(spark, tmp_path):
+    """Round-13: ``INSERT INTO t BY NAME SELECT ...`` (DuckDB) — source
+    columns bind to target columns by NAME in any order, missing
+    targets fill NULL, unknown source names error. The schema-evolution
+    insert (a shard with fewer/reordered columns appends without
+    positional gymnastics). Composes with ON CONFLICT."""
+    import duckdb
+
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.plans.refsql import (
+        ParseError,
+    )
+
+    e = Engine(spark, str(tmp_path / "bn"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (id INT, grp TEXT, v INT)")
+        run("INSERT INTO t BY NAME SELECT 5 AS v, 1 AS id")
+        run("INSERT INTO t BY NAME SELECT 'g' AS grp, 7 AS v, 2 AS id")
+    mine = [tuple(r) for r in e.ref_sql(
+        "SELECT * FROM t ORDER BY id").collect()]
+    want = con.execute("SELECT * FROM t ORDER BY id").fetchall()
+    assert mine == want == [(1, None, 5), (2, "g", 7)]
+    # composes with upserts
+    e.ref_sql("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
+    e.ref_sql("INSERT INTO pk VALUES (1, 1)")
+    e.ref_sql("INSERT INTO pk BY NAME SELECT v AS w, id FROM t "
+              "ON CONFLICT (id) DO UPDATE SET w = excluded.w")
+    assert [tuple(r) for r in e.ref_sql(
+        "SELECT * FROM pk ORDER BY id").collect()] == [(1, 5), (2, 7)]
+    # guards: unknown source column, VALUES source, explicit column list
+    for bad in (
+        "INSERT INTO t BY NAME SELECT 1 AS nope",
+        "INSERT INTO t BY NAME VALUES (1, 'a', 2)",
+        "INSERT INTO t BY NAME (id) SELECT 1 AS id",
+    ):
+        with pytest.raises(ParseError):
+            e.ref_sql(bad)
