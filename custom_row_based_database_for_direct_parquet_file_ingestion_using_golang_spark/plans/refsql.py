@@ -5436,8 +5436,20 @@ class RefSQL:
         if verb == "summarize":
             # Dialect extension: ``SUMMARIZE t`` — per-column data profile
             # (counts, nulls, distinct, min/max, mean) as a result set,
-            # the DuckDB-SUMMARIZE companion to DESCRIBE.
+            # the DuckDB-SUMMARIZE companion to DESCRIBE. Round-13:
+            # ``SUMMARIZE SELECT ...`` profiles a query result (DuckDB's
+            # query form) — same ONE-aggregate-job shape over the plan.
             cur.expect_kw("summarize")
+            if cur.peek_kw() == "select":
+                from ..operators.profile import profile
+
+                df = self._select_df(cur)
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after "
+                        "SUMMARIZE SELECT"
+                    )
+                return profile(df)
             table = _unquote(cur.next())
             if not cur.done():
                 raise ParseError(f"unexpected token {cur.peek()!r} after SUMMARIZE")

@@ -4938,3 +4938,19 @@ def test_insert_by_name_vs_duckdb(spark, tmp_path):
     ):
         with pytest.raises(ParseError):
             e.ref_sql(bad)
+
+
+def test_summarize_select(spark, tmp_path, sf_dir):
+    """Round-13: ``SUMMARIZE SELECT ...`` — DuckDB's query-profiling
+    form: the same one-aggregate-job per-column profile, over a query
+    result instead of a table."""
+    e = Engine(spark, str(tmp_path / "ss"))
+    e.ingest_parquet(f"{sf_dir}/nation.parquet", "nation")
+    out = e.ref_sql(
+        "SUMMARIZE SELECT n_regionkey, n_nationkey * 2 AS nk2 "
+        "FROM nation WHERE n_nationkey < 10"
+    ).collect()
+    by_col = {r.column: r for r in out}
+    assert set(by_col) == {"n_regionkey", "nk2"}
+    assert by_col["nk2"].n_rows == 10
+    assert float(by_col["nk2"].max_num) == 18.0
