@@ -62,6 +62,11 @@ def spark_type_for(decl: str) -> T.DataType:
 class ColumnDef:
     name: str
     decl: str  # RefType value or Spark DDL string
+    # Round-13: declared DEFAULT — applied when an INSERT OMITS the
+    # column (an explicit NULL stays NULL — DuckDB/ANSI). ``has_default``
+    # distinguishes "DEFAULT NULL was declared" from "no default".
+    default: object = None
+    has_default: bool = False
 
     @property
     def spark_type(self) -> T.DataType:
@@ -89,7 +94,11 @@ class TableMeta:
 
     def to_json(self) -> dict:
         out = {
-            "columns": [[c.name, c.decl] for c in self.columns],
+            "columns": [
+                [c.name, c.decl, c.default] if c.has_default
+                else [c.name, c.decl]
+                for c in self.columns
+            ],
             "path": self.path,
             "partition_by": self.partition_by,
         }
@@ -101,7 +110,11 @@ class TableMeta:
     def from_json(name: str, d: dict) -> "TableMeta":
         return TableMeta(
             name=name,
-            columns=[ColumnDef(n, t) for n, t in d["columns"]],
+            columns=[
+                ColumnDef(c[0], c[1], c[2], True) if len(c) == 3
+                else ColumnDef(c[0], c[1])
+                for c in d["columns"]
+            ],
             path=d["path"],
             partition_by=d.get("partition_by", []),
             primary_key=d.get("primary_key", []),

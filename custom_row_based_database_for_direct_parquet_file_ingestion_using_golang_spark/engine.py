@@ -142,6 +142,7 @@ class Engine:
         columns: list[tuple[str, str]],
         partition_by: list[str] | None = None,
         primary_key: list[str] | None = None,
+        defaults: dict[str, Any] | None = None,
     ) -> None:
         for _, decl in columns:
             # Validate: one of the 5 reference types or a parseable Spark DDL
@@ -158,9 +159,10 @@ class Engine:
         for k in primary_key or []:
             if k not in declared:
                 raise ValueError(f"PRIMARY KEY column '{k}' not in the table")
+        coldefs = self._coldefs(columns, defaults)
         meta = TableMeta(
             name=name,
-            columns=[ColumnDef(n, t) for n, t in columns],
+            columns=coldefs,
             path=self.store.table_path(name),
             partition_by=partition_by or [],
             primary_key=primary_key or [],
@@ -168,6 +170,24 @@ class Engine:
         # Storage first, catalog second (no phantom entries on failure).
         self.store.init_empty(name, meta.schema, meta.partition_by)
         self.catalog.add_table(meta)
+
+    def _coldefs(
+        self,
+        columns: list[tuple[str, str]],
+        defaults: dict[str, Any] | None,
+    ) -> list[ColumnDef]:
+        """Column definitions with DEFAULTs coerced to the declared type
+        at CREATE time (a bad default fails the DDL, not the insert)."""
+        defaults = defaults or {}
+        unknown = set(defaults) - {n for n, _ in columns}
+        if unknown:
+            raise ValueError(f"DEFAULT for unknown column(s) {sorted(unknown)}")
+        return [
+            ColumnDef(n, t, _coerce(defaults[n], t), True)
+            if n in defaults
+            else ColumnDef(n, t)
+            for n, t in columns
+        ]
 
     def drop_table(self, name: str) -> None:
         if name not in self.catalog and name in self.views:
@@ -354,16 +374,24 @@ class Engine:
         (reference allows missing columns implicitly — the row map simply
         lacks them and projection emits NULL, select.go:588-592)."""
         meta = self.catalog.get(name)
-        declared = {c.name: c.decl for c in meta.columns}
+        declared = {c.name for c in meta.columns}
         coerced = []
         n = 0
         for row in rows:
-            unknown = set(row) - set(declared)
+            unknown = set(row) - declared
             if unknown:
                 raise ValueError(f"unknown columns for '{name}': {sorted(unknown)}")
             out = {}
-            for cname, decl in declared.items():
-                val = row.get(cname)
+            for col in meta.columns:
+                cname, decl = col.name, col.decl
+                if cname in row:
+                    val = row[cname]
+                elif col.has_default:
+                    # round-13: an OMITTED column takes its DEFAULT; an
+                    # explicit NULL stays NULL (DuckDB/ANSI, probed)
+                    val = col.default
+                else:
+                    val = None
                 if decl.upper() == "IMAGE" and val is not None:
                     resolved = resolve_image(str(val), self.image_dir)
                     val = resolved if resolved is not None else str(val)
@@ -381,15 +409,21 @@ class Engine:
         append — the ON CONFLICT path (round-13) resolves the batch
         against the table before anything is written."""
         meta = self.catalog.get(name)
-        declared = {c.name: c.decl for c in meta.columns}
+        declared = {c.name for c in meta.columns}
         coerced = []
         for row in rows:
-            unknown = set(row) - set(declared)
+            unknown = set(row) - declared
             if unknown:
                 raise ValueError(f"unknown columns for '{name}': {sorted(unknown)}")
             out = {}
-            for cname, decl in declared.items():
-                val = row.get(cname)
+            for col in meta.columns:
+                cname, decl = col.name, col.decl
+                if cname in row:
+                    val = row[cname]
+                elif col.has_default:
+                    val = col.default
+                else:
+                    val = None
                 if decl.upper() == "IMAGE" and val is not None:
                     resolved = resolve_image(str(val), self.image_dir)
                     val = resolved if resolved is not None else str(val)
@@ -720,6 +754,7 @@ class Engine:
         columns: list[tuple[str, str]],
         partition_by: list[str] | None = None,
         primary_key: list[str] | None = None,
+        defaults: dict[str, Any] | None = None,
     ) -> None:
         """Atomic plain ``CREATE OR REPLACE TABLE`` (round-11, ADVICE):
         validate the whole new definition BEFORE touching the existing
@@ -730,14 +765,16 @@ class Engine:
         for c in cols:
             c.spark_type  # raises on an unparseable declared type
         if name not in self.catalog:
-            return self.create_table(name, columns, partition_by, primary_key)
+            return self.create_table(
+                name, columns, partition_by, primary_key, defaults
+            )
         declared = {n for n, _ in columns}
         for k in primary_key or []:
             if k not in declared:
                 raise ValueError(f"PRIMARY KEY column '{k}' not in the table")
         meta = TableMeta(
             name=name,
-            columns=cols,
+            columns=self._coldefs(columns, defaults),
             path=self.store.table_path(name),
             partition_by=partition_by or [],
             primary_key=primary_key or [],

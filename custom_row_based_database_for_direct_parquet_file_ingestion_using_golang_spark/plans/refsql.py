@@ -5856,8 +5856,11 @@ class RefSQL:
                     f"produces {len(src.columns)}"
                 )
             src = src.toDF(*targets)  # positional binding, standard SQL
-            for m in [c.name for c in declared if c.name not in targets]:
-                src = src.withColumn(m, F.lit(None))
+            for c in [c for c in declared if c.name not in targets]:
+                src = src.withColumn(
+                    c.name,
+                    F.lit(c.default if c.has_default else None),
+                )
             return self.engine.append_df(table, src)
         if by_name:
             raise ParseError(
@@ -5908,8 +5911,10 @@ class RefSQL:
             raise ParseError(
                 "INSERT BY NAME: duplicate column names in the SELECT"
             )
-        for m in [n for n in names if n not in src.columns]:
-            src = src.withColumn(m, F.lit(None))
+        for c in [c for c in meta.columns if c.name not in src.columns]:
+            src = src.withColumn(
+                c.name, F.lit(c.default if c.has_default else None)
+            )
         return src.select(
             *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
         )
@@ -5947,8 +5952,11 @@ class RefSQL:
                     f"produces {len(src.columns)}"
                 )
             src = src.toDF(*targets)
-            for m in [c.name for c in meta.columns if c.name not in targets]:
-                src = src.withColumn(m, F.lit(None))
+            for c in [c for c in meta.columns if c.name not in targets]:
+                src = src.withColumn(
+                    c.name,
+                    F.lit(c.default if c.has_default else None),
+                )
             return src.select(
                 *[F.col(c.name).cast(c.spark_type) for c in meta.columns],
                 F.lit(None).cast("long").alias("__ord"),
@@ -7063,6 +7071,7 @@ class RefSQL:
             raise ParseError("expected '(' after table name")
         cols: list[tuple[str, str]] = []
         pkey: list[str] = []
+        defaults: dict[str, Any] = {}
         while True:
             tok = cur.next()
             if tok == ")":
@@ -7093,13 +7102,30 @@ class RefSQL:
                 continue
             name = _unquote(tok)
             decl = cur.next().upper()
-            if cur.peek_kw() == "primary":
-                # inline ``col TYPE PRIMARY KEY`` (single-column form)
-                cur.next()
-                cur.expect_kw("key")
-                if pkey:
-                    raise ParseError("at most one PRIMARY KEY")
-                pkey.append(name)
+            while cur.peek_kw() in ("primary", "default"):
+                if cur.peek_kw() == "primary":
+                    # inline ``col TYPE PRIMARY KEY`` (single-column form)
+                    cur.next()
+                    cur.expect_kw("key")
+                    if pkey:
+                        raise ParseError("at most one PRIMARY KEY")
+                    pkey.append(name)
+                else:
+                    # Round-13: ``col TYPE DEFAULT <literal>`` — applied
+                    # when an INSERT OMITS the column; an explicit NULL
+                    # stays NULL (DuckDB/ANSI, probed).
+                    cur.next()
+                    tok2 = cur.next()
+                    if tok2.upper() == "NULL":
+                        dval: Any = None
+                    else:
+                        lit = _literal_value(tok2)
+                        dval = lit if lit is not None else _unquote(tok2)
+                        if not _is_string_lit(tok2) and lit is None:
+                            raise ParseError(
+                                "DEFAULT takes a literal value"
+                            )
+                    defaults[name] = dval
             cols.append((name, decl))
         part = _partition_cols()
         if not cur.done():
@@ -7118,11 +7144,13 @@ class RefSQL:
             # surfacing at create time can no longer lose BOTH tables the
             # way drop-then-create could.
             self.engine.replace_table(
-                table, cols, partition_by=part, primary_key=pkey
+                table, cols, partition_by=part, primary_key=pkey,
+                defaults=defaults,
             )
         else:
             self.engine.create_table(
-                table, cols, partition_by=part, primary_key=pkey
+                table, cols, partition_by=part, primary_key=pkey,
+                defaults=defaults,
             )
         return None
 

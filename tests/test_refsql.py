@@ -4954,3 +4954,42 @@ def test_summarize_select(spark, tmp_path, sf_dir):
     assert set(by_col) == {"n_regionkey", "nk2"}
     assert by_col["nk2"].n_rows == 10
     assert float(by_col["nk2"].max_num) == 18.0
+
+
+def test_column_defaults_vs_duckdb(spark, tmp_path):
+    """Round-13: ``col TYPE DEFAULT <literal>`` — an INSERT that OMITS
+    the column takes the default; an explicit NULL stays NULL
+    (DuckDB/ANSI, probed). Applies across every insert path: partial
+    VALUES lists, INSERT SELECT with a column list, INSERT BY NAME, and
+    the ON CONFLICT fresh-row path. Defaults coerce to the declared
+    type at CREATE (bad defaults fail the DDL) and persist across
+    engine restarts."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "dflt"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (id INT, v INT DEFAULT 7, g TEXT DEFAULT 'x')")
+        run("INSERT INTO t (id) VALUES (1)")
+        run("INSERT INTO t VALUES (2, NULL, NULL)")
+        run("INSERT INTO t (id, v) VALUES (3, 5)")
+        run("INSERT INTO t BY NAME SELECT 4 AS id")
+        run("INSERT INTO t (id) SELECT 5 AS id")
+    mine = [tuple(r) for r in e.ref_sql("SELECT * FROM t ORDER BY id").collect()]
+    want = con.execute("SELECT * FROM t ORDER BY id").fetchall()
+    assert mine == want == [
+        (1, 7, "x"), (2, None, None), (3, 5, "x"), (4, 7, "x"), (5, 7, "x"),
+    ]
+    # composes with PRIMARY KEY + upserts (fresh rows take defaults)
+    e.ref_sql("CREATE TABLE pk (id INT PRIMARY KEY, w INT DEFAULT 9)")
+    e.ref_sql("INSERT INTO pk (id) VALUES (1)")
+    e.ref_sql("INSERT INTO pk (id) SELECT 2 AS id ON CONFLICT DO NOTHING")
+    assert [tuple(r) for r in e.ref_sql(
+        "SELECT * FROM pk ORDER BY id").collect()] == [(1, 9), (2, 9)]
+    # default coerces at CREATE; a bad one fails the DDL
+    with pytest.raises(ValueError):
+        e.ref_sql("CREATE TABLE bad (n INT DEFAULT 'nope')")
+    # persists across restarts (catalog round-trip)
+    e2 = Engine(spark, str(tmp_path / "dflt"))
+    e2.ref_sql("INSERT INTO t (id) VALUES (6)")
+    assert e2.ref_sql("SELECT v, g FROM t WHERE id = 6").collect()[0][:] == (7, "x")
