@@ -946,6 +946,9 @@ class Engine:
                 [(c.name, c.decl) for c in meta.columns],
                 partition_by=meta.partition_by,
                 primary_key=meta.primary_key,
+                defaults={
+                    c.name: c.default for c in meta.columns if c.has_default
+                },
             )
             src = os.path.join(path, "tables", name)
             if fmt == "parquet":

@@ -4993,3 +4993,10 @@ def test_column_defaults_vs_duckdb(spark, tmp_path):
     e2 = Engine(spark, str(tmp_path / "dflt"))
     e2.ref_sql("INSERT INTO t (id) VALUES (6)")
     assert e2.ref_sql("SELECT v, g FROM t WHERE id = 6").collect()[0][:] == (7, "x")
+    # ...and through EXPORT/IMPORT DATABASE (manifest carries defaults)
+    exp = str(tmp_path / "dflt_exp")
+    e2.ref_sql(f"EXPORT DATABASE '{exp}'")
+    e3 = Engine(spark, str(tmp_path / "dflt_dst"))
+    e3.ref_sql(f"IMPORT DATABASE '{exp}'")
+    e3.ref_sql("INSERT INTO t (id) VALUES (7)")
+    assert e3.ref_sql("SELECT v, g FROM t WHERE id = 7").collect()[0][:] == (7, "x")
