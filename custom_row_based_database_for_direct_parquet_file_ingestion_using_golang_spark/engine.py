@@ -939,31 +939,54 @@ class Engine:
                     "(nothing was created)"
                 )
         total = 0
-        for name, entry in manifest["tables"].items():
-            meta = TableMeta.from_json(name, {**entry, "path": ""})
-            self.create_table(
-                name,
-                [(c.name, c.decl) for c in meta.columns],
-                partition_by=meta.partition_by,
-                primary_key=meta.primary_key,
-                defaults={
-                    c.name: c.default for c in meta.columns if c.has_default
-                },
-            )
-            src = os.path.join(path, "tables", name)
-            if fmt == "parquet":
-                df = self.spark.read.parquet(src)
-            elif fmt == "orc":
-                df = self.spark.read.orc(src)
-            elif fmt == "csv":
-                df = self.spark.read.schema(meta.schema).option(
-                    "header", True
-                ).csv(src)
-            else:  # json / jsonl
-                df = self.spark.read.schema(meta.schema).json(src)
-            total += self.append_df(name, df)
-        for v in manifest.get("views", []):
-            self.views.create(v["name"], v["sql"])
+        created_tables: list[str] = []
+        created_views: list[str] = []
+        try:
+            for name, entry in manifest["tables"].items():
+                meta = TableMeta.from_json(name, {**entry, "path": ""})
+                self.create_table(
+                    name,
+                    [(c.name, c.decl) for c in meta.columns],
+                    partition_by=meta.partition_by,
+                    primary_key=meta.primary_key,
+                    defaults={
+                        c.name: c.default
+                        for c in meta.columns
+                        if c.has_default
+                    },
+                )
+                created_tables.append(name)
+                src = os.path.join(path, "tables", name)
+                if fmt == "parquet":
+                    df = self.spark.read.parquet(src)
+                elif fmt == "orc":
+                    df = self.spark.read.orc(src)
+                elif fmt == "csv":
+                    df = self.spark.read.schema(meta.schema).option(
+                        "header", True
+                    ).csv(src)
+                else:  # json / jsonl
+                    df = self.spark.read.schema(meta.schema).json(src)
+                total += self.append_df(name, df)
+            for v in manifest.get("views", []):
+                self.views.create(v["name"], v["sql"])
+                created_views.append(v["name"])
+        except Exception:
+            # All-or-nothing: a mid-import failure (missing/corrupt data
+            # dir, a view that no longer binds) must not leave a
+            # half-imported catalog. Drop everything this call created,
+            # newest-first, best-effort, then surface the real error.
+            for v in reversed(created_views):
+                try:
+                    self.views.drop(v)
+                except Exception:
+                    pass
+            for tname in reversed(created_tables):
+                try:
+                    self.drop_table(tname)
+                except Exception:
+                    pass
+            raise
         return total
 
     def summarize(

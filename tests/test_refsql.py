@@ -4776,6 +4776,19 @@ def test_export_import_database(spark, tmp_path):
     assert e.show_tables() == before
     with pytest.raises(ValueError):
         e.ref_sql(f"IMPORT DATABASE '{tmp_path}'")
+    # all-or-nothing: a mid-import failure (a table's data dir removed
+    # from the export) rolls back every table/view this call created
+    import os
+    import shutil
+
+    broken = str(tmp_path / "exp_broken")
+    shutil.copytree(str(tmp_path / "exp_parquet"), broken)
+    shutil.rmtree(os.path.join(broken, "tables", "kv"))
+    e4 = Engine(spark, str(tmp_path / "dst_broken"))
+    with pytest.raises(Exception):
+        e4.ref_sql(f"IMPORT DATABASE '{broken}'")
+    assert e4.show_tables() == []
+    assert e4.views.names() == []
 
 
 def test_bracket_indexing_vs_duckdb(spark, tmp_path):
