@@ -164,6 +164,7 @@ Round-12 extensions:
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -2020,6 +2021,11 @@ class SelectSpec:
     # (a splittable, codegen'd leaf — parallelizes across executors, no
     # data scanned). (fn_name, [args]) with 1-3 integer literal args.
     table_fn: "tuple[str, list[int]] | None" = None
+    # Dialect extension (round-13): FROM 'path.parquet' / read_parquet(
+    # 'path') — direct file queries (the repo's namesake capability,
+    # DuckDB surface): (path, format). The relation name defaults to the
+    # file's basename sans extension (DuckDB's binding), AS overrides.
+    file_path: "tuple[str, str] | None" = None
 
 
 def _contains_agg_call(buf: list[str]) -> bool:
@@ -2702,6 +2708,53 @@ def parse_select(
             spec.alias = _unquote(cur.next())
             spec.table = spec.alias
             spec.derived_cols = _alias_column_list(cur)
+    elif cur.peek() is not None and _is_string_lit(cur.peek()):
+        # Round-13: direct file query — ``FROM 'path.parquet'`` (DuckDB
+        # surface; THE reference's namesake capability, now zero-DDL).
+        # Format from the extension; the relation binds as the file's
+        # basename sans extension (DuckDB's naming), AS overrides.
+        path = cur.next()[1:-1]
+        low = path.lower()
+        if low.endswith((".parquet", ".pq")):
+            fmt = "parquet"
+        elif low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith((".jsonl", ".json", ".ndjson")):
+            fmt = "json"
+        elif low.endswith(".orc"):
+            fmt = "orc"
+        else:
+            raise ParseError(
+                f"can't infer a format from {path!r} — use read_parquet/"
+                "read_csv/read_json('path') to name it"
+            )
+        spec.file_path = (path, fmt)
+        base = os.path.basename(path)
+        spec.table = base.rsplit(".", 1)[0] or base
+        if cur.peek_kw() == "as":
+            cur.next()
+            spec.alias = _unquote(cur.next())
+            spec.table = spec.alias
+    elif (
+        cur.peek_kw() in ("read_parquet", "read_csv", "read_json",
+                          "read_json_auto")
+        and cur.peek(1) == "("
+    ):
+        # Round-13: the explicit-format file table functions (DuckDB).
+        fn = cur.next().lower()
+        cur.next()
+        ptok = cur.next()
+        if not _is_string_lit(ptok) or cur.next() != ")":
+            raise ParseError(f"{fn}() takes one quoted path")
+        fmt = {"read_parquet": "parquet", "read_csv": "csv"}.get(fn, "json")
+        path = ptok[1:-1]
+        spec.file_path = (path, fmt)
+        base = os.path.basename(path)
+        spec.table = base.rsplit(".", 1)[0] or base
+        if cur.peek_kw() == "as":
+            cur.next()
+            spec.alias = _unquote(cur.next())
+            spec.table = spec.alias
     else:
         spec.table = _unquote(cur.next())
         if cur.peek_kw() == "as":
@@ -3883,7 +3936,32 @@ class RefSQL:
         broadcast vs shuffle join per side as usual."""
         if spec.version is not None and spec.table in self._ctes:
             raise ParseError("VERSION AS OF applies to tables, not CTEs")
-        if spec.values_sql is not None:
+        if spec.file_path is not None:
+            # Direct file query (round-13): spark.read straight off the
+            # path — native distributed scans with the full pushdown/
+            # pruning surface (the plan pin asserts PushedFilters reach
+            # the parquet scan). CSV/JSON infer schema here (ad-hoc
+            # exploration); ingest for a declared schema.
+            if spec.version is not None:
+                raise ParseError(
+                    "VERSION AS OF applies to tables, not file paths"
+                )
+            fpath, fmt = spec.file_path
+            r = self.engine.spark.read
+            if fmt == "parquet":
+                df = r.parquet(fpath)
+            elif fmt == "orc":
+                df = r.orc(fpath)
+            elif fmt == "csv":
+                df = r.option("header", True).option(
+                    "inferSchema", True
+                ).csv(fpath)
+            else:
+                df = r.json(fpath)
+            # bind the relation name (basename or AS alias) so qualified
+            # references resolve, as they would for a catalog table
+            df = df.alias(spec.table)
+        elif spec.values_sql is not None:
             # Inline VALUES table (round-10): Catalyst compiles the rows
             # to a LocalRelation; rename to the alias column list, else
             # to col0, col1, ... (the DuckDB naming).
