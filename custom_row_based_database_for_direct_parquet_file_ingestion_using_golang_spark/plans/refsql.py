@@ -159,6 +159,31 @@ Round-12 extensions:
     (_rewrite_json_calls). ``json_extract`` / ``->`` (JSON-quoted
     results, no Spark twin) reject loudly. Malformed JSON yields NULL
     here where DuckDB raises (Spark's lenient read — documented).
+  * 1-based bracket indexing/slicing (round-13, _rewrite_brackets):
+    ``arr[n]`` / ``arr[i:j]`` / ``arr[i:]`` / ``arr[:j]`` +
+    list_extract/list_element — closes the ACTIVE drift of Spark's
+    0-based native ``arr[i]`` (try_element_at + nullif(.., 0) for the
+    index-0 edge, slice with inclusive-bounds arithmetic).
+  * ``INSERT ... ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ...
+    [WHERE ...]`` / ``INSERT OR REPLACE|IGNORE`` (round-13,
+    _insert_on_conflict): Postgres/DuckDB upserts over declared
+    PRIMARY KEYs (parsed in CREATE TABLE, informational on plain
+    appends); DO NOTHING = anti-join + append-only write, DO UPDATE =
+    one left join + COW swap. Plus ``INSERT INTO t BY NAME SELECT``
+    (name-bound set inserts) and column DEFAULTs (omitted columns take
+    them; explicit NULL stays NULL).
+  * CTE-fronted DML (round-13): ``WITH ... INSERT|UPDATE|DELETE|MERGE``
+    — bound CTE frames resolve before the catalog in every relation
+    read; a CTE over the DML's own target sees the pre-statement
+    snapshot.
+  * Direct file queries (round-13): ``FROM 'path.parquet'`` /
+    read_parquet|read_csv|read_json('path') — the native distributed
+    scan with full pushdown/pruning; basename relation binding.
+  * ``EXPORT DATABASE 'path' [FORMAT ...]`` / ``IMPORT DATABASE`` —
+    whole-catalog snapshot + all-or-nothing rebuild (tables, declared
+    types/PKs/defaults, partition layout, view SQL in creation order).
+  * ``DESCRIBE SELECT ...`` / ``SUMMARIZE SELECT ...`` — query-shaped
+    schema preflight (analysis-only) and query-result profiling.
 """
 
 from __future__ import annotations
