@@ -5629,6 +5629,9 @@ class RefSQL:
                     fmt = (
                         "csv" if low.endswith(".csv")
                         else "orc" if low.endswith(".orc")
+                        else "jsonl" if low.endswith(
+                            (".jsonl", ".json", ".ndjson")
+                        )
                         else "parquet"
                     )
                 exists = True
@@ -5641,12 +5644,16 @@ class RefSQL:
                         self.engine.ingest_csv(src_path, table)
                     elif fmt == "orc":
                         self.engine.ingest_orc(src_path, table)
+                    elif fmt in ("jsonl", "json"):
+                        # round-13: jsonl — symmetry with COPY TO (the
+                        # interchange format corpora actually move in)
+                        self.engine.ingest_jsonl(src_path, table)
                     elif fmt == "parquet":
                         self.engine.ingest_parquet(src_path, table)
                     else:
                         raise ParseError(
                             f"COPY FROM format {fmt!r} not supported "
-                            "(parquet|csv|orc)"
+                            "(parquet|csv|jsonl|orc)"
                         )
                     return f"created '{table}' from {src_path}"
                 spark = self.engine.spark
@@ -5656,12 +5663,18 @@ class RefSQL:
                     ).csv(src_path)
                 elif fmt == "orc":
                     new = spark.read.orc(src_path)
+                elif fmt in ("jsonl", "json"):
+                    # append path: read with the DECLARED schema so jsonl
+                    # type inference can't drift the table's types
+                    new = spark.read.schema(
+                        self.engine.catalog.get(table).schema
+                    ).json(src_path)
                 elif fmt == "parquet":
                     new = spark.read.parquet(src_path)
                 else:
                     raise ParseError(
                         f"COPY FROM format {fmt!r} not supported "
-                        "(parquet|csv|orc)"
+                        "(parquet|csv|jsonl|orc)"
                     )
                 n = self.engine.append_df(table, new)
                 return f"appended {n} row(s) to '{table}'"

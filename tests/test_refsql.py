@@ -5056,3 +5056,12 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
     # unknown extension rejects with guidance
     with pytest.raises(ParseError):
         e.ref_sql("SELECT * FROM '/tmp/whatever.dat'")
+    # CTAS straight off a file (zero-DDL -> declared table in one step)
+    e.ref_sql(f"CREATE TABLE natc AS SELECT n_name, n_regionkey "
+              f"FROM '{nat}' WHERE n_nationkey < 5")
+    assert e.ref_sql("SELECT count(*) AS n FROM natc").collect()[0][0] == 5
+    # COPY FROM jsonl (round-13 symmetry with COPY TO): create + append,
+    # the append re-read under the DECLARED schema (no inference drift)
+    e.ref_sql(f"COPY njl FROM '{tmp_path / 'nat_jsonl'}' FORMAT jsonl")
+    e.ref_sql(f"COPY njl FROM '{tmp_path / 'nat_jsonl'}' FORMAT jsonl")
+    assert e.ref_sql("SELECT count(*) AS n FROM njl").collect()[0][0] == 50
