@@ -5056,6 +5056,18 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
     # unknown extension rejects with guidance
     with pytest.raises(ParseError):
         e.ref_sql("SELECT * FROM '/tmp/whatever.dat'")
+    # hive-partitioned DIRECTORY query through read_parquet: the
+    # partition-column filter prunes whole directories (the 100-TB
+    # landing-zone exploration shape)
+    e.ref_sql("CREATE TABLE ev (d TEXT, x INT) PARTITIONED BY (d)")
+    e.ref_sql("INSERT INTO ev VALUES ('m', 1), ('m', 2), ('t', 3)")
+    e.ref_sql(f"COPY ev TO '{tmp_path / 'ev_hive'}' PARTITION BY (d)")
+    dfp = e.ref_sql(f"SELECT x FROM read_parquet('{tmp_path / 'ev_hive'}') "
+                    "WHERE d = 'm' ORDER BY x")
+    assert [r.x for r in dfp.collect()] == [1, 2]
+    pf = [ln for ln in plan_text(dfp).splitlines()
+          if "PartitionFilters" in ln]
+    assert pf and "isnotnull(d" in pf[0] and "(d" in pf[0]
     # CTAS straight off a file (zero-DDL -> declared table in one step)
     e.ref_sql(f"CREATE TABLE natc AS SELECT n_name, n_regionkey "
               f"FROM '{nat}' WHERE n_nationkey < 5")
