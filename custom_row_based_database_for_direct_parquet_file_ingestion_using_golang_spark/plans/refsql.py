@@ -2075,6 +2075,47 @@ def _contains_agg_call(buf: list[str]) -> bool:
     return has_agg
 
 
+def _sniff_file_format(path: str) -> str:
+    """Round-13 direct file queries: format from the extension."""
+    low = path.lower()
+    if low.endswith((".parquet", ".pq")):
+        return "parquet"
+    if low.endswith(".csv"):
+        return "csv"
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return "json"
+    if low.endswith(".orc"):
+        return "orc"
+    raise ParseError(
+        f"can't infer a format from {path!r} — use read_parquet/"
+        "read_csv/read_json('path') to name it"
+    )
+
+
+_FILE_TABLE_FNS = {
+    "read_parquet": "parquet",
+    "read_csv": "csv",
+    "read_json": "json",
+    "read_json_auto": "json",
+}
+
+
+def _file_relation_name(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base.rsplit(".", 1)[0] or base
+
+
+def _read_file_df(spark, path: str, fmt: str) -> DataFrame:
+    r = spark.read
+    if fmt == "parquet":
+        return r.parquet(path)
+    if fmt == "orc":
+        return r.orc(path)
+    if fmt == "csv":
+        return r.option("header", True).option("inferSchema", True).csv(path)
+    return r.json(path)
+
+
 def _join_side(
     cur: _Cursor, weak_typing: bool = False, resolver=None,
 ) -> tuple["str | tuple", "str | None"]:
@@ -2084,6 +2125,29 @@ def _join_side(
     a derived table ``(SELECT ...) AS x[(c1, ...)]`` (marker
     ``("__subselect__", spec, clauses, cols)``) — alias mandatory for
     both inline forms."""
+    if cur.peek() is not None and _is_string_lit(cur.peek()):
+        # Round-13: a FILE as a join side — ``JOIN 'dim.parquet' [AS d]
+        # ON ...`` (DuckDB surface); binds as the basename sans
+        # extension unless aliased, reads via the native scan.
+        path = cur.next()[1:-1]
+        fmt = _sniff_file_format(path)
+        jalias = _file_relation_name(path)
+        if cur.peek_kw() == "as":
+            cur.next()
+            jalias = _unquote(cur.next())
+        return ("__file__", path, fmt), jalias
+    if cur.peek_kw() in _FILE_TABLE_FNS and cur.peek(1) == "(":
+        fn = cur.next().lower()
+        cur.next()
+        ptok = cur.next()
+        if not _is_string_lit(ptok) or cur.next() != ")":
+            raise ParseError(f"{fn}() takes one quoted path")
+        path = ptok[1:-1]
+        jalias = _file_relation_name(path)
+        if cur.peek_kw() == "as":
+            cur.next()
+            jalias = _unquote(cur.next())
+        return ("__file__", path, _FILE_TABLE_FNS[fn]), jalias
     if cur.peek() == "(" and cur.peek_kw(1) == "values":
         cur.next()
         cur.next()
@@ -2739,43 +2803,22 @@ def parse_select(
         # Format from the extension; the relation binds as the file's
         # basename sans extension (DuckDB's naming), AS overrides.
         path = cur.next()[1:-1]
-        low = path.lower()
-        if low.endswith((".parquet", ".pq")):
-            fmt = "parquet"
-        elif low.endswith(".csv"):
-            fmt = "csv"
-        elif low.endswith((".jsonl", ".json", ".ndjson")):
-            fmt = "json"
-        elif low.endswith(".orc"):
-            fmt = "orc"
-        else:
-            raise ParseError(
-                f"can't infer a format from {path!r} — use read_parquet/"
-                "read_csv/read_json('path') to name it"
-            )
-        spec.file_path = (path, fmt)
-        base = os.path.basename(path)
-        spec.table = base.rsplit(".", 1)[0] or base
+        spec.file_path = (path, _sniff_file_format(path))
+        spec.table = _file_relation_name(path)
         if cur.peek_kw() == "as":
             cur.next()
             spec.alias = _unquote(cur.next())
             spec.table = spec.alias
-    elif (
-        cur.peek_kw() in ("read_parquet", "read_csv", "read_json",
-                          "read_json_auto")
-        and cur.peek(1) == "("
-    ):
+    elif cur.peek_kw() in _FILE_TABLE_FNS and cur.peek(1) == "(":
         # Round-13: the explicit-format file table functions (DuckDB).
         fn = cur.next().lower()
         cur.next()
         ptok = cur.next()
         if not _is_string_lit(ptok) or cur.next() != ")":
             raise ParseError(f"{fn}() takes one quoted path")
-        fmt = {"read_parquet": "parquet", "read_csv": "csv"}.get(fn, "json")
         path = ptok[1:-1]
-        spec.file_path = (path, fmt)
-        base = os.path.basename(path)
-        spec.table = base.rsplit(".", 1)[0] or base
+        spec.file_path = (path, _FILE_TABLE_FNS[fn])
+        spec.table = _file_relation_name(path)
         if cur.peek_kw() == "as":
             cur.next()
             spec.alias = _unquote(cur.next())
@@ -3909,6 +3952,9 @@ class RefSQL:
                     f"have {len(df.columns)}"
                 )
             return df.toDF(*names)
+        if isinstance(jtable, tuple) and jtable[0] == "__file__":
+            _, path, fmt = jtable
+            return _read_file_df(self.engine.spark, path, fmt)
         if isinstance(jtable, tuple) and jtable[0] == "__subselect__":
             _, sub_spec, sub_clauses, cols = jtable
             df = build_select(
@@ -3972,17 +4018,7 @@ class RefSQL:
                     "VERSION AS OF applies to tables, not file paths"
                 )
             fpath, fmt = spec.file_path
-            r = self.engine.spark.read
-            if fmt == "parquet":
-                df = r.parquet(fpath)
-            elif fmt == "orc":
-                df = r.orc(fpath)
-            elif fmt == "csv":
-                df = r.option("header", True).option(
-                    "inferSchema", True
-                ).csv(fpath)
-            else:
-                df = r.json(fpath)
+            df = _read_file_df(self.engine.spark, fpath, fmt)
             # bind the relation name (basename or AS alias) so qualified
             # references resolve, as they would for a catalog table
             df = df.alias(spec.table)

@@ -5056,6 +5056,18 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
     # unknown extension rejects with guidance
     with pytest.raises(ParseError):
         e.ref_sql("SELECT * FROM '/tmp/whatever.dat'")
+    # files as JOIN sides (round-13): basename binding + AS override
+    cust = f"{sf_dir}/customer.parquet"
+    reg = f"{sf_dir}/region.parquet"
+    q = (f"SELECT c.c_name, nation.n_name FROM '{cust}' AS c "
+         f"JOIN '{nat}' ON c.c_nationkey = nation.n_nationkey "
+         "WHERE c.c_custkey <= 3 ORDER BY c.c_custkey")
+    assert [tuple(r) for r in e.ref_sql(q).collect()] == con.execute(q).fetchall()
+    q = (f"SELECT r.r_name, CAST(count(*) AS BIGINT) AS n "
+         f"FROM '{nat}' AS nn JOIN read_parquet('{reg}') AS r "
+         "ON nn.n_regionkey = r.r_regionkey GROUP BY r.r_name "
+         "ORDER BY r.r_name")
+    assert [tuple(r) for r in e.ref_sql(q).collect()] == con.execute(q).fetchall()
     # hive-partitioned DIRECTORY query through read_parquet: the
     # partition-column filter prunes whole directories (the 100-TB
     # landing-zone exploration shape)
