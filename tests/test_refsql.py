@@ -5056,6 +5056,13 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
     # unknown extension rejects with guidance
     with pytest.raises(ParseError):
         e.ref_sql("SELECT * FROM '/tmp/whatever.dat'")
+    # external-table pattern: a logical VIEW over a file query — the
+    # view's SELECT text (and its file path) persists, binds at CREATE,
+    # and reads the CURRENT file contents at each reference
+    e.ref_sql(f"CREATE VIEW landing AS SELECT n_nationkey, n_name "
+              f"FROM '{nat}' WHERE n_regionkey = 0")
+    assert e.ref_sql(
+        "SELECT count(*) AS n FROM landing").collect()[0][0] == 5
     # files as JOIN sides (round-13): basename binding + AS override
     cust = f"{sf_dir}/customer.parquet"
     reg = f"{sf_dir}/region.parquet"
