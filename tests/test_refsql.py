@@ -5075,6 +5075,23 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
          "ON nn.n_regionkey = r.r_regionkey GROUP BY r.r_name "
          "ORDER BY r.r_name")
     assert [tuple(r) for r in e.ref_sql(q).collect()] == con.execute(q).fetchall()
+    # ASOF over file sides flows through the same join-side machinery
+    # (unqualified projection — the union-tag ASOF plan's existing
+    # contract, identical over tables)
+    ev = f"{sf_dir}/events.parquet"
+    e.ref_sql(f"CREATE TABLE clk AS SELECT event_id AS cid, user_id, ts "
+              f"FROM '{ev}' WHERE event_type = 'click'")
+    e.ref_sql(f"CREATE TABLE buy AS SELECT event_id AS bid, "
+              f"user_id AS uid, ts AS bts FROM '{ev}' "
+              "WHERE event_type = 'purchase'")
+    e.ref_sql(f"COPY clk TO '{tmp_path / 'clk_f'}'")
+    e.ref_sql(f"COPY buy TO '{tmp_path / 'buy_f'}'")
+    rows = e.ref_sql(
+        f"SELECT cid, bid FROM read_parquet('{tmp_path / 'clk_f'}') AS c "
+        f"ASOF JOIN read_parquet('{tmp_path / 'buy_f'}') AS b "
+        "ON c.user_id = b.uid AND c.ts >= b.bts ORDER BY cid LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and all(r.bid is not None for r in rows)
     # hive-partitioned DIRECTORY query through read_parquet: the
     # partition-column filter prunes whole directories (the 100-TB
     # landing-zone exploration shape)
