@@ -171,6 +171,43 @@ class Engine:
         self.store.init_empty(name, meta.schema, meta.partition_by)
         self.catalog.add_table(meta)
 
+    def set_default(self, name: str, column: str, value: Any) -> None:
+        """ALTER TABLE ... ALTER COLUMN c SET DEFAULT <lit> — catalog-only
+        metadata; the value coerces to the declared type NOW (a bad
+        default fails the ALTER, not a later insert)."""
+        meta = self.catalog.get(name)
+        cols = []
+        found = False
+        for c in meta.columns:
+            if c.name == column:
+                cols.append(
+                    ColumnDef(c.name, c.decl, _coerce(value, c.decl), True)
+                )
+                found = True
+            else:
+                cols.append(c)
+        if not found:
+            raise ValueError(f"no column '{column}' in '{name}'")
+        meta.columns = cols
+        self.catalog.update_table(meta)
+
+    def drop_default(self, name: str, column: str) -> None:
+        """ALTER TABLE ... ALTER COLUMN c DROP DEFAULT — omitted inserts
+        go back to NULL."""
+        meta = self.catalog.get(name)
+        cols = []
+        found = False
+        for c in meta.columns:
+            if c.name == column:
+                cols.append(ColumnDef(c.name, c.decl))
+                found = True
+            else:
+                cols.append(c)
+        if not found:
+            raise ValueError(f"no column '{column}' in '{name}'")
+        meta.columns = cols
+        self.catalog.update_table(meta)
+
     def _coldefs(
         self,
         columns: list[tuple[str, str]],

@@ -5779,6 +5779,45 @@ class RefSQL:
                     f"altered '{table}': renamed column {old_col} "
                     f"to {new_col}"
                 )
+            if action == "alter":
+                # Round-13 DEFAULT lifecycle (DuckDB/Postgres): ``ALTER
+                # TABLE t ALTER [COLUMN] c SET DEFAULT <lit> | DROP
+                # DEFAULT`` — catalog-only metadata; the value coerces
+                # to the declared type immediately (a bad default fails
+                # the ALTER, not a later insert).
+                if cur.peek_kw() == "column":
+                    cur.next()
+                colname = _unquote(cur.next())
+                sub = cur.next().lower()
+                if sub == "set":
+                    cur.expect_kw("default")
+                    tok2 = cur.next()
+                    if tok2.upper() == "NULL":
+                        dval: Any = None
+                    else:
+                        lit = _literal_value(tok2)
+                        dval = lit if lit is not None else _unquote(tok2)
+                        if not _is_string_lit(tok2) and lit is None:
+                            raise ParseError("DEFAULT takes a literal value")
+                    if not cur.done():
+                        raise ParseError(
+                            f"unexpected token {cur.peek()!r} after "
+                            "SET DEFAULT"
+                        )
+                    self.engine.set_default(table, colname, dval)
+                    return f"altered '{table}': {colname} DEFAULT {dval!r}"
+                if sub == "drop":
+                    cur.expect_kw("default")
+                    if not cur.done():
+                        raise ParseError(
+                            f"unexpected token {cur.peek()!r} after "
+                            "DROP DEFAULT"
+                        )
+                    self.engine.drop_default(table, colname)
+                    return f"altered '{table}': {colname} default dropped"
+                raise ParseError(
+                    "ALTER COLUMN supports SET DEFAULT / DROP DEFAULT"
+                )
             cur.expect_kw("column")
             colname = _unquote(cur.next())
             if action == "add":
@@ -5797,8 +5836,8 @@ class RefSQL:
                 self.engine.drop_column(table, colname)
                 return f"altered '{table}': dropped {colname}"
             raise ParseError(
-                f"ALTER TABLE supports ADD/DROP/RENAME COLUMN and "
-                f"RENAME TO, got {action!r}"
+                f"ALTER TABLE supports ADD/DROP/RENAME COLUMN, ALTER "
+                f"COLUMN SET/DROP DEFAULT, and RENAME TO, got {action!r}"
             )
         if verb == "explain":
             # Dialect extension: ``EXPLAIN SELECT ...`` returns the Catalyst

@@ -5113,3 +5113,29 @@ def test_from_file_path_vs_duckdb(spark, tmp_path, sf_dir):
     e.ref_sql(f"COPY njl FROM '{tmp_path / 'nat_jsonl'}' FORMAT jsonl")
     e.ref_sql(f"COPY njl FROM '{tmp_path / 'nat_jsonl'}' FORMAT jsonl")
     assert e.ref_sql("SELECT count(*) AS n FROM njl").collect()[0][0] == 50
+
+
+def test_alter_column_default_lifecycle(spark, tmp_path):
+    """Round-13: ``ALTER TABLE t ALTER [COLUMN] c SET DEFAULT <lit> /
+    DROP DEFAULT`` — the catalog-only lifecycle for column defaults;
+    the value coerces to the declared type at ALTER time (a bad default
+    fails the ALTER), and the change persists across restarts."""
+    e = Engine(spark, str(tmp_path / "ad"))
+    e.ref_sql("CREATE TABLE t (id INT, v INT)")
+    e.ref_sql("INSERT INTO t (id) VALUES (1)")
+    e.ref_sql("ALTER TABLE t ALTER COLUMN v SET DEFAULT 42")
+    e.ref_sql("INSERT INTO t (id) VALUES (2)")
+    e.ref_sql("ALTER TABLE t ALTER v DROP DEFAULT")
+    e.ref_sql("INSERT INTO t (id) VALUES (3)")
+    assert [tuple(r) for r in e.ref_sql(
+        "SELECT * FROM t ORDER BY id").collect()
+    ] == [(1, None), (2, 42), (3, None)]
+    with pytest.raises(ValueError):  # coerces at ALTER, not at insert
+        e.ref_sql("ALTER TABLE t ALTER COLUMN v SET DEFAULT 'nope'")
+    with pytest.raises(ValueError):  # unknown column
+        e.ref_sql("ALTER TABLE t ALTER COLUMN zz SET DEFAULT 1")
+    # persists across engine restarts
+    e.ref_sql("ALTER TABLE t ALTER COLUMN v SET DEFAULT 7")
+    e2 = Engine(spark, str(tmp_path / "ad"))
+    e2.ref_sql("INSERT INTO t (id) VALUES (4)")
+    assert e2.ref_sql("SELECT v FROM t WHERE id = 4").collect()[0][0] == 7
