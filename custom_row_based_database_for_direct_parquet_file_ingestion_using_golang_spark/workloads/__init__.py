@@ -55,103 +55,14 @@ from . import sketches  # noqa: F401, E402
 # tests/test_oracle_parity.py pins set(PRIORITY) == set(QUERIES) so a
 # curation edit can never drop an entry from the rotation again.
 PRIORITY: list[str] = [
-    # (1) the two round-12 DEBUTS (judge-rehearsed green at sf0.01 in the
-    # r12 verdict: 200/200 and 500/500 hash-match) — first driver checks.
-    "refsql_lateral_topk",
-    "text_dup_ngram_chars",
-    # (2) the 47-entry r8-green block — 5 rounds stale at r13, AT the
-    # policy limit: every entry drains this round.
-    "refsql_merge_source_delete",
-    "skew_salted_join",
-    "crossmodal_image_text_neardup",
-    "embedding_similarity_join",
-    "refsql_string_agg",
-    "refsql_filtered_agg",
-    "cube_status_priority",
-    "embedding_norms_stats",
-    "json_extract_props",
-    "sample_hash_deterministic",
-    "split_train_eval_stratified",
-    "text_fingerprints",
-    "agg_global",
-    "distinct_values",
-    "filter_like",
-    "filter_not_and_or",
-    "join_anti_not_exists",
-    "join_outer_suppliers_per_nation",
-    "join_semi_exists",
-    "order_limit_offset",
-    "pipeline_curate_corpus",
-    "projection_alias",
-    "q10_returned_revenue_top20",
-    "q14_promo_revenue_share",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_priority_with_exists",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "setop_union_intersect_except",
-    "subquery_above_avg",
-    "stream_tumbling_counts",
-    "stream_stream_join",
-    "stream_stateful_user_totals",
-    "ann_brute_force_top10",
-    # ann_ivf_top10's seat (retired in r13 swap #3 — see below): refilled
-    # oldest-evidence-first by the leading r9-green entry, which was due
-    # at r14 anyway.
-    "refsql_in_or_membership",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "zorder_optimized_scan",
-    "q01_pricing_summary",
-    "window_topk_per_group",
-    "bm25_top10",
-    "dedup_exact_survivors",
-    "similar_pairs_top15",
-    "weak_typing_filter",
-    # (3) oldest-r9 filler (2 debuts + 47 r8-green leaves exactly one
-    # slot; refsql_correlated_scalar is the oldest remaining evidence —
-    # it re-greened r9 out of the r8 block, so it drains here).
-    "refsql_correlated_scalar",
-    # -- ~50-slot window boundary (50 entries above this line). Below,
-    # strictly oldest-evidence-first: the three round-13 debuts (entered
-    # by one-for-one swaps under the registry freeze) lead the r14
-    # window, then the r9-green block (45 entries remain after the
-    # retirements + the in-window seat refill — 5 rounds stale at r14,
-    # ALL must drain then; 3 debuts + 45 r9 + the 2 oldest r10-green
-    # fillers = 50 seats the r14 window exactly), then r10-green (r15
-    # material),
-    # then r11-green, then the rotated-out round-12 window (r12-green,
-    # freshest evidence) at the tail.
-    #
-    # Round-13 debuts, entered by one-for-one swap under the freeze
-    # (registry holds at 248): refsql_update_from (oracle-checked join
-    # update) replaces the retired ann_ivf_pq_top10 (rows-only,
-    # redundant by composition with ann_ivf_top10 + ann_pq_top10;
-    # operator keeps its pytests), and refsql_lateral_group_by
-    # (oracle-checked grouped-lateral decorrelation, DuckDB native
-    # grouped LATERAL as oracle) replaces the retired
-    # dedup_incremental_lsh (rows-only; coverage kept by
-    # dedup_minhash_lsh — same signature/band machinery — plus the
-    # join-shape pytests, which now call the function directly).
-    # Swap #3: refsql_json_family (oracle-checked JSON text-extraction
-    # family through the dialect — '->>', json_extract_string/
-    # json_extract_path_text, drift-closed json_valid/json_keys/
-    # json_array_length — same SQL runs natively in DuckDB) replaces the
-    # retired ann_ivf_top10 (rows-only; single-assignment IVF is the a=1
-    # special case of the multi-assign machinery the driver still checks
-    # via ann_multiassign_top10 (oracle) + ann_multiassign_recall
-    # (bench); ivf_topk keeps its recall pytests + probe plan pins).
-    # ann_ivf_top10 sat INSIDE the r13 window, so its seat refills
-    # oldest-first with refsql_in_or_membership (moved up from here).
-    # Oracle-checked share 235 -> 238; rows-only 13 -> 10. The r14
-    # arithmetic becomes: 3 debuts + 45 remaining r9-green + 2 oldest
-    # r10-green fillers = 50.
+    # (1) the three round-13 DEBUTS (judge-rehearsed green at sf0.01 in
+    # the r13 verdict: row+schema+value parity vs DuckDB) — first driver
+    # checks.
     "refsql_update_from",
     "refsql_lateral_group_by",
     "refsql_json_family",
+    # (2) the 45-entry r9-green block — 5 rounds stale at r14, AT the
+    # policy limit: every entry drains this round.
     "stream_session_hll_users",
     "refsql_arg_max_orders",
     "refsql_intersect_all",
@@ -197,9 +108,16 @@ PRIORITY: list[str] = [
     "text_pii_redact",
     "text_quality_scores",
     "text_repetition_ratio",
-    # round-10 window entries (r10-green) — r15 material.
+    # (3) the 2 oldest r10-green fillers (3 debuts + 45 r9-green leaves
+    # exactly two slots; these lead the r10 block oldest-evidence-first).
     "refsql_fromless_recursive_anchor",
     "ann_multiassign_top10",
+    # -- ~50-slot window boundary (50 entries above this line). Below,
+    # strictly oldest-evidence-first: the remaining r10-green block (r15
+    # material), then r11-green, then r12-green, then the rotated-out
+    # round-13 window (r13-green, freshest evidence) at the tail.
+    #
+    # remaining round-10 window entries (r10-green) — r15 material.
     "stream_temporal_enrich_buffered",
     "refsql_values_dim_join",
     "refsql_agg_expressions",
@@ -299,8 +217,7 @@ PRIORITY: list[str] = [
     "multimodal_webp_decode",
     "scan_full_table",
     "filter_compare",
-    # the rotated-out round-12 window (r12-green, freshest evidence) —
-    # r16 material.
+    # the rotated-out round-12 window (r12-green) — r16 material.
     "refsql_star_replace",
     "ann_quantized_top10",
     "refsql_join_customer_nation",
@@ -351,6 +268,60 @@ PRIORITY: list[str] = [
     "ts_linear_interpolate",
     "ts_ohlc_daily",
     "refsql_window_value_functions",
+    # the rotated-out round-13 window (r13-green, freshest evidence) —
+    # r16/r17 material: the 2 r12 debuts, the drained 47-entry r8-green
+    # block (re-greened r13), and the oldest-r9 filler that drained with
+    # them.
+    "refsql_lateral_topk",
+    "text_dup_ngram_chars",
+    "refsql_merge_source_delete",
+    "skew_salted_join",
+    "crossmodal_image_text_neardup",
+    "embedding_similarity_join",
+    "refsql_string_agg",
+    "refsql_filtered_agg",
+    "cube_status_priority",
+    "embedding_norms_stats",
+    "json_extract_props",
+    "sample_hash_deterministic",
+    "split_train_eval_stratified",
+    "text_fingerprints",
+    "agg_global",
+    "distinct_values",
+    "filter_like",
+    "filter_not_and_or",
+    "join_anti_not_exists",
+    "join_outer_suppliers_per_nation",
+    "join_semi_exists",
+    "order_limit_offset",
+    "pipeline_curate_corpus",
+    "projection_alias",
+    "q10_returned_revenue_top20",
+    "q14_promo_revenue_share",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_priority_with_exists",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "setop_union_intersect_except",
+    "subquery_above_avg",
+    "stream_tumbling_counts",
+    "stream_stream_join",
+    "stream_stateful_user_totals",
+    "ann_brute_force_top10",
+    "refsql_in_or_membership",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "zorder_optimized_scan",
+    "q01_pricing_summary",
+    "window_topk_per_group",
+    "bm25_top10",
+    "dedup_exact_survivors",
+    "similar_pairs_top15",
+    "weak_typing_filter",
+    "refsql_correlated_scalar",
 ]
 
 def ordered_queries() -> dict[str, "registry.QueryFn"]:  # noqa: F821
