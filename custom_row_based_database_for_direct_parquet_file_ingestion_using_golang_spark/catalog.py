@@ -15,6 +15,7 @@ Type mapping (SURVEY.md §1.3):
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import tempfile
@@ -22,6 +23,31 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 from pyspark.sql import types as T
+
+
+def parse_timestamp(text: str, decl: str) -> datetime.datetime:
+    """ISO-8601 timestamp parse ('T' or ' ' separator, optional fraction
+    and offset — the forms both Spark's string→timestamp cast and DuckDB
+    accept). Loud on failure: the declared schema is authoritative."""
+    s = text.strip()
+    for cand in (s, s.replace(" ", "T", 1)):
+        try:
+            return datetime.datetime.fromisoformat(cand)
+        except ValueError:
+            continue
+    raise ValueError(
+        f"cannot coerce {text!r} to declared {decl} "
+        f"(expected ISO-8601, e.g. '2024-01-02 03:04:05[.ffffff]')"
+    )
+
+
+def parse_date(text: str, decl: str) -> datetime.date:
+    s = text.strip()
+    try:
+        return datetime.date.fromisoformat(s)
+    except ValueError:
+        # Spark's cast also accepts a full timestamp string, truncating.
+        return parse_timestamp(s, decl).date()
 
 
 class RefType(str, Enum):
@@ -56,6 +82,27 @@ def spark_type_for(decl: str) -> T.DataType:
         return T._parse_datatype_string(decl)
     except Exception:
         return _SPARK_TYPE[RefType(decl.upper())]  # e.g. lowercase "text"
+
+
+def _default_to_json(value: object) -> object:
+    """Round-14: temporal DEFAULTs (datetime/date) persist as ISO strings
+    — ``json.dump`` has no datetime encoder; ``_default_from_json``
+    restores the typed value from the column's declared type."""
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    return value
+
+
+def _default_from_json(decl: str, value: object) -> object:
+    if isinstance(value, str):
+        t = spark_type_for(decl)
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return parse_timestamp(value, decl)
+        if isinstance(t, T.DateType):
+            return parse_date(value, decl)
+    return value
 
 
 @dataclass
@@ -95,7 +142,8 @@ class TableMeta:
     def to_json(self) -> dict:
         out = {
             "columns": [
-                [c.name, c.decl, c.default] if c.has_default
+                [c.name, c.decl, _default_to_json(c.default)]
+                if c.has_default
                 else [c.name, c.decl]
                 for c in self.columns
             ],
@@ -111,7 +159,8 @@ class TableMeta:
         return TableMeta(
             name=name,
             columns=[
-                ColumnDef(c[0], c[1], c[2], True) if len(c) == 3
+                ColumnDef(c[0], c[1], _default_from_json(c[1], c[2]), True)
+                if len(c) == 3
                 else ColumnDef(c[0], c[1])
                 for c in d["columns"]
             ],

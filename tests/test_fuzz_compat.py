@@ -1209,6 +1209,10 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
     # round-13 upsert target: same PRIMARY KEY DDL parses in both engines
     e.ref_sql("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
     con.execute("CREATE TABLE pk (id INT PRIMARY KEY, w INT)")
+    # round-14 temporal DML target: TIMESTAMP column via the Spark-DDL
+    # passthrough; typed-literal AND plain-string VALUES (r13 probe #1)
+    e.ref_sql("CREATE TABLE ev (id INT PRIMARY KEY, ts TIMESTAMP)")
+    con.execute("CREATE TABLE ev (id INT PRIMARY KEY, ts TIMESTAMP)")
     rng = random.Random(
         int(os.environ.get("SPARKDB_FUZZ_SEED", "0")) * 104729 + 55501
     )
@@ -1223,6 +1227,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
             for r in e.table("t").collect()
         ) + sorted(
             (str(r.id), str(r.w)) for r in e.table("pk").collect()
+        ) + sorted(
+            (str(r.id), str(r.ts)) for r in e.table("ev").collect()
         )
         want = sorted(
             tuple(str(c) for c in row)
@@ -1230,8 +1236,18 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
         ) + sorted(
             tuple(str(c) for c in row)
             for row in con.execute("SELECT id, w FROM pk").fetchall()
+        ) + sorted(
+            tuple(str(c) for c in row)
+            for row in con.execute("SELECT id, ts FROM ev").fetchall()
         )
         return got, want
+
+    def rand_ts() -> str:
+        return (
+            f"2024-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d} "
+            f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:"
+            f"{rng.randint(0, 59):02d}"
+        )
 
     # seed rows (one NULL id — the three-valued DML edge)
     for i in range(8):
@@ -1249,7 +1265,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
             ["ins", "ins_dl", "upd_in", "upd_plain", "del_in", "del_plain",
              "upd_expr", "upd_swapish", "upd_from",
              "oc_nothing", "oc_update", "oc_replace",
-             "cte_ins", "cte_del"]
+             "cte_ins", "cte_del",
+             "ins_ts", "oc_ts", "del_ts"]
         )
         if kind == "ins":
             stmt = (
@@ -1333,6 +1350,29 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
                 )
             else:
                 stmt = f"INSERT OR REPLACE INTO pk VALUES {vals}"
+        elif kind == "ins_ts":
+            # round-14: temporal VALUES — typed literal or plain string,
+            # both must coerce to the declared TIMESTAMP (r13 probe #1)
+            lit = (
+                f"TIMESTAMP '{rand_ts()}'"
+                if rng.random() < 0.5 else f"'{rand_ts()}'"
+            )
+            stmt = (
+                f"INSERT INTO ev VALUES ({next_id}, {lit}) "
+                "ON CONFLICT DO NOTHING"
+            )
+            next_id += 1
+        elif kind == "oc_ts":
+            stmt = (
+                f"INSERT INTO ev VALUES ({rng.randint(0, 5)}, "
+                f"TIMESTAMP '{rand_ts()}') "
+                "ON CONFLICT (id) DO UPDATE SET ts = excluded.ts"
+            )
+        elif kind == "del_ts":
+            stmt = (
+                f"DELETE FROM ev WHERE ts < TIMESTAMP '2024-"
+                f"{rng.randint(2, 11):02d}-01 00:00:00'"
+            )
         elif kind == "del_in":
             neg = rng.choice(["", "NOT "])
             stmt = (
