@@ -1696,6 +1696,11 @@ class ExprParser:
                 raise ParseError("expected ')'")
             return inner, None, None
         tok = self.cur.next()
+        if tok.upper() == "NULL":
+            # Round-14 (r13 probe): a literal NULL operand — ``WHERE
+            # NULL = ANY (SELECT ...)`` — previously fell through to the
+            # column-reference default and died UNRESOLVED_COLUMN.
+            return F.lit(None), None, None
         lit = _literal_value(tok)
         if lit is not None:
             return None, lit, None
@@ -1783,7 +1788,7 @@ class ExprParser:
                 f"{qk.upper()} needs a subquery: {qk.upper()} (SELECT ...)"
             )
         spec2, _, clauses2 = parse_select(
-            self.cur, self.weak, resolver=self.resolver
+            self.cur, self.weak, resolver=self.resolver, subquery=True
         )
         if self.cur.next() != ")":
             raise ParseError(f"expected ')' after {qk.upper()} subquery")
@@ -2678,7 +2683,31 @@ def parse_select(
                 if nxt is None:
                     break
                 nk = cur.peek_kw()
-                if depth == 0 and (nxt == "," or nk in ("from", "as")):
+                # Round-14: ``x IS [NOT] DISTINCT FROM y`` as a SELECT
+                # item — the FROM inside the operator must not end the
+                # select list (Catalyst parses the operator natively,
+                # value-probed vs DuckDB).
+                is_distinct_from = (
+                    nk == "from"
+                    and len(buf) >= 2
+                    and buf[-1].lower() == "distinct"
+                    and (
+                        buf[-2].lower() == "is"
+                        or (
+                            len(buf) >= 3
+                            and buf[-2].lower() == "not"
+                            and buf[-3].lower() == "is"
+                        )
+                    )
+                )
+                if depth == 0 and (
+                    nxt in (",", ")")
+                    or (nk in ("from", "as") and not is_distinct_from)
+                ):
+                    # A ')' at depth 0 ends a FROM-less SUBQUERY's select
+                    # list (``... = ANY (SELECT 1)``, round-14) — the
+                    # caller consumes it; at top level it's an error the
+                    # caller reports.
                     break
                 t = cur.next()
                 if t == "(":
@@ -2686,6 +2715,29 @@ def parse_select(
                 elif t == ")":
                     depth -= 1
                 buf.append(t if _is_string_lit(t) else _unquote_bare(t))
+            d2 = 0
+            for k, b in enumerate(buf):
+                if b == "(":
+                    d2 += 1
+                elif b == ")":
+                    d2 -= 1
+                elif (
+                    d2 == 0
+                    and b.lower() in ("any", "all", "some")
+                    and k >= 1
+                    and buf[k - 1] in ("=", "!=", "<>", "<", "<=", ">", ">=")
+                    and k + 1 < len(buf)
+                    and buf[k + 1] == "("
+                ):
+                    # Round-14: named rejection (r13 verdict item 6) —
+                    # the quantified machinery is a predicate-tree
+                    # rewrite; a projection would need its own subquery
+                    # materialization pass.
+                    raise ParseError(
+                        "quantified comparisons (ANY/ALL/SOME) are "
+                        "predicate-only — use them in WHERE/HAVING, or "
+                        "project CASE WHEN <pred> THEN ... END"
+                    )
             name = " ".join(buf) if len(buf) > 1 else buf[0]
             alias = None
             if cur.peek_kw() == "as":
