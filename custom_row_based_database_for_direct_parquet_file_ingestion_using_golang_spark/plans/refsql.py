@@ -281,6 +281,13 @@ def tokenize(text: str) -> list[str]:
         toks = _rewrite_json_arrows(toks)
     if any(t.lower().startswith("json_") for t in toks if t[0] not in "'\"`"):
         toks = _rewrite_json_calls(toks)
+    # Round-14: the temporal scalar family (value-probed vs DuckDB —
+    # twins pass, closable drift closes, non-twins reject loudly)
+    if any(
+        t.lower() in _TEMPORAL_TRIGGER for t in toks if t[0] not in "'\"`"
+    ):
+        toks = _rewrite_extract(toks)
+        toks = _rewrite_temporal_calls(toks)
     # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
     # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
     # plus the list_extract/list_element dynamic-index spellings.
@@ -701,6 +708,433 @@ def _capture_lhs_primary(out: list[str], i: int, what: str) -> int:
             "expression"
         )
     return j
+
+
+# ---------------------------------------------------------------------------
+# Round-14: the temporal scalar-function family, given the JSON-family
+# treatment (r13 verdict item 3): every spelling below was VALUE-PROBED
+# vs DuckDB before entering (test_temporal_functions_vs_duckdb). Twins
+# pass through untouched; closable drift is closed by construction;
+# non-twins reject loudly; everything is documented in DIALECT.md.
+# ---------------------------------------------------------------------------
+
+#: call names that trigger the temporal rewrite pass (checked lowercase)
+_TEMPORAL_TRIGGER = frozenset({
+    "strftime", "strptime", "epoch", "epoch_ms", "epoch_us", "epoch_ns",
+    "to_timestamp", "age", "dayname", "monthname", "date_part",
+    "datepart", "date_trunc", "date_diff", "datediff", "make_timestamp",
+    "dayofweek", "weekday", "isodow", "decade", "century", "millennium",
+    "extract",
+})
+
+#: DuckDB strftime/strptime %-codes with an exact Spark datetime-pattern
+#: twin (probed): the '-' prefix is DuckDB's no-pad modifier.
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd", "-d": "d",
+    "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
+    "S": "ss", "-S": "s", "f": "SSSSSS", "g": "SSS", "p": "a",
+    "j": "DDD", "-j": "D", "a": "EEE", "A": "EEEE", "b": "MMM",
+    "h": "MMM", "B": "MMMM",
+}
+
+#: date_part fields DuckDB and Spark agree on exactly (value + effective
+#: type), after alias canonicalization — pass through untouched.
+_PART_TWINS = frozenset({
+    "year", "quarter", "month", "week", "day", "hour", "minute", "doy",
+})
+
+#: DuckDB part-name aliases → canonical part
+_PART_ALIASES = {
+    "years": "year", "y": "year", "yr": "year", "yrs": "year",
+    "quarters": "quarter", "months": "month", "mon": "month",
+    "mons": "month", "weeks": "week", "weekofyear": "week",
+    "days": "day", "d": "day", "dayofmonth": "day",
+    "hours": "hour", "h": "hour", "minutes": "minute", "min": "minute",
+    "mins": "minute", "seconds": "second", "s": "second", "sec": "second",
+    "secs": "second", "milliseconds": "millisecond", "ms": "millisecond",
+    "msec": "millisecond", "microseconds": "microsecond",
+    "us": "microsecond", "usec": "microsecond", "dayofweek": "dow",
+    "dayofyear": "doy", "decades": "decade", "centuries": "century",
+    "millenniums": "millennium", "millenia": "millennium",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    """Translate a DuckDB/C strftime format to Spark's Java datetime
+    pattern. Literal runs are single-quoted (with '' escaping) so letters
+    in the text can't be misread as pattern codes; %-codes outside the
+    probed twin table reject loudly (DuckDB itself rejects several of
+    them — %G, %V — so the common surface is what's mapped)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise ParseError("strftime format ends with a bare '%'")
+        code = fmt[i + 1]
+        i += 2
+        if code == "%":
+            lit.append("%")
+            continue
+        if code == "-" and i < len(fmt):
+            code = "-" + fmt[i]
+            i += 1
+        java = _STRFTIME_MAP.get(code)
+        if java is None:
+            raise ParseError(
+                f"strftime code %{code} has no Spark datetime-pattern "
+                f"twin — supported: "
+                f"{', '.join('%' + k for k in sorted(_STRFTIME_MAP))}, %%"
+            )
+        flush()
+        out.append(java)
+    flush()
+    return "".join(out)
+
+
+def _sql_string_token(text: str) -> str:
+    """Wrap python text as a dialect string-literal token (Spark SQL
+    backslash escaping — F.expr re-parses it)."""
+    return "'" + text.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _split_call_args(
+    toks: list[str], open_idx: int
+) -> tuple[list[list[str]], int]:
+    """``toks[open_idx] == '('`` — split the balanced argument list on
+    top-level commas. Returns (args, close_idx)."""
+    args: list[list[str]] = []
+    cur: list[str] = []
+    depth = 1
+    j = open_idx + 1
+    while j < len(toks):
+        t = toks[j]
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, j
+            cur.append(t)
+        elif t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        j += 1
+    raise ParseError("unbalanced parentheses in call")
+
+
+def _floor_div_toks(expr: list[str], unit_micros: int) -> list[str]:
+    """Exact FLOOR division of an integer token expression by a positive
+    unit — boundary-counting semantics need floor, not DIV's
+    truncate-toward-zero, for pre-1970 (negative-epoch) inputs."""
+    u = str(unit_micros)
+    e = ["("] + list(expr) + [")"]
+    return (
+        ["(", "(", *e, "DIV", u, ")", "-", "(", "CASE", "WHEN", *e, "%",
+         u, "!=", "0", "AND", *e, "<", "0", "THEN", "1", "ELSE", "0",
+         "END", ")", ")"]
+    )
+
+
+def _micros_toks(expr: list[str]) -> list[str]:
+    return ["unix_micros", "(", "CAST", "(", "(", *expr, ")", "AS",
+            "TIMESTAMP", ")", ")"]
+
+
+def _canon_part(tok: str, fn: str) -> str:
+    """Canonicalize a LITERAL part-name token; non-literal (dynamic)
+    parts reject loudly — a dynamic part could silently take Spark
+    semantics for the drift-closed fields."""
+    if not _is_string_lit(tok):
+        raise ParseError(
+            f"{fn} needs a literal part name ('year', 'hour', ...) — "
+            "dynamic parts would bypass the DuckDB-semantics rewrites"
+        )
+    part = tok[1:-1].strip().lower()
+    return _PART_ALIASES.get(part, part)
+
+
+def _date_part_toks(part: str, x: list[str], fn: str) -> list[str] | None:
+    """Replacement tokens for ``date_part('<part>', x)``; None = twin
+    (pass through as date_part). Probed vs DuckDB per part:
+    second is truncated BIGINT there vs fractional DECIMAL here;
+    millisecond/microsecond INCLUDE the seconds component; dow is
+    Sunday=0 (Spark's dayofweek is Sunday=1); epoch is fractional
+    DOUBLE seconds."""
+    if part in _PART_TWINS:
+        return None
+    if part == "second":
+        return ["CAST", "(", "date_part", "(", "'SECOND'", ",", "CAST",
+                "(", "(", *x, ")", "AS", "TIMESTAMP", ")", ")", "AS",
+                "BIGINT", ")"]
+    if part == "millisecond":
+        return ["CAST", "(", "date_part", "(", "'SECOND'", ",", "CAST",
+                "(", "(", *x, ")", "AS", "TIMESTAMP", ")", ")", "*",
+                "1000", "AS", "BIGINT", ")"]
+    if part == "microsecond":
+        return ["CAST", "(", "date_part", "(", "'SECOND'", ",", "CAST",
+                "(", "(", *x, ")", "AS", "TIMESTAMP", ")", ")", "*",
+                "1000000", "AS", "BIGINT", ")"]
+    if part == "dow":
+        return ["(", "dayofweek", "(", *x, ")", "-", "1", ")"]
+    if part == "isodow":
+        return ["(", "weekday", "(", *x, ")", "+", "1", ")"]
+    if part == "doy":
+        return ["dayofyear", "(", *x, ")"]
+    if part == "epoch":
+        return ["(", "CAST", "(", *_micros_toks(x), "AS", "DOUBLE", ")",
+                "/", "1000000.0", ")"]
+    if part == "decade":
+        return ["CAST", "(", "FLOOR", "(", "year", "(", *x, ")", "/",
+                "10", ")", "AS", "BIGINT", ")"]
+    if part == "century":
+        return ["CAST", "(", "FLOOR", "(", "(", "year", "(", *x, ")",
+                "-", "1", ")", "/", "100", ")", "+", "1", "AS", "BIGINT",
+                ")"]
+    if part == "millennium":
+        return ["CAST", "(", "FLOOR", "(", "(", "year", "(", *x, ")",
+                "-", "1", ")", "/", "1000", ")", "+", "1", "AS",
+                "BIGINT", ")"]
+    raise ParseError(
+        f"date_part field '{part}' has no probed Spark twin here "
+        "(era/isoyear/timezone fields are rejected rather than allowed "
+        "to drift) — supported: year quarter month week day hour minute "
+        "second millisecond microsecond dow isodow doy epoch decade "
+        "century millennium"
+    )
+
+
+#: sub-day date_diff units in microseconds
+_DIFF_UNIT_MICROS = {
+    "hour": 3_600_000_000, "minute": 60_000_000, "second": 1_000_000,
+    "millisecond": 1_000, "microsecond": 1,
+}
+
+
+def _date_diff_toks(part: str, a: list[str], b: list[str]) -> list[str]:
+    """DuckDB ``date_diff('<part>', a, b)`` counts PARTITION-BOUNDARY
+    crossings (signed), not complete elapsed units — probed:
+    date_diff('day', 23:00, next 01:00) = 1 though only 2h elapsed.
+    Spark's timestampdiff counts complete units, so each part compiles
+    to an explicit boundary-count construction instead."""
+    if part == "year":
+        return ["(", "year", "(", *b, ")", "-", "year", "(", *a, ")", ")"]
+    if part == "quarter":
+        return ["(", "(", "year", "(", *b, ")", "*", "4", "+", "quarter",
+                "(", *b, ")", ")", "-", "(", "year", "(", *a, ")", "*",
+                "4", "+", "quarter", "(", *a, ")", ")", ")"]
+    if part == "month":
+        return ["(", "(", "year", "(", *b, ")", "*", "12", "+", "month",
+                "(", *b, ")", ")", "-", "(", "year", "(", *a, ")", "*",
+                "12", "+", "month", "(", *a, ")", ")", ")"]
+    if part == "week":
+        # both truncations land on Mondays, so the day delta is an exact
+        # multiple of 7 and DIV is safe for either sign
+        return ["(", "datediff", "(", "CAST", "(", "date_trunc", "(",
+                "'week'", ",", *b, ")", "AS", "DATE", ")", ",", "CAST",
+                "(", "date_trunc", "(", "'week'", ",", *a, ")", "AS",
+                "DATE", ")", ")", "DIV", "7", ")"]
+    if part == "day":
+        return ["datediff", "(", "CAST", "(", "(", *b, ")", "AS", "DATE",
+                ")", ",", "CAST", "(", "(", *a, ")", "AS", "DATE", ")",
+                ")"]
+    if part in _DIFF_UNIT_MICROS:
+        u = _DIFF_UNIT_MICROS[part]
+        return (
+            ["("]
+            + _floor_div_toks(_micros_toks(b), u)
+            + ["-"]
+            + _floor_div_toks(_micros_toks(a), u)
+            + [")"]
+        )
+    raise ParseError(
+        f"date_diff part '{part}' is not supported — supported: year "
+        "quarter month week day hour minute second millisecond "
+        "microsecond"
+    )
+
+
+def _temporal_replacement(
+    name: str, args: list[list[str]]
+) -> list[str] | None:
+    """Replacement token list for one temporal call (args already
+    recursively rewritten), or None to pass the call through as-is."""
+
+    def need(n: int) -> None:
+        if len(args) != n:
+            raise ParseError(f"{name}() takes {n} argument(s)")
+
+    if name in ("strftime", "strptime"):
+        need(2)
+        fmt_tok = args[1][0] if len(args[1]) == 1 else None
+        if fmt_tok is None or not _is_string_lit(fmt_tok):
+            raise ParseError(
+                f"{name} needs a literal format string (dynamic formats "
+                "would bypass the %-code → Spark-pattern translation)"
+            )
+        java = _sql_string_token(_strftime_to_java(fmt_tok[1:-1]))
+        target = "date_format" if name == "strftime" else "to_timestamp"
+        return [target, "(", *args[0], ",", java, ")"]
+    if name == "epoch":
+        need(1)
+        return ["(", "CAST", "(", *_micros_toks(args[0]), "AS", "DOUBLE",
+                ")", "/", "1000000.0", ")"]
+    if name == "epoch_ms":
+        need(1)
+        return ["unix_millis", "(", "CAST", "(", "(", *args[0], ")",
+                "AS", "TIMESTAMP", ")", ")"]
+    if name == "epoch_us":
+        need(1)
+        return _micros_toks(args[0])
+    if name == "epoch_ns":
+        need(1)
+        return ["(", *_micros_toks(args[0]), "*", "1000", ")"]
+    if name == "to_timestamp":
+        # DuckDB's to_timestamp takes NUMERIC seconds (Postgres form);
+        # Spark's 2-arg string-parse form stays native.
+        if len(args) == 1:
+            return ["timestamp_seconds", "(", *args[0], ")"]
+        return None
+    if name == "age":
+        raise ParseError(
+            "age() returns a month-normalized INTERVAL in DuckDB with "
+            "no Spark column-type twin — use date_diff('day'|'month'|"
+            "..., a, b) or timestamp subtraction instead"
+        )
+    if name == "dayname":
+        need(1)
+        return ["date_format", "(", *args[0], ",", "'EEEE'", ")"]
+    if name == "monthname":
+        need(1)
+        return ["date_format", "(", *args[0], ",", "'MMMM'", ")"]
+    if name == "make_timestamp":
+        if len(args) == 1:  # DuckDB: single arg = epoch MICROseconds
+            return ["timestamp_micros", "(", *args[0], ")"]
+        return None  # 6-arg form is an exact twin (probed)
+    if name in ("date_part", "datepart"):
+        need(2)
+        part = _canon_part(args[0][0] if len(args[0]) == 1 else "", name)
+        repl = _date_part_toks(part, args[1], name)
+        if repl is None:
+            return ["date_part", "(", f"'{part}'", ",", *args[1], ")"]
+        return repl
+    if name == "date_trunc":
+        need(2)
+        part = _canon_part(args[0][0] if len(args[0]) == 1 else "", name)
+        if part in ("year", "quarter", "month", "week", "day"):
+            # DuckDB returns DATE at day-or-coarser granularity (probed);
+            # Spark returns midnight TIMESTAMP — closed by the cast.
+            return ["CAST", "(", "date_trunc", "(", f"'{part}'", ",",
+                    *args[1], ")", "AS", "DATE", ")"]
+        if part in ("hour", "minute", "second", "millisecond",
+                    "microsecond"):
+            return ["date_trunc", "(", f"'{part}'", ",", *args[1], ")"]
+        raise ParseError(
+            f"date_trunc part '{part}' is not supported — supported: "
+            "year quarter month week day hour minute second millisecond "
+            "microsecond"
+        )
+    if name in ("date_diff", "datediff"):
+        if name == "datediff" and len(args) == 2:
+            return None  # Spark's native 2-arg day difference
+        need(3)
+        part = _canon_part(args[0][0] if len(args[0]) == 1 else "", name)
+        return _date_diff_toks(part, args[1], args[2])
+    if name in ("dayofweek", "weekday"):
+        # DuckDB: both alias dow (Sunday=0). Spark dayofweek is Sunday=1,
+        # Spark weekday is Monday=0 — both drift, both closed.
+        need(1)
+        return ["(", "dayofweek", "(", *args[0], ")", "-", "1", ")"]
+    if name == "isodow":
+        need(1)
+        return ["(", "weekday", "(", *args[0], ")", "+", "1", ")"]
+    if name == "decade":
+        need(1)
+        return _date_part_toks("decade", args[0], name)
+    if name == "century":
+        need(1)
+        return _date_part_toks("century", args[0], name)
+    if name == "millennium":
+        need(1)
+        return _date_part_toks("millennium", args[0], name)
+    return None
+
+
+def _rewrite_extract(toks: list[str]) -> list[str]:
+    """``EXTRACT(part FROM x)`` → ``date_part('part', x)`` so the ANSI
+    spelling (whose inner FROM the projection capture would otherwise
+    misread) shares the per-part drift closures."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if (
+            out[i].lower() == "extract"
+            and i + 3 < len(out)
+            and out[i + 1] == "("
+            and out[i + 3].lower() == "from"
+        ):
+            part = out[i + 2]
+            _, close = _split_call_args(out, i + 1)
+            inner = out[i + 4 : close]
+            part_lit = part if _is_string_lit(part) else f"'{part}'"
+            out[i : close + 1] = (
+                ["date_part", "(", part_lit, ",", *inner, ")"]
+            )
+        i += 1
+    return out
+
+
+def _rewrite_temporal_calls(toks: list[str]) -> list[str]:
+    """One inside-out pass: each family call's arguments are rewritten
+    recursively first, then the call itself is replaced and SKIPPED
+    (replacements may legitimately contain family names — e.g. the
+    second-closure emits date_part('SECOND', ...) — and must not be
+    re-rewritten)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        low = t.lower()
+        if (
+            t
+            and t[0] not in "'\"`"
+            and low in _TEMPORAL_TRIGGER
+            and low != "extract"
+            and i + 1 < len(out)
+            and out[i + 1] == "("
+        ):
+            args, close = _split_call_args(out, i + 1)
+            args = [_rewrite_temporal_calls(a) for a in args]
+            repl = _temporal_replacement(low, args)
+            if repl is None:
+                rebuilt: list[str] = [out[i], "("]
+                for k, a in enumerate(args):
+                    if k:
+                        rebuilt.append(",")
+                    rebuilt.extend(a)
+                rebuilt.append(")")
+                repl = rebuilt
+            out[i : close + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
+    return out
 
 
 def _rewrite_brackets(toks: list[str]) -> list[str]:

@@ -113,6 +113,14 @@ PRIORITY: list[str] = [
     "refsql_fromless_recursive_anchor",
     "ann_multiassign_top10",
     # -- ~50-slot window boundary (50 entries above this line). Below,
+    # the round-14 debut (entered by the one-for-one swap retiring the
+    # rows-only ann_quantized_top10 — redundant by composition with
+    # embedding_quantize_int8 + ann_brute_force_top10, both oracle-green;
+    # see workloads/scale.py): oracle-checked temporal-family SQL, same
+    # text runs natively in DuckDB. Leads the r15 window. Oracle share
+    # 238 -> 239; rows-only 10 -> 9.
+    "refsql_temporal_family",
+    #
     # strictly oldest-evidence-first: the remaining r10-green block (r15
     # material), then r11-green, then r12-green, then the rotated-out
     # round-13 window (r13-green, freshest evidence) at the tail.
@@ -219,7 +227,6 @@ PRIORITY: list[str] = [
     "filter_compare",
     # the rotated-out round-12 window (r12-green) — r16 material.
     "refsql_star_replace",
-    "ann_quantized_top10",
     "refsql_join_customer_nation",
     "refsql_left_join_counts",
     "refsql_ctas_insert_select",

@@ -1081,16 +1081,13 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The lsh_topk operator keeps its planted-neighbor + fills-k pytests.
 
 
-@query("ann_quantized_top10")  # rows-only: int8 first pass is approximate
-def ann_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Serving-shape ANN: int8-quantized dot-product first pass (4x less
-    # scan bandwidth), exact float rescore of the 4k-candidate set.
-    # Usually identical to brute-force top-10 (pytest pins recall >= 0.9 +
-    # exact rescored scores), but the first pass is lossy by construction,
-    # so the driver records rows-only rather than a value hash.
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return similarity.quantized_topk(emb, "vec_id", "embedding", q, k=10)
+# ann_quantized_top10 retired round-14 in the one-for-one registry swap
+# (for the oracle-checked refsql_temporal_family): rows-only, and the
+# int8 serving shape is covered by composition — embedding_quantize_int8
+# (oracle-green: the quantization step itself is exact and value-checked
+# vs DuckDB) feeding the same top-k machinery ann_brute_force_top10
+# checks oracle-green. The quantized_topk operator keeps its recall +
+# exact-rescore pytests (test_operators.py).
 
 
 @query("ann_pq_top10")  # rows-only: PQ codes are approximate by design

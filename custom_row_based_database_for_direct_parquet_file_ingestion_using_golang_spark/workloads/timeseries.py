@@ -699,3 +699,36 @@ def events_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY cnt DESC, hr) AS rn FROM h) "
         "SELECT event_type, hr, cnt FROM r WHERE rn = 1",
     )
+
+
+_TEMPORAL_FAMILY_SQL = (
+    "SELECT date_trunc('week', ts) AS wk, "
+    "CAST(date_part('dow', ts) AS BIGINT) AS dow, "
+    "strftime(MIN(ts), '%Y-%m-%d %H:%M') AS first_seen, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(MAX(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)) "
+    "AS BIGINT) AS max_hours "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+@query("refsql_temporal_family", _TEMPORAL_FAMILY_SQL)
+def refsql_temporal_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14: the temporal scalar family through the dialect, oracle =
+    # the IDENTICAL SQL running natively in DuckDB (the JSON-family
+    # pattern). One statement exercises the probed closures end-to-end:
+    # date_trunc('week') → DATE (the r10 documented drift, now closed),
+    # date_part('dow') Sunday=0 (Spark's dayofweek is Sunday=1),
+    # strftime %-codes translated to Spark datetime patterns over a
+    # wrapped aggregate, and boundary-counting date_diff('hour') (DuckDB
+    # counts hour-boundary crossings, not complete elapsed units) inside
+    # MAX over the exact floor-division construction. Entered by the
+    # round-14 one-for-one registry swap retiring ann_quantized_top10
+    # (rows-only; redundant by composition — see workloads/scale.py).
+    # Scale shape: scan-stage Column algebra + ONE hash aggregate on
+    # (week, dow) — no UDFs, no extra exchanges; the rewrites are
+    # token-level and compile to the same whole-stage-codegen plan
+    # Catalyst gives hand-written Spark SQL.
+    from .core import _ref_select
+
+    return _ref_select(spark, sf_dir, _TEMPORAL_FAMILY_SQL)

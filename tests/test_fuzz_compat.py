@@ -760,6 +760,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
+        "temporal_fn",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -841,6 +842,43 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 "CAST(n_nationkey AS VARCHAR) || ', \"o\": {\"n\": \"' "
                 "|| n_name || '\", \"t\": [\"a\", \"b\"]}}' AS j "
                 "FROM nation) SELECT " + ", ".join(forms) + " FROM d"
+            )
+        elif shape == "temporal_fn":
+            # round-14: the temporal scalar family (value-probed — see
+            # test_temporal_functions_vs_duckdb): twins pass through,
+            # drift-closed parts (dow/second/epoch/date_trunc-to-DATE),
+            # strftime %-translation, boundary-counting date_diff.
+            # Identical SQL runs natively in DuckDB over o_orderdate.
+            forms = rng.sample(
+                [
+                    "date_part('month', o_orderdate) AS ta",
+                    "date_part('dow', o_orderdate) AS tb",
+                    "date_part('doy', o_orderdate) AS tc",
+                    "date_trunc('month', o_orderdate) AS td",
+                    "date_trunc('week', o_orderdate) AS te",
+                    "strftime(o_orderdate, '%Y-%m-%d') AS tf",
+                    "strftime(o_orderdate, '%d/%m/%y %a') AS tg",
+                    "epoch(o_orderdate) AS th",
+                    "epoch_ms(o_orderdate) AS ti",
+                    "dayname(o_orderdate) AS tj",
+                    "monthname(o_orderdate) AS tk",
+                    "date_diff('day', o_orderdate, DATE '1998-08-02') "
+                    "AS tl",
+                    "date_diff('month', o_orderdate, DATE '1997-01-01') "
+                    "AS tm",
+                    "date_diff('week', o_orderdate, DATE '1998-01-05') "
+                    "AS tn",
+                    "isodow(o_orderdate) AS tq",
+                    "century(o_orderdate) AS tp",
+                    "extract(month FROM o_orderdate) AS tr",
+                    "make_date(CAST(date_part('year', o_orderdate) AS "
+                    "INT), 1, 1) AS ts",
+                ],
+                rng.randint(3, 5),
+            )
+            sql = (
+                f"SELECT {', '.join(forms)} FROM orders "
+                f"WHERE o_orderkey < {rng.randint(100, 900)}"
             )
         elif shape == "cond_aggs":
             # round-12: count_if/bool_and/bool_or (same names in DuckDB)

@@ -5302,3 +5302,108 @@ def test_is_distinct_from_projection_vs_duckdb(spark, tmp_path):
         e.ref_sql("SELECT 5 > ALL (SELECT x FROM t) AS b FROM t")
     with pytest.raises(ParseError, match="predicate-only"):
         e.ref_sql("SELECT id, x = ANY (SELECT y FROM t) AS m FROM t")
+
+
+def test_temporal_functions_vs_duckdb(spark, tmp_path):
+    """Round-14 (r13 verdict item 3): the temporal scalar-function family
+    given the JSON-family treatment — every spelling VALUE-PROBED vs
+    DuckDB on the same SQL through the dialect. Twins pass through
+    (date_part year/quarter/month/week/day/hour/minute/doy, date_trunc
+    sub-day, make_date, 6-arg make_timestamp); closable drift is closed
+    by construction (date_part second/ms/us truncation+seconds-inclusion,
+    dow Sunday=0, isodow, epoch fractional DOUBLE, decade/century/
+    millennium, date_trunc day+ → DATE, strftime/strptime %-code
+    translation, epoch_ms/us/ns, to_timestamp numeric seconds, dayname/
+    monthname full names, date_diff BOUNDARY-counting incl. pre-1970
+    floor semantics); non-twins reject loudly (age, era/isoyear parts,
+    unknown %-codes, dynamic parts/formats)."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "tf"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT)")
+        run("INSERT INTO one VALUES (1)")
+    TS = "TIMESTAMP '2024-03-07 15:42:33.123456'"
+    TS0 = "TIMESTAMP '1969-12-30 22:30:00'"
+    D = "DATE '2024-03-07'"
+    cases = [
+        *[f"date_part('{p}', {TS})" for p in (
+            "year", "quarter", "month", "week", "day", "hour", "minute",
+            "second", "millisecond", "microsecond", "dow", "dayofweek",
+            "doy", "dayofyear", "epoch", "isodow", "decade", "century",
+            "millennium", "days", "hours", "mins", "secs")],
+        *[f"date_trunc('{p}', {TS})" for p in (
+            "year", "quarter", "month", "week", "day", "hour", "minute",
+            "second")],
+        f"date_trunc('month', {D})",
+        f"strftime({TS}, '%Y-%m-%d %H:%M:%S')",
+        f"strftime({TS}, '%y/%m/%d %I%p %j %a %A %b %B')",
+        f"strftime({TS}, '%H:%M:%S.%f')",
+        f"strftime({TS}, '%%lit %d and %-m/%-d')",
+        f"strftime({D}, '%Y.%m.%d')",
+        "strptime('2024-03-07 15:42', '%Y-%m-%d %H:%M')",
+        f"epoch({TS})", f"epoch({D})", f"epoch_ms({TS})",
+        f"epoch_us({TS})", f"epoch_ns({TS})",
+        "make_date(2024, 3, 7)",
+        "make_timestamp(2024, 3, 7, 15, 42, 33.5)",
+        "make_timestamp(1704164645123456)",
+        f"datepart('hour', {TS})",
+        f"extract(hour FROM {TS})",
+        f"extract(second FROM {TS})",
+        f"extract(dow FROM {TS})",
+        f"dayname({D})", f"monthname({D})", f"dayname({TS})",
+        f"dayofweek({D})", f"weekday({D})", f"isodow({D})",
+        "dayofweek(DATE '2024-03-10')", "isodow(DATE '2024-03-10')",
+        f"decade({D})", f"century({D})", "century(DATE '2000-01-01')",
+        f"millennium({D})",
+        # boundary-counting date_diff: 2h elapsed but 1 day boundary;
+        # signed when reversed; pre-1970 floor (not truncate) semantics
+        "date_diff('day', TIMESTAMP '2024-01-01 23:00:00', "
+        "TIMESTAMP '2024-01-02 01:00:00')",
+        "date_diff('day', TIMESTAMP '2024-01-02 01:00:00', "
+        "TIMESTAMP '2024-01-01 23:00:00')",
+        "date_diff('month', DATE '2024-01-31', DATE '2024-02-01')",
+        "date_diff('hour', TIMESTAMP '2024-01-01 10:59:00', "
+        "TIMESTAMP '2024-01-01 11:01:00')",
+        "date_diff('hour', TIMESTAMP '2024-01-01 11:01:00', "
+        "TIMESTAMP '2024-01-01 10:59:00')",
+        f"date_diff('hour', {TS0}, TIMESTAMP '1969-12-30 23:30:00')",
+        f"date_diff('minute', {TS0}, {TS})",
+        f"date_diff('second', {TS0}, {TS})",
+        "date_diff('year', DATE '2023-12-31', DATE '2024-01-01')",
+        "date_diff('week', DATE '2024-03-03', DATE '2024-03-04')",
+        "date_diff('week', DATE '2024-03-04', DATE '2024-03-10')",
+        "date_diff('week', DATE '2024-03-10', DATE '2024-03-03')",
+        "date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01')",
+        "datediff('day', TIMESTAMP '2024-01-01 23:00:00', "
+        "TIMESTAMP '2024-01-02 01:00:00')",
+        "to_timestamp(1704164645)", "to_timestamp(1704164645.5)",
+        "to_timestamp(-5.5)",
+    ]
+    for c in cases:
+        q = f"SELECT {c} AS r FROM one"
+        duck = str(con.execute(q).fetchall()[0][0])
+        if duck.endswith("+00:00"):  # DuckDB TIMESTAMPTZ display
+            duck = duck[:-6]
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck, f"{c}: mine={mine} duck={duck}"
+    # loud rejections — never silent Spark-semantics drift
+    for bad in (
+        f"SELECT age({TS}, {TS0}) AS r FROM one",
+        f"SELECT date_part('era', {TS}) AS r FROM one",
+        f"SELECT date_part('isoyear', {TS}) AS r FROM one",
+        f"SELECT date_part(x, {TS}) AS r FROM one",      # dynamic part
+        f"SELECT date_trunc('decade', {TS}) AS r FROM one",
+        f"SELECT strftime({TS}, '%G') AS r FROM one",    # unknown code
+        f"SELECT strftime({TS}, x) AS r FROM one",       # dynamic format
+        f"SELECT date_diff('decade', {D}, {D}) AS r FROM one",
+    ):
+        with pytest.raises(ParseError):
+            e.ref_sql(bad)
+    # call-only rewrite pin: columns NAMED like family functions are
+    # untouched (same contract as the JSON family)
+    e.ref_sql("CREATE TABLE tn (epoch INT, dayofweek INT)")
+    e.ref_sql("INSERT INTO tn VALUES (3, 9)")
+    got = e.ref_sql("SELECT epoch, dayofweek FROM tn").collect()[0]
+    assert (got[0], got[1]) == (3, 9)
