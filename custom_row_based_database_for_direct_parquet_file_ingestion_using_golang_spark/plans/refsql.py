@@ -288,6 +288,15 @@ def tokenize(text: str) -> list[str]:
     ):
         toks = _rewrite_extract(toks)
         toks = _rewrite_temporal_calls(toks)
+    # Round-14: DuckDB FROM-first queries — statement head or ( FROM ... )
+    if toks and (
+        toks[0].lower() == "from"
+        or any(
+            t == "(" and toks[i + 1].lower() == "from"
+            for i, t in enumerate(toks[:-1])
+        )
+    ):
+        toks = _rewrite_from_first(toks)
     # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
     # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
     # plus the list_extract/list_element dynamic-index spellings.
@@ -724,7 +733,7 @@ _TEMPORAL_TRIGGER = frozenset({
     "to_timestamp", "age", "dayname", "monthname", "date_part",
     "datepart", "date_trunc", "date_diff", "datediff", "make_timestamp",
     "dayofweek", "weekday", "isodow", "decade", "century", "millennium",
-    "extract",
+    "extract", "time_bucket", "today", "get_current_timestamp",
 })
 
 #: DuckDB strftime/strptime %-codes with an exact Spark datetime-pattern
@@ -926,6 +935,103 @@ _DIFF_UNIT_MICROS = {
     "millisecond": 1_000, "microsecond": 1,
 }
 
+#: interval unit → (months, micros) per unit count
+_INTERVAL_UNITS = {
+    "microsecond": (0, 1), "millisecond": (0, 1_000),
+    "second": (0, 1_000_000), "minute": (0, 60_000_000),
+    "hour": (0, 3_600_000_000), "day": (0, 86_400_000_000),
+    "week": (0, 604_800_000_000), "month": (1, 0), "quarter": (3, 0),
+    "year": (12, 0), "decade": (120, 0), "century": (1200, 0),
+}
+_INTERVAL_UNIT_ALIASES = {
+    **{k + "s": k for k in _INTERVAL_UNITS},
+    "us": "microsecond", "usec": "microsecond", "ms": "millisecond",
+    "msec": "millisecond", "s": "second", "sec": "second",
+    "secs": "second", "min": "minute", "mins": "minute", "h": "hour",
+    "hr": "hour", "hrs": "hour", "d": "day", "w": "week",
+    "mon": "month", "mons": "month", "y": "year", "yr": "year",
+    "yrs": "year", "centuries": "century", "millennium": None,
+}
+
+
+def _parse_interval_literal(toks: list[str], fn: str) -> tuple[int, int]:
+    """Parse an ``INTERVAL '...'`` / ``INTERVAL n UNIT`` token run into
+    (total_months, total_micros). Mixing month-granularity and
+    fixed-length components rejects (a month has no fixed width)."""
+    if not toks or toks[0].lower() != "interval":
+        raise ParseError(
+            f"{fn} needs a literal INTERVAL first argument "
+            "(e.g. INTERVAL '15 minutes')"
+        )
+    parts: list[str]
+    if len(toks) == 2 and _is_string_lit(toks[1]):
+        parts = toks[1][1:-1].split()
+    else:
+        parts = [
+            t[1:-1] if _is_string_lit(t) else t for t in toks[1:]
+        ]
+    if len(parts) % 2 != 0 or not parts:
+        raise ParseError(
+            f"{fn}: cannot parse INTERVAL {' '.join(parts)!r} — use "
+            "'<n> <unit>' pairs (e.g. '1 day 2 hours')"
+        )
+    months = micros = 0
+    for k in range(0, len(parts), 2):
+        try:
+            n = int(parts[k])
+        except ValueError:
+            raise ParseError(
+                f"{fn}: interval count {parts[k]!r} is not an integer"
+            ) from None
+        unit = parts[k + 1].lower()
+        unit = _INTERVAL_UNIT_ALIASES.get(unit, unit)
+        if unit not in _INTERVAL_UNITS:
+            raise ParseError(f"{fn}: unknown interval unit {parts[k + 1]!r}")
+        dm, du = _INTERVAL_UNITS[unit]
+        months += n * dm
+        micros += n * du
+    if months and micros:
+        raise ParseError(
+            f"{fn}: mixed month-granularity and fixed-length interval "
+            "components — a month has no fixed width"
+        )
+    if months < 0 or micros < 0 or (months == 0 and micros == 0):
+        raise ParseError(f"{fn}: interval width must be positive")
+    return months, micros
+
+
+#: DuckDB time_bucket origin for fixed-width buckets: 2000-01-03
+#: 00:00:00 UTC (a Monday — aligns week buckets), in epoch micros.
+_TIME_BUCKET_ORIGIN_US = 946_857_600_000_000
+
+
+def _time_bucket_toks(args: list[list[str]]) -> list[str]:
+    """``time_bucket(INTERVAL '...', x)`` → arithmetic bucketing with
+    DuckDB's origins (probed): fixed widths floor ``unix_micros`` to the
+    2000-01-03 Monday origin (exact floor division — pre-origin inputs
+    probed); month-granularity widths floor a months-since-2000-01
+    counter and rebuild via ``add_months``. Always returns TIMESTAMP —
+    DuckDB returns DATE for DATE inputs (documented type-level
+    divergence, DIALECT.md). The optional origin/offset third argument
+    is not supported (rejects via the 2-arg check)."""
+    if len(args) != 2:
+        raise ParseError(
+            "time_bucket takes (INTERVAL, expr) — the DuckDB "
+            "origin/offset third argument is not supported"
+        )
+    months, micros = _parse_interval_literal(args[0], "time_bucket")
+    x = args[1]
+    if months:
+        m = ["(", "(", "year", "(", *x, ")", "-", "2000", ")", "*", "12",
+             "+", "(", "month", "(", *x, ")", "-", "1", ")", ")"]
+        b = _floor_div_toks(m, months) + ["*", str(months)]
+        return ["CAST", "(", "add_months", "(", "DATE", "'2000-01-01'",
+                ",", *b, ")", "AS", "TIMESTAMP", ")"]
+    o = str(_TIME_BUCKET_ORIGIN_US)
+    e = ["(", *_micros_toks(x), "-", o, ")"]
+    return ["timestamp_micros", "(",
+            *_floor_div_toks(e, micros), "*", str(micros), "+", o, ")"]
+
 
 def _date_diff_toks(part: str, a: list[str], b: list[str]) -> list[str]:
     """DuckDB ``date_diff('<part>', a, b)`` counts PARTITION-BOUNDARY
@@ -1064,6 +1170,14 @@ def _temporal_replacement(
     if name == "isodow":
         need(1)
         return ["(", "weekday", "(", *args[0], ")", "+", "1", ")"]
+    if name == "time_bucket":
+        return _time_bucket_toks(args)
+    if name == "today":
+        need(0)
+        return ["current_date", "(", ")"]
+    if name == "get_current_timestamp":
+        need(0)
+        return ["now", "(", ")"]
     if name == "decade":
         need(1)
         return _date_part_toks("decade", args[0], name)
@@ -1135,6 +1249,134 @@ def _rewrite_temporal_calls(toks: list[str]) -> list[str]:
             continue
         i += 1
     return out
+
+
+#: clause keywords that end a FROM-first from-clause / select-item run
+_FROM_FIRST_STOPS = frozenset({
+    "where", "group", "having", "qualify", "window", "order", "limit",
+    "offset", "union", "intersect", "except",
+})
+
+
+def _rewrite_from_first(toks: list[str]) -> list[str]:
+    """Round-14: DuckDB's FROM-first queries (probed grammar: ``FROM
+    <from-clause> [SELECT <items>] [WHERE ...] ...`` — the optional
+    SELECT comes immediately after the from-clause, never later) —
+    rewritten to standard SELECT order at the statement head and inside
+    ``( FROM ... )`` bodies (derived tables, CTE bodies). ``FROM``
+    preceded by anything else (SELECT items, DELETE, COPY) is untouched.
+    """
+    def _with_body_start(ts: list[str]) -> int | None:
+        """Index of the main body after a ``WITH`` chain, or None."""
+        try:
+            i = 1
+            if ts[i].lower() == "recursive":
+                i += 1
+            while True:
+                i += 1  # CTE name
+                if ts[i] == "(":  # optional column list
+                    depth = 1
+                    i += 1
+                    while depth:
+                        if ts[i] == "(":
+                            depth += 1
+                        elif ts[i] == ")":
+                            depth -= 1
+                        i += 1
+                if ts[i].lower() != "as":
+                    return None
+                i += 1
+                if ts[i] != "(":
+                    return None
+                depth = 1
+                i += 1
+                while depth:
+                    if ts[i] == "(":
+                        depth += 1
+                    elif ts[i] == ")":
+                        depth -= 1
+                    i += 1
+                if i < len(ts) and ts[i] == ",":
+                    i += 1
+                    continue
+                return i
+        except IndexError:
+            return None
+
+    out = list(toks)
+    for _ in range(64):  # each pass resolves one head; nesting re-scans
+        start = None
+        end = len(out)
+        if out and out[0].lower() == "from":
+            start = 0
+        elif out and out[0].lower() == "with":
+            body = _with_body_start(out)
+            if (
+                body is not None
+                and body < len(out)
+                and out[body].lower() == "from"
+            ):
+                start = body
+        if start is None:
+            for i in range(1, len(out)):
+                if out[i].lower() == "from" and out[i - 1] == "(":
+                    start = i
+                    depth = 1
+                    for j in range(i, len(out)):
+                        if out[j] == "(":
+                            depth += 1
+                        elif out[j] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                end = j
+                                break
+                    else:
+                        raise ParseError("unbalanced parentheses")
+                    break
+        if start is None:
+            return out
+        # split [start+1, end): from-clause | SELECT items | clauses
+        sel = stop = None
+        depth = 0
+        for j in range(start + 1, end):
+            t = out[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                low = t.lower()
+                if low == "select":
+                    sel = j
+                    break
+                if low in _FROM_FIRST_STOPS:
+                    stop = j
+                    break
+        if sel is not None:
+            from_toks = out[start + 1 : sel]
+            items_end = end
+            depth = 0
+            for j in range(sel + 1, end):
+                t = out[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t.lower() in _FROM_FIRST_STOPS:
+                    items_end = j
+                    break
+            items = out[sel + 1 : items_end]
+            clauses = out[items_end:end]
+        else:
+            from_toks = out[start + 1 : stop if stop is not None else end]
+            items = ["*"]
+            clauses = out[stop:end] if stop is not None else []
+        if not from_toks:
+            raise ParseError("FROM-first query needs a table")
+        out[start:end] = (
+            ["SELECT", *items, "FROM", *from_toks, *clauses]
+        )
+    raise ParseError("FROM-first rewrite did not converge")
 
 
 def _rewrite_brackets(toks: list[str]) -> list[str]:
@@ -3394,30 +3636,40 @@ def parse_select(
         agg_text = " ".join(buf)
         cur.expect_kw("for")
         for_col = _unquote(cur.next())
-        cur.expect_kw("in")
-        if cur.next() != "(":
-            raise ParseError("expected '(' after PIVOT ... IN")
-        entries: list[tuple[Any, str]] = []
-        while True:
-            t = cur.next()
-            if t == ")":
-                break
-            if t == ",":
-                continue
-            value = _literal_value(t)
-            if value is None:
-                raise ParseError(
-                    f"PIVOT IN list takes literals, got {t!r}"
-                )
-            name = _unquote(t) if _is_string_lit(t) else str(value)
-            if cur.peek_kw() == "as":
-                cur.next()
-                name = _unquote(cur.next())
-            entries.append((value, name))
-        if not entries:
-            raise ParseError("PIVOT IN list needs at least one value")
-        if len({n for _, n in entries}) != len(entries):
-            raise ParseError("PIVOT IN list has duplicate output names")
+        entries: list[tuple[Any, str]] | None
+        if cur.peek_kw() == "in":
+            cur.next()
+            if cur.next() != "(":
+                raise ParseError("expected '(' after PIVOT ... IN")
+            entries = []
+            while True:
+                t = cur.next()
+                if t == ")":
+                    break
+                if t == ",":
+                    continue
+                value = _literal_value(t)
+                if value is None:
+                    raise ParseError(
+                        f"PIVOT IN list takes literals, got {t!r}"
+                    )
+                name = _unquote(t) if _is_string_lit(t) else str(value)
+                if cur.peek_kw() == "as":
+                    cur.next()
+                    name = _unquote(cur.next())
+                entries.append((value, name))
+            if not entries:
+                raise ParseError("PIVOT IN list needs at least one value")
+            if len({n for _, n in entries}) != len(entries):
+                raise ParseError("PIVOT IN list has duplicate output names")
+        else:
+            # Round-14 (r13 verdict "What's missing" #4): no IN list —
+            # pivot values are INFERRED with an extra distinct pass at
+            # plan time, exactly Spark's own DataFrame ``.pivot(col)``
+            # two-pass behavior (and DuckDB's dynamic PIVOT). Values are
+            # SORTED for a deterministic column order; the executor caps
+            # the inference at 1000 distinct values (loud error above).
+            entries = None
         if cur.next() != ")":
             raise ParseError("expected ')' to close PIVOT")
         spec.pivot = (agg_text, for_col, entries)
@@ -4669,6 +4921,32 @@ class RefSQL:
                 t for t in tokenize(agg_text) if t in set(df.columns)
             }
             gcols = [c for c in df.columns if c not in consumed]
+            if entries is None:
+                # Round-14: inferred pivot values — ONE bounded distinct
+                # pass (the same two-pass plan Spark's DataFrame
+                # ``.pivot(col)`` runs without a value list). The collect
+                # is capped at 1001 rows by construction, so it stays in
+                # the bounded-collect class the scale audit allows; NULL
+                # pivot values are dropped (a NULL can't name a column
+                # deterministically — supply an explicit IN list with AS
+                # names to capture them).
+                raw = [
+                    r[0]
+                    for r in df.select(for_col).distinct().limit(1001)
+                    .collect()
+                ]
+                if len(raw) > 1000:
+                    raise ParseError(
+                        "PIVOT value inference found more than 1000 "
+                        "distinct values — supply an explicit IN list"
+                    )
+                vals = sorted(v for v in raw if v is not None)
+                if not vals:
+                    raise ParseError(
+                        f"PIVOT value inference: {for_col!r} has no "
+                        "non-NULL values to pivot on"
+                    )
+                entries = [(v, str(v)) for v in vals]
             values = [v for v, _ in entries]
             df = df.groupBy(*gcols).pivot(for_col, values).agg(
                 F.expr(agg_text)

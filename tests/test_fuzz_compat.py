@@ -760,7 +760,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
-        "temporal_fn",
+        "temporal_fn", "from_first",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -873,12 +873,35 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                     "extract(month FROM o_orderdate) AS tr",
                     "make_date(CAST(date_part('year', o_orderdate) AS "
                     "INT), 1, 1) AS ts",
+                    "time_bucket(INTERVAL '2 days', CAST(o_orderdate "
+                    "AS TIMESTAMP)) AS tu",
+                    "time_bucket(INTERVAL '3 months', CAST(o_orderdate "
+                    "AS TIMESTAMP)) AS tv",
+                    "o_orderdate + INTERVAL '36 hours' AS tw",
                 ],
                 rng.randint(3, 5),
             )
             sql = (
                 f"SELECT {', '.join(forms)} FROM orders "
                 f"WHERE o_orderkey < {rng.randint(100, 900)}"
+            )
+        elif shape == "from_first":
+            # round-14: DuckDB FROM-first queries — statement head,
+            # derived-table body, and WITH main body; identical SQL runs
+            # natively in DuckDB.
+            lim = rng.randint(3, 20)
+            sql = rng.choice(
+                [
+                    f"FROM nation WHERE n_regionkey = {rng.randint(0, 4)}",
+                    "FROM nation SELECT n_name, n_regionkey "
+                    f"WHERE n_nationkey < {rng.randint(5, 20)}",
+                    "SELECT count(*) AS n FROM "
+                    f"(FROM orders WHERE o_custkey < {lim * 10}) AS s",
+                    f"WITH c AS (FROM nation WHERE n_regionkey < "
+                    f"{rng.randint(1, 4)}) FROM c SELECT n_name",
+                    "FROM orders SELECT o_orderstatus, count(*) AS n "
+                    f"WHERE o_custkey < {lim * 20} GROUP BY o_orderstatus",
+                ]
             )
         elif shape == "cond_aggs":
             # round-12: count_if/bool_and/bool_or (same names in DuckDB)

@@ -5407,3 +5407,143 @@ def test_temporal_functions_vs_duckdb(spark, tmp_path):
     e.ref_sql("INSERT INTO tn VALUES (3, 9)")
     got = e.ref_sql("SELECT epoch, dayofweek FROM tn").collect()[0]
     assert (got[0], got[1]) == (3, 9)
+
+
+def test_time_bucket_and_interval_arithmetic_vs_duckdb(spark, tmp_path):
+    """Round-14: ``time_bucket(INTERVAL, x)`` — the hypertable-style
+    bucketing every events pipeline reaches for — compiled to arithmetic
+    with DuckDB's probed origins: fixed widths floor unix_micros to the
+    2000-01-03 Monday origin (exact floor division; pre-origin inputs
+    probed), month-granularity widths floor a months-since-2000-01
+    counter through add_months. Plus the INTERVAL-arithmetic twins that
+    already pass through (ts ± INTERVAL, date ± int, x * INTERVAL) and
+    the today()/get_current_timestamp() spellings. Mixed month+fixed
+    intervals, the origin third argument, and dynamic intervals reject
+    loudly."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "tb"))
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT)")
+        run("INSERT INTO one VALUES (1)")
+    cases = [
+        "time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-07 15:42:33')",
+        "time_bucket(INTERVAL '1 hour', TIMESTAMP '2024-03-07 15:42:33')",
+        "time_bucket(INTERVAL '1 day', TIMESTAMP '2024-03-07 15:42:33')",
+        "time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-07 15:42:33')",
+        "time_bucket(INTERVAL '2 days', TIMESTAMP '2024-03-07 10:00:00')",
+        "time_bucket(INTERVAL '2 days', TIMESTAMP '2024-03-08 10:00:00')",
+        "time_bucket(INTERVAL '1 day 2 hours', TIMESTAMP '2024-03-07 10:00:00')",
+        "time_bucket(INTERVAL '90 seconds', TIMESTAMP '2024-03-07 10:01:40')",
+        "time_bucket(INTERVAL '15 minutes', TIMESTAMP '1969-12-31 23:50:00')",
+        "time_bucket(INTERVAL '2 hours', TIMESTAMP '1969-12-31 21:00:00')",
+        "time_bucket(INTERVAL '1 month', TIMESTAMP '2024-03-07 15:42:33')",
+        "time_bucket(INTERVAL '3 months', TIMESTAMP '2024-05-07 10:00:00')",
+        "time_bucket(INTERVAL '1 year', TIMESTAMP '2024-05-07 10:00:00')",
+        "time_bucket(INTERVAL '7 months', TIMESTAMP '1999-11-15 00:00:00')",
+        "time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-07 15:42:33')",
+        # interval-arithmetic twins (pass through, probed)
+        "TIMESTAMP '2024-03-07 15:42:33' - INTERVAL '2 hours'",
+        "TIMESTAMP '2024-03-07 15:42:33' + INTERVAL 90 MINUTE",
+        "TIMESTAMP '2024-03-07 15:42:33' + INTERVAL '1 month'",
+        "DATE '2024-03-07' + INTERVAL '2 hours'",
+        "DATE '2024-03-07' + 3",
+        "DATE '2024-03-07' - 3",
+        "TIMESTAMP '2024-03-07 15:42:33' + x * INTERVAL '1 hour'",
+    ]
+    for c in cases:
+        q = f"SELECT {c} AS r FROM one"
+        duck = str(con.execute(q).fetchall()[0][0])
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck, f"{c}: mine={mine} duck={duck}"
+    # spellings execute (values are clock-dependent, shapes checked)
+    import datetime as dt
+    assert isinstance(
+        e.ref_sql("SELECT today() AS d FROM one").collect()[0][0], dt.date
+    )
+    assert isinstance(
+        e.ref_sql("SELECT get_current_timestamp() AS t FROM one")
+        .collect()[0][0],
+        dt.datetime,
+    )
+    for bad in (
+        "SELECT time_bucket(INTERVAL '1 month 3 days', "
+        "TIMESTAMP '2024-01-01 00:00:00') AS r FROM one",
+        "SELECT time_bucket(INTERVAL '15 minutes', "
+        "TIMESTAMP '2024-01-01 00:00:00', "
+        "TIMESTAMP '2000-01-01 00:00:00') AS r FROM one",
+        "SELECT time_bucket(x * INTERVAL '1 hour', "
+        "TIMESTAMP '2024-01-01 00:00:00') AS r FROM one",
+    ):
+        with pytest.raises(ParseError):
+            e.ref_sql(bad)
+
+
+def test_from_first_queries_vs_duckdb(spark, tmp_path):
+    """Round-14: DuckDB's FROM-first syntax — ``FROM t [SELECT items]
+    [WHERE ...] ...`` (the optional SELECT comes immediately after the
+    from-clause, DuckDB's probed grammar) — at the statement head,
+    inside derived tables/CTE bodies, as a WITH main body, and over
+    direct file paths. Probed result-identical vs DuckDB on the same
+    SQL."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "ff"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (a INT, b TEXT)")
+        run("INSERT INTO t VALUES (1,'x'), (2,'y'), (3,'z')")
+    for q in (
+        "FROM t",
+        "FROM t WHERE a > 1",
+        "FROM t WHERE a > 1 ORDER BY a DESC LIMIT 1",
+        "FROM t SELECT a",
+        "FROM t SELECT a WHERE a > 1",
+        "FROM t SELECT b, count(*) AS n GROUP BY b ORDER BY b",
+        "SELECT * FROM (FROM t WHERE a = 2) AS s",
+        "WITH c AS (FROM t WHERE a > 1) FROM c",
+        "WITH c AS (FROM t WHERE a > 1) SELECT count(*) AS n FROM c",
+        "FROM t SELECT a + 1 AS ap WHERE a > 1 ORDER BY ap",
+    ):
+        duck = sorted(map(str, con.execute(q).fetchall()))
+        mine = sorted(str(tuple(r)) for r in e.ref_sql(q).collect())
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
+    # FROM-first over a direct file path (the reference's namesake
+    # zero-DDL capability composes)
+    e.ref_sql(f"COPY t TO '{tmp_path}/fft.parquet' FORMAT parquet")
+    assert e.ref_sql(f"FROM '{tmp_path}/fft.parquet' WHERE a >= 2").count() == 2
+    # DELETE FROM / COPY FROM are untouched (FROM not at a query head)
+    e.ref_sql("DELETE FROM t WHERE a = 3")
+    assert e.ref_sql("SELECT count(*) AS n FROM t").collect()[0][0] == 2
+
+
+def test_pivot_value_inference_vs_explicit(spark, tmp_path):
+    """Round-14 (r13 verdict "What's missing" #4): PIVOT without an IN
+    list INFERS the pivot values with one bounded distinct pass (the
+    two-pass behavior of Spark's own DataFrame ``.pivot(col)`` and
+    DuckDB's dynamic PIVOT). Values sort for a deterministic column
+    order; NULL pivot values drop; >1000 distinct values reject loudly.
+    The inferred result must equal the explicit-IN-list result."""
+    e = Engine(spark, str(tmp_path / "pv"))
+    e.ref_sql("CREATE TABLE s (g TEXT, st TEXT, v INT)")
+    e.ref_sql(
+        "INSERT INTO s VALUES ('a','open',1), ('a','done',2), "
+        "('b','open',3), ('b','hold',4), ('c',NULL,9)"
+    )
+    inferred = e.ref_sql(
+        "SELECT * FROM s PIVOT (sum(v) FOR st) ORDER BY g"
+    )
+    explicit = e.ref_sql(
+        "SELECT * FROM s PIVOT (sum(v) FOR st IN "
+        "('done', 'hold', 'open')) ORDER BY g"
+    )
+    assert inferred.columns == explicit.columns == ["g", "done", "hold", "open"]
+    assert [tuple(r) for r in inferred.collect()] == [
+        tuple(r) for r in explicit.collect()
+    ]
+    with pytest.raises(ParseError, match="no .*NULL values"):
+        e.ref_sql("CREATE TABLE sn (g TEXT, st TEXT, v INT)")
+        e.ref_sql("INSERT INTO sn VALUES ('a', NULL, 1)")
+        e.ref_sql("SELECT * FROM sn PIVOT (sum(v) FOR st)").collect()
