@@ -432,18 +432,27 @@ class Engine:
         meta = self.catalog.get(name)
         return self.store.read(name, meta.schema)
 
-    def append_df(self, name: str, df: DataFrame) -> int:
+    def append_df(
+        self, name: str, df: DataFrame, returning: bool = False
+    ) -> int | tuple[int, DataFrame]:
         """Append a DataFrame to an existing table (columns are aligned to
         the declared schema by name). The append-only fast path — no
         copy-on-write rewrite, and materialized views over the table can
-        refresh incrementally from just the new files."""
+        refresh incrementally from just the new files.
+
+        ``returning`` (round-14, DML RETURNING): materializes the aligned
+        batch eagerly (localCheckpoint) so the returned frame stays
+        stable after the append adds files — and the upstream plan
+        computes ONCE for the checkpoint + count + write."""
         meta = self.catalog.get(name)
         aligned = df.select(
             *[F.col(c.name).cast(c.spark_type) for c in meta.columns]
         )
+        if returning:
+            aligned = aligned.localCheckpoint(eager=True)
         n = aligned.count()
         self.store.append(name, aligned, meta.partition_by)
-        return n
+        return (n, aligned) if returning else n
 
     def register_views(self) -> None:
         """Expose every catalog table (and materialized view) as a temp
@@ -479,6 +488,18 @@ class Engine:
         df = self.coerce_rows_df(name, rows)
         self.store.append(name, df, meta.partition_by)
         return len(rows)
+
+    def insert_rows_returning(
+        self, name: str, rows: list[dict[str, Any]]
+    ) -> tuple[int, DataFrame]:
+        """insert_rows + the coerced batch (round-14 INSERT RETURNING) —
+        the batch is a local relation, stable after the append."""
+        if not rows:
+            return 0, self.coerce_rows_df(name, [])
+        meta = self.catalog.get(name)
+        df = self.coerce_rows_df(name, rows)
+        self.store.append(name, df, meta.partition_by)
+        return len(rows), df
 
     def coerce_rows_df(self, name: str, rows: list[dict[str, Any]]) -> DataFrame:
         """The INSERT VALUES coercion as a DataFrame builder WITHOUT the
@@ -533,7 +554,8 @@ class Engine:
         set_values: dict[str, Any],
         where: Column | str | None = None,
         frame: DataFrame | None = None,
-    ) -> int:
+        returning: bool = False,
+    ) -> int | tuple[int, DataFrame]:
         """UPDATE via copy-on-write: read snapshot → conditional withColumn →
         staged overwrite + atomic swap. No WHERE ⇒ all rows (reference
         update.go:87-98). Returns the matched-row count.
@@ -588,19 +610,32 @@ class Engine:
                 for c in df.columns
             ]
         )
+        ret: DataFrame | None = None
+        if returning:
+            # Round-14 UPDATE ... RETURNING: the matched rows with their
+            # NEW values, materialized EAGERLY — the copy-on-write swap
+            # retires the old snapshot's files, so a lazy frame over
+            # them would break after the write.
+            ret = (
+                df.filter(F.col(mcol))
+                .select(*[F.col(c.name) for c in meta.columns])
+                .localCheckpoint(eager=True)
+            )
         self.store.overwrite(
             name,
             df.select(*[F.col(c.name) for c in meta.columns]),
             meta.partition_by,
         )
-        return obs.get["matched"] or 0
+        n = obs.get["matched"] or 0
+        return (n, ret) if returning else n
 
     def delete(
         self,
         name: str,
         where: Column | str,
         frame: DataFrame | None = None,
-    ) -> int:
+        returning: bool = False,
+    ) -> int | tuple[int, DataFrame]:
         """DELETE requires a predicate — parity with the reference's safety
         guard ('DELETE without WHERE is not allowed', delete.go:33).
         ``frame`` as in :meth:`update` (round-12)."""
@@ -616,12 +651,22 @@ class Engine:
         # Single pass: count the doomed rows while writing the survivors.
         obs = Observation()
         df = df.observe(obs, F.sum(F.when(cond, 1).otherwise(0)).alias("doomed"))
+        ret: DataFrame | None = None
+        if returning:
+            # Round-14 DELETE ... RETURNING: the doomed rows, materialized
+            # EAGERLY before the copy-on-write swap retires their files.
+            ret = (
+                df.filter(cond)
+                .select(*[F.col(c.name) for c in meta.columns])
+                .localCheckpoint(eager=True)
+            )
         self.store.overwrite(
             name,
             df.filter(~cond).select(*[F.col(c.name) for c in meta.columns]),
             meta.partition_by,
         )
-        return obs.get["doomed"] or 0
+        n = obs.get["doomed"] or 0
+        return (n, ret) if returning else n
 
     # ---- maintenance ------------------------------------------------------
 

@@ -88,9 +88,10 @@ Round-7 extensions:
   * ``FIRST_VALUE / LAST_VALUE / NTH_VALUE`` window functions.
   * ``CREATE TABLE ... PARTITIONED BY (...)`` (both forms) and
     ``COPY (SELECT ...) TO 'path'`` query export.
-  * ``FROM t PIVOT (agg(expr) FOR col IN (lit [AS name], ...))`` —
-    standard-SQL pivot with a mandatory explicit IN list (the
-    deterministic-schema requirement Spark's own SQL PIVOT shares);
+  * ``FROM t PIVOT (agg(expr) FOR col [IN (lit [AS name], ...)])`` —
+    standard-SQL pivot; round-14: the IN list is OPTIONAL — without it
+    the values are inferred via one bounded distinct pass (sorted,
+    ≤1000, Spark's own DataFrame two-pass ``.pivot(col)`` behavior);
     compiles to ``groupBy(implicit keys).pivot(col, values).agg(...)``
     — one Expand-free aggregation pass, the implicit keys are every
     column not consumed by the aggregate or the FOR column (standard
@@ -273,6 +274,24 @@ def tokenize(text: str) -> list[str]:
         alias = _FN_SPELLING.get(t.lower())
         if alias and i + 1 < len(toks) and toks[i + 1] == "(":
             toks[i] = alias
+        elif (
+            t.lower() == "generate_series"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+            and (
+                i == 0
+                or toks[i - 1].lower() not in ("from", "join", "lateral", ",")
+            )
+        ):
+            # Round-14: SCALAR generate_series(a, b[, step]) ≡ Spark
+            # sequence (both end-INCLUSIVE, probed). The table-function
+            # form (FROM generate_series / a comma-join side) keeps its
+            # name — the from-clause parser owns it and DuckDB names the
+            # output column after the function. A scalar call after a
+            # select-list comma stays un-renamed (indistinguishable from
+            # a comma join at token level) — Spark's UNRESOLVED_ROUTINE
+            # is loud; spell it sequence() there.
+            toks[i] = "sequence"
     # Round-12: string_split(s, '<literal>') → split(s, <escaped regex>)
     toks = _rewrite_string_split(toks)
     # Round-13: JSON text extraction — '->>' sugar, then the portable
@@ -297,6 +316,16 @@ def tokenize(text: str) -> list[str]:
         )
     ):
         toks = _rewrite_from_first(toks)
+    # Round-14: list literals ([1, 2], nested, empty) → array(...), then
+    # the list-call constructions (prepend swap, unique count, slice)
+    if any(
+        "[" in t for t in toks if t[0] not in "'\"`"
+    ):
+        toks = _rewrite_list_literals(toks)
+    if any(
+        t.lower() in _LIST_CALL_TRIGGER for t in toks if t[0] not in "'\"`"
+    ):
+        toks = _rewrite_list_calls(toks)
     # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
     # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
     # plus the list_extract/list_element dynamic-index spellings.
@@ -358,6 +387,19 @@ _FN_SPELLING = {
     # percentile already pins ≡ DuckDB quantile_cont in the agg table) —
     # the rewrite routes DuckDB's primary quantile name into that path.
     "quantile_cont": "percentile",
+    # Round-14 list-lambda + list-op spellings, each value-probed vs
+    # DuckDB (test_list_literals_and_lambdas_vs_duckdb) — DuckDB and
+    # Spark share the `x -> expr` lambda arrow syntax:
+    "list_transform": "transform", "array_transform": "transform",
+    "list_filter": "filter", "array_filter": "filter",
+    "list_append": "array_append",  # NULL-list → NULL in both (probed)
+    "list_reverse": "reverse",
+    "list_min": "array_min", "list_max": "array_max",  # NULLs skipped
+    # generate_series gets a POSITION-AWARE rename in tokenize (scalar →
+    # sequence; the FROM table-function form keeps its name + column
+    # contract). range() stays un-rewritten everywhere: its scalar form
+    # is end-EXCLUSIVE with no Spark twin (UNRESOLVED_ROUTINE is loud)
+    # and its table form is load-bearing.
     # Probed and REJECTED (silent value drift — documented in DIALECT.md
     # instead): array_to_string (DuckDB NULL on empty list, Spark '');
     # list_contains (DuckDB two-valued False on missing needle with NULL
@@ -478,6 +520,37 @@ def _rewrite_json_arrows(toks: list[str]) -> list[str]:
     while i < len(out):
         t = out[i]
         if t == "->":
+            # Round-14: LAMBDA arrows pass through — ``y -> expr`` /
+            # ``(a, b) -> expr`` (DuckDB and Spark share the arrow
+            # syntax for transform/filter/aggregate/exists lambdas).
+            # Lambda iff the left side is a bare parameter (ident right
+            # after '(' or ',') or a pure ident-list group, and the
+            # right side is NOT a literal JSON key/index.
+            nxt = out[i + 1] if i + 1 < len(out) else None
+            prev = out[i - 1] if i else None
+            json_rhs = nxt is not None and (
+                _is_string_lit(nxt) or re.fullmatch(r"\d+", nxt)
+            )
+            lam = False
+            if not json_rhs and prev is not None:
+                if re.fullmatch(r"[A-Za-z_]\w*", prev) and (
+                    i < 2 or out[i - 2] in ("(", ",")
+                ):
+                    lam = True
+                elif prev == ")":
+                    j = i - 2
+                    ok = True
+                    while j >= 0 and out[j] != "(":
+                        if out[j] != "," and not re.fullmatch(
+                            r"[A-Za-z_]\w*", out[j]
+                        ):
+                            ok = False
+                            break
+                        j -= 1
+                    lam = ok and j >= 0
+            if lam:
+                i += 1
+                continue
             raise ParseError(
                 "'->' / json_extract return JSON-quoted values in DuckDB "
                 "('\"hi\"') with no Spark equivalent — use '->>' / "
@@ -1248,6 +1321,177 @@ def _rewrite_temporal_calls(toks: list[str]) -> list[str]:
             i += len(repl)
             continue
         i += 1
+    return out
+
+
+#: tokens after which a '[' starts a LIST LITERAL (constructor
+#: position) rather than an index on a preceding primary
+_CTOR_KEYWORDS = frozenset({
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "as", "on", "from", "by", "having", "qualify", "limit", "offset",
+    "union", "intersect", "except", "all", "distinct", "case", "values",
+    "using", "between", "return", "returning", "set",
+})
+_CTOR_OPS = frozenset({
+    "(", ",", "=", "!=", "<>", "<", "<=", ">", ">=", "+", "-", "*", "/",
+    "%", "||",
+})
+
+
+def _is_ctor_ctx(prev: str | None) -> bool:
+    if prev is None:
+        return True
+    if prev in _CTOR_OPS:
+        return True
+    if prev[0] in "'\"`" or prev == ")" or prev.endswith("]"):
+        return False  # primary → index bracket
+    return prev.lower() in _CTOR_KEYWORDS
+
+
+def _rewrite_list_literals(toks: list[str]) -> list[str]:
+    """Round-14: DuckDB list literals — ``[1, 2, 3]`` / ``['a', 'b']`` /
+    nested ``[[1], [2, 3]]`` / ``[]`` — lowered to Spark ``array(...)``
+    when the ``[`` sits in CONSTRUCTOR position (statement start, after
+    '(' ',' an operator, or a clause keyword). Previously ``SELECT
+    [1,2,3]`` silently projected NULL (the tokenizer glues brackets into
+    word tokens and the fragment leaked to Catalyst) — an active silent
+    drift, now closed. Index/slice brackets after a primary re-glue into
+    the single-token form the round-13 bracket rewrite expects, so
+    ``[x[1], 2]`` composes."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t[0] in "'\"`" or not t.startswith("[") or not _is_ctor_ctx(
+            out[-1] if out else None
+        ):
+            out.append(t)
+            i += 1
+            continue
+        region: list[str] = []
+        depth = 0
+        while i < n:
+            tk = toks[i]
+            region.append(tk)
+            if tk[0] not in "'\"`":
+                depth += tk.count("[") - tk.count("]")
+            i += 1
+            if depth == 0:
+                break
+        if depth != 0:
+            raise ParseError("unbalanced '[' in list literal")
+        flat: list[str] = []
+        for tk in region:
+            if tk[0] in "'\"`":
+                flat.append(tk)
+            else:
+                flat.extend(re.findall(r"\[|\]|,|[^\[\],]+", tk))
+        res: list[str] = []
+        stack: list[tuple[str, int]] = []
+        for tk in flat:
+            if tk == "[":
+                prev = res[-1] if res else None
+                if prev is not None and not _is_ctor_ctx(prev):
+                    stack.append(("idx", len(res)))
+                    res.append("[")
+                else:
+                    stack.append(("ctor", -1))
+                    res.append("array")
+                    res.append("(")
+            elif tk == "]":
+                if not stack:
+                    raise ParseError("unbalanced ']' in list literal")
+                kind, pos = stack.pop()
+                if kind == "ctor":
+                    res.append(")")
+                else:
+                    glued = "".join(res[pos:]) + "]"
+                    del res[pos:]
+                    res.append(glued)
+            else:
+                res.append(tk)
+        out.extend(res)
+    return out
+
+
+#: list-call spellings needing argument surgery (plain renames live in
+#: _FN_SPELLING); each probed vs DuckDB in
+#: test_list_literals_and_lambdas_vs_duckdb
+_LIST_CALL_TRIGGER = frozenset({
+    "list_prepend", "list_unique", "list_slice", "list_reduce",
+    "list_concat", "list_cat",
+})
+
+
+def _rewrite_list_calls(toks: list[str]) -> list[str]:
+    """Round-14 list-call constructions: ``list_prepend(e, l)`` swaps
+    into Spark's ``array_prepend(l, e)``; ``list_unique(l)`` counts
+    DISTINCT NON-NULL elements (DuckDB returns a COUNT, not a deduped
+    list) via size∘array_distinct∘filter; ``list_slice(l, i, j)``
+    lowers through the 1-based bracket-slice machinery (literal bounds
+    only — its rule); ``list_reduce`` rejects BY NAME (DuckDB seeds the
+    fold with the first element, Spark's reduce/aggregate demand an
+    explicit zero — no silent twin)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        low = out[i].lower()
+        if (
+            low not in _LIST_CALL_TRIGGER
+            or out[i][0] in "'\"`"
+            or i + 1 >= len(out)
+            or out[i + 1] != "("
+        ):
+            i += 1
+            continue
+        args, close = _split_call_args(out, i + 1)
+        if low == "list_reduce":
+            raise ParseError(
+                "list_reduce seeds the fold with the list's first "
+                "element (DuckDB) — Spark has no twin; use "
+                "aggregate(l, <zero>, (acc, x) -> ...) explicitly"
+            )
+        if low == "list_prepend":
+            if len(args) != 2:
+                raise ParseError("list_prepend takes (element, list)")
+            repl = ["array_prepend", "(", *args[1], ",", *args[0], ")"]
+        elif low in ("list_concat", "list_cat"):
+            # DuckDB (probed): a NULL side acts EMPTY unless both are
+            # NULL — Spark's concat nulls the whole result. slice(x,1,0)
+            # manufactures a correctly-TYPED empty list from the other
+            # side, so no untyped array() literal is needed.
+            if len(args) != 2:
+                raise ParseError(f"{low} takes exactly two lists (DuckDB)")
+            a, b = args
+            repl = ["concat", "(",
+                    "coalesce", "(", "(", *a, ")", ",", "slice", "(",
+                    "(", *b, ")", ",", "1", ",", "0", ")", ")", ",",
+                    "coalesce", "(", "(", *b, ")", ",", "slice", "(",
+                    "(", *a, ")", ",", "1", ",", "0", ")", ")", ")"]
+        elif low == "list_unique":
+            if len(args) != 1:
+                raise ParseError("list_unique takes (list)")
+            repl = ["size", "(", "array_distinct", "(", "filter", "(",
+                    "(", *args[0], ")", ",", "__lu", "->", "__lu",
+                    "IS", "NOT", "NULL", ")", ")", ")"]
+        else:  # list_slice
+            if len(args) != 3:
+                raise ParseError("list_slice takes (list, begin, end)")
+            lo = args[1][0] if len(args[1]) == 1 else None
+            hi = args[2][0] if len(args[2]) == 1 else None
+            if (
+                lo is None or hi is None
+                or not re.fullmatch(r"\d+", lo)
+                or not re.fullmatch(r"\d+", hi)
+            ):
+                raise ParseError(
+                    "list_slice bounds must be positive integer "
+                    "literals (the bracket-slice rule)"
+                )
+            repl = ["(", *args[0], ")", f"[{lo}:{hi}]"]
+        out[i : close + 1] = repl
+        i += len(repl)
     return out
 
 
@@ -3610,13 +3854,12 @@ def parse_select(
         spec.sample = (pct, _unquote(cur.next()))
 
     if cur.peek_kw() == "pivot":
-        # Round-8: ``PIVOT (agg(expr) FOR col IN (lit [AS name], ...))``.
-        # The IN list is mandatory and explicit — the output schema must
-        # be known at plan time (Spark's SQL PIVOT imposes the same rule
-        # for a deterministic schema; DuckDB's auto-discovering PIVOT
-        # can't promise one). The aggregate call is captured verbatim
-        # (balanced parens) and compiled by Catalyst inside the pivot
-        # aggregation.
+        # Round-8: ``PIVOT (agg(expr) FOR col [IN (lit [AS name],
+        # ...)])``. Round-14: the IN list became OPTIONAL — absent, the
+        # executor infers the values with one bounded distinct pass
+        # (DuckDB's auto-discovering PIVOT / Spark DataFrame two-pass).
+        # The aggregate call is captured verbatim (balanced parens) and
+        # compiled by Catalyst inside the pivot aggregation.
         cur.next()
         if cur.next() != "(":
             raise ParseError("expected '(' after PIVOT")
@@ -6734,7 +6977,44 @@ class RefSQL:
         n = self.engine.compact(table)
         return f"optimized '{table}': compacted to {n} file(s)"
 
-    def _insert(self, cur: _Cursor) -> int:
+    def _split_returning(
+        self, cur: _Cursor
+    ) -> tuple[_Cursor, list[str] | None]:
+        """Round-14: split a top-level ``RETURNING <items>`` tail off a
+        DML statement (DuckDB/Postgres). Items compile via selectExpr
+        over the affected-row frame the engine materializes."""
+        depth = 0
+        for k in range(cur.i, len(cur.toks)):
+            t = cur.toks[k]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and t.lower() == "returning":
+                tail = cur.toks[k + 1 :]
+                if not tail:
+                    raise ParseError("RETURNING needs a projection list")
+                items: list[str] = []
+                buf: list[str] = []
+                d2 = 0
+                for t2 in tail:
+                    if t2 == "(":
+                        d2 += 1
+                    elif t2 == ")":
+                        d2 -= 1
+                    if t2 == "," and d2 == 0:
+                        items.append(" ".join(buf))
+                        buf = []
+                    else:
+                        buf.append(t2)
+                items.append(" ".join(buf))
+                if any(not s.strip() for s in items):
+                    raise ParseError("empty item in RETURNING list")
+                return _Cursor(cur.toks[:k], cur.i), items
+        return cur, None
+
+    def _insert(self, cur: _Cursor) -> int | DataFrame:
+        cur, ret_items = self._split_returning(cur)
         cur.expect_kw("insert")
         or_mode: str | None = None
         if cur.peek_kw() == "or":
@@ -6802,6 +7082,14 @@ class RefSQL:
                 "use either INSERT OR REPLACE/IGNORE or ON CONFLICT, "
                 "not both"
             )
+        if ret_items is not None and (
+            or_mode is not None or conflict_cur is not None
+        ):
+            raise ParseError(
+                "RETURNING with ON CONFLICT / OR REPLACE|IGNORE is not "
+                "supported (the resolved row set is engine-internal) — "
+                "query the table after the upsert"
+            )
         if or_mode is not None or conflict_cur is not None:
             return self._insert_on_conflict(
                 cur, table, cols, or_mode, conflict_cur, by_name
@@ -6819,6 +7107,11 @@ class RefSQL:
                 )
             if by_name:
                 src = self._align_by_name(table, src)
+                if ret_items is not None:
+                    _, batch = self.engine.append_df(
+                        table, src, returning=True
+                    )
+                    return batch.selectExpr(*ret_items)
                 return self.engine.append_df(table, src)
             declared = self.engine.catalog.get(table).columns
             targets = cols if cols is not None else [c.name for c in declared]
@@ -6833,6 +7126,9 @@ class RefSQL:
                     c.name,
                     F.lit(c.default if c.has_default else None),
                 )
+            if ret_items is not None:
+                _, batch = self.engine.append_df(table, src, returning=True)
+                return batch.selectExpr(*ret_items)
             return self.engine.append_df(table, src)
         if by_name:
             raise ParseError(
@@ -6842,6 +7138,9 @@ class RefSQL:
         cur.expect_kw("values")
         declared = [c.name for c in self.engine.catalog.get(table).columns]
         rows = self._values_rows(cur, cols if cols is not None else declared)
+        if ret_items is not None:
+            _, batch = self.engine.insert_rows_returning(table, rows)
+            return batch.selectExpr(*ret_items)
         return self.engine.insert_rows(table, rows)
 
     def _values_rows(self, cur: _Cursor, names: list[str]) -> list[dict]:
@@ -7207,7 +7506,8 @@ class RefSQL:
         got = obs.get
         return int((got["u"] or 0) + (got["i"] or 0))
 
-    def _update(self, cur: _Cursor) -> int:
+    def _update(self, cur: _Cursor) -> int | DataFrame:
+        cur, ret_items = self._split_returning(cur)
         cur.expect_kw("update")
         table = _unquote(cur.next())
         cur.expect_kw("set")
@@ -7273,7 +7573,7 @@ class RefSQL:
                 continue
             break
         if cur.peek_kw() == "from":
-            return self._update_from(cur, table, entries)
+            return self._update_from(cur, table, entries, ret_items)
         tgt_cols = {c.name for c in self.engine.catalog.get(table).columns}
         sets: dict[str, Any] = {}
         for col, kind, payload in entries:
@@ -7306,6 +7606,12 @@ class RefSQL:
             up = ExprParser(cur, self.weak, self._scalar, conjunct_in_joins=False)
             where = up.parse()
             frame = self._dml_frame(table, up, "UPDATE")
+        if ret_items is not None:
+            # Round-14 UPDATE ... RETURNING: matched rows, NEW values
+            _, ret = self.engine.update(
+                table, sets, where, frame=frame, returning=True
+            )
+            return ret.selectExpr(*ret_items)
         return self.engine.update(table, sets, where, frame=frame)
 
     def _update_from(
@@ -7313,7 +7619,8 @@ class RefSQL:
         cur: _Cursor,
         table: str,
         entries: "list[tuple[str, str, Any]]",
-    ) -> int:
+        ret_items: "list[str] | None" = None,
+    ) -> int | DataFrame:
         """Round-13: ``UPDATE t SET c = s.v [, ...] FROM s [AS a] WHERE
         t.k = a.k [AND ...]`` — the correlated per-row SET from a second
         table (DuckDB/Postgres join update; the round-12 verdict's top
@@ -7532,11 +7839,18 @@ class RefSQL:
         for rw in residual_rw:
             cond = cond & F.expr(" ".join(rw))
         frame = self.engine.table(table).join(src_sel, cond, "left")
+        if ret_items is not None:
+            _, ret = self.engine.update(
+                table, sets, F.col("__upd_hit"), frame=frame,
+                returning=True,
+            )
+            return ret.selectExpr(*ret_items)
         return self.engine.update(
             table, sets, F.col("__upd_hit"), frame=frame
         )
 
-    def _delete(self, cur: _Cursor) -> int:
+    def _delete(self, cur: _Cursor) -> int | DataFrame:
+        cur, ret_items = self._split_returning(cur)
         cur.expect_kw("delete")
         cur.expect_kw("from")
         table = _unquote(cur.next())
@@ -7547,6 +7861,12 @@ class RefSQL:
         dp = ExprParser(cur, self.weak, self._scalar, conjunct_in_joins=False)
         where = dp.parse()
         frame = self._dml_frame(table, dp, "DELETE")
+        if ret_items is not None:
+            # Round-14 DELETE ... RETURNING: the doomed rows
+            _, ret = self.engine.delete(
+                table, where, frame=frame, returning=True
+            )
+            return ret.selectExpr(*ret_items)
         return self.engine.delete(table, where, frame=frame)
 
     def _dml_frame(self, table: str, ep: "ExprParser", verb: str):

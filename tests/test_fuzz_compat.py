@@ -760,7 +760,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
-        "temporal_fn", "from_first",
+        "temporal_fn", "from_first", "list_fn",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -884,6 +884,35 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             sql = (
                 f"SELECT {', '.join(forms)} FROM orders "
                 f"WHERE o_orderkey < {rng.randint(100, 900)}"
+            )
+        elif shape == "list_fn":
+            # round-14: list literals + shared lambda arrows + probed
+            # list-op spellings; identical SQL runs natively in DuckDB.
+            a, b, c = rng.randint(1, 9), rng.randint(1, 9), rng.randint(1, 9)
+            forms = rng.sample(
+                [
+                    f"[n_nationkey, n_regionkey, {a}] AS la",
+                    f"[n_nationkey, {a}, {b}][2] AS lb",
+                    f"list_transform([{a}, {b}, {c}], y -> y * "
+                    f"n_regionkey) AS lc",
+                    f"list_filter([{a}, {b}, {c}, n_nationkey], "
+                    f"y -> y % 2 = 0) AS ld",
+                    f"list_append([{a}, {b}], n_regionkey) AS le",
+                    f"list_prepend(n_regionkey, [{a}]) AS lf",
+                    f"list_reverse([{a}, {b}, n_nationkey]) AS lg",
+                    f"list_min([{a}, {b}, n_nationkey]) AS lh",
+                    f"list_unique([{a}, {b}, {a}, NULL]) AS li",
+                    f"generate_series({min(a,b)}, {max(a,b)}) AS lj",
+                    f"list_concat([n_nationkey], [{a}, {b}]) AS lk",
+                    f"([{a}] || [{b}, {c}]) AS ll",
+                    f"list_slice([{a}, {b}, {c}, n_nationkey], 2, 3) "
+                    "AS lm",
+                ],
+                rng.randint(3, 5),
+            )
+            sql = (
+                f"SELECT {', '.join(forms)} FROM nation "
+                f"WHERE n_nationkey < {rng.randint(5, 24)}"
             )
         elif shape == "from_first":
             # round-14: DuckDB FROM-first queries — statement head,
@@ -1327,7 +1356,8 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
              "upd_expr", "upd_swapish", "upd_from",
              "oc_nothing", "oc_update", "oc_replace",
              "cte_ins", "cte_del",
-             "ins_ts", "oc_ts", "del_ts"]
+             "ins_ts", "oc_ts", "del_ts",
+             "ins_ret", "upd_ret", "del_ret"]
         )
         if kind == "ins":
             stmt = (
@@ -1411,6 +1441,40 @@ def test_random_dml_matches_duckdb_fuzz(spark, tmp_path):
                 )
             else:
                 stmt = f"INSERT OR REPLACE INTO pk VALUES {vals}"
+        elif kind in ("ins_ret", "upd_ret", "del_ret"):
+            # round-14 DML RETURNING: the returned rows must match
+            # DuckDB's (order-insensitive) AND the table state after —
+            # the state check runs below like every other step.
+            if kind == "ins_ret":
+                stmt = (
+                    f"INSERT INTO t VALUES ({next_id}, 'g{step % 3}', "
+                    f"{rng.randint(0, 99)}) RETURNING id, v"
+                )
+                next_id += 1
+            elif kind == "upd_ret":
+                stmt = (
+                    f"UPDATE t SET v = v + {rng.randint(1, 9)} "
+                    f"WHERE v < {rng.randint(20, 300)} RETURNING id, v"
+                )
+            else:
+                stmt = (
+                    f"DELETE FROM t WHERE v > {rng.randint(400, 900)} "
+                    "RETURNING id, grp"
+                )
+            got_ret = sorted(
+                tuple(str(c) for c in r) for r in e.ref_sql(stmt).collect()
+            )
+            want_ret = sorted(
+                tuple(str(c) for c in row)
+                for row in con.execute(stmt).fetchall()
+            )
+            assert got_ret == want_ret, (
+                f"step {step}: RETURNING mismatch {stmt!r}\n"
+                f"{got_ret}\n{want_ret}"
+            )
+            got, want = state()
+            assert got == want, f"step {step}: {stmt!r}\n{got}\n{want}"
+            continue
         elif kind == "ins_ts":
             # round-14: temporal VALUES — typed literal or plain string,
             # both must coerce to the declared TIMESTAMP (r13 probe #1)

@@ -5547,3 +5547,107 @@ def test_pivot_value_inference_vs_explicit(spark, tmp_path):
         e.ref_sql("CREATE TABLE sn (g TEXT, st TEXT, v INT)")
         e.ref_sql("INSERT INTO sn VALUES ('a', NULL, 1)")
         e.ref_sql("SELECT * FROM sn PIVOT (sum(v) FOR st)").collect()
+
+
+def test_list_literals_and_lambdas_vs_duckdb(spark, tmp_path):
+    """Round-14: DuckDB list literals (``[1, 2, 3]``, nested, empty,
+    indexed/sliced — previously ``SELECT [1,2,3]`` silently projected
+    NULL, an ACTIVE silent drift now closed), shared lambda-arrow syntax
+    (list_transform/list_filter/array_* → Spark transform/filter),
+    probed list-op spellings (append/prepend/reverse/min/max/unique/
+    slice/concat — list_concat's NULL-side-acts-empty semantics closed
+    via typed empty slices), and scalar generate_series → sequence with
+    the table-function form preserved (position-aware rename).
+    list_reduce rejects by name (DuckDB seeds the fold with the first
+    element — no Spark twin)."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "ll"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT)")
+        run("INSERT INTO one VALUES (2)")
+    cases = [
+        "[1, 2, 3]", "['a', 'b']", "[1, 2, 3][2]", "[x, x + 1]", "[]",
+        "[[1,2],[3]]", "[[1,2],[3]][1][2]",
+        "list_transform([1,2,3], y -> y * 2)",
+        "list_filter([1,2,3,4], y -> y % 2 = 0)",
+        "array_transform([1,2,3], y -> y + x)",
+        "filter([1,2,3], y -> y > 1)",
+        "list_append([1,2], 3)", "list_append([1,2], NULL)",
+        "list_prepend(0, [1,2])", "list_reverse([1,2,3])",
+        "list_min([3,1,NULL])", "list_max([3,1,NULL])",
+        "list_unique([1,2,2,NULL])", "list_slice([1,2,3,4], 2, 3)",
+        "generate_series(1, 4)", "generate_series(1, 9, 2)",
+        "[1] || [2,3]", "list_concat([1], [2,3])",
+        "list_concat(NULL, [2])", "list_concat([1], NULL)",
+        "list_concat(NULL, [1]) IS NULL",
+        "CASE WHEN x > 1 THEN [1] ELSE [2] END",
+    ]
+    for c in cases:
+        q = f"SELECT {c} AS r FROM one"
+        duck = str(con.execute(q).fetchall()[0][0])
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck, f"{c}: mine={mine} duck={duck}"
+    assert e.ref_sql(
+        "SELECT list_concat(NULL, NULL) IS NULL AS r FROM one"
+    ).collect()[0][0] is True
+    # table-function forms keep their name + column contract
+    assert [
+        r[0]
+        for r in e.ref_sql(
+            "SELECT generate_series FROM generate_series(1, 3)"
+        ).collect()
+    ] == [1, 2, 3]
+    assert e.ref_sql("SELECT * FROM range(1, 4)").count() == 3
+    # named rejection for the no-twin fold
+    with pytest.raises(ParseError, match="list_reduce"):
+        e.ref_sql("SELECT list_reduce([1,2], (a, b) -> a + b) AS r FROM one")
+    # '->' JSON rejection text is preserved outside lambda positions
+    e.ref_sql("CREATE TABLE jt (j TEXT)")
+    e.ref_sql("INSERT INTO jt VALUES ('{}')")
+    with pytest.raises(ParseError, match="json_extract_string"):
+        e.ref_sql("SELECT j -> 'a' FROM jt")
+
+
+def test_dml_returning_vs_duckdb(spark, tmp_path):
+    """Round-14: ``INSERT | UPDATE | DELETE ... RETURNING <items>``
+    (DuckDB/Postgres) — the statement returns the affected rows as a
+    DataFrame (INSERT: the coerced batch incl. DEFAULT fills; UPDATE:
+    matched rows with NEW values; DELETE: the doomed rows), value- and
+    state-identical vs DuckDB on the same SQL. The returned frames are
+    materialized EAGERLY (localCheckpoint) because the copy-on-write
+    swap retires the old snapshot's files. RETURNING with ON CONFLICT
+    rejects by name."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "ret"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (id INT, g TEXT, v INT DEFAULT 7)")
+        run("INSERT INTO t VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+
+    def both(stmt):
+        duck = sorted(map(str, con.execute(stmt).fetchall()))
+        mine = sorted(str(tuple(r)) for r in e.ref_sql(stmt).collect())
+        assert mine == duck, f"{stmt}: mine={mine} duck={duck}"
+        s_duck = sorted(map(str, con.execute("SELECT * FROM t").fetchall()))
+        s_mine = sorted(
+            str(tuple(r)) for r in e.ref_sql("SELECT * FROM t").collect()
+        )
+        assert s_mine == s_duck, f"state after {stmt}"
+
+    both("INSERT INTO t VALUES (4,'c',40), (5,'c',50) RETURNING *")
+    both("INSERT INTO t (id, g) VALUES (6,'d') RETURNING id, v")
+    both("INSERT INTO t SELECT id + 100 AS id, g, v * 2 AS v FROM t "
+         "WHERE v >= 40 RETURNING id, v")
+    both("UPDATE t SET v = v + 5 WHERE g = 'a' RETURNING id, v")
+    both("UPDATE t SET v = v * 2 WHERE g = 'zz' RETURNING *")  # empty
+    both("DELETE FROM t WHERE v > 200 RETURNING id, g, v")
+    both("DELETE FROM t WHERE g = 'c' RETURNING id")
+    with pytest.raises(ParseError, match="RETURNING with ON CONFLICT"):
+        e.ref_sql("CREATE TABLE pk2 (id INT PRIMARY KEY, v INT)")
+        e.ref_sql(
+            "INSERT INTO pk2 VALUES (1, 2) ON CONFLICT DO NOTHING "
+            "RETURNING *"
+        )
