@@ -209,9 +209,12 @@ _TOKEN_RE = re.compile(
   | `[^`]*`                # backtick identifier
   | <> | != | <= | >=      # two-char operators
   | ->> | ->               # JSON extraction operators (round-13)
+  | !~~\* | !~~ | !~       # Postgres-style NOT-match operators (round-14)
+  | ~~\* | ~~ | ~          # LIKE-sugar / regex-match operators (round-14)
+  | \*\* | \^ | !          # power spellings + postfix factorial (round-14)
   | [(),=<>*;]             # single-char punctuation
-  | (?:[^\s(),=<>;!-]|!(?!=)|-(?!>))+   # bare word; '!' allowed unless it
-                           # starts '!='; '-' allowed unless it starts '->'
+  | (?:[^\s(),=<>;!~^-]|-(?!>))+   # bare word; '-' allowed unless it
+                           # starts '->'; '!'/'~'/'^' are operators now
     """,
     re.VERBOSE,
 )
@@ -278,19 +281,18 @@ def tokenize(text: str) -> list[str]:
             t.lower() == "generate_series"
             and i + 1 < len(toks)
             and toks[i + 1] == "("
-            and (
-                i == 0
-                or toks[i - 1].lower() not in ("from", "join", "lateral", ",")
-            )
+            and _series_scalar_ctx(toks, i)
         ):
             # Round-14: SCALAR generate_series(a, b[, step]) ≡ Spark
             # sequence (both end-INCLUSIVE, probed). The table-function
-            # form (FROM generate_series / a comma-join side) keeps its
-            # name — the from-clause parser owns it and DuckDB names the
-            # output column after the function. A scalar call after a
-            # select-list comma stays un-renamed (indistinguishable from
-            # a comma join at token level) — Spark's UNRESOLVED_ROUTINE
-            # is loud; spell it sequence() there.
+            # form (FROM generate_series / a comma-join / JOIN side)
+            # keeps its name — the from-clause parser owns it and DuckDB
+            # names the output column after the function. Scalar vs
+            # table position is decided by the governing-clause walk
+            # (_series_scalar_ctx): DuckDB evaluates the call as a LIST
+            # in ANY select-list slot (probed: SELECT 1, generate_series
+            # (2, 4) returns [2,3,4]), so a select-list comma no longer
+            # blocks the rename (a seed-303 fuzz find).
             toks[i] = "sequence"
     # Round-12: string_split(s, '<literal>') → split(s, <escaped regex>)
     toks = _rewrite_string_split(toks)
@@ -335,6 +337,14 @@ def tokenize(text: str) -> list[str]:
         if t[0] not in "'\"`"
     ):
         toks = _rewrite_brackets(toks)
+    # Round-14: operator sugar — '^'/'**' power (Spark's '^' is XOR: an
+    # active silent drift), postfix '!' factorial, the anchored-regex
+    # '~' family + SIMILAR TO, LIKE-operator spellings, '//' rejection
+    if any(
+        t.lower() in _SUGAR_TRIGGER or (t[0] not in "'\"`" and "//" in t)
+        for t in toks
+    ):
+        toks = _rewrite_operator_sugar(toks)
     # Round-10: portable type names — DuckDB's VARCHAR/TEXT are Spark's
     # STRING (Spark's bare VARCHAR demands a length). Rewritten only in
     # the ``AS <type> )`` tail of a CAST(...) / TRY_CAST(...) call —
@@ -410,6 +420,43 @@ _FN_SPELLING = {
 #: DuckDB spellings of literal-separator split (string_to_array is the
 #: Postgres-compatible alias DuckDB also accepts).
 _SPLIT_SPELLINGS = frozenset({"string_split", "str_split", "string_to_array"})
+
+
+def _series_scalar_ctx(toks: list[str], i: int) -> bool:
+    """True when the generate_series call at ``toks[i]`` sits in a
+    SCALAR position (select list, call argument, WHERE/GROUP/HAVING/...)
+    — where DuckDB evaluates it as a LIST and Spark's twin is sequence()
+    — and False in TABLE-function position (the body of FROM / JOIN /
+    LATERAL), which the from-clause parser owns. Decided by walking LEFT
+    to the governing clause keyword at enclosing depth; exiting a paren
+    whose head is a CALL name means the call is an argument (scalar)."""
+    depth = 0
+    for j in range(i - 1, -1, -1):
+        t = toks[j]
+        if t == ")":
+            depth += 1
+        elif t == "(":
+            depth -= 1
+            if depth < 0:
+                head = toks[j - 1] if j > 0 else ""
+                if (
+                    re.fullmatch(r"[A-Za-z_][\w$]*", head)
+                    and head.lower() not in _NON_OPERAND_KWS
+                    and head.lower() != "lateral"
+                ):
+                    return True  # argument of a scalar/aggregate call
+                depth = 0  # plain group / subquery: keep walking outside
+        elif depth <= 0 and t[0] not in "'\"`":
+            tl = t.lower()
+            if tl in ("from", "join", "lateral"):
+                return False
+            if tl in (
+                "select", "where", "having", "qualify", "on", "using",
+                "when", "then", "else", "set", "values", "by",
+                "returning", "limit", "offset", "window",
+            ):
+                return True
+    return False
 
 
 def _rewrite_string_split(toks: list[str]) -> list[str]:
@@ -790,6 +837,248 @@ def _capture_lhs_primary(out: list[str], i: int, what: str) -> int:
             "expression"
         )
     return j
+
+
+# ---------------------------------------------------------------------------
+# Round-14: operator sugar — every form below VALUE-PROBED vs DuckDB
+# before implementation (test_operator_sugar_vs_duckdb):
+#   a ^ b / a ** b   POWER in DuckDB (always DOUBLE) but BITWISE XOR in
+#                    Spark — an ACTIVE silent value drift (x ^ 2 was
+#                    XOR-ing) until this rewrite. Probed precedence:
+#                    tighter than '*' (2 * 3 ^ 2 = 18), looser than
+#                    unary minus (-3 ^ 2 = 9), left-associative
+#                    (2 ^ 3 ^ 2 = 64). → power(a, b), Spark value-equal
+#                    on every probe.
+#   e!               postfix factorial at DuckDB's LOWEST arithmetic
+#                    precedence: 3 + 2! = 120 = (3+2)! and '2! + 1' is
+#                    a DuckDB parse error — '!' legally ENDS a run.
+#                    Domain (probed): NULL → NULL, n < 0 → 1, n > 20 →
+#                    exact HUGEINT (unrepresentable in BIGINT: ours
+#                    raise_error's, loud), non-integral → binder error
+#                    in DuckDB (ours raise_error's at runtime; an
+#                    integral-valued DOUBLE computes where DuckDB
+#                    type-errors — lenient, documented in DIALECT.md).
+#   a ~ p, a !~ p    DuckDB regexp_full_match: ANCHORED ('hello_world'
+#   a SIMILAR TO p   ~ 'ello' is FALSE) where Spark's rlike is
+#                    UNANCHORED — a silent drift if passed through.
+#                    DuckDB's SIMILAR TO takes PURE regex ('%'/'_' are
+#                    literals, probed — NOT the ANSI wildcard form).
+#                    → regexp_like(a, concat('^(?:', p, ')$')); the
+#                    non-capturing group guards top-level alternation
+#                    ('a|b' must not become '^a|b$'). NULLs propagate
+#                    identically through concat.
+#   ~~ / !~~ /       DuckDB's operator spellings of LIKE / NOT LIKE /
+#   ~~* / !~~*       ILIKE / NOT ILIKE — folded to the verbs the
+#                    predicate grammar already owns.
+#   a // b           REJECTED loudly: DuckDB's result is TYPE-dependent
+#                    (truncating division on integers, PLAIN division
+#                    on DOUBLE — 7.5 // 2 = 3.75, probed), unknowable
+#                    at token level; a rewrite would silently drift.
+# ---------------------------------------------------------------------------
+
+#: tokens that trigger the operator-sugar pass (checked lowercase)
+_SUGAR_TRIGGER = frozenset(
+    {"^", "**", "!", "~", "!~", "~~", "!~~", "~~*", "!~~*", "similar"}
+)
+
+#: binary operators that bind TIGHTER than the '~' family and postfix
+#: '!' — a "tight run" chained by these is one capture unit
+_TIGHT_BINARY = frozenset({"+", "-", "*", "/", "%", "||", "&", "|"})
+
+#: keywords that can never END an operand (so a '-' after one is unary,
+#: and a tight run never extends across one)
+_NON_OPERAND_KWS = frozenset({
+    "and", "or", "not", "where", "select", "when", "then", "else", "end",
+    "case", "on", "like", "ilike", "in", "between", "is", "from", "as",
+    "by", "all", "any", "some", "distinct", "similar", "to", "escape",
+    "interval", "limit", "offset", "having", "group", "order", "union",
+    "intersect", "except", "join", "using", "values", "set", "returning",
+    "over", "partition", "rows", "range", "exists", "filter", "qualify",
+})
+
+
+#: numeric literal token, optionally sign-glued (the tokenizer keeps
+#: '-3' / '1e-3' whole)
+_NUMBER_RE = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+
+
+def _ends_operand(tok: str) -> bool:
+    """True when ``tok`` can END an operand — used to tell unary from
+    binary +/- and to decide whether a tight run keeps extending left."""
+    if tok == ")" or _is_string_lit(tok) or tok.startswith("`"):
+        return True
+    if _NUMBER_RE.fullmatch(tok):
+        return True
+    if re.fullmatch(r"[A-Za-z_][\w$.]*", tok):
+        return tok.lower() not in _NON_OPERAND_KWS
+    return False
+
+
+def _lhs_primary_start(toks: list[str], i: int, what: str) -> int:
+    """_capture_lhs_primary, extended with the numeric-literal operands
+    the operator-sugar forms take ('->>' never needed them)."""
+    if i > 0 and _NUMBER_RE.fullmatch(toks[i - 1]):
+        return i - 1
+    return _capture_lhs_primary(toks, i, what)
+
+
+def _run_left(toks: list[str], i: int, what: str) -> int:
+    """Start index of the maximal TIGHT arithmetic run ending at
+    ``toks[i-1]``: primaries chained by _TIGHT_BINARY operators, with
+    unary-sign absorption. The capture boundary for the comparison-level
+    '~' family and the lowest-precedence postfix '!'."""
+    j = _lhs_primary_start(toks, i, what)
+    while j > 0:
+        op = toks[j - 1]
+        if op in ("-", "+") and (
+            j - 1 == 0 or not _ends_operand(toks[j - 2])
+        ):
+            j -= 1  # unary sign belongs to this operand; the run may
+            continue  # still extend past it (2 * -3 ~ p)
+        if op in _TIGHT_BINARY and j - 1 > 0 and _ends_operand(toks[j - 2]):
+            j = _lhs_primary_start(toks, j - 1, what)
+            continue
+        break
+    return j
+
+
+def _rhs_primary_end(toks: list[str], k: int, what: str) -> int:
+    """End (exclusive) of the primary starting at ``toks[k]`` — optional
+    unary signs, then a literal / identifier / call / paren group."""
+    n = len(toks)
+    while k < n and toks[k] in ("-", "+"):
+        k += 1
+    if k >= n:
+        raise ParseError(f"{what} needs a right-hand operand")
+    if toks[k] == "(":
+        return _match_paren(toks, k) + 1
+    if (
+        re.fullmatch(r"[A-Za-z_][\w$.]*", toks[k])
+        and k + 1 < n
+        and toks[k + 1] == "("
+    ):
+        return _match_paren(toks, k + 1) + 1
+    return k + 1
+
+
+def _run_right(toks: list[str], k: int, what: str) -> int:
+    """End (exclusive) of the maximal tight run starting at toks[k]."""
+    k2 = _rhs_primary_end(toks, k, what)
+    n = len(toks)
+    while k2 < n and toks[k2] in _TIGHT_BINARY:
+        k2 = _rhs_primary_end(toks, k2 + 1, what)
+    return k2
+
+
+def _rewrite_operator_sugar(toks: list[str]) -> list[str]:
+    out = list(toks)
+    for t in out:
+        if t[0] not in "'\"`" and "//" in t:
+            raise ParseError(
+                "'//' is not supported: DuckDB's result depends on the "
+                "operand types (truncating division on integers, plain "
+                "division on DOUBLE) — spell the intent explicitly: "
+                "floor(x / y) on both engines, or CAST(x / y AS BIGINT) "
+                "for truncation toward zero"
+            )
+    # '**' → '^' (spaced '**' lexes as two adjacent stars — never valid
+    # SQL otherwise, so the pair folds too), then one power pass
+    i = 0
+    while i < len(out):
+        if out[i] == "**":
+            out[i] = "^"
+        elif out[i] == "*" and i > 0 and out[i - 1] == "*":
+            out[i - 1 : i + 1] = ["^"]
+            continue
+        i += 1
+    # a ^ b → power(a, b); scan order gives left associativity, primary
+    # capture gives tighter-than-'*', sign absorption gives -3 ^ 2 = 9
+    i = 0
+    while i < len(out):
+        if out[i] != "^":
+            i += 1
+            continue
+        j = _lhs_primary_start(out, i, "'^'")
+        if (
+            j > 0
+            and out[j - 1] in ("-", "+")
+            and (j - 1 == 0 or not _ends_operand(out[j - 2]))
+        ):
+            j -= 1
+        k = _rhs_primary_end(out, i + 1, "'^'")
+        repl = ["power", "("] + out[j:i] + [","] + out[i + 1 : k] + [")"]
+        out[j:k] = repl
+        i = j + len(repl)
+    # e! → DuckDB-domain factorial; coalesce(...) wraps the CASE so every
+    # operand path (predicate sides included) sees one CALL token group
+    i = 0
+    while i < len(out):
+        if out[i] != "!":
+            i += 1
+            continue
+        j = _run_left(out, i, "postfix '!'")
+        grp = ["("] + out[j:i] + [")"]
+        repl = (
+            ["coalesce", "(", "case", "when"]
+            + grp
+            + ["is", "null", "then", "cast", "(", "null", "as", "bigint", ")"]
+            + ["when"] + grp
+            + ["<", "0", "then", "cast", "(", "1", "as", "bigint", ")"]
+            + ["when"] + grp + [">", "20", "or"] + grp
+            + ["!=", "floor"] + grp
+            + ["then", "cast", "(", "raise_error", "(",
+               "'factorial: n > 20 (DuckDB computes this as HUGEINT, "
+               "beyond BIGINT) or non-integral n'",
+               ")", "as", "bigint", ")"]
+            + ["else", "factorial", "(", "cast", "("] + grp
+            + ["as", "int", ")", ")", "end", ")"]
+        )
+        out[j : i + 1] = repl
+        i = j + len(repl)
+    # [NOT] SIMILAR TO → [!]~ (DuckDB: SIMILAR TO ≡ regexp_full_match)
+    i = 0
+    while i < len(out) - 1:
+        if out[i].lower() == "similar" and out[i + 1].lower() == "to":
+            if i > 0 and out[i - 1].lower() == "not":
+                out[i - 1 : i + 2] = ["!~"]
+            else:
+                out[i : i + 2] = ["~"]
+        else:
+            i += 1
+    # LIKE-operator spellings → the verbs the predicate grammar owns
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t == "~~":
+            out[i] = "like"
+        elif t == "~~*":
+            out[i] = "ilike"
+        elif t == "!~~":
+            out[i : i + 1] = ["not", "like"]
+        elif t == "!~~*":
+            out[i : i + 1] = ["not", "ilike"]
+        i += 1
+    # a ~ p / a !~ p → [not] regexp_like(a, concat('^(?:', p, ')$'))
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t not in ("~", "!~"):
+            i += 1
+            continue
+        j = _run_left(out, i, f"'{t}'")
+        k = _run_right(out, i + 1, f"'{t}'")
+        repl = (
+            ["regexp_like", "("]
+            + out[j:i]
+            + [",", "concat", "(", "'^(?:'", ","]
+            + out[i + 1 : k]
+            + [",", "')$'", ")", ")"]
+        )
+        if t == "!~":
+            repl = ["not", "("] + repl + [")"]
+        out[j:k] = repl
+        i = j + len(repl)
+    return out
 
 
 # ---------------------------------------------------------------------------

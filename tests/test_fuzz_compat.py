@@ -760,7 +760,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "derived_join", "order_by_all", "select_corr_scalar",
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
-        "temporal_fn", "from_first", "list_fn",
+        "temporal_fn", "from_first", "list_fn", "op_sugar",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -914,6 +914,41 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
                 f"SELECT {', '.join(forms)} FROM nation "
                 f"WHERE n_nationkey < {rng.randint(5, 24)}"
             )
+        elif shape == "op_sugar":
+            # round-14: operator sugar — '^'/'**' power (Spark's '^' is
+            # XOR: the rewrite closes an active silent drift), postfix
+            # '!' factorial (bounded ≤ 9! here), anchored-regex '~'
+            # family / SIMILAR TO, and LIKE-operator spellings;
+            # identical SQL runs natively in DuckDB.
+            a = rng.randint(2, 4)
+            forms = rng.sample(
+                [
+                    f"n_regionkey ^ {a} AS oa",
+                    f"{a} ** n_regionkey AS ob",
+                    f"-{a} ^ 2 AS oc",
+                    f"n_nationkey ^ 0.5 + {a} AS od",
+                    f"2 ^ n_regionkey ^ 2 AS oe",
+                    "(n_nationkey % 7)! AS of",
+                    f"{a} + n_regionkey! AS og",
+                    "n_name ~ '.*A.*' AS oh",
+                    "n_name !~ 'A.*' AS oi",
+                    "n_name SIMILAR TO '[A-Z ]+' AS oj",
+                    f"n_name || '{rng.choice('XYZ')}' ~ '.*[AEIOU].*' "
+                    "AS ok1",
+                    "n_name ~~ '%A%' AS ol",
+                    "n_name !~~* 'a%' AS om",
+                ],
+                rng.randint(3, 5),
+            )
+            pred = rng.choice(
+                [
+                    f"n_nationkey < {rng.randint(5, 24)}",
+                    "n_name ~ '[A-Z]+'",
+                    f"n_regionkey ^ 2 < {rng.randint(2, 17)}",
+                    "n_name !~~ 'Z%'",
+                ]
+            )
+            sql = f"SELECT {', '.join(forms)} FROM nation WHERE {pred}"
         elif shape == "from_first":
             # round-14: DuckDB FROM-first queries — statement head,
             # derived-table body, and WITH main body; identical SQL runs

@@ -5592,6 +5592,16 @@ def test_list_literals_and_lambdas_vs_duckdb(spark, tmp_path):
     assert e.ref_sql(
         "SELECT list_concat(NULL, NULL) IS NULL AS r FROM one"
     ).collect()[0][0] is True
+    # scalar rename works in ANY select-list slot — the comma case is
+    # disambiguated by the governing-clause walk (a seed-303 fuzz find;
+    # DuckDB-probed: SELECT 1, generate_series(2, 4) → [2, 3, 4])
+    got = e.ref_sql(
+        "SELECT x AS a, generate_series(2, 4) AS b FROM one"
+    ).collect()[0]
+    dk = con.execute(
+        "SELECT x AS a, generate_series(2, 4) AS b FROM one"
+    ).fetchall()[0]
+    assert (got[0], list(got[1])) == (dk[0], list(dk[1]))
     # table-function forms keep their name + column contract
     assert [
         r[0]
@@ -5651,3 +5661,75 @@ def test_dml_returning_vs_duckdb(spark, tmp_path):
             "INSERT INTO pk2 VALUES (1, 2) ON CONFLICT DO NOTHING "
             "RETURNING *"
         )
+
+
+def test_operator_sugar_vs_duckdb(spark, tmp_path):
+    """Round-14: operator sugar, VALUE-PROBED vs DuckDB per the house
+    probe-first convention. '^'/'**' is POWER in DuckDB but bitwise XOR
+    in Spark — an ACTIVE silent value drift closed by rewriting to
+    power() with DuckDB's probed precedence (tighter than '*', looser
+    than unary minus, left-associative). Postfix '!' is DuckDB's
+    lowest-precedence factorial (3 + 2! = (3+2)!; NULL→NULL, n<0→1,
+    n>20 raises loudly here — DuckDB computes HUGEINT beyond BIGINT).
+    '~'/'!~'/SIMILAR TO are ANCHORED full-match regex (DuckDB's
+    SIMILAR TO takes pure regex: '%'/'_' are literals), closed with the
+    '^(?:...)$' wrap over Spark's unanchored regexp_like. '~~' family
+    folds to LIKE verbs. '//' rejects loudly (type-dependent DuckDB
+    semantics: truncating on INT, plain division on DOUBLE)."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "sugar"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT, s TEXT)")
+        run("INSERT INTO one VALUES (5, 'hello_world')")
+    cases = [
+        # power: precedence, associativity, signs, NULLs, DOUBLE result
+        "x ^ 2", "x ** 2", "2 ^ x", "-3 ^ 2", "2 ^ -1", "x ^ 0.5",
+        "2 ^ 3 ^ 2", "2 * 3 ^ 2", "2 - 3 ^ 2", "x ^ 2 + 1", "2 ^ 31",
+        "NULL ^ 2", "2 ^ NULL", "2 ^ 2 = 4",
+        # factorial: domain edges + lowest-precedence run capture
+        "5!", "0!", "(x - 2)!", "3 + 2!", "x > 3!", "5! = 120",
+        "(-1)!", "(0 - 3)!", "(2 + NULL)!",
+        # anchored regex family (+ tight-run LHS, NULL propagation)
+        "s ~ 'hello.*'", "s ~ 'ello'", "s !~ 'ello'", "'a|b' ~ 'a|b'",
+        "s ~ '.*'", "upper(s) ~ 'HELLO.*'", "s || 'x' ~ 'hello.*x'",
+        "NULL ~ 'a'", "s ~ NULL", "NOT s ~ 'ello'", "'5' ~ '[0-9]'",
+        # SIMILAR TO ≡ regexp_full_match (pure regex, probed)
+        "s SIMILAR TO 'h.*d'", "s SIMILAR TO 'hello'",
+        "s NOT SIMILAR TO 'h.*d'", "'abc' SIMILAR TO 'a%'",
+        "'a%c' SIMILAR TO 'a%c'", "'abc' SIMILAR TO 'a_c'",
+        # LIKE-operator spellings
+        "s ~~ 'hello%'", "s !~~ 'hello%'", "s ~~* 'HELLO%'",
+        "s !~~* 'HELLO%'",
+    ]
+    for c in cases:
+        q = f"SELECT {c} AS r FROM one"
+        duck = str(con.execute(q).fetchall()[0][0])
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck, f"{c}: mine={mine} duck={duck}"
+    # predicate positions (WHERE / HAVING)
+    preds = [
+        "x! = 120", "s ~ 'h.*d'", "x ^ 2 > 20", "s ~~ 'h%'",
+        "s NOT SIMILAR TO 'z.*'", "s !~ 'z.*'",
+    ]
+    for p in preds:
+        q = f"SELECT x FROM one WHERE {p}"
+        duck = con.execute(q).fetchall()
+        mine = [tuple(r) for r in e.ref_sql(q).collect()]
+        assert mine == duck, f"WHERE {p}: mine={mine} duck={duck}"
+    # '//' rejects loudly, naming the type-dependence
+    with pytest.raises(ParseError, match="operand types"):
+        e.ref_sql("SELECT x // 2 AS r FROM one")
+    # factorial beyond Spark's BIGINT range / non-integral: loud runtime
+    # raise (DuckDB computes 21! as HUGEINT — documented in DIALECT.md)
+    for bad in ("21!", "2.5!"):
+        with pytest.raises(Exception, match="factorial"):
+            e.ref_sql(f"SELECT {bad} AS r FROM one").collect()
+    # columns whose NAME contains no operator stay untouched; glued
+    # operator forms lex identically to spaced ones
+    got = e.ref_sql("SELECT x^2 AS a, s~'h.*d' AS b FROM one").collect()[0]
+    duck2 = con.execute(
+        "SELECT x^2 AS a, s~'h.*d' AS b FROM one"
+    ).fetchall()[0]
+    assert (str(got[0]), str(got[1])) == (str(duck2[0]), str(duck2[1]))
