@@ -204,17 +204,18 @@ from ..operators.query import Query, agg_spec, arg_col
 
 _TOKEN_RE = re.compile(
     r"""
-    '(?:[^'\\]|\\.)*'      # single-quoted string
-  | "(?:[^"\\]|\\.)*"      # double-quoted string
+    '(?:''|[^'\\]|\\.)*'   # single-quoted string ('' doubling kept whole)
+  | "(?:""|[^"\\]|\\.)*"   # double-quoted string
   | `[^`]*`                # backtick identifier
   | <> | != | <= | >=      # two-char operators
   | ->> | ->               # JSON extraction operators (round-13)
   | !~~\* | !~~ | !~       # Postgres-style NOT-match operators (round-14)
   | ~~\* | ~~ | ~          # LIKE-sugar / regex-match operators (round-14)
   | \*\* | \^ | !          # power spellings + postfix factorial (round-14)
-  | [(),=<>*;]             # single-char punctuation
-  | (?:[^\s(),=<>;!~^-]|-(?!>))+   # bare word; '-' allowed unless it
-                           # starts '->'; '!'/'~'/'^' are operators now
+  | [(),=<>*;{}]           # single-char punctuation ({} = struct/map
+                           # literals, round-14)
+  | (?:[^\s(),=<>;!~^{}-]|-(?!>))+   # bare word; '-' allowed unless it
+                           # starts '->'; '!'/'~'/'^'/braces are operators
     """,
     re.VERBOSE,
 )
@@ -261,7 +262,64 @@ KEYWORDS_STOP = {
 }
 
 
+def _strip_comments(text: str) -> str:
+    """Round-14: SQL comments — ``-- line`` and ``/* block */`` (nested,
+    the Postgres/DuckDB rule) — removed before lexing, string- and
+    identifier-literal aware ('' doubling and backslash escapes both
+    survive). A line comment is replaced by nothing, a block comment by
+    one space (token separator), so positions inside literals never
+    change."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            q = ch
+            out.append(ch)
+            i += 1
+            while i < n:
+                c = text[i]
+                out.append(c)
+                if c == "\\" and q != "`" and i + 1 < n:
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                i += 1
+                if c == q:
+                    if q != "`" and i < n and text[i] == q:
+                        out.append(text[i])  # '' doubling stays inside
+                        i += 1
+                        continue
+                    break
+            continue
+        if ch == "-" and i + 1 < n and text[i + 1] == "-":
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline as the separator
+            continue
+        if ch == "/" and i + 1 < n and text[i + 1] == "*":
+            depth = 1
+            i += 2
+            while i < n and depth:
+                if text.startswith("/*", i):
+                    depth += 1
+                    i += 2
+                elif text.startswith("*/", i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
+            if depth:
+                raise ParseError("unterminated /* block comment")
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def tokenize(text: str) -> list[str]:
+    if "--" in text or "/*" in text:
+        text = _strip_comments(text)
     toks = [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
     if any(
         "::" in t and t[0] not in "'\"`" for t in toks
@@ -309,6 +367,18 @@ def tokenize(text: str) -> list[str]:
     ):
         toks = _rewrite_extract(toks)
         toks = _rewrite_temporal_calls(toks)
+    # Round-14: the numeric/string scalar family (value-probed vs DuckDB
+    # — twins pass, closable drift closes by construction, non-twins
+    # reject loudly). Runs BEFORE the list pass (list_concat emits the
+    # ARRAY concat(...), which must stay Spark's) and BEFORE operator
+    # sugar (the factorial(x) call form lowers to postfix '!' so the
+    # sugar pass adds the shared domain guard).
+    if any(
+        t.lower() in _SCALAR_TRIGGER and toks[min(i + 1, len(toks) - 1)] == "("
+        for i, t in enumerate(toks)
+        if t[0] not in "'\"`"
+    ):
+        toks = _rewrite_scalar_calls(toks)
     # Round-14: DuckDB FROM-first queries — statement head or ( FROM ... )
     if toks and (
         toks[0].lower() == "from"
@@ -328,6 +398,15 @@ def tokenize(text: str) -> list[str]:
         t.lower() in _LIST_CALL_TRIGGER for t in toks if t[0] not in "'\"`"
     ):
         toks = _rewrite_list_calls(toks)
+    # Round-14: struct/map literals + the struct_pack/struct_extract/
+    # map_extract/map(kl, vl) call family (no Spark brace literals;
+    # walrus args and the two-list map signature silently diverge)
+    if any(
+        t == "{"
+        or (t and t[0] not in "'\"`" and t.lower() in _STRUCT_CALLS)
+        for t in toks
+    ):
+        toks = _rewrite_struct_map(toks)
     # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
     # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
     # plus the list_extract/list_element dynamic-index spellings.
@@ -397,6 +476,9 @@ _FN_SPELLING = {
     # percentile already pins ≡ DuckDB quantile_cont in the agg table) —
     # the rewrite routes DuckDB's primary quantile name into that path.
     "quantile_cont": "percentile",
+    # Round-14 string-family probe: editdist3 is DuckDB's alias for
+    # levenshtein (probed value-identical; BIGINT-vs-INT is type-only)
+    "editdist3": "levenshtein",
     # Round-14 list-lambda + list-op spellings, each value-probed vs
     # DuckDB (test_list_literals_and_lambdas_vs_duckdb) — DuckDB and
     # Spark share the `x -> expr` lambda arrow syntax:
@@ -796,10 +878,255 @@ def _rewrite_json_calls(toks: list[str]) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Round-14: struct / map literals and calls (value-probed vs DuckDB —
+# test_struct_map_vs_duckdb). DuckDB's {'k': v} struct literal and
+# MAP {'k': v} map literal have no Spark token twin (Spark SQL has no
+# brace literals), so unhandled braces died mid-parse; struct_pack's
+# walrus named args and the map(keys_list, values_list) signature both
+# SILENTLY diverge from Spark's map(k1, v1, ...) variadic form.
+#   {'k': v, ...} / {k: v}  -> named_struct('k', v, ...)  (bare keys OK)
+#   MAP {k1: v1, ...}       -> map(k1, v1, ...); MAP {} -> map()
+#   struct_pack(k := v,...) -> named_struct('k', v, ...)
+#   struct_extract(e, 'k')  -> (e).`k`  (literal keys only, like DuckDB
+#                              on named structs)
+#   map(kl, vl) 2-arg       -> map_from_arrays(kl, vl) (guarded: not
+#                              after AS, so cast/DDL type syntax stays)
+#   map_extract(m, k)       -> DuckDB's LIST result, exactly: a matched
+#                              key wraps the value in a 1-element list,
+#                              a missing key gives the TYPED empty list
+#                              (probed: MAP {'a': 1}['zz'] = [])
+#   struct_insert           -> loud reject (no Spark twin)
+# Dot access composes untouched (Spark shares it); struct/map equality
+# is a twin. Twins probed: map_keys/map_values/map_entries/
+# map_from_entries/map_concat/cardinality/element_at-on-maps returns
+# Spark's SCALAR (DuckDB wraps a list — use map_extract for the exact
+# DuckDB shape; documented).
+# ---------------------------------------------------------------------------
+
+_STRUCT_CALLS = frozenset({
+    "struct_pack", "struct_insert", "struct_extract", "map_extract",
+    "map",
+})
+
+
+def _struct_key_lit(tok: str) -> str:
+    """A struct-literal key token -> a single-quoted Spark name literal."""
+    if tok and tok[0] == "'":
+        return tok
+    if tok and tok[0] == '"':
+        return "'" + tok[1:-1] + "'"
+    if re.fullmatch(r"[A-Za-z_][\w$]*", tok):
+        return f"'{tok}'"
+    raise ParseError(f"struct key must be a name or string, got {tok!r}")
+
+
+def _split_struct_entries(inner: list[str]) -> list[list[str]]:
+    parts: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in inner:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _rewrite_struct_map(toks: list[str]) -> list[str]:
+    out = list(toks)
+    # merge the walrus: ':=' lexes as ':' + '=' ('=' breaks bare words),
+    # possibly with the name glued ('a:' + '=')
+    merged: list[str] = []
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if (
+            i + 1 < len(out)
+            and out[i + 1] == "="
+            and t
+            and t[0] not in "'\"`"
+            and t.endswith(":")
+            and not t.endswith("::")
+        ):
+            if t[:-1]:
+                merged.append(t[:-1])
+            merged.append(":=")
+            i += 2
+            continue
+        merged.append(t)
+        i += 1
+    out = merged
+    if "{" in out:
+        # split colon-glued tokens inside brace regions ({'k':1} lexes
+        # the value as ':1'); bracket-slice tokens ([1:2]) stay whole
+        norm: list[str] = []
+        depth = 0
+        for t in out:
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth = max(0, depth - 1)
+            if (
+                depth > 0
+                and t not in ("{", ":", ":=")
+                and t[0] not in "'\"`"
+                and ":" in t
+                and "::" not in t
+                and "[" not in t
+                and "]" not in t
+            ):
+                a, _, b = t.partition(":")
+                if a:
+                    norm.append(a)
+                if b.startswith("="):
+                    norm.append(":=")
+                    b = b[1:]
+                else:
+                    norm.append(":")
+                if b:
+                    norm.append(b)
+                continue
+            norm.append(t)
+        out = norm
+    # literals, innermost-first: the LAST '{' before the FIRST '}'
+    while "}" in out:
+        close_i = out.index("}")
+        open_i = None
+        for i in range(close_i - 1, -1, -1):
+            if out[i] == "{":
+                open_i = i
+                break
+        if open_i is None:
+            raise ParseError("unbalanced '}' in struct/map literal")
+        inner = out[open_i + 1 : close_i]
+        is_map = open_i > 0 and out[open_i - 1].lower() == "map"
+        entries = _split_struct_entries(inner)
+        if not is_map and not entries:
+            raise ParseError("empty struct literal {} has no meaning")
+        for p in entries:
+            if len(p) < 3 or p[1] != ":":
+                raise ParseError(
+                    "struct/map literal entries take the form key: value"
+                )
+        if is_map:
+            # emitted as map_from_arrays so a ONE-entry literal cannot
+            # collide with the user-facing 2-arg map(keys, values) form
+            if not entries:
+                repl = ["map", "(", ")"]
+            else:
+                repl = ["map_from_arrays", "(", "array", "("]
+                for k, p in enumerate(entries):
+                    if k:
+                        repl.append(",")
+                    # map keys are expressions in DuckDB; single-token
+                    # keys (literals / column refs) cover the probed
+                    # surface
+                    repl.append(p[0])
+                repl += [")", ",", "array", "("]
+                for k, p in enumerate(entries):
+                    if k:
+                        repl.append(",")
+                    repl.extend(p[2:])
+                repl += [")", ")"]
+        else:
+            repl = ["named_struct", "("]
+            for k, p in enumerate(entries):
+                if k:
+                    repl.append(",")
+                repl.append(_struct_key_lit(p[0]))
+                repl.append(",")
+                repl.extend(p[2:])
+            repl.append(")")
+        start = open_i - 1 if is_map else open_i
+        out[start : close_i + 1] = repl
+    # family calls, inside-out (same contract as the scalar pass)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        low = t.lower() if t and t[0] not in "'\"`" else ""
+        if low in _STRUCT_CALLS and i + 1 < len(out) and out[i + 1] == "(":
+            if low == "map" and i > 0 and out[i - 1].lower() == "as":
+                i += 1  # CAST(x AS MAP(...)): type syntax, not a call
+                continue
+            args, close = _split_call_args(out, i + 1)
+            args = [_rewrite_struct_map(a) for a in args]
+            repl = None
+            if low == "struct_insert":
+                raise ParseError(
+                    "struct_insert: no Spark twin — build the full "
+                    "struct with {'k': v, ...}"
+                )
+            if low == "struct_pack":
+                repl = ["named_struct", "("]
+                for k, a in enumerate(args):
+                    if len(a) < 3 or a[1] != ":=":
+                        raise ParseError(
+                            "struct_pack takes name := value arguments"
+                        )
+                    if k:
+                        repl.append(",")
+                    repl.append(_struct_key_lit(a[0]))
+                    repl.append(",")
+                    repl.extend(a[2:])
+                repl.append(")")
+            elif low == "struct_extract":
+                if len(args) != 2 or len(args[1]) != 1 or not (
+                    _is_string_lit(args[1][0])
+                ):
+                    raise ParseError(
+                        "struct_extract takes (struct, 'name') — "
+                        "dynamic keys have no Spark twin"
+                    )
+                key = args[1][0][1:-1]
+                if not re.fullmatch(r"[A-Za-z_][\w$]*", key):
+                    raise ParseError(
+                        f"struct_extract key {key!r}: only identifier "
+                        "field names extract (Spark dot access is the "
+                        "twin; backticked fields don't survive the "
+                        "token pipeline) — rename the field"
+                    )
+                repl = ["(", *args[0], ")", f".{key}"]
+            elif low == "map_extract":
+                if len(args) != 2:
+                    raise ParseError("map_extract takes (map, key)")
+                m, k = args
+                repl = (
+                    ["(", "case", "when", "map_contains_key", "(", *m,
+                     ",", *k, ")", "then", "array", "(",
+                     "try_element_at", "(", *m, ",", *k, ")", ")",
+                     "else", "slice", "(", "map_values", "(", *m, ")",
+                     ",", "1", ",", "0", ")", "end", ")"]
+                )
+            elif low == "map" and len(args) == 2:
+                repl = (["map_from_arrays", "(", *args[0], ",",
+                         *args[1], ")"])
+            if repl is None:
+                rebuilt: list[str] = [out[i], "("]
+                for k, a in enumerate(args):
+                    if k:
+                        rebuilt.append(",")
+                    rebuilt.extend(a)
+                rebuilt.append(")")
+                repl = rebuilt
+            out[i : close + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
+    return out
+
+
 #: a whole-token bracket group: [n] | [i:j] | [i:] | [:j]
 _BRACKET_GROUP = re.compile(r"\[[^\[\]]*\]")
 #: identifier (possibly qualified / backticked) directly carrying groups
-_BRACKETED_IDENT = re.compile(r"([A-Za-z_`][\w.$`]*)((?:\[[^\[\]]*\])+)\Z")
+_BRACKETED_IDENT = re.compile(r"([.A-Za-z_`][\w.$`]*)((?:\[[^\[\]]*\])+)\Z")
 
 
 def _capture_lhs_primary(out: list[str], i: int, what: str) -> int:
@@ -826,6 +1153,11 @@ def _capture_lhs_primary(out: list[str], i: int, what: str) -> int:
             and out[j - 1].lower() not in _CAST_ABSORB_STOP
         ):
             j -= 1
+    elif re.fullmatch(r"\.[A-Za-z_][\w$.]*", out[j]):
+        # round-14: a struct FIELD-ACCESS suffix ('.a' after a brace
+        # literal's named_struct or any paren group) — the primary is
+        # the base expression plus the suffix
+        return _capture_lhs_primary(out, j, what)
     elif not (
         _is_string_lit(out[j])
         or out[j].startswith("`")
@@ -1613,6 +1945,299 @@ def _rewrite_temporal_calls(toks: list[str]) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Round-14: the numeric/string scalar-function family, given the probe
+# treatment (test_scalar_functions_vs_duckdb). ACTIVE silent drifts
+# found and closed:
+#   log(x)            log10 in DuckDB, ln in Spark  -> log10(x)
+#   regexp_extract(s, p)   group 0 in DuckDB, group 1 in Spark -> , 0
+#   regexp_replace(s, p, r)      FIRST match in DuckDB, ALL in Spark ->
+#                     loud reject (no Spark first-match); the 'g' flag
+#                     form maps to Spark's replace-all, i/s/m flags
+#                     become inline (?ism) groups on the pattern
+#   concat(...)       DuckDB SKIPS NULL args ('a'||NULL is NULL in both,
+#                     but concat('a', NULL) is 'a') -> concat_ws('', ...)
+#                     (string concat only: DuckDB stringifies lists; use
+#                     || / list_concat for Spark array concat)
+#   trim/ltrim/rtrim(s, chars)   Spark's 2-arg ltrim/rtrim take
+#                     (trimStr, src) — REVERSED — and 2-arg trim
+#                     likewise: silent '' results -> btrim / arg swap
+#   left/right(s, -n) DuckDB drops |n| from the far end, Spark returns
+#                     '' -> sign-aware substring arithmetic
+#   substring(s, 0, n)  DuckDB clips the window ('he'), Spark treats 0
+#                     as 1 ('hel') -> CASE on the zero start
+#   sign(x)           TINYINT in DuckDB, DOUBLE in Spark -> cast int
+#   trunc(x)          numeric truncation has no 1-arg Spark twin (Spark
+#                     trunc is date-only) -> ceil/floor by sign
+#   factorial(x)      DuckDB computes 21!+ as HUGEINT; Spark NULLs ->
+#                     lowered to postfix '!' for the shared domain guard
+#   isinf/isfinite    no Spark twin -> abs(x) = 'Infinity' algebra
+#   even(x)           away-from-zero round-to-even -> 2*ceil|floor(x/2)
+#   to_base(x, b[,l]) -> conv(x, 10, b) [+ lpad '0']
+#   to_base64/from_base64 -> base64/unbase64; sha256(x) -> sha2(x, 256)
+#   unicode/ord('')   -1 in DuckDB, 0 from Spark ascii -> CASE
+#   format/printf     NULL args give a NULL result in DuckDB but the
+#                     text 'null' from format_string -> CASE null guard;
+#                     format's fmt-syntax ({}, {0}, {{) translates to
+#                     %s / %1$s / { when the format string is a literal
+# No-twin names reject loudly: gamma, lgamma, nextafter, signbit, bar,
+# even's siblings jaccard/hamming/mismatches/damerau_levenshtein (only
+# levenshtein/editdist3 have a twin), and hash (engine-specific: DuckDB
+# wyhash vs Spark Murmur3 — silently different values; md5 is the
+# cross-engine-stable digest).
+# ---------------------------------------------------------------------------
+
+_SCALAR_TRIGGER = frozenset({
+    "log", "regexp_extract", "regexp_replace", "concat", "trim", "ltrim",
+    "rtrim", "left", "right", "substring", "substr", "trunc", "sign",
+    "factorial", "isinf", "isfinite", "even", "to_base", "to_base64",
+    "from_base64", "sha256", "unicode", "ord", "format", "printf",
+    "gamma", "lgamma", "nextafter", "signbit", "bar", "jaccard",
+    "hamming", "mismatches", "damerau_levenshtein", "hash",
+})
+
+_SCALAR_REJECT = {
+    "gamma": "no Spark twin (factorial covers integer n via n!)",
+    "lgamma": "no Spark twin",
+    "nextafter": "no Spark twin",
+    "signbit": "no Spark twin (sign(x) distinguishes everything but -0)",
+    "bar": "no Spark twin (a display helper, not a data function)",
+    "jaccard": "no Spark twin; only levenshtein/editdist3 port",
+    "hamming": "no Spark twin; only levenshtein/editdist3 port",
+    "mismatches": "no Spark twin; only levenshtein/editdist3 port",
+    "damerau_levenshtein": "no Spark twin; only levenshtein/editdist3 "
+                           "ports",
+    "hash": "engine-specific (DuckDB wyhash vs Spark Murmur3) — the "
+            "values silently differ across engines; use md5() for a "
+            "cross-engine-stable digest",
+}
+
+
+def _fmt_to_java(tok: str) -> str:
+    """DuckDB fmt-syntax format string (a quoted literal token) -> Java
+    format_string literal: {} -> %s (auto-indexed), {N} -> %N+1$s,
+    {{ / }} -> literal braces, % -> %%. Any other spec rejects loudly."""
+    body = tok[1:-1]
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "%":
+            out.append("%%")
+        elif ch == "{":
+            if i + 1 < len(body) and body[i + 1] == "{":
+                out.append("{")
+                i += 2
+                continue
+            j = body.find("}", i)
+            if j < 0:
+                raise ParseError("format(): unbalanced '{' in format string")
+            spec = body[i + 1 : j]
+            if spec == "":
+                out.append("%s")
+            elif spec.isdigit():
+                out.append(f"%{int(spec) + 1}$s")
+            else:
+                raise ParseError(
+                    f"format() spec '{{{spec}}}' is not supported — only "
+                    "{} and {N} translate to format_string"
+                )
+            i = j + 1
+            continue
+        elif ch == "}":
+            if i + 1 < len(body) and body[i + 1] == "}":
+                i += 2
+                out.append("}")
+                continue
+            out.append("}")
+        else:
+            out.append(ch)
+        i += 1
+    return tok[0] + "".join(out) + tok[0]
+
+
+def _null_guarded(args: list[list[str]], inner: list[str]) -> list[str]:
+    """(CASE WHEN any arg IS NULL THEN NULL-string ELSE inner END) —
+    DuckDB's format/printf return NULL on a NULL argument where Spark's
+    format_string renders the text 'null'."""
+    guard: list[str] = []
+    for a in args:
+        if guard:
+            guard.append("or")
+        guard += ["(", *a, ")", "is", "null"]
+    return (
+        ["(", "case", "when", *guard, "then", "cast", "(", "null", "as",
+         "string", ")", "else", *inner, "end", ")"]
+    )
+
+
+def _scalar_replacement(
+    fn: str, args: list[list[str]]
+) -> "list[str] | None":
+    n = len(args)
+    if fn in _SCALAR_REJECT:
+        raise ParseError(f"{fn}: {_SCALAR_REJECT[fn]}")
+
+    def g(k: int) -> list[str]:
+        return ["(", *args[k], ")"]
+
+    if fn == "log" and n == 1:
+        return ["log10", "(", *args[0], ")"]
+    if fn == "regexp_extract" and n == 2:
+        return ["regexp_extract", "(", *args[0], ",", *args[1], ",", "0",
+                ")"]
+    if fn == "regexp_replace" and n in (3, 4):
+        if n == 3:
+            raise ParseError(
+                "regexp_replace without flags replaces only the FIRST "
+                "match in DuckDB and Spark has no first-match replace — "
+                "add the 'g' flag for replace-all (identical in both "
+                "engines)"
+            )
+        ftok = args[3]
+        if len(ftok) != 1 or not _is_string_lit(ftok[0]):
+            raise ParseError(
+                "regexp_replace flags must be a string literal"
+            )
+        flags = ftok[0][1:-1]
+        if "g" not in flags:
+            raise ParseError(
+                "regexp_replace flags without 'g' keep DuckDB's "
+                "FIRST-match semantics — Spark has no twin; add 'g'"
+            )
+        inline = "".join(dict.fromkeys(c for c in flags if c != "g"))
+        if not set(inline) <= set("ism"):
+            raise ParseError(
+                f"regexp_replace flag(s) '{inline}': no Spark twin "
+                "(supported: g, i, s, m)"
+            )
+        pat = args[1]
+        if inline:
+            pat = ["concat", "(", f"'(?{inline})'", ",", *pat, ")"]
+        return ["regexp_replace", "(", *args[0], ",", *pat, ",",
+                *args[2], ")"]
+    if fn == "concat" and n >= 1:
+        out = ["concat_ws", "(", "''"]
+        for a in args:
+            out += [",", *a]
+        return out + [")"]
+    if fn == "trim" and n == 2:
+        return ["btrim", "(", *args[0], ",", *args[1], ")"]
+    if fn in ("ltrim", "rtrim") and n == 2:
+        return [fn, "(", *args[1], ",", *args[0], ")"]
+    if fn == "left" and n == 2:
+        return (["substring", "(", *args[0], ",", "1", ",", "(", "case",
+                 "when", *g(1), "<", "0", "then", "greatest", "(",
+                 "length", "(", *args[0], ")", "+", *g(1), ",", "0", ")",
+                 "else", *g(1), "end", ")", ")"])
+    if fn == "right" and n == 2:
+        return (["(", "case", "when", *g(1), "<", "0", "then",
+                 "substring", "(", *args[0], ",", "1", "-", *g(1), ")",
+                 "else", "substring", "(", *args[0], ",", "greatest",
+                 "(", "length", "(", *args[0], ")", "-", *g(1), "+",
+                 "1", ",", "1", ")", ")", "end", ")"])
+    if fn in ("substring", "substr") and n == 3:
+        return (["substring", "(", *args[0], ",", "(", "case", "when",
+                 *g(1), "=", "0", "then", "1", "else", *g(1), "end",
+                 ")", ",", "(", "case", "when", *g(1), "=", "0", "then",
+                 "greatest", "(", *g(2), "-", "1", ",", "0", ")",
+                 "else", *g(2), "end", ")", ")"])
+    if fn == "trunc" and n == 1:
+        return (["(", "case", "when", *g(0), "<", "0", "then", "ceil",
+                 "(", *args[0], ")", "else", "floor", "(", *args[0],
+                 ")", "end", ")"])
+    if fn == "sign" and n == 1:
+        return ["cast", "(", "sign", "(", *args[0], ")", "as", "int",
+                ")"]
+    if fn == "factorial" and n == 1:
+        return ["(", *args[0], ")", "!"]
+    if fn == "isinf" and n == 1:
+        return (["(", "abs", "(", *args[0], ")", "=", "cast", "(",
+                 "'Infinity'", "as", "double", ")", ")"])
+    if fn == "isfinite" and n == 1:
+        return (["(", "case", "when", "isnan", "(", *args[0], ")",
+                 "then", "false", "else", "abs", "(", *args[0], ")",
+                 "!=", "cast", "(", "'Infinity'", "as", "double", ")",
+                 "end", ")"])
+    if fn == "even" and n == 1:
+        return (["cast", "(", "(", "case", "when", *g(0), "<", "0",
+                 "then", "2", "*", "floor", "(", *g(0), "/", "2", ")",
+                 "else", "2", "*", "ceil", "(", *g(0), "/", "2", ")",
+                 "end", ")", "as", "double", ")"])
+    if fn == "to_base" and n in (2, 3):
+        conv = ["conv", "(", *args[0], ",", "10", ",", *args[1], ")"]
+        if n == 2:
+            return conv
+        return ["lpad", "(", *conv, ",", *args[2], ",", "'0'", ")"]
+    if fn == "to_base64" and n == 1:
+        return ["base64", "(", *args[0], ")"]
+    if fn == "from_base64" and n == 1:
+        return ["unbase64", "(", *args[0], ")"]
+    if fn == "sha256" and n == 1:
+        return ["sha2", "(", *args[0], ",", "256", ")"]
+    if fn in ("unicode", "ord") and n == 1:
+        return (["(", "case", "when", *g(0), "is", "null", "then",
+                 "null", "when", "length", "(", *args[0], ")", "=",
+                 "0", "then", "-1", "else", "ascii", "(", *args[0],
+                 ")", "end", ")"])
+    if fn == "printf" and n >= 2:
+        inner = ["printf", "("]
+        for k, a in enumerate(args):
+            if k:
+                inner.append(",")
+            inner += a
+        inner.append(")")
+        return _null_guarded(args[1:], inner)
+    if fn == "format":
+        if not (n >= 1 and len(args[0]) == 1 and _is_string_lit(args[0][0])):
+            raise ParseError(
+                "format() needs a literal format string — DuckDB's "
+                "fmt-syntax is translated to format_string at parse time"
+            )
+        inner = ["format_string", "(", _fmt_to_java(args[0][0])]
+        for a in args[1:]:
+            inner += [",", *a]
+        inner.append(")")
+        if n == 1:
+            return inner
+        return _null_guarded(args[1:], inner)
+    return None
+
+
+def _rewrite_scalar_calls(toks: list[str]) -> list[str]:
+    """One inside-out pass over the numeric/string family, same contract
+    as _rewrite_temporal_calls: arguments rewrite recursively first, the
+    call is replaced and SKIPPED (replacements may contain family names
+    — right() emits substring(...) — and must not re-rewrite)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if (
+            t
+            and t[0] not in "'\"`"
+            and t.lower() in _SCALAR_TRIGGER
+            and i + 1 < len(out)
+            and out[i + 1] == "("
+        ):
+            args, close = _split_call_args(out, i + 1)
+            args = [_rewrite_scalar_calls(a) for a in args]
+            repl = _scalar_replacement(t.lower(), args)
+            if repl is None:
+                rebuilt: list[str] = [out[i], "("]
+                for k, a in enumerate(args):
+                    if k:
+                        rebuilt.append(",")
+                    rebuilt.extend(a)
+                rebuilt.append(")")
+                repl = rebuilt
+            out[i : close + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
+    return out
+
+
 #: tokens after which a '[' starts a LIST LITERAL (constructor
 #: position) rather than an index on a preceding primary
 _CTOR_KEYWORDS = frozenset({
@@ -1624,6 +2249,9 @@ _CTOR_KEYWORDS = frozenset({
 _CTOR_OPS = frozenset({
     "(", ",", "=", "!=", "<>", "<", "<=", ">", ">=", "+", "-", "*", "/",
     "%", "||",
+    # round-14 struct/map literals: '[' after a key colon / named-arg
+    # walrus / opening brace is a constructor
+    ":", ":=", "{",
 })
 
 
@@ -2029,7 +2657,10 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
             if not re.fullmatch(r"-?\d+", inner):
                 raise ParseError(
                     f"bracket index {t!r} must be an integer literal — "
-                    "use list_extract(list, expr) for a dynamic index"
+                    "use list_extract(list, expr) for a dynamic index; "
+                    "for MAP keys use element_at(m, k) (scalar value) "
+                    "or map_extract(m, k) (DuckDB's list shape), and "
+                    "for struct fields use dot access"
                 )
             repl = (
                 ["try_element_at", "("] + lhs
@@ -2377,7 +3008,11 @@ def _unquote_bare(tok: str) -> str:
 
 def _unquote(tok: str) -> str:
     if _is_string_lit(tok):
-        return tok[1:-1]
+        body = tok[1:-1]
+        # round-14: SQL quote doubling — '' is an escaped quote (the
+        # tokenizer keeps the literal whole; Spark's own parser handles
+        # the doubled form in re-lexed text, this is the python side)
+        return body.replace(tok[0] * 2, tok[0])
     return tok.strip("`")
 
 
@@ -2387,7 +3022,9 @@ def _literal_value(tok: str) -> Any:
     parsable → number, TRUE/FALSE → boolean, else it's a column reference
     (None here)."""
     if _is_string_lit(tok):
-        return tok[1:-1]
+        # round-14: SQL quote doubling unescapes here too (INSERT VALUES
+        # and IN-list literals run through this path)
+        return tok[1:-1].replace(tok[0] * 2, tok[0])
     low = tok.lower()
     if low == "true":
         return True
@@ -2809,6 +3446,12 @@ class ExprParser:
                         out.append(
                             t2 if _is_string_lit(t2) else _unquote_bare(t2)
                         )
+            # round-14: absorb struct field-access suffixes ('.a') so
+            # '{'k': v}.k + 1' re-lexes whole
+            while self.cur.peek() is not None and re.fullmatch(
+                r"\.[A-Za-z_][\w$.]*", self.cur.peek()
+            ):
+                out.append(self.cur.next())
 
         toks: list[str] = []
         one_operand(toks)
@@ -2956,6 +3599,12 @@ class ExprParser:
                 elif t2 == ")":
                     depth -= 1
                 buf.append(t2 if _is_string_lit(t2) else _unquote_bare(t2))
+            # round-14: struct FIELD-ACCESS suffixes on the call result
+            # ('{'a': x}.a' lowers to 'named_struct(...) .a')
+            while self.cur.peek() is not None and re.fullmatch(
+                r"\.[A-Za-z_][\w$.]*", self.cur.peek()
+            ):
+                buf.append(self.cur.next())
             return F.expr(" ".join(buf)), None, None
         name = _unquote(tok)
         return F.col(name), None, name

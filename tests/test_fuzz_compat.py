@@ -751,6 +751,23 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "string_split({s}, '_')[1:2]",
         "string_split({s}, '_')[2:]",
         "list_extract(string_split({s}, '_'), length({s}) % 3)",
+        # round-14 scalar-family closures (value-probed, see
+        # _rewrite_scalar_calls): 1-arg log is log10, concat skips
+        # NULLs, 2-arg regexp_extract takes group 0, trim/ltrim/rtrim
+        # 2-arg keep DuckDB's (src, chars) order, left/right accept
+        # negative lengths, sign casts int
+        "log(length({s}) + 1)",
+        "concat({s}, NULL, '_x')",
+        "regexp_extract({s}, '([A-Z]+)_?')",
+        "regexp_replace({s}, '[AEIOU]', '.', 'g')",
+        "trim({s}, 'N_0123456789')",
+        "ltrim({s}, 'NATION_')",
+        "rtrim({s}, '0123456789')",
+        "left({s}, -3)",
+        "right({s}, -4)",
+        "sign(length({s}) - 8)",
+        "format('{{}}<{{}}', {s}, length({s}))",
+        "substring({s}, 0, 4)",
     ]
     shapes = [
         "scalar_fns", "case_in_agg", "count_distinct", "scalar_sub",
@@ -761,6 +778,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
         "temporal_fn", "from_first", "list_fn", "op_sugar",
+        "struct_map",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -913,6 +931,36 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             sql = (
                 f"SELECT {', '.join(forms)} FROM nation "
                 f"WHERE n_nationkey < {rng.randint(5, 24)}"
+            )
+        elif shape == "struct_map":
+            # round-14: struct/map literals + access forms; identical
+            # SQL runs natively in DuckDB (note map bracket access
+            # differs — covered by map_extract, which the dialect
+            # closes to DuckDB's list shape)
+            a, b = rng.randint(1, 9), rng.randint(1, 9)
+            forms = rng.sample(
+                [
+                    f"{{'k': n_nationkey, 'r': n_regionkey}}.k AS sa",
+                    f"{{'k': {a}, 'nest': {{'x': n_regionkey}}}}.nest.x "
+                    "AS sb",
+                    f"struct_pack(k := n_name, v := {a}).v AS sc",
+                    f"{{'l': [n_nationkey, {a}]}}.l[2] AS sd",
+                    "struct_extract({'p': n_regionkey, 'q': 0}, 'p') "
+                    "AS se",
+                    f"map_extract(MAP {{'a': {a}, 'b': n_regionkey}}, "
+                    "'b') AS sf",
+                    f"map_extract(MAP {{'a': {a}}}, 'zz') AS sg",
+                    f"cardinality(MAP {{'a': {a}, 'b': {b}}}) AS sh",
+                    f"map_keys(MAP {{'a': {a}}}) AS si",
+                    f"map_values(map(['x','y'], [n_regionkey, {b}])) "
+                    "AS sj",
+                    f"({{'a': n_regionkey}} = {{'a': {a} % 5}}) AS sk",
+                ],
+                rng.randint(3, 5),
+            )
+            sql = (
+                f"SELECT {', '.join(forms)} FROM nation "
+                f"WHERE {{'g': n_nationkey}}.g < {rng.randint(6, 24)}"
             )
         elif shape == "op_sugar":
             # round-14: operator sugar — '^'/'**' power (Spark's '^' is

@@ -5733,3 +5733,244 @@ def test_operator_sugar_vs_duckdb(spark, tmp_path):
         "SELECT x^2 AS a, s~'h.*d' AS b FROM one"
     ).fetchall()[0]
     assert (str(got[0]), str(got[1])) == (str(duck2[0]), str(duck2[1]))
+
+
+def test_scalar_functions_vs_duckdb(spark, tmp_path):
+    """Round-14: the numeric/string scalar family given the probe
+    treatment. ACTIVE silent drifts closed by construction: 1-arg log
+    (DuckDB log10 vs Spark ln), 2-arg regexp_extract (group 0 vs 1),
+    concat NULL-skipping, 2-arg trim/ltrim/rtrim (Spark's reversed
+    (trimStr, src) order silently returned ''), left/right negative
+    lengths, substring zero start, sign's type, numeric trunc,
+    factorial's call form (shared postfix-'!' domain guard), isinf/
+    isfinite, even, to_base/to_base64/from_base64/sha256/unicode/ord
+    renames, format fmt-syntax translation + format/printf NULL-arg
+    guards (Spark's format_string renders the TEXT 'null').
+    regexp_replace without 'g' rejects loudly (DuckDB replaces the
+    FIRST match; Spark has no twin), as do gamma/lgamma/nextafter/
+    signbit/bar/jaccard/hamming/mismatches/damerau_levenshtein and the
+    engine-specific hash()."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "scal"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT, s TEXT)")
+        run("INSERT INTO one VALUES (5, 'hello world foo')")
+    cases = [
+        "log(100)", "log(2, 8)", "ln(100)", "log10(100)", "log2(8)",
+        "round(2.5)", "round(-2.5)", "round(2.345, 2)", "round(x, -1)",
+        "trunc(2.7)", "trunc(-2.7)", "mod(-7, 3)", "sign(-3)",
+        "sign(2.5)", "cbrt(27)", "bit_count(7)", "factorial(5)",
+        "even(2.5)", "even(-2.5)", "even(3)", "even(2)",
+        "isinf(CAST('Infinity' AS DOUBLE))", "isfinite(2.0)",
+        "isinf(NULL)", "isinf(CAST('nan' AS DOUBLE))",
+        "isfinite(CAST('nan' AS DOUBLE))",
+        "to_base(255, 16)", "to_base(255, 16, 4)",
+        "greatest(1, NULL, 3)", "least(1, NULL, 3)",
+        "regexp_replace(s, 'o', '0', 'g')",
+        "regexp_replace(s, 'O', '0', 'gi')",
+        "regexp_extract(s, 'l+(o)', 1)", "regexp_extract(s, 'l+(o)')",
+        "regexp_extract(s, 'nope')", "regexp_extract(NULL, 'a')",
+        "split_part(s, ' ', 2)", "split_part(s, ' ', -1)",
+        "split_part(s, 'z', 2)",
+        "left(s, 3)", "left(s, -3)", "left(s, 99)", "left('abc', -5)",
+        "left(NULL, 2)", "left(s, NULL)",
+        "right(s, 3)", "right(s, -3)", "right('abc', 5)", "right(s, 0)",
+        "substring(s, 2, 3)", "substring(s, -3)", "substring(s, 0, 3)",
+        "substring(s, -3, 2)", "substr(s, 0, 3)",
+        "repeat('ab', 3)", "repeat('ab', -1)",
+        "translate(s, 'lo', 'LO')", "ascii('A')", "ascii('')", "chr(65)",
+        "unicode('A')", "unicode('')", "ord('')", "ord('ab')",
+        "md5('abc')", "md5(NULL)", "sha256('abc')",
+        "instr(s, 'o')", "position('o' IN s)", "strpos(s, 'o')",
+        "concat_ws('-', 'a', NULL, 'b')", "concat('a', NULL, 'b')",
+        "concat(NULL, NULL)", "concat(1, 2)", "concat(s)",
+        "lcase('AB')", "ucase('ab')",
+        "trim('xxax', 'x')", "ltrim('xxax', 'x')", "rtrim('xxax', 'x')",
+        "trim(s, '')", "ltrim(NULL, 'x')", "ltrim('xa', NULL)",
+        "levenshtein('kitten', 'sitting')", "editdist3('abc', 'abd')",
+        "editdist3('ab', NULL)",
+        "format('{} and {}', 'a', 1)", "format('{0} {0}', 'a')",
+        "format('100%')", "format('{{}} {}', 7)", "format('{}', NULL)",
+        "printf('%d-%s', 3, 'a')", "printf('%s', NULL)",
+        "pi()", "degrees(pi())", "radians(180)", "exp(1)",
+    ]
+    def norm(v: str) -> str:
+        # numeric compare where BOTH engines return numbers — the
+        # remaining deltas are documented type-level (DuckDB round(int,
+        # -1) is DOUBLE where Spark keeps INT; trunc DECIMAL vs BIGINT)
+        try:
+            return f"{float(v):.10g}"
+        except (TypeError, ValueError):
+            return v
+
+    for c in cases:
+        q = f"SELECT {c} AS r FROM one"
+        duck = str(con.execute(q).fetchall()[0][0])
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck or norm(mine) == norm(duck), (
+            f"{c}: mine={mine} duck={duck}"
+        )
+    # loud rejections — never silent Spark-semantics drift
+    for bad, pat in (
+        ("regexp_replace(s, 'o', '0')", "FIRST"),
+        ("regexp_replace(s, 'o', '0', 'i')", "FIRST"),
+        ("regexp_replace(s, 'o', '0', 'gp')", "flag"),
+        ("gamma(5)", "gamma"),
+        ("lgamma(5)", "lgamma"),
+        ("nextafter(1.0, 2.0)", "nextafter"),
+        ("jaccard('ab', 'cd')", "jaccard"),
+        ("hamming('ab', 'cd')", "hamming"),
+        ("damerau_levenshtein('ab', 'ba')", "damerau"),
+        ("bar(3, 0, 10)", "bar"),
+        ("hash('abc')", "engine-specific"),
+        ("format('{:d}', 5)", "not supported"),
+        ("format(s, 5)", "literal format"),
+    ):
+        with pytest.raises(ParseError, match=pat):
+            e.ref_sql(f"SELECT {bad} AS r FROM one")
+    # factorial call form shares the postfix guard: >20 raises loudly
+    with pytest.raises(Exception, match="factorial"):
+        e.ref_sql("SELECT factorial(21) AS r FROM one").collect()
+    # columns NAMED like family functions are untouched (call-only)
+    e.ref_sql("CREATE TABLE sc (log INT, concat INT, format INT)")
+    e.ref_sql("INSERT INTO sc VALUES (3, 9, 1)")
+    got = e.ref_sql("SELECT log, concat, format FROM sc").collect()[0]
+    assert (got[0], got[1], got[2]) == (3, 9, 1)
+    # the ARRAY concat (list_concat's lowering) stays Spark's
+    assert e.ref_sql(
+        "SELECT list_concat([1], [2]) AS r FROM one"
+    ).collect()[0][0] == [1, 2]
+
+
+def test_struct_map_vs_duckdb(spark, tmp_path):
+    """Round-14: struct/map literals and calls, value-probed vs DuckDB.
+    DuckDB's {'k': v} / MAP {k: v} brace literals have no Spark token
+    twin (they died mid-parse); struct_pack's walrus args and the
+    map(keys, values) two-list signature silently diverge from Spark's
+    variadic map(k1, v1, ...). Closures: {'k': v} → named_struct (bare
+    keys probed), MAP {…} → map_from_arrays (one-entry literals can't
+    collide with the 2-arg call form), struct_pack → named_struct,
+    struct_extract → dot access, map_extract → DuckDB's exact LIST
+    shape ([v] on hit, typed [] on miss), map(kl, vl) → map_from_arrays
+    guarded so CAST type syntax stays. element_at on maps keeps Spark's
+    SCALAR (DuckDB wraps a list — documented; map_extract gives the
+    DuckDB shape). struct_insert rejects (no twin); string-key brackets
+    reject naming the map spellings."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "sm"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE one (x INT)")
+        run("INSERT INTO one VALUES (5)")
+
+    def duck_val(q):
+        return con.execute(q).fetchall()[0][0]
+
+    def mine_val(q):
+        return e.ref_sql(q).collect()[0][0]
+
+    # struct literals: values come back as dict (duck) / Row (spark)
+    pairs = [
+        ("{'a': 1, 'b': 'z'}", None),
+        ("{a: 1}", None),
+        ("{'a': x + 1}", None),
+        ("{'a': [1, 2], 'c': {'d': 2}}", None),
+        ("struct_pack(a := 1, b := x)", None),
+    ]
+    for q, _ in pairs:
+        d = duck_val(f"SELECT {q} AS r FROM one")
+        m = mine_val(f"SELECT {q} AS r FROM one")
+        assert m.asDict(recursive=True) == {
+            k: (dict(v) if isinstance(v, dict) else v) for k, v in d.items()
+        }, f"{q}: mine={m} duck={d}"
+    # scalar access forms agree exactly
+    for q in [
+        "{'a': 1}.a", "({'a': 1, 'b': 2}).b", "{'a': {'b': 2}}.a.b",
+        "struct_extract({'a': 1, 'b': 2}, 'b')",
+        "{'a': [1, 2]}.a[2]", "struct_pack(a := 7).a",
+        "cardinality(MAP {'a': 1, 'b': 2})",
+        "map_keys(MAP {'a': 1})", "map_values(MAP {'a': 1})",
+        "map_extract(MAP {'a': 1}, 'a')",
+        "map_extract(MAP {'a': 1}, 'zz')",
+        "map_extract(map(['a','b'], [1,2]), 'b')",
+        "{'a': 1} = {'a': 1}", "{'a': 1} = {'a': 2}",
+    ]:
+        d = duck_val(f"SELECT {q} AS r FROM one")
+        m = mine_val(f"SELECT {q} AS r FROM one")
+        assert str(m) == str(d), f"{q}: mine={m!r} duck={d!r}"
+    # map literals round-trip as python dicts
+    for q in ["MAP {'k1': 1, 'k2': 2}", "map(['a','b'], [1,2])",
+              "map_concat(MAP {'a': 1}, MAP {'b': 2})", "MAP {}"]:
+        d = duck_val(f"SELECT {q} AS r FROM one")
+        m = mine_val(f"SELECT {q} AS r FROM one")
+        duck_dict = dict(zip(d["key"], d["value"])) if d else {}
+        assert dict(m) == duck_dict, f"{q}: mine={m!r} duck={d!r}"
+    # WHERE-position structs
+    assert [r[0] for r in e.ref_sql(
+        "SELECT x FROM one WHERE {'a': x}.a > 2"
+    ).collect()] == [5]
+    # loud rejections
+    with pytest.raises(ParseError, match="struct_insert"):
+        e.ref_sql("SELECT struct_insert({'a': 1}, b := 2) AS r FROM one")
+    with pytest.raises(ParseError, match="map_extract"):
+        e.ref_sql("SELECT MAP {'a': 1}['a'] AS r FROM one")
+    with pytest.raises(ParseError, match="dynamic keys"):
+        e.ref_sql("SELECT struct_extract({'a': 1}, lower('A')) AS r "
+                  "FROM one")
+    # CAST's MAP<...> type syntax survives the map-call rewrite
+    assert mine_val(
+        "SELECT CAST(map(['a'], [x]) AS MAP<STRING, BIGINT>) AS r "
+        "FROM one"
+    ) == {"a": 5}
+
+
+def test_sql_comments_stripped(spark, tmp_path):
+    """Round-14: ``-- line`` and ``/* block */`` comments (nested, the
+    Postgres/DuckDB rule) strip before lexing — string literals with
+    comment-looking content survive. Previously comment tokens flowed
+    into the parser and died mid-statement; every user pasting real SQL
+    hits this."""
+    e = Engine(spark, str(tmp_path / "cm"))
+    e.ref_sql("CREATE TABLE t (a INT, b TEXT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 'x') -- trailing")
+    got = e.ref_sql(
+        """SELECT a, -- pick the key
+                  b  /* and the /* nested */ label */
+           FROM t
+           WHERE a > 0 -- filter
+        """
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, "x")]
+    assert e.ref_sql(
+        "SELECT '--not a comment' AS s, 'a/*b' AS t2 FROM t"
+    ).collect()[0][0] == "--not a comment"
+    with pytest.raises(ParseError, match="unterminated"):
+        e.ref_sql("SELECT a FROM t /* oops")
+
+
+def test_quote_doubling_vs_duckdb(spark, tmp_path):
+    """Round-14: SQL quote doubling — ``'it''s'`` is one literal with an
+    embedded quote. Previously the tokenizer split it into two adjacent
+    strings and the parser GLUED them dropping the apostrophe: 'it''s'
+    silently became 'its' (length('a''b') was 2, not 3) — an active
+    silent value drift for any text containing apostrophes."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "qd"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (s TEXT)")
+        run("INSERT INTO t VALUES ('o''neil')")
+    for q in [
+        "SELECT 'it''s here' AS r FROM t",
+        "SELECT length('a''b') AS r FROM t",
+        "SELECT upper(s) AS r FROM t",
+        "SELECT s AS r FROM t WHERE s = 'o''neil'",
+        "SELECT replace(s, '''', '-') AS r FROM t",
+    ]:
+        duck = str(con.execute(q).fetchall()[0][0])
+        mine = str(e.ref_sql(q).collect()[0][0])
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
