@@ -120,6 +120,14 @@ PRIORITY: list[str] = [
     # text runs natively in DuckDB. Leads the r15 window. Oracle share
     # 238 -> 239; rows-only 10 -> 9.
     "refsql_temporal_family",
+    # the second round-14 debut (one-for-one swap retiring the rows-only
+    # multimodal_phash_neardup — redundant by composition with
+    # crossmodal_image_text_neardup's identical pHash pipeline +
+    # hamming_pairs join; see workloads/scale.py): oracle-checked
+    # numeric/string scalar-family SQL, same text runs natively in
+    # DuckDB. Leads the r15 window with the temporal family. Oracle
+    # share 239 -> 240; rows-only 9 -> 8.
+    "refsql_scalar_family",
     #
     # strictly oldest-evidence-first: the remaining r10-green block (r15
     # material), then r11-green, then r12-green, then the rotated-out
@@ -251,7 +259,6 @@ PRIORITY: list[str] = [
     "multimodal_bmp_decode",
     "multimodal_video_neardup",
     "multimodal_audio_neardup",
-    "multimodal_phash_neardup",
     "multimodal_png_decode",
     "multimodal_gif_decode",
     "multimodal_wav_decode",

@@ -357,6 +357,31 @@ def refsql_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column (the reference counts key-presence instead; documented delta,
 # SURVEY.md §7.4 / select.go:106-112).
 @query(
+    "refsql_scalar_family",
+    """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(length(concat(c_name, NULL, '-', c_mktsegment))) AS BIGINT) AS concat_len, CAST(SUM(sign(c_acctbal)) AS BIGINT) AS sign_sum, CAST(SUM(CASE WHEN c_name ~ 'Customer#[0-9]+' THEN 1 ELSE 0 END) AS BIGINT) AS re_full, MIN(left(c_name, -3)) AS l_neg, MAX(right(c_name, 4)) AS r_tail, MAX(split_part(c_name, '#', 2)) AS sp2, CAST(SUM(length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT) AS nodigit_len, round(SUM(log(c_acctbal + 1001)), 2) AS log_sum, CAST(SUM((c_nationkey % 5) ^ 2) AS BIGINT) AS pow_sum FROM customer GROUP BY c_mktsegment ORDER BY seg""",
+)
+def refsql_scalar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14: the numeric/string scalar family THROUGH THE DIALECT on
+    # the identical SQL text DuckDB runs natively (the JSON/temporal-
+    # family pattern). One statement exercises the probed closures
+    # end-to-end: concat's NULL-skipping (concat_ws('') lowering),
+    # sign's TINYINT-vs-DOUBLE type closure inside SUM, the anchored
+    # '~' regex operator (regexp_full_match vs Spark's unanchored
+    # rlike), left() with a NEGATIVE length (Spark returns ''),
+    # regexp_replace's 'g' flag (DuckDB replaces only the FIRST match
+    # without it), 1-arg log (log10 in DuckDB, ln in Spark — the
+    # highest-blast-radius silent drift of the family), the '^' power
+    # operator (bitwise XOR in Spark), and split_part as a probed twin.
+    # Entered by the round-14 one-for-one registry swap retiring
+    # multimodal_phash_neardup (rows-only; redundant by composition —
+    # see workloads/scale.py). Scale shape: scan-stage Column algebra +
+    # ONE hash aggregate on c_mktsegment — zero UDFs, zero extra
+    # exchanges; every rewrite is token-level so Catalyst sees plain
+    # function calls inside whole-stage codegen.
+    return _ref_select(spark, sf_dir, """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(length(concat(c_name, NULL, '-', c_mktsegment))) AS BIGINT) AS concat_len, CAST(SUM(sign(c_acctbal)) AS BIGINT) AS sign_sum, CAST(SUM(CASE WHEN c_name ~ 'Customer#[0-9]+' THEN 1 ELSE 0 END) AS BIGINT) AS re_full, MIN(left(c_name, -3)) AS l_neg, MAX(right(c_name, 4)) AS r_tail, MAX(split_part(c_name, '#', 2)) AS sp2, CAST(SUM(length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS BIGINT) AS nodigit_len, round(SUM(log(c_acctbal + 1001)), 2) AS log_sum, CAST(SUM((c_nationkey % 5) ^ 2) AS BIGINT) AS pow_sum FROM customer GROUP BY c_mktsegment ORDER BY seg""")
+
+
+@query(
     "agg_count_null_semantics",
     """
     SELECT count(*) AS count,

@@ -1373,74 +1373,15 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_phash_neardup")  # rows-only: DCT isn't SQL-expressible
-def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash IMAGE near-dup detection (round-7): per-doc smooth
-    sinusoid images (distinct low-frequency content per doc_id); every
-    10th doc gets a noise-perturbed twin, and encodings alternate BMP/PNG
-    so the hash must survive a format change. pHash = 32×32 area resize →
-    2-D DCT → 8×8 low-band median bits (operators/multimodal.phash64);
-    pairs via the generic pigeonhole Hamming blocking
-    (dedup.hamming_pairs) — the join moves 8-byte hashes, never pixels.
-    Rows-only (DCT in SQL is impractical); pytest pins recall/precision
-    on the planted twins and the re-encoding invariance."""
-    from ..operators.dedup import hamming_pairs
-
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(400)
-
-    def encode(it):
-        import numpy as np
-        import pandas as pd
-
-        def img_for(did: int, noise_seed: int | None) -> "np.ndarray":
-            # Distinct low-frequency content per doc: a 3-term Fourier
-            # mixture whose frequencies/phases/amplitudes derive from a
-            # per-doc seeded RNG (a small parametric family would collide
-            # across docs in the 8x8 DCT low band).
-            y, x = np.mgrid[0:40, 0:40]
-            prng = np.random.default_rng(1_234_567 + did)
-            g = np.full((40, 40), 128.0)
-            for _ in range(3):
-                fx, fy = prng.uniform(0.5, 3.5, 2)
-                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
-                amp = prng.uniform(25, 45)
-                g = g + amp * np.sin(2 * np.pi * fx * x / 40 + p1) * np.cos(
-                    2 * np.pi * fy * y / 40 + p2
-                )
-            if noise_seed is not None:
-                rng = np.random.default_rng(noise_seed)
-                g = g + rng.integers(-3, 4, g.shape)
-            g = np.clip(g, 0, 255).astype(np.uint8)
-            return np.repeat(g[:, :, None], 3, axis=2)
-
-        for pdf in it:
-            out = {"media_id": [], "payload": []}
-            for did in pdf["doc_id"].astype("int64"):
-                px = img_for(did, None)
-                enc = (
-                    multimodal.encode_bmp
-                    if did % 2 == 0
-                    else multimodal.encode_png
-                )
-                out["media_id"].append(did)
-                out["payload"].append(enc(px))
-                if did % 10 == 0:
-                    twin = img_for(did, noise_seed=did + 1)
-                    tenc = (
-                        multimodal.encode_png
-                        if did % 2 == 0
-                        else multimodal.encode_bmp
-                    )
-                    out["media_id"].append(did + 1_000_000)
-                    out["payload"].append(tenc(twin))
-            yield pd.DataFrame(out)
-
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
-    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
-    hashes = multimodal.extract_image_phash(media)
-    return hamming_pairs(hashes, "media_id", "phash", max_hamming=6).orderBy(
-        "id_a", "id_b"
-    )
+# multimodal_phash_neardup retired round-14 in the one-for-one registry
+# swap (for the oracle-checked refsql_scalar_family): rows-only, and its
+# evidence is covered by composition — crossmodal_image_text_neardup
+# (executed every recent window) runs the SAME pHash pipeline
+# (operators/multimodal.phash64 over real BMP/PNG round-trips) through
+# the SAME pigeonhole Hamming join (dedup.hamming_pairs), and
+# dedup_simhash keeps a second hamming_pairs execution. The phash64
+# operator keeps its planted-twin recall/precision and re-encoding
+# invariance pytests (tests/test_membership.py).
 
 
 @query("crossmodal_image_text_neardup")  # rows-only: DCT/SimHash not SQL
@@ -3861,8 +3802,8 @@ def refsql_unnest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         # class: '\s+' reaches the regex engine as 's+' and replaces runs
         # of the letter s).
         "WITH x AS (SELECT doc_id, unnest(split(trim(regexp_replace("
-        "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ' '), "
-        "'\\\\s+', ' ')), ' ')) AS tok FROM documents WHERE doc_id < 40) "
+        "regexp_replace(lower(text), '[^a-z0-9\\\\s]', ' ', 'g'), "
+        "'\\\\s+', ' ', 'g')), ' ')) AS tok FROM documents WHERE doc_id < 40) "
         "SELECT tok, COUNT(*) AS n, "
         "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
         "FROM x WHERE length(tok) >= 4 "
