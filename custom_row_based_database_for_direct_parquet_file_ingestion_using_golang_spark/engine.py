@@ -163,6 +163,7 @@ class Engine:
         self.catalog = Catalog(root)
         self.store = ParquetTableStore(spark, root, keep_snapshots=keep_snapshots)
         self.image_dir = image_dir or ""
+        from .macros import Macros
         from .matview import MaterializedViews
         from .vecindex import VectorIndexes
         from .views import Views
@@ -170,6 +171,7 @@ class Engine:
         self.mviews = MaterializedViews(self)
         self.vindexes = VectorIndexes(self)
         self.views = Views(self)
+        self.macros = Macros(self)
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the table as of a retired snapshot (requires the
@@ -1045,6 +1047,7 @@ class Engine:
         manifest["views"] = [
             {"name": n, "sql": s} for n, s in self.views.items()
         ]
+        manifest["macros"] = self.macros.items()  # creation order
         tmp = os.path.join(path, ".manifest.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -1077,6 +1080,7 @@ class Engine:
         total = 0
         created_tables: list[str] = []
         created_views: list[str] = []
+        created_macros: list[str] = []
         try:
             for name, entry in manifest["tables"].items():
                 meta = TableMeta.from_json(name, {**entry, "path": ""})
@@ -1107,11 +1111,22 @@ class Engine:
             for v in manifest.get("views", []):
                 self.views.create(v["name"], v["sql"])
                 created_views.append(v["name"])
+            for m in manifest.get("macros", []):
+                self.macros.define(
+                    m["name"], m["params"], m["defaults"], m["body"],
+                    m["table"], replace=False,
+                )
+                created_macros.append(m["name"])
         except Exception:
             # All-or-nothing: a mid-import failure (missing/corrupt data
             # dir, a view that no longer binds) must not leave a
             # half-imported catalog. Drop everything this call created,
             # newest-first, best-effort, then surface the real error.
+            for m in reversed(created_macros):
+                try:
+                    self.macros.drop(m)
+                except Exception:
+                    pass
             for v in reversed(created_views):
                 try:
                     self.views.drop(v)

@@ -5869,6 +5869,98 @@ def build_select(df: DataFrame, spec: SelectSpec, clauses: dict) -> DataFrame:
     return out
 
 
+def _expand_macros(toks: list[str], reg: dict) -> list[str]:
+    """Round-14: DuckDB-style macro expansion by token substitution —
+    each call site replaces with the macro's dialect-lowered body, every
+    parameter reference swapped for the PARENTHESIZED argument tokens
+    (precedence-safe; equivalent to DuckDB's AST substitution for this
+    grammar). Iterates so macros may call macros; the depth cap turns
+    recursion into a loud error, as DuckDB does. Table macros expand to
+    an aliased derived table and refuse scalar positions via the same
+    governing-clause walk generate_series uses."""
+    out = list(toks)
+    for _depth in range(16):
+        changed = False
+        i = 0
+        while i < len(out):
+            t = out[i]
+            low = t.lower() if t and t[0] not in "'\"`" else ""
+            if low not in reg or i + 1 >= len(out) or out[i + 1] != "(":
+                i += 1
+                continue
+            meta = reg[low]
+            args, close = _split_call_args(out, i + 1)
+            params = [p.lower() for p in meta["params"]]
+            bound: dict[str, list[str]] = {
+                k.lower(): list(v) for k, v in meta["defaults"].items()
+            }
+            pos_i = 0
+            for a in args:
+                named = None
+                if len(a) >= 3 and a[1] == ":=":
+                    named, val = a[0].lower(), a[2:]
+                elif len(a) >= 4 and a[1] == ":" and a[2] == "=":
+                    named, val = a[0].lower(), a[3:]
+                if named is not None:
+                    if named not in params:
+                        raise ParseError(
+                            f"macro {t}: no parameter named '{named}'"
+                        )
+                    bound[named] = val
+                else:
+                    if pos_i >= len(params):
+                        raise ParseError(
+                            f"macro {t} takes {len(params)} argument(s)"
+                        )
+                    bound[params[pos_i]] = a
+                    pos_i += 1
+            missing = [p for p in params if p not in bound]
+            if missing:
+                raise ParseError(
+                    f"macro {t}: missing argument(s) {', '.join(missing)}"
+                )
+            body: list[str] = []
+            for bt in meta["body"]:
+                key = bt.lower() if bt and bt[0] not in "'\"`" else ""
+                if key in bound:
+                    val = bound[key]
+                    if len(val) == 1:
+                        # single-token arguments substitute bare — LIMIT/
+                        # OFFSET positions take literals, not parens, and
+                        # a lone token needs no precedence guard
+                        body.append(val[0])
+                    else:
+                        body += ["(", *val, ")"]
+                else:
+                    body.append(bt)
+            if meta["table"]:
+                if _series_scalar_ctx(out, i):
+                    raise ParseError(
+                        f"table macro {t} used in a scalar position — "
+                        "table macros are FROM-clause relations"
+                    )
+                repl = ["(", *body, ")"]
+                nxt = out[close + 1] if close + 1 < len(out) else ""
+                if not (
+                    nxt.lower() == "as"
+                    or (nxt and nxt[0] not in "'\"`(" and re.fullmatch(
+                        r"[A-Za-z_][\w$]*", nxt
+                    ) and nxt.lower() not in _NON_OPERAND_KWS)
+                ):
+                    repl += ["as", t]
+            else:
+                repl = ["(", *body, ")"]
+            out[i : close + 1] = repl
+            i += len(repl)
+            changed = True
+        if not changed:
+            return out
+    raise ParseError(
+        "macro expansion exceeded depth 16 — recursive macros are not "
+        "supported (DuckDB refuses them too)"
+    )
+
+
 class RefSQL:
     """Executor binding the dialect to an Engine (DDL/DML) or any table
     resolver (SELECT)."""
@@ -7237,6 +7329,18 @@ class RefSQL:
         toks = tokenize(sql)
         if not toks:
             raise ParseError("empty statement")
+        # Round-14: macro call-site expansion (never inside the macro's
+        # own CREATE/DROP statement)
+        is_macro_ddl = "macro" in [t.lower() for t in toks[:4]]
+        macros = getattr(self.engine, "macros", None)
+        if macros is not None and not is_macro_ddl:
+            reg = macros.snapshot()
+            if reg and any(
+                t.lower() in reg
+                for t in toks
+                if t and t[0] not in "'\"`"
+            ):
+                toks = _expand_macros(toks, reg)
         if any(t.lower() == "window" for t in toks):
             toks = _inline_named_windows(toks)
         if any(t.lower() == "qualify" for t in toks):
@@ -7335,6 +7439,24 @@ class RefSQL:
             # remapped so oracle comparisons line up).
             df = self.engine.spark.sql(" ".join(toks))
             return df.toDF(*[f"col{i}" for i in range(len(df.columns))])
+        if verb == "truncate":
+            # Round-14: ``TRUNCATE [TABLE] t`` — delete every row (the
+            # sanctioned all-rows form; the dialect's DELETE demands a
+            # WHERE by reference contract). One staged COW rewrite.
+            cur.next()
+            if cur.peek_kw() == "table":
+                cur.next()
+            name = _unquote(cur.next())
+            if not cur.done():
+                raise ParseError(
+                    f"unexpected token {cur.peek()!r} after TRUNCATE"
+                )
+            meta = self.engine.catalog.get(name)
+            n = self.engine.table(name).count()
+            self.engine.store.overwrite(
+                name, self.engine.table(name).limit(0), meta.partition_by
+            )
+            return n
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
@@ -7377,6 +7499,15 @@ class RefSQL:
                         f"unexpected token {cur.peek()!r} after DROP VIEW"
                     )
                 self.engine.views.drop(name)
+                return None
+            if cur.peek_kw() == "macro":
+                cur.next()
+                name = _unquote(cur.next())
+                if not cur.done():
+                    raise ParseError(
+                        f"unexpected token {cur.peek()!r} after DROP MACRO"
+                    )
+                self.engine.macros.drop(name)
                 return None
             cur.expect_kw("table")
             self.engine.drop_table(_unquote(cur.next()))
@@ -9152,12 +9283,74 @@ class RefSQL:
             # versioned swap).
             cur.next()
             cur.expect_kw("replace")
-            if cur.peek_kw() not in ("table", "view"):
+            if cur.peek_kw() not in ("table", "view", "macro"):
                 raise ParseError(
-                    "OR REPLACE applies to CREATE TABLE / CREATE VIEW "
+                    "OR REPLACE applies to CREATE TABLE / VIEW / MACRO "
                     "(materialized views and indexes: DROP then CREATE)"
                 )
             or_replace = True
+        if cur.peek_kw() == "macro":
+            # Round-14 (macros.py): CREATE [OR REPLACE] MACRO name(p1
+            # [, p2 := default]) AS [TABLE] body — the body keeps its
+            # dialect-lowered TOKENS (rewrites applied once here); call
+            # sites expand by parenthesized parameter substitution.
+            cur.next()
+            name = _unquote(cur.next())
+            if cur.next() != "(":
+                raise ParseError("CREATE MACRO needs a parameter list")
+            params: list[str] = []
+            defaults: dict[str, list[str]] = {}
+            while cur.peek() != ")":
+                p = _unquote(cur.next())
+                params.append(p)
+                if cur.peek() == ":=" or (
+                    cur.peek() == ":" and cur.peek(1) == "="
+                ):
+                    cur.next()
+                    if cur.peek() == "=":
+                        cur.next()
+                    dflt: list[str] = []
+                    depth = 0
+                    while cur.peek() is not None:
+                        nx = cur.peek()
+                        if nx == "(":
+                            depth += 1
+                        elif nx == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif nx == "," and depth == 0:
+                            break
+                        dflt.append(cur.next())
+                    if not dflt:
+                        raise ParseError(
+                            f"macro parameter {p!r}: empty default"
+                        )
+                    defaults[p] = dflt
+                if cur.peek() == ",":
+                    cur.next()
+            cur.next()  # ')'
+            cur.expect_kw("as")
+            is_table = False
+            if cur.peek_kw() == "table":
+                cur.next()
+                is_table = True
+            body = cur.toks[cur.i:]
+            cur.i = len(cur.toks)
+            if is_table and (
+                not body or body[0].lower() not in ("select", "with", "from")
+            ):
+                raise ParseError(
+                    "a TABLE macro body must be a SELECT/WITH/FROM query"
+                )
+            try:
+                self.engine.macros.define(
+                    name, params, defaults, body, is_table,
+                    replace=or_replace,
+                )
+            except ValueError as exc:
+                raise ParseError(str(exc)) from exc
+            return None
         if cur.peek_kw() == "view":
             # Round-13 (views.py): plain logical view — the SELECT text
             # persists in the registry and expands at reference time.

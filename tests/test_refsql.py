@@ -5974,3 +5974,93 @@ def test_quote_doubling_vs_duckdb(spark, tmp_path):
         duck = str(con.execute(q).fetchall()[0][0])
         mine = str(e.ref_sql(q).collect()[0][0])
         assert mine == duck, f"{q}: mine={mine} duck={duck}"
+
+
+def test_macros_and_truncate_vs_duckdb(spark, tmp_path):
+    """Round-14 (macros.py): DuckDB-style CREATE [OR REPLACE] MACRO —
+    scalar (with := defaults and named call args) and TABLE forms —
+    expanded at call sites by parenthesized token substitution
+    (equivalent to DuckDB's AST parameter substitution for this
+    grammar); macros may call macros (depth-capped: recursion rejects
+    loudly, as DuckDB does); DROP MACRO; persistence across engine
+    restart and through EXPORT/IMPORT DATABASE. TRUNCATE [TABLE] t is
+    the sanctioned all-rows delete (the dialect's DELETE demands WHERE
+    by reference contract) returning the removed-row count like DuckDB.
+    Identical DDL + queries run on both engines."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "mc"))
+    con = duckdb.connect()
+    ddl = [
+        "CREATE TABLE t (x INT)",
+        "INSERT INTO t VALUES (0), (1), (2), (3), (4)",
+        "CREATE MACRO add1(a) AS a + 1",
+        "CREATE MACRO twice(a, b := 2) AS a * b",
+        "CREATE MACRO clamp(v, lo, hi) AS greatest(lo, least(v, hi))",
+        "CREATE MACRO nest(a) AS add1(a) * 2",
+        "CREATE MACRO topx(n) AS TABLE SELECT x FROM t "
+        "ORDER BY x DESC LIMIT n",
+    ]
+    for stmt in ddl:
+        e.ref_sql(stmt)
+        con.execute(stmt)
+    queries = [
+        "SELECT add1(x) AS r FROM t WHERE x < 3 ORDER BY r",
+        "SELECT twice(3) AS r, twice(3, b := 5) AS r2 FROM t WHERE x = 0",
+        "SELECT clamp(x, 2, 3) AS r FROM t ORDER BY x",
+        "SELECT nest(x) AS r FROM t ORDER BY x",
+        "SELECT * FROM topx(3)",
+        "SELECT x FROM t WHERE x = add1(2)",
+    ]
+    for q in queries:
+        duck = con.execute(q).fetchall()
+        mine = [tuple(r) for r in e.ref_sql(q).collect()]
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
+    # ours-only lenient extension: the expanded derived table is
+    # aliased by the macro name (DuckDB leaves it unnamed)
+    assert [
+        r[0] for r in e.ref_sql(
+            "SELECT topx.x AS x2 FROM topx(2) ORDER BY x2"
+        ).collect()
+    ] == [3, 4]
+    # OR REPLACE takes effect at the NEXT call site
+    for run in (e.ref_sql, con.execute):
+        run("CREATE OR REPLACE MACRO add1(a) AS a + 10")
+    q = "SELECT add1(1) AS r FROM t WHERE x = 0"
+    assert [tuple(r) for r in e.ref_sql(q).collect()] == (
+        con.execute(q).fetchall()
+    )
+    # lifecycle errors: duplicate without OR REPLACE, unknown drop,
+    # recursion, table macro in scalar position
+    with pytest.raises(ParseError, match="already exists"):
+        e.ref_sql("CREATE MACRO add1(a) AS a")
+    with pytest.raises(ValueError, match="no macro"):
+        e.ref_sql("DROP MACRO nope")
+    e.ref_sql("CREATE MACRO selfy(a) AS selfy(a)")
+    with pytest.raises(ParseError, match="recursive"):
+        e.ref_sql("SELECT selfy(1) AS r FROM t")
+    e.ref_sql("DROP MACRO selfy")
+    with pytest.raises(ParseError, match="scalar position"):
+        e.ref_sql("SELECT topx(2) AS r FROM t")
+    # TRUNCATE: both engines, state-identical; count comes back
+    assert e.ref_sql("TRUNCATE t") == 5
+    con.execute("TRUNCATE t")
+    for run in (e.ref_sql, con.execute):
+        run("INSERT INTO t VALUES (9)")
+    q = "SELECT * FROM t"
+    assert [tuple(r) for r in e.ref_sql(q).collect()] == (
+        con.execute(q).fetchall()
+    )
+    # restart persistence + EXPORT/IMPORT DATABASE round-trip
+    e2 = Engine(spark, str(tmp_path / "mc"))
+    assert e2.ref_sql(
+        "SELECT add1(5) AS r FROM t"
+    ).collect()[0][0] == 15
+    e2.ref_sql(f"EXPORT DATABASE '{tmp_path / 'exp'}'")
+    e3 = Engine(spark, str(tmp_path / "other"))
+    e3.ref_sql(f"IMPORT DATABASE '{tmp_path / 'exp'}'")
+    assert e3.ref_sql(
+        "SELECT add1(5) AS r, twice(2) AS r2 FROM t"
+    ).collect()[0].asDict() == {"r": 15, "r2": 4}
+    assert [r[0] for r in e3.ref_sql("SELECT * FROM topx(1)").collect()] \
+        == [9]
