@@ -3863,6 +3863,9 @@ class SelectSpec:
     # deterministic md5-bucket sampling (byte-identical across runs,
     # engines and task retries, unlike TABLESAMPLE's per-task re-roll).
     sample: "tuple[int, str] | None" = None
+    # Round-14: DuckDB USING SAMPLE / TABLESAMPLE — (kind, value, unit,
+    # seed): kind in bernoulli|system|reservoir, unit in percent|rows
+    using_sample: "tuple[str, float, str, int | None] | None" = None
     alias: str | None = None  # FROM t AS x (needed to qualify join columns)
     # Dialect extension: fn(args) OVER ([PARTITION BY ...] [ORDER BY ...])
     windows: list[tuple[str, list, str, list, list]] = field(
@@ -4790,6 +4793,74 @@ def parse_select(
         cur.expect_kw("percent")
         cur.expect_kw("by")
         spec.sample = (pct, _unquote(cur.next()))
+
+    if (
+        cur.peek_kw() == "using" and cur.peek_kw(1) == "sample"
+    ) or cur.peek_kw() == "tablesample":
+        # Round-14: DuckDB's sampling clauses. ``USING SAMPLE n%`` /
+        # ``n PERCENT`` -> Spark row-level Bernoulli sample (DuckDB's
+        # default percentage method is cluster-level 'system'; both are
+        # nondeterministic — ours samples rows, documented). ``USING
+        # SAMPLE n [ROWS]`` / ``reservoir(n ROWS)`` -> EXACT n random
+        # rows via rand()-keyed TakeOrdered (per-partition top-n, no
+        #全 global sort). ``REPEATABLE (seed)`` pins the seed —
+        # deterministic per ENGINE, not across engines (documented; the
+        # reproducible-pipeline form stays ``SAMPLE n PERCENT BY col``).
+        if cur.peek_kw() == "tablesample":
+            cur.next()
+        else:
+            cur.next()
+            cur.next()
+        kind = "auto"
+        if cur.peek_kw() in ("bernoulli", "system", "reservoir") and (
+            cur.peek(1) == "("
+        ):
+            kind = cur.next().lower()
+            cur.next()  # (
+        vtok = cur.next()
+        pct_glued = vtok.endswith("%")
+        if pct_glued:
+            vtok = vtok[:-1]
+        try:
+            val = float(vtok)
+        except ValueError:
+            raise ParseError(
+                f"USING SAMPLE needs a number, got {vtok!r}"
+            )
+        unit = None
+        if pct_glued or cur.peek() == "%":
+            if not pct_glued:
+                cur.next()
+            unit = "percent"
+        elif cur.peek_kw() in ("percent", "rows"):
+            unit = cur.next().lower()
+            unit = "percent" if unit == "percent" else "rows"
+        if kind != "auto" and cur.peek() == ")":
+            cur.next()
+        if unit is None:
+            unit = "rows"  # DuckDB: bare numbers are row counts
+        if kind in ("bernoulli", "system") and unit == "rows":
+            raise ParseError(
+                f"sample method {kind} cannot take a row count — use a "
+                "percentage (n%) or reservoir(n ROWS), as DuckDB does"
+            )
+        if unit == "percent" and not 0 <= val <= 100:
+            raise ParseError("sample percent must be 0-100")
+        if unit == "rows" and (val < 0 or val != int(val)):
+            raise ParseError("sample row count must be a non-negative int")
+        seed = None
+        if cur.peek_kw() == "repeatable":
+            cur.next()
+            if cur.next() != "(":
+                raise ParseError("REPEATABLE needs (seed)")
+            stok = cur.next()
+            try:
+                seed = int(stok)
+            except ValueError:
+                raise ParseError(f"REPEATABLE seed must be int, got {stok!r}")
+            if cur.next() != ")":
+                raise ParseError("expected ')' after REPEATABLE seed")
+        spec.using_sample = (kind, val, unit, seed)
 
     if cur.peek_kw() == "pivot":
         # Round-8: ``PIVOT (agg(expr) FOR col [IN (lit [AS name],
@@ -6182,6 +6253,25 @@ class RefSQL:
                     F.substring(F.md5(F.col(scol).cast("string")), 1, 2)
                     < format(keep, "02x")
                 )
+        if spec.using_sample is not None:
+            kind, val, unit, seed = spec.using_sample
+            if unit == "percent":
+                df = df.sample(
+                    fraction=val / 100.0,
+                    seed=seed if seed is not None else None,
+                )
+            else:
+                n = int(val)
+                if n == 0:
+                    df = df.limit(0)
+                else:
+                    key = F.rand(seed) if seed is not None else F.rand()
+                    df = (
+                        df.withColumn("__smp", key)
+                        .orderBy("__smp")
+                        .limit(n)
+                        .drop("__smp")
+                    )
         if spec.pivot is not None:
             agg_text, for_col, entries = spec.pivot
             if for_col not in df.columns:

@@ -6064,3 +6064,61 @@ def test_macros_and_truncate_vs_duckdb(spark, tmp_path):
     ).collect()[0].asDict() == {"r": 15, "r2": 4}
     assert [r[0] for r in e3.ref_sql("SELECT * FROM topx(1)").collect()] \
         == [9]
+
+
+def test_using_sample_vs_duckdb(spark, tmp_path):
+    """Round-14: DuckDB's sampling clauses — USING SAMPLE n% / n PERCENT
+    (row-level Bernoulli; DuckDB's default percentage method is
+    cluster-level 'system', both nondeterministic — documented), USING
+    SAMPLE n [ROWS] / reservoir(n ROWS) (EXACT n random rows via a
+    rand()-keyed TakeOrdered — per-partition top-n, no global sort),
+    TABLESAMPLE method(...) spelling, REPEATABLE(seed) (deterministic
+    per ENGINE, not across engines — the cross-engine-reproducible form
+    stays the dialect's SAMPLE n PERCENT BY col). Both engines run the
+    IDENTICAL syntax; exact-n row counts compare exactly, percent forms
+    compare as plan-validity + bounds."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "us"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (x INT)")
+        run("INSERT INTO t SELECT unnest(generate_series(1, 200)) AS x")
+    for q in [
+        "SELECT count(*) AS n FROM t USING SAMPLE 10 ROWS",
+        "SELECT count(*) AS n FROM t USING SAMPLE 10",
+        "SELECT count(*) AS n FROM t USING SAMPLE reservoir(7 ROWS) "
+        "REPEATABLE (42)",
+    ]:
+        duck = con.execute(q).fetchall()
+        mine = [tuple(r) for r in e.ref_sql(q).collect()]
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
+    # percent forms: identical syntax runs on both; our row-level
+    # Bernoulli count is binomial around n*p (0 and 200 both possible
+    # only at vanishing probability with these margins)
+    for q in [
+        "SELECT count(*) AS n FROM t USING SAMPLE 50%",
+        "SELECT count(*) AS n FROM t USING SAMPLE 50 PERCENT",
+        "SELECT count(*) AS n FROM t TABLESAMPLE bernoulli(50%)",
+        "SELECT count(*) AS n FROM t USING SAMPLE bernoulli(50%) "
+        "REPEATABLE (1)",
+    ]:
+        con.execute(q)
+        n = e.ref_sql(q).collect()[0][0]
+        assert 40 <= n <= 160, f"{q}: implausible sample count {n}"
+    # REPEATABLE pins OUR engine's result
+    q = "SELECT x FROM t USING SAMPLE 5 ROWS REPEATABLE (7) ORDER BY x"
+    a = [r[0] for r in e.ref_sql(q).collect()]
+    b = [r[0] for r in e.ref_sql(q).collect()]
+    assert a == b and len(a) == 5
+    # sampling composes with WHERE (sample first, then filter — DuckDB's
+    # clause order) and with aggregation
+    n = e.ref_sql(
+        "SELECT count(*) AS n FROM t USING SAMPLE 100 ROWS WHERE x <= 100"
+    ).collect()[0][0]
+    assert 0 <= n <= 100
+    # loud rejections
+    with pytest.raises(ParseError, match="percent"):
+        e.ref_sql("SELECT * FROM t USING SAMPLE 150%")
+    with pytest.raises(ParseError, match="REPEATABLE"):
+        e.ref_sql("SELECT * FROM t USING SAMPLE 5 ROWS REPEATABLE 3")
