@@ -7250,6 +7250,195 @@ class RefSQL:
 
     _SETOP_KWS = ("union", "intersect", "except")
 
+    def _expand_columns_fn(self, toks: list[str]) -> list[str]:
+        """Round-14: DuckDB's COLUMNS() star function — COLUMNS('regex')
+        (PARTIAL-match, probed: COLUMNS('b') matches ab AND b) and
+        COLUMNS(*) expand against the outer FROM table's schema at
+        parse time. A select-list item containing the call replicates
+        once per matching column (lockstep for multiple calls, DuckDB
+        semantics), each copy aliased by the column name — so
+        min(COLUMNS('a.*')) yields one aggregate per column, named
+        after it. A WHERE conjunct containing the call AND-folds
+        (probed). Zero matches reject loudly like DuckDB's binder.
+        Scope (loud otherwise): single resolvable FROM table/view,
+        top-level select list and WHERE conjuncts, no explicit alias,
+        no OR around the conjunct, no subquery positions."""
+        lows = [
+            t.lower() if t and t[0] not in "'\"`" else t for t in toks
+        ]
+        # region boundaries at depth 0
+        depth = 0
+        sel_i = from_i = where_i = end_where_i = None
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0:
+                k = lows[i]
+                if k == "select" and sel_i is None:
+                    sel_i = i
+                elif k == "from" and from_i is None:
+                    from_i = i
+                elif k == "where" and where_i is None:
+                    where_i = i
+                elif where_i is not None and end_where_i is None and k in (
+                    "group", "having", "order", "limit", "offset",
+                    "qualify", "window", "union", "intersect", "except",
+                ):
+                    end_where_i = i
+        if end_where_i is None:
+            end_where_i = len(toks)
+        if sel_i is None or from_i is None:
+            raise ParseError(
+                "COLUMNS(...) needs a SELECT with a FROM table"
+            )
+        tbl = toks[from_i + 1] if from_i + 1 < len(toks) else ""
+        if not re.fullmatch(r"[A-Za-z_`][\w$`]*", tbl):
+            raise ParseError(
+                "COLUMNS(...) needs a single named FROM table or view"
+            )
+        try:
+            cols = self._table_df(_unquote(tbl)).columns
+        except Exception as exc:
+            raise ParseError(
+                f"COLUMNS(...): cannot resolve table {tbl!r}: {exc}"
+            ) from exc
+
+        def matches(arg_toks: list[str]) -> list[str]:
+            if arg_toks == ["*"]:
+                return list(cols)
+            if len(arg_toks) != 1 or not _is_string_lit(arg_toks[0]):
+                raise ParseError(
+                    "COLUMNS takes a regex string literal or * "
+                    "(lambdas are not supported)"
+                )
+            pat = arg_toks[0][1:-1]
+            hit = [c for c in cols if re.search(pat, c)]
+            if not hit:
+                raise ParseError(
+                    f"no columns match the COLUMNS regex {pat!r}"
+                )
+            return hit
+
+        def expand_region(
+            region: list[str], sep: str, alias_copies: bool
+        ) -> list[str]:
+            # split on top-level sep tokens (',' or 'and'); expand items
+            items: list[list[str]] = [[]]
+            d = 0
+            for t in region:
+                if t == "(":
+                    d += 1
+                elif t == ")":
+                    d -= 1
+                low = t.lower() if t and t[0] not in "'\"`" else t
+                if d == 0 and (
+                    (sep == "," and t == ",")
+                    or (sep == "and" and low == "and")
+                ):
+                    items.append([])
+                    continue
+                if d == 0 and sep == "and" and low == "or":
+                    # an OR boundary: COLUMNS folding under OR is
+                    # unsupported — only reject if a call is present
+                    items.append(["__or__"])
+                    items.append([])
+                    continue
+                items[-1].append(t)
+            out: list[str] = []
+            first = True
+            for item in items:
+                if item == ["__or__"]:
+                    out.append("or")
+                    first = True
+                    continue
+                calls = []  # (idx, close, cols)
+                d = 0
+                j = 0
+                while j < len(item):
+                    t = item[j]
+                    low = t.lower() if t and t[0] not in "'\"`" else t
+                    if (
+                        low == "columns"
+                        and j + 1 < len(item)
+                        and item[j + 1] == "("
+                    ):
+                        args, close = _split_call_args(item, j + 1)
+                        flat = args[0] if len(args) == 1 else ["!"]
+                        calls.append((j, close, matches(flat)))
+                        j = close + 1
+                        continue
+                    j += 1
+                if not calls:
+                    if not first:
+                        out.append(sep)
+                    out.extend(item)
+                    first = False
+                    continue
+                names = calls[0][2]
+                for _, _, other in calls[1:]:
+                    if other != names:
+                        raise ParseError(
+                            "multiple COLUMNS(...) in one expression "
+                            "must match the same columns (lockstep "
+                            "expansion)"
+                        )
+                if alias_copies and len(item) > calls[-1][1] + 1 and (
+                    item[calls[-1][1] + 1].lower() == "as"
+                    if item[calls[-1][1] + 1][0] not in "'\"`"
+                    else False
+                ):
+                    raise ParseError(
+                        "COLUMNS(...) items take their aliases from the "
+                        "matched column names — drop the AS"
+                    )
+                for name in names:
+                    copy: list[str] = []
+                    j = 0
+                    ci = 0
+                    while j < len(item):
+                        if ci < len(calls) and j == calls[ci][0]:
+                            copy.append(name)
+                            j = calls[ci][1] + 1
+                            ci += 1
+                        else:
+                            copy.append(item[j])
+                            j += 1
+                    if alias_copies:
+                        copy += ["as", name]
+                    if not first:
+                        out.append(sep)
+                    out.extend(copy)
+                    first = False
+            return out
+
+        out = list(toks[: sel_i + 1])
+        head = []
+        sel_body = toks[sel_i + 1 : from_i]
+        if sel_body and sel_body[0].lower() == "distinct":
+            head = [sel_body[0]]
+            sel_body = sel_body[1:]
+        out += head + expand_region(sel_body, ",", True)
+        if where_i is None:
+            out += toks[from_i:]
+        else:
+            out += toks[from_i : where_i + 1]
+            out += expand_region(
+                toks[where_i + 1 : end_where_i], "and", False
+            )
+            out += toks[end_where_i:]
+        if any(
+            t.lower() == "columns" and i + 1 < len(out) and out[i + 1] == "("
+            for i, t in enumerate(out)
+            if t and t[0] not in "'\"`"
+        ):
+            raise ParseError(
+                "COLUMNS(...) is supported in the top-level select list "
+                "and WHERE conjuncts only"
+            )
+        return out
+
     def _select_df(self, cur: _Cursor) -> DataFrame:
         """Parse + build one full SELECT, including set-operation chains
         (round-6 extension): ``SELECT ... UNION [ALL] SELECT ... [ORDER BY
@@ -7431,6 +7620,14 @@ class RefSQL:
                 if t and t[0] not in "'\"`"
             ):
                 toks = _expand_macros(toks, reg)
+        if any(
+            t.lower() == "columns"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+            for i, t in enumerate(toks)
+            if t and t[0] not in "'\"`"
+        ):
+            toks = self._expand_columns_fn(toks)
         if any(t.lower() == "window" for t in toks):
             toks = _inline_named_windows(toks)
         if any(t.lower() == "qualify" for t in toks):

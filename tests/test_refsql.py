@@ -6122,3 +6122,46 @@ def test_using_sample_vs_duckdb(spark, tmp_path):
         e.ref_sql("SELECT * FROM t USING SAMPLE 150%")
     with pytest.raises(ParseError, match="REPEATABLE"):
         e.ref_sql("SELECT * FROM t USING SAMPLE 5 ROWS REPEATABLE 3")
+
+
+def test_columns_star_function_vs_duckdb(spark, tmp_path):
+    """Round-14: DuckDB's COLUMNS() star function — COLUMNS('regex')
+    (PARTIAL match, probed: 'b' matches both ab and b) and COLUMNS(*)
+    expand against the FROM table's schema at parse time: select-list
+    items replicate per matching column (lockstep for repeated calls)
+    aliased by the column name; WHERE conjuncts AND-fold (probed).
+    Zero matches reject like DuckDB's binder; explicit aliases,
+    lambdas, and subquery positions reject loudly by scope."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "cf"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (ab INT, ac INT, xy INT, b INT)")
+        run("INSERT INTO t VALUES (1, 2, 3, 4), (5, 6, 7, 8)")
+    for q in [
+        "SELECT COLUMNS('a') FROM t ORDER BY ab",
+        "SELECT COLUMNS('^b') FROM t ORDER BY b",
+        "SELECT COLUMNS(*) FROM t ORDER BY ab",
+        "SELECT min(COLUMNS('a.*')) FROM t",
+        "SELECT 2 * COLUMNS('a.*') FROM t ORDER BY ab",
+        "SELECT sum(COLUMNS('a.*')) + 1 FROM t",
+        "SELECT xy, COLUMNS('a.*') FROM t WHERE COLUMNS('a.*') > 1 "
+        "ORDER BY xy",
+        "SELECT COLUMNS('a.*') + COLUMNS('a.*') FROM t ORDER BY ab",
+    ]:
+        r = con.execute(q)
+        duck = r.fetchall()
+        duck_cols = [d[0] for d in r.description]
+        df = e.ref_sql(q)
+        assert df.columns == duck_cols, (
+            f"{q}: cols mine={df.columns} duck={duck_cols}"
+        )
+        assert [tuple(x) for x in df.collect()] == duck, q
+    for bad, pat in [
+        ("SELECT COLUMNS('zz') FROM t", "match"),
+        ("SELECT COLUMNS('a.*') AS z FROM t", "aliases"),
+        ("SELECT * FROM (SELECT COLUMNS('a.*') FROM t) s", "single named FROM"),
+    ]:
+        with pytest.raises(ParseError, match=pat):
+            e.ref_sql(bad)
