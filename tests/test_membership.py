@@ -264,12 +264,78 @@ def test_hamming_pairs_matches_brute_force(spark):
     assert got == want
 
 
-def test_phash_neardup_workload_recall(spark, sf_dir):
+def _phash_neardup_pipeline(spark, sf_dir):
+    """The retired multimodal_phash_neardup workload's pipeline, kept as
+    the OPERATOR-level pin per its round-14 retirement note (the driver
+    row was swapped for refsql_scalar_family; crossmodal_image_text_
+    neardup carries the same pHash+hamming composition in the gate):
+    per-doc sinusoid images, every 10th doc a noise twin, BMP/PNG
+    alternating encodings, phash64, pigeonhole Hamming pairs."""
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators import (
+        multimodal,
+    )
+    from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.operators.dedup import (
+        hamming_pairs,
+    )
     from custom_row_based_database_for_direct_parquet_file_ingestion_using_golang_spark.workloads import (
-        QUERIES,
+        load,
     )
 
-    rows = QUERIES["multimodal_phash_neardup"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("doc_id").limit(400)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        def img_for(did, noise_seed):
+            y, x = np.mgrid[0:40, 0:40]
+            prng = np.random.default_rng(1_234_567 + did)
+            g = np.full((40, 40), 128.0)
+            for _ in range(3):
+                fx, fy = prng.uniform(0.5, 3.5, 2)
+                p1, p2 = prng.uniform(0, 2 * np.pi, 2)
+                amp = prng.uniform(25, 45)
+                g = g + amp * np.sin(
+                    2 * np.pi * fx * x / 40 + p1
+                ) * np.cos(2 * np.pi * fy * y / 40 + p2)
+            if noise_seed is not None:
+                rng = np.random.default_rng(noise_seed)
+                g = g + rng.integers(-3, 4, g.shape)
+            g = np.clip(g, 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+
+        for pdf in it:
+            out = {"media_id": [], "payload": []}
+            for did in pdf["doc_id"].astype("int64"):
+                px = img_for(did, None)
+                enc = (
+                    multimodal.encode_bmp
+                    if did % 2 == 0
+                    else multimodal.encode_png
+                )
+                out["media_id"].append(did)
+                out["payload"].append(enc(px))
+                if did % 10 == 0:
+                    twin = img_for(did, noise_seed=did + 1)
+                    tenc = (
+                        multimodal.encode_png
+                        if did % 2 == 0
+                        else multimodal.encode_bmp
+                    )
+                    out["media_id"].append(did + 1_000_000)
+                    out["payload"].append(tenc(twin))
+            yield pd.DataFrame(out)
+
+    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
+    hashes = multimodal.extract_image_phash(media)
+    return hamming_pairs(
+        hashes, "media_id", "phash", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
+def test_phash_neardup_workload_recall(spark, sf_dir):
+    rows = _phash_neardup_pipeline(spark, sf_dir).collect()
     planted = [r for r in rows if r.id_b == r.id_a + 1_000_000]
     extras = [r for r in rows if r.id_b != r.id_a + 1_000_000]
     assert len(planted) == 40  # every 10th of 400 docs gets a twin
