@@ -469,13 +469,22 @@ class Engine:
         return self.spark.sql(text)
 
     def ref_sql(self, text: str, weak_typing: bool = False):
-        """Execute one statement in the reference's exact SQL dialect
-        (plans/refsql.py): drop-in for every query the reference accepts.
-        ``weak_typing=True`` enables the reference's dynamic numeric/string
-        comparison semantics for all-TEXT imported tables."""
-        from .plans.refsql import RefSQL
+        """Execute a statement — or a ';'-separated SCRIPT (round-14,
+        string/comment-aware split; the result of the LAST statement
+        comes back, DuckDB's multi-statement convention) — in the
+        reference's exact SQL dialect (plans/refsql.py): drop-in for
+        every query the reference accepts. ``weak_typing=True`` enables
+        the reference's dynamic numeric/string comparison semantics for
+        all-TEXT imported tables."""
+        from .plans.refsql import RefSQL, split_statements
 
-        return RefSQL(self, weak_typing=weak_typing).execute(text)
+        stmts = split_statements(text)
+        if not stmts:
+            raise ValueError("empty statement")
+        out = None
+        for s in stmts:
+            out = RefSQL(self, weak_typing=weak_typing).execute(s)
+        return out
 
     # ---- DML (M1-M3) ----------------------------------------------------
 

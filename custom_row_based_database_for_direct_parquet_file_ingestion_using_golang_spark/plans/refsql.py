@@ -317,6 +317,51 @@ def _strip_comments(text: str) -> str:
     return "".join(out)
 
 
+def split_statements(text: str) -> list[str]:
+    """Round-14: split a ';'-separated SQL script into statements —
+    string-literal and comment aware (the same scanner rules as
+    _strip_comments), empty statements dropped."""
+    if "--" in text or "/*" in text:
+        text = _strip_comments(text)
+    parts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"`":
+            q = ch
+            buf.append(ch)
+            i += 1
+            while i < n:
+                c = text[i]
+                buf.append(c)
+                if c == "\\" and q != "`" and i + 1 < n:
+                    buf.append(text[i + 1])
+                    i += 2
+                    continue
+                i += 1
+                if c == q:
+                    if q != "`" and i < n and text[i] == q:
+                        buf.append(text[i])
+                        i += 1
+                        continue
+                    break
+            continue
+        if ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                parts.append(s)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        parts.append(s)
+    return parts
+
+
 def tokenize(text: str) -> list[str]:
     if "--" in text or "/*" in text:
         text = _strip_comments(text)

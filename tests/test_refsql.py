@@ -6165,3 +6165,25 @@ def test_columns_star_function_vs_duckdb(spark, tmp_path):
     ]:
         with pytest.raises(ParseError, match=pat):
             e.ref_sql(bad)
+
+
+def test_multi_statement_scripts(spark, tmp_path):
+    """Round-14: ``ref_sql`` accepts a ';'-separated SCRIPT — split
+    string-literal and comment aware, the LAST statement's result comes
+    back (DuckDB's multi-statement convention). Semicolons inside
+    strings and comments don't split."""
+    e = Engine(spark, str(tmp_path / "ms"))
+    out = e.ref_sql(
+        """
+        CREATE TABLE s (x INT, t TEXT);      -- DDL; with a comment
+        INSERT INTO s VALUES (1, 'a;b');     /* ; in a block comment */
+        INSERT INTO s VALUES (2, 'it''s');
+        SELECT t, x FROM s WHERE t = 'a;b';
+        """
+    )
+    assert [tuple(r) for r in out.collect()] == [("a;b", 1)]
+    # a mid-script failure surfaces loudly with prior statements applied
+    # (no implicit transaction — the COW statements each committed)
+    with pytest.raises(Exception):
+        e.ref_sql("INSERT INTO s VALUES (3, 'c'); DROP TABLE nosuch")
+    assert e.ref_sql("SELECT count(*) AS n FROM s").collect()[0][0] == 3
