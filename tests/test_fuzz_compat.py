@@ -778,7 +778,7 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
         "bool_exists", "comma_join", "string_split", "table_fn",
         "cond_aggs", "array_agg", "quantified", "is_distinct", "json_fn",
         "temporal_fn", "from_first", "list_fn", "op_sugar",
-        "struct_map",
+        "struct_map", "columns_fn",
     ]
     for trial in range(42):
         shape = shapes[trial % len(shapes)]
@@ -931,6 +931,27 @@ def test_random_compositional_grammar_matches_duckdb_fuzz(spark, sf_dir):
             sql = (
                 f"SELECT {', '.join(forms)} FROM nation "
                 f"WHERE n_nationkey < {rng.randint(5, 24)}"
+            )
+        elif shape == "columns_fn":
+            # round-14: COLUMNS() star-function expansion + SQL comments
+            # + quote doubling; identical SQL runs natively in DuckDB.
+            k = rng.randint(2, 20)
+            sql = rng.choice(
+                [
+                    "SELECT COLUMNS('n_.*key') FROM nation "
+                    f"WHERE n_nationkey < {k} ORDER BY n_nationkey",
+                    "SELECT min(COLUMNS('n_.*key')) FROM nation "
+                    f"WHERE n_regionkey < {max(k % 5, 1)}",
+                    f"SELECT {max(k % 7, 2)} * COLUMNS('.*key') "
+                    "FROM nation WHERE COLUMNS('n_.*key') >= 0 "
+                    "ORDER BY n_nationkey",
+                    "SELECT n_name, COLUMNS('n_.*key') -- tail comment\n"
+                    f"FROM nation WHERE n_nationkey < {k} "
+                    "ORDER BY n_name",
+                    "SELECT count(*) AS n FROM nation "
+                    "WHERE n_name != 'it''s' /* block ; comment */ "
+                    f"AND n_nationkey < {k}",
+                ]
             )
         elif shape == "struct_map":
             # round-14: struct/map literals + access forms; identical
