@@ -245,6 +245,10 @@ EXPR_AGG_FUNCS = {
     # twin). quantile_cont arrives via the spelling rewrite to
     # percentile (both exact interpolated).
     "count_if", "bool_and", "bool_or", "every",
+    # Round-14 aggregate-family probe: same-name Spark twins (first/last
+    # are order-nondeterministic in BOTH engines, like any_value)
+    "first", "last", "bit_and", "bit_or", "bit_xor",
+    "approx_percentile",
     # Round-12: ARRAY_AGG(expr [ORDER BY key [DESC]]) — the in-call
     # ORDER BY form compiles to a struct-sort-project expression (see
     # _array_agg_expression); without it, Spark's own array_agg
@@ -524,6 +528,17 @@ _FN_SPELLING = {
     # Round-14 string-family probe: editdist3 is DuckDB's alias for
     # levenshtein (probed value-identical; BIGINT-vs-INT is type-only)
     "editdist3": "levenshtein",
+    # Round-14 aggregate-spelling probe (test_aggregate_family_vs_duckdb):
+    "arbitrary": "any_value",  # both: any value, nondeterministic
+    "list": "array_agg",  # DuckDB's primary name; in-call ORDER BY works
+    "group_concat": "string_agg",  # same defaults after the 1-arg closure
+    # fsum/favg are DuckDB's Kahan-compensated forms — renamed to plain
+    # sum/avg with the precision note in DIALECT.md (values agree except
+    # in pathological float cancellation)
+    "fsum": "sum", "favg": "avg",
+    # approx_quantile ≡ approx_percentile in CONTRACT (approximate by
+    # definition; the engines' sketches differ — DIALECT.md)
+    "approx_quantile": "approx_percentile",
     # Round-14 list-lambda + list-op spellings, each value-probed vs
     # DuckDB (test_list_literals_and_lambdas_vs_duckdb) — DuckDB and
     # Spark share the `x -> expr` lambda arrow syntax:
@@ -2039,6 +2054,9 @@ _SCALAR_TRIGGER = frozenset({
     "from_base64", "sha256", "unicode", "ord", "format", "printf",
     "gamma", "lgamma", "nextafter", "signbit", "bar", "jaccard",
     "hamming", "mismatches", "damerau_levenshtein", "hash",
+    # round-14 aggregate-family closures / rejections
+    "skewness", "kurtosis", "kurtosis_pop", "product", "geomean",
+    "string_agg", "entropy", "histogram", "bitstring_agg",
 })
 
 _SCALAR_REJECT = {
@@ -2055,6 +2073,11 @@ _SCALAR_REJECT = {
     "hash": "engine-specific (DuckDB wyhash vs Spark Murmur3) — the "
             "values silently differ across engines; use md5() for a "
             "cross-engine-stable digest",
+    "entropy": "needs a per-value sub-aggregation Spark's single-level "
+               "aggregates can't express — count per value then fold",
+    "histogram": "needs a per-value sub-aggregation — GROUP BY the "
+                 "value and map_from_entries the counted pairs",
+    "bitstring_agg": "no Spark twin",
 }
 
 
@@ -2233,6 +2256,68 @@ def _scalar_replacement(
             inner += a
         inner.append(")")
         return _null_guarded(args[1:], inner)
+    if fn == "skewness" and n == 1:
+        # DuckDB reports SAMPLE skewness (bias-corrected); Spark's is
+        # population. Exact algebra: g1 * sqrt(n(n-1)) / (n-2), NULL
+        # under 3 non-null rows (probed).
+        e = args[0]
+        cnt = ["count", "(", *e, ")"]
+        return (["(", "case", "when", *cnt, "<", "3", "then", "cast",
+                 "(", "null", "as", "double", ")", "else", "skewness",
+                 "(", *e, ")", "*", "sqrt", "(", *cnt, "*", "(", *cnt,
+                 "-", "1.0", ")", ")", "/", "(", *cnt, "-", "2", ")",
+                 "end", ")"])
+    if fn == "kurtosis" and n == 1:
+        # DuckDB kurtosis is the bias-corrected sample EXCESS form;
+        # Spark's equals DuckDB's kurtosis_pop (probed identical).
+        # Exact algebra: ((n-1)/((n-2)(n-3))) * ((n+1)*g2_pop + 6),
+        # NULL under 4 non-null rows (probed).
+        e = args[0]
+        cnt = ["count", "(", *e, ")"]
+        return (["(", "case", "when", *cnt, "<", "4", "then", "cast",
+                 "(", "null", "as", "double", ")", "else",
+                 "(", "(", *cnt, "-", "1.0", ")", "/", "(", "(", *cnt,
+                 "-", "2", ")", "*", "(", *cnt, "-", "3", ")", ")", ")",
+                 "*", "(", "(", *cnt, "+", "1", ")", "*", "kurtosis",
+                 "(", *e, ")", "+", "6", ")", "end", ")"])
+    if fn == "kurtosis_pop" and n == 1:
+        return ["kurtosis", "(", *args[0], ")"]  # ≡ Spark's (probed)
+    if fn == "product" and n == 1:
+        # sign/zero-safe exp-sum-ln (probed: zero wins, sign tracks
+        # negative count, all-NULL → NULL, DOUBLE result)
+        e = args[0]
+        return (["(", "case",
+                 "when", "count_if", "(", "(", *e, ")", "=", "0", ")",
+                 ">", "0", "then", "0.0",
+                 "when", "count", "(", *e, ")", "=", "0", "then",
+                 "cast", "(", "null", "as", "double", ")",
+                 "else", "power", "(", "-1.0", ",", "count_if", "(",
+                 "(", *e, ")", "<", "0", ")", ")", "*", "exp", "(",
+                 "sum", "(", "ln", "(", "abs", "(", *e, ")", ")", ")",
+                 ")", "end", ")"])
+    if fn == "geomean" and n == 1:
+        return ["exp", "(", "avg", "(", "ln", "(", *args[0], ")", ")",
+                ")"]
+    if fn == "string_agg" and n == 1:
+        # DuckDB's 1-arg form separates with ',' (probed); Spark's
+        # defaults differ — make the separator explicit, before an
+        # in-call ORDER BY when present
+        e = list(args[0])
+        d = 0
+        for j, t in enumerate(e):
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif (
+                d == 0
+                and t
+                and t[0] not in "'\"`"
+                and t.lower() == "order"
+            ):
+                return (["string_agg", "(", *e[:j], ",", "','", *e[j:],
+                         ")"])
+        return ["string_agg", "(", *e, ",", "','", ")"]
     if fn == "format":
         if not (n >= 1 and len(args[0]) == 1 and _is_string_lit(args[0][0])):
             raise ParseError(

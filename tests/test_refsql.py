@@ -6187,3 +6187,87 @@ def test_multi_statement_scripts(spark, tmp_path):
     with pytest.raises(Exception):
         e.ref_sql("INSERT INTO s VALUES (3, 'c'); DROP TABLE nosuch")
     assert e.ref_sql("SELECT count(*) AS n FROM s").collect()[0][0] == 3
+
+
+def test_aggregate_family_vs_duckdb(spark, tmp_path):
+    """Round-14: the aggregate-spelling family, probed vs DuckDB.
+    ACTIVE drifts closed by exact algebra: DuckDB's skewness/kurtosis
+    are the bias-corrected SAMPLE forms where Spark's are population —
+    skewness·√(n(n−1))/(n−2) and ((n−1)/((n−2)(n−3)))((n+1)g₂+6), with
+    DuckDB's NULL-under-3/4-rows edges (probed); kurtosis_pop ≡ Spark's
+    kurtosis (probed identical). product() composes sign/zero-safe
+    exp-sum-ln; geomean → exp(avg(ln)); 1-arg string_agg gets DuckDB's
+    ',' separator (in-call ORDER BY preserved). Renames: list →
+    array_agg, group_concat → string_agg, arbitrary → any_value,
+    fsum/favg → sum/avg (Kahan precision note in DIALECT.md),
+    approx_quantile → approx_percentile (approximate by contract).
+    Same-name twins enter the aggregate list: first/last/bit_and/
+    bit_or/bit_xor. entropy/histogram/bitstring_agg reject loudly
+    (per-value sub-aggregation has no single-level Spark form)."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "ag"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (g INT, x INT, s TEXT)")
+        run(
+            "INSERT INTO t VALUES (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'c'),"
+            " (1, 5, 'd'), (2, -2, 'e'), (2, 2, 'f'), (2, 3, 'g'),"
+            " (3, 0, 'h'), (3, 4, 'i'), (4, NULL, 'j'), (4, 7, 'k')"
+        )
+
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        return v
+
+    cases = [
+        "skewness(x)", "kurtosis(x)", "kurtosis_pop(x)",
+        "product(x)", "geomean(abs(x) + 1)",
+        "bit_and(x)", "bit_or(x)", "bit_xor(x)",
+        "string_agg(s ORDER BY s DESC)",
+        "list(s ORDER BY s DESC)",
+        "fsum(x)", "favg(x)",
+    ]
+    for c in cases:
+        q = f"SELECT {c} AS r FROM t"
+        duck = con.execute(q).fetchall()[0][0]
+        mine = e.ref_sql(q).collect()[0][0]
+        mine = list(mine) if not isinstance(mine, (int, float, str, type(None))) else mine
+        assert norm(mine) == norm(duck), f"{c}: mine={mine} duck={duck}"
+    # unordered concatenations are nondeterministic in BOTH engines —
+    # compare the separator defaults + element SETS
+    for c, sep in [("string_agg(s)", ","), ("group_concat(s)", ","),
+                   ("string_agg(s, '|')", "|"),
+                   ("group_concat(s, '+')", "+")]:
+        q = f"SELECT {c} AS r FROM t"
+        duck = sorted(con.execute(q).fetchall()[0][0].split(sep))
+        mine = sorted(e.ref_sql(q).collect()[0][0].split(sep))
+        assert mine == duck, f"{c}: mine={mine} duck={duck}"
+    # grouped forms + small-n NULL edges ride the per-group counts
+    q = ("SELECT g, skewness(x) AS sk, kurtosis(x) AS ku, "
+         "product(x) AS pr FROM t GROUP BY g ORDER BY g")
+    duck = con.execute(q).fetchall()
+    mine = [tuple(r) for r in e.ref_sql(q).collect()]
+    for mrow, drow in zip(mine, duck):
+        assert tuple(map(norm, mrow)) == tuple(map(norm, drow)), (
+            f"group row: mine={mrow} duck={drow}"
+        )
+    assert len(mine) == len(duck) == 4
+    # nondeterministic twins execute on both engines (values unpinned)
+    for c in ["arbitrary(x)", "first(x)", "last(x)"]:
+        con.execute(f"SELECT {c} FROM t")
+        e.ref_sql(f"SELECT {c} AS r FROM t").collect()
+    # approximate-by-contract rename: correct quantile neighborhood
+    got = e.ref_sql(
+        "SELECT approx_quantile(x, 0.5) AS r FROM t"
+    ).collect()[0][0]
+    assert 0 <= got <= 5
+    # loud rejections
+    for bad, pat in [
+        ("entropy(s)", "sub-aggregation"),
+        ("histogram(x)", "sub-aggregation"),
+        ("bitstring_agg(x)", "no Spark twin"),
+    ]:
+        with pytest.raises(ParseError, match=pat):
+            e.ref_sql(f"SELECT {bad} AS r FROM t")
