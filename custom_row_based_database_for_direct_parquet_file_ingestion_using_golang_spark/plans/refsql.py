@@ -7856,24 +7856,6 @@ class RefSQL:
             # remapped so oracle comparisons line up).
             df = self.engine.spark.sql(" ".join(toks))
             return df.toDF(*[f"col{i}" for i in range(len(df.columns))])
-        if verb == "truncate":
-            # Round-14: ``TRUNCATE [TABLE] t`` — delete every row (the
-            # sanctioned all-rows form; the dialect's DELETE demands a
-            # WHERE by reference contract). One staged COW rewrite.
-            cur.next()
-            if cur.peek_kw() == "table":
-                cur.next()
-            name = _unquote(cur.next())
-            if not cur.done():
-                raise ParseError(
-                    f"unexpected token {cur.peek()!r} after TRUNCATE"
-                )
-            meta = self.engine.catalog.get(name)
-            n = self.engine.table(name).count()
-            self.engine.store.overwrite(
-                name, self.engine.table(name).limit(0), meta.partition_by
-            )
-            return n
         if verb == "insert":
             return self._insert(cur)
         if verb == "update":
