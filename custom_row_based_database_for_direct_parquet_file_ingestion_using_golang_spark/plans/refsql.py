@@ -1364,6 +1364,23 @@ def _run_right(toks: list[str], k: int, what: str) -> int:
 
 def _rewrite_operator_sugar(toks: list[str]) -> list[str]:
     out = list(toks)
+    if out and out[0].lower() == "insert":
+        # Reference parity (test_tokenizer_bang_inside_bareword): the
+        # reference's weak-typed INSERT accepts BARE values ending in
+        # '!' (``VALUES (wow!)`` stores the raw text). The tokenizer now
+        # lexes '!' separately for the factorial operator — inside an
+        # INSERT statement the raw-literal semantics win, so glue the
+        # token back and skip the factorial rewrite there. Factorials
+        # in INSERT bodies belong in INSERT ... SELECT's source query
+        # written against a quoted/typed table anyway.
+        i = 1
+        while i < len(out):
+            if out[i] == "!" and re.fullmatch(
+                r"[\w$.]+", out[i - 1] or " "
+            ):
+                out[i - 1 : i + 1] = [out[i - 1] + "!"]
+            else:
+                i += 1
     for t in out:
         if t[0] not in "'\"`" and "//" in t:
             raise ParseError(
