@@ -172,6 +172,9 @@ class Engine:
         self.vindexes = VectorIndexes(self)
         self.views = Views(self)
         self.macros = Macros(self)
+        # Round-14: PREPARE/EXECUTE statements — engine-scoped (the
+        # analog of DuckDB's connection scope), deliberately unpersisted
+        self.prepared_statements: dict[str, dict] = {}
 
     def table_at(self, name: str, version: int) -> DataFrame:
         """Time travel: the table as of a retired snapshot (requires the

@@ -7752,6 +7752,10 @@ class RefSQL:
     def execute(self, sql: str):
         """Run one statement. SELECT returns a DataFrame; DML returns an
         affected-row count; DDL returns None (SHOW TABLES returns a list)."""
+        head = sql.lstrip().split(None, 1)
+        verb0 = head[0].lower().rstrip(";") if head else ""
+        if verb0 in ("prepare", "execute", "deallocate"):
+            return self._prepared_statement(verb0, sql)
         toks = tokenize(sql)
         if not toks:
             raise ParseError("empty statement")
@@ -8429,6 +8433,105 @@ class RefSQL:
                 f"{', '.join(f'v{v}' for v in dropped) if dropped else 'nothing'}"
             )
         raise ParseError(f"unsupported statement verb {verb!r}")
+
+    def _prepared_statement(self, verb: str, sql: str):
+        """Round-14: DuckDB's PREPARE / EXECUTE / DEALLOCATE (probed).
+        PREPARE stores the statement's RAW text (engine-scoped, like
+        DuckDB's connection scope; deliberately unpersisted) with ``?``
+        placeholders renumbered to ``$1..$n`` in appearance order;
+        EXECUTE substitutes argument tokens — positional ``$n`` or
+        ``name := value`` for ``$name`` — parenthesized unless a single
+        literal, then runs the statement through the normal dialect
+        path, so every rewrite family applies at execute time exactly
+        as if the user had inlined the values. Count/name mismatches
+        reject loudly, as DuckDB does."""
+        raw = _TOKEN_RE.findall(sql.strip().rstrip(";"))
+        raw = [t for t in raw if t.strip()]
+        cur = _Cursor(raw)
+        cur.next()  # verb
+        reg = self.engine.prepared_statements
+        if verb == "deallocate":
+            if cur.peek_kw() == "prepare":
+                cur.next()
+            name = _unquote(cur.next()).lower()
+            if name not in reg:
+                raise ParseError(f"prepared statement '{name}' does not exist")
+            del reg[name]
+            return None
+        if verb == "prepare":
+            name = _unquote(cur.next()).lower()
+            cur.expect_kw("as")
+            body = list(cur.toks[cur.i:])
+            if not body:
+                raise ParseError("PREPARE needs a statement after AS")
+            # '?' placeholders renumber to $1..$n in appearance order
+            # (mixing '?' and '$k' is rejected, as in DuckDB)
+            has_q = any(t == "?" for t in body)
+            dollars = [
+                t for t in body
+                if t and t[0] not in "'\"`" and re.fullmatch(r"\$\w+", t)
+            ]
+            if has_q and dollars:
+                raise ParseError(
+                    "cannot mix '?' and '$' parameters in one statement"
+                )
+            if has_q:
+                n = 0
+                for i, t in enumerate(body):
+                    if t == "?":
+                        n += 1
+                        body[i] = f"${n}"
+                dollars = [f"${i}" for i in range(1, n + 1)]
+            params = list(dict.fromkeys(d[1:] for d in dollars))
+            reg[name] = {"body": body, "params": params}
+            return None
+        # EXECUTE name [( args )]
+        name = _unquote(cur.next()).lower()
+        if name not in reg:
+            raise ParseError(f"prepared statement '{name}' does not exist")
+        meta = reg[name]
+        params = meta["params"]
+        bound: dict[str, list[str]] = {}
+        if cur.peek() == "(":
+            args, close = _split_call_args(cur.toks, cur.i)
+            cur.i = close + 1
+            pos = 0
+            positional = all(p.isdigit() for p in params)
+            for a in args:
+                if len(a) >= 4 and a[1] == ":" and a[2] == "=":
+                    bound[a[0].lower()] = a[3:]
+                elif len(a) >= 3 and a[1] == ":=":
+                    bound[a[0].lower()] = a[2:]
+                else:
+                    pos += 1
+                    if positional:
+                        bound[str(pos)] = a
+                    else:
+                        if pos > len(params):
+                            break
+                        bound[params[pos - 1]] = a
+        if not cur.done():
+            raise ParseError(
+                f"unexpected token {cur.peek()!r} after EXECUTE"
+            )
+        missing = [p for p in params if p not in bound]
+        extra = [b for b in bound if b not in params]
+        if missing or extra or len(bound) != len(params):
+            raise ParseError(
+                f"parameter argument/count mismatch for '{name}': "
+                f"takes ({', '.join('$' + p for p in params)})"
+            )
+        out: list[str] = []
+        for t in meta["body"]:
+            if t and t[0] not in "'\"`" and re.fullmatch(r"\$\w+", t):
+                val = bound[t[1:].lower()]
+                if len(val) == 1:
+                    out.append(val[0])
+                else:
+                    out += ["(", *val, ")"]
+            else:
+                out.append(t)
+        return self.execute(" ".join(out))
 
     def _optimize(self, cur: _Cursor) -> str:
         """Dialect extension (SURVEY.md §7.4): ``OPTIMIZE t`` compacts small

@@ -6272,3 +6272,53 @@ def test_aggregate_family_vs_duckdb(spark, tmp_path):
     ]:
         with pytest.raises(ParseError, match=pat):
             e.ref_sql(f"SELECT {bad} AS r FROM t")
+
+
+def test_prepare_execute_vs_duckdb(spark, tmp_path):
+    """Round-14: PREPARE / EXECUTE / DEALLOCATE, probed vs DuckDB —
+    positional $n, ordinal ? (renumbered in appearance order), named
+    $name with name := value call args, re-PREPARE replaces, EXECUTE
+    without parens for zero params, count/name mismatches and unknown
+    names reject loudly. Statements are engine-scoped (the analog of
+    DuckDB's connection scope) and run through the full dialect at
+    EXECUTE time, so every rewrite family applies."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "pe"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (x INT, s TEXT)")
+        run("INSERT INTO t VALUES (1, 'a'), (5, 'b'), (8, 'c')")
+    stmts = [
+        "PREPARE q1 AS SELECT x FROM t WHERE x > $1 ORDER BY x",
+        "PREPARE q2 AS SELECT $1 + $2 AS s2, $1 * 2 AS d",
+        "PREPARE q3 AS SELECT x FROM t WHERE x > ? AND x < ? ORDER BY x",
+        "PREPARE q4 AS SELECT $a + $b AS s4",
+    ]
+    for st in stmts:
+        e.ref_sql(st)
+        con.execute(st)
+    for q in [
+        "EXECUTE q1(4)", "EXECUTE q1(0)", "EXECUTE q2(3, 4)",
+        "EXECUTE q3(1, 8)", "EXECUTE q4(a := 1, b := 2)",
+        "EXECUTE q4(b := 10, a := 1)",
+    ]:
+        duck = con.execute(q).fetchall()
+        mine = [tuple(r) for r in e.ref_sql(q).collect()]
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
+    # the dialect applies at EXECUTE time: operator sugar in a prepared
+    # body, parameter inside the rewrite
+    e.ref_sql("PREPARE q5 AS SELECT x FROM t WHERE s ~ $1 ORDER BY x")
+    assert [r[0] for r in e.ref_sql("EXECUTE q5('a|b')").collect()] == [1, 5]
+    # re-PREPARE replaces; zero-param EXECUTE without parens
+    for run in (e.ref_sql, con.execute):
+        run("PREPARE q2 AS SELECT 42 AS v")
+    assert e.ref_sql("EXECUTE q2").collect()[0][0] == 42
+    # lifecycle rejections
+    e.ref_sql("DEALLOCATE q1")
+    with pytest.raises(ParseError, match="does not exist"):
+        e.ref_sql("EXECUTE q1(4)")
+    with pytest.raises(ParseError, match="mismatch"):
+        e.ref_sql("EXECUTE q3(1)")
+    with pytest.raises(ParseError, match="mix"):
+        e.ref_sql("PREPARE bad AS SELECT $1 + ? AS z")
