@@ -456,6 +456,14 @@ def tokenize(text: str) -> list[str]:
         for t in toks
     ):
         toks = _rewrite_struct_map(toks)
+    # Round-14: FILTER folded into windowed aggregates (Spark has no
+    # window FILTER; the CASE closure is exact for count/sum/avg/min/max)
+    if any(
+        t.lower() == "filter" and i > 0 and toks[i - 1] == ")"
+        for i, t in enumerate(toks)
+        if t and t[0] not in "'\"`"
+    ):
+        toks = _rewrite_filter_over(toks)
     # Round-13: 1-based bracket indexing/slicing — Spark's native arr[i]
     # is 0-BASED, a silent cross-engine off-by-one until this rewrite —
     # plus the list_extract/list_element dynamic-index spellings.
@@ -2382,6 +2390,54 @@ def _rewrite_scalar_calls(toks: list[str]) -> list[str]:
             i += len(repl)
             continue
         i += 1
+    return out
+
+
+def _rewrite_filter_over(toks: list[str]) -> list[str]:
+    """Round-14: ``agg(args) FILTER (WHERE cond) OVER (...)`` — DuckDB
+    allows FILTER on window functions; Spark doesn't. Exact closure for
+    the countable aggregates: the filter folds into the argument as a
+    CASE (count(*) counts 1-when-cond, fn(x) aggregates
+    x-when-cond-else-NULL — aggregates skip NULLs in both engines).
+    Non-window aggregate FILTER keeps its existing dedicated path (this
+    pass only fires when OVER follows the filter group)."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        low = t.lower() if t and t[0] not in "'\"`" else ""
+        if low != "filter" or i == 0 or out[i - 1] != ")" or (
+            i + 1 >= len(out) or out[i + 1] != "("
+        ):
+            i += 1
+            continue
+        fclose = _match_paren(out, i + 1)
+        after = out[fclose + 1].lower() if fclose + 1 < len(out) and (
+            out[fclose + 1][0] not in "'\"`"
+        ) else ""
+        if after != "over":
+            i += 1
+            continue
+        start = _capture_lhs_primary(out, i, "FILTER")
+        fn = out[start].lower()
+        if fn not in ("count", "sum", "avg", "min", "max"):
+            raise ParseError(
+                f"FILTER over a window supports count/sum/avg/min/max, "
+                f"not {fn}()"
+            )
+        args, aclose = _split_call_args(out, start + 1)
+        if len(args) != 1:
+            raise ParseError(f"{fn}(...) FILTER takes one argument")
+        cond = out[i + 2 : fclose]
+        if cond and cond[0].lower() == "where":
+            cond = cond[1:]
+        if not cond:
+            raise ParseError("FILTER needs (WHERE <predicate>)")
+        inner = ["1"] if args[0] == ["*"] else ["(", *args[0], ")"]
+        repl = ([fn, "(", "case", "when", "(", *cond, ")", "then"]
+                + inner + ["end", ")"])
+        out[start : fclose + 1] = repl
+        i = start + len(repl)
     return out
 
 
@@ -4319,6 +4375,11 @@ def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
                 break
             cur.next()
     frame = None
+    if cur.peek_kw() == "groups":
+        # DuckDB itself rejects GROUPS mode ("not implemented") — so do
+        # we, by name (round-14)
+        raise ParseError("GROUPS frame mode is not supported (DuckDB "
+                         "rejects it too) — use ROWS or RANGE")
     if cur.peek_kw() in ("rows", "range"):
         kind = cur.next().lower()
         cur.expect_kw("between")
@@ -4326,6 +4387,14 @@ def _over_body(cur: _Cursor) -> tuple[list, list, "tuple | None"]:
         cur.expect_kw("and")
         hi = _frame_bound(cur)
         frame = (kind, lo, hi)
+    if cur.peek_kw() == "exclude":
+        # Round-14: named rejection — Spark window frames have no
+        # EXCLUDE; spell the exclusion into the aggregate (e.g.
+        # sum(...) OVER frame - x for EXCLUDE CURRENT ROW)
+        raise ParseError(
+            "frame EXCLUDE is not supported (no Spark twin) — subtract "
+            "the excluded rows from the windowed aggregate instead"
+        )
     if cur.next() != ")":
         raise ParseError("expected ')' to close the window definition")
     return part, order, frame
@@ -5631,6 +5700,13 @@ def _frame_bound(cur: _Cursor) -> "int | tuple":
     raise ParseError(f"expected PRECEDING/FOLLOWING after {t}, got {d!r}")
 
 
+def _lag_ignore_nulls(arg: str) -> tuple[str, bool]:
+    """In-call IGNORE NULLS detection shared by the lag/lead path."""
+    if arg.lower().endswith(" ignore nulls"):
+        return arg[: -len(" ignore nulls")].strip(), True
+    return arg, False
+
+
 def _window_column(
     fn: str, args: list, part: list, order: list, frame=None
 ) -> Column:
@@ -5710,7 +5786,18 @@ def _window_column(
             raise ParseError(
                 f"{fn}(col [, offset [, default]]) takes 1-3 arguments"
             )
+        # Round-14: in-call IGNORE NULLS for lag/lead (the LOCF
+        # neighbor form; DuckDB attaches it inside the LAST argument) —
+        # pyspark's F.lag has no ignoreNulls param, but Spark SQL's
+        # Lag/Lead do; emit the SQL spelling and attach the window
+        args = list(args)
+        args[-1], ign = _lag_ignore_nulls(args[-1])
         off = int(args[1]) if len(args) >= 2 else 1
+        if ign:
+            tail = f", {args[2]}" if len(args) == 3 else ""
+            return F.expr(
+                f"{fn}({args[0]}, {off}{tail}) IGNORE NULLS"
+            ).over(w)
         if len(args) == 3:
             default = _literal_value(args[2])
             if default is None and args[2].lower() != "null":

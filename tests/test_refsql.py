@@ -6322,3 +6322,68 @@ def test_prepare_execute_vs_duckdb(spark, tmp_path):
         e.ref_sql("EXECUTE q3(1)")
     with pytest.raises(ParseError, match="mix"):
         e.ref_sql("PREPARE bad AS SELECT $1 + ? AS z")
+
+
+def test_window_family_vs_duckdb(spark, tmp_path):
+    """Round-14: the window-function family probe. Twins re-pinned
+    (lag/lead defaults, nth_value's default frame, first/last_value
+    IGNORE NULLS, ROWS/RANGE frames, rank family). Closures: lag/lead
+    in-call IGNORE NULLS (DuckDB attaches it inside the LAST argument;
+    Spark SQL's Lag/Lead spelling carries it), and FILTER over a
+    windowed aggregate (no Spark twin — the CASE fold is exact for
+    count/sum/avg/min/max). Named rejections: frame EXCLUDE (no Spark
+    twin) and GROUPS mode (DuckDB rejects it too)."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "wf"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (i INT, x INT, g TEXT)")
+        run(
+            "INSERT INTO t VALUES (1, 10, 'a'), (2, NULL, 'a'), "
+            "(3, 30, 'a'), (4, 40, 'b'), (5, NULL, 'b')"
+        )
+    W = "OVER (PARTITION BY g ORDER BY i)"
+    for q in [
+        f"lag(x) {W}", f"lag(x, 1, -1) {W}", f"lead(x, 1, 0) {W}",
+        f"nth_value(x, 2) {W}", f"first_value(x IGNORE NULLS) {W}",
+        f"last_value(x IGNORE NULLS) {W}",
+        f"lag(x IGNORE NULLS) {W}", f"lag(x, 2 IGNORE NULLS) {W}",
+        f"lead(x, 1, -5 IGNORE NULLS) {W}",
+        "count(*) FILTER (WHERE x IS NOT NULL) OVER (PARTITION BY g)",
+        "sum(x) FILTER (WHERE i % 2 = 1) OVER (PARTITION BY g)",
+        "avg(x) FILTER (WHERE x > 5) OVER (PARTITION BY g)",
+        "sum(x) OVER (PARTITION BY g ORDER BY i "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+        f"ntile(2) {W}", f"cume_dist() {W}", f"percent_rank() {W}",
+    ]:
+        sql = f"SELECT i, {q} AS r FROM t ORDER BY i"
+        duck = con.execute(sql).fetchall()
+        mine = [tuple(r) for r in e.ref_sql(sql).collect()]
+        assert mine == duck, f"{q}: mine={mine} duck={duck}"
+    # named rejections
+    with pytest.raises(ParseError, match="EXCLUDE"):
+        e.ref_sql(
+            "SELECT sum(x) OVER (PARTITION BY g ORDER BY i ROWS BETWEEN "
+            "1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS r FROM t"
+        )
+    with pytest.raises(ParseError, match="GROUPS"):
+        e.ref_sql(
+            "SELECT sum(x) OVER (PARTITION BY g ORDER BY i GROUPS "
+            "BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM t"
+        )
+    with pytest.raises(ParseError, match="count/sum/avg"):
+        e.ref_sql(
+            "SELECT first_value(x) FILTER (WHERE i > 1) "
+            "OVER (PARTITION BY g ORDER BY i) AS r FROM t"
+        )
+    # the non-window aggregate FILTER path is untouched
+    got = e.ref_sql(
+        "SELECT g, count(*) FILTER (WHERE x IS NOT NULL) AS n "
+        "FROM t GROUP BY g ORDER BY g"
+    ).collect()
+    duck2 = con.execute(
+        "SELECT g, count(*) FILTER (WHERE x IS NOT NULL) AS n "
+        "FROM t GROUP BY g ORDER BY g"
+    ).fetchall()
+    assert [tuple(r) for r in got] == duck2
