@@ -547,6 +547,13 @@ _FN_SPELLING = {
     # approx_quantile ≡ approx_percentile in CONTRACT (approximate by
     # definition; the engines' sketches differ — DIALECT.md)
     "approx_quantile": "approx_percentile",
+    # Round-14 regex/length follow-ups (probed): strlen is DuckDB's
+    # BYTE length ≡ Spark octet_length; regexp_split_to_array ≡ split
+    # (both Java-style regex, both keep trailing empties);
+    # string_split_regex likewise
+    "strlen": "octet_length",
+    "regexp_split_to_array": "split",
+    "string_split_regex": "split",
     # Round-14 list-lambda + list-op spellings, each value-probed vs
     # DuckDB (test_list_literals_and_lambdas_vs_duckdb) — DuckDB and
     # Spark share the `x -> expr` lambda arrow syntax:
@@ -2082,6 +2089,7 @@ _SCALAR_TRIGGER = frozenset({
     # round-14 aggregate-family closures / rejections
     "skewness", "kurtosis", "kurtosis_pop", "product", "geomean",
     "string_agg", "entropy", "histogram", "bitstring_agg",
+    "regexp_extract_all", "regexp_split_to_table",
 })
 
 _SCALAR_REJECT = {
@@ -2179,6 +2187,16 @@ def _scalar_replacement(
     if fn == "regexp_extract" and n == 2:
         return ["regexp_extract", "(", *args[0], ",", *args[1], ",", "0",
                 ")"]
+    if fn == "regexp_extract_all" and n == 2:
+        # same group-0 default as regexp_extract (probed: DuckDB returns
+        # full matches, Spark defaults to group 1)
+        return ["regexp_extract_all", "(", *args[0], ",", *args[1], ",",
+                "0", ")"]
+    if fn == "regexp_split_to_table" and n == 2:
+        # ≡ unnest(split(...)): one row per piece (DuckDB probed,
+        # trailing empties kept by both engines)
+        return ["explode", "(", "split", "(", *args[0], ",", *args[1],
+                ")", ")"]
     if fn == "regexp_replace" and n in (3, 4):
         if n == 3:
             raise ParseError(

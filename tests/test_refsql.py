@@ -5784,6 +5784,10 @@ def test_scalar_functions_vs_duckdb(spark, tmp_path):
         "unicode('A')", "unicode('')", "ord('')", "ord('ab')",
         "md5('abc')", "md5(NULL)", "sha256('abc')",
         "instr(s, 'o')", "position('o' IN s)", "strpos(s, 'o')",
+        "regexp_extract_all(s, '([a-z])l')",
+        "regexp_extract_all(s, '([a-z])l', 1)",
+        "regexp_split_to_array(s, 'l+')", "strlen(s)", "bit_length(s)",
+        "len(s)",
         "concat_ws('-', 'a', NULL, 'b')", "concat('a', NULL, 'b')",
         "concat(NULL, NULL)", "concat(1, 2)", "concat(s)",
         "lcase('AB')", "ucase('ab')",
