@@ -5037,7 +5037,7 @@ def parse_select(
         # nondeterministic — ours samples rows, documented). ``USING
         # SAMPLE n [ROWS]`` / ``reservoir(n ROWS)`` -> EXACT n random
         # rows via rand()-keyed TakeOrdered (per-partition top-n, no
-        #全 global sort). ``REPEATABLE (seed)`` pins the seed —
+        # global sort). ``REPEATABLE (seed)`` pins the seed —
         # deterministic per ENGINE, not across engines (documented; the
         # reproducible-pipeline form stays ``SAMPLE n PERCENT BY col``).
         if cur.peek_kw() == "tablesample":
