@@ -2559,7 +2559,76 @@ def _rewrite_list_literals(toks: list[str]) -> list[str]:
 _LIST_CALL_TRIGGER = frozenset({
     "list_prepend", "list_unique", "list_slice", "list_reduce",
     "list_concat", "list_cat",
+    # round-14 list-aggregate family (probed: NULL elements SKIPPED,
+    # empty/all-NULL folds to NULL except count -> 0; list_last keeps a
+    # trailing NULL)
+    "list_sum", "list_avg", "list_product", "list_count", "list_median",
+    "list_any_value", "list_first", "list_last", "list_aggregate",
+    "array_aggregate", "array_aggr", "list_aggr",
 })
+
+
+def _list_fold(fn: str, e: list[str]) -> list[str]:
+    """One list-aggregate as pure fold algebra over the element type —
+    scan-stage Column expressions, zero UDFs. The typed NULL seed is
+    try_element_at(e, size(e)+1) (an out-of-range probe of the SAME
+    array — Spark types it by the element); NULL elements filter out
+    first, matching DuckDB's aggregate semantics."""
+    ee = ["(", *e, ")"]
+    nn = ["filter", "(", *ee, ",", "__lf", "->", "__lf", "IS", "NOT",
+          "NULL", ")"]
+    seed = ["try_element_at", "(", *ee, ",", "size", "(", *ee, ")", "+",
+            "1", ")"]
+    if fn == "count":
+        return ["size", "(", *nn, ")"]
+    if fn in ("sum", "product"):
+        # DOUBLE accumulation: a type-stable fold for every element
+        # type (DECIMAL sums widen per step and break Spark's
+        # accumulator contract). Integral lists therefore return DOUBLE
+        # where DuckDB returns HUGEINT — value-equal, type documented.
+        op = "+" if fn == "sum" else "*"
+        dbl = ["transform", "(", *nn, ",", "__lf", "->", "cast", "(",
+               "__lf", "as", "double", ")", ")"]
+        return (["aggregate", "(", *dbl, ",", "cast", "(", "null", "as",
+                 "double", ")", ",",
+                 "(", "__a", ",", "__x", ")", "->", "coalesce", "(",
+                 "__a", op, "__x", ",", "__x", ")", ")"])
+    if fn in ("min", "max"):
+        pick = "least" if fn == "min" else "greatest"
+        return (["aggregate", "(", *nn, ",", *seed, ",",
+                 "(", "__a", ",", "__x", ")", "->", pick, "(", "__a",
+                 ",", "__x", ")", ")"])
+    if fn == "avg":
+        total = _list_fold("sum", e)
+        return (["(", "cast", "(", *total, "as", "double", ")", "/",
+                 "nullif", "(", "size", "(", *nn, ")", ",", "0", ")",
+                 ")"])
+    if fn == "median":
+        s = ["array_sort", "(", *nn, ")"]
+        n = ["size", "(", *s, ")"]
+
+        def at(idx: list[str]) -> list[str]:
+            return ["element_at", "(", *s, ",", "cast", "(", "(", *idx,
+                    ")", "as", "int", ")", ")"]
+
+        return (["(", "case", "when", *n, "=", "0", "then", "cast", "(",
+                 "null", "as", "double", ")", "when", *n, "%", "2", "=",
+                 "1", "then", "cast", "(",
+                 *at(["(", *n, "+", "1", ")", "div", "2"]), "as",
+                 "double", ")", "else", "(", "cast", "(",
+                 *at([*n, "div", "2"]), "as", "double", ")", "+",
+                 *at([*n, "div", "2", "+", "1"]), ")", "/", "2.0",
+                 "end", ")"])
+    if fn == "any_value":
+        return ["try_element_at", "(", *nn, ",", "1", ")"]
+    if fn == "string_agg":
+        return (["array_join", "(", "transform", "(", *nn, ",", "__lf",
+                 "->", "cast", "(", "__lf", "as", "string", ")", ")",
+                 ",", "','", ")"])
+    raise ParseError(
+        f"list_aggregate: '{fn}' is not supported — sum, avg, product, "
+        "count, min, max, median, any_value, string_agg are"
+    )
 
 
 def _rewrite_list_calls(toks: list[str]) -> list[str]:
@@ -2594,6 +2663,32 @@ def _rewrite_list_calls(toks: list[str]) -> list[str]:
             if len(args) != 2:
                 raise ParseError("list_prepend takes (element, list)")
             repl = ["array_prepend", "(", *args[1], ",", *args[0], ")"]
+        elif low in (
+            "list_sum", "list_avg", "list_product", "list_count",
+            "list_median", "list_any_value",
+        ):
+            if len(args) != 1:
+                raise ParseError(f"{low} takes (list)")
+            repl = _list_fold(low[5:], args[0])
+        elif low in ("list_first", "list_last"):
+            if len(args) != 1:
+                raise ParseError(f"{low} takes (list)")
+            # positional picks KEEP a NULL element (probed) — plain
+            # 1-based / -1 access, no non-null filter
+            idx = "1" if low == "list_first" else "-1"
+            repl = ["try_element_at", "(", "(", *args[0], ")", ",", idx,
+                    ")"]
+        elif low in (
+            "list_aggregate", "array_aggregate", "list_aggr", "array_aggr"
+        ):
+            if len(args) != 2 or len(args[1]) != 1 or not _is_string_lit(
+                args[1][0]
+            ):
+                raise ParseError(
+                    f"{low} takes (list, 'aggregate_name') with a "
+                    "literal name"
+                )
+            repl = _list_fold(args[1][0][1:-1].lower(), args[0])
         elif low in ("list_concat", "list_cat"):
             # DuckDB (probed): a NULL side acts EMPTY unless both are
             # NULL — Spark's concat nulls the whole result. slice(x,1,0)

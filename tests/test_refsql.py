@@ -6391,3 +6391,49 @@ def test_window_family_vs_duckdb(spark, tmp_path):
         "FROM t GROUP BY g ORDER BY g"
     ).fetchall()
     assert [tuple(r) for r in got] == duck2
+
+
+def test_list_aggregates_vs_duckdb(spark, tmp_path):
+    """Round-14: the list-aggregate family (probed: NULL elements skip,
+    empty/all-NULL folds to NULL except count → 0, list_first/last keep
+    a positional NULL) — pure fold algebra over the element type
+    (filter∘aggregate/array_sort, zero UDFs). Sum/product accumulate
+    DOUBLE (a type-stable fold for every element type incl. DECIMAL
+    literals; DuckDB's integral HUGEINT result is value-equal —
+    documented). list_aggregate dispatches a literal aggregate name;
+    unknown names reject listing the supported set."""
+    import duckdb
+
+    e = Engine(spark, str(tmp_path / "la"))
+    con = duckdb.connect()
+    for run in (e.ref_sql, con.execute):
+        run("CREATE TABLE t (x INT)")
+        run("INSERT INTO t VALUES (4)")
+
+    def norm(v):
+        try:
+            return round(float(v), 9)
+        except (TypeError, ValueError):
+            return str(v)
+
+    for c in [
+        "list_sum([1, 2, 3, NULL])", "list_avg([1, 2, 3, NULL])",
+        "list_aggregate([1, 2, 3, NULL], 'sum')",
+        "list_aggregate([1, 2], 'min')", "list_aggregate([1, 2], 'max')",
+        "list_aggregate([1, 2, NULL], 'count')",
+        "list_aggregate([1, 2, 3], 'string_agg')",
+        "list_median([1, 2, 3])", "list_median([1, 2, 3, 4])",
+        "list_sum([2.5, 3.5])", "list_product([2.5, 3.5])",
+        "list_count([1, NULL])", "list_any_value([NULL, 5])",
+        "list_first([NULL, 5])", "list_last([5, NULL])",
+        "list_sum([x, 2])", "list_sum([])", "list_sum([NULL])",
+        "list_aggr([1, 2], 'sum')",
+    ]:
+        q = f"SELECT {c} AS r FROM t"
+        duck = con.execute(q).fetchall()[0][0]
+        mine = e.ref_sql(q).collect()[0][0]
+        assert norm(mine) == norm(duck), f"{c}: mine={mine} duck={duck}"
+    with pytest.raises(ParseError, match="not supported"):
+        e.ref_sql("SELECT list_aggregate([1], 'entropy') AS r FROM t")
+    with pytest.raises(ParseError, match="literal name"):
+        e.ref_sql("SELECT list_aggregate([1], lower('SUM')) AS r FROM t")
