@@ -554,6 +554,7 @@ _FN_SPELLING = {
     "strlen": "octet_length",
     "regexp_split_to_array": "split",
     "string_split_regex": "split",
+    "to_hex": "hex", "from_hex": "unhex",  # probed value-identical
     # Round-14 list-lambda + list-op spellings, each value-probed vs
     # DuckDB (test_list_literals_and_lambdas_vs_duckdb) — DuckDB and
     # Spark share the `x -> expr` lambda arrow syntax:
@@ -2090,6 +2091,7 @@ _SCALAR_TRIGGER = frozenset({
     "skewness", "kurtosis", "kurtosis_pop", "product", "geomean",
     "string_agg", "entropy", "histogram", "bitstring_agg",
     "regexp_extract_all", "regexp_split_to_table",
+    "parse_filename", "parse_dirpath", "encode", "decode",
 })
 
 _SCALAR_REJECT = {
@@ -2192,6 +2194,22 @@ def _scalar_replacement(
         # full matches, Spark defaults to group 1)
         return ["regexp_extract_all", "(", *args[0], ",", *args[1], ",",
                 "0", ")"]
+    if fn == "parse_filename" and n == 1:
+        # the path's last [/\\]-separated component (probed)
+        return ["regexp_extract", "(", *args[0], ",",
+                "'[^/\\\\\\\\]*$'", ",", "0", ")"]
+    if fn == "parse_dirpath" and n == 1:
+        # everything before the last separator; separator-free paths
+        # give '' (probed), NULL propagates
+        sep = "'[/\\\\\\\\]'"
+        return (["(", "case", "when", "(", *args[0], ")", "is", "null",
+                 "then", "null", "when", "(", *args[0], ")", "rlike",
+                 sep, "then", "regexp_replace", "(", *args[0], ",",
+                 "'[/\\\\\\\\][^/\\\\\\\\]*$'", ",", "''",
+                 ")", "else", "''", "end", ")"])
+    if fn in ("encode", "decode") and n == 1:
+        # DuckDB's 1-arg utf-8 forms; Spark demands the charset
+        return [fn, "(", *args[0], ",", "'utf-8'", ")"]
     if fn == "regexp_split_to_table" and n == 2:
         # ≡ unnest(split(...)): one row per piece (DuckDB probed,
         # trailing empties kept by both engines)

@@ -5787,7 +5787,10 @@ def test_scalar_functions_vs_duckdb(spark, tmp_path):
         "regexp_extract_all(s, '([a-z])l')",
         "regexp_extract_all(s, '([a-z])l', 1)",
         "regexp_split_to_array(s, 'l+')", "strlen(s)", "bit_length(s)",
-        "len(s)",
+        "len(s)", "to_hex(255)", "hex(unhex('4142'))",
+        "parse_filename('/x/y/z.csv')", "parse_dirpath('/x/y/z.csv')",
+        "parse_dirpath('plain.txt')", "parse_dirpath(NULL)",
+        "decode(encode(s))",
         "concat_ws('-', 'a', NULL, 'b')", "concat('a', NULL, 'b')",
         "concat(NULL, NULL)", "concat(1, 2)", "concat(s)",
         "lcase('AB')", "ucase('ab')",
