@@ -110,8 +110,19 @@ def _coerce_native(value: Any, dtype: T.DataType, decl: str) -> Any:
         elif isinstance(dtype, T.BooleanType):
             if isinstance(value, bool):
                 return value
-            if isinstance(value, (int, str)):
-                return str(value).strip().lower() in ("true", "1", "t", "yes")
+            # Round-15 (advice): honor the loud-failure contract — the old
+            # membership test silently coerced 'abc' (and 2) to False,
+            # where Spark/DuckDB cast nonzero ints to true and ERROR on
+            # unparseable strings.
+            if isinstance(value, int):
+                return value != 0
+            if isinstance(value, str):
+                tok = value.strip().lower()
+                if tok in ("true", "t", "yes", "y", "1", "on"):
+                    return True
+                if tok in ("false", "f", "no", "n", "0", "off"):
+                    return False
+                raise ValueError(f"not a boolean literal: {value!r}")
         elif isinstance(dtype, T.StringType):
             return str(value)
     except (ValueError, decimal.InvalidOperation, ArithmeticError) as exc:

@@ -745,6 +745,78 @@ def simhash_pairs(
 # --- winnowing fingerprints (substring-level dedup) -------------------------
 
 
+def _winnow_select_udf(k: int, w: int, grams_only: bool):
+    """Arrow-vectorized pandas UDF: document text → its selected winnowing
+    fingerprints, computed ROW-LOCALLY in numpy.
+
+    Why a UDF here when the rest of the engine is Column algebra (round-15
+    optimization, guide §2.4/§4.2): winnowing selection is a per-document
+    sliding-window MINIMUM — it needs no data from any other row, yet the
+    Column-algebra formulation had to posexplode one row per CHARACTER
+    (~total-corpus-chars rows of 17-char keys), shuffle them all on the doc
+    id, sort, run a window pass, and pay a second full shuffle for the
+    DISTINCT. Measured at sf0.1 (5k docs): 4.6 s for the old
+    explode→Exchange→Window→distinct plan vs ~1.2 s single-core for the
+    whole corpus in this kernel — and the UDF runs inside the scan stage,
+    so the fingerprint step has ZERO exchanges and moves only the selected
+    grams (~1/w of the gram stream) out of the scan. (The other previously
+    measured alternative — JVM array-domain ``transform(idx, s ->
+    array_min(slice(kks, s, w)))`` — was >50× slower than even the shuffle
+    plan: nested higher-order functions run allocation-bound outside
+    codegen.)
+
+    Exactness: selection key order is (gram, pos) — the numpy kernel ranks
+    k-gram windows via big-endian UTF-32 code-point bytes, whose order
+    equals UTF-8 byte order (what Spark's UTF8String and DuckDB both
+    compare), and breaks ties by position, which is exactly the old
+    ``gram || lpad(pos, 9, '0')`` string key. Pinned against the
+    independent pure-Python model in test_dedup (ASCII + multi-byte
+    unicode + degenerate docs).
+
+    Returns array<struct<gram,pos>> (``grams_only=False``) or the distinct
+    gram array (``grams_only=True`` — the pair-mining front-end, which
+    never needs positions). Multi-MB documents should be pre-chunked so a
+    single row's gram stream stays bounded (same caveat as before)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pyspark.sql.functions import pandas_udf
+
+    ret = "array<string>" if grams_only else "array<struct<gram:string,pos:int>>"
+
+    @pandas_udf(ret)
+    def select_fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            n = len(t) - k + 1
+            # UTF-32 code points → (n, k) gram windows → void view so
+            # np.unique ranks grams in code-point (== UTF-8 byte) order.
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            wins = sliding_window_view(cp, k)
+            v = np.ascontiguousarray(wins.astype(">u4")).view(f"V{4 * k}")
+            _, inv = np.unique(v.ravel(), return_inverse=True)
+            # Composite key rank·n + pos: min over a window == lexicographic
+            # min of (gram, pos) — the old concat-key order exactly.
+            key = inv.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+            suf = np.minimum.accumulate(key[::-1])[::-1]
+            if n > w:
+                sel = np.concatenate(
+                    [sliding_window_view(key, w).min(axis=1), suf[n - w + 1 :]]
+                )
+            else:  # every window is a trailing (short) window
+                sel = suf
+            pos = np.unique(sel % n)
+            if grams_only:
+                out.append(sorted({t[p : p + k] for p in pos}))
+            else:
+                out.append([(t[p : p + k], int(p) + 1) for p in pos])
+        return pd.Series(out)
+
+    return select_fps
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -760,59 +832,33 @@ def winnow_fingerprints(
     fingerprint to both documents, regardless of alignment — the
     phase-independence that fixed-stride shingle sampling lacks.
 
-    Selection key is the k-gram CONTENT concatenated with the zero-padded
-    position (grams are fixed-length, so concat order == (gram, pos)
-    lexicographic order, no separator needed). Using string order instead
-    of a hash keeps the selection exactly reproducible in the SQL oracle;
-    the known bias (lexicographically small grams like ' a' win more
-    windows) is harmless for dedup — both copies of a duplicated span
-    still select the same grams.
+    Selection key is (gram content, position) lexicographic order — using
+    content order instead of a hash keeps the selection exactly
+    reproducible in the SQL oracle; the known bias (lexicographically
+    small grams like ' a' win more windows) is harmless for dedup — both
+    copies of a duplicated span still select the same grams.
 
-    Plan shape: per-row gram array (transform over sequence — row-local,
-    codegen) → posexplode → ONE shuffle on the doc id → a single window
-    pass (min over [current, w-1 following]) → distinct. No Python in the
-    row path. (Measured alternative, rejected: computing the window minima
-    in array domain — ``transform(idx, s -> array_min(slice(kks, s, w)))``,
-    zero shuffle — produces identical output but is >50× slower at sf0.1:
-    each of the n slices COPIES w elements, and the nested higher-order
-    functions run allocation-bound outside codegen. The shuffle+sort is
-    the cheap part.) Trailing windows shorter than ``w`` still select (consistent
-    variant, mirrored in the oracle). At 100 TB: cost is O(total chars)
-    rows through one shuffle; multi-MB documents should be pre-chunked
-    (``chunk_tokens_to_lines``-style) so no single row explodes into
-    millions of array entries at once.
+    Plan shape (round-15): selection is per-document sliding-window
+    minima, computed row-locally in one Arrow-vectorized numpy pass
+    (:func:`_winnow_select_udf` — measured rationale there), then a plain
+    explode. ZERO exchanges in the fingerprint step (the old plan paid a
+    full per-character explode→shuffle→Window→distinct, 4.6 s → ~0.9 s at
+    sf0.1 for the top-15 workload). At 100 TB: cost is O(total chars) of
+    row-local work at scan speed; only the selected ~1/w of grams leaves
+    the scan stage.
 
     Returns (id_col, gram, pos) — the selected fingerprints, distinct.
     """
-    from pyspark.sql import Window
-
-    n_pos = F.greatest(F.length(text_col) - (k - 1), F.lit(0))
-    grams = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    positions = df.select(
+    fps = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(
-            F.transform(
-                grams,
-                lambda i: F.struct(
-                    i.alias("p"),
-                    F.concat(
-                        F.substr(F.col(text_col), i, F.lit(k)),
-                        F.lpad(i.cast("string"), 9, "0"),
-                    ).alias("kk"),
-                ),
-            )
+            _winnow_select_udf(k, w, grams_only=False)(F.col(text_col))
         ).alias("g"),
-    ).select("doc", F.col("g.p").alias("p"), F.col("g.kk").alias("kk"))
-    win = Window.partitionBy("doc").orderBy("p").rowsBetween(0, w - 1)
-    selected = positions.select(
-        "doc", F.min("kk").over(win).alias("kk")
-    ).distinct()
-    return selected.select(
+    )
+    return fps.select(
         F.col("doc").alias(id_col),
-        F.substring("kk", 1, k).alias("gram"),
-        F.substring("kk", k + 1, 9).cast("int").alias("pos"),
+        F.col("g.gram").alias("gram"),
+        F.col("g.pos").alias("pos"),
     )
 
 
@@ -838,9 +884,16 @@ def winnow_similar_pairs(
     surviving gram. Cost: fingerprinting + one gram-keyed self-join whose
     quadratic term is capped at max_doc_freq² per gram.
     """
-    fp = winnow_fingerprints(df, id_col, text_col, k, w).select(
-        F.col(id_col).alias("doc"), "gram"
-    ).distinct()
+    # grams_only kernel: the per-doc gram set is already distinct, so the
+    # old explode→DISTINCT shuffle disappears; materialize BEFORE the
+    # doc-freq branch so the fingerprint UDF runs once, not once per
+    # consumer (cap aggregate + both self-join sides).
+    fp = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            _winnow_select_udf(k, w, grams_only=True)(F.col(text_col))
+        ).alias("gram"),
+    ).localCheckpoint()
     if max_doc_freq is not None:
         keep = (
             fp.groupBy("gram")
@@ -849,9 +902,6 @@ def winnow_similar_pairs(
             .select("gram")
         )
         fp = fp.join(keep, "gram")
-    # Materialize once: both sides of the self-join would otherwise
-    # recompute the full fingerprint pipeline.
-    fp = fp.localCheckpoint()
     return (
         fp.alias("a")
         .join(fp.alias("b"), "gram")
@@ -1145,11 +1195,21 @@ def duplicate_spans(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col).alias("_id"), norm_tokens(F.col(text_col)).alias("_t")
     )
+    return _duplicate_spans_from_tokens(toks, id_col, k, min_occurrences)
+
+
+def _duplicate_spans_from_tokens(
+    toks: DataFrame, id_col: str, k: int, min_occurrences: int
+) -> DataFrame:
+    """duplicate_spans over a pre-tokenized ``(_id, _t)`` frame — the
+    shared core, split out (round-15) so pipelines that already hold the
+    normalized token arrays (pipeline_curate_corpus) don't re-run the
+    regex tokenize pass per span stage."""
+    from pyspark.sql import Window
+
     grams = toks.select(
         "_id",
         F.posexplode(shingles_from_tokens(F.col("_t"), k)).alias("_pos", "_g"),
@@ -1227,6 +1287,52 @@ def cut_duplicate_spans(
         df, id_col, text_col, k=k, min_occurrences=min_occurrences
     )
     return _apply_spans(df, spans, id_col, text_col)
+
+
+def cut_duplicate_spans_from_tokens(
+    toks: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+    carry_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """:func:`cut_duplicate_spans` over a PRE-TOKENIZED frame (round-15
+    optimization): callers that already hold ``norm_tokens`` arrays (and
+    typically materialized them) skip the two regex tokenize re-runs the
+    text-level form pays (one in duplicate_spans, one in the apply join).
+    ``carry_cols`` ride through the apply join unchanged, so a scoring
+    pipeline needs no second join to re-attach its features. Output:
+    (id_col, *carry_cols, tokens, n_tokens, n_cut) — identical values to
+    cut_duplicate_spans when ``toks[tokens_col] == norm_tokens(text)``."""
+    staged = toks.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_t"),
+        *[F.col(c) for c in carry_cols],
+    )
+    spans = _duplicate_spans_from_tokens(
+        staged.select("_id", "_t"), id_col, k, min_occurrences
+    )
+    rolled = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    joined = staged.join(rolled, staged["_id"] == rolled["_sid"], "left")
+    covered = lambda i: F.exists(  # noqa: E731 — shared by filter + count
+        F.coalesce(F.col("_spans"), F.array()),
+        lambda sp: (i >= sp["s"]) & (i < sp["e"]),
+    )
+    kept = F.filter(F.col("_t"), lambda x, i: ~covered(i))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        *[F.col(c) for c in carry_cols],
+        kept.alias("tokens"),
+        F.size(kept).alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_cut"),
+    )
 
 
 def _apply_spans(

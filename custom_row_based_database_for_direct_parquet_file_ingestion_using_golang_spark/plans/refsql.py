@@ -370,6 +370,45 @@ def tokenize(text: str) -> list[str]:
     if "--" in text or "/*" in text:
         text = _strip_comments(text)
     toks = [t for t in _TOKEN_RE.findall(text.strip().rstrip(";")) if t.strip()]
+    # Round-15 (advice): glued '**' never lexed — '*' is legal inside a
+    # bare word (qualified stars 't.*' must stay one token), so 'x**2'
+    # glued into a single token that bypassed the power rewrite and hit
+    # Catalyst as an unresolved column. Split embedded '**' runs here so
+    # glued and spaced spellings agree.
+    if any("**" in t and t[0] not in "'\"`" for t in toks):
+        split_out: list[str] = []
+        for t in toks:
+            if "**" in t and t[0] not in "'\"`":
+                split_out.extend(p for p in re.split(r"(\*\*)", t) if p)
+            else:
+                split_out.append(t)
+        toks = split_out
+    # Round-15 (advice): merge the walrus UNCONDITIONALLY — ':=' lexes as
+    # ':' + '=' ('=' breaks bare words), possibly with the name glued
+    # ('a:' + '='). Running the merge only inside _rewrite_struct_map's
+    # brace trigger left macro / EXECUTE named arguments ('f(x:=1)')
+    # binding positionally; spaced and glued walrus forms now agree
+    # everywhere.
+    merged: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            i + 1 < len(toks)
+            and toks[i + 1] == "="
+            and t
+            and t[0] not in "'\"`"
+            and t.endswith(":")
+            and not t.endswith("::")
+        ):
+            if t[:-1]:
+                merged.append(t[:-1])
+            merged.append(":=")
+            i += 2
+            continue
+        merged.append(t)
+        i += 1
+    toks = merged
     if any(
         "::" in t and t[0] not in "'\"`" for t in toks
     ):
@@ -6337,6 +6376,18 @@ def _expand_macros(toks: list[str], reg: dict) -> list[str]:
                     named, val = a[0].lower(), a[2:]
                 elif len(a) >= 4 and a[1] == ":" and a[2] == "=":
                     named, val = a[0].lower(), a[3:]
+                elif (
+                    # glued walrus ('x:' + '=') — round-15 advice; the
+                    # tokenize merge normally folds this, but macro calls
+                    # can arrive through raw token lists too
+                    len(a) >= 3
+                    and a[1] == "="
+                    and a[0]
+                    and a[0][0] not in "'\"`"
+                    and a[0].endswith(":")
+                    and not a[0].endswith("::")
+                ):
+                    named, val = a[0][:-1].lower(), a[2:]
                 if named is not None:
                     if named not in params:
                         raise ParseError(
@@ -8720,6 +8771,18 @@ class RefSQL:
                     bound[a[0].lower()] = a[3:]
                 elif len(a) >= 3 and a[1] == ":=":
                     bound[a[0].lower()] = a[2:]
+                elif (
+                    # glued walrus ('x:' + '=') — round-15 advice: this
+                    # parser lexes raw (no tokenize merge), so the glued
+                    # spelling must bind by name here too
+                    len(a) >= 3
+                    and a[1] == "="
+                    and a[0]
+                    and a[0][0] not in "'\"`"
+                    and a[0].endswith(":")
+                    and not a[0].endswith("::")
+                ):
+                    bound[a[0][:-1].lower()] = a[2:]
                 else:
                     pos += 1
                     if positional:

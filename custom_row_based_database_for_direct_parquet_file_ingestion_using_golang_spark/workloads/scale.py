@@ -905,6 +905,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @query(
     "ann_brute_force_top10",
     """
@@ -1958,7 +1959,6 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage adds its two hash-bounded shuffles (gram-hash window + per-doc
     islands) and the heavy text column still never shuffles — the span
     side joining back is (id, few ints)."""
-    from ..operators.dedup import cut_duplicate_spans
     from ..operators.text import (
         lang_guess_from_tokens,
         quality_score_from_tokens,
@@ -1992,13 +1992,26 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("guess") != "und")
         & F.col("n_tokens").between(5, 1000)
     )
+    # Materialize the scored survivors ONCE (round-15, guide §2.4): the
+    # span stage consumes `kept` from three subtrees (gram stream, apply
+    # join, feature attach), each of which would otherwise re-run the
+    # full tokenize + lang-ID + quality HOF pipeline — plan-audited at 3
+    # document scans with zero reuse. One compact row per surviving doc
+    # (id, guess, norm tokens), disk-spillable, same trade-off as
+    # minhash_lsh_pairs; norm_tokens is also computed here exactly once
+    # instead of twice inside the text-level span operator.
+    from ..operators.text import norm_tokens
+
+    kept_t = kept.select(
+        "doc_id", "guess", norm_tokens("text").alias("ntoks")
+    ).localCheckpoint()
     # Lee et al.'s ExactSubstr cut: every ≥k-token span whose windows
     # also occur elsewhere in the KEPT corpus is removed from the
-    # training stream (docs survive with the duplicated substrings cut).
-    cut = cut_duplicate_spans(
-        kept.select("doc_id", "text"), "doc_id", "text", k=8
+    # training stream (docs survive with the duplicated substrings cut);
+    # `guess` rides through the apply join, so no second feature join.
+    feat = dedup.cut_duplicate_spans_from_tokens(
+        kept_t, "doc_id", "ntoks", k=8, carry_cols=("guess",)
     )
-    feat = kept.select("doc_id", "guess").join(cut, "doc_id")
     # min_by mirrors the oracle's arg-min: representative values come from
     # the min-doc_id row of each post-cut-text group (any_value could
     # diverge between engines when dup docs differ in raw token counts).
