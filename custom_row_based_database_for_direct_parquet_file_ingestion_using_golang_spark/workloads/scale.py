@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, multimodal, similarity, text as text_ops
+from ..operators.util import ensure_parallelism
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -1241,7 +1242,9 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     return multimodal.extract_bmp_features(media)
 
@@ -1291,7 +1294,9 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["payload"].append(multimodal.encode_avi_mjpeg(frames))
             yield pd.DataFrame(out)
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
     fh = multimodal.extract_video_frame_phash(media).select(
         (F.col("media_id") * 100 + F.col("frame_no")).alias("fid"),
@@ -1365,7 +1370,9 @@ def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
     fps = multimodal.extract_audio_fingerprint(media)
     # measured: planted twins ≤7 bits, unrelated 8-sine mixtures ≥9
@@ -1488,7 +1495,9 @@ def crossmodal_image_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
                     )
             yield pd.DataFrame(out)
 
-    raw = docs.mapInPandas(
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(
         make, schema="media_id long, payload binary, text string"
     ).localCheckpoint()  # one encode pass feeds both modality branches
     media = multimodal.wrap_binary(
@@ -1558,7 +1567,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     resized = multimodal.transform_image_resize(media, out_w=8, out_h=8)
     feats = multimodal.extract_bmp_features(
@@ -1612,7 +1623,9 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_wav(s, 8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
     resampled = multimodal.transform_audio_resample(media, out_rate=6400)
     feats = multimodal.extract_wav_features(
@@ -1665,7 +1678,9 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     return multimodal.extract_png_features(media)
 
@@ -1713,7 +1728,9 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     return multimodal.extract_gif_features(media)
 
@@ -1761,7 +1778,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_wav(samples, int(sr), 1))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
     return multimodal.extract_wav_features(media)
 
@@ -1816,7 +1835,9 @@ def multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_avi(frames, fps=30))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
     return multimodal.sample_avi_frames(media, every_n=2)
 
@@ -2814,7 +2835,9 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_jpeg(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
     feats = multimodal.extract_jpeg_features(media)
     return feats.withColumn("mean_pixel", F.round("mean_pixel", 4))
@@ -2859,7 +2882,9 @@ def multimodal_mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
                 payloads.append(multimodal.encode_avi_mjpeg(frames, fps=10))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "video")
     return multimodal.sample_avi_frames(media, every_n=2).select(
         "media_id", "frame_no", "pixel_sum"
@@ -2912,7 +2937,9 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_wav_mulaw(codes, 8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
 
     def extract(it):
@@ -2969,7 +2996,9 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_wav(s, sr, 1))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "audio")
     return multimodal.extract_audio_spectrum(media)
 
@@ -3073,7 +3102,9 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
 
     def extract(it):
@@ -3153,7 +3184,9 @@ def multimodal_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_webp_lossless(img))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    raw = docs.mapInPandas(encode, schema="media_id long, payload binary")
+    # round-15: the single-row-group fixture scans as ONE partition —
+    # repartition before the heavy Python codec map (guide §2.6/§8.3)
+    raw = ensure_parallelism(docs).mapInPandas(encode, schema="media_id long, payload binary")
     media = multimodal.wrap_binary(raw, "media_id", "payload", "image")
 
     def extract(it):

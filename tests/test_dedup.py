@@ -79,6 +79,41 @@ def test_perm_mins_udf_vectorized_path_handles_mixed_batches(spark):
         assert got[doc] == expect, doc
 
 
+def test_perm_mins_mersenne_fold_matches_modulo_on_edges(spark):
+    # Round-15: the kernel computes x mod (2³¹−1) with the Mersenne
+    # hi+lo fold instead of int64 division. Drive the UDF over inputs
+    # CRAFTED so a·x+b lands exactly on multiples of M for the first
+    # permutation (the fold's conditional-subtract edge: intermediate
+    # M and M+1) plus a broad random sweep, and pin against plain %.
+    M = dedup._MERSENNE_31
+    params = dedup._perm_params(8)
+    a0, b0 = params[0]
+    inv_a0 = pow(a0, -1, M)
+    # x with a0·x + b0 ≡ 0 (mod M), i.e. the reduced value is exactly 0
+    edge = [(k * M - b0) % M * inv_a0 % M for k in range(1, 4)]
+    edge = [x for x in edge if 0 <= x < M]
+    import random
+
+    rng = random.Random(31337)
+    rows = [
+        (0, edge),
+        (1, [0, 1, M - 1]),
+        (2, [rng.randrange(0, M) for _ in range(500)]),
+    ]
+    df = spark.createDataFrame(rows, ["doc", "bh"])
+    got = {
+        r.doc: r.sig
+        for r in df.select(
+            "doc", dedup._perm_mins_udf(params)(F.col("bh")).alias("sig")
+        ).collect()
+    }
+    for doc, bh in rows:
+        expect = [min((a * x + b) % M for x in bh) for a, b in params]
+        assert got[doc] == expect, doc
+    # the crafted rows really exercise the reduce-to-zero edge
+    assert got[0][0] == 0
+
+
 # --- winnowing --------------------------------------------------------------
 
 
