@@ -9636,6 +9636,17 @@ class RefSQL:
         # Determinism guard: source must be unique on the equality keys,
         # after applying residual conjuncts that touch ONLY the source
         # (they can legitimately disambiguate, e.g. a flag column).
+        # Round-15 (optimization): the guard no longer runs as a separate
+        # eager aggregate job ahead of the write — the source is
+        # pre-aggregated on the join keys INSIDE the update plan (count +
+        # first-of-each-used-column), and a ``raise_error`` woven into the
+        # hit marker fires for ANY duplicated key while the source side of
+        # the join materializes. One source scan instead of two, one Spark
+        # action instead of two; the ValueError contract is preserved by
+        # translating the in-plan raise below. The raise is global (every
+        # aggregated source row evaluates the marker projection when the
+        # join's build side materializes), matching the old guard's
+        # raise-even-if-no-target-row-matches behavior.
         src_only = []
         mixed = []
         for rw in residual_rw:
@@ -9650,20 +9661,13 @@ class RefSQL:
         for rw in src_only:
             guard_src = guard_src.filter(F.expr(" ".join(rw)))
         skeys = [sc for _tc, sc in pairs]
-        dup = (
-            guard_src.groupBy(*[F.col(f"__src_{c}") for c in skeys])
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
+        dup_msg = (
+            "UPDATE ... FROM: the source has duplicate rows on the "
+            f"join keys {skeys} — a target row would match multiple "
+            "source rows (DuckDB picks one arbitrarily; this engine "
+            "raises, like Delta). Dedupe the source on the keys "
+            "first."
         )
-        if dup.count() > 0:
-            raise ValueError(
-                "UPDATE ... FROM: the source has duplicate rows on the "
-                f"join keys {skeys} — a target row would match multiple "
-                "source rows (DuckDB picks one arbitrarily; this engine "
-                "raises, like Delta). Dedupe the source on the keys "
-                "first."
-            )
 
         # Compile the SET values against the rewritten namespace.
         sets: dict[str, Any] = {}
@@ -9696,11 +9700,32 @@ class RefSQL:
                 t[len("__src_"):] for t in rw if t.startswith("__src_")
             )
 
-        # One left join: target × (renamed, column-pruned source + hit
-        # marker); the engine's copy-on-write pass does the rest.
-        src_sel = src_rn.select(
-            *[F.col(f"__src_{c}") for c in sorted(used_src)]
-        ).withColumn("__upd_hit", F.lit(True))
+        # One left join: target × (renamed, column-pruned, key-aggregated
+        # source + guarded hit marker); the engine's copy-on-write pass
+        # does the rest. The aggregate enforces the determinism guard
+        # in-plan: non-key columns come out as first() (deterministic —
+        # any key with a second row raises before its values are used),
+        # and the hit marker raises on __src_cnt > 1.
+        key_cols = [F.col(f"__src_{c}") for c in skeys]
+        other_cols = sorted(used_src - set(skeys))
+        src_agg = guard_src.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("__src_cnt"),
+            *[
+                F.first(f"__src_{c}").alias(f"__src_{c}")
+                for c in other_cols
+            ],
+        )
+        hit = (
+            F.when(
+                F.col("__src_cnt") > 1,
+                F.raise_error(F.lit(dup_msg)).cast("boolean"),
+            )
+            .otherwise(F.lit(True))
+            .alias("__upd_hit")
+        )
+        src_sel = src_agg.select(
+            *[F.col(f"__src_{c}") for c in sorted(used_src)], hit
+        )
         cond = None
         for tc, sc in pairs:
             eq = F.col(tc) == F.col(f"__src_{sc}")
@@ -9708,15 +9733,22 @@ class RefSQL:
         for rw in residual_rw:
             cond = cond & F.expr(" ".join(rw))
         frame = self.engine.table(table).join(src_sel, cond, "left")
-        if ret_items is not None:
-            _, ret = self.engine.update(
-                table, sets, F.col("__upd_hit"), frame=frame,
-                returning=True,
+        try:
+            if ret_items is not None:
+                _, ret = self.engine.update(
+                    table, sets, F.col("__upd_hit"), frame=frame,
+                    returning=True,
+                )
+                return ret.selectExpr(*ret_items)
+            return self.engine.update(
+                table, sets, F.col("__upd_hit"), frame=frame
             )
-            return ret.selectExpr(*ret_items)
-        return self.engine.update(
-            table, sets, F.col("__upd_hit"), frame=frame
-        )
+        except ValueError:
+            raise
+        except Exception as exc:  # translate the in-plan guard raise
+            if "duplicate rows on the join keys" in str(exc):
+                raise ValueError(dup_msg) from None
+            raise
 
     def _delete(self, cur: _Cursor) -> int | DataFrame:
         cur, ret_items = self._split_returning(cur)
