@@ -363,11 +363,16 @@ def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFr
         norm_tokens("text").alias("toks"),
         (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
     )
+    # Materialize the exploded gram stream ONCE (round-15): both sides of
+    # the self-join otherwise re-run tokenize → shingle → explode from the
+    # scan (plan-audited: two independent parquet scans). One compact
+    # (doc_id, is_eval, gram) row per distinct gram — the _shingle_index
+    # bounded-intermediate class.
     grams = toked.select(
         "doc_id",
         "is_eval",
         F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 5))).alias("g"),
-    )
+    ).localCheckpoint()
     ev = grams.filter(F.col("is_eval")).select(
         F.col("doc_id").alias("eval_doc_id"), "g"
     )
@@ -777,6 +782,13 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.util import ensure_parallelism
 
     docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    # Round-15 audit: the chunk branch, the boilerplate branch, and
+    # line_dedup_stats' two consumers each re-run the regex tokenize from
+    # the scan (4 scans, zero subtree reuse). A localCheckpoint of the
+    # tokenized frame was A/B'd and REVERTED: materializing the token
+    # arrays cost more than the three pipelined re-tokenizes it saved
+    # (old min 3.27 s vs checkpointed 5.16 s, alternating passes) — the
+    # re-scan stays fully pipelined at scan parallelism.
     toked = docs.select("doc_id", norm_tokens("text").alias("toks"))
     chunked = dedup.chunk_tokens_to_lines(toked, "doc_id", "toks", tokens_per_line=8)
     # Planted boilerplate rides along as extra line rows at the tail
