@@ -9668,6 +9668,11 @@ class RefSQL:
             "raises, like Delta). Dedupe the source on the keys "
             "first."
         )
+        # Unique sentinel for the exception translation below: matching on
+        # the human-readable phrase would misreport any unrelated failure
+        # whose message happened to contain it (r15 advice). The token rides
+        # only in the in-plan raise_error text, never in the ValueError.
+        _GUARD_TOKEN = "__upd_from_dup_guard__"
 
         # Compile the SET values against the rewritten namespace.
         sets: dict[str, Any] = {}
@@ -9715,10 +9720,19 @@ class RefSQL:
                 for c in other_cols
             ],
         )
+        # NULL-key note (r15 advice): a source row whose join key is NULL
+        # never reaches this guard — Spark infers IsNotNull on the equi-join
+        # key and pushes it below the aggregate — so duplicate NULL-key
+        # source rows pass silently. That is the intended semantics: under
+        # SQL `=`, a NULL key matches no target row, so such duplicates can
+        # never make an update non-deterministic (pinned in
+        # tests/test_refsql.py::test_update_from_duplicate_null_keys_pass).
         hit = (
             F.when(
                 F.col("__src_cnt") > 1,
-                F.raise_error(F.lit(dup_msg)).cast("boolean"),
+                F.raise_error(F.lit(dup_msg + f" [{_GUARD_TOKEN}]")).cast(
+                    "boolean"
+                ),
             )
             .otherwise(F.lit(True))
             .alias("__upd_hit")
@@ -9746,7 +9760,7 @@ class RefSQL:
         except ValueError:
             raise
         except Exception as exc:  # translate the in-plan guard raise
-            if "duplicate rows on the join keys" in str(exc):
+            if _GUARD_TOKEN in str(exc):
                 raise ValueError(dup_msg) from None
             raise
 

@@ -87,7 +87,13 @@ class ParquetTableStore:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        try:
+            writer.parquet(staging)
+        except Exception:
+            # A failed write (e.g. an in-plan guard raise_error) must not
+            # leak a partial .staging/<table>-<token> directory.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
         current = self.table_path(name)
         trash = os.path.join(self.trash_dir, f"{name}-{token}")

@@ -363,16 +363,19 @@ def contamination_eval_train_overlap(spark: SparkSession, sf_dir: str) -> DataFr
         norm_tokens("text").alias("toks"),
         (_md5_bucket(F.col("doc_id")) >= "e6").alias("is_eval"),
     )
-    # Materialize the exploded gram stream ONCE (round-15): both sides of
-    # the self-join otherwise re-run tokenize → shingle → explode from the
-    # scan (plan-audited: two independent parquet scans). One compact
-    # (doc_id, is_eval, gram) row per distinct gram — the _shingle_index
-    # bounded-intermediate class.
+    # Round-16 REVERT of the round-15 localCheckpoint of this gram stream:
+    # the alternating A/B (plans/r16/ab_contamination.py, 6 rounds, one
+    # session) has the un-checkpointed plan winning every aligned round
+    # (min 1.26 s vs 1.39 s; under disk-contention bursts the eager
+    # materialization blew out to 35 s cold passes in the opening bench).
+    # Same verdict as the corpus_line_dedup checkpoint revert: two pipelined
+    # tokenize→shingle scans at scan parallelism beat one materialization
+    # of the exploded stream at this shape.
     grams = toked.select(
         "doc_id",
         "is_eval",
         F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 5))).alias("g"),
-    ).localCheckpoint()
+    )
     ev = grams.filter(F.col("is_eval")).select(
         F.col("doc_id").alias("eval_doc_id"), "g"
     )

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Isolated per-query probe for the r15 optimization round.
+"""Isolated per-query probe for the r16 optimization round.
 
 Usage: python plans/r15/probe.py <query> [query ...] [--passes N] [--explain]
 Times each named workload query with the SAME methodology as bench.py

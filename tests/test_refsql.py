@@ -754,6 +754,38 @@ def test_update_from_join(spark, tmp_path):
         e.ref_sql("UPDATE t SET v = 1 FROM s")
 
 
+def test_update_from_duplicate_null_keys_pass(spark, tmp_path):
+    """r15 advice: duplicate NULL-key source rows do NOT trip the
+    determinism guard — under SQL `=` a NULL key matches no target row, so
+    NULL-key duplicates can never make the update non-deterministic (Spark
+    surfaces this as an inferred IsNotNull below the guard aggregate). The
+    update still applies normally to the non-NULL matches, and the
+    NULL-keyed target row is untouched."""
+    e = Engine(spark, str(tmp_path / "updnull"))
+    e.ref_sql("CREATE TABLE t (k INT, v INT)")
+    e.ref_sql("INSERT INTO t VALUES (1, 10), (NULL, 40)")
+    e.ref_sql("CREATE TABLE s (k INT, bonus INT)")
+    e.ref_sql(
+        "INSERT INTO s VALUES (1, 100), (NULL, 900), (NULL, 901)"
+    )
+    # Two NULL-key source rows (duplicates on the join key) — no raise.
+    assert e.ref_sql("UPDATE t SET v = s.bonus FROM s WHERE t.k = s.k") == 1
+    assert {(r.k, r.v) for r in e.table("t").collect()} == {
+        (1, 100),
+        (None, 40),
+    }
+    # A real duplicate on a non-NULL key still raises.
+    e.ref_sql("INSERT INTO s VALUES (1, 101)")
+    with pytest.raises(ValueError, match="duplicate rows on the join keys"):
+        e.ref_sql("UPDATE t SET v = s.bonus FROM s WHERE t.k = s.k")
+    # ... and the failed write leaks no staging directory (r15 advice:
+    # the guard now raises mid-write inside store.overwrite).
+    import os
+
+    staging = os.path.join(str(tmp_path / "updnull"), ".staging")
+    assert os.listdir(staging) == []
+
+
 def test_dml_in_subqueries(spark, tmp_path, sf_dir):
     """Round-12: ``UPDATE/DELETE ... WHERE x [NOT] IN (SELECT ...)`` —
     the canonical decontamination DML (delete documents whose ids appear
