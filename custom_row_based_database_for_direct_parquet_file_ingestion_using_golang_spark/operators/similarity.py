@@ -319,11 +319,45 @@ def _kmeans_centroids(
     return cent.tolist()
 
 
-def _centroid_dots(vec: Column, centroids: "list[list[float]]") -> Column:
+def _centroid_dots(vec_name: str, centroids: "list[list[float]]") -> Column:
     """array<double> of dot(vec, centroid_i) — centroid weights ship as plan
-    literals, so the whole assignment is JVM-side column algebra."""
-    return F.array(
-        *[dot(vec, F.array(*[F.lit(w) for w in c])) for c in centroids]
+    literals, so the whole assignment is JVM-side column algebra.
+
+    Round-16 (guide §1.2 — driver overhead is part of the query): the
+    expression is built as ONE SQL string parsed JVM-side instead of
+    n_centroids × dim ``F.lit`` py4j round trips. At 16×64 weights the old
+    construction spent ~1.8 s of driver time PER PLAN BUILD (measured —
+    the dominant cost of the ann_multiassign bench queries, re-paid every
+    invocation); the SQL text parses in ~8 ms and analyzes faster too.
+    The parsed tree is the identical aggregate(zip_with(...)) fold in the
+    identical order, so scores are bit-identical (verified row-for-row,
+    and the oracle hash pins it end-to-end). ``vec_name`` is a plain
+    column name (backtick-quoted here); weights are emitted via ``repr``
+    (shortest round-trip decimal — Java's parseDouble restores the exact
+    double) with the ``D`` suffix so SQL types them DOUBLE, never DECIMAL.
+    """
+    import math
+
+    if any(not math.isfinite(w) for c in centroids for w in c):
+        # non-finite weights have no portable SQL literal — keep the
+        # py4j-built fallback for that (never-hit in practice) case
+        return F.array(
+            *[
+                dot(F.col(vec_name), F.array(*[F.lit(w) for w in c]))
+                for c in centroids
+            ]
+        )
+    def arr(c: "list[float]") -> str:
+        return "array(" + ",".join(f"{w!r}D" for w in c) + ")"
+
+    # One transform over the centroid matrix rather than n_centroids
+    # separate aggregates: 3 lambda resolutions instead of 2·n per analysis
+    # pass (measured 216 → 149 ms per downstream select at 16×64), same
+    # per-element fold order → bit-identical dots.
+    mat = "array(" + ",".join(arr(c) for c in centroids) + ")"
+    return F.expr(
+        f"transform({mat}, c -> aggregate(zip_with(`{vec_name}`, c, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
     )
 
 
@@ -360,7 +394,7 @@ def _assign_lists(
     write cost scale by n_assign; query cost is unchanged (same probed
     lists, ~n_assign× the candidates within them). Callers must dedupe
     candidates by id (copies are identical)."""
-    dots = _centroid_dots(F.col(vec_col), centroids)
+    dots = _centroid_dots(vec_col, centroids)
     if n_assign <= 1:
         return df.select(
             F.col(id_col),
@@ -497,7 +531,7 @@ def ivf_topk(
     listed = _assign_lists(df, id_col, vec_col, centroids, n_assign)
     # Query's n_probe nearest lists, in-plan: rank centroid dots via a
     # sorted array of (-dot, idx) structs, slice the prefix, explode.
-    qd = _centroid_dots(F.col("q"), centroids)
+    qd = _centroid_dots("q", centroids)
     probes = query.select(
         "q",
         F.explode(_arg_topn_1based(qd, n_probe)).alias("list_id"),
@@ -554,7 +588,7 @@ def ivf_topk_batch(
         df, id_col, vec_col, train_limit, n_centroids, n_iter, seed
     )
     listed = _assign_lists(df, id_col, vec_col, centroids, n_assign)
-    qd = _centroid_dots(F.col(qvec_col), centroids)
+    qd = _centroid_dots(qvec_col, centroids)
     probes = queries.select(
         F.col(qid_col),
         F.col(qvec_col).alias("__qv"),
@@ -999,11 +1033,11 @@ def ivf_pq_topk(
     listed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        _argmax_1based(_centroid_dots(F.col(vec_col), centroids)).alias(
+        _argmax_1based(_centroid_dots(vec_col, centroids)).alias(
             "list_id"
         ),
     )
-    qd = _centroid_dots(F.col("q"), centroids)
+    qd = _centroid_dots("q", centroids)
     ranked = F.array_sort(
         F.transform(
             qd,
