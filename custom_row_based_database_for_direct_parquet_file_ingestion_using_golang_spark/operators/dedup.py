@@ -764,6 +764,12 @@ def simhash_pairs(
 
 # --- winnowing fingerprints (substring-level dedup) -------------------------
 
+#: windows per in-kernel winnowing segment: bounds the (seg × k) uint32
+#: scratch matrix to ~4·k·seg bytes (~18 MB at k=17) regardless of document
+#: size. Test-tunable; the floor of 2·w in _winnow_select_udf keeps every
+#: segment long enough to hold a full winnowing window.
+_WINNOW_SEG_CAP = 1 << 18
+
 
 def _winnow_select_udf(k: int, w: int, grams_only: bool):
     """Arrow-vectorized pandas UDF: document text → its selected winnowing
@@ -795,13 +801,56 @@ def _winnow_select_udf(k: int, w: int, grams_only: bool):
 
     Returns array<struct<gram,pos>> (``grams_only=False``) or the distinct
     gram array (``grams_only=True`` — the pair-mining front-end, which
-    never needs positions). Multi-MB documents should be pre-chunked so a
-    single row's gram stream stays bounded (same caveat as before)."""
+    never needs positions).
+
+    Bounded memory (round-16, r15 verdict #7): the kernel materializes its
+    (windows × k) uint32 gram matrix in SEGMENTS of at most ``seg_cap``
+    windows (overlapping by w−1 so every winnowing window lies inside one
+    segment), never all at once — a multi-MB document previously allocated
+    4·k·len(text) bytes in one Arrow batch (~680 MB for a 10 MB doc at
+    k=17); the segment scratch is now ≤ ~4·k·seg_cap ≈ 18 MB whatever the
+    document size. Exactness: the winnowing argmin is window-LOCAL, and
+    segment-local gram ranks are order-isomorphic to global gram order
+    within the segment, so each window selects the identical position
+    (pinned by test_winnow_kernel_segmented_matches_unsegmented)."""
     from numpy.lib.stride_tricks import sliding_window_view
 
     from pyspark.sql.functions import pandas_udf
 
     ret = "array<string>" if grams_only else "array<struct<gram:string,pos:int>>"
+    seg_cap = max(_WINNOW_SEG_CAP, 2 * w)
+
+    def selected_positions(cp: "np.ndarray", n: int) -> "np.ndarray":
+        """Global 0-based positions of the selected grams, segment-wise."""
+        spans = []
+        a = 0
+        while True:
+            b = min(a + seg_cap, n)
+            spans.append((a, b))
+            if b == n:
+                break
+            # overlap w−1 grams so every window [j, j+w) fits one segment
+            a = b - (w - 1)
+        parts = []
+        for a, b in spans:
+            m = b - a
+            # UTF-32 code points → (m, k) gram windows → void view so
+            # np.unique ranks grams in code-point (== UTF-8 byte) order.
+            wins = sliding_window_view(cp[a : b + k - 1], k)
+            v = np.ascontiguousarray(wins.astype(">u4")).view(f"V{4 * k}")
+            _, inv = np.unique(v.ravel(), return_inverse=True)
+            # Composite key rank·m + pos: min over a window == lexicographic
+            # min of (gram, pos) — the old concat-key order exactly.
+            key = inv.astype(np.int64) * m + np.arange(m, dtype=np.int64)
+            if m > w:
+                sel = sliding_window_view(key, w).min(axis=1)
+                if b == n:  # trailing (short) windows of the document
+                    suf = np.minimum.accumulate(key[::-1])[::-1]
+                    sel = np.concatenate([sel, suf[m - w + 1 :]])
+            else:  # every window is a trailing (short) window
+                sel = np.minimum.accumulate(key[::-1])[::-1]
+            parts.append(a + (sel % m))
+        return np.unique(np.concatenate(parts))
 
     @pandas_udf(ret)
     def select_fps(texts: pd.Series) -> pd.Series:
@@ -811,23 +860,8 @@ def _winnow_select_udf(k: int, w: int, grams_only: bool):
                 out.append([])
                 continue
             n = len(t) - k + 1
-            # UTF-32 code points → (n, k) gram windows → void view so
-            # np.unique ranks grams in code-point (== UTF-8 byte) order.
             cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-            wins = sliding_window_view(cp, k)
-            v = np.ascontiguousarray(wins.astype(">u4")).view(f"V{4 * k}")
-            _, inv = np.unique(v.ravel(), return_inverse=True)
-            # Composite key rank·n + pos: min over a window == lexicographic
-            # min of (gram, pos) — the old concat-key order exactly.
-            key = inv.astype(np.int64) * n + np.arange(n, dtype=np.int64)
-            suf = np.minimum.accumulate(key[::-1])[::-1]
-            if n > w:
-                sel = np.concatenate(
-                    [sliding_window_view(key, w).min(axis=1), suf[n - w + 1 :]]
-                )
-            else:  # every window is a trailing (short) window
-                sel = suf
-            pos = np.unique(sel % n)
+            pos = selected_positions(cp, n)
             if grams_only:
                 out.append(sorted({t[p : p + k] for p in pos}))
             else:

@@ -345,23 +345,40 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-16 (guide §2.4): the literal three-branch formulation (UNION
+    # DISTINCT / INTERSECT / EXCEPT as independent subtrees) re-scanned
+    # customer+orders three times and planned 9 exchanges (audited,
+    # plans/r16/setop_union_intersect_except_before.txt). All three set-op
+    # cardinalities are functions of ONE per-key membership-flag frame:
+    # union both sides tagged, aggregate max(flag) per key (one shuffle,
+    # map-side partial), then count |A∪B| / |A∩B| / |A\B| from the flags in
+    # a single global aggregate. Set semantics are preserved exactly —
+    # UNION/INTERSECT/EXCEPT are distinct-based and NULL-equal, as is
+    # groupBy — and the oracle hash pins it (identical rows at every sf).
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     rich = customer.filter(F.col("c_acctbal") > 8000).select("c_custkey")
-    big = (
-        orders.filter(F.col("o_totalprice") > 450000)
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
+    big = orders.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("c_custkey")
     )
-    def one(op: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
-
-    return (
-        one("union", rich.union(big).distinct())
-        .unionByName(one("intersect", rich.intersect(big)))
-        .unionByName(one("except", rich.distinct().subtract(big)))
-        .orderBy("op")
+    tagged = rich.select(
+        "c_custkey", F.lit(True).alias("in_a"), F.lit(False).alias("in_b")
+    ).unionByName(
+        big.select(
+            "c_custkey", F.lit(False).alias("in_a"), F.lit(True).alias("in_b")
+        )
     )
+    flags = tagged.groupBy("c_custkey").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("u"),
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("i"),
+        F.count_if(F.col("in_a") & ~F.col("in_b")).alias("e"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'union', u, 'intersect', i, 'except', e) AS (op, n)"
+    ).orderBy("op")
 
 
 # --- subqueries ------------------------------------------------------------

@@ -194,6 +194,46 @@ def test_winnow_similar_pairs_counts_and_cap(spark):
     assert capped == 0
 
 
+def test_winnow_kernel_segmented_matches_unsegmented(spark, monkeypatch):
+    """r15 verdict #7: the kernel used to materialize one (n × k) uint32
+    matrix per document — ~4·k·len(text) bytes, an OOM risk on one
+    pathological multi-MB row. It now processes grams in overlapping
+    segments of _WINNOW_SEG_CAP windows. Segmentation must be invisible:
+    force a tiny cap so every doc spans many segments and pin the output
+    against the independent Python model (which is also what the
+    unsegmented kernel was pinned to), including repeated boilerplate
+    (cross-segment duplicate grams) and multi-byte unicode."""
+    import random
+
+    rng = random.Random(16)
+    words = ["alpha", "beta", "gamma", "reuse", "zq", "の", "変", "🦜"]
+    long_random = " ".join(rng.choice(words) for _ in range(600))
+    rows = [
+        (1, long_random),                      # ~2.5k chars, many segments
+        (2, "ab" * 900),                       # degenerate periodic text
+        (3, ("boiler plate line " * 80) + long_random[:400]),
+        (4, "短い文書です"),                    # shorter than k
+    ]
+    k, w = 8, 4
+    monkeypatch.setattr(dedup, "_WINNOW_SEG_CAP", 97)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.gram, r.pos)
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    want = {
+        (d, g, p) for d, t in rows for g, p in _winnow_model(t, k, w)
+    }
+    assert got == want
+    # cap floor: a cap below 2·w must not break segment construction
+    monkeypatch.setattr(dedup, "_WINNOW_SEG_CAP", 1)
+    got2 = {
+        (r.doc_id, r.gram, r.pos)
+        for r in dedup.winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+    assert got2 == want
+
+
 # --- graph: kNN edges + PageRank --------------------------------------------
 
 
