@@ -466,6 +466,13 @@ def main() -> None:
             "contended": sent_ratios,
             "load_start": [round(x, 2) for x in load_start],
             "load_end": [round(x, 2) for x in os.getloadavg()],
+            # r15 verdict #3: record where the bounded streaming runs place
+            # their EPHEMERAL checkpoints (streaming/ops.py), so streaming
+            # numbers are comparable across machines/rounds on that axis.
+            "stream_ckpt": (
+                os.environ.get("SPARKDB_STREAM_CHECKPOINT_DIR")
+                or ("/dev/shm" if os.path.isdir("/dev/shm") else "tmpdir")
+            ),
         },
         round(total, 4),
         float(sf) if sf.replace(".", "").isdigit() else sf,

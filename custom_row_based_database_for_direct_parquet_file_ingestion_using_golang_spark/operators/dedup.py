@@ -33,7 +33,7 @@ from .text import (
     shingles_from_tokens,
     tokenize,
 )
-from .util import ensure_parallelism
+from .util import ensure_parallelism, lit_double_array
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -1049,7 +1049,7 @@ def semantic_dedup(
         # docs/SCALING.md "SemDeDup k-ceiling").
         sims = F.array(
             *[
-                F.round(cosine(F.col("_v"), F.array(*[F.lit(w) for w in c])), 6)
+                F.round(cosine(F.col("_v"), lit_double_array(c)), 6)
                 for c in cents
             ]
         )

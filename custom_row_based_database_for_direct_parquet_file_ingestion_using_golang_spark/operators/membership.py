@@ -119,7 +119,10 @@ def bloom_contains(key: Column, bloom: Bloom) -> Column:
     words ship as ONE plan-literal array, probed with element_at + a bit
     test per position. Zero shuffle, zero UDF, codegen-friendly: usable as
     a scan-stage filter on a 100 TB probe side."""
-    words = F.lit(list(bloom.words))
+    from .util import lit_long_array
+
+    # one SQL-parsed literal, not m_bits/64 py4j lit() calls (round-16, §1.2)
+    words = lit_long_array(bloom.words)
     h1 = F.pmod(_hash60(key, 1), F.lit(bloom.m_bits))
     h2 = F.pmod(_hash60(key, 16), F.lit(bloom.m_bits))
     checks = []

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import lit_double_array
+
 
 def _require_integral_id(df: DataFrame, id_col: str, fn: str) -> None:
     """The blocked tilers carry ids as int64 through Arrow — a non-integral
@@ -679,7 +681,7 @@ def ivf_probe_indexed(
         i + 1 for i in sorted(range(len(c)), key=lambda i: (-dots[i], i))[:n_probe]
     ]
     cand = spark.read.parquet(index_path).filter(F.col("list_id").isin(probes))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_double_array(query_vec)
     scored = cand.select(
         F.col(id_col),
         F.round(
@@ -962,7 +964,7 @@ def pq_topk(
     adc = None
     for j, tab in enumerate(tables):
         lookup = F.element_at(
-            F.array(*[F.lit(v) for v in tab]),
+            lit_double_array(tab),
             F.element_at(F.col("pq"), j + 1) + 1,
         )
         adc = lookup if adc is None else (adc + lookup)
@@ -970,7 +972,7 @@ def pq_topk(
         # q·v̂ = q·c_list + q·r — the per-list constant as one lookup.
         qc = [float(q @ np.asarray(c, dtype="float64")) for c in centroids]
         adc = adc + F.element_at(
-            F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int")
+            lit_double_array(qc), F.col("list_id").cast("int")
         )
     cand = (
         encoded.select(F.col(id_col), F.col(vec_col), adc.alias("adc"))
@@ -1070,7 +1072,7 @@ def rp_lsh_bucket(vec: Column, dim: int, n_planes: int = 12, seed: int = 42) -> 
     the plan — no closure capture, no UDF."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(_planes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(w) for w in plane])
+        p = lit_double_array(plane)
         bit = F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return bucket

@@ -640,8 +640,11 @@ def nb_score_tokens(toks: Column, weights: list[float]) -> Column:
     ship as ONE plan-literal double array and the score runs INSIDE the
     token array (transform + aggregate): zero shuffle, zero UDF, scan-stage
     scoring on a 100 TB corpus. Positive means the positive class."""
+    from .util import lit_double_array
+
     n_buckets = len(weights)
-    w = F.lit(weights)
+    # one SQL-parsed literal, not 512 py4j lit() calls (round-16, §1.2)
+    w = lit_double_array(weights)
     total = F.aggregate(
         F.transform(
             toks, lambda t: F.element_at(w, hash_bucket(t, n_buckets).cast("int") + 1)

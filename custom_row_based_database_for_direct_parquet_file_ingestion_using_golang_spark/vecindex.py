@@ -29,6 +29,8 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+from .operators.util import lit_double_array
+
 
 class VectorIndexes:
     """Registry + lifecycle for persistent IVF indexes."""
@@ -322,12 +324,12 @@ class VectorIndexes:
         adc = None
         for j, tab in enumerate(tables):
             lookup = F.element_at(
-                F.array(*[F.lit(v) for v in tab]),
+                lit_double_array(tab),
                 F.element_at(F.col("pq"), j + 1) + 1,
             )
             adc = lookup if adc is None else (adc + lookup)
         adc = adc + F.element_at(
-            F.array(*[F.lit(v) for v in qc]), F.col("list_id").cast("int")
+            lit_double_array(qc), F.col("list_id").cast("int")
         )
         top = cand.select(
             F.col(m["id_col"]), F.col(m["vec_col"]), adc.alias("adc")
@@ -350,7 +352,7 @@ class VectorIndexes:
         top = top.orderBy(F.col("adc").desc(), F.col(m["id_col"])).limit(
             rescore * k
         )
-        qcol = F.array(*[F.lit(float(x)) for x in q])
+        qcol = lit_double_array(q)
         return (
             top.select(
                 F.col(m["id_col"]),

@@ -29,12 +29,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Session-scoped scan-plan cache (round-16, guide §1.2/§6): every
+#: ``spark.read.parquet`` re-lists the path and re-sniffs the footer schema
+#: on the DRIVER — measured 150-300 ms per call, paid once or twice by every
+#: workload invocation (~20 s across one full bench run). Real engines keep
+#: this in a catalog; here the immutable base-scan DataFrame (an UNRESOLVED
+#: lazy plan — no rows, no results, nothing materialized) is memoized per
+#: (session, sf_dir, table). Every action over it still scans the parquet
+#: files from disk; only the repeated driver-side metadata sniff is skipped.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Oracle parity requires UTC session semantics regardless of how the
     # caller built the SparkSession (fixture timestamps are naive; DuckDB
     # reads them tz-less). Cheap to set per-load.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_uncached(spark, sf_dir, name)
+    if len(_SCAN_CACHE) > 64:  # bound growth across many test sessions
+        _SCAN_CACHE.clear()
+    _SCAN_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped with two ts encodings across fixture
         # generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
