@@ -321,10 +321,29 @@ def render_artifact(
         ],
         "reruns_total": sum(reruns.values()),
     }
-    tail = {"queries": compact_q, "value": round(total, 2)}
-    line = json.dumps({**base, **extras, **tail}, separators=(",", ":"))
-    if len(line) > 1990:
-        line = json.dumps({**base, **tail}, separators=(",", ":"))
+    # Deterministic shrink cascade with a HARD guarantee (r16 review
+    # finding: a single extras-dropping fallback left only ~12 chars of
+    # headroom at pessimistic 2-decimal widths — a 1000+ s contention
+    # blowout or a 65th query would have silently re-broken the artifact).
+    # Each step is strictly smaller; the 0-decimal floor is ~1.85 KB at the
+    # current name set, so the loop always terminates under the cap.
+    for attempt in (
+        {**base, **extras, "queries": compact_q, "value": round(total, 2)},
+        {**base, "queries": compact_q, "value": round(total, 2)},
+        {
+            **base,
+            "queries": {n: round(v, 1) for n, v in timings.items()},
+            "value": round(total, 1),
+        },
+        {
+            **base,
+            "queries": {n: int(round(v)) for n, v in timings.items()},
+            "value": int(round(total)),
+        },
+    ):
+        line = json.dumps(attempt, separators=(",", ":"))
+        if len(line) <= 1990:
+            break
     return line, detail
 
 

@@ -338,27 +338,30 @@ def _centroid_dots(vec_name: str, centroids: "list[list[float]]") -> Column:
     (shortest round-trip decimal — Java's parseDouble restores the exact
     double) with the ``D`` suffix so SQL types them DOUBLE, never DECIMAL.
     """
-    import math
+    from .util import double_array_sql
 
-    if any(not math.isfinite(w) for c in centroids for w in c):
+    rows = [double_array_sql(c) for c in centroids]
+    if any(r is None for r in rows):
         # non-finite weights have no portable SQL literal — keep the
         # py4j-built fallback for that (never-hit in practice) case
         return F.array(
             *[
-                dot(F.col(vec_name), F.array(*[F.lit(w) for w in c]))
+                dot(F.col(vec_name), F.array(*[F.lit(float(w)) for w in c]))
                 for c in centroids
             ]
         )
-    def arr(c: "list[float]") -> str:
-        return "array(" + ",".join(f"{w!r}D" for w in c) + ")"
-
+    # Quote the name the way F.col parses it (dots = struct-field nesting,
+    # each part backtick-quoted/escaped) so both branches resolve alike.
+    quoted = ".".join(
+        f"`{p.replace('`', '``')}`" for p in vec_name.split(".")
+    )
     # One transform over the centroid matrix rather than n_centroids
     # separate aggregates: 3 lambda resolutions instead of 2·n per analysis
     # pass (measured 216 → 149 ms per downstream select at 16×64), same
     # per-element fold order → bit-identical dots.
-    mat = "array(" + ",".join(arr(c) for c in centroids) + ")"
+    mat = "array(" + ",".join(rows) + ")"
     return F.expr(
-        f"transform({mat}, c -> aggregate(zip_with(`{vec_name}`, c, "
+        f"transform({mat}, c -> aggregate(zip_with({quoted}, c, "
         "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
     )
 

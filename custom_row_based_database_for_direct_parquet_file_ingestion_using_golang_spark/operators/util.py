@@ -7,6 +7,18 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def double_array_sql(values) -> str | None:
+    """SQL text of an ``array<double>`` literal, or None when any value is
+    non-finite (no portable SQL spelling — callers fall back to per-element
+    ``F.lit``). ``repr`` emits the shortest round-trip decimal (Java's
+    parseDouble restores the exact double); the ``D`` suffix makes SQL type
+    it DOUBLE, never DECIMAL."""
+    vals = [float(v) for v in values]
+    if any(not math.isfinite(v) for v in vals):
+        return None
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
 def lit_double_array(values) -> Column:
     """``array<double>`` literal built as ONE SQL-parsed expression.
 
@@ -14,14 +26,14 @@ def lit_double_array(values) -> Column:
     expands to it) pays one py4j round trip per element — measured ~1-2 ms
     each, i.e. ~0.5 s of driver time for a 512-weight model on every plan
     build (round-16, guide §1.2). One ``F.expr`` string parses JVM-side in
-    ~1 ms. ``repr`` emits the shortest round-trip decimal (Java's
-    parseDouble restores the exact double); the ``D`` suffix makes SQL type
-    it DOUBLE, never DECIMAL. Non-finite values have no portable SQL
-    literal — fall back to the per-element path."""
+    ~1 ms. Non-finite values fall back to the per-element path."""
     vals = [float(v) for v in values]
-    if not vals or any(not math.isfinite(v) for v in vals):
+    if not vals:
+        return F.array().cast("array<double>")
+    sql = double_array_sql(vals)
+    if sql is None:
         return F.array(*[F.lit(v) for v in vals])
-    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.expr(sql)
 
 
 def lit_long_array(values) -> Column:

@@ -9661,6 +9661,15 @@ class RefSQL:
         for rw in src_only:
             guard_src = guard_src.filter(F.expr(" ".join(rw)))
         skeys = [sc for _tc, sc in pairs]
+        # Drop NULL-key source rows explicitly: under SQL `=` they match no
+        # target row, so excluding them changes nothing about the update —
+        # but it makes the duplicate-NULL-key pass-through semantics (pinned
+        # in test_update_from_duplicate_null_keys_pass) independent of
+        # Catalyst's IsNotNull constraint inference, which is an
+        # optimization (disable-able via constraintPropagation), not a
+        # guarantee (r16 review finding).
+        for sc in skeys:
+            guard_src = guard_src.filter(F.col(f"__src_{sc}").isNotNull())
         dup_msg = (
             "UPDATE ... FROM: the source has duplicate rows on the "
             f"join keys {skeys} — a target row would match multiple "

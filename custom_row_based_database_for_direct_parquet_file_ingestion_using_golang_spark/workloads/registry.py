@@ -20,6 +20,7 @@ schema sweep over every registered query.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -37,7 +38,7 @@ ORACLES: dict[str, str] = {}
 #: lazy plan — no rows, no results, nothing materialized) is memoized per
 #: (session, sf_dir, table). Every action over it still scans the parquet
 #: files from disk; only the repeated driver-side metadata sniff is skipped.
-_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,7 +46,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller built the SparkSession (fixture timestamps are naive; DuckDB
     # reads them tz-less). Cheap to set per-load.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # The file's mtime rides in the key so a rewritten fixture (same path,
+    # new data — e.g. a regenerated sf dir within one live session) never
+    # serves the stale plan/file-listing; the stat is microseconds.
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # directory-style tables / missing file: let Spark raise
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

@@ -105,6 +105,20 @@ def test_bench_artifact_tail_is_self_contained():
     assert det["queries"] == timings
     assert det["reruns"] == reruns
     assert det["sentinel"]["contended"]
+    # Degenerate widths (a 1000+s contention blowout on every query) must
+    # still fit via the shrink cascade — lower precision, never truncation.
+    line3, _ = bench.render_artifact(
+        passes,
+        {n: 9999.9876 for n in bench.BENCH_QUERIES},
+        reruns,
+        sentinel,
+        639999.2064,
+        0.1,
+    )
+    assert len(line3) < 2000
+    parsed3 = json.loads(line3)
+    assert set(parsed3["queries"]) == set(bench.BENCH_QUERIES)
+    assert parsed3["value"] >= 639999
     # Typical-values case: the compact contention summary fits too.
     line2, _ = bench.render_artifact(
         passes,
