@@ -303,7 +303,28 @@ def _run_stats(sorted_arr: Column) -> Column:
     )
 
 
+#: Memo of built ngram_char_stats expression trees keyed by (input
+#: expression string, n). Construction costs ~240 ms of driver-side py4j
+#: per call (the run-length fold builds ~20 struct fields inside aggregate
+#: lambdas) and the result is an immutable UNRESOLVED Column — reusing it
+#: across plans is exactly reusing `F.col("x") + 1` twice. No data, no
+#: results, no session state lives here (round-16, guide §1.2).
+_NGRAM_STATS_MEMO: dict[tuple[str, int], Column] = {}
+
+
 def ngram_char_stats(toks: Column, n: int) -> Column:
+    key = (str(toks), n)
+    cached = _NGRAM_STATS_MEMO.get(key)
+    if cached is not None:
+        return cached
+    col = _ngram_char_stats_uncached(toks, n)
+    if len(_NGRAM_STATS_MEMO) > 32:
+        _NGRAM_STATS_MEMO.clear()
+    _NGRAM_STATS_MEMO[key] = col
+    return col
+
+
+def _ngram_char_stats_uncached(toks: Column, n: int) -> Column:
     """Word-n-gram repetition statistics of a token-array column — the
     RedPajama-v2 / Gopher character-coverage repetition signals
     (``rps_doc_frac_chars_top_ngram`` / ``frac_chars_dupe_ngrams``), as one
